@@ -1,0 +1,377 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import scala.collection.immutable.ListMap
+
+/** Training-data-pipeline operators over the `documents` / `embeddings` /
+  * `events` tables: deduplication (exact, fingerprint, MinHash+LSH banding,
+  * SimHash), similarity search (brute-force cosine top-k, all-pairs
+  * near-dup), text analysis (token stats, language guess, token histogram),
+  * and event-stream analytics (windowed aggregation, sessionization).
+  *
+  * Every operator is expressed so DuckDB can replay it exactly:
+  * MinHash uses md5 as the hash family (lexicographic MIN over hex digests
+  * is a valid min-hash), shingles are word 3-grams, and cosine similarity
+  * is a sequential left-fold over doubles in both engines (bit-identical).
+  *
+  * Scale notes (100 TB thinking):
+  *   - LSH candidate generation is an equi-join on (band, key) — shuffles
+  *     only signature tuples, never full pairwise;
+  *   - exact Jaccard runs only on the LSH candidate set;
+  *   - brute-force cosine exists as the small-side baseline; the scaled
+  *     path buckets by hyperplane LSH (see graft.functions).
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared text plumbing (word 3-gram shingles + md5 minhash) ----
+
+  private def words(c: Column): Column = split(lower(c), " ")
+
+  /** Distinct word-3-gram shingles; short docs fall back to one shingle. */
+  private def shingles(w: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(3)))))
+
+  /** MinHash_j = lexicographic min over md5(j + "|" + shingle). */
+  private def minhash(sh: Column, j: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(s"$j|"), s).cast("binary"))))
+
+  private def sigDF(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingles(words(col("text"))).as("sh"))
+      .select(Seq(col("doc_id"), col("sh")) ++
+        (0 until 4).map(j => minhash(col("sh"), j).as(s"sig$j")): _*)
+
+  private val sigSqlCte =
+    """tok AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |shg AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(w)-2, 1)),
+      |    i -> array_to_string(w[i:i+2], ' '))) AS sh FROM tok),
+      |sig AS (SELECT doc_id, sh,
+      |  list_aggregate(list_transform(sh, s -> md5('0|' || s)), 'min') AS sig0,
+      |  list_aggregate(list_transform(sh, s -> md5('1|' || s)), 'min') AS sig1,
+      |  list_aggregate(list_transform(sh, s -> md5('2|' || s)), 'min') AS sig2,
+      |  list_aggregate(list_transform(sh, s -> md5('3|' || s)), 'min') AS sig3
+      |  FROM shg)""".stripMargin
+
+  /** doc_id + 2 band keys (2 hashes per band) for LSH bucketing. */
+  private def bandsDF(s: SparkSession, d: String): DataFrame =
+    sigDF(s, d).select(col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band"), concat(col("sig0"), col("sig1")).as("key")),
+        struct(lit(1).as("band"), concat(col("sig2"), col("sig3")).as("key"))))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  // ---- embeddings plumbing ----
+
+  private def toDouble(c: Column): Column = transform(c, _.cast(DoubleType))
+
+  /** Sequential left-fold sum — matches DuckDB list_aggregate('sum'). */
+  private def fsum(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  private def dot(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => x * y))
+
+  val queries: ListMap[String, Q] = ListMap(
+    // exact dedup: group by content hash, keep lowest doc_id
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))),
+
+    // fingerprint dedup: md5 over the sorted distinct word set
+    // (order/whitespace-insensitive duplicate detection)
+    "dedup_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(concat_ws(" ",
+          array_sort(array_distinct(split(lower(col("text")), " "))))
+          .cast("binary")).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))),
+
+    // per-doc MinHash signature (4 hashes over word-3-gram shingles)
+    "minhash_signature" -> ((s, d) =>
+      sigDF(s, d).select("doc_id", "sig0", "sig1", "sig2", "sig3")),
+
+    // LSH banding: candidate near-dup pairs = equi-join on band keys.
+    // This is the 100TB-scalable shape: shuffle signatures, not pairs.
+    "lsh_candidate_pairs" -> ((s, d) => {
+      val b = bandsDF(s, d)
+      b.as("a").join(b.as("b"), Seq("band", "key"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }),
+
+    // exact n-gram Jaccard verification over the LSH candidate set only
+    "neardup_jaccard" -> ((s, d) => {
+      val b = bandsDF(s, d)
+      val cand = b.as("a").join(b.as("b"), Seq("band", "key"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sh = sigDF(s, d).select("doc_id", "sh")
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.4)
+    }),
+
+    // SimHash (16-bit, from md5 hex nibbles, token-frequency weighted)
+    "simhash" -> ((s, d) => {
+      val h = transform(words(col("text")), t => md5(t.cast("binary")))
+      val hexHi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      val bits = (0 until 16).map { p =>
+        val vote = aggregate(col("h"), lit(0L), (acc, x) =>
+          acc + when(substring(x, p + 1, 1).isin(hexHi: _*), 1L).otherwise(-1L))
+        when(vote > 0, lit(1L << p)).otherwise(0L)
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"))
+        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+    }),
+
+    // brute-force cosine top-k against a probe vector (ANN baseline)
+    "ann_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(toDouble(col("embedding")).as("pe"))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), toDouble(col("embedding")).as("ce"))
+      cand.crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          (dot(col("ce"), col("pe")) /
+            (sqrt(fsum(zip_with(col("ce"), col("ce"), (x, y) => x * y))) *
+              sqrt(fsum(zip_with(col("pe"), col("pe"), (x, y) => x * y)))))
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // embedding near-duplicates: all-pairs cosine above threshold
+    // (baseline; the LSH-bucketed variant lives in graft.functions)
+    "embed_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val norm = e.select(col("vec_id"), col("v"),
+        sqrt(fsum(zip_with(col("v"), col("v"), (x, y) => x * y))).as("n"))
+      norm.as("a").join(norm.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+            .as("cosine"))
+        .filter(col("cosine") >= 0.45)
+    }),
+
+    // per-document text statistics (quality-scoring features)
+    "text_stats" -> ((s, d) => {
+      val t = col("text")
+      val padded = concat(lit(" "), t, lit(" "))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(t).cast("long").as("n_chars_calc"),
+        octet_length(t).cast("long").as("n_bytes"),
+        (length(t) - length(regexp_replace(t, " ", "")) + 1).cast("long")
+          .as("n_tokens"),
+        ((length(padded) - length(regexp_replace(padded, " the ", " "))) / 4)
+          .cast("long").as("n_the"))
+    }),
+
+    // crude stopword-profile language guess (deterministic heuristic)
+    "lang_guess" -> ((s, d) => {
+      val t = concat(lit(" "), lower(col("text")), lit(" "))
+      def hits(w: String): Column =
+        (length(t) - length(regexp_replace(t, s" $w ", " "))) /
+          (w.length + 1)
+      val en = hits("the") + hits("and") + hits("of")
+      val de = hits("der") + hits("und") + hits("die")
+      val fr = hits("le") + hits("et") + hits("la")
+      val es = hits("el") + hits("y") + hits("los")
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        when(octet_length(col("text")) =!= length(col("text")), "zh")
+          .when(de > en && de > fr && de > es, "de")
+          .when(fr > en && fr > de && fr > es, "fr")
+          .when(es > en && es > de && es > fr, "es")
+          .when(en > 0, "en")
+          .otherwise("unknown").as("guess"))
+    }),
+
+    // corpus token histogram (wordcount — the canonical explode+agg)
+    "token_hist" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(words(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // hourly windowed event aggregation (Structured-Streaming-shaped)
+    "events_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 6)))
+            .cast(DecimalType(38, 6)).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("cnt"), col("sum_value"))),
+
+    // sessionization: 5-minute-gap sessions per user via LAG
+    "events_sessions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 300000000L, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("brk").as("n_sessions"), count(lit(1)).as("n_events"))
+    })
+  )
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |  string_split(lower(text), ' '))), ' ')) AS fp,
+        |CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "minhash_signature" ->
+      s"""WITH $sigSqlCte
+         |SELECT doc_id, sig0, sig1, sig2, sig3 FROM sig""".stripMargin,
+    "lsh_candidate_pairs" ->
+      s"""WITH $sigSqlCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 || sig1 AS key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, sig2 || sig3 AS key FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+    "neardup_jaccard" ->
+      s"""WITH $sigSqlCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 || sig1 AS key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, sig2 || sig3 AS key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |  AS jaccard
+         |FROM cand
+         |JOIN sig sa ON sa.doc_id = cand.doc_a
+         |JOIN sig sb ON sb.doc_id = cand.doc_b
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |  >= 0.4""".stripMargin,
+    "simhash" -> {
+      val hexHi = "('8','9','a','b','c','d','e','f')"
+      val bits = (0 until 16).map { p =>
+        s"""CASE WHEN list_aggregate(list_transform(h,
+           |x -> CASE WHEN substr(x, ${p + 1}, 1) IN $hexHi
+           |THEN 1 ELSE -1 END), 'sum') > 0
+           |THEN ${1L << p} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+      s"""WITH hashed AS (
+         |  SELECT doc_id,
+         |  list_transform(string_split(lower(text), ' '), t -> md5(t)) AS h
+         |  FROM documents)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hashed""".stripMargin
+    },
+    "ann_topk" ->
+      """WITH p AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pe
+        |  FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id,
+        |list_aggregate(list_transform(list_zip(ce, pe), z -> z[1]*z[2]), 'sum')
+        |/ (sqrt(list_aggregate(list_transform(ce, x -> x*x), 'sum'))
+        |  * sqrt(list_aggregate(list_transform(pe, x -> x*x), 'sum')))
+        |AS cosine
+        |FROM c, p
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "embed_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+        |  sqrt(list_aggregate(list_transform(
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    x -> x*x), 'sum')) AS n
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |list_aggregate(list_transform(list_zip(a.ve, b.ve), z -> z[1]*z[2]),
+        |  'sum') / (a.n * b.n) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_aggregate(list_transform(list_zip(a.ve, b.ve),
+        |  z -> z[1]*z[2]), 'sum') / (a.n * b.n) >= 0.45""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |  AS n_tokens,
+        |CAST((length(' ' || text || ' ') -
+        |  length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS BIGINT)
+        |  AS n_the
+        |FROM documents""".stripMargin,
+    "lang_guess" -> {
+      def hits(w: String) =
+        s"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' $w ', ' '))) / ${w.length + 1}"
+      val en = s"(${hits("the")} + ${hits("and")} + ${hits("of")})"
+      val de = s"(${hits("der")} + ${hits("und")} + ${hits("die")})"
+      val fr = s"(${hits("le")} + ${hits("et")} + ${hits("la")})"
+      val es = s"(${hits("el")} + ${hits("y")} + ${hits("los")})"
+      s"""SELECT doc_id, lang,
+         |CASE WHEN strlen(text) <> length(text) THEN 'zh'
+         |WHEN $de > $en AND $de > $fr AND $de > $es THEN 'de'
+         |WHEN $fr > $en AND $fr > $de AND $fr > $es THEN 'fr'
+         |WHEN $es > $en AND $es > $de AND $es > $fr THEN 'es'
+         |WHEN $en > 0 THEN 'en'
+         |ELSE 'unknown' END AS guess
+         |FROM documents""".stripMargin
+    },
+    "token_hist" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |      FROM documents) t
+        |GROUP BY token""".stripMargin,
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |CAST(COUNT(*) AS BIGINT) AS cnt,
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      """SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
+        |CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM (SELECT user_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
+        |  THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+        |GROUP BY user_id""".stripMargin
+  )
+}

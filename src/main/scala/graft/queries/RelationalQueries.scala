@@ -1,0 +1,360 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import scala.collection.immutable.ListMap
+
+/** The relational query surface from SURVEY.md §2B/§2C (items 1-23), each
+  * paired with an ANSI-SQL oracle DuckDB runs on the same parquet.
+  *
+  * Numeric-determinism rules (so results hash-match the oracle bit-for-bit):
+  *   - elementwise arithmetic stays in raw doubles — IEEE ops are
+  *     correctly-rounded and identical across engines;
+  *   - MIN/MAX/COUNT are order-independent — no treatment needed;
+  *   - SUM/AVG over doubles go through DECIMAL (exact, order-independent
+  *     addition); AVG = CAST(SUM(decimal) AS DOUBLE) / COUNT — a single
+  *     deterministic division;
+  *   - integer results are always cast to BIGINT on both sides (Spark COUNT
+  *     is already long; DuckDB date_part/row_number types differ).
+  */
+object RelationalQueries {
+
+  /** Exact decimal sum of a 2-decimal money/quantity column. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DecimalType(38, 2))
+  /** Deterministic average: exact decimal sum, one double division. */
+  private def davg(c: Column, denom: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double") / denom
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: ListMap[String, Q] = ListMap(
+    // 1. projection + LIMIT (deterministic via unique sort key)
+    "scan_limit" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(10)),
+
+    // 2. SELECT *
+    "select_star" -> ((s, d) => Tables.region(s, d)),
+
+    // 3. NDVI-style elementwise column arithmetic (ref 01_ndvi.py:118)
+    "proj_arith" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        ((col("l_extendedprice") - col("l_discount")) /
+          (col("l_extendedprice") + col("l_discount"))).as("ratio"))),
+
+    // 4. comparison filter
+    "filter_cmp" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // 5. timestamp BETWEEN (ref README.md:101-102)
+    "filter_between_ts" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(
+          to_timestamp(lit("1995-01-01 00:00:00")),
+          to_timestamp(lit("1995-12-31 00:00:00"))))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")),
+
+    // 6. IN + OR + AND (ref lib.rs:384-423 pruning op list)
+    "filter_in_or" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R") &&
+          (col("l_quantity") < 3.0 || col("l_quantity") > 48.0))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")),
+
+    // 7. NULL semantics: IS NULL count, null-skipping AVG
+    //    (testdata has no nulls; NULLIF synthesizes them deterministically)
+    "filter_null" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(nullif(col("l_discount"), lit(0.0)).as("v"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("v")).as("n_nonnull"),
+          count(when(col("v").isNull, 1)).as("n_null"),
+          (sum(col("v").cast(DecimalType(18, 6))).cast("double") /
+            count(col("v"))).as("avg_v"))),
+
+    // 8. global aggregates
+    "agg_global" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("cnt"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        davg(col("l_quantity"), count(lit(1))).as("avg_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))),
+
+    // 9. GROUP BY keys (ref tests/test_sql.py:23-50)
+    "agg_group" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          davg(col("l_extendedprice"), count(lit(1))).as("avg_price"))),
+
+    // 10. GROUP BY expression (ref 02_climatology.py:96-106)
+    "agg_group_expr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(month(col("l_shipdate")).cast("long").as("ship_month"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          davg(col("l_quantity"), count(lit(1))).as("avg_qty"))),
+
+    // 11. COUNT(*) (ref tests/test_stats.py:78-91)
+    "count_star" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
+
+    // 12. DISTINCT + ORDER BY (ref tests/test_sql.py:216-218)
+    "distinct_order" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // 13. ORDER BY DESC + LIMIT = TakeOrderedAndProject
+    "orderby_desc_limit" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // 14. multi-table equi-join + agg; small dim broadcast (ref 04_anomaly)
+    "join_equi" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("revenue"))),
+
+    // 15. join on interval expression (ref 05_forecast_skill.py:158-171)
+    "join_expr_ts" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAY"))
+        .groupBy(month(col("o_orderdate")).cast("long").as("order_month"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // 16. range (theta) join against a small bounds table (ref 06_zonal)
+    "join_range" -> ((s, d) => {
+      val bands = s.createDataFrame(Seq(
+        ("b1", 900.0, 924.99), ("b2", 925.0, 949.99),
+        ("b3", 950.0, 974.99), ("b4", 975.0, 999.99)))
+        .toDF("band", "lo", "hi")
+      Tables.part(s, d)
+        .join(broadcast(bands),
+          col("p_retailprice").between(col("lo"), col("hi")))
+        .groupBy("band")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // 17. weight-table join + weighted agg (ref 08_regrid_weights.py:195-203)
+    //     dyadic weights keep products exact in binary and decimal
+    "join_weighted" -> ((s, d) => {
+      val weights = s.createDataFrame(Seq(
+        ("A", 0.5), ("N", 1.0), ("R", 0.25))).toDF("flag", "wt")
+      Tables.lineitem(s, d)
+        .join(broadcast(weights), col("l_returnflag") === col("flag"))
+        .groupBy("flag")
+        .agg(sum((col("l_quantity") * col("wt")).cast(DecimalType(18, 4)))
+          .cast(DecimalType(38, 4)).as("weighted_qty"))
+    }),
+
+    // 18. CROSS JOIN (ref tests/test_sql.py:126-134)
+    "cross_join_count" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // 19. climatology-CTE anomaly self-join (ref 04_anomaly.py:89-111)
+    "cte_selfjoin" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val clim = li.groupBy("l_partkey")
+        .agg(davg(col("l_quantity"), count(lit(1))).as("avg_qty"))
+      li.join(clim, "l_partkey")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") - col("avg_qty")).as("anomaly"))
+    }),
+
+    // 20. composite RMSE aggregate (ref 05:160-163); the square stays a
+    //     plain product so both engines produce the identical double
+    "rmse_composite" -> ((s, d) => {
+      val diff = col("l_extendedprice") - col("p_retailprice") * col("l_quantity")
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(sqrt(sum((diff * diff).cast(DecimalType(38, 6))).cast("double") /
+          count(lit(1))).as("rmse"))
+    }),
+
+    // 21. window function: top-3 orders per customer (thesis parity)
+    "window_fn" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // 22. CASE expression (thesis parity, docs/geospatial.md:7)
+    "case_expr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("band"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          davg(col("l_quantity"), count(lit(1))).as("avg_qty"))),
+
+    // 23. registered scalar UDF in a predicate (ref cftime UDF,
+    //     tests/test_sql.py:303-314); oracle expresses it as arithmetic
+    "udf_scalar" -> ((s, d) => {
+      s.udf.register("epoch_day",
+        (t: java.sql.Timestamp) => t.getTime / 86400000L)
+      Tables.lineitem(s, d)
+        .filter(call_udf("epoch_day", col("l_shipdate")) >= 9496L)
+        .agg(
+          count(lit(1)).as("cnt"),
+          min("l_shipdate").as("min_ship"),
+          max("l_shipdate").as("max_ship"))
+    }),
+
+    // 24. parameterized SQL (ref 02_climatology.py:96-114 param_values)
+    "param_query" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_pq")
+      s.sql(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt " +
+          "FROM lineitem_pq WHERE l_quantity > :minq GROUP BY l_returnflag",
+        Map("minq" -> 40))
+    })
+  )
+
+  private val davgSql =
+    (c: String, denom: String) =>
+      s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)/$denom"
+  private val dsumSql =
+    (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "scan_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "select_star" -> "SELECT * FROM region",
+    "proj_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |(l_extendedprice - l_discount)/(l_extendedprice + l_discount) AS ratio
+        |FROM lineitem""".stripMargin,
+    "filter_cmp" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45.0""".stripMargin,
+    "filter_between_ts" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |AND TIMESTAMP '1995-12-31 00:00:00'""".stripMargin,
+    "filter_in_or" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem WHERE l_returnflag IN ('A','R')
+        |AND (l_quantity < 3.0 OR l_quantity > 48.0)""".stripMargin,
+    "filter_null" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+        |CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_null,
+        |CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)/COUNT(v) AS avg_v
+        |FROM (SELECT NULLIF(l_discount, 0.0) AS v FROM lineitem) t""".stripMargin,
+    "agg_global" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         |${davgSql("l_quantity", "COUNT(*)")} AS avg_qty,
+         |${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem""".stripMargin,
+    "agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |CAST(COUNT(*) AS BIGINT) AS cnt,
+         |${dsumSql("l_quantity")} AS sum_qty,
+         |${davgSql("l_extendedprice", "COUNT(*)")} AS avg_price
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_group_expr" ->
+      s"""SELECT CAST(date_part('month', l_shipdate) AS BIGINT) AS ship_month,
+         |CAST(COUNT(*) AS BIGINT) AS cnt,
+         |${davgSql("l_quantity", "COUNT(*)")} AS avg_qty
+         |FROM lineitem GROUP BY 1""".stripMargin,
+    "count_star" -> "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem",
+    "distinct_order" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "orderby_desc_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "join_equi" ->
+      s"""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |${dsumSql("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin,
+    "join_expr_ts" ->
+      """SELECT CAST(date_part('month', o_orderdate) AS BIGINT) AS order_month,
+        |CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1""".stripMargin,
+    "join_range" ->
+      """SELECT band, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM part JOIN (VALUES ('b1',900.0,924.99),('b2',925.0,949.99),
+        |('b3',950.0,974.99),('b4',975.0,999.99)) AS b(band,lo,hi)
+        |ON p_retailprice BETWEEN lo AND hi
+        |GROUP BY band""".stripMargin,
+    "join_weighted" ->
+      """SELECT flag,
+        |CAST(SUM(CAST(l_quantity * wt AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |  AS weighted_qty
+        |FROM lineitem JOIN (VALUES ('A',0.5),('N',1.0),('R',0.25))
+        |  AS w(flag,wt) ON l_returnflag = flag
+        |GROUP BY flag""".stripMargin,
+    "cross_join_count" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM region CROSS JOIN nation",
+    "cte_selfjoin" ->
+      s"""WITH clim AS (
+         |  SELECT l_partkey, ${davgSql("l_quantity", "COUNT(*)")} AS avg_qty
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT l.l_orderkey, l.l_linenumber,
+         |l.l_quantity - c.avg_qty AS anomaly
+         |FROM lineitem l JOIN clim c ON l.l_partkey = c.l_partkey""".stripMargin,
+    "rmse_composite" ->
+      """SELECT SQRT(CAST(SUM(CAST(
+        |  (l_extendedprice - p_retailprice*l_quantity) *
+        |  (l_extendedprice - p_retailprice*l_quantity) AS DECIMAL(38,6)))
+        |  AS DOUBLE)/COUNT(*)) AS rmse
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "window_fn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+    "case_expr" ->
+      s"""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+         |WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+         |CAST(COUNT(*) AS BIGINT) AS cnt,
+         |${davgSql("l_quantity", "COUNT(*)")} AS avg_qty
+         |FROM lineitem GROUP BY 1""".stripMargin,
+    "udf_scalar" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        |FROM lineitem
+        |WHERE date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) >= 9496""".stripMargin,
+    "param_query" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem WHERE l_quantity > 40 GROUP BY l_returnflag""".stripMargin
+  )
+}
