@@ -1,0 +1,49 @@
+package graft
+
+import graft.grid.{GridStore, VarDef}
+import graft.sources.GridSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-context façade over grid datasets — the Spark analogue of the
+  * reference's `XarrayContext` (xarray_sql/sql.py:12-178).
+  *
+  * Registration groups data variables by their dims tuple
+  * (sql.py:181-191): one group registers a single table under `name`;
+  * several groups register one table per group named
+  * `<name>_<dims joined by _>` (Spark temp views are single-level, so the
+  * reference's `era5.time_lat_lon` schema namespace becomes
+  * `era5_time_lat_lon`), overridable via `tableNames`. Scalar (0-dim)
+  * variables form a one-row table defaulting to `<name>_scalar`.
+  * Registration is O(metadata): no variable data is read until a query
+  * executes (the reference's laziness invariant).
+  */
+class XarrayContext(val spark: SparkSession) {
+
+  /** Register `store` (chunked by `chunks`) and return the view names. */
+  def fromDataset(
+      name: String,
+      store: GridStore,
+      chunks: Map[String, Int],
+      tableNames: Map[Seq[String], String] = Map.empty): Seq[String] = {
+    val groups: Seq[(Seq[String], Seq[VarDef])] = store.schema.varGroups
+    require(groups.nonEmpty, s"dataset $name has no data variables")
+    groups.map { case (dims, _) =>
+      val view = tableNames.getOrElse(dims,
+        if (groups.size == 1) name
+        else if (dims.isEmpty) s"${name}_scalar"
+        else s"${name}_${dims.mkString("_")}")
+      dataFrame(s"$name/${dims.mkString(",")}", store, chunks, dims)
+        .createOrReplaceTempView(view)
+      view
+    }
+  }
+
+  /** A DataFrame over one dim-group of the dataset, without registration. */
+  def dataFrame(key: String, store: GridStore, chunks: Map[String, Int],
+      groupDims: Seq[String]): DataFrame = {
+    GridSource.register(key, store, chunks, groupDims)
+    spark.read.format(GridSource.FORMAT).option("dataset", key).load()
+  }
+
+  def sql(query: String): DataFrame = spark.sql(query)
+}

@@ -1,0 +1,109 @@
+package graft.grid
+
+/** Deterministic synthetic grid fixtures mirroring the reference's test
+  * datasets (FIXTURES.md; reference tests/conftest.py). Every value law is
+  * a pure function of global indices so tests can recompute expectations
+  * directly and executors regenerate chunk data locally.
+  */
+object Fixtures {
+
+  /** Microseconds for `2013-01-01 + k * stepHours`. */
+  def hourlyMicros(startDay: Long, k: Int, stepHours: Int): Long =
+    (startDay * 86400L + k.toLong * stepHours * 3600L) * 1000000L
+
+  /** Value law of the canonical air grid (FIXTURES.md §1). */
+  final case class AirLaw(latOf: Int => Double) extends GridFun {
+    def apply(idx: Array[Int]): Double = {
+      val t = idx(0); val i = idx(1); val j = idx(2)
+      280.0 + 25.0 * math.sin(2 * math.Pi * t / 12.0) -
+        0.5 * math.abs(latOf(i)) + ((t * 73 + i * 31 + j * 7) % 17) * 0.1
+    }
+  }
+
+  /** `air_small`: 12 x 11 x 10 (time, lat desc 75->50, lon asc) grid. */
+  def airSmall: SyntheticGridStore = {
+    val time = TimeCoords((0 until 12).map(hourlyMicros(15706, _, 6)).toArray)
+    val lat = DoubleCoords((0 until 11).map(i => 75.0 - 2.5 * i).toArray)
+    val lon = DoubleCoords((0 until 10).map(j => 200.0 + 2.5 * j).toArray)
+    val latOf = (i: Int) => 75.0 - 2.5 * i
+    SyntheticGridStore(
+      GridSchema(
+        Seq(DimDef("time", time), DimDef("lat", lat), DimDef("lon", lon)),
+        Seq(VarDef("air", Seq("time", "lat", "lon"), GDouble))),
+      Map("air" -> AirLaw(latOf)))
+  }
+
+  final case class LinearLaw(a: Double, b: Double, c: Double, base: Double)
+    extends GridFun {
+    def apply(idx: Array[Int]): Double =
+      base + a * idx(0) + b * idx(1) + c * idx(2)
+  }
+
+  /** Integer-index grid with an exactly-representable linear value law —
+    * the oracle can recompute it in SQL with bit-identical doubles.
+    * dims: t (int 0..23), lat (75 - 2.5 i, 12), lon (200 + 2.5 j, 10).
+    */
+  def linearGrid: SyntheticGridStore = {
+    val t = IntCoords((0 until 24).toArray)
+    val lat = DoubleCoords((0 until 12).map(i => 75.0 - 2.5 * i).toArray)
+    val lon = DoubleCoords((0 until 10).map(j => 200.0 + 2.5 * j).toArray)
+    SyntheticGridStore(
+      GridSchema(
+        Seq(DimDef("t", t), DimDef("lat", lat), DimDef("lon", lon)),
+        Seq(VarDef("air", Seq("t", "lat", "lon"), GDouble))),
+      Map("air" -> LinearLaw(1.0, 2.0, 3.0, 200.0)))
+  }
+
+  final case class PruneLaw() extends GridFun {
+    def apply(idx: Array[Int]): Double = idx(0) * 10.0 + idx(1)
+  }
+
+  /** Pruning fixture (FIXTURES.md §4): time = 100 daily steps from
+    * 2020-01-01, lat = 5 points -90..90; chunks time=25 -> 4 partitions.
+    */
+  def pruneGrid: SyntheticGridStore = {
+    val day0 = 18262L // 2020-01-01 in days since epoch
+    val time = TimeCoords((0 until 100).map(k => (day0 + k) * 86400000000L).toArray)
+    val lat = DoubleCoords((0 until 5).map(i => -90.0 + 45.0 * i).toArray)
+    SyntheticGridStore(
+      GridSchema(
+        Seq(DimDef("time", time), DimDef("lat", lat)),
+        Seq(VarDef("temperature", Seq("time", "lat"), GDouble))),
+      Map("temperature" -> PruneLaw()))
+  }
+
+  final case class TwoVarLaw(scale: Double) extends GridFun {
+    def apply(idx: Array[Int]): Double = scale * (idx(0) * 5 + idx(1))
+  }
+
+  /** Projection fixture (FIXTURES.md §5): two co-dimensional variables;
+    * asserts single-variable SELECT never reads the other.
+    */
+  def twoVarGrid: SyntheticGridStore = {
+    val time = TimeCoords((0 until 10).map(k => (18262L + k) * 86400000000L).toArray)
+    val lat = DoubleCoords((0 until 5).map(i => -90.0 + 45.0 * i).toArray)
+    SyntheticGridStore(
+      GridSchema(
+        Seq(DimDef("time", time), DimDef("lat", lat)),
+        Seq(
+          VarDef("temperature", Seq("time", "lat"), GDouble),
+          VarDef("precipitation", Seq("time", "lat"), GDouble))),
+      Map("temperature" -> TwoVarLaw(1.0), "precipitation" -> TwoVarLaw(0.5)))
+  }
+
+  /** Mixed-dims fixture (FIXTURES.md §8): surface var over (time, lat) +
+    * pressure var over (time, lat, level) — registers as two tables.
+    */
+  def mixedDims: SyntheticGridStore = {
+    val time = TimeCoords((0 until 2).map(k => (18262L + k) * 86400000000L).toArray)
+    val lat = DoubleCoords(Array(0.0, 10.0, 20.0))
+    val level = IntCoords(Array(500, 1000))
+    SyntheticGridStore(
+      GridSchema(
+        Seq(DimDef("time", time), DimDef("lat", lat), DimDef("level", level)),
+        Seq(
+          VarDef("t2m", Seq("time", "lat"), GDouble),
+          VarDef("pressure", Seq("time", "lat", "level"), GDouble))),
+      Map("t2m" -> TwoVarLaw(2.0), "pressure" -> PruneLaw()))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.XarrayContext
+import graft.grid.Fixtures
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** The array->table pivot itself, exercised through the grid DSv2 source
+  * (SURVEY §2C item 24). A deterministic linear-law grid is registered via
+  * `XarrayContext` and queried; the DuckDB oracle reconstructs the same
+  * pivoted table from `generate_series` cross products with bit-identical
+  * double arithmetic, so the hash gate covers the source end-to-end.
+  */
+object GridQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def grid(s: SparkSession): DataFrame =
+    new XarrayContext(s).dataFrame(
+      "linear_grid", Fixtures.linearGrid, Map("t" -> 6), Seq("t", "lat", "lon"))
+
+  // pivoted table reconstructed in DuckDB: dims t (0..23), i (0..11), j (0..9)
+  private val oracleGrid =
+    """grid AS (
+      |  SELECT t, 75.0 - 2.5*i AS lat, 200.0 + 2.5*j AS lon,
+      |         200.0 + t + 2.0*i + 3.0*j AS air
+      |  FROM generate_series(0, 23) g1(t),
+      |       generate_series(0, 11) g2(i),
+      |       generate_series(0, 9) g3(j))""".stripMargin
+
+  val queries: ListMap[String, Q] = ListMap(
+    // full pivot: every cell of the virtual table
+    "pivot_grid" -> ((s, _) =>
+      grid(s).select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+        col("air"))),
+
+    // aggregation over the pivot (avg of integer-valued doubles is exact
+    // under any summation order, so raw doubles hash-match)
+    "pivot_grid_agg" -> ((s, _) =>
+      grid(s).groupBy("lat").agg(avg("air").as("avg_air"))),
+
+    // filter exercising zone-map pruning (t chunks of 6: keeps 2 of 4
+    // partitions) + projection pushdown (only `air` is read)
+    "pivot_grid_filter" -> ((s, _) =>
+      grid(s)
+        .filter(col("t").between(6, 17) && col("lat") > 60.0)
+        .groupBy("lon").agg(
+          count(lit(1)).as("cnt"),
+          avg("air").as("avg_air")))
+  )
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "pivot_grid" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM grid""".stripMargin,
+    "pivot_grid_agg" ->
+      s"""WITH $oracleGrid
+         |SELECT lat, AVG(air) AS avg_air FROM grid GROUP BY lat""".stripMargin,
+    "pivot_grid_filter" ->
+      s"""WITH $oracleGrid
+         |SELECT lon, CAST(COUNT(*) AS BIGINT) AS cnt, AVG(air) AS avg_air
+         |FROM grid WHERE t BETWEEN 6 AND 17 AND lat > 60.0
+         |GROUP BY lon""".stripMargin
+  )
+}

@@ -1,0 +1,186 @@
+package graft.sources
+
+import graft.{SparkTestBase, XarrayContext}
+import graft.grid.{Fixtures, GridResult}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+/** End-to-end behavior of the grid DSv2 source: pivot correctness, exact
+  * partition pruning (reference tests/test_reader.py:948-1271), projection
+  * pushdown to storage (:1274-1415), COUNT(*) without data reads
+  * (:1395-1415), stats-driven broadcast joins (tests/test_stats.py:94-124).
+  */
+class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+
+  private lazy val ctx = new XarrayContext(spark)
+
+  private def counted[T](body: => T): T = {
+    ReadCounters.reset()
+    body
+  }
+
+  test("pivot: row count = product of dims; cell values match the law") {
+    val store = Fixtures.airSmall
+    val df = ctx.dataFrame("air_pivot", store, Map("time" -> 6),
+      Seq("time", "lat", "lon"))
+    val rows = df.collect()
+    assert(rows.length == 12 * 11 * 10)
+    val law = store.laws("air")
+    // spot-check cells incl. first/last and a descending-lat cell
+    val byKey = rows.map(r => (r.getTimestamp(0).getTime, r.getDouble(1),
+      r.getDouble(2)) -> r.getDouble(3)).toMap
+    for (t <- Seq(0, 5, 11); i <- Seq(0, 4, 10); j <- Seq(0, 9)) {
+      val key = (Fixtures.hourlyMicros(15706, t, 6) / 1000,
+        75.0 - 2.5 * i, 200.0 + 2.5 * j)
+      assert(byKey(key) == law(Array(t, i, j)), s"cell ($t,$i,$j)")
+    }
+  }
+
+  test("laziness: planning and schema access read no variable data") {
+    counted {
+      val df = ctx.dataFrame("air_lazy", Fixtures.airSmall, Map("time" -> 6),
+        Seq("time", "lat", "lon"))
+      df.schema // schema access
+      df.filter(col("lat") > 60).queryExecution.executedPlan // full planning
+      assert(ReadCounters.varReadCount("air") == 0L)
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+    }
+  }
+
+  test("pruning: time predicates open exactly the surviving partitions") {
+    val store = Fixtures.pruneGrid // 4 time chunks of 25 days
+    val df = ctx.dataFrame("prune1", store, Map("time" -> 25), Seq("time", "lat"))
+    def runCount(d: DataFrame): Long = d.count()
+
+    // time >= day 75 -> only last chunk
+    counted {
+      assert(runCount(df.filter(col("time") >= to_timestamp(lit("2020-03-16 00:00:00")))) == 25L * 5)
+      assert(ReadCounters.partitionsOpened.sum() == 1L)
+    }
+    // BETWEEN spanning chunks 1..2 -> 2 of 4
+    counted {
+      assert(runCount(df.filter(col("time").between(
+        to_timestamp(lit("2020-02-01 00:00:00")),
+        to_timestamp(lit("2020-03-01 00:00:00"))))) == 30L * 5)
+      assert(ReadCounters.partitionsOpened.sum() == 2L)
+    }
+    // impossible filter -> 0 of 4
+    counted {
+      assert(runCount(df.filter(col("time") < to_timestamp(lit("2019-01-01 00:00:00")))) == 0L)
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+    }
+    // static-dim (unchunked lat) bounds prune everything too
+    counted {
+      assert(runCount(df.filter(col("lat") > 100.0)) == 0L)
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+    }
+    // OR of two time windows -> chunks 0 and 3
+    counted {
+      assert(runCount(df.filter(
+        col("time") < to_timestamp(lit("2020-01-10 00:00:00")) ||
+          col("time") > to_timestamp(lit("2020-04-01 00:00:00")))) == (9L + 8L) * 5)
+      assert(ReadCounters.partitionsOpened.sum() == 2L)
+    }
+  }
+
+  test("projection pushdown: only requested variables are read") {
+    val df = ctx.dataFrame("proj1", Fixtures.twoVarGrid, Map("time" -> 5),
+      Seq("time", "lat"))
+    counted {
+      df.select("time", "temperature").collect()
+      assert(ReadCounters.varReadCount("temperature") == 2L) // 2 partitions
+      assert(ReadCounters.varReadCount("precipitation") == 0L)
+    }
+    counted { // dim-only projection reads no variables at all
+      df.select("lat").distinct().collect()
+      assert(ReadCounters.varReadCount("temperature") == 0L)
+      assert(ReadCounters.varReadCount("precipitation") == 0L)
+    }
+  }
+
+  test("COUNT(*) answers from metadata shape without variable reads") {
+    val df = ctx.dataFrame("count1", Fixtures.twoVarGrid, Map("time" -> 5),
+      Seq("time", "lat"))
+    counted {
+      assert(df.count() == 50L)
+      assert(ReadCounters.varReadCount("temperature") == 0L)
+      assert(ReadCounters.varReadCount("precipitation") == 0L)
+    }
+  }
+
+  test("exact statistics drive broadcast-join selection") {
+    val big = ctx.dataFrame("stats_big", Fixtures.pruneGrid, Map("time" -> 25),
+      Seq("time", "lat"))
+    val small = ctx.dataFrame("stats_small", Fixtures.twoVarGrid, Map.empty,
+      Seq("time", "lat"))
+    val joined = big.join(small.select(col("lat"),
+      col("temperature").as("small_temp")), Seq("lat"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan
+    val hasBroadcast = collectWithSubqueries(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty
+    assert(hasBroadcast, s"expected broadcast hash join, got:\n$plan")
+  }
+
+  test("mixed-dims dataset registers one table per dim group") {
+    val views = ctx.fromDataset("era5x", Fixtures.mixedDims,
+      Map("time" -> 1))
+    assert(views.toSet == Set("era5x_time_lat", "era5x_time_lat_level"))
+    assert(spark.table("era5x_time_lat").count() == 2L * 3)
+    assert(spark.table("era5x_time_lat_level").count() == 2L * 3 * 2)
+    assert(spark.table("era5x_time_lat").columns.toSeq ==
+      Seq("time", "lat", "t2m"))
+  }
+
+  test("aggregate over chunked grid matches the directly computed value") {
+    val store = Fixtures.linearGrid
+    val df = ctx.dataFrame("agg1", store, Map("t" -> 6), Seq("t", "lat", "lon"))
+    val got = df.groupBy("lat").agg(avg("air").as("a"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for (i <- 0 until 12) {
+      // mean over t (0..23) and j (0..9) of 200 + t + 2 i + 3 j
+      val expected = 200.0 + 23.0 / 2 + 2.0 * i + 3.0 * 4.5
+      assert(got(75.0 - 2.5 * i) == expected, s"lat index $i")
+    }
+  }
+
+  test("reverse pivot: SQL result scatters back to a dense grid") {
+    val store = Fixtures.linearGrid
+    val df = ctx.dataFrame("rev1", store, Map("t" -> 6), Seq("t", "lat", "lon"))
+    val res = GridResult.toGrid(
+      df.filter(col("t") < 2).select("t", "lat", "lon", "air"),
+      Seq("t", "lat", "lon"))
+    assert(res.shape == Seq(2, 12, 10))
+    val law = store.laws("air")
+    assert(res("air", 1, 2, 3) == law(Array(1, 2, 3)))
+    // descending lat order preserved (first-appearance = storage order)
+    assert(res.dims(1)._2.head == 75.0)
+    assert(res.dims(1)._2.last == 75.0 - 2.5 * 11)
+  }
+
+  test("reverse pivot: uncovered cells prefill NaN, duplicates reject") {
+    val store = Fixtures.linearGrid
+    val df = ctx.dataFrame("rev2", store, Map("t" -> 6), Seq("t", "lat", "lon"))
+    // drop one cell -> that position must be NaN
+    val res = GridResult.toGrid(
+      df.filter(col("t") < 2 && !(col("t") === 0 && col("lat") === 75.0 &&
+        col("lon") === 200.0)).select("t", "lat", "lon", "air"),
+      Seq("t", "lat", "lon"))
+    // first-appearance order: the removed cell's lon (200.0) now appears
+    // AFTER 202.5 on the lon axis — find the removed cell by value
+    val ti = res.dims(0)._2.indexOf(0)
+    val li = res.dims(1)._2.indexOf(75.0)
+    val oi = res.dims(2)._2.indexOf(200.0)
+    assert(res.dims(2)._2.head == 202.5) // 200.0 no longer first
+    assert(res("air", ti, li, oi).isNaN)
+    assert(!res("air", ti, li, 0).isNaN)
+    // collapsing lon away without aggregating -> duplicate cells -> error
+    val dup = intercept[IllegalArgumentException] {
+      GridResult.toGrid(
+        df.filter(col("t") < 2).select("t", "lat", "air"), Seq("t", "lat"))
+    }
+    assert(dup.getMessage.contains("duplicate cell"))
+  }
+}
