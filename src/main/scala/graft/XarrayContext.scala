@@ -27,6 +27,12 @@ class XarrayContext(val spark: SparkSession) {
       tableNames: Map[Seq[String], String] = Map.empty): Seq[String] = {
     val groups: Seq[(Seq[String], Seq[VarDef])] = store.schema.varGroups
     require(groups.nonEmpty, s"dataset $name has no data variables")
+    // auto-register the cftime literal converter when a non-Gregorian
+    // calendar coordinate is present (reference sql.py:150-157)
+    store.schema.dims.find(d => d.calendar.exists(c =>
+      graft.time.CfCalendar.classify(c) == graft.time.CfCalendar.NonGregorian))
+      .foreach(d => graft.functions.GraftFunctions.registerCfTime(
+        spark, d.units.getOrElse("days since 2000-01-01"), d.calendar.get))
     groups.map { case (dims, _) =>
       val view = tableNames.getOrElse(dims,
         if (groups.size == 1) name

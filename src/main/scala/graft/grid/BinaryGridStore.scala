@@ -1,0 +1,167 @@
+package graft.grid
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path, Paths}
+
+/** On-disk chunked array store — a minimal Zarr-v2-like layout, so the
+  * engine's laziness/pruning/projection pushdowns hit real file I/O:
+  *
+  * {{{
+  * <root>/metadata.txt            # dims, coords, vars, chunk grid
+  * <root>/<var>/<i>.<j>...bin     # one raw little-endian C-order file
+  *                                # per variable per chunk
+  * }}}
+  *
+  * Pruned partitions never open their chunk files; unprojected variables'
+  * files are never opened (the storage-level effect the reference gets
+  * from Zarr variable pruning, reader.py:279-296). Reads are whole-chunk:
+  * the DSv2 scan partitions on exactly this chunk grid, so every
+  * `readVar` call is chunk-aligned by construction.
+  *
+  * String coordinates are not supported on disk (numeric/time axes only).
+  */
+final case class BinaryGridStore(root: String, schema: GridSchema,
+    chunks: Map[String, Int]) extends GridStore {
+
+  def readVar(name: String, ranges: Seq[(Int, Int)]): AnyRef = {
+    val v = schema.vars.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown var $name"))
+    val chunkIdx = v.dims.zip(ranges).map { case (d, (start, len)) =>
+      val c = chunks.getOrElse(d, math.max(schema.dim(d).size, 1))
+      require(start % c == 0 && (len == c || start + len == schema.dim(d).size),
+        s"unaligned read of $name on $d: ($start,$len) vs chunk $c")
+      start / c
+    }
+    val file = Paths.get(root, name, chunkIdx.mkString(".") + ".bin")
+    val bytes = Files.readAllBytes(file)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val n = ranges.map(_._2).product
+    v.dtype match {
+      case GDouble => val a = new Array[Double](n); bb.asDoubleBuffer().get(a); a
+      case GFloat => val a = new Array[Float](n); bb.asFloatBuffer().get(a); a
+      case GInt => val a = new Array[Int](n); bb.asIntBuffer().get(a); a
+      case GLong | GTimestamp =>
+        val a = new Array[Long](n); bb.asLongBuffer().get(a); a
+      case GString => throw new IllegalArgumentException(
+        "string variables unsupported in BinaryGridStore")
+    }
+  }
+}
+
+object BinaryGridStore {
+
+  /** Materialize `source` to `root` chunk by chunk (streaming: one chunk
+    * of one variable resident at a time) and return the disk-backed store.
+    */
+  def write(source: GridStore, root: String,
+      chunks: Map[String, Int]): BinaryGridStore = {
+    val schema = source.schema
+    val dir = Paths.get(root)
+    Files.createDirectories(dir)
+    writeMetadata(dir.resolve("metadata.txt"), schema, chunks)
+    schema.vars.foreach { v =>
+      val varDir = dir.resolve(v.name)
+      Files.createDirectories(varDir)
+      val sub = GridSchema(v.dims.map(schema.dim), Seq.empty)
+      ChunkGrid.blocks(sub, chunks).foreach { block =>
+        val idx = v.dims.zip(block).map { case (d, (start, _)) =>
+          start / chunks.getOrElse(d, math.max(schema.dim(d).size, 1))
+        }
+        val data = source.readVar(v.name, block)
+        val out = new DataOutputStream(new BufferedOutputStream(
+          new FileOutputStream(varDir.resolve(idx.mkString(".") + ".bin").toFile)))
+        try writeLE(out, data) finally out.close()
+      }
+    }
+    BinaryGridStore(root, schema, chunks)
+  }
+
+  /** Open an existing store from its metadata. */
+  def open(root: String): BinaryGridStore = {
+    val lines = Files.readAllLines(Paths.get(root, "metadata.txt"))
+    var dims = Vector.empty[DimDef]
+    var vars = Vector.empty[VarDef]
+    var chunks = Map.empty[String, Int]
+    lines.forEach { line =>
+      line.split(" ", 4).toList match {
+        case "dim" :: name :: tpe :: values :: Nil =>
+          val vs = if (values.isEmpty) Array.empty[String] else values.split(",")
+          val coords = tpe match {
+            case "double" => DoubleCoords(vs.map(_.toDouble))
+            case "float" => FloatCoords(vs.map(_.toFloat))
+            case "int" => IntCoords(vs.map(_.toInt))
+            case "long" => LongCoords(vs.map(_.toLong))
+            case "timestamp" => TimeCoords(vs.map(_.toLong))
+            case other => throw new IllegalArgumentException(s"bad dim type $other")
+          }
+          dims :+= DimDef(name, coords)
+        case "var" :: name :: dimList :: tpe :: Nil =>
+          vars :+= VarDef(name, dimList.split(",").toSeq, parseType(tpe))
+        case "chunk" :: name :: size :: Nil =>
+          chunks += name -> size.toInt
+        case Nil | ("" :: _) => ()
+        case other => throw new IllegalArgumentException(s"bad metadata line: $line")
+      }
+    }
+    BinaryGridStore(root, GridSchema(dims, vars), chunks)
+  }
+
+  private def parseType(s: String): GridType = s match {
+    case "double" => GDouble
+    case "float" => GFloat
+    case "int" => GInt
+    case "long" => GLong
+    case "timestamp" => GTimestamp
+    case other => throw new IllegalArgumentException(s"bad var type $other")
+  }
+
+  private def typeName(t: GridType): String = t match {
+    case GDouble => "double"
+    case GFloat => "float"
+    case GInt => "int"
+    case GLong => "long"
+    case GTimestamp => "timestamp"
+    case GString => throw new IllegalArgumentException("string unsupported")
+  }
+
+  private def writeMetadata(path: Path, schema: GridSchema,
+      chunks: Map[String, Int]): Unit = {
+    val sb = new StringBuilder
+    schema.dims.foreach { d =>
+      val (tpe, values) = d.coords match {
+        case DoubleCoords(v) => ("double", v.mkString(","))
+        case FloatCoords(v) => ("float", v.mkString(","))
+        case IntCoords(v) => ("int", v.mkString(","))
+        case LongCoords(v) => ("long", v.mkString(","))
+        case TimeCoords(v) => ("timestamp", v.mkString(","))
+        case StringCoords(_) => throw new IllegalArgumentException(
+          "string coords unsupported in BinaryGridStore")
+      }
+      sb.append(s"dim ${d.name} $tpe $values\n")
+    }
+    schema.vars.foreach { v =>
+      sb.append(s"var ${v.name} ${v.dims.mkString(",")} ${typeName(v.dtype)}\n")
+    }
+    chunks.foreach { case (d, c) => sb.append(s"chunk $d $c\n") }
+    Files.writeString(path, sb.toString)
+  }
+
+  private def writeLE(out: DataOutputStream, data: AnyRef): Unit = {
+    def flush(bb: ByteBuffer): Unit = out.write(bb.array())
+    data match {
+      case a: Array[Double] =>
+        val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+        bb.asDoubleBuffer().put(a); flush(bb)
+      case a: Array[Float] =>
+        val bb = ByteBuffer.allocate(a.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+        bb.asFloatBuffer().put(a); flush(bb)
+      case a: Array[Int] =>
+        val bb = ByteBuffer.allocate(a.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+        bb.asIntBuffer().put(a); flush(bb)
+      case a: Array[Long] =>
+        val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+        bb.asLongBuffer().put(a); flush(bb)
+    }
+  }
+}

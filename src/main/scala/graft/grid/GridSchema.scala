@@ -65,8 +65,14 @@ final case class StringCoords(values: Array[String]) extends CoordArray {
     org.apache.spark.unsafe.types.UTF8String.fromString(values(i))
 }
 
-/** A named dimension with its coordinate labels. */
-final case class DimDef(name: String, coords: CoordArray) {
+/** A named dimension with its coordinate labels. Non-Gregorian CF
+  * calendars (360_day, julian) keep their coordinate as int64 offsets and
+  * carry `calendar` + `units` metadata (reference cftime.py:196-209); the
+  * metadata is propagated onto the Spark column so the provenance survives
+  * the pivot.
+  */
+final case class DimDef(name: String, coords: CoordArray,
+    calendar: Option[String] = None, units: Option[String] = None) {
   def size: Int = coords.size
 }
 
@@ -89,11 +95,19 @@ final case class GridSchema(dims: Seq[DimDef], vars: Seq[VarDef]) {
   def varGroups: Seq[(Seq[String], Seq[VarDef])] =
     vars.groupBy(_.dims).toSeq.sortBy(_._1.mkString(","))
 
-  /** Spark schema of the pivoted table for one dim-group. */
+  /** Spark schema of the pivoted table for one dim-group. Calendar dims
+    * carry `xarray:calendar` / `xarray:units` column metadata.
+    */
   def tableSchema(groupDims: Seq[String], groupVars: Seq[VarDef]): StructType =
     StructType(
-      groupDims.map(d => StructField(d, dim(d).coords.gridType.sparkType,
-        nullable = false)) ++
+      groupDims.map { dn =>
+        val d = dim(dn)
+        val mb = new MetadataBuilder()
+        d.calendar.foreach(c => mb.putString("xarray:calendar", c))
+        d.units.foreach(u => mb.putString("xarray:units", u))
+        StructField(dn, d.coords.gridType.sparkType, nullable = false,
+          metadata = mb.build())
+      } ++
         groupVars.map(v => StructField(v.name, v.dtype.sparkType,
           nullable = true)))
 }

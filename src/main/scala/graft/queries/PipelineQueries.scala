@@ -76,12 +76,12 @@ object PipelineQueries {
 
   private def toDouble(c: Column): Column = transform(c, _.cast(DoubleType))
 
-  /** Sequential left-fold sum — matches DuckDB list_aggregate('sum'). */
-  private def fsum(c: Column): Column =
-    aggregate(c, lit(0.0), (acc, x) => acc + x)
-
+  /** Codegen'd sequential dot product — bit-identical to the
+    * `aggregate(zip_with(...))` left fold and to DuckDB's
+    * `list_aggregate('sum')`, but ~20x faster (no lambda interpretation).
+    */
   private def dot(a: Column, b: Column): Column =
-    fsum(zip_with(a, b, (x, y) => x * y))
+    graft.functions.GraftFunctions.dot_f64(a, b)
 
   val queries: ListMap[String, Q] = ListMap(
     // exact dedup: group by content hash, keep lowest doc_id
@@ -154,8 +154,8 @@ object PipelineQueries {
       cand.crossJoin(broadcast(probe))
         .select(col("vec_id"),
           (dot(col("ce"), col("pe")) /
-            (sqrt(fsum(zip_with(col("ce"), col("ce"), (x, y) => x * y))) *
-              sqrt(fsum(zip_with(col("pe"), col("pe"), (x, y) => x * y)))))
+            (sqrt(dot(col("ce"), col("ce"))) *
+              sqrt(dot(col("pe"), col("pe")))))
             .as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
@@ -167,7 +167,7 @@ object PipelineQueries {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       val norm = e.select(col("vec_id"), col("v"),
-        sqrt(fsum(zip_with(col("v"), col("v"), (x, y) => x * y))).as("n"))
+        sqrt(dot(col("v"), col("v"))).as("n"))
       norm.as("a").join(norm.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` shape. The reference
+  * has no event-time streaming (SURVEY §2B: its "streaming" is pull-based
+  * Arrow batching), so this module is the engine's extension surface:
+  * the same hourly aggregation `events_hourly` computes in batch, as an
+  * incremental watermark + window plan, plus stateful sessionization.
+  *
+  * At 100 TB / cluster scale these plans shuffle once per window on
+  * (window, event_type) and keep per-key state bounded by the watermark.
+  */
+object EventStreams {
+
+  final case class Event(ts: java.sql.Timestamp, userId: Long,
+      eventType: String, value: Double)
+
+  final case class SessionSummary(userId: Long, nEvents: Long,
+      startMs: Long, endMs: Long)
+
+  /** Hourly windowed aggregation with a 2-hour watermark for late data. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("eventType"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("eventType"),
+        col("cnt"), col("sum_value"))
+
+  /** Gap-based sessionization: a session closes after `gapMs` of
+    * inactivity per user; emits one summary row per closed session.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long)(
+      implicit spark: SparkSession): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[List[Long], SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[List[Long]]) =>
+          val stamps = (state.getOption.getOrElse(Nil) ++
+            rows.map(_.ts.getTime)).sorted
+          // close every maximal run with gaps <= gapMs except the last
+          // (which may still grow); batch-mode calls see all data at once
+          val sessions = stamps.foldLeft(List.empty[List[Long]]) {
+            case (acc, t) => acc match {
+              case (cur @ (last :: _)) :: rest if t - last <= gapMs =>
+                (t :: cur) :: rest
+              case _ => List(t) :: acc
+            }
+          }.map(_.reverse).reverse
+          state.update(sessions.lastOption.getOrElse(Nil).reverse)
+          sessions.dropRight(1).map(s =>
+            SessionSummary(userId, s.size.toLong, s.head, s.last)).iterator
+      }
+  }
+}

@@ -1,0 +1,101 @@
+package graft.time
+
+/** CF-convention calendar bridge — the Spark re-expression of the
+  * reference's cftime module (xarray_sql/cftime.py:1-248, SURVEY §2A A14).
+  *
+  * Two tiers, as in the reference:
+  *   - Gregorian-like calendars (standard/gregorian/proleptic_gregorian,
+  *     noleap/365_day, all_leap/366_day) convert exactly to microseconds
+  *     since epoch -> Spark TimestampType;
+  *   - non-Gregorian calendars (360_day, julian) cannot be represented on
+  *     the real timeline, so their coordinates stay as int64 CF offsets
+  *     ("<unit> since <ref-date>") -> Spark LongType, and the `cftime`
+  *     function (CfTimeExpr) converts date-string literals to offsets so
+  *     `WHERE time >= cftime('2000-07-01')` works.
+  */
+object CfCalendar {
+
+  sealed trait Kind
+  /** Representable on the proleptic Gregorian timeline -> timestamps. */
+  case object GregorianLike extends Kind
+  /** Needs offset arithmetic in its own calendar -> int64 offsets. */
+  case object NonGregorian extends Kind
+
+  def classify(calendar: String): Kind = calendar.toLowerCase match {
+    case "standard" | "gregorian" | "proleptic_gregorian" => GregorianLike
+    case "noleap" | "365_day" | "all_leap" | "366_day" => GregorianLike
+    case "360_day" | "julian" => NonGregorian
+    case other => throw new IllegalArgumentException(s"unknown calendar: $other")
+  }
+
+  private val monthDays = Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+  private val monthDaysLeap = Array(31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+  private def julianLeap(y: Int): Boolean = y % 4 == 0
+
+  /** Days from the calendar's year 0 to the given date, in the calendar. */
+  def daysFromYearZero(calendar: String, y: Int, m: Int, d: Int): Long = {
+    require(m >= 1 && m <= 12 && d >= 1, s"bad date $y-$m-$d")
+    calendar.toLowerCase match {
+      case "360_day" =>
+        y.toLong * 360L + (m - 1) * 30L + (d - 1)
+      case "noleap" | "365_day" =>
+        y.toLong * 365L + monthDays.take(m - 1).sum + (d - 1)
+      case "all_leap" | "366_day" =>
+        y.toLong * 366L + monthDaysLeap.take(m - 1).sum + (d - 1)
+      case "julian" =>
+        // year 0 is a leap year in the julian proleptic reckoning
+        val leaps = (y + 3) / 4 // leap years in [0, y)
+        val md = if (julianLeap(y)) monthDaysLeap else monthDays
+        y.toLong * 365L + leaps + md.take(m - 1).sum + (d - 1)
+      case "standard" | "gregorian" | "proleptic_gregorian" =>
+        java.time.LocalDate.of(y, m, d).toEpochDay + 719528L // 0000-01-01
+      case other => throw new IllegalArgumentException(s"unknown calendar: $other")
+    }
+  }
+
+  /** Parse "days since 2000-01-01" / "hours since ..." style CF units. */
+  final case class Units(step: String, refY: Int, refM: Int, refD: Int) {
+    def stepsPerDay: Long = step match {
+      case "days" => 1L
+      case "hours" => 24L
+      case "minutes" => 1440L
+      case "seconds" => 86400L
+      case other => throw new IllegalArgumentException(s"unknown unit $other")
+    }
+  }
+
+  private val UnitsRe = """(\w+) since (\d{1,4})-(\d{1,2})-(\d{1,2}).*""".r
+
+  def parseUnits(units: String): Units = units match {
+    case UnitsRe(step, y, m, d) => Units(step, y.toInt, m.toInt, d.toInt)
+    case other => throw new IllegalArgumentException(s"bad CF units: $other")
+  }
+
+  private val DateRe = """(\d{1,4})-(\d{1,2})-(\d{1,2})([T ].*)?""".r
+
+  /** `cftime('2000-07-01')` semantics: date string -> int64 offset in the
+    * dataset's CF units and calendar (reference cftime.py:217-248).
+    */
+  def dateToOffset(dateStr: String, units: String, calendar: String): Long = {
+    val u = parseUnits(units)
+    val (y, m, d) = dateStr match {
+      case DateRe(ys, ms, ds, _) => (ys.toInt, ms.toInt, ds.toInt)
+      case other => throw new IllegalArgumentException(s"bad date: $other")
+    }
+    val days = daysFromYearZero(calendar, y, m, d) -
+      daysFromYearZero(calendar, u.refY, u.refM, u.refD)
+    days * u.stepsPerDay
+  }
+
+  /** Gregorian-like coordinate -> microseconds since the Unix epoch.
+    * noleap/all_leap datasets are mapped via their own year lengths onto
+    * the real timeline's matching civil date (the reference's "two-tier"
+    * rule maps them to timestamps; cftime.py:33-47).
+    */
+  def gregorianMicros(y: Int, m: Int, d: Int, hour: Int = 0, minute: Int = 0,
+      second: Int = 0): Long = {
+    val epochDay = java.time.LocalDate.of(y, m, d).toEpochDay
+    (epochDay * 86400L + hour * 3600L + minute * 60L + second) * 1000000L
+  }
+}

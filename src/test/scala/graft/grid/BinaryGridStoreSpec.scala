@@ -1,0 +1,93 @@
+package graft.grid
+
+import graft.{SparkTestBase, XarrayContext}
+import graft.sources.ReadCounters
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+class BinaryGridStoreSpec extends SparkTestBase {
+
+  private def tempDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  test("write -> open round trip preserves schema, chunks and values") {
+    val dir = tempDir("rt")
+    val chunks = Map("time" -> 6)
+    BinaryGridStore.write(Fixtures.airSmall, dir, chunks)
+    val store = BinaryGridStore.open(dir)
+    assert(store.schema.dimNames == Seq("time", "lat", "lon"))
+    assert(store.chunks == chunks)
+    val law = Fixtures.airSmall.laws("air")
+    val block = Seq((6, 6), (0, 11), (0, 10))
+    val got = store.readVar("air", block).asInstanceOf[Array[Double]]
+    // strided check of the second time chunk against the law
+    for (t <- 0 until 6; i <- 0 until 11; j <- 0 until 10)
+      assert(got(t * 110 + i * 10 + j) == law(Array(6 + t, i, j)))
+  }
+
+  test("unaligned reads are rejected") {
+    val dir = tempDir("align")
+    val store = BinaryGridStore.write(Fixtures.airSmall, dir, Map("time" -> 6))
+    val e = intercept[IllegalArgumentException] {
+      store.readVar("air", Seq((3, 6), (0, 11), (0, 10)))
+    }
+    assert(e.getMessage.contains("unaligned"))
+  }
+
+  test("DSv2 scan over the disk store: pruning skips chunk files entirely") {
+    val dir = tempDir("scan")
+    val chunks = Map("time" -> 25)
+    BinaryGridStore.write(Fixtures.pruneGrid, dir, chunks)
+    val store = BinaryGridStore.open(dir)
+    val ctx = new XarrayContext(spark)
+    val df = ctx.dataFrame("disk1", store, chunks, Seq("time", "lat"))
+
+    ReadCounters.reset()
+    val n = df.filter(col("time") >= to_timestamp(lit("2020-03-16 00:00:00")))
+      .count()
+    assert(n == 125L)
+    assert(ReadCounters.partitionsOpened.sum() == 1L)
+
+    // projection pushdown means the variable file of an unprojected var
+    // is never opened: two-var store, select one
+    val dir2 = tempDir("proj")
+    BinaryGridStore.write(Fixtures.twoVarGrid, dir2, Map("time" -> 5))
+    val store2 = BinaryGridStore.open(dir2)
+    val df2 = ctx.dataFrame("disk2", store2, Map("time" -> 5), Seq("time", "lat"))
+    ReadCounters.reset()
+    df2.select("temperature").collect()
+    assert(ReadCounters.varReadCount("temperature") == 2L)
+    assert(ReadCounters.varReadCount("precipitation") == 0L)
+    // the files exist on disk but were not needed
+    assert(Files.exists(Paths.get(dir2, "precipitation", "0.0.bin")))
+  }
+
+  test("values round-trip exactly for all numeric dtypes") {
+    val time = TimeCoords(Array(0L, 86400000000L))
+    val x = IntCoords(Array(0, 1, 2))
+    val schema = GridSchema(
+      Seq(DimDef("time", time), DimDef("x", x)),
+      Seq(
+        VarDef("d", Seq("time", "x"), GDouble),
+        VarDef("f", Seq("time", "x"), GFloat),
+        VarDef("i", Seq("time", "x"), GInt),
+        VarDef("l", Seq("time", "x"), GLong)))
+    import BinaryGridStoreSpec.Law
+    val src = SyntheticGridStore(schema,
+      Map("d" -> Law(1.25), "f" -> Law(0.5), "i" -> Law(2.0), "l" -> Law(3.0)))
+    val dir = tempDir("dtypes")
+    val store = BinaryGridStore.write(src, dir, Map("time" -> 1))
+    for (v <- Seq("d", "f", "i", "l")) {
+      val a = src.readVar(v, Seq((1, 1), (0, 3)))
+      val b = store.readVar(v, Seq((1, 1), (0, 3)))
+      assert(a.asInstanceOf[Array[_]].toSeq == b.asInstanceOf[Array[_]].toSeq, v)
+    }
+  }
+}
+
+object BinaryGridStoreSpec {
+  final case class Law(m: Double) extends GridFun {
+    def apply(idx: Array[Int]): Double = m * (idx(0) * 3 + idx(1)) - 2.5
+  }
+}

@@ -1,0 +1,86 @@
+package graft.time
+
+import graft.{SparkTestBase, XarrayContext}
+import graft.grid._
+import graft.sources.ReadCounters
+import org.apache.spark.sql.functions._
+
+class CfTimeSpec extends SparkTestBase {
+
+  test("calendar classification") {
+    import CfCalendar._
+    for (c <- Seq("standard", "gregorian", "proleptic_gregorian", "noleap",
+      "365_day", "all_leap", "366_day"))
+      assert(classify(c) == GregorianLike, c)
+    for (c <- Seq("360_day", "julian"))
+      assert(classify(c) == NonGregorian, c)
+    intercept[IllegalArgumentException](classify("mayan"))
+  }
+
+  test("date -> offset conversion per calendar") {
+    assert(CfCalendar.dateToOffset("2000-07-01", "days since 2000-01-01",
+      "360_day") == 180L)
+    assert(CfCalendar.dateToOffset("2001-01-01", "days since 2000-01-01",
+      "noleap") == 365L)
+    assert(CfCalendar.dateToOffset("2001-03-01", "days since 2000-01-01",
+      "noleap") == 365L + 31 + 28)
+    assert(CfCalendar.dateToOffset("2001-03-01", "days since 2000-01-01",
+      "all_leap") == 366L + 31 + 29)
+    // julian: 2000 is a leap year (div by 4), 2001 is not
+    assert(CfCalendar.dateToOffset("2001-03-01", "days since 2000-01-01",
+      "julian") == 366L + 31 + 28)
+    // hours units scale
+    assert(CfCalendar.dateToOffset("2000-01-02", "hours since 2000-01-01",
+      "360_day") == 24L)
+    // gregorian goes through the real timeline (2000 is a leap year)
+    assert(CfCalendar.dateToOffset("2000-03-01", "days since 2000-01-01",
+      "standard") == 60L)
+  }
+
+  test("gregorian micros epoch sanity") {
+    assert(CfCalendar.gregorianMicros(1970, 1, 1) == 0L)
+    assert(CfCalendar.gregorianMicros(2000, 1, 1) == 946684800000000L)
+  }
+
+  private def cal360Store: SyntheticGridStore = {
+    // 12 monthly stamps in a 360-day calendar, days since 2000-01-01
+    val time = LongCoords((0 until 12).map(m => m * 30L).toArray)
+    SyntheticGridStore(
+      GridSchema(
+        Seq(DimDef("time", time, calendar = Some("360_day"),
+          units = Some("days since 2000-01-01"))),
+        Seq(VarDef("temp", Seq("time"), GDouble))),
+      Map("temp" -> CfTimeSpec.MLaw()))
+  }
+
+  test("cftime UDF: non-Gregorian filter end-to-end with pruning") {
+    val ctx = new XarrayContext(spark)
+    ctx.fromDataset("cal360", cal360Store, Map("time" -> 6))
+    // auto-registered cftime: second half of the year -> 6 of 12 rows
+    val res = spark.sql(
+      "SELECT time, temp FROM cal360 WHERE time >= cftime('2000-07-01')")
+    assert(res.count() == 6L)
+    // constant folding: the literal 180 reaches the plan, so zone-map
+    // pruning skips the first chunk (months 0-5)
+    ReadCounters.reset()
+    res.collect()
+    assert(ReadCounters.partitionsOpened.sum() == 1L)
+    val optimized = res.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("180"), optimized)
+  }
+
+  test("calendar metadata survives the pivot onto the Spark column") {
+    val ctx = new XarrayContext(spark)
+    ctx.fromDataset("cal360m", cal360Store, Map("time" -> 6))
+    val f = spark.table("cal360m").schema("time")
+    assert(f.metadata.getString("xarray:calendar") == "360_day")
+    assert(f.metadata.getString("xarray:units") == "days since 2000-01-01")
+  }
+}
+
+object CfTimeSpec {
+  // top-level so partition serialization does not capture the suite
+  final case class MLaw() extends GridFun {
+    def apply(idx: Array[Int]): Double = 10.0 + idx(0)
+  }
+}
