@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.functions.{GraftFunctions, ScaleHashes}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composable similarity-search / dedup operators for the scale path.
+  *
+  * Shapes chosen for 1000-executor clusters:
+  *   - candidate generation is always an equi-join on a small key
+  *     (band hash or LSH bucket) — shuffled data is (id, key) tuples,
+  *     never the O(n^2) pair space;
+  *   - exact verification (cosine via the codegen'd dot product, or
+  *     Jaccard) runs only on candidates;
+  *   - multi-table LSH trades recall for cost explicitly: per-bit
+  *     collision prob is 1 - angle/pi, so `tables` copies with `bits`
+  *     bits give recall ~= 1 - (1 - p^bits)^tables.
+  */
+object SimilarityOps {
+
+  /** All pairs with cosine >= threshold, brute force (small-side
+    * baseline; O(n^2) — correct at any threshold, use under ~100k rows).
+    */
+  def nearDupPairsBrute(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val dot = GraftFunctions.dot_f64 _
+    val n = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    n.as("a").join(n.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** All pairs with cosine >= threshold via multi-table hyperplane LSH
+    * candidate generation + exact verification. Approximate: recall
+    * depends on (bits, tables) vs the threshold's angle.
+    */
+  def nearDupPairsLSH(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int, tables: Int, seed: Long): DataFrame = {
+    val dot = GraftFunctions.dot_f64 _
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // one bucket id per (row, table); explode keeps this a narrow map
+    val buckets = base.select(col("id"), col("v"), col("nrm"),
+      posexplode(array((0 until tables).map(t =>
+        ScaleHashes.hyperplaneBucket(col("v"), bits,
+          seed + t * 0x51ab2f9d3L)): _*)).as(Seq("table", "bucket")))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"), Seq("table", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** MinHash-banding candidate pairs over a token-array column: one-pass
+    * k-hash signatures, split into `bands` bands, equi-join per band.
+    */
+  def minHashCandidatePairs(docs: DataFrame, idCol: String,
+      tokensCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rowsPerBand = k / bands
+    val sig = docs.select(col(idCol).as("id"),
+      ScaleHashes.minhash64(col(tokensCol), k).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.ScaleHashes
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class SimilarityOpsSpec extends SparkTestBase {
+
+  private def plantedVectors(n: Int, dim: Int, planted: Int) = {
+    val rnd = new Random(42)
+    val base = (0 until n).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    // planted near-duplicates: tiny perturbation of existing vectors
+    val dups = (0 until planted).map { p =>
+      val (srcId, v) = base(p * 7)
+      ((n + p).toLong, v.map(_ + rnd.nextGaussian() * 0.02), srcId)
+    }
+    (base ++ dups.map(d => (d._1, d._2)), dups.map(d => (d._3, d._1)))
+  }
+
+  test("hyperplane LSH near-dup search finds all planted pairs (verified exactly)") {
+    import spark.implicits._
+    val (vecs, plantedPairs) = plantedVectors(n = 300, dim = 32, planted = 10)
+    val df = vecs.toDF("id", "v")
+    val brute = SimilarityOps
+      .nearDupPairsBrute(df, "id", "v", threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps
+      .nearDupPairsLSH(df, "id", "v", threshold = 0.95, bits = 8,
+        tables = 12, seed = 7L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all planted pairs survive brute force (perturbation is tiny)
+    plantedPairs.foreach { case (a, b) =>
+      assert(brute.contains((math.min(a, b), math.max(a, b))), s"planted ($a,$b)")
+    }
+    // LSH + exact verify: no false positives by construction,
+    // and 12 tables x 8 bits at cos>=0.95 gives ~full recall
+    assert(lsh.subsetOf(brute))
+    assert(lsh == brute, s"missed: ${brute -- lsh}")
+  }
+
+  test("minhash64 signatures estimate Jaccard") {
+    val a = (0 until 200).map(i => s"tok$i").toArray
+    val b = (100 until 300).map(i => s"tok$i").toArray // true J = 100/300
+    import spark.implicits._
+    val df = Seq((1L, a.toSeq), (2L, b.toSeq)).toDF("id", "toks")
+    val sigs = df.select(col("id"),
+      ScaleHashes.minhash64(col("toks"), 256).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val est = ScaleHashes.estimateJaccard(sigs(1L), sigs(2L))
+    assert(math.abs(est - 1.0 / 3.0) < 0.08, s"estimate $est")
+    // identical inputs -> identical signatures (determinism)
+    val again = df.select(ScaleHashes.minhash64(col("toks"), 256).as("sig"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    assert(again(0).sameElements(sigs(1L)))
+  }
+
+  test("minhash banding surfaces high-Jaccard pairs without O(n^2) work") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val docs = (0 until 100).map { i =>
+      (i.toLong, (0 until 50).map(_ => s"w${rnd.nextInt(500)}").distinct)
+    }
+    // plant a 90%-overlap duplicate of doc 3
+    val (_, toks3) = docs(3)
+    val all = docs :+ (100L, toks3.take((toks3.size * 9) / 10))
+    val df = all.toDF("id", "toks")
+    val cand = SimilarityOps
+      .minHashCandidatePairs(df, "id", "toks", k = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((3L, 100L)), s"planted pair missing from $cand")
+    // candidate set stays far below the full pair space
+    assert(cand.size < 300, s"candidate explosion: ${cand.size}")
+  }
+
+  test("multimodal: stub decode plumbing is deterministic and partition-wise") {
+    val media = graft.multimodal.Multimodal.syntheticMedia(spark, 60)
+    assert(media.count() == 60L)
+    val feats = graft.multimodal.Multimodal.decodeFeatures(media, dim = 8)
+    val rows = feats.collect()
+    assert(rows.length == 60)
+    assert(rows.forall(_.getSeq[Double](2).size == 8))
+    // determinism: same input -> same features
+    val again = graft.multimodal.Multimodal.decodeFeatures(media, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Double](2)))
+    // frame sampling: one row per everyMs step across each video
+    val frames = graft.multimodal.Multimodal.sampleFrames(media, everyMs = 500L)
+    val perVideo = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val durations = media.filter(col("kind") === "video")
+      .select("media_id", "meta.duration_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    durations.foreach { case (id, d) =>
+      assert(perVideo(id) == (d + 499) / 500, s"video $id")
+    }
+  }
+}
