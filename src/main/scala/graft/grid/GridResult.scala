@@ -36,7 +36,24 @@ final case class GridResultData(
 
 object GridResult {
 
-  def toGrid(df: DataFrame, dims: Seq[String]): GridResultData = {
+  /** Reverse pivot against a template's coordinate arrays: the result is
+    * reindexed onto the FULL template grid (cells the query filtered away
+    * keep `fillValue`) and the template's coordinate order is preserved —
+    * the reference's `sparsity="template"` + `fill_value` semantics
+    * (ds.py:676-684; int + NaN upcasts are the caller's choice of fill).
+    * Rows whose dim values are not on the template grid are an error.
+    */
+  def toGridWithTemplate(df: DataFrame, dims: Seq[String],
+      template: Map[String, IndexedSeq[Any]],
+      fillValue: Double = Double.NaN): GridResultData =
+    scatter(df, dims, Some(dims.map(template(_))), fillValue)
+
+  def toGrid(df: DataFrame, dims: Seq[String]): GridResultData =
+    scatter(df, dims, None, Double.NaN)
+
+  private def scatter(df: DataFrame, dims: Seq[String],
+      templateCoords: Option[Seq[IndexedSeq[Any]]],
+      fillValue: Double): GridResultData = {
     val schema = df.schema
     val dimIdx = dims.map(schema.fieldIndex)
     val varCols = schema.fieldNames.filterNot(dims.contains).toSeq
@@ -44,18 +61,33 @@ object GridResult {
 
     val rows: Array[Row] = df.collect()
 
-    // first-appearance coordinate order per dim
-    val coordIndex: Seq[mutable.LinkedHashMap[Any, Int]] =
-      dims.map(_ => mutable.LinkedHashMap.empty[Any, Int])
-    rows.foreach { r =>
-      dimIdx.zip(coordIndex).foreach { case (ci, m) =>
-        val v = r.get(ci)
-        if (!m.contains(v)) m.put(v, m.size)
+    // template coords if given, else first-appearance coordinate order
+    val coordIndex: Seq[mutable.LinkedHashMap[Any, Int]] = templateCoords match {
+      case Some(tc) =>
+        tc.map { coords =>
+          val m = mutable.LinkedHashMap.empty[Any, Int]
+          coords.foreach(v => m.put(v, m.size))
+          m
+        }
+      case None =>
+        val ms = dims.map(_ => mutable.LinkedHashMap.empty[Any, Int])
+        rows.foreach { r =>
+          dimIdx.zip(ms).foreach { case (ci, m) =>
+            val v = r.get(ci)
+            if (!m.contains(v)) m.put(v, m.size)
+          }
+        }
+        ms
+    }
+    if (templateCoords.isDefined) rows.foreach { r =>
+      dims.indices.foreach { k =>
+        require(coordIndex(k).contains(r.get(dimIdx(k))),
+          s"value ${r.get(dimIdx(k))} of dim ${dims(k)} not on the template grid")
       }
     }
     val shape = coordIndex.map(_.size)
     val n = shape.product
-    val data = varCols.map(_ -> Array.fill(n)(Double.NaN)).toMap
+    val data = varCols.map(_ -> Array.fill(n)(fillValue)).toMap
     val seen = new Array[Boolean](math.max(n, 1))
 
     rows.foreach { r =>

@@ -34,21 +34,24 @@ object PipelineQueries {
 
   private def words(c: Column): Column = split(lower(c), " ")
 
-  /** Distinct word-3-gram shingles; short docs fall back to one shingle. */
+  /** Distinct word-3-gram shingles; short docs fall back to one shingle.
+    * Single-pass expression — the composable transform(sequence...) form
+    * re-evaluates split() inside the lambda, O(words^2) per doc.
+    */
   private def shingles(w: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - 2, lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(3)))))
+    graft.functions.WordShingles.word_shingles(w, 3)
 
-  /** MinHash_j = lexicographic min over md5(j + "|" + shingle). */
-  private def minhash(sh: Column, j: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(s"$j|"), s).cast("binary"))))
-
+  /** MinHash_j = lexicographic min over md5(j + "|" + shingle), all four
+    * hashes in one pass (graft.functions.MinHashMd5 computes exactly the
+    * composable `array_min(transform(sh, s -> md5('j|' || s)))` values).
+    */
   private def sigDF(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), shingles(words(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        graft.functions.MinHashMd5.minhash_md5(col("sh"), 4).as("sigs"))
       .select(Seq(col("doc_id"), col("sh")) ++
-        (0 until 4).map(j => minhash(col("sh"), j).as(s"sig$j")): _*)
+        (0 until 4).map(j => element_at(col("sigs"), j + 1).as(s"sig$j")): _*)
 
   private val sigSqlCte =
     """tok AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w
@@ -71,6 +74,9 @@ object PipelineQueries {
         struct(lit(1).as("band"), concat(col("sig2"), col("sig3")).as("key"))))
         .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      // identical shuffle on both sides of the self-join -> ReuseExchange
+      // computes the (expensive) signature subplan once, not twice
+      .repartition(col("band"), col("key"))
 
   // ---- embeddings plumbing ----
 

@@ -103,10 +103,12 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
     groupDims: Seq[String], groupVars: Seq[VarDef], fullSchema: StructType)
   extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var countStarPushed = false
 
   /** All filters are kept as residual (Spark re-applies them row-level) —
     * the pushed copies only drive partition pruning, mirroring the
@@ -121,9 +123,62 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Unfiltered COUNT(*) is answered entirely from chunk metadata —
+    * exact row counts are products of chunk shapes (the reference's
+    * metadata count, tests/test_stats.py:78-91). Only safe with no
+    * residual filters; grouped or column aggregates are not pushed.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (supportCompletePushDown(agg)) { countStarPushed = true; true }
+    else false
+  }
+
   override def build(): Scan =
-    new GridScan(store, chunks, groupDims, groupVars, required, pushed)
+    if (countStarPushed) new CountStarScan(store, chunks, groupDims)
+    else new GridScan(store, chunks, groupDims, groupVars, required, pushed)
 }
+
+/** Complete COUNT(*) pushdown: one partition, one row, zero data access. */
+class CountStarScan(store: GridStore, chunks: Map[String, Int],
+    groupDims: Seq[String]) extends Scan with Batch {
+  private val total: Long =
+    ChunkGrid.groupBlocks(store.schema, groupDims, chunks)
+      .map(ChunkGrid.rowCount).sum
+
+  override def readSchema(): StructType =
+    StructType(Seq(org.apache.spark.sql.types.StructField(
+      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CountStarPartition(total))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          private val n = p.asInstanceOf[CountStarPartition].total
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = {
+            val row = new GenericInternalRow(1)
+            row.setLong(0, n)
+            row
+          }
+          override def close(): Unit = {}
+        }
+    }
+  override def description(): String =
+    s"GridCountStarScan rows=$total (metadata only)"
+}
+
+final case class CountStarPartition(total: Long) extends InputPartition
 
 class GridScan(store: GridStore, chunks: Map[String, Int],
     groupDims: Seq[String], groupVars: Seq[VarDef],

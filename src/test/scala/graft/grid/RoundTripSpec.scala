@@ -1,0 +1,71 @@
+package graft.grid
+
+import graft.{SparkTestBase, XarrayContext}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Full-circle: disk store -> SQL -> reverse pivot (template + fill) ->
+  * array store -> disk store. The "sinks" surface of SURVEY §2B.
+  */
+class RoundTripSpec extends SparkTestBase {
+
+  test("template reverse pivot fills uncovered cells and keeps template order") {
+    val ctx = new XarrayContext(spark)
+    val df = ctx.dataFrame("rt_tpl", Fixtures.linearGrid, Map("t" -> 6),
+      Seq("t", "lat", "lon"))
+    val template = Map(
+      "t" -> (0 until 24).map(i => i: Any).toIndexedSeq,
+      "lat" -> (0 until 12).map(i => 75.0 - 2.5 * i: Any).toIndexedSeq,
+      "lon" -> (0 until 10).map(j => 200.0 + 2.5 * j: Any).toIndexedSeq)
+    // filter away t >= 2; template grid stays full-size with fill
+    val res = GridResult.toGridWithTemplate(
+      df.filter(col("t") < 2).select("t", "lat", "lon", "air"),
+      Seq("t", "lat", "lon"), template, fillValue = -999.0)
+    assert(res.shape == Seq(24, 12, 10))
+    assert(res("air", 0, 0, 0) == 200.0)
+    assert(res("air", 5, 0, 0) == -999.0) // filtered away -> fill
+    // template order preserved even though 75.0 rows appear later
+    assert(res.dims(1)._2.head == 75.0)
+    // off-grid rows are rejected
+    val bad = intercept[IllegalArgumentException] {
+      GridResult.toGridWithTemplate(
+        df.select((col("t") + 100).as("t"), col("lat"), col("lon"), col("air")),
+        Seq("t", "lat", "lon"), template)
+    }
+    assert(bad.getMessage.contains("not on the template grid"))
+  }
+
+  test("disk -> SQL -> grid -> store -> disk round trip") {
+    val ctx = new XarrayContext(spark)
+    val dir1 = Files.createTempDirectory("graft-rt1").toString
+    BinaryGridStore.write(Fixtures.linearGrid, dir1, Map("t" -> 6))
+    val disk = BinaryGridStore.open(dir1)
+    val df = ctx.dataFrame("rt_disk", disk, disk.chunks, Seq("t", "lat", "lon"))
+
+    // SQL: halve the grid along t, keep values
+    val res = GridResult.toGrid(
+      df.filter(col("t") < 12).select("t", "lat", "lon", "air"),
+      Seq("t", "lat", "lon"))
+    val mem = ArrayGridStore.fromResult(res)
+    assert(mem.schema.dimNames == Seq("t", "lat", "lon"))
+    assert(mem.schema.dim("t").size == 12)
+
+    // the lifted store is queryable again
+    val df2 = ctx.dataFrame("rt_mem", mem, Map("t" -> 4), Seq("t", "lat", "lon"))
+    assert(df2.count() == 12L * 12 * 10)
+    val law = Fixtures.linearGrid.laws("air")
+    val got = df2.filter(col("t") === 7 && col("lat") === 70.0 &&
+      col("lon") === 205.0).select("air").collect()(0).getDouble(0)
+    assert(got == law(Array(7, 2, 2)))
+
+    // and it persists back to disk losslessly
+    val dir2 = Files.createTempDirectory("graft-rt2").toString
+    val disk2 = BinaryGridStore.write(mem, dir2, Map("t" -> 4))
+    val a = mem.readVar("air", Seq((4, 4), (0, 12), (0, 10)))
+      .asInstanceOf[Array[Double]]
+    val b = disk2.readVar("air", Seq((4, 4), (0, 12), (0, 10)))
+      .asInstanceOf[Array[Double]]
+    assert(a.sameElements(b))
+  }
+}

@@ -106,7 +106,37 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       assert(df.count() == 50L)
       assert(ReadCounters.varReadCount("temperature") == 0L)
       assert(ReadCounters.varReadCount("precipitation") == 0L)
+      // complete COUNT(*) pushdown: no grid partition is even opened
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
     }
+    // with a residual filter the aggregate is NOT pushed (rows must be
+    // filtered), but pruning still bounds the work
+    counted {
+      assert(df.filter(col("lat") > 0.0).count() == 20L)
+      assert(ReadCounters.partitionsOpened.sum() == 2L)
+    }
+  }
+
+  test("tables are re-queryable: fresh scan per query, same results") {
+    val ctx2 = new XarrayContext(spark)
+    ctx2.fromDataset("requery", Fixtures.linearGrid, Map("t" -> 6))
+    val q = "SELECT CAST(SUM(air) AS BIGINT) s FROM requery WHERE t < 12"
+    val first = spark.sql(q).collect()(0).getLong(0)
+    val second = spark.sql(q).collect()(0).getLong(0)
+    assert(first == second)
+    // and a different query over the same registration still works
+    assert(spark.sql("SELECT COUNT(*) FROM requery").collect()(0).getLong(0)
+      == 24L * 12 * 10)
+  }
+
+  test("error paths: unknown table and unknown column fail cleanly") {
+    val e1 = intercept[Exception](spark.sql("SELECT * FROM no_such_grid").collect())
+    assert(e1.getMessage.toLowerCase.contains("table"))
+    val ctx2 = new XarrayContext(spark)
+    ctx2.fromDataset("errgrid", Fixtures.linearGrid, Map("t" -> 6))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT nope FROM errgrid").collect())
+    assert(e2.getMessage.contains("nope"))
   }
 
   test("exact statistics drive broadcast-join selection") {
