@@ -104,11 +104,13 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
   extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
-  private var countStarPushed = false
+  private var metaAggs: Option[Seq[MetaAgg]] = None
+  private var limit: Int = -1
 
   /** All filters are kept as residual (Spark re-applies them row-level) —
     * the pushed copies only drive partition pruning, mirroring the
@@ -123,66 +125,127 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Unfiltered COUNT(*) is answered entirely from chunk metadata —
-    * exact row counts are products of chunk shapes (the reference's
-    * metadata count, tests/test_stats.py:78-91). Only safe with no
-    * residual filters; grouped or column aggregates are not pushed.
+  /** Unfiltered COUNT(*) / MIN(dim) / MAX(dim) are answered entirely
+    * from metadata — exact row counts are products of chunk shapes and
+    * dimension extrema come from the coordinate arrays (the reference's
+    * metadata count + exact min/max statistics, tests/test_stats.py).
+    * Only safe with no residual filters; grouped aggregates and
+    * data-variable aggregates are not pushed.
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     pushed.isEmpty && agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(e => toMetaAgg(e).isDefined)
+
+  private def toMetaAgg(
+      e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Option[MetaAgg] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def dimOf(c: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      c match {
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+          groupDims.contains(nr.fieldNames()(0)) &&
+          !store.schema.dim(nr.fieldNames()(0)).coords.isInstanceOf[StringCoords] =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    e match {
+      case _: CountStar => Some(MetaCountStar)
+      case m: Min => dimOf(m.column()).map(MetaMinDim)
+      case m: Max => dimOf(m.column()).map(MetaMaxDim)
+      case _ => None
+    }
+  }
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (supportCompletePushDown(agg)) { countStarPushed = true; true }
-    else false
+    if (supportCompletePushDown(agg)) {
+      metaAggs = Some(agg.aggregateExpressions().flatMap(toMetaAgg).toSeq)
+      true
+    } else false
   }
 
-  override def build(): Scan =
-    if (countStarPushed) new CountStarScan(store, chunks, groupDims)
-    else new GridScan(store, chunks, groupDims, groupVars, required, pushed)
+  /** Advisory per-partition limit; Spark only pushes it when nothing but
+    * projections sit between LIMIT and the scan, so residual filters
+    * (which we always keep) make this safe.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan = metaAggs match {
+    case Some(aggs) => new MetaAggScan(store, chunks, groupDims, aggs)
+    case None =>
+      new GridScan(store, chunks, groupDims, groupVars, required, pushed, limit)
+  }
 }
 
-/** Complete COUNT(*) pushdown: one partition, one row, zero data access. */
-class CountStarScan(store: GridStore, chunks: Map[String, Int],
-    groupDims: Seq[String]) extends Scan with Batch {
-  private val total: Long =
-    ChunkGrid.groupBlocks(store.schema, groupDims, chunks)
-      .map(ChunkGrid.rowCount).sum
+sealed trait MetaAgg extends Serializable
+case object MetaCountStar extends MetaAgg
+final case class MetaMinDim(dim: String) extends MetaAgg
+final case class MetaMaxDim(dim: String) extends MetaAgg
 
-  override def readSchema(): StructType =
-    StructType(Seq(org.apache.spark.sql.types.StructField(
-      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+/** Complete metadata-aggregate pushdown: one partition, one row, zero
+  * data access. COUNT(*) from chunk shapes; MIN/MAX of dims from the
+  * coordinate arrays (actual extrema — descending axes included).
+  */
+class MetaAggScan(store: GridStore, chunks: Map[String, Int],
+    groupDims: Seq[String], aggs: Seq[MetaAgg]) extends Scan with Batch {
+
+  private def coordExtreme(dim: String, wantMax: Boolean): Any = {
+    val c = store.schema.dim(dim).coords
+    val idx = (0 until c.size)
+    require(idx.nonEmpty, s"empty dim $dim")
+    c match {
+      case DoubleCoords(v) => if (wantMax) v.max else v.min
+      case FloatCoords(v) => if (wantMax) v.max else v.min
+      case IntCoords(v) => if (wantMax) v.max else v.min
+      case LongCoords(v) => if (wantMax) v.max else v.min
+      case TimeCoords(v) => if (wantMax) v.max else v.min
+      case StringCoords(_) => throw new IllegalStateException(
+        "string dims are never meta-agg pushed")
+    }
+  }
+
+  private lazy val values: Array[Any] = aggs.map {
+    case MetaCountStar =>
+      ChunkGrid.groupBlocks(store.schema, groupDims, chunks)
+        .map(ChunkGrid.rowCount).sum: java.lang.Long
+    case MetaMinDim(d) => coordExtreme(d, wantMax = false)
+    case MetaMaxDim(d) => coordExtreme(d, wantMax = true)
+  }.toArray
+
+  override def readSchema(): StructType = StructType(aggs.map {
+    case MetaCountStar => org.apache.spark.sql.types.StructField(
+      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)
+    case MetaMinDim(d) => org.apache.spark.sql.types.StructField(
+      s"min($d)", store.schema.dim(d).coords.gridType.sparkType)
+    case MetaMaxDim(d) => org.apache.spark.sql.types.StructField(
+      s"max($d)", store.schema.dim(d).coords.gridType.sparkType)
+  })
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(CountStarPartition(total))
+    Array(MetaAggPartition(values))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
           private var emitted = false
-          private val n = p.asInstanceOf[CountStarPartition].total
+          private val vs = p.asInstanceOf[MetaAggPartition].values
           override def next(): Boolean = { val r = !emitted; emitted = true; r }
-          override def get(): InternalRow = {
-            val row = new GenericInternalRow(1)
-            row.setLong(0, n)
-            row
-          }
+          override def get(): InternalRow = new GenericInternalRow(vs.clone())
           override def close(): Unit = {}
         }
     }
   override def description(): String =
-    s"GridCountStarScan rows=$total (metadata only)"
+    s"GridMetaAggScan [${aggs.mkString(", ")}] (metadata only)"
 }
 
-final case class CountStarPartition(total: Long) extends InputPartition
+final case class MetaAggPartition(values: Array[Any]) extends InputPartition
 
 class GridScan(store: GridStore, chunks: Map[String, Int],
     groupDims: Seq[String], groupVars: Seq[VarDef],
-    required: StructType, filters: Array[Filter])
+    required: StructType, filters: Array[Filter], limit: Int = -1)
   extends Scan with Batch with SupportsReportStatistics {
 
   /** Partition planning: enumerate chunk blocks, compute per-dim bounds
@@ -228,12 +291,15 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
 
   override def planInputPartitions(): Array[InputPartition] =
     survivingBlocks.map { case (block, _) =>
-      GridInputPartition(store, groupDims, block, required.fieldNames)
+      GridInputPartition(store, groupDims, block, required.fieldNames, limit)
         : InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GridPartitionReaderFactory
+
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    Scan.ColumnarSupportMode.SUPPORTED
 
   /** Exact statistics from chunk metadata (A9): row count = sum of block
     * products after pruning; bytes = rows x fixed width of the pruned
@@ -264,11 +330,135 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
   * planning-time only and deliberately not shipped.
   */
 final case class GridInputPartition(store: GridStore, groupDims: Seq[String],
-    block: Seq[(Int, Int)], requiredCols: Array[String]) extends InputPartition
+    block: Seq[(Int, Int)], requiredCols: Array[String],
+    limit: Int = -1) extends InputPartition
 
 class GridPartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GridPartitionReader(partition.asInstanceOf[GridInputPartition])
+
+  /** The store is columnar already — emit `ColumnarBatch`es of at most
+    * 65,536 rows (the reference's batch size, df.py:278-280): data
+    * variables bulk-copy into vectors, coordinates fill by stride.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GridColumnarReader(partition.asInstanceOf[GridInputPartition])
+}
+
+/** Columnar pivot: per batch of <=64Ki cells, each coordinate column is
+  * filled with its strided repeat pattern and each variable column is a
+  * bulk copy out of the chunk's flat C-order array.
+  */
+class GridColumnarReader(part: GridInputPartition)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  ReadCounters.partitionsOpened.increment()
+
+  private val BatchRows = 65536
+  private val schema = part.store.schema
+  private val shape: Array[Int] = part.block.map(_._2).toArray
+  private val starts: Array[Int] = part.block.map(_._1).toArray
+  private val total: Long = {
+    val t = shape.foldLeft(1L)(_ * _.toLong)
+    if (part.limit >= 0) math.min(t, part.limit.toLong) else t
+  }
+  private val strides: Array[Long] = {
+    val s = new Array[Long](shape.length)
+    var acc = 1L
+    var k = shape.length - 1
+    while (k >= 0) { s(k) = acc; acc *= shape(k); k -= 1 }
+    s
+  }
+
+  private sealed trait ColSrc
+  private case class DimCol(dimIdx: Int, coords: CoordArray) extends ColSrc
+  private case class VarCol(data: AnyRef) extends ColSrc
+
+  private val cols: Array[(ColSrc, org.apache.spark.sql.types.DataType)] =
+    part.requiredCols.map { c =>
+      val di = part.groupDims.indexOf(c)
+      if (di >= 0) {
+        val coords = schema.dim(c).coords
+        (DimCol(di, coords), coords.gridType.sparkType)
+      } else {
+        ReadCounters.recordVarRead(c)
+        val v = schema.vars.find(_.name == c).get
+        (VarCol(part.store.readVar(c, part.block)), v.dtype.sparkType)
+      }
+    }
+
+  private val vectors: Array[OnHeapColumnVector] =
+    cols.map { case (_, dt) => new OnHeapColumnVector(BatchRows, dt) }
+  private var batch: ColumnarBatch = _
+  private var offset: Long = 0L
+
+  override def next(): Boolean = {
+    if (offset >= total) return false
+    val m = math.min(BatchRows.toLong, total - offset).toInt
+    var c = 0
+    while (c < cols.length) {
+      val vec = vectors(c)
+      vec.reset()
+      cols(c)._1 match {
+        case DimCol(d, coords) =>
+          val stride = strides(d)
+          val size = shape(d)
+          val start = starts(d)
+          var r = 0
+          coords match {
+            case DoubleCoords(v) =>
+              while (r < m) {
+                vec.putDouble(r, v(start + (((offset + r) / stride) % size).toInt)); r += 1
+              }
+            case FloatCoords(v) =>
+              while (r < m) {
+                vec.putFloat(r, v(start + (((offset + r) / stride) % size).toInt)); r += 1
+              }
+            case IntCoords(v) =>
+              while (r < m) {
+                vec.putInt(r, v(start + (((offset + r) / stride) % size).toInt)); r += 1
+              }
+            case LongCoords(v) =>
+              while (r < m) {
+                vec.putLong(r, v(start + (((offset + r) / stride) % size).toInt)); r += 1
+              }
+            case TimeCoords(v) =>
+              while (r < m) {
+                vec.putLong(r, v(start + (((offset + r) / stride) % size).toInt)); r += 1
+              }
+            case StringCoords(v) =>
+              while (r < m) {
+                val b = v(start + (((offset + r) / stride) % size).toInt)
+                  .getBytes("UTF-8")
+                vec.putByteArray(r, b, 0, b.length); r += 1
+              }
+          }
+        case VarCol(data) =>
+          val off = offset.toInt
+          data match {
+            case a: Array[Double] => vec.putDoubles(0, m, a, off)
+            case a: Array[Float] => vec.putFloats(0, m, a, off)
+            case a: Array[Int] => vec.putInts(0, m, a, off)
+            case a: Array[Long] => vec.putLongs(0, m, a, off)
+          }
+      }
+      c += 1
+    }
+    batch = new ColumnarBatch(vectors.map(v =>
+      v: org.apache.spark.sql.vectorized.ColumnVector), m)
+    offset += m
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = vectors.foreach(_.close())
 }
 
 /** Streams the pivoted rows of one chunk block: strided coordinate
@@ -285,7 +475,10 @@ class GridPartitionReader(part: GridInputPartition)
   private val schema = part.store.schema
   private val shape: Array[Int] = part.block.map(_._2).toArray
   private val starts: Array[Int] = part.block.map(_._1).toArray
-  private val n: Long = shape.foldLeft(1L)(_ * _.toLong)
+  private val n: Long = {
+    val t = shape.foldLeft(1L)(_ * _.toLong)
+    if (part.limit >= 0) math.min(t, part.limit.toLong) else t
+  }
 
   // C-order strides over the block shape (last dim fastest)
   private val strides: Array[Long] = {

@@ -117,6 +117,35 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("MIN/MAX of dims answer from coordinate metadata, no partitions opened") {
+    val df = ctx.dataFrame("metaagg", Fixtures.pruneGrid, Map("time" -> 25),
+      Seq("time", "lat"))
+    counted {
+      val r = df.agg(min("time").as("t0"), max("time").as("t1"),
+        min("lat").as("la"), max("lat").as("lb"), count(lit(1)).as("n"))
+        .collect()(0)
+      assert(r.getTimestamp(0).getTime == 18262L * 86400000L)
+      assert(r.getTimestamp(1).getTime == (18262L + 99) * 86400000L)
+      assert(r.getDouble(2) == -90.0 && r.getDouble(3) == 90.0)
+      assert(r.getLong(4) == 500L)
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+    }
+    // aggregating a data VARIABLE cannot be metadata-answered
+    counted {
+      df.agg(min("temperature")).collect()
+      assert(ReadCounters.partitionsOpened.sum() == 4L)
+    }
+  }
+
+  test("scan emits columnar batches (ColumnarToRow present in plan)") {
+    val df = ctx.dataFrame("colbatch", Fixtures.linearGrid, Map("t" -> 6),
+      Seq("t", "lat", "lon"))
+    val q = df.filter(col("lat") > 60.0).select("t", "lat", "air")
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      q.queryExecution.executedPlan.toString)
+  }
+
   test("tables are re-queryable: fresh scan per query, same results") {
     val ctx2 = new XarrayContext(spark)
     ctx2.fromDataset("requery", Fixtures.linearGrid, Map("t" -> 6))
