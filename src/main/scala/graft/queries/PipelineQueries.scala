@@ -215,6 +215,43 @@ object PipelineQueries {
           .otherwise("unknown").as("guess"))
     }),
 
+    // BPE-ish token counting: regex token classes (letter runs, digit
+    // runs, single punctuation) — the same RE2-safe pattern evaluates
+    // identically in Spark and DuckDB
+    "token_count_bpe" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+          .as("n_bpe_tokens"))),
+
+    // composite quality score from length/structure features (dyadic
+    // weights keep the arithmetic bit-identical across engines)
+    "quality_score" -> ((s, d) => {
+      val t = col("text")
+      val nTokens = length(t) - length(regexp_replace(t, " ", "")) + 1
+      val avgLen = (length(regexp_replace(t, " ", "")).cast("double") /
+        nTokens.cast("double"))
+      val padded = concat(lit(" "), t, lit(" "))
+      val nThe = (length(padded) - length(regexp_replace(padded, " the ", " "))) / 4
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        (least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.5 +
+          least(avgLen / 8.0, lit(1.0)) * 0.25 +
+          when(nThe > 0, 1.0).otherwise(0.0) * 0.25).as("quality"))
+    }),
+
+    // winnowing fingerprint (Schleimer et al. 2003) via the
+    // RollingFingerprint expression; no SQL-expressible oracle ->
+    // the driver records a rows-only check
+    "doc_winnow" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.functions.RollingFingerprint
+          .rolling_fingerprint(col("text"), 5, 4).as("fp"))
+        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+          col("fp"))),
+
     // corpus token histogram (wordcount — the canonical explode+agg)
     "token_hist" -> ((s, d) =>
       Tables.documents(s, d)
@@ -359,6 +396,22 @@ object PipelineQueries {
          |ELSE 'unknown' END AS guess
          |FROM documents""".stripMargin
     },
+    "token_count_bpe" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |  AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "quality_score" ->
+      """SELECT doc_id,
+        |least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
+        |+ least((CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)) / 8.0,
+        |    1.0) * 0.25
+        |+ (CASE WHEN (length(' ' || text || ' ') -
+        |     length(replace(' ' || text || ' ', ' the ', ' '))) / 4 > 0
+        |   THEN 1.0 ELSE 0.0 END) * 0.25 AS quality
+        |FROM documents""".stripMargin,
+    // doc_winnow: no oracle (custom-expression fingerprint) -> rows-only
     "token_hist" ->
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token

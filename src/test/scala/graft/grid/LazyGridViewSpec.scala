@@ -1,0 +1,90 @@
+package graft.grid
+
+import graft.{SparkTestBase, XarrayContext}
+import graft.functions.RollingFingerprint
+import graft.operators.SkewOps
+import graft.sources.ReadCounters
+import org.apache.spark.sql.functions._
+
+class LazyGridViewSpec extends SparkTestBase {
+
+  private lazy val ctx = new XarrayContext(spark)
+
+  test("lazy view: slice access reads only the covering chunks") {
+    val store = Fixtures.pruneGrid // time 100 (chunks of 25), lat 5
+    val df = ctx.dataFrame("lazy1", store, Map("time" -> 25), Seq("time", "lat"))
+    val view = LazyGridView.fromStore(df, store, Seq("time", "lat"),
+      Seq("temperature"))
+    assert(view.shape == Seq(100, 5))
+
+    ReadCounters.reset()
+    // days 80..89 live entirely in the last chunk
+    val res = view.select(Map("time" -> LazyGridView.Slice(80, 90)))
+    assert(ReadCounters.partitionsOpened.sum() == 1L)
+    assert(res.shape == Seq(10, 5))
+    val law = store.laws("temperature")
+    for (t <- 0 until 10; i <- 0 until 5)
+      assert(res("temperature", t, i) == law(Array(80 + t, i)))
+
+    // point + point-set indexers
+    ReadCounters.reset()
+    val res2 = view.select(Map(
+      "time" -> LazyGridView.Point(3),
+      "lat" -> LazyGridView.Points(Seq(0, 4))))
+    assert(ReadCounters.partitionsOpened.sum() == 1L)
+    assert(res2.shape == Seq(1, 2))
+    assert(res2("temperature", 0, 1) == law(Array(3, 4)))
+  }
+
+  test("lazy view: full-extent dims emit no predicate; discovery path works") {
+    val store = Fixtures.pruneGrid
+    val df = ctx.dataFrame("lazy2", store, Map("time" -> 25), Seq("time", "lat"))
+    val view = LazyGridView.discoverCoords(df, Seq("time", "lat"),
+      Seq("temperature"))
+    // discovery orders lat ascending (it is ascending in the fixture)
+    assert(view.shape == Seq(100, 5))
+    val res = view.select(Map.empty)
+    assert(res.shape == Seq(100, 5))
+    assert(res.cellCount == 500)
+  }
+
+  test("salted aggregation equals direct groupBy on a skewed key") {
+    import spark.implicits._
+    // 90% of rows share one key — the salted plan spreads them
+    val rows = (0 until 20000).map { i =>
+      val k = if (i % 10 != 0) "hot" else s"k${i % 50}"
+      (k, (i % 97) / 4.0)
+    }
+    val df = rows.toDF("k", "v").repartition(8)
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("sum_v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val salted = SkewOps.saltedCountSum(df, "k", "v", salts = 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    assert(salted == direct)
+  }
+
+  test("rolling fingerprint: deterministic, shared substrings overlap") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different text with the quick brown fox jumps inside"
+    val c = "nothing in common here at all zzz qqq www eee rrr ttt yyy"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "t")
+    val fp = df.select(col("id"),
+      RollingFingerprint.rolling_fingerprint(col("t"), 5, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // determinism
+    val again = df.select(RollingFingerprint
+      .rolling_fingerprint(col("t"), 5, 4).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(again(0) == fp(1L))
+    // a and b share "the quick brown fox jumps" (>= k + w - 1 chars)
+    assert((fp(1L) & fp(2L)).nonEmpty)
+    // containment score separates related from unrelated pairs
+    def sim(x: Set[Long], y: Set[Long]) =
+      (x & y).size.toDouble / math.min(x.size, y.size)
+    assert(sim(fp(1L), fp(2L)) > sim(fp(1L), fp(3L)))
+  }
+}
