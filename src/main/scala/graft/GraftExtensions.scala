@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.{CfTimeExpr, DotProductF64, MinHashMd5, RollingFingerprint, WordShingles}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** `spark.sql.extensions`-style packaging of graft's native expressions:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or: SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * Registers SQL-callable forms of the custom Catalyst expressions; the
+  * per-dataset `cftime` (bound to a calendar and units) is still
+  * auto-registered by `XarrayContext.fromDataset` — the generic 3-arg
+  * form here takes units/calendar as literals.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def lit(e: Expression, what: String): String = e match {
+    case Literal(v, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),
+      (exprs: Seq[Expression]) => DotProductF64(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_md5"),
+      new ExpressionInfo(classOf[MinHashMd5].getName, "minhash_md5"),
+      (exprs: Seq[Expression]) =>
+        MinHashMd5(exprs(0), lit(exprs(1), "k").toInt)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) =>
+        WordShingles(exprs(0), lit(exprs(1), "n").toInt)))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
+      (exprs: Seq[Expression]) => RollingFingerprint(exprs(0),
+        lit(exprs(1), "k").toInt, lit(exprs(2), "w").toInt)))
+    ext.injectFunction((
+      FunctionIdentifier("cftime"),
+      new ExpressionInfo(classOf[CfTimeExpr].getName, "cftime"),
+      (exprs: Seq[Expression]) => CfTimeExpr(exprs(0),
+        lit(exprs(1), "units"), lit(exprs(2), "calendar"))))
+  }
+}
