@@ -48,7 +48,17 @@ object GridQueries {
         .filter(col("t").between(6, 17) && col("lat") > 60.0)
         .groupBy("lon").agg(
           count(lit(1)).as("cnt"),
-          avg("air").as("avg_air")))
+          avg("air").as("avg_air"))),
+
+    // climatology-anomaly self-join over the grid source (the reference's
+    // case 04 shape, with integer-exact arithmetic for the oracle)
+    "pivot_grid_anomaly" -> ((s, _) => {
+      val g = grid(s)
+      val clim = g.groupBy("lat", "lon").agg(avg("air").as("m"))
+      g.join(clim, Seq("lat", "lon"))
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          (col("air") - col("m")).as("anom"))
+    })
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -62,6 +72,11 @@ object GridQueries {
       s"""WITH $oracleGrid
          |SELECT lon, CAST(COUNT(*) AS BIGINT) AS cnt, AVG(air) AS avg_air
          |FROM grid WHERE t BETWEEN 6 AND 17 AND lat > 60.0
-         |GROUP BY lon""".stripMargin
+         |GROUP BY lon""".stripMargin,
+    "pivot_grid_anomaly" ->
+      s"""WITH $oracleGrid,
+         |clim AS (SELECT lat, lon, AVG(air) AS m FROM grid GROUP BY lat, lon)
+         |SELECT CAST(g.t AS BIGINT) AS t, g.lat, g.lon, g.air - c.m AS anom
+         |FROM grid g JOIN clim c ON g.lat = c.lat AND g.lon = c.lon""".stripMargin
   )
 }

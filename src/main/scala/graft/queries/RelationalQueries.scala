@@ -187,12 +187,17 @@ object RelationalQueries {
     }),
 
     // 20. composite RMSE aggregate (ref 05:160-163); the square stays a
-    //     plain product so both engines produce the identical double
+    //     plain product so both engines produce the identical double. The
+    //     big decimal sum converts to double via a STRING round-trip:
+    //     decimal->varchar is exact in both engines and string->double
+    //     parsing is correctly rounded everywhere, whereas DuckDB's
+    //     direct decimal->double cast can be off by 1 ulp at >2^53.
     "rmse_composite" -> ((s, d) => {
       val diff = col("l_extendedprice") - col("p_retailprice") * col("l_quantity")
       Tables.lineitem(s, d)
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-        .agg(sqrt(sum((diff * diff).cast(DecimalType(38, 6))).cast("double") /
+        .agg(sqrt(sum((diff * diff).cast(DecimalType(38, 6)))
+          .cast("string").cast("double") /
           count(lit(1))).as("rmse"))
     }),
 
@@ -330,10 +335,10 @@ object RelationalQueries {
          |l.l_quantity - c.avg_qty AS anomaly
          |FROM lineitem l JOIN clim c ON l.l_partkey = c.l_partkey""".stripMargin,
     "rmse_composite" ->
-      """SELECT SQRT(CAST(SUM(CAST(
+      """SELECT SQRT(CAST(CAST(SUM(CAST(
         |  (l_extendedprice - p_retailprice*l_quantity) *
         |  (l_extendedprice - p_retailprice*l_quantity) AS DECIMAL(38,6)))
-        |  AS DOUBLE)/COUNT(*)) AS rmse
+        |  AS VARCHAR) AS DOUBLE)/COUNT(*)) AS rmse
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
     "window_fn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
