@@ -234,6 +234,32 @@ object RelationalQueries {
           max("l_shipdate").as("max_ship"))
     }),
 
+    // set operation (not exercised by the reference — "free from Spark",
+    // SURVEY §2B — demonstrated for completeness)
+    "union_all" -> ((s, d) =>
+      Tables.region(s, d).select(col("r_name").as("name"))
+        .unionAll(Tables.nation(s, d).select(col("n_name").as("name")))),
+
+    // semi/anti joins (EXISTS / NOT EXISTS shapes)
+    "exists_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select("o_custkey")
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"),
+        "left_semi").agg(count(lit(1)).as("n"))
+        .select(lit("with_orders").as("grp"), col("n"))
+      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"),
+        "left_anti").agg(count(lit(1)).as("n"))
+        .select(lit("without_orders").as("grp"), col("n"))
+      withOrders.unionAll(withoutOrders)
+    }),
+
+    // exact DISTINCT aggregate
+    "count_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_returnflag"), col("l_linestatus"))
+          .as("n_flag_status"))),
+
     // 24. parameterized SQL (ref 02_climatology.py:96-114 param_values)
     "param_query" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_pq")
@@ -360,6 +386,20 @@ object RelationalQueries {
         |WHERE date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) >= 9496""".stripMargin,
     "param_query" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
-        |FROM lineitem WHERE l_quantity > 40 GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem WHERE l_quantity > 40 GROUP BY l_returnflag""".stripMargin,
+    "union_all" ->
+      """SELECT r_name AS name FROM region
+        |UNION ALL SELECT n_name AS name FROM nation""".stripMargin,
+    "exists_semi_anti" ->
+      """SELECT 'with_orders' AS grp, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'without_orders' AS grp, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "count_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |CAST(COUNT(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT)
+        |  AS n_flag_status
+        |FROM lineitem""".stripMargin
   )
 }
