@@ -168,6 +168,22 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(e2.getMessage.contains("nope"))
   }
 
+  test("EXPLAIN exposes pruning counts and exact statistics") {
+    val df = ctx.dataFrame("explstat", Fixtures.pruneGrid, Map("time" -> 25),
+      Seq("time", "lat"))
+    val filtered = df.filter(
+      col("time") >= to_timestamp(lit("2020-03-16 00:00:00")))
+    // the scan description reports surviving/total partitions (the
+    // reference pins EXPLAIN statistics the same way, tests/test_stats.py)
+    val expl = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(expl.contains("partitions=1/4"), expl)
+    // exact post-pruning row count reaches the optimizer's statistics
+    val stats = filtered.queryExecution.optimizedPlan.collectLeaves()
+      .head.stats
+    assert(stats.rowCount.contains(BigInt(125)), stats)
+  }
+
   test("exact statistics drive broadcast-join selection") {
     val big = ctx.dataFrame("stats_big", Fixtures.pruneGrid, Map("time" -> 25),
       Seq("time", "lat"))
