@@ -8,11 +8,17 @@ import org.apache.spark.sql.graftinterop.ColumnInterop
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken 2003):
-  * polynomial rolling hashes of the character k-grams, then one minimum
-  * selected per window of `w` consecutive hashes (rightmost min), and the
-  * distinct selected hashes returned sorted. Guarantees any shared
-  * substring of length >= k + w - 1 contributes at least one common
-  * fingerprint hash — the standard plagiarism/near-dup primitive.
+  * polynomial hashes of the character k-grams, then one minimum selected
+  * per window of `w` consecutive hashes (rightmost min), and the distinct
+  * selected hashes returned sorted. Guarantees any shared substring of
+  * length >= k + w - 1 contributes at least one common fingerprint hash —
+  * the standard plagiarism/near-dup primitive.
+  *
+  * Hash semantics are deliberately oracle-replayable: grams are Unicode
+  * *code points* (matching SQL `substr`/`ascii` character semantics, not
+  * UTF-16 units), and the hash is `fold(h = (h*257 + cp) % 1000003)` —
+  * intermediates stay below 2^38, so a SQL engine with non-wrapping
+  * 64-bit integers (DuckDB) evaluates the identical value.
   */
 case class RollingFingerprint(child: Expression, k: Int, w: Int)
   extends UnaryExpression with CodegenFallback {
@@ -23,24 +29,21 @@ case class RollingFingerprint(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "rolling_fingerprint"
 
-  private val Base = 1000003L
+  import RollingFingerprint.{Base, Mod}
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-    if (s.length < k) return new GenericArrayData(Array.empty[Long])
-    // rolling polynomial hash over char k-grams
-    var pow = 1L
-    var i = 0
-    while (i < k - 1) { pow *= Base; i += 1 }
-    val n = s.length - k + 1
+    val cps = s.codePoints().toArray
+    val n = cps.length - k + 1
+    if (n < 1) return new GenericArrayData(Array.empty[Long])
+    // per-gram modular polynomial hash (k is small; O(n*k) is cheaper than
+    // a rolling update once the modular-inverse bookkeeping is counted)
     val hashes = new Array[Long](n)
-    var h = 0L
-    i = 0
-    while (i < k) { h = h * Base + s.charAt(i); i += 1 }
-    hashes(0) = h
-    i = 1
+    var i = 0
     while (i < n) {
-      h = (h - s.charAt(i - 1) * pow) * Base + s.charAt(i + k - 1)
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * Base + cps(i + j)) % Mod; j += 1 }
       hashes(i) = h
       i += 1
     }
@@ -63,6 +66,9 @@ case class RollingFingerprint(child: Expression, k: Int, w: Int)
 }
 
 object RollingFingerprint {
+  val Base = 257L
+  val Mod = 1000003L
+
   def rolling_fingerprint(text: Column, k: Int, w: Int): Column =
     ColumnInterop.toColumn(
       RollingFingerprint(ColumnInterop.toExpr(text), k, w))

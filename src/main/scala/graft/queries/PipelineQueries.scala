@@ -242,15 +242,14 @@ object PipelineQueries {
     }),
 
     // winnowing fingerprint (Schleimer et al. 2003) via the
-    // RollingFingerprint expression; no SQL-expressible oracle ->
-    // the driver records a rows-only check
+    // RollingFingerprint expression, exploded to scalar (doc_id, fp) rows
+    // (array columns break the driver's pandas canonicalization); the
+    // modular hash is replayed exactly by the DuckDB oracle
     "doc_winnow" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        graft.functions.RollingFingerprint
-          .rolling_fingerprint(col("text"), 5, 4).as("fp"))
-        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
-          col("fp"))),
+        explode(graft.functions.RollingFingerprint
+          .rolling_fingerprint(col("text"), 5, 4)).as("fp"))),
 
     // corpus token histogram (wordcount — the canonical explode+agg)
     "token_hist" -> ((s, d) =>
@@ -265,8 +264,9 @@ object PipelineQueries {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
           count(lit(1)).as("cnt"),
+          // string round-trip -> DOUBLE: see RelationalQueries.dsum scaladoc
           sum(col("value").cast(DecimalType(18, 6)))
-            .cast(DecimalType(38, 6)).as("sum_value"))
+            .cast("string").cast("double").as("sum_value"))
         .select(col("window.start").as("hour_start"), col("event_type"),
           col("cnt"), col("sum_value"))),
 
@@ -411,7 +411,30 @@ object PipelineQueries {
         |     length(replace(' ' || text || ' ', ' the ', ' '))) / 4 > 0
         |   THEN 1.0 ELSE 0.0 END) * 0.25 AS quality
         |FROM documents""".stripMargin,
-    // doc_winnow: no oracle (custom-expression fingerprint) -> rows-only
+    // doc_winnow oracle replays the winnowing fingerprint relationally:
+    // per-gram modular hash fold (code points, h=(h*257+cp)%1000003), then
+    // rightmost-min-per-window via a packed (hash, -position) min over a
+    // 4-row frame. Window starts limited to 1..n-w+1 (or just 1 when the
+    // doc has fewer grams than the window), matching RollingFingerprint.
+    "doc_winnow" -> {
+      val gramHash = (0 until 5).foldLeft("0") { (acc, j) =>
+        s"(($acc) * 257 + ascii(substr(text, i+$j, 1))) % 1000003"
+      }
+      s"""WITH g AS (
+         |  SELECT doc_id, text, length(text) - 4 AS n,
+         |    unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, i, n, $gramHash AS hv FROM g),
+         |wnd AS (
+         |  SELECT doc_id, i, n,
+         |    min(CAST(hv AS BIGINT) * 16777216 + (16777216 - i)) OVER (
+         |      PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS combo
+         |  FROM h)
+         |SELECT DISTINCT doc_id, CAST(combo // 16777216 AS BIGINT) AS fp
+         |FROM wnd WHERE i <= greatest(n - 3, 1)""".stripMargin
+    },
     "token_hist" ->
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
@@ -420,7 +443,8 @@ object PipelineQueries {
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |CAST(COUNT(*) AS BIGINT) AS cnt,
-        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |  AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_sessions" ->
       """SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,

@@ -23,12 +23,19 @@ import scala.collection.immutable.ListMap
   */
 object RelationalQueries {
 
-  /** Exact decimal sum of a 2-decimal money/quantity column. */
+  /** Exact decimal sum of a 2-decimal money/quantity column, returned as
+    * DOUBLE via a string round-trip: decimal->varchar is exact in both
+    * engines and string->double parsing is correctly rounded everywhere.
+    * Emitting the DECIMAL itself is a trap: the driver reads Spark parquet
+    * through pyarrow (scale-padded `Decimal('123.40')`) but the DuckDB
+    * oracle through fetchdf (float64, shortest repr `123.4`), so any sum
+    * whose last scale digit is 0 hash-mismatches on representation alone.
+    */
   private def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 2))).cast(DecimalType(38, 2))
+    sum(c.cast(DecimalType(18, 2))).cast("string").cast("double")
   /** Deterministic average: exact decimal sum, one double division. */
   private def davg(c: Column, denom: Column): Column =
-    sum(c.cast(DecimalType(18, 2))).cast("double") / denom
+    sum(c.cast(DecimalType(18, 2))).cast("string").cast("double") / denom
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -80,7 +87,7 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"),
           count(col("v")).as("n_nonnull"),
           count(when(col("v").isNull, 1)).as("n_null"),
-          (sum(col("v").cast(DecimalType(18, 6))).cast("double") /
+          (sum(col("v").cast(DecimalType(18, 6))).cast("string").cast("double") /
             count(col("v"))).as("avg_v"))),
 
     // 8. global aggregates
@@ -168,7 +175,7 @@ object RelationalQueries {
         .join(broadcast(weights), col("l_returnflag") === col("flag"))
         .groupBy("flag")
         .agg(sum((col("l_quantity") * col("wt")).cast(DecimalType(18, 4)))
-          .cast(DecimalType(38, 4)).as("weighted_qty"))
+          .cast("string").cast("double").as("weighted_qty"))
     }),
 
     // 18. CROSS JOIN (ref tests/test_sql.py:126-134)
@@ -272,9 +279,10 @@ object RelationalQueries {
 
   private val davgSql =
     (c: String, denom: String) =>
-      s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)/$denom"
+      s"CAST(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)/$denom"
   private val dsumSql =
-    (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+    (c: String) =>
+      s"CAST(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
 
   val oracleSql: ListMap[String, String] = ListMap(
     "scan_limit" ->
@@ -300,7 +308,8 @@ object RelationalQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |CAST(COUNT(v) AS BIGINT) AS n_nonnull,
         |CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_null,
-        |CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)/COUNT(v) AS avg_v
+        |CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)/COUNT(v)
+        |  AS avg_v
         |FROM (SELECT NULLIF(l_discount, 0.0) AS v FROM lineitem) t""".stripMargin,
     "agg_global" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -346,8 +355,8 @@ object RelationalQueries {
         |GROUP BY band""".stripMargin,
     "join_weighted" ->
       """SELECT flag,
-        |CAST(SUM(CAST(l_quantity * wt AS DECIMAL(18,4))) AS DECIMAL(38,4))
-        |  AS weighted_qty
+        |CAST(CAST(SUM(CAST(l_quantity * wt AS DECIMAL(18,4))) AS VARCHAR)
+        |  AS DOUBLE) AS weighted_qty
         |FROM lineitem JOIN (VALUES ('A',0.5),('N',1.0),('R',0.25))
         |  AS w(flag,wt) ON l_returnflag = flag
         |GROUP BY flag""".stripMargin,
