@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CfTimeExpr, DotProductF64, MinHashMd5, RollingFingerprint, WordShingles}
+import graft.functions.{CfTimeExpr, DotProductF64, MinHashMd5, RollingFingerprint, WordSetFingerprint, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
       (exprs: Seq[Expression]) => RollingFingerprint(exprs(0),
         lit(exprs(1), "k").toInt, lit(exprs(2), "w").toInt)))
+    ext.injectFunction((
+      FunctionIdentifier("word_set_fingerprint"),
+      new ExpressionInfo(classOf[WordSetFingerprint].getName,
+        "word_set_fingerprint"),
+      (exprs: Seq[Expression]) => WordSetFingerprint(exprs(0))))
     ext.injectFunction((
       FunctionIdentifier("cftime"),
       new ExpressionInfo(classOf[CfTimeExpr].getName, "cftime"),

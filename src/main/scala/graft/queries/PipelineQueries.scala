@@ -41,9 +41,10 @@ object PipelineQueries {
   private def shingles(w: Column): Column =
     graft.functions.WordShingles.word_shingles(w, 3)
 
-  /** MinHash_j = lexicographic min over md5(j + "|" + shingle), all four
-    * hashes in one pass (graft.functions.MinHashMd5 computes exactly the
-    * composable `array_min(transform(sh, s -> md5('j|' || s)))` values).
+  /** MinHash_j = lexicographic min over the j-th 8-hex-char slice of
+    * md5(shingle) — one digest per shingle yields all four families
+    * (graft.functions.MinHashMd5 computes exactly the composable
+    * `array_min(transform(sh, s -> substr(md5(s), 8*j+1, 8)))` values).
     */
   private def sigDF(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -59,12 +60,14 @@ object PipelineQueries {
       |shg AS (SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, greatest(len(w)-2, 1)),
       |    i -> array_to_string(w[i:i+2], ' '))) AS sh FROM tok),
+      |hsh AS (SELECT doc_id, sh,
+      |  list_transform(sh, s -> md5(s)) AS hl FROM shg),
       |sig AS (SELECT doc_id, sh,
-      |  list_aggregate(list_transform(sh, s -> md5('0|' || s)), 'min') AS sig0,
-      |  list_aggregate(list_transform(sh, s -> md5('1|' || s)), 'min') AS sig1,
-      |  list_aggregate(list_transform(sh, s -> md5('2|' || s)), 'min') AS sig2,
-      |  list_aggregate(list_transform(sh, s -> md5('3|' || s)), 'min') AS sig3
-      |  FROM shg)""".stripMargin
+      |  list_aggregate(list_transform(hl, h -> substr(h,  1, 8)), 'min') AS sig0,
+      |  list_aggregate(list_transform(hl, h -> substr(h,  9, 8)), 'min') AS sig1,
+      |  list_aggregate(list_transform(hl, h -> substr(h, 17, 8)), 'min') AS sig2,
+      |  list_aggregate(list_transform(hl, h -> substr(h, 25, 8)), 'min') AS sig3
+      |  FROM hsh)""".stripMargin
 
   /** doc_id + 2 band keys (2 hashes per band) for LSH bucketing. */
   private def bandsDF(s: SparkSession, d: String): DataFrame =
@@ -97,12 +100,13 @@ object PipelineQueries {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))),
 
     // fingerprint dedup: md5 over the sorted distinct word set
-    // (order/whitespace-insensitive duplicate detection)
+    // (order/whitespace-insensitive duplicate detection); single-pass
+    // expression — see WordSetFingerprint scaladoc for why not the
+    // composable md5(concat_ws(array_sort(array_distinct(...)))) form
     "dedup_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
-        .groupBy(md5(concat_ws(" ",
-          array_sort(array_distinct(split(lower(col("text")), " "))))
-          .cast("binary")).as("fp"))
+        .groupBy(graft.functions.WordSetFingerprint
+          .word_set_fingerprint(col("text")).as("fp"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))),
 
     // per-doc MinHash signature (4 hashes over word-3-gram shingles)

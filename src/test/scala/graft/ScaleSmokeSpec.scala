@@ -65,7 +65,7 @@ class ScaleSmokeSpec extends SparkTestBase {
       val mh = s2.sql(
         "SELECT minhash_md5(array('a','b','c'), '2') AS sig")
         .collect()(0).getSeq[String](0)
-      assert(mh.length == 2 && mh.forall(_.length == 32))
+      assert(mh.length == 2 && mh.forall(_.length == 8))
       val ct = s2.sql(
         "SELECT cftime('2000-07-01', 'days since 2000-01-01', '360_day') AS o")
         .collect()(0).getLong(0)

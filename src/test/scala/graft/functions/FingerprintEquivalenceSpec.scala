@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The single-pass native expressions must be value-identical to the
+  * composable Spark forms they replace — that equivalence is what makes
+  * the DuckDB oracles (written against the composable semantics) valid.
+  */
+class FingerprintEquivalenceSpec extends SparkTestBase {
+
+  private val samples = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "THE QUICK brown FOX the the fox",
+    "  leading and  double  spaces ",
+    "trailing space ",
+    " ",
+    "",
+    "single",
+    "ünïcödé wörds müst wörk töö ünïcödé",
+    "zahlen 123 und zeichen !?; gemischt 123",
+    "été café naïve été"
+  )
+
+  test("word_set_fingerprint == md5(concat_ws(array_sort(array_distinct(split(lower)))))") {
+    import spark.implicits._
+    val df = samples.toDF("text")
+    val rows = df.select(
+      WordSetFingerprint.word_set_fingerprint(col("text")).as("fast"),
+      md5(concat_ws(" ",
+        array_sort(array_distinct(split(lower(col("text")), " "))))
+        .cast("binary")).as("composable")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("minhash_md5 slices == array_min(transform(substr(md5(token))))") {
+    import spark.implicits._
+    val df = samples.filter(_.nonEmpty).toDF("text")
+      .select(split(col("text"), " ").as("tok"))
+    val slices = (0 until 4).map { j =>
+      array_min(transform(col("tok"),
+        t => substring(md5(t.cast("binary")), j * 8 + 1, 8))).as(s"c$j")
+    }
+    val rows = df.select(
+      Seq(MinHashMd5.minhash_md5(col("tok"), 4).as("fast")) ++ slices: _*)
+      .collect()
+    rows.foreach { r =>
+      val fast = r.getSeq[String](0)
+      (0 until 4).foreach(j => assert(fast(j) == r.getString(j + 1), r.toString))
+    }
+  }
+}
