@@ -86,6 +86,44 @@ object Multimodal {
     }(enc)
   }
 
+  /** Typed feature extraction over opaque binary payloads, partition-wise
+    * (the batch shape a real decoder runs in: one pass over each
+    * partition's rows, no shuffle, binary in / typed scalars out). The
+    * decode itself is a STUB — header magic plus arithmetic
+    * pseudo-dimensions derived from the byte length — deliberately simple
+    * enough that a SQL oracle replays it exactly, while the Spark-side
+    * plumbing (binary column, mapPartitions batching, typed output
+    * schema, null payloads) is the real thing.
+    */
+  def mediaFeatures(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType),
+      StructField("n_bytes", LongType),
+      StructField("magic", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("n_frames", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex("media_id")
+    val kindIdx = df.schema.fieldIndex("kind")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val kind = r.getString(kindIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        if (bytes == null) Row(id, kind, null, null, null, null, null)
+        else {
+          val n = bytes.length.toLong
+          val magic = bytes.take(4).map(b => f"${b & 0xff}%02X").mkString
+          Row(id, kind, n, magic,
+            64L + n % 577L, 64L + (n * 31L) % 421L, 1L + n % 24L)
+        }
+      }
+    }(enc)
+  }
+
   /** STUB resize: marks the metadata with the new dimensions and
     * truncates/extends the payload deterministically (a real codec would
     * re-encode pixels). Images only; other kinds pass through.

@@ -62,6 +62,48 @@ object SimilarityOps {
       .filter(col("cosine") >= threshold)
   }
 
+  /** IVF-style two-stage ANN: coarse-quantize every vector to its nearest
+    * of `nCentroids` centroid vectors (here: the first `nCentroids` rows,
+    * standing in for a trained codebook), then score the probe exactly
+    * against only the vectors in the probe's cell.
+    *
+    * Scale shape: the codebook is broadcast (a few KB even at 65k
+    * centroids x 1k dims), assignment is a map-side argmax with a partial
+    * aggregate (max over a (score, -cid) struct -- no sort, no window
+    * shuffle), and the exact top-k runs over ~1/nCentroids of the data.
+    * On a real deployment the table would be written bucketed by `bucket`
+    * so the probe-cell filter becomes partition pruning at the scan.
+    * Assignment uses dot(v,c)/|c| (the row's own norm is constant under
+    * the argmax, so this equals the cosine argmax but skips one sqrt).
+    */
+  def annIvf(vecs: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, probeId: Long, k: Int): DataFrame = {
+    val dot = GraftFunctions.dot_f64 _
+    val e = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = e.filter(col("id") < nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val assigned = e.filter(col("id") >= nCentroids)
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("cid"),
+        (dot(col("v"), col("cv")) / sqrt(dot(col("cv"), col("cv"))))
+          .as("score"))
+      // argmax centroid, ties to the lowest cid: max over (score, -cid)
+      .groupBy(col("id"))
+      .agg(max(struct(col("score").as("s"), (-col("cid")).as("nc"))).as("m"),
+        first(col("v")).as("v")) // v is constant per id
+      .select(col("id"), col("v"), (-col("m.nc")).as("bucket"))
+    val probe = assigned.filter(col("id") === probeId)
+      .select(col("bucket").as("pb"), col("v").as("pv"),
+        sqrt(dot(col("v"), col("v"))).as("pn"))
+    assigned.filter(col("id") =!= probeId)
+      .join(broadcast(probe), col("bucket") === col("pb"))
+      .select(col("id"),
+        (dot(col("v"), col("pv")) /
+          (sqrt(dot(col("v"), col("v"))) * col("pn"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** MinHash-banding candidate pairs over a token-array column: one-pass
     * k-hash signatures, split into `bands` bands, equi-join per band.
     */

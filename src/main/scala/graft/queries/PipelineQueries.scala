@@ -185,6 +185,28 @@ object PipelineQueries {
         .filter(col("cosine") >= 0.45)
     }),
 
+    // IVF-style two-stage ANN (the scale path for similarity search):
+    // broadcast codebook -> map-side argmax assignment -> exact top-k
+    // over the probe's cell only. Centroids = vec_ids 0..7, probe = 8.
+    "ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      graft.operators.SimilarityOps.annIvf(e, "vec_id", "v", 8, 8L, 10)
+        .select(col("id").as("vec_id"), col("cosine"))
+    }),
+
+    // multimodal: opaque binary payloads -> typed features through the
+    // partition-wise decode plumbing (decode STUBbed deterministically;
+    // see Multimodal.mediaFeatures)
+    "media_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.mediaFeatures(
+        Tables.documents(s, d).select(
+          col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"),
+          col("text").cast("binary").as("payload")))),
+
     // per-document text statistics (quality-scoring features)
     "text_stats" -> ((s, d) => {
       val t = col("text")
@@ -374,6 +396,47 @@ object PipelineQueries {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_aggregate(list_transform(list_zip(a.ve, b.ve),
         |  z -> z[1]*z[2]), 'sum') / (a.n * b.n) >= 0.45""".stripMargin,
+    // ann_ivf oracle: same two-stage plan relationally. Assignment ties
+    // break to the lowest cid on both sides (Spark: max over (score,-cid)
+    // struct; here: row_number ORDER BY score DESC, cid). Scores are
+    // sequential double folds -> bit-identical across engines.
+    "ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+        |scored AS (
+        |  SELECT e.id, e.v, c.cid,
+        |  list_aggregate(list_transform(list_zip(e.v, c.cv), z -> z[1]*z[2]),
+        |    'sum') / sqrt(list_aggregate(list_transform(c.cv, x -> x*x),
+        |    'sum')) AS score
+        |  FROM e, c WHERE e.id >= 8),
+        |assigned AS (
+        |  SELECT id, v, cid AS bucket FROM (
+        |    SELECT id, v, cid,
+        |    row_number() OVER (PARTITION BY id ORDER BY score DESC, cid) AS rn
+        |    FROM scored) t WHERE rn = 1),
+        |p AS (SELECT bucket AS pb, v AS pv FROM assigned WHERE id = 8)
+        |SELECT a.id AS vec_id,
+        |list_aggregate(list_transform(list_zip(a.v, p.pv), z -> z[1]*z[2]),
+        |  'sum') / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+        |  * sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum')))
+        |  AS cosine
+        |FROM assigned a, p
+        |WHERE a.bucket = p.pb AND a.id <> 8
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "media_features" ->
+      """SELECT doc_id AS media_id,
+        |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |substring(hex(encode(text)), 1, 8) AS magic,
+        |CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+        |CAST(64 + (octet_length(encode(text)) * 31) % 421 AS BIGINT)
+        |  AS height,
+        |CAST(1 + octet_length(encode(text)) % 24 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |CAST(length(text) AS BIGINT) AS n_chars_calc,

@@ -75,6 +75,50 @@ class SimilarityOpsSpec extends SparkTestBase {
     assert(cand.size < 300, s"candidate explosion: ${cand.size}")
   }
 
+  test("IVF ANN: probe-cell search returns the bucket-local exact top-k") {
+    import spark.implicits._
+    val (vecs, _) = plantedVectors(n = 300, dim = 32, planted = 0)
+    val df = vecs.toDF("id", "v")
+    val k = 10
+    val got = SimilarityOps.annIvf(df, "id", "v", nCentroids = 8,
+      probeId = 8L, k = k).collect()
+    assert(got.length == k)
+    // sorted by cosine desc
+    val cos = got.map(_.getDouble(1))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    // every result really lies in the probe's coarse cell: recompute
+    // assignment on the driver and check membership + exactness there
+    val byId = vecs.toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def bucket(v: Array[Double]) =
+      (0 until 8).minBy(c => (-dot(v, byId(c.toLong)) /
+        math.sqrt(dot(byId(c.toLong), byId(c.toLong))), c))
+    val pv = byId(8L)
+    val pb = bucket(pv)
+    val cell = vecs.filter { case (id, v) => id > 8 && bucket(v) == pb }
+    val exactTop = cell.map { case (id, v) =>
+      (id, dot(v, pv) / (math.sqrt(dot(v, v)) * math.sqrt(dot(pv, pv))))
+    }.sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSeq
+    assert(got.map(_.getLong(0)).toSeq == exactTop)
+  }
+
+  test("multimodal: mediaFeatures extracts typed features from binary payloads") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "image", "hello world".getBytes("UTF-8")),
+      (1L, "audio", Array[Byte](0x4d, 0x5a, 0x00, 0x01, 0x7f)),
+      (2L, "video", Array.emptyByteArray),
+      (3L, "image", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "kind", "payload")
+    val out = graft.multimodal.Multimodal.mediaFeatures(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(2) == 11L && out(0L).getString(3) == "68656C6C")
+    assert(out(1L).getString(3) == "4D5A0001" && out(1L).getLong(4) == 64L + 5L % 577L)
+    assert(out(2L).getLong(2) == 0L && out(2L).getString(3) == "")
+    assert(out(3L).isNullAt(2) && out(3L).isNullAt(3))
+  }
+
   test("multimodal: stub decode plumbing is deterministic and partition-wise") {
     val media = graft.multimodal.Multimodal.syntheticMedia(spark, 60)
     assert(media.count() == 60L)
