@@ -61,12 +61,15 @@ object GridSource {
   */
 object ReadCounters {
   val partitionsOpened = new LongAdder
+  val rowsEmitted = new LongAdder // row-mode readers only (columnar skips)
   private val varReads = new ConcurrentHashMap[String, LongAdder]()
   def recordVarRead(name: String): Unit =
     varReads.computeIfAbsent(name, _ => new LongAdder).increment()
   def varReadCount(name: String): Long =
     Option(varReads.get(name)).map(_.sum()).getOrElse(0L)
-  def reset(): Unit = { partitionsOpened.reset(); varReads.clear() }
+  def reset(): Unit = {
+    partitionsOpened.reset(); rowsEmitted.reset(); varReads.clear()
+  }
 }
 
 class GridTableProvider extends TableProvider {
@@ -105,12 +108,14 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var metaAggs: Option[Seq[MetaAgg]] = None
   private var limit: Int = -1
+  private var topKeys: Seq[(String, Boolean)] = Nil
 
   /** All filters are kept as residual (Spark re-applies them row-level) —
     * the pushed copies only drive partition pruning, mirroring the
@@ -173,10 +178,42 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed: Boolean = true
 
+  /** Partial TopN pushdown: when every sort key is a dimension column,
+    * each partition emits only its local top-N in sorted order — the
+    * cell enumeration follows per-dim coordinate-sorted index
+    * permutations instead of C-order, so an ORDER BY dim LIMIT k reads
+    * k rows per partition instead of the whole block. Spark keeps the
+    * final merge (TakeOrderedAndProject over partitions x k rows).
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val keys = orders.toSeq.map { so =>
+      so.expression() match {
+        // string dims are excluded: JVM String ordering is UTF-16-based
+        // and can disagree with Spark's binary UTF-8 collation
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+          groupDims.contains(nr.fieldNames()(0)) &&
+          !store.schema.dim(nr.fieldNames()(0)).coords.isInstanceOf[StringCoords] =>
+          Some((nr.fieldNames()(0),
+            so.direction() == SortDirection.DESCENDING))
+        case _ => None
+      }
+    }
+    if (keys.nonEmpty && keys.forall(_.isDefined)) {
+      // first ordering wins per dim (a dim repeated later can't change order)
+      topKeys = keys.flatten.distinctBy(_._1)
+      limit = l
+      true
+    } else false
+  }
+
   override def build(): Scan = metaAggs match {
     case Some(aggs) => new MetaAggScan(store, chunks, groupDims, aggs)
     case None =>
-      new GridScan(store, chunks, groupDims, groupVars, required, pushed, limit)
+      new GridScan(store, chunks, groupDims, groupVars, required, pushed,
+        limit, topKeys)
   }
 }
 
@@ -245,7 +282,8 @@ final case class MetaAggPartition(values: Array[Any]) extends InputPartition
 
 class GridScan(store: GridStore, chunks: Map[String, Int],
     groupDims: Seq[String], groupVars: Seq[VarDef],
-    required: StructType, filters: Array[Filter], limit: Int = -1)
+    required: StructType, filters: Array[Filter], limit: Int = -1,
+    topKeys: Seq[(String, Boolean)] = Nil)
   extends Scan with Batch with SupportsReportStatistics {
 
   /** Partition planning: enumerate chunk blocks, compute per-dim bounds
@@ -291,15 +329,18 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
 
   override def planInputPartitions(): Array[InputPartition] =
     survivingBlocks.map { case (block, _) =>
-      GridInputPartition(store, groupDims, block, required.fieldNames, limit)
+      GridInputPartition(store, groupDims, block, required.fieldNames, limit,
+        topKeys.map { case (d, desc) => (groupDims.indexOf(d), desc) })
         : InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GridPartitionReaderFactory
 
+  // top-N partitions emit <= limit rows; row readers skip batch setup
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    Scan.ColumnarSupportMode.SUPPORTED
+    if (topKeys.nonEmpty) Scan.ColumnarSupportMode.UNSUPPORTED
+    else Scan.ColumnarSupportMode.SUPPORTED
 
   /** Exact statistics from chunk metadata (A9): row count = sum of block
     * products after pruning; bytes = rows x fixed width of the pruned
@@ -321,17 +362,21 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
 
   override def description(): String = {
     val total = ChunkGrid.groupBlocks(store.schema, groupDims, chunks).size
+    val tn = if (topKeys.isEmpty) ""
+    else s" pushedTopN=[${topKeys.map { case (d, desc) =>
+      d + (if (desc) " DESC" else " ASC") }.mkString(",")} limit=$limit]"
     s"GridScan dims=[${groupDims.mkString(",")}] " +
-      s"partitions=${survivingBlocks.size}/$total cols=[${required.fieldNames.mkString(",")}]"
+      s"partitions=${survivingBlocks.size}/$total cols=[${required.fieldNames.mkString(",")}]$tn"
   }
 }
 
 /** One chunk block: slice offsets + the store handle. Bounds/row counts are
-  * planning-time only and deliberately not shipped.
+  * planning-time only and deliberately not shipped. `topKeys` are
+  * (dim index, descending) sort keys of a pushed partial TopN.
   */
 final case class GridInputPartition(store: GridStore, groupDims: Seq[String],
     block: Seq[(Int, Int)], requiredCols: Array[String],
-    limit: Int = -1) extends InputPartition
+    limit: Int = -1, topKeys: Seq[(Int, Boolean)] = Nil) extends InputPartition
 
 class GridPartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -341,7 +386,8 @@ class GridPartitionReaderFactory extends PartitionReaderFactory {
     * 65,536 rows (the reference's batch size, df.py:278-280): data
     * variables bulk-copy into vectors, coordinates fill by stride.
     */
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.asInstanceOf[GridInputPartition].topKeys.isEmpty
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -506,13 +552,77 @@ class GridPartitionReader(part: GridInputPartition)
   private var i: Long = -1L
   private val dimIdx = new Array[Int](shape.length)
 
-  override def next(): Boolean = { i += 1; i < n }
+  // --- pushed partial TopN: sorted cell enumeration ------------------
+  // Sort-key dims become the outermost loops (priority order), each
+  // following its coordinate-sorted index permutation; remaining dims
+  // stay innermost in C-order. The first `n` (= limit) cells of this
+  // enumeration ARE the partition's top-N, so the reader stops there.
+  private val topMode = part.topKeys.nonEmpty
+  private val enumOrder: Array[Int] =
+    if (!topMode) Array.empty
+    else (part.topKeys.map(_._1) ++
+      shape.indices.filterNot(part.topKeys.map(_._1).toSet)).toArray
+  private val perm: Array[Array[Int]] =
+    if (!topMode) Array.empty
+    else enumOrder.map { d =>
+      part.topKeys.find(_._1 == d) match {
+        case None => null // non-key dim: identity (C-order)
+        case Some((_, desc)) =>
+          val st = starts(d)
+          val idx = Array.range(0, shape(d))
+          def sorted[T](v: Array[T])(implicit ord: Ordering[T]): Array[Int] =
+            idx.sortBy(j => v(st + j))(if (desc) ord.reverse else ord)
+          schema.dim(part.groupDims(d)).coords match {
+            case DoubleCoords(v) => sorted(v)
+            case FloatCoords(v) => sorted(v)
+            case IntCoords(v) => sorted(v)
+            case LongCoords(v) => sorted(v)
+            case TimeCoords(v) => sorted(v)
+            case StringCoords(_) => throw new IllegalStateException(
+              "string dims are never TopN-pushed")
+          }
+      }
+    }
+  private val counts: Array[Int] = enumOrder.map(shape(_))
+  private val counter = new Array[Int](enumOrder.length)
+  private var flat: Long = 0L
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= n) return false
+    ReadCounters.rowsEmitted.increment()
+    if (topMode) {
+      if (i > 0) { // odometer step over the reordered dims
+        var j = enumOrder.length - 1
+        var carry = true
+        while (carry && j >= 0) {
+          counter(j) += 1
+          if (counter(j) < counts(j)) carry = false
+          else { counter(j) = 0; j -= 1 }
+        }
+      }
+      var j = 0
+      while (j < enumOrder.length) {
+        val d = enumOrder(j)
+        dimIdx(d) = if (perm(j) == null) counter(j) else perm(j)(counter(j))
+        j += 1
+      }
+      var f = 0L
+      var k = 0
+      while (k < shape.length) { f += dimIdx(k).toLong * strides(k); k += 1 }
+      flat = f
+    }
+    true
+  }
 
   override def get(): InternalRow = {
-    var k = 0
-    while (k < shape.length) {
-      dimIdx(k) = ((i / strides(k)) % shape(k)).toInt
-      k += 1
+    if (!topMode) {
+      var k = 0
+      while (k < shape.length) {
+        dimIdx(k) = ((i / strides(k)) % shape(k)).toInt
+        k += 1
+      }
+      flat = i
     }
     val row = new GenericInternalRow(cols.length)
     var c = 0
@@ -521,12 +631,12 @@ class GridPartitionReader(part: GridInputPartition)
         case DimCol(d, coords) =>
           row.update(c, coords.internal(starts(d) + dimIdx(d)))
         case VarCol(data) =>
-          val flat = i.toInt // block row counts are bounded by chunk sizing
+          val fi = flat.toInt // block row counts are bounded by chunk sizing
           data match {
-            case a: Array[Double] => row.update(c, a(flat))
-            case a: Array[Float] => row.update(c, a(flat))
-            case a: Array[Int] => row.update(c, a(flat))
-            case a: Array[Long] => row.update(c, a(flat))
+            case a: Array[Double] => row.update(c, a(fi))
+            case a: Array[Float] => row.update(c, a(fi))
+            case a: Array[Int] => row.update(c, a(fi))
+            case a: Array[Long] => row.update(c, a(fi))
           }
       }
       c += 1

@@ -137,6 +137,33 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("TopN pushdown: ORDER BY dim LIMIT k reads k rows per partition") {
+    val df = ctx.dataFrame("topn1", Fixtures.pruneGrid, Map("time" -> 25),
+      Seq("time", "lat"))
+    val q = df.orderBy(col("time").desc, col("lat"))
+      .select("time", "lat", "temperature").limit(3)
+    counted {
+      val rows = q.collect()
+      // top 3 by (time desc, lat asc): the max day with the 3 lowest lats
+      assert(rows.map(r => (r.getTimestamp(0).getTime, r.getDouble(1))).toSeq
+        == Seq(((18262L + 99) * 86400000L, -90.0),
+          ((18262L + 99) * 86400000L, -45.0),
+          ((18262L + 99) * 86400000L, 0.0)))
+      // every partition emits exactly its local top-3 (4 chunks x 3),
+      // not its full 125-row block
+      assert(ReadCounters.partitionsOpened.sum() == 4L)
+      assert(ReadCounters.rowsEmitted.sum() == 12L,
+        s"emitted ${ReadCounters.rowsEmitted.sum()}")
+    }
+    assert(q.queryExecution.executedPlan.toString.contains("pushedTopN"),
+      q.queryExecution.executedPlan.toString)
+    // a non-dim sort key is NOT pushed: full blocks are read
+    counted {
+      df.orderBy(col("temperature").desc).limit(3).collect()
+      assert(ReadCounters.rowsEmitted.sum() == 0L) // columnar path = no push
+    }
+  }
+
   test("scan emits columnar batches (ColumnarToRow present in plan)") {
     val df = ctx.dataFrame("colbatch", Fixtures.linearGrid, Map("t" -> 6),
       Seq("t", "lat", "lon"))
