@@ -1,6 +1,5 @@
 package graft.grid
 
-import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Path, Paths}
 
@@ -8,10 +7,15 @@ import java.nio.file.{Files, Path, Paths}
   * engine's laziness/pruning/projection pushdowns hit real file I/O:
   *
   * {{{
-  * <root>/metadata.txt            # dims, coords, vars, chunk grid
-  * <root>/<var>/<i>.<j>...bin     # one raw little-endian C-order file
+  * <root>/metadata.txt            # dims, coords, vars, chunk grid, codec
+  * <root>/<var>/<i>.<j>...bin     # one little-endian C-order file
   *                                # per variable per chunk
   * }}}
+  *
+  * Chunk payloads are optionally zstd-compressed (`codec = "zstd"`; the
+  * codec Zarr deployments default to, via Spark's bundled zstd-jni) —
+  * whole-chunk frames, so a read is one decompress call and the
+  * decompressed size is known from the chunk shape up front.
   *
   * Pruned partitions never open their chunk files; unprojected variables'
   * files are never opened (the storage-level effect the reference gets
@@ -22,7 +26,7 @@ import java.nio.file.{Files, Path, Paths}
   * String coordinates are not supported on disk (numeric/time axes only).
   */
 final case class BinaryGridStore(root: String, schema: GridSchema,
-    chunks: Map[String, Int]) extends GridStore {
+    chunks: Map[String, Int], codec: String = "none") extends GridStore {
 
   def readVar(name: String, ranges: Seq[(Int, Int)]): AnyRef = {
     val v = schema.vars.find(_.name == name).getOrElse(
@@ -34,9 +38,15 @@ final case class BinaryGridStore(root: String, schema: GridSchema,
       start / c
     }
     val file = Paths.get(root, name, chunkIdx.mkString(".") + ".bin")
-    val bytes = Files.readAllBytes(file)
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val n = ranges.map(_._2).product
+    val raw = Files.readAllBytes(file)
+    val bytes = codec match {
+      case "none" => raw
+      case "zstd" =>
+        com.github.luben.zstd.Zstd.decompress(raw, n * v.dtype.byteWidth)
+      case other => throw new IllegalArgumentException(s"bad codec $other")
+    }
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     v.dtype match {
       case GDouble => val a = new Array[Double](n); bb.asDoubleBuffer().get(a); a
       case GFloat => val a = new Array[Float](n); bb.asFloatBuffer().get(a); a
@@ -53,13 +63,15 @@ object BinaryGridStore {
 
   /** Materialize `source` to `root` chunk by chunk (streaming: one chunk
     * of one variable resident at a time) and return the disk-backed store.
+    * `codec = "zstd"` compresses each chunk payload as one zstd frame.
     */
-  def write(source: GridStore, root: String,
-      chunks: Map[String, Int]): BinaryGridStore = {
+  def write(source: GridStore, root: String, chunks: Map[String, Int],
+      codec: String = "none"): BinaryGridStore = {
+    require(codec == "none" || codec == "zstd", s"bad codec $codec")
     val schema = source.schema
     val dir = Paths.get(root)
     Files.createDirectories(dir)
-    writeMetadata(dir.resolve("metadata.txt"), schema, chunks)
+    writeMetadata(dir.resolve("metadata.txt"), schema, chunks, codec)
     schema.vars.foreach { v =>
       val varDir = dir.resolve(v.name)
       Files.createDirectories(varDir)
@@ -69,12 +81,15 @@ object BinaryGridStore {
           start / chunks.getOrElse(d, math.max(schema.dim(d).size, 1))
         }
         val data = source.readVar(v.name, block)
-        val out = new DataOutputStream(new BufferedOutputStream(
-          new FileOutputStream(varDir.resolve(idx.mkString(".") + ".bin").toFile)))
-        try writeLE(out, data) finally out.close()
+        val payload = {
+          val raw = toLE(data)
+          if (codec == "zstd") com.github.luben.zstd.Zstd.compress(raw, 3)
+          else raw
+        }
+        Files.write(varDir.resolve(idx.mkString(".") + ".bin"), payload)
       }
     }
-    BinaryGridStore(root, schema, chunks)
+    BinaryGridStore(root, schema, chunks, codec)
   }
 
   /** Open an existing store from its metadata. */
@@ -83,8 +98,10 @@ object BinaryGridStore {
     var dims = Vector.empty[DimDef]
     var vars = Vector.empty[VarDef]
     var chunks = Map.empty[String, Int]
+    var codec = "none"
     lines.forEach { line =>
       line.split(" ", 4).toList match {
+        case "codec" :: c :: Nil => codec = c
         case "dim" :: name :: tpe :: values :: Nil =>
           val vs = if (values.isEmpty) Array.empty[String] else values.split(",")
           val coords = tpe match {
@@ -104,7 +121,7 @@ object BinaryGridStore {
         case other => throw new IllegalArgumentException(s"bad metadata line: $line")
       }
     }
-    BinaryGridStore(root, GridSchema(dims, vars), chunks)
+    BinaryGridStore(root, GridSchema(dims, vars), chunks, codec)
   }
 
   private def parseType(s: String): GridType = s match {
@@ -126,7 +143,7 @@ object BinaryGridStore {
   }
 
   private def writeMetadata(path: Path, schema: GridSchema,
-      chunks: Map[String, Int]): Unit = {
+      chunks: Map[String, Int], codec: String): Unit = {
     val sb = new StringBuilder
     schema.dims.foreach { d =>
       val (tpe, values) = d.coords match {
@@ -144,24 +161,22 @@ object BinaryGridStore {
       sb.append(s"var ${v.name} ${v.dims.mkString(",")} ${typeName(v.dtype)}\n")
     }
     chunks.foreach { case (d, c) => sb.append(s"chunk $d $c\n") }
+    if (codec != "none") sb.append(s"codec $codec\n")
     Files.writeString(path, sb.toString)
   }
 
-  private def writeLE(out: DataOutputStream, data: AnyRef): Unit = {
-    def flush(bb: ByteBuffer): Unit = out.write(bb.array())
-    data match {
-      case a: Array[Double] =>
-        val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-        bb.asDoubleBuffer().put(a); flush(bb)
-      case a: Array[Float] =>
-        val bb = ByteBuffer.allocate(a.length * 4).order(ByteOrder.LITTLE_ENDIAN)
-        bb.asFloatBuffer().put(a); flush(bb)
-      case a: Array[Int] =>
-        val bb = ByteBuffer.allocate(a.length * 4).order(ByteOrder.LITTLE_ENDIAN)
-        bb.asIntBuffer().put(a); flush(bb)
-      case a: Array[Long] =>
-        val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-        bb.asLongBuffer().put(a); flush(bb)
-    }
+  private def toLE(data: AnyRef): Array[Byte] = data match {
+    case a: Array[Double] =>
+      val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.asDoubleBuffer().put(a); bb.array()
+    case a: Array[Float] =>
+      val bb = ByteBuffer.allocate(a.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      bb.asFloatBuffer().put(a); bb.array()
+    case a: Array[Int] =>
+      val bb = ByteBuffer.allocate(a.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      bb.asIntBuffer().put(a); bb.array()
+    case a: Array[Long] =>
+      val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.asLongBuffer().put(a); bb.array()
   }
 }

@@ -63,6 +63,34 @@ class BinaryGridStoreSpec extends SparkTestBase {
     assert(Files.exists(Paths.get(dir2, "precipitation", "0.0.bin")))
   }
 
+  test("zstd codec: values round-trip exactly and chunks shrink on disk") {
+    def dirBytes(d: String, v: String): Long =
+      Files.list(Paths.get(d, v)).toArray.map(p =>
+        Files.size(p.asInstanceOf[java.nio.file.Path])).sum
+    val raw = tempDir("zraw")
+    val comp = tempDir("zcomp")
+    val chunks = Map("time" -> 25)
+    BinaryGridStore.write(Fixtures.pruneGrid, raw, chunks)
+    BinaryGridStore.write(Fixtures.pruneGrid, comp, chunks, codec = "zstd")
+    // open() recovers the codec from metadata
+    val store = BinaryGridStore.open(comp)
+    assert(store.codec == "zstd")
+    val expect = BinaryGridStore.open(raw)
+    for (c <- 0 until 4) {
+      val block = Seq((c * 25, 25), (0, 5))
+      assert(store.readVar("temperature", block).asInstanceOf[Array[Double]]
+        .toSeq == expect.readVar("temperature", block)
+        .asInstanceOf[Array[Double]].toSeq, s"chunk $c")
+    }
+    assert(dirBytes(comp, "temperature") < dirBytes(raw, "temperature"))
+    // the compressed store serves the DSv2 scan identically
+    val ctx = new XarrayContext(spark)
+    val df = ctx.dataFrame("zstd1", store, chunks, Seq("time", "lat"))
+    val s = df.agg(sum("temperature")).collect()(0).getDouble(0)
+    val df0 = ctx.dataFrame("zstd0", expect, chunks, Seq("time", "lat"))
+    assert(s == df0.agg(sum("temperature")).collect()(0).getDouble(0))
+  }
+
   test("values round-trip exactly for all numeric dtypes") {
     val time = TimeCoords(Array(0L, 86400000000L))
     val x = IntCoords(Array(0, 1, 2))
