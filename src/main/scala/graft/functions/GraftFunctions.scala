@@ -4,7 +4,6 @@ import graft.time.CfCalendar
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
@@ -89,7 +88,7 @@ case class DotProductF64(left: Expression, right: Expression)
   * comparison and participates in zone-map pruning.
   */
 case class CfTimeExpr(child: Expression, units: String, calendar: String)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with RefCallCodegen {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "cftime"

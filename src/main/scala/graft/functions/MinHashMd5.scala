@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftinterop.ColumnInterop
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -25,7 +24,7 @@ import java.security.MessageDigest
   * the signatures; the non-replayable fast path is MinHash64.
   */
 case class MinHashMd5(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with RefCallCodegen {
 
   require(k > 0 && k <= 4, s"k out of range (md5 has 4 32-bit slices): $k")
 

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftinterop.ColumnInterop
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -21,7 +20,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * 64-bit integers (DuckDB) evaluates the identical value.
   */
 case class RollingFingerprint(child: Expression, k: Int, w: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with RefCallCodegen {
 
   require(k >= 2 && k <= 64, s"k out of range: $k")
   require(w >= 1 && w <= 256, s"w out of range: $w")

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftinterop.ColumnInterop
 import org.apache.spark.sql.types._
@@ -56,7 +55,7 @@ object ScaleHashes {
   * computed in a single traversal of the token array.
   */
 case class MinHash64(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with RefCallCodegen {
 
   require(k > 0 && k <= 1024, s"k out of range: $k")
 
@@ -91,7 +90,7 @@ case class MinHash64(child: Expression, k: Int)
   * Collision probability per bit = 1 - angle(x, y) / pi (Charikar 2002).
   */
 case class HyperplaneBucket(child: Expression, bits: Int, seed: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with RefCallCodegen {
 
   require(bits > 0 && bits <= 30, s"bits out of range: $bits")
 

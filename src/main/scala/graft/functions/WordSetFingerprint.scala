@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftinterop.ColumnInterop
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,7 +23,7 @@ import java.security.MessageDigest
   * Spark's `array_sort` on strings and DuckDB's `list_sort` on varchar.
   */
 case class WordSetFingerprint(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with RefCallCodegen {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "word_set_fingerprint"

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftinterop.ColumnInterop
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -18,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * which is why this exists.
   */
 case class WordShingles(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with RefCallCodegen {
 
   require(n >= 1 && n <= 16, s"n out of range: $n")
 

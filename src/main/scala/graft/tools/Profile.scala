@@ -78,6 +78,22 @@ object Profile {
           split(lower(col("text")), " "), 3), 4).as("s"))
         .agg(count("s")).collect()
     }
+    t("neardup_jaccard broadcast-cand") {
+      import graft.queries.PipelineQueries
+      val q = PipelineQueries.queries("lsh_candidate_pairs")(spark, d)
+      val sh = Tables.documents(spark, d)
+        .select(col("doc_id"), graft.functions.WordShingles.word_shingles(
+          split(lower(col("text")), " "), 3).as("sh"))
+      val withA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+        .join(broadcast(q), "doc_a")
+      val withB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"))
+        .join(broadcast(withA), "doc_b")
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val jac = inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter)
+      withB.select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.4).count()
+    }
     t("join_expr_ts full") {
       graft.queries.RelationalQueries.queries("join_expr_ts")(spark, d).count()
     }

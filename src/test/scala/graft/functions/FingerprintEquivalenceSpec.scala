@@ -33,6 +33,23 @@ class FingerprintEquivalenceSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("custom expressions keep their Project inside whole-stage codegen") {
+    // a CodegenFallback expression would exclude the whole Project from
+    // WSCG (CollapseCodegenStages), splitting the span; RefCallCodegen
+    // keeps it inside — the Project line carries the codegen '*'
+    val df = spark.range(64)
+      .select(concat(lit("w "), col("id").cast("string")).as("text"))
+      .select(
+        WordSetFingerprint.word_set_fingerprint(col("text")).as("fp"),
+        MinHashMd5.minhash_md5(
+          WordShingles.word_shingles(split(col("text"), " "), 2), 4).as("sig"))
+    df.collect() // force compile: codegen errors would fall back silently
+    val plan = df.queryExecution.executedPlan.toString
+    val projLine = plan.linesIterator
+      .find(_.contains("word_set_fingerprint")).getOrElse(fail(plan))
+    assert(projLine.trim.matches("^[+:\\-\\s]*\\*\\(\\d+\\).*"), plan)
+  }
+
   test("minhash_md5 slices == array_min(transform(substr(md5(token))))") {
     import spark.implicits._
     val df = samples.filter(_.nonEmpty).toDF("text")
