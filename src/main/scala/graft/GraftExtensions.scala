@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // filtered COUNT(*) over a grid answered from chunk metadata when the
+    // predicate region aligns with the chunk grid
+    ext.injectOptimizerRule(graft.plans.MetadataCountRule)
     ext.injectFunction((
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),

@@ -89,8 +89,9 @@ class GridTableProvider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = false
 }
 
-class GridTable(key: String, store: GridStore, chunks: Map[String, Int],
-    groupDims: Seq[String]) extends Table with SupportsRead {
+class GridTable(key: String, val store: GridStore,
+    val chunks: Map[String, Int], val groupDims: Seq[String])
+  extends Table with SupportsRead {
   private val groupVars = store.schema.vars.filter(_.dims == groupDims)
 
   override def name(): String = s"grid:$key"
@@ -217,6 +218,34 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
   }
 }
 
+/** Per-block coordinate bounds — shared by scan-time pruning and the
+  * logical-plan metadata-count rewrite.
+  */
+object GridBounds {
+  def forBlock(schema: GridSchema, groupDims: Seq[String],
+      block: Seq[(Int, Int)]): Map[String, DimBounds] =
+    groupDims.zip(block).flatMap { case (dimName, (start, len)) =>
+      schema.dim(dimName).coords match {
+        case DoubleCoords(v) =>
+          val s = v.slice(start, start + len)
+          if (s.isEmpty) None else Some(dimName -> NumBounds(s.min, s.max))
+        case FloatCoords(v) =>
+          val s = v.slice(start, start + len).map(_.toDouble)
+          if (s.isEmpty) None else Some(dimName -> NumBounds(s.min, s.max))
+        case IntCoords(v) =>
+          val s = v.slice(start, start + len).map(_.toDouble)
+          if (s.isEmpty) None else Some(dimName -> NumBounds(s.min, s.max))
+        case LongCoords(v) =>
+          val s = v.slice(start, start + len)
+          if (s.isEmpty) None else Some(dimName -> LongBounds(s.min, s.max))
+        case TimeCoords(v) =>
+          val s = v.slice(start, start + len)
+          if (s.isEmpty) None else Some(dimName -> LongBounds(s.min, s.max))
+        case StringCoords(_) => None // strings: no pruning bounds
+      }
+    }.toMap
+}
+
 sealed trait MetaAgg extends Serializable
 case object MetaCountStar extends MetaAgg
 final case class MetaMinDim(dim: String) extends MetaAgg
@@ -294,34 +323,11 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
   private lazy val survivingBlocks: Seq[(Seq[(Int, Int)], Map[String, DimBounds])] = {
     val allBlocks = ChunkGrid.groupBlocks(store.schema, groupDims, chunks)
     allBlocks
-      .map(b => (b, blockBounds(b)))
+      .map(b => (b, GridBounds.forBlock(store.schema, groupDims, b)))
       .filterNot { case (_, bounds) =>
         filters.exists(f => ZoneMapPruning.excludes(f, bounds))
       }
   }
-
-  private def blockBounds(block: Seq[(Int, Int)]): Map[String, DimBounds] =
-    groupDims.zip(block).flatMap { case (dimName, (start, len)) =>
-      val coords = store.schema.dim(dimName).coords
-      coords match {
-        case DoubleCoords(v) =>
-          val s = v.slice(start, start + len)
-          if (s.isEmpty) None else Some(dimName -> NumBounds(s.min, s.max))
-        case FloatCoords(v) =>
-          val s = v.slice(start, start + len).map(_.toDouble)
-          if (s.isEmpty) None else Some(dimName -> NumBounds(s.min, s.max))
-        case IntCoords(v) =>
-          val s = v.slice(start, start + len).map(_.toDouble)
-          if (s.isEmpty) None else Some(dimName -> NumBounds(s.min, s.max))
-        case LongCoords(v) =>
-          val s = v.slice(start, start + len)
-          if (s.isEmpty) None else Some(dimName -> LongBounds(s.min, s.max))
-        case TimeCoords(v) =>
-          val s = v.slice(start, start + len)
-          if (s.isEmpty) None else Some(dimName -> LongBounds(s.min, s.max))
-        case StringCoords(_) => None // strings: no pruning bounds
-      }
-    }.toMap
 
   override def readSchema(): StructType = required
 

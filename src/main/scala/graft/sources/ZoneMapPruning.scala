@@ -49,6 +49,33 @@ object ZoneMapPruning {
       case _ => false // Not / IsNotNull / string ops / unknown: conservative
     }
 
+  /** True iff `filter` proves EVERY row of a partition with `bounds`
+    * matches — the containment dual of `excludes`, used by the
+    * metadata-count rewrite (a partition fully inside the predicate
+    * region contributes its exact row count without being read).
+    * Conservative: anything unprovable from bounds returns false.
+    */
+  def includes(filter: Filter, bounds: Map[String, DimBounds]): Boolean =
+    filter match {
+      case And(l, r) => includes(l, bounds) && includes(r, bounds)
+      case Or(l, r) => includes(l, bounds) || includes(r, bounds)
+      case EqualTo(a, v) =>
+        cmp(a, v, bounds).exists { case (lo, hi) => lo == 0 && hi == 0 }
+      case GreaterThan(a, v) => // all rows > v iff min > v
+        cmp(a, v, bounds).exists { case (lo, _) => lo > 0 }
+      case GreaterThanOrEqual(a, v) =>
+        cmp(a, v, bounds).exists { case (lo, _) => lo >= 0 }
+      case LessThan(a, v) =>
+        cmp(a, v, bounds).exists { case (_, hi) => hi < 0 }
+      case LessThanOrEqual(a, v) =>
+        cmp(a, v, bounds).exists { case (_, hi) => hi <= 0 }
+      case In(a, vs) => // provable only for a constant axis equal to a member
+        vs.exists(v =>
+          cmp(a, v, bounds).exists { case (lo, hi) => lo == 0 && hi == 0 })
+      case IsNotNull(a) => bounds.contains(a) // dim coords are never null
+      case _ => false
+    }
+
   /** (sign(min - v), sign(max - v)) when the column has bounds and the
     * literal converts; None -> cannot prune on this predicate.
     */

@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.{GraftExtensions, SparkTestBase, XarrayContext}
+import graft.grid.Fixtures
+import graft.sources.ReadCounters
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The injected optimizer rule answers filtered COUNT(*) from chunk
+  * metadata when every partition falls provably inside or outside the
+  * predicate region, and bails to the normal pruned scan otherwise.
+  */
+class MetadataCountRuleSpec extends SparkTestBase {
+
+  private lazy val session: SparkSession = {
+    spark // force the shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  test("chunk-aligned filtered COUNT(*) opens zero partitions") {
+    val ctx = new XarrayContext(session)
+    // pruneGrid: 100 days x 5 lats, 4 time chunks of 25 days
+    val df = ctx.dataFrame("metacount1", Fixtures.pruneGrid,
+      Map("time" -> 25), Seq("time", "lat"))
+    ReadCounters.reset()
+    // >= day 75: last chunk fully included, first three fully excluded
+    val n = df.filter(col("time") >= to_timestamp(lit("2020-03-16 00:00:00")))
+      .count()
+    assert(n == 25L * 5)
+    assert(ReadCounters.partitionsOpened.sum() == 0L,
+      s"opened ${ReadCounters.partitionsOpened.sum()}")
+    // BETWEEN spanning chunks 1..2 exactly (days 25..74)
+    ReadCounters.reset()
+    val m = df.filter(col("time").between(
+      to_timestamp(lit("2020-01-26 00:00:00")),
+      to_timestamp(lit("2020-03-15 00:00:00")))).count()
+    assert(m == 50L * 5)
+    assert(ReadCounters.partitionsOpened.sum() == 0L)
+  }
+
+  test("boundary-straddling or data-variable filters bail to the scan") {
+    val ctx = new XarrayContext(session)
+    val df = ctx.dataFrame("metacount2", Fixtures.pruneGrid,
+      Map("time" -> 25), Seq("time", "lat"))
+    // day 79 cuts through the last chunk: rule must not fire
+    ReadCounters.reset()
+    val n = df.filter(col("time") >= to_timestamp(lit("2020-03-20 00:00:00")))
+      .count()
+    assert(n == 21L * 5)
+    assert(ReadCounters.partitionsOpened.sum() == 1L) // pruned scan instead
+    // predicate on a data variable can never be metadata-answered
+    ReadCounters.reset()
+    val k = df.filter(col("temperature") >= 0.0).count()
+    assert(k >= 0L)
+    assert(ReadCounters.partitionsOpened.sum() == 4L)
+  }
+}
