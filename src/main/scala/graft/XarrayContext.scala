@@ -2,7 +2,7 @@ package graft
 
 import graft.grid.{GridStore, VarDef}
 import graft.sources.GridSource
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 
 /** SQL-context façade over grid datasets — the Spark analogue of the
   * reference's `XarrayContext` (xarray_sql/sql.py:12-178).
@@ -52,4 +52,21 @@ class XarrayContext(val spark: SparkSession) {
   }
 
   def sql(query: String): DataFrame = spark.sql(query)
+
+  /** API parity with the reference's legacy `from_map` (SURVEY §2A A17,
+    * df.py:120-207): map a row-generating function over items, one task
+    * per group of items, and get a queryable Dataset — e.g. chunk keys
+    * in, pivoted rows out. Distributed and lazy: `f` runs on executors
+    * at action time, never on the driver.
+    */
+  def fromMap[A, B: Encoder](items: Seq[A], f: A => IterableOnce[B],
+      numPartitions: Int = 0)(implicit cta: scala.reflect.ClassTag[A],
+      ctb: scala.reflect.ClassTag[B]): Dataset[B] = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(1, math.min(items.size,
+        spark.sparkContext.defaultParallelism))
+    spark.createDataset(
+      spark.sparkContext.parallelize(items, parts).flatMap(a => f(a)))
+  }
 }

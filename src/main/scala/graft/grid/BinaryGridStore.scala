@@ -19,9 +19,10 @@ import java.nio.file.{Files, Path, Paths}
   *
   * Pruned partitions never open their chunk files; unprojected variables'
   * files are never opened (the storage-level effect the reference gets
-  * from Zarr variable pruning, reader.py:279-296). Reads are whole-chunk:
-  * the DSv2 scan partitions on exactly this chunk grid, so every
-  * `readVar` call is chunk-aligned by construction.
+  * from Zarr variable pruning, reader.py:279-296). The DSv2 scan
+  * partitions on exactly this chunk grid, so its reads are chunk-aligned
+  * single-file fast paths; arbitrary (unaligned, multi-chunk) ranges are
+  * also served, assembled chunk by chunk.
   *
   * String coordinates are not supported on disk (numeric/time axes only).
   */
@@ -31,14 +32,21 @@ final case class BinaryGridStore(root: String, schema: GridSchema,
   def readVar(name: String, ranges: Seq[(Int, Int)]): AnyRef = {
     val v = schema.vars.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"unknown var $name"))
-    val chunkIdx = v.dims.zip(ranges).map { case (d, (start, len)) =>
-      val c = chunks.getOrElse(d, math.max(schema.dim(d).size, 1))
-      require(start % c == 0 && (len == c || start + len == schema.dim(d).size),
-        s"unaligned read of $name on $d: ($start,$len) vs chunk $c")
-      start / c
+    val chunkSz = v.dims.map(d =>
+      chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
+    val aligned = v.dims.indices.forall { i =>
+      val (start, len) = ranges(i)
+      start % chunkSz(i) == 0 &&
+        (len == chunkSz(i) || start + len == schema.dim(v.dims(i)).size)
     }
-    val file = Paths.get(root, name, chunkIdx.mkString(".") + ".bin")
-    val n = ranges.map(_._2).product
+    if (aligned) readChunk(v, ranges.zip(chunkSz).map(r => r._1._1 / r._2),
+      ranges.map(_._2).product)
+    else assembleUnaligned(v, ranges, chunkSz)
+  }
+
+  /** One whole chunk: a single file read (+ one decompress for zstd). */
+  private def readChunk(v: VarDef, chunkIdx: Seq[Int], n: Int): AnyRef = {
+    val file = Paths.get(root, v.name, chunkIdx.mkString(".") + ".bin")
     val raw = Files.readAllBytes(file)
     val bytes = codec match {
       case "none" => raw
@@ -56,6 +64,90 @@ final case class BinaryGridStore(root: String, schema: GridSchema,
       case GString => throw new IllegalArgumentException(
         "string variables unsupported in BinaryGridStore")
     }
+  }
+
+  /** Multi-chunk / unaligned read: visit every chunk the request
+    * overlaps, read it whole, and copy the intersection hyperslab into
+    * the C-order output — innermost-dimension runs via System.arraycopy
+    * (type-agnostic on primitive arrays). The DSv2 scan never takes this
+    * path (its partitions are chunk-aligned by construction); it serves
+    * direct store access such as LazyGridView window slices.
+    */
+  private def assembleUnaligned(v: VarDef, ranges: Seq[(Int, Int)],
+      chunkSz: Seq[Int]): AnyRef = {
+    val nd = v.dims.length
+    val dimSz = v.dims.map(d => schema.dim(d).size)
+    val outShape = ranges.map(_._2).toArray
+    val n = outShape.product
+    val out: AnyRef = v.dtype match {
+      case GDouble => new Array[Double](n)
+      case GFloat => new Array[Float](n)
+      case GInt => new Array[Int](n)
+      case GLong | GTimestamp => new Array[Long](n)
+      case GString => throw new IllegalArgumentException(
+        "string variables unsupported in BinaryGridStore")
+    }
+    val outStride = strides(outShape)
+    val cLo = (0 until nd).map(i => ranges(i)._1 / chunkSz(i))
+    val cHi = (0 until nd).map(i =>
+      (ranges(i)._1 + ranges(i)._2 - 1) / chunkSz(i))
+    // odometer over overlapped chunk indices
+    val ci = cLo.toArray
+    var done = nd == 0
+    while (!done) {
+      val chunkStart = (0 until nd).map(i => ci(i) * chunkSz(i))
+      val chunkShape = (0 until nd)
+        .map(i => math.min(chunkSz(i), dimSz(i) - chunkStart(i))).toArray
+      val lo = (0 until nd)
+        .map(i => math.max(ranges(i)._1, chunkStart(i))).toArray
+      val hi = (0 until nd).map(i =>
+        math.min(ranges(i)._1 + ranges(i)._2,
+          chunkStart(i) + chunkShape(i))).toArray
+      val src = readChunk(v, ci.toSeq, chunkShape.product)
+      val srcStride = strides(chunkShape)
+      // copy [lo, hi): odometer over outer dims, arraycopy inner runs
+      val run = hi(nd - 1) - lo(nd - 1)
+      val pos = lo.clone()
+      var copying = true
+      while (copying) {
+        var srcOff = 0
+        var dstOff = 0
+        var k = 0
+        while (k < nd) {
+          srcOff += (pos(k) - chunkStart(k)) * srcStride(k)
+          dstOff += (pos(k) - ranges(k)._1) * outStride(k)
+          k += 1
+        }
+        System.arraycopy(src, srcOff, out, dstOff, run)
+        // advance outer dims (all but the innermost)
+        var j = nd - 2
+        var carry = true
+        while (carry && j >= 0) {
+          pos(j) += 1
+          if (pos(j) < hi(j)) carry = false
+          else { pos(j) = lo(j); j -= 1 }
+        }
+        if (carry) copying = false
+      }
+      // next overlapped chunk
+      var j = nd - 1
+      var carry = true
+      while (carry && j >= 0) {
+        ci(j) += 1
+        if (ci(j) <= cHi(j)) carry = false
+        else { ci(j) = cLo(j); j -= 1 }
+      }
+      if (carry) done = true
+    }
+    out
+  }
+
+  private def strides(shape: Array[Int]): Array[Int] = {
+    val s = new Array[Int](shape.length)
+    var acc = 1
+    var k = shape.length - 1
+    while (k >= 0) { s(k) = acc; acc *= shape(k); k -= 1 }
+    s
   }
 }
 

@@ -30,6 +30,18 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("eventType"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming deduplication by key within the watermark: the state
+    * store keeps one entry per key only until the watermark passes it,
+    * so memory stays bounded by the late-data horizon instead of growing
+    * with the stream — the streaming member of the dedup family
+    * (exact/fingerprint/MinHash cover the batch side).
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      watermark: String, keyCols: String*): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Gap-based sessionization: a session closes after `gapMs` of
     * inactivity per user; emits one summary row per closed session.
     */

@@ -26,13 +26,23 @@ class BinaryGridStoreSpec extends SparkTestBase {
       assert(got(t * 110 + i * 10 + j) == law(Array(6 + t, i, j)))
   }
 
-  test("unaligned reads are rejected") {
+  test("unaligned multi-chunk reads assemble the exact hyperslab") {
     val dir = tempDir("align")
     val store = BinaryGridStore.write(Fixtures.airSmall, dir, Map("time" -> 6))
-    val e = intercept[IllegalArgumentException] {
-      store.readVar("air", Seq((3, 6), (0, 11), (0, 10)))
-    }
-    assert(e.getMessage.contains("unaligned"))
+    val law = Fixtures.airSmall.laws("air")
+    // spans both time chunks, offset in every dim
+    val ranges = Seq((3, 6), (2, 7), (1, 8))
+    val got = store.readVar("air", ranges).asInstanceOf[Array[Double]]
+    assert(got.length == 6 * 7 * 8)
+    for (t <- 0 until 6; i <- 0 until 7; j <- 0 until 8)
+      assert(got(t * 56 + i * 8 + j) == law(Array(3 + t, 2 + i, 1 + j)),
+        s"cell ($t,$i,$j)")
+    // and under zstd too
+    val zdir = tempDir("alignz")
+    val zstore =
+      BinaryGridStore.write(Fixtures.airSmall, zdir, Map("time" -> 6), "zstd")
+    assert(zstore.readVar("air", ranges).asInstanceOf[Array[Double]]
+      .sameElements(got))
   }
 
   test("DSv2 scan over the disk store: pruning skips chunk files entirely") {

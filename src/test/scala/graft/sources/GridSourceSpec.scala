@@ -248,6 +248,21 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("from_map: chunk keys in, queryable rows out (A17 parity)") {
+    import graft.SparkTestBase.spark.implicits._
+    // generator shaped like the reference's from_map docs: one item per
+    // chunk key, each yielding that chunk's rows
+    val ds = ctx.fromMap(Seq(0, 1, 2), (k: Int) =>
+      (0 until 4).map(i => (k.toLong * 4 + i, s"chunk$k")))
+    ds.createOrReplaceTempView("from_map_t")
+    assert(ds.rdd.getNumPartitions <= 3 && ds.rdd.getNumPartitions >= 1)
+    val got = ctx.sql(
+      "SELECT _2 AS c, CAST(COUNT(*) AS BIGINT) n, CAST(SUM(_1) AS BIGINT) s " +
+        "FROM from_map_t GROUP BY _2 ORDER BY c").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq(("chunk0", 4L, 6L), ("chunk1", 4L, 22L), ("chunk2", 4L, 38L)))
+  }
+
   test("reverse pivot: SQL result scatters back to a dense grid") {
     val store = Fixtures.linearGrid
     val df = ctx.dataFrame("rev1", store, Map("t" -> 6), Seq("t", "lat", "lon"))

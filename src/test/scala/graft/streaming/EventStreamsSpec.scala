@@ -2,7 +2,6 @@ package graft.streaming
 
 import graft.SparkTestBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.Trigger
 
 import java.sql.Timestamp
 
@@ -17,16 +16,23 @@ class EventStreamsSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[Event]
+    // explicit micro-batches: the watermark computed at the end of one
+    // batch only closes windows in the NEXT batch, so emission needs a
+    // batch after the watermark-pushing event (AvailableNow may stop
+    // before that follow-up batch runs)
     val q = hourlyCounts(input.toDF())
       .writeStream.outputMode("append").format("memory")
-      .queryName("hourly_out").trigger(Trigger.AvailableNow()).start()
-
+      .queryName("hourly_out").start()
     input.addData(
       Event(ts(5), 1L, "click", 1.0),
       Event(ts(10), 2L, "click", 2.0),
-      Event(ts(65), 1L, "view", 3.0),
-      // watermark pushes past hour 0 only with a much later event
-      Event(ts(300), 3L, "click", 4.0))
+      Event(ts(65), 1L, "view", 3.0))
+    q.processAllAvailable()
+    // pushes the watermark past hours 0 and 1...
+    input.addData(Event(ts(300), 3L, "click", 4.0))
+    q.processAllAvailable()
+    // ...and this batch emits the windows the new watermark closed
+    input.addData(Event(ts(301), 3L, "click", 5.0))
     q.processAllAvailable()
     q.stop()
 
@@ -35,6 +41,31 @@ class EventStreamsSpec extends SparkTestBase {
     // hour 0 (2 clicks) and hour 1 (1 view) are closed by the watermark
     assert(out.contains(("click", 2L, 3.0)))
     assert(out.contains(("view", 1L, 3.0)))
+  }
+
+  test("streaming dedup within watermark drops re-delivered events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // default trigger: AvailableNow would terminate after the first batch
+    val q = dedupWithinWatermark(input.toDF(), "ts", "1 hour",
+      "userId", "eventType")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    input.addData(
+      Event(ts(1), 1L, "click", 1.0),
+      Event(ts(1), 1L, "click", 1.0), // same-batch duplicate
+      Event(ts(2), 2L, "view", 2.0))
+    q.processAllAvailable()
+    input.addData(
+      Event(ts(3), 1L, "click", 9.0), // re-delivery in a later batch
+      Event(ts(4), 3L, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(1), r.getString(2))).toList
+    assert(out.length == 3, out.toString)
+    assert(out.toSet == Set((1L, "click"), (2L, "view"), (3L, "click")))
   }
 
   test("stateful sessionization emits one summary per closed session") {
