@@ -118,29 +118,36 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
   private var limit: Int = -1
   private var topKeys: Seq[(String, Boolean)] = Nil
 
-  /** All filters are kept as residual (Spark re-applies them row-level) —
-    * the pushed copies only drive partition pruning, mirroring the
-    * reference's Inexact pushdown (lib.rs:548-565).
+  /** Separable-exact dimension predicates (conjunctions of single-dim
+    * compares on non-string dims) are claimed EXACT: the reader
+    * enumerates only matching cells, so Spark drops its re-filter.
+    * Everything else stays residual (Spark re-applies it row-level),
+    * mirroring the reference's Inexact pushdown (lib.rs:548-565); the
+    * pushed copies of those still drive zone-map partition pruning.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
-    filters
+    filters.filterNot(f =>
+      SeparableDimFilters.isSeparable(f, store.schema, groupDims))
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Unfiltered COUNT(*) / MIN(dim) / MAX(dim) are answered entirely
-    * from metadata — exact row counts are products of chunk shapes and
-    * dimension extrema come from the coordinate arrays (the reference's
-    * metadata count + exact min/max statistics, tests/test_stats.py).
-    * Only safe with no residual filters; grouped aggregates and
-    * data-variable aggregates are not pushed.
+  /** COUNT(*) / MIN(dim) / MAX(dim) are answered entirely from
+    * metadata — under no filter OR under separable-exact dim filters
+    * (then the matching cell set is a cross product of per-dim surviving
+    * coordinate lists: count = product of list sizes, extrema = list
+    * extrema; chunk alignment is irrelevant). The reference only
+    * metadata-answers the unfiltered count (tests/test_stats.py:78-91).
+    * Grouped aggregates and data-variable aggregates are not pushed.
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+    pushed.forall(f =>
+      SeparableDimFilters.isSeparable(f, store.schema, groupDims)) &&
+      agg.groupByExpressions().isEmpty &&
       agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall(e => toMetaAgg(e).isDefined)
 
@@ -211,7 +218,7 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
   }
 
   override def build(): Scan = metaAggs match {
-    case Some(aggs) => new MetaAggScan(store, chunks, groupDims, aggs)
+    case Some(aggs) => new MetaAggScan(store, chunks, groupDims, aggs, pushed)
     case None =>
       new GridScan(store, chunks, groupDims, groupVars, required, pushed,
         limit, topKeys)
@@ -252,31 +259,47 @@ final case class MetaMinDim(dim: String) extends MetaAgg
 final case class MetaMaxDim(dim: String) extends MetaAgg
 
 /** Complete metadata-aggregate pushdown: one partition, one row, zero
-  * data access. COUNT(*) from chunk shapes; MIN/MAX of dims from the
-  * coordinate arrays (actual extrema — descending axes included).
+  * data access. Without filters, COUNT(*) is the product of dim sizes
+  * and MIN/MAX of dims come from the coordinate arrays (actual extrema —
+  * descending axes included). Under separable-exact dim filters the
+  * matching cell set is the cross product of per-dim surviving
+  * coordinate lists, so the same aggregates come from those lists
+  * (empty product -> count 0 and SQL-null extrema).
   */
 class MetaAggScan(store: GridStore, chunks: Map[String, Int],
-    groupDims: Seq[String], aggs: Seq[MetaAgg]) extends Scan with Batch {
+    groupDims: Seq[String], aggs: Seq[MetaAgg],
+    filters: Array[Filter] = Array.empty) extends Scan with Batch {
+
+  private lazy val surviving: Map[String, Array[Int]] =
+    groupDims.map(d => d -> SeparableDimFilters.survivingIndices(
+      filters.toSeq, store.schema, groupDims, d, 0,
+      store.schema.dim(d).size)).toMap
+
+  private lazy val totalCount: Long =
+    groupDims.map(d => surviving(d).length.toLong).product
 
   private def coordExtreme(dim: String, wantMax: Boolean): Any = {
+    val keep = surviving(dim)
+    if (totalCount == 0L) return null // no matching rows -> SQL NULL
     val c = store.schema.dim(dim).coords
-    val idx = (0 until c.size)
-    require(idx.nonEmpty, s"empty dim $dim")
     c match {
-      case DoubleCoords(v) => if (wantMax) v.max else v.min
-      case FloatCoords(v) => if (wantMax) v.max else v.min
-      case IntCoords(v) => if (wantMax) v.max else v.min
-      case LongCoords(v) => if (wantMax) v.max else v.min
-      case TimeCoords(v) => if (wantMax) v.max else v.min
+      case DoubleCoords(v) =>
+        val s = keep.map(v); if (wantMax) s.max else s.min
+      case FloatCoords(v) =>
+        val s = keep.map(v); if (wantMax) s.max else s.min
+      case IntCoords(v) =>
+        val s = keep.map(v); if (wantMax) s.max else s.min
+      case LongCoords(v) =>
+        val s = keep.map(v); if (wantMax) s.max else s.min
+      case TimeCoords(v) =>
+        val s = keep.map(v); if (wantMax) s.max else s.min
       case StringCoords(_) => throw new IllegalStateException(
         "string dims are never meta-agg pushed")
     }
   }
 
   private lazy val values: Array[Any] = aggs.map {
-    case MetaCountStar =>
-      ChunkGrid.groupBlocks(store.schema, groupDims, chunks)
-        .map(ChunkGrid.rowCount).sum: java.lang.Long
+    case MetaCountStar => totalCount: java.lang.Long
     case MetaMinDim(d) => coordExtreme(d, wantMax = false)
     case MetaMaxDim(d) => coordExtreme(d, wantMax = true)
   }.toArray
@@ -324,10 +347,28 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
     val allBlocks = ChunkGrid.groupBlocks(store.schema, groupDims, chunks)
     allBlocks
       .map(b => (b, GridBounds.forBlock(store.schema, groupDims, b)))
-      .filterNot { case (_, bounds) =>
-        filters.exists(f => ZoneMapPruning.excludes(f, bounds))
+      .filterNot { case (block, bounds) =>
+        filters.exists(f => ZoneMapPruning.excludes(f, bounds)) ||
+          blockKeep(block).exists(_.isEmpty)
       }
   }
+
+  /** Per-dim surviving RELATIVE indices within a block under the
+    * separable dim predicates (full range when none apply). An empty
+    * list on any dim empties the whole block (dense cross product).
+    */
+  private def blockKeep(block: Seq[(Int, Int)]): Seq[Array[Int]] =
+    groupDims.zip(block).map { case (d, (start, len)) =>
+      SeparableDimFilters.survivingIndices(filters.toSeq, store.schema,
+        groupDims, d, start, len).map(_ - start)
+    }
+
+  private lazy val anyDimFilter: Boolean =
+    survivingBlocks.exists { case (block, _) =>
+      blockKeep(block).zip(block).exists { case (keep, (_, len)) =>
+        keep.length != len
+      }
+    }
 
   override def readSchema(): StructType = required
 
@@ -335,17 +376,21 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
 
   override def planInputPartitions(): Array[InputPartition] =
     survivingBlocks.map { case (block, _) =>
+      val keep = blockKeep(block)
       GridInputPartition(store, groupDims, block, required.fieldNames, limit,
-        topKeys.map { case (d, desc) => (groupDims.indexOf(d), desc) })
-        : InputPartition
+        topKeys.map { case (d, desc) => (groupDims.indexOf(d), desc) },
+        // ship surviving lists only when they actually filter something
+        if (keep.zip(block).forall { case (k, (_, l)) => k.length == l })
+          Nil
+        else keep): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GridPartitionReaderFactory
 
-  // top-N partitions emit <= limit rows; row readers skip batch setup
+  // top-N / dim-filtered partitions use the enumerating row reader
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    if (topKeys.nonEmpty) Scan.ColumnarSupportMode.UNSUPPORTED
+    if (topKeys.nonEmpty || anyDimFilter) Scan.ColumnarSupportMode.UNSUPPORTED
     else Scan.ColumnarSupportMode.SUPPORTED
 
   /** Exact statistics from chunk metadata (A9): row count = sum of block
@@ -353,7 +398,11 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
     * schema. Feeds Catalyst's broadcast-join selection.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = survivingBlocks.map(b => ChunkGrid.rowCount(b._1)).sum
+    // exact even under dim filters: per block, the matching cell count
+    // is the product of per-dim surviving list sizes
+    private val rows = survivingBlocks.map { case (block, _) =>
+      blockKeep(block).map(_.length.toLong).product
+    }.sum
     private val width = math.max(8,
       required.fieldNames.map(widthOf).sum)
     override def sizeInBytes(): OptionalLong = OptionalLong.of(rows * width)
@@ -371,18 +420,25 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
     val tn = if (topKeys.isEmpty) ""
     else s" pushedTopN=[${topKeys.map { case (d, desc) =>
       d + (if (desc) " DESC" else " ASC") }.mkString(",")} limit=$limit]"
+    val ef = if (!anyDimFilter) ""
+    else " exactDimFilters=" + filters.filter(f =>
+      SeparableDimFilters.isSeparable(f, store.schema, groupDims))
+      .mkString("[", ",", "]")
     s"GridScan dims=[${groupDims.mkString(",")}] " +
-      s"partitions=${survivingBlocks.size}/$total cols=[${required.fieldNames.mkString(",")}]$tn"
+      s"partitions=${survivingBlocks.size}/$total cols=[${required.fieldNames.mkString(",")}]$tn$ef"
   }
 }
 
 /** One chunk block: slice offsets + the store handle. Bounds/row counts are
   * planning-time only and deliberately not shipped. `topKeys` are
-  * (dim index, descending) sort keys of a pushed partial TopN.
+  * (dim index, descending) sort keys of a pushed partial TopN;
+  * `dimKeep` (when non-empty) holds per-dim surviving RELATIVE indices
+  * of exactly-pushed separable dim filters.
   */
 final case class GridInputPartition(store: GridStore, groupDims: Seq[String],
     block: Seq[(Int, Int)], requiredCols: Array[String],
-    limit: Int = -1, topKeys: Seq[(Int, Boolean)] = Nil) extends InputPartition
+    limit: Int = -1, topKeys: Seq[(Int, Boolean)] = Nil,
+    dimKeep: Seq[Array[Int]] = Nil) extends InputPartition
 
 class GridPartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -392,8 +448,10 @@ class GridPartitionReaderFactory extends PartitionReaderFactory {
     * 65,536 rows (the reference's batch size, df.py:278-280): data
     * variables bulk-copy into vectors, coordinates fill by stride.
     */
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    partition.asInstanceOf[GridInputPartition].topKeys.isEmpty
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val p = partition.asInstanceOf[GridInputPartition]
+    p.topKeys.isEmpty && p.dimKeep.isEmpty
+  }
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -558,26 +616,30 @@ class GridPartitionReader(part: GridInputPartition)
   private var i: Long = -1L
   private val dimIdx = new Array[Int](shape.length)
 
-  // --- pushed partial TopN: sorted cell enumeration ------------------
-  // Sort-key dims become the outermost loops (priority order), each
-  // following its coordinate-sorted index permutation; remaining dims
-  // stay innermost in C-order. The first `n` (= limit) cells of this
-  // enumeration ARE the partition's top-N, so the reader stops there.
-  private val topMode = part.topKeys.nonEmpty
+  // --- enumerated cell iteration (pushed TopN and/or exact filters) --
+  // Each dim iterates over an explicit RELATIVE index list: the
+  // surviving indices of exactly-pushed dim filters (all indices when
+  // none), sorted by coordinate for TopN sort-key dims. Sort-key dims
+  // become the outermost loops (priority order); remaining dims stay
+  // innermost in C-order, so plain filtered scans keep C-order and TopN
+  // scans emit their local top-N first and stop at `limit`.
+  private val enumMode = part.topKeys.nonEmpty || part.dimKeep.nonEmpty
   private val enumOrder: Array[Int] =
-    if (!topMode) Array.empty
+    if (!enumMode) Array.empty
     else (part.topKeys.map(_._1) ++
       shape.indices.filterNot(part.topKeys.map(_._1).toSet)).toArray
   private val perm: Array[Array[Int]] =
-    if (!topMode) Array.empty
+    if (!enumMode) Array.empty
     else enumOrder.map { d =>
+      val base: Array[Int] =
+        if (part.dimKeep.isEmpty) Array.range(0, shape(d))
+        else part.dimKeep(d)
       part.topKeys.find(_._1 == d) match {
-        case None => null // non-key dim: identity (C-order)
+        case None => base // C-order within the surviving indices
         case Some((_, desc)) =>
           val st = starts(d)
-          val idx = Array.range(0, shape(d))
           def sorted[T](v: Array[T])(implicit ord: Ordering[T]): Array[Int] =
-            idx.sortBy(j => v(st + j))(if (desc) ord.reverse else ord)
+            base.sortBy(j => v(st + j))(if (desc) ord.reverse else ord)
           schema.dim(part.groupDims(d)).coords match {
             case DoubleCoords(v) => sorted(v)
             case FloatCoords(v) => sorted(v)
@@ -589,15 +651,23 @@ class GridPartitionReader(part: GridInputPartition)
           }
       }
     }
-  private val counts: Array[Int] = enumOrder.map(shape(_))
+  private val counts: Array[Int] = perm.map(_.length)
   private val counter = new Array[Int](enumOrder.length)
   private var flat: Long = 0L
 
+  // cap n at the enumerated cell count (fewer cells when filters prune)
+  private val nEnum: Long =
+    if (!enumMode) n
+    else {
+      val cells = counts.foldLeft(1L)(_ * _.toLong)
+      if (part.limit >= 0) math.min(cells, part.limit.toLong) else cells
+    }
+
   override def next(): Boolean = {
     i += 1
-    if (i >= n) return false
+    if (i >= (if (enumMode) nEnum else n)) return false
     ReadCounters.rowsEmitted.increment()
-    if (topMode) {
+    if (enumMode) {
       if (i > 0) { // odometer step over the reordered dims
         var j = enumOrder.length - 1
         var carry = true
@@ -610,7 +680,7 @@ class GridPartitionReader(part: GridInputPartition)
       var j = 0
       while (j < enumOrder.length) {
         val d = enumOrder(j)
-        dimIdx(d) = if (perm(j) == null) counter(j) else perm(j)(counter(j))
+        dimIdx(d) = perm(j)(counter(j))
         j += 1
       }
       var f = 0L
@@ -622,7 +692,7 @@ class GridPartitionReader(part: GridInputPartition)
   }
 
   override def get(): InternalRow = {
-    if (!topMode) {
+    if (!enumMode) {
       var k = 0
       while (k < shape.length) {
         dimIdx(k) = ((i / strides(k)) % shape(k)).toInt

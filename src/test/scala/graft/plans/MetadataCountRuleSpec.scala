@@ -46,16 +46,27 @@ class MetadataCountRuleSpec extends SparkTestBase {
     assert(ReadCounters.partitionsOpened.sum() == 0L)
   }
 
-  test("boundary-straddling or data-variable filters bail to the scan") {
+  test("cross-dim OR counts come from the rule; data-var filters scan") {
     val ctx = new XarrayContext(session)
     val df = ctx.dataFrame("metacount2", Fixtures.pruneGrid,
       Map("time" -> 25), Seq("time", "lat"))
-    // day 79 cuts through the last chunk: rule must not fire
+    // day 79 straddles the last chunk: the RULE bails, but the scan's
+    // separable-exact filtered meta-aggregate still answers it — either
+    // way the count is pure metadata now
     ReadCounters.reset()
     val n = df.filter(col("time") >= to_timestamp(lit("2020-03-20 00:00:00")))
       .count()
     assert(n == 21L * 5)
-    assert(ReadCounters.partitionsOpened.sum() == 1L) // pruned scan instead
+    assert(ReadCounters.partitionsOpened.sum() == 0L)
+    // cross-dim OR is NOT separable (scan pushdown can't take it), but
+    // the rule's includes/excludes containment still decides every
+    // chunk: last chunk included via the time arm, rest excluded by both
+    ReadCounters.reset()
+    val m = df.filter(
+      col("time") >= to_timestamp(lit("2020-03-16 00:00:00")) ||
+        col("lat") > 1000.0).count()
+    assert(m == 25L * 5)
+    assert(ReadCounters.partitionsOpened.sum() == 0L)
     // predicate on a data variable can never be metadata-answered
     ReadCounters.reset()
     val k = df.filter(col("temperature") >= 0.0).count()

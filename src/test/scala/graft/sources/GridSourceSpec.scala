@@ -51,7 +51,9 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   test("pruning: time predicates open exactly the surviving partitions") {
     val store = Fixtures.pruneGrid // 4 time chunks of 25 days
     val df = ctx.dataFrame("prune1", store, Map("time" -> 25), Seq("time", "lat"))
-    def runCount(d: DataFrame): Long = d.count()
+    // collect, not count(): filtered COUNT(*) is metadata-answered and
+    // would open zero partitions — this test pins the SCAN's pruning
+    def runCount(d: DataFrame): Long = d.collect().length.toLong
 
     // time >= day 75 -> only last chunk
     counted {
@@ -109,10 +111,17 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       // complete COUNT(*) pushdown: no grid partition is even opened
       assert(ReadCounters.partitionsOpened.sum() == 0L)
     }
-    // with a residual filter the aggregate is NOT pushed (rows must be
-    // filtered), but pruning still bounds the work
+    // a separable dim filter is exactly pushed, so even the FILTERED
+    // count comes from coordinate metadata — zero partitions opened,
+    // chunk alignment irrelevant
     counted {
       assert(df.filter(col("lat") > 0.0).count() == 20L)
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+    }
+    // a data-variable filter stays residual -> the aggregate is NOT
+    // pushed and the scan must read (pruning still bounds the work)
+    counted {
+      assert(df.filter(col("temperature") >= 0.0).count() >= 0L)
       assert(ReadCounters.partitionsOpened.sum() == 2L)
     }
   }
@@ -167,10 +176,19 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   test("scan emits columnar batches (ColumnarToRow present in plan)") {
     val df = ctx.dataFrame("colbatch", Fixtures.linearGrid, Map("t" -> 6),
       Seq("t", "lat", "lon"))
-    val q = df.filter(col("lat") > 60.0).select("t", "lat", "air")
+    // plain projection: bulk columnar path
+    val q = df.select("t", "lat", "air")
     q.collect()
     assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
       q.queryExecution.executedPlan.toString)
+    // a dim filter switches to the enumerating row reader (only matching
+    // cells are pivoted; the filter is exact at the scan, no re-filter)
+    val f = df.filter(col("lat") > 60.0).select("t", "lat", "air")
+    val rows = f.collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(1) > 60.0))
+    val plan = f.queryExecution.executedPlan.toString
+    assert(plan.contains("exactDimFilters"), plan)
+    assert(!plan.contains("ColumnarToRow"), plan)
   }
 
   test("tables are re-queryable: fresh scan per query, same results") {
