@@ -2,6 +2,7 @@ package graft
 
 import graft.grid._
 import graft.sources.ReadCounters
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -46,6 +47,48 @@ class ScaleSmokeSpec extends SparkTestBase {
     }
     assert(ReadCounters.partitionsOpened.sum() == 40L)
     assert(secs < 60.0, s"aggregation too slow: $secs s")
+  }
+
+  test("memory envelope: aggregation memory does not scale with the dataset") {
+    // the reference pins full-table aggregation peak < 2x dataset bytes
+    // (tests/test_df.py:459-474). On Spark the reader is an iterator per
+    // chunk, so the analogue is: per-task peak EXECUTION memory is a
+    // constant page allocation for the agg hash map — growing the
+    // dataset 10x must not grow it (rows stream through, never resident).
+    def gridStore(nTime: Int): SyntheticGridStore = {
+      val time = TimeCoords((0 until nTime).map(k =>
+        (18262L + k) * 86400000000L).toArray)
+      val lat = DoubleCoords((0 until 100).map(i => -90.0 + 1.8 * i).toArray)
+      val lon = DoubleCoords((0 until 100).map(j => -180.0 + 3.6 * j).toArray)
+      SyntheticGridStore(
+        GridSchema(
+          Seq(DimDef("time", time), DimDef("lat", lat), DimDef("lon", lon)),
+          Seq(VarDef("temperature", Seq("time", "lat", "lon"), GDouble))),
+        Map("temperature" -> ScaleSmokeSpec.IntLaw()))
+    }
+    val listener = new SparkListener {
+      @volatile var peak = 0L
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          peak = math.max(peak, t.taskMetrics.peakExecutionMemory)
+    }
+    def peakFor(name: String, nTime: Int): Long = {
+      val ctx = new XarrayContext(spark)
+      val df = ctx.dataFrame(name, gridStore(nTime), Map("time" -> 25),
+        Seq("time", "lat", "lon"))
+      listener.peak = 0L
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(df.groupBy("lat").agg(sum("temperature"))
+          .collect().length == 100)
+        Thread.sleep(2000) // listener events are async
+        listener.peak
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val small = peakFor("memenv_s", 50) //  0.5M cells,  4 MB
+    val large = peakFor("memenv_l", 500) //   5M cells, 40 MB
+    assert(large <= small * 2,
+      s"execution memory scaled with data: $small -> $large")
   }
 
   test("GraftExtensions registers SQL-callable native functions") {
