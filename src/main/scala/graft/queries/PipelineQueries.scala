@@ -92,6 +92,20 @@ object PipelineQueries {
   private def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.dot_f64(a, b)
 
+  /** Composite quality score; dyadic weights keep every intermediate
+    * double bit-identical across engines (see quality_score oracle).
+    */
+  private def qualityExpr(t: Column): Column = {
+    val nTokens = length(t) - length(regexp_replace(t, " ", "")) + 1
+    val avgLen = (length(regexp_replace(t, " ", "")).cast("double") /
+      nTokens.cast("double"))
+    val padded = concat(lit(" "), t, lit(" "))
+    val nThe = (length(padded) - length(regexp_replace(padded, " the ", " "))) / 4
+    least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.5 +
+      least(avgLen / 8.0, lit(1.0)) * 0.25 +
+      when(nThe > 0, 1.0).otherwise(0.0) * 0.25
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     // exact dedup: group by content hash, keep lowest doc_id
     "dedup_exact" -> ((s, d) =>
@@ -253,18 +267,44 @@ object PipelineQueries {
 
     // composite quality score from length/structure features (dyadic
     // weights keep the arithmetic bit-identical across engines)
-    "quality_score" -> ((s, d) => {
-      val t = col("text")
-      val nTokens = length(t) - length(regexp_replace(t, " ", "")) + 1
-      val avgLen = (length(regexp_replace(t, " ", "")).cast("double") /
-        nTokens.cast("double"))
-      val padded = concat(lit(" "), t, lit(" "))
-      val nThe = (length(padded) - length(regexp_replace(padded, " the ", " "))) / 4
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        (least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.5 +
-          least(avgLen / 8.0, lit(1.0)) * 0.25 +
-          when(nThe > 0, 1.0).otherwise(0.0) * 0.25).as("quality"))
+    "quality_score" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        qualityExpr(col("text")).as("quality"))),
+
+    // end-to-end cleaning pipeline: exact dedup (keep lowest doc_id per
+    // content hash) -> quality gate -> per-language corpus stats. The
+    // composition a training-data job actually runs, as one plan:
+    // one hash-partition window for dedup, one aggregation shuffle.
+    "pipeline_clean" -> ((s, d) => {
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+        .orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .filter(qualityExpr(col("text")) >= 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
+            .as("n_tokens"))
+    }),
+
+    // as-of join (composed, not a custom operator): for every view
+    // event, the latest click by the same user at-or-before it.
+    // Carry-forward window = one shuffle on user_id + one sort — the
+    // scalable shape; no per-row range probe, no O(n^2).
+    "join_asof" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("last_click_us",
+          last(when(col("event_type") === "click", unix_micros(col("ts"))),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("last_click_us"),
+          (unix_micros(col("ts")) - col("last_click_us")).as("gap_us"))
     }),
 
     // winnowing fingerprint (Schleimer et al. 2003) via the
@@ -478,6 +518,38 @@ object PipelineQueries {
         |     length(replace(' ' || text || ' ', ' the ', ' '))) / 4 > 0
         |   THEN 1.0 ELSE 0.0 END) * 0.25 AS quality
         |FROM documents""".stripMargin,
+    "pipeline_clean" -> {
+      val quality =
+        """least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
+          |+ least((CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+          |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)) / 8.0,
+          |    1.0) * 0.25
+          |+ (CASE WHEN (length(' ' || text || ' ') -
+          |     length(replace(' ' || text || ' ', ' the ', ' '))) / 4 > 0
+          |   THEN 1.0 ELSE 0.0 END) * 0.25""".stripMargin
+      s"""WITH dedup AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, text, lang,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) t WHERE rn = 1),
+         |clean AS (SELECT * FROM dedup WHERE $quality >= 0.5)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |CAST(SUM(len(regexp_extract_all(lower(text),
+         |  '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_tokens
+         |FROM clean GROUP BY lang""".stripMargin
+    },
+    "join_asof" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, last_click_us,
+        |epoch_us(ts) - last_click_us AS gap_us
+        |FROM (
+        |  SELECT *,
+        |  last_value(CASE WHEN event_type = 'click'
+        |      THEN epoch_us(ts) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_click_us
+        |  FROM events) t
+        |WHERE event_type = 'view'""".stripMargin,
     // doc_winnow oracle replays the winnowing fingerprint relationally:
     // per-gram modular hash fold (code points, h=(h*257+cp)%1000003), then
     // rightmost-min-per-window via a packed (hash, -position) min over a
