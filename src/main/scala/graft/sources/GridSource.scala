@@ -334,39 +334,68 @@ final case class MetaAggPartition(values: Array[Any]) extends InputPartition
 
 class GridScan(store: GridStore, chunks: Map[String, Int],
     groupDims: Seq[String], groupVars: Seq[VarDef],
-    required: StructType, filters: Array[Filter], limit: Int = -1,
+    required: StructType, staticFilters: Array[Filter], limit: Int = -1,
     topKeys: Seq[(String, Boolean)] = Nil)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Join-driven runtime pruning (the DSv2 analogue of dynamic partition
+    * pruning): Spark hands over IN-sets of join keys collected from a
+    * completed broadcast side, and partition planning re-prunes with
+    * them — a grid×dim-table join reads only the chunks holding matching
+    * coordinates. Runtime filters prune BLOCKS only (never the cells
+    * within a surviving block), so the planned columnar/row mode and
+    * statistics — both fixed before runtime filters exist — stay valid.
+    */
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    groupDims.filter(d =>
+      // must be resolvable against the scan OUTPUT (pruned columns)
+      required.fieldNames.contains(d) &&
+        !store.schema.dim(d).coords.isInstanceOf[StringCoords])
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  private var runtimeFilters: Array[Filter] = Array.empty
+  override def filter(fs: Array[Filter]): Unit = runtimeFilters = fs
+
+  private def filters: Array[Filter] = staticFilters ++ runtimeFilters
 
   /** Partition planning: enumerate chunk blocks, compute per-dim bounds
     * from coordinate arrays only (actual min/max, so descending axes work;
     * reference df.py:455-465), and drop blocks a pushed filter provably
     * excludes (A6). No variable data is touched here.
     */
-  private lazy val survivingBlocks: Seq[(Seq[(Int, Int)], Map[String, DimBounds])] = {
+  private def survivingBlocks(
+      fs: Array[Filter]): Seq[(Seq[(Int, Int)], Map[String, DimBounds])] = {
     val allBlocks = ChunkGrid.groupBlocks(store.schema, groupDims, chunks)
     allBlocks
       .map(b => (b, GridBounds.forBlock(store.schema, groupDims, b)))
       .filterNot { case (block, bounds) =>
-        filters.exists(f => ZoneMapPruning.excludes(f, bounds)) ||
-          blockKeep(block).exists(_.isEmpty)
+        fs.exists(f => ZoneMapPruning.excludes(f, bounds)) ||
+          blockKeep(block, fs).exists(_.isEmpty)
       }
   }
+
+  // static view: what's known at planning time (stats, explain, the
+  // columnar-vs-row decision); runtime filters only prune further
+  private lazy val staticSurviving = survivingBlocks(staticFilters)
 
   /** Per-dim surviving RELATIVE indices within a block under the
     * separable dim predicates (full range when none apply). An empty
     * list on any dim empties the whole block (dense cross product).
     */
-  private def blockKeep(block: Seq[(Int, Int)]): Seq[Array[Int]] =
+  private def blockKeep(block: Seq[(Int, Int)],
+      fs: Array[Filter]): Seq[Array[Int]] =
     groupDims.zip(block).map { case (d, (start, len)) =>
-      SeparableDimFilters.survivingIndices(filters.toSeq, store.schema,
+      SeparableDimFilters.survivingIndices(fs.toSeq, store.schema,
         groupDims, d, start, len).map(_ - start)
     }
 
   private lazy val anyDimFilter: Boolean =
-    survivingBlocks.exists { case (block, _) =>
-      blockKeep(block).zip(block).exists { case (keep, (_, len)) =>
-        keep.length != len
+    staticSurviving.exists { case (block, _) =>
+      blockKeep(block, staticFilters).zip(block).exists {
+        case (keep, (_, len)) => keep.length != len
       }
     }
 
@@ -375,8 +404,12 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    survivingBlocks.map { case (block, _) =>
-      val keep = blockKeep(block)
+    // block pruning uses static + runtime filters; the shipped cell
+    // lists use only the static ones so the planned columnar/row mode
+    // still matches every partition (runtime pruning never changes rows
+    // within a surviving chunk, only which chunks are read)
+    survivingBlocks(filters).map { case (block, _) =>
+      val keep = blockKeep(block, staticFilters)
       GridInputPartition(store, groupDims, block, required.fieldNames, limit,
         topKeys.map { case (d, desc) => (groupDims.indexOf(d), desc) },
         // ship surviving lists only when they actually filter something
@@ -400,8 +433,8 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
   override def estimateStatistics(): Statistics = new Statistics {
     // exact even under dim filters: per block, the matching cell count
     // is the product of per-dim surviving list sizes
-    private val rows = survivingBlocks.map { case (block, _) =>
-      blockKeep(block).map(_.length.toLong).product
+    private val rows = staticSurviving.map { case (block, _) =>
+      blockKeep(block, staticFilters).map(_.length.toLong).product
     }.sum
     private val width = math.max(8,
       required.fieldNames.map(widthOf).sum)
@@ -421,11 +454,11 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
     else s" pushedTopN=[${topKeys.map { case (d, desc) =>
       d + (if (desc) " DESC" else " ASC") }.mkString(",")} limit=$limit]"
     val ef = if (!anyDimFilter) ""
-    else " exactDimFilters=" + filters.filter(f =>
+    else " exactDimFilters=" + staticFilters.filter(f =>
       SeparableDimFilters.isSeparable(f, store.schema, groupDims))
       .mkString("[", ",", "]")
     s"GridScan dims=[${groupDims.mkString(",")}] " +
-      s"partitions=${survivingBlocks.size}/$total cols=[${required.fieldNames.mkString(",")}]$tn$ef"
+      s"partitions=${staticSurviving.size}/$total cols=[${required.fieldNames.mkString(",")}]$tn$ef"
   }
 }
 

@@ -266,6 +266,31 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("runtime filtering: a broadcast join prunes grid chunks at runtime") {
+    import graft.SparkTestBase.spark.implicits._
+    // pruneGrid: 4 time chunks of 25 days x 5 lats
+    val df = ctx.dataFrame("rtf1", Fixtures.pruneGrid, Map("time" -> 25),
+      Seq("time", "lat"))
+    // two probe days, both inside the LAST chunk (days 80 and 90); the
+    // build side carries a selective predicate — DPP only considers
+    // filtering joins whose build side filters something — and is built
+    // over range() so constant folding can't erase that Filter
+    val probe = graft.SparkTestBase.spark.range(0, 2)
+      .select(expr("timestamp_seconds((18262 + 80 + id * 10) * 86400)")
+        .as("t"))
+      .filter(col("t") > to_timestamp(lit("1990-01-01 00:00:00")))
+    val joined = df.join(broadcast(probe), col("time") === col("t"))
+    counted {
+      assert(joined.collect().length == 2 * 5)
+      // without runtime filtering all 4 chunks would be read: no static
+      // predicate mentions `time`, so only the join's runtime IN-set of
+      // probe keys can prune chunks 0-2
+      assert(ReadCounters.partitionsOpened.sum() == 1L,
+        s"opened ${ReadCounters.partitionsOpened.sum()}\n" +
+          joined.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("from_map: chunk keys in, queryable rows out (A17 parity)") {
     import graft.SparkTestBase.spark.implicits._
     // generator shaped like the reference's from_map docs: one item per
