@@ -184,6 +184,24 @@ object BinaryGridStore {
     BinaryGridStore(root, schema, chunks, codec)
   }
 
+  /** Create the store directory skeleton + metadata only (chunk files
+    * written separately — e.g. from executors by GridWriter).
+    */
+  def writeMetadataOnly(root: String, schema: GridSchema,
+      chunks: Map[String, Int], codec: String = "none"): Unit = {
+    require(codec == "none" || codec == "zstd", s"bad codec $codec")
+    val dir = Paths.get(root)
+    Files.createDirectories(dir)
+    schema.vars.foreach(v => Files.createDirectories(dir.resolve(v.name)))
+    writeMetadata(dir.resolve("metadata.txt"), schema, chunks, codec)
+  }
+
+  /** One chunk payload encoded for disk (LE bytes, optionally zstd). */
+  def encodeChunk(data: AnyRef, codec: String): Array[Byte] = {
+    val raw = toLE(data)
+    if (codec == "zstd") com.github.luben.zstd.Zstd.compress(raw, 3) else raw
+  }
+
   /** Open an existing store from its metadata. */
   def open(root: String): BinaryGridStore = {
     val lines = Files.readAllLines(Paths.get(root, "metadata.txt"))

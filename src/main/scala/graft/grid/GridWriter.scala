@@ -1,0 +1,184 @@
+package graft.grid
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Paths}
+
+/** Distributed reverse pivot: scatter a relational result back into a
+  * chunked dense grid WITHOUT materializing it on the driver.
+  *
+  * `GridResult` mirrors the reference's eager `to_dataset`
+  * (collect + scatter, ds.py:150-207) — fine for plot-sized results,
+  * impossible for a 100 TB grid. This writer is the scale path:
+  *
+  *   1. each row maps to (chunk id, cell offset, value) using broadcast
+  *      coordinate->index tables — a narrow projection, no shuffle yet;
+  *   2. one hash repartition on chunk id co-locates each chunk's cells;
+  *   3. each task scatters its chunks into dense arrays (NaN prefill for
+  *      float kinds, duplicate cells rejected via a bitset) and writes
+  *      the BinaryGridStore chunk files directly from the executor.
+  *
+  * Shuffle volume = one (long, long, value) triple per cell; peak task
+  * memory = the chunks co-hashed into that task, not the grid. The
+  * driver writes only metadata. (Executors here write to a local path;
+  * on a real cluster the same code targets shared storage.)
+  */
+object GridWriter {
+
+  def write(df: DataFrame, schema: GridSchema, chunks: Map[String, Int],
+      root: String, codec: String = "none"): BinaryGridStore = {
+    BinaryGridStore.writeMetadataOnly(root, schema, chunks, codec)
+    schema.vars.foreach(v => writeVar(df, schema, chunks, root, codec, v))
+    BinaryGridStore(root, schema, chunks, codec)
+  }
+
+  /** Normalized dim column (what the coord->index maps are keyed on). */
+  private def dimKeyCol(d: DimDef): org.apache.spark.sql.Column =
+    d.coords match {
+      case TimeCoords(_) => unix_micros(col(d.name))
+      case DoubleCoords(_) | FloatCoords(_) => col(d.name).cast(DoubleType)
+      case IntCoords(_) | LongCoords(_) => col(d.name).cast(LongType)
+      case StringCoords(_) => throw new IllegalArgumentException(
+        "string dims unsupported in BinaryGridStore")
+    }
+
+  private def coordIndex(d: DimDef): Map[Any, Int] = d.coords match {
+    case TimeCoords(v) => v.zipWithIndex.map { case (x, i) => (x: Any) -> i }.toMap
+    case DoubleCoords(v) => v.zipWithIndex.map { case (x, i) => (x: Any) -> i }.toMap
+    case FloatCoords(v) =>
+      v.zipWithIndex.map { case (x, i) => (x.toDouble: Any) -> i }.toMap
+    case IntCoords(v) =>
+      v.zipWithIndex.map { case (x, i) => (x.toLong: Any) -> i }.toMap
+    case LongCoords(v) => v.zipWithIndex.map { case (x, i) => (x: Any) -> i }.toMap
+    case StringCoords(_) => throw new IllegalArgumentException(
+      "string dims unsupported in BinaryGridStore")
+  }
+
+  private def writeVar(df: DataFrame, schema: GridSchema,
+      chunks: Map[String, Int], root: String, codec: String,
+      v: VarDef): Unit = {
+    val dims = v.dims.map(schema.dim)
+    val nd = dims.length
+    // planning-side chunk arithmetic, shipped to executors via closures
+    val dimSizes = dims.map(_.size).toArray
+    val chunkSz = dims.map(d =>
+      chunks.getOrElse(d.name, math.max(d.size, 1))).toArray
+    val nChunksPerDim = dimSizes.indices.map(i =>
+      (dimSizes(i) + chunkSz(i) - 1) / chunkSz(i)).toArray
+    val chunkStrides = { // C-order over the chunk grid
+      val s = new Array[Long](nd)
+      var acc = 1L
+      var k = nd - 1
+      while (k >= 0) { s(k) = acc; acc *= nChunksPerDim(k); k -= 1 }
+      s
+    }
+    val nChunks = nChunksPerDim.foldLeft(1L)(_ * _.toLong)
+    val idxMaps = dims.map(coordIndex).toArray
+    val dimNames = dims.map(_.name).toArray // avoid shipping coord arrays
+    val spark = df.sparkSession
+    val bMaps = spark.sparkContext.broadcast(idxMaps)
+
+    val valueType = v.dtype.sparkType
+    val triSchema = StructType(Seq(
+      StructField("chunk", LongType, nullable = false),
+      StructField("off", LongType, nullable = false),
+      StructField("v", valueType)))
+    val prepared = df.select(
+      dims.map(d => dimKeyCol(d).as(d.name)) :+
+        col(v.name).cast(valueType).as(v.name): _*)
+    val triples = prepared.mapPartitions { rows =>
+      val maps = bMaps.value
+      rows.map { r =>
+        val idx = new Array[Int](nd)
+        var k = 0
+        while (k < nd) {
+          idx(k) = maps(k).getOrElse(r.get(k), throw new
+              IllegalArgumentException(
+                s"value ${r.get(k)} is not a coordinate of ${dimNames(k)}"))
+          k += 1
+        }
+        var chunkId = 0L
+        var k2 = 0
+        while (k2 < nd) {
+          chunkId += (idx(k2) / chunkSz(k2)).toLong * chunkStrides(k2)
+          k2 += 1
+        }
+        // offset within the chunk's own (possibly short) shape
+        var off = 0L
+        var stride = 1L
+        var k3 = nd - 1
+        while (k3 >= 0) {
+          val start = (idx(k3) / chunkSz(k3)) * chunkSz(k3)
+          val len = math.min(chunkSz(k3), dimSizes(k3) - start)
+          off += (idx(k3) - start).toLong * stride
+          stride *= len
+          k3 -= 1
+        }
+        Row(chunkId, off, r.get(nd))
+      }
+    }(RowEncoder.encoderFor(triSchema))
+
+    val parts = math.max(1, math.min(nChunks,
+      spark.sparkContext.defaultParallelism * 2L).toInt)
+    triples.repartition(parts, col("chunk")).foreachPartition {
+      (iter: Iterator[Row]) =>
+        val open = scala.collection.mutable.Map.empty[Long,
+          (AnyRef, java.util.BitSet)]
+        def alloc(cells: Int): AnyRef = v.dtype match {
+          case GDouble => Array.fill(cells)(Double.NaN)
+          case GFloat => Array.fill(cells)(Float.NaN)
+          case GInt => new Array[Int](cells)
+          case GLong | GTimestamp => new Array[Long](cells)
+          case GString => throw new IllegalArgumentException(
+            "string variables unsupported")
+        }
+        def cellsOf(chunkId: Long): Int = {
+          var cells = 1
+          var rest = chunkId
+          var k = 0
+          while (k < nd) {
+            val ci = (rest / chunkStrides(k)).toInt
+            rest %= chunkStrides(k)
+            val start = ci * chunkSz(k)
+            cells *= math.min(chunkSz(k), dimSizes(k) - start)
+            k += 1
+          }
+          cells
+        }
+        iter.foreach { r =>
+          val chunkId = r.getLong(0)
+          val off = r.getLong(1).toInt
+          val (arr, seen) = open.getOrElseUpdate(chunkId,
+            (alloc(cellsOf(chunkId)), new java.util.BitSet()))
+          if (seen.get(off)) throw new IllegalStateException(
+            s"duplicate cell: chunk $chunkId offset $off of ${v.name}")
+          seen.set(off)
+          arr match {
+            case a: Array[Double] => a(off) = r.getDouble(2)
+            case a: Array[Float] => a(off) = r.getFloat(2)
+            case a: Array[Int] => a(off) = r.getInt(2)
+            case a: Array[Long] => a(off) = r.get(2) match {
+              case l: Long => l
+              case t: java.sql.Timestamp => t.getTime * 1000L
+            }
+          }
+        }
+        open.foreach { case (chunkId, (arr, _)) =>
+          val name = {
+            val ci = new Array[Long](nd)
+            var rest = chunkId
+            var k = 0
+            while (k < nd) {
+              ci(k) = rest / chunkStrides(k); rest %= chunkStrides(k); k += 1
+            }
+            ci.mkString(".")
+          }
+          Files.write(Paths.get(root, v.name, name + ".bin"),
+            BinaryGridStore.encodeChunk(arr, codec))
+        }
+    }
+  }
+}

@@ -36,6 +36,60 @@ class RoundTripSpec extends SparkTestBase {
     assert(bad.getMessage.contains("not on the template grid"))
   }
 
+  test("distributed reverse pivot: executors write the grid, driver only metadata") {
+    val ctx = new XarrayContext(spark)
+    val df = ctx.dataFrame("gw_src", Fixtures.linearGrid, Map("t" -> 6),
+      Seq("t", "lat", "lon"))
+    // SQL transform: double the variable, then scatter back to a NEW
+    // chunked disk grid without collecting it
+    val out = Files.createTempDirectory("graft-gw").toString
+    val schema = GridSchema(
+      Fixtures.linearGrid.schema.dims,
+      Seq(VarDef("air2", Seq("t", "lat", "lon"), GDouble)))
+    val store = GridWriter.write(
+      df.select(col("t"), col("lat"), col("lon"),
+        (col("air") * 2.0).as("air2")),
+      schema, Map("t" -> 6, "lat" -> 7), out)
+    // every chunk file exists (4 t-chunks x 2 lat-chunks) and the
+    // reopened store serves exact values through the DSv2 scan
+    assert(Files.list(java.nio.file.Paths.get(out, "air2")).count() == 8L)
+    val reopened = BinaryGridStore.open(out)
+    assert(reopened.codec == "none" && reopened.chunks == Map("t" -> 6, "lat" -> 7))
+    val law = Fixtures.linearGrid.laws("air")
+    val df2 = ctx.dataFrame("gw_out", reopened, reopened.chunks,
+      Seq("t", "lat", "lon"))
+    val got = df2.filter(col("t") === 7 && col("lat") === 70.0 &&
+      col("lon") === 205.0).select("air2").collect()(0).getDouble(0)
+    assert(got == law(Array(7, 2, 2)) * 2.0)
+    assert(df2.agg(org.apache.spark.sql.functions.count(lit(1)))
+      .collect()(0).getLong(0) == 24L * 12 * 10)
+    // unaligned multi-chunk read straight off the written store
+    val slab = reopened.readVar("air2", Seq((5, 8), (3, 6), (1, 8)))
+      .asInstanceOf[Array[Double]]
+    for (a <- 0 until 8; b <- 0 until 6; c <- 0 until 8)
+      assert(slab(a * 48 + b * 8 + c) == law(Array(5 + a, 3 + b, 1 + c)) * 2.0)
+
+    // missing cells prefill NaN; duplicate cells reject
+    val sparseOut = Files.createTempDirectory("graft-gw2").toString
+    val sparse = GridWriter.write(
+      df.filter(col("t") < 2).select(col("t"), col("lat"), col("lon"),
+        col("air").as("air2")),
+      schema, Map("t" -> 6), sparseOut)
+    val chunk0 = sparse.readVar("air2", Seq((0, 6), (0, 12), (0, 10)))
+      .asInstanceOf[Array[Double]]
+    assert(chunk0(0) == law(Array(0, 0, 0)))
+    assert(chunk0(2 * 120).isNaN) // t=2 filtered away
+    val dup = intercept[org.apache.spark.SparkException] {
+      GridWriter.write(
+        df.select(col("t"), col("lat"), col("lon"), col("air").as("air2"))
+          .union(df.select(col("t"), col("lat"), col("lon"),
+            col("air").as("air2"))),
+        schema, Map("t" -> 6), Files.createTempDirectory("graft-gw3").toString)
+    }
+    assert(dup.getMessage.contains("duplicate cell") ||
+      dup.getCause != null)
+  }
+
   test("disk -> SQL -> grid -> store -> disk round trip") {
     val ctx = new XarrayContext(spark)
     val dir1 = Files.createTempDirectory("graft-rt1").toString
