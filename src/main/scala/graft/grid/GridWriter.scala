@@ -117,6 +117,9 @@ object GridWriter {
           stride *= len
           k3 -= 1
         }
+        if (r.isNullAt(nd)) throw new IllegalArgumentException(
+          s"null value for cell [${idx.mkString(",")}]; grid cells are " +
+            "primitive (filter nulls or fill before writing)")
         Row(chunkId, off, r.get(nd))
       }
     }(RowEncoder.encoderFor(triSchema))

@@ -78,6 +78,28 @@ object Profile {
           split(lower(col("text")), " "), 3), 4).as("s"))
         .agg(count("s")).collect()
     }
+    t("lsh pairs via groupBy buckets") {
+      // alternative to the band self-join: collect each bucket's ids,
+      // generate pairs inside the bucket (buckets are tiny), distinct
+      val docs2 = Tables.documents(spark, d)
+      val sh = docs2.select(col("doc_id"),
+        graft.functions.MinHashMd5.minhash_md5(
+          graft.functions.WordShingles.word_shingles(
+            split(lower(col("text")), " "), 3), 4).as("sigs"))
+      val bands = sh.select(col("doc_id"), explode(array(
+        concat(element_at(col("sigs"), 1), element_at(col("sigs"), 2)),
+        concat(element_at(col("sigs"), 3), element_at(col("sigs"), 4))))
+        .as("key"))
+      bands.groupBy("key").agg(collect_list("doc_id").as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(array_sort(ids), (a, i) -> " +
+            "transform(slice(array_sort(ids), i + 2, size(ids)), " +
+            "b -> struct(a as doc_a, b as doc_b))))")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+        .distinct()
+        .count()
+    }
     t("neardup_jaccard broadcast-cand") {
       import graft.queries.PipelineQueries
       val q = PipelineQueries.queries("lsh_candidate_pairs")(spark, d)
