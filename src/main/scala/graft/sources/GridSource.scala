@@ -403,20 +403,28 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
+  // the store (schema + FULL coordinate arrays) is broadcast once per
+  // scan instead of serialized into every task — at reference scale
+  // (~1.3M time steps) per-task coords would dominate task size
+  private lazy val storeBc =
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(store)
+
+  override def planInputPartitions(): Array[InputPartition] = {
     // block pruning uses static + runtime filters; the shipped cell
     // lists use only the static ones so the planned columnar/row mode
     // still matches every partition (runtime pruning never changes rows
     // within a surviving chunk, only which chunks are read)
     survivingBlocks(filters).map { case (block, _) =>
       val keep = blockKeep(block, staticFilters)
-      GridInputPartition(store, groupDims, block, required.fieldNames, limit,
+      GridInputPartition(storeBc, groupDims, block, required.fieldNames,
+        limit,
         topKeys.map { case (d, desc) => (groupDims.indexOf(d), desc) },
         // ship surviving lists only when they actually filter something
         if (keep.zip(block).forall { case (k, (_, l)) => k.length == l })
           Nil
         else keep): InputPartition
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GridPartitionReaderFactory
@@ -462,16 +470,21 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
   }
 }
 
-/** One chunk block: slice offsets + the store handle. Bounds/row counts are
-  * planning-time only and deliberately not shipped. `topKeys` are
-  * (dim index, descending) sort keys of a pushed partial TopN;
-  * `dimKeep` (when non-empty) holds per-dim surviving RELATIVE indices
-  * of exactly-pushed separable dim filters.
+/** One chunk block: slice offsets + a broadcast handle to the store
+  * (coordinate arrays ship once per executor, not once per task).
+  * Bounds/row counts are planning-time only and deliberately not
+  * shipped. `topKeys` are (dim index, descending) sort keys of a pushed
+  * partial TopN; `dimKeep` (when non-empty) holds per-dim surviving
+  * RELATIVE indices of exactly-pushed separable dim filters.
   */
-final case class GridInputPartition(store: GridStore, groupDims: Seq[String],
+final case class GridInputPartition(
+    storeBc: org.apache.spark.broadcast.Broadcast[GridStore],
+    groupDims: Seq[String],
     block: Seq[(Int, Int)], requiredCols: Array[String],
     limit: Int = -1, topKeys: Seq[(Int, Boolean)] = Nil,
-    dimKeep: Seq[Array[Int]] = Nil) extends InputPartition
+    dimKeep: Seq[Array[Int]] = Nil) extends InputPartition {
+  def store: GridStore = storeBc.value
+}
 
 class GridPartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
