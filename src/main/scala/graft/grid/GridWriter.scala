@@ -165,7 +165,12 @@ object GridWriter {
             case a: Array[Int] => a(off) = r.getInt(2)
             case a: Array[Long] => a(off) = r.get(2) match {
               case l: Long => l
-              case t: java.sql.Timestamp => t.getTime * 1000L
+              case t: java.sql.Timestamp => // keep sub-ms precision
+                org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .fromJavaTimestamp(t)
+              case i: java.time.Instant =>
+                org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .instantToMicros(i)
             }
           }
         }
