@@ -266,6 +266,29 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("TopN composes with exact dim filters: sorted walk over surviving cells") {
+    val df = ctx.dataFrame("topnf", Fixtures.pruneGrid, Map("time" -> 25),
+      Seq("time", "lat"))
+    // lat > 0 keeps 2 of 5 lats (45, 90); top-3 by (time desc, lat asc)
+    // over the filtered cells: max day with lat 45 and 90, then day-1
+    val q = df.filter(col("lat") > 0.0)
+      .orderBy(col("time").desc, col("lat"))
+      .select("time", "lat", "temperature").limit(3)
+    counted {
+      val rows = q.collect()
+      assert(rows.map(r => (r.getTimestamp(0).getTime, r.getDouble(1))).toSeq
+        == Seq(((18262L + 99) * 86400000L, 45.0),
+          ((18262L + 99) * 86400000L, 90.0),
+          ((18262L + 98) * 86400000L, 45.0)))
+      // each of the 4 partitions emits its local filtered top-3 only
+      assert(ReadCounters.rowsEmitted.sum() == 12L,
+        s"emitted ${ReadCounters.rowsEmitted.sum()}")
+    }
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedTopN") && plan.contains("exactDimFilters"),
+      plan)
+  }
+
   test("runtime filtering: a broadcast join prunes grid chunks at runtime") {
     import graft.SparkTestBase.spark.implicits._
     // pruneGrid: 4 time chunks of 25 days x 5 lats
