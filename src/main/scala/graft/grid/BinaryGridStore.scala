@@ -1,7 +1,6 @@
 package graft.grid
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Path, Paths}
 
 /** On-disk chunked array store — a minimal Zarr-v2-like layout, so the
   * engine's laziness/pruning/projection pushdowns hit real file I/O:
@@ -24,10 +23,17 @@ import java.nio.file.{Files, Path, Paths}
   * single-file fast paths; arbitrary (unaligned, multi-chunk) ranges are
   * also served, assembled chunk by chunk.
   *
+  * All byte I/O goes through [[GridIO]] (the Hadoop FileSystem API): the
+  * same store code serves local paths, HDFS, S3A and GCS. The Hadoop conf
+  * is captured at construction on the driver and shipped inside the store
+  * (which is itself serialized into every InputPartition), so executor
+  * reads resolve the same FileSystem with the same credentials.
+  *
   * String coordinates are not supported on disk (numeric/time axes only).
   */
 final case class BinaryGridStore(root: String, schema: GridSchema,
-    chunks: Map[String, Int], codec: String = "none") extends GridStore {
+    chunks: Map[String, Int], codec: String = "none",
+    hconf: SerializableHadoopConf = GridIO.shippable()) extends GridStore {
 
   def readVar(name: String, ranges: Seq[(Int, Int)]): AnyRef = {
     val v = schema.vars.find(_.name == name).getOrElse(
@@ -46,8 +52,8 @@ final case class BinaryGridStore(root: String, schema: GridSchema,
 
   /** One whole chunk: a single file read (+ one decompress for zstd). */
   private def readChunk(v: VarDef, chunkIdx: Seq[Int], n: Int): AnyRef = {
-    val file = Paths.get(root, v.name, chunkIdx.mkString(".") + ".bin")
-    val raw = Files.readAllBytes(file)
+    val raw = GridIO.readAllBytes(
+      s"$root/${v.name}/${chunkIdx.mkString(".")}.bin", hconf.value)
     val bytes = codec match {
       case "none" => raw
       case "zstd" =>
@@ -160,25 +166,20 @@ object BinaryGridStore {
   def write(source: GridStore, root: String, chunks: Map[String, Int],
       codec: String = "none"): BinaryGridStore = {
     require(codec == "none" || codec == "zstd", s"bad codec $codec")
+    val conf = GridIO.driverConf()
     val schema = source.schema
-    val dir = Paths.get(root)
-    Files.createDirectories(dir)
-    writeMetadata(dir.resolve("metadata.txt"), schema, chunks, codec)
+    GridIO.mkdirs(root, conf)
+    writeMetadata(s"$root/metadata.txt", schema, chunks, codec, conf)
     schema.vars.foreach { v =>
-      val varDir = dir.resolve(v.name)
-      Files.createDirectories(varDir)
+      GridIO.mkdirs(s"$root/${v.name}", conf)
       val sub = GridSchema(v.dims.map(schema.dim), Seq.empty)
       ChunkGrid.blocks(sub, chunks).foreach { block =>
         val idx = v.dims.zip(block).map { case (d, (start, _)) =>
           start / chunks.getOrElse(d, math.max(schema.dim(d).size, 1))
         }
         val data = source.readVar(v.name, block)
-        val payload = {
-          val raw = toLE(data)
-          if (codec == "zstd") com.github.luben.zstd.Zstd.compress(raw, 3)
-          else raw
-        }
-        Files.write(varDir.resolve(idx.mkString(".") + ".bin"), payload)
+        GridIO.write(s"$root/${v.name}/${idx.mkString(".")}.bin",
+          encodeChunk(data, codec), conf)
       }
     }
     BinaryGridStore(root, schema, chunks, codec)
@@ -190,10 +191,10 @@ object BinaryGridStore {
   def writeMetadataOnly(root: String, schema: GridSchema,
       chunks: Map[String, Int], codec: String = "none"): Unit = {
     require(codec == "none" || codec == "zstd", s"bad codec $codec")
-    val dir = Paths.get(root)
-    Files.createDirectories(dir)
-    schema.vars.foreach(v => Files.createDirectories(dir.resolve(v.name)))
-    writeMetadata(dir.resolve("metadata.txt"), schema, chunks, codec)
+    val conf = GridIO.driverConf()
+    GridIO.mkdirs(root, conf)
+    schema.vars.foreach(v => GridIO.mkdirs(s"$root/${v.name}", conf))
+    writeMetadata(s"$root/metadata.txt", schema, chunks, codec, conf)
   }
 
   /** One chunk payload encoded for disk (LE bytes, optionally zstd). */
@@ -204,12 +205,12 @@ object BinaryGridStore {
 
   /** Open an existing store from its metadata. */
   def open(root: String): BinaryGridStore = {
-    val lines = Files.readAllLines(Paths.get(root, "metadata.txt"))
+    val lines = GridIO.readLines(s"$root/metadata.txt", GridIO.driverConf())
     var dims = Vector.empty[DimDef]
     var vars = Vector.empty[VarDef]
     var chunks = Map.empty[String, Int]
     var codec = "none"
-    lines.forEach { line =>
+    lines.foreach { line =>
       line.split(" ", 4).toList match {
         case "codec" :: c :: Nil => codec = c
         case "dim" :: name :: tpe :: values :: Nil =>
@@ -252,8 +253,9 @@ object BinaryGridStore {
     case GString => throw new IllegalArgumentException("string unsupported")
   }
 
-  private def writeMetadata(path: Path, schema: GridSchema,
-      chunks: Map[String, Int], codec: String): Unit = {
+  private def writeMetadata(path: String, schema: GridSchema,
+      chunks: Map[String, Int], codec: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
     val sb = new StringBuilder
     schema.dims.foreach { d =>
       val (tpe, values) = d.coords match {
@@ -272,7 +274,7 @@ object BinaryGridStore {
     }
     chunks.foreach { case (d, c) => sb.append(s"chunk $d $c\n") }
     if (codec != "none") sb.append(s"codec $codec\n")
-    Files.writeString(path, sb.toString)
+    GridIO.writeString(path, sb.toString, conf)
   }
 
   private def toLE(data: AnyRef): Array[Byte] = data match {

@@ -54,6 +54,34 @@ object Fixtures {
       Map("air" -> LinearLaw(1.0, 2.0, 3.0, 200.0)))
   }
 
+  /** base + sum(coef(k) * idx(k)) over any rank. */
+  final case class AffineLaw(base: Double, coef: Seq[Double]) extends GridFun {
+    def apply(idx: Array[Int]): Double = {
+      var s = base
+      var k = 0
+      while (k < idx.length) { s += coef(k) * idx(k); k += 1 }
+      s
+    }
+  }
+
+  /** Non-Gregorian (360_day) calendar fixture: one CF year of daily int64
+    * offsets ("days since 2000-01-01", calendar=360_day) x 4 latitudes.
+    * Dyadic value law -> bit-identical recomputation in the oracle.
+    * Mirrors the reference's 360_day test dataset (tests/test_sql.py:252-325).
+    */
+  def cal360Grid: SyntheticGridStore = {
+    val time = LongCoords((0L until 360L).toArray)
+    val lat = DoubleCoords((0 until 4).map(i => 10.0 * i).toArray)
+    SyntheticGridStore(
+      GridSchema(
+        Seq(
+          DimDef("time", time, calendar = Some("360_day"),
+            units = Some("days since 2000-01-01")),
+          DimDef("lat", lat)),
+        Seq(VarDef("temp", Seq("time", "lat"), GDouble))),
+      Map("temp" -> AffineLaw(100.0, Seq(0.5, 3.0))))
+  }
+
   final case class PruneLaw() extends GridFun {
     def apply(idx: Array[Int]): Double = idx(0) * 10.0 + idx(1)
   }

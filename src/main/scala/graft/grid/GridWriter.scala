@@ -5,8 +5,6 @@ import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import java.nio.file.{Files, Paths}
-
 /** Distributed reverse pivot: scatter a relational result back into a
   * chunked dense grid WITHOUT materializing it on the driver.
   *
@@ -23,8 +21,10 @@ import java.nio.file.{Files, Paths}
   *
   * Shuffle volume = one (long, long, value) triple per cell; peak task
   * memory = the chunks co-hashed into that task, not the grid. The
-  * driver writes only metadata. (Executors here write to a local path;
-  * on a real cluster the same code targets shared storage.)
+  * driver writes only metadata. Executors write through the Hadoop
+  * FileSystem API ([[GridIO]]) with the driver's Hadoop conf shipped in
+  * the task closure, so the same code targets local disk, HDFS, S3A or
+  * GCS shared storage.
   */
 object GridWriter {
 
@@ -80,6 +80,7 @@ object GridWriter {
     val dimNames = dims.map(_.name).toArray // avoid shipping coord arrays
     val spark = df.sparkSession
     val bMaps = spark.sparkContext.broadcast(idxMaps)
+    val hconf = GridIO.shippable() // executor writes use the driver's conf
 
     val valueType = v.dtype.sparkType
     val triSchema = StructType(Seq(
@@ -184,8 +185,8 @@ object GridWriter {
             }
             ci.mkString(".")
           }
-          Files.write(Paths.get(root, v.name, name + ".bin"),
-            BinaryGridStore.encodeChunk(arr, codec))
+          GridIO.write(s"$root/${v.name}/$name.bin",
+            BinaryGridStore.encodeChunk(arr, codec), hconf.value)
         }
     }
   }

@@ -58,6 +58,37 @@ object GridQueries {
       g.join(clim, Seq("lat", "lon"))
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
           (col("air") - col("m")).as("anom"))
+    }),
+
+    // non-Gregorian calendar end-to-end (SURVEY §2A A14/A15): a 360_day
+    // grid keeps int64 CF offsets, registration auto-binds `cftime`, and
+    // the date-literal predicate folds to a plain long (180 here) that
+    // zone-map-prunes 2 of 4 time chunks. Reference cftime.py:217-248 +
+    // tests/test_sql.py:252-325.
+    "pivot_grid_cftime" -> ((s, _) => {
+      new XarrayContext(s).fromDataset("cal360", Fixtures.cal360Grid,
+        Map("time" -> 90))
+      s.sql("""SELECT time, lat, temp FROM cal360
+              |WHERE time >= cftime('2000-07-01')""".stripMargin)
+    }),
+
+    // the production on-disk path end-to-end: distributed reverse pivot
+    // (GridWriter scatters cells from executors through the Hadoop FS
+    // API) -> zstd-compressed BinaryGridStore chunk files -> metadata
+    // re-open -> DSv2 scan with zone-map pruning (t >= 12 keeps 2 of 4
+    // chunk partitions) + zstd decode. Mirrors the reference's Zarr write
+    // + read round trip (reference xarray_sql/reader.py:192-337).
+    "pivot_grid_disk" -> ((s, _) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_disk_grid"
+      graft.grid.GridWriter.write(grid(s), Fixtures.linearGrid.schema,
+        Map("t" -> 6), root, "zstd")
+      val store = graft.grid.BinaryGridStore.open(root)
+      new XarrayContext(s)
+        .dataFrame("disk_linear_grid", store, store.chunks,
+          Seq("t", "lat", "lon"))
+        .filter(col("t") >= 12)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
     })
   )
 
@@ -77,6 +108,19 @@ object GridQueries {
       s"""WITH $oracleGrid,
          |clim AS (SELECT lat, lon, AVG(air) AS m FROM grid GROUP BY lat, lon)
          |SELECT CAST(g.t AS BIGINT) AS t, g.lat, g.lon, g.air - c.m AS anom
-         |FROM grid g JOIN clim c ON g.lat = c.lat AND g.lon = c.lon""".stripMargin
+         |FROM grid g JOIN clim c ON g.lat = c.lat AND g.lon = c.lon""".stripMargin,
+    // cftime('2000-07-01') in 360_day/"days since 2000-01-01" = offset
+    // 6*30 = 180; the oracle replays the offset arithmetic as a literal
+    "pivot_grid_cftime" ->
+      """WITH cal AS (
+        |  SELECT t, 10.0*i AS lat, 100.0 + 0.5*t + 3.0*i AS temp
+        |  FROM generate_series(0, 359) g1(t),
+        |       generate_series(0, 3) g2(i))
+        |SELECT CAST(t AS BIGINT) AS time, lat, temp
+        |FROM cal WHERE t >= 180""".stripMargin,
+    "pivot_grid_disk" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t >= 12""".stripMargin
   )
 }

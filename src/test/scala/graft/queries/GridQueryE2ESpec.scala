@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+import graft.sources.ReadCounters
+
+/** End-to-end pins for the oracle-gated grid queries that exercise the
+  * production paths: the on-disk zstd store round trip and the
+  * non-Gregorian cftime predicate (both driver-gated in SparkEntry).
+  */
+class GridQueryE2ESpec extends SparkTestBase {
+
+  test("pivot_grid_disk: writer->zstd store->scan round trip, pruned") {
+    val q = SparkEntry.queries("pivot_grid_disk")
+    // the distributed write runs at query construction (4 source chunks);
+    // reset counters after it so the assertion sees only the disk scan
+    val df = q(spark, "unused")
+    ReadCounters.reset()
+    val rows = df.collect()
+    // t in [12, 24): 12 * 12 * 10 cells
+    assert(rows.length == 12 * 12 * 10)
+    val byKey = rows.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      -> r.getDouble(3)).toMap
+    for (t <- Seq(12, 17, 23); i <- Seq(0, 11); j <- Seq(0, 9)) {
+      val expected = 200.0 + 1.0 * t + 2.0 * i + 3.0 * j
+      assert(byKey((t.toLong, 75.0 - 2.5 * i, 200.0 + 2.5 * j)) == expected,
+        s"cell ($t,$i,$j)")
+    }
+    // t >= 12 with t chunked by 6 over 0..23 -> scan opens 2 of 4 chunks
+    assert(ReadCounters.partitionsOpened.sum() == 2L)
+    // the scan provably hit zstd chunk files written by the writer
+    val root = System.getProperty("java.io.tmpdir") + "/graft_disk_grid"
+    val files = new java.io.File(root, "air").listFiles()
+    assert(files != null && files.count(_.getName.endsWith(".bin")) == 4)
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "metadata.txt"))
+    assert(meta.contains("codec zstd"))
+  }
+
+  test("pivot_grid_cftime: 360_day offsets, folded literal prunes chunks") {
+    val q = SparkEntry.queries("pivot_grid_cftime")
+    val df = q(spark, "unused")
+    // cftime('2000-07-01') folds to 180 before reaching the source: the
+    // pushed filter must be a plain long comparison (no cftime call left)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("cftime"),
+      s"cftime survived optimization:\n$optimized")
+    ReadCounters.reset()
+    val rows = df.collect()
+    assert(rows.length == 180 * 4)
+    // time chunked by 90 over 360 -> offset >= 180 keeps 2 of 4 chunks
+    assert(ReadCounters.partitionsOpened.sum() == 2L)
+    val byKey = rows.map(r => (r.getLong(0), r.getDouble(1))
+      -> r.getDouble(2)).toMap
+    for (t <- Seq(180L, 250L, 359L); i <- 0 until 4) {
+      assert(byKey((t, 10.0 * i)) == 100.0 + 0.5 * t + 3.0 * i,
+        s"cell ($t,$i)")
+    }
+  }
+}
