@@ -33,6 +33,52 @@ object SimilarityOps {
       .filter(col("cosine") >= threshold)
   }
 
+  /** EXACT all pairs with cosine >= threshold via block-partitioned
+    * all-pairs (the matrix-blocking shape of distributed similarity
+    * join): ids hash into `blocks` blocks, the small block-pair relation
+    * (bi <= bj) broadcast-joins onto both sides, and the candidate join
+    * is a hash equi-join on the composite (bi, bj) key — never a
+    * cartesian nested loop over rows.
+    *
+    * Scale math: shuffle volume = n * (blocks+1)/2 vector copies, task
+    * memory = 2 blocks of n/blocks vectors, parallelism =
+    * blocks*(blocks+1)/2 independent tasks — pick blocks ~ sqrt(2 *
+    * cluster cores) and exact all-pairs runs at whatever n the n^2/2
+    * dot products themselves afford. This is the exact-answer
+    * complement of [[nearDupPairsLSH]]: hyperplane LSH only pays off
+    * when the threshold is tight (cos >= ~0.9, collision prob ~0.86 per
+    * bit); at loose thresholds like 0.45 on near-random embeddings its
+    * candidate set exceeds the full pair space (measured 3-11M
+    * candidates vs 2M brute pairs at sf0.1) while still missing pairs,
+    * so the exact blocked form is both faster and correct.
+    */
+  def nearDupPairsBlocked(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blocks: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dot = GraftFunctions.dot_f64 _
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("blk", pmod(hash(col("id")), lit(blocks)))
+    val blockPairs = (for (i <- 0 until blocks; j <- i until blocks)
+      yield (i, j)).toDF("bi", "bj")
+    // every unordered vector pair lands in exactly one (bi, bj) task:
+    // cross-block pairs via bi < bj, same-block pairs via the id order
+    val a = base.join(broadcast(blockPairs), col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+    val b = base.join(broadcast(blockPairs), col("blk") === col("bj"))
+      .select(col("bi"), col("bj"), col("id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("id_a") < col("id_b"))
+      // cross-block pairs may arrive id_a > id_b; canonicalize ascending
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** All pairs with cosine >= threshold via multi-table hyperplane LSH
     * candidate generation + exact verification. Approximate: recall
     * depends on (bits, tables) vs the threshold's angle.

@@ -185,18 +185,20 @@ object PipelineQueries {
         .limit(10)
     }),
 
-    // embedding near-duplicates: all-pairs cosine above threshold
-    // (baseline; the LSH-bucketed variant lives in graft.functions)
+    // embedding near-duplicates: EXACT all-pairs cosine >= 0.45 in the
+    // block-partitioned all-pairs shape — hash equi-joins on block-pair
+    // keys, bounded task memory, no cartesian nested loop. LSH
+    // (SimilarityOps.nearDupPairsLSH) remains the approximate path for
+    // the tight-threshold (>= ~0.9) production regime; at 0.45 on this
+    // corpus its candidate set exceeds the full pair space (see
+    // nearDupPairsBlocked scaladoc for the measurements).
     "embed_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      val norm = e.select(col("vec_id"), col("v"),
-        sqrt(dot(col("v"), col("v"))).as("n"))
-      norm.as("a").join(norm.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
-            .as("cosine"))
-        .filter(col("cosine") >= 0.45)
+      graft.operators.SimilarityOps
+        .nearDupPairsBlocked(e, "vec_id", "v", 0.45, 8)
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+          col("cosine"))
     }),
 
     // IVF-style two-stage ANN (the scale path for similarity search):

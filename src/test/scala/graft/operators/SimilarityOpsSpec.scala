@@ -41,6 +41,22 @@ class SimilarityOpsSpec extends SparkTestBase {
     assert(lsh == brute, s"missed: ${brute -- lsh}")
   }
 
+  test("blocked all-pairs == brute force, with no nested-loop join") {
+    import spark.implicits._
+    val (vecs, _) = plantedVectors(n = 300, dim = 32, planted = 10)
+    val df = vecs.toDF("id", "v")
+    val brute = SimilarityOps.nearDupPairsBrute(df, "id", "v", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blockedDf = SimilarityOps.nearDupPairsBlocked(df, "id", "v", 0.4, 5)
+    val blocked = blockedDf
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked == brute, // exact, bit-identical cosines included
+      s"missing=${brute -- blocked} extra=${blocked -- brute}")
+    val plan = blockedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop in plan:\n$plan")
+  }
+
   test("minhash64 signatures estimate Jaccard") {
     val a = (0 until 200).map(i => s"tok$i").toArray
     val b = (100 until 300).map(i => s"tok$i").toArray // true J = 100/300
