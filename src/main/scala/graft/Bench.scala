@@ -4,9 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -14,7 +17,7 @@ object Bench {
     // first timed query: a tiny parquet read initializes the Hadoop FS +
     // column-reader machinery, and a small join+agg compiles the common
     // exchange/broadcast/hash-aggregate codegen paths. The timed queries'
-    // own data reads below are still cold.
+    // own data reads below are still cold on the first rep.
     spark.range(1000).selectExpr("sum(id)").collect()
     locally {
       import org.apache.spark.sql.functions._
@@ -24,15 +27,28 @@ object Bench {
         .groupBy("r_name").agg(count(lit(1))).count()
       r.orderBy("r_name").limit(2).collect()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // per-query median of `reps` round-robin passes: one pass = every
+    // query once, in declaration order, so shared-VM noise spreads over
+    // all queries instead of polluting whichever query it lands on.
+    // Round-over-round comparisons stop chasing +-20% single-shot noise.
+    val names = SparkEntry.queries.keys.toSeq
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = names.map(n => n -> median(times(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

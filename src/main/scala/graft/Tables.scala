@@ -25,9 +25,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** events with `ts` as a proper TimestampType (microseconds, UTC). */
+  /** events with `ts` as a proper TimestampType (microseconds, UTC).
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set at session construction in Verify/Bench/tools — a table loader
+    * must not mutate session conf as a side effect).
+    */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .contains("true"),
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(events.parquet is TIMESTAMP(NANOS))")
     // integer `div`, not `/`: ns-since-epoch exceeds double's 2^53 mantissa
     load(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
