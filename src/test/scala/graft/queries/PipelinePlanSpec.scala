@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Plan-shape pins for the pipeline queries whose 100 TB viability
+  * depends on a specific physical plan, not just a correct answer.
+  */
+class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("lsh_candidate_pairs: banded self-join reuses the signature exchange") {
+    val df = SparkEntry.queries("lsh_candidate_pairs")(spark, sf)
+    df.collect() // AQE finalizes stages (incl. reuse) at execution
+    val plan = df.queryExecution.executedPlan
+    // the expensive minhash signature subplan must be computed ONCE and
+    // its shuffle reused on the other side of the self-join — reuse
+    // shows up as ReusedExchangeExec both with and without AQE
+    val reused = collectWithSubqueries(plan) { case r: ReusedExchangeExec => r }
+    assert(reused.nonEmpty,
+      s"signature exchange not reused (minhash would run twice):\n$plan")
+  }
+
+  test("embed_neardup: no cartesian/nested-loop join at any SF") {
+    val df = SparkEntry.queries("embed_neardup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in embed_neardup plan:\n$plan")
+  }
+}
