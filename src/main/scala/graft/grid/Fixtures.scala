@@ -82,6 +82,21 @@ object Fixtures {
       Map("temp" -> AffineLaw(100.0, Seq(0.5, 3.0))))
   }
 
+  /** Station fixture: a string-coordinate dimension (8 stations) x 10
+    * daily timestamps. String dims are queryable but carry no pruning
+    * bounds (reference df.py:447-450; station table in
+    * tests/test_sql.py:137-152). Dyadic value law for oracle parity.
+    */
+  def stationGrid: SyntheticGridStore = {
+    val station = StringCoords((0 until 8).map(i => s"st_$i").toArray)
+    val time = TimeCoords((0 until 10).map(k => (18262L + k) * 86400000000L).toArray)
+    SyntheticGridStore(
+      GridSchema(
+        Seq(DimDef("station", station), DimDef("time", time)),
+        Seq(VarDef("reading", Seq("station", "time"), GDouble))),
+      Map("reading" -> AffineLaw(100.0, Seq(7.0, 0.25))))
+  }
+
   final case class PruneLaw() extends GridFun {
     def apply(idx: Array[Int]): Double = idx(0) * 10.0 + idx(1)
   }

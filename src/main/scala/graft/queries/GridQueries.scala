@@ -72,6 +72,19 @@ object GridQueries {
               |WHERE time >= cftime('2000-07-01')""".stripMargin)
     }),
 
+    // string-coordinate dimension end-to-end (station table shape,
+    // reference tests/test_sql.py:137-152): string dims are queryable
+    // (residual IN filter, ASCII ordering identical across engines) but
+    // excluded from zone-map pruning — the chunked station dim cannot
+    // prune, which StationGridSpec pins via partition-open counts.
+    "pivot_grid_station" -> ((s, _) => {
+      new XarrayContext(s).fromDataset("stations", Fixtures.stationGrid,
+        Map("station" -> 4))
+      s.sql("""SELECT station, time, reading FROM stations
+              |WHERE station IN ('st_1','st_4')
+              |AND time >= timestamp'2020-01-04 00:00:00'""".stripMargin)
+    }),
+
     // the production on-disk path end-to-end: distributed reverse pivot
     // (GridWriter scatters cells from executors through the Hadoop FS
     // API) -> zstd-compressed BinaryGridStore chunk files -> metadata
@@ -109,6 +122,15 @@ object GridQueries {
          |clim AS (SELECT lat, lon, AVG(air) AS m FROM grid GROUP BY lat, lon)
          |SELECT CAST(g.t AS BIGINT) AS t, g.lat, g.lon, g.air - c.m AS anom
          |FROM grid g JOIN clim c ON g.lat = c.lat AND g.lon = c.lon""".stripMargin,
+    "pivot_grid_station" ->
+      """WITH st AS (
+        |  SELECT 'st_' || CAST(i AS VARCHAR) AS station,
+        |         TIMESTAMP '2020-01-01' + INTERVAL (t) DAY AS time,
+        |         100.0 + 7.0*i + 0.25*t AS reading
+        |  FROM generate_series(0, 7) g1(i), generate_series(0, 9) g2(t))
+        |SELECT station, time, reading FROM st
+        |WHERE station IN ('st_1','st_4')
+        |AND time >= TIMESTAMP '2020-01-04'""".stripMargin,
     // cftime('2000-07-01') in 360_day/"days since 2000-01-01" = offset
     // 6*30 = 180; the oracle replays the offset arithmetic as a literal
     "pivot_grid_cftime" ->

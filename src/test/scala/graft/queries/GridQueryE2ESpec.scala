@@ -36,6 +36,33 @@ class GridQueryE2ESpec extends SparkTestBase {
     assert(meta.contains("codec zstd"))
   }
 
+  test("pivot_grid_station: string dims query correctly, never prune") {
+    val q = SparkEntry.queries("pivot_grid_station")
+    ReadCounters.reset()
+    val rows = q(spark, "unused").collect()
+    // 2 stations x 7 surviving days
+    assert(rows.length == 14)
+    val byKey = rows.map(r => (r.getString(0),
+      r.getTimestamp(1).toInstant.getEpochSecond) -> r.getDouble(2)).toMap
+    for (i <- Seq(1, 4); t <- 3 until 10) {
+      val key = (s"st_$i", (18262L + t) * 86400L)
+      assert(byKey(key) == 100.0 + 7.0 * i + 0.25 * t, s"cell ($i,$t)")
+    }
+    // station chunked by 4 -> 2 partitions; the station IN filter is
+    // excluded from pruning (no string zone maps), so BOTH open
+    assert(ReadCounters.partitionsOpened.sum() == 2L)
+    // ...while a time bound outside the coordinate range still prunes
+    // everything through the numeric zone maps
+    val df = new graft.XarrayContext(spark).dataFrame("stations_prune",
+      graft.grid.Fixtures.stationGrid, Map("station" -> 4),
+      Seq("station", "time"))
+    ReadCounters.reset()
+    import org.apache.spark.sql.functions._
+    assert(df.filter(col("time") < to_timestamp(lit("2019-01-01")))
+      .collect().isEmpty)
+    assert(ReadCounters.partitionsOpened.sum() == 0L)
+  }
+
   test("pivot_grid_cftime: 360_day offsets, folded literal prunes chunks") {
     val q = SparkEntry.queries("pivot_grid_cftime")
     val df = q(spark, "unused")
