@@ -1,6 +1,6 @@
 package graft
 
-import graft.grid.{GridStore, VarDef}
+import graft.grid.{BinaryGridStore, ChunkGrid, GridStore, VarDef}
 import graft.sources.GridSource
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 
@@ -42,6 +42,22 @@ class XarrayContext(val spark: SparkSession) {
         .createOrReplaceTempView(view)
       view
     }
+  }
+
+  /** Register with `chunks = "auto"`: the spec is derived from a byte
+    * budget (reference ds.py:566-625 — 128 MiB default), splitting
+    * outer dims first and snapping to the store's own on-disk chunks
+    * when it has them, so callers stop hand-picking chunk sizes.
+    */
+  def fromDatasetAuto(name: String, store: GridStore,
+      budgetBytes: Long = ChunkGrid.AutoBudgetBytes,
+      tableNames: Map[Seq[String], String] = Map.empty): Seq[String] = {
+    val existing = store match {
+      case b: BinaryGridStore => b.chunks
+      case _ => Map.empty[String, Int]
+    }
+    fromDataset(name, store,
+      ChunkGrid.autoChunks(store.schema, budgetBytes, existing), tableNames)
   }
 
   /** A DataFrame over one dim-group of the dataset, without registration. */

@@ -53,6 +53,28 @@ object ArrayGridStore {
     ArrayGridStore(GridSchema(dims, varDefs), res.vars)
   }
 
+  /** Template metadata recovery (reference ds.py:72-147): coordinates and
+    * data come from the reverse-pivot result, while dataset attrs, and
+    * per-dim / per-var attrs + calendar/units, are restored from the
+    * template schema — the round trip keeps the xarray metadata SQL
+    * cannot carry. (Data arrays stay doubles, the reverse pivot's
+    * representation; attrs record the original encoding.)
+    */
+  def fromResult(res: GridResultData, template: GridSchema): ArrayGridStore = {
+    val dims = res.dims.map { case (name, coords) =>
+      val t = template.dims.find(_.name == name)
+      DimDef(name, coordsOf(name, coords),
+        calendar = t.flatMap(_.calendar), units = t.flatMap(_.units),
+        attrs = t.map(_.attrs).getOrElse(Map.empty))
+    }
+    val varDefs = res.vars.keys.toSeq.sorted.map { v =>
+      val t = template.vars.find(_.name == v)
+      VarDef(v, dims.map(_.name), GDouble,
+        attrs = t.map(_.attrs).getOrElse(Map.empty))
+    }
+    ArrayGridStore(GridSchema(dims, varDefs, template.attrs), res.vars)
+  }
+
   private def coordsOf(name: String, values: IndexedSeq[Any]): CoordArray =
     values.headOption match {
       case Some(_: java.lang.Double) =>

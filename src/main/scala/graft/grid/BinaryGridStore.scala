@@ -210,6 +210,9 @@ object BinaryGridStore {
     var vars = Vector.empty[VarDef]
     var chunks = Map.empty[String, Int]
     var codec = "none"
+    var dsAttrs = Map.empty[String, String]
+    def dec(s: String): String =
+      java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
     lines.foreach { line =>
       line.split(" ", 4).toList match {
         case "codec" :: c :: Nil => codec = c
@@ -228,11 +231,24 @@ object BinaryGridStore {
           vars :+= VarDef(name, dimList.split(",").toSeq, parseType(tpe))
         case "chunk" :: name :: size :: Nil =>
           chunks += name -> size.toInt
+        case "calendar" :: name :: cal :: units :: Nil =>
+          dims = dims.map(d => if (d.name == name)
+            d.copy(calendar = Some(dec(cal)),
+              units = Some(dec(units)).filter(_.nonEmpty)) else d)
+        case "attr" :: "ds" :: k :: v :: Nil => dsAttrs += dec(k) -> dec(v)
+        case "attr" :: scope :: k :: v :: Nil if scope.startsWith("dim:") =>
+          val dn = scope.stripPrefix("dim:")
+          dims = dims.map(d => if (d.name == dn)
+            d.copy(attrs = d.attrs + (dec(k) -> dec(v))) else d)
+        case "attr" :: scope :: k :: v :: Nil if scope.startsWith("var:") =>
+          val vn = scope.stripPrefix("var:")
+          vars = vars.map(x => if (x.name == vn)
+            x.copy(attrs = x.attrs + (dec(k) -> dec(v))) else x)
         case Nil | ("" :: _) => ()
         case other => throw new IllegalArgumentException(s"bad metadata line: $line")
       }
     }
-    BinaryGridStore(root, GridSchema(dims, vars), chunks, codec)
+    BinaryGridStore(root, GridSchema(dims, vars, dsAttrs), chunks, codec)
   }
 
   private def parseType(s: String): GridType = s match {
@@ -274,6 +290,23 @@ object BinaryGridStore {
     }
     chunks.foreach { case (d, c) => sb.append(s"chunk $d $c\n") }
     if (codec != "none") sb.append(s"codec $codec\n")
+    // xarray metadata: CF calendar/units and attrs survive the store
+    // round trip (URL-encoded — keys/values may contain spaces)
+    def enc(s: String): String =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    schema.dims.foreach { d =>
+      (d.calendar, d.units) match {
+        case (Some(c), u) =>
+          sb.append(s"calendar ${d.name} ${enc(c)} ${enc(u.getOrElse(""))}\n")
+        case _ => ()
+      }
+      d.attrs.foreach { case (k, v) =>
+        sb.append(s"attr dim:${d.name} ${enc(k)} ${enc(v)}\n") }
+    }
+    schema.vars.foreach(v => v.attrs.foreach { case (k, a) =>
+      sb.append(s"attr var:${v.name} ${enc(k)} ${enc(a)}\n") })
+    schema.attrs.foreach { case (k, v) =>
+      sb.append(s"attr ds ${enc(k)} ${enc(v)}\n") }
     GridIO.writeString(path, sb.toString, conf)
   }
 

@@ -51,4 +51,49 @@ object ChunkGrid {
 
   def rowCount(block: Seq[(Int, Int)]): Long =
     block.foldLeft(1L)((acc, b) => acc * b._2)
+
+  /** Default `chunks = "auto"` byte budget (the reference's 128 MiB,
+    * ds.py:566-625).
+    */
+  val AutoBudgetBytes: Long = 128L << 20
+
+  /** `chunks = "auto"`: derive a chunk spec whose largest block stays
+    * within `budgetBytes`, mirroring the reference's byte-budget snapping
+    * (ds.py:566-625). Splitting starts at the OUTERMOST dim and keeps
+    * inner dims whole, preserving C-order read locality; bytes per cell
+    * is the sum of the variables' widths (one block serves every
+    * variable of the group). When the store already has on-disk chunks
+    * (`existing`), computed sizes snap DOWN to whole multiples of them —
+    * an existing chunk is the atomic I/O unit and is never split, even
+    * if one chunk alone exceeds the budget.
+    */
+  def autoChunks(schema: GridSchema,
+      budgetBytes: Long = AutoBudgetBytes,
+      existing: Map[String, Int] = Map.empty): Map[String, Int] = {
+    require(budgetBytes > 0, s"budget must be positive: $budgetBytes")
+    val bytesPerCell = math.max(1, schema.vars.map(_.dtype.byteWidth).sum)
+    // innerBytes(i): bytes of one full slice over dims strictly after i
+    val sizes = schema.dims.map(_.size.toLong)
+    val innerBytes = sizes.indices.map(i =>
+      sizes.drop(i + 1).product * bytesPerCell)
+    var spec = Map.empty[String, Int]
+    var i = 0
+    var done = schema.dims.isEmpty
+    while (!done && i < sizes.length) {
+      val d = schema.dims(i)
+      if (sizes(i) * innerBytes(i) <= budgetBytes) done = true // fits whole
+      else {
+        val raw = math.max(1L, budgetBytes / math.max(innerBytes(i), 1L))
+        val snapped = existing.get(d.name) match {
+          case Some(e) if e > 0 => math.max(e.toLong, (raw / e) * e)
+          case _ => raw
+        }
+        if (snapped < sizes(i)) spec += d.name -> snapped.toInt
+        // if even one inner slice exceeds the budget, keep splitting inward
+        done = innerBytes(i) <= budgetBytes
+        i += 1
+      }
+    }
+    spec
+  }
 }

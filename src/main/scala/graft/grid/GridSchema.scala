@@ -72,18 +72,26 @@ final case class StringCoords(values: Array[String]) extends CoordArray {
   * the pivot.
   */
 final case class DimDef(name: String, coords: CoordArray,
-    calendar: Option[String] = None, units: Option[String] = None) {
+    calendar: Option[String] = None, units: Option[String] = None,
+    attrs: Map[String, String] = Map.empty) {
   def size: Int = coords.size
 }
 
-/** A data variable spanning an ordered tuple of dimensions (C-order). */
-final case class VarDef(name: String, dims: Seq[String], dtype: GridType)
+/** A data variable spanning an ordered tuple of dimensions (C-order).
+  * `attrs` carries xarray-style variable attributes/encoding hints
+  * (units, long_name, ...) so round trips restore them
+  * (reference ds.py:72-147 template attr recovery).
+  */
+final case class VarDef(name: String, dims: Seq[String], dtype: GridType,
+    attrs: Map[String, String] = Map.empty)
 
 /** Schema of one logical dataset: dims + data variables (SURVEY §1.1).
   * The pivot rule: columns = dimension coordinates + data variables;
-  * rows = the cross product of dimension indices.
+  * rows = the cross product of dimension indices. `attrs` are
+  * dataset-level attributes (title, institution, ...).
   */
-final case class GridSchema(dims: Seq[DimDef], vars: Seq[VarDef]) {
+final case class GridSchema(dims: Seq[DimDef], vars: Seq[VarDef],
+    attrs: Map[String, String] = Map.empty) {
   def dim(name: String): DimDef =
     dims.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"unknown dim $name"))
@@ -96,7 +104,9 @@ final case class GridSchema(dims: Seq[DimDef], vars: Seq[VarDef]) {
     vars.groupBy(_.dims).toSeq.sortBy(_._1.mkString(","))
 
   /** Spark schema of the pivoted table for one dim-group. Calendar dims
-    * carry `xarray:calendar` / `xarray:units` column metadata.
+    * carry `xarray:calendar` / `xarray:units` column metadata; dim and
+    * variable attrs propagate as `xarray:attr:<key>` so provenance
+    * survives the pivot onto Spark columns.
     */
   def tableSchema(groupDims: Seq[String], groupVars: Seq[VarDef]): StructType =
     StructType(
@@ -105,11 +115,16 @@ final case class GridSchema(dims: Seq[DimDef], vars: Seq[VarDef]) {
         val mb = new MetadataBuilder()
         d.calendar.foreach(c => mb.putString("xarray:calendar", c))
         d.units.foreach(u => mb.putString("xarray:units", u))
+        d.attrs.foreach { case (k, v) => mb.putString(s"xarray:attr:$k", v) }
         StructField(dn, d.coords.gridType.sparkType, nullable = false,
           metadata = mb.build())
       } ++
-        groupVars.map(v => StructField(v.name, v.dtype.sparkType,
-          nullable = true)))
+        groupVars.map { v =>
+          val mb = new MetadataBuilder()
+          v.attrs.foreach { case (k, a) => mb.putString(s"xarray:attr:$k", a) }
+          StructField(v.name, v.dtype.sparkType, nullable = true,
+            metadata = mb.build())
+        })
 }
 
 /** Chunk-aligned variable storage. One instance is serialized into every

@@ -75,6 +75,57 @@ class BinaryGridStoreSpec extends SparkTestBase {
     assert(Files.exists(Paths.get(dir2, "precipitation", "0.0.bin")))
   }
 
+  test("fromDatasetAuto: byte budget picks the chunk spec end-to-end") {
+    // (lat,lon) slice = 110 doubles = 880 B; 2000 B budget -> time -> 2
+    val ctx = new XarrayContext(spark)
+    ctx.fromDatasetAuto("air_auto", Fixtures.airSmall, budgetBytes = 2000)
+    ReadCounters.reset()
+    val n = spark.sql("SELECT time, lat, lon, air FROM air_auto")
+      .collect().length
+    assert(n == 12 * 11 * 10)
+    assert(ReadCounters.partitionsOpened.sum() == 6L) // 12 days / 2
+  }
+
+  test("attrs + calendar metadata round-trip: store, pivot, template recovery") {
+    val base = Fixtures.airSmall
+    val schema = base.schema.copy(
+      dims = base.schema.dims.map(d => if (d.name == "time")
+        d.copy(attrs = Map("axis" -> "T", "long name" -> "time of obs"))
+      else d),
+      vars = base.schema.vars.map(_.copy(attrs = Map("units" -> "K"))),
+      attrs = Map("title" -> "air small", "institution" -> "graft test"))
+    val dir = tempDir("attrs")
+    BinaryGridStore.write(SyntheticGridStore(schema, base.laws), dir,
+      Map("time" -> 6))
+    val re = BinaryGridStore.open(dir)
+    // dataset / dim / var attrs survive the on-disk metadata (incl. the
+    // space in "long name" via URL-encoding)
+    assert(re.schema.attrs == schema.attrs)
+    assert(re.schema.dim("time").attrs ==
+      Map("axis" -> "T", "long name" -> "time of obs"))
+    assert(re.schema.vars.head.attrs == Map("units" -> "K"))
+    // ...and flow onto the pivoted Spark columns
+    val df = new XarrayContext(spark).dataFrame("attrs_grid", re,
+      Map("time" -> 6), Seq("time", "lat", "lon"))
+    assert(df.schema("air").metadata.getString("xarray:attr:units") == "K")
+    assert(df.schema("time").metadata.getString("xarray:attr:axis") == "T")
+    // ...and template recovery restores them after grid -> SQL -> grid
+    // (reference ds.py:72-147)
+    val res = GridResult.toGrid(
+      df.filter(col("lat") > 60).select("time", "lat", "lon", "air"),
+      Seq("time", "lat", "lon"))
+    val mem = ArrayGridStore.fromResult(res, re.schema)
+    assert(mem.schema.attrs == schema.attrs)
+    assert(mem.schema.dim("time").attrs("axis") == "T")
+    assert(mem.schema.vars.find(_.name == "air").get.attrs("units") == "K")
+    // calendar/units also persist (360_day fixture)
+    val cdir = tempDir("cal")
+    BinaryGridStore.write(Fixtures.cal360Grid, cdir, Map("time" -> 90))
+    val cal = BinaryGridStore.open(cdir).schema.dim("time")
+    assert(cal.calendar.contains("360_day") &&
+      cal.units.contains("days since 2000-01-01"))
+  }
+
   test("zstd codec: values round-trip exactly and chunks shrink on disk") {
     def dirBytes(d: String, v: String): Long =
       Files.list(Paths.get(d, v)).toArray.map(p =>
