@@ -44,6 +44,25 @@ class XarrayContext(val spark: SparkSession) {
     }
   }
 
+  /** Register `store` under a 2-level SQL namespace — the reference's
+    * `era5.time_lat_lon` schema scoping (sql.py:105-125) — by activating
+    * a per-dataset DSv2 catalog: `SELECT ... FROM <name>.<dim_group>`
+    * and `SHOW TABLES IN <name>` resolve through Spark's catalog
+    * machinery. Returns the qualified table names.
+    */
+  def fromDatasetCatalog(name: String, store: GridStore,
+      chunks: Map[String, Int]): Seq[String] = {
+    require(store.schema.varGroups.nonEmpty,
+      s"dataset $name has no data variables")
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.GridCatalog].getName)
+    store.schema.varGroups.map { case (dims, _) =>
+      val tbl = if (dims.isEmpty) "scalar" else dims.mkString("_")
+      graft.sources.GridCatalog.register(name, tbl, store, chunks, dims)
+      s"$name.$tbl"
+    }
+  }
+
   /** Register with `chunks = "auto"`: the spec is derived from a byte
     * budget (reference ds.py:566-625 — 128 MiB default), splitting
     * outer dims first and snapping to the store's own on-disk chunks

@@ -89,6 +89,11 @@ object ArrayGridStore {
         TimeCoords(values.map(v =>
           org.apache.spark.sql.catalyst.util.DateTimeUtils
             .fromJavaTimestamp(v.asInstanceOf[java.sql.Timestamp])).toArray)
+      case Some(_: java.time.Duration) =>
+        DurationCoords(values.map { v =>
+          val d = v.asInstanceOf[java.time.Duration]
+          d.getSeconds * 1000000L + d.getNano / 1000
+        }.toArray)
       case Some(_: String) =>
         StringCoords(values.map(_.asInstanceOf[String]).toArray)
       case other => throw new IllegalArgumentException(

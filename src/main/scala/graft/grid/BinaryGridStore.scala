@@ -65,7 +65,7 @@ final case class BinaryGridStore(root: String, schema: GridSchema,
       case GDouble => val a = new Array[Double](n); bb.asDoubleBuffer().get(a); a
       case GFloat => val a = new Array[Float](n); bb.asFloatBuffer().get(a); a
       case GInt => val a = new Array[Int](n); bb.asIntBuffer().get(a); a
-      case GLong | GTimestamp =>
+      case GLong | GTimestamp | GDuration =>
         val a = new Array[Long](n); bb.asLongBuffer().get(a); a
       case GString => throw new IllegalArgumentException(
         "string variables unsupported in BinaryGridStore")
@@ -89,7 +89,7 @@ final case class BinaryGridStore(root: String, schema: GridSchema,
       case GDouble => new Array[Double](n)
       case GFloat => new Array[Float](n)
       case GInt => new Array[Int](n)
-      case GLong | GTimestamp => new Array[Long](n)
+      case GLong | GTimestamp | GDuration => new Array[Long](n)
       case GString => throw new IllegalArgumentException(
         "string variables unsupported in BinaryGridStore")
     }
@@ -224,6 +224,7 @@ object BinaryGridStore {
             case "int" => IntCoords(vs.map(_.toInt))
             case "long" => LongCoords(vs.map(_.toLong))
             case "timestamp" => TimeCoords(vs.map(_.toLong))
+            case "duration" => DurationCoords(vs.map(_.toLong))
             case other => throw new IllegalArgumentException(s"bad dim type $other")
           }
           dims :+= DimDef(name, coords)
@@ -257,6 +258,7 @@ object BinaryGridStore {
     case "int" => GInt
     case "long" => GLong
     case "timestamp" => GTimestamp
+    case "duration" => GDuration
     case other => throw new IllegalArgumentException(s"bad var type $other")
   }
 
@@ -266,6 +268,7 @@ object BinaryGridStore {
     case GInt => "int"
     case GLong => "long"
     case GTimestamp => "timestamp"
+    case GDuration => "duration"
     case GString => throw new IllegalArgumentException("string unsupported")
   }
 
@@ -280,6 +283,7 @@ object BinaryGridStore {
         case IntCoords(v) => ("int", v.mkString(","))
         case LongCoords(v) => ("long", v.mkString(","))
         case TimeCoords(v) => ("timestamp", v.mkString(","))
+        case DurationCoords(v) => ("duration", v.mkString(","))
         case StringCoords(_) => throw new IllegalArgumentException(
           "string coords unsupported in BinaryGridStore")
       }

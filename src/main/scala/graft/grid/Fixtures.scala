@@ -97,6 +97,22 @@ object Fixtures {
       Map("reading" -> AffineLaw(100.0, Seq(7.0, 0.25))))
   }
 
+  /** Forecast-skill fixture: init time (4 x 6-hourly from 2021-01-01) x
+    * prediction lead (6 x 6-hour day-time intervals) — the reference's
+    * `prediction_timedelta` coordinate
+    * (benchmarks/geospatial/05_forecast_skill.py:158-171).
+    */
+  def forecastGrid: SyntheticGridStore = {
+    val time = TimeCoords((0 until 4).map(hourlyMicros(18628L, _, 6)).toArray)
+    val lead = DurationCoords(
+      (0 until 6).map(l => l * 6L * 3600L * 1000000L).toArray)
+    SyntheticGridStore(
+      GridSchema(
+        Seq(DimDef("time", time), DimDef("lead", lead)),
+        Seq(VarDef("fc", Seq("time", "lead"), GDouble))),
+      Map("fc" -> AffineLaw(10.0, Seq(1.0, 0.25))))
+  }
+
   final case class PruneLaw() extends GridFun {
     def apply(idx: Array[Int]): Double = idx(0) * 10.0 + idx(1)
   }

@@ -20,6 +20,11 @@ case object GInt extends GridType { val sparkType = IntegerType; val byteWidth =
 case object GLong extends GridType { val sparkType = LongType; val byteWidth = 8 }
 /** Microseconds since epoch, UTC — Spark's native timestamp resolution. */
 case object GTimestamp extends GridType { val sparkType = TimestampType; val byteWidth = 8 }
+/** Day-time interval (timedelta), microseconds — Spark's ANSI interval.
+  * The reference's `prediction_timedelta` coordinate shape
+  * (benchmarks/geospatial/05_forecast_skill.py:158-171).
+  */
+case object GDuration extends GridType { val sparkType = DayTimeIntervalType(); val byteWidth = 8 }
 case object GString extends GridType { val sparkType = StringType; val byteWidth = 16 }
 
 /** A 1-D dimension-coordinate array (the axis labels of one dimension).
@@ -56,6 +61,12 @@ final case class LongCoords(values: Array[Long]) extends CoordArray {
 final case class TimeCoords(values: Array[Long]) extends CoordArray {
   def size: Int = values.length
   def gridType: GridType = GTimestamp
+  def internal(i: Int): Any = values(i)
+}
+/** values are timedelta microseconds (DayTimeIntervalType physical rep). */
+final case class DurationCoords(values: Array[Long]) extends CoordArray {
+  def size: Int = values.length
+  def gridType: GridType = GDuration
   def internal(i: Int): Any = values(i)
 }
 final case class StringCoords(values: Array[String]) extends CoordArray {
@@ -181,7 +192,7 @@ final case class SyntheticGridStore(
       case GDouble => fill(new Array[Double](n), identity)
       case GFloat => fill(new Array[Float](n), _.toFloat)
       case GInt => fill(new Array[Int](n), _.toInt)
-      case GLong | GTimestamp => fill(new Array[Long](n), _.toLong)
+      case GLong | GTimestamp | GDuration => fill(new Array[Long](n), _.toLong)
       case GString => throw new IllegalArgumentException(
         "string data variables are not part of the model")
     }

@@ -41,8 +41,9 @@ object GridWriter {
       case TimeCoords(_) => unix_micros(col(d.name))
       case DoubleCoords(_) | FloatCoords(_) => col(d.name).cast(DoubleType)
       case IntCoords(_) | LongCoords(_) => col(d.name).cast(LongType)
-      case StringCoords(_) => throw new IllegalArgumentException(
-        "string dims unsupported in BinaryGridStore")
+      case DurationCoords(_) | StringCoords(_) =>
+        throw new IllegalArgumentException(
+          "duration/string dims unsupported in GridWriter")
     }
 
   private def coordIndex(d: DimDef): Map[Any, Int] = d.coords match {
@@ -53,8 +54,9 @@ object GridWriter {
     case IntCoords(v) =>
       v.zipWithIndex.map { case (x, i) => (x.toLong: Any) -> i }.toMap
     case LongCoords(v) => v.zipWithIndex.map { case (x, i) => (x: Any) -> i }.toMap
-    case StringCoords(_) => throw new IllegalArgumentException(
-      "string dims unsupported in BinaryGridStore")
+    case DurationCoords(_) | StringCoords(_) =>
+      throw new IllegalArgumentException(
+        "duration/string dims unsupported in GridWriter")
   }
 
   private def writeVar(df: DataFrame, schema: GridSchema,
@@ -135,7 +137,7 @@ object GridWriter {
           case GDouble => Array.fill(cells)(Double.NaN)
           case GFloat => Array.fill(cells)(Float.NaN)
           case GInt => new Array[Int](cells)
-          case GLong | GTimestamp => new Array[Long](cells)
+          case GLong | GTimestamp | GDuration => new Array[Long](cells)
           case GString => throw new IllegalArgumentException(
             "string variables unsupported")
         }

@@ -96,6 +96,9 @@ object LazyGridView {
     case LongCoords(v) => v(i)
     case TimeCoords(v) =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(v(i))
+    case DurationCoords(v) => // micros -> external java.time.Duration
+      java.time.Duration.ofSeconds(v(i) / 1000000L,
+        (v(i) % 1000000L) * 1000L)
     case StringCoords(v) => v(i)
   }
 }

@@ -60,6 +60,19 @@ object GridQueries {
           (col("air") - col("m")).as("anom"))
     }),
 
+    // timedelta (DayTimeInterval) coordinate end-to-end: a forecast grid
+    // keyed by init time x prediction lead; the interval-literal filter
+    // zone-map-prunes lead chunks and valid time = time + lead uses
+    // Spark's native timestamp + interval arithmetic. Reference
+    // prediction_timedelta shape (benchmarks/geospatial/05_forecast_skill
+    // .py:158-171).
+    "pivot_grid_timedelta" -> ((s, _) => {
+      new XarrayContext(s).fromDataset("fc_grid", Fixtures.forecastGrid,
+        Map("lead" -> 2))
+      s.sql("""SELECT time + lead AS valid_time, fc FROM fc_grid
+              |WHERE lead >= INTERVAL '12' HOUR""".stripMargin)
+    }),
+
     // non-Gregorian calendar end-to-end (SURVEY §2A A14/A15): a 360_day
     // grid keeps int64 CF offsets, registration auto-binds `cftime`, and
     // the date-literal predicate folds to a plain long (180 here) that
@@ -131,6 +144,13 @@ object GridQueries {
         |SELECT station, time, reading FROM st
         |WHERE station IN ('st_1','st_4')
         |AND time >= TIMESTAMP '2020-01-04'""".stripMargin,
+    "pivot_grid_timedelta" ->
+      """WITH fc AS (
+        |  SELECT TIMESTAMP '2021-01-01' + INTERVAL (t*6) HOUR AS time, l,
+        |         10.0 + 1.0*t + 0.25*l AS fc
+        |  FROM generate_series(0, 3) g1(t), generate_series(0, 5) g2(l))
+        |SELECT time + INTERVAL (l*6) HOUR AS valid_time, fc
+        |FROM fc WHERE l*6 >= 12""".stripMargin,
     // cftime('2000-07-01') in 360_day/"days since 2000-01-01" = offset
     // 6*30 = 180; the oracle replays the offset arithmetic as a literal
     "pivot_grid_cftime" ->

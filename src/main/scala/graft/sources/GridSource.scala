@@ -248,6 +248,9 @@ object GridBounds {
         case TimeCoords(v) =>
           val s = v.slice(start, start + len)
           if (s.isEmpty) None else Some(dimName -> LongBounds(s.min, s.max))
+        case DurationCoords(v) =>
+          val s = v.slice(start, start + len)
+          if (s.isEmpty) None else Some(dimName -> LongBounds(s.min, s.max))
         case StringCoords(_) => None // strings: no pruning bounds
       }
     }.toMap
@@ -292,6 +295,8 @@ class MetaAggScan(store: GridStore, chunks: Map[String, Int],
       case LongCoords(v) =>
         val s = keep.map(v); if (wantMax) s.max else s.min
       case TimeCoords(v) =>
+        val s = keep.map(v); if (wantMax) s.max else s.min
+      case DurationCoords(v) =>
         val s = keep.map(v); if (wantMax) s.max else s.min
       case StringCoords(_) => throw new IllegalStateException(
         "string dims are never meta-agg pushed")
@@ -588,6 +593,10 @@ class GridColumnarReader(part: GridInputPartition)
               while (r < m) {
                 vec.putLong(r, v(start + (((offset + r) / stride) % size).toInt)); r += 1
               }
+            case DurationCoords(v) =>
+              while (r < m) {
+                vec.putLong(r, v(start + (((offset + r) / stride) % size).toInt)); r += 1
+              }
             case StringCoords(v) =>
               while (r < m) {
                 val b = v(start + (((offset + r) / stride) % size).toInt)
@@ -692,6 +701,7 @@ class GridPartitionReader(part: GridInputPartition)
             case IntCoords(v) => sorted(v)
             case LongCoords(v) => sorted(v)
             case TimeCoords(v) => sorted(v)
+            case DurationCoords(v) => sorted(v)
             case StringCoords(_) => throw new IllegalStateException(
               "string dims are never TopN-pushed")
           }

@@ -58,6 +58,7 @@ object SeparableDimFilters {
     case _: java.lang.Number => true
     case _: java.sql.Timestamp => true
     case _: java.time.Instant => true
+    case _: java.time.Duration => true
     case _ => false
   }
 
@@ -94,6 +95,9 @@ object SeparableDimFilters {
         Some(java.lang.Long.compare(l, DateTimeUtils.fromJavaTimestamp(t)))
       case (Right(l), i: java.time.Instant) =>
         Some(java.lang.Long.compare(l, DateTimeUtils.instantToMicros(i)))
+      case (Right(l), d: java.time.Duration) =>
+        Some(java.lang.Long.compare(l,
+          d.getSeconds * 1000000L + d.getNano / 1000))
       case (Right(l), n: java.lang.Number) =>
         Some(java.lang.Long.compare(l, n.longValue()))
       case _ => None
@@ -120,6 +124,7 @@ object SeparableDimFilters {
       case IntCoords(v) => Left(v(i).toDouble)
       case LongCoords(v) => Right(v(i))
       case TimeCoords(v) => Right(v(i))
+      case DurationCoords(v) => Right(v(i))
       case StringCoords(_) => throw new IllegalStateException(
         "string dims are never separable-pushed")
     }

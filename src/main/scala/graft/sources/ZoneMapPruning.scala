@@ -99,6 +99,8 @@ object ZoneMapPruning {
     case n: java.lang.Number => Some(n.longValue())
     case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
     case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+    case d: java.time.Duration => // timedelta coords are micros
+      Some(d.getSeconds * 1000000L + d.getNano / 1000)
     case _ => None
   }
 }
