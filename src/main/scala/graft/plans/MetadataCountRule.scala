@@ -4,8 +4,8 @@ import graft.grid.ChunkGrid
 import graft.sources.{GridBounds, GridTable, ZoneMapPruning}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, GenericInternalRow, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -22,13 +22,17 @@ import org.apache.spark.sql.graftinterop.FilterInterop
   * fully included by the dimension-only predicate — the answer is a sum
   * of block row counts, already known at planning time. This rule
   * rewrites such an Aggregate(Filter(grid)) to a LocalRelation with the
-  * precomputed count: zero partitions opened. Any partition that
-  * straddles the predicate boundary, any non-translatable predicate, or
-  * any data-variable reference makes the rule bail to the normal scan.
+  * precomputed count: zero partitions opened.
   *
-  * At 100 TB this is the difference between a pure-metadata answer and a
-  * cluster-wide scan for the common "how many rows in this time range"
-  * query when ranges align with chunking (as calendar-aligned chunks do).
+  * Partial case: when only SOME blocks straddle the predicate boundary,
+  * the fully-included blocks still contribute their metadata counts and
+  * the scan is restricted to the straddling blocks alone
+  * (`GridTable.restrictedTo`), rewritten as
+  * `included_total + COUNT(*) over straddling blocks` — at 100 TB an
+  * unaligned "how many rows in this time range" reads only the one or
+  * two boundary chunks per dimension instead of the whole range. A
+  * non-translatable predicate or a data-variable reference still bails
+  * to the normal scan.
   */
 case class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -59,25 +63,43 @@ case class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         stripProjects(rest) match {
           case rel: DataSourceV2Relation =>
             rel.table match {
-              case gt: GridTable =>
+              case gt: GridTable if gt.onlyBlocks.isEmpty =>
                 FilterInterop.translate(cond).flatMap { f =>
                   val schema = gt.store.schema
                   val blocks =
                     ChunkGrid.groupBlocks(schema, gt.groupDims, gt.chunks)
                   var total = 0L
-                  var decidable = true
+                  val straddling = Seq.newBuilder[Seq[(Int, Int)]]
                   blocks.foreach { b =>
                     val bounds = GridBounds.forBlock(schema, gt.groupDims, b)
                     if (ZoneMapPruning.excludes(f, bounds)) ()
                     else if (ZoneMapPruning.includes(f, bounds))
                       total += ChunkGrid.rowCount(b)
-                    else decidable = false // straddles the boundary: bail
+                    else straddling += b
                   }
-                  if (decidable)
+                  val boundary = straddling.result()
+                  if (boundary.isEmpty)
+                    // fully decidable: a pure-metadata constant
                     Some(LocalRelation(Seq(alias.toAttribute),
                       Seq(new GenericInternalRow(
                         Array[Any](total)): InternalRow)))
-                  else None
+                  else if (total > 0L && !graft.sources.SeparableDimFilters
+                      .isSeparable(f, schema, gt.groupDims)) {
+                    // partial: metadata count for included blocks + a
+                    // real COUNT over ONLY the straddling blocks.
+                    // (Separable predicates bail instead: the scan's
+                    // exact meta-aggregate pushdown answers those with
+                    // zero reads already.)
+                    val restricted = rel.copy(table = gt.restrictedTo(boundary))
+                    val cnt = Alias(AggregateExpression(
+                      Count(Seq(Literal(1))), Complete, isDistinct = false),
+                      "boundary_cnt")()
+                    val inner = Aggregate(Nil, Seq(cnt),
+                      Filter(cond, restricted))
+                    Some(Project(Seq(Alias(
+                      Add(cnt.toAttribute, Literal(total)), alias.name)(
+                      exprId = alias.exprId)), inner))
+                  } else None // nothing saved: keep the normal scan
                 }
               case _ => None
             }

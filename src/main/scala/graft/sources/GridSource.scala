@@ -90,21 +90,33 @@ class GridTableProvider extends TableProvider {
 }
 
 class GridTable(key: String, val store: GridStore,
-    val chunks: Map[String, Int], val groupDims: Seq[String])
+    val chunks: Map[String, Int], val groupDims: Seq[String],
+    val onlyBlocks: Option[Seq[Seq[(Int, Int)]]] = None)
   extends Table with SupportsRead {
   private val groupVars = store.schema.vars.filter(_.dims == groupDims)
 
-  override def name(): String = s"grid:$key"
+  override def name(): String =
+    s"grid:$key" + (if (onlyBlocks.isDefined)
+      s" [restricted to ${onlyBlocks.get.size} blocks]" else "")
   override def schema(): StructType = store.schema.tableSchema(groupDims, groupVars)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
+  /** Same table restricted to an explicit chunk-block whitelist — used
+    * by the partial metadata-count rewrite to scan only the blocks that
+    * straddle a predicate boundary.
+    */
+  def restrictedTo(blocks: Seq[Seq[(Int, Int)]]): GridTable =
+    new GridTable(key, store, chunks, groupDims, Some(blocks))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GridScanBuilder(store, chunks, groupDims, groupVars, schema())
+    new GridScanBuilder(store, chunks, groupDims, groupVars, schema(),
+      onlyBlocks)
 }
 
 class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
-    groupDims: Seq[String], groupVars: Seq[VarDef], fullSchema: StructType)
+    groupDims: Seq[String], groupVars: Seq[VarDef], fullSchema: StructType,
+    onlyBlocks: Option[Seq[Seq[(Int, Int)]]] = None)
   extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -218,10 +230,11 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
   }
 
   override def build(): Scan = metaAggs match {
-    case Some(aggs) => new MetaAggScan(store, chunks, groupDims, aggs, pushed)
-    case None =>
+    case Some(aggs) if onlyBlocks.isEmpty =>
+      new MetaAggScan(store, chunks, groupDims, aggs, pushed)
+    case _ =>
       new GridScan(store, chunks, groupDims, groupVars, required, pushed,
-        limit, topKeys)
+        limit, topKeys, onlyBlocks)
   }
 }
 
@@ -340,7 +353,8 @@ final case class MetaAggPartition(values: Array[Any]) extends InputPartition
 class GridScan(store: GridStore, chunks: Map[String, Int],
     groupDims: Seq[String], groupVars: Seq[VarDef],
     required: StructType, staticFilters: Array[Filter], limit: Int = -1,
-    topKeys: Seq[(String, Boolean)] = Nil)
+    topKeys: Seq[(String, Boolean)] = Nil,
+    onlyBlocks: Option[Seq[Seq[(Int, Int)]]] = None)
   extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -373,7 +387,8 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
     */
   private def survivingBlocks(
       fs: Array[Filter]): Seq[(Seq[(Int, Int)], Map[String, DimBounds])] = {
-    val allBlocks = ChunkGrid.groupBlocks(store.schema, groupDims, chunks)
+    val allBlocks = onlyBlocks.getOrElse(
+      ChunkGrid.groupBlocks(store.schema, groupDims, chunks))
     allBlocks
       .map(b => (b, GridBounds.forBlock(store.schema, groupDims, b)))
       .filterNot { case (block, bounds) =>

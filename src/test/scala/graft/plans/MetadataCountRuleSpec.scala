@@ -73,4 +73,20 @@ class MetadataCountRuleSpec extends SparkTestBase {
     assert(k >= 0L)
     assert(ReadCounters.partitionsOpened.sum() == 4L)
   }
+
+  test("partial case: included chunks count from metadata, boundary scans") {
+    val ctx = new XarrayContext(session)
+    val df = ctx.dataFrame("metacount3", Fixtures.pruneGrid,
+      Map("time" -> 25), Seq("time", "lat"))
+    // non-separable OR with an unaligned time cutoff (day 40): chunk 0
+    // excluded, chunk 1 straddles, chunks 2+3 fully included -> the rule
+    // emits included_total + COUNT over ONLY the straddling chunk
+    ReadCounters.reset()
+    val n = df.filter(
+      col("time") >= to_timestamp(lit("2020-02-10 00:00:00")) ||
+        col("lat") > 1000.0).count()
+    assert(n == 60L * 5) // days 40..99
+    assert(ReadCounters.partitionsOpened.sum() == 1L,
+      s"opened ${ReadCounters.partitionsOpened.sum()}")
+  }
 }
