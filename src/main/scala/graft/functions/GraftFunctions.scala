@@ -80,6 +80,21 @@ case class DotProductF64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Reinterpret a day-time interval as its physical microseconds count.
+  * The Catalyst internal representation of DayTimeIntervalType IS a long
+  * of micros, so eval is the identity — this exists because no built-in
+  * SQL cast exposes interval micros losslessly. Used by GridWriter to
+  * key duration coordinates.
+  */
+case class DurationMicros(child: Expression)
+  extends UnaryExpression with RefCallCodegen {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "duration_micros"
+  override def nullSafeEval(v: Any): Any = v.asInstanceOf[Long]
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `cftime('2000-07-01')`: parse a date-string literal in a non-Gregorian
   * CF calendar into its int64 offset (reference cftime.py:217-248). The
   * expression is deterministic and foldable when its child is a literal,

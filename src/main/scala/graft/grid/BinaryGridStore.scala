@@ -33,7 +33,27 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 final case class BinaryGridStore(root: String, schema: GridSchema,
     chunks: Map[String, Int], codec: String = "none",
-    hconf: SerializableHadoopConf = GridIO.shippable()) extends GridStore {
+    hconf: SerializableHadoopConf = GridIO.shippable(),
+    stats: Map[String, (Any, Any)] = Map.empty) extends GridStore {
+
+  /** Per-chunk variable min/max recorded at write time (finite-only
+    * chunks; see GridStore.varBounds contract). Served for
+    * chunk-aligned blocks — exactly the blocks the DSv2 scan plans.
+    */
+  override def varBounds(name: String,
+      block: Seq[(Int, Int)]): Option[(Any, Any)] = {
+    val v = schema.vars.find(_.name == name).getOrElse(return None)
+    val chunkSz = v.dims.map(d =>
+      chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
+    val aligned = v.dims.indices.forall { i =>
+      val (start, len) = block(i)
+      start % chunkSz(i) == 0 &&
+        (len == chunkSz(i) || start + len == schema.dim(v.dims(i)).size)
+    }
+    if (!aligned) None
+    else stats.get(
+      s"$name ${block.zip(chunkSz).map(b => b._1._1 / b._2).mkString(".")}")
+  }
 
   def readVar(name: String, ranges: Seq[(Int, Int)]): AnyRef = {
     val v = schema.vars.find(_.name == name).getOrElse(
@@ -169,7 +189,7 @@ object BinaryGridStore {
     val conf = GridIO.driverConf()
     val schema = source.schema
     GridIO.mkdirs(root, conf)
-    writeMetadata(s"$root/metadata.txt", schema, chunks, codec, conf)
+    val stats = Map.newBuilder[String, (Any, Any)]
     schema.vars.foreach { v =>
       GridIO.mkdirs(s"$root/${v.name}", conf)
       val sub = GridSchema(v.dims.map(schema.dim), Seq.empty)
@@ -178,11 +198,44 @@ object BinaryGridStore {
           start / chunks.getOrElse(d, math.max(schema.dim(d).size, 1))
         }
         val data = source.readVar(v.name, block)
+        chunkStats(data).foreach(s =>
+          stats += s"${v.name} ${idx.mkString(".")}" -> s)
         GridIO.write(s"$root/${v.name}/${idx.mkString(".")}.bin",
           encodeChunk(data, codec), conf)
       }
     }
-    BinaryGridStore(root, schema, chunks, codec)
+    val statMap = stats.result()
+    writeMetadata(s"$root/metadata.txt", schema, chunks, codec, conf, statMap)
+    BinaryGridStore(root, schema, chunks, codec, stats = statMap)
+  }
+
+  /** (min, max) of one chunk payload — Long-boxed for long kinds, Double
+    * otherwise; None when any value is non-finite (NaN chunks must not
+    * feed containment reasoning) or the chunk is empty.
+    */
+  def chunkStats(data: AnyRef): Option[(Any, Any)] = data match {
+    case a: Array[Double] if a.nonEmpty =>
+      var mn = a(0); var mx = a(0); var i = 0
+      while (i < a.length) {
+        val x = a(i)
+        if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+          return None
+        if (x < mn) mn = x; if (x > mx) mx = x; i += 1
+      }
+      Some((mn, mx))
+    case a: Array[Float] if a.nonEmpty =>
+      var mn = a(0); var mx = a(0); var i = 0
+      while (i < a.length) {
+        val x = a(i)
+        if (java.lang.Float.isNaN(x) || java.lang.Float.isInfinite(x))
+          return None
+        if (x < mn) mn = x; if (x > mx) mx = x; i += 1
+      }
+      Some((mn.toDouble, mx.toDouble))
+    case a: Array[Int] if a.nonEmpty =>
+      Some((a.min.toDouble, a.max.toDouble))
+    case a: Array[Long] if a.nonEmpty => Some((a.min, a.max))
+    case _ => None
   }
 
   /** Create the store directory skeleton + metadata only (chunk files
@@ -211,6 +264,7 @@ object BinaryGridStore {
     var chunks = Map.empty[String, Int]
     var codec = "none"
     var dsAttrs = Map.empty[String, String]
+    var stats = Map.empty[String, (Any, Any)]
     def dec(s: String): String =
       java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
     lines.foreach { line =>
@@ -236,6 +290,13 @@ object BinaryGridStore {
           dims = dims.map(d => if (d.name == name)
             d.copy(calendar = Some(dec(cal)),
               units = Some(dec(units)).filter(_.nonEmpty)) else d)
+        case "stats" :: vn :: ck :: mm :: Nil =>
+          // written after var lines, so the dtype is already known
+          val longKind = vars.find(_.name == vn).exists(v =>
+            v.dtype == GLong || v.dtype == GTimestamp || v.dtype == GDuration)
+          val Array(mn, mx) = mm.split(" ", 2)
+          stats += s"$vn $ck" -> (if (longKind) (mn.toLong, mx.toLong)
+            else (mn.toDouble, mx.toDouble))
         case "attr" :: "ds" :: k :: v :: Nil => dsAttrs += dec(k) -> dec(v)
         case "attr" :: scope :: k :: v :: Nil if scope.startsWith("dim:") =>
           val dn = scope.stripPrefix("dim:")
@@ -249,7 +310,8 @@ object BinaryGridStore {
         case other => throw new IllegalArgumentException(s"bad metadata line: $line")
       }
     }
-    BinaryGridStore(root, GridSchema(dims, vars, dsAttrs), chunks, codec)
+    BinaryGridStore(root, GridSchema(dims, vars, dsAttrs), chunks, codec,
+      stats = stats)
   }
 
   private def parseType(s: String): GridType = s match {
@@ -274,7 +336,8 @@ object BinaryGridStore {
 
   private def writeMetadata(path: String, schema: GridSchema,
       chunks: Map[String, Int], codec: String,
-      conf: org.apache.hadoop.conf.Configuration): Unit = {
+      conf: org.apache.hadoop.conf.Configuration,
+      stats: Map[String, (Any, Any)] = Map.empty): Unit = {
     val sb = new StringBuilder
     schema.dims.foreach { d =>
       val (tpe, values) = d.coords match {
@@ -311,6 +374,10 @@ object BinaryGridStore {
       sb.append(s"attr var:${v.name} ${enc(k)} ${enc(a)}\n") })
     schema.attrs.foreach { case (k, v) =>
       sb.append(s"attr ds ${enc(k)} ${enc(v)}\n") }
+    // per-chunk variable min/max (Double.toString / Long.toString both
+    // round-trip exactly); key = "<var> <chunkIdx dotted>"
+    stats.toSeq.sortBy(_._1).foreach { case (k, (mn, mx)) =>
+      sb.append(s"stats $k $mn $mx\n") }
     GridIO.writeString(path, sb.toString, conf)
   }
 

@@ -152,6 +152,19 @@ trait GridStore extends Serializable {
     * array of length = product(lengths). Called only on executors.
     */
   def readVar(name: String, ranges: Seq[(Int, Int)]): AnyRef
+
+  /** Optional (min, max) statistics of a DATA VARIABLE over `block` —
+    * the analogue of Parquet row-group column stats, enabling chunk
+    * pruning and metadata counts on variable predicates (beyond the
+    * reference, whose bounds cover dims only). Boxed Long for
+    * long-kind variables (exact beyond 2^53), boxed Double otherwise.
+    * None = unknown (no pruning; always sound). Implementations must
+    * only report bounds for chunks whose values are all finite and
+    * non-null, because the bounds feed containment (full-inclusion
+    * counts) as well as exclusion.
+    */
+  def varBounds(name: String, block: Seq[(Int, Int)]): Option[(Any, Any)] =
+    None
 }
 
 /** Deterministic value law for synthetic variables (seedable, so executors

@@ -41,9 +41,12 @@ object GridWriter {
       case TimeCoords(_) => unix_micros(col(d.name))
       case DoubleCoords(_) | FloatCoords(_) => col(d.name).cast(DoubleType)
       case IntCoords(_) | LongCoords(_) => col(d.name).cast(LongType)
-      case DurationCoords(_) | StringCoords(_) =>
-        throw new IllegalArgumentException(
-          "duration/string dims unsupported in GridWriter")
+      case DurationCoords(_) => { // internal rep is already long micros
+        import org.apache.spark.sql.graftinterop.ColumnInterop._
+        toColumn(graft.functions.DurationMicros(toExpr(col(d.name))))
+      }
+      case StringCoords(_) => throw new IllegalArgumentException(
+        "string dims unsupported in GridWriter")
     }
 
   private def coordIndex(d: DimDef): Map[Any, Int] = d.coords match {
@@ -54,9 +57,10 @@ object GridWriter {
     case IntCoords(v) =>
       v.zipWithIndex.map { case (x, i) => (x.toLong: Any) -> i }.toMap
     case LongCoords(v) => v.zipWithIndex.map { case (x, i) => (x: Any) -> i }.toMap
-    case DurationCoords(_) | StringCoords(_) =>
-      throw new IllegalArgumentException(
-        "duration/string dims unsupported in GridWriter")
+    case DurationCoords(v) => // keyed on micros (DurationMicros column)
+      v.zipWithIndex.map { case (x, i) => (x: Any) -> i }.toMap
+    case StringCoords(_) => throw new IllegalArgumentException(
+      "string dims unsupported in GridWriter")
   }
 
   private def writeVar(df: DataFrame, schema: GridSchema,

@@ -66,12 +66,17 @@ case class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case gt: GridTable if gt.onlyBlocks.isEmpty =>
                 FilterInterop.translate(cond).flatMap { f =>
                   val schema = gt.store.schema
+                  val groupVars = schema.vars.filter(_.dims == gt.groupDims)
                   val blocks =
                     ChunkGrid.groupBlocks(schema, gt.groupDims, gt.chunks)
                   var total = 0L
                   val straddling = Seq.newBuilder[Seq[(Int, Int)]]
                   blocks.foreach { b =>
-                    val bounds = GridBounds.forBlock(schema, gt.groupDims, b)
+                    // dim bounds + variable chunk stats: counts under
+                    // variable predicates become metadata-answerable
+                    // when the store records per-chunk min/max
+                    val bounds = GridBounds.forBlockWithVars(gt.store,
+                      gt.groupDims, groupVars, b)
                     if (ZoneMapPruning.excludes(f, bounds)) ()
                     else if (ZoneMapPruning.includes(f, bounds))
                       total += ChunkGrid.rowCount(b)

@@ -267,6 +267,26 @@ object GridBounds {
         case StringCoords(_) => None // strings: no pruning bounds
       }
     }.toMap
+
+  /** Store-reported variable stats -> pruning bounds (Long-boxed stats
+    * keep exact long/timestamp comparisons beyond 2^53).
+    */
+  def fromVarStats(s: (Any, Any)): DimBounds = s match {
+    case (mn: java.lang.Long, mx: java.lang.Long) =>
+      LongBounds(mn, mx)
+    case (mn: java.lang.Number, mx: java.lang.Number) =>
+      NumBounds(mn.doubleValue(), mx.doubleValue())
+    case other => throw new IllegalArgumentException(s"bad var stats $other")
+  }
+
+  /** Dim bounds + data-variable bounds (when the store has chunk stats)
+    * for one block — the full zone map a predicate can prune against.
+    */
+  def forBlockWithVars(store: graft.grid.GridStore, groupDims: Seq[String],
+      groupVars: Seq[VarDef], block: Seq[(Int, Int)]): Map[String, DimBounds] =
+    forBlock(store.schema, groupDims, block) ++
+      groupVars.flatMap(v =>
+        store.varBounds(v.name, block).map(s => v.name -> fromVarStats(s)))
 }
 
 sealed trait MetaAgg extends Serializable
@@ -390,7 +410,8 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
     val allBlocks = onlyBlocks.getOrElse(
       ChunkGrid.groupBlocks(store.schema, groupDims, chunks))
     allBlocks
-      .map(b => (b, GridBounds.forBlock(store.schema, groupDims, b)))
+      .map(b =>
+        (b, GridBounds.forBlockWithVars(store, groupDims, groupVars, b)))
       .filterNot { case (block, bounds) =>
         fs.exists(f => ZoneMapPruning.excludes(f, bounds)) ||
           blockKeep(block, fs).exists(_.isEmpty)

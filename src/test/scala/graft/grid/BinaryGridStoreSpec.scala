@@ -86,6 +86,25 @@ class BinaryGridStoreSpec extends SparkTestBase {
     assert(ReadCounters.partitionsOpened.sum() == 6L) // 12 days / 2
   }
 
+  test("variable chunk stats: recorded at write, served, prune the scan") {
+    val dir = tempDir("varstats")
+    BinaryGridStore.write(Fixtures.pruneGrid, dir, Map("time" -> 25))
+    val store = BinaryGridStore.open(dir)
+    // temperature = t*10 + lat_idx -> chunk maxima 244 / 494 / 744 / 994
+    assert(store.varBounds("temperature", Seq((0, 25), (0, 5)))
+      .contains((0.0, 244.0)))
+    assert(store.varBounds("temperature", Seq((75, 25), (0, 5)))
+      .contains((750.0, 994.0)))
+    // unaligned block -> no stats (sound: unknown)
+    assert(store.varBounds("temperature", Seq((10, 25), (0, 5))).isEmpty)
+    val df = new XarrayContext(spark).dataFrame("varstats_grid", store,
+      store.chunks, Seq("time", "lat"))
+    ReadCounters.reset()
+    // a DATA-VARIABLE predicate now zone-map-prunes chunks
+    assert(df.filter(col("temperature") >= 750.0).collect().length == 125)
+    assert(ReadCounters.partitionsOpened.sum() == 1L)
+  }
+
   test("attrs + calendar metadata round-trip: store, pivot, template recovery") {
     val base = Fixtures.airSmall
     val schema = base.schema.copy(

@@ -89,4 +89,26 @@ class MetadataCountRuleSpec extends SparkTestBase {
     assert(ReadCounters.partitionsOpened.sum() == 1L,
       s"opened ${ReadCounters.partitionsOpened.sum()}")
   }
+
+  test("variable-predicate counts answer from per-chunk stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vstat").toString
+    graft.grid.BinaryGridStore.write(Fixtures.pruneGrid, dir,
+      Map("time" -> 25))
+    val store = graft.grid.BinaryGridStore.open(dir)
+    val ctx = new XarrayContext(session)
+    val df = ctx.dataFrame("metacount4", store, store.chunks,
+      Seq("time", "lat"))
+    // temperature = t*10 + lat_idx; chunk [min,max]: [0,244] [250,494]
+    // [500,744] [750,994]. >= 500: chunks 2+3 fully included, 0+1
+    // excluded -> pure metadata, zero chunk files opened
+    ReadCounters.reset()
+    assert(df.filter(col("temperature") >= 500.0).count() == 250L)
+    assert(ReadCounters.partitionsOpened.sum() == 0L,
+      s"opened ${ReadCounters.partitionsOpened.sum()}")
+    // >= 800 straddles chunk 3 with nothing fully included: the count
+    // falls back to a scan, but var zone maps still prune chunks 0-2
+    ReadCounters.reset()
+    assert(df.filter(col("temperature") >= 800.0).count() == 100L)
+    assert(ReadCounters.partitionsOpened.sum() == 1L)
+  }
 }
