@@ -242,12 +242,13 @@ object BinaryGridStore {
     * written separately — e.g. from executors by GridWriter).
     */
   def writeMetadataOnly(root: String, schema: GridSchema,
-      chunks: Map[String, Int], codec: String = "none"): Unit = {
+      chunks: Map[String, Int], codec: String = "none",
+      stats: Map[String, (Any, Any)] = Map.empty): Unit = {
     require(codec == "none" || codec == "zstd", s"bad codec $codec")
     val conf = GridIO.driverConf()
     GridIO.mkdirs(root, conf)
     schema.vars.foreach(v => GridIO.mkdirs(s"$root/${v.name}", conf))
-    writeMetadata(s"$root/metadata.txt", schema, chunks, codec, conf)
+    writeMetadata(s"$root/metadata.txt", schema, chunks, codec, conf, stats)
   }
 
   /** One chunk payload encoded for disk (LE bytes, optionally zstd). */

@@ -31,8 +31,13 @@ object GridWriter {
   def write(df: DataFrame, schema: GridSchema, chunks: Map[String, Int],
       root: String, codec: String = "none"): BinaryGridStore = {
     BinaryGridStore.writeMetadataOnly(root, schema, chunks, codec)
-    schema.vars.foreach(v => writeVar(df, schema, chunks, root, codec, v))
-    BinaryGridStore(root, schema, chunks, codec)
+    // executors return per-chunk (min, max) alongside writing the chunk
+    // files; the driver folds them into the final metadata so the store
+    // prunes on variable predicates like a driver-side write does
+    val stats = schema.vars
+      .flatMap(v => writeVar(df, schema, chunks, root, codec, v)).toMap
+    BinaryGridStore.writeMetadataOnly(root, schema, chunks, codec, stats)
+    BinaryGridStore(root, schema, chunks, codec, stats = stats)
   }
 
   /** Normalized dim column (what the coord->index maps are keyed on). */
@@ -65,7 +70,7 @@ object GridWriter {
 
   private def writeVar(df: DataFrame, schema: GridSchema,
       chunks: Map[String, Int], root: String, codec: String,
-      v: VarDef): Unit = {
+      v: VarDef): Seq[(String, (Any, Any))] = {
     val dims = v.dims.map(schema.dim)
     val nd = dims.length
     // planning-side chunk arithmetic, shipped to executors via closures
@@ -133,8 +138,9 @@ object GridWriter {
 
     val parts = math.max(1, math.min(nChunks,
       spark.sparkContext.defaultParallelism * 2L).toInt)
-    triples.repartition(parts, col("chunk")).foreachPartition {
-      (iter: Iterator[Row]) =>
+    val varName = v.name
+    val chunkKeyStats = triples.repartition(parts, col("chunk")).rdd
+      .mapPartitions { (iter: Iterator[Row]) =>
         val open = scala.collection.mutable.Map.empty[Long,
           (AnyRef, java.util.BitSet)]
         def alloc(cells: Int): AnyRef = v.dtype match {
@@ -181,6 +187,7 @@ object GridWriter {
             }
           }
         }
+        val stats = Seq.newBuilder[(String, (Any, Any))]
         open.foreach { case (chunkId, (arr, _)) =>
           val name = {
             val ci = new Array[Long](nd)
@@ -191,9 +198,12 @@ object GridWriter {
             }
             ci.mkString(".")
           }
-          GridIO.write(s"$root/${v.name}/$name.bin",
+          GridIO.write(s"$root/$varName/$name.bin",
             BinaryGridStore.encodeChunk(arr, codec), hconf.value)
+          BinaryGridStore.chunkStats(arr).foreach(s => stats += name -> s)
         }
-    }
+        stats.result().iterator
+    }.collect()
+    chunkKeyStats.map { case (name, s) => s"$varName $name" -> s }.toSeq
   }
 }

@@ -60,6 +60,25 @@ object GridQueries {
           (col("air") - col("m")).as("anom"))
     }),
 
+    // data-variable zone maps end-to-end: the on-disk store records
+    // per-chunk (min, max) of every variable at write time, so a
+    // predicate on the VALUE column prunes chunk files like Parquet
+    // row-group stats (beyond the reference, whose bounds cover dims
+    // only). air per t-chunk k spans [200+6k, 254+6k]: air >= 255
+    // provably excludes chunk 0 (asserted in GridQueryE2ESpec).
+    "pivot_grid_varstats" -> ((s, _) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_varstats_grid"
+      graft.grid.BinaryGridStore.write(Fixtures.linearGrid, root,
+        Map("t" -> 6))
+      val store = graft.grid.BinaryGridStore.open(root)
+      new XarrayContext(s)
+        .dataFrame("varstats_linear_grid", store, store.chunks,
+          Seq("t", "lat", "lon"))
+        .filter(col("air") >= 255.0)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
+
     // timedelta (DayTimeInterval) coordinate end-to-end: a forecast grid
     // keyed by init time x prediction lead; the interval-literal filter
     // zone-map-prunes lead chunks and valid time = time + lead uses
@@ -144,6 +163,10 @@ object GridQueries {
         |SELECT station, time, reading FROM st
         |WHERE station IN ('st_1','st_4')
         |AND time >= TIMESTAMP '2020-01-04'""".stripMargin,
+    "pivot_grid_varstats" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE air >= 255.0""".stripMargin,
     "pivot_grid_timedelta" ->
       """WITH fc AS (
         |  SELECT TIMESTAMP '2021-01-01' + INTERVAL (t*6) HOUR AS time, l,

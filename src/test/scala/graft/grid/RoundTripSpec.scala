@@ -90,6 +90,28 @@ class RoundTripSpec extends SparkTestBase {
       dup.getCause != null)
   }
 
+  test("distributed write of a duration-dim grid round-trips with stats") {
+    val ctx = new XarrayContext(spark)
+    val df = ctx.dataFrame("fc_gw_src", Fixtures.forecastGrid,
+      Map("lead" -> 2), Seq("time", "lead"))
+    val out = Files.createTempDirectory("graft-gw-dur").toString
+    GridWriter.write(df.select(col("time"), col("lead"), col("fc")),
+      Fixtures.forecastGrid.schema, Map("lead" -> 2), out)
+    val reopened = BinaryGridStore.open(out)
+    // the distributed writer records per-chunk variable stats too
+    assert(reopened.stats.nonEmpty)
+    assert(reopened.varBounds("fc", Seq((0, 4), (0, 2))).isDefined)
+    val df2 = ctx.dataFrame("fc_gw_rt", reopened, reopened.chunks,
+      Seq("time", "lead"))
+    assert(df2.count() == 4L * 6)
+    // law fc = 10 + t + 0.25*l at (t=1 -> 06:00, l=3 -> 18h)
+    val got = df2.filter(
+      col("lead") === expr("INTERVAL '18' HOUR") &&
+        col("time") === to_timestamp(lit("2021-01-01 06:00:00")))
+      .select("fc").collect()(0).getDouble(0)
+    assert(got == 10.0 + 1.0 + 0.25 * 3)
+  }
+
   test("disk -> SQL -> grid -> store -> disk round trip") {
     val ctx = new XarrayContext(spark)
     val dir1 = Files.createTempDirectory("graft-rt1").toString

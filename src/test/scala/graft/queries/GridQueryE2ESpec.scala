@@ -63,6 +63,19 @@ class GridQueryE2ESpec extends SparkTestBase {
     assert(ReadCounters.partitionsOpened.sum() == 0L)
   }
 
+  test("pivot_grid_varstats: value predicate prunes chunks via stats") {
+    val q = SparkEntry.queries("pivot_grid_varstats")
+    val df = q(spark, "unused") // write happens at construction
+    ReadCounters.reset()
+    val rows = df.collect()
+    // air = 200 + t + 2i + 3j >= 255 <=> t + 2i + 3j >= 55
+    val expected = (for (t <- 0 until 24; i <- 0 until 12; j <- 0 until 10
+                         if t + 2 * i + 3 * j >= 55) yield 1).size
+    assert(rows.length == expected)
+    // t-chunk 0 spans air [200, 254] -> provably excluded by the stats
+    assert(ReadCounters.partitionsOpened.sum() == 3L)
+  }
+
   test("pivot_grid_timedelta: interval coord prunes; time+lead arithmetic") {
     val q = SparkEntry.queries("pivot_grid_timedelta")
     val df = q(spark, "unused")
