@@ -1,7 +1,5 @@
 package graft.grid
 
-import java.nio.{ByteBuffer, ByteOrder}
-
 /** On-disk chunked array store — a minimal Zarr-v2-like layout, so the
   * engine's laziness/pruning/projection pushdowns hit real file I/O:
   *
@@ -11,10 +9,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   *                                # per variable per chunk
   * }}}
   *
-  * Chunk payloads are optionally zstd-compressed (`codec = "zstd"`; the
-  * codec Zarr deployments default to, via Spark's bundled zstd-jni) —
-  * whole-chunk frames, so a read is one decompress call and the
-  * decompressed size is known from the chunk shape up front.
+  * Chunk payloads are optionally encoded ([[ChunkCodec]]): `zstd`
+  * whole-chunk frames (the codec Zarr deployments default to, via
+  * Spark's bundled zstd-jni), a `delta` varint stage for integer-kind
+  * data, and a `shuffle` byte-transpose stage for float fields —
+  * composable as `delta+zstd` / `shuffle+zstd`. A read is one file
+  * fetch plus one stateless decode.
   *
   * Pruned partitions never open their chunk files; unprojected variables'
   * files are never opened (the storage-level effect the reference gets
@@ -70,26 +70,11 @@ final case class BinaryGridStore(root: String, schema: GridSchema,
     else assembleUnaligned(v, ranges, chunkSz)
   }
 
-  /** One whole chunk: a single file read (+ one decompress for zstd). */
+  /** One whole chunk: a single file read + one [[ChunkCodec]] decode. */
   private def readChunk(v: VarDef, chunkIdx: Seq[Int], n: Int): AnyRef = {
     val raw = GridIO.readAllBytes(
       s"$root/${v.name}/${chunkIdx.mkString(".")}.bin", hconf.value)
-    val bytes = codec match {
-      case "none" => raw
-      case "zstd" =>
-        com.github.luben.zstd.Zstd.decompress(raw, n * v.dtype.byteWidth)
-      case other => throw new IllegalArgumentException(s"bad codec $other")
-    }
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    v.dtype match {
-      case GDouble => val a = new Array[Double](n); bb.asDoubleBuffer().get(a); a
-      case GFloat => val a = new Array[Float](n); bb.asFloatBuffer().get(a); a
-      case GInt => val a = new Array[Int](n); bb.asIntBuffer().get(a); a
-      case GLong | GTimestamp | GDuration =>
-        val a = new Array[Long](n); bb.asLongBuffer().get(a); a
-      case GString => throw new IllegalArgumentException(
-        "string variables unsupported in BinaryGridStore")
-    }
+    ChunkCodec.decode(raw, codec, v.dtype, n)
   }
 
   /** Multi-chunk / unaligned read: visit every chunk the request
@@ -185,7 +170,7 @@ object BinaryGridStore {
     */
   def write(source: GridStore, root: String, chunks: Map[String, Int],
       codec: String = "none"): BinaryGridStore = {
-    require(codec == "none" || codec == "zstd", s"bad codec $codec")
+    ChunkCodec.validate(codec)
     val conf = GridIO.driverConf()
     val schema = source.schema
     GridIO.mkdirs(root, conf)
@@ -244,18 +229,16 @@ object BinaryGridStore {
   def writeMetadataOnly(root: String, schema: GridSchema,
       chunks: Map[String, Int], codec: String = "none",
       stats: Map[String, (Any, Any)] = Map.empty): Unit = {
-    require(codec == "none" || codec == "zstd", s"bad codec $codec")
+    ChunkCodec.validate(codec)
     val conf = GridIO.driverConf()
     GridIO.mkdirs(root, conf)
     schema.vars.foreach(v => GridIO.mkdirs(s"$root/${v.name}", conf))
     writeMetadata(s"$root/metadata.txt", schema, chunks, codec, conf, stats)
   }
 
-  /** One chunk payload encoded for disk (LE bytes, optionally zstd). */
-  def encodeChunk(data: AnyRef, codec: String): Array[Byte] = {
-    val raw = toLE(data)
-    if (codec == "zstd") com.github.luben.zstd.Zstd.compress(raw, 3) else raw
-  }
+  /** One chunk payload encoded for disk (see [[ChunkCodec]] grammar). */
+  def encodeChunk(data: AnyRef, codec: String): Array[Byte] =
+    ChunkCodec.encode(data, codec)
 
   /** Open an existing store from its metadata. */
   def open(root: String): BinaryGridStore = {
@@ -382,18 +365,4 @@ object BinaryGridStore {
     GridIO.writeString(path, sb.toString, conf)
   }
 
-  private def toLE(data: AnyRef): Array[Byte] = data match {
-    case a: Array[Double] =>
-      val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-      bb.asDoubleBuffer().put(a); bb.array()
-    case a: Array[Float] =>
-      val bb = ByteBuffer.allocate(a.length * 4).order(ByteOrder.LITTLE_ENDIAN)
-      bb.asFloatBuffer().put(a); bb.array()
-    case a: Array[Int] =>
-      val bb = ByteBuffer.allocate(a.length * 4).order(ByteOrder.LITTLE_ENDIAN)
-      bb.asIntBuffer().put(a); bb.array()
-    case a: Array[Long] =>
-      val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-      bb.asLongBuffer().put(a); bb.array()
-  }
 }

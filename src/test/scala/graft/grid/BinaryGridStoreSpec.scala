@@ -173,6 +173,29 @@ class BinaryGridStoreSpec extends SparkTestBase {
     assert(s == df0.agg(sum("temperature")).collect()(0).getDouble(0))
   }
 
+  test("delta+zstd store: open recovers codec, scan results identical") {
+    val dir = tempDir("delta")
+    val chunks = Map("time" -> 6)
+    val written = BinaryGridStore.write(Fixtures.airSmall, dir, chunks,
+      codec = "delta+zstd")
+    assert(written.codec == "delta+zstd")
+    val store = BinaryGridStore.open(dir)
+    assert(store.codec == "delta+zstd")
+    // float var goes through the shuffle degradation; values exact
+    val law = Fixtures.airSmall.laws("air")
+    val got = store.readVar("air", Seq((6, 6), (0, 11), (0, 10)))
+      .asInstanceOf[Array[Double]]
+    for (t <- 0 until 6; i <- 0 until 11; j <- 0 until 10)
+      assert(got(t * 110 + i * 10 + j) == law(Array(6 + t, i, j)))
+    val ctx = new XarrayContext(spark)
+    val df = ctx.dataFrame("delta_rt", store, chunks, Seq("time", "lat", "lon"))
+    val plain = ctx.dataFrame("delta_rt0",
+      BinaryGridStore.write(Fixtures.airSmall, tempDir("delta0"), chunks),
+      chunks, Seq("time", "lat", "lon"))
+    assert(df.agg(sum("air")).collect()(0).getDouble(0) ==
+      plain.agg(sum("air")).collect()(0).getDouble(0))
+  }
+
   test("values round-trip exactly for all numeric dtypes") {
     val time = TimeCoords(Array(0L, 86400000000L))
     val x = IntCoords(Array(0, 1, 2))
