@@ -122,13 +122,17 @@ object SimilarityOps {
     * Assignment uses dot(v,c)/|c| (the row's own norm is constant under
     * the argmax, so this equals the cosine argmax but skips one sqrt).
     */
-  def annIvf(vecs: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, probeId: Long, k: Int): DataFrame = {
+  /** Coarse quantization: every non-centroid vector labelled with its
+    * nearest centroid's id (`bucket`). Broadcast codebook, map-side
+    * argmax via a partial aggregate — no window, no sort.
+    */
+  def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): DataFrame = {
     val dot = GraftFunctions.dot_f64 _
     val e = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cents = e.filter(col("id") < nCentroids)
       .select(col("id").as("cid"), col("v").as("cv"))
-    val assigned = e.filter(col("id") >= nCentroids)
+    e.filter(col("id") >= nCentroids)
       .crossJoin(broadcast(cents))
       .select(col("id"), col("v"), col("cid"),
         (dot(col("v"), col("cv")) / sqrt(dot(col("cv"), col("cv"))))
@@ -138,6 +142,18 @@ object SimilarityOps {
       .agg(max(struct(col("score").as("s"), (-col("cid")).as("nc"))).as("m"),
         first(col("v")).as("v")) // v is constant per id
       .select(col("id"), col("v"), (-col("m.nc")).as("bucket"))
+  }
+
+  /** IVF-style two-stage ANN: coarse-quantize ([[ivfAssign]], with the
+    * first `nCentroids` rows standing in for a trained codebook), then
+    * score the probe exactly against only the vectors in the probe's
+    * cell. One-shot form — assignment recomputed per query; see
+    * [[annIvfPartitioned]] for the materialized repeated-query form.
+    */
+  def annIvf(vecs: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, probeId: Long, k: Int): DataFrame = {
+    val dot = GraftFunctions.dot_f64 _
+    val assigned = ivfAssign(vecs, idCol, vecCol, nCentroids)
     val probe = assigned.filter(col("id") === probeId)
       .select(col("bucket").as("pb"), col("v").as("pv"),
         sqrt(dot(col("v"), col("v"))).as("pn"))
@@ -146,6 +162,37 @@ object SimilarityOps {
       .select(col("id"),
         (dot(col("v"), col("pv")) /
           (sqrt(dot(col("v"), col("v"))) * col("pn"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /** IVF ANN over a cell-partitioned materialization — the production
+    * shape for REPEATED similarity queries: the assignment is written
+    * once with `partitionBy(bucket)`, so a probe's cell filter becomes
+    * directory-level partition pruning at the parquet scan
+    * (`PartitionFilters: [bucket = <cell>]`, pinned in
+    * PipelinePlanSpec) and per-query I/O is data/nCentroids no matter
+    * the table size. The probe row itself is a driver-side point
+    * lookup (one row); its norm is a driver-side sequential fold —
+    * identical order, hence bit-identical, to the executor fold.
+    */
+  def annIvfPartitioned(vecs: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, probeId: Long, k: Int, dir: String): DataFrame = {
+    val spark = vecs.sparkSession
+    val dot = GraftFunctions.dot_f64 _
+    ivfAssign(vecs, idCol, vecCol, nCentroids)
+      .withColumn("bucket", col("bucket").cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val probe = stored.filter(col("id") === probeId)
+      .select(col("bucket"), col("v")).collect()(0)
+    val pb = probe.getInt(0)
+    val pv = probe.getSeq[Double](1).toArray
+    val pn = math.sqrt(pv.map(x => x * x).sum)
+    stored.filter(col("bucket") === pb && col("id") =!= probeId)
+      .select(col("id"),
+        (dot(col("v"), lit(pv)) /
+          (sqrt(dot(col("v"), col("v"))) * lit(pn))).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }

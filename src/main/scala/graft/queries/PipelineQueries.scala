@@ -211,6 +211,20 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("cosine"))
     }),
 
+    // the repeated-query production shape of ann_ivf: assignment
+    // materialized partitionBy(bucket), so the probe-cell filter is
+    // directory-level partition pruning at the parquet scan (asserted
+    // in PipelinePlanSpec). Same answer as ann_ivf by construction.
+    "ann_ivf_bucketed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val dir = System.getProperty("java.io.tmpdir") + "/graft_ivf_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.SimilarityOps
+        .annIvfPartitioned(e, "vec_id", "v", 8, 8L, 10, dir)
+        .select(col("id").as("vec_id"), col("cosine"))
+    }),
+
     // multimodal: opaque binary payloads -> typed features through the
     // partition-wise decode plumbing (decode STUBbed deterministically;
     // see Multimodal.mediaFeatures)
@@ -352,6 +366,33 @@ object PipelineQueries {
     })
   )
 
+  private val annIvfOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id AS id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+      |scored AS (
+      |  SELECT e.id, e.v, c.cid,
+      |  list_aggregate(list_transform(list_zip(e.v, c.cv), z -> z[1]*z[2]),
+      |    'sum') / sqrt(list_aggregate(list_transform(c.cv, x -> x*x),
+      |    'sum')) AS score
+      |  FROM e, c WHERE e.id >= 8),
+      |assigned AS (
+      |  SELECT id, v, cid AS bucket FROM (
+      |    SELECT id, v, cid,
+      |    row_number() OVER (PARTITION BY id ORDER BY score DESC, cid) AS rn
+      |    FROM scored) t WHERE rn = 1),
+      |p AS (SELECT bucket AS pb, v AS pv FROM assigned WHERE id = 8)
+      |SELECT a.id AS vec_id,
+      |list_aggregate(list_transform(list_zip(a.v, p.pv), z -> z[1]*z[2]),
+      |  'sum') / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+      |  * sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum')))
+      |  AS cosine
+      |FROM assigned a, p
+      |WHERE a.bucket = p.pb AND a.id <> 8
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
   val oracleSql: ListMap[String, String] = ListMap(
     "dedup_exact" ->
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
@@ -442,32 +483,10 @@ object PipelineQueries {
     // break to the lowest cid on both sides (Spark: max over (score,-cid)
     // struct; here: row_number ORDER BY score DESC, cid). Scores are
     // sequential double folds -> bit-identical across engines.
-    "ann_ivf" ->
-      """WITH e AS (
-        |  SELECT vec_id AS id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
-        |scored AS (
-        |  SELECT e.id, e.v, c.cid,
-        |  list_aggregate(list_transform(list_zip(e.v, c.cv), z -> z[1]*z[2]),
-        |    'sum') / sqrt(list_aggregate(list_transform(c.cv, x -> x*x),
-        |    'sum')) AS score
-        |  FROM e, c WHERE e.id >= 8),
-        |assigned AS (
-        |  SELECT id, v, cid AS bucket FROM (
-        |    SELECT id, v, cid,
-        |    row_number() OVER (PARTITION BY id ORDER BY score DESC, cid) AS rn
-        |    FROM scored) t WHERE rn = 1),
-        |p AS (SELECT bucket AS pb, v AS pv FROM assigned WHERE id = 8)
-        |SELECT a.id AS vec_id,
-        |list_aggregate(list_transform(list_zip(a.v, p.pv), z -> z[1]*z[2]),
-        |  'sum') / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
-        |  * sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum')))
-        |  AS cosine
-        |FROM assigned a, p
-        |WHERE a.bucket = p.pb AND a.id <> 8
-        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_ivf" -> annIvfOracle,
+    // the bucketed materialization changes the physical plan, not the
+    // answer: parquet round-trips doubles exactly, so one oracle serves
+    "ann_ivf_bucketed" -> annIvfOracle,
     "media_features" ->
       """SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'

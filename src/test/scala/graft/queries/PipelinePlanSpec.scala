@@ -23,6 +23,20 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"signature exchange not reused (minhash would run twice):\n$plan")
   }
 
+  test("ann_ivf_bucketed: probe cell is a partition filter at the scan") {
+    val df = SparkEntry.queries("ann_ivf_bucketed")(spark, sf)
+    val expect = SparkEntry.queries("ann_ivf")(spark, sf).collect()
+    assert(df.collect().toSeq == expect.toSeq,
+      "bucketed IVF must return exactly the one-shot IVF answer")
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // the cell predicate prunes directories, it is not a data filter
+    assert(scans.exists(_.partitionFilters.exists(
+      _.toString.contains("bucket"))),
+      s"no bucket partition filter in:\n${df.queryExecution.executedPlan}")
+  }
+
   test("embed_neardup: no cartesian/nested-loop join at any SF") {
     val df = SparkEntry.queries("embed_neardup")(spark, sf)
     df.collect()
