@@ -108,6 +108,16 @@ object RelationalQueries {
           dsum(col("l_quantity")).as("sum_qty"),
           davg(col("l_extendedprice"), count(lit(1))).as("avg_price"))),
 
+    // 9b. ROLLUP subtotals (one Expand + one agg shuffle — grand total
+    // and per-flag subtotals in the same pass, no union of rescans;
+    // CUBE/GROUPING SETS plan through the identical Expand operator)
+    "agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("l_quantity")).as("sum_qty"))),
+
     // 10. GROUP BY expression (ref 02_climatology.py:96-106)
     "agg_group_expr" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -323,6 +333,12 @@ object RelationalQueries {
          |${dsumSql("l_quantity")} AS sum_qty,
          |${davgSql("l_extendedprice", "COUNT(*)")} AS avg_price
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |CAST(COUNT(*) AS BIGINT) AS cnt,
+         |${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "agg_group_expr" ->
       s"""SELECT CAST(date_part('month', l_shipdate) AS BIGINT) AS ship_month,
          |CAST(COUNT(*) AS BIGINT) AS cnt,
