@@ -5,11 +5,18 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.sources._
 
 /** Separable-exact dimension predicates: conjunction trees in which every
-  * leaf references exactly one non-string dimension with ops
-  * `=,<,<=,>,>=,IN,IS [NOT] NULL` (OR allowed only within a single dim).
-  * For these the scan can claim EXACT pushdown — each dimension gets an
-  * independent surviving-index list, and the cross product of the lists
-  * IS the matching cell set (the grid is dense):
+  * leaf references exactly one dimension — ops `=,<,<=,>,>=,IN,
+  * IS [NOT] NULL` plus `NOT` of any such subtree (OR allowed only within
+  * a single dim). String dims participate with the equality-shaped ops
+  * only (`=`, `IN`, null checks): equality needs no collation, while
+  * string ORDERING is deliberately left residual — Spark compares
+  * UTF-8 binary, `String.compareTo` compares UTF-16 units, and the two
+  * disagree outside the BMP. `NOT` is exact here (unlike the
+  * conservative zone-map NOT) because predicates are evaluated against
+  * the actual coordinate values, where complement is complement.
+  * For these trees the scan claims EXACT pushdown — each dimension gets
+  * an independent surviving-index list, and the cross product of the
+  * lists IS the matching cell set (the grid is dense):
   *
   *   - the reader enumerates only matching cells (no post-scan filter,
   *     no wasted pivot work);
@@ -18,21 +25,31 @@ import org.apache.spark.sql.sources._
   *     MIN/MAX(dim) = extrema of that dim's list — pure metadata, no
   *     partition opened, chunk alignment irrelevant.
   *
-  * Anything else (cross-dim OR, NOT, data-variable predicates, string
-  * dims) stays residual: Spark re-applies it row-level, exactly the
-  * reference's Inexact contract (lib.rs:548-565).
+  * Anything else (cross-dim OR, data-variable predicates, string
+  * ordering) stays residual: Spark re-applies it row-level, exactly the
+  * reference's Inexact contract (lib.rs:548-565). The reference cannot
+  * prune string dims at all (df.py:447-450 skips their bounds); exact
+  * index-list evaluation is a beyond-reference win for station-style
+  * tables.
   */
 object SeparableDimFilters {
 
-  /** The single non-string dim this filter (sub)tree references, if the
-    * tree is separable-exact over that dim alone.
+  /** The single dim this filter (sub)tree references, if the tree is
+    * separable-exact over that dim alone.
     */
   private def soleDim(f: Filter, schema: GridSchema,
       groupDims: Seq[String]): Option[String] = {
+    def isStr(d: String): Boolean =
+      schema.dim(d).coords.isInstanceOf[StringCoords]
     def dimOf(attr: String): Option[String] =
-      if (groupDims.contains(attr) &&
-        !schema.dim(attr).coords.isInstanceOf[StringCoords]) Some(attr)
-      else None
+      if (groupDims.contains(attr)) Some(attr) else None
+    // ordering op: numeric/time dims only
+    def ordDim(attr: String, v: Any): Option[String] =
+      dimOf(attr).filter(d => !isStr(d) && litOk(v))
+    // equality op: string dims allowed with string literals
+    def eqDim(attr: String, v: Any): Option[String] =
+      dimOf(attr).filter(d =>
+        if (isStr(d)) v.isInstanceOf[String] else litOk(v))
     f match {
       case And(l, r) => for {
         a <- soleDim(l, schema, groupDims)
@@ -42,12 +59,15 @@ object SeparableDimFilters {
         a <- soleDim(l, schema, groupDims)
         b <- soleDim(r, schema, groupDims) if a == b
       } yield a
-      case EqualTo(a, v) if litOk(v) => dimOf(a)
-      case GreaterThan(a, v) if litOk(v) => dimOf(a)
-      case GreaterThanOrEqual(a, v) if litOk(v) => dimOf(a)
-      case LessThan(a, v) if litOk(v) => dimOf(a)
-      case LessThanOrEqual(a, v) if litOk(v) => dimOf(a)
-      case In(a, vs) if vs.forall(litOk) => dimOf(a)
+      case Not(c) => soleDim(c, schema, groupDims)
+      case EqualTo(a, v) => eqDim(a, v)
+      case GreaterThan(a, v) => ordDim(a, v)
+      case GreaterThanOrEqual(a, v) => ordDim(a, v)
+      case LessThan(a, v) => ordDim(a, v)
+      case LessThanOrEqual(a, v) => ordDim(a, v)
+      case In(a, vs) => dimOf(a).filter(d =>
+        if (isStr(d)) vs.forall(_.isInstanceOf[String])
+        else vs.forall(litOk))
       case IsNotNull(a) => dimOf(a)
       case IsNull(a) => dimOf(a)
       case _ => None
@@ -85,26 +105,33 @@ object SeparableDimFilters {
   }
 
   /** Does coordinate value at `idx` of `dim` satisfy `f`? `f` must be a
-    * single-dim separable subtree over `dim`.
+    * single-dim separable subtree over `dim`. `value` is the coordinate
+    * as Double (numeric axes), Long (time/duration/long axes) or String.
     */
-  private def eval(f: Filter, value: Either[Double, Long]): Boolean = {
+  private def eval(f: Filter, value: Any): Boolean = {
     def cmpTo(lit: Any): Option[Int] = (value, lit) match {
-      case (Left(d), n: java.lang.Number) =>
+      case (d: java.lang.Double, n: java.lang.Number) =>
         Some(java.lang.Double.compare(d, n.doubleValue()))
-      case (Right(l), t: java.sql.Timestamp) =>
+      case (l: java.lang.Long, t: java.sql.Timestamp) =>
         Some(java.lang.Long.compare(l, DateTimeUtils.fromJavaTimestamp(t)))
-      case (Right(l), i: java.time.Instant) =>
+      case (l: java.lang.Long, i: java.time.Instant) =>
         Some(java.lang.Long.compare(l, DateTimeUtils.instantToMicros(i)))
-      case (Right(l), d: java.time.Duration) =>
+      case (l: java.lang.Long, d: java.time.Duration) =>
         Some(java.lang.Long.compare(l,
           d.getSeconds * 1000000L + d.getNano / 1000))
-      case (Right(l), n: java.lang.Number) =>
+      case (l: java.lang.Long, n: java.lang.Number) =>
         Some(java.lang.Long.compare(l, n.longValue()))
+      // strings: used for equality only (soleDim admits no string
+      // ordering op), where ==/!= is collation-free
+      case (s: String, t: String) => Some(if (s == t) 0 else 1)
       case _ => None
     }
     f match {
       case And(l, r) => eval(l, value) && eval(r, value)
       case Or(l, r) => eval(l, value) || eval(r, value)
+      // exact complement: evaluated on real coordinate values, so NOT
+      // is sound here (only zone-map NOT must stay conservative)
+      case Not(c) => !eval(c, value)
       case EqualTo(_, v) => cmpTo(v).contains(0)
       case GreaterThan(_, v) => cmpTo(v).exists(_ > 0)
       case GreaterThanOrEqual(_, v) => cmpTo(v).exists(_ >= 0)
@@ -117,16 +144,15 @@ object SeparableDimFilters {
     }
   }
 
-  private def coordValue(coords: CoordArray, i: Int): Either[Double, Long] =
+  private def coordValue(coords: CoordArray, i: Int): Any =
     coords match {
-      case DoubleCoords(v) => Left(v(i))
-      case FloatCoords(v) => Left(v(i).toDouble)
-      case IntCoords(v) => Left(v(i).toDouble)
-      case LongCoords(v) => Right(v(i))
-      case TimeCoords(v) => Right(v(i))
-      case DurationCoords(v) => Right(v(i))
-      case StringCoords(_) => throw new IllegalStateException(
-        "string dims are never separable-pushed")
+      case DoubleCoords(v) => Double.box(v(i))
+      case FloatCoords(v) => Double.box(v(i).toDouble)
+      case IntCoords(v) => Double.box(v(i).toDouble)
+      case LongCoords(v) => Long.box(v(i))
+      case TimeCoords(v) => Long.box(v(i))
+      case DurationCoords(v) => Long.box(v(i))
+      case StringCoords(v) => v(i)
     }
 
   /** Per-dim surviving ABSOLUTE coordinate indices within

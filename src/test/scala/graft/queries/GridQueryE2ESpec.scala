@@ -36,7 +36,7 @@ class GridQueryE2ESpec extends SparkTestBase {
     assert(meta.contains("codec zstd"))
   }
 
-  test("pivot_grid_station: string dims query correctly, never prune") {
+  test("pivot_grid_station: string dims exact-push; zone maps skip them") {
     val q = SparkEntry.queries("pivot_grid_station")
     ReadCounters.reset()
     val rows = q(spark, "unused").collect()
@@ -49,7 +49,9 @@ class GridQueryE2ESpec extends SparkTestBase {
       assert(byKey(key) == 100.0 + 7.0 * i + 0.25 * t, s"cell ($i,$t)")
     }
     // station chunked by 4 -> 2 partitions; the station IN filter is
-    // excluded from pruning (no string zone maps), so BOTH open
+    // exactly pushed via per-index string equality (beyond the
+    // reference, which skips string bounds) — st_1 and st_4 live in
+    // different chunks, so BOTH still open
     assert(ReadCounters.partitionsOpened.sum() == 2L)
     // ...while a time bound outside the coordinate range still prunes
     // everything through the numeric zone maps

@@ -126,6 +126,45 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("NOT and string-equality dim predicates are exactly pushed") {
+    val df = ctx.dataFrame("notpush", Fixtures.pruneGrid, Map("time" -> 25),
+      Seq("time", "lat"))
+    // != arrives as Not(EqualTo): exact complement on coordinate values,
+    // so even the filtered COUNT stays metadata-only
+    counted {
+      assert(df.filter(col("lat") =!= 0.0).count() == 400L)
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+    }
+    // NOT BETWEEN arrives as Not(And(>=, <=)): same story
+    counted {
+      assert(df.filter(!col("time").between(
+        to_timestamp(lit("2020-01-11")),
+        to_timestamp(lit("2020-01-20")))).count() == 450L)
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+    }
+    // string dims join the exact-pushdown family for equality shapes
+    // (the reference cannot prune strings at all, df.py:447-450); an IN
+    // list confined to the first station chunk opens only that chunk
+    val st = ctx.dataFrame("stpush", Fixtures.stationGrid,
+      Map("station" -> 4), Seq("station", "time"))
+    counted {
+      val rows = st.filter(col("station").isin("st_1", "st_2")).collect()
+      assert(rows.length == 2 * 10)
+      assert(rows.forall(r => Set("st_1", "st_2")(r.getString(0))))
+      assert(ReadCounters.partitionsOpened.sum() == 1L)
+    }
+    // ...and a string-equality COUNT(*) is answered from metadata
+    counted {
+      assert(st.filter(col("station") === "st_5").count() == 10L)
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+    }
+    // string ORDERING stays residual (collation): still correct, scans
+    counted {
+      assert(st.filter(col("station") > "st_5").count() == 20L)
+      assert(ReadCounters.partitionsOpened.sum() > 0L)
+    }
+  }
+
   test("MIN/MAX of dims answer from coordinate metadata, no partitions opened") {
     val df = ctx.dataFrame("metaagg", Fixtures.pruneGrid, Map("time" -> 25),
       Seq("time", "lat"))
