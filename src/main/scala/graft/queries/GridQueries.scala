@@ -60,6 +60,19 @@ object GridQueries {
           (col("air") - col("m")).as("anom"))
     }),
 
+    // cross-dim OR: deliberately NOT exact-pushed (it stays a residual
+    // filter — see SeparableDimFilters scaladoc) so the columnar batch
+    // + codegen re-filter path and MetadataCountRule's partial
+    // containment both keep working; zone maps still prune blocks both
+    // arms provably exclude. Counts: chunk 3 (t 18-23) is included by
+    // the time arm and metadata-counted; chunks 0-2 are boundary
+    // (lat = 75 row survives) and scan (asserted in GridQueryE2ESpec).
+    "pivot_grid_or" -> ((s, _) =>
+      grid(s)
+        .filter(col("t") >= 18 || col("lat") >= 74.0)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))),
+
     // data-variable zone maps end-to-end: the on-disk store records
     // per-chunk (min, max) of every variable at write time, so a
     // predicate on the VALUE column prunes chunk files like Parquet
@@ -163,6 +176,10 @@ object GridQueries {
         |SELECT station, time, reading FROM st
         |WHERE station IN ('st_1','st_4')
         |AND time >= TIMESTAMP '2020-01-04'""".stripMargin,
+    "pivot_grid_or" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t >= 18 OR lat >= 74.0""".stripMargin,
     "pivot_grid_varstats" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air

@@ -81,6 +81,24 @@ object PipelineQueries {
       // computes the (expensive) signature subplan once, not twice
       .repartition(col("band"), col("key"))
 
+  /** LSH candidates -> exact shingle-Jaccard >= 0.4 verified pairs
+    * (shared by neardup_jaccard and dedup_clusters). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val b = bandsDF(s, d)
+    val cand = b.as("a").join(b.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = sigDF(s, d).select("doc_id", "sh")
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.4)
+  }
+
   // ---- embeddings plumbing ----
 
   private def toDouble(c: Column): Column = transform(c, _.cast(DoubleType))
@@ -138,21 +156,18 @@ object PipelineQueries {
     }),
 
     // exact n-gram Jaccard verification over the LSH candidate set only
-    "neardup_jaccard" -> ((s, d) => {
-      val b = bandsDF(s, d)
-      val cand = b.as("a").join(b.as("b"), Seq("band", "key"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val sh = sigDF(s, d).select("doc_id", "sh")
-      val inter = size(array_intersect(col("sa"), col("sb")))
-      val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.4)
-    }),
+    "neardup_jaccard" -> ((s, d) => jaccardPairs(s, d)),
+
+    // pairs -> GROUPS: connected components over the verified near-dup
+    // graph (min-id label propagation, one shuffle per round — see
+    // GraphOps.connectedComponents). The canonical-representative step
+    // every dedup pipeline needs between "found near-dups" and "kept
+    // one copy per cluster". Oracle replays it as a recursive CTE.
+    "dedup_clusters" -> ((s, d) =>
+      graft.operators.GraphOps
+        .connectedComponents(jaccardPairs(s, d), "doc_a", "doc_b")
+        .select(col("id").cast("long").as("doc_id"),
+          col("cluster").cast("long").as("cluster"))),
 
     // SimHash (16-bit, from md5 hex nibbles, token-frequency weighted)
     "simhash" -> ((s, d) => {
@@ -436,6 +451,34 @@ object PipelineQueries {
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
          |  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
          |  >= 0.4""".stripMargin,
+    // components as a recursive CTE: reach(id, r) = r reachable from id
+    // over the symmetric pair graph; cluster = MIN over reachables =
+    // exactly the min-label fixpoint the Spark side converges to
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $sigSqlCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 || sig1 AS key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, sig2 || sig3 AS key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sig sa ON sa.doc_id = cand.doc_a
+         |  JOIN sig sb ON sb.doc_id = cand.doc_b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |    >= 0.4),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
+         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+         |FROM reach GROUP BY id""".stripMargin,
     "simhash" -> {
       val hexHi = "('8','9','a','b','c','d','e','f')"
       val bits = (0 until 16).map { p =>

@@ -65,6 +65,25 @@ class GridQueryE2ESpec extends SparkTestBase {
     assert(ReadCounters.partitionsOpened.sum() == 0L)
   }
 
+  test("pivot_grid_or: cross-dim OR stays residual; zone maps still prune") {
+    val q = SparkEntry.queries("pivot_grid_or")
+    ReadCounters.reset()
+    val rows = q(spark, "unused").collect()
+    // t >= 18 (6x12x10) plus lat = 75 rows of t 0..17 (18x1x10)
+    assert(rows.length == 720 + 180)
+    // lat = 75 lives in every t-chunk, so no block is provably excluded
+    // by BOTH arms -> all 4 open (the filter is re-applied by Spark)
+    assert(ReadCounters.partitionsOpened.sum() == 4L)
+    // an OR whose second arm is impossible everywhere (lon max = 222.5)
+    // lets the zone maps exclude chunks 0-2 through the t arm
+    val g = SparkEntry.queries("pivot_grid")(spark, "unused")
+    ReadCounters.reset()
+    import org.apache.spark.sql.functions.col
+    assert(g.filter(col("t") >= 18 || col("lon") >= 300.0)
+      .collect().length == 720)
+    assert(ReadCounters.partitionsOpened.sum() == 1L)
+  }
+
   test("pivot_grid_varstats: value predicate prunes chunks via stats") {
     val q = SparkEntry.queries("pivot_grid_varstats")
     val df = q(spark, "unused") // write happens at construction
