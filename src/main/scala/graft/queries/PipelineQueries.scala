@@ -302,6 +302,26 @@ object PipelineQueries {
       Tables.documents(s, d).select(col("doc_id"),
         qualityExpr(col("text")).as("quality"))),
 
+    // vocabulary build + corpus encode: token ids by global frequency
+    // rank (ties by token), then every (doc, pos) encoded via a
+    // BROADCAST join on the vocab — the tokenizer-table shape of a
+    // training-data pipeline. The global rank window runs over the
+    // VOCAB (distinct tokens, orders of magnitude smaller than the
+    // corpus), so the unpartitioned window is fine at scale; the
+    // corpus-sized side only ever flows through map-side explode +
+    // broadcast hash join, no corpus-wide shuffle.
+    "token_encode" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val ranked = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .select(col("tok"), row_number().over(
+          Window.orderBy(col("n").desc, col("tok"))).cast("long")
+          .as("token_id"))
+      toks.join(broadcast(ranked), "tok")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id"))
+    }),
+
     // end-to-end cleaning pipeline: exact dedup (keep lowest doc_id per
     // content hash) -> quality gate -> per-language corpus stats. The
     // composition a training-data job actually runs, as one plan:
@@ -582,6 +602,20 @@ object PipelineQueries {
         |     length(replace(' ' || text || ' ', ' the ', ' '))) / 4 > 0
         |   THEN 1.0 ELSE 0.0 END) * 0.25 AS quality
         |FROM documents""".stripMargin,
+    // parallel unnests zip in DuckDB; range(n) matches posexplode's
+    // 0-based positions
+    "token_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(range(len(string_split(text, ' ')))) AS pos,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT tok, CAST(row_number() OVER (ORDER BY COUNT(*) DESC, tok)
+        |    AS BIGINT) AS token_id
+        |  FROM toks GROUP BY tok)
+        |SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, r.token_id
+        |FROM toks t JOIN ranked r ON t.tok = r.tok""".stripMargin,
     "pipeline_clean" -> {
       val quality =
         """least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
