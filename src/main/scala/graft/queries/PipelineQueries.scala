@@ -322,6 +322,37 @@ object PipelineQueries {
           col("token_id"))
     }),
 
+    // sequence packing: assign documents to fixed-length training
+    // sequences by a running token count in doc_id order — seq_id =
+    // floor(tokens_before / 4096), offset = tokens_before mod 4096.
+    // The contiguous-packing shape: ONE window cumulative sum (at
+    // cluster scale: range-partition by doc_id, per-range cumsum +
+    // broadcast per-range totals — same arithmetic, no global sort)
+    "seq_pack" -> ((s, d) => {
+      val seqLen = 4096
+      val n = size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), n.as("n"))
+        .select(col("doc_id"), col("n"),
+          (sum("n").over(w) - col("n")).as("before"))
+        .select(col("doc_id"),
+          floor(col("before") / seqLen).cast("long").as("seq_id"),
+          (col("before") % seqLen).cast("long").as("offset"))
+    }),
+
+    // reproducible sampling: md5 of the doc id keeps a deterministic
+    // ~25% of every stratum — the mix-and-sample step of corpus
+    // construction, identical on any engine and any run (no RNG state)
+    "sample_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 1).isin("0", "1", "2", "3"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"))),
+
     // end-to-end cleaning pipeline: exact dedup (keep lowest doc_id per
     // content hash) -> quality gate -> per-language corpus stats. The
     // composition a training-data job actually runs, as one plan:
@@ -616,6 +647,26 @@ object PipelineQueries {
         |  FROM toks GROUP BY tok)
         |SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, r.token_id
         |FROM toks t JOIN ranked r ON t.tok = r.tok""".stripMargin,
+    "seq_pack" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |  SUM(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS before
+        |  FROM n)
+        |SELECT doc_id, CAST(floor(before / 4096) AS BIGINT) AS seq_id,
+        |CAST(before % 4096 AS BIGINT) AS offset
+        |FROM c""".stripMargin,
+    "sample_hash" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |  IN ('0','1','2','3')
+        |GROUP BY lang""".stripMargin,
     "pipeline_clean" -> {
       val quality =
         """least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
