@@ -95,9 +95,12 @@ class RoundTripSpec extends SparkTestBase {
     val df = ctx.dataFrame("fc_gw_src", Fixtures.forecastGrid,
       Map("lead" -> 2), Seq("time", "lead"))
     val out = Files.createTempDirectory("graft-gw-dur").toString
+    // executors encode with the composed codec; open() recovers it
     GridWriter.write(df.select(col("time"), col("lead"), col("fc")),
-      Fixtures.forecastGrid.schema, Map("lead" -> 2), out)
+      Fixtures.forecastGrid.schema, Map("lead" -> 2), out,
+      codec = "delta+zstd")
     val reopened = BinaryGridStore.open(out)
+    assert(reopened.codec == "delta+zstd")
     // the distributed writer records per-chunk variable stats too
     assert(reopened.stats.nonEmpty)
     assert(reopened.varBounds("fc", Seq((0, 4), (0, 2))).isDefined)
