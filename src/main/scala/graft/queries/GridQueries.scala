@@ -60,6 +60,22 @@ object GridQueries {
           (col("air") - col("m")).as("anom"))
     }),
 
+    // grouped metadata aggregate: GROUP BY a dimension + COUNT/MIN/MAX
+    // of dims answers entirely from coordinate metadata (density makes
+    // every group the same cross product) — zero chunk reads, asserted
+    // in GridSourceSpec ("GROUP BY dim: grouped aggregates answer from
+    // metadata"). Beyond the reference, which only metadata-answers the
+    // unfiltered global count.
+    "pivot_grid_groupcount" -> ((s, _) =>
+      grid(s)
+        .filter(col("t") >= 6)
+        .groupBy("lat")
+        .agg(count(lit(1)).as("cnt"),
+          min("t").as("t_min"), max("t").as("t_max"))
+        .select(col("lat"), col("cnt"),
+          col("t_min").cast("long").as("t_min"),
+          col("t_max").cast("long").as("t_max"))),
+
     // cross-dim OR: deliberately NOT exact-pushed (it stays a residual
     // filter — see SeparableDimFilters scaladoc) so the columnar batch
     // + codegen re-filter path and MetadataCountRule's partial
@@ -176,6 +192,11 @@ object GridQueries {
         |SELECT station, time, reading FROM st
         |WHERE station IN ('st_1','st_4')
         |AND time >= TIMESTAMP '2020-01-04'""".stripMargin,
+    "pivot_grid_groupcount" ->
+      s"""WITH $oracleGrid
+         |SELECT lat, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |CAST(MIN(t) AS BIGINT) AS t_min, CAST(MAX(t) AS BIGINT) AS t_max
+         |FROM grid WHERE t >= 6 GROUP BY lat""".stripMargin,
     "pivot_grid_or" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air

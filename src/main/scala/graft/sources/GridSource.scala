@@ -127,6 +127,7 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var metaAggs: Option[Seq[MetaAgg]] = None
+  private var metaGroupBy: Seq[String] = Nil
   private var limit: Int = -1
   private var topKeys: Seq[(String, Boolean)] = Nil
 
@@ -151,17 +152,32 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
     * metadata — under no filter OR under separable-exact dim filters
     * (then the matching cell set is a cross product of per-dim surviving
     * coordinate lists: count = product of list sizes, extrema = list
-    * extrema; chunk alignment is irrelevant). The reference only
-    * metadata-answers the unfiltered count (tests/test_stats.py:78-91).
-    * Grouped aggregates and data-variable aggregates are not pushed.
+    * extrema; chunk alignment is irrelevant). GROUP BY over dimension
+    * columns pushes too: the grid is dense, so each group is itself a
+    * cross product — per group, COUNT = product of the NON-grouped
+    * dims' surviving counts and extrema restrict to the group's own
+    * coordinate. The reference only metadata-answers the unfiltered
+    * global count (tests/test_stats.py:78-91). Data-variable aggregates
+    * are never pushed; neither are group sets larger than 2^20 rows
+    * (the answer would still be exact, but shipping millions of
+    * driver-built rows through one task loses to a scan).
     */
   override def supportCompletePushDown(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    val groups = agg.groupByExpressions().toSeq.map {
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+        groupDims.contains(nr.fieldNames()(0)) => Some(nr.fieldNames()(0))
+      case _ => None
+    }
     pushed.forall(f =>
       SeparableDimFilters.isSeparable(f, store.schema, groupDims)) &&
-      agg.groupByExpressions().isEmpty &&
+      groups.forall(_.isDefined) &&
+      groups.flatten.map(d => store.schema.dim(d).size.toLong)
+        .product <= (1L << 20) &&
       agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall(e => toMetaAgg(e).isDefined)
+  }
 
   private def toMetaAgg(
       e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Option[MetaAgg] = {
@@ -185,8 +201,11 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
     if (supportCompletePushDown(agg)) {
       metaAggs = Some(agg.aggregateExpressions().flatMap(toMetaAgg).toSeq)
+      metaGroupBy = agg.groupByExpressions().toSeq.map(
+        _.asInstanceOf[NamedReference].fieldNames()(0))
       true
     } else false
   }
@@ -231,7 +250,7 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
 
   override def build(): Scan = metaAggs match {
     case Some(aggs) if onlyBlocks.isEmpty =>
-      new MetaAggScan(store, chunks, groupDims, aggs, pushed)
+      new MetaAggScan(store, chunks, groupDims, aggs, pushed, metaGroupBy)
     case _ =>
       new GridScan(store, chunks, groupDims, groupVars, required, pushed,
         limit, topKeys, onlyBlocks)
@@ -294,17 +313,23 @@ case object MetaCountStar extends MetaAgg
 final case class MetaMinDim(dim: String) extends MetaAgg
 final case class MetaMaxDim(dim: String) extends MetaAgg
 
-/** Complete metadata-aggregate pushdown: one partition, one row, zero
-  * data access. Without filters, COUNT(*) is the product of dim sizes
-  * and MIN/MAX of dims come from the coordinate arrays (actual extrema —
+/** Complete metadata-aggregate pushdown: one partition, zero data
+  * access. Without filters, COUNT(*) is the product of dim sizes and
+  * MIN/MAX of dims come from the coordinate arrays (actual extrema —
   * descending axes included). Under separable-exact dim filters the
   * matching cell set is the cross product of per-dim surviving
   * coordinate lists, so the same aggregates come from those lists
-  * (empty product -> count 0 and SQL-null extrema).
+  * (empty product -> count 0 and SQL-null extrema; no groups at all
+  * for a grouped aggregate). With GROUP BY over dimension columns, one
+  * row per combination of the grouped dims' surviving coordinates:
+  * density makes every group the same cross product, so COUNT = the
+  * product of the non-grouped dims' surviving counts and a grouped
+  * dim's extremum is its own coordinate value.
   */
 class MetaAggScan(store: GridStore, chunks: Map[String, Int],
     groupDims: Seq[String], aggs: Seq[MetaAgg],
-    filters: Array[Filter] = Array.empty) extends Scan with Batch {
+    filters: Array[Filter] = Array.empty,
+    groupBy: Seq[String] = Nil) extends Scan with Batch {
 
   private lazy val surviving: Map[String, Array[Int]] =
     groupDims.map(d => d -> SeparableDimFilters.survivingIndices(
@@ -313,6 +338,11 @@ class MetaAggScan(store: GridStore, chunks: Map[String, Int],
 
   private lazy val totalCount: Long =
     groupDims.map(d => surviving(d).length.toLong).product
+
+  // per-group count: the grouped dims contribute exactly one index each
+  private lazy val groupCellCount: Long =
+    groupDims.filterNot(groupBy.contains)
+      .map(d => surviving(d).length.toLong).product
 
   private def coordExtreme(dim: String, wantMax: Boolean): Any = {
     val keep = surviving(dim)
@@ -336,39 +366,79 @@ class MetaAggScan(store: GridStore, chunks: Map[String, Int],
     }
   }
 
-  private lazy val values: Array[Any] = aggs.map {
-    case MetaCountStar => totalCount: java.lang.Long
-    case MetaMinDim(d) => coordExtreme(d, wantMax = false)
-    case MetaMaxDim(d) => coordExtreme(d, wantMax = true)
-  }.toArray
+  // Spark-internal representation of coordinate i of `dim` (UTF8String
+  // for string axes; micros already ARE the internal long forms)
+  private def coordInternal(dim: String, i: Int): Any =
+    store.schema.dim(dim).coords match {
+      case DoubleCoords(v) => v(i)
+      case FloatCoords(v) => v(i)
+      case IntCoords(v) => v(i)
+      case LongCoords(v) => v(i)
+      case TimeCoords(v) => v(i)
+      case DurationCoords(v) => v(i)
+      case StringCoords(v) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(v(i))
+    }
 
-  override def readSchema(): StructType = StructType(aggs.map {
-    case MetaCountStar => org.apache.spark.sql.types.StructField(
-      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)
-    case MetaMinDim(d) => org.apache.spark.sql.types.StructField(
-      s"min($d)", store.schema.dim(d).coords.gridType.sparkType)
-    case MetaMaxDim(d) => org.apache.spark.sql.types.StructField(
-      s"max($d)", store.schema.dim(d).coords.gridType.sparkType)
-  })
+  /** All result rows (group keys ++ aggregates), driver-computed from
+    * coordinate metadata only. Global aggregate = the empty-group case.
+    */
+  private lazy val rows: Array[Array[Any]] = {
+    def aggValues(groupIdx: Map[String, Int]): Array[Any] = aggs.map {
+      case MetaCountStar =>
+        (if (groupBy.isEmpty) totalCount else groupCellCount): java.lang.Long
+      case MetaMinDim(d) => groupIdx.get(d)
+        .map(coordInternal(d, _)).getOrElse(coordExtreme(d, wantMax = false))
+      case MetaMaxDim(d) => groupIdx.get(d)
+        .map(coordInternal(d, _)).getOrElse(coordExtreme(d, wantMax = true))
+    }.toArray
+    if (groupBy.isEmpty) Array(aggValues(Map.empty))
+    else if (totalCount == 0L) Array.empty // no rows -> no groups
+    else {
+      // cross product of the grouped dims' surviving indices, C-order
+      groupBy.map(d => surviving(d).toSeq)
+        .foldLeft(Seq(Seq.empty[Int]))((acc, idxs) =>
+          acc.flatMap(prefix => idxs.map(prefix :+ _)))
+        .map { combo =>
+          val gi = groupBy.zip(combo).toMap
+          groupBy.zip(combo).map { case (d, i) => coordInternal(d, i) }
+            .toArray ++ aggValues(gi)
+        }.toArray
+    }
+  }
+
+  override def readSchema(): StructType = StructType(
+    groupBy.map(d => org.apache.spark.sql.types.StructField(
+      d, store.schema.dim(d).coords.gridType.sparkType)) ++
+      aggs.map {
+        case MetaCountStar => org.apache.spark.sql.types.StructField(
+          "count(*)", org.apache.spark.sql.types.LongType, nullable = false)
+        case MetaMinDim(d) => org.apache.spark.sql.types.StructField(
+          s"min($d)", store.schema.dim(d).coords.gridType.sparkType)
+        case MetaMaxDim(d) => org.apache.spark.sql.types.StructField(
+          s"max($d)", store.schema.dim(d).coords.gridType.sparkType)
+      })
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(MetaAggPartition(values))
+    Array(MetaAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private var emitted = false
-          private val vs = p.asInstanceOf[MetaAggPartition].values
-          override def next(): Boolean = { val r = !emitted; emitted = true; r }
-          override def get(): InternalRow = new GenericInternalRow(vs.clone())
+          private val rs = p.asInstanceOf[MetaAggPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rs.length }
+          override def get(): InternalRow = new GenericInternalRow(rs(i).clone())
           override def close(): Unit = {}
         }
     }
-  override def description(): String =
-    s"GridMetaAggScan [${aggs.mkString(", ")}] (metadata only)"
+  override def description(): String = {
+    val g = if (groupBy.isEmpty) "" else s" groupBy=[${groupBy.mkString(",")}]"
+    s"GridMetaAggScan [${aggs.mkString(", ")}]$g (metadata only)"
+  }
 }
 
-final case class MetaAggPartition(values: Array[Any]) extends InputPartition
+final case class MetaAggPartition(rows: Array[Array[Any]]) extends InputPartition
 
 class GridScan(store: GridStore, chunks: Map[String, Int],
     groupDims: Seq[String], groupVars: Seq[VarDef],

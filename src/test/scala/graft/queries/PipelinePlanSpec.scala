@@ -37,6 +37,14 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"no bucket partition filter in:\n${df.queryExecution.executedPlan}")
   }
 
+  test("token_encode: vocab joins back via broadcast, not a sort-merge") {
+    val df = SparkEntry.queries("token_encode")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("embed_neardup: no cartesian/nested-loop join at any SF") {
     val df = SparkEntry.queries("embed_neardup")(spark, sf)
     df.collect()

@@ -185,6 +185,41 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("GROUP BY dim: grouped aggregates answer from metadata") {
+    val df = ctx.dataFrame("metagrp", Fixtures.pruneGrid, Map("time" -> 25),
+      Seq("time", "lat"))
+    // density: every lat group spans all 100 days
+    counted {
+      val rows = df.groupBy("lat")
+        .agg(count(lit(1)).as("n"), max("time").as("mx")).collect()
+      assert(rows.length == 5)
+      rows.foreach { r =>
+        assert(r.getLong(1) == 100L)
+        assert(r.getTimestamp(2).getTime == (18262L + 99) * 86400000L)
+      }
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+    }
+    // separable filter composes: each group counts only surviving days
+    counted {
+      val rows = df.filter(
+        col("time") >= to_timestamp(lit("2020-03-20 00:00:00")))
+        .groupBy("lat").agg(count(lit(1)).as("n")).collect()
+      assert(rows.length == 5 && rows.forall(_.getLong(1) == 21L))
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+    }
+    // a filter emptying a NON-grouped dim empties the group set too
+    counted {
+      assert(df.filter(col("time") < to_timestamp(lit("2019-01-01")))
+        .groupBy("lat").count().collect().isEmpty)
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+    }
+    // grouping by a data VARIABLE is never metadata-answered
+    counted {
+      df.groupBy("temperature").count().collect()
+      assert(ReadCounters.partitionsOpened.sum() == 4L)
+    }
+  }
+
   test("TopN pushdown: ORDER BY dim LIMIT k reads k rows per partition") {
     val df = ctx.dataFrame("topn1", Fixtures.pruneGrid, Map("time" -> 25),
       Seq("time", "lat"))
