@@ -218,6 +218,16 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       df.groupBy("temperature").count().collect()
       assert(ReadCounters.partitionsOpened.sum() == 4L)
     }
+    // string dims group fine (grouping needs values, not collation)
+    val st = ctx.dataFrame("metagrpstr", Fixtures.stationGrid,
+      Map("station" -> 4), Seq("station", "time"))
+    counted {
+      val rows = st.groupBy("station").agg(count(lit(1)).as("n")).collect()
+      assert(rows.length == 8 && rows.forall(_.getLong(1) == 10L))
+      assert(rows.map(_.getString(0)).toSet ==
+        (0 until 8).map(i => s"st_$i").toSet)
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+    }
   }
 
   test("TopN pushdown: ORDER BY dim LIMIT k reads k rows per partition") {
