@@ -41,6 +41,10 @@ object PipelineQueries {
   private def shingles(w: Column): Column =
     graft.functions.WordShingles.word_shingles(w, 3)
 
+  /** Word-5-gram shingles (decontamination granularity). */
+  private def shingles5(w: Column): Column =
+    graft.functions.WordShingles.word_shingles(w, 5)
+
   /** MinHash_j = lexicographic min over the j-th 8-hex-char slice of
     * md5(shingle) — one digest per shingle yields all four families
     * (graft.functions.MinHashMd5 computes exactly the composable
@@ -352,6 +356,91 @@ object PipelineQueries {
           1, 1).isin("0", "1", "2", "3"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"))),
+
+    // PII redaction: the scrub step of corpus cleaning. The synthetic
+    // docs carry no PII, so the query first enriches each doc with a
+    // deterministic contact string (same derivation on the oracle side),
+    // then redacts emails and digit runs with RE2-safe patterns that
+    // evaluate identically in Spark's Java regex and DuckDB's RE2.
+    // Map-side only — no shuffle at all.
+    "pii_redact" -> ((s, d) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val t = concat(lower(col("text")), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example tel "),
+        col("n_chars").cast("string"))
+      val red = regexp_replace(regexp_replace(t, email, "<EMAIL>"),
+        "[0-9]+", "<NUM>")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(t, lit(email), lit(0))).cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(t, lit("[0-9]+"), lit(0))).cast("long")
+          .as("n_numbers"),
+        md5(red.cast("binary")).as("redacted_md5"))
+    }),
+
+    // output sharding manifest: hash-assign every doc to a shard (first
+    // md5 nibble — 16 shards), per-shard counts and byte totals. The
+    // write-side bookkeeping step of corpus construction; one agg
+    // shuffle of 16 groups.
+    "shard_manifest" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 1).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))),
+
+    // test-set decontamination: flag corpus docs sharing any distinct
+    // word-5-gram with the "benchmark" set (stand-in: every 100th doc).
+    // The eval-set gram list is small by construction -> broadcast join;
+    // the corpus side stays a map-side explode, no corpus-wide shuffle
+    // until the per-doc count aggregate.
+    "decontam_ngram" -> ((s, d) => {
+      val grams = Tables.documents(s, d).select(col("doc_id"),
+        explode(shingles5(words(col("text")))).as("g"))
+      val evalSet = grams.filter(col("doc_id") % 100 === 0)
+        .select("g").distinct()
+      grams.filter(col("doc_id") % 100 =!= 0)
+        .join(broadcast(evalSet), "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_contaminated_grams"))
+    }),
+
+    // TF-IDF-style term relevance, linear rarity weight tf * N / df
+    // (division of exact integers -> bit-identical doubles; ln() is
+    // libm-version-dependent, so the linear variant is what an
+    // engine-portable pipeline should ship). df is vocab-sized ->
+    // broadcast; top-3 window partitions by doc -> no global sort.
+    "tfidf_top_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(words(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.select(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          ((col("tf") * col("n_docs")) / col("df")).as("score"))
+        .select(col("doc_id"), col("term"), col("score"),
+          row_number().over(w).cast("long").as("rank"))
+        .filter(col("rank") <= 3)
+    }),
+
+    // k-means codebook training (1 Lloyd iteration + final labelling,
+    // deterministic seed = the 4 lowest-id vectors) — the trainer
+    // behind IVF ANN. Broadcast codebook, map-side argmin assignment,
+    // k*dims-wide mean shuffle; see KMeans scaladoc for the 100 TB
+    // shape and the decimal-mean determinism argument.
+    "kmeans_embed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      graft.operators.KMeans.lloyd(e, "vec_id", "v", 4, 1)
+        .select(col("id").as("vec_id"),
+          col("cluster").cast("long").as("cluster"), col("dist2"))
+    }),
 
     // end-to-end cleaning pipeline: exact dedup (keep lowest doc_id per
     // content hash) -> quality gate -> per-language corpus stats. The
@@ -667,6 +756,100 @@ object PipelineQueries {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
         |  IN ('0','1','2','3')
         |GROUP BY lang""".stripMargin,
+    "pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |  lower(text) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example tel ' || CAST(n_chars AS VARCHAR) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |CAST(len(regexp_extract_all(s,
+        |  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(s, '[0-9]+')) AS BIGINT) AS n_numbers,
+        |md5(regexp_replace(regexp_replace(s,
+        |  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |  '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+        |FROM t""".stripMargin,
+    "shard_manifest" ->
+      """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM documents GROUP BY 1""".stripMargin,
+    "decontam_ngram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(w)-4, 1)),
+        |    i -> array_to_string(w[i:i+4], ' ')))) AS g
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 0)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+        |FROM g JOIN ev USING (g)
+        |WHERE g.doc_id % 100 <> 0
+        |GROUP BY g.doc_id""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, score, rank FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |  (tf.tf * n.n_docs) / df.df AS score,
+        |  CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY (tf.tf * n.n_docs) / df.df DESC, tf.term)
+        |    AS BIGINT) AS rank
+        |  FROM tf, df, n WHERE tf.term = df.term) t
+        |WHERE rank <= 3""".stripMargin,
+    // one Lloyd iteration + final labelling, unrolled relationally:
+    // the same (|v|^2 - 2<v,c>) + |c|^2 sequential folds, the same
+    // fixed-point mean (floor(x*2^20+0.5) sums are exact integer-
+    // valued doubles -> order-independent), ties to the lowest cid
+    "kmeans_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 4),
+        |d1 AS (
+        |  SELECT e.id, e.v, c0.cid,
+        |  (list_aggregate(list_transform(e.v, x -> x*x), 'sum')
+        |   - 2 * list_aggregate(list_transform(list_zip(e.v, c0.cv),
+        |       z -> z[1]*z[2]), 'sum'))
+        |   + list_aggregate(list_transform(c0.cv, x -> x*x), 'sum') AS dist2
+        |  FROM e, c0),
+        |a1 AS (
+        |  SELECT id, v, cid AS cluster FROM (
+        |    SELECT id, v, cid,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+        |    FROM d1) t WHERE rn = 1),
+        |ex AS (
+        |  SELECT cluster, unnest(range(len(v))) AS pos, unnest(v) AS x
+        |  FROM a1),
+        |m AS (
+        |  SELECT cluster AS cid, pos,
+        |  SUM(floor(x * 1048576.0 + 0.5)) / (COUNT(*) * 1048576.0) AS c
+        |  FROM ex GROUP BY cluster, pos),
+        |c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM m GROUP BY cid),
+        |d2 AS (
+        |  SELECT e.id, c1.cid,
+        |  (list_aggregate(list_transform(e.v, x -> x*x), 'sum')
+        |   - 2 * list_aggregate(list_transform(list_zip(e.v, c1.cv),
+        |       z -> z[1]*z[2]), 'sum'))
+        |   + list_aggregate(list_transform(c1.cv, x -> x*x), 'sum') AS dist2
+        |  FROM e, c1)
+        |SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
+        |FROM (
+        |  SELECT id, cid AS cluster, dist2,
+        |  row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+        |  FROM d2) t
+        |WHERE rn = 1""".stripMargin,
     "pipeline_clean" -> {
       val quality =
         """least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
