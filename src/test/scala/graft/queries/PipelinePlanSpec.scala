@@ -45,6 +45,33 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("decontam_ngram: eval-set grams broadcast onto the corpus side") {
+    val df = SparkEntry.queries("decontam_ngram")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-wide shuffle join in decontam_ngram:\n$plan")
+  }
+
+  test("tfidf_top_terms: df table broadcast, no corpus-side merge join") {
+    val df = SparkEntry.queries("tfidf_top_terms")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("kmeans_embed: codebook is broadcast; no cartesian product") {
+    val df = SparkEntry.queries("kmeans_embed")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"centroids not broadcast in kmeans plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in kmeans plan:\n$plan")
+  }
+
   test("embed_neardup: no cartesian/nested-loop join at any SF") {
     val df = SparkEntry.queries("embed_neardup")(spark, sf)
     df.collect()
