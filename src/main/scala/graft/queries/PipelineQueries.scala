@@ -442,6 +442,40 @@ object PipelineQueries {
           col("cluster").cast("long").as("cluster"), col("dist2"))
     }),
 
+    // cluster -> kept representative: the step between "found near-dup
+    // clusters" and "emitted one doc per cluster" — keep the highest-
+    // quality member (ties to the lowest doc_id) via a partial-agg
+    // argmax over (quality, -doc_id), no window over the corpus.
+    "dedup_keep_best" -> ((s, d) => {
+      val clusters = graft.operators.GraphOps
+        .connectedComponents(jaccardPairs(s, d), "doc_a", "doc_b")
+        .select(col("id").cast("long").as("doc_id"),
+          col("cluster").cast("long").as("cluster"))
+      val q = Tables.documents(s, d)
+        .select(col("doc_id"), qualityExpr(col("text")).as("quality"))
+      clusters.join(q, "doc_id")
+        .groupBy("cluster")
+        .agg(max(struct(col("quality").as("q"), (-col("doc_id")).as("nid")))
+          .as("m"), count(lit(1)).as("n_members"))
+        .select(col("cluster"), (-col("m.nid")).as("keep_id"),
+          col("n_members"), col("m.q").as("best_quality"))
+    }),
+
+    // weighted corpus mixture: per-source target fractions (25/50/75/
+    // 100% by source index mod 4) enforced with deterministic md5-
+    // nibble thresholds — the mix step of corpus construction, map-side
+    // filter + one small agg shuffle, reproducible on any engine/run.
+    "corpus_mix" -> ((s, d) => {
+      val m = substring(col("source"), 4, 10).cast("int") % 4
+      val nib = substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 1)
+      val keep = when(m === 3, lit(true))
+        .otherwise(nib < when(m === 0, "4").when(m === 1, "8").otherwise("c"))
+      Tables.documents(s, d).filter(keep)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"))
+    }),
+
     // end-to-end cleaning pipeline: exact dedup (keep lowest doc_id per
     // content hash) -> quality gate -> per-language corpus stats. The
     // composition a training-data job actually runs, as one plan:
@@ -521,6 +555,47 @@ object PipelineQueries {
     })
   )
 
+  /** DuckDB expression mirroring [[qualityExpr]] (dyadic weights). */
+  private val qualitySql =
+    """least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
+      |+ least((CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)) / 8.0,
+      |    1.0) * 0.25
+      |+ (CASE WHEN (length(' ' || text || ' ') -
+      |     length(replace(' ' || text || ' ', ' the ', ' '))) / 4 > 0
+      |   THEN 1.0 ELSE 0.0 END) * 0.25""".stripMargin
+
+  /** LSH candidates -> verified pairs -> min-label components, as CTEs
+    * (callers prepend WITH RECURSIVE; final CTE is `clusters`).
+    * Mirrors [[jaccardPairs]] + GraphOps.connectedComponents.
+    */
+  private val clustersSqlCte =
+    s"""$sigSqlCte,
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, sig0 || sig1 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, sig2 || sig3 AS key FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.doc_a
+       |  JOIN sig sb ON sb.doc_id = cand.doc_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |    >= 0.4),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |      UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id),
+       |clusters AS (
+       |  SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+       |  FROM reach GROUP BY id)""".stripMargin
+
   private val annIvfOracle: String =
     """WITH e AS (
       |  SELECT vec_id AS id,
@@ -595,30 +670,30 @@ object PipelineQueries {
     // over the symmetric pair graph; cluster = MIN over reachables =
     // exactly the min-label fixpoint the Spark side converges to
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $sigSqlCte,
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, sig0 || sig1 AS key FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, sig2 || sig3 AS key FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  JOIN sig sa ON sa.doc_id = cand.doc_a
-         |  JOIN sig sb ON sb.doc_id = cand.doc_b
-         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-         |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-         |    >= 0.4),
-         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |      UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT a, a FROM e
-         |  UNION
-         |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
-         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
-         |FROM reach GROUP BY id""".stripMargin,
+      s"""WITH RECURSIVE $clustersSqlCte
+         |SELECT doc_id, cluster FROM clusters""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $clustersSqlCte,
+         |q AS (SELECT doc_id, $qualitySql AS quality FROM documents)
+         |SELECT cluster, keep_id, n_members, best_quality FROM (
+         |  SELECT c.cluster, c.doc_id AS keep_id, q.quality AS best_quality,
+         |  CAST(COUNT(*) OVER (PARTITION BY c.cluster) AS BIGINT) AS n_members,
+         |  row_number() OVER (PARTITION BY c.cluster
+         |    ORDER BY q.quality DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN q ON q.doc_id = c.doc_id) t
+         |WHERE rn = 1""".stripMargin,
+    "corpus_mix" ->
+      """WITH k AS (
+        |  SELECT source, lang, n_chars,
+        |  CAST(substr(source, 4) AS INTEGER) % 4 AS m,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+        |  FROM documents)
+        |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |FROM k
+        |WHERE m = 3 OR nib < (CASE WHEN m = 0 THEN '4'
+        |                      WHEN m = 1 THEN '8' ELSE 'c' END)
+        |GROUP BY source, lang""".stripMargin,
     "simhash" -> {
       val hexHi = "('8','9','a','b','c','d','e','f')"
       val bits = (0 until 16).map { p =>
@@ -713,15 +788,7 @@ object PipelineQueries {
         |  AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
     "quality_score" ->
-      """SELECT doc_id,
-        |least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
-        |+ least((CAST(length(replace(text, ' ', '')) AS DOUBLE) /
-        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)) / 8.0,
-        |    1.0) * 0.25
-        |+ (CASE WHEN (length(' ' || text || ' ') -
-        |     length(replace(' ' || text || ' ', ' the ', ' '))) / 4 > 0
-        |   THEN 1.0 ELSE 0.0 END) * 0.25 AS quality
-        |FROM documents""".stripMargin,
+      s"SELECT doc_id, $qualitySql AS quality FROM documents",
     // parallel unnests zip in DuckDB; range(n) matches posexplode's
     // 0-based positions
     "token_encode" ->
@@ -851,14 +918,7 @@ object PipelineQueries {
         |  FROM d2) t
         |WHERE rn = 1""".stripMargin,
     "pipeline_clean" -> {
-      val quality =
-        """least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
-          |+ least((CAST(length(replace(text, ' ', '')) AS DOUBLE) /
-          |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)) / 8.0,
-          |    1.0) * 0.25
-          |+ (CASE WHEN (length(' ' || text || ' ') -
-          |     length(replace(' ' || text || ' ', ' the ', ' '))) / 4 > 0
-          |   THEN 1.0 ELSE 0.0 END) * 0.25""".stripMargin
+      val quality = qualitySql
       s"""WITH dedup AS (
          |  SELECT * FROM (
          |    SELECT doc_id, text, lang,
