@@ -416,8 +416,11 @@ object PipelineQueries {
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"),
         explode(words(col("text"))).as("term"))
+      // df falls out of tf (one row per (doc,term)) — no second explode
+      // or corpus-wide distinct, and the tf exchange is reused across
+      // both sides of the join
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.select(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
