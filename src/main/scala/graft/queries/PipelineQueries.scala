@@ -445,6 +445,23 @@ object PipelineQueries {
           col("cluster").cast("long").as("cluster"), col("dist2"))
     }),
 
+    // incremental ingest dedup: a new batch (upper half of doc_ids)
+    // joins against the EXISTING corpus's fingerprint set and keeps
+    // only unseen content — the daily-ingest shape. Left anti join on
+    // the fingerprint: at scale the existing side is a bucketed
+    // fingerprint table and this is a shuffle-free probe.
+    "dedup_incremental" -> ((s, d) => {
+      val fp = graft.functions.WordSetFingerprint
+        .word_set_fingerprint(col("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        fp.as("fp"))
+      val existing = docs.filter(col("doc_id") < 250).select("fp").distinct()
+      docs.filter(col("doc_id") >= 250)
+        .join(existing, Seq("fp"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"), min("doc_id").as("first_new"))
+    }),
+
     // cluster -> kept representative: the step between "found near-dup
     // clusters" and "emitted one doc per cluster" — keep the highest-
     // quality member (ties to the lowest doc_id) via a partial-agg
@@ -463,6 +480,22 @@ object PipelineQueries {
         .select(col("cluster"), (-col("m.nid")).as("keep_id"),
           col("n_members"), col("m.q").as("best_quality"))
     }),
+
+    // sketch-based corpus profiling: HLL++ distinct counts and GK
+    // approximate percentiles — mergeable partial aggregates, the
+    // profiling shape that stays one pass at 100 TB where exact
+    // distinct/percentile would shuffle the corpus. No DuckDB oracle
+    // (sketch internals differ by engine) -> rows-only gate.
+    "approx_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          approx_count_distinct(col("text"), 0.01)
+            .as("approx_distinct_texts"),
+          percentile_approx(col("n_chars").cast("double"), lit(0.5),
+            lit(10000)).as("p50_chars"),
+          percentile_approx(col("n_chars").cast("double"), lit(0.95),
+            lit(10000)).as("p95_chars"))),
 
     // weighted corpus mixture: per-source target fractions (25/50/75/
     // 100% by source index mod 4) enforced with deterministic md5-
@@ -675,6 +708,18 @@ object PipelineQueries {
     "dedup_clusters" ->
       s"""WITH RECURSIVE $clustersSqlCte
          |SELECT doc_id, cluster FROM clusters""".stripMargin,
+    "dedup_incremental" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split(lower(text), ' '))), ' ')) AS fp
+        |  FROM documents),
+        |ex AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_new,
+        |CAST(MIN(doc_id) AS BIGINT) AS first_new
+        |FROM f
+        |WHERE doc_id >= 250 AND fp NOT IN (SELECT fp FROM ex)
+        |GROUP BY lang""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $clustersSqlCte,
          |q AS (SELECT doc_id, $qualitySql AS quality FROM documents)
