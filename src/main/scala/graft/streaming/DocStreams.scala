@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.functions.WordShingles
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Ingest-time corpus hygiene as Structured Streaming operators — the
+  * streaming counterpart of the batch cleaning family (dedup_*,
+  * decontam_ngram, quality_score in graft.queries.PipelineQueries).
+  *
+  * Decontamination on a stream cannot be the batch shape (an equi-join
+  * against the eval-gram set would need stateful dedup of the exploded
+  * grams): instead the eval set is distilled ONCE into a bloom filter
+  * and every arriving document is screened map-side — no shuffle, no
+  * state, O(1) per gram. False positives quarantine a few clean docs
+  * (tunable fpp); false negatives are impossible, which is the
+  * direction an eval-set filter must never fail in. At 100 TB the
+  * filter is a few MB broadcast with the task closures; the batch
+  * `decontam_ngram` join remains the exact audit pass.
+  */
+object DocStreams {
+
+  /** Distill the static eval corpus into a gram bloom filter
+    * (driver-side aggregate of a small table; rebuilt per release).
+    */
+  def evalSetFilter(evalDocs: DataFrame, expectedGrams: Long,
+      fpp: Double): BloomFilter =
+    evalDocs
+      .select(explode(WordShingles.word_shingles(
+        split(lower(col("text")), " "), 5)).as("g"))
+      .stat.bloomFilter("g", expectedGrams, fpp)
+
+  /** Screen a document stream: flag eval-set 5-gram overlap via the
+    * bloom filter and gate on a minimum token count. Map-side only —
+    * safe in any streaming mode, no watermark or state required.
+    * Emits the admitted docs with their screening columns.
+    */
+  def admit(docs: DataFrame, filter: BloomFilter, minTokens: Int): DataFrame = {
+    val mightOverlap = udf((sh: Seq[String]) =>
+      sh != null && sh.exists(filter.mightContainString))
+    docs
+      .withColumn("sh", WordShingles.word_shingles(
+        split(lower(col("text")), " "), 5))
+      .withColumn("contaminated", mightOverlap(col("sh")))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(!col("contaminated") && col("n_tokens") >= minTokens)
+      .drop("sh", "contaminated")
+  }
+
+  /** Running per-language admitted counts (update mode; state is one
+    * row per language, bounded by construction).
+    */
+  def admittedPerLang(admitted: DataFrame): DataFrame =
+    admitted.groupBy("lang")
+      .agg(count(lit(1)).as("n_admitted"), sum("n_tokens").as("sum_tokens"))
+}
