@@ -284,6 +284,32 @@ object RelationalQueries {
         "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt " +
           "FROM lineitem_pq WHERE l_quantity > :minq GROUP BY l_returnflag",
         Map("minq" -> 40))
+    }),
+
+    // PIVOT to wide: per-source doc counts, one column per language.
+    // The value list is FIXED — no value-discovery pre-job, so the plan
+    // is one aggregate (Spark pivots via a single Aggregate with
+    // pivot-filtered partials, scale-safe); absent combos coalesce to 0
+    // to match the CASE-counting oracle.
+    "pivot_wide" -> ((s, d) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val wide = Tables.documents(s, d)
+        .groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+      wide.select(col("source") +:
+        langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+    }),
+
+    // UNPIVOT back to long (Spark's unpivot = the Expand operator —
+    // melt without a join or a shuffle beyond the final ordering)
+    "unpivot_long" -> ((s, d) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val wide = Tables.documents(s, d)
+        .groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+        .select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+      wide.unpivot(Array(col("source")), langs.map(col).toArray,
+        "lang", "n_docs")
+        .filter(col("n_docs") > 0)
     })
   )
 
@@ -412,6 +438,17 @@ object RelationalQueries {
     "param_query" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem WHERE l_quantity > 40 GROUP BY l_returnflag""".stripMargin,
+    "pivot_wide" ->
+      """SELECT source,
+        |CAST(COUNT(*) FILTER (WHERE lang = 'de') AS BIGINT) AS n_de,
+        |CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+        |CAST(COUNT(*) FILTER (WHERE lang = 'es') AS BIGINT) AS n_es,
+        |CAST(COUNT(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS n_fr,
+        |CAST(COUNT(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh
+        |FROM documents GROUP BY source""".stripMargin,
+    "unpivot_long" ->
+      """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY source, lang""".stripMargin,
     "union_all" ->
       """SELECT r_name AS name FROM region
         |UNION ALL SELECT n_name AS name FROM nation""".stripMargin,
