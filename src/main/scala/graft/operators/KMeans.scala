@@ -72,17 +72,26 @@ object KMeans {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         _.getField("c")).as("cv"))
 
-  /** `iters` full Lloyd iterations from the deterministic seed
-    * (centroids = the k lowest-id vectors), then a final labelling.
-    * Out: (id, cluster, dist2) for every input row.
+  /** Centroids after `iters` full Lloyd iterations from the
+    * deterministic seed (the k lowest-id vectors). Out: (cid, cv).
     */
-  def lloyd(vecs: DataFrame, idCol: String, vecCol: String,
+  def centroids(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     val e = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
     var cents = e.filter(col("id") < k)
       .select(col("id").as("cid"), col("v").as("cv"))
     for (_ <- 0 until iters)
       cents = update(assign(e, cents))
-    assign(e, cents).select(col("id"), col("cluster"), col("dist2"))
+    cents
+  }
+
+  /** `iters` full Lloyd iterations, then a final labelling.
+    * Out: (id, cluster, dist2) for every input row.
+    */
+  def lloyd(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val e = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    assign(e, centroids(vecs, idCol, vecCol, k, iters))
+      .select(col("id"), col("cluster"), col("dist2"))
   }
 }

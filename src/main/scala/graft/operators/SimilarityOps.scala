@@ -166,6 +166,35 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** IVF ANN with a TRAINED codebook: centroids come from
+    * [[KMeans.centroids]] (Lloyd iterations, deterministic seed)
+    * instead of the first-k-rows stand-in, vectors coarse-quantize to
+    * their nearest trained centroid (euclidean argmin, matching the
+    * training objective), and the probe scores exactly against its
+    * cell only. Same scale shape as [[annIvf]] — the codebook is k
+    * rows broadcast everywhere, assignment is map-side — plus the
+    * recall improvement a real codebook brings: cells follow the data
+    * distribution instead of whatever the first k vectors happened to
+    * be.
+    */
+  def annIvfKMeans(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, probeId: Long, topK: Int): DataFrame = {
+    val dot = GraftFunctions.dot_f64 _
+    val assigned = KMeans.assign(
+      vecs.select(col(idCol).as("id"), col(vecCol).as("v")),
+      KMeans.centroids(vecs, idCol, vecCol, k, iters))
+    val probe = assigned.filter(col("id") === probeId)
+      .select(col("cluster").as("pb"), col("v").as("pv"),
+        sqrt(dot(col("v"), col("v"))).as("pn"))
+    assigned.filter(col("id") =!= probeId)
+      .join(broadcast(probe), col("cluster") === col("pb"))
+      .select(col("id"),
+        (dot(col("v"), col("pv")) /
+          (sqrt(dot(col("v"), col("v"))) * col("pn"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(topK)
+  }
+
   /** IVF ANN over a cell-partitioned materialization — the production
     * shape for REPEATED similarity queries: the assignment is written
     * once with `partitionBy(bucket)`, so a probe's cell filter becomes

@@ -512,6 +512,19 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"))
     }),
 
+    // IVF with the TRAINED codebook: kmeans_embed's centroids replace
+    // the first-k-rows stand-in of ann_ivf; euclidean argmin
+    // assignment (the training objective), probe-cell-only exact
+    // scoring. Same broadcast/map-side scale shape, data-following
+    // cells.
+    "ann_ivf_kmeans" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      graft.operators.SimilarityOps
+        .annIvfKMeans(e, "vec_id", "v", 4, 1, 8L, 10)
+        .select(col("id").as("vec_id"), col("cosine"))
+    }),
+
     // end-to-end cleaning pipeline: exact dedup (keep lowest doc_id per
     // content hash) -> quality gate -> per-language corpus stats. The
     // composition a training-data job actually runs, as one plan:
@@ -631,6 +644,47 @@ object PipelineQueries {
        |clusters AS (
        |  SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
        |  FROM reach GROUP BY id)""".stripMargin
+
+  /** One unrolled Lloyd iteration over the embeddings (k=4, seed =
+    * the 4 lowest vec_ids): e/c0 -> assignment d1/a1 -> fixed-point
+    * means m -> trained centroids c1 -> re-scored distances d2
+    * (carrying v for consumers that need the vectors back).
+    * Mirrors KMeans.assign/update exactly — see the kmeans_embed
+    * comment for the determinism argument.
+    */
+  private val kmeansCte =
+    """e AS (
+      |  SELECT vec_id AS id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 4),
+      |d1 AS (
+      |  SELECT e.id, e.v, c0.cid,
+      |  (list_aggregate(list_transform(e.v, x -> x*x), 'sum')
+      |   - 2 * list_aggregate(list_transform(list_zip(e.v, c0.cv),
+      |       z -> z[1]*z[2]), 'sum'))
+      |   + list_aggregate(list_transform(c0.cv, x -> x*x), 'sum') AS dist2
+      |  FROM e, c0),
+      |a1 AS (
+      |  SELECT id, v, cid AS cluster FROM (
+      |    SELECT id, v, cid,
+      |    row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+      |    FROM d1) t WHERE rn = 1),
+      |ex AS (
+      |  SELECT cluster, unnest(range(len(v))) AS pos, unnest(v) AS x
+      |  FROM a1),
+      |m AS (
+      |  SELECT cluster AS cid, pos,
+      |  SUM(floor(x * 1048576.0 + 0.5)) / (COUNT(*) * 1048576.0) AS c
+      |  FROM ex GROUP BY cluster, pos),
+      |c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM m GROUP BY cid),
+      |d2 AS (
+      |  SELECT e.id, e.v, c1.cid,
+      |  (list_aggregate(list_transform(e.v, x -> x*x), 'sum')
+      |   - 2 * list_aggregate(list_transform(list_zip(e.v, c1.cv),
+      |       z -> z[1]*z[2]), 'sum'))
+      |   + list_aggregate(list_transform(c1.cv, x -> x*x), 'sum') AS dist2
+      |  FROM e, c1)""".stripMargin
 
   private val annIvfOracle: String =
     """WITH e AS (
@@ -927,44 +981,33 @@ object PipelineQueries {
     // fixed-point mean (floor(x*2^20+0.5) sums are exact integer-
     // valued doubles -> order-independent), ties to the lowest cid
     "kmeans_embed" ->
-      """WITH e AS (
-        |  SELECT vec_id AS id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 4),
-        |d1 AS (
-        |  SELECT e.id, e.v, c0.cid,
-        |  (list_aggregate(list_transform(e.v, x -> x*x), 'sum')
-        |   - 2 * list_aggregate(list_transform(list_zip(e.v, c0.cv),
-        |       z -> z[1]*z[2]), 'sum'))
-        |   + list_aggregate(list_transform(c0.cv, x -> x*x), 'sum') AS dist2
-        |  FROM e, c0),
-        |a1 AS (
-        |  SELECT id, v, cid AS cluster FROM (
-        |    SELECT id, v, cid,
-        |    row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
-        |    FROM d1) t WHERE rn = 1),
-        |ex AS (
-        |  SELECT cluster, unnest(range(len(v))) AS pos, unnest(v) AS x
-        |  FROM a1),
-        |m AS (
-        |  SELECT cluster AS cid, pos,
-        |  SUM(floor(x * 1048576.0 + 0.5)) / (COUNT(*) * 1048576.0) AS c
-        |  FROM ex GROUP BY cluster, pos),
-        |c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM m GROUP BY cid),
-        |d2 AS (
-        |  SELECT e.id, c1.cid,
-        |  (list_aggregate(list_transform(e.v, x -> x*x), 'sum')
-        |   - 2 * list_aggregate(list_transform(list_zip(e.v, c1.cv),
-        |       z -> z[1]*z[2]), 'sum'))
-        |   + list_aggregate(list_transform(c1.cv, x -> x*x), 'sum') AS dist2
-        |  FROM e, c1)
-        |SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
-        |FROM (
-        |  SELECT id, cid AS cluster, dist2,
-        |  row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
-        |  FROM d2) t
-        |WHERE rn = 1""".stripMargin,
+      s"""WITH $kmeansCte
+         |SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
+         |FROM (
+         |  SELECT id, cid AS cluster, dist2,
+         |  row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+         |  FROM d2) t
+         |WHERE rn = 1""".stripMargin,
+    // trained-codebook IVF: the kmeans CTEs produce c1, the final
+    // assignment keeps v, the probe scores its own cell by cosine
+    "ann_ivf_kmeans" ->
+      s"""WITH $kmeansCte,
+         |a2 AS (
+         |  SELECT id, v, cid AS cluster FROM (
+         |    SELECT id, v, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+         |    FROM d2) t WHERE rn = 1),
+         |p AS (
+         |  SELECT cluster AS pb, v AS pv,
+         |  sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS pn
+         |  FROM a2 WHERE id = 8)
+         |SELECT a.id AS vec_id,
+         |list_aggregate(list_transform(list_zip(a.v, p.pv), z -> z[1]*z[2]),
+         |  'sum') / (sqrt(list_aggregate(list_transform(a.v, x -> x*x),
+         |  'sum')) * p.pn) AS cosine
+         |FROM a2 a, p
+         |WHERE a.cluster = p.pb AND a.id <> 8
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "pipeline_clean" -> {
       val quality = qualitySql
       s"""WITH dedup AS (
