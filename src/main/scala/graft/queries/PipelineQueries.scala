@@ -329,22 +329,33 @@ object PipelineQueries {
     // sequence packing: assign documents to fixed-length training
     // sequences by a running token count in doc_id order — seq_id =
     // floor(tokens_before / 4096), offset = tokens_before mod 4096.
-    // The contiguous-packing shape: ONE window cumulative sum (at
-    // cluster scale: range-partition by doc_id, per-range cumsum +
-    // broadcast per-range totals — same arithmetic, no global sort)
+    // Two-phase cumulative sum (the cluster-scale shape, not a global
+    // single-partition window): doc_ids bucket into contiguous ranges,
+    // each bucket cumsums under its own window in parallel, the tiny
+    // bucket-total relation cumsums once and broadcast-joins back as
+    // per-bucket offsets. Identical arithmetic to the global window
+    // (integer sums), so the same oracle gates it.
     "seq_pack" -> ((s, d) => {
       val seqLen = 4096
       val n = size(regexp_extract_all(lower(col("text")),
         lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
-      val w = Window.orderBy("doc_id")
+      val counted = Tables.documents(s, d)
+        .select(col("doc_id"), n.as("n"),
+          (col("doc_id") / 64).cast("long").as("bkt"))
+      val inBkt = Window.partitionBy("bkt").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"), n.as("n"))
-        .select(col("doc_id"), col("n"),
-          (sum("n").over(w) - col("n")).as("before"))
+      val bktW = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = counted.groupBy("bkt").agg(sum("n").as("bn"))
+        .select(col("bkt"), (sum("bn").over(bktW) - col("bn")).as("base"))
+      counted
+        .select(col("doc_id"), col("n"), col("bkt"),
+          (sum("n").over(inBkt) - col("n")).as("local"))
+        .join(broadcast(offsets), "bkt")
         .select(col("doc_id"),
-          floor(col("before") / seqLen).cast("long").as("seq_id"),
-          (col("before") % seqLen).cast("long").as("offset"))
+          floor((col("base") + col("local")) / seqLen).cast("long")
+            .as("seq_id"),
+          ((col("base") + col("local")) % seqLen).cast("long").as("offset"))
     }),
 
     // reproducible sampling: md5 of the doc id keeps a deterministic
