@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // filtered COUNT(*) over a grid answered from chunk metadata when the
     // predicate region aligns with the chunk grid
     ext.injectOptimizerRule(graft.plans.MetadataCountRule)
+    // grouped top-k physical operator (heap-bounded partials; see
+    // graft.plans.GroupedTopK — also self-registered by TopKOps)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),

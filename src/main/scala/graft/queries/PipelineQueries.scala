@@ -492,6 +492,16 @@ object PipelineQueries {
           col("n_members"), col("m.q").as("best_quality"))
     }),
 
+    // grouped top-k through the custom physical operator
+    // (plans/GroupedTopK): heap-bounded partials shuffle <= k rows per
+    // (group, partition) instead of window-sorting the corpus. The
+    // "top documents per language/domain" selection step; unique
+    // (n_chars desc, doc_id) order keeps it deterministic.
+    "topk_per_lang" -> ((s, d) =>
+      graft.operators.TopKOps.topKPerGroup(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        Seq("lang"), Seq("n_chars" -> false, "doc_id" -> true), 3)),
+
     // sketch-based corpus profiling: HLL++ distinct counts and GK
     // approximate percentiles — mergeable partial aggregates, the
     // profiling shape that stays one pass at 100 TB where exact
@@ -773,6 +783,13 @@ object PipelineQueries {
     "dedup_clusters" ->
       s"""WITH RECURSIVE $clustersSqlCte
          |SELECT doc_id, cluster FROM clusters""".stripMargin,
+    "topk_per_lang" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 3""".stripMargin,
     "dedup_incremental" ->
       """WITH f AS (
         |  SELECT doc_id, lang,
