@@ -37,6 +37,27 @@ class GroupedTopKSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(df.count() == 15, "3 rows per language expected")
   }
 
+  test("randomized: heap operator == window formulation for many shapes") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 500 + trial * 300
+      val rows = Seq.tabulate(n)(i =>
+        (i.toLong, s"g${rng.nextInt(3 + trial * 40)}", rng.nextInt(50).toLong))
+      val df = rows.toDF("doc_id", "lang", "n_chars").repartition(5 + trial)
+      val k = 1 + trial * 2
+      val custom = TopKOps.topKPerGroup(df, Seq("lang"),
+        Seq("n_chars" -> false, "doc_id" -> true), k)
+        .orderBy("lang", "doc_id").collect().toSeq
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .orderBy("lang", "doc_id").collect().toSeq
+      assert(custom == expected, s"trial $trial (n=$n, k=$k) diverged")
+    }
+  }
+
   test("groups smaller than k emit all their rows") {
     import spark.implicits._
     val tiny = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
