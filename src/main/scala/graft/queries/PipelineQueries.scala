@@ -492,6 +492,22 @@ object PipelineQueries {
           col("n_members"), col("m.q").as("best_quality"))
     }),
 
+    // fuzzy near-match pairs by edit distance with blocking: candidate
+    // pairs come from an equi-join on a cheap blocking key (first
+    // token), and the O(len^2) levenshtein runs only inside blocks on
+    // a 30-char prefix — the title/URL fuzzy-dedup shape. Both engines
+    // implement levenshtein as the same integer DP -> deterministic.
+    "fuzzy_title_pairs" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 30).as("head"),
+        split(col("text"), " ")(0).as("blk"))
+      t.as("a").join(t.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.head"), col("b.head")).cast("long").as("dist"))
+        .filter(col("dist") <= 5)
+    }),
+
     // grouped top-k through the custom physical operator
     // (plans/GroupedTopK): heap-bounded partials shuffle <= k rows per
     // (group, partition) instead of window-sorting the corpus. The
@@ -783,6 +799,15 @@ object PipelineQueries {
     "dedup_clusters" ->
       s"""WITH RECURSIVE $clustersSqlCte
          |SELECT doc_id, cluster FROM clusters""".stripMargin,
+    "fuzzy_title_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 30) AS head,
+        |  string_split(text, ' ')[1] AS blk
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 5""".stripMargin,
     "topk_per_lang" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,
