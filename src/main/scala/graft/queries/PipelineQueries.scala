@@ -493,14 +493,16 @@ object PipelineQueries {
     }),
 
     // fuzzy near-match pairs by edit distance with blocking: candidate
-    // pairs come from an equi-join on a cheap blocking key (first
-    // token), and the O(len^2) levenshtein runs only inside blocks on
-    // a 30-char prefix — the title/URL fuzzy-dedup shape. Both engines
-    // implement levenshtein as the same integer DP -> deterministic.
+    // pairs come from an equi-join on a cheap blocking key (first TWO
+    // tokens — the block size, not the prefix length, is what the
+    // quadratic cost rides on), and the O(len^2) levenshtein runs only
+    // inside blocks on a 30-char prefix — the title/URL fuzzy-dedup
+    // shape. Both engines implement levenshtein as the same integer
+    // DP -> deterministic.
     "fuzzy_title_pairs" -> ((s, d) => {
       val t = Tables.documents(s, d).select(col("doc_id"),
         substring(col("text"), 1, 30).as("head"),
-        split(col("text"), " ")(0).as("blk"))
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"))
       t.as("a").join(t.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -802,7 +804,7 @@ object PipelineQueries {
     "fuzzy_title_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, substr(text, 1, 30) AS head,
-        |  string_split(text, ' ')[1] AS blk
+        |  array_to_string(string_split(text, ' ')[1:2], ' ') AS blk
         |  FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
