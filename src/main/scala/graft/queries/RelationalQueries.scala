@@ -299,6 +299,20 @@ object RelationalQueries {
         langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
     }),
 
+    // schema evolution at union time: an old batch without `source`
+    // unions a new batch that has it (unionByName +
+    // allowMissingColumns -> nulls) — the ingestion-over-time shape
+    "union_evolve" -> ((s, d) => {
+      val v1 = Tables.documents(s, d).filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val v2 = Tables.documents(s, d).filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          count(col("source")).as("n_with_source"))
+    }),
+
     // UNPIVOT back to long (Spark's unpivot = the Expand operator —
     // melt without a join or a shuffle beyond the final ordering)
     "unpivot_long" -> ((s, d) => {
@@ -446,6 +460,16 @@ object RelationalQueries {
         |CAST(COUNT(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS n_fr,
         |CAST(COUNT(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh
         |FROM documents GROUP BY source""".stripMargin,
+    "union_evolve" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars, NULL AS source FROM documents
+        |  WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, source FROM documents
+        |  WHERE doc_id >= 250)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(COUNT(source) AS BIGINT) AS n_with_source
+        |FROM u GROUP BY lang""".stripMargin,
     "unpivot_long" ->
       """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY source, lang""".stripMargin,
