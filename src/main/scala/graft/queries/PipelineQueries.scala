@@ -629,6 +629,37 @@ object PipelineQueries {
         .select(col("window.start").as("hour_start"), col("event_type"),
           col("cnt"), col("sum_value"))),
 
+    // conversion funnel: for every view, did the same user click within
+    // 10 minutes? One carry-backward window per user (min future click
+    // ts over the following frame) — no self-join, one shuffle.
+    "events_funnel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("next_click_us",
+          min(when(col("event_type") === "click", unix_micros(col("ts"))))
+            .over(w))
+        .filter(col("event_type") === "view")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(when(col("next_click_us") - unix_micros(col("ts"))
+            <= 600000000L, 1L).otherwise(0L)).as("n_converted"))
+    }),
+
+    // hour-over-hour retention: users active in hour h who return in
+    // h+1 — distinct (user, hour) self-joined one hour ahead
+    "events_retention" -> ((s, d) => {
+      val hu = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      hu.as("a")
+        .join(hu.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.h") === col("a.h") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("a.h").as("hour_start"))
+        .agg(count(lit(1)).as("n_retained"))
+    }),
+
     // sessionization: 5-minute-gap sessions per user via LAG
     "events_sessions" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1123,6 +1154,28 @@ object PipelineQueries {
         |CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |  AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_funnel" ->
+      """SELECT date_trunc('hour', ts) AS hour_start,
+        |CAST(COUNT(*) AS BIGINT) AS n_views,
+        |CAST(SUM(CASE WHEN next_click_us - epoch_us(ts) <= 600000000
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM (
+        |  SELECT *, min(CASE WHEN event_type = 'click'
+        |      THEN epoch_us(ts) END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS next_click_us
+        |  FROM events) t
+        |WHERE event_type = 'view'
+        |GROUP BY 1""".stripMargin,
+    "events_retention" ->
+      """WITH hu AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+        |  FROM events)
+        |SELECT a.h AS hour_start, CAST(COUNT(*) AS BIGINT) AS n_retained
+        |FROM hu a JOIN hu b
+        |ON a.user_id = b.user_id AND b.h = a.h + INTERVAL 1 HOUR
+        |GROUP BY a.h""".stripMargin,
     "events_sessions" ->
       """SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
         |CAST(COUNT(*) AS BIGINT) AS n_events
