@@ -306,6 +306,40 @@ object PipelineQueries {
       Tables.documents(s, d).select(col("doc_id"),
         qualityExpr(col("text")).as("quality"))),
 
+    // Gopher-style repetition filter: the fraction of word trigrams
+    // that are duplicates within the document. Entirely map-side — the
+    // trigram set is built per row with array functions (tokens are
+    // materialized in a prior projection so the split isn't re-run per
+    // lambda element), so this scales as a pure projection: no shuffle,
+    // no state, embarrassingly parallel at any corpus size. n_grams and
+    // n_uniq stay integral; the fraction is one IEEE double division,
+    // bit-identical across engines.
+    "quality_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          (size(col("toks")) - 2).cast("long").as("n_grams"),
+          expr("""size(array_distinct(transform(
+                 |  sequence(0, size(toks) - 3),
+                 |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))
+                 |""".stripMargin).cast("long").as("n_uniq"))
+        .withColumn("dup_frac",
+          (col("n_grams") - col("n_uniq")).cast("double") /
+            col("n_grams").cast("double"))),
+
+    // exact interpolated quantiles of document length per language —
+    // the "how long are my docs" profiling shape. Spark's percentile
+    // and DuckDB's quantile_cont both linearly interpolate on the
+    // sorted values at rank q*(n-1); inputs are integers, so the
+    // interpolation arithmetic is the only float step. Exact
+    // percentile sorts per group — fine for profiling; the sketch
+    // alternative (approx_percentile) is exercised by approx_stats.
+    "quantile_chars" -> ((s, d) =>
+      Tables.documents(s, d).groupBy("lang").agg(
+        expr("percentile(n_chars, 0.5D)").as("p50_chars"),
+        expr("percentile(n_chars, 0.9D)").as("p90_chars"))),
+
     // vocabulary build + corpus encode: token ids by global frequency
     // rank (ties by token), then every (doc, pos) encoded via a
     // BROADCAST join on the vocab — the tokenizer-table shape of a
@@ -660,6 +694,19 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_retained"))
     }),
 
+    // user growth: first-seen day per user -> new users per day ->
+    // cumulative total. Two shuffles (user agg, day agg); the running
+    // sum's window is over DAYS — a tiny domain — so the unpartitioned
+    // window is a non-issue at any event volume.
+    "user_growth" -> ((s, d) => {
+      val firstDay = Tables.events(s, d).groupBy("user_id")
+        .agg(min(date_trunc("day", col("ts"))).as("day"))
+      firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users",
+          sum(col("new_users")).over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+
     // sessionization: 5-minute-gap sessions per user via LAG
     "events_sessions" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -977,6 +1024,26 @@ object PipelineQueries {
         |FROM documents""".stripMargin,
     "quality_score" ->
       s"SELECT doc_id, $qualitySql AS quality FROM documents",
+    // DuckDB lists are 1-based (Spark subscripts 0-based); range() end
+    // is exclusive, so i runs 1..len-2 and i+2 stays in bounds
+    "quality_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(toks) - 2 AS n_grams,
+        |    len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        |      AS n_uniq
+        |  FROM t WHERE len(toks) >= 3)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(n_uniq AS BIGINT) AS n_uniq,
+        |  CAST(n_grams - n_uniq AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |    AS dup_frac
+        |FROM g""".stripMargin,
+    "quantile_chars" ->
+      """SELECT lang, quantile_cont(n_chars, 0.5) AS p50_chars,
+        |quantile_cont(n_chars, 0.9) AS p90_chars
+        |FROM documents GROUP BY lang""".stripMargin,
     // parallel unnests zip in DuckDB; range(n) matches posexplode's
     // 0-based positions
     "token_encode" ->
@@ -1176,6 +1243,18 @@ object PipelineQueries {
         |FROM hu a JOIN hu b
         |ON a.user_id = b.user_id AND b.h = a.h + INTERVAL 1 HOUR
         |GROUP BY a.h""".stripMargin,
+    "user_growth" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS day
+        |  FROM events GROUP BY 1),
+        |nu AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        |  FROM fd GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM nu""".stripMargin,
     "events_sessions" ->
       """SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
         |CAST(COUNT(*) AS BIGINT) AS n_events

@@ -270,6 +270,38 @@ object RelationalQueries {
       withOrders.unionAll(withoutOrders)
     }),
 
+    // full outer join: two PARTIAL per-customer aggregates (high-value
+    // orders vs latest-year orders) merged with COALESCE — each side has
+    // customers the other lacks, so every outer branch is exercised. The
+    // using-column join coalesces the key; at scale this is a plain
+    // shuffle hash join on o_custkey, no broadcast needed either way.
+    "join_outer" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val hi = o.filter(col("o_totalprice") > 400000.0)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_hi"))
+      val recent = o
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_recent"))
+      hi.join(recent, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_hi"), lit(0L)).as("n_hi"),
+          coalesce(col("n_recent"), lit(0L)).as("n_recent"))
+    }),
+
+    // INTERSECT / EXCEPT (distinct set semantics, like SQL): nations
+    // with customers vs nations with suppliers. Both rewrite to
+    // aggregates + joins under the hood, so they inherit the shuffle
+    // machinery (and AQE) of groupBy/join.
+    "set_intersect_except" -> ((s, d) => {
+      val cn = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nationkey"))
+      val sn = Tables.supplier(s, d)
+        .select(col("s_nationkey").cast("long").as("nationkey"))
+      cn.intersect(sn).select(lit("both").as("tag"), col("nationkey"))
+        .unionAll(cn.except(sn)
+          .select(lit("customer_only").as("tag"), col("nationkey")))
+    }),
+
     // exact DISTINCT aggregate
     "count_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
@@ -482,6 +514,26 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'without_orders' AS grp, CAST(COUNT(*) AS BIGINT) AS n
         |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "join_outer" ->
+      """WITH hi AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_hi FROM orders
+        |  WHERE o_totalprice > 400000 GROUP BY 1),
+        |rec AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_recent FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01' GROUP BY 1)
+        |SELECT COALESCE(hi.o_custkey, rec.o_custkey) AS o_custkey,
+        |  COALESCE(n_hi, 0) AS n_hi, COALESCE(n_recent, 0) AS n_recent
+        |FROM hi FULL OUTER JOIN rec ON hi.o_custkey = rec.o_custkey""".stripMargin,
+    "set_intersect_except" ->
+      """WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey
+        |  FROM customer),
+        |sn AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey
+        |  FROM supplier)
+        |SELECT 'both' AS tag, nationkey
+        |  FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT 'customer_only' AS tag, nationkey
+        |  FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)""".stripMargin,
     "count_distinct" ->
       """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |CAST(COUNT(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT)
