@@ -270,6 +270,26 @@ object RelationalQueries {
       withOrders.unionAll(withoutOrders)
     }),
 
+    // BIG x BIG range join (no broadcastable side at scale): urgent
+    // orders open a 1-day shipping window; every lineitem shipped
+    // inside a window pairs with that order. Planned naively this is a
+    // broadcast-nested-loop / cartesian; RangeJoinOps.binnedRangeJoin
+    // rewrites it to a hash join on 2-day epoch-day bins + residual
+    // re-check, so both sides shuffle ONCE and the pair space is never
+    // enumerated beyond true matches (14M pairs at sf0.1, aggregated).
+    "join_range_binned" -> ((s, d) => {
+      val pts = Tables.lineitem(s, d).select(col("l_shipdate"),
+        unix_date(to_date(col("l_shipdate"))).cast("long").as("ship_day"))
+      val iv = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(unix_date(to_date(col("o_orderdate"))).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 1L)
+      graft.operators.RangeJoinOps
+        .binnedRangeJoin(pts, "ship_day", iv, "lo", "hi", 2L)
+        .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // full outer join: two PARTIAL per-customer aggregates (high-value
     // orders vs latest-year orders) merged with COALESCE — each side has
     // customers the other lacks, so every outer branch is exercised. The
@@ -514,6 +534,14 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'without_orders' AS grp, CAST(COUNT(*) AS BIGINT) AS n
         |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "join_range_binned" ->
+      """SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM lineitem l JOIN orders o
+        |  ON o.o_orderpriority = '1-URGENT'
+        | AND l.l_shipdate BETWEEN o.o_orderdate
+        |                      AND o.o_orderdate + INTERVAL 1 DAY
+        |GROUP BY 1""".stripMargin,
     "join_outer" ->
       """WITH hi AS (
         |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_hi FROM orders
