@@ -108,6 +108,42 @@ object SimilarityOps {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with k-means, then look
+    * for near-duplicate pairs ONLY within each cluster and keep, per
+    * duplicate relation, the member whose id is smallest (a vector is
+    * dropped iff some same-cluster vector with a smaller id sits within
+    * `threshold` cosine of it). Out: (id, cluster) of the kept vectors.
+    *
+    * Scale shape — this is the trick that makes corpus-scale semantic
+    * dedup tractable at all: the quadratic pair search collapses from
+    * O(n^2) to O(sum c_i^2) ~ O(n^2/k). The within-cluster pair join is
+    * a hash equi-join on the cluster id (shuffles vectors once, by
+    * cluster), assignment is [[KMeans]]'s broadcast-codebook map-side
+    * argmin, and the final keep-set is a left-anti join — no windows,
+    * no driver collection. At 100 TB pick k so n/k is a few thousand
+    * (the paper's regime); a pathologically hot cluster can be fed
+    * through [[nearDupPairsBlocked]] without changing semantics.
+    */
+  def semDedupKept(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val dot = GraftFunctions.dot_f64 _
+    val assigned = KMeans.assign(
+        vecs.select(col(idCol).as("id"), col(vecCol).as("v")),
+        KMeans.centroids(vecs, idCol, vecCol, k, iters))
+      .select(col("id"), col("v"), col("cluster"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val dropped = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
+      .filter((dot(col("x.v"), col("y.v")) /
+        (col("x.nrm") * col("y.nrm"))) >= threshold)
+      .select(col("y.id").as("id"))
+      .distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+  }
+
   /** IVF-style two-stage ANN: coarse-quantize every vector to its nearest
     * of `nCentroids` centroid vectors (here: the first `nCentroids` rows,
     * standing in for a trained codebook), then score the probe exactly

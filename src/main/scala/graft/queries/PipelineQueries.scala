@@ -128,6 +128,23 @@ object PipelineQueries {
       when(nThe > 0, 1.0).otherwise(0.0) * 0.25
   }
 
+  /** 16-bit token-frequency-weighted SimHash per document (bits voted
+    * from md5 hex nibbles) — shared by the signature query and the
+    * banded near-dup pair search.
+    */
+  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val h = transform(words(col("text")), t => md5(t.cast("binary")))
+    val hexHi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val bits = (0 until 16).map { p =>
+      val vote = aggregate(col("h"), lit(0L), (acc, x) =>
+        acc + when(substring(x, p + 1, 1).isin(hexHi: _*), 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << p)).otherwise(0L)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), h.as("h"))
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     // exact dedup: group by content hash, keep lowest doc_id
     "dedup_exact" -> ((s, d) =>
@@ -174,17 +191,31 @@ object PipelineQueries {
           col("cluster").cast("long").as("cluster"))),
 
     // SimHash (16-bit, from md5 hex nibbles, token-frequency weighted)
-    "simhash" -> ((s, d) => {
-      val h = transform(words(col("text")), t => md5(t.cast("binary")))
-      val hexHi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-      val bits = (0 until 16).map { p =>
-        val vote = aggregate(col("h"), lit(0L), (acc, x) =>
-          acc + when(substring(x, p + 1, 1).isin(hexHi: _*), 1L).otherwise(-1L))
-        when(vote > 0, lit(1L << p)).otherwise(0L)
-      }
-      Tables.documents(s, d)
-        .select(col("doc_id"), h.as("h"))
-        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+    "simhash" -> ((s, d) => simhashDf(s, d)),
+
+    // SimHash near-dup pairs with an EXACT banding guarantee: 3
+    // differing bits can touch at most 3 of the 4 disjoint 4-bit
+    // bands, so every pair at hamming <= 3 shares a band — the banded
+    // equi-join + verify returns exactly the brute-force answer (the
+    // oracle IS the O(n^2) brute force) while only ever shuffling
+    // (doc_id, band, key) tuples, never the pair space. repartition on
+    // (band, key) makes both self-join inputs the same exchange ->
+    // ReuseExchange computes the signatures once.
+    "simhash_pairs" -> ((s, d) => {
+      val banded = simhashDf(s, d)
+        .select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until 4).map(p =>
+            shiftright(col("simhash"), 4 * p).bitwiseAND(lit(15L))): _*))
+            .as(Seq("band", "key")))
+        .repartition(col("band"), col("key"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
     }),
 
     // brute-force cosine top-k against a probe vector (ANN baseline)
@@ -488,6 +519,39 @@ object PipelineQueries {
       graft.operators.KMeans.lloyd(e, "vec_id", "v", 4, 1)
         .select(col("id").as("vec_id"),
           col("cluster").cast("long").as("cluster"), col("dist2"))
+    }),
+
+    // SemDeDup (cluster-then-dedup): k-means buckets the embeddings,
+    // near-dup search runs only WITHIN clusters — O(n^2) -> O(n^2/k) —
+    // and per duplicate relation the lowest id survives. Output = the
+    // kept vectors with their cluster. Same trained codebook (k=4,
+    // 1 Lloyd iteration) as kmeans_embed, so the oracle reuses its CTE.
+    "semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      graft.operators.SimilarityOps.semDedupKept(e, "vec_id", "v", 4, 1, 0.45)
+        .select(col("id").as("vec_id"),
+          col("cluster").cast("long").as("cluster"))
+    }),
+
+    // int8 symmetric quantization of the embedding column (the storage
+    // format ANN indexes actually ship): per-vector max-abs scale,
+    // q_i = round(v_i * 127 / scale), plus the exact reconstruction
+    // error. Entirely map-side; the quantized array is hash-projected
+    // so the gate compares it without array-representation skew.
+    "embed_quantize" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("scale", array_max(transform(col("v"), u => abs(u))))
+        .withColumn("q", transform(col("v"), u =>
+          floor(u * lit(127.0) / col("scale") + lit(0.5)).cast("int")))
+      e.select(col("vec_id"), col("scale"),
+        md5(concat_ws(",", transform(col("q"), _.cast("string")))
+          .cast("binary")).as("qhash"),
+        aggregate(zip_with(col("v"), col("q"), (a, b) =>
+          (a - b.cast("double") * col("scale") / lit(127.0)) *
+            (a - b.cast("double") * col("scale") / lit(127.0))),
+          lit(0.0), (acc, u) => acc + u).as("err"))
     }),
 
     // incremental ingest dedup: a new batch (upper half of doc_ids)
@@ -803,6 +867,25 @@ object PipelineQueries {
       |   + list_aggregate(list_transform(c1.cv, x -> x*x), 'sum') AS dist2
       |  FROM e, c1)""".stripMargin
 
+  /** DuckDB replay of [[simhashDf]]: hashed(doc_id, h) -> ssig(doc_id,
+    * simhash). Shared by the signature and banded-pairs oracles.
+    */
+  private val simhashSqlCte: String = {
+    val hexHi = "('8','9','a','b','c','d','e','f')"
+    val bits = (0 until 16).map { p =>
+      s"""CASE WHEN list_aggregate(list_transform(h,
+         |x -> CASE WHEN substr(x, ${p + 1}, 1) IN $hexHi
+         |THEN 1 ELSE -1 END), 'sum') > 0
+         |THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""hashed AS (
+       |  SELECT doc_id,
+       |  list_transform(string_split(lower(text), ' '), t -> md5(t)) AS h
+       |  FROM documents),
+       |ssig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       |         FROM hashed)""".stripMargin
+  }
+
   private val annIvfOracle: String =
     """WITH e AS (
       |  SELECT vec_id AS id,
@@ -929,20 +1012,16 @@ object PipelineQueries {
         |WHERE m = 3 OR nib < (CASE WHEN m = 0 THEN '4'
         |                      WHEN m = 1 THEN '8' ELSE 'c' END)
         |GROUP BY source, lang""".stripMargin,
-    "simhash" -> {
-      val hexHi = "('8','9','a','b','c','d','e','f')"
-      val bits = (0 until 16).map { p =>
-        s"""CASE WHEN list_aggregate(list_transform(h,
-           |x -> CASE WHEN substr(x, ${p + 1}, 1) IN $hexHi
-           |THEN 1 ELSE -1 END), 'sum') > 0
-           |THEN ${1L << p} ELSE 0 END""".stripMargin
-      }.mkString(" + ")
-      s"""WITH hashed AS (
-         |  SELECT doc_id,
-         |  list_transform(string_split(lower(text), ' '), t -> md5(t)) AS h
-         |  FROM documents)
-         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hashed""".stripMargin
-    },
+    "simhash" ->
+      s"""WITH $simhashSqlCte
+         |SELECT doc_id, simhash FROM ssig""".stripMargin,
+    // oracle is the O(n^2) brute force the banded plan provably equals
+    "simhash_pairs" ->
+      s"""WITH $simhashSqlCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "ann_topk" ->
       """WITH p AS (
         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pe
@@ -1141,6 +1220,47 @@ object PipelineQueries {
          |  row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
          |  FROM d2) t
          |WHERE rn = 1""".stripMargin,
+    // final labelling a2 as in ann_ivf_kmeans; within-cluster pairs
+    // only; a vector is dropped iff a smaller-id same-cluster vector
+    // sits within 0.45 cosine (dot/(|x||y|), the same sequential folds)
+    "semdedup" ->
+      s"""WITH $kmeansCte,
+         |a2 AS (
+         |  SELECT id, v, cid AS cluster FROM (
+         |    SELECT id, v, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+         |    FROM d2) t WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT y.id AS id
+         |  FROM a2 x JOIN a2 y
+         |  ON x.cluster = y.cluster AND x.id < y.id
+         |  WHERE list_aggregate(list_transform(list_zip(x.v, y.v),
+         |      z -> z[1]*z[2]), 'sum') /
+         |    (sqrt(list_aggregate(list_transform(x.v, u -> u*u), 'sum')) *
+         |     sqrt(list_aggregate(list_transform(y.v, u -> u*u), 'sum')))
+         |    >= 0.45)
+         |SELECT a2.id AS vec_id, CAST(a2.cluster AS BIGINT) AS cluster
+         |FROM a2 WHERE a2.id NOT IN (SELECT id FROM dropped)""".stripMargin,
+    // int8 max-abs quantization; q hashed through the same
+    // comma-joined decimal rendering on both engines
+    "embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |       list_max(list_transform(v, u -> abs(u))) AS scale FROM e),
+        |qq AS (SELECT vec_id, v, scale,
+        |       list_transform(v,
+        |         u -> CAST(floor(u * 127.0 / scale + 0.5) AS INT)) AS q
+        |       FROM sc)
+        |SELECT vec_id, scale,
+        |md5(array_to_string(list_transform(q, u -> CAST(u AS VARCHAR)),
+        |    ',')) AS qhash,
+        |list_aggregate(list_transform(list_zip(v, q),
+        |  z -> (z[1] - CAST(z[2] AS DOUBLE) * scale / 127.0) *
+        |       (z[1] - CAST(z[2] AS DOUBLE) * scale / 127.0)), 'sum') AS err
+        |FROM qq""".stripMargin,
     // trained-codebook IVF: the kmeans CTEs produce c1, the final
     // assignment keeps v, the probe scores its own cell by cosine
     "ann_ivf_kmeans" ->
