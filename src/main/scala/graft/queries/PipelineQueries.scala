@@ -194,18 +194,23 @@ object PipelineQueries {
     "simhash" -> ((s, d) => simhashDf(s, d)),
 
     // SimHash near-dup pairs with an EXACT banding guarantee: 3
-    // differing bits can touch at most 3 of the 4 disjoint 4-bit
-    // bands, so every pair at hamming <= 3 shares a band — the banded
-    // equi-join + verify returns exactly the brute-force answer (the
-    // oracle IS the O(n^2) brute force) while only ever shuffling
-    // (doc_id, band, key) tuples, never the pair space. repartition on
-    // (band, key) makes both self-join inputs the same exchange ->
-    // ReuseExchange computes the signatures once.
+    // differing bits can touch at most 3 of the 4 disjoint 15-bit
+    // bands of the 60-bit signature ([[functions.SimHash64]] — wide
+    // enough that only true near-dups land at hamming <= 3), so every
+    // qualifying pair shares a band — the banded equi-join + verify
+    // returns exactly the brute-force answer (the oracle IS the O(n^2)
+    // brute force) while only ever shuffling (doc_id, band, key)
+    // tuples, never the pair space. repartition on (band, key) makes
+    // both self-join inputs the same exchange -> ReuseExchange
+    // computes the signatures once.
     "simhash_pairs" -> ((s, d) => {
-      val banded = simhashDf(s, d)
+      val sig = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(words(col("text")))
+          .as("simhash"))
+      val banded = sig
         .select(col("doc_id"), col("simhash"),
           posexplode(array((0 until 4).map(p =>
-            shiftright(col("simhash"), 4 * p).bitwiseAND(lit(15L))): _*))
+            shiftright(col("simhash"), 15 * p).bitwiseAND(lit(0x7fffL))): _*))
             .as(Seq("band", "key")))
         .repartition(col("band"), col("key"))
       banded.as("a").join(banded.as("b"),
@@ -886,6 +891,26 @@ object PipelineQueries {
        |         FROM hashed)""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.functions.SimHash64]]: bit p of the
+    * 60-bit signature votes on bit (p % 4) of md5-hex nibble (p / 4).
+    * ssig60(doc_id, simhash).
+    */
+  private val simhash60SqlCte: String = {
+    val bits = (0 until 60).map { p =>
+      val nib = s"(strpos('0123456789abcdef', substr(x, ${p / 4 + 1}, 1)) - 1)"
+      s"""CASE WHEN list_aggregate(list_transform(h,
+         |x -> CASE WHEN (($nib // ${1 << (p % 4)}) % 2) = 1
+         |THEN 1 ELSE -1 END), 'sum') > 0
+         |THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""hashed60 AS (
+       |  SELECT doc_id,
+       |  list_transform(string_split(lower(text), ' '), t -> md5(t)) AS h
+       |  FROM documents),
+       |ssig60 AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       |           FROM hashed60)""".stripMargin
+  }
+
   private val annIvfOracle: String =
     """WITH e AS (
       |  SELECT vec_id AS id,
@@ -1017,10 +1042,10 @@ object PipelineQueries {
          |SELECT doc_id, simhash FROM ssig""".stripMargin,
     // oracle is the O(n^2) brute force the banded plan provably equals
     "simhash_pairs" ->
-      s"""WITH $simhashSqlCte
+      s"""WITH $simhash60SqlCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+         |FROM ssig60 a JOIN ssig60 b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "ann_topk" ->
       """WITH p AS (

@@ -66,4 +66,36 @@ class FingerprintEquivalenceSpec extends SparkTestBase {
       (0 until 4).foreach(j => assert(fast(j) == r.getString(j + 1), r.toString))
     }
   }
+
+  test("simhash64 == composable per-bit nibble voting over md5 hex") {
+    import spark.implicits._
+    val df = samples.toDF("text")
+      .select(split(lower(col("text")), " ").as("tok"))
+      .withColumn("h", transform(col("tok"), t => md5(t.cast("binary"))))
+    // bit p votes on bit (p % 4) of hex nibble (p / 4) — the exact
+    // semantics the DuckDB oracle replays
+    val slow = (0 until 60).map { p =>
+      val vote = aggregate(col("h"), lit(0L), (acc, x) => {
+        val nib = conv(substring(x, p / 4 + 1, 1), 16, 10).cast("long")
+        acc + when(shiftright(nib, p % 4).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)
+      })
+      when(vote > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    val rows = df.select(SimHash64.simhash64(col("tok")).as("fast"),
+      slow.as("slow")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("simhash64: duplicate texts collide, empty token list is 0") {
+    import spark.implicits._
+    val df = Seq("alpha beta gamma", "alpha beta gamma").toDF("text")
+      .select(SimHash64.simhash64(split(col("text"), " ")).as("s"))
+    val Array(a, b) = df.collect().map(_.getLong(0))
+    assert(a == b)
+    val empty = Seq(Seq.empty[String]).toDF("tok")
+      .select(SimHash64.simhash64(col("tok")).as("s"))
+      .collect().head.getLong(0)
+    assert(empty == 0L)
+  }
 }

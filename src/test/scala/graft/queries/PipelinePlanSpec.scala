@@ -80,4 +80,35 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"nested loop in embed_neardup plan:\n$plan")
   }
+
+  test("simhash_pairs: signature exchange reused; pairs join is equi") {
+    val df = SparkEntry.queries("simhash_pairs")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // one simhash computation, reused on the other self-join side
+    val reused = collectWithSubqueries(plan) { case r: ReusedExchangeExec => r }
+    assert(reused.nonEmpty,
+      s"simhash exchange not reused (signatures computed twice):\n$plan")
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in simhash_pairs plan:\n$s")
+  }
+
+  test("semdedup: pair search is an equi-join on the cluster id") {
+    val df = SparkEntry.queries("semdedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    // the quadratic-risk pair join must KEY on the cluster id (hash or
+    // merge equi-join, cosine+id as residual condition) — the only
+    // nested loops allowed are the k-row broadcast codebook legs
+    // inside KMeans.assign, never a row-level pair loop
+    assert(!s.contains("CartesianProduct"), s"cartesian in semdedup:\n$s")
+    val pairJoinKeyed = s.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin [cluster") ||
+        l.contains("SortMergeJoin [cluster")) && l.contains("dot_f64"))
+    assert(pairJoinKeyed,
+      s"within-cluster pair join not keyed on cluster id:\n$s")
+  }
 }
