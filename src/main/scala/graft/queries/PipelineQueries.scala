@@ -787,6 +787,36 @@ object PipelineQueries {
             .otherwise(0L))
         .groupBy("user_id")
         .agg(sum("brk").as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // resample-to-hourly + forward fill (the xarray `resample`/`ffill`
+    // analog on event tables): a dense hourly spine per series joins
+    // the sparse hourly aggregate and gaps carry the last observed
+    // value forward. Spine generation is a 1-row-bounds broadcast;
+    // the fill is ONE carry-forward window per series — parallelism is
+    // the series count, so at scale the series key is an entity id
+    // (sensor, user), not a 5-value category; bounded-gap fills use
+    // the as-of join shape instead. Sums stay decimal-exact until one
+    // final string->double round-trip.
+    "events_resample" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+      val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("hour"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          last(col("sv"), ignoreNulls = true).over(w)
+            .cast("string").cast("double").as("v_ffill"))
     })
   )
 
@@ -1409,6 +1439,29 @@ object PipelineQueries {
         |  THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
-        |GROUP BY user_id""".stripMargin
+        |GROUP BY user_id""".stripMargin,
+    "events_resample" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |             date_trunc('hour', max(ts)) AS hi FROM events),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |spine AS (
+        |  SELECT t.event_type,
+        |  unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM t, b),
+        |j AS (
+        |  SELECT s.event_type, s.hour, COALESCE(h.cnt, 0) AS cnt, h.sv
+        |  FROM spine s LEFT JOIN hourly h
+        |  ON h.event_type = s.event_type AND h.hour = s.hour)
+        |SELECT event_type, hour, cnt,
+        |CAST(CAST(last_value(sv IGNORE NULLS) OVER (
+        |  PARTITION BY event_type ORDER BY hour
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS VARCHAR) AS DOUBLE) AS v_ffill
+        |FROM j""".stripMargin
   )
 }
