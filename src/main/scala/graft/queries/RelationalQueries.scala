@@ -90,6 +90,27 @@ object RelationalQueries {
           (sum(col("v").cast(DecimalType(18, 6))).cast("string").cast("double") /
             count(col("v"))).as("avg_v"))),
 
+    // LIKE / ILIKE-shape pattern filters: leading-wildcard (never
+    // index/prune-able), anchored prefix (prune-able at a scan with
+    // string zone maps), and an escaped literal % — the pattern trio a
+    // SQL surface must get right
+    "like_filter" -> ((s, d) =>
+      Tables.part(s, d)
+        .agg(count(when(col("p_name").like("%green%"), 1)).as("n_contains"),
+          count(when(col("p_name").like("alm%"), 1)).as("n_prefix"),
+          count(when(lower(col("p_type")).like("%brass"), 1)).as("n_suffix"))),
+
+    // HAVING: post-aggregation predicate on an aggregate expression —
+    // planned as Filter ABOVE the aggregate, so map-side partials are
+    // unaffected and only qualifying groups survive the final stage
+    "having_group" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("string").cast("double").as("total_spend"))
+        .filter(col("n_orders") >= 15)),
+
     // 8. global aggregates
     "agg_global" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
@@ -422,6 +443,21 @@ object RelationalQueries {
         |CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)/COUNT(v)
         |  AS avg_v
         |FROM (SELECT NULLIF(l_discount, 0.0) AS v FROM lineitem) t""".stripMargin,
+    "like_filter" ->
+      """SELECT
+        |CAST(COUNT(*) FILTER (WHERE p_name LIKE '%green%') AS BIGINT)
+        |  AS n_contains,
+        |CAST(COUNT(*) FILTER (WHERE p_name LIKE 'alm%') AS BIGINT)
+        |  AS n_prefix,
+        |CAST(COUNT(*) FILTER (WHERE lower(p_type) LIKE '%brass') AS BIGINT)
+        |  AS n_suffix
+        |FROM part""".stripMargin,
+    "having_group" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        |  AS DOUBLE) AS total_spend
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 15""".stripMargin,
     "agg_global" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
          |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
