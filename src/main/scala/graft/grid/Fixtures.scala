@@ -64,6 +64,28 @@ object Fixtures {
     }
   }
 
+  /** 2-D (lat, lon) land-mask fixture sharing [[linearGrid]]'s spatial
+    * coordinates: cell (i, j) is land (1.0) iff (3i + j) % 5 < 3 —
+    * integer arithmetic the oracle replays exactly. The second dataset
+    * of the grid-x-grid join query (apply a static mask to a time
+    * cube), the reference's multi-dataset registration shape
+    * (sql.py:105-125 registers many datasets into one context).
+    */
+  def maskGrid: SyntheticGridStore = {
+    val lat = DoubleCoords((0 until 12).map(i => 75.0 - 2.5 * i).toArray)
+    val lon = DoubleCoords((0 until 10).map(j => 200.0 + 2.5 * j).toArray)
+    SyntheticGridStore(
+      GridSchema(
+        Seq(DimDef("lat", lat), DimDef("lon", lon)),
+        Seq(VarDef("mask", Seq("lat", "lon"), GDouble))),
+      Map("mask" -> MaskLaw))
+  }
+
+  case object MaskLaw extends GridFun {
+    def apply(idx: Array[Int]): Double =
+      if ((3 * idx(0) + idx(1)) % 5 < 3) 1.0 else 0.0
+  }
+
   /** Non-Gregorian (360_day) calendar fixture: one CF year of daily int64
     * offsets ("days since 2000-01-01", calendar=360_day) x 4 latitudes.
     * Dyadic value law -> bit-identical recomputation in the oracle.

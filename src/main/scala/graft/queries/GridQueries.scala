@@ -60,6 +60,24 @@ object GridQueries {
           (col("air") - col("m")).as("anom"))
     }),
 
+    // grid x grid join on shared dimension coordinates: a 2-D land
+    // mask joins the 3-D time cube on (lat, lon) and only land cells
+    // aggregate — the xarray "apply a static mask dataset" pattern as
+    // SQL. The mask side is a second registered grid source; exact
+    // post-pruning stats mark it broadcastable, so the cube is never
+    // shuffled. Two BIG grids sharing a chunk grid instead
+    // co-partition on the chunk ids (the same bin-equi-key trick as
+    // RangeJoinOps) — documented in DESIGN_NOTES.
+    "pivot_grid_join" -> ((s, _) => {
+      val g = grid(s)
+      val m = new XarrayContext(s).dataFrame(
+        "mask_grid", Fixtures.maskGrid, Map("lat" -> 6), Seq("lat", "lon"))
+      g.join(m, Seq("lat", "lon"))
+        .filter(col("mask") === 1.0)
+        .groupBy(col("t").cast("long").as("t"))
+        .agg(count(lit(1)).as("cnt"), avg("air").as("avg_air"))
+    }),
+
     // grouped metadata aggregate: GROUP BY a dimension + COUNT/MIN/MAX
     // of dims answers entirely from coordinate metadata (density makes
     // every group the same cross product) — zero chunk reads, asserted
@@ -173,6 +191,17 @@ object GridQueries {
     "pivot_grid_agg" ->
       s"""WITH $oracleGrid
          |SELECT lat, AVG(air) AS avg_air FROM grid GROUP BY lat""".stripMargin,
+    "pivot_grid_join" ->
+      s"""WITH $oracleGrid,
+         |mask AS (
+         |  SELECT 75.0 - 2.5*i AS lat, 200.0 + 2.5*j AS lon,
+         |         CASE WHEN (3*i + j) % 5 < 3 THEN 1.0 ELSE 0.0 END AS mask
+         |  FROM generate_series(0, 11) m1(i), generate_series(0, 9) m2(j))
+         |SELECT CAST(g.t AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |AVG(g.air) AS avg_air
+         |FROM grid g JOIN mask m ON g.lat = m.lat AND g.lon = m.lon
+         |WHERE m.mask = 1.0
+         |GROUP BY g.t""".stripMargin,
     "pivot_grid_filter" ->
       s"""WITH $oracleGrid
          |SELECT lon, CAST(COUNT(*) AS BIGINT) AS cnt, AVG(air) AS avg_air

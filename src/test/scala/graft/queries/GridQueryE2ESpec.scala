@@ -36,6 +36,30 @@ class GridQueryE2ESpec extends SparkTestBase {
     assert(meta.contains("codec zstd"))
   }
 
+  test("pivot_grid_join: mask grid broadcasts; cube side never shuffles pre-join") {
+    val df = SparkEntry.queries("pivot_grid_join")(spark, "unused")
+    val rows = df.collect()
+    assert(rows.length == 24) // one row per t
+    // land cells: (3i + j) % 5 < 3 over 12 x 10 -> recompute directly
+    val land = for (i <- 0 until 12; j <- 0 until 10
+      if (3 * i + j) % 5 < 3) yield (i, j)
+    val expCnt = land.size.toLong
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      assert(r.getLong(1) == expCnt, s"cnt at t=$t")
+      val expAvg = land.map { case (i, j) =>
+        200.0 + t + 2.0 * i + 3.0 * j }.sum / expCnt
+      assert(math.abs(r.getDouble(2) - expAvg) < 1e-9, s"avg at t=$t")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    // exact post-pruning stats mark the 120-row mask broadcastable —
+    // the 2880-row cube must not shuffle to meet the join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"mask grid not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"cube shuffled into a sort-merge join:\n$plan")
+  }
+
   test("pivot_grid_station: string dims exact-push; zone maps skip them") {
     val q = SparkEntry.queries("pivot_grid_station")
     ReadCounters.reset()
