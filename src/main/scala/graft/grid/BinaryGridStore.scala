@@ -223,6 +223,94 @@ object BinaryGridStore {
     case _ => None
   }
 
+  /** Incrementally extend an existing store along `along` — the
+    * append-only ingest path of growing archives (a reanalysis gains a
+    * new day of hours; a corpus store gains a new batch): `source`
+    * carries the SAME schema except that `along`'s coordinates are the
+    * new values being appended. New chunk files land at chunk indices
+    * shifted past the existing extent; existing chunk files and their
+    * stats are untouched; only the small metadata file is rewritten
+    * (coords concatenated, stats merged). Readers opened afterwards see
+    * one seamless grid — scans, pruning and value-stats work across
+    * the append boundary unchanged.
+    *
+    * Requires the existing `along` extent to be chunk-aligned (append
+    * after a ragged final chunk would interleave old and new data in
+    * one file — rewrite that chunk first, Zarr's same constraint).
+    */
+  def appendAlong(root: String, source: GridStore,
+      along: String): BinaryGridStore = {
+    val existing = open(root)
+    val schema = existing.schema
+    val add = source.schema
+    val conf = GridIO.driverConf()
+    val oldDim = schema.dim(along)
+    val oldN = oldDim.size
+    val axisChunk = existing.chunks.getOrElse(along, math.max(oldN, 1))
+    require(oldN % axisChunk == 0,
+      s"existing $along extent $oldN not aligned to chunk $axisChunk")
+    require(add.dims.map(_.name) == schema.dims.map(_.name),
+      s"dim mismatch: ${add.dims.map(_.name)} vs ${schema.dims.map(_.name)}")
+    schema.dims.filter(_.name != along).foreach { d =>
+      require(coordsEqual(d.coords, add.dim(d.name).coords),
+        s"coordinates differ on invariant dim ${d.name}")
+    }
+    require(add.vars.map(v => (v.name, v.dims, v.dtype)) ==
+      schema.vars.map(v => (v.name, v.dims, v.dtype)), "var mismatch")
+    val chunkOffset = oldN / axisChunk
+    val stats = Map.newBuilder[String, (Any, Any)]
+    add.vars.filter(_.dims.contains(along)).foreach { v =>
+      val axisPos = v.dims.indexOf(along)
+      val sub = GridSchema(v.dims.map(add.dim), Seq.empty)
+      ChunkGrid.blocks(sub, existing.chunks).foreach { block =>
+        val idx = v.dims.zip(block).zipWithIndex.map {
+          case ((dn, (start, _)), k) =>
+            val ci = start / existing.chunks.getOrElse(dn,
+              math.max(add.dim(dn).size, 1))
+            if (k == axisPos) ci + chunkOffset else ci
+        }
+        val data = source.readVar(v.name, block)
+        chunkStats(data).foreach(st =>
+          stats += s"${v.name} ${idx.mkString(".")}" -> st)
+        GridIO.write(s"$root/${v.name}/${idx.mkString(".")}.bin",
+          encodeChunk(data, existing.codec), conf)
+      }
+    }
+    val merged = GridSchema(
+      schema.dims.map(d => if (d.name == along)
+        d.copy(coords = concatCoords(d.coords, add.dim(along).coords))
+      else d),
+      schema.vars, schema.attrs)
+    val mergedStats = existing.stats ++ stats.result()
+    writeMetadata(s"$root/metadata.txt", merged, existing.chunks,
+      existing.codec, conf, mergedStats)
+    BinaryGridStore(root, merged, existing.chunks, existing.codec,
+      stats = mergedStats)
+  }
+
+  private def coordsEqual(a: CoordArray, b: CoordArray): Boolean = (a, b) match {
+    case (DoubleCoords(x), DoubleCoords(y)) => x.sameElements(y)
+    case (FloatCoords(x), FloatCoords(y)) => x.sameElements(y)
+    case (IntCoords(x), IntCoords(y)) => x.sameElements(y)
+    case (LongCoords(x), LongCoords(y)) => x.sameElements(y)
+    case (TimeCoords(x), TimeCoords(y)) => x.sameElements(y)
+    case (DurationCoords(x), DurationCoords(y)) => x.sameElements(y)
+    case (StringCoords(x), StringCoords(y)) => x.sameElements(y)
+    case _ => false
+  }
+
+  private def concatCoords(a: CoordArray, b: CoordArray): CoordArray =
+    (a, b) match {
+      case (DoubleCoords(x), DoubleCoords(y)) => DoubleCoords(x ++ y)
+      case (FloatCoords(x), FloatCoords(y)) => FloatCoords(x ++ y)
+      case (IntCoords(x), IntCoords(y)) => IntCoords(x ++ y)
+      case (LongCoords(x), LongCoords(y)) => LongCoords(x ++ y)
+      case (TimeCoords(x), TimeCoords(y)) => TimeCoords(x ++ y)
+      case (DurationCoords(x), DurationCoords(y)) => DurationCoords(x ++ y)
+      case _ => throw new IllegalArgumentException(
+        s"cannot concat coords of different kinds: $a vs $b")
+    }
+
   /** Create the store directory skeleton + metadata only (chunk files
     * written separately — e.g. from executors by GridWriter).
     */

@@ -64,6 +64,22 @@ object Fixtures {
     }
   }
 
+  /** [[linearGrid]] restricted to global t in [t0, t1): the value law
+    * keeps GLOBAL indices (the local t index is shifted into the base),
+    * so slices written/appended separately reassemble the exact full
+    * grid. The append-ingest fixture.
+    */
+  def linearGridSlice(t0: Int, t1: Int): SyntheticGridStore = {
+    val t = IntCoords((t0 until t1).toArray)
+    val lat = DoubleCoords((0 until 12).map(i => 75.0 - 2.5 * i).toArray)
+    val lon = DoubleCoords((0 until 10).map(j => 200.0 + 2.5 * j).toArray)
+    SyntheticGridStore(
+      GridSchema(
+        Seq(DimDef("t", t), DimDef("lat", lat), DimDef("lon", lon)),
+        Seq(VarDef("air", Seq("t", "lat", "lon"), GDouble))),
+      Map("air" -> LinearLaw(1.0, 2.0, 3.0, 200.0 + t0)))
+  }
+
   /** 2-D (lat, lon) land-mask fixture sharing [[linearGrid]]'s spatial
     * coordinates: cell (i, j) is land (1.0) iff (3i + j) % 5 < 3 —
     * integer arithmetic the oracle replays exactly. The second dataset

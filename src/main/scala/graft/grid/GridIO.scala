@@ -87,4 +87,11 @@ object GridIO {
     val p = new Path(path)
     fs(p, conf).mkdirs(p)
   }
+
+  /** Recursive delete; no-op when the path does not exist. */
+  def delete(path: String, conf: Configuration): Unit = {
+    val p = new Path(path)
+    fs(p, conf).delete(p, true)
+    ()
+  }
 }

@@ -60,6 +60,28 @@ object GridQueries {
           (col("air") - col("m")).as("anom"))
     }),
 
+    // append-only ingest: the first 12 hours land as one store write,
+    // the next 12 arrive later as BinaryGridStore.appendAlong — new
+    // chunk files past the existing extent, old files untouched, one
+    // small metadata rewrite. The query straddles the append boundary
+    // (t 8..15 spans old chunk 1 and appended chunk 2), proving scans,
+    // pruning and stats see one seamless grid. The reference has no
+    // incremental ingest — a 100 TB archive needs one.
+    "pivot_grid_append" -> ((s, _) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_append_grid"
+      graft.grid.GridIO.delete(root, graft.grid.GridIO.driverConf())
+      graft.grid.BinaryGridStore.write(Fixtures.linearGridSlice(0, 12),
+        root, Map("t" -> 6), "zstd")
+      val appended = graft.grid.BinaryGridStore.appendAlong(root,
+        Fixtures.linearGridSlice(12, 24), "t")
+      new XarrayContext(s)
+        .dataFrame("append_grid", appended, appended.chunks,
+          Seq("t", "lat", "lon"))
+        .filter(col("t").between(8, 15))
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
+
     // grid x grid join on shared dimension coordinates: a 2-D land
     // mask joins the 3-D time cube on (lat, lon) and only land cells
     // aggregate — the xarray "apply a static mask dataset" pattern as
@@ -191,6 +213,10 @@ object GridQueries {
     "pivot_grid_agg" ->
       s"""WITH $oracleGrid
          |SELECT lat, AVG(air) AS avg_air FROM grid GROUP BY lat""".stripMargin,
+    "pivot_grid_append" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM grid
+         |WHERE t BETWEEN 8 AND 15""".stripMargin,
     "pivot_grid_join" ->
       s"""WITH $oracleGrid,
          |mask AS (

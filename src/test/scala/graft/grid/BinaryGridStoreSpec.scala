@@ -26,6 +26,48 @@ class BinaryGridStoreSpec extends SparkTestBase {
       assert(got(t * 110 + i * 10 + j) == law(Array(6 + t, i, j)))
   }
 
+  test("appendAlong: new chunks past the extent, old files untouched") {
+    val dir = tempDir("append")
+    BinaryGridStore.write(Fixtures.linearGridSlice(0, 12), dir,
+      Map("t" -> 6), "zstd")
+    val airDir = new java.io.File(dir, "air")
+    val before = airDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(before.keySet == Set("0.0.0.bin", "1.0.0.bin"))
+    val appended = BinaryGridStore.appendAlong(dir,
+      Fixtures.linearGridSlice(12, 24), "t")
+    // old chunk files byte-identical (same mtime), two new ones
+    val after = airDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after.keySet ==
+      Set("0.0.0.bin", "1.0.0.bin", "2.0.0.bin", "3.0.0.bin"))
+    before.foreach { case (n, m) => assert(after(n) == m, s"$n rewritten") }
+    // reopened store sees the seamless 24-step grid with merged stats
+    val store = BinaryGridStore.open(dir)
+    assert(store.schema.dim("t").size == 24)
+    val law = Fixtures.linearGrid.laws("air")
+    val got = store.readVar("air", Seq((6, 12), (0, 12), (0, 10)))
+      .asInstanceOf[Array[Double]] // spans the append boundary
+    for (t <- 0 until 12; i <- 0 until 12; j <- 0 until 10)
+      assert(got(t * 120 + i * 10 + j) == law(Array(6 + t, i, j)))
+    // appended chunks carry value stats: chunk 3 = t 18..23
+    assert(store.varBounds("air", Seq((18, 6), (0, 12), (0, 10)))
+      .contains((200.0 + 18.0, 200.0 + 23.0 + 22.0 + 27.0)))
+    // misuse is rejected: wrong invariant coords, then ragged re-append
+    val badLat = Fixtures.linearGridSlice(24, 30)
+    val shifted = SyntheticGridStore(
+      GridSchema(badLat.schema.dims.map(d =>
+        if (d.name == "lat") d.copy(coords = DoubleCoords(
+          (0 until 12).map(i => 80.0 - 2.5 * i).toArray)) else d),
+        badLat.schema.vars),
+      badLat.laws)
+    intercept[IllegalArgumentException] {
+      BinaryGridStore.appendAlong(dir, shifted, "t")
+    }
+    BinaryGridStore.appendAlong(dir, Fixtures.linearGridSlice(24, 27), "t")
+    intercept[IllegalArgumentException] { // 27 % 6 != 0: ragged extent
+      BinaryGridStore.appendAlong(dir, Fixtures.linearGridSlice(27, 30), "t")
+    }
+  }
+
   test("unaligned multi-chunk reads assemble the exact hyperslab") {
     val dir = tempDir("align")
     val store = BinaryGridStore.write(Fixtures.airSmall, dir, Map("time" -> 6))
