@@ -39,18 +39,27 @@ object GridStreams {
 
   /** One batch: reverse-pivot rows onto (template non-along coords) x
     * (the batch's own `along` coordinates, ascending) and append.
+    *
+    * Replay-safe: foreachBatch is at-least-once, so `along` values the
+    * store already carries are dropped before appending — a replayed
+    * batch becomes a no-op instead of a duplicated slab, upgrading the
+    * sink to effectively-once without any checkpoint coupling.
     */
   def appendBatch(batch: DataFrame, root: String, template: GridSchema,
       dims: Seq[String], along: String): Unit = {
     if (batch.isEmpty) return
+    val have = coordValues(
+      BinaryGridStore.open(root).schema.dim(along).coords).toSet
     val alongVals: IndexedSeq[Any] =
       batch.select(along).distinct().orderBy(along).collect()
-        .map(_.get(0)).toIndexedSeq
+        .map(_.get(0)).toIndexedSeq.filterNot(have)
+    if (alongVals.isEmpty) return
+    val fresh = batch.filter(batch.col(along).isin(alongVals: _*))
     val coords: Map[String, IndexedSeq[Any]] = dims.map { d =>
       d -> (if (d == along) alongVals
       else coordValues(template.dim(d).coords))
     }.toMap
-    val res = GridResult.toGridWithTemplate(batch, dims, coords)
+    val res = GridResult.toGridWithTemplate(fresh, dims, coords)
     val slice = ArrayGridStore.fromResult(res, template)
     BinaryGridStore.appendAlong(root, slice, along)
     ()

@@ -58,5 +58,13 @@ class GridStreamsSpec extends SparkTestBase {
     }
     // streamed chunks carry value stats like written ones
     assert(store.varBounds("air", Seq((18, 6), (0, 12), (0, 10))).nonEmpty)
+
+    // at-least-once replay: re-delivering an already-appended batch is
+    // a no-op, not a duplicated slab
+    GridStreams.appendBatch(
+      slab(18, 24).map(c => (c.t, c.lat, c.lon, c.air))
+        .toDF("t", "lat", "lon", "air"),
+      root, Fixtures.linearGrid.schema, Seq("t", "lat", "lon"), "t")
+    assert(BinaryGridStore.open(root).schema.dim("t").size == 24)
   }
 }
