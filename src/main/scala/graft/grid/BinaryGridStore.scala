@@ -241,23 +241,9 @@ object BinaryGridStore {
   def appendAlong(root: String, source: GridStore,
       along: String): BinaryGridStore = {
     val existing = open(root)
-    val schema = existing.schema
     val add = source.schema
     val conf = GridIO.driverConf()
-    val oldDim = schema.dim(along)
-    val oldN = oldDim.size
-    val axisChunk = existing.chunks.getOrElse(along, math.max(oldN, 1))
-    require(oldN % axisChunk == 0,
-      s"existing $along extent $oldN not aligned to chunk $axisChunk")
-    require(add.dims.map(_.name) == schema.dims.map(_.name),
-      s"dim mismatch: ${add.dims.map(_.name)} vs ${schema.dims.map(_.name)}")
-    schema.dims.filter(_.name != along).foreach { d =>
-      require(coordsEqual(d.coords, add.dim(d.name).coords),
-        s"coordinates differ on invariant dim ${d.name}")
-    }
-    require(add.vars.map(v => (v.name, v.dims, v.dtype)) ==
-      schema.vars.map(v => (v.name, v.dims, v.dtype)), "var mismatch")
-    val chunkOffset = oldN / axisChunk
+    val chunkOffset = validateAppend(existing, add, along)
     val stats = Map.newBuilder[String, (Any, Any)]
     add.vars.filter(_.dims.contains(along)).foreach { v =>
       val axisPos = v.dims.indexOf(along)
@@ -276,14 +262,43 @@ object BinaryGridStore {
           encodeChunk(data, existing.codec), conf)
       }
     }
+    commitAppend(root, existing, add.dim(along).coords, along, stats.result())
+  }
+
+  /** Shared append preconditions; returns the chunk-index offset new
+    * chunks shift by along the axis.
+    */
+  private[grid] def validateAppend(existing: BinaryGridStore,
+      add: GridSchema, along: String): Int = {
+    val schema = existing.schema
+    val oldN = schema.dim(along).size
+    val axisChunk = existing.chunks.getOrElse(along, math.max(oldN, 1))
+    require(oldN % axisChunk == 0,
+      s"existing $along extent $oldN not aligned to chunk $axisChunk")
+    require(add.dims.map(_.name) == schema.dims.map(_.name),
+      s"dim mismatch: ${add.dims.map(_.name)} vs ${schema.dims.map(_.name)}")
+    schema.dims.filter(_.name != along).foreach { d =>
+      require(coordsEqual(d.coords, add.dim(d.name).coords),
+        s"coordinates differ on invariant dim ${d.name}")
+    }
+    require(add.vars.map(v => (v.name, v.dims, v.dtype)) ==
+      schema.vars.map(v => (v.name, v.dims, v.dtype)), "var mismatch")
+    oldN / axisChunk
+  }
+
+  /** Concatenate coords, merge stats, rewrite metadata — the commit
+    * step both append paths (driver-side and distributed) share.
+    */
+  private[grid] def commitAppend(root: String, existing: BinaryGridStore,
+      addCoords: CoordArray, along: String,
+      newStats: Map[String, (Any, Any)]): BinaryGridStore = {
     val merged = GridSchema(
-      schema.dims.map(d => if (d.name == along)
-        d.copy(coords = concatCoords(d.coords, add.dim(along).coords))
-      else d),
-      schema.vars, schema.attrs)
-    val mergedStats = existing.stats ++ stats.result()
+      existing.schema.dims.map(d => if (d.name == along)
+        d.copy(coords = concatCoords(d.coords, addCoords)) else d),
+      existing.schema.vars, existing.schema.attrs)
+    val mergedStats = existing.stats ++ newStats
     writeMetadata(s"$root/metadata.txt", merged, existing.chunks,
-      existing.codec, conf, mergedStats)
+      existing.codec, GridIO.driverConf(), mergedStats)
     BinaryGridStore(root, merged, existing.chunks, existing.codec,
       stats = mergedStats)
   }

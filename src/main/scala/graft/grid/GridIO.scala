@@ -94,4 +94,18 @@ object GridIO {
     fs(p, conf).delete(p, true)
     ()
   }
+
+  /** File names directly under `path` (empty if it does not exist). */
+  def listNames(path: String, conf: Configuration): Seq[String] = {
+    val p = new Path(path)
+    val f = fs(p, conf)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  /** Same-filesystem rename (a metadata op on HDFS/local). */
+  def rename(src: String, dst: String, conf: Configuration): Unit = {
+    val s = new Path(src)
+    require(fs(s, conf).rename(s, new Path(dst)), s"rename failed: $src -> $dst")
+  }
 }

@@ -40,6 +40,49 @@ object GridWriter {
     BinaryGridStore(root, schema, chunks, codec, stats = stats)
   }
 
+  /** Distributed bulk append: the slab's rows scatter/write through the
+    * normal distributed path into a staging directory beside the store,
+    * then every chunk file renames to its shifted index (a pure
+    * metadata op on HDFS/local; object stores copy) and the store
+    * metadata commits once — coords concatenated, shifted stats merged.
+    * Same preconditions as [[BinaryGridStore.appendAlong]]
+    * (chunk-aligned existing extent, identical invariant dims/vars);
+    * use that for driver-sized drips and this for backfills at any
+    * size — the driver never touches cell data here.
+    */
+  def append(df: DataFrame, slabSchema: GridSchema, root: String,
+      along: String): BinaryGridStore = {
+    val existing = BinaryGridStore.open(root)
+    val chunkOffset =
+      BinaryGridStore.validateAppend(existing, slabSchema, along)
+    val conf = GridIO.driverConf()
+    val staging = root.stripSuffix("/") + ".staging"
+    GridIO.delete(staging, conf)
+    val tmp = write(df, slabSchema, existing.chunks, staging, existing.codec)
+    def shifted(v: VarDef, dotted: String): String = {
+      val parts = dotted.split('.')
+      val axisPos = v.dims.indexOf(along)
+      parts(axisPos) = (parts(axisPos).toInt + chunkOffset).toString
+      parts.mkString(".")
+    }
+    slabSchema.vars.filter(_.dims.contains(along)).foreach { v =>
+      GridIO.listNames(s"$staging/${v.name}", conf)
+        .filter(_.endsWith(".bin")).foreach { fn =>
+          GridIO.rename(s"$staging/${v.name}/$fn",
+            s"$root/${v.name}/${shifted(v, fn.stripSuffix(".bin"))}.bin",
+            conf)
+        }
+    }
+    val stats = tmp.stats.flatMap { case (k, s) =>
+      val Array(vn, ck) = k.split(" ", 2)
+      slabSchema.vars.find(_.name == vn).filter(_.dims.contains(along))
+        .map(v => s"$vn ${shifted(v, ck)}" -> s)
+    }
+    GridIO.delete(staging, conf)
+    BinaryGridStore.commitAppend(root, existing,
+      slabSchema.dim(along).coords, along, stats)
+  }
+
   /** Normalized dim column (what the coord->index maps are keyed on). */
   private def dimKeyCol(d: DimDef): org.apache.spark.sql.Column =
     d.coords match {

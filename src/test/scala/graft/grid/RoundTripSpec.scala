@@ -90,6 +90,37 @@ class RoundTripSpec extends SparkTestBase {
       dup.getCause != null)
   }
 
+  test("distributed append: staged chunks rename past the extent") {
+    val ctx = new XarrayContext(spark)
+    val root = Files.createTempDirectory("graft-gwappend").toString + "/store"
+    BinaryGridStore.write(Fixtures.linearGridSlice(0, 12), root,
+      Map("t" -> 6), "zstd")
+    val airDir = new java.io.File(root, "air")
+    val before = airDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    // the backfill slab arrives as a DataFrame — executors scatter and
+    // write it, the driver renames + commits metadata
+    val slab = ctx.dataFrame("gw_slab", Fixtures.linearGridSlice(12, 24),
+      Map("t" -> 6), Seq("t", "lat", "lon"))
+    val appended = GridWriter.append(slab,
+      Fixtures.linearGridSlice(12, 24).schema, root, "t")
+    assert(appended.schema.dim("t").size == 24)
+    val after = airDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    before.foreach { case (n, m) => assert(after(n) == m, s"$n rewritten") }
+    assert(after.keySet ==
+      Set("0.0.0.bin", "1.0.0.bin", "2.0.0.bin", "3.0.0.bin"))
+    // no staging residue
+    assert(!new java.io.File(root + ".staging").exists())
+    // reopened store serves the seamless grid with shifted stats
+    val store = BinaryGridStore.open(root)
+    val law = Fixtures.linearGrid.laws("air")
+    val got = store.readVar("air", Seq((6, 12), (0, 12), (0, 10)))
+      .asInstanceOf[Array[Double]]
+    for (t <- 0 until 12; i <- 0 until 12; j <- 0 until 10)
+      assert(got(t * 120 + i * 10 + j) == law(Array(6 + t, i, j)))
+    assert(store.varBounds("air", Seq((18, 6), (0, 12), (0, 10)))
+      .contains((218.0, 272.0)))
+  }
+
   test("distributed write of a duration-dim grid round-trips with stats") {
     val ctx = new XarrayContext(spark)
     val df = ctx.dataFrame("fc_gw_src", Fixtures.forecastGrid,
