@@ -789,6 +789,41 @@ object PipelineQueries {
         .agg(sum("brk").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // vocabulary truncation: rank tokens by global frequency, keep the
+    // top 40, report per-language OOV-token rate — the "how much does a
+    // k-entry vocab cover" question behind every tokenizer size choice.
+    // The ranking window runs over the VOCAB (small side), never the
+    // corpus; the truncated vocab broadcast-joins back onto the
+    // exploded tokens.
+    "oov_rate" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .select(col("tok"), row_number().over(
+          Window.orderBy(col("n").desc, col("tok"))).as("rank"))
+        .filter(col("rank") <= 40)
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("rank").isNull, 1)).as("n_oov"),
+          (count(when(col("rank").isNull, 1)).cast("double") /
+            count(lit(1))).as("oov_rate"))
+    }),
+
+    // reproducible train/valid/test split: the first md5 byte of the
+    // content buckets each doc 0..255 -> ~80/10/10 by threshold. Pure
+    // map-side, no RNG state, stable under reshuffles/reruns — the
+    // split survives pipeline re-executions byte-for-byte.
+    "corpus_split" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("text").cast("binary")), 1, 2),
+        16, 10).cast("long")
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(bucket < 204, "train").when(bucket < 230, "valid")
+            .otherwise("test").as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+    }),
+
     // resample-to-hourly + forward fill (the xarray `resample`/`ffill`
     // analog on event tables): a dense hourly spine per series joins
     // the sparse hourly aggregate and gaps carry the last observed
@@ -1440,6 +1475,33 @@ object PipelineQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
         |GROUP BY user_id""".stripMargin,
+    "oov_rate" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok,
+        |    row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rank
+        |    FROM toks GROUP BY tok) r
+        |  WHERE rank <= 40)
+        |SELECT t.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+        |CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE) / COUNT(*)
+        |  AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY t.lang""".stripMargin,
+    "corpus_split" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 +
+        |  (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |CASE WHEN bucket < 204 THEN 'train'
+        |     WHEN bucket < 230 THEN 'valid' ELSE 'test' END AS split,
+        |CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "events_resample" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,
