@@ -249,6 +249,29 @@ object RelationalQueries {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     }),
 
+    // 21b. RANGE window frame over event time: trailing-30-day order
+    // count and exact spend per customer — the frame is VALUE-bounded
+    // (peers enter/leave by timestamp distance, not row position),
+    // the window surface ROWS frames cannot express. Epoch-second
+    // offsets here = DuckDB's INTERVAL 30 DAY bounds exactly.
+    "window_range" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_date(to_date(col("o_orderdate"))).cast("long"))
+        .rangeBetween(-30L, 0L) // order dates are midnight: days == exact
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("cnt30"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("string").cast("double").as("spend30"))
+    }),
+
+    // 13b. LIMIT + OFFSET pagination under a total order
+    "limit_offset" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(20).limit(10)),
+
     // 22. CASE expression (thesis parity, docs/geospatial.md:7)
     "case_expr" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -535,6 +558,17 @@ object RelationalQueries {
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 3""".stripMargin,
+    "window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(COUNT(*) OVER w AS BIGINT) AS cnt30,
+        |CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |  AS VARCHAR) AS DOUBLE) AS spend30
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)""".stripMargin,
+    "limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 10 OFFSET 20""".stripMargin,
     "case_expr" ->
       s"""SELECT CASE WHEN l_quantity < 10 THEN 'low'
          |WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
