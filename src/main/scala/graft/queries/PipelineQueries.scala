@@ -789,6 +789,27 @@ object PipelineQueries {
         .agg(sum("brk").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // the dedup dashboard: per-language duplication rates under both
+    // identity notions at once — byte-exact (md5 of the text) and
+    // fuzzy (word-set fingerprint) — the numbers a corpus report leads
+    // with. One scan, one agg shuffle; DISTINCTs expand via Spark's
+    // single Expand, not one job per measure.
+    "dedup_report" -> ((s, d) => {
+      val fp = graft.functions.WordSetFingerprint
+        .word_set_fingerprint(col("text"))
+      Tables.documents(s, d)
+        .select(col("lang"), md5(col("text").cast("binary")).as("h"),
+          fp.as("fp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_unique_exact"),
+          countDistinct(col("fp")).as("n_unique_fp"),
+          ((count(lit(1)) - countDistinct(col("h"))).cast("double") /
+            count(lit(1))).as("exact_dup_rate"),
+          ((count(lit(1)) - countDistinct(col("fp"))).cast("double") /
+            count(lit(1))).as("fuzzy_dup_rate"))
+    }),
+
     // vocabulary truncation: rank tokens by global frequency, keep the
     // top 40, report per-language OOV-token rate — the "how much does a
     // k-entry vocab cover" question behind every tokenizer size choice.
@@ -1475,6 +1496,20 @@ object PipelineQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
         |GROUP BY user_id""".stripMargin,
+    "dedup_report" ->
+      """WITH sig AS (
+        |  SELECT lang, md5(text) AS h,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split(lower(text), ' '))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_exact,
+        |CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+        |CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*)
+        |  AS exact_dup_rate,
+        |CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*)
+        |  AS fuzzy_dup_rate
+        |FROM sig GROUP BY lang""".stripMargin,
     "oov_rate" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok
