@@ -60,6 +60,32 @@ object GridQueries {
           (col("air") - col("m")).as("anom"))
     }),
 
+    // two co-dimensional variables through one scan: both var files
+    // read in the same partition pass, inter-variable arithmetic in
+    // the projection (the NDVI-between-bands shape on the grid source)
+    "pivot_grid_twovar" -> ((s, _) => {
+      new XarrayContext(s).fromDataset("twovar_grid", Fixtures.twoVarGrid,
+        Map("time" -> 5))
+      s.sql("""SELECT time, lat, temperature, precipitation,
+              |temperature - precipitation AS net
+              |FROM twovar_grid""".stripMargin)
+    }),
+
+    // the from_map legacy API (SURVEY §2A A17) through the hash gate:
+    // driver-side items fan out to executors, each generating its own
+    // t-slab of rows — the reference's dask-style from_map ingestion
+    "pivot_grid_frommap" -> ((s, _) => {
+      import s.implicits._
+      new XarrayContext(s)
+        .fromMap(0 until 24, (t: Int) =>
+          for (i <- 0 until 12; j <- 0 until 10)
+            yield (t, 75.0 - 2.5 * i, 200.0 + 2.5 * j,
+              200.0 + t + 2.0 * i + 3.0 * j))
+        .toDF("t", "lat", "lon", "air")
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
+
     // append-only ingest: the first 12 hours land as one store write,
     // the next 12 arrive later as BinaryGridStore.appendAlong — new
     // chunk files past the existing extent, old files untouched, one
@@ -217,6 +243,16 @@ object GridQueries {
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM grid
          |WHERE t BETWEEN 8 AND 15""".stripMargin,
+    "pivot_grid_twovar" ->
+      """SELECT TIMESTAMP '2020-01-01' + k * INTERVAL 1 DAY AS time,
+        |-90.0 + 45.0*i AS lat,
+        |CAST(5*k + i AS DOUBLE) AS temperature,
+        |0.5 * (5*k + i) AS precipitation,
+        |CAST(5*k + i AS DOUBLE) - 0.5 * (5*k + i) AS net
+        |FROM generate_series(0, 9) g1(k), generate_series(0, 4) g2(i)""".stripMargin,
+    "pivot_grid_frommap" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM grid""".stripMargin,
     "pivot_grid_join" ->
       s"""WITH $oracleGrid,
          |mask AS (
