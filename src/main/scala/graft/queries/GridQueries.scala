@@ -60,6 +60,27 @@ object GridQueries {
           (col("air") - col("m")).as("anom"))
     }),
 
+    // the LAZY reverse pivot through the hash gate (SURVEY §2A A12):
+    // an indexer slice (t 6..11, lat rows {0,3,5}) derives ONE pruned
+    // filtered scan, scatters into a dense sub-grid, and the sub-grid
+    // re-registers as a queryable store — slice-of-a-result without
+    // ever materializing the full grid (chunk-open counts pinned in
+    // LazyGridViewSpec).
+    "pivot_grid_lazyslice" -> ((s, _) => {
+      import graft.grid.LazyGridView
+      val view = LazyGridView.fromStore(grid(s), Fixtures.linearGrid,
+        Seq("t", "lat", "lon"), Seq("air"))
+      val sub = view.select(Map(
+        "t" -> LazyGridView.Slice(6, 12),
+        "lat" -> LazyGridView.Points(Seq(0, 3, 5))))
+      val store = graft.grid.ArrayGridStore.fromResult(sub)
+      new XarrayContext(s)
+        .dataFrame("lazy_slice", store, Map("t" -> 6),
+          Seq("t", "lat", "lon"))
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
+
     // two co-dimensional variables through one scan: both var files
     // read in the same partition pass, inter-variable arithmetic in
     // the projection (the NDVI-between-bands shape on the grid source)
@@ -243,6 +264,10 @@ object GridQueries {
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM grid
          |WHERE t BETWEEN 8 AND 15""".stripMargin,
+    "pivot_grid_lazyslice" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM grid
+         |WHERE t BETWEEN 6 AND 11 AND lat IN (75.0, 67.5, 62.5)""".stripMargin,
     "pivot_grid_twovar" ->
       """SELECT TIMESTAMP '2020-01-01' + k * INTERVAL 1 DAY AS time,
         |-90.0 + 45.0*i AS lat,
