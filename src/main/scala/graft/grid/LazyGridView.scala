@@ -89,7 +89,7 @@ object LazyGridView {
       varCols)
 
   /** External (Row-level) coordinate value at index i. */
-  private def externalCoord(c: CoordArray, i: Int): Any = c match {
+  private[graft] def externalCoord(c: CoordArray, i: Int): Any = c match {
     case DoubleCoords(v) => v(i)
     case FloatCoords(v) => v(i)
     case IntCoords(v) => v(i)

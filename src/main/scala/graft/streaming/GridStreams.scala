@@ -65,6 +65,91 @@ object GridStreams {
     ()
   }
 
+  /** Tail a growing store as a STREAM — the read side of the archive's
+    * streaming story (the write side is [[appendSink]]): Spark's
+    * binaryFile streaming source watches `<root>/<varName>` — its
+    * checkpointed file tracking provides exactly-once chunk delivery —
+    * and every chunk file (present at start or appended later) decodes
+    * map-side into cell rows `(dim coords..., value)`, the same rows
+    * the batch table serves. Downstream windows/aggregations compose
+    * as on any stream.
+    *
+    * Ordering contract: [[graft.grid.BinaryGridStore.appendAlong]]
+    * writes chunk files BEFORE the metadata commit, so a poll racing an
+    * in-flight append can surface a chunk whose `along` coords are not
+    * yet committed — decode then fails and the query retries that batch
+    * from the checkpoint after the commit lands (at-least-once planning,
+    * exactly-once output). Coordinates re-read per task from the
+    * store's small metadata file.
+    */
+  def tailCells(spark: org.apache.spark.sql.SparkSession, root: String,
+      varName: String): DataFrame = {
+    val store0 = BinaryGridStore.open(root)
+    val v = store0.schema.vars.find(_.name == varName).getOrElse(
+      throw new IllegalArgumentException(s"unknown var $varName"))
+    val dimNames = v.dims
+    val outSchema = store0.schema.tableSchema(dimNames, Seq(v))
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val raw = spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.bin")
+      .load(s"$root/$varName")
+      .select("path", "content")
+    val name = varName
+    raw.mapPartitions { rows =>
+      // fresh metadata per task: sees coords committed by appends
+      val store = BinaryGridStore.open(root)
+      val vv = store.schema.vars.find(_.name == name).get
+      val dims = vv.dims.map(store.schema.dim)
+      val nd = dims.length
+      val chunkSz = dims.map(d =>
+        store.chunks.getOrElse(d.name, math.max(d.size, 1))).toArray
+      val dimSize = dims.map(_.size).toArray
+      rows.flatMap { r =>
+        val fn = r.getString(0).split('/').last.stripSuffix(".bin")
+        val ci = fn.split('.').map(_.toInt)
+        require(ci.length == nd, s"bad chunk file name $fn")
+        val start = Array.tabulate(nd)(k => ci(k) * chunkSz(k))
+        (0 until nd).foreach { k =>
+          require(start(k) < dimSize(k),
+            s"chunk $fn beyond committed $name extent — torn append, retry")
+        }
+        val shape = Array.tabulate(nd)(k =>
+          math.min(chunkSz(k), dimSize(k) - start(k)))
+        val n = shape.product
+        val data = ChunkCodec.decode(r.getAs[Array[Byte]](1),
+          store.codec, vv.dtype, n)
+        (0 until n).iterator.map { flat =>
+          val vals = new Array[Any](nd + 1)
+          var rest = flat
+          var k = nd - 1
+          while (k >= 0) {
+            val ik = start(k) + rest % shape(k)
+            rest /= shape(k)
+            vals(k) = LazyGridView.externalCoord(dims(k).coords, ik)
+            k -= 1
+          }
+          vals(nd) = (data: Any) match {
+            case a: Array[Double] => a(flat)
+            case a: Array[Float] => a(flat)
+            case a: Array[Int] => a(flat)
+            case a: Array[Long] => a(flat)
+          }
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema))
+  }
+
   /** Coordinate values in the external (Row) representation the reverse
     * pivot compares against.
     */

@@ -67,4 +67,32 @@ class GridStreamsSpec extends SparkTestBase {
       root, Fixtures.linearGrid.schema, Seq("t", "lat", "lon"), "t")
     assert(BinaryGridStore.open(root).schema.dim("t").size == 24)
   }
+
+  test("tailCells: appended chunks arrive as later stream batches") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tail").toString + "/store"
+    BinaryGridStore.write(Fixtures.linearGridSlice(0, 12), root,
+      Map("t" -> 6), "zstd")
+    val q = GridStreams.tailCells(spark, root, "air")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tail_out").start()
+    q.processAllAvailable()
+    assert(spark.table("tail_out").count() == 12L * 12 * 10)
+    // the archive grows; the stream picks up exactly the new chunks
+    BinaryGridStore.appendAlong(root, Fixtures.linearGridSlice(12, 24), "t")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tail_out").collect()
+    assert(rows.length == 24 * 12 * 10)
+    val law = Fixtures.linearGrid.laws("air")
+    rows.foreach { r =>
+      val t = r.getInt(0)
+      val i = ((75.0 - r.getDouble(1)) / 2.5).round.toInt
+      val j = ((r.getDouble(2) - 200.0) / 2.5).round.toInt
+      assert(r.getDouble(3) == law(Array(t, i, j)), s"cell ($t,$i,$j)")
+    }
+    // no duplicates: every (t, lat, lon) exactly once
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .distinct.length == rows.length)
+  }
 }
