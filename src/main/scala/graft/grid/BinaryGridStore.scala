@@ -272,7 +272,11 @@ object BinaryGridStore {
       add: GridSchema, along: String): Int = {
     val schema = existing.schema
     val oldN = schema.dim(along).size
-    val axisChunk = existing.chunks.getOrElse(along, math.max(oldN, 1))
+    // an unchunked axis must be rejected: readers derive its chunk size
+    // from the (merged, larger) dim size and would misread the old file
+    require(existing.chunks.contains(along),
+      s"$along is unchunked — only chunked axes can grow")
+    val axisChunk = existing.chunks(along)
     require(oldN % axisChunk == 0,
       s"existing $along extent $oldN not aligned to chunk $axisChunk")
     require(add.dims.map(_.name) == schema.dims.map(_.name),
@@ -283,7 +287,23 @@ object BinaryGridStore {
     }
     require(add.vars.map(v => (v.name, v.dims, v.dtype)) ==
       schema.vars.map(v => (v.name, v.dims, v.dtype)), "var mismatch")
+    // duplicate coords would double every cell of the overlap in every
+    // scan — the retried-append failure mode; reject it here
+    val have = coordSet(schema.dim(along).coords)
+    val dup = coordSet(add.dim(along).coords).intersect(have)
+    require(dup.isEmpty,
+      s"append overlaps existing $along coordinates (e.g. ${dup.head})")
     oldN / axisChunk
+  }
+
+  private def coordSet(c: CoordArray): Set[Any] = c match {
+    case DoubleCoords(v) => v.toSet
+    case FloatCoords(v) => v.toSet
+    case IntCoords(v) => v.toSet
+    case LongCoords(v) => v.toSet
+    case TimeCoords(v) => v.toSet
+    case DurationCoords(v) => v.toSet
+    case StringCoords(v) => v.toSet
   }
 
   /** Concatenate coords, merge stats, rewrite metadata — the commit
@@ -343,9 +363,17 @@ object BinaryGridStore {
   def encodeChunk(data: AnyRef, codec: String): Array[Byte] =
     ChunkCodec.encode(data, codec)
 
-  /** Open an existing store from its metadata. */
-  def open(root: String): BinaryGridStore = {
-    val lines = GridIO.readLines(s"$root/metadata.txt", GridIO.driverConf())
+  /** Open an existing store from its metadata (driver-side: resolves
+    * the active session's Hadoop conf). From executors use the
+    * conf-carrying overload — `driverConf()` there degrades to a bare
+    * `new Configuration()` without the driver's filesystem credentials.
+    */
+  def open(root: String): BinaryGridStore =
+    open(root, new SerializableHadoopConf(GridIO.driverConf()))
+
+  /** Open with an explicitly shipped Hadoop conf (executor-safe). */
+  def open(root: String, hconf: SerializableHadoopConf): BinaryGridStore = {
+    val lines = GridIO.readLines(s"$root/metadata.txt", hconf.value)
     var dims = Vector.empty[DimDef]
     var vars = Vector.empty[VarDef]
     var chunks = Map.empty[String, Int]
@@ -398,7 +426,7 @@ object BinaryGridStore {
       }
     }
     BinaryGridStore(root, GridSchema(dims, vars, dsAttrs), chunks, codec,
-      stats = stats)
+      hconf = hconf, stats = stats)
   }
 
   private def parseType(s: String): GridType = s match {

@@ -58,7 +58,12 @@ object GridWriter {
     val conf = GridIO.driverConf()
     val staging = root.stripSuffix("/") + ".staging"
     GridIO.delete(staging, conf)
-    val tmp = write(df, slabSchema, existing.chunks, staging, existing.codec)
+    // stage ONLY the vars that grow with the axis: invariant vars'
+    // chunks already exist in the store and their staged files would
+    // be discarded by the rename loop below — pure wasted shuffle/IO
+    val growing = slabSchema.copy(vars =
+      slabSchema.vars.filter(_.dims.contains(along)))
+    val tmp = write(df, growing, existing.chunks, staging, existing.codec)
     def shifted(v: VarDef, dotted: String): String = {
       val parts = dotted.split('.')
       val axisPos = v.dims.indexOf(along)

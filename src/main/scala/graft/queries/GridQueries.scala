@@ -115,8 +115,10 @@ object GridQueries {
     // pruning and stats see one seamless grid. The reference has no
     // incremental ingest — a 100 TB archive needs one.
     "pivot_grid_append" -> ((s, _) => {
-      val root = System.getProperty("java.io.tmpdir") + "/graft_append_grid"
-      graft.grid.GridIO.delete(root, graft.grid.GridIO.driverConf())
+      // unique per invocation: a shared fixed path would let one
+      // evaluation's delete race another's still-scanning DataFrame
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_append_grid").toString + "/store"
       graft.grid.BinaryGridStore.write(Fixtures.linearGridSlice(0, 12),
         root, Map("t" -> 6), "zstd")
       val appended = graft.grid.BinaryGridStore.appendAlong(root,

@@ -129,8 +129,10 @@ object PipelineQueries {
   }
 
   /** 16-bit token-frequency-weighted SimHash per document (bits voted
-    * from md5 hex nibbles) — shared by the signature query and the
-    * banded near-dup pair search.
+    * from md5 hex nibbles) — the `simhash` signature query. The banded
+    * pair search uses the separate 60-bit [[graft.functions.SimHash64]]
+    * (16 bits are degenerate for near-dup search on a shared-vocab
+    * corpus — see simhash_pairs).
     */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
     val h = transform(words(col("text")), t => md5(t.cast("binary")))
@@ -959,7 +961,8 @@ object PipelineQueries {
       |  FROM e, c1)""".stripMargin
 
   /** DuckDB replay of [[simhashDf]]: hashed(doc_id, h) -> ssig(doc_id,
-    * simhash). Shared by the signature and banded-pairs oracles.
+    * simhash). The banded-pairs oracle replays the 60-bit signature via
+    * [[simhash60SqlCte]] instead.
     */
   private val simhashSqlCte: String = {
     val hexHi = "('8','9','a','b','c','d','e','f')"

@@ -2,7 +2,6 @@ package graft.streaming
 
 import graft.grid._
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Streaming ingest INTO the on-disk grid store: the live-archive shape
@@ -48,13 +47,32 @@ object GridStreams {
   def appendBatch(batch: DataFrame, root: String, template: GridSchema,
       dims: Seq[String], along: String): Unit = {
     if (batch.isEmpty) return
-    val have = coordValues(
-      BinaryGridStore.open(root).schema.dim(along).coords).toSet
+    val existing = BinaryGridStore.open(root)
+    val have = coordValues(existing.schema.dim(along).coords).toSet
     val alongVals: IndexedSeq[Any] =
       batch.select(along).distinct().orderBy(along).collect()
         .map(_.get(0)).toIndexedSeq.filterNot(have)
     if (alongVals.isEmpty) return
+    // every batch must close whole chunks: a ragged append is legal
+    // once but poisons every LATER batch (validateAppend would then
+    // fail forever) — fail THIS batch with an actionable message
+    // instead of bricking the stream one batch later
+    val axisChunk = existing.chunks.getOrElse(along, 1)
+    require(alongVals.size % axisChunk == 0,
+      s"micro-batch carries ${alongVals.size} new $along steps — not a " +
+        s"multiple of the $along chunk size $axisChunk; size triggers " +
+        "so each batch closes whole chunks")
     val fresh = batch.filter(batch.col(along).isin(alongVals: _*))
+    // complete slabs only: the reverse pivot NaN-fills missing cells
+    // and a later batch carrying them would be dropped as a replay —
+    // silent permanent data loss. Count instead and fail fast.
+    val cellsPerStep = dims.filterNot(_ == along)
+      .map(d => template.dim(d).size.toLong).product
+    val expect = alongVals.size * cellsPerStep
+    val got = fresh.count()
+    require(got == expect,
+      s"micro-batch covers $got of $expect cells for its $along steps; " +
+        "slabs must arrive complete within one batch")
     val coords: Map[String, IndexedSeq[Any]] = dims.map { d =>
       d -> (if (d == along) alongVals
       else coordValues(template.dim(d).coords))
@@ -101,12 +119,17 @@ object GridStreams {
     val raw = spark.readStream.format("binaryFile")
       .schema(binSchema)
       .option("pathGlobFilter", "*.bin")
+      // default maxFileAge (7d) silently skips chunk files older than a
+      // week relative to the newest — an archive grown over months
+      // would stream only its head; deliver everything
+      .option("maxFileAge", "36500d")
       .load(s"$root/$varName")
       .select("path", "content")
     val name = varName
+    val hconf = store0.hconf // executor-safe Hadoop conf for re-opens
     raw.mapPartitions { rows =>
       // fresh metadata per task: sees coords committed by appends
-      val store = BinaryGridStore.open(root)
+      val store = BinaryGridStore.open(root, hconf)
       val vv = store.schema.vars.find(_.name == name).get
       val dims = vv.dims.map(store.schema.dim)
       val nd = dims.length
@@ -151,16 +174,9 @@ object GridStreams {
   }
 
   /** Coordinate values in the external (Row) representation the reverse
-    * pivot compares against.
+    * pivot compares against (single source of truth:
+    * [[graft.grid.LazyGridView.externalCoord]]).
     */
-  private def coordValues(c: CoordArray): IndexedSeq[Any] = c match {
-    case DoubleCoords(v) => v.toIndexedSeq
-    case FloatCoords(v) => v.toIndexedSeq
-    case IntCoords(v) => v.toIndexedSeq
-    case LongCoords(v) => v.toIndexedSeq
-    case TimeCoords(v) => v.map(DateTimeUtils.toJavaTimestamp).toIndexedSeq
-    case DurationCoords(v) =>
-      v.map(us => java.time.Duration.ofNanos(us * 1000L)).toIndexedSeq
-    case StringCoords(v) => v.toIndexedSeq
-  }
+  private def coordValues(c: CoordArray): IndexedSeq[Any] =
+    IndexedSeq.tabulate(c.size)(i => LazyGridView.externalCoord(c, i))
 }

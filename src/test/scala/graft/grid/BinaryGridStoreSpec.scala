@@ -62,10 +62,24 @@ class BinaryGridStoreSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       BinaryGridStore.appendAlong(dir, shifted, "t")
     }
+    // overlapping coords: a retried/duplicate slab must be rejected,
+    // not silently doubled
+    val dup = intercept[IllegalArgumentException] {
+      BinaryGridStore.appendAlong(dir, Fixtures.linearGridSlice(12, 24), "t")
+    }
+    assert(dup.getMessage.contains("overlaps"))
     BinaryGridStore.appendAlong(dir, Fixtures.linearGridSlice(24, 27), "t")
     intercept[IllegalArgumentException] { // 27 % 6 != 0: ragged extent
       BinaryGridStore.appendAlong(dir, Fixtures.linearGridSlice(27, 30), "t")
     }
+    // an UNCHUNKED axis cannot grow: readers re-derive its chunk size
+    // from the merged extent and would misread the original file
+    val udir = tempDir("append-unchunked")
+    BinaryGridStore.write(Fixtures.linearGridSlice(0, 12), udir, Map.empty)
+    val un = intercept[IllegalArgumentException] {
+      BinaryGridStore.appendAlong(udir, Fixtures.linearGridSlice(12, 24), "t")
+    }
+    assert(un.getMessage.contains("unchunked"))
   }
 
   test("unaligned multi-chunk reads assemble the exact hyperslab") {

@@ -66,6 +66,25 @@ class GridStreamsSpec extends SparkTestBase {
         .toDF("t", "lat", "lon", "air"),
       root, Fixtures.linearGrid.schema, Seq("t", "lat", "lon"), "t")
     assert(BinaryGridStore.open(root).schema.dim("t").size == 24)
+
+    def cellsDf(cells: Seq[Cell]) =
+      cells.map(c => (c.t, c.lat, c.lon, c.air))
+        .toDF("t", "lat", "lon", "air")
+    // an INCOMPLETE slab must fail fast — NaN-filling it and dropping
+    // the remainder as a "replay" next batch would lose data silently
+    val part = intercept[IllegalArgumentException] {
+      GridStreams.appendBatch(cellsDf(slab(24, 30).drop(7)), root,
+        Fixtures.linearGrid.schema, Seq("t", "lat", "lon"), "t")
+    }
+    assert(part.getMessage.contains("cells"))
+    // a batch not closing whole chunks would poison every LATER batch;
+    // fail THIS one with the actionable message
+    val ragged = intercept[IllegalArgumentException] {
+      GridStreams.appendBatch(cellsDf(slab(24, 27)), root,
+        Fixtures.linearGrid.schema, Seq("t", "lat", "lon"), "t")
+    }
+    assert(ragged.getMessage.contains("chunk"))
+    assert(BinaryGridStore.open(root).schema.dim("t").size == 24) // intact
   }
 
   test("tailCells: appended chunks arrive as later stream batches") {
