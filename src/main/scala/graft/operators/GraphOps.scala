@@ -57,6 +57,12 @@ object GraphOps {
       labels = next.select("id", "cluster")
       it += 1
     }
+    // a diameter > maxIter graph must FAIL, not return silently wrong
+    // labels (propagation is linear in the diameter; raise maxIter, or
+    // switch to pointer-jumping, for pathologically chained inputs)
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds — " +
+        "graph diameter exceeds maxIter")
     labels
   }
 }

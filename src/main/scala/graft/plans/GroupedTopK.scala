@@ -25,6 +25,11 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * between shuffling terabytes (window sort) and shuffling megabytes.
   * The order must be total (include a unique tiebreak column) for the
   * result — and the DuckDB oracle replay — to be deterministic.
+  *
+  * Memory envelope: each task holds (groups-in-partition x k) unsafe
+  * rows and, unlike Spark's partial aggregation, has no sort-spill
+  * fallback — at extreme group cardinality (groups x k rows no longer
+  * fitting an executor's task memory) use the window plan instead.
   */
 case class GroupedTopKNode(groupExprs: Seq[Expression],
     order: Seq[SortOrder], k: Int, child: LogicalPlan) extends UnaryNode {
