@@ -45,9 +45,12 @@ final case class BinaryGridStore(root: String, schema: GridSchema,
     val v = schema.vars.find(_.name == name).getOrElse(return None)
     val chunkSz = v.dims.map(d =>
       chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
+    // len <= chunk: a tail block LONGER than one chunk (scan chunk = a
+    // multiple of the disk chunk) spans several files — serving the
+    // first file's stats for it would be unsound
     val aligned = v.dims.indices.forall { i =>
       val (start, len) = block(i)
-      start % chunkSz(i) == 0 &&
+      start % chunkSz(i) == 0 && len <= chunkSz(i) &&
         (len == chunkSz(i) || start + len == schema.dim(v.dims(i)).size)
     }
     if (!aligned) None
@@ -60,9 +63,12 @@ final case class BinaryGridStore(root: String, schema: GridSchema,
       throw new IllegalArgumentException(s"unknown var $name"))
     val chunkSz = v.dims.map(d =>
       chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
+    // len <= chunk keeps a multi-file tail block (scan chunk = a
+    // multiple of the disk chunk) on the assembly path — the fast path
+    // would decode ONE file for it
     val aligned = v.dims.indices.forall { i =>
       val (start, len) = ranges(i)
-      start % chunkSz(i) == 0 &&
+      start % chunkSz(i) == 0 && len <= chunkSz(i) &&
         (len == chunkSz(i) || start + len == schema.dim(v.dims(i)).size)
     }
     if (aligned) readChunk(v, ranges.zip(chunkSz).map(r => r._1._1 / r._2),

@@ -30,7 +30,12 @@ object GridWriter {
 
   def write(df: DataFrame, schema: GridSchema, chunks: Map[String, Int],
       root: String, codec: String = "none"): BinaryGridStore = {
-    BinaryGridStore.writeMetadataOnly(root, schema, chunks, codec)
+    // directory skeleton only — metadata commits ONCE, with stats, so
+    // a concurrent open never observes a stats-less store (and remote
+    // stores don't pay a doomed extra metadata PUT)
+    val conf = GridIO.driverConf()
+    GridIO.mkdirs(root, conf)
+    schema.vars.foreach(v => GridIO.mkdirs(s"$root/${v.name}", conf))
     // executors return per-chunk (min, max) alongside writing the chunk
     // files; the driver folds them into the final metadata so the store
     // prunes on variable predicates like a driver-side write does

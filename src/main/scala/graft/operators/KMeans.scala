@@ -78,7 +78,10 @@ object KMeans {
   def centroids(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     val e = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    var cents = e.filter(col("id") < k)
+    // genuinely the k LOWEST ids (TakeOrdered — k rows to the driver
+    // side of the broadcast), not `id < k`: offset or sparse id spaces
+    // would otherwise silently seed fewer (or zero) centroids
+    var cents = e.orderBy("id").limit(k)
       .select(col("id").as("cid"), col("v").as("cv"))
     for (_ <- 0 until iters)
       cents = update(assign(e, cents))

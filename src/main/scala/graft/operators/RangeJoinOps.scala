@@ -41,6 +41,15 @@ object RangeJoinOps {
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // the working column must not collide, and any OTHER shared name
+    // would make post-join references ambiguous — fail with the reason
+    // rather than a downstream AnalysisException
+    require(!points.columns.contains("__bin") &&
+      !intervals.columns.contains("__bin"),
+      "__bin is reserved by binnedRangeJoin")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals share column names $shared — rename before joining")
     def bin(c: Column): Column = floor(c.cast("double") / binWidth.toDouble)
     val pb = points.withColumn("__bin", bin(col(pointCol)))
     val ib = intervals

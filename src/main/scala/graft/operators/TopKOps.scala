@@ -21,6 +21,11 @@ object TopKOps {
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
       orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    // ClusteredDistribution requires non-empty clustering; a global
+    // top-k is just orderBy(...).limit(k) (TakeOrdered) — reject here
+    // with a usable message instead of crashing in EnsureRequirements
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty — for a global top-k use orderBy().limit(k)")
     val spark = df.sparkSession
     // register the planner strategy once per session (idempotent; also
     // installable via spark.sql.extensions=graft.GraftExtensions)

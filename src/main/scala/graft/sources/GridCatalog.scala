@@ -35,6 +35,9 @@ class GridCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // tables live directly under the catalog root: a multi-part name
+    // (cat.bogus_ns.table) must fail, not silently resolve to `table`
+    if (ident.namespace.nonEmpty) throw new NoSuchTableException(ident)
     val key = GridCatalog.key(catName, ident.name)
     GridCatalog.lookup(key) match {
       case Some((store, chunks, dims)) =>
