@@ -82,6 +82,26 @@ class BinaryGridStoreSpec extends SparkTestBase {
     assert(un.getMessage.contains("unchunked"))
   }
 
+  test("tail block spanning several disk chunks: assembled, stats withheld") {
+    // time 12 at chunk 5 -> files of 5, 5, 2 steps. Block (5, 7) starts
+    // chunk-aligned and ends at the dim size but covers files 1 AND 2 —
+    // it must take the assembly path (the 'aligned' fast path would
+    // decode one 5-step file for 7 steps) and must get NO single-chunk
+    // stats (unsound bounds would feed pruning)
+    val dir = tempDir("tail")
+    val store = BinaryGridStore.write(Fixtures.airSmall, dir, Map("time" -> 5))
+    val law = Fixtures.airSmall.laws("air")
+    val got = store.readVar("air", Seq((5, 7), (0, 11), (0, 10)))
+      .asInstanceOf[Array[Double]]
+    assert(got.length == 7 * 11 * 10)
+    for (t <- 0 until 7; i <- 0 until 11; j <- 0 until 10)
+      assert(got(t * 110 + i * 10 + j) == law(Array(5 + t, i, j)),
+        s"cell ($t,$i,$j)")
+    assert(store.varBounds("air", Seq((5, 7), (0, 11), (0, 10))).isEmpty)
+    // the genuinely ragged FINAL chunk still takes the fast path
+    assert(store.varBounds("air", Seq((10, 2), (0, 11), (0, 10))).nonEmpty)
+  }
+
   test("unaligned multi-chunk reads assemble the exact hyperslab") {
     val dir = tempDir("align")
     val store = BinaryGridStore.write(Fixtures.airSmall, dir, Map("time" -> 6))
