@@ -60,6 +60,29 @@ object GridQueries {
           (col("air") - col("m")).as("anom"))
     }),
 
+    // xarray `rolling(t=3).mean()` on the grid source: per-cell
+    // trailing window over the time axis — ONE hash-partition window
+    // per (lat, lon) series, no self-joins; series count (cells) is
+    // the parallelism, so the shape holds at any grid size. Integer-
+    // valued doubles keep the mean exact under any summation order.
+    "pivot_grid_rolling" -> ((s, _) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lat", "lon").orderBy("t").rowsBetween(-2, 0)
+      grid(s).select(col("t").cast("long").as("t"), col("lat"),
+        col("lon"), avg("air").over(w).as("air_roll3"))
+    }),
+
+    // xarray `diff("t")` on the grid source: per-cell discrete
+    // derivative via LAG over the same per-series window (drops the
+    // first step, like xarray)
+    "pivot_grid_diff" -> ((s, _) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lat", "lon").orderBy("t")
+      grid(s).select(col("t").cast("long").as("t"), col("lat"),
+        col("lon"), (col("air") - lag("air", 1).over(w)).as("d_air"))
+        .filter(col("d_air").isNotNull)
+    }),
+
     // the LAZY reverse pivot through the hash gate (SURVEY §2A A12):
     // an indexer slice (t 6..11, lat rows {0,3,5}) derives ONE pruned
     // filtered scan, scatters into a dense sub-grid, and the sub-grid
@@ -266,6 +289,20 @@ object GridQueries {
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM grid
          |WHERE t BETWEEN 8 AND 15""".stripMargin,
+    "pivot_grid_rolling" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon,
+         |AVG(air) OVER (PARTITION BY lat, lon ORDER BY t
+         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS air_roll3
+         |FROM grid""".stripMargin,
+    "pivot_grid_diff" ->
+      s"""WITH $oracleGrid
+         |SELECT t, lat, lon, d_air FROM (
+         |  SELECT CAST(t AS BIGINT) AS t, lat, lon,
+         |  air - lag(air, 1) OVER (PARTITION BY lat, lon ORDER BY t)
+         |    AS d_air
+         |  FROM grid) x
+         |WHERE d_air IS NOT NULL""".stripMargin,
     "pivot_grid_lazyslice" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM grid
