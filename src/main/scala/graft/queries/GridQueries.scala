@@ -60,6 +60,33 @@ object GridQueries {
           (col("air") - col("m")).as("anom"))
     }),
 
+    // xarray `coarsen(lat=2, lon=2).mean()`: 2x2 spatial mean pooling
+    // — one agg shuffle keyed on the pooled block; the index-recovery
+    // arithmetic ((75 - lat) / 2.5) is exact dyadic division on the
+    // fixture's coordinate values, so both engines derive identical
+    // block keys. The downsampling verb of every regridding pipeline.
+    "pivot_grid_coarsen" -> ((s, _) => {
+      val li = (lit(75.0) - col("lat")) / lit(2.5)
+      val lj = (col("lon") - lit(200.0)) / lit(2.5)
+      grid(s)
+        .groupBy(col("t").cast("long").as("t"),
+          floor(li / 2.0).cast("long").as("lat_blk"),
+          floor(lj / 2.0).cast("long").as("lon_blk"))
+        .agg(count(lit(1)).as("cnt"), avg("air").as("air_mean"))
+    }),
+
+    // xarray `cumsum("t")` per cell: running sum over the time axis —
+    // the same one-window-per-series shape as rolling; integer-valued
+    // doubles keep every partial sum exact
+    "pivot_grid_cumsum" -> ((s, _) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lat", "lon").orderBy("t")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      grid(s).select(col("t").cast("long").as("t"), col("lat"),
+        col("lon"), sum("air").over(w).as("air_cum"))
+    }),
+
     // xarray `rolling(t=3).mean()` on the grid source: per-cell
     // trailing window over the time axis — ONE hash-partition window
     // per (lat, lon) series, no self-joins; series count (cells) is
@@ -289,6 +316,19 @@ object GridQueries {
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM grid
          |WHERE t BETWEEN 8 AND 15""".stripMargin,
+    "pivot_grid_coarsen" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t,
+         |CAST(floor(((75.0 - lat) / 2.5) / 2.0) AS BIGINT) AS lat_blk,
+         |CAST(floor(((lon - 200.0) / 2.5) / 2.0) AS BIGINT) AS lon_blk,
+         |CAST(COUNT(*) AS BIGINT) AS cnt, AVG(air) AS air_mean
+         |FROM grid GROUP BY 1, 2, 3""".stripMargin,
+    "pivot_grid_cumsum" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon,
+         |SUM(air) OVER (PARTITION BY lat, lon ORDER BY t
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS air_cum
+         |FROM grid""".stripMargin,
     "pivot_grid_rolling" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon,
