@@ -812,6 +812,24 @@ object PipelineQueries {
             count(lit(1))).as("fuzzy_dup_rate"))
     }),
 
+    // bigram-commonness scoring — the linear, engine-portable cousin of
+    // LM-perplexity quality filtering: each document scores the mean
+    // corpus frequency of its bigram occurrences (log-free: integer
+    // counts -> one exact double division). Global bigram counts are
+    // vocab-sized and broadcast back onto the exploded corpus.
+    "bigram_commonness" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      val bgs = zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), explode(bgs).as("b"))
+      val f = bg.groupBy("b").agg(count(lit(1)).as("n"))
+      bg.join(broadcast(f), "b").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum("n").cast("double") / count(lit(1))).as("mean_bg_freq"))
+    }),
+
     // vocabulary truncation: rank tokens by global frequency, keep the
     // top 40, report per-language OOV-token rate — the "how much does a
     // k-entry vocab cover" question behind every tokenizer size choice.
@@ -1513,6 +1531,18 @@ object PipelineQueries {
         |CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*)
         |  AS fuzzy_dup_rate
         |FROM sig GROUP BY lang""".stripMargin,
+    "bigram_commonness" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS b
+        |  FROM w),
+        |f AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY b)
+        |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |CAST(SUM(f.n) AS DOUBLE) / COUNT(*) AS mean_bg_freq
+        |FROM bg JOIN f ON bg.b = f.b
+        |GROUP BY bg.doc_id""".stripMargin,
     "oov_rate" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok
