@@ -60,6 +60,32 @@ object GridQueries {
           (col("air") - col("m")).as("anom"))
     }),
 
+    // xarray `where(mask)`: shape-preserving masking — every cell
+    // stays, sea cells carry NULL (xarray's NaN) — exercising the
+    // null-value path end-to-end through pivot, join and the gate
+    "pivot_grid_where" -> ((s, _) => {
+      val g = grid(s)
+      val m = new XarrayContext(s).dataFrame(
+        "where_mask", Fixtures.maskGrid, Map("lat" -> 6), Seq("lat", "lon"))
+      g.join(m, Seq("lat", "lon"))
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          when(col("mask") === 1.0, col("air")).as("air_masked"))
+    }),
+
+    // xarray `interp`-style temporal upsampling: midpoints between
+    // consecutive steps per cell via ONE lead window per series;
+    // (a + b) / 2 on integer-valued doubles is exact
+    "pivot_grid_interp" -> ((s, _) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lat", "lon").orderBy("t")
+      grid(s)
+        .select(col("t"), col("lat"), col("lon"), col("air"),
+          lead("air", 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .select((col("t").cast("double") + 0.5).as("t_mid"), col("lat"),
+          col("lon"), ((col("air") + col("nxt")) / 2.0).as("air_mid"))
+    }),
+
     // xarray `coarsen(lat=2, lon=2).mean()`: 2x2 spatial mean pooling
     // — one agg shuffle keyed on the pooled block; the index-recovery
     // arithmetic ((75 - lat) / 2.5) is exact dyadic division on the
@@ -316,6 +342,22 @@ object GridQueries {
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM grid
          |WHERE t BETWEEN 8 AND 15""".stripMargin,
+    "pivot_grid_where" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(g.t AS BIGINT) AS t, g.lat, g.lon,
+         |CASE WHEN (3 * CAST((75.0 - g.lat) / 2.5 AS BIGINT)
+         |         + CAST((g.lon - 200.0) / 2.5 AS BIGINT)) % 5 < 3
+         |  THEN g.air END AS air_masked
+         |FROM grid g""".stripMargin,
+    "pivot_grid_interp" ->
+      s"""WITH $oracleGrid,
+         |led AS (
+         |  SELECT t, lat, lon, air,
+         |  lead(air, 1) OVER (PARTITION BY lat, lon ORDER BY t) AS nxt
+         |  FROM grid)
+         |SELECT CAST(t AS DOUBLE) + 0.5 AS t_mid, lat, lon,
+         |(air + nxt) / 2.0 AS air_mid
+         |FROM led WHERE nxt IS NOT NULL""".stripMargin,
     "pivot_grid_coarsen" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t,
