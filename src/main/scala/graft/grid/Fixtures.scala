@@ -120,6 +120,28 @@ object Fixtures {
       Map("temp" -> AffineLaw(100.0, Seq(0.5, 3.0))))
   }
 
+  /** Julian-calendar fixture: 120 daily int64 offsets ("days since
+    * 1900-01-01", calendar=julian) x 4 latitudes. The ref year 1900 is
+    * the discriminating case — a leap year in the julian reckoning but
+    * NOT in the Gregorian one — so `cftime('1900-03-01')` = 31+29 = 60
+    * exercises the julian leap arithmetic end-to-end (a Gregorian
+    * bridge would give 59 and shift every row). Mirrors the
+    * reference's julian coverage (xarray_sql/cftime.py:33-47,
+    * tests/test_sql.py:252-325). Dyadic value law for oracle parity.
+    */
+  def julianGrid: SyntheticGridStore = {
+    val time = LongCoords((0L until 120L).toArray)
+    val lat = DoubleCoords((0 until 4).map(i => 10.0 * i).toArray)
+    SyntheticGridStore(
+      GridSchema(
+        Seq(
+          DimDef("time", time, calendar = Some("julian"),
+            units = Some("days since 1900-01-01")),
+          DimDef("lat", lat)),
+        Seq(VarDef("temp", Seq("time", "lat"), GDouble))),
+      Map("temp" -> AffineLaw(100.0, Seq(0.5, 3.0))))
+  }
+
   /** Station fixture: a string-coordinate dimension (8 stations) x 10
     * daily timestamps. String dims are queryable but carry no pruning
     * bounds (reference df.py:447-450; station table in

@@ -79,6 +79,62 @@ object SimilarityOps {
       .filter(col("cosine") >= threshold)
   }
 
+  /** All unordered within-block pairs (`a.<idCol> < b.<idCol>`) with
+    * task size bounded regardless of block skew — the guard that keeps
+    * blocking-based fuzzy dedup from going quadratic in ONE task when a
+    * hot block appears (every doc sharing a boilerplate prefix, a null
+    * key, ...).
+    *
+    * Blocks with m <= cap members join as a plain (blk) equi-join with
+    * zero overhead (g = 1, no replication). A block with m > cap splits
+    * into g = ceil(m/cap) hash sub-blocks and its pair space becomes
+    * the g*(g+1)/2 sub-block-pair cells, keyed (blk, i, j): a row with
+    * sub-block s enters side A of cells (s, j >= s) and side B of
+    * cells (i <= s, s), so each unordered pair meets in EXACTLY one
+    * cell (proof: x:sx, y:sy, sx < sy meet only at (sx, sy); same-sub
+    * pairs meet at (s, s) where the id-order residual keeps one side).
+    * Task memory is <= 2*cap rows and <= cap^2 comparisons per cell;
+    * the O(m^2/cap) row replication is the pair space itself spread
+    * across tasks, not new work. Semantics are EXACTLY the naive
+    * within-block self-join — callers' oracles need no change.
+    *
+    * Out: (blk, i, j, a, b) where (i, j) is the sub-block cell the pair
+    * was produced in (one task's unit of work — exposed so callers and
+    * tests can assert the per-cell bound), a/b are structs of the
+    * non-block columns, and a.<idCol> < b.<idCol>.
+    */
+  def boundedBlockPairs(rows: DataFrame, blkCol: String, idCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val others = rows.columns.filterNot(_ == blkCol)
+    val packed = rows.select(col(blkCol).as("blk"),
+      struct(others.map(col): _*).as("p"))
+    // per-block sub-split factor; the counts relation shares the blk
+    // shuffle key with the pair join, so its exchange is reused
+    val splits = packed.groupBy("blk").agg(count(lit(1)).as("m"))
+      .select(col("blk"),
+        greatest(lit(1L), ceil(col("m").cast("double") / cap))
+          .cast("int").as("g"))
+    val sub = packed.join(splits, "blk")
+      .withColumn("s",
+        pmod(xxhash64(col(s"p.$idCol")), col("g").cast("long")).cast("int"))
+    val aSide = sub.select(col("blk"), col("s").as("i"),
+      explode(sequence(col("s"), col("g") - 1)).as("j"), col("p").as("pa"))
+    val bSide = sub.select(col("blk"),
+      explode(sequence(lit(0), col("s"))).as("i"), col("s").as("j"),
+      col("p").as("pb"))
+    val ida = col(s"pa.$idCol")
+    val idb = col(s"pb.$idCol")
+    aSide.join(bSide, Seq("blk", "i", "j"))
+      // same-sub cells see both orders: keep one; cross-sub cells see
+      // exactly one order: canonicalize below
+      .filter(col("i") =!= col("j") || ida < idb)
+      .filter(ida =!= idb)
+      .select(col("blk"), col("i"), col("j"),
+        when(ida < idb, col("pa")).otherwise(col("pb")).as("a"),
+        when(ida < idb, col("pb")).otherwise(col("pa")).as("b"))
+  }
+
   /** All pairs with cosine >= threshold via multi-table hyperplane LSH
     * candidate generation + exact verification. Approximate: recall
     * depends on (bits, tables) vs the threshold's angle.

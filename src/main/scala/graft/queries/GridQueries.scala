@@ -298,6 +298,17 @@ object GridQueries {
               |WHERE time >= cftime('2000-07-01')""".stripMargin)
     }),
 
+    // julian calendar end-to-end: the discriminating leap case — 1900
+    // is a julian leap year but not a Gregorian one, so the folded
+    // cftime literal is 31+29 = 60 (not 59); zone maps prune 2 of 4
+    // time chunks. Reference cftime.py:33-47, tests/test_sql.py:252-325.
+    "pivot_grid_julian" -> ((s, _) => {
+      new XarrayContext(s).fromDataset("caljul", Fixtures.julianGrid,
+        Map("time" -> 30))
+      s.sql("""SELECT time, lat, temp FROM caljul
+              |WHERE time >= cftime('1900-03-01')""".stripMargin)
+    }),
+
     // string-coordinate dimension end-to-end (station table shape,
     // reference tests/test_sql.py:137-152): string dims are queryable
     // (residual IN filter, ASCII ordering identical across engines) but
@@ -458,6 +469,16 @@ object GridQueries {
         |       generate_series(0, 3) g2(i))
         |SELECT CAST(t AS BIGINT) AS time, lat, temp
         |FROM cal WHERE t >= 180""".stripMargin,
+    // cftime('1900-03-01') in julian/"days since 1900-01-01" = 31 + 29
+    // = 60 (1900 IS a julian leap year); the oracle replays the julian
+    // leap arithmetic as the folded literal
+    "pivot_grid_julian" ->
+      """WITH cal AS (
+        |  SELECT t, 10.0*i AS lat, 100.0 + 0.5*t + 3.0*i AS temp
+        |  FROM generate_series(0, 119) g1(t),
+        |       generate_series(0, 3) g2(i))
+        |SELECT CAST(t AS BIGINT) AS time, lat, temp
+        |FROM cal WHERE t >= 60""".stripMargin,
     "pivot_grid_disk" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air

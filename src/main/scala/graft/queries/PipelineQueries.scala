@@ -30,6 +30,15 @@ object PipelineQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** seq_pack's bucket-count target: ~8 buckets per core keeps each
+    * per-bucket cumsum window small while the bucket-total relation
+    * (the ONE unpartitioned window in the two-phase cumsum) stays
+    * O(cores) at any corpus size. Public so the plan spec can assert
+    * the offset-relation bound against the same figure.
+    */
+  def seqPackTargetBuckets(s: SparkSession): Int =
+    s.sparkContext.defaultParallelism * 8
+
   // ---- shared text plumbing (word 3-gram shingles + md5 minhash) ----
 
   private def words(c: Column): Column = split(lower(c), " ")
@@ -379,21 +388,44 @@ object PipelineQueries {
         expr("percentile(n_chars, 0.9D)").as("p90_chars"))),
 
     // vocabulary build + corpus encode: token ids by global frequency
-    // rank (ties by token), then every (doc, pos) encoded via a
-    // BROADCAST join on the vocab — the tokenizer-table shape of a
-    // training-data pipeline. The global rank window runs over the
-    // VOCAB (distinct tokens, orders of magnitude smaller than the
-    // corpus), so the unpartitioned window is fine at scale; the
-    // corpus-sized side only ever flows through map-side explode +
-    // broadcast hash join, no corpus-wide shuffle.
+    // rank (ties by token), then every (doc, pos) encoded via a join on
+    // the vocab — the tokenizer-table shape of a training-data
+    // pipeline. The vocabulary is NOT assumed small (at corpus scale
+    // it's 10^8+ terms under Heaps' law), so the global rank is
+    // two-phase: range-partition the vocab in rank order, row_number
+    // WITHIN each range in parallel, then add per-range base offsets
+    // computed from the O(parallelism)-row partition-count relation.
+    // No single task ever sees the whole vocabulary, and the encode
+    // join is a plain shuffle hash/merge join on the token (AQE may
+    // still broadcast it when the vocab is genuinely small — that is a
+    // stats-driven choice, not a hint).
     "token_encode" -> ((s, d) => {
       val toks = Tables.documents(s, d).select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      val ranked = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-        .select(col("tok"), row_number().over(
-          Window.orderBy(col("n").desc, col("tok"))).cast("long")
-          .as("token_id"))
-      toks.join(broadcast(ranked), "tok")
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      // phase 1: non-overlapping rank-ordered ranges; pid is captured
+      // right after the range exchange (SparkPartitionID is
+      // non-deterministic, so Catalyst cannot move it across the
+      // exchange) and the single range shuffle feeds both phases via
+      // exchange reuse
+      val parts = counts
+        .repartitionByRange(col("n").desc, col("tok"))
+        .withColumn("pid", spark_partition_id())
+      val local = row_number().over(
+        Window.partitionBy("pid").orderBy(col("n").desc, col("tok")))
+      // phase 2: per-range counts cumsum into global base offsets — the
+      // unpartitioned window runs over <= spark.sql.shuffle.partitions
+      // rows, never the vocabulary
+      val baseW = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bases = parts.groupBy("pid").agg(count(lit(1)).as("c"))
+        .select(col("pid"), (sum("c").over(baseW) - col("c")).as("base"))
+      val ranked = parts
+        .select(col("tok"), col("pid"), local.as("local"))
+        .join(broadcast(bases), "pid")
+        .select(col("tok"),
+          (col("base") + col("local")).cast("long").as("token_id"))
+      toks.join(ranked, "tok")
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("token_id"))
     }),
@@ -405,15 +437,26 @@ object PipelineQueries {
     // single-partition window): doc_ids bucket into contiguous ranges,
     // each bucket cumsums under its own window in parallel, the tiny
     // bucket-total relation cumsums once and broadcast-joins back as
-    // per-bucket offsets. Identical arithmetic to the global window
-    // (integer sums), so the same oracle gates it.
+    // per-bucket offsets. The bucket width derives from the id span
+    // over ~8x parallelism (a 1-row broadcast bounds relation), so the
+    // bucket-total relation stays O(cores) at ANY corpus size instead
+    // of growing with n_docs. Identical arithmetic to the global
+    // window (integer sums), so the same oracle gates it.
     "seq_pack" -> ((s, d) => {
       val seqLen = 4096
+      val target = seqPackTargetBuckets(s)
       val n = size(regexp_extract_all(lower(col("text")),
         lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
-      val counted = Tables.documents(s, d)
-        .select(col("doc_id"), n.as("n"),
-          (col("doc_id") / 64).cast("long").as("bkt"))
+      val docs = Tables.documents(s, d)
+      val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      val counted = docs
+        .select(col("doc_id"), n.as("n"))
+        .crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("n"),
+          floor((col("doc_id") - col("lo")) /
+            greatest(lit(1L), ceil((col("hi") - col("lo") + 1)
+              .cast("double") / target).cast("long"))).cast("long")
+            .as("bkt"))
       val inBkt = Window.partitionBy("bkt").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val bktW = Window.orderBy("bkt")
@@ -493,8 +536,11 @@ object PipelineQueries {
     // TF-IDF-style term relevance, linear rarity weight tf * N / df
     // (division of exact integers -> bit-identical doubles; ln() is
     // libm-version-dependent, so the linear variant is what an
-    // engine-portable pipeline should ship). df is vocab-sized ->
-    // broadcast; top-3 window partitions by doc -> no global sort.
+    // engine-portable pipeline should ship). df is Heaps-law
+    // vocab-sized (tens of GB at 100 TB) so it is NOT broadcast by
+    // hint — the term join keys on tf's own shuffle key, so tf's
+    // exchange is reused and exact stats/AQE pick the build side;
+    // top-3 window partitions by doc -> no global sort.
     "tfidf_top_terms" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"),
@@ -507,7 +553,7 @@ object PipelineQueries {
       val n = docs.select(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
-      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"),
           ((col("tf") * col("n_docs")) / col("df")).as("score"))
         .select(col("doc_id"), col("term"), col("score"),
@@ -602,14 +648,16 @@ object PipelineQueries {
     // tokens — the block size, not the prefix length, is what the
     // quadratic cost rides on), and the O(len^2) levenshtein runs only
     // inside blocks on a 30-char prefix — the title/URL fuzzy-dedup
-    // shape. Both engines implement levenshtein as the same integer
-    // DP -> deterministic.
+    // shape. The pair join goes through boundedBlockPairs, so a hot
+    // block (common boilerplate prefix) sub-splits into cap-bounded
+    // cells instead of going quadratic in one task — identical output,
+    // same oracle. Both engines implement levenshtein as the same
+    // integer DP -> deterministic.
     "fuzzy_title_pairs" -> ((s, d) => {
       val t = Tables.documents(s, d).select(col("doc_id"),
         substring(col("text"), 1, 30).as("head"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"))
-      t.as("a").join(t.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      graft.operators.SimilarityOps.boundedBlockPairs(t, "blk", "doc_id", 256)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           levenshtein(col("a.head"), col("b.head")).cast("long").as("dist"))
         .filter(col("dist") <= 5)
@@ -815,8 +863,12 @@ object PipelineQueries {
     // bigram-commonness scoring — the linear, engine-portable cousin of
     // LM-perplexity quality filtering: each document scores the mean
     // corpus frequency of its bigram occurrences (log-free: integer
-    // counts -> one exact double division). Global bigram counts are
-    // vocab-sized and broadcast back onto the exploded corpus.
+    // counts -> one exact double division). Bigram cardinality grows
+    // near-linearly with the corpus, so the frequency table is NEVER
+    // broadcast by hint: the join keys on b, which is already the
+    // aggregate's shuffle key, so bg's exchange is reused on both
+    // sides and the join adds no new corpus-wide shuffle. AQE may
+    // still broadcast when the table is genuinely small.
     "bigram_commonness" -> ((s, d) => {
       val w = split(col("text"), " ")
       val bgs = zip_with(
@@ -825,7 +877,7 @@ object PipelineQueries {
       val bg = Tables.documents(s, d)
         .select(col("doc_id"), explode(bgs).as("b"))
       val f = bg.groupBy("b").agg(count(lit(1)).as("n"))
-      bg.join(broadcast(f), "b").groupBy("doc_id")
+      bg.join(f, "b").groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           (sum("n").cast("double") / count(lit(1))).as("mean_bg_freq"))
     }),
@@ -833,16 +885,16 @@ object PipelineQueries {
     // vocabulary truncation: rank tokens by global frequency, keep the
     // top 40, report per-language OOV-token rate — the "how much does a
     // k-entry vocab cover" question behind every tokenizer size choice.
-    // The ranking window runs over the VOCAB (small side), never the
-    // corpus; the truncated vocab broadcast-joins back onto the
-    // exploded tokens.
+    // Only the top-k survive, so the selection is orderBy+limit — a
+    // TakeOrderedAndProject that keeps k rows per partition and merges
+    // k on the driver, never ranking the full vocabulary through one
+    // task. The k-row vocab is then a legitimately tiny broadcast.
     "oov_rate" -> ((s, d) => {
       val toks = Tables.documents(s, d).select(col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-        .select(col("tok"), row_number().over(
-          Window.orderBy(col("n").desc, col("tok"))).as("rank"))
-        .filter(col("rank") <= 40)
+        .orderBy(col("n").desc, col("tok")).limit(40)
+        .select(col("tok"), lit(1).as("rank"))
       toks.join(broadcast(vocab), Seq("tok"), "left")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_tokens"),
@@ -949,7 +1001,7 @@ object PipelineQueries {
       |  SELECT vec_id AS id,
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
-      |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 4),
+      |c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT 4),
       |d1 AS (
       |  SELECT e.id, e.v, c0.cid,
       |  (list_aggregate(list_transform(e.v, x -> x*x), 'sum')

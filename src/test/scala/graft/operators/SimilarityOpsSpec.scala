@@ -57,6 +57,43 @@ class SimilarityOpsSpec extends SparkTestBase {
       !plan.contains("CartesianProduct"), s"nested loop in plan:\n$plan")
   }
 
+  test("boundedBlockPairs: skewed hot block == naive self-join, cap-bounded cells") {
+    import spark.implicits._
+    // pathological skew: 1000 docs share ONE blocking key (the judge's
+    // boilerplate-prefix case), plus small healthy blocks
+    val rows = ((0 until 1000).map(i => (i.toLong, s"title $i", "hot")) ++
+      (1000 until 1040).map(i => (i.toLong, s"title $i", s"cold${i % 8}")))
+      .toDF("doc_id", "head", "blk")
+    val cap = 32
+    val pairs = SimilarityOps.boundedBlockPairs(rows, "blk", "doc_id", cap)
+      .select(col("blk"), col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+    // exact semantics: identical pair set to the naive within-block join
+    val naive = rows.as("a").join(rows.as("b"),
+      col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got.size == naive.size && got == naive,
+      s"missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+    // the hot block split into ceil(1000/32)=32 sub-blocks and its pair
+    // space spread over g*(g+1)/2 = 528 cells; no single cell (= one
+    // task's comparisons) exceeds a small multiple of cap^2 — that is
+    // the guarantee that keeps the hot block off ONE quadratic task
+    val full = SimilarityOps.boundedBlockPairs(rows, "blk", "doc_id", cap)
+    val hotCells = full.filter(col("blk") === "hot")
+      .groupBy("i", "j").count().collect().map(_.getLong(2))
+    assert(hotCells.sum == 1000L * 999L / 2,
+      "hot block must still emit its full pair space")
+    assert(hotCells.length == 32 * 33 / 2,
+      s"expected 528 cells, got ${hotCells.length}")
+    assert(hotCells.max <= 4L * cap * cap,
+      s"cell of ${hotCells.max} pairs breaks the skew bound")
+    // and the join is a hash equi-join, never a nested loop
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop:\n$plan")
+  }
+
   test("minhash64 signatures estimate Jaccard") {
     val a = (0 until 200).map(i => s"tok$i").toArray
     val b = (100 until 300).map(i => s"tok$i").toArray // true J = 100/300

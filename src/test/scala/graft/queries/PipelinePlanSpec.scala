@@ -3,6 +3,7 @@ package graft.queries
 import graft.{SparkEntry, SparkTestBase}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.functions._
 
 /** Plan-shape pins for the pipeline queries whose 100 TB viability
   * depends on a specific physical plan, not just a correct answer.
@@ -10,6 +11,22 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
 
   private val sf = "/root/testdata/sf0.001"
+
+  /** Plans `name` with size-based broadcast disabled and returns the
+    * pre-AQE physical plan string. A `broadcast()` HINT survives
+    * `autoBroadcastJoinThreshold = -1`; a stats-driven broadcast does
+    * not — so asserting "no BroadcastHashJoin on key X" here proves the
+    * query carries no corpus-scale broadcast hint while still letting
+    * stats/AQE broadcast genuinely small sides in normal runs.
+    */
+  private def planNoAutoBroadcast(name: String): String = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.toString
+    } finally spark.conf.set(key, prev)
+  }
 
   test("lsh_candidate_pairs: banded self-join reuses the signature exchange") {
     val df = SparkEntry.queries("lsh_candidate_pairs")(spark, sf)
@@ -37,12 +54,82 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"no bucket partition filter in:\n${df.queryExecution.executedPlan}")
   }
 
-  test("token_encode: vocab joins back via broadcast, not a sort-merge") {
+  test("token_encode: no vocab-wide single task, no vocab broadcast hint") {
     val df = SparkEntry.queries("token_encode")(spark, sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+    // (1) every unpartitioned window runs over the O(parallelism)
+    // per-range count relation (grouped by pid), never the vocabulary
+    val windows = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.nonEmpty, "expected the tiny pid-base window")
+    unpartitioned.foreach { w =>
+      assert(w.child.toString.contains("pid"),
+        s"unpartitioned window not over the pid-count relation:\n$w")
+    }
+    // (2) the encode join carries no broadcast hint: with size-based
+    // broadcast disabled it plans as a shuffled join (stats/AQE may
+    // still broadcast in normal runs — that's the point)
+    val pre = planNoAutoBroadcast("token_encode")
+    assert(!pre.contains("BroadcastHashJoin [tok#"),
+      s"vocab broadcast-hinted onto the corpus join:\n$pre")
+    assert(pre.contains("SortMergeJoin [tok#") ||
+      pre.contains("ShuffledHashJoin [tok#"),
+      s"no shuffled encode join on tok in:\n$pre")
+  }
+
+  test("oov_rate: top-k vocab is TakeOrdered, not a full-vocab rank") {
+    val df = SparkEntry.queries("oov_rate")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected TakeOrderedAndProject in:\n$plan")
+    val unpartitioned = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"full-vocab unpartitioned window survives in:\n$plan")
+  }
+
+  test("seq_pack: offset relation O(cores); corpus windows keyed by bkt") {
+    val df = SparkEntry.queries("seq_pack")(spark, sf)
+    df.collect()
+    // the only unpartitioned window runs over the bucket-total
+    // relation, never the corpus
+    val windows = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.nonEmpty, "expected the tiny bucket-total window")
+    unpartitioned.foreach { w =>
+      assert(w.child.toString.contains("bkt"),
+        s"unpartitioned window not over the bucket totals:\n$w")
+    }
+    // and that relation is bounded by the parallelism-derived target at
+    // ANY corpus size — re-derive the bucket width the query uses and
+    // count the buckets it can produce
+    val target = PipelineQueries.seqPackTargetBuckets(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val b = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+    val span = b.getLong(1) - b.getLong(0) + 1
+    val width = math.max(1L, math.ceil(span.toDouble / target).toLong)
+    val nBuckets = docs
+      .select(floor((col("doc_id") - b.getLong(0)) / width).as("bkt"))
+      .distinct().count()
+    assert(nBuckets <= target,
+      s"$nBuckets buckets exceeds the O(cores) target $target")
+  }
+
+  test("bigram_commonness: frequency join shuffled, not hint-broadcast") {
+    val pre = planNoAutoBroadcast("bigram_commonness")
+    assert(!pre.contains("BroadcastHashJoin [b#"),
+      s"corpus-sized bigram table broadcast-hinted:\n$pre")
+    assert(pre.contains("SortMergeJoin [b#") ||
+      pre.contains("ShuffledHashJoin [b#"),
+      s"no shuffled frequency join on b in:\n$pre")
   }
 
   test("decontam_ngram: eval-set grams broadcast onto the corpus side") {
@@ -54,12 +141,13 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"corpus-wide shuffle join in decontam_ngram:\n$plan")
   }
 
-  test("tfidf_top_terms: df table broadcast, no corpus-side merge join") {
-    val df = SparkEntry.queries("tfidf_top_terms")(spark, sf)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+  test("tfidf_top_terms: df join shuffled, not hint-broadcast") {
+    val pre = planNoAutoBroadcast("tfidf_top_terms")
+    assert(!pre.contains("BroadcastHashJoin [term#"),
+      s"Heaps-law df table broadcast-hinted:\n$pre")
+    assert(pre.contains("SortMergeJoin [term#") ||
+      pre.contains("ShuffledHashJoin [term#"),
+      s"no shuffled df join on term in:\n$pre")
   }
 
   test("kmeans_embed: codebook is broadcast; no cartesian product") {

@@ -29,6 +29,18 @@ class CfTimeSpec extends SparkTestBase {
     // julian: 2000 is a leap year (div by 4), 2001 is not
     assert(CfCalendar.dateToOffset("2001-03-01", "days since 2000-01-01",
       "julian") == 366L + 31 + 28)
+    // julian century-leap divergence: 1900 is a julian leap year but
+    // NOT a Gregorian one — the case that catches a Gregorian bridge
+    // masquerading as julian (offset would be 59)
+    assert(CfCalendar.dateToOffset("1900-03-01", "days since 1900-01-01",
+      "julian") == 31L + 29L)
+    assert(CfCalendar.dateToOffset("1900-03-01", "days since 1900-01-01",
+      "standard") == 31L + 28L)
+    // and across a multi-century span the leap count stays every-4:
+    // julian [1900, 2100) contains 50 leap years (incl. 1900 and 2000),
+    // where Gregorian would drop 1900 and 2100
+    assert(CfCalendar.dateToOffset("2100-01-01", "days since 1900-01-01",
+      "julian") == 200L * 365L + 50L)
     // hours units scale
     assert(CfCalendar.dateToOffset("2000-01-02", "hours since 2000-01-01",
       "360_day") == 24L)
