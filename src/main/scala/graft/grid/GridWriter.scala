@@ -54,6 +54,15 @@ object GridWriter {
     * (chunk-aligned existing extent, identical invariant dims/vars);
     * use that for driver-sized drips and this for backfills at any
     * size — the driver never touches cell data here.
+    *
+    * Concurrency contract: SINGLE WRITER per store, shared with
+    * [[BinaryGridStore.appendAlong]] — both validate against the same
+    * committed extent, so two concurrent appends would write the same
+    * shifted chunk indices and the last metadata commit would orphan
+    * the other's chunks. The staging directory is uniquely suffixed
+    * per invocation (and cleaned on success), so a crashed append
+    * leaves only an inert `.staging-*` tree, never a half-renamed
+    * store; serialize appends externally (one ingest job per store).
     */
   def append(df: DataFrame, slabSchema: GridSchema, root: String,
       along: String): BinaryGridStore = {
@@ -61,8 +70,8 @@ object GridWriter {
     val chunkOffset =
       BinaryGridStore.validateAppend(existing, slabSchema, along)
     val conf = GridIO.driverConf()
-    val staging = root.stripSuffix("/") + ".staging"
-    GridIO.delete(staging, conf)
+    val staging = root.stripSuffix("/") + ".staging-" +
+      java.util.UUID.randomUUID().toString.take(8)
     // stage ONLY the vars that grow with the axis: invariant vars'
     // chunks already exist in the store and their staged files would
     // be discarded by the rename loop below — pure wasted shuffle/IO

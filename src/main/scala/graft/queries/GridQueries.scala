@@ -191,10 +191,9 @@ object GridQueries {
     // pruning and stats see one seamless grid. The reference has no
     // incremental ingest — a 100 TB archive needs one.
     "pivot_grid_append" -> ((s, _) => {
-      // unique per invocation: a shared fixed path would let one
-      // evaluation's delete race another's still-scanning DataFrame
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_append_grid").toString + "/store"
+      // unique per invocation (QueryTmp: race-free under concurrent
+      // evaluation, tree deleted at exit instead of accumulating)
+      val root = QueryTmp.dir("graft_append_grid") + "/store"
       graft.grid.BinaryGridStore.write(Fixtures.linearGridSlice(0, 12),
         root, Map("t" -> 6), "zstd")
       val appended = graft.grid.BinaryGridStore.appendAlong(root,
@@ -261,7 +260,7 @@ object GridQueries {
     // only). air per t-chunk k spans [200+6k, 254+6k]: air >= 255
     // provably excludes chunk 0 (asserted in GridQueryE2ESpec).
     "pivot_grid_varstats" -> ((s, _) => {
-      val root = System.getProperty("java.io.tmpdir") + "/graft_varstats_grid"
+      val root = QueryTmp.dir("graft_varstats_grid") + "/store"
       graft.grid.BinaryGridStore.write(Fixtures.linearGrid, root,
         Map("t" -> 6))
       val store = graft.grid.BinaryGridStore.open(root)
@@ -329,7 +328,7 @@ object GridQueries {
     // chunk partitions) + zstd decode. Mirrors the reference's Zarr write
     // + read round trip (reference xarray_sql/reader.py:192-337).
     "pivot_grid_disk" -> ((s, _) => {
-      val root = System.getProperty("java.io.tmpdir") + "/graft_disk_grid"
+      val root = QueryTmp.dir("graft_disk_grid") + "/store"
       graft.grid.GridWriter.write(grid(s), Fixtures.linearGrid.schema,
         Map("t" -> 6), root, "zstd")
       val store = graft.grid.BinaryGridStore.open(root)

@@ -284,8 +284,9 @@ object PipelineQueries {
     "ann_ivf_bucketed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      val dir = System.getProperty("java.io.tmpdir") + "/graft_ivf_" +
-        d.replaceAll("[^A-Za-z0-9]", "_")
+      // unique per invocation (QueryTmp): concurrent evaluations each
+      // build their own bucketed index instead of racing one fixed path
+      val dir = QueryTmp.dir("graft_ivf") + "/index"
       graft.operators.SimilarityOps
         .annIvfPartitioned(e, "vec_id", "v", 8, 8L, 10, dir)
         .select(col("id").as("vec_id"), col("cosine"))

@@ -1,0 +1,38 @@
+package graft.queries
+
+import java.nio.file.{Files, Path}
+
+/** Unique per-invocation scratch directories for queries that stage an
+  * on-disk store (pivot_grid_disk/varstats/append, ann_ivf_bucketed).
+  *
+  * A fixed path would let one evaluation's write race another's
+  * still-scanning DataFrame under concurrent evaluation, and a bare
+  * `createTempDirectory` leaks a store tree per construction across
+  * bench/correctness loops. Every dir handed out here is registered
+  * for recursive deletion at JVM exit — bounded residue, zero races.
+  */
+object QueryTmp {
+
+  private val registered = scala.collection.mutable.ArrayBuffer.empty[Path]
+
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      registered.synchronized(registered.foreach(deleteTree))))
+    ()
+  }
+
+  /** A fresh empty directory under java.io.tmpdir, deleted on exit. */
+  def dir(prefix: String): String = {
+    hook
+    val p = Files.createTempDirectory(prefix)
+    registered.synchronized(registered += p)
+    p.toString
+  }
+
+  private def deleteTree(p: Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
+    } catch { case _: java.io.IOException => () } // best-effort at exit
+}

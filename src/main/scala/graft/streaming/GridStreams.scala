@@ -95,10 +95,14 @@ object GridStreams {
     * Ordering contract: [[graft.grid.BinaryGridStore.appendAlong]]
     * writes chunk files BEFORE the metadata commit, so a poll racing an
     * in-flight append can surface a chunk whose `along` coords are not
-    * yet committed — decode then fails and the query retries that batch
-    * from the checkpoint after the commit lands (at-least-once planning,
-    * exactly-once output). Coordinates re-read per task from the
-    * store's small metadata file.
+    * yet committed. The decode task re-reads the store metadata with a
+    * short exponential backoff (~3 s budget) until the commit lands;
+    * if the store stays torn past the budget the task fails, which
+    * (once task retries are exhausted) STOPS the streaming query — the
+    * binaryFile checkpoint has already planned the file, so recovery is
+    * a manual restart after the writer commits, not an automatic
+    * re-poll. Coordinates re-read per task from the store's small
+    * metadata file.
     */
   def tailCells(spark: org.apache.spark.sql.SparkSession, root: String,
       varName: String): DataFrame = {
@@ -129,22 +133,46 @@ object GridStreams {
     val hconf = store0.hconf // executor-safe Hadoop conf for re-opens
     raw.mapPartitions { rows =>
       // fresh metadata per task: sees coords committed by appends
-      val store = BinaryGridStore.open(root, hconf)
-      val vv = store.schema.vars.find(_.name == name).get
-      val dims = vv.dims.map(store.schema.dim)
+      var store = BinaryGridStore.open(root, hconf)
+      var vv = store.schema.vars.find(_.name == name).get
+      var dims = vv.dims.map(store.schema.dim)
       val nd = dims.length
-      val chunkSz = dims.map(d =>
+      var chunkSz = dims.map(d =>
         store.chunks.getOrElse(d.name, math.max(d.size, 1))).toArray
-      val dimSize = dims.map(_.size).toArray
+      var dimSize = dims.map(_.size).toArray
+      def refresh(): Unit = {
+        store = BinaryGridStore.open(root, hconf)
+        vv = store.schema.vars.find(_.name == name).get
+        dims = vv.dims.map(store.schema.dim)
+        chunkSz = dims.map(d =>
+          store.chunks.getOrElse(d.name, math.max(d.size, 1))).toArray
+        dimSize = dims.map(_.size).toArray
+      }
       rows.flatMap { r =>
         val fn = r.getString(0).split('/').last.stripSuffix(".bin")
         val ci = fn.split('.').map(_.toInt)
         require(ci.length == nd, s"bad chunk file name $fn")
-        val start = Array.tabulate(nd)(k => ci(k) * chunkSz(k))
-        (0 until nd).foreach { k =>
-          require(start(k) < dimSize(k),
-            s"chunk $fn beyond committed $name extent — torn append, retry")
+        // a chunk racing an in-flight append (file visible, metadata
+        // commit not yet landed) re-reads the metadata with a short
+        // backoff — normally the commit lands within the budget and the
+        // batch proceeds; only a genuinely torn store still fails (the
+        // query then needs a manual restart: the checkpoint has already
+        // planned the file)
+        def beyondExtent =
+          (0 until nd).exists(k => ci(k) * chunkSz(k) >= dimSize(k))
+        var tries = 0
+        while (beyondExtent && tries < 10) {
+          Thread.sleep(100L << math.min(tries, 3))
+          refresh()
+          tries += 1
         }
+        require(!beyondExtent,
+          s"chunk $fn beyond committed $name extent after $tries " +
+            "metadata re-reads — torn append; restart the query once " +
+            "the writer commits")
+        // snapshot the (possibly refreshed) metadata for the cell loop
+        val start = Array.tabulate(nd)(k => ci(k) * chunkSz(k))
+        val dcur = dims
         val shape = Array.tabulate(nd)(k =>
           math.min(chunkSz(k), dimSize(k) - start(k)))
         val n = shape.product
@@ -157,14 +185,25 @@ object GridStreams {
           while (k >= 0) {
             val ik = start(k) + rest % shape(k)
             rest /= shape(k)
-            vals(k) = LazyGridView.externalCoord(dims(k).coords, ik)
+            vals(k) = LazyGridView.externalCoord(dcur(k).coords, ik)
             k -= 1
           }
+          // match the external (Row) type the outSchema declares:
+          // timestamp/duration variables decode as raw micros longs and
+          // must surface as java.sql.Timestamp / java.time.Duration —
+          // the same bridge as LazyGridView.externalCoord — or the
+          // RowEncoder rejects the row at runtime
           vals(nd) = (data: Any) match {
             case a: Array[Double] => a(flat)
             case a: Array[Float] => a(flat)
             case a: Array[Int] => a(flat)
-            case a: Array[Long] => a(flat)
+            case a: Array[Long] => vv.dtype match {
+              case GTimestamp => org.apache.spark.sql.catalyst.util
+                .DateTimeUtils.toJavaTimestamp(a(flat))
+              case GDuration => java.time.Duration.ofSeconds(
+                a(flat) / 1000000L, (a(flat) % 1000000L) * 1000L)
+              case _ => a(flat)
+            }
           }
           Row.fromSeq(vals.toIndexedSeq)
         }

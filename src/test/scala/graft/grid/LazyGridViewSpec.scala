@@ -48,6 +48,70 @@ class LazyGridViewSpec extends SparkTestBase {
     assert(res.cellCount == 500)
   }
 
+  test("lazy view: vectorized indexer gathers points via one outer read") {
+    // mirrors reference tests/test_ds.py
+    // test_vectorized_indexer_falls_back_via_xarray_adapter: paired
+    // integer arrays zip along a new points axis; untouched dims stay
+    val store = Fixtures.pruneGrid // time 100 (chunks of 25), lat 5
+    val df = ctx.dataFrame("lazyv", store, Map("time" -> 25), Seq("time", "lat"))
+    val view = LazyGridView.fromStore(df, store, Seq("time", "lat"),
+      Seq("temperature"))
+    val law = store.laws("temperature")
+    // time=[0,30,7] zipped with lat=[2,0,4] -> 3 points
+    ReadCounters.reset()
+    val res = view.selectVectorized(Seq(
+      "time" -> Seq(0, 30, 7), "lat" -> Seq(2, 0, 4)))
+    // outer envelope: time {0,7,30} spans chunks 0 and 1 -> 2 opens
+    assert(ReadCounters.partitionsOpened.sum() == 2L)
+    assert(res.dims.map(_._1) == Seq("points"))
+    assert(res.shape == Seq(3))
+    assert(res("temperature", 0) == law(Array(0, 2)))
+    assert(res("temperature", 1) == law(Array(30, 0)))
+    assert(res("temperature", 2) == law(Array(7, 4)))
+    // partial vectorization: time points, lat untouched -> (points, lat)
+    val res2 = view.selectVectorized(Seq("time" -> Seq(5, 99)))
+    assert(res2.dims.map(_._1) == Seq("points", "lat"))
+    assert(res2.shape == Seq(2, 5))
+    for (p <- Seq(0, 1); i <- 0 until 5)
+      assert(res2("temperature", p, i) == law(Array(Seq(5, 99)(p), i)))
+    // numpy-style length-1 broadcast
+    val res3 = view.selectVectorized(Seq(
+      "time" -> Seq(4), "lat" -> Seq(1, 3, 3)))
+    assert(res3.shape == Seq(3))
+    assert(res3("temperature", 2) == law(Array(4, 3)))
+    // non-broadcastable lengths are rejected
+    intercept[IllegalArgumentException](view.selectVectorized(Seq(
+      "time" -> Seq(1, 2), "lat" -> Seq(0, 1, 2))))
+  }
+
+  test("lazy view auto: pure scan takes store coords, filtered plans discover") {
+    // airSmall's lat axis DESCENDS (75 -> 50): the store fast path
+    // preserves that order, discovery sorts ascending — an observable
+    // discriminator for which strategy auto picked
+    val store = Fixtures.airSmall
+    val df = ctx.dataFrame("lazyauto", store, Map("time" -> 6),
+      Seq("time", "lat", "lon"))
+    val pure = LazyGridView.auto(df, Seq("time", "lat", "lon"), Seq("air"))
+    assert(pure.shape == Seq(12, 11, 10))
+    val latsPure = pure.select(Map("time" -> LazyGridView.Point(0)))
+      .dims.find(_._1 == "lat").get._2.map(_.asInstanceOf[Double])
+    assert(latsPure.head == 75.0 && latsPure.last == 50.0,
+      s"store order not preserved: $latsPure")
+    // an attribute-only projection is still a pure scan
+    val projected = LazyGridView.auto(df.select("time", "lat", "lon", "air"),
+      Seq("time", "lat", "lon"), Seq("air"))
+    assert(projected.shape == Seq(12, 11, 10))
+    // a filter is NOT: discovery reflects the filtered extents
+    // (sparsity='result') and sorts ascending
+    val filtered = LazyGridView.auto(df.filter(col("lat") > 60.0),
+      Seq("time", "lat", "lon"), Seq("air"))
+    val lats = filtered.select(Map("time" -> LazyGridView.Point(0)))
+      .dims.find(_._1 == "lat").get._2.map(_.asInstanceOf[Double])
+    assert(lats.forall(_ > 60.0) && lats == lats.sorted,
+      s"discovery extents wrong: $lats")
+    assert(filtered.shape(1) == lats.size && lats.size < 11)
+  }
+
   test("salted aggregation equals direct groupBy on a skewed key") {
     import spark.implicits._
     // 90% of rows share one key — the salted plan spreads them

@@ -108,8 +108,10 @@ class RoundTripSpec extends SparkTestBase {
     before.foreach { case (n, m) => assert(after(n) == m, s"$n rewritten") }
     assert(after.keySet ==
       Set("0.0.0.bin", "1.0.0.bin", "2.0.0.bin", "3.0.0.bin"))
-    // no staging residue
-    assert(!new java.io.File(root + ".staging").exists())
+    // no staging residue (unique .staging-* suffix per invocation)
+    val parent = new java.io.File(root).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains(".staging")),
+      parent.listFiles().map(_.getName).mkString(","))
     // reopened store serves the seamless grid with shifted stats
     val store = BinaryGridStore.open(root)
     val law = Fixtures.linearGrid.laws("air")

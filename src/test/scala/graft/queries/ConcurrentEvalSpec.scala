@@ -1,0 +1,28 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+
+import scala.concurrent.duration._
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+
+/** The driver (and any interactive user) may evaluate the same query
+  * twice at once. Queries that stage an on-disk scratch store must not
+  * race each other: each construction gets its own QueryTmp directory,
+  * so two concurrent evaluations both see complete, private stores.
+  */
+class ConcurrentEvalSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  for (q <- Seq("pivot_grid_disk", "pivot_grid_varstats",
+    "pivot_grid_append", "ann_ivf_bucketed")) {
+    test(s"$q: two concurrent evaluations do not race their scratch store") {
+      val runs = (1 to 2).map(_ => Future {
+        SparkEntry.queries(q)(spark, sf).collect().length
+      })
+      val counts = Await.result(Future.sequence(runs), 180.seconds)
+      assert(counts(0) == counts(1) && counts(0) > 0, s"counts: $counts")
+    }
+  }
+}

@@ -1,10 +1,23 @@
 package graft.streaming
 
 import graft.{SparkTestBase, XarrayContext}
-import graft.grid.{BinaryGridStore, Fixtures}
+import graft.grid._
 import graft.sources.ReadCounters
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+
+object GridStreamsSpec {
+  // laws top-level so partition serialization does not capture the suite
+  def tsMicros(k: Int): Long = 1600000000000000L + k.toLong * 3600000000L
+  def durMicros(k: Int): Long = k.toLong * 1500000L + 250L
+
+  final case class TsLaw() extends GridFun {
+    def apply(idx: Array[Int]): Double = tsMicros(idx(0)).toDouble
+  }
+  final case class DurLaw() extends GridFun {
+    def apply(idx: Array[Int]): Double = durMicros(idx(0)).toDouble
+  }
+}
 
 class GridStreamsSpec extends SparkTestBase {
 
@@ -85,6 +98,78 @@ class GridStreamsSpec extends SparkTestBase {
     }
     assert(ragged.getMessage.contains("chunk"))
     assert(BinaryGridStore.open(root).schema.dim("t").size == 24) // intact
+  }
+
+  test("tailCells: timestamp/duration variables surface as external types") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tail-ts").toString + "/store"
+    val schema = GridSchema(
+      Seq(DimDef("t", IntCoords((0 until 8).toArray))),
+      Seq(VarDef("obs_ts", Seq("t"), GTimestamp),
+        VarDef("lag", Seq("t"), GDuration)))
+    BinaryGridStore.write(
+      SyntheticGridStore(schema, Map(
+        "obs_ts" -> GridStreamsSpec.TsLaw(),
+        "lag" -> GridStreamsSpec.DurLaw())),
+      root, Map("t" -> 4), "zstd")
+    val qt = GridStreams.tailCells(spark, root, "obs_ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tail_ts").start()
+    qt.processAllAvailable(); qt.stop()
+    val ts = spark.table("tail_ts").collect()
+      .map(r => r.getInt(0) -> r.getTimestamp(1)).toMap
+    assert(ts.size == 8)
+    (0 until 8).foreach { k =>
+      val expect = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaTimestamp(GridStreamsSpec.tsMicros(k))
+      assert(ts(k) == expect, s"t=$k")
+    }
+    val qd = GridStreams.tailCells(spark, root, "lag")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tail_dur").start()
+    qd.processAllAvailable(); qd.stop()
+    val dur = spark.table("tail_dur").collect()
+      .map(r => r.getInt(0) -> r.getAs[java.time.Duration](1)).toMap
+    assert(dur.size == 8)
+    (0 until 8).foreach { k =>
+      val m = GridStreamsSpec.durMicros(k)
+      assert(dur(k) ==
+        java.time.Duration.ofSeconds(m / 1000000L, (m % 1000000L) * 1000L),
+        s"t=$k")
+    }
+  }
+
+  test("tailCells: restart from checkpoint delivers each cell exactly once") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-tail-restart").toString
+    val root = base + "/store"
+    val ckpt = base + "/ckpt"
+    BinaryGridStore.write(Fixtures.linearGridSlice(0, 12), root,
+      Map("t" -> 6), "zstd")
+    val out = base + "/out"
+    def startQuery() = GridStreams.tailCells(spark, root, "air")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    def cells() = spark.read.parquet(out).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    // run 1: consume the initial chunks, then die (stop = crash proxy;
+    // the checkpoint + sink file log are the only surviving state)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(cells().length == 12 * 12 * 10)
+    // the archive grows while the query is down
+    BinaryGridStore.appendAlong(root, Fixtures.linearGridSlice(12, 24), "t")
+    // run 2: same checkpoint — must deliver ONLY the new chunks (no
+    // re-delivery of checkpointed files, no gaps)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val all = cells()
+    assert(all.length == 24 * 12 * 10,
+      s"${all.length} cells after restart — lost or duplicated chunks")
+    assert(all.distinct.length == all.length,
+      "duplicate cells across restart")
+    assert(all.count(_._1 < 12) == 12 * 12 * 10,
+      "pre-restart chunks re-delivered or dropped")
   }
 
   test("tailCells: appended chunks arrive as later stream batches") {
