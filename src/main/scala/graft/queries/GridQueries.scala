@@ -101,6 +101,31 @@ object GridQueries {
         .agg(count(lit(1)).as("cnt"), avg("air").as("air_mean"))
     }),
 
+    // xarray `groupby_bins("lat", ...)`: bin a coordinate into value
+    // ranges and aggregate per (bin, t) — the zonal-band statistics
+    // verb. The bin key floor((75 - lat) / 7.5) is exact dyadic
+    // arithmetic on the fixture's coordinates ((75-lat)/2.5 = i, i/3
+    // halves exactly), so both engines derive identical bins; one agg
+    // shuffle keyed (bin, t).
+    "pivot_grid_bins" -> ((s, _) =>
+      grid(s)
+        .groupBy(floor((lit(75.0) - col("lat")) / lit(7.5)).cast("long")
+          .as("lat_bin"), col("t").cast("long").as("t"))
+        .agg(count(lit(1)).as("cnt"), avg("air").as("air_mean"))),
+
+    // xarray `weighted(w).mean("lat")`: area-weighted zonal mean — the
+    // cos-latitude weighting of every climate mean, with a dyadic
+    // integer-valued weight law w = (lat - 45) / 2.5 (= 12 - i) in
+    // place of cos so both engines compute bit-identical doubles.
+    // SUM(air*w)/SUM(w) pushes as two partial aggregates — one shuffle
+    // keyed (t, lon), no window.
+    "pivot_grid_wmean" -> ((s, _) => {
+      val w = (col("lat") - lit(45.0)) / lit(2.5)
+      grid(s)
+        .groupBy(col("t").cast("long").as("t"), col("lon"))
+        .agg((sum(col("air") * w) / sum(w)).as("air_wmean"))
+    }),
+
     // xarray `cumsum("t")` per cell: running sum over the time axis —
     // the same one-window-per-series shape as rolling; integer-valued
     // doubles keep every partial sum exact
@@ -468,6 +493,18 @@ object GridQueries {
         |       generate_series(0, 3) g2(i))
         |SELECT CAST(t AS BIGINT) AS time, lat, temp
         |FROM cal WHERE t >= 180""".stripMargin,
+    "pivot_grid_bins" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(floor((75.0 - lat) / 7.5) AS BIGINT) AS lat_bin,
+         |CAST(t AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |AVG(air) AS air_mean
+         |FROM grid GROUP BY 1, 2""".stripMargin,
+    "pivot_grid_wmean" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lon,
+         |SUM(air * (lat - 45.0) / 2.5) / SUM((lat - 45.0) / 2.5)
+         |  AS air_wmean
+         |FROM grid GROUP BY 1, 2""".stripMargin,
     // cftime('1900-03-01') in julian/"days since 1900-01-01" = 31 + 29
     // = 60 (1900 IS a julian leap year); the oracle replays the julian
     // leap arithmetic as the folded literal

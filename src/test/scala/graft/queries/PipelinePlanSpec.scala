@@ -68,7 +68,16 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       assert(w.child.toString.contains("pid"),
         s"unpartitioned window not over the pid-count relation:\n$w")
     }
-    // (2) the encode join carries no broadcast hint: with size-based
+    // (2) the vocab range exchange feeds BOTH rank phases through
+    // runtime reuse — the corpus explode + vocab aggregate run once,
+    // not once per phase
+    val reused = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case r: ReusedExchangeExec => r
+    }
+    assert(reused.exists(_.child.toString.contains("rangepartitioning")),
+      s"vocab range exchange not reused (vocab built twice):\n" +
+        df.queryExecution.executedPlan)
+    // (3) the encode join carries no broadcast hint: with size-based
     // broadcast disabled it plans as a shuffled join (stats/AQE may
     // still broadcast in normal runs — that's the point)
     val pre = planNoAutoBroadcast("token_encode")
