@@ -173,28 +173,32 @@ object SimilarityOps {
     *
     * Scale shape — this is the trick that makes corpus-scale semantic
     * dedup tractable at all: the quadratic pair search collapses from
-    * O(n^2) to O(sum c_i^2) ~ O(n^2/k). The within-cluster pair join is
-    * a hash equi-join on the cluster id (shuffles vectors once, by
-    * cluster), assignment is [[KMeans]]'s broadcast-codebook map-side
-    * argmin, and the final keep-set is a left-anti join — no windows,
-    * no driver collection. At 100 TB pick k so n/k is a few thousand
-    * (the paper's regime); a pathologically hot cluster can be fed
-    * through [[nearDupPairsBlocked]] without changing semantics.
+    * O(n^2) to O(sum c_i^2) ~ O(n^2/k). The within-cluster pair join
+    * runs through [[boundedBlockPairs]] keyed on the cluster id, so it
+    * is a hash equi-join (shuffles vectors once, by cluster) AND a
+    * pathologically hot cluster sub-splits into `pairCap`-bounded
+    * cells instead of landing on one quadratic task — same pair
+    * semantics, no oracle change. Assignment is [[KMeans]]'s
+    * broadcast-codebook map-side argmin, and the final keep-set is a
+    * left-anti join — no windows, no driver collection. At 100 TB pick
+    * k so n/k is a few thousand (the paper's regime) and `pairCap`
+    * near that size, so the guard only engages on outlier clusters.
     */
   def semDedupKept(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, threshold: Double): DataFrame = {
+      k: Int, iters: Int, threshold: Double,
+      pairCap: Int = 4096): DataFrame = {
     val dot = GraftFunctions.dot_f64 _
     val assigned = KMeans.assign(
         vecs.select(col(idCol).as("id"), col(vecCol).as("v")),
         KMeans.centroids(vecs, idCol, vecCol, k, iters))
       .select(col("id"), col("v"), col("cluster"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val dropped = assigned.as("x")
-      .join(assigned.as("y"),
-        col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
-      .filter((dot(col("x.v"), col("y.v")) /
-        (col("x.nrm") * col("y.nrm"))) >= threshold)
-      .select(col("y.id").as("id"))
+    val dropped = boundedBlockPairs(
+      assigned.select(col("cluster"), col("id"), col("v"), col("nrm")),
+      "cluster", "id", pairCap)
+      .filter((dot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm"))) >= threshold)
+      .select(col("b.id").as("id"))
       .distinct()
     assigned.join(dropped, Seq("id"), "left_anti")
       .select(col("id"), col("cluster"))

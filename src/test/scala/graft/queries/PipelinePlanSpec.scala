@@ -202,9 +202,13 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // nested loops allowed are the k-row broadcast codebook legs
     // inside KMeans.assign, never a row-level pair loop
     assert(!s.contains("CartesianProduct"), s"cartesian in semdedup:\n$s")
+    // the pair search goes through boundedBlockPairs keyed on the
+    // cluster id (renamed blk) + sub-block cell — an equi-join whose
+    // leading key is the cluster, never a row-level pair loop
     val pairJoinKeyed = s.linesIterator.exists(l =>
-      (l.contains("BroadcastHashJoin [cluster") ||
-        l.contains("SortMergeJoin [cluster")) && l.contains("dot_f64"))
+      l.contains("BroadcastHashJoin [blk") ||
+        l.contains("SortMergeJoin [blk") ||
+        l.contains("ShuffledHashJoin [blk"))
     assert(pairJoinKeyed,
       s"within-cluster pair join not keyed on cluster id:\n$s")
   }
