@@ -188,11 +188,16 @@ object SimilarityOps {
       k: Int, iters: Int, threshold: Double,
       pairCap: Int = 4096): DataFrame = {
     val dot = GraftFunctions.dot_f64 _
+    // materialize the assignment ONCE (lineage-truncating local
+    // checkpoint, as in GraphOps): three consumers follow — both pair
+    // sides and the final keep-set anti-join — and each would otherwise
+    // re-run the whole k-means training + assignment pipeline
     val assigned = KMeans.assign(
         vecs.select(col(idCol).as("id"), col(vecCol).as("v")),
         KMeans.centroids(vecs, idCol, vecCol, k, iters))
       .select(col("id"), col("v"), col("cluster"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .localCheckpoint()
     val dropped = boundedBlockPairs(
       assigned.select(col("cluster"), col("id"), col("v"), col("nrm")),
       "cluster", "id", pairCap)

@@ -546,10 +546,19 @@ object PipelineQueries {
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"),
         explode(words(col("text"))).as("term"))
-      // df falls out of tf (one row per (doc,term)) — no second explode
-      // or corpus-wide distinct, and the tf exchange is reused across
-      // both sides of the join
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // tf (one row per (doc, term)) is MATERIALIZED to a scratch
+      // parquet before fan-out: its two consumers prune different
+      // columns, so Catalyst's column pruning makes the subplans
+      // canonically different and ReuseExchange cannot dedupe them —
+      // left declarative, the corpus would be exploded and aggregated
+      // TWICE. Materializing the intermediate (the shape every
+      // production TF-IDF pipeline ships: tf is a table) costs one
+      // small write and two column-pruned reads of term-level rows,
+      // never a second corpus pass. Plan-pinned in PipelinePlanSpec.
+      val tfPath = QueryTmp.dir("graft_tfidf") + "/tf"
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .write.parquet(tfPath)
+      val tf = s.read.parquet(tfPath)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.select(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")

@@ -150,13 +150,19 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"corpus-wide shuffle join in decontam_ngram:\n$plan")
   }
 
-  test("tfidf_top_terms: df join shuffled, not hint-broadcast") {
+  test("tfidf_top_terms: df join shuffled; tf materialized, one corpus pass") {
     val pre = planNoAutoBroadcast("tfidf_top_terms")
     assert(!pre.contains("BroadcastHashJoin [term#"),
       s"Heaps-law df table broadcast-hinted:\n$pre")
     assert(pre.contains("SortMergeJoin [term#") ||
       pre.contains("ShuffledHashJoin [term#"),
       s"no shuffled df join on term in:\n$pre")
+    // tf is materialized at construction, so the query plan itself must
+    // contain NO corpus explode — tf and df both read the (column-
+    // pruned) scratch table; a Generate here means the corpus is being
+    // exploded per consumer again
+    assert(!pre.contains("Generate explode"),
+      s"corpus re-exploded in the query plan:\n$pre")
   }
 
   test("kmeans_embed: codebook is broadcast; no cartesian product") {
