@@ -84,6 +84,25 @@ class LazyGridViewSpec extends SparkTestBase {
       "time" -> Seq(1, 2), "lat" -> Seq(0, 1, 2))))
   }
 
+  test("vectorized indexer: randomized point sets match the value law") {
+    val store = Fixtures.pruneGrid // time 100 (chunks of 25), lat 5
+    val df = ctx.dataFrame("lazyvr", store, Map("time" -> 25), Seq("time", "lat"))
+    val view = LazyGridView.fromStore(df, store, Seq("time", "lat"),
+      Seq("temperature"))
+    val law = store.laws("temperature")
+    val rnd = new scala.util.Random(42)
+    for (round <- 0 until 3) {
+      val n = 1 + rnd.nextInt(8)
+      val ts = Seq.fill(n)(rnd.nextInt(100))
+      val ls = Seq.fill(n)(rnd.nextInt(5))
+      val res = view.selectVectorized(Seq("time" -> ts, "lat" -> ls))
+      assert(res.shape == Seq(n), s"round $round")
+      for (p <- 0 until n)
+        assert(res("temperature", p) == law(Array(ts(p), ls(p))),
+          s"round $round point $p (${ts(p)}, ${ls(p)})")
+    }
+  }
+
   test("lazy view auto: pure scan takes store coords, filtered plans discover") {
     // airSmall's lat axis DESCENDS (75 -> 50): the store fast path
     // preserves that order, discovery sorts ascending — an observable

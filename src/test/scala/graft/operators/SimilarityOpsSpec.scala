@@ -94,6 +94,29 @@ class SimilarityOpsSpec extends SparkTestBase {
       !plan.contains("CartesianProduct"), s"nested loop:\n$plan")
   }
 
+  test("boundedBlockPairs == naive join over randomized blocks and caps") {
+    import spark.implicits._
+    val rnd = new Random(20260813L)
+    for (round <- 0 until 3) {
+      // random block structure: a few blocks with wildly uneven sizes,
+      // some singleton, some above cap
+      val nBlocks = 2 + rnd.nextInt(4)
+      val rows = (0 until 400).map { i =>
+        (i.toLong, s"p$i", s"b${rnd.nextInt(nBlocks)}")
+      }.toDF("doc_id", "payload", "blk")
+      val cap = 1 + rnd.nextInt(40)
+      val got = SimilarityOps.boundedBlockPairs(rows, "blk", "doc_id", cap)
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = rows.as("a").join(rows.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"round $round cap $cap: " +
+        s"missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+    }
+  }
+
   test("minhash64 signatures estimate Jaccard") {
     val a = (0 until 200).map(i => s"tok$i").toArray
     val b = (100 until 300).map(i => s"tok$i").toArray // true J = 100/300
