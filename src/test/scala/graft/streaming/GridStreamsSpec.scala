@@ -172,6 +172,72 @@ class GridStreamsSpec extends SparkTestBase {
       "pre-restart chunks re-delivered or dropped")
   }
 
+  test("tailCells: torn append heals once the metadata commit lands") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft-tail-torn").toString
+    val live = base + "/live"
+    val twin = base + "/twin"
+    // live store: 2 committed chunks (t 0-11). twin: the same store
+    // with one more chunk appended (t 12-17) — the donor of a "torn"
+    // state: its chunk FILE copied into live ahead of any metadata
+    BinaryGridStore.write(Fixtures.linearGridSlice(0, 12), live,
+      Map("t" -> 6), "zstd")
+    BinaryGridStore.write(Fixtures.linearGridSlice(0, 12), twin,
+      Map("t" -> 6), "zstd")
+    BinaryGridStore.appendAlong(twin, Fixtures.linearGridSlice(12, 18), "t")
+    Files.copy(Paths.get(twin, "air", "2.0.0.bin"),
+      Paths.get(live, "air", "2.0.0.bin"))
+    // the stream sees the file; decode blocks in the metadata-refresh
+    // backoff; 1.5 s later the "writer" commits (metadata copy) and the
+    // batch completes instead of dying
+    val committer = new Thread(() => {
+      Thread.sleep(1500L)
+      Files.copy(Paths.get(twin, "metadata.txt"),
+        Paths.get(live, "metadata.txt"), StandardCopyOption.REPLACE_EXISTING)
+    })
+    committer.start()
+    val q = GridStreams.tailCells(spark, live, "air")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tail_torn").start()
+    q.processAllAvailable(); q.stop(); committer.join()
+    val rows = spark.table("tail_torn").collect()
+    assert(rows.length == 18 * 12 * 10,
+      s"${rows.length} cells — torn chunk not healed")
+    val law = Fixtures.linearGrid.laws("air")
+    rows.filter(_.getInt(0) >= 12).foreach { r =>
+      val t = r.getInt(0)
+      val i = ((75.0 - r.getDouble(1)) / 2.5).round.toInt
+      val j = ((r.getDouble(2) - 200.0) / 2.5).round.toInt
+      assert(r.getDouble(3) == law(Array(t, i, j)), s"cell ($t,$i,$j)")
+    }
+  }
+
+  test("tailCells: a commit that never lands fails the query, not silently") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft-tail-dead").toString
+    val live = base + "/live"
+    val twin = base + "/twin"
+    BinaryGridStore.write(Fixtures.linearGridSlice(0, 12), live,
+      Map("t" -> 6), "zstd")
+    BinaryGridStore.write(Fixtures.linearGridSlice(0, 12), twin,
+      Map("t" -> 6), "zstd")
+    BinaryGridStore.appendAlong(twin, Fixtures.linearGridSlice(12, 18), "t")
+    Files.copy(Paths.get(twin, "air", "2.0.0.bin"),
+      Paths.get(live, "air", "2.0.0.bin"))
+    val q = GridStreams.tailCells(spark, live, "air")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tail_dead").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      throw q.exception.getOrElse(
+        new IllegalStateException("query survived a torn store"))
+    }
+    assert(e.getMessage.contains("torn append") ||
+      Option(e.getCause).exists(_.getMessage.contains("torn append")),
+      s"unexpected failure: $e")
+    q.stop()
+  }
+
   test("tailCells: appended chunks arrive as later stream batches") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-tail").toString + "/store"
