@@ -224,7 +224,9 @@ object GridQueries {
       val appended = graft.grid.BinaryGridStore.appendAlong(root,
         Fixtures.linearGridSlice(12, 24), "t")
       new XarrayContext(s)
-        .dataFrame("append_grid", appended, appended.chunks,
+        // registry key carries the unique store root: concurrent
+        // evaluations must not cross-resolve each other's registration
+        .dataFrame(s"append_grid@$root", appended, appended.chunks,
           Seq("t", "lat", "lon"))
         .filter(col("t").between(8, 15))
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
@@ -290,7 +292,7 @@ object GridQueries {
         Map("t" -> 6))
       val store = graft.grid.BinaryGridStore.open(root)
       new XarrayContext(s)
-        .dataFrame("varstats_linear_grid", store, store.chunks,
+        .dataFrame(s"varstats_linear_grid@$root", store, store.chunks,
           Seq("t", "lat", "lon"))
         .filter(col("air") >= 255.0)
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
@@ -358,7 +360,7 @@ object GridQueries {
         Map("t" -> 6), root, "zstd")
       val store = graft.grid.BinaryGridStore.open(root)
       new XarrayContext(s)
-        .dataFrame("disk_linear_grid", store, store.chunks,
+        .dataFrame(s"disk_linear_grid@$root", store, store.chunks,
           Seq("t", "lat", "lon"))
         .filter(col("t") >= 12)
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
