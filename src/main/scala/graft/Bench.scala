@@ -53,10 +53,17 @@ object Bench {
     println(json)
     // also persist to a file: stdout artifacts have been truncated by
     // log capture, losing the per-query tail — the file is the durable
-    // copy of the full map
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench.json"), json + "\n")
+    // copy of the full map. Path overridable (cwd may not be the repo
+    // when launched via spark-submit); best-effort so a read-only cwd
+    // can never abort after the timed runs
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, json + "\n")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $out: $e")
+    }
     spark.stop()
   }
 }

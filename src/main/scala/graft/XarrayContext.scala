@@ -86,6 +86,17 @@ class XarrayContext(val spark: SparkSession) {
     spark.read.format(GridSource.FORMAT).option("dataset", key).load()
   }
 
+  /** [[dataFrame]] for throwaway per-invocation stores: the registry
+    * entry is dropped as soon as `load()` has captured the table, so
+    * unique scratch keys do not grow the registry for the life of the
+    * driver (partitions serialize the store itself; nothing consults
+    * the registry after load).
+    */
+  def scratchDataFrame(key: String, store: GridStore,
+      chunks: Map[String, Int], groupDims: Seq[String]): DataFrame =
+    try dataFrame(key, store, chunks, groupDims)
+    finally GridSource.unregister(key)
+
   def sql(query: String): DataFrame = spark.sql(query)
 
   /** API parity with the reference's legacy `from_map` (SURVEY §2A A17,

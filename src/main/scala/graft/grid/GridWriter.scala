@@ -70,7 +70,18 @@ object GridWriter {
     val chunkOffset =
       BinaryGridStore.validateAppend(existing, slabSchema, along)
     val conf = GridIO.driverConf()
-    val staging = root.stripSuffix("/") + ".staging-" +
+    // sweep residue of CRASHED prior appends before staging anew — the
+    // single-writer contract guarantees no live append owns any
+    // existing .staging-* tree, so deleting them all is safe and keeps
+    // retried ingests from permanently leaking slab-sized trees
+    val cleanRoot = root.stripSuffix("/")
+    val parentPath = new org.apache.hadoop.fs.Path(cleanRoot).getParent
+    val baseName = new org.apache.hadoop.fs.Path(cleanRoot).getName
+    if (parentPath != null)
+      GridIO.listNames(parentPath.toString, conf)
+        .filter(_.startsWith(baseName + ".staging-"))
+        .foreach(n => GridIO.delete(s"$parentPath/$n", conf))
+    val staging = cleanRoot + ".staging-" +
       java.util.UUID.randomUUID().toString.take(8)
     // stage ONLY the vars that grow with the axis: invariant vars'
     // chunks already exist in the store and their staged files would

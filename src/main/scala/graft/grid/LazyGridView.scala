@@ -75,6 +75,13 @@ final class LazyGridView(
   def selectVectorized(
       pointIndexers: Seq[(String, Seq[Int])]): GridResultData = {
     require(pointIndexers.nonEmpty, "no point indexers given")
+    // unknown dim names must fail loudly — select() ignores indexers
+    // for dims it doesn't have, which would silently return the full
+    // grid replicated per point
+    pointIndexers.foreach { case (d, _) =>
+      require(dims.exists(_._1 == d),
+        s"unknown dimension '$d'; view has ${dimNames.mkString(", ")}")
+    }
     val lens = pointIndexers.map(_._2.length).distinct
     val nPoints = lens.max
     require(lens.forall(l => l == nPoints || l == 1),

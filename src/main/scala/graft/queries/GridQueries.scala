@@ -224,9 +224,9 @@ object GridQueries {
       val appended = graft.grid.BinaryGridStore.appendAlong(root,
         Fixtures.linearGridSlice(12, 24), "t")
       new XarrayContext(s)
-        // registry key carries the unique store root: concurrent
-        // evaluations must not cross-resolve each other's registration
-        .dataFrame(s"append_grid@$root", appended, appended.chunks,
+        // registry key carries the unique store root (concurrent
+        // evaluations must not cross-resolve) and is dropped after load
+        .scratchDataFrame(s"append_grid@$root", appended, appended.chunks,
           Seq("t", "lat", "lon"))
         .filter(col("t").between(8, 15))
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
@@ -292,7 +292,7 @@ object GridQueries {
         Map("t" -> 6))
       val store = graft.grid.BinaryGridStore.open(root)
       new XarrayContext(s)
-        .dataFrame(s"varstats_linear_grid@$root", store, store.chunks,
+        .scratchDataFrame(s"varstats_linear_grid@$root", store, store.chunks,
           Seq("t", "lat", "lon"))
         .filter(col("air") >= 255.0)
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
@@ -360,7 +360,7 @@ object GridQueries {
         Map("t" -> 6), root, "zstd")
       val store = graft.grid.BinaryGridStore.open(root)
       new XarrayContext(s)
-        .dataFrame(s"disk_linear_grid@$root", store, store.chunks,
+        .scratchDataFrame(s"disk_linear_grid@$root", store, store.chunks,
           Seq("t", "lat", "lon"))
         .filter(col("t") >= 12)
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),

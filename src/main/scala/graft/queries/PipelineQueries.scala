@@ -407,11 +407,18 @@ object PipelineQueries {
       // phase 1: non-overlapping rank-ordered ranges; pid is captured
       // right after the range exchange (SparkPartitionID is
       // non-deterministic, so Catalyst cannot move it across the
-      // exchange) and the single range shuffle feeds both phases via
-      // exchange reuse
+      // exchange). The (tok, n, pid) relation is MATERIALIZED via
+      // localCheckpoint before fan-out: range-partitioner boundaries
+      // are sample-based, so if the two consumers below (local ranks;
+      // pid base offsets) each re-ran the shuffle they could pick
+      // DIFFERENT boundaries and compose wrong token ids — correctness
+      // must not hinge on ReuseExchange deduping the subplans. The
+      // checkpoint is vocab-sized (the tokenizer-build working set),
+      // never the corpus.
       val parts = counts
         .repartitionByRange(col("n").desc, col("tok"))
         .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
       val local = row_number().over(
         Window.partitionBy("pid").orderBy(col("n").desc, col("tok")))
       // phase 2: per-range counts cumsum into global base offsets — the

@@ -46,6 +46,17 @@ object GridSource {
       groupDims: Seq[String]): Unit =
     registry.put(key, (store, chunks, groupDims))
 
+  /** Drop a registration. Safe once the DataFrame has been `load()`ed:
+    * the provider resolves the table (capturing the store) eagerly at
+    * load, and partitions serialize the store itself — nothing consults
+    * the registry afterwards. Lets per-invocation scratch keys avoid
+    * growing the registry for the life of the driver.
+    */
+  def unregister(key: String): Unit = {
+    registry.remove(key)
+    ()
+  }
+
   def lookup(key: String): (GridStore, Map[String, Int], Seq[String]) = {
     val v = registry.get(key)
     require(v != null, s"no grid dataset registered under key '$key'")

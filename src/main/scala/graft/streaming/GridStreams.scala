@@ -96,7 +96,7 @@ object GridStreams {
     * writes chunk files BEFORE the metadata commit, so a poll racing an
     * in-flight append can surface a chunk whose `along` coords are not
     * yet committed. The decode task re-reads the store metadata with a
-    * short exponential backoff (~3 s budget) until the commit lands;
+    * short exponential backoff (~6 s budget) until the commit lands;
     * if the store stays torn past the budget the task fails, which
     * (once task retries are exhausted) STOPS the streaming query — the
     * binaryFile checkpoint has already planned the file, so recovery is

@@ -68,15 +68,17 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       assert(w.child.toString.contains("pid"),
         s"unpartitioned window not over the pid-count relation:\n$w")
     }
-    // (2) the vocab range exchange feeds BOTH rank phases through
-    // runtime reuse — the corpus explode + vocab aggregate run once,
-    // not once per phase
-    val reused = collectWithSubqueries(df.queryExecution.executedPlan) {
-      case r: ReusedExchangeExec => r
-    }
-    assert(reused.exists(_.child.toString.contains("rangepartitioning")),
-      s"vocab range exchange not reused (vocab built twice):\n" +
-        df.queryExecution.executedPlan)
+    // (2) the range-partitioned vocab is MATERIALIZED (localCheckpoint
+    // -> ExistingRDD scan) before fan-out: both rank phases must read
+    // the SAME physical partitioning — sample-based range boundaries
+    // recomputed per consumer could differ and compose wrong ids, so
+    // neither consumer may re-run the range exchange
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("ExistingRDD") ||
+      planStr.contains("Scan ExistingRDD"),
+      s"range-partitioned vocab not materialized:\n$planStr")
+    assert(!planStr.contains("rangepartitioning"),
+      s"a consumer re-runs the sample-based range exchange:\n$planStr")
     // (3) the encode join carries no broadcast hint: with size-based
     // broadcast disabled it plans as a shuffled join (stats/AQE may
     // still broadcast in normal runs — that's the point)
