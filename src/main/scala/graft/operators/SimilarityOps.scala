@@ -106,7 +106,7 @@ object SimilarityOps {
   def boundedBlockPairs(rows: DataFrame, blkCol: String, idCol: String,
       cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
-    val others = rows.columns.filterNot(_ == blkCol)
+    val others = rows.columns.toSeq.filterNot(_ == blkCol)
     val packed = rows.select(col(blkCol).as("blk"),
       struct(others.map(col): _*).as("p"))
     // per-block sub-split factor; the counts relation shares the blk
