@@ -1,7 +1,6 @@
 package graft.plans
 
-import graft.grid.ChunkGrid
-import graft.sources.{GridBounds, GridTable, ZoneMapPruning}
+import graft.sources.{GridPlanIndex, GridTable, ZoneMapPruning}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Add, Alias, GenericInternalRow, Literal}
@@ -66,21 +65,31 @@ case class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case gt: GridTable if gt.onlyBlocks.isEmpty =>
                 FilterInterop.translate(cond).flatMap { f =>
                   val schema = gt.store.schema
+                  if (graft.sources.SeparableDimFilters
+                      .isSeparable(f, schema, gt.groupDims))
+                    // the scan's exact filtered meta-aggregate pushdown
+                    // answers separable counts with zero reads already —
+                    // bail before walking the (possibly 10^5+) blocks
+                    None
+                  else {
                   val groupVars = schema.vars.filter(_.dims == gt.groupDims)
-                  val blocks =
-                    ChunkGrid.groupBlocks(schema, gt.groupDims, gt.chunks)
+                  // per-(dim, chunk) bounds precomputed once; per-block
+                  // classification is O(n_dims), no coordinate slicing
+                  val pidx = new GridPlanIndex(gt.store, gt.groupDims,
+                    gt.chunks, groupVars, Nil)
+                  val refVars =
+                    groupVars.filter(v => f.references.contains(v.name))
                   var total = 0L
                   val straddling = Seq.newBuilder[Seq[(Int, Int)]]
-                  blocks.foreach { b =>
+                  pidx.allBlockIdx.foreach { ci =>
                     // dim bounds + variable chunk stats: counts under
                     // variable predicates become metadata-answerable
                     // when the store records per-chunk min/max
-                    val bounds = GridBounds.forBlockWithVars(gt.store,
-                      gt.groupDims, groupVars, b)
+                    val bounds = pidx.boundsMap(ci, refVars)
                     if (ZoneMapPruning.excludes(f, bounds)) ()
                     else if (ZoneMapPruning.includes(f, bounds))
-                      total += ChunkGrid.rowCount(b)
-                    else straddling += b
+                      total += pidx.fullRows(ci)
+                    else straddling += pidx.slices(ci)
                   }
                   val boundary = straddling.result()
                   if (boundary.isEmpty)
@@ -88,13 +97,9 @@ case class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     Some(LocalRelation(Seq(alias.toAttribute),
                       Seq(new GenericInternalRow(
                         Array[Any](total)): InternalRow)))
-                  else if (total > 0L && !graft.sources.SeparableDimFilters
-                      .isSeparable(f, schema, gt.groupDims)) {
+                  else if (total > 0L) {
                     // partial: metadata count for included blocks + a
                     // real COUNT over ONLY the straddling blocks.
-                    // (Separable predicates bail instead: the scan's
-                    // exact meta-aggregate pushdown answers those with
-                    // zero reads already.)
                     val restricted = rel.copy(table = gt.restrictedTo(boundary))
                     val cnt = Alias(AggregateExpression(
                       Count(Seq(Literal(1))), Complete, isDistinct = false),
@@ -105,6 +110,7 @@ case class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
                       Add(cnt.toAttribute, Literal(total)), alias.name)(
                       exprId = alias.exprId)), inner))
                   } else None // nothing saved: keep the normal scan
+                  }
                 }
               case _ => None
             }

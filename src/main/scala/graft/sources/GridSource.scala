@@ -481,31 +481,51 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
 
   private def filters: Array[Filter] = staticFilters ++ runtimeFilters
 
-  /** Partition planning: enumerate chunk blocks, compute per-dim bounds
-    * from coordinate arrays only (actual min/max, so descending axes work;
-    * reference df.py:455-465), and drop blocks a pushed filter provably
-    * excludes (A6). No variable data is touched here.
+  /** One planned (surviving) block: slices, shipped RELATIVE surviving
+    * indices (Nil = every dim full), and its exact matching-cell count.
     */
-  private def survivingBlocks(
-      fs: Array[Filter]): Seq[(Seq[(Int, Int)], Map[String, DimBounds])] = {
-    val allBlocks = onlyBlocks.getOrElse(
-      ChunkGrid.groupBlocks(store.schema, groupDims, chunks))
-    allBlocks
-      .map(b =>
-        (b, GridBounds.forBlockWithVars(store, groupDims, groupVars, b)))
-      .filterNot { case (block, bounds) =>
-        fs.exists(f => ZoneMapPruning.excludes(f, bounds)) ||
-          blockKeep(block, fs).exists(_.isEmpty)
+  private final case class Planned(block: Seq[(Int, Int)],
+      keep: Seq[Array[Int]], rows: Long)
+
+  // per-(dim, chunk) planning index — O(total coords) once per scan,
+  // O(n_dims) per block afterwards. Explicit block whitelists
+  // (metadata-count boundary scans; always few blocks) keep the direct
+  // per-block walk instead of the cross-product enumeration.
+  private lazy val planIndex: Option[GridPlanIndex] =
+    if (onlyBlocks.isDefined) None
+    else Some(new GridPlanIndex(store, groupDims, chunks, groupVars,
+      staticFilters.toSeq))
+
+  /** Whitelist path: per-block bounds + keep, exactly the legacy walk.
+    * `pruneWith` decides exclusion (static + runtime filters); shipped
+    * keep lists always come from the STATIC filters only.
+    */
+  private def plannedWhitelist(pruneWith: Array[Filter]): IndexedSeq[Planned] =
+    onlyBlocks.get.iterator.map { b =>
+      val bounds = GridBounds.forBlockWithVars(store, groupDims, groupVars, b)
+      val pruneKeep = blockKeep(b, pruneWith)
+      if (pruneWith.exists(f => ZoneMapPruning.excludes(f, bounds)) ||
+        pruneKeep.exists(_.isEmpty)) None
+      else {
+        val keep = blockKeep(b, staticFilters)
+        val full = keep.zip(b).forall { case (k, (_, l)) => k.length == l }
+        Some(Planned(b, if (full) Nil else keep,
+          keep.foldLeft(1L)(_ * _.length)))
       }
-  }
+    }.flatten.toIndexedSeq
 
   // static view: what's known at planning time (stats, explain, the
   // columnar-vs-row decision); runtime filters only prune further
-  private lazy val staticSurviving = survivingBlocks(staticFilters)
+  private lazy val staticPlanned: IndexedSeq[Planned] = planIndex match {
+    case Some(ix) => ix.surviving.map(i =>
+      Planned(ix.slices(i), ix.relKeep(i), ix.blockRows(i)))
+    case None => plannedWhitelist(staticFilters)
+  }
 
   /** Per-dim surviving RELATIVE indices within a block under the
     * separable dim predicates (full range when none apply). An empty
     * list on any dim empties the whole block (dense cross product).
+    * Whitelist path only — the index precomputes these per chunk.
     */
   private def blockKeep(block: Seq[(Int, Int)],
       fs: Array[Filter]): Seq[Array[Int]] =
@@ -514,12 +534,7 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
         groupDims, d, start, len).map(_ - start)
     }
 
-  private lazy val anyDimFilter: Boolean =
-    staticSurviving.exists { case (block, _) =>
-      blockKeep(block, staticFilters).zip(block).exists {
-        case (keep, (_, len)) => keep.length != len
-      }
-    }
+  private lazy val anyDimFilter: Boolean = staticPlanned.exists(_.keep.nonEmpty)
 
   override def readSchema(): StructType = required
 
@@ -536,16 +551,24 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
     // lists use only the static ones so the planned columnar/row mode
     // still matches every partition (runtime pruning never changes rows
     // within a surviving chunk, only which chunks are read)
-    survivingBlocks(filters).map { case (block, _) =>
-      val keep = blockKeep(block, staticFilters)
-      GridInputPartition(storeBc, groupDims, block, required.fieldNames,
+    val planned: IndexedSeq[Planned] =
+      if (runtimeFilters.isEmpty) staticPlanned
+      else planIndex match {
+        case Some(stat) =>
+          // runtime filters are arbitrary, so re-index with them included
+          // (O(total coords), cheap) — surviving refs share the same
+          // chunk grid, and shipped keep comes from the static index
+          val rt = new GridPlanIndex(store, groupDims, chunks, groupVars,
+            filters.toSeq)
+          rt.surviving.map(i =>
+            Planned(stat.slices(i), stat.relKeep(i), stat.blockRows(i)))
+        case None => plannedWhitelist(filters)
+      }
+    planned.map(p =>
+      GridInputPartition(storeBc, groupDims, p.block, required.fieldNames,
         limit,
         topKeys.map { case (d, desc) => (groupDims.indexOf(d), desc) },
-        // ship surviving lists only when they actually filter something
-        if (keep.zip(block).forall { case (k, (_, l)) => k.length == l })
-          Nil
-        else keep): InputPartition
-    }.toArray
+        p.keep): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -563,9 +586,7 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
   override def estimateStatistics(): Statistics = new Statistics {
     // exact even under dim filters: per block, the matching cell count
     // is the product of per-dim surviving list sizes
-    private val rows = staticSurviving.map { case (block, _) =>
-      blockKeep(block, staticFilters).map(_.length.toLong).product
-    }.sum
+    private val rows = staticPlanned.iterator.map(_.rows).sum
     private val width = math.max(8,
       required.fieldNames.map(widthOf).sum)
     override def sizeInBytes(): OptionalLong = OptionalLong.of(rows * width)
@@ -579,7 +600,10 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
       .getOrElse(8)
 
   override def description(): String = {
-    val total = ChunkGrid.groupBlocks(store.schema, groupDims, chunks).size
+    // arithmetic, not enumeration: the full grid may have 10^5+ blocks
+    val total = ChunkGrid.resolve(
+      GridSchema(groupDims.map(store.schema.dim), Seq.empty), chunks)
+      .foldLeft(1L)(_ * _._2.length.toLong)
     val tn = if (topKeys.isEmpty) ""
     else s" pushedTopN=[${topKeys.map { case (d, desc) =>
       d + (if (desc) " DESC" else " ASC") }.mkString(",")} limit=$limit]"
@@ -588,7 +612,7 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
       SeparableDimFilters.isSeparable(f, store.schema, groupDims))
       .mkString("[", ",", "]")
     s"GridScan dims=[${groupDims.mkString(",")}] " +
-      s"partitions=${staticSurviving.size}/$total cols=[${required.fieldNames.mkString(",")}]$tn$ef"
+      s"partitions=${staticPlanned.size}/$total cols=[${required.fieldNames.mkString(",")}]$tn$ef"
   }
 }
 

@@ -155,6 +155,13 @@ object SeparableDimFilters {
       case StringCoords(v) => v(i)
     }
 
+  /** Dims that carry at least one separable conjunct in `filters` —
+    * the dims whose surviving-index lists actually filter anything.
+    */
+  def predicatedDims(filters: Seq[Filter], schema: GridSchema,
+      groupDims: Seq[String]): Set[String] =
+    conjunctsByDim(filters, schema, groupDims).keySet
+
   /** Per-dim surviving ABSOLUTE coordinate indices within
     * [start, start+len) under the conjunction of all separable filters.
     * Dims without predicates survive in full.
