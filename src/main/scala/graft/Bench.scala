@@ -57,12 +57,37 @@ object Bench {
     // when launched via spark-submit); best-effort so a read-only cwd
     // can never abort after the timed runs
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    // NonFatal (not just IOException): Paths.get can throw unchecked
+    // InvalidPathException for a malformed override, and nothing after
+    // the timed runs may abort before spark.stop()
     try {
       val p = java.nio.file.Paths.get(out)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(p, json + "\n")
-    } catch { case e: java.io.IOException =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: $e")
+    }
+    // round-stamped copy next to the driver's BENCH_r<N>.json series
+    // (cwd = repo root when launched via sbt): the driver's stdout
+    // capture keeps truncating the per-query tail, so the stamped file
+    // is the durable full artifact for the CURRENT round = 1 + the
+    // latest driver-written round.
+    try {
+      val dir = java.nio.file.Paths.get(".")
+      val re = raw"BENCH_r(\d+)\.json".r
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(dir)
+      val prev = try listing.iterator().asScala
+        .flatMap(p => re.findFirstMatchIn(p.getFileName.toString))
+        .map(_.group(1).toInt).maxOption.getOrElse(0)
+      finally listing.close()
+      val stamped = java.nio.file.Paths.get(
+        f"target/bench_r${prev + 1}%02d.json")
+      Option(stamped.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(stamped, json + "\n")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write round-stamped copy: $e")
     }
     spark.stop()
   }

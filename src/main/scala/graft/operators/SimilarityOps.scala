@@ -85,8 +85,12 @@ object SimilarityOps {
     * hot block appears (every doc sharing a boilerplate prefix, a null
     * key, ...).
     *
-    * Blocks with m <= cap members join as a plain (blk) equi-join with
-    * zero overhead (g = 1, no replication). A block with m > cap splits
+    * A one-scalar pre-check (max block count vs cap) short-circuits the
+    * whole mechanism when the input is unskewed: if no block exceeds
+    * the cap, the result is a plain (blk) equi-join — no split
+    * relation, no explode, no replication — with every pair in cell
+    * (0, 0). Otherwise blocks with m <= cap members still join with
+    * g = 1 (no replication) while a block with m > cap splits
     * into g = ceil(m/cap) hash sub-blocks and its pair space becomes
     * the g*(g+1)/2 sub-block-pair cells, keyed (blk, i, j): a row with
     * sub-block s enters side A of cells (s, j >= s) and side B of
@@ -109,9 +113,26 @@ object SimilarityOps {
     val others = rows.columns.toSeq.filterNot(_ == blkCol)
     val packed = rows.select(col(blkCol).as("blk"),
       struct(others.map(col): _*).as("p"))
+    val counts = packed.groupBy("blk").agg(count(lit(1)).as("m"))
+    // one-scalar pre-check: when no block exceeds the cap (the common,
+    // unskewed case) the guard is a no-op, so skip its plumbing — the
+    // pair join becomes a plain blk equi-join with zero replication,
+    // no sequence/explode, no split join. Every pair lands in the
+    // single cell (0, 0); semantics identical.
+    val maxM = counts.agg(max(col("m"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    if (maxM <= cap) {
+      return packed.select(col("blk"), col("p").as("pa"))
+        .join(packed.select(col("blk"), col("p").as("pb")), Seq("blk"))
+        .filter(col(s"pa.$idCol") < col(s"pb.$idCol"))
+        .select(col("blk"), lit(0).as("i"), lit(0).as("j"),
+          col("pa").as("a"), col("pb").as("b"))
+    }
     // per-block sub-split factor; the counts relation shares the blk
     // shuffle key with the pair join, so its exchange is reused
-    val splits = packed.groupBy("blk").agg(count(lit(1)).as("m"))
+    val splits = counts
       .select(col("blk"),
         greatest(lit(1L), ceil(col("m").cast("double") / cap))
           .cast("int").as("g"))

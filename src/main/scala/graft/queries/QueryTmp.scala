@@ -32,7 +32,8 @@ object QueryTmp {
   private def deleteTree(p: Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(f => Files.deleteIfExists(f))
+      val walk = Files.walk(p)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverseIterator.foreach(f => Files.deleteIfExists(f))
     } catch { case _: java.io.IOException => () } // best-effort at exit
 }

@@ -148,6 +148,11 @@ object GridStreams {
           store.chunks.getOrElse(d.name, math.max(d.size, 1))).toArray
         dimSize = dims.map(_.size).toArray
       }
+      // ONE shared backoff budget per partition: a metadata refresh
+      // covers every file the batch planned, so several not-yet-
+      // committed chunk files wait out one budget total (~6.3 s), not
+      // a multiple of it per file
+      var triesLeft = 10
       rows.flatMap { r =>
         val fn = r.getString(0).split('/').last.stripSuffix(".bin")
         val ci = fn.split('.').map(_.toInt)
@@ -161,10 +166,11 @@ object GridStreams {
         def beyondExtent =
           (0 until nd).exists(k => ci(k) * chunkSz(k) >= dimSize(k))
         var tries = 0
-        while (beyondExtent && tries < 10) {
+        while (beyondExtent && triesLeft > 0) {
           Thread.sleep(100L << math.min(tries, 3))
           refresh()
           tries += 1
+          triesLeft -= 1
         }
         require(!beyondExtent,
           s"chunk $fn beyond committed $name extent after $tries " +
