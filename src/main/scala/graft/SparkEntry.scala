@@ -31,4 +31,16 @@ object SparkEntry {
       graft.queries.RelationalQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.GridQueries.oracleSql
+
+  /** Pinned output schemas (Spark DDL) for queries WITHOUT an oracle:
+    * sketch-valued results (approx_stats) can't be value-gated against
+    * DuckDB — HLL++/GK internals are engine-specific — but their
+    * column names and types can and must be. Verify asserts these at
+    * dump time, so a schema drift fails the round loudly instead of
+    * slipping through the rows-only gate.
+    */
+  def pinnedSchemas: Map[String, String] = Map(
+    "approx_stats" ->
+      ("lang STRING,approx_distinct_texts BIGINT," +
+        "p50_chars DOUBLE,p95_chars DOUBLE"))
 }

@@ -17,9 +17,22 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // non-oracled queries get their schema pinned here instead:
+        // names + types must match the declared DDL exactly
+        SparkEntry.pinnedSchemas.get(name).foreach { ddl =>
+          val expected = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+          val got = org.apache.spark.sql.types.StructType(
+            df.schema.map(f => f.copy(metadata =
+              org.apache.spark.sql.types.Metadata.empty, nullable = true)))
+          val want = org.apache.spark.sql.types.StructType(
+            expected.map(_.copy(nullable = true)))
+          require(got == want,
+            s"schema drift: got ${got.toDDL}, pinned ${expected.toDDL}")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

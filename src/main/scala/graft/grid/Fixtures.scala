@@ -142,6 +142,30 @@ object Fixtures {
       Map("temp" -> AffineLaw(100.0, Seq(0.5, 3.0))))
   }
 
+  /** Noleap-calendar fixture: 120 daily offsets ("days since
+    * 2000-01-01", calendar=noleap) x 4 latitudes, bridged onto the
+    * real timeline as timestamps (the GregorianLike tier,
+    * reference cftime.py:33-47). The year 2000 is a REAL leap year
+    * with no Feb 29 in the noleap reckoning, so offset 59 decodes to
+    * 2000-03-01 — the discriminator that catches a naive
+    * epoch + 86400*offset bridge (which would land on Feb 29 and
+    * shift the Mar-1 filter boundary by a row). Dyadic value law for
+    * oracle parity.
+    */
+  def noleapGrid: SyntheticGridStore = {
+    val micros = (0L until 120L).map(o => graft.time.CfCalendar
+      .offsetToMicros(o, "days since 2000-01-01", "noleap")).toArray
+    val lat = DoubleCoords((0 until 4).map(i => 10.0 * i).toArray)
+    SyntheticGridStore(
+      GridSchema(
+        Seq(
+          DimDef("time", TimeCoords(micros), calendar = Some("noleap"),
+            units = Some("days since 2000-01-01")),
+          DimDef("lat", lat)),
+        Seq(VarDef("temp", Seq("time", "lat"), GDouble))),
+      Map("temp" -> AffineLaw(100.0, Seq(0.5, 3.0))))
+  }
+
   /** Station fixture: a string-coordinate dimension (8 stations) x 10
     * daily timestamps. String dims are queryable but carry no pruning
     * bounds (reference df.py:447-450; station table in

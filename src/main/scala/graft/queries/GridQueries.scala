@@ -335,6 +335,20 @@ object GridQueries {
               |WHERE time >= cftime('1900-03-01')""".stripMargin)
     }),
 
+    // noleap calendar through the GregorianLike tier: offsets decode in
+    // the calendar's own 365-day reckoning onto real-timeline
+    // timestamps (CfCalendar.offsetToMicros). The filter crosses the
+    // Feb-28/Mar-1 boundary of the REAL leap year 2000 — offset 59 is
+    // Mar 1 in noleap where a naive epoch+86400*t bridge lands on
+    // Feb 29 and shifts the boundary. Chunked by 30 offsets, the
+    // timestamp zone maps prune chunk 0 (Jan 1 - Jan 30).
+    "pivot_grid_noleap" -> ((s, _) => {
+      new XarrayContext(s).fromDataset("calnoleap", Fixtures.noleapGrid,
+        Map("time" -> 30))
+      s.sql("""SELECT time, lat, temp FROM calnoleap
+              |WHERE time >= timestamp'2000-03-01 00:00:00'""".stripMargin)
+    }),
+
     // string-coordinate dimension end-to-end (station table shape,
     // reference tests/test_sql.py:137-152): string dims are queryable
     // (residual IN filter, ASCII ordering identical across engines) but
@@ -517,6 +531,21 @@ object GridQueries {
         |       generate_series(0, 3) g2(i))
         |SELECT CAST(t AS BIGINT) AS time, lat, temp
         |FROM cal WHERE t >= 60""".stripMargin,
+    "pivot_grid_noleap" ->
+      // replay the noleap decode as literal arithmetic: offsets < 59
+      // (Jan 1 - Feb 28) land on the same real dates; from offset 59 on
+      // the real timeline has one extra day (Feb 29 2000) the noleap
+      // calendar skips, so the real date is offset + 1 days after the
+      // epoch. All 120 offsets stay inside year 2000.
+      """WITH cal AS (
+        |  SELECT t, 10.0*i AS lat, 100.0 + 0.5*t + 3.0*i AS temp,
+        |         TIMESTAMP '2000-01-01 00:00:00' +
+        |           (CASE WHEN t >= 59 THEN t + 1 ELSE t END) * INTERVAL 1 DAY
+        |           AS time
+        |  FROM generate_series(0, 119) g1(t),
+        |       generate_series(0, 3) g2(i))
+        |SELECT time, lat, temp FROM cal
+        |WHERE time >= TIMESTAMP '2000-03-01 00:00:00'""".stripMargin,
     "pivot_grid_disk" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air

@@ -88,6 +88,49 @@ object CfCalendar {
     days * u.stepsPerDay
   }
 
+  /** Gregorian-like CF offset -> microseconds since the Unix epoch:
+    * decode the offset in the calendar's OWN reckoning to a civil
+    * (year, month, day [, intra-day steps]) and place that date on the
+    * real timeline — the reference's two-tier rule maps
+    * noleap/365_day/all_leap/366_day onto datetime64 timestamps
+    * (cftime.py:33-47). The discriminating case: "days since
+    * 2000-01-01" offset 59 in noleap is 2000-03-01 (no Feb 29 in the
+    * calendar), where a naive epoch + offset*86400 bridge lands on the
+    * real timeline's 2000-02-29 and shifts every later row.
+    *
+    * all_leap's Feb 29 of a real non-leap year does not exist on the
+    * timeline; that date throws (java.time.DateTimeException), the
+    * same unrepresentability the reference's datetime64 bridge hits.
+    */
+  def offsetToMicros(offset: Long, units: String, calendar: String): Long = {
+    require(classify(calendar) == GregorianLike,
+      s"calendar $calendar keeps int64 offsets; no timestamp bridge")
+    val u = parseUnits(units)
+    val spd = u.stepsPerDay
+    val totalSteps =
+      daysFromYearZero(calendar, u.refY, u.refM, u.refD) * spd + offset
+    val days = Math.floorDiv(totalSteps, spd)
+    val remSteps = Math.floorMod(totalSteps, spd)
+    val (y, m, d) = calendar.toLowerCase match {
+      case "noleap" | "365_day" =>
+        val yy = Math.floorDiv(days, 365L).toInt
+        var doy = Math.floorMod(days, 365L).toInt
+        var mm = 0
+        while (doy >= monthDays(mm)) { doy -= monthDays(mm); mm += 1 }
+        (yy, mm + 1, doy + 1)
+      case "all_leap" | "366_day" =>
+        val yy = Math.floorDiv(days, 366L).toInt
+        var doy = Math.floorMod(days, 366L).toInt
+        var mm = 0
+        while (doy >= monthDaysLeap(mm)) { doy -= monthDaysLeap(mm); mm += 1 }
+        (yy, mm + 1, doy + 1)
+      case _ => // standard/gregorian/proleptic_gregorian: real timeline
+        val ld = java.time.LocalDate.ofEpochDay(days - 719528L)
+        (ld.getYear, ld.getMonthValue, ld.getDayOfMonth)
+    }
+    gregorianMicros(y, m, d) + remSteps * (86400000000L / spd)
+  }
+
   /** Gregorian-like coordinate -> microseconds since the Unix epoch.
     * noleap/all_leap datasets are mapped via their own year lengths onto
     * the real timeline's matching civil date (the reference's "two-tier"

@@ -220,4 +220,20 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(pairJoinKeyed,
       s"within-cluster pair join not keyed on cluster id:\n$s")
   }
+  test("approx_stats: pinned output schema (no oracle, schema gated here)") {
+    // the sketch values are engine-specific (HLL++/GK), so the driver
+    // gate is rows-only — the schema contract lives in
+    // SparkEntry.pinnedSchemas and is asserted by Verify at dump time
+    // and here in unit tests
+    val df = SparkEntry.queries("approx_stats")(spark, sf)
+    val expected = org.apache.spark.sql.types.StructType.fromDDL(
+      SparkEntry.pinnedSchemas("approx_stats"))
+    val norm = (t: org.apache.spark.sql.types.StructType) =>
+      org.apache.spark.sql.types.StructType(t.map(f => f.copy(
+        metadata = org.apache.spark.sql.types.Metadata.empty,
+        nullable = true)))
+    assert(norm(df.schema) == norm(expected),
+      s"schema drift: ${df.schema.toDDL} vs pinned ${expected.toDDL}")
+  }
+
 }

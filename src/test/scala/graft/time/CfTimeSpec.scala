@@ -49,6 +49,32 @@ class CfTimeSpec extends SparkTestBase {
       "standard") == 60L)
   }
 
+  test("noleap/all_leap offsets decode onto the real timeline") {
+    import CfCalendar._
+    // noleap skips the real 2000-02-29: offset 59 is Mar 1
+    assert(offsetToMicros(58, "days since 2000-01-01", "noleap") ==
+      gregorianMicros(2000, 2, 28))
+    assert(offsetToMicros(59, "days since 2000-01-01", "noleap") ==
+      gregorianMicros(2000, 3, 1))
+    // year rollover at 365 days, every year
+    assert(offsetToMicros(365, "days since 2000-01-01", "noleap") ==
+      gregorianMicros(2001, 1, 1))
+    // all_leap always has Feb 29 — representable in real leap years
+    assert(offsetToMicros(59, "days since 2000-01-01", "all_leap") ==
+      gregorianMicros(2000, 2, 29))
+    assert(offsetToMicros(366, "days since 2000-01-01", "all_leap") ==
+      gregorianMicros(2001, 1, 1))
+    // ...but 2001's all_leap Feb 29 is off the real timeline
+    intercept[java.time.DateTimeException](
+      offsetToMicros(366 + 59, "days since 2000-01-01", "all_leap"))
+    // sub-day units carry through the day bridge
+    assert(offsetToMicros(25, "hours since 2000-02-28", "noleap") ==
+      gregorianMicros(2000, 3, 1, hour = 1))
+    // non-Gregorian calendars refuse the timestamp bridge
+    intercept[IllegalArgumentException](
+      offsetToMicros(0, "days since 2000-01-01", "360_day"))
+  }
+
   test("gregorian micros epoch sanity") {
     assert(CfCalendar.gregorianMicros(1970, 1, 1) == 0L)
     assert(CfCalendar.gregorianMicros(2000, 1, 1) == 946684800000000L)
