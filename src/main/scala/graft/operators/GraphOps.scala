@@ -65,4 +65,60 @@ object GraphOps {
         "graph diameter exceeds maxIter")
     labels
   }
+
+  /** Connected components in O(log diameter) rounds: min-label
+    * propagation PLUS pointer jumping. Each round a node takes the
+    * minimum of (a) its neighbours' labels — the hooking step that
+    * merges adjacent label trees — and (b) its label's own label
+    * (l(l(v)) — pointer doubling, which halves the depth of every
+    * label chain). Label values are always node ids (minima over ids),
+    * so the jump is a self-join of the label table on `cluster = id`.
+    *
+    * Same contract, determinism, and per-round cost shape as
+    * [[connectedComponents]] (two shuffles per round instead of one,
+    * one driver-read scalar per round, `localCheckpoint` lineage
+    * truncation, throws past `maxIter`) — but a chain-of-duplicates
+    * graph that min-propagation crosses in `diameter` rounds closes in
+    * ~log2(diameter) + 2: a 10^4-node path needs ~15 rounds instead of
+    * 10^4. Use this when near-dup relations can chain (A~B~C~... web
+    * boilerplate gradients at corpus scale); plain propagation stays
+    * the default for the clique-and-short-chain graphs LSH verify
+    * emits, where its single shuffle per round wins.
+    */
+  def pointerJump(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b"), col("cluster").as("nl")), "b")
+        .groupBy(col("a").as("id")).agg(min("nl").as("nbr"))
+      // l(l(v)): follow the label pointer one hop — label values are
+      // node ids, so they resolve against the label table itself
+      val jumped = labels
+        .join(labels.select(col("id").as("cluster"), col("cluster").as("jl")),
+          Seq("cluster"), "left")
+        .select(col("id"), col("cluster"), coalesce(col("jl"), col("cluster")).as("jl"))
+      val next = jumped.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), col("jl"),
+            coalesce(col("nbr"), col("cluster"))).as("cluster"),
+          (least(col("jl"), coalesce(col("nbr"), col("cluster")))
+            < col("cluster")).as("chg"))
+        .localCheckpoint(true)
+      converged = next.filter(col("chg")).limit(1).count() == 0L
+      labels = next.select("id", "cluster")
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"pointer-jumping components did not converge in $maxIter rounds")
+    labels
+  }
 }

@@ -27,4 +27,32 @@ class GraphOpsSpec extends SparkTestBase {
     assert(cc.keySet == (80L to 100L).toSet)
     assert(cc.values.forall(_ == 80L))
   }
+
+  test("pointer jumping matches propagation on mixed graphs") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("a", "b")
+    val pj = GraphOps.pointerJump(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pj == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("pointer jumping closes a 10^4-node path in < 20 rounds") {
+    val sqlc = spark
+    import sqlc.implicits._
+    // a diameter-9999 path: min-label propagation would need 10^4
+    // rounds (and rightly throws at maxIter); pointer doubling reaches
+    // the far end in ~log2(diameter) + 2 rounds
+    val n = 10000L
+    val edges = spark.range(1, n).selectExpr("id AS a", "id - 1 AS b")
+    val pj = GraphOps.pointerJump(edges, "a", "b", maxIter = 20)
+    val agg = pj.agg(
+      org.apache.spark.sql.functions.countDistinct("cluster"),
+      org.apache.spark.sql.functions.max("cluster"),
+      org.apache.spark.sql.functions.count("id")).collect()(0)
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == 0L &&
+      agg.getLong(2) == n)
+  }
 }
