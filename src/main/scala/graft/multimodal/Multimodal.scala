@@ -11,10 +11,15 @@ import org.apache.spark.sql.types._
   * batch transforms.
   *
   * The Spark-side plumbing — schema, mapPartitions batching, metadata
-  * propagation, partition preservation — is real and tested. The codec
-  * itself is a STUB: this container has no image/audio libraries, so
-  * `decodeBytes` derives deterministic fake pixels from the payload via
-  * splitmix64. Swapping in a real codec changes only that one function.
+  * propagation, partition preservation — is real and tested. IMAGE decode
+  * is real too: [[decodePpm]] is a pure-JVM binary PPM (P6) parser —
+  * netpbm header with comments/whitespace, 8-bit RGB raster — and
+  * [[mediaFeatures]] extracts width/height/per-channel means from the
+  * actual pixels. Audio/video codecs (and the dense feature-vector
+  * extractor [[decodeFeatures]], which models an embedding model's
+  * output) remain deterministic STUBs: this container ships no
+  * audio/video libraries, and swapping a real codec in changes only
+  * those functions.
   */
 object Multimodal {
 
@@ -86,24 +91,125 @@ object Multimodal {
     }(enc)
   }
 
-  /** Typed feature extraction over opaque binary payloads, partition-wise
-    * (the batch shape a real decoder runs in: one pass over each
-    * partition's rows, no shuffle, binary in / typed scalars out). The
-    * decode itself is a STUB — header magic plus arithmetic
-    * pseudo-dimensions derived from the byte length — deliberately simple
-    * enough that a SQL oracle replays it exactly, while the Spark-side
-    * plumbing (binary column, mapPartitions batching, typed output
-    * schema, null payloads) is the real thing.
+  /** One decoded PPM image: dimensions plus the raw RGB24 raster. */
+  final case class PpmImage(width: Int, height: Int,
+      raster: Array[Byte]) {
+    /** Exact per-channel means: integer channel sums divided by the
+      * pixel count — one double division, bit-identical on any engine.
+      */
+    def meanRgb: (Double, Double, Double) = {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var p = 0
+      val n = width * height
+      while (p < n) {
+        sr += raster(3 * p) & 0xff
+        sg += raster(3 * p + 1) & 0xff
+        sb += raster(3 * p + 2) & 0xff
+        p += 1
+      }
+      (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
+  }
+
+  /** Pure-JVM binary PPM (P6) decode: the netpbm header — `P6`, then
+    * width, height, maxval as ASCII integers separated by whitespace,
+    * with `#` comments legal between tokens — followed by ONE
+    * whitespace byte and the `width*height*3` RGB24 raster. 8-bit
+    * (maxval 255) only; malformed input throws
+    * IllegalArgumentException with the failing condition.
+    */
+  def decodePpm(bytes: Array[Byte]): PpmImage = {
+    require(bytes != null && bytes.length >= 2 &&
+      bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM payload")
+    var pos = 2
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def skipWsAndComments(): Unit = {
+      var more = true
+      while (more && pos < bytes.length) {
+        if (isWs(bytes(pos))) pos += 1
+        else if (bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else more = false
+      }
+    }
+    def readInt(what: String): Int = {
+      skipWsAndComments()
+      val start = pos
+      var v = 0L
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0')
+        require(v <= Int.MaxValue, s"$what overflows")
+        pos += 1
+      }
+      require(pos > start, s"missing $what in PPM header")
+      v.toInt
+    }
+    val w = readInt("width")
+    val h = readInt("height")
+    val maxVal = readInt("maxval")
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    require(maxVal == 255, s"only 8-bit (maxval 255) supported, got $maxVal")
+    require(pos < bytes.length && isWs(bytes(pos)),
+      "missing whitespace after maxval")
+    pos += 1 // exactly one whitespace byte before the raster
+    require(bytes.length - pos >= 3 * w * h,
+      s"truncated raster: need ${3 * w * h} bytes, have ${bytes.length - pos}")
+    PpmImage(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * w * h))
+  }
+
+  /** Encode RGB24 pixels as binary PPM (P6, maxval 255): `px(p)` gives
+    * the (r, g, b) of flat pixel p in row-major order.
+    */
+  def encodePpm(w: Int, h: Int, px: Int => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = 0
+    while (p < w * h) {
+      val (r, g, b) = px(p)
+      out(header.length + 3 * p) = r.toByte
+      out(header.length + 3 * p + 1) = g.toByte
+      out(header.length + 3 * p + 2) = b.toByte
+      p += 1
+    }
+    out
+  }
+
+  /** Deterministic P6 fixture: single-digit dimensions (w = 4 + id%5,
+    * h = 3 + id%4) and closed-form channel laws (r = (7id + 3p) % 256,
+    * g = (11id + 5p) % 256, b = (13id + 7p) % 256 at flat pixel p), so
+    * an SQL oracle can replay the DECODED features analytically while
+    * the engine runs the real byte-level parse.
+    */
+  def ppmFixture(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    encodePpm(w, h, p => (
+      ((id * 7 + p * 3L) % 256).toInt,
+      ((id * 11 + p * 5L) % 256).toInt,
+      ((id * 13 + p * 7L) % 256).toInt))
+  }
+
+  /** Typed feature extraction over binary media payloads, partition-wise
+    * (the batch shape a decoder runs in: one pass over each partition's
+    * rows, no shuffle, binary in / typed scalars out). Image payloads
+    * go through the REAL [[decodePpm]] parser — width/height and exact
+    * per-channel pixel means from the decoded raster; a payload that
+    * fails to parse yields null features (its byte count survives, so
+    * corrupt rows are countable). Non-image kinds (no audio/video
+    * codec in this container) carry byte counts only.
     */
   def mediaFeatures(df: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType),
       StructField("n_bytes", LongType),
-      StructField("magic", StringType),
-      StructField("width", LongType),
-      StructField("height", LongType),
-      StructField("n_frames", LongType)))
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
     val enc = RowEncoder.encoderFor(outSchema)
     val idIdx = df.schema.fieldIndex("media_id")
     val kindIdx = df.schema.fieldIndex("kind")
@@ -113,12 +219,18 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val kind = r.getString(kindIdx)
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        if (bytes == null) Row(id, kind, null, null, null, null, null)
+        if (bytes == null) Row(id, kind, null, null, null, null, null, null)
         else {
           val n = bytes.length.toLong
-          val magic = bytes.take(4).map(b => f"${b & 0xff}%02X").mkString
-          Row(id, kind, n, magic,
-            64L + n % 577L, 64L + (n * 31L) % 421L, 1L + n % 24L)
+          if (kind == "image") {
+            try {
+              val img = decodePpm(bytes)
+              val (mr, mg, mb) = img.meanRgb
+              Row(id, kind, n, img.width, img.height, mr, mg, mb)
+            } catch { case _: IllegalArgumentException =>
+              Row(id, kind, n, null, null, null, null, null)
+            }
+          } else Row(id, kind, n, null, null, null, null, null)
         }
       }
     }(enc)

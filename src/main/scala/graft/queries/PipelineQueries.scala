@@ -324,17 +324,25 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("cosine"))
     }),
 
-    // multimodal: opaque binary payloads -> typed features through the
-    // partition-wise decode plumbing (decode STUBbed deterministically;
-    // see Multimodal.mediaFeatures)
-    "media_features" -> ((s, d) =>
+    // multimodal: binary payloads -> typed features through the
+    // partition-wise decode plumbing. Image rows carry REAL binary PPM
+    // (P6) payloads and go through the actual byte-level parser
+    // (Multimodal.decodePpm): width/height from the header, exact
+    // per-channel means from the decoded raster. Pixel values follow a
+    // closed-form law in (doc_id, pixel), so the oracle replays the
+    // DECODED features analytically. Audio/video rows stay opaque
+    // bytes (no codec in this container) with byte counts only.
+    "media_features" -> ((s, d) => {
+      val ppm = udf((id: Long) => graft.multimodal.Multimodal.ppmFixture(id))
       graft.multimodal.Multimodal.mediaFeatures(
         Tables.documents(s, d).select(
           col("doc_id").as("media_id"),
           when(col("doc_id") % 3 === 0, "image")
             .when(col("doc_id") % 3 === 1, "audio")
             .otherwise("video").as("kind"),
-          col("text").cast("binary").as("payload")))),
+          when(col("doc_id") % 3 === 0, ppm(col("doc_id")))
+            .otherwise(col("text").cast("binary")).as("payload")))
+    }),
 
     // per-document text statistics (quality-scoring features)
     "text_stats" -> ((s, d) => {
@@ -1291,16 +1299,36 @@ object PipelineQueries {
     // answer: parquet round-trips doubles exactly, so one oracle serves
     "ann_ivf_bucketed" -> annIvfOracle,
     "media_features" ->
-      """SELECT doc_id AS media_id,
-        |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
-        |  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |substring(hex(encode(text)), 1, 8) AS magic,
-        |CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
-        |CAST(64 + (octet_length(encode(text)) * 31) % 421 AS BIGINT)
-        |  AS height,
-        |CAST(1 + octet_length(encode(text)) % 24 AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin,
+      // replay the DECODED image features analytically: the PPM fixture
+      // is "P6\n<w> <h>\n255\n" (11 bytes at single-digit dims) + 3wh
+      // raster bytes whose channels follow (7id+3p)%256 / (11id+5p)%256
+      // / (13id+7p)%256 — the engine parses the actual bytes, the
+      // oracle computes what the parse must yield
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |    CAST(3 + doc_id % 4 AS INTEGER) AS h,
+        |    octet_length(encode(text)) AS tb
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    SUM((doc_id * 7 + p * 3) % 256) AS sr,
+        |    SUM((doc_id * 11 + p * 5) % 256) AS sg,
+        |    SUM((doc_id * 13 + p * 7) % 256) AS sb
+        |  FROM base, generate_series(0, 47) g(p)
+        |  WHERE kind = 'image' AND p < w * h
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id AS media_id, b.kind,
+        |  CAST(CASE WHEN b.kind = 'image' THEN 11 + 3 * b.w * b.h
+        |    ELSE b.tb END AS BIGINT) AS n_bytes,
+        |  CASE WHEN b.kind = 'image' THEN b.w END AS width,
+        |  CASE WHEN b.kind = 'image' THEN b.h END AS height,
+        |  CAST(px.sr AS DOUBLE) / (b.w * b.h) AS mean_r,
+        |  CAST(px.sg AS DOUBLE) / (b.w * b.h) AS mean_g,
+        |  CAST(px.sb AS DOUBLE) / (b.w * b.h) AS mean_b
+        |FROM base b LEFT JOIN px ON b.doc_id = px.doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |CAST(length(text) AS BIGINT) AS n_chars_calc,

@@ -182,16 +182,21 @@ class SimilarityOpsSpec extends SparkTestBase {
   test("multimodal: mediaFeatures extracts typed features from binary payloads") {
     import spark.implicits._
     val df = Seq(
-      (0L, "image", "hello world".getBytes("UTF-8")),
+      (0L, "image", graft.multimodal.Multimodal.ppmFixture(0L)),
       (1L, "audio", Array[Byte](0x4d, 0x5a, 0x00, 0x01, 0x7f)),
       (2L, "video", Array.emptyByteArray),
       (3L, "image", null.asInstanceOf[Array[Byte]]))
       .toDF("media_id", "kind", "payload")
     val out = graft.multimodal.Multimodal.mediaFeatures(df)
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(out(0L).getLong(2) == 11L && out(0L).getString(3) == "68656C6C")
-    assert(out(1L).getString(3) == "4D5A0001" && out(1L).getLong(4) == 64L + 5L % 577L)
-    assert(out(2L).getLong(2) == 0L && out(2L).getString(3) == "")
+    // image: real PPM decode — dims from the header, means from pixels
+    assert(out(0L).getLong(2) ==
+      graft.multimodal.Multimodal.ppmFixture(0L).length.toLong)
+    assert(out(0L).getInt(3) == 4 && out(0L).getInt(4) == 3 &&
+      !out(0L).isNullAt(5))
+    // non-image kinds: byte counts only (no codec)
+    assert(out(1L).getLong(2) == 5L && out(1L).isNullAt(3))
+    assert(out(2L).getLong(2) == 0L && out(2L).isNullAt(3))
     assert(out(3L).isNullAt(2) && out(3L).isNullAt(3))
   }
 
