@@ -207,15 +207,26 @@ object SimilarityOps {
     */
   def semDedupKept(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, threshold: Double,
+      pairCap: Int = 4096): DataFrame =
+    semDedupFromAssigned(
+      KMeans.assign(
+        vecs.select(col(idCol).as("id"), col(vecCol).as("v")),
+        KMeans.centroids(vecs, idCol, vecCol, k, iters)),
+      threshold, pairCap)
+
+  /** [[semDedupKept]] over a PRE-computed cluster assignment
+    * (id, v, cluster) — the production shape where the codebook
+    * labelling is a staged table shared by several consumers instead
+    * of retrained per query.
+    */
+  def semDedupFromAssigned(assignment: DataFrame, threshold: Double,
       pairCap: Int = 4096): DataFrame = {
     val dot = GraftFunctions.dot_f64 _
     // materialize the assignment ONCE (lineage-truncating local
     // checkpoint, as in GraphOps): three consumers follow — both pair
     // sides and the final keep-set anti-join — and each would otherwise
-    // re-run the whole k-means training + assignment pipeline
-    val assigned = KMeans.assign(
-        vecs.select(col(idCol).as("id"), col(vecCol).as("v")),
-        KMeans.centroids(vecs, idCol, vecCol, k, iters))
+    // re-run the whole upstream assignment pipeline
+    val assigned = assignment
       .select(col("id"), col("v"), col("cluster"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .localCheckpoint()
@@ -300,11 +311,20 @@ object SimilarityOps {
     * be.
     */
   def annIvfKMeans(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, probeId: Long, topK: Int): DataFrame = {
+      k: Int, iters: Int, probeId: Long, topK: Int): DataFrame =
+    annIvfFromAssigned(
+      KMeans.assign(
+        vecs.select(col(idCol).as("id"), col(vecCol).as("v")),
+        KMeans.centroids(vecs, idCol, vecCol, k, iters)),
+      probeId, topK)
+
+  /** [[annIvfKMeans]] over a PRE-computed cluster assignment
+    * (id, v, cluster) — probe-cell-only exact scoring against a staged
+    * labelling shared with other codebook consumers.
+    */
+  def annIvfFromAssigned(assigned: DataFrame, probeId: Long,
+      topK: Int): DataFrame = {
     val dot = GraftFunctions.dot_f64 _
-    val assigned = KMeans.assign(
-      vecs.select(col(idCol).as("id"), col(vecCol).as("v")),
-      KMeans.centroids(vecs, idCol, vecCol, k, iters))
     val probe = assigned.filter(col("id") === probeId)
       .select(col("cluster").as("pb"), col("v").as("pv"),
         sqrt(dot(col("v"), col("v"))).as("pn"))

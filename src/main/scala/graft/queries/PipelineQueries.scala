@@ -148,6 +148,19 @@ object PipelineQueries {
           col("cluster").cast("long").as("cluster"))
     }
 
+  /** The k=4 / 1-Lloyd-iteration assignment over the embeddings
+    * (id, v, cluster, dist2), staged once and shared by kmeans_embed,
+    * semdedup, and ann_ivf_kmeans — all three train the SAME codebook.
+    * Doubles round-trip parquet exactly, so the oracles are unchanged.
+    */
+  private def stagedKmeansAssign(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "km4") {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
+      graft.operators.KMeans.assign(e,
+        graft.operators.KMeans.centroids(e, "id", "v", 4, 1))
+    }
+
   // ---- embeddings plumbing ----
 
   private def toDouble(c: Column): Column = transform(c, _.cast(DoubleType))
@@ -624,26 +637,21 @@ object PipelineQueries {
     // behind IVF ANN. Broadcast codebook, map-side argmin assignment,
     // k*dims-wide mean shuffle; see KMeans scaladoc for the 100 TB
     // shape and the decimal-mean determinism argument.
-    "kmeans_embed" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      graft.operators.KMeans.lloyd(e, "vec_id", "v", 4, 1)
+    "kmeans_embed" -> ((s, d) =>
+      stagedKmeansAssign(s, d)
         .select(col("id").as("vec_id"),
-          col("cluster").cast("long").as("cluster"), col("dist2"))
-    }),
+          col("cluster").cast("long").as("cluster"), col("dist2"))),
 
     // SemDeDup (cluster-then-dedup): k-means buckets the embeddings,
     // near-dup search runs only WITHIN clusters — O(n^2) -> O(n^2/k) —
     // and per duplicate relation the lowest id survives. Output = the
     // kept vectors with their cluster. Same trained codebook (k=4,
     // 1 Lloyd iteration) as kmeans_embed, so the oracle reuses its CTE.
-    "semdedup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      graft.operators.SimilarityOps.semDedupKept(e, "vec_id", "v", 4, 1, 0.45)
+    "semdedup" -> ((s, d) =>
+      graft.operators.SimilarityOps
+        .semDedupFromAssigned(stagedKmeansAssign(s, d), 0.45)
         .select(col("id").as("vec_id"),
-          col("cluster").cast("long").as("cluster"))
-    }),
+          col("cluster").cast("long").as("cluster"))),
 
     // int8 symmetric quantization of the embedding column (the storage
     // format ANN indexes actually ship): per-vector max-abs scale,
@@ -764,13 +772,10 @@ object PipelineQueries {
     // assignment (the training objective), probe-cell-only exact
     // scoring. Same broadcast/map-side scale shape, data-following
     // cells.
-    "ann_ivf_kmeans" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    "ann_ivf_kmeans" -> ((s, d) =>
       graft.operators.SimilarityOps
-        .annIvfKMeans(e, "vec_id", "v", 4, 1, 8L, 10)
-        .select(col("id").as("vec_id"), col("cosine"))
-    }),
+        .annIvfFromAssigned(stagedKmeansAssign(s, d), 8L, 10)
+        .select(col("id").as("vec_id"), col("cosine"))),
 
     // end-to-end cleaning pipeline: exact dedup (keep lowest doc_id per
     // content hash) -> quality gate -> per-language corpus stats. The

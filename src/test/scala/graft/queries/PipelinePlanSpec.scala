@@ -167,14 +167,25 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"corpus re-exploded in the query plan:\n$pre")
   }
 
-  test("kmeans_embed: codebook is broadcast; no cartesian product") {
-    val df = SparkEntry.queries("kmeans_embed")(spark, sf)
+  test("kmeans training: codebook is broadcast; no cartesian product") {
+    // kmeans_embed itself now reads the staged assignment table, so
+    // the pin targets the TRAINING pipeline that produces it (the plan
+    // that runs in the staging job and at every retrain)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val df = graft.operators.KMeans.assign(e,
+      graft.operators.KMeans.centroids(e, "id", "v", 4, 1))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"),
       s"centroids not broadcast in kmeans plan:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"cartesian in kmeans plan:\n$plan")
+    // and the staged-table consumer stays a bare scan + project
+    val q = SparkEntry.queries("kmeans_embed")(spark, sf)
+    q.collect()
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
   test("embed_neardup: no cartesian/nested-loop join at any SF") {
