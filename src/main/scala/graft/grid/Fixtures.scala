@@ -166,6 +166,34 @@ object Fixtures {
       Map("temp" -> AffineLaw(100.0, Seq(0.5, 3.0))))
   }
 
+  /** All-leap-calendar fixture: 119 daily offsets ("days since
+    * 2000-01-01", calendar=all_leap) x 4 latitudes, bridged onto the
+    * real timeline (GregorianLike tier, reference cftime.py:33-47).
+    * The offsets span all_leap year 2001 (366..485) MINUS offset 425 —
+    * all_leap's 2001-02-29, which does not exist on the real timeline
+    * and would throw at decode (CfTimeSpec pins the throw). Because
+    * the skipped calendar day exactly cancels the real timeline's
+    * missing Feb 29, the surviving coordinates decode to 119
+    * CONSECUTIVE real days from 2001-01-01 — while a naive
+    * epoch + 86400*offset bridge shifts every offset >= 426 one day
+    * late, mispairing time with the index-keyed value law. Dyadic
+    * value law for oracle parity.
+    */
+  def allLeapGrid: SyntheticGridStore = {
+    val offsets = (366L until 486L).filterNot(_ == 425L)
+    val micros = offsets.map(o => graft.time.CfCalendar
+      .offsetToMicros(o, "days since 2000-01-01", "all_leap")).toArray
+    val lat = DoubleCoords((0 until 4).map(i => 10.0 * i).toArray)
+    SyntheticGridStore(
+      GridSchema(
+        Seq(
+          DimDef("time", TimeCoords(micros), calendar = Some("all_leap"),
+            units = Some("days since 2000-01-01")),
+          DimDef("lat", lat)),
+        Seq(VarDef("temp", Seq("time", "lat"), GDouble))),
+      Map("temp" -> AffineLaw(100.0, Seq(0.5, 3.0))))
+  }
+
   /** Station fixture: a string-coordinate dimension (8 stations) x 10
     * daily timestamps. String dims are queryable but carry no pruning
     * bounds (reference df.py:447-450; station table in

@@ -349,6 +349,20 @@ object GridQueries {
               |WHERE time >= timestamp'2000-03-01 00:00:00'""".stripMargin)
     }),
 
+    // all_leap calendar through the GregorianLike tier: the offsets
+    // span all_leap year 2001 minus its timeline-unrepresentable
+    // Feb 29 (Fixtures.allLeapGrid), so the decode lands on 119
+    // consecutive real days — while a naive epoch+86400*t bridge
+    // shifts every offset past the phantom Feb 29 one day late and
+    // mispairs time with the index-keyed value law. Filter boundary
+    // at Mar 1 2001; chunked by 30 coords, chunk 0 prunes.
+    "pivot_grid_allleap" -> ((s, _) => {
+      new XarrayContext(s).fromDataset("calallleap", Fixtures.allLeapGrid,
+        Map("time" -> 30))
+      s.sql("""SELECT time, lat, temp FROM calallleap
+              |WHERE time >= timestamp'2001-03-01 00:00:00'""".stripMargin)
+    }),
+
     // string-coordinate dimension end-to-end (station table shape,
     // reference tests/test_sql.py:137-152): string dims are queryable
     // (residual IN filter, ASCII ordering identical across engines) but
@@ -546,6 +560,20 @@ object GridQueries {
         |       generate_series(0, 3) g2(i))
         |SELECT time, lat, temp FROM cal
         |WHERE time >= TIMESTAMP '2000-03-01 00:00:00'""".stripMargin,
+    "pivot_grid_allleap" ->
+      // replay the all_leap decode as literal arithmetic: coordinate k
+      // (0-based, the value-law index) is offset 366+k for k < 59 and
+      // 367+k after the skipped 2001-02-29; the calendar's missing day
+      // cancels the real timeline's, so real dates are simply
+      // 2001-01-01 + k days. Mar 1 2001 is k = 59.
+      """WITH cal AS (
+        |  SELECT k, 10.0*i AS lat, 100.0 + 0.5*k + 3.0*i AS temp,
+        |         TIMESTAMP '2001-01-01 00:00:00' + k * INTERVAL 1 DAY
+        |           AS time
+        |  FROM generate_series(0, 118) g1(k),
+        |       generate_series(0, 3) g2(i))
+        |SELECT time, lat, temp FROM cal
+        |WHERE time >= TIMESTAMP '2001-03-01 00:00:00'""".stripMargin,
     "pivot_grid_disk" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air

@@ -534,6 +534,29 @@ object PipelineQueries {
           ((col("base") + col("local")) % seqLen).cast("long").as("offset"))
     }),
 
+    // context-window chunking: split every document into overlapping
+    // token windows (16 tokens, stride 12) — the fixed-length example
+    // shaping step between cleaning and sequence packing in a training
+    // pipeline. Pure map-side explode (sequence of window starts per
+    // doc, slice per window): no shuffle at all, embarrassingly
+    // parallel at any corpus size.
+    "doc_chunk" -> ((s, d) => {
+      val win = 16
+      val stride = 12
+      val toks = words(col("text"))
+      val nChunks = greatest(
+        ceil((size(toks) - lit(win)).cast("double") / stride).cast("int"),
+        lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"),
+          explode(sequence(lit(0), nChunks)).as("k"))
+        .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+          size(slice(col("toks"), col("k") * stride + 1, lit(win)))
+            .cast("long").as("n_tokens"),
+          array_join(slice(col("toks"), col("k") * stride + 1, lit(win)),
+            " ").as("chunk"))
+    }),
+
     // reproducible sampling: md5 of the doc id keeps a deterministic
     // ~25% of every stratum — the mix-and-sample step of corpus
     // construction, identical on any engine and any run (no RNG state)
@@ -578,6 +601,25 @@ object PipelineQueries {
           sum(col("n_chars")).as("sum_chars"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))),
 
+    // deterministic global shuffle: the example-ordering step before
+    // training. Every doc gets a seeded hash key; the first nibble
+    // assigns one of 16 shards and a per-shard window assigns the
+    // read position — so the "shuffle" is reproducible on any engine
+    // and any cluster size, with no RNG state. The window partitions
+    // by shard (never a global sort): shard count scales with the
+    // nibble width (2 hex chars = 256 shards, etc.), keeping each
+    // partition's sort executor-sized at 100 TB.
+    "global_shuffle" -> ((s, d) => {
+      val key = md5(concat(lit("seed42:"), col("doc_id").cast("string"))
+        .cast("binary"))
+      val w = Window.partitionBy("shard").orderBy("key", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), key.as("key"),
+          substring(key, 1, 1).as("shard"))
+        .select(col("doc_id"), col("shard"),
+          row_number().over(w).cast("long").as("pos"))
+    }),
+
     // test-set decontamination: flag corpus docs sharing any distinct
     // word-5-gram with the "benchmark" set (stand-in: every 100th doc).
     // The eval-set gram list is small by construction -> broadcast join;
@@ -592,6 +634,29 @@ object PipelineQueries {
         .join(broadcast(evalSet), "g")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_contaminated_grams"))
+    }),
+
+    // embedding-space decontamination: flag corpus vectors whose cosine
+    // against ANY benchmark vector (stand-in: vec_id % 97 == 0) clears
+    // the near-dup threshold — the semantic complement of
+    // decontam_ngram for paraphrased eval leakage. The eval side is
+    // small by definition -> broadcast nested-loop against the
+    // map-side corpus stream, then a per-vector count agg; no
+    // corpus-sized shuffle. Cosines are sequential double folds
+    // (DotProductF64), bit-identical to the oracle's list fold.
+    "decontam_embed" -> ((s, d) => {
+      val dot = graft.functions.GraftFunctions.dot_f64 _
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val ev = e.filter(col("vec_id") % 97 === 0)
+        .select(col("v").as("ev"), col("nrm").as("en"))
+      e.filter(col("vec_id") % 97 =!= 0)
+        .crossJoin(broadcast(ev))
+        .filter(dot(col("v"), col("ev")) / (col("nrm") * col("en"))
+          >= 0.35)
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_eval_hits"))
     }),
 
     // TF-IDF-style term relevance, linear rarity weight tf * N / df
@@ -1415,6 +1480,24 @@ object PipelineQueries {
         |SELECT doc_id, CAST(floor(before / 4096) AS BIGINT) AS seq_id,
         |CAST(before % 4096 AS BIGINT) AS offset
         |FROM c""".stripMargin,
+    // chunk starts replayed with range(); DuckDB list_slice's inclusive
+    // 1-based [begin, end] == Spark slice(arr, start, 16) after
+    // end-of-list truncation on both sides
+    "doc_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |  unnest(range(0, greatest(CAST(ceil((len(toks) - 16) / 12.0)
+        |    AS BIGINT), 0) + 1)) AS k
+        |  FROM t)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |CAST(len(list_slice(toks, k*12 + 1, k*12 + 16)) AS BIGINT)
+        |  AS n_tokens,
+        |array_to_string(list_slice(toks, k*12 + 1, k*12 + 16), ' ')
+        |  AS chunk
+        |FROM c""".stripMargin,
     "sample_hash" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
         |FROM documents
@@ -1442,6 +1525,14 @@ object PipelineQueries {
         |CAST(MIN(doc_id) AS BIGINT) AS min_doc,
         |CAST(MAX(doc_id) AS BIGINT) AS max_doc
         |FROM documents GROUP BY 1""".stripMargin,
+    "global_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('seed42:' || CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents)
+        |SELECT doc_id, substr(key, 1, 1) AS shard,
+        |CAST(row_number() OVER (PARTITION BY substr(key, 1, 1)
+        |  ORDER BY key, doc_id) AS BIGINT) AS pos
+        |FROM k""".stripMargin,
     "decontam_ngram" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -1455,6 +1546,20 @@ object PipelineQueries {
         |FROM g JOIN ev USING (g)
         |WHERE g.doc_id % 100 <> 0
         |GROUP BY g.doc_id""".stripMargin,
+    // same sequential-fold cosine replay as embed_neardup's oracle
+    "decontam_embed" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+        |  sqrt(list_aggregate(list_transform(
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    x -> x*x), 'sum')) AS n
+        |  FROM embeddings)
+        |SELECT a.vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits
+        |FROM v a JOIN v b ON b.vec_id % 97 = 0 AND a.vec_id % 97 <> 0
+        |WHERE list_aggregate(list_transform(list_zip(a.ve, b.ve),
+        |  z -> z[1]*z[2]), 'sum') / (a.n * b.n) >= 0.35
+        |GROUP BY a.vec_id""".stripMargin,
     "tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

@@ -40,6 +40,32 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"signature exchange not reused (minhash would run twice):\n$plan")
   }
 
+  test("doc_chunk: pure map-side explode — no exchange at all") {
+    val df = SparkEntry.queries("doc_chunk")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle:\n$plan")
+  }
+
+  test("global_shuffle: window partitioned by shard, never a global sort") {
+    val df = SparkEntry.queries("global_shuffle")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // an unpartitioned Window would plan Exchange SinglePartition
+    assert(!plan.contains("SinglePartition"),
+      s"global window (single-partition sort) in shuffle plan:\n$plan")
+  }
+
+  test("decontam_embed: eval side broadcast; corpus side never shuffles pairs") {
+    val plan = planNoAutoBroadcast("decontam_embed")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"eval embeddings not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"shuffle cartesian against the corpus:\n$plan")
+  }
+
   test("ann_ivf_bucketed: probe cell is a partition filter at the scan") {
     val df = SparkEntry.queries("ann_ivf_bucketed")(spark, sf)
     val expect = SparkEntry.queries("ann_ivf")(spark, sf).collect()
