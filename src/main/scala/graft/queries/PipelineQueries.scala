@@ -567,6 +567,23 @@ object PipelineQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"))),
 
+    // stratified sampling: per-language KEEP RATES (en down to 25%,
+    // low-resource langs kept at 50%) — the language-rebalancing step
+    // of corpus mixing, still RNG-free: the md5 nibble is the uniform
+    // variate, the stratum decides the cut. Map-side filter + 5-group
+    // agg; at 100 TB the rates table is a broadcast literal map.
+    "stratified_sample" -> ((s, d) => {
+      val nib = substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 1)
+      Tables.documents(s, d)
+        .filter(when(col("lang") === "en",
+          nib.isin("0", "1", "2", "3"))
+          .otherwise(nib.isin("0", "1", "2", "3", "4", "5", "6", "7")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum("n_chars").as("sum_chars"))
+    }),
+
     // PII redaction: the scrub step of corpus cleaning. The synthetic
     // docs carry no PII, so the query first enriches each doc with a
     // deterministic contact string (same derivation on the oracle side),
@@ -706,6 +723,21 @@ object PipelineQueries {
       stagedKmeansAssign(s, d)
         .select(col("id").as("vec_id"),
           col("cluster").cast("long").as("cluster"), col("dist2"))),
+
+    // codebook quality evaluation: the (cluster x gold-label)
+    // contingency table of the trained k-means assignment — the
+    // clustering-purity check an embedding pipeline runs before
+    // trusting a codebook for SemDeDup/IVF routing. One equi-join on
+    // vec_id (co-keyed at scale) and a k*labels-group agg.
+    "cluster_purity" -> ((s, d) =>
+      stagedKmeansAssign(s, d)
+        .select(col("id").as("vec_id"),
+          col("cluster").cast("long").as("cluster"))
+        .join(Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label").cast("long").as("label")),
+          "vec_id")
+        .groupBy("cluster", "label")
+        .agg(count(lit(1)).as("n"))),
 
     // SemDeDup (cluster-then-dedup): k-means buckets the embeddings,
     // near-dup search runs only WITHIN clusters — O(n^2) -> O(n^2/k) —
@@ -1504,6 +1536,16 @@ object PipelineQueries {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
         |  IN ('0','1','2','3')
         |GROUP BY lang""".stripMargin,
+    "stratified_sample" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |    IN ('0','1','2','3')
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |    IN ('0','1','2','3','4','5','6','7') END
+        |GROUP BY lang""".stripMargin,
     "pii_redact" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1589,6 +1631,19 @@ object PipelineQueries {
          |  row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
          |  FROM d2) t
          |WHERE rn = 1""".stripMargin,
+    // same final labelling, contingency against the gold label column
+    "cluster_purity" ->
+      s"""WITH $kmeansCte,
+         |a2 AS (
+         |  SELECT id, cid AS cluster FROM (
+         |    SELECT id, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+         |    FROM d2) t WHERE rn = 1)
+         |SELECT CAST(a2.cluster AS BIGINT) AS cluster,
+         |CAST(e.label AS BIGINT) AS label,
+         |CAST(COUNT(*) AS BIGINT) AS n
+         |FROM a2 JOIN embeddings e ON a2.id = e.vec_id
+         |GROUP BY 1, 2""".stripMargin,
     // final labelling a2 as in ann_ivf_kmeans; within-cluster pairs
     // only; a vector is dropped iff a smaller-id same-cluster vector
     // sits within 0.45 cosine (dot/(|x||y|), the same sequential folds)
