@@ -126,6 +126,29 @@ object GridQueries {
         .agg((sum(col("air") * w) / sum(w)).as("air_wmean"))
     }),
 
+    // xarray `sel(lat=[...], method="nearest")`: nearest-coordinate
+    // lookup resolved from the DIM COLUMN ALONE (a projection-pushed
+    // coordinate scan — no variable data read), then a broadcast
+    // equi-join back into the grid on the matched coordinates, where
+    // runtime filtering prunes non-matching chunks. Mean over lon:
+    // integer-valued dyadic sums, one division. The point-extraction
+    // verb of every station-vs-model comparison.
+    "pivot_grid_selnearest" -> ((s, _) => {
+      import s.implicits._
+      val g = grid(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q").orderBy("dist", "lat")
+      val nearest = Seq(52.3, 61.7, 74.9).toDF("q")
+        .crossJoin(g.select("lat").distinct())
+        .select(col("q"), col("lat"),
+          abs(col("lat") - col("q")).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("q", "lat")
+      g.join(broadcast(nearest), "lat")
+        .groupBy(col("q"), col("lat"), col("t").cast("long").as("t"))
+        .agg(avg("air").as("air_mean"))
+    }),
+
     // xarray `cumsum("t")` per cell: running sum over the time axis —
     // the same one-window-per-series shape as rolling; integer-valued
     // doubles keep every partial sum exact
@@ -430,6 +453,19 @@ object GridQueries {
          |CAST(floor(((lon - 200.0) / 2.5) / 2.0) AS BIGINT) AS lon_blk,
          |CAST(COUNT(*) AS BIGINT) AS cnt, AVG(air) AS air_mean
          |FROM grid GROUP BY 1, 2, 3""".stripMargin,
+    "pivot_grid_selnearest" ->
+      s"""WITH $oracleGrid,
+         |q(qv) AS (VALUES (52.3), (61.7), (74.9)),
+         |lats AS (SELECT DISTINCT lat FROM grid),
+         |near AS (
+         |  SELECT qv AS q, lat FROM (
+         |    SELECT qv, lat, row_number() OVER (PARTITION BY qv
+         |      ORDER BY abs(lat - qv), lat) AS rn
+         |    FROM q, lats) x WHERE rn = 1)
+         |SELECT near.q, near.lat, CAST(g.t AS BIGINT) AS t,
+         |AVG(g.air) AS air_mean
+         |FROM grid g JOIN near ON g.lat = near.lat
+         |GROUP BY 1, 2, 3""".stripMargin,
     "pivot_grid_cumsum" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon,

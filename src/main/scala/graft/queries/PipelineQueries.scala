@@ -1083,6 +1083,33 @@ object PipelineQueries {
     // (sensor, user), not a 5-value category; bounded-gap fills use
     // the as-of join shape instead. Sums stay decimal-exact until one
     // final string->double round-trip.
+    // hourly spike detection: flag hours whose event count exceeds
+    // mean + 3 sigma of the trailing 24 observed hours, per event
+    // type — the ops-monitoring shape of event analytics. Windows
+    // partition by type (bounded series, never global); the moment
+    // sums n/s1/s2 are INTEGER-valued, so mean/sigma are identical
+    // division/sqrt chains on both engines (sqrt is correctly-rounded
+    // IEEE) — the flag is bit-deterministic, no rounding hedge needed.
+    "events_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("hour_start")
+        .rowsBetween(-24, -1)
+      hourly
+        .select(col("hour_start"), col("event_type"), col("cnt"),
+          count(col("cnt")).over(w).as("n"),
+          sum(col("cnt")).over(w).as("s1"),
+          sum(col("cnt") * col("cnt")).over(w).as("s2"))
+        .filter(col("n") >= 12)
+        .select(col("hour_start"), col("event_type"), col("cnt"),
+          (col("cnt") > col("s1") / col("n") + lit(3.0) *
+            sqrt(greatest(col("s2") / col("n") -
+              (col("s1") / col("n")) * (col("s1") / col("n")),
+              lit(0.0)))).cast("long").as("spike"))
+    }),
+
     "events_resample" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val hourly = ev
@@ -1862,6 +1889,23 @@ object PipelineQueries {
         |     WHEN bucket < 230 THEN 'valid' ELSE 'test' END AS split,
         |CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM b GROUP BY 1, 2""".stripMargin,
+    // identical moment-sum / division / sqrt chain -> identical flags
+    "events_anomaly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT hour_start, event_type, cnt,
+        |  COUNT(cnt) OVER win AS n,
+        |  SUM(cnt) OVER win AS s1,
+        |  SUM(cnt*cnt) OVER win AS s2
+        |  FROM h WINDOW win AS (PARTITION BY event_type ORDER BY hour_start
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT hour_start, event_type, CAST(cnt AS BIGINT) AS cnt,
+        |CAST(cnt > s1/n + 3.0*sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0))
+        |  AS BIGINT) AS spike
+        |FROM w WHERE n >= 12""".stripMargin,
     "events_resample" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,
