@@ -172,4 +172,17 @@ class GridQueryE2ESpec extends SparkTestBase {
         s"cell ($t,$i)")
     }
   }
+
+  test("pivot_grid_selnearest: dim-only lookup scan + runtime-filtered grid") {
+    val df = SparkEntry.queries("pivot_grid_selnearest")(spark, "unused")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the nearest-coordinate lookup must read the lat dim alone (a
+    // coordinate scan — no variable column in its ReadSchema)
+    assert(plan.contains("cols=[lat]"),
+      s"coordinate lookup reads more than the dim column:\n$plan")
+    // and the grid side must carry the join-driven runtime filter
+    assert(plan.contains("dynamicpruning"),
+      s"no runtime filter reached the grid scan:\n$plan")
+  }
 }
