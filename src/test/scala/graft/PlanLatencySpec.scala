@@ -71,4 +71,34 @@ class PlanLatencySpec extends SparkTestBase {
     assert(s == 100.0 * 3 * (50 to 99).sum + 50.0 * (0 to 99).sum)
     assert(ReadCounters.partitionsOpened.sum() == 50L)
   }
+
+  test("1e6 chunks: selective planning stays under budget") {
+    // 10x the chunk count along time: 10^6 blocks. Only the SELECTIVE
+    // path is pinned here — an unpruned 10^6-partition materialization
+    // is O(n_chunks) by definition and a real deployment sizes chunks
+    // so full scans stay ~10^5 tasks; what must NOT degrade is planning
+    // a pruned query, which walks the O(total coords) index and only
+    // materializes surviving blocks.
+    val time = TimeCoords((0 until 10000).map(k =>
+      (18262L + k) * 86400000000L).toArray)
+    val lat = DoubleCoords((0 until 100).map(i => -90.0 + 1.8 * i).toArray)
+    val lon = DoubleCoords((0 until 100).map(j => -180.0 + 3.6 * j).toArray)
+    val store = SyntheticGridStore(
+      GridSchema(
+        Seq(DimDef("time", time), DimDef("lat", lat), DimDef("lon", lon)),
+        Seq(VarDef("temperature", Seq("time", "lat", "lon"), GDouble))),
+      Map("temperature" -> ScaleSmokeSpec.IntLaw()))
+    val ctx = new XarrayContext(spark)
+    val df = ctx.dataFrame("plan1m", store,
+      Map("time" -> 1, "lat" -> 10, "lon" -> 10), Seq("time", "lat", "lon"))
+    df.limit(1).queryExecution.executedPlan // warm, not timed
+
+    val ts = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(18262L * 86400L))
+    val sel = df.filter(col("time") === ts && col("lat") >= 0.0)
+    val (selParts, selMs) = planMillis(sel)
+    info(f"selective planning over 1e6 chunks: $selMs%.0f ms, $selParts partitions")
+    assert(selParts == 50L)
+    assert(selMs < 1500.0, f"selective planning too slow: $selMs%.0f ms")
+  }
 }
