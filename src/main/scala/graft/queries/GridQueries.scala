@@ -347,6 +347,20 @@ object GridQueries {
               |WHERE time >= cftime('2000-07-01')""".stripMargin)
     }),
 
+    // xarray `groupby('time.month')` — THE climatology verb — on a
+    // 360_day calendar, where month extraction is exact integer
+    // arithmetic on the CF offsets ((t % 360) DIV 30). One partial-agg
+    // shuffle keyed (month, lat): 12 x n_lat groups regardless of how
+    // many years the store holds, so the shape is scale-free. Means
+    // stay exact: dyadic law summed then one division by the count.
+    "pivot_grid_climatology" -> ((s, _) => {
+      new XarrayContext(s).fromDataset("cal360clim", Fixtures.cal360Grid,
+        Map("time" -> 90))
+      s.sql("""SELECT (time % 360) DIV 30 AS month, lat,
+              |  avg(temp) AS mean_temp, count(*) AS n
+              |FROM cal360clim GROUP BY (time % 360) DIV 30, lat""".stripMargin)
+    }),
+
     // julian calendar end-to-end: the discriminating leap case — 1900
     // is a julian leap year but not a Gregorian one, so the folded
     // cftime literal is 31+29 = 60 (not 59); zone maps prune 2 of 4
@@ -581,6 +595,14 @@ object GridQueries {
         |       generate_series(0, 3) g2(i))
         |SELECT CAST(t AS BIGINT) AS time, lat, temp
         |FROM cal WHERE t >= 60""".stripMargin,
+    "pivot_grid_climatology" ->
+      """WITH cal AS (
+        |  SELECT t, 10.0*i AS lat, 100.0 + 0.5*t + 3.0*i AS temp
+        |  FROM generate_series(0, 359) g1(t),
+        |       generate_series(0, 3) g2(i))
+        |SELECT CAST((t % 360) // 30 AS BIGINT) AS month, lat,
+        |AVG(temp) AS mean_temp, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM cal GROUP BY 1, 2""".stripMargin,
     "pivot_grid_noleap" ->
       // replay the noleap decode as literal arithmetic: offsets < 59
       // (Jan 1 - Feb 28) land on the same real dates; from offset 59 on

@@ -94,20 +94,29 @@ object PipelineQueries {
       // computes the (expensive) signature subplan once, not twice
       .repartition(col("band"), col("key"))
 
-  /** LSH candidates -> exact shingle-Jaccard >= 0.4 verified pairs
-    * (shared by neardup_jaccard and dedup_clusters). */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** LSH candidate pairs decorated with both docs' shingle sets —
+    * the shared front half of every exact-verification pass
+    * (Jaccard, containment). Never materializes the pair space:
+    * candidates come from the banded equi-join.
+    */
+  private def candidateShingles(s: SparkSession, d: String): DataFrame = {
     val b = bandsDF(s, d)
     val cand = b.as("a").join(b.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sh = sigDF(s, d).select("doc_id", "sh")
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+  }
+
+  /** LSH candidates -> exact shingle-Jaccard >= 0.4 verified pairs
+    * (shared by neardup_jaccard and dedup_clusters). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
+    candidateShingles(s, d)
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.4)
   }
@@ -238,6 +247,20 @@ object PipelineQueries {
 
     // exact n-gram Jaccard verification over the LSH candidate set only
     "neardup_jaccard" -> ((s, d) => jaccardPairs(s, d)),
+
+    // ASYMMETRIC containment (|A∩B| / |A|, and /|B|) over the same LSH
+    // candidates: catches a short document embedded inside a long one
+    // (quotes, boilerplate wrappers) that symmetric Jaccard dilutes
+    // below any threshold. Integer-ratio scores -> exact on both
+    // engines; same banded shuffle shape as neardup_jaccard.
+    "minhash_containment" -> ((s, d) => {
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      candidateShingles(s, d)
+        .select(col("doc_a"), col("doc_b"),
+          (inter.cast("double") / size(col("sa"))).as("cont_a"),
+          (inter.cast("double") / size(col("sb"))).as("cont_b"))
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+    }),
 
     // pairs -> GROUPS: connected components over the verified near-dup
     // graph (min-id label propagation, one shuffle per round — see
@@ -1304,6 +1327,26 @@ object PipelineQueries {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+    "minhash_containment" ->
+      s"""WITH $sigSqlCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 || sig1 AS key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, sig2 || sig3 AS key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, cont_a, cont_b FROM (
+         |  SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh)
+         |    AS cont_a,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh)
+         |    AS cont_b
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = cand.doc_a
+         |  JOIN sig sb ON sb.doc_id = cand.doc_b) x
+         |WHERE greatest(cont_a, cont_b) >= 0.5""".stripMargin,
     "neardup_jaccard" ->
       s"""WITH $sigSqlCte,
          |bands AS (
