@@ -191,14 +191,126 @@ object Multimodal {
       ((id * 13 + p * 7L) % 256).toInt))
   }
 
+  /** One decoded PCM16 WAV: format plus the interleaved samples. */
+  final case class WavAudio(sampleRate: Int, channels: Int,
+      samples: Array[Short]) {
+    def nSamples: Int = samples.length
+    def durationMs: Long =
+      (samples.length / channels) * 1000L / sampleRate
+    /** max |sample| over all channels (0 for an empty stream). */
+    def peakAbs: Long = {
+      var m = 0L; var i = 0
+      while (i < samples.length) {
+        val a = math.abs(samples(i).toLong)
+        if (a > m) m = a
+        i += 1
+      }
+      m
+    }
+    /** Root-mean-square amplitude: INTEGER sum of squares (exact —
+      * 16-bit samples keep it far under 2^53), one double division,
+      * one correctly-rounded sqrt — bit-identical on any engine.
+      */
+    def rms: Double =
+      if (samples.isEmpty) 0.0
+      else {
+        var s = 0L; var i = 0
+        while (i < samples.length) {
+          s += samples(i).toLong * samples(i); i += 1
+        }
+        math.sqrt(s.toDouble / samples.length)
+      }
+  }
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Pure-JVM RIFF/WAVE decode, PCM 16-bit only: the canonical
+    * `RIFF <size> WAVE` container walked chunk by chunk (`fmt ` for
+    * the format block, `data` for the samples, unknown chunks skipped
+    * with even-byte padding per the RIFF spec). Malformed input throws
+    * IllegalArgumentException with the failing condition.
+    */
+  def decodeWav(bytes: Array[Byte]): WavAudio = {
+    require(bytes != null && bytes.length >= 12 &&
+      tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    var pos = 12
+    var sampleRate = 0; var channels = 0; var haveFmt = false
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length && (samples == null || !haveFmt)) {
+      val id = tag(bytes, pos)
+      val size = le32(bytes, pos + 4)
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"chunk $id overruns payload")
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          require(size >= 16, "fmt chunk too short")
+          require(le16(bytes, body) == 1, "only PCM (format 1) supported")
+          channels = le16(bytes, body + 2)
+          sampleRate = le32(bytes, body + 4)
+          require(channels > 0 && sampleRate > 0,
+            s"bad format: $channels ch @ $sampleRate Hz")
+          require(le16(bytes, body + 14) == 16,
+            "only 16-bit samples supported")
+          haveFmt = true
+        case "data" =>
+          require(size % 2 == 0, "odd data chunk size for PCM16")
+          samples = Array.tabulate(size / 2)(k =>
+            le16(bytes, body + 2 * k).toShort)
+        case _ => // skip unknown chunk
+      }
+      pos = body + size + (size & 1) // RIFF pads chunks to even offsets
+    }
+    require(haveFmt, "missing fmt chunk")
+    require(samples != null, "missing data chunk")
+    WavAudio(sampleRate, channels, samples)
+  }
+
+  /** Encode PCM16 mono/interleaved samples as a canonical RIFF/WAVE. */
+  def encodeWav(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Deterministic PCM16 fixture: 8 kHz mono, n = 64 + id%129 samples
+    * following s(k) = (31 id + 17 k) % 4096 - 2048 — closed-form
+    * integers an SQL oracle replays analytically while the engine
+    * parses the actual RIFF bytes.
+    */
+  def wavFixture(id: Long): Array[Byte] = {
+    val n = (64 + id % 129).toInt
+    encodeWav(8000, 1, Array.tabulate(n)(k =>
+      ((id * 31 + k * 17L) % 4096 - 2048).toShort))
+  }
+
   /** Typed feature extraction over binary media payloads, partition-wise
     * (the batch shape a decoder runs in: one pass over each partition's
     * rows, no shuffle, binary in / typed scalars out). Image payloads
     * go through the REAL [[decodePpm]] parser — width/height and exact
-    * per-channel pixel means from the decoded raster; a payload that
-    * fails to parse yields null features (its byte count survives, so
-    * corrupt rows are countable). Non-image kinds (no audio/video
-    * codec in this container) carry byte counts only.
+    * per-channel pixel means from the decoded raster — and audio
+    * payloads through the REAL [[decodeWav]] parser — sample rate,
+    * sample count, peak and RMS amplitude from the decoded PCM. A
+    * payload that fails to parse yields null features (its byte count
+    * survives, so corrupt rows are countable). Video (no codec in this
+    * container) carries byte counts only.
     */
   def mediaFeatures(df: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -209,7 +321,11 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("mean_r", DoubleType),
       StructField("mean_g", DoubleType),
-      StructField("mean_b", DoubleType)))
+      StructField("mean_b", DoubleType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("peak_abs", LongType),
+      StructField("rms", DoubleType)))
     val enc = RowEncoder.encoderFor(outSchema)
     val idIdx = df.schema.fieldIndex("media_id")
     val kindIdx = df.schema.fieldIndex("kind")
@@ -219,18 +335,28 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val kind = r.getString(kindIdx)
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        if (bytes == null) Row(id, kind, null, null, null, null, null, null)
+        def blank(n: Any) =
+          Row(id, kind, n, null, null, null, null, null, null, null, null,
+            null)
+        if (bytes == null) blank(null)
         else {
           val n = bytes.length.toLong
-          if (kind == "image") {
-            try {
-              val img = decodePpm(bytes)
-              val (mr, mg, mb) = img.meanRgb
-              Row(id, kind, n, img.width, img.height, mr, mg, mb)
-            } catch { case _: IllegalArgumentException =>
-              Row(id, kind, n, null, null, null, null, null)
-            }
-          } else Row(id, kind, n, null, null, null, null, null)
+          kind match {
+            case "image" =>
+              try {
+                val img = decodePpm(bytes)
+                val (mr, mg, mb) = img.meanRgb
+                Row(id, kind, n, img.width, img.height, mr, mg, mb,
+                  null, null, null, null)
+              } catch { case _: IllegalArgumentException => blank(n) }
+            case "audio" =>
+              try {
+                val a = decodeWav(bytes)
+                Row(id, kind, n, null, null, null, null, null,
+                  a.sampleRate, a.nSamples.toLong, a.peakAbs, a.rms)
+              } catch { case _: IllegalArgumentException => blank(n) }
+            case _ => blank(n)
+          }
         }
       }
     }(enc)

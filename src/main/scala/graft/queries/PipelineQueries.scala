@@ -364,12 +364,15 @@ object PipelineQueries {
     // partition-wise decode plumbing. Image rows carry REAL binary PPM
     // (P6) payloads and go through the actual byte-level parser
     // (Multimodal.decodePpm): width/height from the header, exact
-    // per-channel means from the decoded raster. Pixel values follow a
-    // closed-form law in (doc_id, pixel), so the oracle replays the
-    // DECODED features analytically. Audio/video rows stay opaque
-    // bytes (no codec in this container) with byte counts only.
+    // per-channel means from the decoded raster. Audio rows carry real
+    // RIFF/WAVE PCM16 bytes parsed by Multimodal.decodeWav: sample
+    // rate, count, peak and RMS from the decoded samples. Pixel and
+    // sample values follow closed-form laws in (doc_id, position), so
+    // the oracle replays the DECODED features analytically. Video rows
+    // stay opaque bytes (no codec in this container), byte counts only.
     "media_features" -> ((s, d) => {
       val ppm = udf((id: Long) => graft.multimodal.Multimodal.ppmFixture(id))
+      val wav = udf((id: Long) => graft.multimodal.Multimodal.wavFixture(id))
       graft.multimodal.Multimodal.mediaFeatures(
         Tables.documents(s, d).select(
           col("doc_id").as("media_id"),
@@ -377,6 +380,7 @@ object PipelineQueries {
             .when(col("doc_id") % 3 === 1, "audio")
             .otherwise("video").as("kind"),
           when(col("doc_id") % 3 === 0, ppm(col("doc_id")))
+            .when(col("doc_id") % 3 === 1, wav(col("doc_id")))
             .otherwise(col("text").cast("binary")).as("payload")))
     }),
 
@@ -1476,12 +1480,15 @@ object PipelineQueries {
       // raster bytes whose channels follow (7id+3p)%256 / (11id+5p)%256
       // / (13id+7p)%256 — the engine parses the actual bytes, the
       // oracle computes what the parse must yield
+      // audio replay: the WAV fixture is a 44-byte canonical RIFF
+      // header + 2*ns PCM16 bytes with s(k) = (31 id + 17 k)%4096-2048
       """WITH base AS (
         |  SELECT doc_id,
         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
         |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |    CAST(4 + doc_id % 5 AS INTEGER) AS w,
         |    CAST(3 + doc_id % 4 AS INTEGER) AS h,
+        |    CAST(64 + doc_id % 129 AS INTEGER) AS ns,
         |    octet_length(encode(text)) AS tb
         |  FROM documents),
         |px AS (
@@ -1491,16 +1498,32 @@ object PipelineQueries {
         |    SUM((doc_id * 13 + p * 7) % 256) AS sb
         |  FROM base, generate_series(0, 47) g(p)
         |  WHERE kind = 'image' AND p < w * h
+        |  GROUP BY doc_id),
+        |au AS (
+        |  SELECT doc_id,
+        |    MAX(abs((doc_id * 31 + k * 17) % 4096 - 2048)) AS pk,
+        |    SUM(((doc_id * 31 + k * 17) % 4096 - 2048) *
+        |        ((doc_id * 31 + k * 17) % 4096 - 2048)) AS ss
+        |  FROM base, generate_series(0, 191) g(k)
+        |  WHERE kind = 'audio' AND k < ns
         |  GROUP BY doc_id)
         |SELECT b.doc_id AS media_id, b.kind,
         |  CAST(CASE WHEN b.kind = 'image' THEN 11 + 3 * b.w * b.h
+        |    WHEN b.kind = 'audio' THEN 44 + 2 * b.ns
         |    ELSE b.tb END AS BIGINT) AS n_bytes,
         |  CASE WHEN b.kind = 'image' THEN b.w END AS width,
         |  CASE WHEN b.kind = 'image' THEN b.h END AS height,
         |  CAST(px.sr AS DOUBLE) / (b.w * b.h) AS mean_r,
         |  CAST(px.sg AS DOUBLE) / (b.w * b.h) AS mean_g,
-        |  CAST(px.sb AS DOUBLE) / (b.w * b.h) AS mean_b
-        |FROM base b LEFT JOIN px ON b.doc_id = px.doc_id""".stripMargin,
+        |  CAST(px.sb AS DOUBLE) / (b.w * b.h) AS mean_b,
+        |  CAST(CASE WHEN b.kind = 'audio' THEN 8000 END AS INTEGER)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN b.kind = 'audio' THEN b.ns END AS BIGINT)
+        |    AS n_samples,
+        |  CAST(au.pk AS BIGINT) AS peak_abs,
+        |  sqrt(CAST(au.ss AS DOUBLE) / b.ns) AS rms
+        |FROM base b LEFT JOIN px ON b.doc_id = px.doc_id
+        |LEFT JOIN au ON b.doc_id = au.doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |CAST(length(text) AS BIGINT) AS n_chars_calc,

@@ -62,10 +62,47 @@ class MultimodalSpec extends SparkTestBase {
     // corrupt image: byte count survives, features null
     assert(got(1).getLong(2) == 13L && got(1).isNullAt(3) &&
       got(1).isNullAt(5))
-    // audio: byte count only
-    assert(got(2).getLong(2) == 3L && got(2).isNullAt(3))
+    // corrupt audio (not RIFF): byte count survives, features null
+    assert(got(2).getLong(2) == 3L && got(2).isNullAt(3) &&
+      got(2).isNullAt(8) && got(2).isNullAt(11))
     // null payload: everything null but id/kind
     assert(got(3).isNullAt(2) && got(3).isNullAt(5))
+  }
+
+  test("WAV round trip: encode -> decode reproduces format and samples") {
+    val a = Multimodal.decodeWav(Multimodal.wavFixture(7L))
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    val n = (64 + 7 % 129).toInt
+    assert(a.nSamples == n)
+    val law = (0 until n).map(k => ((7L * 31 + k * 17L) % 4096 - 2048))
+    assert(a.samples.toSeq.map(_.toLong) == law)
+    assert(a.peakAbs == law.map(math.abs).max)
+    assert(a.rms ==
+      math.sqrt(law.map(s => s * s).sum.toDouble / n))
+    assert(a.durationMs == n * 1000L / 8000)
+  }
+
+  test("WAV decode skips unknown chunks and rejects malformed payloads") {
+    // LIST chunk of odd size (padded per RIFF) before fmt/data
+    val base = Multimodal.encodeWav(8000, 1, Array[Short](1, -2, 3))
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 'x', 'y', 'z', 0) // 3 bytes + pad
+    val patched = java.nio.ByteBuffer
+      .allocate(base.length + list.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(base, 0, 12).put(list).put(base, 12, base.length - 12).array()
+    // fix the RIFF size field
+    patched(4) = ((base.length + list.length - 8) & 0xff).toByte
+    val a = Multimodal.decodeWav(patched)
+    assert(a.samples.toSeq == Seq[Short](1, -2, 3))
+
+    def msg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](Multimodal.decodeWav(b)).getMessage
+    assert(msg("RIFFxxxxWAVX".getBytes("US-ASCII")).contains("RIFF/WAVE"))
+    assert(msg(base.take(20)).contains("overruns"))
+    // 8-bit samples refused
+    val bad8 = base.clone(); bad8(34) = 8
+    assert(msg(bad8).contains("16-bit"))
   }
 
   test("frame sampling still explodes video rows in parallel") {
