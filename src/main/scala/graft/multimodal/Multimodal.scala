@@ -118,10 +118,18 @@ object Multimodal {
     * (maxval 255) only; malformed input throws
     * IllegalArgumentException with the failing condition.
     */
-  def decodePpm(bytes: Array[Byte]): PpmImage = {
-    require(bytes != null && bytes.length >= 2 &&
-      bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM payload")
-    var pos = 2
+  def decodePpm(bytes: Array[Byte]): PpmImage =
+    decodePpmAt(bytes, 0)._1
+
+  /** Parse one P6 PPM starting at `offset`; returns the image plus the
+    * offset one past its raster (so concatenated streams — the GFV1
+    * video container — can walk frame by frame).
+    */
+  def decodePpmAt(bytes: Array[Byte], offset: Int): (PpmImage, Int) = {
+    require(bytes != null && bytes.length >= offset + 2 &&
+      bytes(offset) == 'P' && bytes(offset + 1) == '6',
+      "not a P6 PPM payload")
+    var pos = offset + 2
     def isWs(b: Byte): Boolean =
       b == ' ' || b == '\n' || b == '\r' || b == '\t'
     def skipWsAndComments(): Unit = {
@@ -155,7 +163,9 @@ object Multimodal {
     pos += 1 // exactly one whitespace byte before the raster
     require(bytes.length - pos >= 3 * w * h,
       s"truncated raster: need ${3 * w * h} bytes, have ${bytes.length - pos}")
-    PpmImage(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * w * h))
+    (PpmImage(w, h,
+      java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * w * h)),
+      pos + 3 * w * h)
   }
 
   /** Encode RGB24 pixels as binary PPM (P6, maxval 255): `px(p)` gives
@@ -301,16 +311,111 @@ object Multimodal {
       ((id * 31 + k * 17L) % 4096 - 2048).toShort))
   }
 
+  /** One decoded GFV1 video clip: constant-rate frames of equal-sized
+    * P6 images.
+    */
+  final case class VideoClip(frameMs: Int, frames: Array[PpmImage]) {
+    def nFrames: Int = frames.length
+    def width: Int = frames.head.width
+    def height: Int = frames.head.height
+    def durationMs: Long = nFrames.toLong * frameMs
+    /** Exact per-channel means over every `everyK`-th frame (a frame
+      * SAMPLE, the shape a real video featurizer runs in — decode only
+      * the sampled frames' pixels): integer channel sums over the
+      * sampled rasters, one double division each.
+      */
+    def sampledMeanRgb(everyK: Int): (Double, Double, Double) = {
+      require(everyK >= 1, s"bad sampling stride $everyK")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var nPx = 0L
+      var f = 0
+      while (f < frames.length) {
+        val r = frames(f).raster
+        var p = 0
+        while (p < r.length / 3) {
+          sr += r(3 * p) & 0xff
+          sg += r(3 * p + 1) & 0xff
+          sb += r(3 * p + 2) & 0xff
+          p += 1
+        }
+        nPx += r.length / 3
+        f += everyK
+      }
+      (sr.toDouble / nPx, sg.toDouble / nPx, sb.toDouble / nPx)
+    }
+  }
+
+  /** Pure-JVM decode of the GFV1 container — the trivial deterministic
+    * video format this library ships so the frame-sampling pipeline is
+    * honest end-to-end without external codecs: ASCII magic `GFV1`,
+    * le32 frame count, le32 per-frame duration (ms), then that many
+    * concatenated binary P6 PPM frames, all with identical dimensions.
+    * Malformed input throws IllegalArgumentException.
+    */
+  def decodeVideo(bytes: Array[Byte]): VideoClip = {
+    require(bytes != null && bytes.length >= 12 &&
+      tag(bytes, 0) == "GFV1", "not a GFV1 payload")
+    val n = le32(bytes, 4)
+    val frameMs = le32(bytes, 8)
+    require(n > 0 && n <= (1 << 20), s"bad frame count $n")
+    require(frameMs > 0, s"bad frame duration $frameMs ms")
+    val frames = new Array[PpmImage](n)
+    var pos = 12
+    var f = 0
+    while (f < n) {
+      val (img, next) = decodePpmAt(bytes, pos)
+      require(f == 0 || (img.width == frames(0).width &&
+        img.height == frames(0).height),
+        s"frame $f is ${img.width}x${img.height}, " +
+          s"expected ${frames(0).width}x${frames(0).height}")
+      frames(f) = img
+      pos = next
+      f += 1
+    }
+    VideoClip(frameMs, frames)
+  }
+
+  /** Encode equal-sized P6 frames as a GFV1 clip. */
+  def encodeVideo(frameMs: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = java.nio.ByteBuffer
+      .allocate(12 + frames.map(_.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GFV1".getBytes("US-ASCII")).putInt(frames.length)
+      .putInt(frameMs)
+    frames.foreach(out.put)
+    out.array()
+  }
+
+  /** Deterministic GFV1 fixture: 2 + id%4 frames at 40 ms/frame, frame
+    * dimensions matching [[ppmFixture]] (w = 4 + id%5, h = 3 + id%4),
+    * channel laws r = (7id + 3p + 19f) % 256, g = (11id + 5p + 23f) %
+    * 256, b = (13id + 7p + 29f) % 256 at flat pixel p of frame f — so
+    * an SQL oracle can replay the decoded-and-sampled features
+    * analytically while the engine runs the real byte-level parse.
+    */
+  def videoFixture(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val n = (2 + id % 4).toInt
+    encodeVideo(40, (0 until n).map(f => encodePpm(w, h, p => (
+      ((id * 7 + p * 3L + f * 19L) % 256).toInt,
+      ((id * 11 + p * 5L + f * 23L) % 256).toInt,
+      ((id * 13 + p * 7L + f * 29L) % 256).toInt))))
+  }
+
   /** Typed feature extraction over binary media payloads, partition-wise
     * (the batch shape a decoder runs in: one pass over each partition's
     * rows, no shuffle, binary in / typed scalars out). Image payloads
     * go through the REAL [[decodePpm]] parser — width/height and exact
     * per-channel pixel means from the decoded raster — and audio
     * payloads through the REAL [[decodeWav]] parser — sample rate,
-    * sample count, peak and RMS amplitude from the decoded PCM. A
-    * payload that fails to parse yields null features (its byte count
-    * survives, so corrupt rows are countable). Video (no codec in this
-    * container) carries byte counts only.
+    * sample count, peak and RMS amplitude from the decoded PCM — and
+    * video payloads through the REAL [[decodeVideo]] GFV1 parser —
+    * frame dimensions, frame count, duration, and per-channel means
+    * over every 2nd frame (decode-sampled, the way a production
+    * featurizer avoids touching every frame). A payload that fails to
+    * parse yields null features (its byte count survives, so corrupt
+    * rows are countable).
     */
   def mediaFeatures(df: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -325,7 +430,9 @@ object Multimodal {
       StructField("sample_rate", IntegerType),
       StructField("n_samples", LongType),
       StructField("peak_abs", LongType),
-      StructField("rms", DoubleType)))
+      StructField("rms", DoubleType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", LongType)))
     val enc = RowEncoder.encoderFor(outSchema)
     val idIdx = df.schema.fieldIndex("media_id")
     val kindIdx = df.schema.fieldIndex("kind")
@@ -337,7 +444,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         def blank(n: Any) =
           Row(id, kind, n, null, null, null, null, null, null, null, null,
-            null)
+            null, null, null)
         if (bytes == null) blank(null)
         else {
           val n = bytes.length.toLong
@@ -347,13 +454,21 @@ object Multimodal {
                 val img = decodePpm(bytes)
                 val (mr, mg, mb) = img.meanRgb
                 Row(id, kind, n, img.width, img.height, mr, mg, mb,
-                  null, null, null, null)
+                  null, null, null, null, null, null)
               } catch { case _: IllegalArgumentException => blank(n) }
             case "audio" =>
               try {
                 val a = decodeWav(bytes)
                 Row(id, kind, n, null, null, null, null, null,
-                  a.sampleRate, a.nSamples.toLong, a.peakAbs, a.rms)
+                  a.sampleRate, a.nSamples.toLong, a.peakAbs, a.rms,
+                  null, a.durationMs)
+              } catch { case _: IllegalArgumentException => blank(n) }
+            case "video" =>
+              try {
+                val v = decodeVideo(bytes)
+                val (mr, mg, mb) = v.sampledMeanRgb(2)
+                Row(id, kind, n, v.width, v.height, mr, mg, mb,
+                  null, null, null, null, v.nFrames.toLong, v.durationMs)
               } catch { case _: IllegalArgumentException => blank(n) }
             case _ => blank(n)
           }
@@ -387,4 +502,46 @@ object Multimodal {
         // stub frame id: a real impl would decode the frame here
         sha2(concat(col("payload"), col("frame_ms").cast("string")), 256)
           .as("frame_key"))
+
+  /** REAL frame sampling over GFV1 video payloads: decode each clip
+    * partition-wise and emit one row per every-`everyK`-th frame with
+    * that frame's decoded per-channel means. Binary in / typed frame
+    * rows out, one pass, no shuffle — undecodable payloads are dropped
+    * (they are surfaced with byte counts by [[mediaFeatures]]).
+    */
+  def videoFrames(df: DataFrame, everyK: Int): DataFrame = {
+    require(everyK >= 1, s"bad sampling stride $everyK")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_ms", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex("media_id")
+    val kindIdx = df.schema.fieldIndex("kind")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        if (r.getString(kindIdx) != "video" || bytes == null) Iterator.empty
+        else {
+          val id = r.getLong(idIdx)
+          try {
+            val v = decodeVideo(bytes)
+            Iterator.range(0, v.nFrames, everyK).map { f =>
+              val (mr, mg, mb) = v.frames(f).meanRgb
+              Row(id, f, f.toLong * v.frameMs,
+                v.frames(f).width, v.frames(f).height, mr, mg, mb)
+            }
+          } catch {
+            case _: IllegalArgumentException => Iterator.empty
+          }
+        }
+      }
+    }(enc)
+  }
 }

@@ -369,10 +369,13 @@ object PipelineQueries {
     // rate, count, peak and RMS from the decoded samples. Pixel and
     // sample values follow closed-form laws in (doc_id, position), so
     // the oracle replays the DECODED features analytically. Video rows
-    // stay opaque bytes (no codec in this container), byte counts only.
+    // carry real GFV1 clips (concatenated P6 frames) parsed by
+    // Multimodal.decodeVideo: frame dims/count/duration plus channel
+    // means over every 2nd frame (decode-time frame sampling).
     "media_features" -> ((s, d) => {
       val ppm = udf((id: Long) => graft.multimodal.Multimodal.ppmFixture(id))
       val wav = udf((id: Long) => graft.multimodal.Multimodal.wavFixture(id))
+      val vid = udf((id: Long) => graft.multimodal.Multimodal.videoFixture(id))
       graft.multimodal.Multimodal.mediaFeatures(
         Tables.documents(s, d).select(
           col("doc_id").as("media_id"),
@@ -381,7 +384,22 @@ object PipelineQueries {
             .otherwise("video").as("kind"),
           when(col("doc_id") % 3 === 0, ppm(col("doc_id")))
             .when(col("doc_id") % 3 === 1, wav(col("doc_id")))
-            .otherwise(col("text").cast("binary")).as("payload")))
+            .otherwise(vid(col("doc_id"))).as("payload")))
+    }),
+
+    // multimodal: REAL frame sampling — every 2nd frame of each GFV1
+    // clip decoded into one typed row (frame index/timestamp, dims,
+    // that frame's exact channel means). One partition-wise pass,
+    // no shuffle; at 100 TB the decode parallelism is the row
+    // partitioning and only sampled frames' pixels are touched.
+    "media_video_frames" -> ((s, d) => {
+      val vid = udf((id: Long) => graft.multimodal.Multimodal.videoFixture(id))
+      graft.multimodal.Multimodal.videoFrames(
+        Tables.documents(s, d).filter(col("doc_id") % 3 === 2).select(
+          col("doc_id").as("media_id"),
+          lit("video").as("kind"),
+          vid(col("doc_id")).as("payload")),
+        everyK = 2)
     }),
 
     // per-document text statistics (quality-scoring features)
@@ -1482,6 +1500,9 @@ object PipelineQueries {
       // oracle computes what the parse must yield
       // audio replay: the WAV fixture is a 44-byte canonical RIFF
       // header + 2*ns PCM16 bytes with s(k) = (31 id + 17 k)%4096-2048
+      // video replay: GFV1 is 12 header bytes + nf concatenated P6
+      // frames; channel laws add 19f/23f/29f per frame f, and the
+      // engine samples every 2nd frame (f % 2 = 0) before averaging
       """WITH base AS (
         |  SELECT doc_id,
         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
@@ -1489,10 +1510,10 @@ object PipelineQueries {
         |    CAST(4 + doc_id % 5 AS INTEGER) AS w,
         |    CAST(3 + doc_id % 4 AS INTEGER) AS h,
         |    CAST(64 + doc_id % 129 AS INTEGER) AS ns,
-        |    octet_length(encode(text)) AS tb
+        |    CAST(2 + doc_id % 4 AS INTEGER) AS nf
         |  FROM documents),
         |px AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, COUNT(*) AS npx,
         |    SUM((doc_id * 7 + p * 3) % 256) AS sr,
         |    SUM((doc_id * 11 + p * 5) % 256) AS sg,
         |    SUM((doc_id * 13 + p * 7) % 256) AS sb
@@ -1506,24 +1527,66 @@ object PipelineQueries {
         |        ((doc_id * 31 + k * 17) % 4096 - 2048)) AS ss
         |  FROM base, generate_series(0, 191) g(k)
         |  WHERE kind = 'audio' AND k < ns
+        |  GROUP BY doc_id),
+        |vx AS (
+        |  SELECT doc_id, COUNT(*) AS npx,
+        |    SUM((doc_id * 7 + p * 3 + f * 19) % 256) AS sr,
+        |    SUM((doc_id * 11 + p * 5 + f * 23) % 256) AS sg,
+        |    SUM((doc_id * 13 + p * 7 + f * 29) % 256) AS sb
+        |  FROM base, generate_series(0, 5) gf(f), generate_series(0, 47) g(p)
+        |  WHERE kind = 'video' AND f < nf AND f % 2 = 0 AND p < w * h
         |  GROUP BY doc_id)
         |SELECT b.doc_id AS media_id, b.kind,
         |  CAST(CASE WHEN b.kind = 'image' THEN 11 + 3 * b.w * b.h
         |    WHEN b.kind = 'audio' THEN 44 + 2 * b.ns
-        |    ELSE b.tb END AS BIGINT) AS n_bytes,
-        |  CASE WHEN b.kind = 'image' THEN b.w END AS width,
-        |  CASE WHEN b.kind = 'image' THEN b.h END AS height,
-        |  CAST(px.sr AS DOUBLE) / (b.w * b.h) AS mean_r,
-        |  CAST(px.sg AS DOUBLE) / (b.w * b.h) AS mean_g,
-        |  CAST(px.sb AS DOUBLE) / (b.w * b.h) AS mean_b,
+        |    ELSE 12 + b.nf * (11 + 3 * b.w * b.h) END AS BIGINT) AS n_bytes,
+        |  CASE WHEN b.kind <> 'audio' THEN b.w END AS width,
+        |  CASE WHEN b.kind <> 'audio' THEN b.h END AS height,
+        |  CAST(COALESCE(px.sr, vx.sr) AS DOUBLE)
+        |    / COALESCE(px.npx, vx.npx) AS mean_r,
+        |  CAST(COALESCE(px.sg, vx.sg) AS DOUBLE)
+        |    / COALESCE(px.npx, vx.npx) AS mean_g,
+        |  CAST(COALESCE(px.sb, vx.sb) AS DOUBLE)
+        |    / COALESCE(px.npx, vx.npx) AS mean_b,
         |  CAST(CASE WHEN b.kind = 'audio' THEN 8000 END AS INTEGER)
         |    AS sample_rate,
         |  CAST(CASE WHEN b.kind = 'audio' THEN b.ns END AS BIGINT)
         |    AS n_samples,
         |  CAST(au.pk AS BIGINT) AS peak_abs,
-        |  sqrt(CAST(au.ss AS DOUBLE) / b.ns) AS rms
+        |  sqrt(CAST(au.ss AS DOUBLE) / b.ns) AS rms,
+        |  CAST(CASE WHEN b.kind = 'video' THEN b.nf END AS BIGINT)
+        |    AS n_frames,
+        |  CAST(CASE WHEN b.kind = 'video' THEN 40 * b.nf
+        |    WHEN b.kind = 'audio' THEN (b.ns * 1000) // 8000 END
+        |    AS BIGINT) AS duration_ms
         |FROM base b LEFT JOIN px ON b.doc_id = px.doc_id
-        |LEFT JOIN au ON b.doc_id = au.doc_id""".stripMargin,
+        |LEFT JOIN au ON b.doc_id = au.doc_id
+        |LEFT JOIN vx ON b.doc_id = vx.doc_id""".stripMargin,
+
+    "media_video_frames" ->
+      // per-sampled-frame replay of the GFV1 fixture laws: the engine
+      // decodes the real bytes frame by frame; the oracle computes what
+      // each sampled frame's decoded means must be
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |    CAST(3 + doc_id % 4 AS INTEGER) AS h,
+        |    CAST(2 + doc_id % 4 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fx AS (
+        |  SELECT doc_id, f, w, h,
+        |    SUM((doc_id * 7 + p * 3 + f * 19) % 256) AS sr,
+        |    SUM((doc_id * 11 + p * 5 + f * 23) % 256) AS sg,
+        |    SUM((doc_id * 13 + p * 7 + f * 29) % 256) AS sb
+        |  FROM base, generate_series(0, 5) gf(f), generate_series(0, 47) g(p)
+        |  WHERE f < nf AND f % 2 = 0 AND p < w * h
+        |  GROUP BY doc_id, f, w, h)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(f * 40 AS BIGINT) AS frame_ms, w AS width, h AS height,
+        |  CAST(sr AS DOUBLE) / (w * h) AS mean_r,
+        |  CAST(sg AS DOUBLE) / (w * h) AS mean_g,
+        |  CAST(sb AS DOUBLE) / (w * h) AS mean_b
+        |FROM fx""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |CAST(length(text) AS BIGINT) AS n_chars_calc,

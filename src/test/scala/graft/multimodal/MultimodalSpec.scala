@@ -105,6 +105,72 @@ class MultimodalSpec extends SparkTestBase {
     assert(msg(bad8).contains("16-bit"))
   }
 
+  test("GFV1 round trip: encode -> decode reproduces frames and laws") {
+    val id = 5L // nf = 2 + 5%4 = 3, w = 4, h = 3
+    val v = Multimodal.decodeVideo(Multimodal.videoFixture(id))
+    assert(v.nFrames == 3 && v.frameMs == 40 && v.durationMs == 120L)
+    assert(v.width == (4 + id % 5) && v.height == (3 + id % 4))
+    val n = v.width * v.height
+    // per-frame decoded pixels follow the fixture laws exactly
+    for (f <- 0 until v.nFrames; p <- 0 until n) {
+      assert((v.frames(f).raster(3 * p) & 0xff) ==
+        (id * 7 + p * 3 + f * 19) % 256)
+      assert((v.frames(f).raster(3 * p + 2) & 0xff) ==
+        (id * 13 + p * 7 + f * 29) % 256)
+    }
+    // sampled mean (every 2nd frame: f = 0, 2) matches the law
+    val sampled = Seq(0, 2)
+    def law(a: Long, b: Long, c: Long): Double =
+      sampled.flatMap(f => (0 until n).map(p =>
+        (id * a + p * b + f * c) % 256)).sum.toDouble / (sampled.size * n)
+    val (mr, mg, mb) = v.sampledMeanRgb(2)
+    assert(mr == law(7, 3, 19) && mg == law(11, 5, 23) &&
+      mb == law(13, 7, 29))
+  }
+
+  test("GFV1 decode rejects malformed payloads with the failing condition") {
+    def msg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](Multimodal.decodeVideo(b)).getMessage
+    assert(msg("GFV2........".getBytes("US-ASCII")).contains("not a GFV1"))
+    val good = Multimodal.videoFixture(5L)
+    assert(msg(good.dropRight(1)).contains("truncated raster"))
+    // frame count pointing past the payload
+    val overrun = good.clone(); overrun(4) = 9
+    assert(msg(overrun).contains("not a P6"))
+    // mismatched frame dimensions
+    val mixed = Multimodal.encodeVideo(40, Seq(
+      Multimodal.encodePpm(2, 1, _ => (0, 0, 0)),
+      Multimodal.encodePpm(1, 2, _ => (0, 0, 0))))
+    assert(msg(mixed).contains("expected 2x1"))
+  }
+
+  test("videoFrames: real per-frame decode, sampled stride, corrupt dropped") {
+    val rows = Seq(
+      Row(2L, "video", Multimodal.videoFixture(2L)), // nf = 4 -> f = 0, 2
+      Row(5L, "video", Multimodal.videoFixture(5L)), // nf = 3 -> f = 0, 2
+      Row(7L, "video", "GFV1 nope".getBytes("US-ASCII")), // corrupt
+      Row(9L, "image", Multimodal.ppmFixture(9L))) // wrong kind
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val got = Multimodal.videoFrames(df, everyK = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((2L, 0), (2L, 2), (5L, 0), (5L, 2)))
+    // frame 2 of clip 2: mean_r law over w*h = 6*5 = 30 pixels
+    val f2 = got(1)
+    assert(f2.getLong(2) == 80L && f2.getInt(3) == 6 && f2.getInt(4) == 5)
+    val n = 30
+    assert(f2.getDouble(5) ==
+      (0 until n).map(p => (2L * 7 + p * 3 + 2 * 19) % 256).sum.toDouble / n)
+  }
+
   test("frame sampling still explodes video rows in parallel") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
