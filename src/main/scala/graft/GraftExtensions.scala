@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // filtered COUNT(*) over a grid answered from chunk metadata when the
     // predicate region aligns with the chunk grid
     ext.injectOptimizerRule(graft.plans.MetadataCountRule)
+    // global SUM(var) over a grid answered from per-chunk value sums,
+    // scanning only predicate-boundary chunks
+    ext.injectOptimizerRule(graft.plans.MetadataSumRule)
     // grouped top-k physical operator (heap-bounded partials; see
     // graft.plans.GroupedTopK — also self-registered by TopKOps)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)

@@ -34,29 +34,44 @@ package graft.grid
 final case class BinaryGridStore(root: String, schema: GridSchema,
     chunks: Map[String, Int], codec: String = "none",
     hconf: SerializableHadoopConf = GridIO.shippable(),
-    stats: Map[String, (Any, Any)] = Map.empty) extends GridStore {
+    stats: Map[String, (Any, Any)] = Map.empty,
+    sums: Map[String, Double] = Map.empty) extends GridStore {
 
-  /** Per-chunk variable min/max recorded at write time (finite-only
-    * chunks; see GridStore.varBounds contract). Served for
-    * chunk-aligned blocks — exactly the blocks the DSv2 scan plans.
+  /** Chunk-file key for `block` when it is chunk-aligned, else None.
+    * len <= chunk: a tail block LONGER than one chunk (scan chunk = a
+    * multiple of the disk chunk) spans several files — serving the
+    * first file's stats for it would be unsound.
     */
-  override def varBounds(name: String,
-      block: Seq[(Int, Int)]): Option[(Any, Any)] = {
+  private def alignedKey(name: String,
+      block: Seq[(Int, Int)]): Option[String] = {
     val v = schema.vars.find(_.name == name).getOrElse(return None)
     val chunkSz = v.dims.map(d =>
       chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
-    // len <= chunk: a tail block LONGER than one chunk (scan chunk = a
-    // multiple of the disk chunk) spans several files — serving the
-    // first file's stats for it would be unsound
     val aligned = v.dims.indices.forall { i =>
       val (start, len) = block(i)
       start % chunkSz(i) == 0 && len <= chunkSz(i) &&
         (len == chunkSz(i) || start + len == schema.dim(v.dims(i)).size)
     }
     if (!aligned) None
-    else stats.get(
+    else Some(
       s"$name ${block.zip(chunkSz).map(b => b._1._1 / b._2).mkString(".")}")
   }
+
+  /** Per-chunk variable min/max recorded at write time (finite-only
+    * chunks; see GridStore.varBounds contract). Served for
+    * chunk-aligned blocks — exactly the blocks the DSv2 scan plans.
+    */
+  override def varBounds(name: String,
+      block: Seq[(Int, Int)]): Option[(Any, Any)] =
+    alignedKey(name, block).flatMap(stats.get)
+
+  /** Per-chunk variable value sums recorded at write time (float/double
+    * variables, all-finite chunks only; see GridStore.varSums
+    * contract). Served for chunk-aligned blocks.
+    */
+  override def varSums(name: String,
+      block: Seq[(Int, Int)]): Option[Double] =
+    alignedKey(name, block).flatMap(sums.get)
 
   def readVar(name: String, ranges: Seq[(Int, Int)]): AnyRef = {
     val v = schema.vars.find(_.name == name).getOrElse(
@@ -181,6 +196,7 @@ object BinaryGridStore {
     val schema = source.schema
     GridIO.mkdirs(root, conf)
     val stats = Map.newBuilder[String, (Any, Any)]
+    val sums = Map.newBuilder[String, Double]
     schema.vars.foreach { v =>
       GridIO.mkdirs(s"$root/${v.name}", conf)
       val sub = GridSchema(v.dims.map(schema.dim), Seq.empty)
@@ -189,15 +205,19 @@ object BinaryGridStore {
           start / chunks.getOrElse(d, math.max(schema.dim(d).size, 1))
         }
         val data = source.readVar(v.name, block)
-        chunkStats(data).foreach(s =>
-          stats += s"${v.name} ${idx.mkString(".")}" -> s)
+        val key = s"${v.name} ${idx.mkString(".")}"
+        chunkStats(data).foreach(s => stats += key -> s)
+        chunkSum(data).foreach(s => sums += key -> s)
         GridIO.write(s"$root/${v.name}/${idx.mkString(".")}.bin",
           encodeChunk(data, codec), conf)
       }
     }
     val statMap = stats.result()
-    writeMetadata(s"$root/metadata.txt", schema, chunks, codec, conf, statMap)
-    BinaryGridStore(root, schema, chunks, codec, stats = statMap)
+    val sumMap = sums.result()
+    writeMetadata(s"$root/metadata.txt", schema, chunks, codec, conf,
+      statMap, sumMap)
+    BinaryGridStore(root, schema, chunks, codec, stats = statMap,
+      sums = sumMap)
   }
 
   /** (min, max) of one chunk payload — Long-boxed for long kinds, Double
@@ -229,6 +249,34 @@ object BinaryGridStore {
     case _ => None
   }
 
+  /** Value sum of one chunk payload — float/double kinds only (the
+    * kinds whose Spark SUM is DoubleType, matching the metadata
+    * constant a sum rewrite folds in); None when any value is
+    * non-finite, so NaN/Inf chunks always reach the scan and IEEE
+    * semantics propagate through the real aggregate.
+    */
+  def chunkSum(data: AnyRef): Option[Double] = data match {
+    case a: Array[Double] if a.nonEmpty =>
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i)
+        if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+          return None
+        s += x; i += 1
+      }
+      Some(s)
+    case a: Array[Float] if a.nonEmpty =>
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i)
+        if (java.lang.Float.isNaN(x) || java.lang.Float.isInfinite(x))
+          return None
+        s += x; i += 1
+      }
+      Some(s)
+    case _ => None
+  }
+
   /** Incrementally extend an existing store along `along` — the
     * append-only ingest path of growing archives (a reanalysis gains a
     * new day of hours; a corpus store gains a new batch): `source`
@@ -251,6 +299,7 @@ object BinaryGridStore {
     val conf = GridIO.driverConf()
     val chunkOffset = validateAppend(existing, add, along)
     val stats = Map.newBuilder[String, (Any, Any)]
+    val sums = Map.newBuilder[String, Double]
     add.vars.filter(_.dims.contains(along)).foreach { v =>
       val axisPos = v.dims.indexOf(along)
       val sub = GridSchema(v.dims.map(add.dim), Seq.empty)
@@ -262,13 +311,15 @@ object BinaryGridStore {
             if (k == axisPos) ci + chunkOffset else ci
         }
         val data = source.readVar(v.name, block)
-        chunkStats(data).foreach(st =>
-          stats += s"${v.name} ${idx.mkString(".")}" -> st)
+        val key = s"${v.name} ${idx.mkString(".")}"
+        chunkStats(data).foreach(st => stats += key -> st)
+        chunkSum(data).foreach(st => sums += key -> st)
         GridIO.write(s"$root/${v.name}/${idx.mkString(".")}.bin",
           encodeChunk(data, existing.codec), conf)
       }
     }
-    commitAppend(root, existing, add.dim(along).coords, along, stats.result())
+    commitAppend(root, existing, add.dim(along).coords, along,
+      stats.result(), sums.result())
   }
 
   /** Shared append preconditions; returns the chunk-index offset new
@@ -317,16 +368,18 @@ object BinaryGridStore {
     */
   private[grid] def commitAppend(root: String, existing: BinaryGridStore,
       addCoords: CoordArray, along: String,
-      newStats: Map[String, (Any, Any)]): BinaryGridStore = {
+      newStats: Map[String, (Any, Any)],
+      newSums: Map[String, Double] = Map.empty): BinaryGridStore = {
     val merged = GridSchema(
       existing.schema.dims.map(d => if (d.name == along)
         d.copy(coords = concatCoords(d.coords, addCoords)) else d),
       existing.schema.vars, existing.schema.attrs)
     val mergedStats = existing.stats ++ newStats
+    val mergedSums = existing.sums ++ newSums
     writeMetadata(s"$root/metadata.txt", merged, existing.chunks,
-      existing.codec, GridIO.driverConf(), mergedStats)
+      existing.codec, GridIO.driverConf(), mergedStats, mergedSums)
     BinaryGridStore(root, merged, existing.chunks, existing.codec,
-      stats = mergedStats)
+      stats = mergedStats, sums = mergedSums)
   }
 
   private def coordsEqual(a: CoordArray, b: CoordArray): Boolean = (a, b) match {
@@ -357,12 +410,14 @@ object BinaryGridStore {
     */
   def writeMetadataOnly(root: String, schema: GridSchema,
       chunks: Map[String, Int], codec: String = "none",
-      stats: Map[String, (Any, Any)] = Map.empty): Unit = {
+      stats: Map[String, (Any, Any)] = Map.empty,
+      sums: Map[String, Double] = Map.empty): Unit = {
     ChunkCodec.validate(codec)
     val conf = GridIO.driverConf()
     GridIO.mkdirs(root, conf)
     schema.vars.foreach(v => GridIO.mkdirs(s"$root/${v.name}", conf))
-    writeMetadata(s"$root/metadata.txt", schema, chunks, codec, conf, stats)
+    writeMetadata(s"$root/metadata.txt", schema, chunks, codec, conf, stats,
+      sums)
   }
 
   /** One chunk payload encoded for disk (see [[ChunkCodec]] grammar). */
@@ -386,6 +441,7 @@ object BinaryGridStore {
     var codec = "none"
     var dsAttrs = Map.empty[String, String]
     var stats = Map.empty[String, (Any, Any)]
+    var sums = Map.empty[String, Double]
     def dec(s: String): String =
       java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
     lines.foreach { line =>
@@ -418,6 +474,8 @@ object BinaryGridStore {
           val Array(mn, mx) = mm.split(" ", 2)
           stats += s"$vn $ck" -> (if (longKind) (mn.toLong, mx.toLong)
             else (mn.toDouble, mx.toDouble))
+        case "sumstat" :: vn :: ck :: v :: Nil =>
+          sums += s"$vn $ck" -> v.toDouble
         case "attr" :: "ds" :: k :: v :: Nil => dsAttrs += dec(k) -> dec(v)
         case "attr" :: scope :: k :: v :: Nil if scope.startsWith("dim:") =>
           val dn = scope.stripPrefix("dim:")
@@ -432,7 +490,7 @@ object BinaryGridStore {
       }
     }
     BinaryGridStore(root, GridSchema(dims, vars, dsAttrs), chunks, codec,
-      hconf = hconf, stats = stats)
+      hconf = hconf, stats = stats, sums = sums)
   }
 
   private def parseType(s: String): GridType = s match {
@@ -458,7 +516,8 @@ object BinaryGridStore {
   private def writeMetadata(path: String, schema: GridSchema,
       chunks: Map[String, Int], codec: String,
       conf: org.apache.hadoop.conf.Configuration,
-      stats: Map[String, (Any, Any)] = Map.empty): Unit = {
+      stats: Map[String, (Any, Any)] = Map.empty,
+      sums: Map[String, Double] = Map.empty): Unit = {
     val sb = new StringBuilder
     schema.dims.foreach { d =>
       val (tpe, values) = d.coords match {
@@ -499,6 +558,10 @@ object BinaryGridStore {
     // round-trip exactly); key = "<var> <chunkIdx dotted>"
     stats.toSeq.sortBy(_._1).foreach { case (k, (mn, mx)) =>
       sb.append(s"stats $k $mn $mx\n") }
+    // per-chunk value sums (float/double vars; Double.toString
+    // round-trips exactly); same key grammar as stats
+    sums.toSeq.sortBy(_._1).foreach { case (k, s) =>
+      sb.append(s"sumstat $k $s\n") }
     GridIO.writeString(path, sb.toString, conf)
   }
 

@@ -165,6 +165,19 @@ trait GridStore extends Serializable {
     */
   def varBounds(name: String, block: Seq[(Int, Int)]): Option[(Any, Any)] =
     None
+
+  /** Optional exact value SUM of a DATA VARIABLE over `block` — the
+    * partial-aggregate analogue of [[varBounds]]: per-chunk sums
+    * recorded at write time let a global SUM (and AVG, with the
+    * metadata row count) be answered from metadata for every chunk that
+    * falls fully inside the predicate region, scanning only boundary
+    * chunks. None = unknown (always sound). Implementations must only
+    * report sums for chunks whose values are ALL FINITE — NaN/Inf
+    * chunks must reach the scan so IEEE propagation survives — and
+    * should note that a metadata sum fixes one particular accumulation
+    * order, exactly like any distributed partial aggregate does.
+    */
+  def varSums(name: String, block: Seq[(Int, Int)]): Option[Double] = None
 }
 
 /** Deterministic value law for synthetic variables (seedable, so executors

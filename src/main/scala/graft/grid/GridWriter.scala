@@ -36,13 +36,17 @@ object GridWriter {
     val conf = GridIO.driverConf()
     GridIO.mkdirs(root, conf)
     schema.vars.foreach(v => GridIO.mkdirs(s"$root/${v.name}", conf))
-    // executors return per-chunk (min, max) alongside writing the chunk
-    // files; the driver folds them into the final metadata so the store
-    // prunes on variable predicates like a driver-side write does
-    val stats = schema.vars
-      .flatMap(v => writeVar(df, schema, chunks, root, codec, v)).toMap
-    BinaryGridStore.writeMetadataOnly(root, schema, chunks, codec, stats)
-    BinaryGridStore(root, schema, chunks, codec, stats = stats)
+    // executors return per-chunk (min, max) and value sums alongside
+    // writing the chunk files; the driver folds them into the final
+    // metadata so the store prunes on variable predicates — and answers
+    // metadata SUMs — like a driver-side write does
+    val perChunk = schema.vars
+      .flatMap(v => writeVar(df, schema, chunks, root, codec, v))
+    val stats = perChunk.flatMap { case (k, mm, _) => mm.map(k -> _) }.toMap
+    val sums = perChunk.flatMap { case (k, _, sm) => sm.map(k -> _) }.toMap
+    BinaryGridStore.writeMetadataOnly(root, schema, chunks, codec, stats,
+      sums)
+    BinaryGridStore(root, schema, chunks, codec, stats = stats, sums = sums)
   }
 
   /** Distributed bulk append: the slab's rows scatter/write through the
@@ -103,14 +107,17 @@ object GridWriter {
             conf)
         }
     }
-    val stats = tmp.stats.flatMap { case (k, s) =>
-      val Array(vn, ck) = k.split(" ", 2)
-      slabSchema.vars.find(_.name == vn).filter(_.dims.contains(along))
-        .map(v => s"$vn ${shifted(v, ck)}" -> s)
-    }
+    def shiftKeys[A](m: Map[String, A]): Map[String, A] =
+      m.flatMap { case (k, s) =>
+        val Array(vn, ck) = k.split(" ", 2)
+        slabSchema.vars.find(_.name == vn).filter(_.dims.contains(along))
+          .map(v => s"$vn ${shifted(v, ck)}" -> s)
+      }
+    val stats = shiftKeys(tmp.stats)
+    val sums = shiftKeys(tmp.sums)
     GridIO.delete(staging, conf)
     BinaryGridStore.commitAppend(root, existing,
-      slabSchema.dim(along).coords, along, stats)
+      slabSchema.dim(along).coords, along, stats, sums)
   }
 
   /** Normalized dim column (what the coord->index maps are keyed on). */
@@ -143,7 +150,7 @@ object GridWriter {
 
   private def writeVar(df: DataFrame, schema: GridSchema,
       chunks: Map[String, Int], root: String, codec: String,
-      v: VarDef): Seq[(String, (Any, Any))] = {
+      v: VarDef): Seq[(String, Option[(Any, Any)], Option[Double])] = {
     val dims = v.dims.map(schema.dim)
     val nd = dims.length
     // planning-side chunk arithmetic, shipped to executors via closures
@@ -260,7 +267,8 @@ object GridWriter {
             }
           }
         }
-        val stats = Seq.newBuilder[(String, (Any, Any))]
+        val stats =
+          Seq.newBuilder[(String, Option[(Any, Any)], Option[Double])]
         open.foreach { case (chunkId, (arr, _)) =>
           val name = {
             val ci = new Array[Long](nd)
@@ -273,10 +281,13 @@ object GridWriter {
           }
           GridIO.write(s"$root/$varName/$name.bin",
             BinaryGridStore.encodeChunk(arr, codec), hconf.value)
-          BinaryGridStore.chunkStats(arr).foreach(s => stats += name -> s)
+          val mm = BinaryGridStore.chunkStats(arr)
+          val sm = BinaryGridStore.chunkSum(arr)
+          if (mm.isDefined || sm.isDefined) stats += ((name, mm, sm))
         }
         stats.result().iterator
     }.collect()
-    chunkKeyStats.map { case (name, s) => s"$varName $name" -> s }.toSeq
+    chunkKeyStats.map { case (name, mm, sm) =>
+      (s"$varName $name", mm, sm) }.toSeq
   }
 }

@@ -309,6 +309,25 @@ object GridQueries {
     // row-group stats (beyond the reference, whose bounds cover dims
     // only). air per t-chunk k spans [200+6k, 254+6k]: air >= 255
     // provably excludes chunk 0 (asserted in GridQueryE2ESpec).
+    // metadata SUM surface (beyond the reference, which keeps no value
+    // stats): the disk store records per-chunk value sums at write
+    // time; under GraftExtensions, MetadataSumRule answers this
+    // unaligned t-range SUM from metadata plus the two boundary chunks
+    // (zero-/boundary-read behavior plan-pinned in MetadataSumRuleSpec
+    // — Verify's plain session computes the identical result through
+    // the scanned plan, which is what the oracle gates)
+    "pivot_grid_metasum" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_metasum_grid") + "/store"
+      graft.grid.BinaryGridStore.write(Fixtures.linearGrid, root,
+        Map("t" -> 6))
+      val store = graft.grid.BinaryGridStore.open(root)
+      new XarrayContext(s)
+        .scratchDataFrame(s"metasum_grid@$root", store, store.chunks,
+          Seq("t", "lat", "lon"))
+        .filter(col("t").between(3, 20))
+        .agg(sum(col("air")).as("sum_air"))
+    }),
+
     "pivot_grid_varstats" -> ((s, _) => {
       val root = QueryTmp.dir("graft_varstats_grid") + "/store"
       graft.grid.BinaryGridStore.write(Fixtures.linearGrid, root,
@@ -553,6 +572,10 @@ object GridQueries {
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 18 OR lat >= 74.0""".stripMargin,
+    "pivot_grid_metasum" ->
+      s"""WITH $oracleGrid
+         |SELECT SUM(air) AS sum_air
+         |FROM grid WHERE t BETWEEN 3 AND 20""".stripMargin,
     "pivot_grid_varstats" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
