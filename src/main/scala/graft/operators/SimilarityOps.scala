@@ -349,11 +349,29 @@ object SimilarityOps {
     */
   def annIvfPartitioned(vecs: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, probeId: Long, k: Int, dir: String): DataFrame = {
-    val spark = vecs.sparkSession
-    val dot = GraftFunctions.dot_f64 _
+    buildIvfIndex(vecs, idCol, vecCol, nCentroids, dir)
+    annIvfFromIndex(vecs.sparkSession, dir, probeId, k)
+  }
+
+  /** Write the IVF index once: the assignment materialized
+    * `partitionBy(bucket)`. Separated from [[annIvfFromIndex]] so a
+    * session can build per corpus and probe many times — the
+    * repeated-query economics the index exists for.
+    */
+  def buildIvfIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, dir: String): Unit =
     ivfAssign(vecs, idCol, vecCol, nCentroids)
       .withColumn("bucket", col("bucket").cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Probe a [[buildIvfIndex]] materialization: the probe row is a
+    * driver-side point lookup (one row; its norm a driver-side
+    * sequential fold — identical order, hence bit-identical, to the
+    * executor fold), and the cell filter prunes at directory level.
+    */
+  def annIvfFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probeId: Long, k: Int): DataFrame = {
+    val dot = GraftFunctions.dot_f64 _
     val stored = spark.read.parquet(dir)
     val probe = stored.filter(col("id") === probeId)
       .select(col("bucket"), col("v")).collect()(0)

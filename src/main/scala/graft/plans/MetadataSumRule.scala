@@ -3,15 +3,17 @@ package graft.plans
 import graft.sources.{GridPlanIndex, GridTable, ZoneMapPruning}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Coalesce, GenericInternalRow, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, Coalesce, Divide, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graftinterop.FilterInterop
 import org.apache.spark.sql.types.{DoubleType, FloatType}
 
-/** Global SUM(var) over a grid answered from per-chunk value sums — the
+/** Global SUM(var) / AVG(var) over a grid answered from per-chunk value
+  * sums (AVG = metadata sums over metadata row counts, the canonical
+  * "climatology mean over a range" shape) — the
   * partial-aggregate sibling of [[MetadataCountRule]] (SURVEY §2A A4/A9
   * beyond the reference: the reference keeps no value statistics at
   * all, reader.py:279-335 prunes on dim bounds only).
@@ -49,20 +51,26 @@ case class MetadataSumRule(spark: SparkSession) extends Rule[LogicalPlan] {
       agg.aggregateExpressions.length == 1 =>
       (agg.aggregateExpressions.head match {
         case a @ Alias(ae: AggregateExpression, _) =>
-          sumColumn(ae).flatMap(attr => rewrite(agg, a, ae, attr))
+          matchAgg(ae).flatMap { case (attr, isAvg) =>
+            rewrite(agg, a, ae, attr, isAvg) }
         case _ => None
       }).getOrElse(agg)
   }
 
-  /** The summed column when this is a plain SUM over a float/double
-    * attribute (no DISTINCT, no FILTER clause).
+  /** The aggregated column (and whether the aggregate is AVG) when this
+    * is a plain SUM/AVG over a float/double attribute (no DISTINCT, no
+    * FILTER clause).
     */
-  private def sumColumn(ae: AggregateExpression): Option[AttributeReference] =
+  private def matchAgg(
+      ae: AggregateExpression): Option[(AttributeReference, Boolean)] =
     if (ae.isDistinct || ae.filter.isDefined) None
     else ae.aggregateFunction match {
       case Sum(attr: AttributeReference, _)
         if attr.dataType == DoubleType || attr.dataType == FloatType =>
-        Some(attr)
+        Some((attr, false))
+      case Average(attr: AttributeReference, _)
+        if attr.dataType == DoubleType || attr.dataType == FloatType =>
+        Some((attr, true))
       case _ => None
     }
 
@@ -76,7 +84,7 @@ case class MetadataSumRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, alias: Alias,
       ae: AggregateExpression,
-      attr: AttributeReference): Option[LogicalPlan] = {
+      attr: AttributeReference, isAvg: Boolean): Option[LogicalPlan] = {
     val (cond, relPlan) = stripProjects(agg.child) match {
       case Filter(c, rest) => (Some(c), stripProjects(rest))
       case other => (None, other)
@@ -96,6 +104,7 @@ case class MetadataSumRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val refVars = groupVars.filter(v =>
               f.exists(_.references.contains(v.name)))
             var total = 0.0
+            var rows = 0L // row count behind the metadata sums
             var includedBlocks = 0L
             val boundary = Seq.newBuilder[Seq[(Int, Int)]]
             pidx.allBlockIdx.foreach { ci =>
@@ -112,7 +121,9 @@ case class MetadataSumRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 case None => () // excluded: contributes nothing
                 case Some(true) =>
                   gt.store.varSums(attr.name, pidx.slices(ci)) match {
-                    case Some(s) => total += s; includedBlocks += 1
+                    case Some(s) =>
+                      total += s; rows += pidx.fullRows(ci)
+                      includedBlocks += 1
                     case None => boundary += pidx.slices(ci)
                   }
                 case Some(false) => boundary += pidx.slices(ci)
@@ -121,21 +132,47 @@ case class MetadataSumRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val bnd = boundary.result()
             if (bnd.isEmpty) {
               // fully metadata-decidable; zero included rows => NULL
-              val v: Any = if (includedBlocks > 0) total else null
+              // (AVG divides the metadata sums by the exact metadata
+              // row count — the same one final double division the
+              // normal Average evaluator performs)
+              val v: Any =
+                if (includedBlocks == 0) null
+                else if (isAvg) total / rows.toDouble
+                else total
               Some(LocalRelation(Seq(alias.toAttribute),
                 Seq(new GenericInternalRow(Array[Any](v)): InternalRow)))
             } else if (includedBlocks > 0) {
-              // metadata sum for included chunks + a real SUM over ONLY
-              // the boundary chunks; COALESCE because an empty boundary
-              // result must not null out the metadata part
+              // metadata sums for included chunks + a real aggregate
+              // over ONLY the boundary chunks; COALESCE because an
+              // empty boundary result must not null out the metadata
+              // part. For AVG the boundary contributes (sum, count)
+              // partials and ONE final division combines them with the
+              // metadata partials — the evaluator's own shape.
               val restricted = rel.copy(table = gt.restrictedTo(bnd))
-              val inner = Alias(ae, "boundary_sum")()
-              val innerPlan = Aggregate(Nil, Seq(inner),
-                cond.map(Filter(_, restricted)).getOrElse(restricted))
-              Some(Project(Seq(Alias(
-                Add(Coalesce(Seq(inner.toAttribute,
-                  Literal(0.0, DoubleType))), Literal(total, DoubleType)),
-                alias.name)(exprId = alias.exprId)), innerPlan))
+              val innerChild =
+                cond.map(Filter(_, restricted)).getOrElse(restricted)
+              if (!isAvg) {
+                val inner = Alias(ae, "boundary_sum")()
+                Some(Project(Seq(Alias(
+                  Add(Coalesce(Seq(inner.toAttribute,
+                    Literal(0.0, DoubleType))), Literal(total, DoubleType)),
+                  alias.name)(exprId = alias.exprId)),
+                  Aggregate(Nil, Seq(inner), innerChild)))
+              } else {
+                val bSum = Alias(AggregateExpression(Sum(attr),
+                  Complete, isDistinct = false), "boundary_sum")()
+                // Count(attr), not Count(*): exactly Average's non-null
+                // semantics (grid values are non-null by construction,
+                // but stay aligned with the evaluator regardless)
+                val bCnt = Alias(AggregateExpression(Count(Seq(attr)),
+                  Complete, isDistinct = false), "boundary_cnt")()
+                Some(Project(Seq(Alias(Divide(
+                  Add(Coalesce(Seq(bSum.toAttribute,
+                    Literal(0.0, DoubleType))), Literal(total, DoubleType)),
+                  Cast(Add(bCnt.toAttribute, Literal(rows)), DoubleType)),
+                  alias.name)(exprId = alias.exprId)),
+                  Aggregate(Nil, Seq(bSum, bCnt), innerChild)))
+              }
             } else None // nothing saved: keep the normal pruned scan
           case _ => None
         }

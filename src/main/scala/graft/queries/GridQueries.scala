@@ -328,6 +328,22 @@ object GridQueries {
         .agg(sum(col("air")).as("sum_air"))
     }),
 
+    // the AVG face of the metadata-sum machinery: metadata (sum, rows)
+    // partials for interior chunks + boundary (sum, count) partials,
+    // combined by the evaluator's own single final division
+    // (MetadataSumRuleSpec pins the 2-of-4-chunks read behavior)
+    "pivot_grid_metamean" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_metamean_grid") + "/store"
+      graft.grid.BinaryGridStore.write(Fixtures.linearGrid, root,
+        Map("t" -> 6))
+      val store = graft.grid.BinaryGridStore.open(root)
+      new XarrayContext(s)
+        .scratchDataFrame(s"metamean_grid@$root", store, store.chunks,
+          Seq("t", "lat", "lon"))
+        .filter(col("t").between(3, 20))
+        .agg(avg(col("air")).as("mean_air"))
+    }),
+
     "pivot_grid_varstats" -> ((s, _) => {
       val root = QueryTmp.dir("graft_varstats_grid") + "/store"
       graft.grid.BinaryGridStore.write(Fixtures.linearGrid, root,
@@ -575,6 +591,10 @@ object GridQueries {
     "pivot_grid_metasum" ->
       s"""WITH $oracleGrid
          |SELECT SUM(air) AS sum_air
+         |FROM grid WHERE t BETWEEN 3 AND 20""".stripMargin,
+    "pivot_grid_metamean" ->
+      s"""WITH $oracleGrid
+         |SELECT AVG(air) AS mean_air
          |FROM grid WHERE t BETWEEN 3 AND 20""".stripMargin,
     "pivot_grid_varstats" ->
       s"""WITH $oracleGrid

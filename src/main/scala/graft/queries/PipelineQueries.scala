@@ -82,9 +82,19 @@ object PipelineQueries {
       |  list_aggregate(list_transform(hl, h -> substr(h, 25, 8)), 'min') AS sig3
       |  FROM hsh)""".stripMargin
 
+  /** [[sigDF]] staged once per corpus (the "signatures table" a
+    * production dedup pipeline materializes): shingles + minhash
+    * signatures are md5-deterministic strings, so parquet round-trips
+    * them exactly and every consumer (banding, Jaccard verify,
+    * containment verify, clustering) reads identical rows instead of
+    * re-hashing the corpus.
+    */
+  private def stagedSigs(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "sigs")(sigDF(s, d))
+
   /** doc_id + 2 band keys (2 hashes per band) for LSH bucketing. */
   private def bandsDF(s: SparkSession, d: String): DataFrame =
-    sigDF(s, d).select(col("doc_id"),
+    stagedSigs(s, d).select(col("doc_id"),
       explode(array(
         struct(lit(0).as("band"), concat(col("sig0"), col("sig1")).as("key")),
         struct(lit(1).as("band"), concat(col("sig2"), col("sig3")).as("key"))))
@@ -94,19 +104,34 @@ object PipelineQueries {
       // computes the (expensive) signature subplan once, not twice
       .repartition(col("band"), col("key"))
 
-  /** LSH candidate pairs decorated with both docs' shingle sets —
-    * the shared front half of every exact-verification pass
-    * (Jaccard, containment). Never materializes the pair space:
-    * candidates come from the banded equi-join.
+  /** The distinct LSH candidate pair list (doc_a, doc_b), staged once
+    * per corpus — the "candidate edges" table. Two longs per pair, so
+    * the staged footprint stays linear in the candidate count (never
+    * the decorated pair space).
     */
-  private def candidateShingles(s: SparkSession, d: String): DataFrame = {
+  private def stagedCandPairs(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "cand")(candPairsBuild(s, d))
+
+  /** The banded-self-join candidate build (exposed for the plan pin:
+    * the staged read hides the exchange-reuse shape being asserted).
+    */
+  private[queries] def candPairsBuild(s: SparkSession, d: String): DataFrame = {
     val b = bandsDF(s, d)
-    val cand = b.as("a").join(b.as("b"), Seq("band", "key"))
+    b.as("a").join(b.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = sigDF(s, d).select("doc_id", "sh")
-    cand
+  }
+
+  /** LSH candidate pairs decorated with both docs' shingle sets —
+    * the shared front half of every exact-verification pass
+    * (Jaccard, containment). Never materializes the pair space:
+    * candidates come from the banded equi-join; the decoration joins
+    * run per consumer over the two staged linear-size tables.
+    */
+  private def candidateShingles(s: SparkSession, d: String): DataFrame = {
+    val sh = stagedSigs(s, d).select("doc_id", "sh")
+    stagedCandPairs(s, d)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
   }
@@ -128,21 +153,38 @@ object PipelineQueries {
     * materialized table written by one job, read by its consumers);
     * (b) repeated evaluations in a long-lived driver stop accumulating
     * one scratch tree per invocation (one per corpus instead).
-    * computeIfAbsent serializes concurrent first use; staged results
-    * are deterministic, so every consumer reads identical rows.
+    * A reentrant monitor serializes concurrent first use — reentrant
+    * because one staged build may consume another staged table (cand
+    * pairs read the sigs table), which ConcurrentHashMap.computeIfAbsent
+    * forbids. Staged results are deterministic, so every consumer reads
+    * identical rows.
     */
   private val stageRegistry =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def staged(s: SparkSession, d: String, name: String)(
-      build: => DataFrame): DataFrame = {
-    val path = stageRegistry.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + d + "|" + name, _ => {
-        val p = QueryTmp.dir(s"graft_$name") + "/" + name
-        build.write.parquet(p)
-        p
-      })
-    s.read.parquet(path)
+    scala.collection.mutable.HashMap.empty[String, String]
+
+  /** The path form of [[staged]], for builds that need control over the
+    * write (e.g. `partitionBy` index materializations): `build` writes
+    * whatever layout it wants at the path it is handed; later calls get
+    * the same committed path back without rebuilding.
+    */
+  private def stagedPath(s: SparkSession, d: String, name: String)(
+      build: String => Unit): String = {
+    val key = s.sparkContext.applicationId + "|" + d + "|" + name
+    stageRegistry.synchronized {
+      stageRegistry.get(key) match {
+        case Some(p) => p
+        case None =>
+          val p = QueryTmp.dir(s"graft_$name") + "/" + name
+          build(p)
+          stageRegistry.put(key, p)
+          p
+      }
+    }
   }
+
+  private def staged(s: SparkSession, d: String, name: String)(
+      build: => DataFrame): DataFrame =
+    s.read.parquet(stagedPath(s, d, name)(p => build.write.parquet(p)))
 
   /** The jaccardPairs -> connected-components labelling, staged once
     * and shared by `dedup_clusters` and `dedup_keep_best` — the two
@@ -237,13 +279,7 @@ object PipelineQueries {
 
     // LSH banding: candidate near-dup pairs = equi-join on band keys.
     // This is the 100TB-scalable shape: shuffle signatures, not pairs.
-    "lsh_candidate_pairs" -> ((s, d) => {
-      val b = bandsDF(s, d)
-      b.as("a").join(b.as("b"), Seq("band", "key"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-    }),
+    "lsh_candidate_pairs" -> ((s, d) => stagedCandPairs(s, d)),
 
     // exact n-gram Jaccard verification over the LSH candidate set only
     "neardup_jaccard" -> ((s, d) => jaccardPairs(s, d)),
@@ -346,17 +382,18 @@ object PipelineQueries {
     }),
 
     // the repeated-query production shape of ann_ivf: assignment
-    // materialized partitionBy(bucket), so the probe-cell filter is
-    // directory-level partition pruning at the parquet scan (asserted
-    // in PipelinePlanSpec). Same answer as ann_ivf by construction.
+    // materialized partitionBy(bucket) ONCE per corpus (the staged-path
+    // registry serializes concurrent first builds), so the probe-cell
+    // filter is directory-level partition pruning at the parquet scan
+    // (asserted in PipelinePlanSpec) and repeated probes pay only the
+    // pruned read. Same answer as ann_ivf by construction.
     "ann_ivf_bucketed" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      // unique per invocation (QueryTmp): concurrent evaluations each
-      // build their own bucketed index instead of racing one fixed path
-      val dir = QueryTmp.dir("graft_ivf") + "/index"
-      graft.operators.SimilarityOps
-        .annIvfPartitioned(e, "vec_id", "v", 8, 8L, 10, dir)
+      val dir = stagedPath(s, d, "ivfidx") { p =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        graft.operators.SimilarityOps.buildIvfIndex(e, "vec_id", "v", 8, p)
+      }
+      graft.operators.SimilarityOps.annIvfFromIndex(s, dir, 8L, 10)
         .select(col("id").as("vec_id"), col("cosine"))
     }),
 

@@ -104,7 +104,29 @@ class MetadataSumRuleSpec extends SparkTestBase {
     assert(ReadCounters.partitionsOpened.sum() == 0L)
   }
 
-  test("data-variable predicates answer from var stats; AVG scans") {
+  test("AVG: metadata sums over metadata row counts") {
+    // unfiltered AVG: pure metadata, one final double division
+    ReadCounters.reset()
+    val a = df.agg(org.apache.spark.sql.functions.avg("air"))
+      .collect()(0).getDouble(0)
+    assert(a == airSum(0 until 24) / (24 * 12 * 10))
+    assert(ReadCounters.partitionsOpened.sum() == 0L)
+    // straddling AVG: boundary (sum, count) partials + metadata partials
+    // combined by one division — only the 2 boundary chunks open
+    ReadCounters.reset()
+    val b = df.filter(col("t").between(3, 20))
+      .agg(org.apache.spark.sql.functions.avg("air"))
+      .collect()(0).getDouble(0)
+    assert(b == airSum(3 until 21) / (18 * 12 * 10))
+    assert(ReadCounters.partitionsOpened.sum() == 2L,
+      s"opened ${ReadCounters.partitionsOpened.sum()}")
+    // AVG over an all-excluded range is NULL
+    assert(df.filter(col("t") > 1000)
+      .agg(org.apache.spark.sql.functions.avg("air")).collect()(0)
+      .isNullAt(0))
+  }
+
+  test("data-variable predicates answer from var stats") {
     // SUM under a var predicate: per-chunk VALUE stats decide inclusion
     // — air >= 203 fully includes t-chunks 1..3 (their min is 206) and
     // straddles only chunk 0, so one partition opens
@@ -116,9 +138,5 @@ class MetadataSumRuleSpec extends SparkTestBase {
     assert(got == expected)
     assert(ReadCounters.partitionsOpened.sum() == 1L,
       s"opened ${ReadCounters.partitionsOpened.sum()}")
-    // AVG (Sum+Count pair) is not the single-SUM shape
-    val avg = df.agg(org.apache.spark.sql.functions.avg("air"))
-      .collect()(0).getDouble(0)
-    assert(avg == airSum(0 until 24) / (24 * 12 * 10))
   }
 }

@@ -29,15 +29,16 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   }
 
   test("lsh_candidate_pairs: banded self-join reuses the signature exchange") {
-    val df = SparkEntry.queries("lsh_candidate_pairs")(spark, sf)
-    df.collect() // AQE finalizes stages (incl. reuse) at execution
-    val plan = df.queryExecution.executedPlan
-    // the expensive minhash signature subplan must be computed ONCE and
+    // the staged read hides the build shape, so pin the build plan
+    // itself: the banded (sigs-table) subplan must be computed ONCE and
     // its shuffle reused on the other side of the self-join — reuse
     // shows up as ReusedExchangeExec both with and without AQE
+    val df = graft.queries.PipelineQueries.candPairsBuild(spark, sf)
+    df.collect() // AQE finalizes stages (incl. reuse) at execution
+    val plan = df.queryExecution.executedPlan
     val reused = collectWithSubqueries(plan) { case r: ReusedExchangeExec => r }
     assert(reused.nonEmpty,
-      s"signature exchange not reused (minhash would run twice):\n$plan")
+      s"signature exchange not reused (banding would run twice):\n$plan")
   }
 
   test("doc_chunk: pure map-side explode — no exchange at all") {
