@@ -54,4 +54,42 @@ object DocStreams {
   def admittedPerLang(admitted: DataFrame): DataFrame =
     admitted.groupBy("lang")
       .agg(count(lit(1)).as("n_admitted"), sum("n_tokens").as("sum_tokens"))
+
+  /** One admitted document per fingerprint across the STREAM's whole
+    * history: exact first-wins dedup as keyed state
+    * (`flatMapGroupsWithState`, append mode). The state store holds one
+    * long per distinct fingerprint, partitioned by fingerprint hash —
+    * the scale shape of streaming exact dedup (state volume follows
+    * distinct content, not traffic; a replayed or duplicated document
+    * hits its fingerprint's partition and is dropped there, no global
+    * structure anywhere). Within one micro-batch the lowest doc_id of
+    * a fingerprint group wins, so results are batch-boundary
+    * deterministic. Production note: state here never expires — bound
+    * it with `GroupStateTimeout`/TTL when the corpus allows forgetting
+    * (e.g. a crawl whose recrawl horizon is known), exactly where that
+    * knob would plug in.
+    */
+  def dedupStream(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withFp = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"),
+      graft.functions.WordSetFingerprint.word_set_fingerprint(col("text"))
+        .as("fp"))
+    withFp.as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (fp: String, rows: Iterator[(Long, String, String)],
+         state: GroupState[Long]) => {
+          if (state.exists) Iterator.empty // fingerprint already admitted
+          else {
+            val first = rows.minBy(_._1) // lowest doc_id wins the batch
+            state.update(first._1)
+            Iterator.single((first._1, first._2, fp))
+          }
+        })
+      .toDF("doc_id", "text", "fp")
+  }
 }

@@ -38,6 +38,33 @@ class DocStreamsSpec extends SparkTestBase {
       s"screening admitted the wrong set: $out")
   }
 
+  test("streaming dedup admits one doc per fingerprint across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    final case class D(doc_id: Long, text: String)
+    val input = MemoryStream[(Long, String)]
+    val deduped = DocStreams.dedupStream(
+      input.toDF().toDF("doc_id", "text"))
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+
+    // batch 1: two copies of the same content (word-set fingerprint is
+    // order/multiplicity-insensitive) + one distinct doc
+    input.addData((7L, "alpha beta gamma"), (3L, "gamma beta alpha"),
+      (9L, "something else entirely"))
+    q.processAllAvailable()
+    // batch 2: a replay of batch-1 content + genuinely new content
+    input.addData((12L, "alpha beta gamma"), (15L, "fresh new content"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_out").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // 3 wins over 7 inside batch 1; 12 is a cross-batch dup; 9/15 pass
+    assert(out == Set(3L, 9L, 15L), s"wrong admitted set: $out")
+  }
+
   test("bloom screening never passes a true eval-set overlap") {
     import spark.implicits._
     val evalDocs = Seq.tabulate(50)(i =>
