@@ -1211,6 +1211,82 @@ object PipelineQueries {
           coalesce(col("cnt"), lit(0L)).as("cnt"),
           last(col("sv"), ignoreNulls = true).over(w)
             .cast("string").cast("double").as("v_ffill"))
+    }),
+
+    // exact-substring duplication (Lee et al. 2021, arXiv:2107.06499):
+    // documents sharing long verbatim character runs surface by joining
+    // their 30-char gram posting lists and counting shared grams per
+    // pair. Grams present in more than 8 documents are dropped BEFORE
+    // the pair join — the standard ubiquitous-boilerplate guard, and
+    // the skew bound: with df <= 8 one gram contributes <= 28 pairs,
+    // so no posting list can go quadratic (the role boundedBlockPairs
+    // plays for block joins). Everything is equi-join + groupBy — at
+    // 100 TB this is the canonical posting-list shuffle, keyed on the
+    // 30-byte gram itself (narrow enough that hashing it first buys a
+    // constant, not a complexity class; raw grams keep the DuckDB
+    // oracle join bit-exact with zero collision caveat).
+    "ngram_dup_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(length(col("text")) >= 30)
+      // one map-side pass: transform(sequence(...)) emits every
+      // 30-char window without re-shipping the document per position
+      val dg = docs.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 29), i -> substring(text, i, 30))"))
+          .as("gram"))
+        .distinct()
+      val freq = dg.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 8)
+        .select("gram")
+      val posting = dg.join(freq, "gram")
+      posting.as("a")
+        .join(posting.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 20)
+    }),
+
+    // BM25 top-k retrieval for a fixed 3-term query. The idf keeps the
+    // rank-preserving rational core (N - df + 0.5)/(df + 0.5) WITHOUT
+    // the log wrap — same bit-exactness trade as tfidf_top_terms
+    // (ln() is the one non-IEEE-pinned libm call between engines; the
+    // per-term transform is monotone in df, and the cross-term sum is
+    // our documented scoring function). Per-(doc,term) groups hold at
+    // most one row, so each conditional SUM is exact, and the three
+    // term scores add in FIXED order — the float chain is reproducible
+    // on both engines. Top-k via orderBy+limit (TakeOrdered): no
+    // corpus-sized window; rank is assigned over the k survivors only.
+    "bm25_topk" -> ((s, d) => {
+      val qt = Seq("spark", "stream", "join")
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(words(col("text"))).as("term"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
+      val tf = toks.filter(col("term").isin(qt: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val avgdl = col("total").cast("double") / col("n_docs").cast("double")
+      val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val tfc = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / avgdl))
+      val perTerm = tf.join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"), (idf * tfc).as("s"))
+      val scored = perTerm.groupBy("doc_id")
+        .agg(
+          sum(when(col("term") === qt(0), col("s"))).as("s0"),
+          sum(when(col("term") === qt(1), col("s"))).as("s1"),
+          sum(when(col("term") === qt(2), col("s"))).as("s2"))
+        .select(col("doc_id"),
+          (coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0)) +
+            coalesce(col("s2"), lit(0.0))).as("score"))
+      val top = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
+      top.select(col("doc_id"), col("score"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("rank"))
     })
   )
 
@@ -2094,6 +2170,52 @@ object PipelineQueries {
         |  PARTITION BY event_type ORDER BY hour
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |  AS VARCHAR) AS DOUBLE) AS v_ffill
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+    "ngram_dup_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 30) AS gram
+        |  FROM documents, unnest(generate_series(1, length(text) - 29)) AS t(i)
+        |  WHERE length(text) >= 30),
+        |dg AS (SELECT DISTINCT doc_id, gram FROM g),
+        |freq AS (SELECT gram FROM dg GROUP BY gram
+        |         HAVING count(*) BETWEEN 2 AND 8)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |CAST(count(*) AS BIGINT) AS n_shared
+        |FROM dg a JOIN freq USING (gram) JOIN dg b USING (gram)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 20""".stripMargin,
+    "bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        |       FROM toks GROUP BY doc_id),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |              CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks WHERE term IN ('spark', 'stream', 'join')
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |       FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |  ((CAST(st.n_docs - df.df AS DOUBLE) + 0.5)
+        |     / (CAST(df.df AS DOUBLE) + 0.5))
+        |  * ((CAST(tf.tf AS DOUBLE) * 2.2)
+        |     / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
+        |        + (0.75 * CAST(dl.dl AS DOUBLE))
+        |          / (CAST(st.total AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+        |    AS s
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |agg AS (
+        |  SELECT doc_id,
+        |  COALESCE(SUM(CASE WHEN term = 'spark' THEN s END), 0.0)
+        |  + COALESCE(SUM(CASE WHEN term = 'stream' THEN s END), 0.0)
+        |  + COALESCE(SUM(CASE WHEN term = 'join' THEN s END), 0.0) AS score
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, score,
+        |CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   )
 }
