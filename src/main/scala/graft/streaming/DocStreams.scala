@@ -92,4 +92,57 @@ object DocStreams {
         })
       .toDF("doc_id", "text", "fp")
   }
+
+  /** Streaming NEAR-dup candidate pairs: the cross-batch counterpart of
+    * the batch `lsh_candidate_pairs` query. Each arriving document is
+    * MinHash-signed (4 md5 hashes over word-3-gram shingles, the exact
+    * batch signature) and dropped into its 2 LSH band buckets; keyed
+    * state per bucket retains the doc_ids seen there, so a new arrival
+    * emits one (doc_a, doc_b) candidate per earlier same-bucket doc —
+    * across micro-batch boundaries, without ever replaying the corpus.
+    *
+    * Scale shape: state is partitioned by bucket key (band || two band
+    * sigs), i.e. by CONTENT — a bucket's state holds only the docs that
+    * near-collide there, so state volume follows duplicate density, not
+    * traffic. Pairs for a new doc are generated inside its bucket's
+    * state partition: the pair space is never shuffled, exactly like
+    * the batch shape. A pair whose docs collide in BOTH bands is
+    * emitted twice (once per bucket group) — candidates are a
+    * best-effort pre-filter by contract, consumers dedup/verify
+    * (neardup_jaccard is the batch-side audit). Within a batch the
+    * lower doc_id is enumerated first, so output is batch-boundary
+    * deterministic. Production note: buckets never expire — wire
+    * `GroupStateTimeout`/TTL where the recrawl horizon allows
+    * forgetting, same knob as [[dedupStream]].
+    */
+  def lshCandidateStream(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = docs.select(col("doc_id").cast("long").as("doc_id"),
+      graft.functions.MinHashMd5.minhash_md5(WordShingles.word_shingles(
+        split(lower(col("text")), " "), 3), 4).as("sig"))
+    val banded = sig.select(col("doc_id"), explode(array(
+      concat_ws("|", lit("b0"), col("sig")(0), col("sig")(1)),
+      concat_ws("|", lit("b1"), col("sig")(2), col("sig")(3)))).as("bucket"))
+    banded.as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(Long, String)],
+         state: GroupState[List[Long]]) => {
+          val seen = state.getOption.getOrElse(Nil)
+          val arriving = rows.map(_._1).toArray.distinct.sorted
+          val fresh = arriving.filterNot(seen.contains)
+          val pairs = Iterator.unfold((fresh.toList, seen)) {
+            case (Nil, _) => None
+            case (d :: rest, earlier) =>
+              Some((earlier.map(e => (math.min(d, e), math.max(d, e))),
+                (rest, d :: earlier)))
+          }.flatten.toList
+          state.update(fresh.toList reverse_::: seen)
+          pairs.iterator
+        })
+      .toDF("doc_a", "doc_b")
+  }
 }

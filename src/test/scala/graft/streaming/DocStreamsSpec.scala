@@ -65,6 +65,36 @@ class DocStreamsSpec extends SparkTestBase {
     assert(out == Set(3L, 9L, 15L), s"wrong admitted set: $out")
   }
 
+  test("streaming LSH emits cross-batch near-dup candidate pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(Long, String)]
+    val pairs = DocStreams.lshCandidateStream(
+      input.toDF().toDF("doc_id", "text"))
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("lsh_out").start()
+
+    // batch 1: two identical docs (identical signature -> both band
+    // buckets collide, pair emitted once per bucket) + one distinct doc
+    input.addData((5L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (9L, "zeta eta theta iota kappa"))
+    q.processAllAvailable()
+    // batch 2: a replay of batch-1 content must pair against BOTH
+    // earlier copies from bucket state; unrelated content pairs nothing
+    input.addData((14L, "alpha beta gamma delta epsilon"),
+      (21L, "completely different words here now"))
+    q.processAllAvailable()
+    q.stop()
+
+    // set-collapse the double-band emissions (candidates are a
+    // pre-filter by contract; consumers dedup)
+    val out = spark.table("lsh_out").as[(Long, Long)].collect().toSet
+    assert(out == Set((2L, 5L), (2L, 14L), (5L, 14L)),
+      s"wrong candidate pair set: $out")
+  }
+
   test("bloom screening never passes a true eval-set overlap") {
     import spark.implicits._
     val evalDocs = Seq.tabulate(50)(i =>
