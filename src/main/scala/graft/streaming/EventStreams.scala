@@ -42,6 +42,29 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream interval join: every view pairs with the
+    * same user's clicks landing within `horizon` AFTER it — streaming
+    * click attribution, the incremental form of the batch events_funnel
+    * probe. Both inputs carry watermarks and the join condition bounds
+    * click.ts to [view.ts, view.ts + horizon], so Spark derives state
+    * eviction for BOTH sides (a view older than watermark + horizon can
+    * never match again and is dropped from the state store; clicks
+    * likewise) — join state is bounded by the late-data horizon times
+    * traffic rate, never by stream history. One shuffle per side, on
+    * user_id, the equi-half of the condition.
+    */
+  def attributeClicks(views: DataFrame, clicks: DataFrame,
+      horizon: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour").alias("v")
+    val c = clicks.withWatermark("ts", "1 hour").alias("c")
+    v.join(c, expr(
+        s"v.user_id = c.user_id AND c.ts >= v.ts " +
+          s"AND c.ts <= v.ts + interval $horizon"))
+      .select(col("v.user_id").as("user_id"),
+        col("v.event_id").as("view_id"), col("v.ts").as("view_ts"),
+        col("c.event_id").as("click_id"), col("c.ts").as("click_ts"))
+  }
+
   /** Gap-based sessionization: a session closes after `gapMs` of
     * inactivity per user; emits one summary row per closed session.
     */

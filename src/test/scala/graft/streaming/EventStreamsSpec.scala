@@ -86,4 +86,32 @@ class EventStreamsSpec extends SparkTestBase {
     // user 2's single run stays open -> nothing emitted
     assert(!sessions.exists(_.userId == 2L))
   }
+
+  test("stream-stream interval join attributes clicks within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = attributeClicks(
+      views.toDF().toDF("event_id", "user_id", "ts"),
+      clicks.toDF().toDF("event_id", "user_id", "ts"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").start()
+
+    views.addData((100L, 1L, ts(0)), (101L, 2L, ts(0)))
+    clicks.addData(
+      (200L, 1L, ts(5)),  // within 10 min of view 100 -> attributed
+      (201L, 1L, ts(20)), // past the horizon -> dropped
+      (202L, 3L, ts(2)))  // no matching view -> dropped
+    q.processAllAvailable()
+    // a later batch can still match an earlier view inside the horizon
+    clicks.addData((203L, 2L, ts(9)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("attr_out").select("view_id", "click_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 200L), (101L, 203L)),
+      s"wrong attribution set: $out")
+  }
 }
