@@ -1229,18 +1229,25 @@ object PipelineQueries {
       val docs = Tables.documents(s, d).filter(length(col("text")) >= 30)
       // one map-side pass: transform(sequence(...)) emits every
       // 30-char window without re-shipping the document per position
-      val dg = docs.select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(text) - 29), i -> substring(text, i, 30))"))
-          .as("gram"))
-        .distinct()
-      val freq = dg.groupBy("gram").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 8)
-        .select("gram")
-      val posting = dg.join(freq, "gram")
-      posting.as("a")
-        .join(posting.as("b"),
-          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      val grams = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 29), i -> substring(text, i, 30))"))
+        .as("gram"))
+      // ONE corpus pass, ONE posting shuffle: the bounded-state
+      // CappedDistinctLongs aggregate dedups (gram, doc) in the
+      // map-side partial and returns NULL for any gram in > 8 docs —
+      // the ubiquity filter, dedup, and list collection that otherwise
+      // take a distinct + a df count + a semi-join (three shuffles) all
+      // ride a single groupBy whose per-key state is <= 9 longs even
+      // for a gram present in every document. Pairs then expand
+      // map-side (<= C(8,2) per gram) into the final pair aggregate.
+      grams.groupBy("gram")
+        .agg(graft.functions.CappedDistinctLongs
+          .capped_distinct_longs(col("doc_id"), 8).as("ids"))
+        .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> transform(" +
+            "slice(ids, i + 2, size(ids)), y -> struct(x, y))))")).as("p"))
+        .groupBy(col("p.x").as("a_id"), col("p.y").as("b_id"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 20)
     }),

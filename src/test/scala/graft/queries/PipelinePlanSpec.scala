@@ -274,4 +274,42 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"schema drift: ${df.schema.toDDL} vs pinned ${expected.toDDL}")
   }
 
+  test("ngram_dup_spans: one posting shuffle, bounded-state ubiquity agg") {
+    val pre = planNoAutoBroadcast("ngram_dup_spans")
+    // no join anywhere: the ubiquity filter + dedup + list collection
+    // are ONE capped-distinct aggregate, pairs expand map-side
+    assert(!pre.contains("Join"), s"posting join survives:\n$pre")
+    assert(!pre.contains("CartesianProduct"), s"pair loop:\n$pre")
+    assert(pre.contains("capped_distinct_longs"),
+      s"bounded-state aggregate missing:\n$pre")
+    // exactly 2 structural shuffles: the gram posting aggregate and
+    // the final (a_id, b_id) pair aggregate — a 3rd means the shape
+    // regressed to distinct + df-count + join
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(pre).length
+    assert(n <= 2, s"expected <= 2 shuffles, found $n:\n$pre")
+  }
+
+  test("bm25_topk: corpus joins shuffled; top-k via TakeOrdered only") {
+    // doc-length join is corpus x corpus: no broadcast hint on doc_id
+    val pre = planNoAutoBroadcast("bm25_topk")
+    assert(!pre.contains("BroadcastHashJoin [doc_id#"),
+      s"corpus-sized doc-length side broadcast-hinted:\n$pre")
+    val df = SparkEntry.queries("bm25_topk")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected TakeOrdered top-k in:\n$plan")
+    // the only single-partition window ranks the k survivors — its
+    // child subtree must contain the TakeOrdered, never the corpus
+    val unpartitioned = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    unpartitioned.foreach { w =>
+      assert(w.child.toString.contains("TakeOrdered"),
+        s"unpartitioned window not over the top-k rows:\n$w")
+    }
+  }
+
 }
