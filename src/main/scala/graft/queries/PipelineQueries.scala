@@ -1265,11 +1265,17 @@ object PipelineQueries {
     "bm25_topk" -> ((s, d) => {
       val qt = Seq("spark", "stream", "join")
       val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"),
-        explode(words(col("text"))).as("term"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // doc length is a map-side array size — no corpus-wide token
+      // explode + re-group for it; and the tf explode filters to the
+      // query terms INSIDE the array first, so the generator emits a
+      // handful of rows per doc, not every token
+      val dl = docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
-      val tf = toks.filter(col("term").isin(qt: _*))
+      val qtSql = qt.map(t => s"'$t'").mkString(", ")
+      val tf = docs.select(col("doc_id"),
+          explode(expr(s"filter(split(lower(text), ' '), t -> t IN ($qtSql))"))
+            .as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val avgdl = col("total").cast("double") / col("n_docs").cast("double")
@@ -2193,15 +2199,17 @@ object PipelineQueries {
         |GROUP BY 1, 2
         |HAVING count(*) >= 20""".stripMargin,
     "bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
         |  FROM documents),
-        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-        |       FROM toks GROUP BY doc_id),
         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |              CAST(SUM(dl) AS BIGINT) AS total FROM dl),
         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        |       FROM toks WHERE term IN ('spark', 'stream', 'join')
+        |       FROM (SELECT doc_id,
+        |             unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents) toks
+        |       WHERE term IN ('spark', 'stream', 'join')
         |       GROUP BY doc_id, term),
         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
         |       FROM tf GROUP BY term),
