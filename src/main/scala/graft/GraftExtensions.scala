@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CfTimeExpr, DotProductF64, MinHashMd5, RollingFingerprint, WordSetFingerprint, WordShingles}
+import graft.functions.{CappedDistinctLongs, CfTimeExpr, DotProductF64, MinHashMd5, RollingFingerprint, SimHash64, WordSetFingerprint, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -59,6 +59,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordSetFingerprint].getName,
         "word_set_fingerprint"),
       (exprs: Seq[Expression]) => WordSetFingerprint(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    // aggregate: the analyzer wraps a raw AggregateFunction from the
+    // registry in its AggregateExpression, same as the built-ins
+    ext.injectFunction((
+      FunctionIdentifier("capped_distinct_longs"),
+      new ExpressionInfo(classOf[CappedDistinctLongs].getName,
+        "capped_distinct_longs"),
+      (exprs: Seq[Expression]) =>
+        CappedDistinctLongs(exprs(0), lit(exprs(1), "cap").toInt)))
     ext.injectFunction((
       FunctionIdentifier("cftime"),
       new ExpressionInfo(classOf[CfTimeExpr].getName, "cftime"),

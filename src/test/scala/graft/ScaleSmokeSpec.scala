@@ -117,6 +117,22 @@ class ScaleSmokeSpec extends SparkTestBase {
         "SELECT word_shingles(array('a','b','c','d'), '3') AS sh")
         .collect()(0).getSeq[String](0)
       assert(ws == Seq("a b c", "b c d"))
+      val sh64 = s2.sql(
+        "SELECT simhash64(array('a', 'b')) AS h").collect()(0).getLong(0)
+      val sh64Native = {
+        import org.apache.spark.sql.functions.{array, lit => slit}
+        s2.range(1).select(graft.functions.SimHash64
+          .simhash64(array(slit("a"), slit("b"))).as("h"))
+          .collect()(0).getLong(0)
+      }
+      assert(sh64 == sh64Native, "SQL simhash64 != native column form")
+      val cd = s2.sql(
+        """SELECT k, capped_distinct_longs(v, '2') AS ids
+          |FROM VALUES ('a', 1L), ('a', 2L), ('a', 1L),
+          |            ('b', 1L), ('b', 2L), ('b', 3L) AS t(k, v)
+          |GROUP BY k ORDER BY k""".stripMargin).collect()
+      assert(cd(0).getSeq[Long](1) == Seq(1L, 2L))
+      assert(cd(1).isNullAt(1), "3 distinct past cap 2 must be NULL")
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
