@@ -99,6 +99,27 @@ class XarrayContext(val spark: SparkSession) {
 
   def sql(query: String): DataFrame = spark.sql(query)
 
+  /** Distributed re-chunk ("compaction"): stream `store` through the
+    * DSv2 scan and rewrite it under `newChunks` at `dest`. The 100 TB
+    * operational fix for chunk-size drift — appends and fine-grained
+    * writers accumulate small chunk files whose per-file open cost and
+    * per-chunk planning rows eventually dominate (the object-store
+    * small-files problem); compaction restores the 64–256 MB target.
+    * Everything stays distributed: input chunks stream through the
+    * columnar scan, output chunk files assemble through GridWriter's
+    * normal executor-side scatter (shuffle keyed on output chunk id),
+    * and per-chunk value stats + sums are recomputed at write time so
+    * zone-map pruning and metadata-answered aggregates survive the
+    * rewrite unchanged.
+    */
+  def rechunk(store: graft.grid.BinaryGridStore,
+      newChunks: Map[String, Int], dest: String,
+      codec: String = "zstd"): graft.grid.BinaryGridStore = {
+    val df = scratchDataFrame(s"rechunk@$dest", store, store.chunks,
+      store.schema.dims.map(_.name))
+    graft.grid.GridWriter.write(df, store.schema, newChunks, dest, codec)
+  }
+
   /** API parity with the reference's legacy `from_map` (SURVEY §2A A17,
     * df.py:120-207): map a row-generating function over items, one task
     * per group of items, and get a queryable Dataset — e.g. chunk keys

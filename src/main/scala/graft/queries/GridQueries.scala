@@ -465,6 +465,28 @@ object GridQueries {
         .filter(col("t") >= 12)
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
           col("air"))
+    }),
+
+    // compaction end-to-end: a fragmented store (8 small t-chunks, the
+    // shape appends leave behind) rechunks distributedly into 2 big
+    // ones, and the REWRITTEN store serves the same filtered scan —
+    // values, recomputed zone-map stats, and pruning all survive the
+    // rewrite (the unit spec pins the open-counts; the gate pins the
+    // values).
+    "pivot_grid_rechunk" -> ((s, _) => {
+      val base = QueryTmp.dir("graft_rechunk_grid")
+      val srcRoot = base + "/frag"
+      graft.grid.GridWriter.write(grid(s), Fixtures.linearGrid.schema,
+        Map("t" -> 3), srcRoot, "zstd")
+      val frag = graft.grid.BinaryGridStore.open(srcRoot)
+      val compact = new XarrayContext(s)
+        .rechunk(frag, Map("t" -> 12), base + "/compact")
+      new XarrayContext(s)
+        .scratchDataFrame(s"compact_grid@$base", compact, compact.chunks,
+          Seq("t", "lat", "lon"))
+        .filter(col("t") >= 12)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
     })
   )
 
@@ -676,6 +698,10 @@ object GridQueries {
         |SELECT time, lat, temp FROM cal
         |WHERE time >= TIMESTAMP '2001-03-01 00:00:00'""".stripMargin,
     "pivot_grid_disk" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t >= 12""".stripMargin,
+    "pivot_grid_rechunk" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin

@@ -180,4 +180,33 @@ class RoundTripSpec extends SparkTestBase {
       .asInstanceOf[Array[Double]]
     assert(a.sameElements(b))
   }
+
+  test("rechunk compacts a fragmented store; values, stats, pruning survive") {
+    val ctx = new XarrayContext(spark)
+    val base = Files.createTempDirectory("graft-rechunk").toString
+    // fragmented: 24 t-steps in 8 chunks of 3 (the post-append shape)
+    val frag = GridWriter.write(
+      ctx.dataFrame("rc_src", Fixtures.linearGrid, Map("t" -> 6),
+        Seq("t", "lat", "lon")),
+      Fixtures.linearGrid.schema, Map("t" -> 3), s"$base/frag", "zstd")
+    val compact = ctx.rechunk(frag, Map("t" -> 12), s"$base/compact")
+    // 8 chunk files per var became 2
+    assert(compact.chunks == Map("t" -> 12))
+    val files = new java.io.File(s"$base/compact/air").listFiles()
+      .filter(_.getName.endsWith(".bin"))
+    assert(files.length == 2, s"expected 2 chunk files, got ${files.length}")
+    // values identical across the rewrite
+    val a = ctx.dataFrame("rc_frag", frag, frag.chunks, Seq("t", "lat", "lon"))
+      .orderBy("t", "lat", "lon").collect()
+    val b = ctx.dataFrame("rc_comp", compact, compact.chunks,
+      Seq("t", "lat", "lon")).orderBy("t", "lat", "lon").collect()
+    assert(a.sameElements(b), "rechunk changed cell values")
+    // recomputed zone maps still prune: t >= 12 opens 1 of 2 partitions
+    graft.sources.ReadCounters.reset()
+    val n = ctx.dataFrame("rc_prune", compact, compact.chunks,
+      Seq("t", "lat", "lon")).filter(col("t") >= 12).collect().length
+    assert(n == 12 * 12 * 10)
+    assert(graft.sources.ReadCounters.partitionsOpened.sum() == 1L,
+      "rechunked store lost its pruning stats")
+  }
 }
