@@ -424,6 +424,51 @@ object BinaryGridStore {
   def encodeChunk(data: AnyRef, codec: String): Array[Byte] =
     ChunkCodec.encode(data, codec)
 
+  /** Reclaim files a CRASHED writer left behind: chunk files whose
+    * indices fall outside the committed chunk grid (an append renames
+    * its staged chunks into the var dirs BEFORE the single metadata
+    * commit, so a crash between the two strands over-extent chunks),
+    * plus sibling `.staging-*` trees from appends that died earlier
+    * still. Readers never see orphans — planning is driven purely by
+    * the committed metadata extent — so vacuum is storage reclamation,
+    * not correctness repair. Same single-writer contract as append:
+    * run only while no append is in flight. Returns deleted paths
+    * relative to the store root.
+    */
+  def vacuum(root: String): Seq[String] = {
+    val store = open(root)
+    val conf = GridIO.driverConf()
+    val cleanRoot = root.stripSuffix("/")
+    val orphanChunks = store.schema.vars.flatMap { v =>
+      val sub = GridSchema(v.dims.map(store.schema.dim), Seq.empty)
+      val valid = ChunkGrid.blocks(sub, store.chunks).map { block =>
+        v.dims.zip(block).map { case (d, (start, _)) =>
+          start / store.chunks.getOrElse(d,
+            math.max(store.schema.dim(d).size, 1))
+        }.mkString(".") + ".bin"
+      }.toSet
+      GridIO.listNames(s"$cleanRoot/${v.name}", conf)
+        .filter(n => n.endsWith(".bin") && !valid(n))
+        .map { n =>
+          GridIO.delete(s"$cleanRoot/${v.name}/$n", conf)
+          s"${v.name}/$n"
+        }
+    }
+    val parentPath = new org.apache.hadoop.fs.Path(cleanRoot).getParent
+    val staging =
+      if (parentPath == null) Seq.empty
+      else {
+        val baseName = new org.apache.hadoop.fs.Path(cleanRoot).getName
+        GridIO.listNames(parentPath.toString, conf)
+          .filter(_.startsWith(baseName + ".staging-"))
+          .map { n =>
+            GridIO.delete(s"$parentPath/$n", conf)
+            s"../$n"
+          }
+      }
+    orphanChunks ++ staging
+  }
+
   /** Open an existing store from its metadata (driver-side: resolves
     * the active session's Hadoop conf). From executors use the
     * conf-carrying overload — `driverConf()` there degrades to a bare

@@ -293,6 +293,33 @@ class BinaryGridStoreSpec extends SparkTestBase {
       assert(a.asInstanceOf[Array[_]].toSeq == b.asInstanceOf[Array[_]].toSeq, v)
     }
   }
+
+  test("vacuum deletes crash orphans, keeps the committed store intact") {
+    val dir = tempDir("vac")
+    val chunks = Map("time" -> 25)
+    BinaryGridStore.write(Fixtures.pruneGrid, dir, chunks)
+    val before = BinaryGridStore.open(dir)
+    val whole = before.readVar("temperature", Seq((0, 100), (0, 5)))
+      .asInstanceOf[Array[Double]].toSeq
+    // strand crash residue: an over-extent chunk (an append that died
+    // between rename and metadata commit) and a staging tree
+    Files.write(Paths.get(dir, "temperature", "9.bin"),
+      Array[Byte](1, 2, 3))
+    Files.createDirectories(Paths.get(dir + ".staging-dead"))
+    Files.write(Paths.get(dir + ".staging-dead", "junk"), Array[Byte](0))
+
+    val deleted = BinaryGridStore.vacuum(dir)
+    assert(deleted.toSet == Set("temperature/9.bin", "../" +
+      Paths.get(dir).getFileName + ".staging-dead"),
+      s"wrong delete set: $deleted")
+    assert(!Files.exists(Paths.get(dir, "temperature", "9.bin")))
+    assert(!Files.exists(Paths.get(dir + ".staging-dead")))
+    // all 4 committed chunks survive and read back identically
+    assert(Files.list(Paths.get(dir, "temperature")).toArray.length == 4)
+    val after = BinaryGridStore.open(dir)
+    assert(after.readVar("temperature", Seq((0, 100), (0, 5)))
+      .asInstanceOf[Array[Double]].toSeq == whole)
+  }
 }
 
 object BinaryGridStoreSpec {
