@@ -99,6 +99,24 @@ class XarrayContext(val spark: SparkSession) {
 
   def sql(query: String): DataFrame = spark.sql(query)
 
+  /** Query-time concatenation of multiple stores with the same schema
+    * shape — the `xr.open_mfdataset` / `xr.concat` analog (a dataset at
+    * 100 TB is a FLEET of stores: one per day/model-run/shard). No data
+    * moves and nothing re-registers centrally: the view is a DataFrame
+    * union whose member scans keep their own chunk grids and zone maps,
+    * so a filter prunes every member independently (a time predicate
+    * opens zero partitions of the stores it misses — pinned in
+    * GridSourceSpec). Members may differ in chunking and codec.
+    */
+  def concatDataFrame(keyPrefix: String,
+      parts: Seq[(GridStore, Map[String, Int])],
+      groupDims: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "concat of zero stores")
+    parts.zipWithIndex.map { case ((st, ch), i) =>
+      scratchDataFrame(s"$keyPrefix#$i", st, ch, groupDims)
+    }.reduce(_ unionByName _)
+  }
+
   /** Distributed re-chunk ("compaction"): stream `store` through the
     * DSv2 scan and rewrite it under `newChunks` at `dest`. The 100 TB
     * operational fix for chunk-size drift — appends and fine-grained

@@ -487,6 +487,22 @@ object GridQueries {
         .filter(col("t") >= 12)
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
           col("air"))
+    }),
+
+    // the multi-store dataset (open_mfdataset/xr.concat analog): two
+    // t-slabs of the same grid live as separate stores; the concat VIEW
+    // unions their scans and a boundary-spanning filter reads from both
+    // — each member prunes with its own zone maps (pinned in
+    // GridSourceSpec "concat view prunes each member independently").
+    "pivot_grid_concat" -> ((s, _) => {
+      new XarrayContext(s)
+        .concatDataFrame("concat_grid", Seq(
+          (Fixtures.linearGridSlice(0, 12), Map("t" -> 6)),
+          (Fixtures.linearGridSlice(12, 24), Map("t" -> 6))),
+          Seq("t", "lat", "lon"))
+        .filter(col("t").between(8, 15))
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
     })
   )
 
@@ -704,6 +720,10 @@ object GridQueries {
     "pivot_grid_rechunk" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
-         |FROM grid WHERE t >= 12""".stripMargin
+         |FROM grid WHERE t >= 12""".stripMargin,
+    "pivot_grid_concat" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t BETWEEN 8 AND 15""".stripMargin
   )
 }

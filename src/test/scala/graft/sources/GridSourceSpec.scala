@@ -86,6 +86,24 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("concat view prunes each member independently") {
+    // two t-slabs as separate stores (the open_mfdataset shape), 2
+    // chunks each; a predicate inside one slab opens only that slab's
+    // surviving chunk — the other member's scan prunes to zero
+    val df = ctx.concatDataFrame("concat_prune", Seq(
+      (Fixtures.linearGridSlice(0, 12), Map("t" -> 6)),
+      (Fixtures.linearGridSlice(12, 24), Map("t" -> 6))),
+      Seq("t", "lat", "lon"))
+    ReadCounters.reset()
+    assert(df.filter(col("t") >= 18).collect().length == 6 * 12 * 10)
+    assert(ReadCounters.partitionsOpened.sum() == 1L,
+      "boundary filter must open exactly one member chunk")
+    ReadCounters.reset()
+    assert(df.filter(col("t").between(8, 15)).collect().length == 8 * 12 * 10)
+    assert(ReadCounters.partitionsOpened.sum() == 2L,
+      "spanning filter opens one chunk per member")
+  }
+
   test("projection pushdown: only requested variables are read") {
     val df = ctx.dataFrame("proj1", Fixtures.twoVarGrid, Map("time" -> 5),
       Seq("time", "lat"))
