@@ -1252,6 +1252,30 @@ object PipelineQueries {
         .filter(col("n_shared") >= 20)
     }),
 
+    // heavy hitters with BOUNDED memory: a single-pass Misra–Gries
+    // summary (64 mergeable counters) yields a candidate set guaranteed
+    // to contain every token above n/65 of the corpus; the candidates
+    // broadcast onto one exact counting pass restricted to them
+    // (map-side hash agg over <= 64 keys), and the final threshold
+    // total/40 (> n/65) makes the output EXACT no matter which extra
+    // candidates the order-dependent summary carried — the LSH
+    // candidate/verify contract applied to frequency. The full
+    // vocabulary is never shuffled: the sketch is one row of state per
+    // partition, the verify shuffles <= 64 keys of partial counts.
+    "heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(words(col("text"))).as("token"))
+      val cand = toks.agg(graft.functions.MisraGries
+          .misra_gries(col("token"), 64).as("mg"))
+        .select(explode(col("mg")).as("token"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      toks.join(broadcast(cand), "token")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * 40 > col("total"))
+        .select(col("token"), col("cnt"))
+    }),
+
     // BM25 top-k retrieval for a fixed 3-term query. The idf keeps the
     // rank-preserving rational core (N - df + 0.5)/(df + 0.5) WITHOUT
     // the log wrap — same bit-exactness trade as tfidf_top_terms
@@ -2198,6 +2222,14 @@ object PipelineQueries {
         |WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 20""".stripMargin,
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM toks, tot GROUP BY token, tot.total
+        |HAVING COUNT(*) * 40 > tot.total""".stripMargin,
     "bm25_topk" ->
       """WITH dl AS (
         |  SELECT doc_id,
