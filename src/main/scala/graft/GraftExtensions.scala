@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CappedDistinctLongs, CfTimeExpr, DotProductF64, MinHashMd5, RollingFingerprint, SimHash64, WordSetFingerprint, WordShingles}
+import graft.functions.{CappedDistinctLongs, CfTimeExpr, DotProductF64, MinHashMd5, MisraGries, RollingFingerprint, SimHash64, WordSetFingerprint, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -71,6 +71,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "capped_distinct_longs"),
       (exprs: Seq[Expression]) =>
         CappedDistinctLongs(exprs(0), lit(exprs(1), "cap").toInt)))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (exprs: Seq[Expression]) =>
+        MisraGries(exprs(0), lit(exprs(1), "k").toInt)))
     ext.injectFunction((
       FunctionIdentifier("cftime"),
       new ExpressionInfo(classOf[CfTimeExpr].getName, "cftime"),

@@ -133,6 +133,11 @@ class ScaleSmokeSpec extends SparkTestBase {
           |GROUP BY k ORDER BY k""".stripMargin).collect()
       assert(cd(0).getSeq[Long](1) == Seq(1L, 2L))
       assert(cd(1).isNullAt(1), "3 distinct past cap 2 must be NULL")
+      val mg = s2.sql(
+        """SELECT misra_gries(t, '4') AS mg
+          |FROM VALUES ('x'), ('x'), ('x'), ('y') AS v(t)""".stripMargin)
+        .collect()(0).getSeq[String](0)
+      assert(mg.toSet == Set("x", "y"), s"SQL misra_gries: $mg")
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
