@@ -10,13 +10,6 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
-      // graft's bounded-state typed aggregates (CappedDistinctLongs,
-      // MisraGries) group by HIGH-cardinality keys with tiny per-key
-      // state; Spark's 128-key ObjectHashAggregate fallback was tuned
-      // for unbounded buffers (percentile) and turns them into full
-      // sort-aggs (~3x slower measured on ngram_dup_spans at sf0.1)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 20).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -49,6 +49,19 @@ final class CappedLongSet(val cap: Int) {
   * ubiquity filters as two passes (/root/reference has no aggregate
   * pushdown surface at all); this is the Spark-native single-pass
   * form used by `ngram_dup_spans`.
+  *
+  * Execution note: typed aggregates plan as ObjectHashAggregate, which
+  * past `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  * (default 128) distinct keys per partition degrades to SORT-based
+  * aggregation. For this aggregate that degradation is graceful — the
+  * buffer is <= cap+1 longs, so the sorted stream carries no large
+  * objects — and measured at sf0.1 (graft.NgramProbe, warm medians)
+  * the threshold makes no material difference (6.1 s at 128 vs 6.8 s
+  * at 1M for the full ngram_dup_spans), while a raised threshold
+  * risks large boxed hash maps under AQE-coalesced partitions. Leave
+  * the default alone; the win over the 3-shuffle distinct+count+join
+  * shape is the single pass over the input, not the aggregation
+  * strategy.
   */
 case class CappedDistinctLongs(child: Expression, cap: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)

@@ -58,15 +58,17 @@ object NgramProbe {
         val dt = (System.nanoTime() - t0) / 1e9
         (dt, n)
       }
-      println(f"$tag%-28s median ${ts.map(_._1).sorted.apply(1)}%6.2f s  rows ${ts.head._2}")
+      println(f"$tag%-30s median ${ts.map(_._1).sorted.apply(1)}%6.2f s  rows ${ts.head._2}")
     }
 
-    time("capped (default fallback)")(cappedShape())
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      (1 << 22).toString)
-    time("capped (4M fallback)")(cappedShape())
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "128")
+    // warm codegen/scan paths once so the first tag isn't penalized
+    cappedShape().count(); joinShape().count()
+    for (thr <- Seq(128, 1 << 16, 1 << 20)) {
+      spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        thr.toString)
+      time(s"capped (fallback=$thr)")(cappedShape())
+    }
     time("distinct+count+join")(joinShape())
     spark.stop()
   }

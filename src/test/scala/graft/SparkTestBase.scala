@@ -13,10 +13,6 @@ object SparkTestBase {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
-    // see Bench.scala: bounded-state typed aggs vs the 128-key
-    // ObjectHashAggregate sort fallback
-    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      (1 << 20).toString)
     .getOrCreate()
 }
 
