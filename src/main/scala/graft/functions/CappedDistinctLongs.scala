@@ -59,9 +59,17 @@ final class CappedLongSet(val cap: Int) {
   * the threshold makes no material difference (6.1 s at 128 vs 6.8 s
   * at 1M for the full ngram_dup_spans), while a raised threshold
   * risks large boxed hash maps under AQE-coalesced partitions. Leave
-  * the default alone; the win over the 3-shuffle distinct+count+join
-  * shape is the single pass over the input, not the aggregation
-  * strategy.
+  * the default alone.
+  *
+  * Measured trade vs the Tungsten alternative (NgramProbe, sf0.1 warm
+  * medians): the 4-shuffle distinct + df-count + semi-join shape runs
+  * ~4-4.7 s against this shape's ~5.5-6.6 s on local[32], because its
+  * big aggregates stay in whole-stage codegen while ObjectHashAggregate
+  * does not. It pays for that by shuffling the posting volume ~3 times
+  * (distinct, df re-key, join re-key) against ONE here. Local mode is
+  * CPU-bound so codegen wins; a 1000-executor cluster is network-bound
+  * on these row counts, so shuffle volume decides and the single-pass
+  * shape is the one shipped.
   */
 case class CappedDistinctLongs(child: Expression, cap: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)

@@ -61,15 +61,30 @@ object NgramProbe {
       println(f"$tag%-30s median ${ts.map(_._1).sorted.apply(1)}%6.2f s  rows ${ts.head._2}")
     }
 
-    // warm codegen/scan paths once so the first tag isn't penalized
-    cappedShape().count(); joinShape().count()
-    for (thr <- Seq(128, 1 << 16, 1 << 20)) {
-      spark.conf.set(
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        thr.toString)
-      time(s"capped (fallback=$thr)")(cappedShape())
+    def cappedDistinctShape(): DataFrame = {
+      val dgrams = docs.select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, length(text) - 29), " +
+          "i -> substring(text, i, 30)))")).as("gram"))
+      dgrams.groupBy("gram")
+        .agg(graft.functions.CappedDistinctLongs
+          .capped_distinct_longs(col("doc_id"), 8).as("ids"))
+        .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> transform(" +
+            "slice(ids, i + 2, size(ids)), y -> struct(x, y))))")).as("p"))
+        .groupBy(col("p.x").as("a_id"), col("p.y").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 20)
     }
+
+    // warm codegen/scan paths once so the first tag isn't penalized
+    cappedShape().count(); joinShape().count(); cappedDistinctShape().count()
+    time("capped")(cappedShape())
+    time("capped + map-side distinct")(cappedDistinctShape())
     time("distinct+count+join")(joinShape())
+    time("capped (2)")(cappedShape())
+    time("capped + map-side distinct(2)")(cappedDistinctShape())
+    time("distinct+count+join (2)")(joinShape())
     spark.stop()
   }
 }
