@@ -1192,6 +1192,21 @@ object PipelineQueries {
               lit(0.0)))).cast("long").as("spike"))
     }),
 
+    // one row PER SESSION through Spark's native session_window — the
+    // dynamic-gap sibling of the fixed window() aggregation and the
+    // operator Structured Streaming uses for watermarked streaming
+    // sessionization (events_sessions keeps the gaps-and-islands
+    // per-user COUNTS; this emits the sessions themselves). Session
+    // end = last event + gap by definition, which the oracle replays
+    // as islands + INTERVAL arithmetic. One shuffle on user_id.
+    "events_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))),
+
     "events_resample" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val hourly = ev
@@ -2185,6 +2200,23 @@ object PipelineQueries {
         |CAST(cnt > s1/n + 3.0*sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0))
         |  AS BIGINT) AS spike
         |FROM w WHERE n >= 12""".stripMargin,
+    "events_session_window" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
+        |  THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |MAX(ts) + INTERVAL '5 minutes' AS session_end,
+        |CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, grp""".stripMargin,
     "events_resample" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,
