@@ -132,10 +132,22 @@ class XarrayContext(val spark: SparkSession) {
     */
   def rechunk(store: graft.grid.BinaryGridStore,
       newChunks: Map[String, Int], dest: String,
-      codec: String = "zstd"): graft.grid.BinaryGridStore = {
-    val df = scratchDataFrame(s"rechunk@$dest", store, store.chunks,
-      store.schema.dims.map(_.name))
-    graft.grid.GridWriter.write(df, store.schema, newChunks, dest, codec)
+      codec: String = ""): graft.grid.BinaryGridStore = {
+    // codec "" = inherit — compaction must not silently re-encode
+    // (append preserves existing.codec for the same reason)
+    val effCodec = if (codec.isEmpty) store.codec else codec
+    // one scan PER DIM-GROUP: a var over (time, lat) and one over
+    // (time, lat, level) pivot to different tables (GridSource serves
+    // vars whose dims match the group exactly), so the writer pulls
+    // each var's rows from its own group's scan
+    val groups = store.schema.vars.map(_.dims).distinct
+    val dfByGroup = groups.map { dims =>
+      dims -> scratchDataFrame(s"rechunk@$dest/${dims.mkString("_")}",
+        store, store.chunks.filter { case (d, _) => dims.contains(d) },
+        dims)
+    }.toMap
+    graft.grid.GridWriter.writeGrouped(v => dfByGroup(v.dims),
+      store.schema, newChunks, dest, effCodec)
   }
 
   /** API parity with the reference's legacy `from_map` (SURVEY §2A A17,

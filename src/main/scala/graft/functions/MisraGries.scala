@@ -102,7 +102,12 @@ case class MisraGries(child: Expression, k: Int,
     val it = b.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      // length-prefixed raw UTF-8, NOT writeUTF: writeUTF throws past
+      // 64 KiB and corpus "tokens" (unbroken base64/minified runs) can
+      // exceed that — a sketch must never crash on pathological input
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -115,7 +120,14 @@ case class MisraGries(child: Expression, k: Int,
     val b = new MGSummary(k)
     val n = in.readInt()
     var i = 0
-    while (i < n) { b.counts.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      b.counts.put(
+        new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     b
   }
 

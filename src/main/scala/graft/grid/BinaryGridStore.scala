@@ -454,18 +454,7 @@ object BinaryGridStore {
           s"${v.name}/$n"
         }
     }
-    val parentPath = new org.apache.hadoop.fs.Path(cleanRoot).getParent
-    val staging =
-      if (parentPath == null) Seq.empty
-      else {
-        val baseName = new org.apache.hadoop.fs.Path(cleanRoot).getName
-        GridIO.listNames(parentPath.toString, conf)
-          .filter(_.startsWith(baseName + ".staging-"))
-          .map { n =>
-            GridIO.delete(s"$parentPath/$n", conf)
-            s"../$n"
-          }
-      }
+    val staging = GridIO.sweepStaging(cleanRoot, conf).map("../" + _)
     orphanChunks ++ staging
   }
 

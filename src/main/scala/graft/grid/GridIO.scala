@@ -103,6 +103,21 @@ object GridIO {
     else f.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
+  /** Delete every `.staging-*` sibling of a store root (residue of
+    * crashed appends; see GridWriter.append's single-writer contract —
+    * no live writer owns one when this runs). Returns deleted names.
+    */
+  def sweepStaging(root: String, conf: Configuration): Seq[String] = {
+    val cleanRoot = new Path(root.stripSuffix("/"))
+    val parent = cleanRoot.getParent
+    if (parent == null) Seq.empty
+    else {
+      val prefix = cleanRoot.getName + ".staging-"
+      listNames(parent.toString, conf).filter(_.startsWith(prefix))
+        .map { n => delete(s"$parent/$n", conf); n }
+    }
+  }
+
   /** Same-filesystem rename (a metadata op on HDFS/local). */
   def rename(src: String, dst: String, conf: Configuration): Unit = {
     val s = new Path(src)

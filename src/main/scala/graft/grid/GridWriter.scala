@@ -29,7 +29,19 @@ import org.apache.spark.sql.types._
 object GridWriter {
 
   def write(df: DataFrame, schema: GridSchema, chunks: Map[String, Int],
-      root: String, codec: String = "none"): BinaryGridStore = {
+      root: String, codec: String = "none"): BinaryGridStore =
+    writeGrouped(_ => df, schema, chunks, root, codec)
+
+  /** [[write]] with a per-variable row source — the form a MULTI
+    * dim-group store needs (a surface var over (time, lat) and a cube
+    * var over (time, lat, level) pivot to different tables, so no one
+    * DataFrame carries every var's cells). `dfFor(v)` must hold v's
+    * dim columns and v's value column; vars sharing a dim group may
+    * share a DataFrame. Metadata still commits ONCE with all stats.
+    */
+  def writeGrouped(dfFor: VarDef => DataFrame, schema: GridSchema,
+      chunks: Map[String, Int], root: String,
+      codec: String = "none"): BinaryGridStore = {
     // directory skeleton only — metadata commits ONCE, with stats, so
     // a concurrent open never observes a stats-less store (and remote
     // stores don't pay a doomed extra metadata PUT)
@@ -41,7 +53,7 @@ object GridWriter {
     // metadata so the store prunes on variable predicates — and answers
     // metadata SUMs — like a driver-side write does
     val perChunk = schema.vars
-      .flatMap(v => writeVar(df, schema, chunks, root, codec, v))
+      .flatMap(v => writeVar(dfFor(v), schema, chunks, root, codec, v))
     val stats = perChunk.flatMap { case (k, mm, _) => mm.map(k -> _) }.toMap
     val sums = perChunk.flatMap { case (k, _, sm) => sm.map(k -> _) }.toMap
     BinaryGridStore.writeMetadataOnly(root, schema, chunks, codec, stats,
@@ -79,12 +91,7 @@ object GridWriter {
     // existing .staging-* tree, so deleting them all is safe and keeps
     // retried ingests from permanently leaking slab-sized trees
     val cleanRoot = root.stripSuffix("/")
-    val parentPath = new org.apache.hadoop.fs.Path(cleanRoot).getParent
-    val baseName = new org.apache.hadoop.fs.Path(cleanRoot).getName
-    if (parentPath != null)
-      GridIO.listNames(parentPath.toString, conf)
-        .filter(_.startsWith(baseName + ".staging-"))
-        .foreach(n => GridIO.delete(s"$parentPath/$n", conf))
+    GridIO.sweepStaging(cleanRoot, conf)
     val staging = cleanRoot + ".staging-" +
       java.util.UUID.randomUUID().toString.take(8)
     // stage ONLY the vars that grow with the axis: invariant vars'

@@ -122,9 +122,16 @@ object DocStreams {
     val sig = docs.select(col("doc_id").cast("long").as("doc_id"),
       graft.functions.MinHashMd5.minhash_md5(WordShingles.word_shingles(
         split(lower(col("text")), " "), 3), 4).as("sig"))
+    // concat (null-propagating), NOT concat_ws: a NULL/empty-text doc
+    // has NULL signature slices, and concat_ws would silently drop
+    // them, collapsing every such doc into the constant "b0"/"b1"
+    // buckets — unbounded state + O(n^2) bogus pairs. With concat the
+    // bucket is NULL and the row is filtered, matching the batch shape
+    // where a NULL band key never equi-joins.
     val banded = sig.select(col("doc_id"), explode(array(
-      concat_ws("|", lit("b0"), col("sig")(0), col("sig")(1)),
-      concat_ws("|", lit("b1"), col("sig")(2), col("sig")(3)))).as("bucket"))
+        concat(lit("b0|"), col("sig")(0), col("sig")(1)),
+        concat(lit("b1|"), col("sig")(2), col("sig")(3)))).as("bucket"))
+      .filter(col("bucket").isNotNull)
     banded.as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append,

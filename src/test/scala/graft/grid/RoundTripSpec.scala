@@ -209,4 +209,21 @@ class RoundTripSpec extends SparkTestBase {
     assert(graft.sources.ReadCounters.partitionsOpened.sum() == 1L,
       "rechunked store lost its pruning stats")
   }
+
+  test("rechunk handles multi-dim-group stores and inherits the codec") {
+    val ctx = new XarrayContext(spark)
+    val base = Files.createTempDirectory("graft-rechunk-mixed").toString
+    // t2m over (time, lat), pressure over (time, lat, level) — two
+    // pivot tables, one store
+    val src = BinaryGridStore.write(Fixtures.mixedDims, s"$base/src",
+      Map("time" -> 1), codec = "zstd")
+    val compact = ctx.rechunk(src, Map("time" -> 4), s"$base/dst")
+    assert(compact.codec == "zstd", "compaction must not re-encode")
+    for (v <- Seq("t2m", "pressure")) {
+      val dims = src.schema.vars.find(_.name == v).get.dims
+      val block = dims.map(d => (0, src.schema.dim(d).size))
+      assert(compact.readVar(v, block).asInstanceOf[Array[Double]].toSeq ==
+        src.readVar(v, block).asInstanceOf[Array[Double]].toSeq, v)
+    }
+  }
 }

@@ -82,9 +82,12 @@ class DocStreamsSpec extends SparkTestBase {
       (9L, "zeta eta theta iota kappa"))
     q.processAllAvailable()
     // batch 2: a replay of batch-1 content must pair against BOTH
-    // earlier copies from bucket state; unrelated content pairs nothing
+    // earlier copies from bucket state; unrelated content pairs
+    // nothing; NULL-text docs have NULL band keys and must vanish
+    // instead of collapsing into a shared bucket
     input.addData((14L, "alpha beta gamma delta epsilon"),
-      (21L, "completely different words here now"))
+      (21L, "completely different words here now"),
+      (30L, null), (31L, null))
     q.processAllAvailable()
     q.stop()
 
