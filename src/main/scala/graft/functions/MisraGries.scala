@@ -17,6 +17,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * n/(k+1): the classic undercount bound, generalized to weights
   * (which is what makes the summary mergeable).
   */
+object MGSummary {
+  /** Length-prefixed raw UTF-8 (never writeUTF — it throws past 64 KiB
+    * keys); shared by the aggregate's shuffle serde and the streaming
+    * keyed-state form (DocStreams.trendingTokens).
+    */
+  def toBytes(b: MGSummary): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(b.counts.size)
+    val it = b.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(k: Int, bytes: Array[Byte]): MGSummary = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val b = new MGSummary(k)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      b.counts.put(
+        new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
+    b
+  }
+}
+
 final class MGSummary(val k: Int) {
   val counts = new java.util.HashMap[String, java.lang.Long](k * 2)
 
@@ -95,41 +134,10 @@ case class MisraGries(child: Expression, k: Int,
       keys.map(UTF8String.fromString(_): Any))
   }
 
-  override def serialize(b: MGSummary): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val out = new java.io.DataOutputStream(bos)
-    out.writeInt(b.counts.size)
-    val it = b.counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      // length-prefixed raw UTF-8, NOT writeUTF: writeUTF throws past
-      // 64 KiB and corpus "tokens" (unbroken base64/minified runs) can
-      // exceed that — a sketch must never crash on pathological input
-      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      out.writeInt(kb.length)
-      out.write(kb)
-      out.writeLong(e.getValue)
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(b: MGSummary): Array[Byte] = MGSummary.toBytes(b)
 
-  override def deserialize(bytes: Array[Byte]): MGSummary = {
-    val in = new java.io.DataInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    val b = new MGSummary(k)
-    val n = in.readInt()
-    var i = 0
-    while (i < n) {
-      val kb = new Array[Byte](in.readInt())
-      in.readFully(kb)
-      b.counts.put(
-        new String(kb, java.nio.charset.StandardCharsets.UTF_8),
-        in.readLong())
-      i += 1
-    }
-    b
-  }
+  override def deserialize(bytes: Array[Byte]): MGSummary =
+    MGSummary.fromBytes(k, bytes)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -152,4 +152,45 @@ object DocStreams {
         })
       .toDF("doc_a", "doc_b")
   }
+
+  /** Trending tokens per hour with BOUNDED keyed state: one
+    * Misra–Gries summary (k counters, a few KB) per hour bucket,
+    * folded incrementally as batches arrive — the streaming form of
+    * the batch `heavy_hitters` candidate stage, with the identical
+    * guarantee (every token above 1/(k+1) of the hour's traffic is
+    * present in that hour's candidate row). State is the summary's
+    * serialized bytes, through the same serde the batch aggregate
+    * ships across its merge shuffle; update-mode emits the hour's
+    * refreshed candidate array each batch it changes. Exact counts,
+    * when needed, come from the batch verify pass over the hour's
+    * stored slice — candidates here, verification there, the same
+    * contract as lshCandidateStream. State never expires; wire
+    * `GroupStateTimeout` to the retention horizon in production.
+    */
+  def trendingTokens(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(
+      date_trunc("hour", col("ts")).cast("long").as("hour_sec"),
+      explode(split(lower(col("text")), " ")).as("token"))
+    toks.as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (hourSec: Long, rows: Iterator[(Long, String)],
+         state: GroupState[Array[Byte]]) => {
+          val summary = state.getOption
+            .map(graft.functions.MGSummary.fromBytes(k, _))
+            .getOrElse(new graft.functions.MGSummary(k))
+          rows.foreach(r => summary.add(r._2, 1L))
+          state.update(graft.functions.MGSummary.toBytes(summary))
+          val cand = new Array[String](summary.counts.size)
+          summary.counts.keySet().toArray(cand)
+          java.util.Arrays.sort(cand,
+            java.util.Comparator.naturalOrder[String]())
+          Iterator.single((hourSec, cand.toSeq))
+        })
+      .toDF("hour_sec", "candidates")
+  }
 }

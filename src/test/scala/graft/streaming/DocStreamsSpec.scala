@@ -98,6 +98,46 @@ class DocStreamsSpec extends SparkTestBase {
       s"wrong candidate pair set: $out")
   }
 
+  test("trending tokens: bounded per-hour state keeps the heavy token") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Int): Timestamp = new Timestamp(1700000000000L / 3600000 *
+      3600000 + min * 60000L)
+
+    val input = MemoryStream[(Timestamp, String)]
+    val out = DocStreams.trendingTokens(
+      input.toDF().toDF("ts", "text"), k = 4)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("trend_out").start()
+
+    // batch 1: "viral" dominates hour 0; noise fills the counters
+    input.addData(
+      (ts(1), "viral viral viral viral viral viral"),
+      (ts(2), "noise1 noise2 noise3 noise4 noise5"))
+    q.processAllAvailable()
+    // batch 2: more of the same hour — state folds incrementally —
+    // plus a different hour with its own heavy token
+    input.addData(
+      (ts(3), "viral viral viral noise6 noise7"),
+      (ts(70), "other other other other quiet1"))
+    q.processAllAvailable()
+    q.stop()
+
+    // update mode: keep each hour's LAST emitted candidate row
+    val rows = spark.table("trend_out")
+      .orderBy("hour_sec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val byHour = rows.groupBy(_._1).map { case (h, rs) => h -> rs.last._2 }
+    assert(byHour.size == 2)
+    val Seq(h0, h1) = byHour.keys.toSeq.sorted
+    assert(byHour(h0).contains("viral"),
+      s"hour-0 candidates lost the dominant token: ${byHour(h0)}")
+    assert(byHour(h0).size <= 4)
+    assert(byHour(h1).contains("other"),
+      s"hour-1 candidates lost the dominant token: ${byHour(h1)}")
+  }
+
   test("bloom screening never passes a true eval-set overlap") {
     import spark.implicits._
     val evalDocs = Seq.tabulate(50)(i =>
