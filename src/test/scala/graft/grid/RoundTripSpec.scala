@@ -210,6 +210,34 @@ class RoundTripSpec extends SparkTestBase {
       "rechunked store lost its pruning stats")
   }
 
+  test("rechunk round-trips values for randomized chunk specs") {
+    val ctx = new XarrayContext(spark)
+    val rnd = new scala.util.Random(1234)
+    val base = Files.createTempDirectory("graft-rechunk-rand").toString
+    for (case_ <- 0 until 6) {
+      // random 2-D shape, random source and destination chunkings
+      // (including unchunked dims and non-divisible chunk sizes)
+      val (nT, nX) = (2 + rnd.nextInt(9), 1 + rnd.nextInt(6))
+      def spec(): Map[String, Int] = Seq(
+        "t" -> (1 + rnd.nextInt(nT)), "x" -> (1 + rnd.nextInt(nX)))
+        .filter(_ => rnd.nextBoolean()).toMap
+      val schema = GridSchema(
+        Seq(DimDef("t", IntCoords(Array.range(0, nT))),
+          DimDef("x", IntCoords(Array.range(0, nX)))),
+        Seq(VarDef("v", Seq("t", "x"), GDouble)))
+      val src = SyntheticGridStore(schema,
+        Map("v" -> Fixtures.AffineLaw(7.0 + case_, Seq(3.0, 11.0))))
+      val s0 = BinaryGridStore.write(src, s"$base/s$case_", spec(),
+        codec = if (rnd.nextBoolean()) "zstd" else "none")
+      val s1 = ctx.rechunk(s0, spec(), s"$base/d$case_")
+      assert(s1.codec == s0.codec, s"case $case_: codec drift")
+      val block = Seq((0, nT), (0, nX))
+      assert(s1.readVar("v", block).asInstanceOf[Array[Double]].toSeq ==
+        s0.readVar("v", block).asInstanceOf[Array[Double]].toSeq,
+        s"case $case_: values drifted (shape ($nT,$nX))")
+    }
+  }
+
   test("rechunk handles multi-dim-group stores and inherits the codec") {
     val ctx = new XarrayContext(spark)
     val base = Files.createTempDirectory("graft-rechunk-mixed").toString
