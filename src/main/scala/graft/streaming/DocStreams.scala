@@ -154,43 +154,54 @@ object DocStreams {
   }
 
   /** Trending tokens per hour with BOUNDED keyed state: one
-    * Misra–Gries summary (k counters, a few KB) per hour bucket,
-    * folded incrementally as batches arrive — the streaming form of
-    * the batch `heavy_hitters` candidate stage, with the identical
-    * guarantee (every token above 1/(k+1) of the hour's traffic is
-    * present in that hour's candidate row). State is the summary's
-    * serialized bytes, through the same serde the batch aggregate
-    * ships across its merge shuffle; update-mode emits the hour's
-    * refreshed candidate array each batch it changes. Exact counts,
-    * when needed, come from the batch verify pass over the hour's
-    * stored slice — candidates here, verification there, the same
-    * contract as lshCandidateStream. State never expires; wire
-    * `GroupStateTimeout` to the retention horizon in production.
+    * Misra–Gries summary (k counters, a few KB) per (hour, shard)
+    * bucket, folded incrementally as batches arrive — the streaming
+    * form of the batch `heavy_hitters` candidate stage. State is the
+    * summary's serialized bytes, through the same serde the batch
+    * aggregate ships across its merge shuffle; update-mode emits a
+    * bucket's refreshed candidate array each batch it changes.
+    *
+    * Sharding is BY TOKEN HASH, which is what keeps both the scale
+    * and the guarantee: an hour of peak traffic is `nShards` parallel
+    * state tasks instead of one hot key, and because a given token's
+    * entire count lands in exactly one shard, the per-shard guarantee
+    * (every token above 1/(k+1) of the SHARD's traffic is present)
+    * implies the per-hour one — shard traffic is at most the hour's,
+    * so any token above 1/(k+1) of the hour is above 1/(k+1) of its
+    * shard. Consumers union the shards' candidate arrays per hour.
+    * Exact counts, when needed, come from the batch verify pass over
+    * the hour's stored slice — candidates here, verification there,
+    * the same contract as lshCandidateStream. State never expires;
+    * wire `GroupStateTimeout` to the retention horizon in production.
     */
-  def trendingTokens(docs: DataFrame, k: Int): DataFrame = {
+  def trendingTokens(docs: DataFrame, k: Int,
+      nShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(
       date_trunc("hour", col("ts")).cast("long").as("hour_sec"),
       explode(split(lower(col("text")), " ")).as("token"))
-    toks.as[(Long, String)]
-      .groupByKey(_._1)
+      .select(col("hour_sec"),
+        pmod(xxhash64(col("token")), lit(nShards.toLong)).as("shard"),
+        col("token"))
+    toks.as[(Long, Long, String)]
+      .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(
-        (hourSec: Long, rows: Iterator[(Long, String)],
+        (key: (Long, Long), rows: Iterator[(Long, Long, String)],
          state: GroupState[Array[Byte]]) => {
           val summary = state.getOption
             .map(graft.functions.MGSummary.fromBytes(k, _))
             .getOrElse(new graft.functions.MGSummary(k))
-          rows.foreach(r => summary.add(r._2, 1L))
+          rows.foreach(r => summary.add(r._3, 1L))
           state.update(graft.functions.MGSummary.toBytes(summary))
           val cand = new Array[String](summary.counts.size)
           summary.counts.keySet().toArray(cand)
           java.util.Arrays.sort(cand,
             java.util.Comparator.naturalOrder[String]())
-          Iterator.single((hourSec, cand.toSeq))
+          Iterator.single((key._1, key._2, cand.toSeq))
         })
-      .toDF("hour_sec", "candidates")
+      .toDF("hour_sec", "shard", "candidates")
   }
 }
