@@ -481,12 +481,6 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
 
   private def filters: Array[Filter] = staticFilters ++ runtimeFilters
 
-  /** One planned (surviving) block: slices, shipped RELATIVE surviving
-    * indices (Nil = every dim full), and its exact matching-cell count.
-    */
-  private final case class Planned(block: Seq[(Int, Int)],
-      keep: Seq[Array[Int]], rows: Long)
-
   // per-(dim, chunk) planning index — O(total coords) once per scan,
   // O(n_dims) per block afterwards. Explicit block whitelists
   // (metadata-count boundary scans; always few blocks) keep the direct
@@ -919,3 +913,11 @@ class GridPartitionReader(part: GridInputPartition)
 
   override def close(): Unit = {}
 }
+
+/** One planned (surviving) block of a grid scan: slices, shipped
+  * RELATIVE surviving indices (Nil = every dim full), and its exact
+  * matching-cell count. Top-level (not nested in the scan) so the
+  * synthesized equality carries no outer-instance type test.
+  */
+private[sources] final case class Planned(block: Seq[(Int, Int)],
+    keep: Seq[Array[Int]], rows: Long)
