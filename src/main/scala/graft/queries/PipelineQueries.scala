@@ -869,6 +869,35 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_new"), min("doc_id").as("first_new"))
     }),
 
+    // bloom-accelerated incremental dedup — the daily-ingest scale
+    // path when the anti-join's right side is the WHOLE corpus: a
+    // bloom filter over the existing fingerprints (a few bytes per
+    // key, built once per release) screens the batch map-side;
+    // mightContain=false proves NEW (bloom has no false negatives),
+    // so only the might-contain sliver reaches the exact anti-join
+    // and the corpus-sized shuffle shrinks to |dups| + fp-rate.
+    // False positives are weeded by the exact join, so the OUTPUT is
+    // deterministic — identical to the plain anti-join, which is
+    // exactly what the oracle computes. (Streaming twin:
+    // DocStreams.admit screens eval-set grams the same way.)
+    "dedup_incremental_bloom" -> ((s, d) => {
+      val fp = graft.functions.WordSetFingerprint
+        .word_set_fingerprint(col("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        fp.as("fp"))
+      val existing = docs.filter(col("doc_id") < 250).select("fp").distinct()
+      val bloom = existing.stat.bloomFilter("fp", 1000L, 0.03)
+      val mightContain = udf((f: String) =>
+        f != null && bloom.mightContainString(f))
+      val batch = docs.filter(col("doc_id") >= 250)
+      val definiteNew = batch.filter(!mightContain(col("fp")))
+      val confirmed = batch.filter(mightContain(col("fp")))
+        .join(existing, Seq("fp"), "left_anti")
+      definiteNew.unionByName(confirmed)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"), min("doc_id").as("first_new"))
+    }),
+
     // cluster -> kept representative: the step between "found near-dup
     // clusters" and "emitted one doc per cluster" — keep the highest-
     // quality member (ties to the lowest doc_id) via a partial-agg
@@ -1577,6 +1606,20 @@ object PipelineQueries {
         |  FROM documents) t
         |WHERE rn <= 3""".stripMargin,
     "dedup_incremental" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split(lower(text), ' '))), ' ')) AS fp
+        |  FROM documents),
+        |ex AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_new,
+        |CAST(MIN(doc_id) AS BIGINT) AS first_new
+        |FROM f
+        |WHERE doc_id >= 250 AND fp NOT IN (SELECT fp FROM ex)
+        |GROUP BY lang""".stripMargin,
+    "dedup_incremental_bloom" ->
+      // the bloom is a pre-filter whose misses are exact-joined, so
+      // the result equals the plain anti-join — same oracle
       """WITH f AS (
         |  SELECT doc_id, lang,
         |  md5(array_to_string(list_sort(list_distinct(
