@@ -16,7 +16,10 @@ class ConcurrentEvalSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
 
   for (q <- Seq("pivot_grid_disk", "pivot_grid_varstats",
-    "pivot_grid_append", "ann_ivf_bucketed")) {
+    "pivot_grid_append", "ann_ivf_bucketed",
+    // round-6 store-lifecycle queries: rechunk writes a second store
+    // from a scratch scan; concat registers two scratch member scans
+    "pivot_grid_rechunk", "pivot_grid_concat")) {
     test(s"$q: two concurrent evaluations do not race their scratch store") {
       val runs = (1 to 2).map(_ => Future {
         SparkEntry.queries(q)(spark, sf).collect().length
