@@ -41,6 +41,15 @@ object GridQueries {
     "pivot_grid_agg" -> ((s, _) =>
       grid(s).groupBy("lat").agg(avg("air").as("avg_air"))),
 
+    // xarray idxmax("t"): the coordinate where the variable peaks, per
+    // remaining cell — max_by/arg_max on both engines (one partial-agg
+    // shuffle, no window). The fixture law is strictly monotone in t,
+    // so the argmax is unique and the gate deterministic.
+    "pivot_grid_idxmax" -> ((s, _) =>
+      grid(s).groupBy("lat", "lon")
+        .agg(max_by(col("t"), col("air")).cast("long").as("t_peak"),
+          max(col("air")).as("peak_air"))),
+
     // filter exercising zone-map pruning (t chunks of 6: keeps 2 of 4
     // partitions) + projection pushdown (only `air` is read)
     "pivot_grid_filter" -> ((s, _) =>
@@ -513,6 +522,11 @@ object GridQueries {
     "pivot_grid_agg" ->
       s"""WITH $oracleGrid
          |SELECT lat, AVG(air) AS avg_air FROM grid GROUP BY lat""".stripMargin,
+    "pivot_grid_idxmax" ->
+      s"""WITH $oracleGrid
+         |SELECT lat, lon, CAST(arg_max(t, air) AS BIGINT) AS t_peak,
+         |MAX(air) AS peak_air
+         |FROM grid GROUP BY lat, lon""".stripMargin,
     "pivot_grid_append" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM grid
