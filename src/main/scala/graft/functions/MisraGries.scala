@@ -38,6 +38,16 @@ object MGSummary {
     bos.toByteArray
   }
 
+  /** The summary's items, sorted — the candidate set both the batch
+    * aggregate's eval and the streaming state emission hand out.
+    */
+  def sortedKeys(b: MGSummary): Array[String] = {
+    val keys = new Array[String](b.counts.size)
+    b.counts.keySet().toArray(keys)
+    java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
+    keys
+  }
+
   def fromBytes(k: Int, bytes: Array[Byte]): MGSummary = {
     val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
@@ -65,9 +75,12 @@ final class MGSummary(val k: Int) {
     if (counts.size < k) { counts.put(s, w); return }
     // decrement-all by the new item's weight, capped at the current
     // minimum so no counter goes negative; repeat until the weight is
-    // absorbed or a slot frees
+    // absorbed or a slot frees. >= (not ==): a deserialized summary
+    // can be LARGER than k (e.g. streaming state written with a
+    // bigger k), and an == guard would never fire again, silently
+    // unbounding the state — >= shrinks it back below k instead
     var remaining = w
-    while (remaining > 0 && counts.size == k) {
+    while (remaining > 0 && counts.size >= k) {
       var min = Long.MaxValue
       val it0 = counts.values().iterator()
       while (it0.hasNext) min = math.min(min, it0.next().longValue())
@@ -125,14 +138,10 @@ case class MisraGries(child: Expression, k: Int,
     b
   }
 
-  override def eval(b: MGSummary): Any = {
-    val keys = new Array[String](b.counts.size)
-    b.counts.keySet().toArray(keys)
+  override def eval(b: MGSummary): Any =
     // sorted for a stable display order; consumers treat it as a set
-    java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
     new GenericArrayData(
-      keys.map(UTF8String.fromString(_): Any))
-  }
+      MGSummary.sortedKeys(b).map(UTF8String.fromString(_): Any))
 
   override def serialize(b: MGSummary): Array[Byte] = MGSummary.toBytes(b)
 

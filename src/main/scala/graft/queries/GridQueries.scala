@@ -504,8 +504,13 @@ object GridQueries {
     // — each member prunes with its own zone maps (pinned in
     // GridSourceSpec "concat view prunes each member independently").
     "pivot_grid_concat" -> ((s, _) => {
+      // unique registry key prefix per evaluation: concurrent
+      // evaluations must not race register/unregister on shared keys
+      // (ConcurrentEvalSpec pins this)
+      val key = "concat_grid@" +
+        java.util.UUID.randomUUID().toString.take(8)
       new XarrayContext(s)
-        .concatDataFrame("concat_grid", Seq(
+        .concatDataFrame(key, Seq(
           (Fixtures.linearGridSlice(0, 12), Map("t" -> 6)),
           (Fixtures.linearGridSlice(12, 24), Map("t" -> 6))),
           Seq("t", "lat", "lon"))

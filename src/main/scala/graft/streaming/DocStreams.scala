@@ -179,7 +179,11 @@ object DocStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(
+    // null ts would surface as a null hour_sec through the
+    // non-nullable tuple encoder and kill the query — drop such rows
+    // (null TEXT is already safe: split -> null array -> explode
+    // emits nothing)
+    val toks = docs.filter(col("ts").isNotNull).select(
       date_trunc("hour", col("ts")).cast("long").as("hour_sec"),
       explode(split(lower(col("text")), " ")).as("token"))
       .select(col("hour_sec"),
@@ -196,11 +200,8 @@ object DocStreams {
             .getOrElse(new graft.functions.MGSummary(k))
           rows.foreach(r => summary.add(r._3, 1L))
           state.update(graft.functions.MGSummary.toBytes(summary))
-          val cand = new Array[String](summary.counts.size)
-          summary.counts.keySet().toArray(cand)
-          java.util.Arrays.sort(cand,
-            java.util.Comparator.naturalOrder[String]())
-          Iterator.single((key._1, key._2, cand.toSeq))
+          Iterator.single((key._1, key._2,
+            graft.functions.MGSummary.sortedKeys(summary).toSeq))
         })
       .toDF("hour_sec", "shard", "candidates")
   }

@@ -39,6 +39,22 @@ class MisraGriesSpec extends SparkTestBase {
     assert(cand == Seq("a", "b"))
   }
 
+  test("a summary deserialized with a smaller k shrinks back below it") {
+    // streaming state written at k=8 and re-read at k=4 (operator
+    // reconfigured across a restart): the trim guard must keep firing
+    // so state stays bounded instead of growing on every new token
+    val big = new MGSummary(8)
+    (0 until 8).foreach(i => big.add(s"t$i", 5L))
+    val reread = MGSummary.fromBytes(4, MGSummary.toBytes(big))
+    assert(reread.counts.size == 8)
+    (100 until 140).foreach(i => reread.add(s"n$i", 1L))
+    assert(reread.counts.size <= 8,
+      s"state grew past its pre-restart size: ${reread.counts.size}")
+    (200 until 260).foreach(i => reread.add(s"m$i", 1L))
+    assert(reread.counts.size <= 4,
+      s"state never shrank to the new k: ${reread.counts.size}")
+  }
+
   test("weighted merge absorbs a dominant partial") {
     // one partition holds a single dominant item, others are noise;
     // the dominant item must survive any merge order
