@@ -22,7 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def lit(e: Expression, what: String): String = e match {
     case Literal(v, _) if v != null => v.toString
     case other => throw new IllegalArgumentException(
-      s"$what must be a string literal, got $other")
+      s"$what must be a literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {

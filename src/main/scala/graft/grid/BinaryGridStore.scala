@@ -432,8 +432,11 @@ object BinaryGridStore {
     * still. Readers never see orphans — planning is driven purely by
     * the committed metadata extent — so vacuum is storage reclamation,
     * not correctness repair. Same single-writer contract as append:
-    * run only while no append is in flight. Returns deleted paths
-    * relative to the store root.
+    * run only while no append is in flight. Returns deleted paths:
+    * orphan chunks relative to the store root (`<var>/<idx>.bin`);
+    * swept staging trees are SIBLINGS of the root, so they come back
+    * `../`-prefixed (`../<name>.staging-*`) — two base conventions in
+    * one list, by the layout's nature.
     */
   def vacuum(root: String): Seq[String] = {
     val store = open(root)

@@ -886,7 +886,13 @@ object PipelineQueries {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
         fp.as("fp"))
       val existing = docs.filter(col("doc_id") < 250).select("fp").distinct()
-      val bloom = existing.stat.bloomFilter("fp", 1000L, 0.03)
+      // size the filter from the data (one cheap count job): a bloom
+      // sized for a constant N degrades toward fpp=1 once the corpus
+      // outgrows it — correctness survives (the exact join weeds false
+      // positives) but every batch row would flow through the anti-join
+      // and the pre-filter stops paying for itself
+      val nExisting = math.max(existing.count(), 1L)
+      val bloom = existing.stat.bloomFilter("fp", nExisting, 0.03)
       val mightContain = udf((f: String) =>
         f != null && bloom.mightContainString(f))
       val batch = docs.filter(col("doc_id") >= 250)

@@ -139,8 +139,14 @@ object DocStreams {
         (_: String, rows: Iterator[(Long, String)],
          state: GroupState[List[Long]]) => {
           val seen = state.getOption.getOrElse(Nil)
+          // membership via a Set: hot buckets are the EXPECTED case here
+          // (near-identical docs collapse into one bucket by design), and
+          // List.contains per arriving doc would make each batch
+          // O(|bucket|^2); the list itself stays as state for stable
+          // pair-enumeration order
+          val seenSet = seen.toSet
           val arriving = rows.map(_._1).toArray.distinct.sorted
-          val fresh = arriving.filterNot(seen.contains)
+          val fresh = arriving.filterNot(seenSet)
           val pairs = Iterator.unfold((fresh.toList, seen)) {
             case (Nil, _) => None
             case (d :: rest, earlier) =>
@@ -186,6 +192,11 @@ object DocStreams {
     val toks = docs.filter(col("ts").isNotNull).select(
       date_trunc("hour", col("ts")).cast("long").as("hour_sec"),
       explode(split(lower(col("text")), " ")).as("token"))
+      // consecutive spaces split into "" tokens that would occupy
+      // Misra-Gries counters and surface as "" candidates, wasting
+      // k-budget per shard; a batch verify pass over the stored slice
+      // must apply the same token <> '' restriction when counting
+      .filter(col("token") =!= "")
       .select(col("hour_sec"),
         pmod(xxhash64(col("token")), lit(nShards.toLong)).as("shard"),
         col("token"))

@@ -200,13 +200,20 @@ class SimilarityOpsSpec extends SparkTestBase {
     assert(out(3L).isNullAt(2) && out(3L).isNullAt(3))
   }
 
-  test("multimodal: stub decode plumbing is deterministic and partition-wise") {
+  test("multimodal: pooled ngram embedding is deterministic and partition-wise") {
     val media = graft.multimodal.Multimodal.syntheticMedia(spark, 60)
     assert(media.count() == 60L)
     val feats = graft.multimodal.Multimodal.decodeFeatures(media, dim = 8)
     val rows = feats.collect()
     assert(rows.length == 60)
     assert(rows.forall(_.getSeq[Double](2).size == 8))
+    // real extractor: every non-empty payload pools to an L2-normalized
+    // vector (norm 1 within float rounding), not a zero/constant stub
+    rows.foreach { r =>
+      val v = r.getSeq[Double](2)
+      val n2 = v.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-9, s"media ${r.getLong(0)} norm $n2")
+    }
     // determinism: same input -> same features
     val again = graft.multimodal.Multimodal.decodeFeatures(media, dim = 8)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
