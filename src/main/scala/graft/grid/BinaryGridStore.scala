@@ -98,89 +98,18 @@ final case class BinaryGridStore(root: String, schema: GridSchema,
     ChunkCodec.decode(raw, codec, v.dtype, n)
   }
 
-  /** Multi-chunk / unaligned read: visit every chunk the request
-    * overlaps, read it whole, and copy the intersection hyperslab into
-    * the C-order output — innermost-dimension runs via System.arraycopy
-    * (type-agnostic on primitive arrays). The DSv2 scan never takes this
-    * path (its partitions are chunk-aligned by construction); it serves
-    * direct store access such as LazyGridView window slices.
+  /** Multi-chunk / unaligned read: the shared [[ChunkAssembly]] gather
+    * over this store's exact-size chunk files. The DSv2 scan never takes
+    * this path (its partitions are chunk-aligned by construction); it
+    * serves direct store access such as LazyGridView window slices.
     */
   private def assembleUnaligned(v: VarDef, ranges: Seq[(Int, Int)],
-      chunkSz: Seq[Int]): AnyRef = {
-    val nd = v.dims.length
-    val dimSz = v.dims.map(d => schema.dim(d).size)
-    val outShape = ranges.map(_._2).toArray
-    val n = outShape.product
-    val out: AnyRef = v.dtype match {
-      case GDouble => new Array[Double](n)
-      case GFloat => new Array[Float](n)
-      case GInt => new Array[Int](n)
-      case GLong | GTimestamp | GDuration => new Array[Long](n)
-      case GString => throw new IllegalArgumentException(
-        "string variables unsupported in BinaryGridStore")
-    }
-    val outStride = strides(outShape)
-    val cLo = (0 until nd).map(i => ranges(i)._1 / chunkSz(i))
-    val cHi = (0 until nd).map(i =>
-      (ranges(i)._1 + ranges(i)._2 - 1) / chunkSz(i))
-    // odometer over overlapped chunk indices
-    val ci = cLo.toArray
-    var done = nd == 0
-    while (!done) {
-      val chunkStart = (0 until nd).map(i => ci(i) * chunkSz(i))
-      val chunkShape = (0 until nd)
-        .map(i => math.min(chunkSz(i), dimSz(i) - chunkStart(i))).toArray
-      val lo = (0 until nd)
-        .map(i => math.max(ranges(i)._1, chunkStart(i))).toArray
-      val hi = (0 until nd).map(i =>
-        math.min(ranges(i)._1 + ranges(i)._2,
-          chunkStart(i) + chunkShape(i))).toArray
-      val src = readChunk(v, ci.toSeq, chunkShape.product)
-      val srcStride = strides(chunkShape)
-      // copy [lo, hi): odometer over outer dims, arraycopy inner runs
-      val run = hi(nd - 1) - lo(nd - 1)
-      val pos = lo.clone()
-      var copying = true
-      while (copying) {
-        var srcOff = 0
-        var dstOff = 0
-        var k = 0
-        while (k < nd) {
-          srcOff += (pos(k) - chunkStart(k)) * srcStride(k)
-          dstOff += (pos(k) - ranges(k)._1) * outStride(k)
-          k += 1
-        }
-        System.arraycopy(src, srcOff, out, dstOff, run)
-        // advance outer dims (all but the innermost)
-        var j = nd - 2
-        var carry = true
-        while (carry && j >= 0) {
-          pos(j) += 1
-          if (pos(j) < hi(j)) carry = false
-          else { pos(j) = lo(j); j -= 1 }
-        }
-        if (carry) copying = false
-      }
-      // next overlapped chunk
-      var j = nd - 1
-      var carry = true
-      while (carry && j >= 0) {
-        ci(j) += 1
-        if (ci(j) <= cHi(j)) carry = false
-        else { ci(j) = cLo(j); j -= 1 }
-      }
-      if (carry) done = true
-    }
-    out
-  }
-
-  private def strides(shape: Array[Int]): Array[Int] = {
-    val s = new Array[Int](shape.length)
-    var acc = 1
-    var k = shape.length - 1
-    while (k >= 0) { s(k) = acc; acc *= shape(k); k -= 1 }
-    s
-  }
+      chunkSz: Seq[Int]): AnyRef =
+    ChunkAssembly.gather(ranges, chunkSz, v.dims.map(d => schema.dim(d).size),
+      v.dtype,
+      // edge chunks are stored clipped to the dim extent (no padding)
+      storedShape = (_, eff) => eff,
+      readChunk = (ci, srcShape) => readChunk(v, ci, srcShape.product))
 }
 
 object BinaryGridStore {

@@ -95,6 +95,11 @@ object GridIO {
     ()
   }
 
+  def exists(path: String, conf: Configuration): Boolean = {
+    val p = new Path(path)
+    fs(p, conf).exists(p)
+  }
+
   /** File names directly under `path` (empty if it does not exist). */
   def listNames(path: String, conf: Configuration): Seq[String] = {
     val p = new Path(path)

@@ -1,0 +1,632 @@
+package graft.grid
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.jdk.CollectionConverters._
+
+/** One Zarr v2 array's parsed metadata — everything an executor needs to
+  * locate and decode its chunk files, small enough to serialize into
+  * every InputPartition.
+  */
+final case class ZarrArrayMeta(
+    name: String,
+    shape: Seq[Int],
+    chunkShape: Seq[Int],
+    dtype: GridType,
+    bigEndian: Boolean,
+    /** (codec id, level): zlib | gzip | zstd; None = raw bytes. */
+    compressor: Option[(String, Int)],
+    /** Cell value of chunks that have no file (and of edge padding);
+      * NaN when the tree declares `fill_value: null`.
+      */
+    fillValue: Double,
+    /** `dimension_separator`: "." (default) or "/" (nested layout). */
+    dimSep: String,
+    /** `_ARRAY_DIMENSIONS` (the xarray convention naming each axis). */
+    dims: Seq[String],
+    attrs: Map[String, String]) {
+  def nd: Int = shape.length
+}
+
+/** Real Zarr v2 interop: opens an actual `.zgroup`/`.zarray`/`.zattrs`
+  * tree — the reference's PRIMARY input format, which it reads through
+  * the Zarr/fsspec abstraction (reference xarray_sql/reader.py:192-337;
+  * README.md:96-105 registers cloud Zarr stores directly) — and serves
+  * it through the [[GridStore]] trait, so everything downstream
+  * (zone-map pruning, projection-to-storage pushdown, exact stats,
+  * lazy DSv2 planning) works unchanged on the reference's own data.
+  *
+  * Layout understood (zarr-specs v2, a public format):
+  *
+  * {{{
+  * <root>/.zgroup                  # {"zarr_format": 2}
+  * <root>/.zattrs                  # optional dataset attributes
+  * <root>/<array>/.zarray          # shape/chunks/dtype/compressor/...
+  * <root>/<array>/.zattrs          # _ARRAY_DIMENSIONS + attributes
+  * <root>/<array>/<i>.<j>...       # C-order chunk files ("." or "/"
+  *                                 # separated per dimension_separator)
+  * }}}
+  *
+  * Supported: dtypes `<`/`>` f4 f8 i4 i8 (both endiannesses); compressors
+  * `null`, `zlib`, `gzip`, `zstd` (pure JVM: Inflater/GZIP and Spark's
+  * bundled zstd-jni; `blosc` needs a native library this container does
+  * not ship and raises a clear error); C order; no filters; missing chunk
+  * files read as `fill_value`; edge chunks stored PADDED to the full
+  * chunk shape (the v2 rule — [[BinaryGridStore]] stores them clipped,
+  * which is why both share [[ChunkAssembly]] with different
+  * `storedShape` callbacks). CF time axes decode through the same
+  * two-tier [[graft.time.CfCalendar]] bridge as every other source:
+  * Gregorian-like `units`/`calendar` attributes become real timestamps,
+  * non-Gregorian calendars keep int64 offsets with the metadata that
+  * auto-registers `cftime`; bare duration units ("microseconds", no
+  * "since") become day-time intervals. A dimension without a coordinate
+  * array gets positional integer coordinates, as xarray does.
+  *
+  * All byte I/O goes through [[GridIO]] (Hadoop FileSystem API), so the
+  * same code path opens local trees, HDFS, S3A and GCS — at 100 TB the
+  * tree is object storage and chunk reads happen only on executors,
+  * only for unpruned, projected arrays.
+  */
+final case class ZarrGridStore(root: String, schema: GridSchema,
+    arrays: Map[String, ZarrArrayMeta],
+    hconf: SerializableHadoopConf = GridIO.shippable()) extends GridStore {
+
+  /** Per-dim chunk sizes of the DATA variables (what registration
+    * partitions the scan by). Coordinate arrays may chunk differently;
+    * they are read eagerly at open and never partition anything.
+    */
+  def chunkMap: Map[String, Int] = {
+    val dataVars = schema.vars.map(v => arrays(v.name))
+    dataVars.flatMap(a => a.dims.zip(a.chunkShape)).groupBy(_._1)
+      .map { case (d, sizes) => d -> sizes.head._2 }
+  }
+
+  def readVar(name: String, ranges: Seq[(Int, Int)]): AnyRef = {
+    val a = arrays.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown var $name"))
+    ZarrGridStore.readRanges(root, a, ranges, hconf.value)
+  }
+}
+
+object ZarrGridStore {
+
+  // ---- open ----------------------------------------------------------
+
+  /** Open an existing Zarr v2 tree (driver-side Hadoop conf). */
+  def open(root: String): ZarrGridStore =
+    open(root, new SerializableHadoopConf(GridIO.driverConf()))
+
+  def open(root: String, hconf: SerializableHadoopConf): ZarrGridStore = {
+    val conf = hconf.value
+    val cleanRoot = root.stripSuffix("/")
+    require(GridIO.exists(s"$cleanRoot/.zgroup", conf),
+      s"not a Zarr v2 group: $cleanRoot/.zgroup missing")
+    val group = parseJson(GridIO.readAllBytes(s"$cleanRoot/.zgroup", conf))
+    require(group.path("zarr_format").asInt(0) == 2,
+      s"unsupported zarr_format ${group.path("zarr_format")}")
+    val arrayNames = GridIO.listNames(cleanRoot, conf).filter(n =>
+      GridIO.exists(s"$cleanRoot/$n/.zarray", conf)).sorted
+    require(arrayNames.nonEmpty, s"no arrays under $cleanRoot")
+    val metas = arrayNames.map(n => n -> parseArray(cleanRoot, n, conf)).toMap
+
+    // dims: named by _ARRAY_DIMENSIONS; sizes must agree across arrays
+    val dimSizes = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    metas.values.toSeq.sortBy(_.name).foreach { a =>
+      a.dims.zip(a.shape).foreach { case (d, n) =>
+        dimSizes.get(d) match {
+          case Some(prev) => require(prev == n,
+            s"dim $d has size $n in ${a.name} but $prev elsewhere")
+          case None => dimSizes += d -> n
+        }
+      }
+    }
+
+    // coordinate arrays: 1-D arrays named after their own dimension
+    // (the xarray convention); everything else is a data variable
+    val (coordArrs, dataArrs) = metas.values.partition(a =>
+      a.nd == 1 && a.dims == Seq(a.name))
+    require(dataArrs.nonEmpty, s"no data variables under $cleanRoot")
+
+    // dim order: first appearance across data variables (name-sorted
+    // for determinism), then any coordinate-only dims
+    val dimOrder = (dataArrs.toSeq.sortBy(_.name).flatMap(_.dims) ++
+      dimSizes.keys).distinct
+    val coordByName = coordArrs.map(a => a.name -> a).toMap
+    val dims = dimOrder.map { d =>
+      buildDim(cleanRoot, d, dimSizes(d), coordByName.get(d), conf)
+    }
+
+    val vars = dataArrs.toSeq.sortBy(_.name).map { a =>
+      require(a.dtype != GString,
+        s"string data variables unsupported (${a.name})")
+      VarDef(a.name, a.dims, a.dtype, a.attrs)
+    }
+
+    // per-dim data chunk sizes must be consistent across data vars —
+    // the scan partitions on one chunk grid
+    dataArrs.toSeq.sortBy(_.name).flatMap(a => a.dims.zip(a.chunkShape))
+      .groupBy(_._1).foreach { case (d, sizes) =>
+        require(sizes.map(_._2).distinct.size == 1,
+          s"data variables disagree on chunk size of dim $d: " +
+            sizes.map(_._2).distinct.mkString(","))
+      }
+
+    val dsAttrs =
+      if (!GridIO.exists(s"$cleanRoot/.zattrs", conf)) Map.empty[String, String]
+      else attrMap(parseJson(GridIO.readAllBytes(s"$cleanRoot/.zattrs", conf)))
+
+    ZarrGridStore(cleanRoot, GridSchema(dims, vars, dsAttrs), metas, hconf)
+  }
+
+  /** One dimension: decode its coordinate array (eager — coords are
+    * metadata-sized) through the CF time bridge, or synthesize the
+    * positional index when no coordinate array exists.
+    */
+  private def buildDim(root: String, name: String, size: Int,
+      coord: Option[ZarrArrayMeta],
+      conf: org.apache.hadoop.conf.Configuration): DimDef = coord match {
+    case None => DimDef(name, IntCoords((0 until size).toArray))
+    case Some(a) =>
+      val raw = readRanges(root, a, Seq((0, size)), conf)
+      val units = a.attrs.get("units")
+      val calendar = a.attrs.get("calendar")
+      val rest = a.attrs -- Seq("units", "calendar")
+      val intKind = a.dtype == GInt || a.dtype == GLong
+      (units, raw) match {
+        // CF time axis: "<step> since <date>" + int offsets
+        case (Some(u), _) if intKind && u.contains(" since ") =>
+          val offsets = raw match {
+            case v: Array[Int] => v.map(_.toLong)
+            case v: Array[Long] => v
+          }
+          val cal = calendar.getOrElse("standard")
+          graft.time.CfCalendar.classify(cal) match {
+            case graft.time.CfCalendar.GregorianLike =>
+              DimDef(name, TimeCoords(offsets.map(
+                  graft.time.CfCalendar.offsetToMicros(_, u, cal))),
+                calendar = Some(cal), units = Some(u), attrs = rest)
+            case graft.time.CfCalendar.NonGregorian =>
+              DimDef(name, LongCoords(offsets),
+                calendar = Some(cal), units = Some(u), attrs = rest)
+          }
+        // bare duration units (timedelta axis — no "since")
+        case (Some(u), _) if intKind && durationMicros.contains(u) =>
+          val offsets = raw match {
+            case v: Array[Int] => v.map(_.toLong)
+            case v: Array[Long] => v
+          }
+          DimDef(name,
+            DurationCoords(offsets.map(_ * durationMicros(u))),
+            attrs = rest)
+        case _ =>
+          val coords: CoordArray = raw match {
+            case v: Array[Double] => DoubleCoords(v)
+            case v: Array[Float] => FloatCoords(v)
+            case v: Array[Int] => IntCoords(v)
+            case v: Array[Long] => LongCoords(v)
+          }
+          DimDef(name, coords,
+            attrs = a.attrs.filterNot(_._1 == "calendar"))
+      }
+  }
+
+  private val durationMicros = Map(
+    "microseconds" -> 1L, "milliseconds" -> 1000L, "seconds" -> 1000000L,
+    "minutes" -> 60000000L, "hours" -> 3600000000L, "days" -> 86400000000L)
+
+  // ---- chunk reads ---------------------------------------------------
+
+  /** Gather arbitrary (start, length) ranges of one array: the shared
+    * [[ChunkAssembly]] odometer with Zarr's padded-edge stored shape.
+    */
+  private[grid] def readRanges(root: String, a: ZarrArrayMeta,
+      ranges: Seq[(Int, Int)],
+      conf: org.apache.hadoop.conf.Configuration): AnyRef = {
+    require(ranges.length == a.nd,
+      s"${a.name}: ${ranges.length} ranges for ${a.nd}-d array")
+    // fast path: the request is exactly one complete stored chunk
+    val whole = (0 until a.nd).forall { i =>
+      ranges(i)._1 % a.chunkShape(i) == 0 &&
+        ranges(i)._2 == a.chunkShape(i)
+    }
+    if (whole)
+      readChunk(root, a, (0 until a.nd).map(i => ranges(i)._1 / a.chunkShape(i)), conf)
+    else
+      ChunkAssembly.gather(ranges, a.chunkShape, a.shape, a.dtype,
+        // zarr v2 stores edge chunks padded to the full chunk shape
+        storedShape = (_, _) => a.chunkShape.toArray,
+        readChunk = (ci, _) => readChunk(root, a, ci, conf))
+  }
+
+  /** One whole stored chunk (always the FULL chunk shape — v2 pads
+    * edges): file fetch, decompress, endian-decode; a missing file is
+    * an entirely-fill chunk per the spec.
+    */
+  private def readChunk(root: String, a: ZarrArrayMeta, ci: Seq[Int],
+      conf: org.apache.hadoop.conf.Configuration): AnyRef = {
+    val n = a.chunkShape.product
+    val path = s"$root/${a.name}/${ci.mkString(a.dimSep)}"
+    // one fetch, no pre-flight exists(): an extra metadata round trip
+    // per chunk would double object-store request counts at scale;
+    // absence is the spec'd all-fill case, not an error
+    val rawOpt =
+      try Some(GridIO.readAllBytes(path, conf))
+      catch { case _: java.io.FileNotFoundException => None }
+    if (rawOpt.isEmpty) fillArray(a.dtype, a.fillValue, n)
+    else {
+      val raw = rawOpt.get
+      val expected = n * a.dtype.byteWidth
+      val bytes = a.compressor match {
+        case None => raw
+        case Some(("zlib", _)) => inflate(raw, expected)
+        case Some(("gzip", _)) => gunzip(raw)
+        case Some(("zstd", _)) =>
+          com.github.luben.zstd.Zstd.decompress(raw, expected)
+        case Some((other, _)) => throw new IllegalArgumentException(
+          s"unsupported compressor $other")
+      }
+      require(bytes.length == expected,
+        s"chunk $path decodes to ${bytes.length} bytes, expected $expected")
+      val bb = ByteBuffer.wrap(bytes).order(
+        if (a.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      a.dtype match {
+        case GDouble => val o = new Array[Double](n); bb.asDoubleBuffer().get(o); o
+        case GFloat => val o = new Array[Float](n); bb.asFloatBuffer().get(o); o
+        case GInt => val o = new Array[Int](n); bb.asIntBuffer().get(o); o
+        case GLong | GTimestamp | GDuration =>
+          val o = new Array[Long](n); bb.asLongBuffer().get(o); o
+        case GString => throw new IllegalArgumentException(
+          "string arrays unsupported")
+      }
+    }
+  }
+
+  private def fillArray(dtype: GridType, fill: Double, n: Int): AnyRef =
+    dtype match {
+      case GDouble =>
+        val o = new Array[Double](n); java.util.Arrays.fill(o, fill); o
+      case GFloat =>
+        val o = new Array[Float](n); java.util.Arrays.fill(o, fill.toFloat); o
+      case GInt =>
+        val o = new Array[Int](n)
+        java.util.Arrays.fill(o, if (fill.isNaN) 0 else fill.toInt); o
+      case GLong | GTimestamp | GDuration =>
+        val o = new Array[Long](n)
+        java.util.Arrays.fill(o, if (fill.isNaN) 0L else fill.toLong); o
+      case GString => throw new IllegalArgumentException(
+        "string arrays unsupported")
+    }
+
+  // ---- metadata parse ------------------------------------------------
+
+  private def parseJson(bytes: Array[Byte]): JsonNode =
+    new ObjectMapper().readTree(bytes)
+
+  private def parseArray(root: String, name: String,
+      conf: org.apache.hadoop.conf.Configuration): ZarrArrayMeta = {
+    val za = parseJson(GridIO.readAllBytes(s"$root/$name/.zarray", conf))
+    require(za.path("zarr_format").asInt(0) == 2,
+      s"$name: unsupported zarr_format")
+    val shape = za.path("shape").elements().asScala.map(_.asInt()).toSeq
+    val chunks = za.path("chunks").elements().asScala.map(_.asInt()).toSeq
+    require(shape.nonEmpty && chunks.length == shape.length,
+      s"$name: bad shape/chunks")
+    require(chunks.forall(_ > 0) && shape.forall(_ >= 0),
+      s"$name: non-positive chunk extent")
+    val order = if (za.hasNonNull("order")) za.get("order").asText else "C"
+    require(order == "C",
+      s"$name: only C order supported (got $order)")
+    require(!za.hasNonNull("filters") ||
+      (za.get("filters").isArray && za.get("filters").isEmpty),
+      s"$name: filter pipelines unsupported")
+    val (dtype, bigEndian) = parseDtype(za.path("dtype").asText(""), name)
+    val compressor =
+      if (!za.hasNonNull("compressor")) None
+      else {
+        val c = za.get("compressor")
+        val id = c.path("id").asText("")
+        id match {
+          case "zlib" | "gzip" | "zstd" =>
+            Some((id, c.path("level").asInt(1)))
+          case "blosc" => throw new IllegalArgumentException(
+            s"$name: blosc needs a native library this runtime does not " +
+              "ship; re-encode with zlib/zstd or null")
+          case other => throw new IllegalArgumentException(
+            s"$name: unsupported compressor '$other'")
+        }
+      }
+    val fill = za.path("fill_value") match {
+      case f if f == null || f.isNull || f.isMissingNode => Double.NaN
+      case f if f.isNumber => f.asDouble()
+      case f if f.isTextual => f.asText() match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case other => throw new IllegalArgumentException(
+          s"$name: bad fill_value '$other'")
+      }
+      case f => throw new IllegalArgumentException(
+        s"$name: bad fill_value $f")
+    }
+    val dimSep =
+      if (za.hasNonNull("dimension_separator"))
+        za.get("dimension_separator").asText
+      else "."
+    require(dimSep == "." || dimSep == "/",
+      s"$name: bad dimension_separator '$dimSep'")
+    val attrsPath = s"$root/$name/.zattrs"
+    val attrsNode =
+      if (GridIO.exists(attrsPath, conf))
+        parseJson(GridIO.readAllBytes(attrsPath, conf))
+      else new ObjectMapper().createObjectNode()
+    val dims = attrsNode.path("_ARRAY_DIMENSIONS") match {
+      case d if d.isArray =>
+        d.elements().asScala.map(_.asText()).toSeq
+      case _ => throw new IllegalArgumentException(
+        s"$name: missing _ARRAY_DIMENSIONS (the xarray dimension-naming " +
+          "convention); cannot infer axis names")
+    }
+    require(dims.length == shape.length,
+      s"$name: ${dims.length} dim names for ${shape.length}-d array")
+    ZarrArrayMeta(name, shape, chunks, dtype, bigEndian, compressor, fill,
+      dimSep, dims, attrMap(attrsNode) - "_ARRAY_DIMENSIONS")
+  }
+
+  private def parseDtype(s: String, name: String): (GridType, Boolean) = {
+    require(s.length == 3, s"$name: unsupported dtype '$s'")
+    val bigEndian = s.charAt(0) match {
+      case '<' => false
+      case '>' => true
+      case other => throw new IllegalArgumentException(
+        s"$name: unsupported byte order '$other' in dtype '$s'")
+    }
+    val t = s.substring(1) match {
+      case "f8" => GDouble
+      case "f4" => GFloat
+      case "i4" => GInt
+      case "i8" => GLong
+      case other => throw new IllegalArgumentException(
+        s"$name: unsupported dtype '$s' (f4/f8/i4/i8 only)")
+    }
+    (t, bigEndian)
+  }
+
+  /** Attribute node -> string map: scalars via asText, arrays/objects
+    * as their compact JSON (lossless, queryable as text).
+    */
+  private def attrMap(node: JsonNode): Map[String, String] =
+    node.properties().asScala.map { e =>
+      val v = e.getValue
+      e.getKey -> (if (v.isValueNode) v.asText() else v.toString)
+    }.toMap
+
+  private def inflate(raw: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(raw)
+      val out = new Array[Byte](expected)
+      var off = 0
+      while (off < expected && !inf.finished()) {
+        val n = inf.inflate(out, off, expected - off)
+        require(n > 0 || !inf.needsInput, "truncated zlib stream")
+        off += n
+      }
+      require(off == expected, s"zlib stream yields $off of $expected bytes")
+      out
+    } finally inf.end()
+  }
+
+  private def gunzip(raw: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(raw))
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  // ---- write ---------------------------------------------------------
+
+  /** Materialize `source` as a real Zarr v2 tree (one array per dim
+    * coordinate + one per variable, xarray `_ARRAY_DIMENSIONS`
+    * convention, little-endian, edge chunks padded per the spec) and
+    * re-open it. `compressor` grammar: `none | zlib[:level] |
+    * gzip[:level] | zstd[:level]`. Timestamp coordinates encode as
+    * int64 microseconds since the epoch on the proleptic Gregorian
+    * calendar (they hold real-timeline instants by construction);
+    * non-Gregorian axes keep their original offsets/units/calendar, so
+    * they round-trip exactly. Doubles as the engine's Zarr SINK — the
+    * written tree is consumable by any v2 reader.
+    */
+  def write(source: GridStore, root: String, chunks: Map[String, Int],
+      compressor: String = "zlib"): ZarrGridStore = {
+    val comp = parseCompressor(compressor)
+    val conf = GridIO.driverConf()
+    val schema = source.schema
+    val cleanRoot = root.stripSuffix("/")
+    GridIO.mkdirs(cleanRoot, conf)
+    GridIO.writeString(s"$cleanRoot/.zgroup", """{"zarr_format":2}""", conf)
+    if (schema.attrs.nonEmpty)
+      GridIO.writeString(s"$cleanRoot/.zattrs", attrsJson(schema.attrs), conf)
+
+    schema.dims.foreach(d => writeCoord(cleanRoot, d, conf))
+
+    schema.vars.foreach { v =>
+      val dir = s"$cleanRoot/${v.name}"
+      GridIO.mkdirs(dir, conf)
+      val dimSz = v.dims.map(d => schema.dim(d).size)
+      val chunkSz = v.dims.map(d =>
+        chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
+      val fillJson = v.dtype match {
+        case GDouble | GFloat => "\"NaN\""
+        case _ => "0"
+      }
+      GridIO.writeString(s"$dir/.zarray", zarrayJson(dimSz, chunkSz,
+        dtypeString(v.dtype), comp, fillJson), conf)
+      GridIO.writeString(s"$dir/.zattrs",
+        attrsJson(v.attrs, Some(v.dims)), conf)
+      val sub = GridSchema(v.dims.map(schema.dim), Seq.empty)
+      ChunkGrid.blocks(sub, chunks).foreach { block =>
+        val ci = block.zip(chunkSz).map(b => b._1._1 / b._2)
+        val eff = block.map(_._2).toArray
+        val data = source.readVar(v.name, block)
+        val padded = padChunk(data, eff, chunkSz.toArray, v.dtype)
+        GridIO.write(s"$dir/${ci.mkString(".")}",
+          compress(toLE(padded, v.dtype), comp), conf)
+      }
+    }
+    open(cleanRoot)
+  }
+
+  private def writeCoord(root: String, d: DimDef,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val dir = s"$root/${d.name}"
+    GridIO.mkdirs(dir, conf)
+    val n = d.size
+    // encode the coordinate payload + the attrs that tell a reader how
+    // to decode it (CF units/calendar for time-kinds)
+    val encoded: (AnyRef, GridType, Map[String, String]) =
+      d.coords match {
+        case DoubleCoords(v) => (v, GDouble, Map.empty[String, String])
+        case FloatCoords(v) => (v, GFloat, Map.empty[String, String])
+        case IntCoords(v) => (v, GInt, Map.empty[String, String])
+        case LongCoords(v) =>
+          // non-Gregorian CF offsets carry their units/calendar through
+          val cf = d.calendar.map(c =>
+            Map("calendar" -> c, "units" -> d.units.getOrElse(
+              throw new IllegalArgumentException(
+                s"${d.name}: calendar without units")))).getOrElse(Map.empty)
+          (v, GLong, cf)
+        case TimeCoords(v) =>
+          (v, GLong, Map(
+            "units" -> "microseconds since 1970-01-01",
+            "calendar" -> "proleptic_gregorian"))
+        case DurationCoords(v) =>
+          (v, GLong, Map("units" -> "microseconds"))
+        case StringCoords(_) => throw new IllegalArgumentException(
+          s"${d.name}: string coordinates unsupported in Zarr v2 store")
+      }
+    val (data, dtype, extraAttrs) = encoded
+    GridIO.writeString(s"$dir/.zarray", zarrayJson(Seq(n), Seq(math.max(n, 1)),
+      dtypeString(dtype), None, "null"), conf)
+    GridIO.writeString(s"$dir/.zattrs",
+      attrsJson(d.attrs ++ extraAttrs, Some(Seq(d.name))), conf)
+    if (n > 0) GridIO.write(s"$dir/0", toLE(data, dtype), conf)
+  }
+
+  private[grid] def parseCompressor(s: String): Option[(String, Int)] =
+    s.split(":", 2) match {
+      case Array("none") => None
+      case Array(id) if Set("zlib", "gzip", "zstd")(id) => Some((id, 1))
+      case Array(id, lvl) if Set("zlib", "gzip", "zstd")(id) =>
+        Some((id, lvl.toInt))
+      case _ => throw new IllegalArgumentException(
+        s"bad compressor '$s' (none | zlib[:level] | gzip[:level] | " +
+          "zstd[:level])")
+    }
+
+  private def dtypeString(t: GridType): String = t match {
+    case GDouble => "<f8"
+    case GFloat => "<f4"
+    case GInt => "<i4"
+    case GLong | GTimestamp | GDuration => "<i8"
+    case GString => throw new IllegalArgumentException("string unsupported")
+  }
+
+  private def zarrayJson(shape: Seq[Int], chunks: Seq[Int], dtype: String,
+      comp: Option[(String, Int)], fillJson: String): String = {
+    val compJson = comp match {
+      case None => "null"
+      case Some((id, lvl)) => s"""{"id":"$id","level":$lvl}"""
+    }
+    s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
+      s""""chunks":[${chunks.mkString(",")}],"dtype":"$dtype",""" +
+      s""""compressor":$compJson,"fill_value":$fillJson,""" +
+      s""""order":"C","filters":null}"""
+  }
+
+  private def attrsJson(attrs: Map[String, String],
+      dims: Option[Seq[String]] = None): String = {
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    dims.foreach { ds =>
+      val arr = node.putArray("_ARRAY_DIMENSIONS")
+      ds.foreach(arr.add)
+    }
+    attrs.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    mapper.writeValueAsString(node)
+  }
+
+  /** Pad one effective (boundary-clipped) chunk payload to the full
+    * chunk shape with the written fill (NaN/0) — the v2 stored-chunk
+    * rule. Returns `data` untouched when the chunk is interior.
+    */
+  private def padChunk(data: AnyRef, eff: Array[Int], full: Array[Int],
+      dtype: GridType): AnyRef = {
+    if (eff.sameElements(full)) return data
+    val out = fillArray(dtype,
+      dtype match { case GDouble | GFloat => Double.NaN case _ => 0.0 },
+      full.product)
+    val effStride = ChunkAssembly.strides(eff)
+    val fullStride = ChunkAssembly.strides(full)
+    val nd = eff.length
+    val run = eff(nd - 1)
+    val pos = new Array[Int](nd)
+    var copying = true
+    while (copying) {
+      var srcOff = 0
+      var dstOff = 0
+      var k = 0
+      while (k < nd) {
+        srcOff += pos(k) * effStride(k)
+        dstOff += pos(k) * fullStride(k)
+        k += 1
+      }
+      System.arraycopy(data, srcOff, out, dstOff, run)
+      var j = nd - 2
+      var carry = true
+      while (carry && j >= 0) {
+        pos(j) += 1
+        if (pos(j) < eff(j)) carry = false
+        else { pos(j) = 0; j -= 1 }
+      }
+      if (carry) copying = false
+    }
+    out
+  }
+
+  private def toLE(data: AnyRef, dtype: GridType): Array[Byte] = {
+    val n = java.lang.reflect.Array.getLength(data)
+    val bb = ByteBuffer.allocate(n * dtype.byteWidth)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    data match {
+      case a: Array[Double] => bb.asDoubleBuffer().put(a)
+      case a: Array[Float] => bb.asFloatBuffer().put(a)
+      case a: Array[Int] => bb.asIntBuffer().put(a)
+      case a: Array[Long] => bb.asLongBuffer().put(a)
+    }
+    bb.array()
+  }
+
+  private def compress(bytes: Array[Byte],
+      comp: Option[(String, Int)]): Array[Byte] = comp match {
+    case None => bytes
+    case Some(("zstd", lvl)) =>
+      com.github.luben.zstd.Zstd.compress(bytes, lvl)
+    case Some(("zlib", lvl)) =>
+      val d = new java.util.zip.Deflater(lvl)
+      try {
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](math.max(64, bytes.length + 64))
+        val out = new java.io.ByteArrayOutputStream()
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        out.toByteArray
+      } finally d.end()
+    case Some(("gzip", _)) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(bytes); g.close()
+      bos.toByteArray
+    case Some((other, _)) =>
+      throw new IllegalArgumentException(s"unsupported compressor $other")
+  }
+}

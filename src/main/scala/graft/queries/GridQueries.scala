@@ -476,6 +476,27 @@ object GridQueries {
           col("air"))
     }),
 
+    // the reference's PRIMARY data format end-to-end: the fixture grid
+    // is materialized as a REAL Zarr v2 tree (.zgroup/.zarray/.zattrs
+    // JSON metadata, zlib-compressed C-order chunk files padded at the
+    // ragged lat edge, xarray _ARRAY_DIMENSIONS convention), re-opened
+    // by ZarrGridStore parsing that layout, and served through the same
+    // DSv2 scan — zone maps prune 2 of 4 t-chunk FILES (open counts
+    // pinned in ZarrGridStoreSpec). The reference reads this format
+    // through the Zarr/fsspec abstraction (xarray_sql/reader.py:192-337,
+    // README.md:96-105); here the tree is parsed natively on the JVM.
+    "pivot_grid_zarr" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_grid") + "/store"
+      val store = graft.grid.ZarrGridStore.write(Fixtures.linearGrid, root,
+        Map("t" -> 6, "lat" -> 5), "zlib")
+      new XarrayContext(s)
+        .scratchDataFrame(s"zarr_grid@$root", store, store.chunkMap,
+          Seq("t", "lat", "lon"))
+        .filter(col("t") >= 12)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
+
     // compaction end-to-end: a fragmented store (8 small t-chunks, the
     // shape appends leave behind) rechunks distributedly into 2 big
     // ones, and the REWRITTEN store serves the same filtered scan —
@@ -733,6 +754,10 @@ object GridQueries {
         |SELECT time, lat, temp FROM cal
         |WHERE time >= TIMESTAMP '2001-03-01 00:00:00'""".stripMargin,
     "pivot_grid_disk" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t >= 12""".stripMargin,
+    "pivot_grid_zarr" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,

@@ -61,6 +61,10 @@ object CfCalendar {
       case "hours" => 24L
       case "minutes" => 1440L
       case "seconds" => 86400L
+      // CF-standard sub-second steps (udunits names) — the encoding
+      // ZarrGridStore.write emits for microsecond-resolution time axes
+      case "milliseconds" => 86400000L
+      case "microseconds" => 86400000000L
       case other => throw new IllegalArgumentException(s"unknown unit $other")
     }
   }
