@@ -117,6 +117,24 @@ class XarrayContext(val spark: SparkSession) {
     }.reduce(_ unionByName _)
   }
 
+  /** [[concatDataFrame]] as a pure-SQL surface: register the multi-store
+    * concatenation as ONE table in a 2-level catalog namespace, so
+    * `SELECT ... FROM <catalog>.<table>` unions the member stores with
+    * per-member pruning intact (each member's scan plans against its
+    * own chunk grid and zone maps; see [[graft.sources.ConcatGridTable]]).
+    * Returns the qualified name. Reference analog: multi-dataset
+    * registration into one SQL context (xarray_sql/sql.py:105-125).
+    */
+  def concatCatalogTable(catalog: String, table: String,
+      parts: Seq[(GridStore, Map[String, Int])],
+      groupDims: Seq[String]): String = {
+    require(parts.nonEmpty, "concat of zero stores")
+    spark.conf.set(s"spark.sql.catalog.$catalog",
+      classOf[graft.sources.GridCatalog].getName)
+    graft.sources.GridCatalog.registerConcat(catalog, table, parts, groupDims)
+    s"$catalog.$table"
+  }
+
   /** Distributed re-chunk ("compaction"): stream `store` through the
     * DSv2 scan and rewrite it under `newChunks` at `dest`. The 100 TB
     * operational fix for chunk-size drift — appends and fine-grained

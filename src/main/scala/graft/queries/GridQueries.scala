@@ -524,6 +524,27 @@ object GridQueries {
     // unions their scans and a boundary-spanning filter reads from both
     // — each member prunes with its own zone maps (pinned in
     // GridSourceSpec "concat view prunes each member independently").
+    // the concat fleet as PURE SQL: the same two t-slabs register as ONE
+    // catalog table (ConcatGridTable) and `SELECT ... FROM cat.view`
+    // unions their scans through Spark's catalog machinery — per-member
+    // chunk grids and zone maps intact (open counts pinned in
+    // ConcatGridSourceSpec), metadata COUNT/MIN/MAX surviving as
+    // per-member partials. Reference analog: multi-dataset registration
+    // into one SQL context (xarray_sql/sql.py:105-125).
+    "pivot_grid_concat_sql" -> ((s, _) => {
+      // unique catalog name per evaluation (concurrent evaluations must
+      // not cross-resolve registry entries)
+      val cat = "cc" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val q = new XarrayContext(s).concatCatalogTable(cat, "concat_view",
+        Seq(
+          (Fixtures.linearGridSlice(0, 12), Map("t" -> 6)),
+          (Fixtures.linearGridSlice(12, 24), Map("t" -> 6))),
+        Seq("t", "lat", "lon"))
+      s.sql(s"""SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM $q
+               |WHERE t BETWEEN 8 AND 15""".stripMargin)
+    }),
+
     "pivot_grid_concat" -> ((s, _) => {
       // unique registry key prefix per evaluation: concurrent
       // evaluations must not race register/unregister on shared keys
@@ -766,6 +787,10 @@ object GridQueries {
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
     "pivot_grid_concat" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t BETWEEN 8 AND 15""".stripMargin,
+    "pivot_grid_concat_sql" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t BETWEEN 8 AND 15""".stripMargin

@@ -42,7 +42,10 @@ class GridCatalog extends TableCatalog with SupportsNamespaces {
     GridCatalog.lookup(key) match {
       case Some((store, chunks, dims)) =>
         new GridTable(key, store, chunks, dims)
-      case None => throw new NoSuchTableException(ident)
+      case None => GridCatalog.lookupConcat(key) match {
+        case Some((parts, dims)) => new ConcatGridTable(key, parts, dims)
+        case None => throw new NoSuchTableException(ident)
+      }
     }
   }
 
@@ -83,18 +86,34 @@ object GridCatalog {
   private val registry =
     new ConcurrentHashMap[String, (GridStore, Map[String, Int], Seq[String])]()
 
+  /** (catalog, table) -> multi-store concat binding (one table over a
+    * fleet of member stores; see [[ConcatGridTable]]).
+    */
+  private val concatRegistry = new ConcurrentHashMap[
+    String, (Seq[(GridStore, Map[String, Int])], Seq[String])]()
+
   def key(catalog: String, table: String): String = s"$catalog/$table"
 
   def register(catalog: String, table: String, store: GridStore,
       chunks: Map[String, Int], groupDims: Seq[String]): Unit =
     registry.put(key(catalog, table), (store, chunks, groupDims))
 
+  def registerConcat(catalog: String, table: String,
+      parts: Seq[(GridStore, Map[String, Int])],
+      groupDims: Seq[String]): Unit =
+    concatRegistry.put(key(catalog, table), (parts, groupDims))
+
   def lookup(k: String): Option[(GridStore, Map[String, Int], Seq[String])] =
     Option(registry.get(k))
 
+  def lookupConcat(
+      k: String): Option[(Seq[(GridStore, Map[String, Int])], Seq[String])] =
+    Option(concatRegistry.get(k))
+
   def tablesOf(catalog: String): Seq[String] =
-    registry.keys.asScala.toSeq.collect {
-      case k if k.startsWith(catalog + "/") =>
-        k.substring(catalog.length + 1)
-    }.sorted
+    (registry.keys.asScala.toSeq ++ concatRegistry.keys.asScala.toSeq)
+      .collect {
+        case k if k.startsWith(catalog + "/") =>
+          k.substring(catalog.length + 1)
+      }.sorted
 }
