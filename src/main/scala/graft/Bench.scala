@@ -47,9 +47,16 @@ object Bench {
     val results = names.map(n => n -> median(times(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-rep times IN CHRONOLOGICAL ORDER (the prepend-built list is
+    // newest-first): medians hide whether a slow number is one cold rep
+    // or a uniformly degraded shape — the r6 ngram_dup_spans stamped
+    // 14.1 s vs 5.5-6.9 s probed question was undiagnosable without this
+    val rt = names.map(n => s"\"" + n + "\":[" +
+      times(n).reverse.map(t => f"$t%.3f").mkString(",") + "]")
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"rep_times":$rt,"sf":"$sfDir"}"""
     println(json)
     // also persist to a file: stdout artifacts have been truncated by
     // log capture, losing the per-query tail — the file is the durable

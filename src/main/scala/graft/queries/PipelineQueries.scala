@@ -54,6 +54,55 @@ object PipelineQueries {
   private def shingles5(w: Column): Column =
     graft.functions.WordShingles.word_shingles(w, 5)
 
+  /** Exact-substring duplication (Lee et al. 2021, arXiv:2107.06499):
+    * documents sharing long verbatim character runs surface by joining
+    * their 30-char gram posting lists and counting shared grams per
+    * pair. Grams present in more than 8 documents are dropped BEFORE
+    * the pair join — the standard ubiquitous-boilerplate guard, and
+    * the skew bound: with df <= 8 one gram contributes <= 28 pairs,
+    * so no posting list can go quadratic.
+    *
+    * ONE corpus pass, ONE posting shuffle: the bounded-state
+    * CappedDistinctLongs aggregate dedups (gram, doc) in the map-side
+    * partial and returns NULL for any gram in > 8 docs — the ubiquity
+    * filter, dedup, and list collection that otherwise take a distinct
+    * + a df count + a semi-join (three shuffles) all ride a single
+    * groupBy whose per-key state is <= 9 longs even for a gram present
+    * in every document. Pairs then expand map-side (<= C(8,2) per
+    * gram) into the final pair aggregate.
+    *
+    * `hashedGrams = true` is the SCALE variant: the posting shuffle is
+    * keyed by xxhash64(gram) (8 bytes) instead of the raw 30-byte gram
+    * — a ~2-3x shuffle-byte reduction at 100 TB (NgramProbe records
+    * the measured bytes for both shapes). Output is identical unless
+    * two distinct grams of one document pair collide in 64 bits
+    * (~2^-64 per pair); the ORACLE-GATED query keeps raw grams, whose
+    * DuckDB join is bit-exact with zero collision caveat — hashing
+    * buys a constant, not a complexity class, which is why it is a
+    * flag and not the default.
+    */
+  def ngramDupSpans(documents: DataFrame, hashedGrams: Boolean): DataFrame = {
+    val docs = documents.filter(length(col("text")) >= 30)
+    // one map-side pass: transform(sequence(...)) emits every
+    // 30-char window without re-shipping the document per position
+    val grams = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, length(text) - 29), i -> substring(text, i, 30))"))
+      .as("gram"))
+    val keyed =
+      if (hashedGrams) grams.select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      else grams
+    keyed.groupBy("gram")
+      .agg(graft.functions.CappedDistinctLongs
+        .capped_distinct_longs(col("doc_id"), 8).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(" +
+          "slice(ids, i + 2, size(ids)), y -> struct(x, y))))")).as("p"))
+      .groupBy(col("p.x").as("a_id"), col("p.y").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 20)
+  }
+
   /** MinHash_j = lexicographic min over the j-th 8-hex-char slice of
     * md5(shingle) — one digest per shingle yields all four families
     * (graft.functions.MinHashMd5 computes exactly the composable
@@ -1275,32 +1324,8 @@ object PipelineQueries {
     // 30-byte gram itself (narrow enough that hashing it first buys a
     // constant, not a complexity class; raw grams keep the DuckDB
     // oracle join bit-exact with zero collision caveat).
-    "ngram_dup_spans" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(length(col("text")) >= 30)
-      // one map-side pass: transform(sequence(...)) emits every
-      // 30-char window without re-shipping the document per position
-      val grams = docs.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text) - 29), i -> substring(text, i, 30))"))
-        .as("gram"))
-      // ONE corpus pass, ONE posting shuffle: the bounded-state
-      // CappedDistinctLongs aggregate dedups (gram, doc) in the
-      // map-side partial and returns NULL for any gram in > 8 docs —
-      // the ubiquity filter, dedup, and list collection that otherwise
-      // take a distinct + a df count + a semi-join (three shuffles) all
-      // ride a single groupBy whose per-key state is <= 9 longs even
-      // for a gram present in every document. Pairs then expand
-      // map-side (<= C(8,2) per gram) into the final pair aggregate.
-      grams.groupBy("gram")
-        .agg(graft.functions.CappedDistinctLongs
-          .capped_distinct_longs(col("doc_id"), 8).as("ids"))
-        .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-        .select(explode(expr(
-          "flatten(transform(ids, (x, i) -> transform(" +
-            "slice(ids, i + 2, size(ids)), y -> struct(x, y))))")).as("p"))
-        .groupBy(col("p.x").as("a_id"), col("p.y").as("b_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 20)
-    }),
+    "ngram_dup_spans" -> ((s, d) =>
+      ngramDupSpans(Tables.documents(s, d), hashedGrams = false)),
 
     // heavy hitters with BOUNDED memory: a single-pass Misra–Gries
     // summary (64 mergeable counters) yields a candidate set guaranteed

@@ -312,4 +312,19 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("ngram_dup_spans: hashed-gram scale variant agrees with raw grams") {
+    // the xxhash64-keyed posting shuffle (the 100 TB shuffle-byte
+    // saver) must produce the identical pair set on the fixture corpus
+    // — collisions are the only divergence mode and are 2^-64 per pair
+    val docs = graft.Tables.documents(spark, sf)
+    def collectPairs(hashed: Boolean) =
+      graft.queries.PipelineQueries.ngramDupSpans(docs, hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+    val raw = collectPairs(false)
+    val hashed = collectPairs(true)
+    assert(raw.nonEmpty, "fixture corpus should contain duplicate spans")
+    assert(raw == hashed)
+  }
+
 }
