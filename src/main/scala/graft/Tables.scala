@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 /** Table loaders for the driver-generated parquet corpus (TESTDATA.md).
   *
   * All queries receive `(spark, sfDir)` and resolve tables through here so
-  * scale factors stay interchangeable. `events.ts` is written as parquet
-  * TIMESTAMP(NANOS), which Spark only reads via the `nanosAsLong` legacy
-  * conf; we convert to microseconds to match DuckDB's read of the same file
-  * (DuckDB truncates ns -> us).
+  * scale factors stay interchangeable. `events.ts` has been written two ways
+  * across testdata generations — TIMESTAMP(NANOS) (readable only via the
+  * `nanosAsLong` legacy conf, as int64) and plain timestamp[us] without a
+  * timezone (read as TIMESTAMP_NTZ) — so [[Tables.events]] adapts on the
+  * loaded schema rather than assuming either encoding.
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -25,18 +26,31 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** events with `ts` as a proper TimestampType (microseconds, UTC).
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set at session construction in Verify/Bench/tools — a table loader
-    * must not mutate session conf as a side effect).
+  /** events with `ts` normalized to a proper TimestampType (microseconds,
+    * session zone — Verify/Bench pin the session to UTC, matching DuckDB's
+    * naive read of the same file). Schema-adaptive:
+    *
+    *   - `ts: BIGINT` — legacy TIMESTAMP(NANOS) file read under the
+    *     `nanosAsLong` conf as ns-since-epoch; convert ns -> µs with integer
+    *     `div` (ns-since-epoch exceeds double's 2^53 mantissa, so `/` would
+    *     lose precision).
+    *   - `ts: TIMESTAMP_NTZ` — current timestamp[us] file without a
+    *     timezone; cast to the session-zone TimestampType (identity under
+    *     the UTC session).
+    *   - `ts: TIMESTAMP` — already the target type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-      .contains("true"),
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
-        "(events.parquet is TIMESTAMP(NANOS))")
-    // integer `div`, not `/`: ns-since-epoch exceeds double's 2^53 mantissa
-    load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types._
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: expected BIGINT (legacy nanos), TIMESTAMP_NTZ, or " +
+          s"TIMESTAMP; got $other")
+    }
   }
 }
