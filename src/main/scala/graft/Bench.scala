@@ -33,30 +33,45 @@ object Bench {
     // Round-over-round comparisons stop chasing +-20% single-shot noise.
     val names = SparkEntry.queries.keys.toSeq
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to reps; name <- names) {
+    // a failing query must NEVER be recorded as a timing: in round 7 nine
+    // analysis-time failures showed up as ~0.05 s fast-fail "speedups" in
+    // the bench artifact. Any failed rep marks the query failed; it is
+    // excluded from queries/rep_times/total and reported under "errors".
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (_ <- 1 to reps; name <- names if !errors.contains(name)) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+      try {
+        fn(spark, sfDir).count()
+        times(name) =
+          ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+      } catch { case e: Throwable =>
+        val msg = String.valueOf(e)
+        System.err.println(s"[bench] $name FAILED: $msg")
+        errors(name) = msg
+        times.remove(name) // drop earlier reps too: the query is not green
+      }
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = names.map(n => n -> median(times(n)))
+    val ok = names.filterNot(errors.contains)
+    val results = ok.map(n => n -> median(times(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-rep times IN CHRONOLOGICAL ORDER (the prepend-built list is
     // newest-first): medians hide whether a slow number is one cold rep
     // or a uniformly degraded shape — the r6 ngram_dup_spans stamped
     // 14.1 s vs 5.5-6.9 s probed question was undiagnosable without this
-    val rt = names.map(n => s"\"" + n + "\":[" +
+    val rt = ok.map(n => s"\"" + n + "\":[" +
       times(n).reverse.map(t => f"$t%.3f").mkString(",") + "]")
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val errJson = JsonUtil.obj(errors)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"rep_times":$rt,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"rep_times":$rt,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // also persist to a file: stdout artifacts have been truncated by
     // log capture, losing the per-query tail — the file is the durable
@@ -78,7 +93,10 @@ object Bench {
     // (cwd = repo root when launched via sbt): the driver's stdout
     // capture keeps truncating the per-query tail, so the stamped file
     // is the durable full artifact for the CURRENT round = 1 + the
-    // latest driver-written round.
+    // latest driver-written round. Written at the repo root (NOT under
+    // the gitignored target/) so the round-end auto-commit preserves it —
+    // the r6/r7 target/ copies the perf analysis relied on never made it
+    // into history.
     try {
       val dir = java.nio.file.Paths.get(".")
       val re = raw"BENCH_r(\d+)\.json".r
@@ -89,9 +107,7 @@ object Bench {
         .map(_.group(1).toInt).maxOption.getOrElse(0)
       finally listing.close()
       val stamped = java.nio.file.Paths.get(
-        f"target/bench_r${prev + 1}%02d.json")
-      Option(stamped.getParent)
-        .foreach(java.nio.file.Files.createDirectories(_))
+        f"BENCH_FULL_r${prev + 1}%02d.json")
       java.nio.file.Files.writeString(stamped, json + "\n")
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write round-stamped copy: $e")

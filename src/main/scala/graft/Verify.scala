@@ -1,9 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failures are LOUD: a query that throws gets a `_ERROR.txt` marker
+  * inside its output dir (so the driver's parquet read of that dir fails
+  * visibly instead of the query silently vanishing from the round's
+  * correctness artifact — the round-7 events regression shipped unnoticed
+  * exactly because failures only went to stderr) plus an entry in the
+  * top-level `errors.json`, which is written every run (`{}` when clean)
+  * so its absence is itself a signal.
+  */
 object Verify {
+  /** Pinned failure-marker path: `<outDir>/<name>/_ERROR.txt`. */
+  def writeError(outDir: String, name: String, msg: String): Path = {
+    val dir = Paths.get(outDir, name)
+    Files.createDirectories(dir)
+    val p = dir.resolve("_ERROR.txt")
+    Files.writeString(p, msg)
+    p
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,7 +29,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // legacy events.ts
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,6 +38,7 @@ object Verify {
     // queries, comma-separated
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -39,25 +58,26 @@ object Verify {
         }
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = String.valueOf(e) // covers null getMessage
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        // the marker write itself must never mask the original failure
+        try writeError(outDir, name, msg)
+        catch { case m: Throwable =>
+          System.err.println(s"[verify] $name: marker write failed: $m")
+        }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val json = JsonUtil.obj(SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) })
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"), JsonUtil.obj(errors))
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
+    // deliberately exit 0 even on failures: the driver must still collect
+    // the partial artifacts (now including the loud markers) rather than
+    // treating the whole round's correctness dump as absent.
   }
 }
