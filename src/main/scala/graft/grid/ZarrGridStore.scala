@@ -49,9 +49,11 @@ final case class ZarrArrayMeta(
   * }}}
   *
   * Supported: dtypes `<`/`>` f4 f8 i4 i8 (both endiannesses); compressors
-  * `null`, `zlib`, `gzip`, `zstd` (pure JVM: Inflater/GZIP and Spark's
-  * bundled zstd-jni; `blosc` needs a native library this container does
-  * not ship and raises a clear error); C order; no filters; missing chunk
+  * `null`, `zlib`, `gzip`, `zstd`, and `blosc` — the zarr-python default
+  * that real archives (ARCO-ERA5 among them) actually use — via the
+  * pure-JVM [[Blosc]] container codec (inner lz4/lz4hc/zstd/zlib/snappy
+  * from Spark's bundled libraries; `blosclz` and bit-shuffle are
+  * rejected with clear errors); C order; no filters; missing chunk
   * files read as `fill_value`; edge chunks stored PADDED to the full
   * chunk shape (the v2 rule — [[BinaryGridStore]] stores them clipped,
   * which is why both share [[ChunkAssembly]] with different
@@ -263,6 +265,7 @@ object ZarrGridStore {
         case Some(("gzip", _)) => gunzip(raw)
         case Some(("zstd", _)) =>
           com.github.luben.zstd.Zstd.decompress(raw, expected)
+        case Some(("blosc", _)) => Blosc.decompress(raw, expected)
         case Some((other, _)) => throw new IllegalArgumentException(
           s"unsupported compressor $other")
       }
@@ -329,9 +332,17 @@ object ZarrGridStore {
         id match {
           case "zlib" | "gzip" | "zstd" =>
             Some((id, c.path("level").asInt(1)))
-          case "blosc" => throw new IllegalArgumentException(
-            s"$name: blosc needs a native library this runtime does not " +
-              "ship; re-encode with zlib/zstd or null")
+          case "blosc" =>
+            // the chunk header self-describes the inner codec; the
+            // metadata cname is only checked here to fail fast at open
+            // instead of on the first executor-side chunk read
+            val cname = c.path("cname").asText("lz4")
+            require(Set("lz4", "lz4hc", "zstd", "zlib", "snappy")(cname),
+              s"$name: blosc cname '$cname' has no JVM implementation " +
+                "(lz4/lz4hc/zstd/zlib/snappy are supported)")
+            require(c.path("shuffle").asInt(1) != 2,
+              s"$name: blosc bit-shuffle unsupported (byte-shuffle is)")
+            Some(("blosc", c.path("clevel").asInt(5)))
           case other => throw new IllegalArgumentException(
             s"$name: unsupported compressor '$other'")
         }
@@ -471,7 +482,7 @@ object ZarrGridStore {
         val data = source.readVar(v.name, block)
         val padded = padChunk(data, eff, chunkSz.toArray, v.dtype)
         GridIO.write(s"$dir/${ci.mkString(".")}",
-          compress(toLE(padded, v.dtype), comp), conf)
+          compress(toLE(padded, v.dtype), comp, v.dtype.byteWidth), conf)
       }
     }
     open(cleanRoot)
@@ -516,12 +527,14 @@ object ZarrGridStore {
   private[grid] def parseCompressor(s: String): Option[(String, Int)] =
     s.split(":", 2) match {
       case Array("none") => None
+      case Array("blosc") => Some(("blosc", 5)) // numcodecs default clevel
+      case Array("blosc", lvl) => Some(("blosc", lvl.toInt))
       case Array(id) if Set("zlib", "gzip", "zstd")(id) => Some((id, 1))
       case Array(id, lvl) if Set("zlib", "gzip", "zstd")(id) =>
         Some((id, lvl.toInt))
       case _ => throw new IllegalArgumentException(
         s"bad compressor '$s' (none | zlib[:level] | gzip[:level] | " +
-          "zstd[:level])")
+          "zstd[:level] | blosc[:clevel], blosc = lz4 + byte-shuffle)")
     }
 
   private def dtypeString(t: GridType): String = t match {
@@ -536,6 +549,10 @@ object ZarrGridStore {
       comp: Option[(String, Int)], fillJson: String): String = {
     val compJson = comp match {
       case None => "null"
+      case Some(("blosc", lvl)) =>
+        // numcodecs-compatible spelling: what zarr-python round-trips
+        s"""{"id":"blosc","cname":"lz4","clevel":$lvl,"shuffle":1,""" +
+          s""""blocksize":0}"""
       case Some((id, lvl)) => s"""{"id":"$id","level":$lvl}"""
     }
     s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
@@ -607,9 +624,11 @@ object ZarrGridStore {
     bb.array()
   }
 
-  private def compress(bytes: Array[Byte],
-      comp: Option[(String, Int)]): Array[Byte] = comp match {
+  private def compress(bytes: Array[Byte], comp: Option[(String, Int)],
+      typesize: Int): Array[Byte] = comp match {
     case None => bytes
+    case Some(("blosc", lvl)) =>
+      Blosc.compress(bytes, typesize, "lz4", lvl, shuffle = true)
     case Some(("zstd", lvl)) =>
       com.github.luben.zstd.Zstd.compress(bytes, lvl)
     case Some(("zlib", lvl)) =>

@@ -496,6 +496,21 @@ object GridQueries {
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
           col("air"))
     }),
+    // same tree encoded with blosc (lz4 + byte-shuffle) — zarr-python's
+    // DEFAULT chunk codec and what real archives like ARCO-ERA5 use
+    // (reference perf_tests/open_era5.py:7-8): exercises the pure-JVM
+    // Blosc container decode on every unpruned chunk read
+    "pivot_grid_zarr_blosc" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_blosc_grid") + "/store"
+      val store = graft.grid.ZarrGridStore.write(Fixtures.linearGrid, root,
+        Map("t" -> 6, "lat" -> 5), "blosc")
+      new XarrayContext(s)
+        .scratchDataFrame(s"zarr_blosc_grid@$root", store, store.chunkMap,
+          Seq("t", "lat", "lon"))
+        .filter(col("t") >= 12)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
 
     // compaction end-to-end: a fragmented store (8 small t-chunks, the
     // shape appends leave behind) rechunks distributedly into 2 big
@@ -779,6 +794,10 @@ object GridQueries {
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
     "pivot_grid_zarr" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t >= 12""".stripMargin,
+    "pivot_grid_zarr_blosc" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
