@@ -38,6 +38,18 @@ final class SerializableHadoopConf(@transient var value: Configuration)
   */
 object GridIO {
 
+  /** Test/ops instrumentation: exact I/O call counts (works in local
+    * mode where everything shares the JVM). Each counter is one
+    * object-store round trip at deployment scale, which is why e.g. the
+    * consolidated-metadata open pins these numbers in its spec.
+    */
+  object Counters {
+    val reads = new java.util.concurrent.atomic.LongAdder
+    val lists = new java.util.concurrent.atomic.LongAdder
+    val existChecks = new java.util.concurrent.atomic.LongAdder
+    def reset(): Unit = { reads.reset(); lists.reset(); existChecks.reset() }
+  }
+
   /** Driver-side: the session's Hadoop conf if a session is active. */
   def driverConf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -58,6 +70,7 @@ object GridIO {
     }
 
   def readAllBytes(path: String, conf: Configuration): Array[Byte] = {
+    Counters.reads.increment()
     val p = new Path(path)
     val f = fs(p, conf)
     val len = f.getFileStatus(p).getLen
@@ -96,12 +109,14 @@ object GridIO {
   }
 
   def exists(path: String, conf: Configuration): Boolean = {
+    Counters.existChecks.increment()
     val p = new Path(path)
     fs(p, conf).exists(p)
   }
 
   /** File names directly under `path` (empty if it does not exist). */
   def listNames(path: String, conf: Configuration): Seq[String] = {
+    Counters.lists.increment()
     val p = new Path(path)
     val f = fs(p, conf)
     if (!f.exists(p)) Seq.empty

@@ -99,9 +99,51 @@ object ZarrGridStore {
   def open(root: String): ZarrGridStore =
     open(root, new SerializableHadoopConf(GridIO.driverConf()))
 
+  /** Opening prefers consolidated metadata (`<root>/.zmetadata`, the
+    * standard cloud-opening path — xarray's `open_zarr(...,
+    * consolidated=True)`): ALL array/group metadata arrives in ONE read
+    * instead of a directory listing plus two round trips per array —
+    * at ARCO-ERA5's ~273 arrays that is hundreds of object-store
+    * requests saved before the first chunk is touched. Falls back to
+    * the per-array listing walk when `.zmetadata` is absent.
+    */
   def open(root: String, hconf: SerializableHadoopConf): ZarrGridStore = {
     val conf = hconf.value
     val cleanRoot = root.stripSuffix("/")
+    val consolidatedPath = s"$cleanRoot/.zmetadata"
+    if (GridIO.exists(consolidatedPath, conf)) {
+      val node = parseJson(GridIO.readAllBytes(consolidatedPath, conf))
+      require(node.path("zarr_consolidated_format").asInt(0) == 1,
+        s"unsupported zarr_consolidated_format " +
+          s"${node.path("zarr_consolidated_format")}")
+      val meta = node.path("metadata")
+      require(meta.isObject, s"$consolidatedPath: no metadata object")
+      require(meta.path(".zgroup").path("zarr_format").asInt(0) == 2,
+        s"unsupported zarr_format in consolidated .zgroup")
+      val arrayNames = meta.properties().asScala.map(_.getKey)
+        .filter(_.endsWith("/.zarray")).map(_.stripSuffix("/.zarray"))
+        .toSeq.sorted
+      require(arrayNames.nonEmpty, s"no arrays in $consolidatedPath")
+      arrayNames.find(_.contains("/")).foreach { n =>
+        throw new IllegalArgumentException(
+          s"nested groups unsupported (array '$n')")
+      }
+      val metas = arrayNames.map { n =>
+        n -> parseArrayNode(n, meta.get(s"$n/.zarray"),
+          Option(meta.get(s"$n/.zattrs")))
+      }.toMap
+      val dsAttrs = Option(meta.get(".zattrs")).map(attrMap)
+        .getOrElse(Map.empty[String, String])
+      assemble(cleanRoot, metas, dsAttrs, hconf)
+    } else openListed(cleanRoot, hconf)
+  }
+
+  /** The unconsolidated path: directory listing + per-array metadata
+    * round trips.
+    */
+  private def openListed(cleanRoot: String,
+      hconf: SerializableHadoopConf): ZarrGridStore = {
+    val conf = hconf.value
     require(GridIO.exists(s"$cleanRoot/.zgroup", conf),
       s"not a Zarr v2 group: $cleanRoot/.zgroup missing")
     val group = parseJson(GridIO.readAllBytes(s"$cleanRoot/.zgroup", conf))
@@ -111,7 +153,19 @@ object ZarrGridStore {
       GridIO.exists(s"$cleanRoot/$n/.zarray", conf)).sorted
     require(arrayNames.nonEmpty, s"no arrays under $cleanRoot")
     val metas = arrayNames.map(n => n -> parseArray(cleanRoot, n, conf)).toMap
+    val dsAttrs =
+      if (!GridIO.exists(s"$cleanRoot/.zattrs", conf)) Map.empty[String, String]
+      else attrMap(parseJson(GridIO.readAllBytes(s"$cleanRoot/.zattrs", conf)))
+    assemble(cleanRoot, metas, dsAttrs, hconf)
+  }
 
+  /** Shared tail of both open paths: schema assembly + invariants from
+    * the parsed per-array metadata.
+    */
+  private def assemble(cleanRoot: String, metas: Map[String, ZarrArrayMeta],
+      dsAttrs: Map[String, String],
+      hconf: SerializableHadoopConf): ZarrGridStore = {
+    val conf = hconf.value
     // dims: named by _ARRAY_DIMENSIONS; sizes must agree across arrays
     val dimSizes = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     metas.values.toSeq.sortBy(_.name).foreach { a =>
@@ -153,10 +207,6 @@ object ZarrGridStore {
           s"data variables disagree on chunk size of dim $d: " +
             sizes.map(_._2).distinct.mkString(","))
       }
-
-    val dsAttrs =
-      if (!GridIO.exists(s"$cleanRoot/.zattrs", conf)) Map.empty[String, String]
-      else attrMap(parseJson(GridIO.readAllBytes(s"$cleanRoot/.zattrs", conf)))
 
     ZarrGridStore(cleanRoot, GridSchema(dims, vars, dsAttrs), metas, hconf)
   }
@@ -309,6 +359,20 @@ object ZarrGridStore {
   private def parseArray(root: String, name: String,
       conf: org.apache.hadoop.conf.Configuration): ZarrArrayMeta = {
     val za = parseJson(GridIO.readAllBytes(s"$root/$name/.zarray", conf))
+    val attrsPath = s"$root/$name/.zattrs"
+    val attrsOpt =
+      if (GridIO.exists(attrsPath, conf))
+        Some(parseJson(GridIO.readAllBytes(attrsPath, conf)))
+      else None
+    parseArrayNode(name, za, attrsOpt)
+  }
+
+  /** Parse one array's metadata from already-loaded JSON nodes (shared
+    * by the per-file and consolidated open paths).
+    */
+  private def parseArrayNode(name: String, za: JsonNode,
+      attrsOpt: Option[JsonNode]): ZarrArrayMeta = {
+    require(za != null && za.isObject, s"$name: missing .zarray metadata")
     require(za.path("zarr_format").asInt(0) == 2,
       s"$name: unsupported zarr_format")
     val shape = za.path("shape").elements().asScala.map(_.asInt()).toSeq
@@ -366,11 +430,8 @@ object ZarrGridStore {
       else "."
     require(dimSep == "." || dimSep == "/",
       s"$name: bad dimension_separator '$dimSep'")
-    val attrsPath = s"$root/$name/.zattrs"
-    val attrsNode =
-      if (GridIO.exists(attrsPath, conf))
-        parseJson(GridIO.readAllBytes(attrsPath, conf))
-      else new ObjectMapper().createObjectNode()
+    val attrsNode: JsonNode =
+      attrsOpt.getOrElse(new ObjectMapper().createObjectNode())
     val dims = attrsNode.path("_ARRAY_DIMENSIONS") match {
       case d if d.isArray =>
         d.elements().asScala.map(_.asText()).toSeq
@@ -485,7 +546,38 @@ object ZarrGridStore {
           compress(toLE(padded, v.dtype), comp, v.dtype.byteWidth), conf)
       }
     }
-    open(cleanRoot)
+    consolidate(cleanRoot, conf)
+    open(cleanRoot) // takes the consolidated path it just wrote
+  }
+
+  /** Write `<root>/.zmetadata` (the zarr v2 consolidated-metadata
+    * convention, `zarr_consolidated_format: 1`) from the tree's current
+    * metadata files, so every later [[open]] costs ONE metadata round
+    * trip. Run once after writing/mutating a tree; [[write]] does it
+    * automatically. Also retrofits trees produced by other writers.
+    */
+  def consolidate(root: String): Unit =
+    consolidate(root.stripSuffix("/"), GridIO.driverConf())
+
+  def consolidate(root: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val cleanRoot = root.stripSuffix("/")
+    val mapper = new ObjectMapper()
+    val top = mapper.createObjectNode()
+    top.put("zarr_consolidated_format", 1)
+    val meta = top.putObject("metadata")
+    def add(rel: String): Unit = {
+      val p = s"$cleanRoot/$rel"
+      if (GridIO.exists(p, conf))
+        meta.set[JsonNode](rel, parseJson(GridIO.readAllBytes(p, conf)))
+    }
+    add(".zgroup")
+    add(".zattrs")
+    GridIO.listNames(cleanRoot, conf).filterNot(_.startsWith("."))
+      .sorted.foreach { n => add(s"$n/.zarray"); add(s"$n/.zattrs") }
+    require(meta.has(".zgroup"), s"not a Zarr v2 group: $cleanRoot")
+    GridIO.writeString(s"$cleanRoot/.zmetadata",
+      mapper.writeValueAsString(top), conf)
   }
 
   private def writeCoord(root: String, d: DimDef,
