@@ -21,8 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def lit(e: Expression, what: String): String = e match {
     case Literal(v, _) if v != null => v.toString
+    case Literal(null, _) => throw new IllegalArgumentException(
+      s"argument '$what' must be a non-NULL literal (got NULL)")
     case other => throw new IllegalArgumentException(
-      s"$what must be a literal, got $other")
+      s"argument '$what' must be a literal constant (e.g. 5 or 'text'); " +
+        s"got the expression ${other.sql} — column references and " +
+        "computed values are not supported here")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -112,6 +112,18 @@ final case class BinaryGridStore(root: String, schema: GridSchema,
       readChunk = (ci, srcShape) => readChunk(v, ci, srcShape.product))
 }
 
+/** What [[BinaryGridStore.vacuum]] deleted. `orphanChunks` are paths
+  * RELATIVE TO THE STORE ROOT (`<var>/<idx>.bin`); `stagingTrees` are
+  * the swept trees' directory names — they are SIBLINGS of the root
+  * (`<rootname>.staging-*`), which a root-relative path cannot
+  * address, hence the separate field rather than a `../` prefix hack.
+  */
+final case class VacuumReport(orphanChunks: Seq[String],
+    stagingTrees: Seq[String]) {
+  def isEmpty: Boolean = orphanChunks.isEmpty && stagingTrees.isEmpty
+  def size: Int = orphanChunks.size + stagingTrees.size
+}
+
 object BinaryGridStore {
 
   /** Materialize `source` to `root` chunk by chunk (streaming: one chunk
@@ -361,13 +373,12 @@ object BinaryGridStore {
     * still. Readers never see orphans — planning is driven purely by
     * the committed metadata extent — so vacuum is storage reclamation,
     * not correctness repair. Same single-writer contract as append:
-    * run only while no append is in flight. Returns deleted paths:
-    * orphan chunks relative to the store root (`<var>/<idx>.bin`);
-    * swept staging trees are SIBLINGS of the root, so they come back
-    * `../`-prefixed (`../<name>.staging-*`) — two base conventions in
-    * one list, by the layout's nature.
+    * run only while no append is in flight. The two delete families
+    * live under DIFFERENT bases (orphan chunks inside the root,
+    * staging trees NEXT TO it), so the report keeps them in separate
+    * typed fields instead of mixing path conventions in one list.
     */
-  def vacuum(root: String): Seq[String] = {
+  def vacuum(root: String): VacuumReport = {
     val store = open(root)
     val conf = GridIO.driverConf()
     val cleanRoot = root.stripSuffix("/")
@@ -386,8 +397,7 @@ object BinaryGridStore {
           s"${v.name}/$n"
         }
     }
-    val staging = GridIO.sweepStaging(cleanRoot, conf).map("../" + _)
-    orphanChunks ++ staging
+    VacuumReport(orphanChunks, GridIO.sweepStaging(cleanRoot, conf))
   }
 
   /** Open an existing store from its metadata (driver-side: resolves

@@ -117,6 +117,17 @@ class ScaleSmokeSpec extends SparkTestBase {
         "SELECT word_shingles(array('a','b','c','d'), '3') AS sh")
         .collect()(0).getSeq[String](0)
       assert(ws == Seq("a b c", "b c d"))
+      // non-literal / NULL parameter args fail with messages that name
+      // the argument and say what IS accepted
+      val eNull = intercept[Exception](
+        s2.sql("SELECT minhash_md5(array('a'), NULL)").collect())
+      assert(eNull.getMessage.contains("'k'") &&
+        eNull.getMessage.contains("non-NULL literal"), eNull.getMessage)
+      val eCol = intercept[Exception](s2.sql(
+        "SELECT word_shingles(array(w), id + 1) FROM " +
+          "(SELECT 'x' AS w, 2 AS id)").collect())
+      assert(eCol.getMessage.contains("'n'") &&
+        eCol.getMessage.contains("literal constant"), eCol.getMessage)
       val sh64 = s2.sql(
         "SELECT simhash64(array('a', 'b')) AS h").collect()(0).getLong(0)
       val sh64Native = {

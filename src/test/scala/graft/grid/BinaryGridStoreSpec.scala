@@ -309,9 +309,12 @@ class BinaryGridStoreSpec extends SparkTestBase {
     Files.write(Paths.get(dir + ".staging-dead", "junk"), Array[Byte](0))
 
     val deleted = BinaryGridStore.vacuum(dir)
-    assert(deleted.toSet == Set("temperature/9.bin", "../" +
-      Paths.get(dir).getFileName + ".staging-dead"),
-      s"wrong delete set: $deleted")
+    // orphan chunks are root-relative; staging trees are sibling NAMES
+    assert(deleted.orphanChunks == Seq("temperature/9.bin"),
+      s"wrong orphan set: $deleted")
+    assert(deleted.stagingTrees ==
+      Seq(Paths.get(dir).getFileName.toString + ".staging-dead"),
+      s"wrong staging set: $deleted")
     assert(!Files.exists(Paths.get(dir, "temperature", "9.bin")))
     assert(!Files.exists(Paths.get(dir + ".staging-dead")))
     // all 4 committed chunks survive and read back identically

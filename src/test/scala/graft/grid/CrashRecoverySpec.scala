@@ -64,10 +64,9 @@ class CrashRecoverySpec extends SparkTestBase {
 
       // ---- 2. vacuum reclaims every orphan byte ----
       val deleted = BinaryGridStore.vacuum(root)
-      assert(deleted.count(_.startsWith("air/")) == r,
+      assert(deleted.orphanChunks.count(_.startsWith("air/")) == r,
         s"trial $trial: expected $r orphan chunks, got $deleted")
-      assert(deleted.count(_.startsWith("../")) ==
-        (if (stagingDeleted) 0 else 1),
+      assert(deleted.stagingTrees.size == (if (stagingDeleted) 0 else 1),
         s"trial $trial: staging sweep mismatch: $deleted")
       val validFiles = (0 until 12 / axisChunk).map(i => s"$i.0.0.bin").toSet
       assert(GridIO.listNames(s"$root/air", conf)

@@ -111,10 +111,13 @@ class DocStreamsSpec extends SparkTestBase {
     val q = out.writeStream.outputMode("update").format("memory")
       .queryName("trend_out").start()
 
-    // batch 1: "viral" dominates hour 0; noise fills the counters
+    // batch 1: "viral" dominates hour 0; noise fills the counters.
+    // The run of consecutive/leading/trailing spaces splits into ""
+    // tokens OFTEN ENOUGH to win a Misra-Gries counter — they must be
+    // filtered out, not crowned a candidate
     input.addData(
       (ts(1), "viral viral viral viral viral viral"),
-      (ts(2), "noise1 noise2 noise3 noise4 noise5"))
+      (ts(2), "  noise1   noise2   noise3   noise4   noise5  "))
     q.processAllAvailable()
     // batch 2: more of the same hour — state folds incrementally —
     // plus a different hour with its own heavy token
@@ -136,6 +139,9 @@ class DocStreamsSpec extends SparkTestBase {
       s"hour-0 candidates lost the dominant token: ${byHour(h0)}")
     assert(byHour(h1).contains("other"),
       s"hour-1 candidates lost the dominant token: ${byHour(h1)}")
+    // empty tokens from whitespace runs never occupy counters
+    assert(rows.forall(!_._2.contains("")),
+      s"empty token surfaced as a candidate: ${rows.toSeq}")
   }
 
   test("bloom screening never passes a true eval-set overlap") {
