@@ -25,8 +25,17 @@ final case class ZarrArrayMeta(
     dimSep: String,
     /** `_ARRAY_DIMENSIONS` (the xarray convention naming each axis). */
     dims: Seq[String],
-    attrs: Map[String, String]) {
+    attrs: Map[String, String],
+    /** Chunk-key prefix: "" for v2 keys (`0.1`), "c" for the v3
+      * default chunk-key encoding (`c/0/1`, `dimSep`-joined).
+      */
+    keyPrefix: String = "") {
   def nd: Int = shape.length
+
+  /** Storage key of chunk `ci` relative to the array dir. */
+  def chunkKey(ci: Seq[Int]): String =
+    if (keyPrefix.isEmpty) ci.mkString(dimSep)
+    else keyPrefix + dimSep + ci.mkString(dimSep)
 }
 
 /** Real Zarr v2 interop: opens an actual `.zgroup`/`.zarray`/`.zattrs`
@@ -135,6 +144,9 @@ object ZarrGridStore {
       val dsAttrs = Option(meta.get(".zattrs")).map(attrMap)
         .getOrElse(Map.empty[String, String])
       assemble(cleanRoot, metas, dsAttrs, hconf)
+    } else if (GridIO.exists(s"$cleanRoot/zarr.json", conf)) {
+      // a v3 tree (zarr.json root metadata) — same GridStore surface
+      ZarrV3.open(cleanRoot, hconf)
     } else openListed(cleanRoot, hconf)
   }
 
@@ -162,7 +174,7 @@ object ZarrGridStore {
   /** Shared tail of both open paths: schema assembly + invariants from
     * the parsed per-array metadata.
     */
-  private def assemble(cleanRoot: String, metas: Map[String, ZarrArrayMeta],
+  private[grid] def assemble(cleanRoot: String, metas: Map[String, ZarrArrayMeta],
       dsAttrs: Map[String, String],
       hconf: SerializableHadoopConf): ZarrGridStore = {
     val conf = hconf.value
@@ -298,7 +310,7 @@ object ZarrGridStore {
   private def readChunk(root: String, a: ZarrArrayMeta, ci: Seq[Int],
       conf: org.apache.hadoop.conf.Configuration): AnyRef = {
     val n = a.chunkShape.product
-    val path = s"$root/${a.name}/${ci.mkString(a.dimSep)}"
+    val path = s"$root/${a.name}/${a.chunkKey(ci)}"
     // one fetch, no pre-flight exists(): an extra metadata round trip
     // per chunk would double object-store request counts at scale;
     // absence is the spec'd all-fill case, not an error
@@ -353,7 +365,7 @@ object ZarrGridStore {
 
   // ---- metadata parse ------------------------------------------------
 
-  private def parseJson(bytes: Array[Byte]): JsonNode =
+  private[grid] def parseJson(bytes: Array[Byte]): JsonNode =
     new ObjectMapper().readTree(bytes)
 
   private def parseArray(root: String, name: String,
@@ -467,7 +479,7 @@ object ZarrGridStore {
   /** Attribute node -> string map: scalars via asText, arrays/objects
     * as their compact JSON (lossless, queryable as text).
     */
-  private def attrMap(node: JsonNode): Map[String, String] =
+  private[grid] def attrMap(node: JsonNode): Map[String, String] =
     node.properties().asScala.map { e =>
       val v = e.getValue
       e.getKey -> (if (v.isValueNode) v.asText() else v.toString)
@@ -580,35 +592,39 @@ object ZarrGridStore {
       mapper.writeValueAsString(top), conf)
   }
 
+  /** Encode one dimension's coordinate payload + the attrs that tell a
+    * reader how to decode it (CF units/calendar for time-kinds). Shared
+    * by the v2 and v3 writers.
+    */
+  private[grid] def coordPayload(
+      d: DimDef): (AnyRef, GridType, Map[String, String]) =
+    d.coords match {
+      case DoubleCoords(v) => (v, GDouble, Map.empty[String, String])
+      case FloatCoords(v) => (v, GFloat, Map.empty[String, String])
+      case IntCoords(v) => (v, GInt, Map.empty[String, String])
+      case LongCoords(v) =>
+        // non-Gregorian CF offsets carry their units/calendar through
+        val cf = d.calendar.map(c =>
+          Map("calendar" -> c, "units" -> d.units.getOrElse(
+            throw new IllegalArgumentException(
+              s"${d.name}: calendar without units")))).getOrElse(Map.empty)
+        (v, GLong, cf)
+      case TimeCoords(v) =>
+        (v, GLong, Map(
+          "units" -> "microseconds since 1970-01-01",
+          "calendar" -> "proleptic_gregorian"))
+      case DurationCoords(v) =>
+        (v, GLong, Map("units" -> "microseconds"))
+      case StringCoords(_) => throw new IllegalArgumentException(
+        s"${d.name}: string coordinates unsupported in Zarr stores")
+    }
+
   private def writeCoord(root: String, d: DimDef,
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     val dir = s"$root/${d.name}"
     GridIO.mkdirs(dir, conf)
     val n = d.size
-    // encode the coordinate payload + the attrs that tell a reader how
-    // to decode it (CF units/calendar for time-kinds)
-    val encoded: (AnyRef, GridType, Map[String, String]) =
-      d.coords match {
-        case DoubleCoords(v) => (v, GDouble, Map.empty[String, String])
-        case FloatCoords(v) => (v, GFloat, Map.empty[String, String])
-        case IntCoords(v) => (v, GInt, Map.empty[String, String])
-        case LongCoords(v) =>
-          // non-Gregorian CF offsets carry their units/calendar through
-          val cf = d.calendar.map(c =>
-            Map("calendar" -> c, "units" -> d.units.getOrElse(
-              throw new IllegalArgumentException(
-                s"${d.name}: calendar without units")))).getOrElse(Map.empty)
-          (v, GLong, cf)
-        case TimeCoords(v) =>
-          (v, GLong, Map(
-            "units" -> "microseconds since 1970-01-01",
-            "calendar" -> "proleptic_gregorian"))
-        case DurationCoords(v) =>
-          (v, GLong, Map("units" -> "microseconds"))
-        case StringCoords(_) => throw new IllegalArgumentException(
-          s"${d.name}: string coordinates unsupported in Zarr v2 store")
-      }
-    val (data, dtype, extraAttrs) = encoded
+    val (data, dtype, extraAttrs) = coordPayload(d)
     GridIO.writeString(s"$dir/.zarray", zarrayJson(Seq(n), Seq(math.max(n, 1)),
       dtypeString(dtype), None, "null"), conf)
     GridIO.writeString(s"$dir/.zattrs",
@@ -669,7 +685,7 @@ object ZarrGridStore {
     * chunk shape with the written fill (NaN/0) — the v2 stored-chunk
     * rule. Returns `data` untouched when the chunk is interior.
     */
-  private def padChunk(data: AnyRef, eff: Array[Int], full: Array[Int],
+  private[grid] def padChunk(data: AnyRef, eff: Array[Int], full: Array[Int],
       dtype: GridType): AnyRef = {
     if (eff.sameElements(full)) return data
     val out = fillArray(dtype,
@@ -703,7 +719,7 @@ object ZarrGridStore {
     out
   }
 
-  private def toLE(data: AnyRef, dtype: GridType): Array[Byte] = {
+  private[grid] def toLE(data: AnyRef, dtype: GridType): Array[Byte] = {
     val n = java.lang.reflect.Array.getLength(data)
     val bb = ByteBuffer.allocate(n * dtype.byteWidth)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -716,7 +732,7 @@ object ZarrGridStore {
     bb.array()
   }
 
-  private def compress(bytes: Array[Byte], comp: Option[(String, Int)],
+  private[grid] def compress(bytes: Array[Byte], comp: Option[(String, Int)],
       typesize: Int): Array[Byte] = comp match {
     case None => bytes
     case Some(("blosc", lvl)) =>

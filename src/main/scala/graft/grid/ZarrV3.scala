@@ -1,0 +1,325 @@
+package graft.grid
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import scala.jdk.CollectionConverters._
+
+/** Zarr v3 interop (zarr-specs v3, a public format) — the layout the
+  * reference's README primary example opens (`.zarr-v3` tree,
+  * reference README.md:76-77) and where the ecosystem is moving.
+  * Parses `zarr.json` node metadata into the same [[ZarrArrayMeta]] the
+  * v2 reader uses, so chunk assembly, pruning, projection pushdown and
+  * stats all work unchanged; [[ZarrGridStore.open]] auto-detects the
+  * version, so callers never care which they were handed.
+  *
+  * Layout understood:
+  *
+  * {{{
+  * <root>/zarr.json            # {"zarr_format":3,"node_type":"group",
+  *                             #  "attributes":{...},
+  *                             #  "consolidated_metadata":{...}?}
+  * <root>/<array>/zarr.json    # node_type "array": shape, data_type,
+  *                             #  regular chunk_grid, chunk_key_encoding,
+  *                             #  fill_value, codecs, dimension_names
+  * <root>/<array>/c/<i>/<j>    # chunks ("default" key encoding; "v2"
+  *                             #  keys `<i>.<j>` also understood)
+  * }}}
+  *
+  * Supported: data_types float32/float64/int32/int64; codec pipelines
+  * `bytes` (either endian) followed by at most one of `gzip`, `zstd`,
+  * `blosc` (via the pure-JVM [[Blosc]] codec; blosclz/bitshuffle
+  * rejected); `sharding_indexed` is explicitly rejected until
+  * implemented, as are `transpose` and checksum codecs; edge chunks
+  * stored padded to the full chunk shape (same rule as v2); missing
+  * chunk files read as `fill_value`; `dimension_names` required (the
+  * v3-native spelling of the xarray `_ARRAY_DIMENSIONS` convention);
+  * CF time attributes decode through the same calendar bridge.
+  *
+  * Opens cost ONE metadata read when the root `zarr.json` embeds
+  * zarr-python's inline `consolidated_metadata`; otherwise a listing
+  * plus one read per array. [[write]] emits consolidated metadata plus
+  * per-array `zarr.json` files, so both this reader and standard v3
+  * readers open its output.
+  */
+object ZarrV3 {
+
+  // ---- open ----------------------------------------------------------
+
+  def open(root: String): ZarrGridStore =
+    open(root, new SerializableHadoopConf(GridIO.driverConf()))
+
+  def open(root: String, hconf: SerializableHadoopConf): ZarrGridStore = {
+    val conf = hconf.value
+    val cleanRoot = root.stripSuffix("/")
+    val rootMeta = ZarrGridStore.parseJson(
+      GridIO.readAllBytes(s"$cleanRoot/zarr.json", conf))
+    require(rootMeta.path("zarr_format").asInt(0) == 3,
+      s"unsupported zarr_format ${rootMeta.path("zarr_format")} in " +
+        s"$cleanRoot/zarr.json")
+    require(rootMeta.path("node_type").asText("") == "group",
+      s"$cleanRoot/zarr.json is not a group node")
+    val consolidated = rootMeta.path("consolidated_metadata").path("metadata")
+    val metas: Map[String, ZarrArrayMeta] =
+      if (consolidated.isObject) {
+        consolidated.properties().asScala.toSeq
+          .filter(_.getValue.path("node_type").asText("") == "array")
+          .map { e =>
+            require(!e.getKey.contains("/"),
+              s"nested groups unsupported (array '${e.getKey}')")
+            e.getKey -> parseArrayNode(e.getKey, e.getValue)
+          }.toMap
+      } else {
+        GridIO.listNames(cleanRoot, conf).filterNot(_.startsWith("."))
+          .filter(n => GridIO.exists(s"$cleanRoot/$n/zarr.json", conf))
+          .sorted.map { n =>
+            n -> parseArrayNode(n, ZarrGridStore.parseJson(
+              GridIO.readAllBytes(s"$cleanRoot/$n/zarr.json", conf)))
+          }.toMap
+      }
+    require(metas.nonEmpty, s"no arrays under $cleanRoot")
+    val dsAttrs = attrsOf(rootMeta)
+    ZarrGridStore.assemble(cleanRoot, metas, dsAttrs, hconf)
+  }
+
+  private def attrsOf(node: JsonNode): Map[String, String] = {
+    val a = node.path("attributes")
+    if (a.isObject) ZarrGridStore.attrMap(a) else Map.empty
+  }
+
+  private def parseArrayNode(name: String, node: JsonNode): ZarrArrayMeta = {
+    require(node.path("zarr_format").asInt(0) == 3,
+      s"$name: unsupported zarr_format")
+    require(node.path("node_type").asText("") == "array",
+      s"$name: not an array node")
+    val shape = node.path("shape").elements().asScala.map(_.asInt()).toSeq
+    val cg = node.path("chunk_grid")
+    require(cg.path("name").asText("") == "regular",
+      s"$name: only regular chunk grids supported " +
+        s"(got '${cg.path("name").asText("")}')")
+    val chunkShape = cg.path("configuration").path("chunk_shape")
+      .elements().asScala.map(_.asInt()).toSeq
+    require(shape.nonEmpty && chunkShape.length == shape.length,
+      s"$name: bad shape/chunk_shape")
+    require(chunkShape.forall(_ > 0) && shape.forall(_ >= 0),
+      s"$name: non-positive chunk extent")
+    val dtype = node.path("data_type").asText("") match {
+      case "float64" => GDouble
+      case "float32" => GFloat
+      case "int32" => GInt
+      case "int64" => GLong
+      case other => throw new IllegalArgumentException(
+        s"$name: unsupported data_type '$other' " +
+          "(float32/float64/int32/int64 only)")
+    }
+    val (keyPrefix, sep) = {
+      val cke = node.path("chunk_key_encoding")
+      val enc = if (cke.isMissingNode || cke.isNull) "default"
+        else cke.path("name").asText("default")
+      val cfgSep = cke.path("configuration").path("separator")
+      enc match {
+        case "default" => ("c", if (cfgSep.isTextual) cfgSep.asText else "/")
+        case "v2" => ("", if (cfgSep.isTextual) cfgSep.asText else ".")
+        case other => throw new IllegalArgumentException(
+          s"$name: unsupported chunk_key_encoding '$other'")
+      }
+    }
+    require(sep == "." || sep == "/", s"$name: bad separator '$sep'")
+    val fill = node.path("fill_value") match {
+      case f if f == null || f.isNull || f.isMissingNode => Double.NaN
+      case f if f.isNumber => f.asDouble()
+      case f if f.isTextual => f.asText() match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case other => throw new IllegalArgumentException(
+          s"$name: bad fill_value '$other'")
+      }
+      case f => throw new IllegalArgumentException(
+        s"$name: bad fill_value $f")
+    }
+    // codecs pipeline: one array->bytes codec (`bytes`, carrying the
+    // endianness) then at most one supported bytes->bytes compressor
+    val codecs = node.path("codecs")
+    require(codecs.isArray && codecs.size() >= 1,
+      s"$name: codecs pipeline required")
+    var bigEndian = false
+    var sawBytes = false
+    var compressor: Option[(String, Int)] = None
+    codecs.elements().asScala.foreach { c =>
+      val cfg = c.path("configuration")
+      c.path("name").asText("") match {
+        case "bytes" =>
+          require(!sawBytes, s"$name: duplicate bytes codec")
+          sawBytes = true
+          bigEndian = cfg.path("endian").asText("little") == "big"
+        case "gzip" =>
+          requireOneCompressor(name, compressor)
+          compressor = Some(("gzip", cfg.path("level").asInt(5)))
+        case "zstd" =>
+          requireOneCompressor(name, compressor)
+          compressor = Some(("zstd", cfg.path("level").asInt(0)))
+        case "blosc" =>
+          requireOneCompressor(name, compressor)
+          val cname = cfg.path("cname").asText("lz4")
+          require(Set("lz4", "lz4hc", "zstd", "zlib", "snappy")(cname),
+            s"$name: blosc cname '$cname' has no JVM implementation")
+          require(cfg.path("shuffle").asText("shuffle") != "bitshuffle",
+            s"$name: blosc bit-shuffle unsupported (byte-shuffle is)")
+          compressor = Some(("blosc", cfg.path("clevel").asInt(5)))
+        case "sharding_indexed" => throw new IllegalArgumentException(
+          s"$name: sharded chunks (sharding_indexed) are not supported " +
+            "yet; write with one chunk per file")
+        case other => throw new IllegalArgumentException(
+          s"$name: unsupported codec '$other'")
+      }
+    }
+    require(sawBytes, s"$name: codecs pipeline must include 'bytes'")
+    val dims = node.path("dimension_names") match {
+      case d if d.isArray => d.elements().asScala.map(_.asText()).toSeq
+      case _ => throw new IllegalArgumentException(
+        s"$name: missing dimension_names; cannot infer axis names")
+    }
+    require(dims.length == shape.length,
+      s"$name: ${dims.length} dim names for ${shape.length}-d array")
+    ZarrArrayMeta(name, shape, chunkShape, dtype, bigEndian, compressor,
+      fill, sep, dims, attrsOf(node), keyPrefix)
+  }
+
+  private def requireOneCompressor(name: String,
+      cur: Option[(String, Int)]): Unit =
+    require(cur.isEmpty,
+      s"$name: at most one compression codec supported in the pipeline")
+
+  // ---- write ---------------------------------------------------------
+
+  /** Materialize `source` as a Zarr v3 tree (default chunk-key
+    * encoding, little-endian `bytes` codec, consolidated metadata
+    * inlined in the root `zarr.json` AND per-array `zarr.json` files)
+    * and re-open it. `compressor`: `none | gzip[:level] | zstd[:level]
+    * | blosc[:clevel]` (v3 has no zlib codec).
+    */
+  def write(source: GridStore, root: String, chunks: Map[String, Int],
+      compressor: String = "zstd"): ZarrGridStore = {
+    val comp = ZarrGridStore.parseCompressor(compressor)
+    require(!comp.exists(_._1 == "zlib"),
+      "zarr v3 has no zlib codec; use gzip, zstd, blosc or none")
+    val conf = GridIO.driverConf()
+    val schema = source.schema
+    val cleanRoot = root.stripSuffix("/")
+    GridIO.mkdirs(cleanRoot, conf)
+    val mapper = new ObjectMapper()
+    val arrayMetaNodes = scala.collection.mutable.LinkedHashMap
+      .empty[String, ObjectNode]
+
+    // coordinate arrays: single chunk, uncompressed (metadata-sized)
+    schema.dims.foreach { d =>
+      val (data, dtype, extraAttrs) = ZarrGridStore.coordPayload(d)
+      val n = d.size
+      val meta = arrayJson(mapper, Seq(n), Seq(math.max(n, 1)), dtype,
+        None, Seq(d.name), d.attrs ++ extraAttrs)
+      arrayMetaNodes += d.name -> meta
+      GridIO.mkdirs(s"$cleanRoot/${d.name}", conf)
+      GridIO.writeString(s"$cleanRoot/${d.name}/zarr.json",
+        mapper.writeValueAsString(meta), conf)
+      if (n > 0) GridIO.write(s"$cleanRoot/${d.name}/c/0",
+        ZarrGridStore.toLE(data, dtype), conf)
+    }
+
+    schema.vars.foreach { v =>
+      val dir = s"$cleanRoot/${v.name}"
+      GridIO.mkdirs(dir, conf)
+      val dimSz = v.dims.map(d => schema.dim(d).size)
+      val chunkSz = v.dims.map(d =>
+        chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
+      val meta = arrayJson(mapper, dimSz, chunkSz, v.dtype, comp,
+        v.dims, v.attrs)
+      arrayMetaNodes += v.name -> meta
+      GridIO.writeString(s"$dir/zarr.json",
+        mapper.writeValueAsString(meta), conf)
+      val sub = GridSchema(v.dims.map(schema.dim), Seq.empty)
+      ChunkGrid.blocks(sub, chunks).foreach { block =>
+        val ci = block.zip(chunkSz).map(b => b._1._1 / b._2)
+        val eff = block.map(_._2).toArray
+        val data = source.readVar(v.name, block)
+        val padded = ZarrGridStore.padChunk(data, eff, chunkSz.toArray,
+          v.dtype)
+        GridIO.write(s"$dir/c/${ci.mkString("/")}",
+          ZarrGridStore.compress(ZarrGridStore.toLE(padded, v.dtype),
+            comp, v.dtype.byteWidth), conf)
+      }
+    }
+
+    // root group metadata with zarr-python-style inline consolidation:
+    // later opens cost one read
+    val top = mapper.createObjectNode()
+    top.put("zarr_format", 3)
+    top.put("node_type", "group")
+    val attrs = top.putObject("attributes")
+    schema.attrs.toSeq.sortBy(_._1).foreach { case (k, v2) =>
+      attrs.put(k, v2) }
+    val consolidated = top.putObject("consolidated_metadata")
+    consolidated.put("kind", "inline")
+    consolidated.put("must_understand", false)
+    val metaNode = consolidated.putObject("metadata")
+    arrayMetaNodes.foreach { case (n, m) => metaNode.set[JsonNode](n, m) }
+    GridIO.writeString(s"$cleanRoot/zarr.json",
+      mapper.writeValueAsString(top), conf)
+    open(cleanRoot)
+  }
+
+  private def arrayJson(mapper: ObjectMapper, shape: Seq[Int],
+      chunkShape: Seq[Int], dtype: GridType, comp: Option[(String, Int)],
+      dims: Seq[String], attrs: Map[String, String]): ObjectNode = {
+    val node = mapper.createObjectNode()
+    node.put("zarr_format", 3)
+    node.put("node_type", "array")
+    val sh = node.putArray("shape"); shape.foreach(sh.add)
+    node.put("data_type", dtype match {
+      case GDouble => "float64"
+      case GFloat => "float32"
+      case GInt => "int32"
+      case GLong | GTimestamp | GDuration => "int64"
+      case GString =>
+        throw new IllegalArgumentException("string arrays unsupported")
+    })
+    val cg = node.putObject("chunk_grid")
+    cg.put("name", "regular")
+    val cs = cg.putObject("configuration").putArray("chunk_shape")
+    chunkShape.foreach(cs.add)
+    val cke = node.putObject("chunk_key_encoding")
+    cke.put("name", "default")
+    cke.putObject("configuration").put("separator", "/")
+    dtype match {
+      case GDouble | GFloat => node.put("fill_value", "NaN")
+      case _ => node.put("fill_value", 0)
+    }
+    val codecs = node.putArray("codecs")
+    val bytesCodec = codecs.addObject()
+    bytesCodec.put("name", "bytes")
+    bytesCodec.putObject("configuration").put("endian", "little")
+    comp.foreach {
+      case ("gzip", lvl) =>
+        val c = codecs.addObject(); c.put("name", "gzip")
+        c.putObject("configuration").put("level", lvl)
+      case ("zstd", lvl) =>
+        val c = codecs.addObject(); c.put("name", "zstd")
+        val cfg = c.putObject("configuration")
+        cfg.put("level", lvl); cfg.put("checksum", false)
+      case ("blosc", lvl) =>
+        val c = codecs.addObject(); c.put("name", "blosc")
+        val cfg = c.putObject("configuration")
+        cfg.put("cname", "lz4"); cfg.put("clevel", lvl)
+        cfg.put("shuffle", "shuffle")
+        cfg.put("typesize", dtype.byteWidth); cfg.put("blocksize", 0)
+      case (other, _) =>
+        throw new IllegalArgumentException(s"bad v3 compressor '$other'")
+    }
+    val at = node.putObject("attributes")
+    attrs.toSeq.sortBy(_._1).foreach { case (k, v) => at.put(k, v) }
+    val dn = node.putArray("dimension_names")
+    dims.foreach(dn.add)
+    node
+  }
+}

@@ -496,6 +496,22 @@ object GridQueries {
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
           col("air"))
     }),
+    // same grid as a Zarr V3 tree (zarr.json metadata, c/-prefixed
+    // chunk keys, bytes+zstd codec pipeline, inline consolidated
+    // metadata) — the layout the reference README's primary example
+    // opens (README.md:76-77); ZarrGridStore.open auto-detects the
+    // version
+    "pivot_grid_zarr_v3" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_v3_grid") + "/store"
+      val store = graft.grid.ZarrV3.write(Fixtures.linearGrid, root,
+        Map("t" -> 6, "lat" -> 5), "zstd:3")
+      new XarrayContext(s)
+        .scratchDataFrame(s"zarr_v3_grid@$root", store, store.chunkMap,
+          Seq("t", "lat", "lon"))
+        .filter(col("t") >= 12)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
     // same tree encoded with blosc (lz4 + byte-shuffle) — zarr-python's
     // DEFAULT chunk codec and what real archives like ARCO-ERA5 use
     // (reference perf_tests/open_era5.py:7-8): exercises the pure-JVM
@@ -798,6 +814,10 @@ object GridQueries {
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
     "pivot_grid_zarr_blosc" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t >= 12""".stripMargin,
+    "pivot_grid_zarr_v3" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,

@@ -1,0 +1,187 @@
+package graft.grid
+
+import graft.SparkTestBase
+import graft.sources.ReadCounters
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+
+/** Zarr v3 interop: hand-written fixture trees (metadata authored here,
+  * independent of the writer), write/open round trips across codecs,
+  * version auto-detection, consolidated single-read opens, chunk-open
+  * pruning through the registered scan, and clear rejections (sharding,
+  * unknown codecs).
+  */
+class ZarrV3Spec extends SparkTestBase {
+
+  private def tmp(): Path = {
+    val p = Files.createTempDirectory("zarr_v3")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def put(root: Path, rel: String, content: String): Unit = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.write(p, content.getBytes(UTF_8))
+  }
+
+  private def putBytes(root: Path, rel: String, bytes: Array[Byte]): Unit = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.write(p, bytes)
+  }
+
+  private def le(doubles: Seq[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(doubles.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    doubles.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  test("hand-written v3 tree: default keys, gzip, fill, big-endian") {
+    val root = tmp()
+    put(root, "zarr.json",
+      """{"zarr_format":3,"node_type":"group",
+        |"attributes":{"title":"v3 fixture"}}""".stripMargin)
+    // x coord: 4 int32 values, big-endian bytes codec, v2-style keys
+    put(root, "x/zarr.json",
+      """{"zarr_format":3,"node_type":"array","shape":[4],
+        |"data_type":"int32",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4]}},
+        |"chunk_key_encoding":{"name":"v2","configuration":{"separator":"."}},
+        |"fill_value":0,
+        |"codecs":[{"name":"bytes","configuration":{"endian":"big"}}],
+        |"dimension_names":["x"]}""".stripMargin)
+    putBytes(root, "x/0", {
+      val bb = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      Seq(10, 20, 30, 40).foreach(bb.putInt)
+      bb.array()
+    })
+    // v: 4x3 doubles, chunks 2x3 -> chunk rows [0..1] present (gzipped,
+    // default "c/<i>/<j>" keys), chunk rows [2..3] MISSING -> fill 7.5
+    put(root, "v/zarr.json",
+      """{"zarr_format":3,"node_type":"array","shape":[4,3],
+        |"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2,3]}},
+        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+        |"fill_value":7.5,
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+        |          {"name":"gzip","configuration":{"level":5}}],
+        |"dimension_names":["x","y"]}""".stripMargin)
+    val payload = le(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(payload); g.close()
+      bos.toByteArray
+    }
+    putBytes(root, "v/c/0/0", gz)
+
+    val store = ZarrGridStore.open(root.toString) // auto-detects v3
+    assert(store.schema.attrs("title") == "v3 fixture")
+    assert(store.schema.dim("x").coords.asInstanceOf[IntCoords]
+      .values.sameElements(Array(10, 20, 30, 40)))
+    // y has no coordinate array -> positional ints
+    assert(store.schema.dim("y").coords.asInstanceOf[IntCoords]
+      .values.sameElements(Array(0, 1, 2)))
+    val full = store.readVar("v", Seq((0, 4), (0, 3)))
+      .asInstanceOf[Array[Double]]
+    assert(full.sameElements(Array(
+      1.0, 2.0, 3.0, 4.0, 5.0, 6.0, // stored chunk
+      7.5, 7.5, 7.5, 7.5, 7.5, 7.5))) // missing chunk -> fill
+  }
+
+  test("write/open round trip across codecs") {
+    for (comp <- Seq("none", "gzip", "zstd:3", "blosc")) {
+      val root = tmp().resolve(s"w_${comp.replace(':', '_')}").toString
+      val store = ZarrV3.write(Fixtures.linearGrid, root,
+        Map("t" -> 6, "lat" -> 5), comp)
+      assert(store.schema.dimNames == Seq("t", "lat", "lon"), comp)
+      assert(store.chunkMap == Map("t" -> 6, "lat" -> 5, "lon" -> 10))
+      val full = Seq((0, 24), (0, 12), (0, 10))
+      assert(store.readVar("air", full).asInstanceOf[Array[Double]]
+        .sameElements(Fixtures.linearGrid.readVar("air", full)
+          .asInstanceOf[Array[Double]]), comp)
+      // ragged lat edge: stored padded, clipped on read
+      val edge = Seq((20, 4), (10, 2), (0, 10))
+      assert(store.readVar("air", edge).asInstanceOf[Array[Double]]
+        .sameElements(Fixtures.linearGrid.readVar("air", edge)
+          .asInstanceOf[Array[Double]]), comp)
+    }
+    intercept[IllegalArgumentException] {
+      ZarrV3.write(Fixtures.maskGrid, tmp().resolve("z").toString,
+        Map.empty, "zlib") // v3 has no zlib codec
+    }
+  }
+
+  test("consolidated v3 open costs one metadata read; listing fallback works") {
+    val root = tmp().resolve("cons").toString
+    ZarrV3.write(Fixtures.linearGrid, root, Map("t" -> 6), "gzip")
+    GridIO.Counters.reset()
+    ZarrGridStore.open(root)
+    // exists(.zmetadata) + exists(zarr.json) + read(zarr.json with
+    // inline consolidated metadata) + 3 coordinate chunk reads
+    assert(GridIO.Counters.existChecks.sum() == 2L)
+    assert(GridIO.Counters.reads.sum() == 1L + 3L)
+    assert(GridIO.Counters.lists.sum() == 0L)
+    // strip consolidation -> per-array listing walk, same store
+    val rootJson = java.nio.file.Paths.get(root, "zarr.json")
+    val json = Files.readString(rootJson)
+    Files.writeString(rootJson,
+      """{"zarr_format":3,"node_type":"group","attributes":{}}""")
+    GridIO.Counters.reset()
+    val listed = ZarrGridStore.open(root)
+    assert(GridIO.Counters.lists.sum() == 1L)
+    val full = Seq((0, 24), (0, 12), (0, 10))
+    assert(listed.readVar("air", full).asInstanceOf[Array[Double]]
+      .sameElements(Fixtures.linearGrid.readVar("air", full)
+        .asInstanceOf[Array[Double]]))
+    Files.writeString(rootJson, json) // restore
+  }
+
+  test("registered v3 store prunes chunk opens on a dim predicate") {
+    val root = tmp().resolve("reg").toString
+    val store = ZarrV3.write(Fixtures.linearGrid, root,
+      Map("t" -> 6), "blosc")
+    val df = new graft.XarrayContext(spark)
+      .scratchDataFrame(s"zarr_v3_prune@$root", store, store.chunkMap,
+        Seq("t", "lat", "lon"))
+    ReadCounters.reset()
+    val rows = df.filter(col("t") >= 12)
+      .agg(sum("air").as("s"), count(lit(1)).as("n")).collect()
+    // t >= 12 keeps chunks 2 and 3 of 4: only their FILES open
+    assert(ReadCounters.partitionsOpened.sum() == 2L)
+    assert(rows.head.getLong(1) == 12L * 12 * 10)
+    val expect = (for (t <- 12 until 24; i <- 0 until 12; j <- 0 until 10)
+      yield 200.0 + t + 2.0 * i + 3.0 * j).sum
+    assert(rows.head.getDouble(0) == expect)
+  }
+
+  test("sharding and unknown codecs rejected clearly") {
+    def bad(codecs: String): Throwable = {
+      val root = tmp()
+      put(root, "zarr.json",
+        """{"zarr_format":3,"node_type":"group","attributes":{}}""")
+      put(root, "a/zarr.json",
+        s"""{"zarr_format":3,"node_type":"array","shape":[4],
+           |"data_type":"float64",
+           |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4]}},
+           |"fill_value":0.0,
+           |"codecs":$codecs,
+           |"dimension_names":["a"]}""".stripMargin)
+      intercept[IllegalArgumentException](ZarrGridStore.open(root.toString))
+    }
+    assert(bad("""[{"name":"sharding_indexed","configuration":{}}]""")
+      .getMessage.contains("shard"))
+    assert(bad("""[{"name":"bytes"},{"name":"crc32c"}]""")
+      .getMessage.contains("crc32c"))
+    assert(bad("""[{"name":"bytes"},
+      {"name":"blosc","configuration":{"cname":"blosclz"}}]""")
+      .getMessage.contains("blosclz"))
+    assert(bad("""[{"name":"gzip","configuration":{"level":1}}]""")
+      .getMessage.contains("bytes"))
+  }
+}
