@@ -29,7 +29,13 @@ final case class ZarrArrayMeta(
     /** Chunk-key prefix: "" for v2 keys (`0.1`), "c" for the v3
       * default chunk-key encoding (`c/0/1`, `dimSep`-joined).
       */
-    keyPrefix: String = "") {
+    keyPrefix: String = "",
+    /** v3 `sharding_indexed`: each stored file is a SHARD of the outer
+      * `chunkShape` holding inner chunks + an index. When set,
+      * `compressor`/`bigEndian` are unused — the inner pipeline here
+      * governs the bytes.
+      */
+    sharding: Option[ShardMeta] = None) {
   def nd: Int = shape.length
 
   /** Storage key of chunk `ci` relative to the array dir. */
@@ -37,6 +43,19 @@ final case class ZarrArrayMeta(
     if (keyPrefix.isEmpty) ci.mkString(dimSep)
     else keyPrefix + dimSep + ci.mkString(dimSep)
 }
+
+/** Parsed v3 `sharding_indexed` codec configuration: inner chunk grid
+  * + inner codec pipeline + index framing. The index is `nInner`
+  * little-endian uint64 (offset, nbytes) pairs in C order over the
+  * inner-chunk grid (missing inner chunks are all-ones), optionally
+  * crc32c-framed, at the shard's start or end.
+  */
+final case class ShardMeta(
+    innerShape: Seq[Int],
+    innerBigEndian: Boolean,
+    innerCompressor: Option[(String, Int)],
+    indexAtEnd: Boolean,
+    indexCrc32c: Boolean)
 
 /** Real Zarr v2 interop: opens an actual `.zgroup`/`.zarray`/`.zattrs`
   * tree — the reference's PRIMARY input format, which it reads through
@@ -305,7 +324,8 @@ object ZarrGridStore {
 
   /** One whole stored chunk (always the FULL chunk shape — v2 pads
     * edges): file fetch, decompress, endian-decode; a missing file is
-    * an entirely-fill chunk per the spec.
+    * an entirely-fill chunk per the spec. Sharded v3 arrays route to
+    * [[readShard]].
     */
   private def readChunk(root: String, a: ZarrArrayMeta, ci: Seq[Int],
       conf: org.apache.hadoop.conf.Configuration): AnyRef = {
@@ -318,33 +338,147 @@ object ZarrGridStore {
       try Some(GridIO.readAllBytes(path, conf))
       catch { case _: java.io.FileNotFoundException => None }
     if (rawOpt.isEmpty) fillArray(a.dtype, a.fillValue, n)
+    else if (a.sharding.isDefined) readShard(path, a, rawOpt.get)
     else {
       val raw = rawOpt.get
       val expected = n * a.dtype.byteWidth
-      val bytes = a.compressor match {
-        case None => raw
-        case Some(("zlib", _)) => inflate(raw, expected)
-        case Some(("gzip", _)) => gunzip(raw)
-        case Some(("zstd", _)) =>
-          com.github.luben.zstd.Zstd.decompress(raw, expected)
-        case Some(("blosc", _)) => Blosc.decompress(raw, expected)
-        case Some((other, _)) => throw new IllegalArgumentException(
-          s"unsupported compressor $other")
-      }
+      val bytes = decompressed(path, raw, a.compressor, expected)
       require(bytes.length == expected,
         s"chunk $path decodes to ${bytes.length} bytes, expected $expected")
-      val bb = ByteBuffer.wrap(bytes).order(
-        if (a.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      decodeTyped(bytes, a.dtype, a.bigEndian, n)
+    }
+  }
+
+  private def decompressed(path: String, raw: Array[Byte],
+      comp: Option[(String, Int)], expected: Int): Array[Byte] =
+    comp match {
+      case None => raw
+      case Some(("zlib", _)) => inflate(raw, expected)
+      case Some(("gzip", _)) => gunzip(raw)
+      case Some(("zstd", _)) =>
+        com.github.luben.zstd.Zstd.decompress(raw, expected)
+      case Some(("blosc", _)) => Blosc.decompress(raw, expected)
+      case Some((other, _)) => throw new IllegalArgumentException(
+        s"$path: unsupported compressor $other")
+    }
+
+  private def decodeTyped(bytes: Array[Byte], dtype: GridType,
+      bigEndian: Boolean, n: Int): AnyRef = {
+    val bb = ByteBuffer.wrap(bytes).order(
+      if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    dtype match {
+      case GDouble => val o = new Array[Double](n); bb.asDoubleBuffer().get(o); o
+      case GFloat => val o = new Array[Float](n); bb.asFloatBuffer().get(o); o
+      case GInt => val o = new Array[Int](n); bb.asIntBuffer().get(o); o
+      case GLong | GTimestamp | GDuration =>
+        val o = new Array[Long](n); bb.asLongBuffer().get(o); o
+      case GString => throw new IllegalArgumentException(
+        "string arrays unsupported")
+    }
+  }
+
+  /** Decode one v3 SHARD file into the full outer chunk: verify + read
+    * the (offset, nbytes) index, decode each present inner chunk
+    * through the inner codec pipeline, byte-assemble in C order, fill
+    * the missing inner blocks, then one endian pass over the whole
+    * outer chunk. The scan's pruning/partitioning unit stays the outer
+    * chunk, so a full-shard read is the right I/O shape here — every
+    * present inner chunk is needed.
+    */
+  private def readShard(path: String, a: ZarrArrayMeta,
+      raw: Array[Byte]): AnyRef = {
+    val sh = a.sharding.get
+    val w = a.dtype.byteWidth
+    val nd = a.nd
+    val innerPerDim = (0 until nd).map(d => a.chunkShape(d) / sh.innerShape(d))
+    val nInner = innerPerDim.product
+    val idxBody = nInner * 16
+    val idxLen = idxBody + (if (sh.indexCrc32c) 4 else 0)
+    require(raw.length >= idxLen, s"shard $path shorter than its index")
+    val idxOff = if (sh.indexAtEnd) raw.length - idxLen else 0
+    if (sh.indexCrc32c) {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(raw, idxOff, idxBody)
+      val stored = ByteBuffer.wrap(raw, idxOff + idxBody, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      require(crc.getValue.toInt == stored,
+        s"shard $path: index crc32c mismatch")
+    }
+    val idx = ByteBuffer.wrap(raw, idxOff, idxBody)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val entries = (0 until nInner).map(_ => (idx.getLong, idx.getLong))
+
+    val n = a.chunkShape.product
+    val outBytes = new Array[Byte](n * w)
+    if (entries.exists(_._1 == -1L)) {
+      // prefill with the fill value's byte pattern (inner endianness —
+      // the single decode below uses the same)
+      val one = ByteBuffer.allocate(w).order(if (sh.innerBigEndian)
+        ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
       a.dtype match {
-        case GDouble => val o = new Array[Double](n); bb.asDoubleBuffer().get(o); o
-        case GFloat => val o = new Array[Float](n); bb.asFloatBuffer().get(o); o
-        case GInt => val o = new Array[Int](n); bb.asIntBuffer().get(o); o
+        case GDouble => one.putDouble(a.fillValue)
+        case GFloat => one.putFloat(a.fillValue.toFloat)
+        case GInt => one.putInt(if (a.fillValue.isNaN) 0 else a.fillValue.toInt)
         case GLong | GTimestamp | GDuration =>
-          val o = new Array[Long](n); bb.asLongBuffer().get(o); o
+          one.putLong(if (a.fillValue.isNaN) 0L else a.fillValue.toLong)
         case GString => throw new IllegalArgumentException(
           "string arrays unsupported")
       }
+      val pat = one.array()
+      var i = 0
+      while (i < outBytes.length) {
+        System.arraycopy(pat, 0, outBytes, i, w); i += w
+      }
     }
+
+    val innerN = sh.innerShape.product
+    val outerStrides = ChunkAssembly.strides(a.chunkShape.toArray)
+    val innerRows = if (nd == 1) 1 else sh.innerShape.init.product
+    val run = sh.innerShape(nd - 1) * w
+    val innerRowStrides = // strides over the inner block's row space
+      ChunkAssembly.strides(
+        (if (nd == 1) Array(1) else sh.innerShape.init.toArray))
+    val pos = new Array[Int](nd) // inner-chunk grid coords, C order
+    var k = 0
+    while (k < nInner) {
+      val (off, nb) = entries(k)
+      if (off != -1L || nb != -1L) {
+        require(off >= 0 && nb >= 0 && off + nb <= raw.length,
+          s"shard $path: inner chunk $k index out of range")
+        val comp = java.util.Arrays.copyOfRange(
+          raw, off.toInt, (off + nb).toInt)
+        val bytes = decompressed(s"$path#$k", comp,
+          sh.innerCompressor, innerN * w)
+        require(bytes.length == innerN * w,
+          s"shard $path: inner chunk $k decodes to ${bytes.length} bytes, " +
+            s"expected ${innerN * w}")
+        // copy the inner block row by row into the outer byte image
+        var r = 0
+        while (r < innerRows) {
+          var destElems = pos(nd - 1) * sh.innerShape(nd - 1)
+          var rem = r
+          var d = 0
+          while (d < nd - 1) {
+            val rowD = rem / innerRowStrides(d)
+            rem %= innerRowStrides(d)
+            destElems += (pos(d) * sh.innerShape(d) + rowD) * outerStrides(d)
+            d += 1
+          }
+          System.arraycopy(bytes, r * run, outBytes, destElems * w, run)
+          r += 1
+        }
+      }
+      // odometer step over the inner-chunk grid
+      var j = nd - 1
+      var carry = true
+      while (carry && j >= 0) {
+        pos(j) += 1
+        if (pos(j) < innerPerDim(j)) carry = false
+        else { pos(j) = 0; j -= 1 }
+      }
+      k += 1
+    }
+    decodeTyped(outBytes, a.dtype, sh.innerBigEndian, n)
   }
 
   private def fillArray(dtype: GridType, fill: Double, n: Int): AnyRef =

@@ -139,9 +139,71 @@ object ZarrV3 {
       case f => throw new IllegalArgumentException(
         s"$name: bad fill_value $f")
     }
-    // codecs pipeline: one array->bytes codec (`bytes`, carrying the
-    // endianness) then at most one supported bytes->bytes compressor
+    // codecs: either a simple bytes[+compressor] pipeline, or a single
+    // sharding_indexed codec wrapping an inner pipeline + chunk index
     val codecs = node.path("codecs")
+    require(codecs.isArray && codecs.size() >= 1,
+      s"$name: codecs pipeline required")
+    val sharded = codecs.get(0).path("name").asText("") == "sharding_indexed"
+    val (bigEndian, compressor, sharding) =
+      if (!sharded) {
+        val (be, comp) = parsePipeline(name, codecs)
+        (be, comp, None)
+      } else {
+        require(codecs.size() == 1,
+          s"$name: sharding_indexed must be the only codec")
+        val cfg = codecs.get(0).path("configuration")
+        val innerShape = cfg.path("chunk_shape")
+          .elements().asScala.map(_.asInt()).toSeq
+        require(innerShape.length == shape.length,
+          s"$name: inner chunk_shape rank mismatch")
+        (shape.indices).foreach { d =>
+          require(innerShape(d) > 0 && chunkShape(d) % innerShape(d) == 0,
+            s"$name: inner chunk shape ${innerShape.mkString("x")} must " +
+              s"evenly divide the shard shape ${chunkShape.mkString("x")}")
+        }
+        val (iBig, iComp) = parsePipeline(s"$name (inner)",
+          cfg.path("codecs"))
+        // index pipeline: bytes (little, the spec'd uint64 layout) with
+        // optional crc32c framing — the zarr-python default
+        var crc = false
+        val idxCodecs = cfg.path("index_codecs")
+        if (idxCodecs.isArray) idxCodecs.elements().asScala.foreach { c =>
+          c.path("name").asText("") match {
+            case "bytes" =>
+              require(c.path("configuration").path("endian")
+                .asText("little") == "little",
+                s"$name: shard index must be little-endian")
+            case "crc32c" => crc = true
+            case other => throw new IllegalArgumentException(
+              s"$name: unsupported index codec '$other'")
+          }
+        } else crc = true // spec default: [bytes, crc32c]
+        val atEnd = cfg.path("index_location").asText("end") match {
+          case "end" => true
+          case "start" => false
+          case other => throw new IllegalArgumentException(
+            s"$name: bad index_location '$other'")
+        }
+        (false, None,
+          Some(ShardMeta(innerShape, iBig, iComp, atEnd, crc)))
+      }
+    val dims = node.path("dimension_names") match {
+      case d if d.isArray => d.elements().asScala.map(_.asText()).toSeq
+      case _ => throw new IllegalArgumentException(
+        s"$name: missing dimension_names; cannot infer axis names")
+    }
+    require(dims.length == shape.length,
+      s"$name: ${dims.length} dim names for ${shape.length}-d array")
+    ZarrArrayMeta(name, shape, chunkShape, dtype, bigEndian, compressor,
+      fill, sep, dims, attrsOf(node), keyPrefix, sharding)
+  }
+
+  /** A simple v3 pipeline: one `bytes` codec (endianness) + at most one
+    * supported compressor. Shared by top-level and shard-inner codecs.
+    */
+  private def parsePipeline(name: String,
+      codecs: JsonNode): (Boolean, Option[(String, Int)]) = {
     require(codecs.isArray && codecs.size() >= 1,
       s"$name: codecs pipeline required")
     var bigEndian = false
@@ -169,22 +231,13 @@ object ZarrV3 {
             s"$name: blosc bit-shuffle unsupported (byte-shuffle is)")
           compressor = Some(("blosc", cfg.path("clevel").asInt(5)))
         case "sharding_indexed" => throw new IllegalArgumentException(
-          s"$name: sharded chunks (sharding_indexed) are not supported " +
-            "yet; write with one chunk per file")
+          s"$name: nested sharding unsupported")
         case other => throw new IllegalArgumentException(
           s"$name: unsupported codec '$other'")
       }
     }
     require(sawBytes, s"$name: codecs pipeline must include 'bytes'")
-    val dims = node.path("dimension_names") match {
-      case d if d.isArray => d.elements().asScala.map(_.asText()).toSeq
-      case _ => throw new IllegalArgumentException(
-        s"$name: missing dimension_names; cannot infer axis names")
-    }
-    require(dims.length == shape.length,
-      s"$name: ${dims.length} dim names for ${shape.length}-d array")
-    ZarrArrayMeta(name, shape, chunkShape, dtype, bigEndian, compressor,
-      fill, sep, dims, attrsOf(node), keyPrefix)
+    (bigEndian, compressor)
   }
 
   private def requireOneCompressor(name: String,
@@ -199,9 +252,20 @@ object ZarrV3 {
     * inlined in the root `zarr.json` AND per-array `zarr.json` files)
     * and re-open it. `compressor`: `none | gzip[:level] | zstd[:level]
     * | blosc[:clevel]` (v3 has no zlib codec).
+    *
+    * `shardInner` non-empty turns on `sharding_indexed` for the data
+    * variables: the `chunks` grid becomes the SHARD (stored-file) grid
+    * and `shardInner` the inner chunk sizes within each shard (dims
+    * omitted there default to the full shard extent). Inner chunks are
+    * compressed individually; the index (little-endian uint64 pairs,
+    * crc32c-framed) sits at the shard end — the zarr-python default
+    * framing. Sharding keeps the stored-file count low (one object per
+    * shard) while preserving sub-chunk read granularity for readers
+    * that fetch ranges.
     */
   def write(source: GridStore, root: String, chunks: Map[String, Int],
-      compressor: String = "zstd"): ZarrGridStore = {
+      compressor: String = "zstd",
+      shardInner: Map[String, Int] = Map.empty): ZarrGridStore = {
     val comp = ZarrGridStore.parseCompressor(compressor)
     require(!comp.exists(_._1 == "zlib"),
       "zarr v3 has no zlib codec; use gzip, zstd, blosc or none")
@@ -233,8 +297,17 @@ object ZarrV3 {
       val dimSz = v.dims.map(d => schema.dim(d).size)
       val chunkSz = v.dims.map(d =>
         chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
+      val innerSz: Option[Seq[Int]] =
+        if (shardInner.isEmpty) None
+        else Some(v.dims.zip(chunkSz).map { case (d, outer) =>
+          val in = shardInner.getOrElse(d, outer)
+          require(in > 0 && outer % in == 0,
+            s"${v.name}: inner chunk $in must evenly divide shard $outer " +
+              s"on dim $d")
+          in
+        })
       val meta = arrayJson(mapper, dimSz, chunkSz, v.dtype, comp,
-        v.dims, v.attrs)
+        v.dims, v.attrs, innerSz)
       arrayMetaNodes += v.name -> meta
       GridIO.writeString(s"$dir/zarr.json",
         mapper.writeValueAsString(meta), conf)
@@ -245,9 +318,14 @@ object ZarrV3 {
         val data = source.readVar(v.name, block)
         val padded = ZarrGridStore.padChunk(data, eff, chunkSz.toArray,
           v.dtype)
-        GridIO.write(s"$dir/c/${ci.mkString("/")}",
-          ZarrGridStore.compress(ZarrGridStore.toLE(padded, v.dtype),
-            comp, v.dtype.byteWidth), conf)
+        val leBytes = ZarrGridStore.toLE(padded, v.dtype)
+        val payload = innerSz match {
+          case None =>
+            ZarrGridStore.compress(leBytes, comp, v.dtype.byteWidth)
+          case Some(inner) =>
+            encodeShard(leBytes, chunkSz, inner, v.dtype.byteWidth, comp)
+        }
+        GridIO.write(s"$dir/c/${ci.mkString("/")}", payload, conf)
       }
     }
 
@@ -269,9 +347,67 @@ object ZarrV3 {
     open(cleanRoot)
   }
 
+  /** One shard's bytes: per-inner-chunk compressed streams followed by
+    * the little-endian uint64 (offset, nbytes) index + crc32c. Inverse
+    * of [[ZarrGridStore.readShard]]'s layout.
+    */
+  private def encodeShard(leBytes: Array[Byte], outer: Seq[Int],
+      inner: Seq[Int], w: Int, comp: Option[(String, Int)]): Array[Byte] = {
+    val nd = outer.length
+    val innerPerDim = (0 until nd).map(d => outer(d) / inner(d))
+    val nInner = innerPerDim.product
+    val innerN = inner.product
+    val outerStrides = ChunkAssembly.strides(outer.toArray)
+    val innerRows = if (nd == 1) 1 else inner.init.product
+    val run = inner(nd - 1) * w
+    val innerRowStrides = ChunkAssembly.strides(
+      if (nd == 1) Array(1) else inner.init.toArray)
+    val streams = new Array[Array[Byte]](nInner)
+    val pos = new Array[Int](nd)
+    var k = 0
+    while (k < nInner) {
+      val block = new Array[Byte](innerN * w)
+      var r = 0
+      while (r < innerRows) {
+        var srcElems = pos(nd - 1) * inner(nd - 1)
+        var rem = r
+        var d = 0
+        while (d < nd - 1) {
+          val rowD = rem / innerRowStrides(d)
+          rem %= innerRowStrides(d)
+          srcElems += (pos(d) * inner(d) + rowD) * outerStrides(d)
+          d += 1
+        }
+        System.arraycopy(leBytes, srcElems * w, block, r * run, run)
+        r += 1
+      }
+      streams(k) = ZarrGridStore.compress(block, comp, w)
+      var j = nd - 1
+      var carry = true
+      while (carry && j >= 0) {
+        pos(j) += 1
+        if (pos(j) < innerPerDim(j)) carry = false
+        else { pos(j) = 0; j -= 1 }
+      }
+      k += 1
+    }
+    val body = streams.map(_.length).sum
+    val out = java.nio.ByteBuffer.allocate(body + nInner * 16 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    streams.foreach(out.put)
+    var off = 0L
+    streams.foreach { s => out.putLong(off).putLong(s.length.toLong)
+      off += s.length }
+    val crc = new java.util.zip.CRC32C()
+    crc.update(out.array(), body, nInner * 16)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
   private def arrayJson(mapper: ObjectMapper, shape: Seq[Int],
       chunkShape: Seq[Int], dtype: GridType, comp: Option[(String, Int)],
-      dims: Seq[String], attrs: Map[String, String]): ObjectNode = {
+      dims: Seq[String], attrs: Map[String, String],
+      shardInner: Option[Seq[Int]] = None): ObjectNode = {
     val node = mapper.createObjectNode()
     node.put("zarr_format", 3)
     node.put("node_type", "array")
@@ -295,26 +431,42 @@ object ZarrV3 {
       case GDouble | GFloat => node.put("fill_value", "NaN")
       case _ => node.put("fill_value", 0)
     }
+    def pipeline(into: com.fasterxml.jackson.databind.node.ArrayNode): Unit = {
+      val bytesCodec = into.addObject()
+      bytesCodec.put("name", "bytes")
+      bytesCodec.putObject("configuration").put("endian", "little")
+      comp.foreach {
+        case ("gzip", lvl) =>
+          val c = into.addObject(); c.put("name", "gzip")
+          c.putObject("configuration").put("level", lvl)
+        case ("zstd", lvl) =>
+          val c = into.addObject(); c.put("name", "zstd")
+          val cfg = c.putObject("configuration")
+          cfg.put("level", lvl); cfg.put("checksum", false)
+        case ("blosc", lvl) =>
+          val c = into.addObject(); c.put("name", "blosc")
+          val cfg = c.putObject("configuration")
+          cfg.put("cname", "lz4"); cfg.put("clevel", lvl)
+          cfg.put("shuffle", "shuffle")
+          cfg.put("typesize", dtype.byteWidth); cfg.put("blocksize", 0)
+        case (other, _) =>
+          throw new IllegalArgumentException(s"bad v3 compressor '$other'")
+      }
+    }
     val codecs = node.putArray("codecs")
-    val bytesCodec = codecs.addObject()
-    bytesCodec.put("name", "bytes")
-    bytesCodec.putObject("configuration").put("endian", "little")
-    comp.foreach {
-      case ("gzip", lvl) =>
-        val c = codecs.addObject(); c.put("name", "gzip")
-        c.putObject("configuration").put("level", lvl)
-      case ("zstd", lvl) =>
-        val c = codecs.addObject(); c.put("name", "zstd")
-        val cfg = c.putObject("configuration")
-        cfg.put("level", lvl); cfg.put("checksum", false)
-      case ("blosc", lvl) =>
-        val c = codecs.addObject(); c.put("name", "blosc")
-        val cfg = c.putObject("configuration")
-        cfg.put("cname", "lz4"); cfg.put("clevel", lvl)
-        cfg.put("shuffle", "shuffle")
-        cfg.put("typesize", dtype.byteWidth); cfg.put("blocksize", 0)
-      case (other, _) =>
-        throw new IllegalArgumentException(s"bad v3 compressor '$other'")
+    shardInner match {
+      case None => pipeline(codecs)
+      case Some(inner) =>
+        val sc = codecs.addObject()
+        sc.put("name", "sharding_indexed")
+        val cfg = sc.putObject("configuration")
+        val cs = cfg.putArray("chunk_shape"); inner.foreach(cs.add)
+        pipeline(cfg.putArray("codecs"))
+        val idx = cfg.putArray("index_codecs")
+        val ib = idx.addObject(); ib.put("name", "bytes")
+        ib.putObject("configuration").put("endian", "little")
+        idx.addObject().put("name", "crc32c")
+        cfg.put("index_location", "end")
     }
     val at = node.putObject("attributes")
     attrs.toSeq.sortBy(_._1).foreach { case (k, v) => at.put(k, v) }

@@ -512,6 +512,23 @@ object GridQueries {
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
           col("air"))
     }),
+    // v3 with sharding_indexed: stored files are SHARDS (outer chunk
+    // grid) holding individually-compressed inner chunks + a
+    // crc32c-framed index — how large v3 archives bound their object
+    // count. The scan prunes at shard granularity; every surviving
+    // shard decodes through the index/inner-codec path
+    "pivot_grid_zarr_sharded" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_shard_grid") + "/store"
+      val store = graft.grid.ZarrV3.write(Fixtures.linearGrid, root,
+        Map("t" -> 6, "lat" -> 5), "zstd:3",
+        shardInner = Map("t" -> 2, "lat" -> 5))
+      new XarrayContext(s)
+        .scratchDataFrame(s"zarr_shard_grid@$root", store, store.chunkMap,
+          Seq("t", "lat", "lon"))
+        .filter(col("t") >= 12)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
     // same tree encoded with blosc (lz4 + byte-shuffle) — zarr-python's
     // DEFAULT chunk codec and what real archives like ARCO-ERA5 use
     // (reference perf_tests/open_era5.py:7-8): exercises the pure-JVM
@@ -818,6 +835,10 @@ object GridQueries {
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
     "pivot_grid_zarr_v3" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t >= 12""".stripMargin,
+    "pivot_grid_zarr_sharded" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,

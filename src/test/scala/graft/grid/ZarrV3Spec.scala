@@ -160,7 +160,86 @@ class ZarrV3Spec extends SparkTestBase {
     assert(rows.head.getDouble(0) == expect)
   }
 
-  test("sharding and unknown codecs rejected clearly") {
+  test("hand-written sharded array: index, missing inner chunk, crc32c") {
+    // shape [8], shard (outer chunk) [4], inner [2] -> 2 inner chunks
+    // per shard. Shard 0: inner 0 present (uncompressed), inner 1
+    // MISSING (all-ones index entry) -> fill 9.0. Shard 1: file absent
+    // entirely -> all fill.
+    val root = tmp()
+    put(root, "zarr.json",
+      """{"zarr_format":3,"node_type":"group","attributes":{}}""")
+    put(root, "a/zarr.json",
+      """{"zarr_format":3,"node_type":"array","shape":[8],
+        |"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4]}},
+        |"fill_value":9.0,
+        |"codecs":[{"name":"sharding_indexed","configuration":{
+        |  "chunk_shape":[2],
+        |  "codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+        |  "index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+        |                  {"name":"crc32c"}],
+        |  "index_location":"end"}}],
+        |"dimension_names":["x"]}""".stripMargin)
+    val shard = {
+      val bb = java.nio.ByteBuffer.allocate(16 + 32 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putDouble(1.5).putDouble(2.5)          // inner chunk 0
+      bb.putLong(0L).putLong(16L)               // index entry 0
+      bb.putLong(-1L).putLong(-1L)              // index entry 1: missing
+      val crc = new java.util.zip.CRC32C()
+      crc.update(bb.array(), 16, 32)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    putBytes(root, "a/c/0", shard)
+    val store = ZarrGridStore.open(root.toString)
+    val got = store.readVar("a", Seq((0, 8))).asInstanceOf[Array[Double]]
+    assert(got.sameElements(
+      Array(1.5, 2.5, 9.0, 9.0, 9.0, 9.0, 9.0, 9.0)), got.toSeq)
+    // corrupt the index crc -> loud failure, not silent garbage
+    shard(shard.length - 1) = (shard(shard.length - 1) ^ 0x55).toByte
+    putBytes(root, "a/c/0", shard)
+    val e = intercept[IllegalArgumentException](
+      ZarrGridStore.open(root.toString).readVar("a", Seq((0, 8))))
+    assert(e.getMessage.contains("crc32c"), e.getMessage)
+  }
+
+  test("sharded write/open round trip; partitioning stays on shards") {
+    val root = tmp().resolve("sh").toString
+    val store = ZarrV3.write(Fixtures.linearGrid, root,
+      Map("t" -> 6, "lat" -> 5), "zstd:3",
+      shardInner = Map("t" -> 2, "lat" -> 5))
+    // stored files are SHARDS: 4 t-shards x 3 lat-shards x 1 = 12 files
+    assert(store.arrays("air").sharding.exists(
+      _.innerShape == Seq(2, 5, 10)))
+    val full = Seq((0, 24), (0, 12), (0, 10))
+    assert(store.readVar("air", full).asInstanceOf[Array[Double]]
+      .sameElements(Fixtures.linearGrid.readVar("air", full)
+        .asInstanceOf[Array[Double]]))
+    // ragged lat edge (12 = 5+5+2: padded shard, inner chunks clipped
+    // on read) and an unaligned multi-shard slice
+    val edge = Seq((20, 4), (10, 2), (0, 10))
+    assert(store.readVar("air", edge).asInstanceOf[Array[Double]]
+      .sameElements(Fixtures.linearGrid.readVar("air", edge)
+        .asInstanceOf[Array[Double]]))
+    val sl = Seq((3, 9), (2, 7), (1, 5))
+    assert(store.readVar("air", sl).asInstanceOf[Array[Double]]
+      .sameElements(Fixtures.linearGrid.readVar("air", sl)
+        .asInstanceOf[Array[Double]]))
+    // registered scan still prunes at SHARD granularity (sum forces
+    // data reads — a bare count() is answered from chunk metadata)
+    val df = new graft.XarrayContext(spark)
+      .scratchDataFrame(s"zarr_v3_shard@$root", store, store.chunkMap,
+        Seq("t", "lat", "lon"))
+    ReadCounters.reset()
+    val rows = df.filter(col("t") >= 18)
+      .agg(sum("air").as("s"), count(lit(1)).as("n")).collect()
+    assert(rows.head.getLong(1) == 6L * 12 * 10)
+    // 1 of 4 t-shards survives x 3 lat-shards (12 = 5+5+2) x 1 lon
+    assert(ReadCounters.partitionsOpened.sum() == 3L)
+  }
+
+  test("sharding config errors and unknown codecs rejected clearly") {
     def bad(codecs: String): Throwable = {
       val root = tmp()
       put(root, "zarr.json",
@@ -174,8 +253,22 @@ class ZarrV3Spec extends SparkTestBase {
            |"dimension_names":["a"]}""".stripMargin)
       intercept[IllegalArgumentException](ZarrGridStore.open(root.toString))
     }
-    assert(bad("""[{"name":"sharding_indexed","configuration":{}}]""")
-      .getMessage.contains("shard"))
+    // nested sharding
+    assert(bad("""[{"name":"sharding_indexed","configuration":{
+        "chunk_shape":[2],
+        "codecs":[{"name":"sharding_indexed","configuration":{}}]}}]""")
+      .getMessage.contains("nested"))
+    // inner shape must divide the shard shape
+    assert(bad("""[{"name":"sharding_indexed","configuration":{
+        "chunk_shape":[3],
+        "codecs":[{"name":"bytes","configuration":{"endian":"little"}}]}}]""")
+      .getMessage.contains("evenly divide"))
+    // big-endian shard index is out of spec
+    assert(bad("""[{"name":"sharding_indexed","configuration":{
+        "chunk_shape":[2],
+        "codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+        "index_codecs":[{"name":"bytes","configuration":{"endian":"big"}}]}}]""")
+      .getMessage.contains("little-endian"))
     assert(bad("""[{"name":"bytes"},{"name":"crc32c"}]""")
       .getMessage.contains("crc32c"))
     assert(bad("""[{"name":"bytes"},
