@@ -17,12 +17,12 @@ import org.apache.spark.sql.types._
   * [[decodeWav]] a RIFF/WAVE PCM16 parser, [[decodeVideo]] the GFV1
   * frame container, and [[mediaFeatures]]/[[videoFrames]] extract
   * dimensions/means/amplitudes from the actual decoded content. The
-  * embedding extractor [[decodeFeatures]] is real too: pooled signed
-  * byte-3-gram feature hashing over the decoded content. The one
-  * remaining STUB is [[resize]] (metadata-only — a real implementation
-  * would re-encode pixels; this container ships no scaling library) and
-  * [[sampleFrames]]'s hash frame key (its decoded twin is
-  * [[videoFrames]]).
+  * embedding extractor [[decodeFeatures]] is real (pooled signed
+  * byte-3-gram feature hashing over decoded content), and so is
+  * [[resize]]: decode → pixel resample ([[resizePpm]] nearest /
+  * [[resizePpmBilinear]]) → re-encode, plain array math with no
+  * external scaling library. The only remaining hash-stub is
+  * [[sampleFrames]]'s frame key (its decoded twin is [[videoFrames]]).
   */
 object Multimodal {
 
@@ -549,17 +549,110 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB resize: marks the metadata with the new dimensions and
-    * truncates/extends the payload deterministically (a real codec would
-    * re-encode pixels). Images only; other kinds pass through.
+  /** Nearest-neighbor resample at pixel centers: source index
+    * `sx = ((2 dx + 1) srcW) / (2 dstW)` with integer floor division —
+    * fully deterministic integer math, so an SQL oracle can replay the
+    * resized raster analytically. Always lands in `[0, src-1]`.
     */
-  def resize(df: DataFrame, w: Int, h: Int): DataFrame =
-    df.withColumn("meta",
-      when(col("kind") === "image",
-        struct(lit(w).as("width"), lit(h).as("height"),
-          col("meta.channels").as("channels"), col("meta.format").as("format"),
-          col("meta.duration_ms").as("duration_ms")))
-        .otherwise(col("meta")))
+  def resizePpm(img: PpmImage, w: Int, h: Int): PpmImage = {
+    require(w > 0 && h > 0, s"bad target ${w}x$h")
+    val out = new Array[Byte](3 * w * h)
+    var dy = 0
+    while (dy < h) {
+      val sy = (((2L * dy + 1) * img.height) / (2L * h)).toInt
+      var dx = 0
+      while (dx < w) {
+        val sx = (((2L * dx + 1) * img.width) / (2L * w)).toInt
+        val s = 3 * (sy * img.width + sx)
+        val d = 3 * (dy * w + dx)
+        out(d) = img.raster(s)
+        out(d + 1) = img.raster(s + 1)
+        out(d + 2) = img.raster(s + 2)
+        dx += 1
+      }
+      dy += 1
+    }
+    PpmImage(w, h, out)
+  }
+
+  /** Bilinear resample (pixel-center mapping, clamp-to-edge, round
+    * half-up) — the quality option for downstream models; [[resizePpm]]
+    * stays the oracle-replayable default.
+    */
+  def resizePpmBilinear(img: PpmImage, w: Int, h: Int): PpmImage = {
+    require(w > 0 && h > 0, s"bad target ${w}x$h")
+    val out = new Array[Byte](3 * w * h)
+    val xs = img.width.toDouble / w
+    val ys = img.height.toDouble / h
+    var dy = 0
+    while (dy < h) {
+      val fy = math.min(math.max((dy + 0.5) * ys - 0.5, 0.0),
+        img.height - 1.0)
+      val y0 = fy.toInt
+      val y1 = math.min(y0 + 1, img.height - 1)
+      val wy = fy - y0
+      var dx = 0
+      while (dx < w) {
+        val fx = math.min(math.max((dx + 0.5) * xs - 0.5, 0.0),
+          img.width - 1.0)
+        val x0 = fx.toInt
+        val x1 = math.min(x0 + 1, img.width - 1)
+        val wx = fx - x0
+        val d = 3 * (dy * w + dx)
+        var c = 0
+        while (c < 3) {
+          val p00 = img.raster(3 * (y0 * img.width + x0) + c) & 0xff
+          val p01 = img.raster(3 * (y0 * img.width + x1) + c) & 0xff
+          val p10 = img.raster(3 * (y1 * img.width + x0) + c) & 0xff
+          val p11 = img.raster(3 * (y1 * img.width + x1) + c) & 0xff
+          val v = (1 - wy) * ((1 - wx) * p00 + wx * p01) +
+            wy * ((1 - wx) * p10 + wx * p11)
+          out(d + c) = math.floor(v + 0.5).toInt.toByte
+          c += 1
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    PpmImage(w, h, out)
+  }
+
+  /** REAL image resize over a media table: decode each P6 payload,
+    * resample pixels ([[resizePpm]] nearest by default, bilinear on
+    * request), re-encode as P6, and set the metadata to the ACTUAL new
+    * dimensions. Non-image rows and undecodable payloads pass through
+    * untouched. Partition-wise, no shuffle — at 100 TB the decode/encode
+    * parallelism is the row partitioning.
+    */
+  def resize(df: DataFrame, w: Int, h: Int,
+      bilinear: Boolean = false): DataFrame = {
+    require(w > 0 && h > 0, s"bad target ${w}x$h")
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val idIdx = df.schema.fieldIndex("media_id")
+    val kindIdx = df.schema.fieldIndex("kind")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val kind = r.getString(kindIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        if (kind != "image" || bytes == null)
+          Row(r.getLong(idIdx), kind, bytes, r.get(metaIdx))
+        else try {
+          val img = decodePpm(bytes)
+          val res = if (bilinear) resizePpmBilinear(img, w, h)
+            else resizePpm(img, w, h)
+          val payload = encodePpm(w, h, p => (
+            res.raster(3 * p) & 0xff,
+            res.raster(3 * p + 1) & 0xff,
+            res.raster(3 * p + 2) & 0xff))
+          Row(r.getLong(idIdx), kind, payload, Row(w, h, 3, "ppm", null))
+        } catch { case _: IllegalArgumentException =>
+          Row(r.getLong(idIdx), kind, bytes, r.get(metaIdx))
+        }
+      }
+    }(enc)
+  }
 
   /** Frame sampling for video rows: one output row per sampled frame at
     * `everyMs` intervals across duration_ms (generate + explode — stays

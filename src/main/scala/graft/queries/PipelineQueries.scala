@@ -488,6 +488,25 @@ object PipelineQueries {
         everyK = 2)
     }),
 
+    // multimodal: REAL image resize — decode each P6 payload, nearest
+    // pixel-center resample to 6x5 (sx = ((2dx+1)w)//(2*6), integer
+    // floor), re-encode as P6, then re-decode through mediaFeatures:
+    // the emitted means are over the RESIZED raster, so the whole
+    // decode -> resample -> encode -> decode loop is oracle-checked.
+    // Partition-wise, no shuffle at any step.
+    "media_resize" -> ((s, d) => {
+      val ppm = udf((id: Long) => graft.multimodal.Multimodal.ppmFixture(id))
+      val media = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(
+          col("doc_id").as("media_id"),
+          lit("image").as("kind"),
+          ppm(col("doc_id")).as("payload"),
+          lit(null).cast(graft.multimodal.Multimodal.metaType).as("meta"))
+      graft.multimodal.Multimodal.mediaFeatures(
+        graft.multimodal.Multimodal.resize(media, 6, 5)
+          .select("media_id", "kind", "payload"))
+    }),
+
     // per-document text statistics (quality-scoring features)
     "text_stats" -> ((s, d) => {
       val t = col("text")
@@ -1801,6 +1820,42 @@ object PipelineQueries {
         |FROM base b LEFT JOIN px ON b.doc_id = px.doc_id
         |LEFT JOIN au ON b.doc_id = au.doc_id
         |LEFT JOIN vx ON b.doc_id = vx.doc_id""".stripMargin,
+
+    "media_resize" ->
+      // replay the RESIZED raster analytically: nearest pixel-center
+      // mapping picks source pixel (sy, sx) with sy=((2dy+1)h0)//10,
+      // sx=((2dx+1)w0)//12 for the 6x5 target; the engine runs the real
+      // decode -> resample -> P6 re-encode -> decode chain, the oracle
+      // computes what those bytes must average to. n_bytes = len("P6\n6
+      // 5\n255\n") + 3*30 = 101.
+      """WITH base AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS w0,
+        |         CAST(3 + doc_id % 4 AS INTEGER) AS h0
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |sp AS (
+        |  SELECT doc_id,
+        |    (((2 * dy + 1) * h0) // 10) * w0 + ((2 * dx + 1) * w0) // 12 AS p
+        |  FROM base, generate_series(0, 4) gy(dy),
+        |       generate_series(0, 5) gx(dx)),
+        |m AS (
+        |  SELECT doc_id, COUNT(*) AS npx,
+        |    SUM((doc_id * 7 + p * 3) % 256) AS sr,
+        |    SUM((doc_id * 11 + p * 5) % 256) AS sg,
+        |    SUM((doc_id * 13 + p * 7) % 256) AS sb
+        |  FROM sp GROUP BY doc_id)
+        |SELECT b.doc_id AS media_id, 'image' AS kind,
+        |  CAST(101 AS BIGINT) AS n_bytes,
+        |  CAST(6 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+        |  CAST(m.sr AS DOUBLE) / m.npx AS mean_r,
+        |  CAST(m.sg AS DOUBLE) / m.npx AS mean_g,
+        |  CAST(m.sb AS DOUBLE) / m.npx AS mean_b,
+        |  CAST(NULL AS INTEGER) AS sample_rate,
+        |  CAST(NULL AS BIGINT) AS n_samples,
+        |  CAST(NULL AS BIGINT) AS peak_abs,
+        |  CAST(NULL AS DOUBLE) AS rms,
+        |  CAST(NULL AS BIGINT) AS n_frames,
+        |  CAST(NULL AS BIGINT) AS duration_ms
+        |FROM base b JOIN m ON b.doc_id = m.doc_id""".stripMargin,
 
     "media_video_frames" ->
       // per-sampled-frame replay of the GFV1 fixture laws: the engine

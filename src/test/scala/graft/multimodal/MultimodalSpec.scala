@@ -177,4 +177,80 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.filter(col("frame_ms") % 1000 =!= 0).count() == 0L)
     assert(frames.count() > 0L)
   }
+
+  test("resizePpm: nearest pixel-center mapping, exact integer math") {
+    // 4x2 source with distinct per-pixel values; downscale to 2x1:
+    // sx = ((2dx+1)*4)/(2*2) -> dx0->1, dx1->3; sy = ((0+1)*2)/2 = 1
+    val src = Multimodal.PpmImage(4, 2,
+      Array.tabulate[Byte](24)(i => i.toByte))
+    val out = Multimodal.resizePpm(src, 2, 1)
+    assert(out.width == 2 && out.height == 1)
+    // dst(0) = src pixel (y=1,x=1) = flat 5; dst(1) = (y=1,x=3) = flat 7
+    assert(out.raster.toSeq == Seq(15, 16, 17, 21, 22, 23).map(_.toByte))
+    // upscale keeps every source pixel reachable and in range
+    val up = Multimodal.resizePpm(src, 9, 5)
+    assert(up.width == 9 && up.height == 5 && up.raster.length == 135)
+    // identity resize is a pixel-exact copy
+    val same = Multimodal.resizePpm(src, 4, 2)
+    assert(same.raster.toSeq == src.raster.toSeq)
+  }
+
+  test("resizePpmBilinear: hand-computed average and edge clamp") {
+    // 2x2 -> 1x1: center maps to (0.5, 0.5) -> equal-weight average
+    val src = Multimodal.PpmImage(2, 2,
+      Array[Byte](10, 0, 0, 20, 0, 0, 30, 0, 0, 40, 0, 0))
+    val out = Multimodal.resizePpmBilinear(src, 1, 1)
+    assert((out.raster(0) & 0xff) == 25) // (10+20+30+40)/4
+    // 1x1 -> 3x3: clamp-to-edge replicates the single pixel
+    val one = Multimodal.PpmImage(1, 1, Array[Byte](77, 0, 0))
+    val rep = Multimodal.resizePpmBilinear(one, 3, 3)
+    assert(rep.raster.grouped(3).forall(px => (px(0) & 0xff) == 77))
+  }
+
+  test("resize: real decode -> resample -> re-encode; pass-through for rest") {
+    val ppm = udf((id: Long) => Multimodal.ppmFixture(id))
+    val wav = udf((id: Long) => Multimodal.wavFixture(id))
+    val media = spark.range(9).select(
+      col("id").as("media_id"),
+      when(col("id") % 3 === 0, "image").otherwise("audio").as("kind"),
+      when(col("id") % 3 === 0, ppm(col("id")))
+        .otherwise(wav(col("id"))).as("payload"),
+      lit(null).cast(Multimodal.metaType).as("meta"))
+    val resized = Multimodal.resize(media, 6, 5)
+    val imgs = resized.filter(col("kind") === "image").collect()
+    assert(imgs.length == 3)
+    imgs.foreach { r =>
+      val meta = r.getStruct(r.fieldIndex("meta"))
+      assert(meta.getInt(0) == 6 && meta.getInt(1) == 5)
+      // the payload is a REAL re-encoded P6 whose pixels match a direct
+      // nearest resample of the original fixture
+      val img = Multimodal.decodePpm(r.getAs[Array[Byte]]("payload"))
+      assert(img.width == 6 && img.height == 5)
+      val id = r.getLong(r.fieldIndex("media_id"))
+      val expect = Multimodal.resizePpm(
+        Multimodal.decodePpm(Multimodal.ppmFixture(id)), 6, 5)
+      assert(img.raster.toSeq == expect.raster.toSeq, s"id $id")
+    }
+    // non-image rows keep their payload bytes untouched
+    val audio = resized.filter(col("kind") === "audio").collect()
+    assert(audio.length == 6 && audio.forall { r =>
+      val id = r.getLong(r.fieldIndex("media_id"))
+      r.getAs[Array[Byte]]("payload").toSeq ==
+        Multimodal.wavFixture(id).toSeq
+    })
+    // undecodable image payloads (syntheticMedia's are random bytes)
+    // pass through with payload AND meta untouched
+    val junk = Multimodal.syntheticMedia(spark, 6)
+    val kept = Multimodal.resize(junk, 6, 5)
+      .filter(col("kind") === "image").orderBy("media_id").collect()
+    val src = junk.filter(col("kind") === "image")
+      .orderBy("media_id").collect()
+    assert(kept.length == src.length && kept.zip(src).forall {
+      case (a, b) =>
+        a.getAs[Array[Byte]]("payload").toSeq ==
+          b.getAs[Array[Byte]]("payload").toSeq &&
+          a.getStruct(a.fieldIndex("meta")) ==
+            b.getStruct(b.fieldIndex("meta"))
+    })
+  }
 }
