@@ -35,14 +35,27 @@ final case class ZarrArrayMeta(
       * `compressor`/`bigEndian` are unused — the inner pipeline here
       * governs the bytes.
       */
-    sharding: Option[ShardMeta] = None) {
+    sharding: Option[ShardMeta] = None,
+    /** Packed small-int storage (i1/i2/u1/u2/u4 — how most public
+      * climate archives store scaled data): the on-disk element layout,
+      * widened to `dtype` (GInt, or GLong for u4) at decode.
+      */
+    stored: Option[StoredInt] = None) {
   def nd: Int = shape.length
+
+  /** On-disk element width (differs from `dtype.byteWidth` for packed
+    * small-int storage).
+    */
+  def storedWidth: Int = stored.map(_.width).getOrElse(dtype.byteWidth)
 
   /** Storage key of chunk `ci` relative to the array dir. */
   def chunkKey(ci: Seq[Int]): String =
     if (keyPrefix.isEmpty) ci.mkString(dimSep)
     else keyPrefix + dimSep + ci.mkString(dimSep)
 }
+
+/** On-disk packed integer element: byte width 1/2/4 and signedness. */
+final case class StoredInt(width: Int, signed: Boolean)
 
 /** Parsed v3 `sharding_indexed` codec configuration: inner chunk grid
   * + inner codec pipeline + index framing. The index is `nInner`
@@ -115,7 +128,8 @@ final case class ZarrGridStore(root: String, schema: GridSchema,
   def readVar(name: String, ranges: Seq[(Int, Int)]): AnyRef = {
     val a = arrays.getOrElse(name,
       throw new IllegalArgumentException(s"unknown var $name"))
-    ZarrGridStore.readRanges(root, a, ranges, hconf.value)
+    ZarrGridStore.applyMaskScale(a,
+      ZarrGridStore.readRanges(root, a, ranges, hconf.value))
   }
 }
 
@@ -227,7 +241,12 @@ object ZarrGridStore {
     val vars = dataArrs.toSeq.sortBy(_.name).map { a =>
       require(a.dtype != GString,
         s"string data variables unsupported (${a.name})")
-      VarDef(a.name, a.dims, a.dtype, a.attrs)
+      if (scaledVar(a))
+        // mask_and_scale: surfaces as DOUBLE; the applied encoding
+        // attrs are stripped (xarray decode_cf does the same)
+        VarDef(a.name, a.dims, GDouble,
+          a.attrs -- Seq("scale_factor", "add_offset", "_FillValue"))
+      else VarDef(a.name, a.dims, a.dtype, a.attrs)
     }
 
     // per-dim data chunk sizes must be consistent across data vars —
@@ -341,12 +360,75 @@ object ZarrGridStore {
     else if (a.sharding.isDefined) readShard(path, a, rawOpt.get)
     else {
       val raw = rawOpt.get
-      val expected = n * a.dtype.byteWidth
+      val expected = n * a.storedWidth
       val bytes = decompressed(path, raw, a.compressor, expected)
       require(bytes.length == expected,
         s"chunk $path decodes to ${bytes.length} bytes, expected $expected")
-      decodeTyped(bytes, a.dtype, a.bigEndian, n)
+      decodeStored(bytes, a, a.bigEndian, n)
     }
+  }
+
+  /** CF mask_and_scale is applied when `scale_factor` / `add_offset`
+    * attributes are present (the packed-variable convention xarray's
+    * `decode_cf` handles for the reference): the variable surfaces as
+    * DOUBLE with `out = stored * scale + offset` and stored values equal
+    * to `_FillValue` become NaN. A `_FillValue` alone (no scaling) is
+    * left as-is to keep the declared dtype stable. Coordinate arrays
+    * are never scaled (they index, not measure).
+    */
+  private[grid] def scaledVar(a: ZarrArrayMeta): Boolean =
+    a.attrs.contains("scale_factor") || a.attrs.contains("add_offset")
+
+  private[grid] def applyMaskScale(a: ZarrArrayMeta, raw: AnyRef): AnyRef = {
+    if (!scaledVar(a)) return raw
+    val s = a.attrs.get("scale_factor").map(_.toDouble).getOrElse(1.0)
+    val o = a.attrs.get("add_offset").map(_.toDouble).getOrElse(0.0)
+    val fv = a.attrs.get("_FillValue").map(_.toDouble)
+    def m(x: Double): Double = if (fv.contains(x)) Double.NaN else x * s + o
+    raw match {
+      case v: Array[Int] => v.map(x => m(x.toDouble))
+      case v: Array[Long] => v.map(x => m(x.toDouble))
+      case v: Array[Float] => v.map(x => m(x.toDouble))
+      case v: Array[Double] => v.map(m)
+      case other => throw new IllegalArgumentException(
+        s"${a.name}: cannot scale ${other.getClass}")
+    }
+  }
+
+  /** Bytes → the array's LOGICAL element type: plain endian decode for
+    * native widths, widening decode for packed small ints.
+    */
+  private def decodeStored(bytes: Array[Byte], a: ZarrArrayMeta,
+      bigEndian: Boolean, n: Int): AnyRef = a.stored match {
+    case None => decodeTyped(bytes, a.dtype, bigEndian, n)
+    case Some(StoredInt(w, signed)) =>
+      val bb = ByteBuffer.wrap(bytes).order(
+        if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      (a.dtype, w) match {
+        case (GInt, 1) =>
+          val o = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            o(i) = if (signed) bytes(i) else bytes(i) & 0xff; i += 1
+          }
+          o
+        case (GInt, 2) =>
+          val sb = bb.asShortBuffer()
+          val o = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            o(i) = if (signed) sb.get(i) else sb.get(i) & 0xffff; i += 1
+          }
+          o
+        case (GLong, 4) => // u4 widens to long
+          val ib = bb.asIntBuffer()
+          val o = new Array[Long](n)
+          var i = 0
+          while (i < n) { o(i) = ib.get(i) & 0xffffffffL; i += 1 }
+          o
+        case other => throw new IllegalArgumentException(
+          s"${a.name}: bad packed layout $other")
+      }
   }
 
   private def decompressed(path: String, raw: Array[Byte],
@@ -388,7 +470,7 @@ object ZarrGridStore {
   private def readShard(path: String, a: ZarrArrayMeta,
       raw: Array[Byte]): AnyRef = {
     val sh = a.sharding.get
-    val w = a.dtype.byteWidth
+    val w = a.storedWidth
     val nd = a.nd
     val innerPerDim = (0 until nd).map(d => a.chunkShape(d) / sh.innerShape(d))
     val nInner = innerPerDim.product
@@ -415,14 +497,21 @@ object ZarrGridStore {
       // the single decode below uses the same)
       val one = ByteBuffer.allocate(w).order(if (sh.innerBigEndian)
         ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-      a.dtype match {
-        case GDouble => one.putDouble(a.fillValue)
-        case GFloat => one.putFloat(a.fillValue.toFloat)
-        case GInt => one.putInt(if (a.fillValue.isNaN) 0 else a.fillValue.toInt)
-        case GLong | GTimestamp | GDuration =>
-          one.putLong(if (a.fillValue.isNaN) 0L else a.fillValue.toLong)
-        case GString => throw new IllegalArgumentException(
-          "string arrays unsupported")
+      val intFill = if (a.fillValue.isNaN) 0L else a.fillValue.toLong
+      a.stored match {
+        case Some(StoredInt(1, _)) => one.put(intFill.toByte)
+        case Some(StoredInt(2, _)) => one.putShort(intFill.toShort)
+        case Some(StoredInt(4, _)) => one.putInt(intFill.toInt)
+        case Some(s) => throw new IllegalArgumentException(
+          s"${a.name}: bad packed layout $s")
+        case None => a.dtype match {
+          case GDouble => one.putDouble(a.fillValue)
+          case GFloat => one.putFloat(a.fillValue.toFloat)
+          case GInt => one.putInt(intFill.toInt)
+          case GLong | GTimestamp | GDuration => one.putLong(intFill)
+          case GString => throw new IllegalArgumentException(
+            "string arrays unsupported")
+        }
       }
       val pat = one.array()
       var i = 0
@@ -478,7 +567,7 @@ object ZarrGridStore {
       }
       k += 1
     }
-    decodeTyped(outBytes, a.dtype, sh.innerBigEndian, n)
+    decodeStored(outBytes, a, sh.innerBigEndian, n)
   }
 
   private def fillArray(dtype: GridType, fill: Double, n: Int): AnyRef =
@@ -533,7 +622,8 @@ object ZarrGridStore {
     require(!za.hasNonNull("filters") ||
       (za.get("filters").isArray && za.get("filters").isEmpty),
       s"$name: filter pipelines unsupported")
-    val (dtype, bigEndian) = parseDtype(za.path("dtype").asText(""), name)
+    val (dtype, bigEndian, stored) =
+      parseDtype(za.path("dtype").asText(""), name)
     val compressor =
       if (!za.hasNonNull("compressor")) None
       else {
@@ -588,26 +678,35 @@ object ZarrGridStore {
     require(dims.length == shape.length,
       s"$name: ${dims.length} dim names for ${shape.length}-d array")
     ZarrArrayMeta(name, shape, chunks, dtype, bigEndian, compressor, fill,
-      dimSep, dims, attrMap(attrsNode) - "_ARRAY_DIMENSIONS")
+      dimSep, dims, attrMap(attrsNode) - "_ARRAY_DIMENSIONS",
+      stored = stored)
   }
 
-  private def parseDtype(s: String, name: String): (GridType, Boolean) = {
+  private def parseDtype(s: String,
+      name: String): (GridType, Boolean, Option[StoredInt]) = {
     require(s.length == 3, s"$name: unsupported dtype '$s'")
     val bigEndian = s.charAt(0) match {
-      case '<' => false
+      case '<' | '|' => false // '|' = byte-order-irrelevant (1-byte)
       case '>' => true
       case other => throw new IllegalArgumentException(
         s"$name: unsupported byte order '$other' in dtype '$s'")
     }
-    val t = s.substring(1) match {
-      case "f8" => GDouble
-      case "f4" => GFloat
-      case "i4" => GInt
-      case "i8" => GLong
-      case other => throw new IllegalArgumentException(
-        s"$name: unsupported dtype '$s' (f4/f8/i4/i8 only)")
+    // packed small ints (i1/u1/i2/u2/u4) widen to GInt (u4 to GLong) —
+    // the layout most public archives use for scaled variables
+    s.substring(1) match {
+      case "f8" => (GDouble, bigEndian, None)
+      case "f4" => (GFloat, bigEndian, None)
+      case "i4" => (GInt, bigEndian, None)
+      case "i8" => (GLong, bigEndian, None)
+      case "i1" => (GInt, bigEndian, Some(StoredInt(1, signed = true)))
+      case "u1" => (GInt, bigEndian, Some(StoredInt(1, signed = false)))
+      case "i2" => (GInt, bigEndian, Some(StoredInt(2, signed = true)))
+      case "u2" => (GInt, bigEndian, Some(StoredInt(2, signed = false)))
+      case "u4" => (GLong, bigEndian, Some(StoredInt(4, signed = false)))
+      case _ => throw new IllegalArgumentException(
+        s"$name: unsupported dtype '$s' " +
+          "(f4/f8/i4/i8/i1/i2/u1/u2/u4 only)")
     }
-    (t, bigEndian)
   }
 
   /** Attribute node -> string map: scalars via asText, arrays/objects

@@ -104,14 +104,19 @@ object ZarrV3 {
       s"$name: bad shape/chunk_shape")
     require(chunkShape.forall(_ > 0) && shape.forall(_ >= 0),
       s"$name: non-positive chunk extent")
-    val dtype = node.path("data_type").asText("") match {
-      case "float64" => GDouble
-      case "float32" => GFloat
-      case "int32" => GInt
-      case "int64" => GLong
+    val (dtype, stored) = node.path("data_type").asText("") match {
+      case "float64" => (GDouble, None)
+      case "float32" => (GFloat, None)
+      case "int32" => (GInt, None)
+      case "int64" => (GLong, None)
+      case "int8" => (GInt, Some(StoredInt(1, signed = true)))
+      case "uint8" => (GInt, Some(StoredInt(1, signed = false)))
+      case "int16" => (GInt, Some(StoredInt(2, signed = true)))
+      case "uint16" => (GInt, Some(StoredInt(2, signed = false)))
+      case "uint32" => (GLong, Some(StoredInt(4, signed = false)))
       case other => throw new IllegalArgumentException(
-        s"$name: unsupported data_type '$other' " +
-          "(float32/float64/int32/int64 only)")
+        s"$name: unsupported data_type '$other' (float32/float64/int32/" +
+          "int64/int8/int16/uint8/uint16/uint32 only)")
     }
     val (keyPrefix, sep) = {
       val cke = node.path("chunk_key_encoding")
@@ -196,7 +201,7 @@ object ZarrV3 {
     require(dims.length == shape.length,
       s"$name: ${dims.length} dim names for ${shape.length}-d array")
     ZarrArrayMeta(name, shape, chunkShape, dtype, bigEndian, compressor,
-      fill, sep, dims, attrsOf(node), keyPrefix, sharding)
+      fill, sep, dims, attrsOf(node), keyPrefix, sharding, stored)
   }
 
   /** A simple v3 pipeline: one `bytes` codec (endianness) + at most one

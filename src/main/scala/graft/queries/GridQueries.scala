@@ -512,6 +512,55 @@ object GridQueries {
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
           col("air"))
     }),
+    // packed-archive decode: a hand-rolled v2 tree (NOT our writer —
+    // foreign layout) storing int16 with CF scale_factor/add_offset/
+    // _FillValue, the convention most public climate archives use; the
+    // reference reads it via xarray decode_cf. The scan surfaces
+    // doubles with fills masked; NaN -> NULL for oracle parity with
+    // the existing masked-grid queries
+    "pivot_grid_packed" -> ((s, _) => {
+      val root = java.nio.file.Paths.get(
+        QueryTmp.dir("graft_zarr_packed"), "store")
+      def put(rel: String, text: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, text.getBytes("UTF-8"))
+      }
+      put(".zgroup", """{"zarr_format":2}""")
+      put("t/.zarray",
+        """{"zarr_format":2,"shape":[24],"chunks":[24],"dtype":"<i8",
+          |"compressor":null,"fill_value":null,"order":"C",
+          |"filters":null}""".stripMargin)
+      put("t/.zattrs", """{"_ARRAY_DIMENSIONS":["t"]}""")
+      locally {
+        val bb = java.nio.ByteBuffer.allocate(24 * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until 24).foreach(t => bb.putLong(t.toLong))
+        java.nio.file.Files.write(root.resolve("t/0"), bb.array())
+      }
+      put("v/.zarray",
+        """{"zarr_format":2,"shape":[24],"chunks":[6],"dtype":"<i2",
+          |"compressor":null,"fill_value":-999,"order":"C",
+          |"filters":null}""".stripMargin)
+      put("v/.zattrs",
+        """{"_ARRAY_DIMENSIONS":["t"],"scale_factor":0.25,
+          |"add_offset":10.0,"_FillValue":-999}""".stripMargin)
+      // chunks 0-2 stored (4t+1, with t=5 as the fill sentinel);
+      // chunk 3 (t in [18,24)) deliberately ABSENT -> all-fill
+      (0 until 3).foreach { c =>
+        val bb = java.nio.ByteBuffer.allocate(6 * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (c * 6 until c * 6 + 6).foreach(t =>
+          bb.putShort(if (t == 5) -999 else (4 * t + 1).toShort))
+        java.nio.file.Files.write(root.resolve(s"v/$c"), bb.array())
+      }
+      val store = graft.grid.ZarrGridStore.open(root.toString)
+      new XarrayContext(s)
+        .scratchDataFrame(s"zarr_packed@$root", store, store.chunkMap,
+          Seq("t"))
+        .select(col("t").cast("long").as("t"),
+          when(isnan(col("v")), lit(null)).otherwise(col("v")).as("v"))
+    }),
     // v3 with sharding_indexed: stored files are SHARDS (outer chunk
     // grid) holding individually-compressed inner chunks + a
     // crc32c-framed index — how large v3 archives bound their object
@@ -842,6 +891,14 @@ object GridQueries {
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
+    "pivot_grid_packed" ->
+      // analytic replay of the packed fixture: stored 4t+1 at scale
+      // 0.25 offset 10 -> t + 10.25; t=5 is the _FillValue sentinel and
+      // the t>=18 chunk is absent (stored fill) -> masked NULL
+      """SELECT CAST(t AS BIGINT) AS t,
+        |  CASE WHEN t = 5 OR t >= 18 THEN NULL
+        |       ELSE t + 10.25 END AS v
+        |FROM generate_series(0, 23) g(t)""".stripMargin,
     "pivot_grid_rechunk" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air

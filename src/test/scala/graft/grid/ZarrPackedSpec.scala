@@ -1,0 +1,138 @@
+package graft.grid
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Packed small-int dtypes (i1/i2/u1/u2/u4, both byte orders) and CF
+  * mask_and_scale decoding — the storage convention most public climate
+  * archives use for scaled variables (int16 + scale_factor/add_offset +
+  * _FillValue), which the reference reads via xarray's decode_cf.
+  */
+class ZarrPackedSpec extends AnyFunSuite {
+
+  private def tmp(): Path = {
+    val p = Files.createTempDirectory("zarr_packed")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def put(root: Path, rel: String, content: String): Unit = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.write(p, content.getBytes(UTF_8))
+  }
+
+  private def putBytes(root: Path, rel: String, bytes: Array[Byte]): Unit = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.write(p, bytes)
+  }
+
+  private def v2Array(root: Path, name: String, dtype: String,
+      shape: Int, chunks: Int, fill: String, attrs: String = "",
+      dim: String = "x"): Unit = {
+    put(root, s"$name/.zarray",
+      s"""{"zarr_format":2,"shape":[$shape],"chunks":[$chunks],
+         |"dtype":"$dtype","compressor":null,"fill_value":$fill,
+         |"order":"C","filters":null}""".stripMargin)
+    put(root, s"$name/.zattrs",
+      s"""{"_ARRAY_DIMENSIONS":["$dim"]$attrs}""")
+  }
+
+  test("v2 <i2 with scale/offset/_FillValue: masked doubles, typed schema") {
+    val root = tmp()
+    put(root, ".zgroup", """{"zarr_format":2}""")
+    v2Array(root, "v", "<i2", 6, 3, "-32767",
+      ""","scale_factor":0.01,"add_offset":100.0,"_FillValue":-32767""")
+    putBytes(root, "v/0", {
+      val bb = java.nio.ByteBuffer.allocate(6)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(100).putShort(200).putShort(-32767)
+      bb.array()
+    })
+    // chunk 1 missing entirely -> stored fill -32767 -> masked NaN
+    val store = ZarrGridStore.open(root.toString)
+    val v = store.schema.vars.head
+    assert(v.dtype == GDouble) // mask_and_scale surfaces as double
+    assert(!v.attrs.contains("scale_factor") &&
+      !v.attrs.contains("_FillValue")) // applied attrs stripped
+    val got = store.readVar("v", Seq((0, 6))).asInstanceOf[Array[Double]]
+    assert(got(0) == 101.0 && got(1) == 102.0)
+    assert((2 until 6).forall(i => got(i).isNaN), got.toSeq)
+  }
+
+  test("unsigned and big-endian packed widths widen exactly") {
+    val root = tmp()
+    put(root, ".zgroup", """{"zarr_format":2}""")
+    v2Array(root, "a", "|u1", 4, 4, "0", dim = "xa")
+    putBytes(root, "a/0", Array[Byte](0, 127, -128, -1)) // 0 127 128 255
+    v2Array(root, "b", ">i2", 2, 2, "0", dim = "xb")
+    putBytes(root, "b/0", {
+      val bb = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putShort(-5).putShort(300)
+      bb.array()
+    })
+    v2Array(root, "c", "<u2", 2, 2, "0", dim = "xc")
+    putBytes(root, "c/0", {
+      val bb = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(-1).putShort(1) // 0xffff -> 65535
+      bb.array()
+    })
+    v2Array(root, "d", "<u4", 2, 2, "0", dim = "xd")
+    putBytes(root, "d/0", {
+      val bb = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(-1).putInt(7) // 0xffffffff -> 4294967295L
+      bb.array()
+    })
+    val store = ZarrGridStore.open(root.toString)
+    assert(store.readVar("a", Seq((0, 4))).asInstanceOf[Array[Int]]
+      .sameElements(Array(0, 127, 128, 255)))
+    assert(store.readVar("b", Seq((0, 2))).asInstanceOf[Array[Int]]
+      .sameElements(Array(-5, 300)))
+    assert(store.readVar("c", Seq((0, 2))).asInstanceOf[Array[Int]]
+      .sameElements(Array(65535, 1)))
+    assert(store.readVar("d", Seq((0, 2))).asInstanceOf[Array[Long]]
+      .sameElements(Array(4294967295L, 7L)))
+    // unscaled packed ints keep their integer schema type
+    assert(store.schema.vars.find(_.name == "a").get.dtype == GInt)
+    assert(store.schema.vars.find(_.name == "d").get.dtype == GLong)
+  }
+
+  test("v3 int16 + scale decodes the same way") {
+    val root = tmp()
+    put(root, "zarr.json",
+      """{"zarr_format":3,"node_type":"group","attributes":{}}""")
+    put(root, "v/zarr.json",
+      """{"zarr_format":3,"node_type":"array","shape":[3],
+        |"data_type":"int16",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[3]}},
+        |"fill_value":-9,
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+        |"attributes":{"scale_factor":0.5,"add_offset":1.0,
+        |              "_FillValue":-9},
+        |"dimension_names":["x"]}""".stripMargin)
+    putBytes(root, "v/c/0", {
+      val bb = java.nio.ByteBuffer.allocate(6)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(4).putShort(-9).putShort(-2)
+      bb.array()
+    })
+    val store = ZarrGridStore.open(root.toString)
+    assert(store.schema.vars.head.dtype == GDouble)
+    val got = store.readVar("v", Seq((0, 3))).asInstanceOf[Array[Double]]
+    assert(got(0) == 3.0 && got(1).isNaN && got(2) == 0.0, got.toSeq)
+  }
+
+  test("unsupported dtypes still fail clearly") {
+    val root = tmp()
+    put(root, ".zgroup", """{"zarr_format":2}""")
+    v2Array(root, "z", "<f2", 2, 2, "0")
+    putBytes(root, "z/0", new Array[Byte](4))
+    assert(intercept[IllegalArgumentException](
+      ZarrGridStore.open(root.toString)).getMessage.contains("dtype"))
+  }
+}
