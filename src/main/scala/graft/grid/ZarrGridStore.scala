@@ -40,7 +40,12 @@ final case class ZarrArrayMeta(
       * climate archives store scaled data): the on-disk element layout,
       * widened to `dtype` (GInt, or GLong for u4) at decode.
       */
-    stored: Option[StoredInt] = None) {
+    stored: Option[StoredInt] = None,
+    /** v2 numcodecs filter pipeline (applied before the compressor at
+      * write; undone in reverse after decompression). `shuffle` and
+      * `delta` supported.
+      */
+    filters: Seq[ZarrFilter] = Nil) {
   def nd: Int = shape.length
 
   /** On-disk element width (differs from `dtype.byteWidth` for packed
@@ -56,6 +61,12 @@ final case class ZarrArrayMeta(
 
 /** On-disk packed integer element: byte width 1/2/4 and signedness. */
 final case class StoredInt(width: Int, signed: Boolean)
+
+/** One parsed numcodecs filter: `shuffle` (byte shuffle with
+  * `elementSize` lanes) or `delta` (successive differences in the
+  * element domain of `dtypeStr`, numpy wrap-on-overflow semantics).
+  */
+final case class ZarrFilter(id: String, elementSize: Int, dtypeStr: String)
 
 /** Parsed v3 `sharding_indexed` codec configuration: inner chunk grid
   * + inner codec pipeline + index framing. The index is `nInner`
@@ -94,7 +105,8 @@ final case class ShardMeta(
   * that real archives (ARCO-ERA5 among them) actually use — via the
   * pure-JVM [[Blosc]] container codec (inner lz4/lz4hc/zstd/zlib/snappy
   * from Spark's bundled libraries; `blosclz` and bit-shuffle are
-  * rejected with clear errors); C order; no filters; missing chunk
+  * rejected with clear errors); C order; numcodecs `shuffle` and
+  * `delta` filter pipelines (other filters rejected); missing chunk
   * files read as `fill_value`; edge chunks stored PADDED to the full
   * chunk shape (the v2 rule — [[BinaryGridStore]] stores them clipped,
   * which is why both share [[ChunkAssembly]] with different
@@ -364,8 +376,74 @@ object ZarrGridStore {
       val bytes = decompressed(path, raw, a.compressor, expected)
       require(bytes.length == expected,
         s"chunk $path decodes to ${bytes.length} bytes, expected $expected")
-      decodeStored(bytes, a, a.bigEndian, n)
+      // undo the numcodecs filter pipeline in reverse write order
+      val unfiltered = a.filters.reverse.foldLeft(bytes)(
+        (b, f) => defilter(path, f, b))
+      decodeStored(unfiltered, a, a.bigEndian, n)
     }
+  }
+
+  /** Undo one numcodecs filter on the chunk byte image. Both supported
+    * filters are length-preserving byte-buffer transforms.
+    */
+  private def defilter(path: String, f: ZarrFilter,
+      bytes: Array[Byte]): Array[Byte] = f.id match {
+    case "shuffle" =>
+      require(bytes.length % f.elementSize == 0,
+        s"$path: ${bytes.length} bytes not divisible by shuffle " +
+          s"elementsize ${f.elementSize}")
+      val out = new Array[Byte](bytes.length)
+      Blosc.unshuffle(f.elementSize, bytes, bytes.length, out, 0)
+      out
+    case "delta" => undelta(path, f.dtypeStr, bytes)
+    case other => throw new IllegalArgumentException(
+      s"$path: unsupported filter '$other'")
+  }
+
+  /** Inverse of numcodecs Delta: cumulative sum in the element domain
+    * (numpy wrap-on-overflow for ints, IEEE addition for floats),
+    * in place at the byte level.
+    */
+  private def undelta(path: String, dtypeStr: String,
+      bytes: Array[Byte]): Array[Byte] = {
+    require(dtypeStr.length == 3, s"$path: bad delta dtype '$dtypeStr'")
+    val order = dtypeStr.charAt(0) match {
+      case '>' => ByteOrder.BIG_ENDIAN
+      case _ => ByteOrder.LITTLE_ENDIAN
+    }
+    val bb = ByteBuffer.wrap(bytes).order(order)
+    dtypeStr.substring(1) match {
+      case "f8" =>
+        val v = bb.asDoubleBuffer()
+        var i = 1
+        while (i < v.capacity()) { v.put(i, v.get(i - 1) + v.get(i)); i += 1 }
+      case "f4" =>
+        val v = bb.asFloatBuffer()
+        var i = 1
+        while (i < v.capacity()) { v.put(i, v.get(i - 1) + v.get(i)); i += 1 }
+      case "i8" =>
+        val v = bb.asLongBuffer()
+        var i = 1
+        while (i < v.capacity()) { v.put(i, v.get(i - 1) + v.get(i)); i += 1 }
+      case "i4" | "u4" =>
+        val v = bb.asIntBuffer()
+        var i = 1
+        while (i < v.capacity()) { v.put(i, v.get(i - 1) + v.get(i)); i += 1 }
+      case "i2" | "u2" =>
+        val v = bb.asShortBuffer()
+        var i = 1
+        while (i < v.capacity()) {
+          v.put(i, (v.get(i - 1) + v.get(i)).toShort); i += 1
+        }
+      case "i1" | "u1" =>
+        var i = 1
+        while (i < bytes.length) {
+          bytes(i) = (bytes(i - 1) + bytes(i)).toByte; i += 1
+        }
+      case other => throw new IllegalArgumentException(
+        s"$path: unsupported delta dtype '$dtypeStr' ($other)")
+    }
+    bytes
   }
 
   /** CF mask_and_scale is applied when `scale_factor` / `add_offset`
@@ -619,11 +697,33 @@ object ZarrGridStore {
     val order = if (za.hasNonNull("order")) za.get("order").asText else "C"
     require(order == "C",
       s"$name: only C order supported (got $order)")
-    require(!za.hasNonNull("filters") ||
-      (za.get("filters").isArray && za.get("filters").isEmpty),
-      s"$name: filter pipelines unsupported")
-    val (dtype, bigEndian, stored) =
-      parseDtype(za.path("dtype").asText(""), name)
+    val dtypeStr = za.path("dtype").asText("")
+    val (dtype, bigEndian, stored) = parseDtype(dtypeStr, name)
+    val filters: Seq[ZarrFilter] =
+      if (!za.hasNonNull("filters")) Nil
+      else {
+        require(za.get("filters").isArray, s"$name: bad filters")
+        za.get("filters").elements().asScala.map { f =>
+          f.path("id").asText("") match {
+            case "shuffle" =>
+              val es = f.path("elementsize").asInt(4)
+              require(es >= 1, s"$name: bad shuffle elementsize $es")
+              ZarrFilter("shuffle", es, dtypeStr)
+            case "delta" =>
+              val fd = f.path("dtype").asText(dtypeStr)
+              require(fd == dtypeStr,
+                s"$name: delta dtype '$fd' differing from array dtype " +
+                  s"'$dtypeStr' unsupported")
+              val at = f.path("astype").asText(fd)
+              require(at == fd,
+                s"$name: delta astype '$at' differing from dtype " +
+                  "unsupported")
+              ZarrFilter("delta", 0, fd)
+            case other => throw new IllegalArgumentException(
+              s"$name: unsupported filter '$other' (shuffle/delta only)")
+          }
+        }.toSeq
+      }
     val compressor =
       if (!za.hasNonNull("compressor")) None
       else {
@@ -679,7 +779,7 @@ object ZarrGridStore {
       s"$name: ${dims.length} dim names for ${shape.length}-d array")
     ZarrArrayMeta(name, shape, chunks, dtype, bigEndian, compressor, fill,
       dimSep, dims, attrMap(attrsNode) - "_ARRAY_DIMENSIONS",
-      stored = stored)
+      stored = stored, filters = filters)
   }
 
   private def parseDtype(s: String,

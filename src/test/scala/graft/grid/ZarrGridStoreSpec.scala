@@ -210,10 +210,10 @@ class ZarrGridStoreSpec extends SparkTestBase {
       """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f8",
         |"compressor":null,"fill_value":null,"order":"F","filters":null}"""
         .stripMargin).getMessage.contains("order"))
-    assert(bad(
+    assert(bad( // shuffle/delta now decode; others must still fail fast
       """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f8",
         |"compressor":null,"fill_value":null,"order":"C",
-        |"filters":[{"id":"delta"}]}""".stripMargin)
+        |"filters":[{"id":"fixedscaleoffset"}]}""".stripMargin)
       .getMessage.contains("filter"))
     assert(bad( // complex64 — still unsupported (u2/i2/u1/i1/u4 now decode)
       """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<c8",

@@ -127,6 +127,95 @@ class ZarrPackedSpec extends AnyFunSuite {
     assert(got(0) == 3.0 && got(1).isNaN && got(2) == 0.0, got.toSeq)
   }
 
+  test("numcodecs delta filter: wrapping cumsum decode per dtype") {
+    val root = tmp()
+    put(root, ".zgroup", """{"zarr_format":2}""")
+    // i2 with wrap-around: stored deltas reconstruct 32760, 32766,
+    // -32765 (32766 + 5 wraps past Short.MaxValue)
+    put(root, "v/.zarray",
+      """{"zarr_format":2,"shape":[3],"chunks":[3],"dtype":"<i2",
+        |"compressor":null,"fill_value":0,"order":"C",
+        |"filters":[{"id":"delta","dtype":"<i2"}]}""".stripMargin)
+    put(root, "v/.zattrs", """{"_ARRAY_DIMENSIONS":["xv"]}""")
+    putBytes(root, "v/0", {
+      val bb = java.nio.ByteBuffer.allocate(6)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(32760).putShort(6).putShort(5)
+      bb.array()
+    })
+    // f8 delta: plain IEEE cumsum
+    put(root, "w/.zarray",
+      """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":[{"id":"delta","dtype":"<f8"}]}""".stripMargin)
+    put(root, "w/.zattrs", """{"_ARRAY_DIMENSIONS":["xw"]}""")
+    putBytes(root, "w/0", {
+      val bb = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Seq(1.5, 0.25, -2.0, 10.0).foreach(bb.putDouble)
+      bb.array()
+    })
+    val store = ZarrGridStore.open(root.toString)
+    assert(store.readVar("v", Seq((0, 3))).asInstanceOf[Array[Int]]
+      .sameElements(Array(32760, 32766, -32765)))
+    assert(store.readVar("w", Seq((0, 4))).asInstanceOf[Array[Double]]
+      .sameElements(Array(1.5, 1.75, -0.25, 9.75)))
+  }
+
+  test("numcodecs shuffle filter and delta+shuffle composition") {
+    val root = tmp()
+    put(root, ".zgroup", """{"zarr_format":2}""")
+    // shuffle-only over f8: byte lanes grouped, zlib-compressed
+    val plain = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Seq(3.25, -1.5, 1e300).foreach(bb.putDouble)
+      bb.array()
+    }
+    val shuffled = new Array[Byte](24)
+    Blosc.shuffleBytes(8, plain, 0, 24, shuffled)
+    val zl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(shuffled); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    put(root, "s/.zarray",
+      """{"zarr_format":2,"shape":[3],"chunks":[3],"dtype":"<f8",
+        |"compressor":{"id":"zlib","level":1},"fill_value":null,
+        |"order":"C","filters":[{"id":"shuffle","elementsize":8}]}"""
+        .stripMargin)
+    put(root, "s/.zattrs", """{"_ARRAY_DIMENSIONS":["xs"]}""")
+    putBytes(root, "s/0", zl)
+    // [delta, shuffle] composition on i4 (write order: delta then
+    // shuffle; decode must unshuffle then cumsum)
+    val values = Array(1000, 1010, 990, 1025)
+    val deltas = Array(values(0), values(1) - values(0),
+      values(2) - values(1), values(3) - values(2))
+    val dBytes = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      deltas.foreach(bb.putInt)
+      bb.array()
+    }
+    val dShuffled = new Array[Byte](16)
+    Blosc.shuffleBytes(4, dBytes, 0, 16, dShuffled)
+    put(root, "c/.zarray",
+      """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<i4",
+        |"compressor":null,"fill_value":0,"order":"C",
+        |"filters":[{"id":"delta","dtype":"<i4"},
+        |           {"id":"shuffle","elementsize":4}]}""".stripMargin)
+    put(root, "c/.zattrs", """{"_ARRAY_DIMENSIONS":["xc"]}""")
+    putBytes(root, "c/0", dShuffled)
+    val store = ZarrGridStore.open(root.toString)
+    assert(store.readVar("s", Seq((0, 3))).asInstanceOf[Array[Double]]
+      .sameElements(Array(3.25, -1.5, 1e300)))
+    assert(store.readVar("c", Seq((0, 4))).asInstanceOf[Array[Int]]
+      .sameElements(values))
+  }
+
   test("unsupported dtypes still fail clearly") {
     val root = tmp()
     put(root, ".zgroup", """{"zarr_format":2}""")
