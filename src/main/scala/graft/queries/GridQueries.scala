@@ -512,6 +512,19 @@ object GridQueries {
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
           col("air"))
     }),
+    // the plain-Spark read surface: spark.read.format("zarr") with NO
+    // XarrayContext — short-name ServiceLoader registration, store
+    // opened by the provider, same pruned DSv2 scan underneath
+    "pivot_grid_zarr_format" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_fmt_grid") + "/store"
+      graft.grid.ZarrGridStore.write(Fixtures.linearGrid, root,
+        Map("t" -> 6, "lat" -> 5), "zstd:3")
+      graft.sources.ZarrTableProvider.invalidate(root)
+      s.read.format("zarr").load(root)
+        .filter(col("t") >= 12)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
     // packed-archive decode: a hand-rolled v2 tree (NOT our writer —
     // foreign layout) storing int16 with CF scale_factor/add_offset/
     // _FillValue, the convention most public climate archives use; the
@@ -888,6 +901,10 @@ object GridQueries {
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
     "pivot_grid_zarr_sharded" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t >= 12""".stripMargin,
+    "pivot_grid_zarr_format" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
