@@ -36,11 +36,11 @@ final case class ZarrArrayMeta(
       * governs the bytes.
       */
     sharding: Option[ShardMeta] = None,
-    /** Packed small-int storage (i1/i2/u1/u2/u4 — how most public
-      * climate archives store scaled data): the on-disk element layout,
-      * widened to `dtype` (GInt, or GLong for u4) at decode.
+    /** Packed storage narrower than the logical type (i1/i2/u1/u2/u4
+      * small ints, f2 half floats — how public archives store scaled /
+      * ML data): the on-disk element layout, widened at decode.
       */
-    stored: Option[StoredInt] = None,
+    stored: Option[StoredElem] = None,
     /** v2 numcodecs filter pipeline (applied before the compressor at
       * write; undone in reverse after decompression). `shuffle` and
       * `delta` supported.
@@ -59,8 +59,18 @@ final case class ZarrArrayMeta(
     else keyPrefix + dimSep + ci.mkString(dimSep)
 }
 
-/** On-disk packed integer element: byte width 1/2/4 and signedness. */
-final case class StoredInt(width: Int, signed: Boolean)
+/** On-disk packed element narrower than its logical type. */
+sealed trait StoredElem { def width: Int }
+
+/** Packed integer: byte width 1/2/4 and signedness (widens to
+  * GInt/GLong).
+  */
+final case class StoredInt(width: Int, signed: Boolean) extends StoredElem
+
+/** IEEE 754 half precision (widens to GFloat) — the layout ML
+  * embedding archives commonly use.
+  */
+case object StoredHalf extends StoredElem { val width = 2 }
 
 /** One parsed numcodecs filter: `shuffle` (byte shuffle with
   * `elementSize` lanes) or `delta` (successive differences in the
@@ -100,7 +110,9 @@ final case class ShardMeta(
   *                                 # separated per dimension_separator)
   * }}}
   *
-  * Supported: dtypes `<`/`>` f4 f8 i4 i8 (both endiannesses); compressors
+  * Supported: dtypes `<`/`>`/`|` f2 f4 f8 i1 i2 i4 i8 u1 u2 u4 (both
+  * endiannesses; packed small ints widen to int/long, halves to
+  * float); compressors
   * `null`, `zlib`, `gzip`, `zstd`, and `blosc` — the zarr-python default
   * that real archives (ARCO-ERA5 among them) actually use — via the
   * pure-JVM [[Blosc]] container codec (inner lz4/lz4hc/zstd/zlib/snappy
@@ -507,6 +519,55 @@ object ZarrGridStore {
         case other => throw new IllegalArgumentException(
           s"${a.name}: bad packed layout $other")
       }
+    case Some(StoredHalf) =>
+      val bb = ByteBuffer.wrap(bytes).order(
+        if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      val sb = bb.asShortBuffer()
+      val o = new Array[Float](n)
+      var i = 0
+      while (i < n) { o(i) = halfToFloat(sb.get(i)); i += 1 }
+      o
+  }
+
+  /** binary32 -> binary16, round-to-nearest-even (used only to encode
+    * fill patterns; the engine never packs data to half on write).
+    */
+  private[grid] def floatToHalf(f: Float): Short = {
+    if (f.isNaN) return 0x7e00.toShort
+    val sign = if ((java.lang.Float.floatToIntBits(f) & 0x80000000) != 0)
+      0x8000 else 0
+    val af = math.abs(f)
+    if (af.isInfinite || af >= 65520.0f) (sign | 0x7c00).toShort
+    else if (af < 6.103515625e-5f) { // below 2^-14: subnormal / zero
+      val m = java.lang.Math.rint(af / 5.9604645e-8f).toInt // of 2^-24
+      (sign | m).toShort // m == 1024 lands on normal 2^-14 exactly
+    } else {
+      val e = math.getExponent(af)
+      var m = java.lang.Math.rint(
+        af / math.pow(2, e - 10).toFloat).toInt // in [1024, 2048]
+      var e2 = e
+      if (m == 2048) { m = 1024; e2 += 1 }
+      if (e2 > 15) (sign | 0x7c00).toShort
+      else (sign | ((e2 + 15) << 10) | (m - 1024)).toShort
+    }
+  }
+
+  /** IEEE 754 binary16 -> binary32 (exact: every half value is
+    * representable as a float).
+    */
+  private[grid] def halfToFloat(h: Short): Float = {
+    val sign = (h >> 15) & 1
+    val exp = (h >> 10) & 0x1f
+    val frac = h & 0x3ff
+    if (exp == 0x1f) {
+      if (frac != 0) Float.NaN
+      else if (sign == 1) Float.NegativeInfinity
+      else Float.PositiveInfinity
+    } else if (exp == 0) {
+      val v = frac * 5.9604645e-8f // frac * 2^-24 (subnormal / zero)
+      if (sign == 1) -v else v
+    } else java.lang.Float.intBitsToFloat(
+      (sign << 31) | ((exp - 15 + 127) << 23) | (frac << 13))
   }
 
   private def decompressed(path: String, raw: Array[Byte],
@@ -580,6 +641,8 @@ object ZarrGridStore {
         case Some(StoredInt(1, _)) => one.put(intFill.toByte)
         case Some(StoredInt(2, _)) => one.putShort(intFill.toShort)
         case Some(StoredInt(4, _)) => one.putInt(intFill.toInt)
+        case Some(StoredHalf) =>
+          one.putShort(floatToHalf(a.fillValue.toFloat))
         case Some(s) => throw new IllegalArgumentException(
           s"${a.name}: bad packed layout $s")
         case None => a.dtype match {
@@ -783,7 +846,7 @@ object ZarrGridStore {
   }
 
   private def parseDtype(s: String,
-      name: String): (GridType, Boolean, Option[StoredInt]) = {
+      name: String): (GridType, Boolean, Option[StoredElem]) = {
     require(s.length == 3, s"$name: unsupported dtype '$s'")
     val bigEndian = s.charAt(0) match {
       case '<' | '|' => false // '|' = byte-order-irrelevant (1-byte)
@@ -803,9 +866,10 @@ object ZarrGridStore {
       case "i2" => (GInt, bigEndian, Some(StoredInt(2, signed = true)))
       case "u2" => (GInt, bigEndian, Some(StoredInt(2, signed = false)))
       case "u4" => (GLong, bigEndian, Some(StoredInt(4, signed = false)))
+      case "f2" => (GFloat, bigEndian, Some(StoredHalf))
       case _ => throw new IllegalArgumentException(
         s"$name: unsupported dtype '$s' " +
-          "(f4/f8/i4/i8/i1/i2/u1/u2/u4 only)")
+          "(f2/f4/f8/i4/i8/i1/i2/u1/u2/u4 only)")
     }
   }
 

@@ -114,9 +114,10 @@ object ZarrV3 {
       case "int16" => (GInt, Some(StoredInt(2, signed = true)))
       case "uint16" => (GInt, Some(StoredInt(2, signed = false)))
       case "uint32" => (GLong, Some(StoredInt(4, signed = false)))
+      case "float16" => (GFloat, Some(StoredHalf))
       case other => throw new IllegalArgumentException(
-        s"$name: unsupported data_type '$other' (float32/float64/int32/" +
-          "int64/int8/int16/uint8/uint16/uint32 only)")
+        s"$name: unsupported data_type '$other' (float16/float32/float64/" +
+          "int32/int64/int8/int16/uint8/uint16/uint32 only)")
     }
     val (keyPrefix, sep) = {
       val cke = node.path("chunk_key_encoding")

@@ -216,11 +216,49 @@ class ZarrPackedSpec extends AnyFunSuite {
       .sameElements(values))
   }
 
+  test("f2 half floats decode exactly, including specials") {
+    val root = tmp()
+    put(root, ".zgroup", """{"zarr_format":2}""")
+    v2Array(root, "h", "<f2", 8, 8, "\"NaN\"")
+    putBytes(root, "h/0", {
+      val bb = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // 1.0, -2.5, 65504 (max), 2^-14 (min normal), smallest subnormal,
+      // +inf, NaN, -0.0
+      Seq(0x3c00, 0xc100, 0x7bff, 0x0400, 0x0001, 0x7c00, 0x7e01, 0x8000)
+        .foreach(v => bb.putShort(v.toShort))
+      bb.array()
+    })
+    val store = ZarrGridStore.open(root.toString)
+    assert(store.schema.vars.head.dtype == GFloat)
+    val got = store.readVar("h", Seq((0, 8))).asInstanceOf[Array[Float]]
+    assert(got(0) == 1.0f && got(1) == -2.5f && got(2) == 65504.0f)
+    assert(got(3) == 6.103515625e-5f && got(4) == 5.9604645e-8f)
+    assert(got(5).isPosInfinity && got(6).isNaN)
+    assert(got(7) == 0.0f &&
+      java.lang.Float.floatToIntBits(got(7)) == 0x80000000)
+  }
+
+  test("floatToHalf round trips representative values") {
+    val vals = Seq(0.0f, 1.0f, -2.5f, 65504.0f, 6.103515625e-5f,
+      5.9604645e-8f, 0.1f, -1e-7f, Float.PositiveInfinity, 1e6f)
+    vals.foreach { v =>
+      val rt = ZarrGridStore.halfToFloat(ZarrGridStore.floatToHalf(v))
+      if (v.isInfinite || math.abs(v) >= 65520.0f)
+        assert(rt.isInfinite && (rt > 0) == (v > 0), v)
+      else // round-to-nearest: within half an ulp of the half grid
+        assert(math.abs(rt - v) <= math.max(math.abs(v) / 1024f,
+          5.9604645e-8f / 2 + 1e-12f), s"$v -> $rt")
+    }
+    assert(ZarrGridStore.halfToFloat(
+      ZarrGridStore.floatToHalf(Float.NaN)).isNaN)
+  }
+
   test("unsupported dtypes still fail clearly") {
     val root = tmp()
     put(root, ".zgroup", """{"zarr_format":2}""")
-    v2Array(root, "z", "<f2", 2, 2, "0")
-    putBytes(root, "z/0", new Array[Byte](4))
+    v2Array(root, "z", "<u8", 2, 2, "0")
+    putBytes(root, "z/0", new Array[Byte](16))
     assert(intercept[IllegalArgumentException](
       ZarrGridStore.open(root.toString)).getMessage.contains("dtype"))
   }
