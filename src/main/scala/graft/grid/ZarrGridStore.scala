@@ -920,10 +920,40 @@ object ZarrGridStore {
     */
   def write(source: GridStore, root: String, chunks: Map[String, Int],
       compressor: String = "zlib"): ZarrGridStore = {
-    val comp = parseCompressor(compressor)
     val conf = GridIO.driverConf()
-    val schema = source.schema
     val cleanRoot = root.stripSuffix("/")
+    val comp = parseCompressor(compressor)
+    val tasks = writeShell(source.schema, cleanRoot, chunks, comp, conf)
+    tasks.foreach(_.run(source, comp, conf))
+    consolidate(cleanRoot, conf)
+    open(cleanRoot) // takes the consolidated path it just wrote
+  }
+
+  /** One data chunk's write work: read the block from the source, pad
+    * to the full chunk shape, encode, write the chunk file. Small and
+    * Serializable so [[writeDistributed]] ships it to executors.
+    */
+  private[grid] final case class ChunkWriteTask(dir: String, varName: String,
+      dtype: GridType, chunkSz: Seq[Int],
+      block: Seq[(Int, Int)]) extends Serializable {
+    def run(source: GridStore, comp: Option[(String, Int)],
+        conf: org.apache.hadoop.conf.Configuration): Unit = {
+      val ci = block.zip(chunkSz).map(b => b._1._1 / b._2)
+      val eff = block.map(_._2).toArray
+      val data = source.readVar(varName, block)
+      val padded = padChunk(data, eff, chunkSz.toArray, dtype)
+      GridIO.write(s"$dir/${ci.mkString(".")}",
+        compress(toLE(padded, dtype), comp, dtype.byteWidth), conf)
+    }
+  }
+
+  /** Driver-side shell of a v2 write: group metadata, coordinate
+    * arrays, per-variable `.zarray`/`.zattrs` — everything except the
+    * data chunks, which come back as the task list.
+    */
+  private def writeShell(schema: GridSchema, cleanRoot: String,
+      chunks: Map[String, Int], comp: Option[(String, Int)],
+      conf: org.apache.hadoop.conf.Configuration): Seq[ChunkWriteTask] = {
     GridIO.mkdirs(cleanRoot, conf)
     GridIO.writeString(s"$cleanRoot/.zgroup", """{"zarr_format":2}""", conf)
     if (schema.attrs.nonEmpty)
@@ -931,7 +961,7 @@ object ZarrGridStore {
 
     schema.dims.foreach(d => writeCoord(cleanRoot, d, conf))
 
-    schema.vars.foreach { v =>
+    schema.vars.flatMap { v =>
       val dir = s"$cleanRoot/${v.name}"
       GridIO.mkdirs(dir, conf)
       val dimSz = v.dims.map(d => schema.dim(d).size)
@@ -946,17 +976,38 @@ object ZarrGridStore {
       GridIO.writeString(s"$dir/.zattrs",
         attrsJson(v.attrs, Some(v.dims)), conf)
       val sub = GridSchema(v.dims.map(schema.dim), Seq.empty)
-      ChunkGrid.blocks(sub, chunks).foreach { block =>
-        val ci = block.zip(chunkSz).map(b => b._1._1 / b._2)
-        val eff = block.map(_._2).toArray
-        val data = source.readVar(v.name, block)
-        val padded = padChunk(data, eff, chunkSz.toArray, v.dtype)
-        GridIO.write(s"$dir/${ci.mkString(".")}",
-          compress(toLE(padded, v.dtype), comp, v.dtype.byteWidth), conf)
-      }
+      ChunkGrid.blocks(sub, chunks).map(block =>
+        ChunkWriteTask(dir, v.name, v.dtype, chunkSz, block))
     }
+  }
+
+  /** [[write]] with EXECUTOR-side chunk encoding and writes — the scale
+    * path for materializing a large grid as Zarr. The driver writes
+    * only metadata and coordinate arrays; the chunk task list
+    * parallelizes across the cluster, each task reading its block from
+    * the (serializable) source store and writing through the shipped
+    * Hadoop conf. At 10⁵–10⁶ chunks the driver-side loop of [[write]]
+    * is the bottleneck; here wall-clock is chunks / cluster-cores. The
+    * store-to-store shape also makes this the distributed
+    * format-conversion path (binary → Zarr, Zarr → rechunked Zarr).
+    */
+  def writeDistributed(source: GridStore, root: String,
+      chunks: Map[String, Int],
+      compressor: String = "zlib"): ZarrGridStore = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = GridIO.driverConf()
+    val cleanRoot = root.stripSuffix("/")
+    val comp = parseCompressor(compressor)
+    val tasks = writeShell(source.schema, cleanRoot, chunks, comp, conf)
+    val sc = spark.sparkContext
+    val hconf = GridIO.shippable()
+    val bSource = sc.broadcast(source)
+    val parts = math.max(1, math.min(tasks.size, sc.defaultParallelism * 2))
+    sc.parallelize(tasks, parts)
+      .foreach(t => t.run(bSource.value, comp, hconf.value))
+    bSource.destroy()
     consolidate(cleanRoot, conf)
-    open(cleanRoot) // takes the consolidated path it just wrote
+    open(cleanRoot)
   }
 
   /** Write `<root>/.zmetadata` (the zarr v2 consolidated-metadata

@@ -271,7 +271,45 @@ object ZarrV3 {
     */
   def write(source: GridStore, root: String, chunks: Map[String, Int],
       compressor: String = "zstd",
-      shardInner: Map[String, Int] = Map.empty): ZarrGridStore = {
+      shardInner: Map[String, Int] = Map.empty): ZarrGridStore =
+    writeImpl(source, root, chunks, compressor, shardInner,
+      distributed = false)
+
+  /** [[write]] with EXECUTOR-side chunk/shard encoding and writes (the
+    * driver keeps only metadata + coordinates) — same scale rationale
+    * as [[ZarrGridStore.writeDistributed]]; shard encoding is the
+    * expensive part here (per-inner-chunk compression + index), so it
+    * is exactly what should not run in a driver loop.
+    */
+  def writeDistributed(source: GridStore, root: String,
+      chunks: Map[String, Int], compressor: String = "zstd",
+      shardInner: Map[String, Int] = Map.empty): ZarrGridStore =
+    writeImpl(source, root, chunks, compressor, shardInner,
+      distributed = true)
+
+  /** One v3 data chunk (or shard): read, pad, encode, write. */
+  private final case class V3ChunkTask(dir: String, varName: String,
+      dtype: GridType, chunkSz: Seq[Int], innerSz: Option[Seq[Int]],
+      block: Seq[(Int, Int)]) extends Serializable {
+    def run(source: GridStore, comp: Option[(String, Int)],
+        conf: org.apache.hadoop.conf.Configuration): Unit = {
+      val ci = block.zip(chunkSz).map(b => b._1._1 / b._2)
+      val eff = block.map(_._2).toArray
+      val data = source.readVar(varName, block)
+      val padded = ZarrGridStore.padChunk(data, eff, chunkSz.toArray, dtype)
+      val leBytes = ZarrGridStore.toLE(padded, dtype)
+      val payload = innerSz match {
+        case None => ZarrGridStore.compress(leBytes, comp, dtype.byteWidth)
+        case Some(inner) =>
+          encodeShard(leBytes, chunkSz, inner, dtype.byteWidth, comp)
+      }
+      GridIO.write(s"$dir/c/${ci.mkString("/")}", payload, conf)
+    }
+  }
+
+  private def writeImpl(source: GridStore, root: String,
+      chunks: Map[String, Int], compressor: String,
+      shardInner: Map[String, Int], distributed: Boolean): ZarrGridStore = {
     val comp = ZarrGridStore.parseCompressor(compressor)
     require(!comp.exists(_._1 == "zlib"),
       "zarr v3 has no zlib codec; use gzip, zstd, blosc or none")
@@ -317,22 +355,28 @@ object ZarrV3 {
       arrayMetaNodes += v.name -> meta
       GridIO.writeString(s"$dir/zarr.json",
         mapper.writeValueAsString(meta), conf)
+    }
+    val tasks = schema.vars.flatMap { v =>
+      val chunkSz = v.dims.map(d =>
+        chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
+      val innerSz =
+        if (shardInner.isEmpty) None
+        else Some(v.dims.zip(chunkSz).map { case (d, outer) =>
+          shardInner.getOrElse(d, outer) })
       val sub = GridSchema(v.dims.map(schema.dim), Seq.empty)
-      ChunkGrid.blocks(sub, chunks).foreach { block =>
-        val ci = block.zip(chunkSz).map(b => b._1._1 / b._2)
-        val eff = block.map(_._2).toArray
-        val data = source.readVar(v.name, block)
-        val padded = ZarrGridStore.padChunk(data, eff, chunkSz.toArray,
-          v.dtype)
-        val leBytes = ZarrGridStore.toLE(padded, v.dtype)
-        val payload = innerSz match {
-          case None =>
-            ZarrGridStore.compress(leBytes, comp, v.dtype.byteWidth)
-          case Some(inner) =>
-            encodeShard(leBytes, chunkSz, inner, v.dtype.byteWidth, comp)
-        }
-        GridIO.write(s"$dir/c/${ci.mkString("/")}", payload, conf)
-      }
+      ChunkGrid.blocks(sub, chunks).map(block =>
+        V3ChunkTask(s"$cleanRoot/${v.name}", v.name, v.dtype, chunkSz,
+          innerSz, block))
+    }
+    if (!distributed) tasks.foreach(_.run(source, comp, conf))
+    else {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      val hconf = GridIO.shippable()
+      val bSource = sc.broadcast(source)
+      val parts = math.max(1, math.min(tasks.size, sc.defaultParallelism * 2))
+      sc.parallelize(tasks, parts)
+        .foreach(t => t.run(bSource.value, comp, hconf.value))
+      bSource.destroy()
     }
 
     // root group metadata with zarr-python-style inline consolidation:

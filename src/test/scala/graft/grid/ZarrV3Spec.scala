@@ -239,6 +239,29 @@ class ZarrV3Spec extends SparkTestBase {
     assert(ReadCounters.partitionsOpened.sum() == 3L)
   }
 
+  test("writeDistributed emits a byte-identical sharded tree") {
+    assert(spark.sparkContext.defaultParallelism >= 1) // session up
+    val serial = tmp().resolve("ser").toString
+    ZarrV3.write(Fixtures.linearGrid, serial,
+      Map("t" -> 6, "lat" -> 5), "zstd:3", shardInner = Map("t" -> 2))
+    val dist = tmp().resolve("dist").toString
+    ZarrV3.writeDistributed(Fixtures.linearGrid, dist,
+      Map("t" -> 6, "lat" -> 5), "zstd:3", shardInner = Map("t" -> 2))
+    def walk(r: String): Map[String, Seq[Byte]] = {
+      val base = java.nio.file.Paths.get(r)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => base.relativize(p).toString ->
+          java.nio.file.Files.readAllBytes(p).toSeq)
+        .toMap
+    }
+    val a = walk(serial)
+    val b = walk(dist)
+    assert(a.keySet == b.keySet, a.keySet.diff(b.keySet))
+    a.keys.foreach(k => assert(a(k) == b(k), s"file $k differs"))
+  }
+
   test("sharding config errors and unknown codecs rejected clearly") {
     def bad(codecs: String): Throwable = {
       val root = tmp()
