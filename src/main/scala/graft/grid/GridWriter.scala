@@ -28,6 +28,51 @@ import org.apache.spark.sql.types._
   */
 object GridWriter {
 
+  /** Where a scattered chunk lands: the binary store's `.bin` files
+    * with stats, or a Zarr tree's padded encoded chunks. Executors call
+    * `write`; it must be Serializable and thread-agnostic.
+    */
+  trait ChunkSink extends Serializable {
+    /** Persist one dense chunk. `eff` is the per-dim effective
+      * (boundary-clipped) lengths of this chunk. Returns the optional
+      * (min,max) / sum stats entries the driver should commit (binary
+      * store) or None (formats without a stats sidecar).
+      */
+    def write(varName: String, ciDotted: String, arr: AnyRef,
+        eff: Array[Int],
+        conf: org.apache.hadoop.conf.Configuration)
+        : (Option[(Any, Any)], Option[Double])
+  }
+
+  private final case class BinarySink(root: String,
+      codec: String) extends ChunkSink {
+    def write(varName: String, ciDotted: String, arr: AnyRef,
+        eff: Array[Int],
+        conf: org.apache.hadoop.conf.Configuration)
+        : (Option[(Any, Any)], Option[Double]) = {
+      GridIO.write(s"$root/$varName/$ciDotted.bin",
+        BinaryGridStore.encodeChunk(arr, codec), conf)
+      (BinaryGridStore.chunkStats(arr), BinaryGridStore.chunkSum(arr))
+    }
+  }
+
+  /** Zarr v2 chunk files: padded to the full chunk shape per the spec,
+    * little-endian, compressed.
+    */
+  private[grid] final case class ZarrSink(root: String, dtype: GridType,
+      chunkSz: Seq[Int], comp: Option[(String, Int)]) extends ChunkSink {
+    def write(varName: String, ciDotted: String, arr: AnyRef,
+        eff: Array[Int],
+        conf: org.apache.hadoop.conf.Configuration)
+        : (Option[(Any, Any)], Option[Double]) = {
+      val padded = ZarrGridStore.padChunk(arr, eff, chunkSz.toArray, dtype)
+      GridIO.write(s"$root/$varName/$ciDotted",
+        ZarrGridStore.compress(ZarrGridStore.toLE(padded, dtype), comp,
+          dtype.byteWidth), conf)
+      (None, None)
+    }
+  }
+
   def write(df: DataFrame, schema: GridSchema, chunks: Map[String, Int],
       root: String, codec: String = "none"): BinaryGridStore =
     writeGrouped(_ => df, schema, chunks, root, codec)
@@ -53,7 +98,8 @@ object GridWriter {
     // metadata so the store prunes on variable predicates — and answers
     // metadata SUMs — like a driver-side write does
     val perChunk = schema.vars
-      .flatMap(v => writeVar(dfFor(v), schema, chunks, root, codec, v))
+      .flatMap(v => writeVar(dfFor(v), schema, chunks,
+        BinarySink(root, codec), v))
     val stats = perChunk.flatMap { case (k, mm, _) => mm.map(k -> _) }.toMap
     val sums = perChunk.flatMap { case (k, _, sm) => sm.map(k -> _) }.toMap
     BinaryGridStore.writeMetadataOnly(root, schema, chunks, codec, stats,
@@ -155,8 +201,8 @@ object GridWriter {
       "string dims unsupported in GridWriter")
   }
 
-  private def writeVar(df: DataFrame, schema: GridSchema,
-      chunks: Map[String, Int], root: String, codec: String,
+  private[grid] def writeVar(df: DataFrame, schema: GridSchema,
+      chunks: Map[String, Int], sink: ChunkSink,
       v: VarDef): Seq[(String, Option[(Any, Any)], Option[Double])] = {
     val dims = v.dims.map(schema.dim)
     val nd = dims.length
@@ -238,19 +284,20 @@ object GridWriter {
           case GString => throw new IllegalArgumentException(
             "string variables unsupported")
         }
-        def cellsOf(chunkId: Long): Int = {
-          var cells = 1
+        def effOf(chunkId: Long): Array[Int] = {
+          val eff = new Array[Int](nd)
           var rest = chunkId
           var k = 0
           while (k < nd) {
             val ci = (rest / chunkStrides(k)).toInt
             rest %= chunkStrides(k)
             val start = ci * chunkSz(k)
-            cells *= math.min(chunkSz(k), dimSizes(k) - start)
+            eff(k) = math.min(chunkSz(k), dimSizes(k) - start)
             k += 1
           }
-          cells
+          eff
         }
+        def cellsOf(chunkId: Long): Int = effOf(chunkId).product
         iter.foreach { r =>
           val chunkId = r.getLong(0)
           val off = r.getLong(1).toInt
@@ -286,10 +333,8 @@ object GridWriter {
             }
             ci.mkString(".")
           }
-          GridIO.write(s"$root/$varName/$name.bin",
-            BinaryGridStore.encodeChunk(arr, codec), hconf.value)
-          val mm = BinaryGridStore.chunkStats(arr)
-          val sm = BinaryGridStore.chunkSum(arr)
+          val (mm, sm) =
+            sink.write(varName, name, arr, effOf(chunkId), hconf.value)
           if (mm.isDefined || sm.isDefined) stats += ((name, mm, sm))
         }
         stats.result().iterator

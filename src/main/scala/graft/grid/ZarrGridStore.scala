@@ -1010,6 +1010,35 @@ object ZarrGridStore {
     open(cleanRoot)
   }
 
+  /** Distributed DataFrame → Zarr v2 reverse pivot: scatter a
+    * relational result STRAIGHT into a Zarr tree with no driver
+    * materialization and no intermediate store. [[GridWriter]]'s
+    * machinery does the heavy lifting — one (chunk, offset, value)
+    * triple per cell, one hash repartition, executors assemble dense
+    * chunks — but the sink writes PADDED little-endian compressed v2
+    * chunk files instead of `.bin`s; the driver writes only group/array
+    * metadata + coordinate arrays and consolidates. Same row contract
+    * as `GridWriter.write`: `df` carries the schema's dim columns and
+    * each variable's value column. Unset cells become the declared
+    * fill (NaN for float kinds, 0 for ints).
+    */
+  def writeFromRows(df: org.apache.spark.sql.DataFrame, schema: GridSchema,
+      chunks: Map[String, Int], root: String,
+      compressor: String = "zlib"): ZarrGridStore = {
+    val conf = GridIO.driverConf()
+    val cleanRoot = root.stripSuffix("/")
+    val comp = parseCompressor(compressor)
+    writeShell(schema, cleanRoot, chunks, comp, conf) // data via scatter
+    schema.vars.foreach { v =>
+      val chunkSz = v.dims.map(d =>
+        chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
+      GridWriter.writeVar(df, schema, chunks,
+        GridWriter.ZarrSink(cleanRoot, v.dtype, chunkSz, comp), v)
+    }
+    consolidate(cleanRoot, conf)
+    open(cleanRoot)
+  }
+
   /** Write `<root>/.zmetadata` (the zarr v2 consolidated-metadata
     * convention, `zarr_consolidated_format: 1`) from the tree's current
     * metadata files, so every later [[open]] costs ONE metadata round

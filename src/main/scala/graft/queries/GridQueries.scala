@@ -476,6 +476,25 @@ object GridQueries {
           col("air"))
     }),
 
+    // SQL result -> cloud Zarr with NO driver materialization: the
+    // pivoted rows scatter through GridWriter's one-shuffle reverse
+    // pivot directly into padded compressed v2 chunk files written by
+    // executors, then the tree re-opens (consolidated) and scans back
+    // pruned — the full round trip a 100 TB pipeline needs to WRITE
+    // the reference's format at scale
+    "pivot_grid_zarr_fromrows" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_fromrows") + "/store"
+      val store = graft.grid.ZarrGridStore.writeFromRows(grid(s),
+        Fixtures.linearGrid.schema, Map("t" -> 6, "lat" -> 5), root,
+        "zstd:3")
+      new XarrayContext(s)
+        .scratchDataFrame(s"zarr_fromrows@$root", store, store.chunkMap,
+          Seq("t", "lat", "lon"))
+        .filter(col("t") >= 12)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
+
     // the reference's PRIMARY data format end-to-end: the fixture grid
     // is materialized as a REAL Zarr v2 tree (.zgroup/.zarray/.zattrs
     // JSON metadata, zlib-compressed C-order chunk files padded at the
@@ -905,6 +924,10 @@ object GridQueries {
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
     "pivot_grid_zarr_format" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t >= 12""".stripMargin,
+    "pivot_grid_zarr_fromrows" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
