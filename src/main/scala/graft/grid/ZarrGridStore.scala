@@ -381,9 +381,20 @@ object ZarrGridStore {
       try Some(GridIO.readAllBytes(path, conf))
       catch { case _: java.io.FileNotFoundException => None }
     if (rawOpt.isEmpty) fillArray(a.dtype, a.fillValue, n)
-    else if (a.sharding.isDefined) readShard(path, a, rawOpt.get)
+    else decodeChunkPayload(path, a, rawOpt.get)
+  }
+
+  /** Decode one stored chunk file's bytes into the full (padded) chunk
+    * in the array's logical element type — decompression, filter
+    * pipeline, shard assembly, widening. Shared by [[readChunk]] and
+    * the streaming tail (which receives the bytes from Spark's file
+    * source instead of reading them itself).
+    */
+  private[graft] def decodeChunkPayload(path: String, a: ZarrArrayMeta,
+      raw: Array[Byte]): AnyRef =
+    if (a.sharding.isDefined) readShard(path, a, raw)
     else {
-      val raw = rawOpt.get
+      val n = a.chunkShape.product
       val expected = n * a.storedWidth
       val bytes = decompressed(path, raw, a.compressor, expected)
       require(bytes.length == expected,
@@ -393,7 +404,6 @@ object ZarrGridStore {
         (b, f) => defilter(path, f, b))
       decodeStored(unfiltered, a, a.bigEndian, n)
     }
-  }
 
   /** Undo one numcodecs filter on the chunk byte image. Both supported
     * filters are length-preserving byte-buffer transforms.
@@ -469,7 +479,7 @@ object ZarrGridStore {
   private[grid] def scaledVar(a: ZarrArrayMeta): Boolean =
     a.attrs.contains("scale_factor") || a.attrs.contains("add_offset")
 
-  private[grid] def applyMaskScale(a: ZarrArrayMeta, raw: AnyRef): AnyRef = {
+  private[graft] def applyMaskScale(a: ZarrArrayMeta, raw: AnyRef): AnyRef = {
     if (!scaledVar(a)) return raw
     val s = a.attrs.get("scale_factor").map(_.toDouble).getOrElse(1.0)
     val o = a.attrs.get("add_offset").map(_.toDouble).getOrElse(0.0)

@@ -218,6 +218,121 @@ object GridStreams {
       .encoderFor(outSchema))
   }
 
+  /** [[tailCells]] over a REAL Zarr tree: stream every cell of
+    * `varName` as chunk files appear — the forecast-cycle shape, where
+    * each new model run lands new chunk files and then commits grown
+    * array metadata (xarray `append_dim` writes in that order, like our
+    * binary append). Works on v2 (both dimension separators) and v3
+    * default `c/`-prefixed keys, through the full decode matrix
+    * (compressors, blosc, filters, packed dtypes, sharded v3 —
+    * [[graft.grid.ZarrGridStore.decodeChunkPayload]] is the shared
+    * path); scaled variables surface in their logical masked-double
+    * form, and PADDED edge cells are dropped (they are storage, not
+    * data). Same racing-append contract as [[tailCells]]: per-task
+    * metadata refresh with one bounded backoff budget, loud failure on
+    * a genuinely torn tree.
+    */
+  def tailCellsZarr(spark: org.apache.spark.sql.SparkSession, root: String,
+      varName: String): DataFrame = {
+    val store0 = ZarrGridStore.open(root)
+    val v = store0.schema.vars.find(_.name == varName).getOrElse(
+      throw new IllegalArgumentException(s"unknown var $varName"))
+    val outSchema = store0.schema.tableSchema(v.dims, Seq(v))
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val raw = spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("maxFileAge", "36500d") // deliver the whole archive
+      .option("recursiveFileLookup", "true") // "/"-separated chunk keys
+      .load(s"${root.stripSuffix("/")}/$varName")
+      .select("path", "content")
+    val name = varName
+    val cleanRoot = root.stripSuffix("/")
+    val hconf = store0.hconf
+    raw.mapPartitions { rows =>
+      var store = ZarrGridStore.open(cleanRoot, hconf)
+      def meta = store.arrays(name)
+      def dims = store.schema.vars.find(_.name == name).get.dims
+        .map(store.schema.dim)
+      var triesLeft = 10
+      rows.flatMap { r =>
+        val p = r.getString(0)
+        val marker = "/" + name + "/"
+        val rel = p.substring(p.lastIndexOf(marker) + marker.length)
+        // chunk keys are all-numeric (after the optional v3 "c"
+        // component); everything else under the dir is metadata
+        val parts = rel.replace('/', '.').split('.')
+        val idxParts =
+          if (parts.nonEmpty && parts.head == "c") parts.tail else parts
+        if (idxParts.isEmpty || !idxParts.forall(_.forall(_.isDigit)))
+          Iterator.empty
+        else {
+          val ci = idxParts.map(_.toInt)
+          val nd = meta.nd
+          require(ci.length == nd, s"bad chunk key $rel")
+          def beyondExtent = (0 until nd).exists(k =>
+            ci(k) * meta.chunkShape(k) >= meta.shape(k))
+          var tries = 0
+          while (beyondExtent && triesLeft > 0) {
+            Thread.sleep(100L << math.min(tries, 3))
+            store = ZarrGridStore.open(cleanRoot, hconf)
+            tries += 1
+            triesLeft -= 1
+          }
+          require(!beyondExtent,
+            s"chunk $rel beyond committed $name extent after $tries " +
+              "metadata re-reads — torn append; restart the query once " +
+              "the writer commits")
+          val a = meta
+          val dcur = dims
+          val chunkShape = a.chunkShape.toArray
+          val start = Array.tabulate(nd)(k => ci(k) * chunkShape(k))
+          val data = ZarrGridStore.applyMaskScale(a,
+            ZarrGridStore.decodeChunkPayload(p, a,
+              r.getAs[Array[Byte]](1)))
+          val n = chunkShape.product
+          (0 until n).iterator.flatMap { flat =>
+            val idx = new Array[Int](nd)
+            var rest = flat
+            var k = nd - 1
+            var inExtent = true
+            while (k >= 0) {
+              idx(k) = start(k) + rest % chunkShape(k)
+              rest /= chunkShape(k)
+              if (idx(k) >= a.shape(k)) inExtent = false
+              k -= 1
+            }
+            if (!inExtent) Iterator.empty // padded edge cell
+            else {
+              val vals = new Array[Any](nd + 1)
+              var k2 = 0
+              while (k2 < nd) {
+                vals(k2) =
+                  LazyGridView.externalCoord(dcur(k2).coords, idx(k2))
+                k2 += 1
+              }
+              vals(nd) = (data: Any) match {
+                case arr: Array[Double] => arr(flat)
+                case arr: Array[Float] => arr(flat)
+                case arr: Array[Int] => arr(flat)
+                case arr: Array[Long] => arr(flat)
+              }
+              Iterator.single(Row.fromSeq(vals.toIndexedSeq))
+            }
+          }
+        }
+      }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema))
+  }
+
   /** Coordinate values in the external (Row) representation the reverse
     * pivot compares against (single source of truth:
     * [[graft.grid.LazyGridView.externalCoord]]).

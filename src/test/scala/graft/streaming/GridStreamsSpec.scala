@@ -265,4 +265,68 @@ class GridStreamsSpec extends SparkTestBase {
     assert(rows.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .distinct.length == rows.length)
   }
+
+  test("tailCellsZarr: blosc tree streams cells; padded edges dropped") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ztail").toString + "/store"
+    // ragged t edge (12 = 5+5+2): the stored edge chunk is PADDED per
+    // the v2 spec; the stream must drop the padding cells
+    ZarrGridStore.write(Fixtures.linearGridSlice(0, 12), root,
+      Map("t" -> 5), "blosc")
+    val q = GridStreams.tailCellsZarr(spark, root, "air")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ztail_out").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ztail_out").collect()
+    assert(rows.length == 12 * 12 * 10, s"got ${rows.length} cells")
+    val law = Fixtures.linearGrid.laws("air")
+    rows.foreach { r =>
+      val t = r.getInt(0)
+      val i = ((75.0 - r.getDouble(1)) / 2.5).round.toInt
+      val j = ((r.getDouble(2) - 200.0) / 2.5).round.toInt
+      assert(r.getDouble(3) == law(Array(t, i, j)), s"cell ($t,$i,$j)")
+    }
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .distinct.length == rows.length)
+  }
+
+  test("tailCellsZarr: appended chunk files arrive as later batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ztail2")
+    val root = base.resolve("store").toString
+    val full = base.resolve("full").toString
+    // chunk-aligned initial extent (the same contract as binary
+    // appends: file streams never re-deliver a rewritten edge chunk)
+    ZarrGridStore.write(Fixtures.linearGridSlice(0, 12), root,
+      Map("t" -> 6), "zstd")
+    ZarrGridStore.write(Fixtures.linearGrid, full,
+      Map("t" -> 6), "zstd")
+    val q = GridStreams.tailCellsZarr(spark, root, "air")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ztail_grow").start()
+    q.processAllAvailable()
+    assert(spark.table("ztail_grow").count() == 12L * 12 * 10)
+    // a forecast cycle lands: new chunk files FIRST, then the grown
+    // metadata (array shape, t coordinate, consolidated view)
+    def cp(rel: String): Unit = java.nio.file.Files.copy(
+      java.nio.file.Paths.get(full, rel),
+      java.nio.file.Paths.get(root, rel),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    cp("air/2.0.0"); cp("air/3.0.0")
+    cp("t/0"); cp("t/.zarray")
+    cp("air/.zarray")
+    cp(".zmetadata")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ztail_grow").collect()
+    assert(rows.length == 24 * 12 * 10, s"got ${rows.length} cells")
+    val law = Fixtures.linearGrid.laws("air")
+    rows.foreach { r =>
+      val t = r.getInt(0)
+      val i = ((75.0 - r.getDouble(1)) / 2.5).round.toInt
+      val j = ((r.getDouble(2) - 200.0) / 2.5).round.toInt
+      assert(r.getDouble(3) == law(Array(t, i, j)), s"cell ($t,$i,$j)")
+    }
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .distinct.length == rows.length)
+  }
 }
