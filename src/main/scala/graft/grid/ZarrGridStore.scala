@@ -72,6 +72,15 @@ final case class StoredInt(width: Int, signed: Boolean) extends StoredElem
   */
 case object StoredHalf extends StoredElem { val width = 2 }
 
+/** Fixed-width string element (`|S<n>` bytes or `<U<n>` UTF-32 code
+  * points, NUL-padded — numpy's fixed-width layouts): decodes to
+  * GString. Only legal on coordinate arrays (station-style dims); data
+  * variables stay numeric.
+  */
+final case class StoredStr(nchars: Int, utf32: Boolean) extends StoredElem {
+  def width: Int = if (utf32) nchars * 4 else nchars
+}
+
 /** One parsed numcodecs filter: `shuffle` (byte shuffle with
   * `elementSize` lanes) or `delta` (successive differences in the
   * element domain of `dtypeStr`, numpy wrap-on-overflow semantics).
@@ -331,6 +340,7 @@ object ZarrGridStore {
             case v: Array[Float] => FloatCoords(v)
             case v: Array[Int] => IntCoords(v)
             case v: Array[Long] => LongCoords(v)
+            case v: Array[String] => StringCoords(v)
           }
           DimDef(name, coords,
             attrs = a.attrs.filterNot(_._1 == "calendar"))
@@ -536,6 +546,34 @@ object ZarrGridStore {
       val o = new Array[Float](n)
       var i = 0
       while (i < n) { o(i) = halfToFloat(sb.get(i)); i += 1 }
+      o
+    case Some(s @ StoredStr(nchars, utf32)) =>
+      val w = s.width
+      val bb = ByteBuffer.wrap(bytes).order(
+        if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      val o = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        if (utf32) {
+          val sb2 = new java.lang.StringBuilder(nchars)
+          var k = 0
+          var done = false
+          while (k < nchars && !done) {
+            val cp = bb.getInt(i * w + k * 4)
+            if (cp == 0) done = true // NUL padding terminates
+            else sb2.appendCodePoint(cp)
+            k += 1
+          }
+          o(i) = sb2.toString
+        } else {
+          var end = i * w
+          val stop = i * w + nchars
+          while (end < stop && bytes(end) != 0) end += 1
+          o(i) = new String(bytes, i * w, end - i * w,
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
+        i += 1
+      }
       o
   }
 
@@ -855,8 +893,21 @@ object ZarrGridStore {
       stored = stored, filters = filters)
   }
 
+  private val strDtype = raw"([<>|])([SU])(\d+)".r
+
   private def parseDtype(s: String,
       name: String): (GridType, Boolean, Option[StoredElem]) = {
+    // fixed-width strings first: |S<n> bytes, <U<n>/>U<n> UTF-32
+    s match {
+      case strDtype(ord, kind, n) =>
+        val nchars = n.toInt
+        require(nchars > 0, s"$name: zero-width string dtype '$s'")
+        require(kind == "S" || ord != "|",
+          s"$name: bad byte order '$ord' for U dtype '$s'")
+        return (GString, ord == ">",
+          Some(StoredStr(nchars, utf32 = kind == "U")))
+      case _ => ()
+    }
     require(s.length == 3, s"$name: unsupported dtype '$s'")
     val bigEndian = s.charAt(0) match {
       case '<' | '|' => false // '|' = byte-order-irrelevant (1-byte)
@@ -1111,6 +1162,37 @@ object ZarrGridStore {
     val dir = s"$root/${d.name}"
     GridIO.mkdirs(dir, conf)
     val n = d.size
+    d.coords match {
+      case StringCoords(vs) =>
+        // fixed-width UTF-32 ("<U<n>", numpy's unicode layout): what
+        // xarray writes for string coordinate arrays
+        val nchars = math.max(1,
+          vs.map(s0 => s0.codePointCount(0, s0.length))
+            .foldLeft(0)(math.max))
+        GridIO.writeString(s"$dir/.zarray",
+          zarrayJson(Seq(n), Seq(math.max(n, 1)), s"<U$nchars", None,
+            "null"), conf)
+        GridIO.writeString(s"$dir/.zattrs",
+          attrsJson(d.attrs, Some(Seq(d.name))), conf)
+        if (n > 0) {
+          val bb = ByteBuffer.allocate(n * nchars * 4)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          vs.foreach { s0 =>
+            var written = 0
+            var i = 0
+            while (i < s0.length) {
+              val cp = s0.codePointAt(i)
+              bb.putInt(cp)
+              written += 1
+              i += Character.charCount(cp)
+            }
+            while (written < nchars) { bb.putInt(0); written += 1 }
+          }
+          GridIO.write(s"$dir/0", bb.array(), conf)
+        }
+        return
+      case _ => ()
+    }
     val (data, dtype, extraAttrs) = coordPayload(d)
     GridIO.writeString(s"$dir/.zarray", zarrayJson(Seq(n), Seq(math.max(n, 1)),
       dtypeString(dtype), None, "null"), conf)

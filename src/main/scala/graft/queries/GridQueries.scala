@@ -476,6 +476,22 @@ object GridQueries {
           col("air"))
     }),
 
+    // station-style dataset as a REAL Zarr tree: the string coordinate
+    // round-trips through numpy's fixed-width "<U<n>" UTF-32 layout
+    // (write + parse), the timestamp axis through the CF bridge, and
+    // the residual string IN filter evaluates on the decoded coords —
+    // the same query shape as pivot_grid_station on the binary store
+    "pivot_grid_station_zarr" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_station") + "/store"
+      val store = graft.grid.ZarrGridStore.write(Fixtures.stationGrid,
+        root, Map("station" -> 4), "zlib")
+      new XarrayContext(s).fromDataset("stations_zarr", store,
+        Map("station" -> 4))
+      s.sql("""SELECT station, time, reading FROM stations_zarr
+              |WHERE station IN ('st_1','st_4')
+              |AND time >= timestamp'2020-01-04 00:00:00'""".stripMargin)
+    }),
+
     // SQL result -> cloud Zarr with NO driver materialization: the
     // pivoted rows scatter through GridWriter's one-shuffle reverse
     // pivot directly into padded compressed v2 chunk files written by
@@ -798,6 +814,15 @@ object GridQueries {
          |clim AS (SELECT lat, lon, AVG(air) AS m FROM grid GROUP BY lat, lon)
          |SELECT CAST(g.t AS BIGINT) AS t, g.lat, g.lon, g.air - c.m AS anom
          |FROM grid g JOIN clim c ON g.lat = c.lat AND g.lon = c.lon""".stripMargin,
+    "pivot_grid_station_zarr" ->
+      """WITH st AS (
+        |  SELECT 'st_' || CAST(i AS VARCHAR) AS station,
+        |         TIMESTAMP '2020-01-01' + INTERVAL (t) DAY AS time,
+        |         100.0 + 7.0*i + 0.25*t AS reading
+        |  FROM generate_series(0, 7) g1(i), generate_series(0, 9) g2(t))
+        |SELECT station, time, reading FROM st
+        |WHERE station IN ('st_1','st_4')
+        |AND time >= TIMESTAMP '2020-01-04'""".stripMargin,
     "pivot_grid_station" ->
       """WITH st AS (
         |  SELECT 'st_' || CAST(i AS VARCHAR) AS station,

@@ -254,6 +254,74 @@ class ZarrPackedSpec extends AnyFunSuite {
       ZarrGridStore.floatToHalf(Float.NaN)).isNaN)
   }
 
+  test("fixed-width string coordinates: |S bytes and <U UTF-32 decode") {
+    val root = tmp()
+    put(root, ".zgroup", """{"zarr_format":2}""")
+    // |S6 byte-string coord named after its own dim -> coordinate array
+    put(root, "site/.zarray",
+      """{"zarr_format":2,"shape":[3],"chunks":[3],"dtype":"|S6",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin)
+    put(root, "site/.zattrs", """{"_ARRAY_DIMENSIONS":["site"]}""")
+    putBytes(root, "site/0",
+      "alpha bee   gamma "
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    // data var over the string dim
+    put(root, "v/.zarray",
+      """{"zarr_format":2,"shape":[3],"chunks":[3],"dtype":"<f8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin)
+    put(root, "v/.zattrs", """{"_ARRAY_DIMENSIONS":["site"]}""")
+    putBytes(root, "v/0", {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Seq(1.0, 2.0, 3.0).foreach(bb.putDouble)
+      bb.array()
+    })
+    val store = ZarrGridStore.open(root.toString)
+    assert(store.schema.dim("site").coords.asInstanceOf[StringCoords]
+      .values.toSeq == Seq("alpha", "bee", "gamma"))
+
+    // <U4 UTF-32 coord incl. a non-BMP code point
+    val root2 = tmp()
+    put(root2, ".zgroup", """{"zarr_format":2}""")
+    put(root2, "tag/.zarray",
+      """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"<U4",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin)
+    put(root2, "tag/.zattrs", """{"_ARRAY_DIMENSIONS":["tag"]}""")
+    putBytes(root2, "tag/0", {
+      val bb = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Seq(0x61, 0x62, 0, 0).foreach(bb.putInt)       // "ab"
+      Seq(0x1F600, 0x7A, 0, 0).foreach(bb.putInt)    // emoji + "z"
+      bb.array()
+    })
+    put(root2, "w/.zarray",
+      """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"<f8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin)
+    put(root2, "w/.zattrs", """{"_ARRAY_DIMENSIONS":["tag"]}""")
+    putBytes(root2, "w/0", new Array[Byte](16))
+    val store2 = ZarrGridStore.open(root2.toString)
+    assert(store2.schema.dim("tag").coords.asInstanceOf[StringCoords]
+      .values.toSeq == Seq("ab", new String(Character.toChars(0x1F600)) + "z"))
+  }
+
+  test("string coordinates round trip through the zarr writer") {
+    val root = tmp().resolve("st").toString
+    val store = ZarrGridStore.write(Fixtures.stationGrid, root,
+      Map("station" -> 4), "zlib")
+    assert(store.schema.dim("station").coords.asInstanceOf[StringCoords]
+      .values.toSeq == (0 until 8).map(i => s"st_$i"))
+    // time axis still decodes through the CF bridge
+    assert(store.schema.dim("time").coords.isInstanceOf[TimeCoords])
+    val full = Seq((0, 8), (0, 10))
+    assert(store.readVar("reading", full).asInstanceOf[Array[Double]]
+      .sameElements(Fixtures.stationGrid.readVar("reading", full)
+        .asInstanceOf[Array[Double]]))
+  }
+
   test("unsupported dtypes still fail clearly") {
     val root = tmp()
     put(root, ".zgroup", """{"zarr_format":2}""")
