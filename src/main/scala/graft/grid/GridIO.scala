@@ -45,9 +45,18 @@ object GridIO {
     */
   object Counters {
     val reads = new java.util.concurrent.atomic.LongAdder
+    val rangeReads = new java.util.concurrent.atomic.LongAdder
     val lists = new java.util.concurrent.atomic.LongAdder
     val existChecks = new java.util.concurrent.atomic.LongAdder
-    def reset(): Unit = { reads.reset(); lists.reset(); existChecks.reset() }
+    /** Payload bytes fetched by [[readAllBytes]] + [[readRange]] — the
+      * number that proves a pruned sharded scan fetched k inner chunks'
+      * bytes, not whole shard files.
+      */
+    val bytesRead = new java.util.concurrent.atomic.LongAdder
+    def reset(): Unit = {
+      reads.reset(); rangeReads.reset(); lists.reset(); existChecks.reset()
+      bytesRead.reset()
+    }
   }
 
   /** Driver-side: the session's Hadoop conf if a session is active. */
@@ -75,9 +84,40 @@ object GridIO {
     val f = fs(p, conf)
     val len = f.getFileStatus(p).getLen
     require(len <= Int.MaxValue, s"chunk file too large: $path ($len bytes)")
+    Counters.bytesRead.add(len)
     val buf = new Array[Byte](len.toInt)
     val in = f.open(p)
     try in.readFully(0, buf)
+    finally in.close()
+    buf
+  }
+
+  /** (length, modification time) of a file, None when it does not exist —
+    * one metadata round trip (a HEAD on object stores). The pair also
+    * serves as a cheap content-version key: any rewrite changes it.
+    */
+  def statusOf(path: String, conf: Configuration): Option[(Long, Long)] = {
+    Counters.existChecks.increment()
+    val p = new Path(path)
+    try {
+      val st = fs(p, conf).getFileStatus(p)
+      Some((st.getLen, st.getModificationTime))
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Ranged read of `[offset, offset+length)` — a range GET on object
+    * stores. The primitive that makes sub-file granularity real: a
+    * sharded-Zarr scan fetches the shard index and then only the inner
+    * chunks it needs, never the whole (possibly GB-sized) shard file.
+    */
+  def readRange(path: String, offset: Long, length: Int,
+      conf: Configuration): Array[Byte] = {
+    Counters.rangeReads.increment()
+    Counters.bytesRead.add(length)
+    val p = new Path(path)
+    val buf = new Array[Byte](length)
+    val in = fs(p, conf).open(p)
+    try in.readFully(offset, buf)
     finally in.close()
     buf
   }

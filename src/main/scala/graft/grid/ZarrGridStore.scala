@@ -53,6 +53,16 @@ final case class ZarrArrayMeta(
     */
   def storedWidth: Int = stored.map(_.width).getOrElse(dtype.byteWidth)
 
+  /** The READ-GRANULARITY chunk shape: the inner chunk grid for sharded
+    * arrays (inner chunks are individually addressable via the shard
+    * index + ranged reads), the stored chunk shape otherwise. This is
+    * what scans partition and prune on — sharding exists precisely so
+    * archives can use GB-sized shard FILES without forcing GB-sized
+    * reads, so the task unit must be the inner chunk, not the file.
+    */
+  def effectiveChunk: Seq[Int] =
+    sharding.map(_.innerShape).getOrElse(chunkShape)
+
   /** Storage key of chunk `ci` relative to the array dir. */
   def chunkKey(ci: Seq[Int]): String =
     if (keyPrefix.isEmpty) ci.mkString(dimSep)
@@ -150,11 +160,14 @@ final case class ZarrGridStore(root: String, schema: GridSchema,
 
   /** Per-dim chunk sizes of the DATA variables (what registration
     * partitions the scan by). Coordinate arrays may chunk differently;
-    * they are read eagerly at open and never partition anything.
+    * they are read eagerly at open and never partition anything. For
+    * sharded v3 arrays this is the INNER chunk grid ([[ZarrArrayMeta
+    * .effectiveChunk]]): partitions stay inner-chunk-sized (and zone
+    * maps inner-chunk-tight) no matter how large the shard files are.
     */
   def chunkMap: Map[String, Int] = {
     val dataVars = schema.vars.map(v => arrays(v.name))
-    dataVars.flatMap(a => a.dims.zip(a.chunkShape)).groupBy(_._1)
+    dataVars.flatMap(a => a.dims.zip(a.effectiveChunk)).groupBy(_._1)
       .map { case (d, sizes) => d -> sizes.head._2 }
   }
 
@@ -283,8 +296,8 @@ object ZarrGridStore {
     }
 
     // per-dim data chunk sizes must be consistent across data vars —
-    // the scan partitions on one chunk grid
-    dataArrs.toSeq.sortBy(_.name).flatMap(a => a.dims.zip(a.chunkShape))
+    // the scan partitions on one (effective) chunk grid
+    dataArrs.toSeq.sortBy(_.name).flatMap(a => a.dims.zip(a.effectiveChunk))
       .groupBy(_._1).foreach { case (d, sizes) =>
         require(sizes.map(_._2).distinct.size == 1,
           s"data variables disagree on chunk size of dim $d: " +
@@ -361,18 +374,30 @@ object ZarrGridStore {
       conf: org.apache.hadoop.conf.Configuration): AnyRef = {
     require(ranges.length == a.nd,
       s"${a.name}: ${ranges.length} ranges for ${a.nd}-d array")
-    // fast path: the request is exactly one complete stored chunk
+    // fast path: the request is exactly one complete stored chunk —
+    // for a sharded array that means the whole shard, where one full
+    // file read beats an index fetch + per-inner-chunk range GETs
     val whole = (0 until a.nd).forall { i =>
       ranges(i)._1 % a.chunkShape(i) == 0 &&
         ranges(i)._2 == a.chunkShape(i)
     }
     if (whole)
       readChunk(root, a, (0 until a.nd).map(i => ranges(i)._1 / a.chunkShape(i)), conf)
-    else
-      ChunkAssembly.gather(ranges, a.chunkShape, a.shape, a.dtype,
-        // zarr v2 stores edge chunks padded to the full chunk shape
-        storedShape = (_, _) => a.chunkShape.toArray,
-        readChunk = (ci, _) => readChunk(root, a, ci, conf))
+    else a.sharding match {
+      case Some(sh) =>
+        // inner-chunk granularity: the shard index (a known-position
+        // tail/head range of the file) tells where each inner chunk's
+        // bytes live, so only intersecting inner chunks are fetched —
+        // a pruned scan over a GB-shard archive reads KB-sized ranges
+        ChunkAssembly.gather(ranges, sh.innerShape, a.shape, a.dtype,
+          storedShape = (_, _) => sh.innerShape.toArray,
+          readChunk = (ci, _) => readInnerChunk(root, a, sh, ci, conf))
+      case None =>
+        ChunkAssembly.gather(ranges, a.chunkShape, a.shape, a.dtype,
+          // zarr v2 stores edge chunks padded to the full chunk shape
+          storedShape = (_, _) => a.chunkShape.toArray,
+          readChunk = (ci, _) => readChunk(root, a, ci, conf))
+    }
   }
 
   /** One whole stored chunk (always the FULL chunk shape — v2 pads
@@ -650,9 +675,11 @@ object ZarrGridStore {
     * the (offset, nbytes) index, decode each present inner chunk
     * through the inner codec pipeline, byte-assemble in C order, fill
     * the missing inner blocks, then one endian pass over the whole
-    * outer chunk. The scan's pruning/partitioning unit stays the outer
-    * chunk, so a full-shard read is the right I/O shape here — every
-    * present inner chunk is needed.
+    * outer chunk. Used only when the request covers the WHOLE shard
+    * (one full-file read beats index + per-inner range GETs there) and
+    * by the streaming tail, which receives complete shard files from
+    * Spark's file source; partial requests go through
+    * [[readInnerChunk]]'s ranged reads instead.
     */
   private def readShard(path: String, a: ZarrArrayMeta,
       raw: Array[Byte]): AnyRef = {
@@ -682,27 +709,7 @@ object ZarrGridStore {
     if (entries.exists(_._1 == -1L)) {
       // prefill with the fill value's byte pattern (inner endianness —
       // the single decode below uses the same)
-      val one = ByteBuffer.allocate(w).order(if (sh.innerBigEndian)
-        ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-      val intFill = if (a.fillValue.isNaN) 0L else a.fillValue.toLong
-      a.stored match {
-        case Some(StoredInt(1, _)) => one.put(intFill.toByte)
-        case Some(StoredInt(2, _)) => one.putShort(intFill.toShort)
-        case Some(StoredInt(4, _)) => one.putInt(intFill.toInt)
-        case Some(StoredHalf) =>
-          one.putShort(floatToHalf(a.fillValue.toFloat))
-        case Some(s) => throw new IllegalArgumentException(
-          s"${a.name}: bad packed layout $s")
-        case None => a.dtype match {
-          case GDouble => one.putDouble(a.fillValue)
-          case GFloat => one.putFloat(a.fillValue.toFloat)
-          case GInt => one.putInt(intFill.toInt)
-          case GLong | GTimestamp | GDuration => one.putLong(intFill)
-          case GString => throw new IllegalArgumentException(
-            "string arrays unsupported")
-        }
-      }
-      val pat = one.array()
+      val pat = storedFillPattern(a, sh.innerBigEndian)
       var i = 0
       while (i < outBytes.length) {
         System.arraycopy(pat, 0, outBytes, i, w); i += w
@@ -757,6 +764,134 @@ object ZarrGridStore {
       k += 1
     }
     decodeStored(outBytes, a, sh.innerBigEndian, n)
+  }
+
+  /** One element's stored byte pattern of the declared fill value. */
+  private def storedFillPattern(a: ZarrArrayMeta,
+      bigEndian: Boolean): Array[Byte] = {
+    val one = ByteBuffer.allocate(a.storedWidth).order(if (bigEndian)
+      ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val intFill = if (a.fillValue.isNaN) 0L else a.fillValue.toLong
+    a.stored match {
+      case Some(StoredInt(1, _)) => one.put(intFill.toByte)
+      case Some(StoredInt(2, _)) => one.putShort(intFill.toShort)
+      case Some(StoredInt(4, _)) => one.putInt(intFill.toInt)
+      case Some(StoredHalf) =>
+        one.putShort(floatToHalf(a.fillValue.toFloat))
+      case Some(s) => throw new IllegalArgumentException(
+        s"${a.name}: bad packed layout $s")
+      case None => a.dtype match {
+        case GDouble => one.putDouble(a.fillValue)
+        case GFloat => one.putFloat(a.fillValue.toFloat)
+        case GInt => one.putInt(intFill.toInt)
+        case GLong | GTimestamp | GDuration => one.putLong(intFill)
+        case GString => throw new IllegalArgumentException(
+          "string arrays unsupported")
+      }
+    }
+    one.array()
+  }
+
+  // ---- sharded inner-chunk reads -------------------------------------
+
+  /** Parsed shard-index cache. An index is small (16 B per inner chunk)
+    * but costs a metadata + range round trip; without caching, every
+    * inner-chunk task of the same shard re-fetches it. Keyed by
+    * (path, length, mtime) so a rewritten shard can never serve a stale
+    * index; bounded LRU in access order (per-executor working set).
+    */
+  private val shardIndexCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Array[Long]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Array[Long]]): Boolean =
+        size() > 1024
+    }
+
+  /** The (offset, nbytes) pairs of one shard's index — flat
+    * [off0, nb0, off1, nb1, ...] — fetched by ranged read from the
+    * index's known position, crc-verified, cached. None = shard file
+    * absent (the spec'd all-fill case).
+    */
+  private def shardIndex(path: String, sh: ShardMeta, nInner: Int,
+      conf: org.apache.hadoop.conf.Configuration): Option[Array[Long]] =
+    GridIO.statusOf(path, conf).map { case (len, mtime) =>
+      val key = (path, len, mtime)
+      shardIndexCache.synchronized(Option(shardIndexCache.get(key)))
+        .getOrElse {
+          val idxBody = nInner * 16
+          val idxLen = idxBody + (if (sh.indexCrc32c) 4 else 0)
+          require(len >= idxLen, s"shard $path shorter than its index")
+          val raw = GridIO.readRange(path,
+            if (sh.indexAtEnd) len - idxLen else 0L, idxLen, conf)
+          if (sh.indexCrc32c) {
+            val crc = new java.util.zip.CRC32C()
+            crc.update(raw, 0, idxBody)
+            val stored = ByteBuffer.wrap(raw, idxBody, 4)
+              .order(ByteOrder.LITTLE_ENDIAN).getInt
+            require(crc.getValue.toInt == stored,
+              s"shard $path: index crc32c mismatch")
+          }
+          val bb = ByteBuffer.wrap(raw, 0, idxBody)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          val entries = new Array[Long](nInner * 2)
+          var i = 0
+          while (i < entries.length) { entries(i) = bb.getLong; i += 1 }
+          shardIndexCache.synchronized(shardIndexCache.put(key, entries))
+          entries
+        }
+    }
+
+  /** One INNER chunk of a sharded array by global inner-chunk index:
+    * index lookup (cached) + one ranged read of exactly that inner
+    * chunk's compressed bytes. This is the 100x-scale read path — task
+    * I/O is inner-chunk-sized regardless of shard file size, and a
+    * pruned scan never touches the bytes of pruned inner chunks.
+    */
+  private def readInnerChunk(root: String, a: ZarrArrayMeta, sh: ShardMeta,
+      innerCi: Seq[Int],
+      conf: org.apache.hadoop.conf.Configuration): AnyRef = {
+    val nd = a.nd
+    val innersPerShard =
+      (0 until nd).map(d => a.chunkShape(d) / sh.innerShape(d))
+    val shardCi = (0 until nd).map(d => innerCi(d) / innersPerShard(d))
+    val innerN = sh.innerShape.product
+    val nInner = innersPerShard.product
+    val path = s"$root/${a.name}/${a.chunkKey(shardCi)}"
+    def fillChunk(): AnyRef = {
+      val w = a.storedWidth
+      val pat = storedFillPattern(a, sh.innerBigEndian)
+      val bytes = new Array[Byte](innerN * w)
+      var i = 0
+      while (i < bytes.length) { System.arraycopy(pat, 0, bytes, i, w); i += w }
+      decodeStored(bytes, a, sh.innerBigEndian, innerN)
+    }
+    shardIndex(path, sh, nInner, conf) match {
+      case None => fillChunk() // whole shard absent
+      case Some(entries) =>
+        // C-order flat index of this inner chunk within its shard
+        var k = 0
+        var d = 0
+        while (d < nd) {
+          k = k * innersPerShard(d) + innerCi(d) % innersPerShard(d)
+          d += 1
+        }
+        val off = entries(2 * k)
+        val nb = entries(2 * k + 1)
+        if (off == -1L && nb == -1L) fillChunk()
+        else {
+          require(off >= 0 && nb >= 0 && nb <= Int.MaxValue,
+            s"shard $path: inner chunk $k index entry out of range")
+          val w = a.storedWidth
+          val comp = GridIO.readRange(path, off, nb.toInt, conf)
+          val bytes = decompressed(s"$path#$k", comp, sh.innerCompressor,
+            innerN * w)
+          require(bytes.length == innerN * w,
+            s"shard $path: inner chunk $k decodes to ${bytes.length} " +
+              s"bytes, expected ${innerN * w}")
+          decodeStored(bytes, a, sh.innerBigEndian, innerN)
+        }
+    }
   }
 
   private def fillArray(dtype: GridType, fill: Double, n: Int): AnyRef =

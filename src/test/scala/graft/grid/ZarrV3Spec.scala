@@ -204,7 +204,7 @@ class ZarrV3Spec extends SparkTestBase {
     assert(e.getMessage.contains("crc32c"), e.getMessage)
   }
 
-  test("sharded write/open round trip; partitioning stays on shards") {
+  test("sharded write/open round trip; partitioning is inner-chunk-granular") {
     val root = tmp().resolve("sh").toString
     val store = ZarrV3.write(Fixtures.linearGrid, root,
       Map("t" -> 6, "lat" -> 5), "zstd:3",
@@ -212,6 +212,8 @@ class ZarrV3Spec extends SparkTestBase {
     // stored files are SHARDS: 4 t-shards x 3 lat-shards x 1 = 12 files
     assert(store.arrays("air").sharding.exists(
       _.innerShape == Seq(2, 5, 10)))
+    // the scan's chunk grid is the INNER grid, not the shard files
+    assert(store.chunkMap == Map("t" -> 2, "lat" -> 5, "lon" -> 10))
     val full = Seq((0, 24), (0, 12), (0, 10))
     assert(store.readVar("air", full).asInstanceOf[Array[Double]]
       .sameElements(Fixtures.linearGrid.readVar("air", full)
@@ -226,7 +228,7 @@ class ZarrV3Spec extends SparkTestBase {
     assert(store.readVar("air", sl).asInstanceOf[Array[Double]]
       .sameElements(Fixtures.linearGrid.readVar("air", sl)
         .asInstanceOf[Array[Double]]))
-    // registered scan still prunes at SHARD granularity (sum forces
+    // registered scan prunes at INNER-chunk granularity (sum forces
     // data reads — a bare count() is answered from chunk metadata)
     val df = new graft.XarrayContext(spark)
       .scratchDataFrame(s"zarr_v3_shard@$root", store, store.chunkMap,
@@ -235,8 +237,42 @@ class ZarrV3Spec extends SparkTestBase {
     val rows = df.filter(col("t") >= 18)
       .agg(sum("air").as("s"), count(lit(1)).as("n")).collect()
     assert(rows.head.getLong(1) == 6L * 12 * 10)
-    // 1 of 4 t-shards survives x 3 lat-shards (12 = 5+5+2) x 1 lon
+    // 3 of 12 t-inner-chunks survive x 3 lat-shards (12 = 5+5+2) x 1 lon
+    assert(ReadCounters.partitionsOpened.sum() == 9L)
+  }
+
+  test("pruned sharded scan fetches k-of-n inner chunks' BYTES, not shards") {
+    val root = tmp().resolve("shbytes").toString
+    val store = ZarrV3.write(Fixtures.linearGrid, root,
+      Map("t" -> 6, "lat" -> 5), "zstd:3",
+      shardInner = Map("t" -> 2, "lat" -> 5))
+    val df = new graft.XarrayContext(spark)
+      .scratchDataFrame(s"zarr_v3_shbytes@$root", store, store.chunkMap,
+        Seq("t", "lat", "lon"))
+    // t >= 22 keeps ONE of the three inner chunks of the last t-shard
+    // (x 3 lat-shards); the read path must fetch each shard's index +
+    // exactly that inner chunk's byte range — strictly fewer bytes than
+    // the three surviving shard FILES a whole-shard reader would pull
+    val survivingShardBytes = (0 until 3).map { latShard =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(
+        root, "air", "c", "3", latShard.toString, "0"))
+    }.sum
+    GridIO.Counters.reset()
+    ReadCounters.reset()
+    val rows = df.filter(col("t") >= 22)
+      .agg(sum("air").as("s"), count(lit(1)).as("n")).collect()
+    assert(rows.head.getLong(1) == 2L * 12 * 10)
+    val expect = (for (t <- 22 until 24; i <- 0 until 12; j <- 0 until 10)
+      yield 200.0 + t + 2.0 * i + 3.0 * j).sum
+    assert(rows.head.getDouble(0) == expect)
     assert(ReadCounters.partitionsOpened.sum() == 3L)
+    // ranged reads happened (index + inner chunk payloads), and no
+    // whole-file chunk read did
+    assert(GridIO.Counters.rangeReads.sum() >= 3L)
+    assert(GridIO.Counters.reads.sum() == 0L)
+    assert(GridIO.Counters.bytesRead.sum() < survivingShardBytes,
+      s"read ${GridIO.Counters.bytesRead.sum()} B, whole shards are " +
+        s"$survivingShardBytes B")
   }
 
   test("writeDistributed emits a byte-identical sharded tree") {
