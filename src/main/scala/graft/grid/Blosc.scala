@@ -35,14 +35,17 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Inner codecs use the raw-block libraries Spark already bundles
   * (lz4-java, zstd-jni, snappy-java, java.util.zip) — no new
-  * dependencies, works on executors everywhere. `blosclz` (blosc's own
-  * LZ variant) and bit-shuffle have no JVM implementation here and are
-  * rejected with a clear message.
+  * dependencies, works on executors everywhere — plus a pure-JVM
+  * [[BloscLz]] for `blosclz`, the historical c-blosc default older
+  * public archives are encoded with. Both shuffle filters decode:
+  * byte-shuffle (flag 0x01) and bit-shuffle (flag 0x04, the bitshuffle
+  * library's LSB-first bit-matrix transpose in 8-element groups).
   *
-  * The [[compress]] side emits the same container (dont-split layout,
-  * optional byte-shuffle) so [[ZarrGridStore.write]] doubles as a
-  * blosc-encoding Zarr sink and decode is round-trip-testable without a
-  * native c-blosc in the container.
+  * The [[compress]]/[[compressMode]] side emits the same container
+  * (dont-split layout, optional byte- or bit-shuffle) so
+  * [[ZarrGridStore.write]] doubles as a blosc-encoding Zarr sink and
+  * decode is round-trip-testable without a native c-blosc in the
+  * container.
   */
 object Blosc {
 
@@ -77,8 +80,6 @@ object Blosc {
     require(cbytes == raw.length,
       s"blosc header says $cbytes total bytes, buffer has ${raw.length}")
     require((flags & FlagDelta) == 0, "blosc delta filter unsupported")
-    require((flags & FlagBitShuffle) == 0,
-      "blosc bit-shuffle unsupported (byte-shuffle is)")
     val out = new Array[Byte](nbytes)
     if (nbytes == 0) return out
     if ((flags & FlagMemcpy) != 0) {
@@ -88,14 +89,22 @@ object Blosc {
     }
     require(blocksize > 0, s"bad blosc blocksize $blocksize")
     val codec = (flags >> 5) & 0x7
-    val shuffle = (flags & FlagShuffle) != 0 && typesize > 1
+    val byteShuffle = (flags & FlagShuffle) != 0 && typesize > 1
+    val bitShuffled = (flags & FlagBitShuffle) != 0
+    require(!(byteShuffle && bitShuffled),
+      "blosc buffer claims both byte- and bit-shuffle")
+    val shuffle = byteShuffle || bitShuffled
     val dontSplit = (flags & FlagDontSplit) != 0
     val nblocks = (nbytes + blocksize - 1) / blocksize
+    // a block offset inside the header or the offsets table itself is
+    // corruption; fail here instead of decoding the table as payload
+    require(raw.length >= 16 + 4 * nblocks,
+      s"blosc buffer shorter than its $nblocks-entry offset table")
     val tmp = if (shuffle) new Array[Byte](blocksize) else null
     var j = 0
     while (j < nblocks) {
       val bstart = bb.getInt(16 + 4 * j)
-      require(bstart >= 16 && bstart < raw.length,
+      require(bstart >= 16 + 4 * nblocks && bstart < raw.length,
         s"blosc block $j offset $bstart out of range")
       val bsize = math.min(blocksize, nbytes - j * blocksize)
       val leftover = bsize != blocksize
@@ -121,19 +130,38 @@ object Blosc {
         src += csize
         s += 1
       }
-      if (shuffle) unshuffle(typesize, tmp, bsize, out, j * blocksize)
+      if (byteShuffle) unshuffle(typesize, tmp, bsize, out, j * blocksize)
+      else if (bitShuffled) bitUnshuffle(typesize, tmp, bsize, out, j * blocksize)
       j += 1
     }
     out
   }
 
   /** Encode `data` as a blosc1 buffer (dont-split layout). `codec` is
-    * `lz4 | zstd | zlib | snappy`; `shuffle` applies the byte-shuffle
-    * filter with `typesize`-byte lanes; `blocksize` 0 picks a default.
-    * Falls back to memcpy mode when compression does not help.
+    * `lz4 | zstd | zlib | snappy | blosclz`; `shuffle` applies the
+    * byte-shuffle filter with `typesize`-byte lanes; `blocksize` 0
+    * picks a default. Falls back to memcpy mode when compression does
+    * not help.
     */
   def compress(data: Array[Byte], typesize: Int, codec: String = "lz4",
       level: Int = 5, shuffle: Boolean = true,
+      blocksize: Int = 0): Array[Byte] =
+    compressMode(data, typesize, codec, level,
+      if (shuffle) ShuffleByte else ShuffleNone, blocksize)
+
+  /** Shuffle-mode constants of [[compressMode]] (match the container's
+    * flag semantics: none / byte lanes / bit transpose).
+    */
+  val ShuffleNone = 0
+  val ShuffleByte = 1
+  val ShuffleBit = 2
+
+  /** [[compress]] with an explicit shuffle mode — [[ShuffleBit]] emits
+    * the bit-shuffle filter real archives use for low-entropy packed
+    * integer data.
+    */
+  def compressMode(data: Array[Byte], typesize: Int, codec: String = "lz4",
+      level: Int = 5, shuffleMode: Int = ShuffleByte,
       blocksize: Int = 0): Array[Byte] = {
     require(typesize >= 1 && typesize <= 255, s"bad typesize $typesize")
     val codecId = codec match {
@@ -141,24 +169,30 @@ object Blosc {
       case "zstd" => CodecZstd
       case "zlib" => CodecZlib
       case "snappy" => CodecSnappy
+      case "blosclz" => CodecBloscLz
       case other =>
         throw new IllegalArgumentException(s"unsupported blosc cname '$other'")
     }
     val nbytes = data.length
-    // default ~256 KiB blocks, aligned to typesize so full blocks shuffle
-    // into exact byte lanes
+    // default ~256 KiB blocks, aligned so full blocks shuffle into exact
+    // lanes: typesize-aligned for byte shuffle, typesize*8-aligned for
+    // bit shuffle (8-element bit groups)
+    val align = if (shuffleMode == ShuffleBit) typesize * 8 else typesize
     val bs0 = if (blocksize > 0) blocksize else 256 * 1024
-    val bs = math.max(typesize, bs0 - bs0 % typesize)
-    val doShuffle = shuffle && typesize > 1
+    val bs = math.max(align, bs0 - bs0 % align)
+    val doShuffle = shuffleMode == ShuffleByte && typesize > 1
+    val doBitShuffle = shuffleMode == ShuffleBit
     val nblocks = if (nbytes == 0) 0 else (nbytes + bs - 1) / bs
     val header = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
     val flagsBase = (codecId << 5) | FlagDontSplit |
-      (if (doShuffle) FlagShuffle else 0)
+      (if (doShuffle) FlagShuffle else 0) |
+      (if (doBitShuffle) FlagBitShuffle else 0)
 
     val blockPayloads = (0 until nblocks).map { j =>
       val bsize = math.min(bs, nbytes - j * bs)
       val chunk = new Array[Byte](bsize)
       if (doShuffle) shuffleBytes(typesize, data, j * bs, bsize, chunk)
+      else if (doBitShuffle) bitShuffle(typesize, data, j * bs, bsize, chunk)
       else System.arraycopy(data, j * bs, chunk, 0, bsize)
       val comp = innerCompress(codecId, level, chunk)
       // stored-raw split when compression does not win (csize==neblock
@@ -221,9 +255,8 @@ object Blosc {
       val n = org.xerial.snappy.Snappy.uncompress(
         src, srcOff, srcLen, dest, destOff)
       require(n == destLen, s"snappy split yields $n of $destLen bytes")
-    case CodecBloscLz => throw new IllegalArgumentException(
-      "blosc inner codec 'blosclz' has no JVM implementation; " +
-        "re-encode with cname lz4/zstd/zlib/snappy")
+    case CodecBloscLz =>
+      BloscLz.decompress(src, srcOff, srcLen, dest, destOff, destLen)
     case other => throw new IllegalArgumentException(
       s"unknown blosc inner codec id $other")
   }
@@ -246,6 +279,7 @@ object Blosc {
         bos.toByteArray
       } finally d.end()
     case CodecSnappy => org.xerial.snappy.Snappy.compress(chunk)
+    case CodecBloscLz => BloscLz.compress(chunk, 0, chunk.length)
     case other => throw new IllegalArgumentException(
       s"unknown blosc inner codec id $other")
   }
@@ -274,6 +308,76 @@ object Blosc {
     val done = nel * typesize
     if (done < bsize)
       System.arraycopy(src, srcOff + done, dest, done, bsize - done)
+  }
+
+  // ---- bit shuffle filter --------------------------------------------
+
+  /** Forward BIT-shuffle (the bitshuffle library's transform, c-blosc
+    * flag 0x04): the block's first `n8 = 8 * (nelem / 8)` elements form
+    * an `n8 x (typesize*8)` bit matrix (bit b of an element = bit b%8,
+    * LSB first, of its byte b/8); the output is its transpose — row b
+    * holds bit b of every element, packed 8 elements per byte, element
+    * j of each 8-group at bit position j. Bytes past the last whole
+    * 8-element group copy through unshuffled (c-blosc's leftover rule,
+    * same as byte shuffle).
+    */
+  private[grid] def bitShuffle(typesize: Int, src: Array[Byte],
+      srcOff: Int, bsize: Int, dest: Array[Byte]): Unit = {
+    val n = bsize / typesize
+    val n8 = n - (n % 8)
+    val rowBytes = n8 / 8
+    var t = 0
+    while (t < typesize) {
+      var b = 0
+      while (b < 8) {
+        val base = (t * 8 + b) * rowBytes
+        var g = 0
+        while (g < rowBytes) {
+          var outByte = 0
+          var j = 0
+          while (j < 8) {
+            val v = src(srcOff + (g * 8 + j) * typesize + t)
+            outByte |= ((v >> b) & 1) << j
+            j += 1
+          }
+          dest(base + g) = outByte.toByte
+          g += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    val done = n8 * typesize
+    if (done < bsize)
+      System.arraycopy(src, srcOff + done, dest, done, bsize - done)
+  }
+
+  /** Inverse of [[bitShuffle]], writing to `dest[destOff, +bsize)`. */
+  private[grid] def bitUnshuffle(typesize: Int, src: Array[Byte],
+      bsize: Int, dest: Array[Byte], destOff: Int): Unit = {
+    val n = bsize / typesize
+    val n8 = n - (n % 8)
+    val rowBytes = n8 / 8
+    var t = 0
+    while (t < typesize) {
+      var e = 0
+      while (e < n8) {
+        val g = e / 8
+        val j = e % 8
+        var v = 0
+        var b = 0
+        while (b < 8) {
+          v |= ((src((t * 8 + b) * rowBytes + g) >> j) & 1) << b
+          b += 1
+        }
+        dest(destOff + e * typesize + t) = v.toByte
+        e += 1
+      }
+      t += 1
+    }
+    val done = n8 * typesize
+    if (done < bsize)
+      System.arraycopy(src, done, dest, destOff + done, bsize - done)
   }
 
   /** Inverse of [[shuffleBytes]], writing to `dest[destOff, +bsize)`. */

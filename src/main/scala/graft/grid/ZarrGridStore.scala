@@ -651,7 +651,9 @@ object ZarrGridStore {
       case Some(("gzip", _)) => gunzip(raw)
       case Some(("zstd", _)) =>
         com.github.luben.zstd.Zstd.decompress(raw, expected)
-      case Some(("blosc", _)) => Blosc.decompress(raw, expected)
+      // any blosc config: the container self-describes codec + shuffle
+      case Some((id, _)) if id.startsWith("blosc") =>
+        Blosc.decompress(raw, expected)
       case Some((other, _)) => throw new IllegalArgumentException(
         s"$path: unsupported compressor $other")
     }
@@ -979,15 +981,15 @@ object ZarrGridStore {
           case "zlib" | "gzip" | "zstd" =>
             Some((id, c.path("level").asInt(1)))
           case "blosc" =>
-            // the chunk header self-describes the inner codec; the
-            // metadata cname is only checked here to fail fast at open
-            // instead of on the first executor-side chunk read
+            // the chunk header self-describes the inner codec and
+            // shuffle filter; the metadata cname is only checked here to
+            // fail fast at open instead of on the first executor-side
+            // chunk read
             val cname = c.path("cname").asText("lz4")
-            require(Set("lz4", "lz4hc", "zstd", "zlib", "snappy")(cname),
+            require(
+              Set("blosclz", "lz4", "lz4hc", "zstd", "zlib", "snappy")(cname),
               s"$name: blosc cname '$cname' has no JVM implementation " +
-                "(lz4/lz4hc/zstd/zlib/snappy are supported)")
-            require(c.path("shuffle").asInt(1) != 2,
-              s"$name: blosc bit-shuffle unsupported (byte-shuffle is)")
+                "(blosclz/lz4/lz4hc/zstd/zlib/snappy are supported)")
             Some(("blosc", c.path("clevel").asInt(5)))
           case other => throw new IllegalArgumentException(
             s"$name: unsupported compressor '$other'")
@@ -1336,18 +1338,54 @@ object ZarrGridStore {
     if (n > 0) GridIO.write(s"$dir/0", toLE(data, dtype), conf)
   }
 
+  /** `none | zlib[:level] | gzip[:level] | zstd[:level] |
+    * blosc[:cname][:clevel][:bit|:byte|:noshuffle]` — the blosc tokens
+    * may appear in any order after `blosc` (cname defaults to lz4,
+    * clevel to numcodecs' 5, filter to byte-shuffle). Blosc configs
+    * carry cname/filter inside the id string (`blosc/<cname>/<mode>`)
+    * so the (id, level) tuple flows through every write path unchanged;
+    * readers never need the config — the container self-describes.
+    */
   private[grid] def parseCompressor(s: String): Option[(String, Int)] =
-    s.split(":", 2) match {
-      case Array("none") => None
-      case Array("blosc") => Some(("blosc", 5)) // numcodecs default clevel
-      case Array("blosc", lvl) => Some(("blosc", lvl.toInt))
-      case Array(id) if Set("zlib", "gzip", "zstd")(id) => Some((id, 1))
-      case Array(id, lvl) if Set("zlib", "gzip", "zstd")(id) =>
+    s.split(":").toSeq match {
+      case Seq("none") => None
+      case "blosc" +: rest =>
+        var cname = "lz4"
+        var lvl = 5 // numcodecs default clevel
+        var mode = "byte"
+        rest.foreach {
+          case t if t.nonEmpty && t.forall(_.isDigit) => lvl = t.toInt
+          case t if Set("blosclz", "lz4", "zstd", "zlib", "snappy")(t) =>
+            cname = t
+          case "bit" | "bitshuffle" => mode = "bit"
+          case "byte" | "shuffle" => mode = "byte"
+          case "noshuffle" => mode = "none"
+          case other => throw new IllegalArgumentException(
+            s"bad blosc option '$other' in compressor '$s'")
+        }
+        Some((s"blosc/$cname/$mode", lvl))
+      case Seq(id) if Set("zlib", "gzip", "zstd")(id) => Some((id, 1))
+      case Seq(id, lvl) if Set("zlib", "gzip", "zstd")(id) =>
         Some((id, lvl.toInt))
       case _ => throw new IllegalArgumentException(
         s"bad compressor '$s' (none | zlib[:level] | gzip[:level] | " +
-          "zstd[:level] | blosc[:clevel], blosc = lz4 + byte-shuffle)")
+          "zstd[:level] | blosc[:cname][:clevel][:bit|:byte|:noshuffle])")
     }
+
+  /** (cname, shuffle mode) of a `blosc/<cname>/<mode>` id (defaults for
+    * the bare "blosc" id).
+    */
+  private[grid] def bloscConfig(id: String): (String, Int) = {
+    val parts = id.split("/")
+    val cname = if (parts.length > 1) parts(1) else "lz4"
+    val mode =
+      if (parts.length > 2) parts(2) match {
+        case "bit" => Blosc.ShuffleBit
+        case "none" => Blosc.ShuffleNone
+        case _ => Blosc.ShuffleByte
+      } else Blosc.ShuffleByte
+    (cname, mode)
+  }
 
   private def dtypeString(t: GridType): String = t match {
     case GDouble => "<f8"
@@ -1361,10 +1399,11 @@ object ZarrGridStore {
       comp: Option[(String, Int)], fillJson: String): String = {
     val compJson = comp match {
       case None => "null"
-      case Some(("blosc", lvl)) =>
+      case Some((id, lvl)) if id.startsWith("blosc") =>
         // numcodecs-compatible spelling: what zarr-python round-trips
-        s"""{"id":"blosc","cname":"lz4","clevel":$lvl,"shuffle":1,""" +
-          s""""blocksize":0}"""
+        val (cname, mode) = bloscConfig(id)
+        s"""{"id":"blosc","cname":"$cname","clevel":$lvl,""" +
+          s""""shuffle":$mode,"blocksize":0}"""
       case Some((id, lvl)) => s"""{"id":"$id","level":$lvl}"""
     }
     s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
@@ -1439,8 +1478,9 @@ object ZarrGridStore {
   private[grid] def compress(bytes: Array[Byte], comp: Option[(String, Int)],
       typesize: Int): Array[Byte] = comp match {
     case None => bytes
-    case Some(("blosc", lvl)) =>
-      Blosc.compress(bytes, typesize, "lz4", lvl, shuffle = true)
+    case Some((id, lvl)) if id.startsWith("blosc") =>
+      val (cname, mode) = bloscConfig(id)
+      Blosc.compressMode(bytes, typesize, cname, lvl, mode)
     case Some(("zstd", lvl)) =>
       com.github.luben.zstd.Zstd.compress(bytes, lvl)
     case Some(("zlib", lvl)) =>

@@ -27,11 +27,12 @@ import scala.jdk.CollectionConverters._
   *                             #  keys `<i>.<j>` also understood)
   * }}}
   *
-  * Supported: data_types float32/float64/int32/int64; codec pipelines
-  * `bytes` (either endian) followed by at most one of `gzip`, `zstd`,
-  * `blosc` (via the pure-JVM [[Blosc]] codec; blosclz/bitshuffle
-  * rejected); `sharding_indexed` is explicitly rejected until
-  * implemented, as are `transpose` and checksum codecs; edge chunks
+  * Supported: data_types float32/float64/int32/int64 (+ packed ints,
+  * float16); codec pipelines `bytes` (either endian) followed by at
+  * most one of `gzip`, `zstd`, `blosc` (via the pure-JVM [[Blosc]]
+  * codec — all cnames incl. blosclz, byte- and bit-shuffle);
+  * `sharding_indexed` with inner-chunk-granular ranged reads;
+  * `transpose` and checksum codecs rejected; edge chunks
   * stored padded to the full chunk shape (same rule as v2); missing
   * chunk files read as `fill_value`; `dimension_names` required (the
   * v3-native spelling of the xarray `_ARRAY_DIMENSIONS` convention);
@@ -230,11 +231,12 @@ object ZarrV3 {
           compressor = Some(("zstd", cfg.path("level").asInt(0)))
         case "blosc" =>
           requireOneCompressor(name, compressor)
+          // decode needs no config (the container self-describes codec
+          // and shuffle filter); the cname is validated to fail fast
           val cname = cfg.path("cname").asText("lz4")
-          require(Set("lz4", "lz4hc", "zstd", "zlib", "snappy")(cname),
+          require(
+            Set("blosclz", "lz4", "lz4hc", "zstd", "zlib", "snappy")(cname),
             s"$name: blosc cname '$cname' has no JVM implementation")
-          require(cfg.path("shuffle").asText("shuffle") != "bitshuffle",
-            s"$name: blosc bit-shuffle unsupported (byte-shuffle is)")
           compressor = Some(("blosc", cfg.path("clevel").asInt(5)))
         case "sharding_indexed" => throw new IllegalArgumentException(
           s"$name: nested sharding unsupported")
@@ -493,11 +495,16 @@ object ZarrV3 {
           val c = into.addObject(); c.put("name", "zstd")
           val cfg = c.putObject("configuration")
           cfg.put("level", lvl); cfg.put("checksum", false)
-        case ("blosc", lvl) =>
+        case (id, lvl) if id.startsWith("blosc") =>
+          val (cname, mode) = ZarrGridStore.bloscConfig(id)
           val c = into.addObject(); c.put("name", "blosc")
           val cfg = c.putObject("configuration")
-          cfg.put("cname", "lz4"); cfg.put("clevel", lvl)
-          cfg.put("shuffle", "shuffle")
+          cfg.put("cname", cname); cfg.put("clevel", lvl)
+          cfg.put("shuffle", mode match {
+            case Blosc.ShuffleBit => "bitshuffle"
+            case Blosc.ShuffleNone => "noshuffle"
+            case _ => "shuffle"
+          })
           cfg.put("typesize", dtype.byteWidth); cfg.put("blocksize", 0)
         case (other, _) =>
           throw new IllegalArgumentException(s"bad v3 compressor '$other'")

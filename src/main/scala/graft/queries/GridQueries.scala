@@ -641,6 +641,21 @@ object GridQueries {
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
           col("air"))
     }),
+    // same tree with cname=blosclz + BIT-shuffle — the historical
+    // c-blosc default codec and the filter low-entropy archives use;
+    // exercises the pure-JVM BloscLz token decode and the bit-matrix
+    // unshuffle on every unpruned chunk read
+    "pivot_grid_zarr_blosclz" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_blosclz_grid") + "/store"
+      val store = graft.grid.ZarrGridStore.write(Fixtures.linearGrid, root,
+        Map("t" -> 6, "lat" -> 5), "blosc:blosclz:bit")
+      new XarrayContext(s)
+        .scratchDataFrame(s"zarr_blosclz_grid@$root", store, store.chunkMap,
+          Seq("t", "lat", "lon"))
+        .filter(col("t") >= 12)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
 
     // compaction end-to-end: a fragmented store (8 small t-chunks, the
     // shape appends leave behind) rechunks distributedly into 2 big
@@ -937,6 +952,10 @@ object GridQueries {
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
     "pivot_grid_zarr_blosc" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t >= 12""".stripMargin,
+    "pivot_grid_zarr_blosclz" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,

@@ -21,15 +21,15 @@ class BloscSpec extends AnyFunSuite {
   test("compress/decompress round trips: codecs x shuffle x sizes") {
     val sizes = Seq(0, 1, 7, 8, 64, 1000) // empty, sub-element, leftover
     for {
-      codec <- Seq("lz4", "zstd", "zlib", "snappy")
-      shuffle <- Seq(true, false)
+      codec <- Seq("lz4", "zstd", "zlib", "snappy", "blosclz")
+      mode <- Seq(Blosc.ShuffleNone, Blosc.ShuffleByte, Blosc.ShuffleBit)
       n <- sizes
     } {
       val data = doubles(n)
-      val enc = Blosc.compress(data, typesize = 8, codec = codec,
-        shuffle = shuffle, blocksize = 128) // force multi-block at n>=17
+      val enc = Blosc.compressMode(data, typesize = 8, codec = codec,
+        shuffleMode = mode, blocksize = 128) // force multi-block at n>=17
       val dec = Blosc.decompress(enc, data.length)
-      assert(dec.sameElements(data), s"$codec shuffle=$shuffle n=$n")
+      assert(dec.sameElements(data), s"$codec mode=$mode n=$n")
     }
   }
 
@@ -93,17 +93,101 @@ class BloscSpec extends AnyFunSuite {
     assert(Blosc.decompress(bb.array(), 40).sameElements(data))
   }
 
-  test("clear rejections: blosclz, bit-shuffle, bad sizes") {
+  test("clear rejections: bad sizes, offsets inside the offset table") {
     val ok = Blosc.compress(doubles(8), 8)
-    // corrupt the codec id to blosclz (0)
-    val blz = ok.clone(); blz(2) = (blz(2) & 0x1f).toByte
-    val e1 = intercept[IllegalArgumentException](Blosc.decompress(blz, 64))
-    assert(e1.getMessage.contains("blosclz"))
-    val bit = ok.clone(); bit(2) = (bit(2) | 0x04).toByte
-    val e2 = intercept[IllegalArgumentException](Blosc.decompress(bit, 64))
-    assert(e2.getMessage.contains("bit-shuffle"))
     val e3 = intercept[IllegalArgumentException](Blosc.decompress(ok, 63))
     assert(e3.getMessage.contains("expected 63"))
+    // claiming BOTH shuffle filters is corruption, not a config
+    val both = ok.clone(); both(2) = (both(2) | 0x04 | 0x01).toByte
+    val e4 = intercept[IllegalArgumentException](Blosc.decompress(both, 64))
+    assert(e4.getMessage.contains("both"))
+    // a block offset pointing INSIDE the offset table must fail loudly
+    // instead of decoding the table itself as payload
+    val data = doubles(64)
+    val enc = Blosc.compress(data, 8, blocksize = 128) // multi-block
+    assert((enc(2) & 0x02) == 0, "fixture must not be memcpy mode")
+    val bb = ByteBuffer.wrap(enc).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, 17) // block 0 offset -> inside the table
+    val e5 = intercept[IllegalArgumentException](
+      Blosc.decompress(enc, data.length))
+    assert(e5.getMessage.contains("out of range"), e5.getMessage)
+  }
+
+  test("hand-encoded blosclz token stream decodes (format pin)") {
+    // literal run + near match: "abcd" literally, then len-8 dist-4
+    // match -> "abcdabcdabcd"
+    val s1 = Array[Byte](3, 'a', 'b', 'c', 'd', (6 << 5).toByte, 3)
+    val d1 = new Array[Byte](12)
+    BloscLz.decompress(s1, 0, s1.length, d1, 0, 12)
+    assert(new String(d1, "ASCII") == "abcdabcdabcd")
+    // RLE overlap: one 'x', then len-19 dist-1 match (extended length:
+    // field 7, one extension byte 19-9=10) -> 20 x's
+    val s2 = Array[Byte](0, 'x', (7 << 5).toByte, 10, 0)
+    val d2 = new Array[Byte](20)
+    BloscLz.decompress(s2, 0, s2.length, d2, 0, 20)
+    assert(d2.forall(_ == 'x'))
+    // far distance: 8200 literal bytes, then a len-3 match at distance
+    // 8192 (the 13-bit field maxed to 8191 + low byte 255 switches to
+    // the far form; extra 16-bit offset 0) copying bytes [8, 11)
+    val lits = Array.tabulate(8200)(i => (i % 251).toByte)
+    val out3 = new java.io.ByteArrayOutputStream()
+    var a = 0
+    while (a < lits.length) {
+      val run = math.min(32, lits.length - a)
+      out3.write(run - 1); out3.write(lits, a, run)
+      a += run
+    }
+    out3.write((1 << 5) | 31); out3.write(255); out3.write(0); out3.write(0)
+    val s3 = out3.toByteArray
+    val d3 = new Array[Byte](8203)
+    BloscLz.decompress(s3, 0, s3.length, d3, 0, 8203)
+    assert(java.util.Arrays.equals(d3, 0, 8200, lits, 0, 8200))
+    assert(d3(8200) == lits(8) && d3(8201) == lits(9) && d3(8202) == lits(10))
+    // truncation fails loudly
+    intercept[IllegalArgumentException](
+      BloscLz.decompress(s1, 0, s1.length - 1, new Array[Byte](12), 0, 12))
+  }
+
+  test("hand-encoded bit-shuffle image inverts (format pin)") {
+    // 8 elements of 1 byte: bit b of the output row b gathers bit b of
+    // every element, element j at bit position j (LSB first both ways)
+    val src = Array.tabulate[Byte](8)(i => (1 << i).toByte) // identity bits
+    val sh = new Array[Byte](8)
+    Blosc.bitShuffle(1, src, 0, 8, sh)
+    // element j contributes only bit j -> row b has exactly bit b set
+    assert(sh.sameElements(Array.tabulate[Byte](8)(b => (1 << b).toByte)))
+    val back = new Array[Byte](8)
+    Blosc.bitUnshuffle(1, sh, 8, back, 0)
+    assert(back.sameElements(src))
+    // typesize 2, 8 elements + 3 leftover bytes copied raw
+    val src2 = Array.tabulate[Byte](19)(i => (i * 37 + 11).toByte)
+    val sh2 = new Array[Byte](19)
+    Blosc.bitShuffle(2, src2, 0, 19, sh2)
+    assert(java.util.Arrays.equals(sh2, 16, 19, src2, 16, 19)) // leftovers
+    val back2 = new Array[Byte](19)
+    Blosc.bitUnshuffle(2, sh2, 19, back2, 0)
+    assert(back2.sameElements(src2))
+  }
+
+  test("blosclz property round trip over structured + random buffers") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.newBuilder[Array[Byte]]
+    cases += Array.emptyByteArray
+    cases += Array.fill[Byte](10000)(42) // pure RLE
+    cases += doubles(3000)               // shuffled-numeric-like ramp
+    cases += Array.tabulate[Byte](20000)(i => (i % 7).toByte)
+    for (n <- Seq(1, 2, 3, 255, 256, 8191, 8192, 8193, 70000)) {
+      val b = new Array[Byte](n); rnd.nextBytes(b); cases += b
+      // compressible long-range repeats straddling the far boundary
+      cases += Array.tabulate[Byte](n)(i => ((i / 97) % 13).toByte)
+    }
+    cases.result().foreach { data =>
+      val enc = BloscLz.compress(data, 0, data.length)
+      val dec = new Array[Byte](data.length)
+      if (data.length > 0) BloscLz.decompress(enc, 0, enc.length, dec, 0,
+        data.length)
+      assert(dec.sameElements(data), s"n=${data.length}")
+    }
   }
 
   test("ZarrGridStore writes and reopens a blosc tree") {

@@ -194,18 +194,13 @@ class ZarrGridStoreSpec extends SparkTestBase {
       put(root, "a/.zattrs", zattrs)
       intercept[IllegalArgumentException](ZarrGridStore.open(root.toString))
     }
-    // blosc itself is supported; the un-implementable inner codec and
-    // bit-shuffle must still fail fast at open, not on an executor read
+    // every numcodecs blosc cname decodes now; a cname with NO JVM
+    // implementation must still fail fast at open, not on an executor
     assert(bad(
       """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f8",
-        |"compressor":{"id":"blosc","cname":"blosclz"},"fill_value":null,
+        |"compressor":{"id":"blosc","cname":"lizard"},"fill_value":null,
         |"order":"C","filters":null}""".stripMargin)
-      .getMessage.contains("blosclz"))
-    assert(bad(
-      """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f8",
-        |"compressor":{"id":"blosc","cname":"lz4","shuffle":2},
-        |"fill_value":null,"order":"C","filters":null}""".stripMargin)
-      .getMessage.contains("bit-shuffle"))
+      .getMessage.contains("lizard"))
     assert(bad(
       """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f8",
         |"compressor":null,"fill_value":null,"order":"F","filters":null}"""

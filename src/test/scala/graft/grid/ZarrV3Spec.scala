@@ -95,7 +95,8 @@ class ZarrV3Spec extends SparkTestBase {
   }
 
   test("write/open round trip across codecs") {
-    for (comp <- Seq("none", "gzip", "zstd:3", "blosc")) {
+    for (comp <- Seq("none", "gzip", "zstd:3", "blosc",
+      "blosc:blosclz:bit")) {
       val root = tmp().resolve(s"w_${comp.replace(':', '_')}").toString
       val store = ZarrV3.write(Fixtures.linearGrid, root,
         Map("t" -> 6, "lat" -> 5), comp)
@@ -331,8 +332,8 @@ class ZarrV3Spec extends SparkTestBase {
     assert(bad("""[{"name":"bytes"},{"name":"crc32c"}]""")
       .getMessage.contains("crc32c"))
     assert(bad("""[{"name":"bytes"},
-      {"name":"blosc","configuration":{"cname":"blosclz"}}]""")
-      .getMessage.contains("blosclz"))
+      {"name":"blosc","configuration":{"cname":"lizard"}}]""")
+      .getMessage.contains("lizard"))
     assert(bad("""[{"name":"gzip","configuration":{"level":1}}]""")
       .getMessage.contains("bytes"))
   }
