@@ -24,8 +24,9 @@ private[grid] object ChunkAssembly {
     case GFloat => new Array[Float](n)
     case GInt => new Array[Int](n)
     case GLong | GTimestamp | GDuration => new Array[Long](n)
-    case GString => throw new IllegalArgumentException(
-      "string variables unsupported in chunked binary stores")
+    // vlen string chunks (zarr v3): object arrays copy through the same
+    // System.arraycopy odometer as primitives
+    case GString => new Array[String](n)
   }
 
   /** Gather `ranges` (start, length per dim) of an array with dimension

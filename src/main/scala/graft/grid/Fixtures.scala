@@ -209,6 +209,44 @@ object Fixtures {
       Map("reading" -> AffineLaw(100.0, Seq(7.0, 0.25))))
   }
 
+  /** [[stationGrid]] plus a STRING data variable — the shape zarr-python
+    * 3 writes with `data_type: "string"` + the vlen-utf8 codec. quality
+    * cycles good/ok/bad by (i + t) % 3 (pure index arithmetic the
+    * oracle replays exactly); reading keeps the dyadic numeric law.
+    */
+  final case class StationQualityStore() extends GridStore {
+    val schema: GridSchema = GridSchema(
+      Seq(
+        DimDef("station", StringCoords((0 until 8).map(i => s"st_$i").toArray)),
+        DimDef("time",
+          TimeCoords((0 until 10).map(k => (18262L + k) * 86400000000L).toArray))),
+      Seq(
+        VarDef("quality", Seq("station", "time"), GString),
+        VarDef("reading", Seq("station", "time"), GDouble)))
+
+    private val labels = Array("good", "ok", "bad")
+
+    def readVar(name: String, ranges: Seq[(Int, Int)]): AnyRef = {
+      val Seq((i0, ni), (t0, nt)) = ranges
+      name match {
+        case "quality" =>
+          val out = new Array[String](ni * nt)
+          for (i <- 0 until ni; t <- 0 until nt)
+            out(i * nt + t) = labels((i0 + i + t0 + t) % 3)
+          out
+        case "reading" =>
+          val out = new Array[Double](ni * nt)
+          for (i <- 0 until ni; t <- 0 until nt)
+            out(i * nt + t) = 100.0 + 7.0 * (i0 + i) + 0.25 * (t0 + t)
+          out
+        case other =>
+          throw new IllegalArgumentException(s"unknown var $other")
+      }
+    }
+  }
+
+  def stationQualityGrid: StationQualityStore = StationQualityStore()
+
   /** Forecast-skill fixture: init time (4 x 6-hourly from 2021-01-01) x
     * prediction lead (6 x 6-hour day-time intervals) — the reference's
     * `prediction_timedelta` coordinate

@@ -45,7 +45,11 @@ final case class ZarrArrayMeta(
       * write; undone in reverse after decompression). `shuffle` and
       * `delta` supported.
       */
-    filters: Seq[ZarrFilter] = Nil) {
+    filters: Seq[ZarrFilter] = Nil,
+    /** Fill value of vlen STRING arrays (the numeric `fillValue` field
+      * cannot carry it); "" unless the metadata declares one.
+      */
+    stringFill: String = "") {
   def nd: Int = shape.length
 
   /** On-disk element width (differs from `dtype.byteWidth` for packed
@@ -90,6 +94,15 @@ case object StoredHalf extends StoredElem { val width = 2 }
 final case class StoredStr(nchars: Int, utf32: Boolean) extends StoredElem {
   def width: Int = if (utf32) nchars * 4 else nchars
 }
+
+/** Variable-length UTF-8 string element — zarr-python 3's DEFAULT for
+  * string arrays (`data_type: "string"` + the `vlen-utf8` codec, whose
+  * chunk encoding is numcodecs VLenUTF8: a uint32-LE item count then
+  * per item a uint32-LE byte length + UTF-8 bytes). Legal on both
+  * coordinates and data variables; `width` is 0 because elements have
+  * no fixed stored width (all size checks branch before using it).
+  */
+case object StoredVlenStr extends StoredElem { val width = 0 }
 
 /** One parsed numcodecs filter: `shuffle` (byte shuffle with
   * `elementSize` lanes) or `delta` (successive differences in the
@@ -285,8 +298,8 @@ object ZarrGridStore {
     }
 
     val vars = dataArrs.toSeq.sortBy(_.name).map { a =>
-      require(a.dtype != GString,
-        s"string data variables unsupported (${a.name})")
+      require(a.dtype != GString || a.stored.contains(StoredVlenStr),
+        s"string data variables must be vlen-utf8 encoded (${a.name})")
       if (scaledVar(a))
         // mask_and_scale: surfaces as DOUBLE; the applied encoding
         // attrs are stripped (xarray decode_cf does the same)
@@ -415,8 +428,10 @@ object ZarrGridStore {
     val rawOpt =
       try Some(GridIO.readAllBytes(path, conf))
       catch { case _: java.io.FileNotFoundException => None }
-    if (rawOpt.isEmpty) fillArray(a.dtype, a.fillValue, n)
-    else decodeChunkPayload(path, a, rawOpt.get)
+    if (rawOpt.isEmpty) {
+      if (a.stored.contains(StoredVlenStr)) Array.fill(n)(a.stringFill)
+      else fillArray(a.dtype, a.fillValue, n)
+    } else decodeChunkPayload(path, a, rawOpt.get)
   }
 
   /** Decode one stored chunk file's bytes into the full (padded) chunk
@@ -428,7 +443,11 @@ object ZarrGridStore {
   private[graft] def decodeChunkPayload(path: String, a: ZarrArrayMeta,
       raw: Array[Byte]): AnyRef =
     if (a.sharding.isDefined) readShard(path, a, raw)
-    else {
+    else if (a.stored.contains(StoredVlenStr)) {
+      // vlen-utf8: decompressed size is unknown a priori (self-framed)
+      val n = a.chunkShape.product
+      decodeVlen(path, decompressedUnknown(path, raw, a.compressor), n)
+    } else {
       val n = a.chunkShape.product
       val expected = n * a.storedWidth
       val bytes = decompressed(path, raw, a.compressor, expected)
@@ -572,6 +591,8 @@ object ZarrGridStore {
       var i = 0
       while (i < n) { o(i) = halfToFloat(sb.get(i)); i += 1 }
       o
+    case Some(StoredVlenStr) => throw new IllegalStateException(
+      "vlen strings decode via decodeVlen, not decodeStored")
     case Some(s @ StoredStr(nchars, utf32)) =>
       val w = s.width
       val bb = ByteBuffer.wrap(bytes).order(
@@ -657,6 +678,78 @@ object ZarrGridStore {
       case Some((other, _)) => throw new IllegalArgumentException(
         s"$path: unsupported compressor $other")
     }
+
+  /** Decompress a payload whose plain size is NOT known up front (vlen
+    * chunks are self-framed): zstd carries it in the frame header, gzip
+    * and zlib stream, blosc's container header declares it.
+    */
+  private def decompressedUnknown(path: String, raw: Array[Byte],
+      comp: Option[(String, Int)]): Array[Byte] = comp match {
+    case None => raw
+    case Some(("gzip", _)) => gunzip(raw)
+    case Some(("zstd", _)) =>
+      val n = com.github.luben.zstd.Zstd.decompressedSize(raw)
+      require(n > 0 && n <= Int.MaxValue,
+        s"$path: zstd frame lacks a valid content size ($n)")
+      com.github.luben.zstd.Zstd.decompress(raw, n.toInt)
+    case Some(("zlib", _)) =>
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(raw)
+        val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val k = inf.inflate(buf)
+          require(k > 0 || !inf.needsInput, s"$path: truncated zlib stream")
+          out.write(buf, 0, k)
+        }
+        out.toByteArray
+      } finally inf.end()
+    case Some((id, _)) if id.startsWith("blosc") =>
+      require(raw.length >= 16, s"$path: blosc buffer too short")
+      val nbytes = ByteBuffer.wrap(raw, 4, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      Blosc.decompress(raw, nbytes)
+    case Some((other, _)) => throw new IllegalArgumentException(
+      s"$path: unsupported compressor $other")
+  }
+
+  /** numcodecs VLenUTF8 chunk payload -> the chunk's `n` strings. */
+  private[grid] def decodeVlen(path: String, bytes: Array[Byte],
+      n: Int): Array[String] = {
+    require(bytes.length >= 4, s"$path: truncated vlen-utf8 chunk")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val items = bb.getInt
+    require(items == n,
+      s"$path: vlen-utf8 chunk holds $items items, expected $n")
+    val out = new Array[String](n)
+    var i = 0
+    var off = 4
+    while (i < n) {
+      require(off + 4 <= bytes.length, s"$path: truncated vlen-utf8 item $i")
+      val len = bb.getInt(off)
+      off += 4
+      require(len >= 0 && off + len <= bytes.length,
+        s"$path: vlen-utf8 item $i has bad length $len")
+      out(i) = new String(bytes, off, len,
+        java.nio.charset.StandardCharsets.UTF_8)
+      off += len
+      i += 1
+    }
+    out
+  }
+
+  /** Inverse of [[decodeVlen]] — the write-side vlen-utf8 encoding. */
+  private[grid] def encodeVlen(values: Array[String]): Array[Byte] = {
+    val encoded = values.map(v =>
+      (if (v == null) "" else v)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val total = 4 + encoded.map(4 + _.length).sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(values.length)
+    encoded.foreach { b => bb.putInt(b.length); bb.put(b) }
+    bb.array()
+  }
 
   private def decodeTyped(bytes: Array[Byte], dtype: GridType,
       bigEndian: Boolean, n: Int): AnyRef = {
@@ -908,8 +1001,9 @@ object ZarrGridStore {
       case GLong | GTimestamp | GDuration =>
         val o = new Array[Long](n)
         java.util.Arrays.fill(o, if (fill.isNaN) 0L else fill.toLong); o
-      case GString => throw new IllegalArgumentException(
-        "string arrays unsupported")
+      // vlen string padding (edge chunks); missing-chunk fills use the
+      // array's own declared stringFill at the call site
+      case GString => Array.fill(n)("")
     }
 
   // ---- metadata parse ------------------------------------------------

@@ -116,9 +116,11 @@ object ZarrV3 {
       case "uint16" => (GInt, Some(StoredInt(2, signed = false)))
       case "uint32" => (GLong, Some(StoredInt(4, signed = false)))
       case "float16" => (GFloat, Some(StoredHalf))
+      // zarr-python 3's default for string arrays (vlen-utf8 chunks)
+      case "string" => (GString, Some(StoredVlenStr))
       case other => throw new IllegalArgumentException(
         s"$name: unsupported data_type '$other' (float16/float32/float64/" +
-          "int32/int64/int8/int16/uint8/uint16/uint32 only)")
+          "int32/int64/int8/int16/uint8/uint16/uint32/string only)")
     }
     val (keyPrefix, sep) = {
       val cke = node.path("chunk_key_encoding")
@@ -133,8 +135,10 @@ object ZarrV3 {
       }
     }
     require(sep == "." || sep == "/", s"$name: bad separator '$sep'")
-    val fill = node.path("fill_value") match {
+    val isVlen = stored.contains(StoredVlenStr)
+    val fill: Double = node.path("fill_value") match {
       case f if f == null || f.isNull || f.isMissingNode => Double.NaN
+      case _ if isVlen => Double.NaN // string fills parse below
       case f if f.isNumber => f.asDouble()
       case f if f.isTextual => f.asText() match {
         case "NaN" => Double.NaN
@@ -146,14 +150,22 @@ object ZarrV3 {
       case f => throw new IllegalArgumentException(
         s"$name: bad fill_value $f")
     }
-    // codecs: either a simple bytes[+compressor] pipeline, or a single
+    val stringFill: String = node.path("fill_value") match {
+      case f if isVlen && f.isTextual => f.asText()
+      case _ => ""
+    }
+    // codecs: a simple bytes[+compressor] pipeline, a vlen-utf8
+    // [+compressor] pipeline for string arrays, or a single
     // sharding_indexed codec wrapping an inner pipeline + chunk index
     val codecs = node.path("codecs")
     require(codecs.isArray && codecs.size() >= 1,
       s"$name: codecs pipeline required")
     val sharded = codecs.get(0).path("name").asText("") == "sharding_indexed"
     val (bigEndian, compressor, sharding) =
-      if (!sharded) {
+      if (isVlen) {
+        require(!sharded, s"$name: sharded string arrays unsupported")
+        (false, parseVlenPipeline(name, codecs), None)
+      } else if (!sharded) {
         val (be, comp) = parsePipeline(name, codecs)
         (be, comp, None)
       } else {
@@ -203,7 +215,41 @@ object ZarrV3 {
     require(dims.length == shape.length,
       s"$name: ${dims.length} dim names for ${shape.length}-d array")
     ZarrArrayMeta(name, shape, chunkShape, dtype, bigEndian, compressor,
-      fill, sep, dims, attrsOf(node), keyPrefix, sharding, stored)
+      fill, sep, dims, attrsOf(node), keyPrefix, sharding, stored,
+      stringFill = stringFill)
+  }
+
+  /** A string array's pipeline: the `vlen-utf8` codec first, then at
+    * most one supported compressor (zarr-python appends its default
+    * compressor after the vlen codec).
+    */
+  private def parseVlenPipeline(name: String,
+      codecs: JsonNode): Option[(String, Int)] = {
+    require(codecs.get(0).path("name").asText("") == "vlen-utf8",
+      s"$name: string arrays must lead with the vlen-utf8 codec " +
+        s"(got '${codecs.get(0).path("name").asText("")}')")
+    var compressor: Option[(String, Int)] = None
+    codecs.elements().asScala.drop(1).foreach { c =>
+      val cfg = c.path("configuration")
+      c.path("name").asText("") match {
+        case "gzip" =>
+          requireOneCompressor(name, compressor)
+          compressor = Some(("gzip", cfg.path("level").asInt(5)))
+        case "zstd" =>
+          requireOneCompressor(name, compressor)
+          compressor = Some(("zstd", cfg.path("level").asInt(0)))
+        case "blosc" =>
+          requireOneCompressor(name, compressor)
+          val cname = cfg.path("cname").asText("lz4")
+          require(
+            Set("blosclz", "lz4", "lz4hc", "zstd", "zlib", "snappy")(cname),
+            s"$name: blosc cname '$cname' has no JVM implementation")
+          compressor = Some(("blosc", cfg.path("clevel").asInt(5)))
+        case other => throw new IllegalArgumentException(
+          s"$name: unsupported codec '$other' after vlen-utf8")
+      }
+    }
+    compressor
   }
 
   /** A simple v3 pipeline: one `bytes` codec (endianness) + at most one
@@ -299,12 +345,20 @@ object ZarrV3 {
       val eff = block.map(_._2).toArray
       val data = source.readVar(varName, block)
       val padded = ZarrGridStore.padChunk(data, eff, chunkSz.toArray, dtype)
-      val leBytes = ZarrGridStore.toLE(padded, dtype)
-      val payload = innerSz match {
-        case None => ZarrGridStore.compress(leBytes, comp, dtype.byteWidth)
-        case Some(inner) =>
-          encodeShard(leBytes, chunkSz, inner, dtype.byteWidth, comp)
-      }
+      val payload =
+        if (dtype == GString)
+          // vlen-utf8 chunk (sharding rejected for strings at plan time)
+          ZarrGridStore.compress(
+            ZarrGridStore.encodeVlen(padded.asInstanceOf[Array[String]]),
+            comp, 1)
+        else {
+          val leBytes = ZarrGridStore.toLE(padded, dtype)
+          innerSz match {
+            case None => ZarrGridStore.compress(leBytes, comp, dtype.byteWidth)
+            case Some(inner) =>
+              encodeShard(leBytes, chunkSz, inner, dtype.byteWidth, comp)
+          }
+        }
       GridIO.write(s"$dir/c/${ci.mkString("/")}", payload, conf)
     }
   }
@@ -323,18 +377,25 @@ object ZarrV3 {
     val arrayMetaNodes = scala.collection.mutable.LinkedHashMap
       .empty[String, ObjectNode]
 
-    // coordinate arrays: single chunk, uncompressed (metadata-sized)
+    // coordinate arrays: single chunk, uncompressed (metadata-sized);
+    // string coordinates take zarr-python 3's native vlen-utf8 layout
     schema.dims.foreach { d =>
-      val (data, dtype, extraAttrs) = ZarrGridStore.coordPayload(d)
       val n = d.size
+      val (payload, dtype, extraAttrs) = d.coords match {
+        case StringCoords(vs) =>
+          (ZarrGridStore.encodeVlen(vs), GString, Map.empty[String, String])
+        case _ =>
+          val (data, dt, extra) = ZarrGridStore.coordPayload(d)
+          (if (n > 0) ZarrGridStore.toLE(data, dt) else Array.emptyByteArray,
+            dt, extra)
+      }
       val meta = arrayJson(mapper, Seq(n), Seq(math.max(n, 1)), dtype,
         None, Seq(d.name), d.attrs ++ extraAttrs)
       arrayMetaNodes += d.name -> meta
       GridIO.mkdirs(s"$cleanRoot/${d.name}", conf)
       GridIO.writeString(s"$cleanRoot/${d.name}/zarr.json",
         mapper.writeValueAsString(meta), conf)
-      if (n > 0) GridIO.write(s"$cleanRoot/${d.name}/c/0",
-        ZarrGridStore.toLE(data, dtype), conf)
+      if (n > 0) GridIO.write(s"$cleanRoot/${d.name}/c/0", payload, conf)
     }
 
     schema.vars.foreach { v =>
@@ -343,8 +404,10 @@ object ZarrV3 {
       val dimSz = v.dims.map(d => schema.dim(d).size)
       val chunkSz = v.dims.map(d =>
         chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
+      require(shardInner.isEmpty || v.dtype != GString,
+        s"${v.name}: sharded string arrays unsupported (vlen chunks)")
       val innerSz: Option[Seq[Int]] =
-        if (shardInner.isEmpty) None
+        if (shardInner.isEmpty || v.dtype == GString) None
         else Some(v.dims.zip(chunkSz).map { case (d, outer) =>
           val in = shardInner.getOrElse(d, outer)
           require(in > 0 && outer % in == 0,
@@ -362,7 +425,7 @@ object ZarrV3 {
       val chunkSz = v.dims.map(d =>
         chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
       val innerSz =
-        if (shardInner.isEmpty) None
+        if (shardInner.isEmpty || v.dtype == GString) None
         else Some(v.dims.zip(chunkSz).map { case (d, outer) =>
           shardInner.getOrElse(d, outer) })
       val sub = GridSchema(v.dims.map(schema.dim), Seq.empty)
@@ -469,8 +532,7 @@ object ZarrV3 {
       case GFloat => "float32"
       case GInt => "int32"
       case GLong | GTimestamp | GDuration => "int64"
-      case GString =>
-        throw new IllegalArgumentException("string arrays unsupported")
+      case GString => "string" // vlen-utf8 chunks, zarr-python 3 layout
     })
     val cg = node.putObject("chunk_grid")
     cg.put("name", "regular")
@@ -481,12 +543,16 @@ object ZarrV3 {
     cke.putObject("configuration").put("separator", "/")
     dtype match {
       case GDouble | GFloat => node.put("fill_value", "NaN")
+      case GString => node.put("fill_value", "")
       case _ => node.put("fill_value", 0)
     }
     def pipeline(into: com.fasterxml.jackson.databind.node.ArrayNode): Unit = {
-      val bytesCodec = into.addObject()
-      bytesCodec.put("name", "bytes")
-      bytesCodec.putObject("configuration").put("endian", "little")
+      if (dtype == GString) into.addObject().put("name", "vlen-utf8")
+      else {
+        val bytesCodec = into.addObject()
+        bytesCodec.put("name", "bytes")
+        bytesCodec.putObject("configuration").put("endian", "little")
+      }
       comp.foreach {
         case ("gzip", lvl) =>
           val c = into.addObject(); c.put("name", "gzip")
@@ -505,7 +571,9 @@ object ZarrV3 {
             case Blosc.ShuffleNone => "noshuffle"
             case _ => "shuffle"
           })
-          cfg.put("typesize", dtype.byteWidth); cfg.put("blocksize", 0)
+          cfg.put("typesize",
+            if (dtype == GString) 1 else dtype.byteWidth)
+          cfg.put("blocksize", 0)
         case (other, _) =>
           throw new IllegalArgumentException(s"bad v3 compressor '$other'")
       }

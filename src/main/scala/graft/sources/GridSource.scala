@@ -746,6 +746,12 @@ class GridColumnarReader(part: GridInputPartition)
             case a: Array[Float] => vec.putFloats(0, m, a, off)
             case a: Array[Int] => vec.putInts(0, m, a, off)
             case a: Array[Long] => vec.putLongs(0, m, a, off)
+            case a: Array[String] => // vlen string variables (zarr v3)
+              var r = 0
+              while (r < m) {
+                val b = a(off + r).getBytes("UTF-8")
+                vec.putByteArray(r, b, 0, b.length); r += 1
+              }
           }
       }
       c += 1
@@ -904,6 +910,8 @@ class GridPartitionReader(part: GridInputPartition)
             case a: Array[Float] => row.update(c, a(fi))
             case a: Array[Int] => row.update(c, a(fi))
             case a: Array[Long] => row.update(c, a(fi))
+            case a: Array[String] => row.update(c,
+              org.apache.spark.unsafe.types.UTF8String.fromString(a(fi)))
           }
       }
       c += 1

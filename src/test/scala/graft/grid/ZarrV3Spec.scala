@@ -299,6 +299,74 @@ class ZarrV3Spec extends SparkTestBase {
     a.keys.foreach(k => assert(a(k) == b(k), s"file $k differs"))
   }
 
+  test("vlen-utf8 string arrays: hand-written tree, string fill, zstd") {
+    // foreign layout: zarr-python 3's default string encoding —
+    // data_type "string", vlen-utf8 codec, optional compressor after it
+    val root = tmp()
+    put(root, "zarr.json",
+      """{"zarr_format":3,"node_type":"group","attributes":{}}""")
+    put(root, "station/zarr.json",
+      """{"zarr_format":3,"node_type":"array","shape":[3],
+        |"data_type":"string",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[3]}},
+        |"fill_value":"",
+        |"codecs":[{"name":"vlen-utf8"}],
+        |"dimension_names":["station"]}""".stripMargin)
+    putBytes(root, "station/c/0",
+      ZarrGridStore.encodeVlen(Array("alpha", "bē", "丙")))
+    // q: string data var, chunks of 2, vlen-utf8 + zstd, fill "n/a";
+    // chunk 0 present, chunk 1 (station 2 + padding) MISSING -> fill
+    put(root, "q/zarr.json",
+      """{"zarr_format":3,"node_type":"array","shape":[3],
+        |"data_type":"string",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2]}},
+        |"fill_value":"n/a",
+        |"codecs":[{"name":"vlen-utf8"},
+        |          {"name":"zstd","configuration":{"level":3}}],
+        |"dimension_names":["station"]}""".stripMargin)
+    putBytes(root, "q/c/0", com.github.luben.zstd.Zstd.compress(
+      ZarrGridStore.encodeVlen(Array("good", "böse")), 3))
+    val store = ZarrGridStore.open(root.toString)
+    assert(store.schema.dim("station").coords.asInstanceOf[StringCoords]
+      .values.sameElements(Array("alpha", "bē", "丙")))
+    assert(store.schema.vars.map(v => (v.name, v.dtype)) ==
+      Seq(("q", GString)))
+    assert(store.readVar("q", Seq((0, 3))).asInstanceOf[Array[String]]
+      .sameElements(Array("good", "böse", "n/a")))
+    // unaligned sub-range through the gather path
+    assert(store.readVar("q", Seq((1, 2))).asInstanceOf[Array[String]]
+      .sameElements(Array("böse", "n/a")))
+    // round trip through the writer: string coord + string var re-emit
+    // as data_type "string" with vlen-utf8 chunks and re-open
+    val rt = ZarrV3.write(store, tmp().resolve("rt").toString,
+      Map("station" -> 2), "zstd:3")
+    assert(rt.schema.dim("station").coords.asInstanceOf[StringCoords]
+      .values.sameElements(Array("alpha", "bē", "丙")))
+    assert(rt.readVar("q", Seq((0, 3))).asInstanceOf[Array[String]]
+      .sameElements(Array("good", "böse", "n/a")))
+    // sharded string arrays are rejected loudly
+    val e = intercept[IllegalArgumentException](
+      ZarrV3.write(store, tmp().resolve("sh").toString,
+        Map("station" -> 2), "zstd:3", shardInner = Map("station" -> 1)))
+    assert(e.getMessage.contains("string"), e.getMessage)
+  }
+
+  test("string variable serves through the registered scan") {
+    val root = tmp().resolve("vlenscan").toString
+    val store = ZarrV3.write(Fixtures.stationQualityGrid, root,
+      Map("station" -> 4, "time" -> 5), "zstd:3")
+    val df = new graft.XarrayContext(spark)
+      .scratchDataFrame(s"zarr_vlen_scan@$root", store, store.chunkMap,
+        Seq("station", "time"))
+    val rows = df.filter(col("quality") === "good")
+      .agg(count(lit(1)).as("n"), sum("reading").as("s")).collect()
+    // (i + t) % 3 == 0 over 8x10: count the matching cells exactly
+    val cells = for (i <- 0 until 8; t <- 0 until 10 if (i + t) % 3 == 0)
+      yield 100.0 + 7.0 * i + 0.25 * t
+    assert(rows.head.getLong(0) == cells.size.toLong)
+    assert(rows.head.getDouble(1) == cells.sum)
+  }
+
   test("sharding config errors and unknown codecs rejected clearly") {
     def bad(codecs: String): Throwable = {
       val root = tmp()
