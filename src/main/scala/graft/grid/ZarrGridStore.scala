@@ -1331,6 +1331,124 @@ object ZarrGridStore {
     open(cleanRoot)
   }
 
+  /** Distributed DataFrame → Zarr v2 APPEND along one dimension: the
+    * slab's rows scatter through [[GridWriter.writeVar]]'s one-shuffle
+    * reverse pivot into a staging tree beside the store (executors
+    * write the chunk files), then every staged chunk renames to its
+    * shifted index, the growing dimension's coordinate array and each
+    * growing variable's `.zarray` shape are rewritten, and the tree
+    * re-consolidates — the incremental-ingest path `df.write
+    * .format("zarr").mode("append")` rides on. Preconditions mirror
+    * [[GridWriter.append]]: the existing extent of `along` must be
+    * chunk-aligned, non-growing dims must carry identical coordinates,
+    * and the tree must use this writer's layout ("." separators, v2
+    * keys). Appended edge chunks pad with NaN/0 like every other write.
+    * SINGLE WRITER per store (same contract as the binary-store
+    * append): staging is uniquely suffixed, so a crashed append leaves
+    * only an inert `.staging-*` tree.
+    */
+  def appendFromRows(df: org.apache.spark.sql.DataFrame,
+      slabSchema: GridSchema, root: String,
+      along: String): ZarrGridStore = {
+    val conf = GridIO.driverConf()
+    val cleanRoot = root.stripSuffix("/")
+    val existing = open(cleanRoot)
+    val exDim = existing.schema.dim(along)
+    val slabDim = slabSchema.dim(along)
+    require(slabDim.size > 0, s"empty slab on $along")
+    existing.arrays.values.foreach { a =>
+      require(a.keyPrefix.isEmpty && a.dimSep == "." && a.sharding.isEmpty,
+        s"appendFromRows supports this writer's v2 layout only " +
+          s"(${a.name} uses keyPrefix='${a.keyPrefix}' sep='${a.dimSep}')")
+    }
+    val chunks = existing.chunkMap
+    val alongChunk = chunks.getOrElse(along,
+      throw new IllegalArgumentException(s"$along is not a data-var dim"))
+    require(exDim.size % alongChunk == 0,
+      s"existing $along extent ${exDim.size} is not chunk-aligned " +
+        s"($alongChunk); rechunk before appending")
+    val chunkOffset = exDim.size / alongChunk
+    // non-growing dims must match coordinate-for-coordinate
+    slabSchema.dims.filterNot(_.name == along).foreach { d =>
+      val ex = existing.schema.dim(d.name)
+      require(coordValues(ex.coords) == coordValues(d.coords),
+        s"dim ${d.name} of the slab differs from the store")
+    }
+    val growing = slabSchema.vars.filter(_.dims.contains(along))
+    require(growing.nonEmpty, s"no slab variable spans $along")
+    growing.foreach { v =>
+      val a = existing.arrays.getOrElse(v.name,
+        throw new IllegalArgumentException(
+          s"variable ${v.name} does not exist in the store"))
+      require(a.dtype == v.dtype,
+        s"${v.name}: slab dtype ${v.dtype} vs stored ${a.dtype}")
+    }
+
+    GridIO.sweepStaging(cleanRoot, conf)
+    val staging = cleanRoot + ".staging-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    growing.foreach { v =>
+      GridIO.mkdirs(s"$staging/${v.name}", conf)
+      val chunkSz = v.dims.map(d =>
+        chunks.getOrElse(d, math.max(slabSchema.dim(d).size, 1)))
+      GridWriter.writeVar(df, slabSchema, chunks,
+        GridWriter.ZarrSink(staging, v.dtype, chunkSz,
+          existing.arrays(v.name).compressor), v)
+    }
+    // shift staged chunk keys past the existing extent
+    growing.foreach { v =>
+      val axisPos = v.dims.indexOf(along)
+      GridIO.listNames(s"$staging/${v.name}", conf).foreach { fn =>
+        val parts = fn.split('.')
+        parts(axisPos) = (parts(axisPos).toInt + chunkOffset).toString
+        GridIO.rename(s"$staging/${v.name}/$fn",
+          s"$cleanRoot/${v.name}/${parts.mkString(".")}", conf)
+      }
+    }
+    GridIO.delete(staging, conf)
+    // grow the coordinate array (single-chunk rewrite) + var shapes
+    val combined = DimDef(along, concatCoords(exDim.coords, slabDim.coords),
+      exDim.calendar, exDim.units, exDim.attrs)
+    GridIO.delete(s"$cleanRoot/$along", conf)
+    writeCoord(cleanRoot, combined, conf)
+    growing.foreach { v =>
+      val a = existing.arrays(v.name)
+      val axisPos = v.dims.indexOf(along)
+      val za = parseJson(GridIO.readAllBytes(
+        s"$cleanRoot/${v.name}/.zarray", conf)).asInstanceOf[
+        com.fasterxml.jackson.databind.node.ObjectNode]
+      val sh = za.putArray("shape")
+      a.shape.updated(axisPos, a.shape(axisPos) + slabDim.size)
+        .foreach(sh.add)
+      GridIO.writeString(s"$cleanRoot/${v.name}/.zarray",
+        new ObjectMapper().writeValueAsString(za), conf)
+    }
+    consolidate(cleanRoot, conf)
+    open(cleanRoot)
+  }
+
+  private def coordValues(c: CoordArray): Seq[Any] = c match {
+    case DoubleCoords(v) => v.toSeq
+    case FloatCoords(v) => v.toSeq
+    case IntCoords(v) => v.toSeq
+    case LongCoords(v) => v.toSeq
+    case TimeCoords(v) => v.toSeq
+    case DurationCoords(v) => v.toSeq
+    case StringCoords(v) => v.toSeq
+  }
+
+  private def concatCoords(a: CoordArray, b: CoordArray): CoordArray =
+    (a, b) match {
+      case (DoubleCoords(x), DoubleCoords(y)) => DoubleCoords(x ++ y)
+      case (FloatCoords(x), FloatCoords(y)) => FloatCoords(x ++ y)
+      case (IntCoords(x), IntCoords(y)) => IntCoords(x ++ y)
+      case (LongCoords(x), LongCoords(y)) => LongCoords(x ++ y)
+      case (TimeCoords(x), TimeCoords(y)) => TimeCoords(x ++ y)
+      case (DurationCoords(x), DurationCoords(y)) => DurationCoords(x ++ y)
+      case other => throw new IllegalArgumentException(
+        s"cannot concatenate coordinate kinds $other")
+    }
+
   /** Write `<root>/.zmetadata` (the zarr v2 consolidated-metadata
     * convention, `zarr_consolidated_format: 1`) from the tree's current
     * metadata files, so every later [[open]] costs ONE metadata round

@@ -657,6 +657,25 @@ object GridQueries {
           col("air"))
     }),
 
+    // the plain-Spark WRITE surface: df.write.format("zarr") scatters
+    // the pivoted rows through the distributed reverse pivot into a v2
+    // tree (executors encode the chunks; byte-identical to the API
+    // path, pinned in ZarrWriteFormatSpec) and spark.read.format("zarr")
+    // scans it back pruned — create-read round trip with ZERO graft
+    // API calls, the full plain-Spark citizenship story
+    "pivot_grid_zarr_write" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_write") + "/store"
+      grid(s).write.format("zarr")
+        .option("dims", "t,lat,lon")
+        .option("chunks", "t=6,lat=5")
+        .option("compressor", "zstd:3")
+        .mode("overwrite").save(root)
+      s.read.format("zarr").load(root)
+        .filter(col("t") >= 12)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
+
     // zarr-python 3's STRING layout end-to-end: a dataset with a
     // vlen-utf8 string COORDINATE and a vlen-utf8+zstd string DATA
     // variable round-trips through the v3 writer (data_type "string"),
@@ -1001,6 +1020,10 @@ object GridQueries {
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
     "pivot_grid_zarr_fromrows" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t >= 12""".stripMargin,
+    "pivot_grid_zarr_write" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,

@@ -1,13 +1,17 @@
 package graft.sources
 
-import graft.grid.{GridStore, ZarrGridStore}
-import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import graft.grid._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
 
 /** Standard-Spark entry point for Zarr trees:
   *
@@ -15,6 +19,16 @@ import java.util.concurrent.ConcurrentHashMap
   * spark.read.format("zarr").load("/data/era5.zarr")          // v2 or v3
   * spark.read.format("zarr").option("dims", "time,lat,lon")
   *   .load(root)                                              // pick a dim group
+  *
+  * df.write.format("zarr")                                    // v2 tree
+  *   .option("dims", "time,lat")          // which columns are dimensions
+  *   .option("chunks", "time=24,lat=90")  // chunk grid (default: 1 chunk)
+  *   .option("compressor", "zstd:3")      // ZarrGridStore grammar
+  *   .mode("overwrite").save(root)
+  *
+  * slab.write.format("zarr").option("dims", "time,lat")
+  *   .option("appendDim", "time")         // grow an existing tree
+  *   .mode("append").save(root)
   * }}}
   *
   * No [[graft.XarrayContext]] needed — the provider opens the tree
@@ -25,7 +39,20 @@ import java.util.concurrent.ConcurrentHashMap
   * the first (name-sorted) data variable; `dims` selects another group
   * on multi-group datasets. The reference's analog is its SQL-context
   * dataset registration (xarray_sql/sql.py:105-125) — this surface cuts
-  * the context out entirely for read-side use.
+  * the context out entirely.
+  *
+  * Writes ride the DISTRIBUTED reverse pivot
+  * ([[graft.grid.ZarrGridStore.writeFromRows]] — executors scatter and
+  * encode the chunk files; byte-identical to the API path), so the
+  * output is a plain v2 tree any zarr reader opens. `mode("overwrite")`
+  * replaces the tree; `mode("append")` creates it when absent and
+  * otherwise grows it along `appendDim`
+  * ([[graft.grid.ZarrGridStore.appendFromRows]]). Spark's DSv2 path
+  * rejects ErrorIfExists/Ignore for path-based TableProviders, so
+  * those modes are unavailable by construction. Dimension coordinates
+  * are the sorted distinct values of the `dims` columns (one small
+  * distinct job per dim); cells absent from the DataFrame fill with
+  * NaN/0 and duplicate cells fail loudly.
   */
 class ZarrTableProvider extends TableProvider with DataSourceRegister {
 
@@ -38,25 +65,190 @@ class ZarrTableProvider extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table = {
-    val options = new CaseInsensitiveStringMap(properties)
-    val (store, chunks, groupDims) = ZarrTableProvider.resolve(options)
-    new GridTable(s"zarr:${options.get("path")}", store, chunks, groupDims)
+      properties: java.util.Map[String, String]): Table =
+    new ZarrTable(new CaseInsensitiveStringMap(properties), schema)
+
+  /** True so writes hand the DataFrame's schema straight to
+    * [[getTable]] (no inference against a possibly-not-yet-existing
+    * tree). Reads without a user schema still arrive via
+    * [[inferSchema]], so the schema parameter is correct either way.
+    */
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+/** The provider's table: reads resolve the store lazily (so a write
+  * target need not exist yet); writes bridge to the distributed
+  * reverse-pivot writers through Spark's V1Write fallback — the insert
+  * itself is fully distributed, the bridge only hands over the
+  * DataFrame.
+  */
+class ZarrTable(options: CaseInsensitiveStringMap,
+    providedSchema: StructType)
+  extends Table with SupportsRead with SupportsWrite {
+
+  private lazy val resolved = ZarrTableProvider.resolve(options)
+
+  override def name(): String = s"zarr:${options.get("path")}"
+
+  // reads receive the inferred schema, writes the DataFrame's — both
+  // arrive through getTable's schema parameter
+  override def schema(): StructType = providedSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val (store, chunks, groupDims) = resolved
+    new GridTable(name(), store, chunks, groupDims).newScanBuilder(opts)
   }
 
-  override def supportsExternalMetadata(): Boolean = false
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, o: Boolean): Unit =
+              ZarrWrite.run(data, options, overwrite || o)
+          }
+      }
+    }
+}
+
+/** The write side of `df.write.format("zarr")`: schema inference from
+  * the DataFrame (dims option -> coordinate discovery via one small
+  * DISTINCT job per dim) and dispatch to the distributed writers.
+  */
+private[sources] object ZarrWrite {
+
+  def run(df: DataFrame, options: CaseInsensitiveStringMap,
+      overwrite: Boolean): Unit = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("zarr write: no path"))
+      .stripSuffix("/")
+    val dims = Option(options.get("dims")).getOrElse(
+      throw new IllegalArgumentException(
+        "zarr write: .option(\"dims\", \"<d1,d2,...>\") is required " +
+          "(which columns are dimensions)"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(dims.nonEmpty, "zarr write: empty dims")
+    dims.foreach(d => require(df.columns.contains(d),
+      s"zarr write: dim column '$d' not in ${df.columns.mkString(", ")}"))
+    val chunks: Map[String, Int] =
+      Option(options.get("chunks")).map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).map { kv =>
+          kv.split("=") match {
+            case Array(k, v) => k.trim -> v.trim.toInt
+            case _ => throw new IllegalArgumentException(
+              s"zarr write: bad chunks entry '$kv' (use d=n,...)")
+          }
+        }.toMap).getOrElse(Map.empty)
+    val compressor = Option(options.get("compressor")).getOrElse("zstd:3")
+    val conf = GridIO.driverConf()
+    val exists = GridIO.exists(s"$root/.zmetadata", conf) ||
+      GridIO.exists(s"$root/.zgroup", conf) ||
+      GridIO.exists(s"$root/zarr.json", conf)
+
+    val schema = inferGridSchema(df, dims)
+    if (overwrite) {
+      GridIO.delete(root, conf)
+      ZarrGridStore.writeFromRows(df, schema, chunks, root, compressor)
+    } else if (!exists) {
+      ZarrGridStore.writeFromRows(df, schema, chunks, root, compressor)
+    } else {
+      val along = Option(options.get("appendDim")).getOrElse(
+        throw new IllegalArgumentException(
+          "zarr write: appending to an existing tree needs " +
+            ".option(\"appendDim\", <dim>); use mode(\"overwrite\") to " +
+            "replace it"))
+      ZarrGridStore.appendFromRows(df, schema, root, along)
+    }
+    ()
+  }
+
+  /** GridSchema of the pivoted DataFrame: coordinates are the sorted
+    * distinct values of each dim column (ascending — one metadata-sized
+    * job per dim), variables are every remaining column.
+    */
+  private[sources] def inferGridSchema(df: DataFrame,
+      dims: Seq[String]): GridSchema = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dimDefs = dims.map { d =>
+      val coords: CoordArray = fieldType(d) match {
+        case DoubleType =>
+          DoubleCoords(df.select(col(d)).distinct().orderBy(col(d))
+            .as[Double].collect())
+        case FloatType =>
+          FloatCoords(df.select(col(d)).distinct().orderBy(col(d))
+            .as[Float].collect())
+        case IntegerType =>
+          IntCoords(df.select(col(d)).distinct().orderBy(col(d))
+            .as[Int].collect())
+        case LongType =>
+          LongCoords(df.select(col(d)).distinct().orderBy(col(d))
+            .as[Long].collect())
+        case TimestampType =>
+          TimeCoords(df.select(unix_micros(col(d)).as(d)).distinct()
+            .orderBy(col(d)).as[Long].collect())
+        case other => throw new IllegalArgumentException(
+          s"zarr write: dim '$d' has unsupported type $other " +
+            "(double/float/int/long/timestamp)")
+      }
+      DimDef(d, coords)
+    }
+    val vars = df.columns.toSeq.filterNot(dims.contains).map { c =>
+      val dt = fieldType(c) match {
+        case DoubleType => GDouble
+        case FloatType => GFloat
+        case IntegerType => GInt
+        case LongType => GLong
+        case TimestampType => GTimestamp
+        case other => throw new IllegalArgumentException(
+          s"zarr write: variable '$c' has unsupported type $other")
+      }
+      VarDef(c, dims, dt)
+    }
+    require(vars.nonEmpty, "zarr write: no variable columns besides dims")
+    GridSchema(dimDefs, vars)
+  }
 }
 
 object ZarrTableProvider {
   // DSv2 calls inferSchema and getTable with the same options in one
   // load(); cache the opened store per root so the tree's metadata is
-  // fetched once, not once per callback. Entries are metadata-sized;
-  // re-load() of a mutated tree should call invalidate(root).
-  private val cache = new ConcurrentHashMap[String, ZarrGridStore]()
+  // fetched once, not once per callback. Entries are metadata-sized and
+  // SELF-INVALIDATING: the key carries the root metadata file's
+  // (length, mtime), so a mutated tree (append, rewrite,
+  // re-consolidate) is re-opened on the next load() — one metadata HEAD
+  // per load() is the price, hundreds of per-array reads the saving.
+  private val cache =
+    new ConcurrentHashMap[(String, Long, Long), ZarrGridStore]()
 
+  /** Drop every cached open of `root`. Loads revalidate automatically
+    * against the root metadata version; this exists for tests and for
+    * stores mutated through side channels that preserve metadata
+    * length + mtime.
+    */
   def invalidate(root: String): Unit = {
-    cache.remove(root.stripSuffix("/"))
+    val clean = root.stripSuffix("/")
+    cache.keySet.removeIf(_._1 == clean)
     ()
+  }
+
+  /** Content-version key of a tree: length + mtime of whichever root
+    * metadata file the open path would read first. Any append or
+    * rewrite rewrites that file.
+    */
+  private def versionOf(root: String): (Long, Long) = {
+    val conf = graft.grid.GridIO.driverConf()
+    graft.grid.GridIO.statusOf(s"$root/.zmetadata", conf)
+      .orElse(graft.grid.GridIO.statusOf(s"$root/zarr.json", conf))
+      .orElse(graft.grid.GridIO.statusOf(s"$root/.zgroup", conf))
+      .getOrElse((-1L, -1L)) // open() will raise its own clear error
   }
 
   private[sources] def resolve(options: CaseInsensitiveStringMap)
@@ -65,7 +257,11 @@ object ZarrTableProvider {
       throw new IllegalArgumentException(
         "zarr: no path given (use spark.read.format(\"zarr\").load(<root>))"))
     val root = path.stripSuffix("/")
-    val store = cache.computeIfAbsent(root, ZarrGridStore.open(_))
+    val (len, mtime) = versionOf(root)
+    val key = (root, len, mtime)
+    // drop superseded versions of the same root before (re-)opening
+    cache.keySet.removeIf(k => k._1 == root && k != key)
+    val store = cache.computeIfAbsent(key, _ => ZarrGridStore.open(root))
     val groupDims = Option(options.get("dims")) match {
       case Some(ds) =>
         val dims = ds.split(",").map(_.trim).filter(_.nonEmpty).toSeq

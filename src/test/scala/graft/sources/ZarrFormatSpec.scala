@@ -52,6 +52,26 @@ class ZarrFormatSpec extends SparkTestBase {
     assert(df.filter(col("lat") === 75.0).count() == 24L * 10)
   }
 
+  test("store cache self-invalidates when the tree mutates") {
+    val root = Files.createTempDirectory("zarr_fmt_mut")
+    root.toFile.deleteOnExit()
+    val p = root.resolve("store").toString
+    ZarrGridStore.write(Fixtures.linearGridSlice(0, 12), p,
+      Map("t" -> 6), "zstd:3")
+    assert(spark.read.format("zarr").load(p).count() == 12L * 12 * 10)
+    // REWRITE the tree in place with twice the t extent (rewrites
+    // chunks, .zarray and .zmetadata) — NO manual invalidate call
+    ZarrGridStore.write(Fixtures.linearGrid, p, Map("t" -> 6), "zstd:3")
+    val df = spark.read.format("zarr").load(p)
+    assert(df.count() == 24L * 12 * 10,
+      "re-load() must see the mutated extent without invalidate()")
+    // values from the new tree, not a stale store
+    val r = df.filter(col("t") >= 12).agg(sum("air")).collect().head
+    val expect = (for (t <- 12 until 24; i <- 0 until 12; j <- 0 until 10)
+      yield 200.0 + t + 2.0 * i + 3.0 * j).sum
+    assert(r.getDouble(0) == expect)
+  }
+
   test("dims option selects a group; clear errors otherwise") {
     val p = v2Root()
     val df = spark.read.format("zarr").option("dims", "t,lat,lon").load(p)

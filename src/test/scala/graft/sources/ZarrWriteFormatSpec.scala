@@ -1,0 +1,139 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.grid.{Fixtures, GridIO, ZarrGridStore}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The plain-Spark WRITE surface: `df.write.format("zarr")` — output
+  * byte-identical to the `writeFromRows` API path, overwrite/append
+  * mode semantics, coordinate inference, and clear errors.
+  */
+class ZarrWriteFormatSpec extends SparkTestBase {
+
+  private def tmp(): Path = {
+    val p = Files.createTempDirectory("zarr_wfmt")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def gridDf = new graft.XarrayContext(spark).dataFrame(
+    "wfmt_grid", Fixtures.linearGrid, Map("t" -> 6), Seq("t", "lat", "lon"))
+
+  private def walk(r: String): Map[String, Seq[Byte]] = {
+    val base = Paths.get(r)
+    Files.walk(base).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => base.relativize(p).toString ->
+        Files.readAllBytes(p).toSeq)
+      .toMap
+  }
+
+  test("df.write.format(\"zarr\") output is byte-identical to writeFromRows") {
+    val apiRoot = tmp().resolve("api").toString
+    val fmtRoot = tmp().resolve("fmt").toString
+    val df = gridDf
+    // the API path, with the SAME schema the format path infers
+    val schema = ZarrWrite.inferGridSchema(df, Seq("t", "lat", "lon"))
+    ZarrGridStore.writeFromRows(df, schema,
+      Map("t" -> 6, "lat" -> 5), apiRoot, "zstd:3")
+    df.write.format("zarr")
+      .option("dims", "t,lat,lon")
+      .option("chunks", "t=6,lat=5")
+      .option("compressor", "zstd:3")
+      .mode("overwrite").save(fmtRoot)
+    val a = walk(apiRoot)
+    val b = walk(fmtRoot)
+    assert(a.keySet == b.keySet,
+      (a.keySet.diff(b.keySet), b.keySet.diff(a.keySet)))
+    a.keys.foreach(k => assert(a(k) == b(k), s"file $k differs"))
+    // read-back: every cell of the original pivot survives
+    val back = spark.read.format("zarr").load(fmtRoot)
+    assert(back.count() == 24L * 12 * 10)
+    val r = back.filter(col("t") >= 12).agg(sum("air")).collect().head
+    val expect = (for (t <- 12 until 24; i <- 0 until 12; j <- 0 until 10)
+      yield 200.0 + t + 2.0 * i + 3.0 * j).sum
+    assert(r.getDouble(0) == expect)
+  }
+
+  test("overwrite replaces; append grows along appendDim") {
+    val root = tmp().resolve("grow").toString
+    val df = gridDf
+    def slab(t0: Int, t1: Int) = df.filter(col("t") >= t0 && col("t") < t1)
+    slab(0, 12).write.format("zarr")
+      .option("dims", "t,lat,lon").option("chunks", "t=6,lat=5")
+      .mode("append").save(root) // append to nothing = create
+    assert(spark.read.format("zarr").load(root).count() == 12L * 12 * 10)
+    slab(12, 24).write.format("zarr")
+      .option("dims", "t,lat,lon").option("appendDim", "t")
+      .mode("append").save(root)
+    val back = spark.read.format("zarr").load(root)
+    assert(back.count() == 24L * 12 * 10)
+    // the appended tree equals a one-shot write, file by file
+    val oneShot = tmp().resolve("oneshot").toString
+    df.write.format("zarr")
+      .option("dims", "t,lat,lon").option("chunks", "t=6,lat=5")
+      .mode("overwrite").save(oneShot)
+    val a = walk(oneShot)
+    val b = walk(root)
+    assert(a.keySet == b.keySet,
+      (a.keySet.diff(b.keySet), b.keySet.diff(a.keySet)))
+    a.keys.foreach(k => assert(a(k) == b(k), s"file $k differs after append"))
+    // a straddling filter scans seamlessly across the append boundary
+    val r = back.filter(col("t").between(8, 15))
+      .agg(count(lit(1)), sum("air")).collect().head
+    assert(r.getLong(0) == 8L * 12 * 10)
+  }
+
+  test("clear errors: missing dims, append without appendDim, bad modes") {
+    val root = tmp().resolve("err").toString
+    val df = gridDf.limit(10)
+    val e1 = intercept[Exception](
+      df.write.format("zarr").mode("overwrite").save(root))
+    assert(e1.getMessage.contains("dims"), e1.getMessage)
+    gridDf.write.format("zarr").option("dims", "t,lat,lon")
+      .mode("overwrite").save(root)
+    val e2 = intercept[Exception](
+      gridDf.write.format("zarr").option("dims", "t,lat,lon")
+        .mode("append").save(root))
+    assert(e2.getMessage.contains("appendDim"), e2.getMessage)
+    // Spark itself rejects ErrorIfExists for path-based DSv2 providers
+    val e3 = intercept[Exception](
+      gridDf.write.format("zarr").option("dims", "t,lat,lon").save(root))
+    assert(e3.getMessage.toLowerCase.contains("errorifexists"),
+      e3.getMessage)
+    // duplicate cells fail loudly, not last-write-wins
+    val dup = gridDf.union(gridDf.limit(1))
+    val e4 = intercept[Exception](
+      dup.write.format("zarr").option("dims", "t,lat,lon")
+        .mode("overwrite").save(tmp().resolve("dup").toString))
+    assert(String.valueOf(e4.getMessage).contains("duplicate") ||
+      Option(e4.getCause).exists(_.getMessage.contains("duplicate")),
+      e4.toString)
+  }
+
+  test("timestamp dims and mixed variable types round trip") {
+    import spark.implicits._
+    val df = (for (k <- 0 until 6; i <- 0 until 3) yield (
+      java.sql.Timestamp.from(java.time.Instant.parse(
+        f"2021-02-0${k + 1}T00:00:00Z")),
+      i * 10.0, (k * 3 + i).toLong, (k + i).toFloat))
+      .toDF("time", "lat", "hits", "score")
+    val root = tmp().resolve("ts").toString
+    df.write.format("zarr").option("dims", "time,lat")
+      .option("chunks", "time=2")
+      .mode("overwrite").save(root)
+    val back = spark.read.format("zarr").load(root)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("time", "lat", "hits", "score"))
+    assert(back.count() == 18L)
+    val r = back.filter(col("time") >= lit("2021-02-04").cast("timestamp"))
+      .agg(sum("hits"), sum("score")).collect().head
+    val keep = for (k <- 3 until 6; i <- 0 until 3) yield (k * 3 + i, k + i)
+    assert(r.getLong(0) == keep.map(_._1.toLong).sum)
+    assert(r.getDouble(1) == keep.map(_._2.toDouble).sum)
+  }
+}
