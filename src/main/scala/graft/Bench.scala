@@ -33,6 +33,13 @@ object Bench {
     // Round-over-round comparisons stop chasing +-20% single-shot noise.
     val names = SparkEntry.queries.keys.toSeq
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    // force-materialize metric: count() lets Catalyst prune the columns
+    // the count doesn't need, under-measuring projection-heavy queries
+    // (decode chains, arithmetic projections). The second timing folds
+    // xxhash64 over EVERY output column into one aggregate, so all
+    // expression work executes. Both are reported; "value" stays the
+    // count() total for round-over-round comparability.
+    val fullTimes = scala.collection.mutable.Map.empty[String, List[Double]]
     // a failing query must NEVER be recorded as a timing: in round 7 nine
     // analysis-time failures showed up as ~0.05 s fast-fail "speedups" in
     // the bench artifact. Any failed rep marks the query failed; it is
@@ -45,11 +52,19 @@ object Bench {
         fn(spark, sfDir).count()
         times(name) =
           ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+        val t1 = System.nanoTime()
+        val d = fn(spark, sfDir)
+        import org.apache.spark.sql.functions.{col, expr, xxhash64}
+        d.select(xxhash64(d.columns.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)")).collect() // xor: no ANSI overflow
+        fullTimes(name) =
+          ((System.nanoTime() - t1) / 1e9) :: fullTimes.getOrElse(name, Nil)
       } catch { case e: Throwable =>
         val msg = String.valueOf(e)
         System.err.println(s"[bench] $name FAILED: $msg")
         errors(name) = msg
         times.remove(name) // drop earlier reps too: the query is not green
+        fullTimes.remove(name)
       }
     }
     def median(xs: List[Double]): Double = {
@@ -69,9 +84,14 @@ object Bench {
       times(n).reverse.map(t => f"$t%.3f").mkString(",") + "]")
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val fullResults = ok.filter(fullTimes.contains)
+      .map(n => n -> median(fullTimes(n)))
+    val qsFull = fullResults.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullTotal = fullResults.map(_._2).sum
     val errJson = JsonUtil.obj(errors)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"rep_times":$rt,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_full":$qsFull,"full_total":$fullTotal,"rep_times":$rt,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // also persist to a file: stdout artifacts have been truncated by
     // log capture, losing the per-query tail — the file is the durable

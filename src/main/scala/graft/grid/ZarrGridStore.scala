@@ -337,6 +337,9 @@ object ZarrGridStore {
       (units, raw) match {
         // CF time axis: "<step> since <date>" + int offsets
         case (Some(u), _) if intKind && u.contains(" since ") =>
+          require(!scaledVar(a),
+            s"$name: scaled CF time coordinates unsupported " +
+              "(scale_factor/add_offset on a time axis)")
           val offsets = raw match {
             case v: Array[Int] => v.map(_.toLong)
             case v: Array[Long] => v
@@ -353,6 +356,8 @@ object ZarrGridStore {
           }
         // bare duration units (timedelta axis — no "since")
         case (Some(u), _) if intKind && durationMicros.contains(u) =>
+          require(!scaledVar(a),
+            s"$name: scaled duration coordinates unsupported")
           val offsets = raw match {
             case v: Array[Int] => v.map(_.toLong)
             case v: Array[Long] => v
@@ -360,6 +365,14 @@ object ZarrGridStore {
           DimDef(name,
             DurationCoords(offsets.map(_ * durationMicros(u))),
             attrs = rest)
+        case _ if scaledVar(a) =>
+          // CF mask_and_scale on a coordinate array: decode like
+          // xarray's decode_cf does (packed ints -> doubles) instead of
+          // silently serving raw packed values as coordinates
+          val scaled = applyMaskScale(a, raw).asInstanceOf[Array[Double]]
+          DimDef(name, DoubleCoords(scaled),
+            attrs = a.attrs --
+              Seq("scale_factor", "add_offset", "_FillValue", "calendar"))
         case _ =>
           val coords: CoordArray = raw match {
             case v: Array[Double] => DoubleCoords(v)
@@ -527,8 +540,10 @@ object ZarrGridStore {
     * `decode_cf` handles for the reference): the variable surfaces as
     * DOUBLE with `out = stored * scale + offset` and stored values equal
     * to `_FillValue` become NaN. A `_FillValue` alone (no scaling) is
-    * left as-is to keep the declared dtype stable. Coordinate arrays
-    * are never scaled (they index, not measure).
+    * left as-is to keep the declared dtype stable. Scaled COORDINATE
+    * arrays decode the same way in [[buildDim]] (as xarray's decode_cf
+    * does), except on time/duration axes, where scaling is rejected
+    * loudly.
     */
   private[grid] def scaledVar(a: ZarrArrayMeta): Boolean =
     a.attrs.contains("scale_factor") || a.attrs.contains("add_offset")
@@ -542,7 +557,14 @@ object ZarrGridStore {
     raw match {
       case v: Array[Int] => v.map(x => m(x.toDouble))
       case v: Array[Long] => v.map(x => m(x.toDouble))
-      case v: Array[Float] => v.map(x => m(x.toDouble))
+      case v: Array[Float] =>
+        // compare the fill in the STORED dtype domain (xarray casts the
+        // fill to the array dtype first): a hand-authored attribute
+        // decimal that is not the shortest repr of the widened float —
+        // e.g. a truncated 9.96921e+36 — must still mask its cells
+        val ff = fv.map(_.toFloat)
+        v.map(x =>
+          if (ff.contains(x)) Double.NaN else x.toDouble * s + o)
       case v: Array[Double] => v.map(m)
       case other => throw new IllegalArgumentException(
         s"${a.name}: cannot scale ${other.getClass}")

@@ -62,6 +62,67 @@ class ZarrPackedSpec extends AnyFunSuite {
     assert((2 until 6).forall(i => got(i).isNaN), got.toSeq)
   }
 
+  test("float32 fill compares in the stored dtype domain") {
+    // hand-authored metadata whose _FillValue decimal is NOT the exact
+    // shortest repr of the widened float (a truncated 9.96921e+36 —
+    // the netCDF float default fill's common spelling): masking must
+    // cast the fill to float like xarray does, or fills escape and
+    // scale into garbage
+    val root = tmp()
+    put(root, ".zgroup", """{"zarr_format":2}""")
+    v2Array(root, "v", "<f4", 3, 3, "null",
+      ""","scale_factor":2.0,"add_offset":1.0,"_FillValue":9.96921e+36""")
+    putBytes(root, "v/0", {
+      val bb = java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putFloat(3.0f).putFloat(9.96921e+36f).putFloat(5.0f)
+      bb.array()
+    })
+    // the widened stored value differs from the attr's double parse
+    assert(9.96921e+36f.toDouble != 9.96921e+36)
+    val got = ZarrGridStore.open(root.toString)
+      .readVar("v", Seq((0, 3))).asInstanceOf[Array[Double]]
+    assert(got(0) == 7.0 && got(1).isNaN && got(2) == 11.0, got.toSeq)
+  }
+
+  test("scaled coordinate arrays decode like xarray; scaled time rejected") {
+    val root = tmp()
+    put(root, ".zgroup", """{"zarr_format":2}""")
+    // coordinate array x stored packed i2 with scale/offset
+    v2Array(root, "x", "<i2", 3, 3, "null",
+      ""","scale_factor":0.5,"add_offset":10.0""")
+    putBytes(root, "x/0", {
+      val bb = java.nio.ByteBuffer.allocate(6)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(0).putShort(1).putShort(2)
+      bb.array()
+    })
+    v2Array(root, "v", "<f8", 3, 3, "null")
+    putBytes(root, "v/0", {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putDouble(1.0).putDouble(2.0).putDouble(3.0)
+      bb.array()
+    })
+    val store = ZarrGridStore.open(root.toString)
+    val x = store.schema.dim("x")
+    assert(x.coords.asInstanceOf[DoubleCoords].values
+      .sameElements(Array(10.0, 10.5, 11.0)))
+    assert(!x.attrs.contains("scale_factor")) // applied attrs stripped
+    // a scaled CF TIME coordinate is rejected loudly, never mis-decoded
+    val root2 = tmp()
+    put(root2, ".zgroup", """{"zarr_format":2}""")
+    v2Array(root2, "t", "<i8", 2, 2, "null",
+      ""","units":"days since 2000-01-01","scale_factor":2.0""",
+      dim = "t")
+    putBytes(root2, "t/0", new Array[Byte](16))
+    v2Array(root2, "w", "<f8", 2, 2, "null", dim = "t")
+    putBytes(root2, "w/0", new Array[Byte](16))
+    val e = intercept[IllegalArgumentException](
+      ZarrGridStore.open(root2.toString))
+    assert(e.getMessage.contains("scaled"), e.getMessage)
+  }
+
   test("unsigned and big-endian packed widths widen exactly") {
     val root = tmp()
     put(root, ".zgroup", """{"zarr_format":2}""")
