@@ -73,6 +73,41 @@ object GridWriter {
     }
   }
 
+  /** Zarr v3 chunk (or whole SHARD) files: default `c/<i>/<j>` keys;
+    * `innerSz` turns each scattered outer chunk into a
+    * `sharding_indexed` shard (per-inner-chunk compression + index)
+    * encoded entirely on the executor; string variables encode
+    * vlen-utf8.
+    */
+  private[grid] final case class V3Sink(root: String, dtype: GridType,
+      chunkSz: Seq[Int], innerSz: Option[Seq[Int]],
+      comp: Option[(String, Int)]) extends ChunkSink {
+    def write(varName: String, ciDotted: String, arr: AnyRef,
+        eff: Array[Int],
+        conf: org.apache.hadoop.conf.Configuration)
+        : (Option[(Any, Any)], Option[Double]) = {
+      val padded = ZarrGridStore.padChunk(arr, eff, chunkSz.toArray, dtype)
+      val payload =
+        if (dtype == GString)
+          ZarrGridStore.compress(
+            ZarrGridStore.encodeVlen(padded.asInstanceOf[Array[String]]),
+            comp, 1)
+        else {
+          val le = ZarrGridStore.toLE(padded, dtype)
+          innerSz match {
+            case None =>
+              ZarrGridStore.compress(le, comp, dtype.byteWidth)
+            case Some(inner) =>
+              ZarrV3.encodeShard(le, chunkSz, inner, dtype.byteWidth, comp)
+          }
+        }
+      GridIO.write(
+        s"$root/$varName/c/${ciDotted.split('.').mkString("/")}",
+        payload, conf)
+      (None, None)
+    }
+  }
+
   def write(df: DataFrame, schema: GridSchema, chunks: Map[String, Int],
       root: String, codec: String = "none"): BinaryGridStore =
     writeGrouped(_ => df, schema, chunks, root, codec)

@@ -676,6 +676,26 @@ object GridQueries {
           col("air"))
     }),
 
+    // same write surface targeting v3 + sharding_indexed: the pivoted
+    // rows scatter into SHARD files (executors encode inner chunks +
+    // index) and the read back partitions/prunes on INNER chunks via
+    // ranged reads — the bounded-object-count write shape and the
+    // sub-file read granularity in one round trip
+    "pivot_grid_zarr_write_v3" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_write_v3") + "/store"
+      grid(s).write.format("zarr")
+        .option("dims", "t,lat,lon")
+        .option("chunks", "t=6,lat=5")
+        .option("format", "v3")
+        .option("shards", "t=2")
+        .option("compressor", "zstd:3")
+        .mode("overwrite").save(root)
+      s.read.format("zarr").load(root)
+        .filter(col("t") >= 12)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
+
     // zarr-python 3's STRING layout end-to-end: a dataset with a
     // vlen-utf8 string COORDINATE and a vlen-utf8+zstd string DATA
     // variable round-trips through the v3 writer (data_type "string"),
@@ -1024,6 +1044,10 @@ object GridQueries {
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
     "pivot_grid_zarr_write" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t >= 12""".stripMargin,
+    "pivot_grid_zarr_write_v3" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,

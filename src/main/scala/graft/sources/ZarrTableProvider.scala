@@ -146,17 +146,42 @@ private[sources] object ZarrWrite {
           }
         }.toMap).getOrElse(Map.empty)
     val compressor = Option(options.get("compressor")).getOrElse("zstd:3")
+    // format v2 (default) | v3; "shards" turns on sharding_indexed for
+    // v3: the chunks option becomes the SHARD (stored-file) grid and
+    // shards the inner chunk sizes — one object per shard at 100 TB,
+    // inner-chunk-granular ranged reads on the way back
+    val format = Option(options.get("format")).getOrElse("v2")
+    require(format == "v2" || format == "v3",
+      s"zarr write: bad format '$format' (v2 | v3)")
+    val shardInner: Map[String, Int] =
+      Option(options.get("shards")).map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).map { kv =>
+          kv.split("=") match {
+            case Array(k, v) => k.trim -> v.trim.toInt
+            case _ => throw new IllegalArgumentException(
+              s"zarr write: bad shards entry '$kv' (use d=n,...)")
+          }
+        }.toMap).getOrElse(Map.empty)
+    require(shardInner.isEmpty || format == "v3",
+      "zarr write: shards requires .option(\"format\", \"v3\")")
     val conf = GridIO.driverConf()
     val exists = GridIO.exists(s"$root/.zmetadata", conf) ||
       GridIO.exists(s"$root/.zgroup", conf) ||
       GridIO.exists(s"$root/zarr.json", conf)
 
     val schema = inferGridSchema(df, dims)
+    def create(): Unit = {
+      if (format == "v3")
+        ZarrV3.writeFromRows(df, schema, chunks, root, compressor,
+          shardInner)
+      else ZarrGridStore.writeFromRows(df, schema, chunks, root, compressor)
+      ()
+    }
     if (overwrite) {
       GridIO.delete(root, conf)
-      ZarrGridStore.writeFromRows(df, schema, chunks, root, compressor)
+      create()
     } else if (!exists) {
-      ZarrGridStore.writeFromRows(df, schema, chunks, root, compressor)
+      create()
     } else {
       val along = Option(options.get("appendDim")).getOrElse(
         throw new IllegalArgumentException(

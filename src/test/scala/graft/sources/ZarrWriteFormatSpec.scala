@@ -88,6 +88,44 @@ class ZarrWriteFormatSpec extends SparkTestBase {
     assert(r.getLong(0) == 8L * 12 * 10)
   }
 
+  test("format v3 with shards writes sharding_indexed from rows") {
+    val apiRoot = tmp().resolve("v3api").toString
+    val fmtRoot = tmp().resolve("v3fmt").toString
+    val df = gridDf
+    val schema = ZarrWrite.inferGridSchema(df, Seq("t", "lat", "lon"))
+    graft.grid.ZarrV3.writeFromRows(df, schema,
+      Map("t" -> 6, "lat" -> 5), apiRoot, "zstd:3",
+      shardInner = Map("t" -> 2))
+    df.write.format("zarr")
+      .option("dims", "t,lat,lon")
+      .option("chunks", "t=6,lat=5")
+      .option("format", "v3")
+      .option("shards", "t=2")
+      .option("compressor", "zstd:3")
+      .mode("overwrite").save(fmtRoot)
+    val a = walk(apiRoot)
+    val b = walk(fmtRoot)
+    assert(a.keySet == b.keySet,
+      (a.keySet.diff(b.keySet), b.keySet.diff(a.keySet)))
+    a.keys.foreach(k => assert(a(k) == b(k), s"file $k differs"))
+    // stored files are shards; the reader partitions on inner chunks
+    val store = ZarrGridStore.open(fmtRoot)
+    assert(store.arrays("air").sharding.exists(_.innerShape.head == 2))
+    assert(store.chunkMap("t") == 2)
+    val back = spark.read.format("zarr").load(fmtRoot)
+    assert(back.count() == 24L * 12 * 10)
+    val r = back.filter(col("t") >= 12).agg(sum("air")).collect().head
+    val expect = (for (t <- 12 until 24; i <- 0 until 12; j <- 0 until 10)
+      yield 200.0 + t + 2.0 * i + 3.0 * j).sum
+    assert(r.getDouble(0) == expect)
+    // shards option without v3 is rejected loudly
+    val e = intercept[Exception](
+      df.write.format("zarr").option("dims", "t,lat,lon")
+        .option("shards", "t=2")
+        .mode("overwrite").save(tmp().resolve("bad").toString))
+    assert(e.getMessage.contains("v3"), e.getMessage)
+  }
+
   test("clear errors: missing dims, append without appendDim, bad modes") {
     val root = tmp().resolve("err").toString
     val df = gridDf.limit(10)
