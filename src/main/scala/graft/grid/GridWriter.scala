@@ -81,7 +81,11 @@ object GridWriter {
     */
   private[grid] final case class V3Sink(root: String, dtype: GridType,
       chunkSz: Seq[Int], innerSz: Option[Seq[Int]],
-      comp: Option[(String, Int)]) extends ChunkSink {
+      comp: Option[(String, Int)],
+      /** Dotted staging names instead of nested `c/` keys — the append
+        * path stages flat so shifted renames stay one-level.
+        */
+      flatKeys: Boolean = false) extends ChunkSink {
     def write(varName: String, ciDotted: String, arr: AnyRef,
         eff: Array[Int],
         conf: org.apache.hadoop.conf.Configuration)
@@ -102,7 +106,8 @@ object GridWriter {
           }
         }
       GridIO.write(
-        s"$root/$varName/c/${ciDotted.split('.').mkString("/")}",
+        if (flatKeys) s"$root/$varName/$ciDotted"
+        else s"$root/$varName/c/${ciDotted.split('.').mkString("/")}",
         payload, conf)
       (None, None)
     }

@@ -1374,13 +1374,15 @@ object ZarrGridStore {
       along: String): ZarrGridStore = {
     val conf = GridIO.driverConf()
     val cleanRoot = root.stripSuffix("/")
+    if (GridIO.exists(s"$cleanRoot/zarr.json", conf))
+      return ZarrV3.appendFromRows(df, slabSchema, cleanRoot, along)
     val existing = open(cleanRoot)
     val exDim = existing.schema.dim(along)
     val slabDim = slabSchema.dim(along)
     require(slabDim.size > 0, s"empty slab on $along")
     existing.arrays.values.foreach { a =>
-      require(a.keyPrefix.isEmpty && a.dimSep == "." && a.sharding.isEmpty,
-        s"appendFromRows supports this writer's v2 layout only " +
+      require(a.keyPrefix.isEmpty && a.dimSep == ".",
+        s"appendFromRows supports this writer's layouts only " +
           s"(${a.name} uses keyPrefix='${a.keyPrefix}' sep='${a.dimSep}')")
     }
     val chunks = existing.chunkMap
@@ -1449,7 +1451,7 @@ object ZarrGridStore {
     open(cleanRoot)
   }
 
-  private def coordValues(c: CoordArray): Seq[Any] = c match {
+  private[grid] def coordValues(c: CoordArray): Seq[Any] = c match {
     case DoubleCoords(v) => v.toSeq
     case FloatCoords(v) => v.toSeq
     case IntCoords(v) => v.toSeq
@@ -1459,7 +1461,7 @@ object ZarrGridStore {
     case StringCoords(v) => v.toSeq
   }
 
-  private def concatCoords(a: CoordArray, b: CoordArray): CoordArray =
+  private[grid] def concatCoords(a: CoordArray, b: CoordArray): CoordArray =
     (a, b) match {
       case (DoubleCoords(x), DoubleCoords(y)) => DoubleCoords(x ++ y)
       case (FloatCoords(x), FloatCoords(y)) => FloatCoords(x ++ y)

@@ -392,6 +392,138 @@ object ZarrV3 {
     open(cleanRoot)
   }
 
+  /** The v3 face of [[ZarrGridStore.appendFromRows]] — same staged
+    * distributed scatter + shifted rename + metadata rewrite, but on
+    * the `c/`-keyed layout: sharded variables stage whole SHARDS
+    * (stored-file granularity), so appends align on the shard grid and
+    * the shifted rename moves one file per shard. The coordinate array
+    * and every growing variable's `zarr.json` shape are rewritten and
+    * the inline consolidated root is rebuilt.
+    */
+  def appendFromRows(df: org.apache.spark.sql.DataFrame,
+      slabSchema: GridSchema, root: String,
+      along: String): ZarrGridStore = {
+    val conf = GridIO.driverConf()
+    val cleanRoot = root.stripSuffix("/")
+    val existing = open(cleanRoot)
+    val exDim = existing.schema.dim(along)
+    val slabDim = slabSchema.dim(along)
+    require(slabDim.size > 0, s"empty slab on $along")
+    // appends align on the STORED-FILE grid (= shard grid when sharded)
+    val dataArrs = existing.schema.vars.map(v => existing.arrays(v.name))
+    val fileChunks: Map[String, Int] = dataArrs
+      .flatMap(a => a.dims.zip(a.chunkShape)).groupBy(_._1)
+      .map { case (d, szs) =>
+        require(szs.map(_._2).distinct.size == 1,
+          s"data variables disagree on the stored chunk of $d")
+        d -> szs.head._2
+      }
+    val alongChunk = fileChunks.getOrElse(along,
+      throw new IllegalArgumentException(s"$along is not a data-var dim"))
+    require(exDim.size % alongChunk == 0,
+      s"existing $along extent ${exDim.size} is not stored-chunk-aligned " +
+        s"($alongChunk); rechunk before appending")
+    val chunkOffset = exDim.size / alongChunk
+    slabSchema.dims.filterNot(_.name == along).foreach { d =>
+      val ex = existing.schema.dim(d.name)
+      require(ZarrGridStore.coordValues(ex.coords) ==
+        ZarrGridStore.coordValues(d.coords),
+        s"dim ${d.name} of the slab differs from the store")
+    }
+    val growing = slabSchema.vars.filter(_.dims.contains(along))
+    require(growing.nonEmpty, s"no slab variable spans $along")
+    growing.foreach { v =>
+      val a = existing.arrays.getOrElse(v.name,
+        throw new IllegalArgumentException(
+          s"variable ${v.name} does not exist in the store"))
+      require(a.dtype == v.dtype,
+        s"${v.name}: slab dtype ${v.dtype} vs stored ${a.dtype}")
+      require(v.dtype != GString,
+        s"${v.name}: appending string variables unsupported")
+    }
+
+    GridIO.sweepStaging(cleanRoot, conf)
+    val staging = cleanRoot + ".staging-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    growing.foreach { v =>
+      val a = existing.arrays(v.name)
+      GridIO.mkdirs(s"$staging/${v.name}", conf)
+      GridWriter.writeVar(df, slabSchema, fileChunks,
+        GridWriter.V3Sink(staging, v.dtype, a.chunkShape,
+          a.sharding.map(_.innerShape),
+          a.sharding.map(_.innerCompressor).getOrElse(a.compressor),
+          flatKeys = true), v)
+    }
+    // staged flat keys -> nested shifted keys past the existing extent
+    growing.foreach { v =>
+      val axisPos = v.dims.indexOf(along)
+      GridIO.listNames(s"$staging/${v.name}", conf).foreach { fn =>
+        val parts = fn.split('.')
+        parts(axisPos) = (parts(axisPos).toInt + chunkOffset).toString
+        val destDir = (s"$cleanRoot/${v.name}/c" +: parts.init.toSeq)
+          .mkString("/")
+        GridIO.mkdirs(destDir, conf)
+        GridIO.rename(s"$staging/${v.name}/$fn",
+          s"$destDir/${parts.last}", conf)
+      }
+    }
+    GridIO.delete(staging, conf)
+
+    val mapper = new ObjectMapper()
+    val combined = DimDef(along,
+      ZarrGridStore.concatCoords(exDim.coords, slabDim.coords),
+      exDim.calendar, exDim.units, exDim.attrs)
+    GridIO.delete(s"$cleanRoot/$along", conf)
+    writeCoordArray(cleanRoot, combined, mapper, conf)
+    growing.foreach { v =>
+      val a = existing.arrays(v.name)
+      val axisPos = v.dims.indexOf(along)
+      val za = ZarrGridStore.parseJson(GridIO.readAllBytes(
+        s"$cleanRoot/${v.name}/zarr.json", conf)).asInstanceOf[ObjectNode]
+      val sh = za.putArray("shape")
+      a.shape.updated(axisPos, a.shape(axisPos) + slabDim.size)
+        .foreach(sh.add)
+      GridIO.writeString(s"$cleanRoot/${v.name}/zarr.json",
+        mapper.writeValueAsString(za), conf)
+    }
+    // the writer's metadata order (dims, then vars) keeps the rebuilt
+    // root byte-identical to a one-shot write of the grown dataset
+    reconsolidateRoot(cleanRoot,
+      existing.schema.dims.map(_.name) ++ existing.schema.vars.map(_.name),
+      mapper, conf)
+    open(cleanRoot)
+  }
+
+  /** Rebuild the root `zarr.json` (group attributes preserved, inline
+    * consolidated metadata refreshed from the per-array files, in the
+    * given array order).
+    */
+  private def reconsolidateRoot(cleanRoot: String, order: Seq[String],
+      mapper: ObjectMapper,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val rootMeta = ZarrGridStore.parseJson(
+      GridIO.readAllBytes(s"$cleanRoot/zarr.json", conf))
+    val top = mapper.createObjectNode()
+    top.put("zarr_format", 3)
+    top.put("node_type", "group")
+    rootMeta.path("attributes") match {
+      case a if a.isObject => top.set[JsonNode]("attributes", a)
+      case _ => top.putObject("attributes"); ()
+    }
+    val consolidated = top.putObject("consolidated_metadata")
+    consolidated.put("kind", "inline")
+    consolidated.put("must_understand", false)
+    val metaNode = consolidated.putObject("metadata")
+    val listed = GridIO.listNames(cleanRoot, conf)
+      .filterNot(_.startsWith("."))
+      .filter(n => GridIO.exists(s"$cleanRoot/$n/zarr.json", conf))
+    (order.filter(listed.contains) ++ listed.filterNot(order.contains).sorted)
+      .foreach(n => metaNode.set[JsonNode](n, ZarrGridStore.parseJson(
+        GridIO.readAllBytes(s"$cleanRoot/$n/zarr.json", conf))))
+    GridIO.writeString(s"$cleanRoot/zarr.json",
+      mapper.writeValueAsString(top), conf)
+  }
+
   private def parseV3Compressor(compressor: String): Option[(String, Int)] = {
     val comp = ZarrGridStore.parseCompressor(compressor)
     require(!comp.exists(_._1 == "zlib"),
@@ -449,22 +581,7 @@ object ZarrV3 {
     // coordinate arrays: single chunk, uncompressed (metadata-sized);
     // string coordinates take zarr-python 3's native vlen-utf8 layout
     schema.dims.foreach { d =>
-      val n = d.size
-      val (payload, dtype, extraAttrs) = d.coords match {
-        case StringCoords(vs) =>
-          (ZarrGridStore.encodeVlen(vs), GString, Map.empty[String, String])
-        case _ =>
-          val (data, dt, extra) = ZarrGridStore.coordPayload(d)
-          (if (n > 0) ZarrGridStore.toLE(data, dt) else Array.emptyByteArray,
-            dt, extra)
-      }
-      val meta = arrayJson(mapper, Seq(n), Seq(math.max(n, 1)), dtype,
-        None, Seq(d.name), d.attrs ++ extraAttrs)
-      arrayMetaNodes += d.name -> meta
-      GridIO.mkdirs(s"$cleanRoot/${d.name}", conf)
-      GridIO.writeString(s"$cleanRoot/${d.name}/zarr.json",
-        mapper.writeValueAsString(meta), conf)
-      if (n > 0) GridIO.write(s"$cleanRoot/${d.name}/c/0", payload, conf)
+      arrayMetaNodes += d.name -> writeCoordArray(cleanRoot, d, mapper, conf)
     }
 
     schema.vars.foreach { v =>
@@ -505,6 +622,31 @@ object ZarrV3 {
     arrayMetaNodes.foreach { case (n, m) => metaNode.set[JsonNode](n, m) }
     GridIO.writeString(s"$cleanRoot/zarr.json",
       mapper.writeValueAsString(top), conf)
+  }
+
+  /** One coordinate array: single chunk, uncompressed (vlen-utf8 for
+    * string coords). Returns the array's metadata node for the
+    * consolidated root.
+    */
+  private def writeCoordArray(cleanRoot: String, d: DimDef,
+      mapper: ObjectMapper,
+      conf: org.apache.hadoop.conf.Configuration): ObjectNode = {
+    val n = d.size
+    val (payload, dtype, extraAttrs) = d.coords match {
+      case StringCoords(vs) =>
+        (ZarrGridStore.encodeVlen(vs), GString, Map.empty[String, String])
+      case _ =>
+        val (data, dt, extra) = ZarrGridStore.coordPayload(d)
+        (if (n > 0) ZarrGridStore.toLE(data, dt) else Array.emptyByteArray,
+          dt, extra)
+    }
+    val meta = arrayJson(mapper, Seq(n), Seq(math.max(n, 1)), dtype,
+      None, Seq(d.name), d.attrs ++ extraAttrs)
+    GridIO.mkdirs(s"$cleanRoot/${d.name}", conf)
+    GridIO.writeString(s"$cleanRoot/${d.name}/zarr.json",
+      mapper.writeValueAsString(meta), conf)
+    if (n > 0) GridIO.write(s"$cleanRoot/${d.name}/c/0", payload, conf)
+    meta
   }
 
   /** One shard's bytes: per-inner-chunk compressed streams followed by

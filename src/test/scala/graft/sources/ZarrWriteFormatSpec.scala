@@ -126,6 +126,41 @@ class ZarrWriteFormatSpec extends SparkTestBase {
     assert(e.getMessage.contains("v3"), e.getMessage)
   }
 
+  test("append grows a v3 SHARDED tree shard-by-shard") {
+    val root = tmp().resolve("v3grow").toString
+    val df = gridDf
+    def slab(t0: Int, t1: Int) = df.filter(col("t") >= t0 && col("t") < t1)
+    slab(0, 12).write.format("zarr")
+      .option("dims", "t,lat,lon").option("chunks", "t=6,lat=5")
+      .option("format", "v3").option("shards", "t=2")
+      .mode("append").save(root)
+    slab(12, 24).write.format("zarr")
+      .option("dims", "t,lat,lon").option("appendDim", "t")
+      .mode("append").save(root)
+    // byte-identical to a one-shot v3 sharded write
+    val oneShot = tmp().resolve("v3oneshot").toString
+    df.write.format("zarr")
+      .option("dims", "t,lat,lon").option("chunks", "t=6,lat=5")
+      .option("format", "v3").option("shards", "t=2")
+      .mode("overwrite").save(oneShot)
+    val a = walk(oneShot)
+    val b = walk(root)
+    assert(a.keySet == b.keySet,
+      (a.keySet.diff(b.keySet), b.keySet.diff(a.keySet)))
+    a.keys.foreach(k => assert(a(k) == b(k), s"file $k differs after append"))
+    // straddling filter reads seamlessly, on inner-chunk partitions
+    val back = spark.read.format("zarr").load(root)
+    ReadCounters.reset()
+    val r = back.filter(col("t").between(8, 15))
+      .agg(count(lit(1)), sum("air")).collect().head
+    assert(r.getLong(0) == 8L * 12 * 10)
+    val expect = (for (t <- 8 to 15; i <- 0 until 12; j <- 0 until 10)
+      yield 200.0 + t + 2.0 * i + 3.0 * j).sum
+    assert(r.getDouble(1) == expect)
+    // 4 of 12 t-inner-chunks survive x 3 lat-shards
+    assert(ReadCounters.partitionsOpened.sum() == 12L)
+  }
+
   test("clear errors: missing dims, append without appendDim, bad modes") {
     val root = tmp().resolve("err").toString
     val df = gridDf.limit(10)
