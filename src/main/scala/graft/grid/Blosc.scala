@@ -164,12 +164,13 @@ object Blosc {
       level: Int = 5, shuffleMode: Int = ShuffleByte,
       blocksize: Int = 0): Array[Byte] = {
     require(typesize >= 1 && typesize <= 255, s"bad typesize $typesize")
-    val codecId = codec match {
-      case "lz4" => CodecLz4
-      case "zstd" => CodecZstd
-      case "zlib" => CodecZlib
-      case "snappy" => CodecSnappy
-      case "blosclz" => CodecBloscLz
+    val (codecId, lz4hc) = codec match {
+      case "lz4" => (CodecLz4, false)
+      case "lz4hc" => (CodecLz4, true) // same raw-block format, HC search
+      case "zstd" => (CodecZstd, false)
+      case "zlib" => (CodecZlib, false)
+      case "snappy" => (CodecSnappy, false)
+      case "blosclz" => (CodecBloscLz, false)
       case other =>
         throw new IllegalArgumentException(s"unsupported blosc cname '$other'")
     }
@@ -194,7 +195,7 @@ object Blosc {
       if (doShuffle) shuffleBytes(typesize, data, j * bs, bsize, chunk)
       else if (doBitShuffle) bitShuffle(typesize, data, j * bs, bsize, chunk)
       else System.arraycopy(data, j * bs, chunk, 0, bsize)
-      val comp = innerCompress(codecId, level, chunk)
+      val comp = innerCompress(codecId, level, chunk, lz4hc)
       // stored-raw split when compression does not win (csize==neblock
       // is the spec'd marker, so an incompressible block stays valid)
       val payload = if (comp.length < bsize) comp else chunk
@@ -262,9 +263,10 @@ object Blosc {
   }
 
   private def innerCompress(codec: Int, level: Int,
-      chunk: Array[Byte]): Array[Byte] = codec match {
+      chunk: Array[Byte], lz4hc: Boolean = false): Array[Byte] = codec match {
     case CodecLz4 =>
-      val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+      val f = net.jpountz.lz4.LZ4Factory.fastestInstance()
+      val c = if (lz4hc) f.highCompressor() else f.fastCompressor()
       val buf = new Array[Byte](c.maxCompressedLength(chunk.length))
       val n = c.compress(chunk, 0, chunk.length, buf, 0, buf.length)
       java.util.Arrays.copyOf(buf, n)

@@ -1063,8 +1063,18 @@ object ZarrGridStore {
       s"$name: only C order supported (got $order)")
     val dtypeStr = za.path("dtype").asText("")
     val (dtype, bigEndian, stored) = parseDtype(dtypeStr, name)
+    val isVlen = stored.contains(StoredVlenStr)
     val filters: Seq[ZarrFilter] =
-      if (!za.hasNonNull("filters")) Nil
+      if (isVlen) {
+        // zarr-python 2's string arrays: dtype |O with numcodecs
+        // VLenUTF8 as the (sole) filter; the vlen decode is keyed off
+        // the stored-element kind, so no ZarrFilter entry is kept
+        require(za.hasNonNull("filters") && za.get("filters").isArray &&
+          za.get("filters").size == 1 &&
+          za.get("filters").get(0).path("id").asText("") == "vlen-utf8",
+          s"$name: object dtype requires exactly the vlen-utf8 filter")
+        Nil
+      } else if (!za.hasNonNull("filters")) Nil
       else {
         require(za.get("filters").isArray, s"$name: bad filters")
         za.get("filters").elements().asScala.map { f =>
@@ -1111,8 +1121,9 @@ object ZarrGridStore {
             s"$name: unsupported compressor '$other'")
         }
       }
-    val fill = za.path("fill_value") match {
+    val fill: Double = za.path("fill_value") match {
       case f if f == null || f.isNull || f.isMissingNode => Double.NaN
+      case _ if isVlen => Double.NaN // string fill parsed below
       case f if f.isNumber => f.asDouble()
       case f if f.isTextual => f.asText() match {
         case "NaN" => Double.NaN
@@ -1123,6 +1134,10 @@ object ZarrGridStore {
       }
       case f => throw new IllegalArgumentException(
         s"$name: bad fill_value $f")
+    }
+    val stringFill: String = za.path("fill_value") match {
+      case f if isVlen && f.isTextual => f.asText()
+      case _ => ""
     }
     val dimSep =
       if (za.hasNonNull("dimension_separator"))
@@ -1143,13 +1158,16 @@ object ZarrGridStore {
       s"$name: ${dims.length} dim names for ${shape.length}-d array")
     ZarrArrayMeta(name, shape, chunks, dtype, bigEndian, compressor, fill,
       dimSep, dims, attrMap(attrsNode) - "_ARRAY_DIMENSIONS",
-      stored = stored, filters = filters)
+      stored = stored, filters = filters, stringFill = stringFill)
   }
 
   private val strDtype = raw"([<>|])([SU])(\d+)".r
 
   private def parseDtype(s: String,
       name: String): (GridType, Boolean, Option[StoredElem]) = {
+    // object dtype: zarr-python 2's variable-length strings (the
+    // vlen-utf8 filter requirement is enforced by the caller)
+    if (s == "|O") return (GString, false, Some(StoredVlenStr))
     // fixed-width strings first: |S<n> bytes, <U<n>/>U<n> UTF-32
     s match {
       case strDtype(ord, kind, n) =>
@@ -1256,8 +1274,11 @@ object ZarrGridStore {
       val eff = block.map(_._2).toArray
       val data = source.readVar(varName, block)
       val padded = padChunk(data, eff, chunkSz.toArray, dtype)
-      GridIO.write(s"$dir/${ci.mkString(".")}",
-        compress(toLE(padded, dtype), comp, dtype.byteWidth), conf)
+      val payload =
+        if (dtype == GString) // |O + vlen-utf8 layout
+          compress(encodeVlen(padded.asInstanceOf[Array[String]]), comp, 1)
+        else compress(toLE(padded, dtype), comp, dtype.byteWidth)
+      GridIO.write(s"$dir/${ci.mkString(".")}", payload, conf)
     }
   }
 
@@ -1283,10 +1304,13 @@ object ZarrGridStore {
         chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
       val fillJson = v.dtype match {
         case GDouble | GFloat => "\"NaN\""
+        case GString => "\"\""
         case _ => "0"
       }
+      val filtersJson = // zarr-python 2's string-array convention
+        if (v.dtype == GString) """[{"id":"vlen-utf8"}]""" else "null"
       GridIO.writeString(s"$dir/.zarray", zarrayJson(dimSz, chunkSz,
-        dtypeString(v.dtype), comp, fillJson), conf)
+        dtypeString(v.dtype), comp, fillJson, filtersJson), conf)
       GridIO.writeString(s"$dir/.zattrs",
         attrsJson(v.attrs, Some(v.dims)), conf)
       val sub = GridSchema(v.dims.map(schema.dim), Seq.empty)
@@ -1591,8 +1615,8 @@ object ZarrGridStore {
         var mode = "byte"
         rest.foreach {
           case t if t.nonEmpty && t.forall(_.isDigit) => lvl = t.toInt
-          case t if Set("blosclz", "lz4", "zstd", "zlib", "snappy")(t) =>
-            cname = t
+          case t if Set("blosclz", "lz4", "lz4hc", "zstd", "zlib",
+            "snappy")(t) => cname = t
           case "bit" | "bitshuffle" => mode = "bit"
           case "byte" | "shuffle" => mode = "byte"
           case "noshuffle" => mode = "none"
@@ -1628,11 +1652,12 @@ object ZarrGridStore {
     case GFloat => "<f4"
     case GInt => "<i4"
     case GLong | GTimestamp | GDuration => "<i8"
-    case GString => throw new IllegalArgumentException("string unsupported")
+    case GString => "|O" // data variables; string COORDS write as <U
   }
 
   private def zarrayJson(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-      comp: Option[(String, Int)], fillJson: String): String = {
+      comp: Option[(String, Int)], fillJson: String,
+      filtersJson: String = "null"): String = {
     val compJson = comp match {
       case None => "null"
       case Some((id, lvl)) if id.startsWith("blosc") =>
@@ -1645,7 +1670,7 @@ object ZarrGridStore {
     s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
       s""""chunks":[${chunks.mkString(",")}],"dtype":"$dtype",""" +
       s""""compressor":$compJson,"fill_value":$fillJson,""" +
-      s""""order":"C","filters":null}"""
+      s""""order":"C","filters":$filtersJson}"""
   }
 
   private def attrsJson(attrs: Map[String, String],

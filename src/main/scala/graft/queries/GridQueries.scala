@@ -714,6 +714,23 @@ object GridQueries {
         .select(col("station"), col("time"), col("reading"), col("quality"))
     }),
 
+    // the SAME string dataset through zarr v2's object-dtype layout
+    // (|O + numcodecs vlen-utf8 filter + compressor — what zarr-python
+    // 2 writes for string arrays): v2 writer emits it, the reader
+    // decodes filter + fill, and the identical query gates both paths
+    "pivot_grid_zarr_vlen_v2" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_vlen_v2") + "/store"
+      val store = graft.grid.ZarrGridStore.write(
+        Fixtures.stationQualityGrid, root,
+        Map("station" -> 4, "time" -> 5), "zstd:3")
+      new XarrayContext(s)
+        .scratchDataFrame(s"zarr_vlen_v2@$root", store, store.chunkMap,
+          Seq("station", "time"))
+        .filter(col("quality") =!= "bad" &&
+          col("time") >= lit("2020-01-04").cast("timestamp"))
+        .select(col("station"), col("time"), col("reading"), col("quality"))
+    }),
+
     // compaction end-to-end: a fragmented store (8 small t-chunks, the
     // shape appends leave behind) rechunks distributedly into 2 big
     // ones, and the REWRITTEN store serves the same filtered scan —
@@ -1024,6 +1041,17 @@ object GridQueries {
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
+    "pivot_grid_zarr_vlen_v2" ->
+      """WITH st AS (
+        |  SELECT 'st_' || CAST(i AS VARCHAR) AS station,
+        |         TIMESTAMP '2020-01-01' + INTERVAL (t) DAY AS time,
+        |         100.0 + 7.0*i + 0.25*t AS reading,
+        |         CASE (i + t) % 3 WHEN 0 THEN 'good' WHEN 1 THEN 'ok'
+        |              ELSE 'bad' END AS quality
+        |  FROM generate_series(0, 7) g1(i), generate_series(0, 9) g2(t))
+        |SELECT station, time, reading, quality FROM st
+        |WHERE quality <> 'bad'
+        |AND time >= TIMESTAMP '2020-01-04'""".stripMargin,
     "pivot_grid_zarr_vlen" ->
       """WITH st AS (
         |  SELECT 'st_' || CAST(i AS VARCHAR) AS station,

@@ -21,7 +21,7 @@ class BloscSpec extends AnyFunSuite {
   test("compress/decompress round trips: codecs x shuffle x sizes") {
     val sizes = Seq(0, 1, 7, 8, 64, 1000) // empty, sub-element, leftover
     for {
-      codec <- Seq("lz4", "zstd", "zlib", "snappy", "blosclz")
+      codec <- Seq("lz4", "lz4hc", "zstd", "zlib", "snappy", "blosclz")
       mode <- Seq(Blosc.ShuffleNone, Blosc.ShuffleByte, Blosc.ShuffleBit)
       n <- sizes
     } {

@@ -123,6 +123,63 @@ class ZarrPackedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("scaled"), e.getMessage)
   }
 
+  test("v2 object dtype (|O + vlen-utf8 filter): strings read and write") {
+    // zarr-python 2's string-array layout: dtype |O, VLenUTF8 filter,
+    // ordinary compressor after it. Hand-authored foreign tree with a
+    // zlib-compressed present chunk and a MISSING chunk -> string fill
+    val root = tmp()
+    put(root, ".zgroup", """{"zarr_format":2}""")
+    put(root, "q/.zarray",
+      """{"zarr_format":2,"shape":[3],"chunks":[2],"dtype":"|O",
+        |"compressor":{"id":"zlib","level":6},"fill_value":"?",
+        |"order":"C","filters":[{"id":"vlen-utf8"}]}""".stripMargin)
+    put(root, "q/.zattrs", """{"_ARRAY_DIMENSIONS":["x"]}""")
+    putBytes(root, "q/0", {
+      val plain = ZarrGridStore.encodeVlen(Array("ab", "cße"))
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(plain); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    })
+    val store = ZarrGridStore.open(root.toString)
+    assert(store.schema.vars.map(v => (v.name, v.dtype)) ==
+      Seq(("q", GString)))
+    assert(store.readVar("q", Seq((0, 3))).asInstanceOf[Array[String]]
+      .sameElements(Array("ab", "cße", "?")))
+    // the v2 WRITER emits the same layout for string data variables
+    val rt = ZarrGridStore.write(Fixtures.stationQualityGrid,
+      tmp().resolve("rt").toString, Map("station" -> 4, "time" -> 5),
+      "zstd:3")
+    val za = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      rt.root, "quality", ".zarray"))
+    assert(za.contains("\"|O\"") && za.contains("vlen-utf8"), za)
+    val q = rt.readVar("quality", Seq((0, 8), (0, 10)))
+      .asInstanceOf[Array[String]]
+    val expect = Fixtures.stationQualityGrid
+      .readVar("quality", Seq((0, 8), (0, 10))).asInstanceOf[Array[String]]
+    assert(q.sameElements(expect))
+    // unaligned slice through the gather path (padded edge chunks)
+    val sl = rt.readVar("quality", Seq((3, 4), (7, 3)))
+      .asInstanceOf[Array[String]]
+    val expSl = Fixtures.stationQualityGrid
+      .readVar("quality", Seq((3, 4), (7, 3))).asInstanceOf[Array[String]]
+    assert(sl.sameElements(expSl))
+    // a |O array WITHOUT the vlen filter is rejected loudly
+    val bad = tmp()
+    put(bad, ".zgroup", """{"zarr_format":2}""")
+    put(bad, "b/.zarray",
+      """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"|O",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin)
+    put(bad, "b/.zattrs", """{"_ARRAY_DIMENSIONS":["x"]}""")
+    assert(intercept[IllegalArgumentException](
+      ZarrGridStore.open(bad.toString))
+      .getMessage.contains("vlen-utf8"))
+  }
+
   test("unsigned and big-endian packed widths widen exactly") {
     val root = tmp()
     put(root, ".zgroup", """{"zarr_format":2}""")
