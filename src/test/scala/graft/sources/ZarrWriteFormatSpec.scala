@@ -188,6 +188,33 @@ class ZarrWriteFormatSpec extends SparkTestBase {
       e4.toString)
   }
 
+  test("pure-SQL flow: CREATE TABLE USING zarr, SELECT, INSERT INTO appends") {
+    val root = tmp().resolve("sqlt").toString
+    def slab(t0: Int, t1: Int) =
+      gridDf.filter(col("t") >= t0 && col("t") < t1)
+    slab(0, 12).write.format("zarr")
+      .option("dims", "t,lat,lon").option("chunks", "t=6,lat=5")
+      .mode("overwrite").save(root)
+    val tbl = "zt_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.sql(s"""CREATE TABLE $tbl USING zarr
+      |OPTIONS (path '$root', dims 't,lat,lon', appendDim 't')"""
+      .stripMargin)
+    try {
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()
+        .head.getLong(0) == 12L * 12 * 10)
+      // SQL-native incremental ingest: INSERT INTO appends along t
+      slab(12, 24).createOrReplaceTempView("slab2")
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM slab2")
+      val r = spark.sql(
+        s"SELECT count(*) c, sum(air) s FROM $tbl WHERE t >= 12")
+        .collect().head
+      assert(r.getLong(0) == 12L * 12 * 10)
+      val expect = (for (t <- 12 until 24; i <- 0 until 12; j <- 0 until 10)
+        yield 200.0 + t + 2.0 * i + 3.0 * j).sum
+      assert(r.getDouble(1) == expect)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("timestamp dims and mixed variable types round trip") {
     import spark.implicits._
     val df = (for (k <- 0 until 6; i <- 0 until 3) yield (
