@@ -49,7 +49,13 @@ final case class ZarrArrayMeta(
     /** Fill value of vlen STRING arrays (the numeric `fillValue` field
       * cannot carry it); "" unless the metadata declares one.
       */
-    stringFill: String = "") {
+    stringFill: String = "",
+    /** Axis permutation the STORED chunk layout applies (v3 `transpose`
+      * codec `order`, or the reversal for v2 `order: "F"` column-major
+      * arrays): stored axis i is logical axis `transposeOrder(i)`.
+      * None/identity = plain C order.
+      */
+    transposeOrder: Option[Seq[Int]] = None) {
   def nd: Int = shape.length
 
   /** On-disk element width (differs from `dtype.byteWidth` for packed
@@ -148,9 +154,10 @@ final case class ShardMeta(
   * `null`, `zlib`, `gzip`, `zstd`, and `blosc` — the zarr-python default
   * that real archives (ARCO-ERA5 among them) actually use — via the
   * pure-JVM [[Blosc]] container codec (inner lz4/lz4hc/zstd/zlib/snappy
-  * from Spark's bundled libraries; `blosclz` and bit-shuffle are
-  * rejected with clear errors); C order; numcodecs `shuffle` and
-  * `delta` filter pipelines (other filters rejected); missing chunk
+  * from Spark's bundled libraries, plus the pure-JVM [[BloscLz]];
+  * byte- and bit-shuffle); C and F order (F decodes through the
+  * stored-axis permutation); numcodecs `shuffle`, `delta` and
+  * `vlen-utf8` (`|O` string arrays) filters; missing chunk
   * files read as `fill_value`; edge chunks stored PADDED to the full
   * chunk shape (the v2 rule — [[BinaryGridStore]] stores them clipped,
   * which is why both share [[ChunkAssembly]] with different
@@ -459,7 +466,12 @@ object ZarrGridStore {
     else if (a.stored.contains(StoredVlenStr)) {
       // vlen-utf8: decompressed size is unknown a priori (self-framed)
       val n = a.chunkShape.product
-      decodeVlen(path, decompressedUnknown(path, raw, a.compressor), n)
+      val decoded =
+        decodeVlen(path, decompressedUnknown(path, raw, a.compressor), n)
+      a.transposeOrder match {
+        case Some(order) => untranspose(decoded, a.chunkShape, order)
+        case None => decoded
+      }
     } else {
       val n = a.chunkShape.product
       val expected = n * a.storedWidth
@@ -469,8 +481,58 @@ object ZarrGridStore {
       // undo the numcodecs filter pipeline in reverse write order
       val unfiltered = a.filters.reverse.foldLeft(bytes)(
         (b, f) => defilter(path, f, b))
-      decodeStored(unfiltered, a, a.bigEndian, n)
+      val decoded = decodeStored(unfiltered, a, a.bigEndian, n)
+      a.transposeOrder match {
+        case Some(order) => untranspose(decoded, a.chunkShape, order)
+        case None => decoded
+      }
     }
+
+  /** Undo a stored axis permutation: the flat input is C-order over the
+    * PERMUTED shape (stored axis i = logical axis `order(i)`); the
+    * output is C-order over the logical chunk shape. Covers the v3
+    * `transpose` codec and v2 `order: "F"` (reversed axes).
+    */
+  private[grid] def untranspose(data: AnyRef, chunkShape: Seq[Int],
+      order: Seq[Int]): AnyRef = {
+    val nd = chunkShape.length
+    if (order == (0 until nd)) return data
+    val tShape = order.map(chunkShape).toArray
+    val tStrides = ChunkAssembly.strides(tShape)
+    // stored-flat stride of one step along each LOGICAL axis
+    val mapStride = new Array[Int](nd)
+    var i = 0
+    while (i < nd) { mapStride(order(i)) = tStrides(i); i += 1 }
+    val n = chunkShape.product
+    val shape = chunkShape.toArray
+    def gatherTo[@specialized(Double, Float, Int, Long) T](
+        a: Array[T], out: Array[T]): Array[T] = {
+      val pos = new Array[Int](nd)
+      var src = 0
+      var dst = 0
+      while (dst < n) {
+        out(dst) = a(src)
+        // odometer over the LOGICAL shape; stored offset follows strides
+        var j = nd - 1
+        var carry = true
+        while (carry && j >= 0) {
+          pos(j) += 1
+          src += mapStride(j)
+          if (pos(j) < shape(j)) carry = false
+          else { src -= pos(j) * mapStride(j); pos(j) = 0; j -= 1 }
+        }
+        dst += 1
+      }
+      out
+    }
+    data match {
+      case a: Array[Double] => gatherTo(a, new Array[Double](n))
+      case a: Array[Float] => gatherTo(a, new Array[Float](n))
+      case a: Array[Int] => gatherTo(a, new Array[Int](n))
+      case a: Array[Long] => gatherTo(a, new Array[Long](n))
+      case a: Array[String] => gatherTo(a, new Array[String](n))
+    }
+  }
 
   /** Undo one numcodecs filter on the chunk byte image. Both supported
     * filters are length-preserving byte-buffer transforms.
@@ -1059,8 +1121,13 @@ object ZarrGridStore {
     require(chunks.forall(_ > 0) && shape.forall(_ >= 0),
       s"$name: non-positive chunk extent")
     val order = if (za.hasNonNull("order")) za.get("order").asText else "C"
-    require(order == "C",
-      s"$name: only C order supported (got $order)")
+    require(order == "C" || order == "F",
+      s"$name: bad order '$order' (C or F)")
+    // Fortran order = C order with the axes reversed; decode permutes
+    // each chunk back, everything downstream stays C-order
+    val transposeOrder =
+      if (order == "F" && shape.length > 1) Some(shape.indices.reverse)
+      else None
     val dtypeStr = za.path("dtype").asText("")
     val (dtype, bigEndian, stored) = parseDtype(dtypeStr, name)
     val isVlen = stored.contains(StoredVlenStr)
@@ -1158,7 +1225,8 @@ object ZarrGridStore {
       s"$name: ${dims.length} dim names for ${shape.length}-d array")
     ZarrArrayMeta(name, shape, chunks, dtype, bigEndian, compressor, fill,
       dimSep, dims, attrMap(attrsNode) - "_ARRAY_DIMENSIONS",
-      stored = stored, filters = filters, stringFill = stringFill)
+      stored = stored, filters = filters, stringFill = stringFill,
+      transposeOrder = transposeOrder)
   }
 
   private val strDtype = raw"([<>|])([SU])(\d+)".r

@@ -32,7 +32,8 @@ import scala.jdk.CollectionConverters._
   * most one of `gzip`, `zstd`, `blosc` (via the pure-JVM [[Blosc]]
   * codec — all cnames incl. blosclz, byte- and bit-shuffle);
   * `sharding_indexed` with inner-chunk-granular ranged reads;
-  * `transpose` and checksum codecs rejected; edge chunks
+  * `transpose` (stored-axis permutation, inverted at decode);
+  * vlen-utf8 string arrays; checksum codecs rejected; edge chunks
   * stored padded to the full chunk shape (same rule as v2); missing
   * chunk files read as `fill_value`; `dimension_names` required (the
   * v3-native spelling of the xarray `_ARRAY_DIMENSIONS` convention);
@@ -161,13 +162,13 @@ object ZarrV3 {
     require(codecs.isArray && codecs.size() >= 1,
       s"$name: codecs pipeline required")
     val sharded = codecs.get(0).path("name").asText("") == "sharding_indexed"
-    val (bigEndian, compressor, sharding) =
+    val (bigEndian, compressor, sharding, transpose) =
       if (isVlen) {
         require(!sharded, s"$name: sharded string arrays unsupported")
-        (false, parseVlenPipeline(name, codecs), None)
+        (false, parseVlenPipeline(name, codecs), None, None)
       } else if (!sharded) {
-        val (be, comp) = parsePipeline(name, codecs)
-        (be, comp, None)
+        val (be, comp, tr) = parsePipeline(name, codecs)
+        (be, comp, None, tr)
       } else {
         require(codecs.size() == 1,
           s"$name: sharding_indexed must be the only codec")
@@ -181,8 +182,10 @@ object ZarrV3 {
             s"$name: inner chunk shape ${innerShape.mkString("x")} must " +
               s"evenly divide the shard shape ${chunkShape.mkString("x")}")
         }
-        val (iBig, iComp) = parsePipeline(s"$name (inner)",
+        val (iBig, iComp, iTr) = parsePipeline(s"$name (inner)",
           cfg.path("codecs"))
+        require(iTr.isEmpty,
+          s"$name: transpose inside a shard pipeline unsupported")
         // index pipeline: bytes (little, the spec'd uint64 layout) with
         // optional crc32c framing — the zarr-python default
         var crc = false
@@ -205,8 +208,13 @@ object ZarrV3 {
             s"$name: bad index_location '$other'")
         }
         (false, None,
-          Some(ShardMeta(innerShape, iBig, iComp, atEnd, crc)))
+          Some(ShardMeta(innerShape, iBig, iComp, atEnd, crc)), None)
       }
+    transpose.foreach { o =>
+      require(o.sorted == (0 until shape.length),
+        s"$name: transpose order ${o.mkString("[", ",", "]")} is not a " +
+          s"permutation of 0..${shape.length - 1}")
+    }
     val dims = node.path("dimension_names") match {
       case d if d.isArray => d.elements().asScala.map(_.asText()).toSeq
       case _ => throw new IllegalArgumentException(
@@ -216,7 +224,8 @@ object ZarrV3 {
       s"$name: ${dims.length} dim names for ${shape.length}-d array")
     ZarrArrayMeta(name, shape, chunkShape, dtype, bigEndian, compressor,
       fill, sep, dims, attrsOf(node), keyPrefix, sharding, stored,
-      stringFill = stringFill)
+      stringFill = stringFill,
+      transposeOrder = transpose.filter(_ != (0 until shape.length)))
   }
 
   /** A string array's pipeline: the `vlen-utf8` codec first, then at
@@ -252,19 +261,28 @@ object ZarrV3 {
     compressor
   }
 
-  /** A simple v3 pipeline: one `bytes` codec (endianness) + at most one
-    * supported compressor. Shared by top-level and shard-inner codecs.
+  /** A simple v3 pipeline: optional `transpose` (array->array, must
+    * precede `bytes`), one `bytes` codec (endianness), at most one
+    * supported compressor. Shared by top-level and shard-inner codecs
+    * (the caller rejects transpose inside shards).
     */
-  private def parsePipeline(name: String,
-      codecs: JsonNode): (Boolean, Option[(String, Int)]) = {
+  private def parsePipeline(name: String, codecs: JsonNode)
+      : (Boolean, Option[(String, Int)], Option[Seq[Int]]) = {
     require(codecs.isArray && codecs.size() >= 1,
       s"$name: codecs pipeline required")
     var bigEndian = false
     var sawBytes = false
     var compressor: Option[(String, Int)] = None
+    var transpose: Option[Seq[Int]] = None
     codecs.elements().asScala.foreach { c =>
       val cfg = c.path("configuration")
       c.path("name").asText("") match {
+        case "transpose" =>
+          require(!sawBytes && transpose.isEmpty && compressor.isEmpty,
+            s"$name: transpose must be the first (array->array) codec")
+          val o = cfg.path("order")
+          require(o.isArray, s"$name: transpose needs an order array")
+          transpose = Some(o.elements().asScala.map(_.asInt()).toSeq)
         case "bytes" =>
           require(!sawBytes, s"$name: duplicate bytes codec")
           sawBytes = true
@@ -291,7 +309,7 @@ object ZarrV3 {
       }
     }
     require(sawBytes, s"$name: codecs pipeline must include 'bytes'")
-    (bigEndian, compressor)
+    (bigEndian, compressor, transpose)
   }
 
   private def requireOneCompressor(name: String,

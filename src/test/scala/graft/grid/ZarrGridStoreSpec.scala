@@ -201,9 +201,9 @@ class ZarrGridStoreSpec extends SparkTestBase {
         |"compressor":{"id":"blosc","cname":"lizard"},"fill_value":null,
         |"order":"C","filters":null}""".stripMargin)
       .getMessage.contains("lizard"))
-    assert(bad(
+    assert(bad( // F now decodes; anything else is still rejected
       """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f8",
-        |"compressor":null,"fill_value":null,"order":"F","filters":null}"""
+        |"compressor":null,"fill_value":null,"order":"K","filters":null}"""
         .stripMargin).getMessage.contains("order"))
     assert(bad( // shuffle/delta now decode; others must still fail fast
       """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f8",

@@ -123,6 +123,36 @@ class ZarrPackedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("scaled"), e.getMessage)
   }
 
+  test("v2 Fortran-order arrays decode via the stored-axis permutation") {
+    // 2x3 chunk stored column-major: flat stored order walks the FIRST
+    // axis fastest -> [ (0,0) (1,0) (0,1) (1,1) (0,2) (1,2) ]
+    val root = tmp()
+    put(root, ".zgroup", """{"zarr_format":2}""")
+    put(root, "v/.zarray",
+      """{"zarr_format":2,"shape":[2,3],"chunks":[2,3],"dtype":"<f8",
+        |"compressor":null,"fill_value":null,"order":"F",
+        |"filters":null}""".stripMargin)
+    put(root, "v/.zattrs", """{"_ARRAY_DIMENSIONS":["x","y"]}""")
+    putBytes(root, "v/0.0", {
+      val bb = java.nio.ByteBuffer.allocate(48)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // value law v(x, y) = 10x + y, written in F order
+      Seq((0, 0), (1, 0), (0, 1), (1, 1), (0, 2), (1, 2))
+        .foreach { case (x, y) => bb.putDouble(10.0 * x + y) }
+      bb.array()
+    })
+    val store = ZarrGridStore.open(root.toString)
+    val got = store.readVar("v", Seq((0, 2), (0, 3)))
+      .asInstanceOf[Array[Double]]
+    // logical C order: rows of y for each x
+    assert(got.sameElements(Array(0.0, 1.0, 2.0, 10.0, 11.0, 12.0)),
+      got.toSeq)
+    // unaligned slice through the gather path
+    val sl = store.readVar("v", Seq((1, 1), (1, 2)))
+      .asInstanceOf[Array[Double]]
+    assert(sl.sameElements(Array(11.0, 12.0)), sl.toSeq)
+  }
+
   test("v2 object dtype (|O + vlen-utf8 filter): strings read and write") {
     // zarr-python 2's string-array layout: dtype |O, VLenUTF8 filter,
     // ordinary compressor after it. Hand-authored foreign tree with a

@@ -299,6 +299,50 @@ class ZarrV3Spec extends SparkTestBase {
     a.keys.foreach(k => assert(a(k) == b(k), s"file $k differs"))
   }
 
+  test("v3 transpose codec: stored axis permutation inverts on read") {
+    // 2x3 array stored with order [1,0] (column-major): stored shape
+    // 3x2, element (x,y) at stored position (y,x)
+    val root = tmp()
+    put(root, "zarr.json",
+      """{"zarr_format":3,"node_type":"group","attributes":{}}""")
+    put(root, "v/zarr.json",
+      """{"zarr_format":3,"node_type":"array","shape":[2,3],
+        |"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2,3]}},
+        |"fill_value":"NaN",
+        |"codecs":[{"name":"transpose","configuration":{"order":[1,0]}},
+        |          {"name":"bytes","configuration":{"endian":"little"}},
+        |          {"name":"zstd","configuration":{"level":3}}],
+        |"dimension_names":["x","y"]}""".stripMargin)
+    putBytes(root, "v/c/0/0", {
+      val bb = java.nio.ByteBuffer.allocate(48)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // v(x, y) = 10x + y laid out as stored C-order over (y, x)
+      for (y <- 0 until 3; x <- 0 until 2) bb.putDouble(10.0 * x + y)
+      com.github.luben.zstd.Zstd.compress(bb.array(), 3)
+    })
+    val store = ZarrGridStore.open(root.toString)
+    val got = store.readVar("v", Seq((0, 2), (0, 3)))
+      .asInstanceOf[Array[Double]]
+    assert(got.sameElements(Array(0.0, 1.0, 2.0, 10.0, 11.0, 12.0)),
+      got.toSeq)
+    // a non-permutation order is rejected loudly
+    val bad = tmp()
+    put(bad, "zarr.json",
+      """{"zarr_format":3,"node_type":"group","attributes":{}}""")
+    put(bad, "w/zarr.json",
+      """{"zarr_format":3,"node_type":"array","shape":[2,3],
+        |"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2,3]}},
+        |"fill_value":0.0,
+        |"codecs":[{"name":"transpose","configuration":{"order":[1,1]}},
+        |          {"name":"bytes","configuration":{"endian":"little"}}],
+        |"dimension_names":["x","y"]}""".stripMargin)
+    assert(intercept[IllegalArgumentException](
+      ZarrGridStore.open(bad.toString))
+      .getMessage.contains("permutation"))
+  }
+
   test("vlen-utf8 string arrays: hand-written tree, string fill, zstd") {
     // foreign layout: zarr-python 3's default string encoding —
     // data_type "string", vlen-utf8 codec, optional compressor after it
