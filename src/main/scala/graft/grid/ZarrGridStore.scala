@@ -1498,6 +1498,9 @@ object ZarrGridStore {
           s"variable ${v.name} does not exist in the store"))
       require(a.dtype == v.dtype,
         s"${v.name}: slab dtype ${v.dtype} vs stored ${a.dtype}")
+      // fail before any staging work, not deep inside an executor task
+      require(v.dtype != GString,
+        s"${v.name}: appending string variables unsupported")
     }
 
     GridIO.sweepStaging(cleanRoot, conf)
@@ -1561,6 +1564,7 @@ object ZarrGridStore {
       case (LongCoords(x), LongCoords(y)) => LongCoords(x ++ y)
       case (TimeCoords(x), TimeCoords(y)) => TimeCoords(x ++ y)
       case (DurationCoords(x), DurationCoords(y)) => DurationCoords(x ++ y)
+      case (StringCoords(x), StringCoords(y)) => StringCoords(x ++ y)
       case other => throw new IllegalArgumentException(
         s"cannot concatenate coordinate kinds $other")
     }
