@@ -229,42 +229,72 @@ object BinaryGridStore {
     * one seamless grid — scans, pruning and value-stats work across
     * the append boundary unchanged.
     *
-    * Requires the existing `along` extent to be chunk-aligned (append
-    * after a ragged final chunk would interleave old and new data in
-    * one file — rewrite that chunk first, Zarr's same constraint).
+    * The existing `along` extent need NOT be chunk-aligned: when the
+    * old extent ends inside a chunk, that edge chunk is read back,
+    * concatenated with the slab's first planes, and rewritten at its
+    * grown clipped shape (stats/sums recomputed from the merged data) —
+    * the same read-modify-write xarray's `to_zarr(append_dim=...)`
+    * performs on Zarr trees.
     */
   def appendAlong(root: String, source: GridStore,
       along: String): BinaryGridStore = {
     val existing = open(root)
     val add = source.schema
     val conf = GridIO.driverConf()
-    val chunkOffset = validateAppend(existing, add, along)
+    val oldN = validateAppend(existing, add, along)
     val stats = Map.newBuilder[String, (Any, Any)]
     val sums = Map.newBuilder[String, Double]
     add.vars.filter(_.dims.contains(along)).foreach { v =>
       val axisPos = v.dims.indexOf(along)
-      val sub = GridSchema(v.dims.map(add.dim), Seq.empty)
-      ChunkGrid.blocks(sub, existing.chunks).foreach { block =>
-        val idx = v.dims.zip(block).zipWithIndex.map {
-          case ((dn, (start, _)), k) =>
-            val ci = start / existing.chunks.getOrElse(dn,
-              math.max(add.dim(dn).size, 1))
-            if (k == axisPos) ci + chunkOffset else ci
-        }
-        val data = source.readVar(v.name, block)
-        val key = s"${v.name} ${idx.mkString(".")}"
-        chunkStats(data).foreach(st => stats += key -> st)
-        chunkSum(data).foreach(st => sums += key -> st)
-        GridIO.write(s"$root/${v.name}/${idx.mkString(".")}.bin",
-          encodeChunk(data, existing.codec), conf)
+      // blocks over the GROWN global grid, keeping only those touching
+      // the appended region [oldN, oldN+addN); the boundary block (if
+      // the old extent ends inside it) merges old planes + slab planes
+      val mergedDims = v.dims.map { dn =>
+        val d = add.dim(dn)
+        if (dn == along) d.copy(coords =
+          concatCoords(existing.schema.dim(dn).coords, d.coords))
+        else d
       }
+      val sub = GridSchema(mergedDims, Seq.empty)
+      ChunkGrid.blocks(sub, existing.chunks)
+        .filter(b => b(axisPos)._1 + b(axisPos)._2 > oldN)
+        .foreach { block =>
+          val (bStart, bLen) = block(axisPos)
+          val data: AnyRef =
+            if (bStart >= oldN)
+              source.readVar(v.name,
+                block.updated(axisPos, (bStart - oldN, bLen)))
+            else {
+              val eff = block.map(_._2).toArray
+              val arr = ChunkAssembly.alloc(v.dtype, eff.product)
+              val oldLen = oldN - bStart
+              ChunkAssembly.copyAxisSlab(arr, eff,
+                existing.readVar(v.name,
+                  block.updated(axisPos, (bStart, oldLen))),
+                oldLen, axisPos, 0)
+              ChunkAssembly.copyAxisSlab(arr, eff,
+                source.readVar(v.name,
+                  block.updated(axisPos, (0, bLen - oldLen))),
+                bLen - oldLen, axisPos, oldLen)
+              arr
+            }
+          val idx = v.dims.zip(block).map { case (dn, (start, _)) =>
+            start / existing.chunks.getOrElse(dn,
+              math.max(add.dim(dn).size, 1))
+          }
+          val key = s"${v.name} ${idx.mkString(".")}"
+          chunkStats(data).foreach(st => stats += key -> st)
+          chunkSum(data).foreach(st => sums += key -> st)
+          GridIO.write(s"$root/${v.name}/${idx.mkString(".")}.bin",
+            encodeChunk(data, existing.codec), conf)
+        }
     }
     commitAppend(root, existing, add.dim(along).coords, along,
       stats.result(), sums.result())
   }
 
-  /** Shared append preconditions; returns the chunk-index offset new
-    * chunks shift by along the axis.
+  /** Shared append preconditions; returns the existing extent of the
+    * axis (the global index the slab's first plane lands at).
     */
   private[grid] def validateAppend(existing: BinaryGridStore,
       add: GridSchema, along: String): Int = {
@@ -274,9 +304,6 @@ object BinaryGridStore {
     // from the (merged, larger) dim size and would misread the old file
     require(existing.chunks.contains(along),
       s"$along is unchunked — only chunked axes can grow")
-    val axisChunk = existing.chunks(along)
-    require(oldN % axisChunk == 0,
-      s"existing $along extent $oldN not aligned to chunk $axisChunk")
     require(add.dims.map(_.name) == schema.dims.map(_.name),
       s"dim mismatch: ${add.dims.map(_.name)} vs ${schema.dims.map(_.name)}")
     schema.dims.filter(_.name != along).foreach { d =>
@@ -291,7 +318,7 @@ object BinaryGridStore {
     val dup = coordSet(add.dim(along).coords).intersect(have)
     require(dup.isEmpty,
       s"append overlaps existing $along coordinates (e.g. ${dup.head})")
-    oldN / axisChunk
+    oldN
   }
 
   private def coordSet(c: CoordArray): Set[Any] = c match {

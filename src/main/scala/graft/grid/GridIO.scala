@@ -183,4 +183,17 @@ object GridIO {
     val s = new Path(src)
     require(fs(s, conf).rename(s, new Path(dst)), s"rename failed: $src -> $dst")
   }
+
+  /** Rename that REPLACES an existing destination file (Hadoop rename
+    * refuses that) — how an unaligned append commits its merged edge
+    * chunk over the store's old one. Delete+rename, not atomic as a
+    * pair: acceptable under the stores' single-writer append contract
+    * (no concurrent reader epoch guarantee is claimed during an
+    * append's rename phase).
+    */
+  def renameOver(src: String, dst: String, conf: Configuration): Unit = {
+    val d = new Path(dst)
+    fs(d, conf).delete(d, false)
+    rename(src, dst, conf)
+  }
 }

@@ -56,6 +56,36 @@ object GridWriter {
     }
   }
 
+  /** Binary-store face of the unaligned-append read-modify-write (see
+    * ZarrGridStore.EdgeMergeSink for the rationale): a staged chunk
+    * landing on the store's partial edge chunk first copies in the
+    * existing clipped chunk's planes (axis index < `edgeLen`), so the
+    * rewritten file — and its recomputed stats/sums — carry old + new
+    * data. Executor-side: the shipped store reads its own chunk there.
+    */
+  private final case class BinaryEdgeMergeSink(base: BinarySink,
+      store: BinaryGridStore, axisPos: Int, edgeChunk: Int,
+      edgeLen: Int) extends ChunkSink {
+    def write(varName: String, ciDotted: String, arr: AnyRef,
+        eff: Array[Int],
+        conf: org.apache.hadoop.conf.Configuration)
+        : (Option[(Any, Any)], Option[Double]) = {
+      val ci = ciDotted.split('.').map(_.toInt)
+      if (ci(axisPos) == edgeChunk) {
+        val v = store.schema.vars.find(_.name == varName).get
+        val ranges = v.dims.indices.map { d =>
+          val cs = store.chunks.getOrElse(v.dims(d),
+            math.max(store.schema.dim(v.dims(d)).size, 1))
+          val start = ci(d) * cs
+          if (d == axisPos) (start, edgeLen) else (start, eff(d))
+        }
+        graft.grid.ChunkAssembly.copyAxisSlab(arr, eff,
+          store.readVar(varName, ranges), edgeLen, axisPos, 0)
+      }
+      base.write(varName, ciDotted, arr, eff, conf)
+    }
+  }
+
   /** Zarr v2 chunk files: padded to the full chunk shape per the spec,
     * little-endian, compressed.
     */
@@ -66,9 +96,14 @@ object GridWriter {
         conf: org.apache.hadoop.conf.Configuration)
         : (Option[(Any, Any)], Option[Double]) = {
       val padded = ZarrGridStore.padChunk(arr, eff, chunkSz.toArray, dtype)
-      GridIO.write(s"$root/$varName/$ciDotted",
-        ZarrGridStore.compress(ZarrGridStore.toLE(padded, dtype), comp,
-          dtype.byteWidth), conf)
+      val payload =
+        if (dtype == GString) // |O + vlen-utf8 layout
+          ZarrGridStore.compress(
+            ZarrGridStore.encodeVlen(padded.asInstanceOf[Array[String]]),
+            comp, 1)
+        else ZarrGridStore.compress(ZarrGridStore.toLE(padded, dtype),
+          comp, dtype.byteWidth)
+      GridIO.write(s"$root/$varName/$ciDotted", payload, conf)
       (None, None)
     }
   }
@@ -92,10 +127,15 @@ object GridWriter {
         : (Option[(Any, Any)], Option[Double]) = {
       val padded = ZarrGridStore.padChunk(arr, eff, chunkSz.toArray, dtype)
       val payload =
-        if (dtype == GString)
-          ZarrGridStore.compress(
-            ZarrGridStore.encodeVlen(padded.asInstanceOf[Array[String]]),
-            comp, 1)
+        if (dtype == GString) innerSz match {
+          case None =>
+            ZarrGridStore.compress(
+              ZarrGridStore.encodeVlen(padded.asInstanceOf[Array[String]]),
+              comp, 1)
+          case Some(inner) =>
+            ZarrV3.encodeShardVlen(padded.asInstanceOf[Array[String]],
+              chunkSz, inner, comp)
+        }
         else {
           val le = ZarrGridStore.toLE(padded, dtype)
           innerSz match {
@@ -132,6 +172,10 @@ object GridWriter {
     // stores don't pay a doomed extra metadata PUT)
     val conf = GridIO.driverConf()
     GridIO.mkdirs(root, conf)
+    // fail before any staging work: the binary store has no string
+    // chunk layout (Zarr sinks encode vlen-utf8; this format does not)
+    schema.vars.foreach(v => require(v.dtype != GString,
+      s"${v.name}: string variables unsupported in the binary store"))
     schema.vars.foreach(v => GridIO.mkdirs(s"$root/${v.name}", conf))
     // executors return per-chunk (min, max) and value sums alongside
     // writing the chunk files; the driver folds them into the final
@@ -153,7 +197,8 @@ object GridWriter {
     * metadata op on HDFS/local; object stores copy) and the store
     * metadata commits once — coords concatenated, shifted stats merged.
     * Same preconditions as [[BinaryGridStore.appendAlong]]
-    * (chunk-aligned existing extent, identical invariant dims/vars);
+    * (identical invariant dims/vars; an unaligned existing extent is
+    * handled by read-modify-writing the edge chunk);
     * use that for driver-sized drips and this for backfills at any
     * size — the driver never touches cell data here.
     *
@@ -169,7 +214,7 @@ object GridWriter {
   def append(df: DataFrame, slabSchema: GridSchema, root: String,
       along: String): BinaryGridStore = {
     val existing = BinaryGridStore.open(root)
-    val chunkOffset =
+    val oldN =
       BinaryGridStore.validateAppend(existing, slabSchema, along)
     val conf = GridIO.driverConf()
     // sweep residue of CRASHED prior appends before staging anew — the
@@ -181,33 +226,35 @@ object GridWriter {
     val staging = cleanRoot + ".staging-" +
       java.util.UUID.randomUUID().toString.take(8)
     // stage ONLY the vars that grow with the axis: invariant vars'
-    // chunks already exist in the store and their staged files would
-    // be discarded by the rename loop below — pure wasted shuffle/IO
-    val growing = slabSchema.copy(vars =
-      slabSchema.vars.filter(_.dims.contains(along)))
-    val tmp = write(df, growing, existing.chunks, staging, existing.codec)
-    def shifted(v: VarDef, dotted: String): String = {
-      val parts = dotted.split('.')
-      val axisPos = v.dims.indexOf(along)
-      parts(axisPos) = (parts(axisPos).toInt + chunkOffset).toString
-      parts.mkString(".")
+    // chunks already exist in the store. The scatter runs straight on
+    // the store-global chunk grid (globalAlong), so staged files carry
+    // their final keys and need no post-scatter shifting; when the old
+    // extent ends inside a chunk, the owning executor read-modify-
+    // writes that edge chunk (BinaryEdgeMergeSink) and its stats/sums
+    // are recomputed from the merged data.
+    val growing = slabSchema.vars.filter(_.dims.contains(along))
+    val axisChunk = existing.chunks(along)
+    val edgeLen = oldN % axisChunk
+    val globalSize = oldN + slabSchema.dim(along).size
+    val perChunk = growing.flatMap { v =>
+      GridIO.mkdirs(s"$staging/${v.name}", conf)
+      val base = BinarySink(staging, existing.codec)
+      val sink =
+        if (edgeLen > 0) BinaryEdgeMergeSink(base, existing,
+          v.dims.indexOf(along), oldN / axisChunk, edgeLen)
+        else base
+      writeVar(df, slabSchema, existing.chunks, sink, v,
+        globalAlong = Some((along, oldN, globalSize)))
     }
-    slabSchema.vars.filter(_.dims.contains(along)).foreach { v =>
+    growing.foreach { v =>
       GridIO.listNames(s"$staging/${v.name}", conf)
         .filter(_.endsWith(".bin")).foreach { fn =>
-          GridIO.rename(s"$staging/${v.name}/$fn",
-            s"$root/${v.name}/${shifted(v, fn.stripSuffix(".bin"))}.bin",
-            conf)
+          GridIO.renameOver(s"$staging/${v.name}/$fn",
+            s"$root/${v.name}/$fn", conf)
         }
     }
-    def shiftKeys[A](m: Map[String, A]): Map[String, A] =
-      m.flatMap { case (k, s) =>
-        val Array(vn, ck) = k.split(" ", 2)
-        slabSchema.vars.find(_.name == vn).filter(_.dims.contains(along))
-          .map(v => s"$vn ${shifted(v, ck)}" -> s)
-      }
-    val stats = shiftKeys(tmp.stats)
-    val sums = shiftKeys(tmp.sums)
+    val stats = perChunk.flatMap { case (k, mm, _) => mm.map(k -> _) }.toMap
+    val sums = perChunk.flatMap { case (k, _, sm) => sm.map(k -> _) }.toMap
     GridIO.delete(staging, conf)
     BinaryGridStore.commitAppend(root, existing,
       slabSchema.dim(along).coords, along, stats, sums)
@@ -243,11 +290,29 @@ object GridWriter {
 
   private[grid] def writeVar(df: DataFrame, schema: GridSchema,
       chunks: Map[String, Int], sink: ChunkSink,
-      v: VarDef): Seq[(String, Option[(Any, Any)], Option[Double])] = {
+      v: VarDef,
+      /** Append support: `Some((dim, offset, globalSize))` scatters the
+        * slab into the STORE-GLOBAL chunk grid — `dim`'s coord→index
+        * map stays slab-local (a row carrying a non-slab coordinate
+        * still fails loudly) but every mapped index shifts by `offset`,
+        * and chunk ids / effective shapes run over the grown
+        * `globalSize` extent. Staged chunk keys then need no
+        * post-scatter shifting, and the store's partial edge chunk is
+        * addressed directly (see ZarrGridStore.EdgeMergeSink).
+        */
+      globalAlong: Option[(String, Int, Int)] = None)
+      : Seq[(String, Option[(Any, Any)], Option[Double])] = {
     val dims = v.dims.map(schema.dim)
     val nd = dims.length
     // planning-side chunk arithmetic, shipped to executors via closures
     val dimSizes = dims.map(_.size).toArray
+    val alongK = globalAlong.map { case (dn, _, _) =>
+      val k = v.dims.indexOf(dn)
+      require(k >= 0, s"${v.name} does not span append dim $dn")
+      k
+    }.getOrElse(-1)
+    val idxOffset = globalAlong.map(_._2).getOrElse(0)
+    globalAlong.foreach { case (_, _, g) => dimSizes(alongK) = g }
     val chunkSz = dims.map(d =>
       chunks.getOrElse(d.name, math.max(d.size, 1))).toArray
     val nChunksPerDim = dimSizes.indices.map(i =>
@@ -285,6 +350,7 @@ object GridWriter {
                 s"value ${r.get(k)} is not a coordinate of ${dimNames(k)}"))
           k += 1
         }
+        if (alongK >= 0) idx(alongK) += idxOffset
         var chunkId = 0L
         var k2 = 0
         while (k2 < nd) {
@@ -321,8 +387,9 @@ object GridWriter {
           case GFloat => Array.fill(cells)(Float.NaN)
           case GInt => new Array[Int](cells)
           case GLong | GTimestamp | GDuration => new Array[Long](cells)
-          case GString => throw new IllegalArgumentException(
-            "string variables unsupported")
+          // unset cells become the empty string (the declared vlen
+          // fill of every tree this engine writes)
+          case GString => Array.fill(cells)("")
         }
         def effOf(chunkId: Long): Array[Int] = {
           val eff = new Array[Int](nd)
@@ -359,6 +426,7 @@ object GridWriter {
                 org.apache.spark.sql.catalyst.util.DateTimeUtils
                   .instantToMicros(i)
             }
+            case a: Array[String] => a(off) = r.getString(2)
           }
         }
         val stats =

@@ -421,10 +421,15 @@ object ZarrGridStore {
         // inner-chunk granularity: the shard index (a known-position
         // tail/head range of the file) tells where each inner chunk's
         // bytes live, so only intersecting inner chunks are fetched —
-        // a pruned scan over a GB-shard archive reads KB-sized ranges
+        // a pruned scan over a GB-shard archive reads KB-sized ranges.
+        // All touched inner chunks are planned up front and BYTE-
+        // ADJACENT index entries of the same shard coalesce into one
+        // range GET (readInnerChunks), so a contiguous slice over a
+        // shard pays ~1 request instead of one per inner chunk.
+        val decoded = readInnerChunks(root, a, sh, ranges, conf)
         ChunkAssembly.gather(ranges, sh.innerShape, a.shape, a.dtype,
           storedShape = (_, _) => sh.innerShape.toArray,
-          readChunk = (ci, _) => readInnerChunk(root, a, sh, ci, conf))
+          readChunk = (ci, _) => decoded(ci))
       case None =>
         ChunkAssembly.gather(ranges, a.chunkShape, a.shape, a.dtype,
           // zarr v2 stores edge chunks padded to the full chunk shape
@@ -438,7 +443,7 @@ object ZarrGridStore {
     * an entirely-fill chunk per the spec. Sharded v3 arrays route to
     * [[readShard]].
     */
-  private def readChunk(root: String, a: ZarrArrayMeta, ci: Seq[Int],
+  private[grid] def readChunk(root: String, a: ZarrArrayMeta, ci: Seq[Int],
       conf: org.apache.hadoop.conf.Configuration): AnyRef = {
     val n = a.chunkShape.product
     val path = s"$root/${a.name}/${a.chunkKey(ci)}"
@@ -884,6 +889,8 @@ object ZarrGridStore {
     val entries = (0 until nInner).map(_ => (idx.getLong, idx.getLong))
 
     val n = a.chunkShape.product
+    if (a.stored.contains(StoredVlenStr))
+      return readShardVlen(path, a, raw, entries)
     val outBytes = new Array[Byte](n * w)
     if (entries.exists(_._1 == -1L)) {
       // prefill with the fill value's byte pattern (inner endianness —
@@ -943,6 +950,63 @@ object ZarrGridStore {
       k += 1
     }
     decodeStored(outBytes, a, sh.innerBigEndian, n)
+  }
+
+  /** The vlen-utf8 face of [[readShard]]: decode each present inner
+    * chunk's VLenUTF8 frame through the inner compressor and scatter
+    * its STRINGS (element-level, no fixed byte stride — which is why
+    * the byte-assembly fast path above cannot serve vlen shards);
+    * absent inner chunks stay the declared string fill.
+    */
+  private def readShardVlen(path: String, a: ZarrArrayMeta,
+      raw: Array[Byte], entries: Seq[(Long, Long)]): Array[String] = {
+    val sh = a.sharding.get
+    val nd = a.nd
+    val innerPerDim = (0 until nd).map(d => a.chunkShape(d) / sh.innerShape(d))
+    val innerN = sh.innerShape.product
+    val out = Array.fill(a.chunkShape.product)(a.stringFill)
+    val outerStrides = ChunkAssembly.strides(a.chunkShape.toArray)
+    val innerRows = if (nd == 1) 1 else sh.innerShape.init.product
+    val run = sh.innerShape(nd - 1)
+    val innerRowStrides = ChunkAssembly.strides(
+      if (nd == 1) Array(1) else sh.innerShape.init.toArray)
+    val pos = new Array[Int](nd)
+    var k = 0
+    while (k < entries.length) {
+      val (off, nb) = entries(k)
+      if (off != -1L || nb != -1L) {
+        require(off >= 0 && nb >= 0 && off + nb <= raw.length,
+          s"shard $path: inner chunk $k index out of range")
+        val comp = java.util.Arrays.copyOfRange(
+          raw, off.toInt, (off + nb).toInt)
+        val strings = decodeVlen(s"$path#$k",
+          decompressedUnknown(s"$path#$k", comp, sh.innerCompressor),
+          innerN)
+        var r = 0
+        while (r < innerRows) {
+          var destElems = pos(nd - 1) * sh.innerShape(nd - 1)
+          var rem = r
+          var d = 0
+          while (d < nd - 1) {
+            val rowD = rem / innerRowStrides(d)
+            rem %= innerRowStrides(d)
+            destElems += (pos(d) * sh.innerShape(d) + rowD) * outerStrides(d)
+            d += 1
+          }
+          System.arraycopy(strings, r * run, out, destElems, run)
+          r += 1
+        }
+      }
+      var j = nd - 1
+      var carry = true
+      while (carry && j >= 0) {
+        pos(j) += 1
+        if (pos(j) < innerPerDim(j)) carry = false
+        else { pos(j) = 0; j -= 1 }
+      }
+      k += 1
+    }
+    out
   }
 
   /** One element's stored byte pattern of the declared fill value. */
@@ -1021,57 +1085,129 @@ object ZarrGridStore {
         }
     }
 
-  /** One INNER chunk of a sharded array by global inner-chunk index:
-    * index lookup (cached) + one ranged read of exactly that inner
-    * chunk's compressed bytes. This is the 100x-scale read path — task
-    * I/O is inner-chunk-sized regardless of shard file size, and a
-    * pruned scan never touches the bytes of pruned inner chunks.
+  /** Every inner chunk a gather over `ranges` touches, decoded to the
+    * logical element type, keyed by global inner-chunk index. This is
+    * the 100x-scale read path — task I/O is inner-chunk-sized
+    * regardless of shard file size, a pruned scan never touches the
+    * bytes of pruned inner chunks, and requests are COALESCED: the
+    * needed index entries of each shard are sorted by file offset and
+    * byte-adjacent runs merge into ONE range GET that is sliced per
+    * inner chunk afterwards. Shards written by this engine (and
+    * zarr-python) lay inner chunks out in C order back to back, so a
+    * contiguous slice costs ~1 request per shard + the (cached) index
+    * fetch instead of one request per inner chunk — at object-store
+    * scale, request count is as real a cost as bytes.
     */
-  private def readInnerChunk(root: String, a: ZarrArrayMeta, sh: ShardMeta,
-      innerCi: Seq[Int],
-      conf: org.apache.hadoop.conf.Configuration): AnyRef = {
+  private def readInnerChunks(root: String, a: ZarrArrayMeta, sh: ShardMeta,
+      ranges: Seq[(Int, Int)],
+      conf: org.apache.hadoop.conf.Configuration)
+      : Map[Seq[Int], AnyRef] = {
     val nd = a.nd
-    val innersPerShard =
-      (0 until nd).map(d => a.chunkShape(d) / sh.innerShape(d))
-    val shardCi = (0 until nd).map(d => innerCi(d) / innersPerShard(d))
-    val innerN = sh.innerShape.product
+    val inner = sh.innerShape
+    val innersPerShard = (0 until nd).map(d => a.chunkShape(d) / inner(d))
     val nInner = innersPerShard.product
-    val path = s"$root/${a.name}/${a.chunkKey(shardCi)}"
-    def fillChunk(): AnyRef = {
+    val innerN = inner.product
+    // one shared fill block serves every absent inner chunk (gather
+    // only reads from it)
+    lazy val fillChunk: AnyRef =
+      if (a.stored.contains(StoredVlenStr)) Array.fill(innerN)(a.stringFill)
+      else {
+        val w = a.storedWidth
+        val pat = storedFillPattern(a, sh.innerBigEndian)
+        val bytes = new Array[Byte](innerN * w)
+        var i = 0
+        while (i < bytes.length) {
+          System.arraycopy(pat, 0, bytes, i, w); i += w
+        }
+        decodeStored(bytes, a, sh.innerBigEndian, innerN)
+      }
+    // odometer over the box of intersecting inner-chunk indices
+    val lo = (0 until nd).map(i => ranges(i)._1 / inner(i))
+    val hi = (0 until nd).map(i =>
+      (ranges(i)._1 + ranges(i)._2 - 1) / inner(i))
+    val cis = Seq.newBuilder[Seq[Int]]
+    val cur = lo.toArray
+    var done = false
+    while (!done) {
+      cis += cur.toSeq
+      var j = nd - 1
+      var carry = true
+      while (carry && j >= 0) {
+        cur(j) += 1
+        if (cur(j) <= hi(j)) carry = false
+        else { cur(j) = lo(j); j -= 1 }
+      }
+      if (carry) done = true
+    }
+    val out = Map.newBuilder[Seq[Int], AnyRef]
+    cis.result()
+      .groupBy(ci => (0 until nd).map(d => ci(d) / innersPerShard(d)))
+      .foreach { case (shardCi, innerCis) =>
+        val path = s"$root/${a.name}/${a.chunkKey(shardCi)}"
+        shardIndex(path, sh, nInner, conf) match {
+          case None => // whole shard file absent: the spec'd all-fill
+            innerCis.foreach(ci => out += ci -> fillChunk)
+          case Some(entries) =>
+            val wanted = innerCis.flatMap { ci =>
+              // C-order flat index of this inner chunk within its shard
+              var k = 0
+              var d = 0
+              while (d < nd) {
+                k = k * innersPerShard(d) + ci(d) % innersPerShard(d)
+                d += 1
+              }
+              val off = entries(2 * k)
+              val nb = entries(2 * k + 1)
+              if (off == -1L && nb == -1L) { out += ci -> fillChunk; None }
+              else {
+                require(off >= 0 && nb >= 0 && nb <= Int.MaxValue,
+                  s"shard $path: inner chunk $k index entry out of range")
+                Some((off, nb, k, ci))
+              }
+            }.sortBy(_._1)
+            var i = 0
+            while (i < wanted.length) {
+              // extend the run while entries are byte-adjacent in file
+              var j = i
+              while (j + 1 < wanted.length &&
+                wanted(j)._1 + wanted(j)._2 == wanted(j + 1)._1) j += 1
+              val runOff = wanted(i)._1
+              val runLen = wanted(j)._1 + wanted(j)._2 - runOff
+              require(runLen <= Int.MaxValue,
+                s"shard $path: coalesced read of $runLen bytes too large")
+              val buf = GridIO.readRange(path, runOff, runLen.toInt, conf)
+              var m = i
+              while (m <= j) {
+                val (off, nb, k, ci) = wanted(m)
+                val comp = java.util.Arrays.copyOfRange(buf,
+                  (off - runOff).toInt, (off - runOff + nb).toInt)
+                out += ci -> decodeInner(path, a, sh, k, comp, innerN)
+                m += 1
+              }
+              i = j + 1
+            }
+        }
+      }
+    out.result()
+  }
+
+  /** One inner chunk's compressed bytes -> logical elements (numeric
+    * via the inner pipeline + widening decode, strings via vlen-utf8).
+    */
+  private def decodeInner(path: String, a: ZarrArrayMeta, sh: ShardMeta,
+      k: Int, comp: Array[Byte], innerN: Int): AnyRef =
+    if (a.stored.contains(StoredVlenStr))
+      decodeVlen(s"$path#$k",
+        decompressedUnknown(s"$path#$k", comp, sh.innerCompressor), innerN)
+    else {
       val w = a.storedWidth
-      val pat = storedFillPattern(a, sh.innerBigEndian)
-      val bytes = new Array[Byte](innerN * w)
-      var i = 0
-      while (i < bytes.length) { System.arraycopy(pat, 0, bytes, i, w); i += w }
+      val bytes = decompressed(s"$path#$k", comp, sh.innerCompressor,
+        innerN * w)
+      require(bytes.length == innerN * w,
+        s"shard $path: inner chunk $k decodes to ${bytes.length} " +
+          s"bytes, expected ${innerN * w}")
       decodeStored(bytes, a, sh.innerBigEndian, innerN)
     }
-    shardIndex(path, sh, nInner, conf) match {
-      case None => fillChunk() // whole shard absent
-      case Some(entries) =>
-        // C-order flat index of this inner chunk within its shard
-        var k = 0
-        var d = 0
-        while (d < nd) {
-          k = k * innersPerShard(d) + innerCi(d) % innersPerShard(d)
-          d += 1
-        }
-        val off = entries(2 * k)
-        val nb = entries(2 * k + 1)
-        if (off == -1L && nb == -1L) fillChunk()
-        else {
-          require(off >= 0 && nb >= 0 && nb <= Int.MaxValue,
-            s"shard $path: inner chunk $k index entry out of range")
-          val w = a.storedWidth
-          val comp = GridIO.readRange(path, off, nb.toInt, conf)
-          val bytes = decompressed(s"$path#$k", comp, sh.innerCompressor,
-            innerN * w)
-          require(bytes.length == innerN * w,
-            s"shard $path: inner chunk $k decodes to ${bytes.length} " +
-              s"bytes, expected ${innerN * w}")
-          decodeStored(bytes, a, sh.innerBigEndian, innerN)
-        }
-    }
-  }
 
   private def fillArray(dtype: GridType, fill: Double, n: Int): AnyRef =
     dtype match {
@@ -1174,16 +1310,25 @@ object ZarrGridStore {
           case "zlib" | "gzip" | "zstd" =>
             Some((id, c.path("level").asInt(1)))
           case "blosc" =>
-            // the chunk header self-describes the inner codec and
-            // shuffle filter; the metadata cname is only checked here to
-            // fail fast at open instead of on the first executor-side
-            // chunk read
+            // READS need no config (the chunk header self-describes the
+            // inner codec and shuffle filter), but the cname/shuffle are
+            // preserved in the id (`blosc/<cname>/<mode>`) so appends
+            // RE-ENCODE new chunks with the tree's declared config, and
+            // the cname is validated to fail fast at open instead of on
+            // the first executor-side chunk read
             val cname = c.path("cname").asText("lz4")
             require(
               Set("blosclz", "lz4", "lz4hc", "zstd", "zlib", "snappy")(cname),
               s"$name: blosc cname '$cname' has no JVM implementation " +
                 "(blosclz/lz4/lz4hc/zstd/zlib/snappy are supported)")
-            Some(("blosc", c.path("clevel").asInt(5)))
+            // numcodecs shuffle ints: 0 none, 1 byte, 2 bit,
+            // -1 auto (byte for multi-byte dtypes — numcodecs' pick)
+            val mode = c.path("shuffle").asInt(1) match {
+              case 0 => "none"
+              case 2 => "bit"
+              case _ => "byte"
+            }
+            Some((s"blosc/$cname/$mode", c.path("clevel").asInt(5)))
           case other => throw new IllegalArgumentException(
             s"$name: unsupported compressor '$other'")
         }
@@ -1447,19 +1592,26 @@ object ZarrGridStore {
 
   /** Distributed DataFrame → Zarr v2 APPEND along one dimension: the
     * slab's rows scatter through [[GridWriter.writeVar]]'s one-shuffle
-    * reverse pivot into a staging tree beside the store (executors
-    * write the chunk files), then every staged chunk renames to its
-    * shifted index, the growing dimension's coordinate array and each
-    * growing variable's `.zarray` shape are rewritten, and the tree
-    * re-consolidates — the incremental-ingest path `df.write
-    * .format("zarr").mode("append")` rides on. Preconditions mirror
-    * [[GridWriter.append]]: the existing extent of `along` must be
-    * chunk-aligned, non-growing dims must carry identical coordinates,
-    * and the tree must use this writer's layout ("." separators, v2
-    * keys). Appended edge chunks pad with NaN/0 like every other write.
-    * SINGLE WRITER per store (same contract as the binary-store
-    * append): staging is uniquely suffixed, so a crashed append leaves
-    * only an inert `.staging-*` tree.
+    * reverse pivot STRAIGHT onto the store-global chunk grid in a
+    * staging tree beside the store (executors write the chunk files),
+    * then every staged chunk renames into place, the growing
+    * dimension's coordinate array and each growing variable's `.zarray`
+    * shape are rewritten, and the tree re-consolidates — the
+    * incremental-ingest path `df.write.format("zarr").mode("append")`
+    * rides on. The existing extent need NOT be chunk-aligned: when the
+    * old extent ends inside a chunk, the owning executor read-modify-
+    * writes that edge chunk ([[EdgeMergeSink]]) exactly as xarray's
+    * `to_zarr(append_dim=...)` does, and the result is byte-identical
+    * to a one-shot write. Non-growing dims must carry identical
+    * coordinates; the tree must use this writer's layout ("."
+    * separators, v2 keys) and a plain little-endian C-order unpacked
+    * encoding for every growing variable (anything else fails loudly
+    * up front — staged chunks are encoded plain, and silently mixing
+    * encodings inside one array corrupts it). Appended edge chunks pad
+    * with NaN/0 like every other write. SINGLE WRITER per store (same
+    * contract as the binary-store append): staging is uniquely
+    * suffixed, so a crashed append leaves only an inert `.staging-*`
+    * tree.
     */
   def appendFromRows(df: org.apache.spark.sql.DataFrame,
       slabSchema: GridSchema, root: String,
@@ -1477,13 +1629,6 @@ object ZarrGridStore {
         s"appendFromRows supports this writer's layouts only " +
           s"(${a.name} uses keyPrefix='${a.keyPrefix}' sep='${a.dimSep}')")
     }
-    val chunks = existing.chunkMap
-    val alongChunk = chunks.getOrElse(along,
-      throw new IllegalArgumentException(s"$along is not a data-var dim"))
-    require(exDim.size % alongChunk == 0,
-      s"existing $along extent ${exDim.size} is not chunk-aligned " +
-        s"($alongChunk); rechunk before appending")
-    val chunkOffset = exDim.size / alongChunk
     // non-growing dims must match coordinate-for-coordinate
     slabSchema.dims.filterNot(_.name == along).foreach { d =>
       val ex = existing.schema.dim(d.name)
@@ -1492,12 +1637,32 @@ object ZarrGridStore {
     }
     val growing = slabSchema.vars.filter(_.dims.contains(along))
     require(growing.nonEmpty, s"no slab variable spans $along")
+    // every STORE variable spanning the axis must grow with it, or the
+    // tree's shapes would silently diverge from the coordinate array
+    existing.schema.vars.filter(_.dims.contains(along)).foreach { sv =>
+      require(growing.exists(_.name == sv.name),
+        s"store variable ${sv.name} spans $along but is missing from " +
+          "the slab")
+    }
     growing.foreach { v =>
       val a = existing.arrays.getOrElse(v.name,
         throw new IllegalArgumentException(
           s"variable ${v.name} does not exist in the store"))
       require(a.dtype == v.dtype,
         s"${v.name}: slab dtype ${v.dtype} vs stored ${a.dtype}")
+      // dims must match as an ORDERED list: the scatter keys and
+      // C-orders chunks in the slab variable's own dim order, so a
+      // permuted slab would silently write transposed data
+      require(a.dims == v.dims,
+        s"${v.name}: slab dims (${v.dims.mkString(",")}) must equal " +
+          s"stored dims (${a.dims.mkString(",")})")
+      // staged chunks are encoded plain little-endian, unfiltered,
+      // C-order, unpacked, unscaled — reject trees declaring anything
+      // else so a mismatch fails loudly instead of corrupting
+      require(!a.bigEndian && a.filters.isEmpty && a.stored.isEmpty &&
+        a.transposeOrder.isEmpty && !scaledVar(a),
+        s"${v.name}: append supports plain little-endian C-order " +
+          "unpacked unscaled layouts only")
       // fail before any staging work, not deep inside an executor task
       require(v.dtype != GString,
         s"${v.name}: appending string variables unsupported")
@@ -1506,22 +1671,30 @@ object ZarrGridStore {
     GridIO.sweepStaging(cleanRoot, conf)
     val staging = cleanRoot + ".staging-" +
       java.util.UUID.randomUUID().toString.take(8)
+    val globalSize = exDim.size + slabDim.size
     growing.foreach { v =>
       GridIO.mkdirs(s"$staging/${v.name}", conf)
-      val chunkSz = v.dims.map(d =>
-        chunks.getOrElse(d, math.max(slabSchema.dim(d).size, 1)))
-      GridWriter.writeVar(df, slabSchema, chunks,
-        GridWriter.ZarrSink(staging, v.dtype, chunkSz,
-          existing.arrays(v.name).compressor), v)
-    }
-    // shift staged chunk keys past the existing extent
-    growing.foreach { v =>
+      val a = existing.arrays(v.name)
+      val varChunks = v.dims.zip(a.chunkShape).toMap
       val axisPos = v.dims.indexOf(along)
+      val alongChunk = a.chunkShape(axisPos)
+      val edgeLen = exDim.size % alongChunk
+      val base = GridWriter.ZarrSink(staging, v.dtype, a.chunkShape,
+        a.compressor)
+      val sink =
+        if (edgeLen > 0) EdgeMergeSink(base, cleanRoot, a, axisPos,
+          exDim.size / alongChunk, edgeLen)
+        else base
+      GridWriter.writeVar(df, slabSchema, varChunks, sink, v,
+        globalAlong = Some((along, exDim.size, globalSize)))
+    }
+    // staged chunks already carry store-global keys — pure renames
+    // (renameOver: an unaligned append's merged edge chunk replaces
+    // the store's old one)
+    growing.foreach { v =>
       GridIO.listNames(s"$staging/${v.name}", conf).foreach { fn =>
-        val parts = fn.split('.')
-        parts(axisPos) = (parts(axisPos).toInt + chunkOffset).toString
-        GridIO.rename(s"$staging/${v.name}/$fn",
-          s"$cleanRoot/${v.name}/${parts.mkString(".")}", conf)
+        GridIO.renameOver(s"$staging/${v.name}/$fn",
+          s"$cleanRoot/${v.name}/$fn", conf)
       }
     }
     GridIO.delete(staging, conf)
@@ -1544,6 +1717,82 @@ object ZarrGridStore {
     }
     consolidate(cleanRoot, conf)
     open(cleanRoot)
+  }
+
+  /** In place on `arr` (flat C-order of shape `eff`): every position
+    * whose `axisPos` index is below `edgeLen` takes the value of `old`
+    * (flat C-order of the FULL `fullShape` — a decoded stored chunk,
+    * padded per the v2/v3 rule). The merge half of an unaligned
+    * append's read-modify-write: the slab's cells sit at axis index >=
+    * `edgeLen`, the store's old cells below it — disjoint by
+    * construction, so overlaying by index is exact.
+    */
+  private[grid] def overlayEdge(arr: AnyRef, old: AnyRef, eff: Array[Int],
+      fullShape: Array[Int], axisPos: Int, edgeLen: Int): Unit = {
+    val nd = eff.length
+    val fullStride = ChunkAssembly.strides(fullShape)
+    val effStride = ChunkAssembly.strides(eff)
+    val innerRun = eff(nd - 1)
+    // row iteration: odometer over dims 0..nd-2, arraycopy inner runs
+    val pos = new Array[Int](nd)
+    var rows = 1
+    var k = 0
+    while (k < nd - 1) { rows *= eff(k); k += 1 }
+    var r = 0
+    while (r < rows) {
+      val runLen =
+        if (axisPos == nd - 1) math.min(edgeLen, innerRun)
+        else if (pos(axisPos) < edgeLen) innerRun
+        else 0
+      if (runLen > 0) {
+        var srcOff = 0
+        var dstOff = 0
+        var d = 0
+        while (d < nd - 1) {
+          srcOff += pos(d) * fullStride(d)
+          dstOff += pos(d) * effStride(d)
+          d += 1
+        }
+        System.arraycopy(old, srcOff, arr, dstOff, runLen)
+      }
+      var j = nd - 2
+      var carry = true
+      while (carry && j >= 0) {
+        pos(j) += 1
+        if (pos(j) < eff(j)) carry = false
+        else { pos(j) = 0; j -= 1 }
+      }
+      if (carry) r = rows else r += 1
+    }
+  }
+
+  /** Sink wrapper for UNALIGNED appends — the read-modify-write xarray
+    * performs in `to_zarr(append_dim=...)`: a staged chunk landing on
+    * the store's partial edge chunk (the stored chunk the old extent
+    * ends inside) first overlays the EXISTING cells (axis index <
+    * `edgeLen`) decoded from the live store, then encodes through the
+    * normal sink — so the re-written edge chunk carries old + new data
+    * and is byte-identical to a one-shot write of the grown array. Runs
+    * on the executor that owns the chunk (the scatter hashes each chunk
+    * id to exactly one task), so the RMW is distributed: the driver
+    * never touches cell data no matter how many edge chunks the
+    * non-growing dims multiply out to. For sharded v3 arrays the stored
+    * chunk is the whole SHARD — one decode + re-encode per edge shard,
+    * the stored-file granularity any writer must pay there.
+    */
+  private[grid] final case class EdgeMergeSink(base: GridWriter.ChunkSink,
+      root: String, a: ZarrArrayMeta, axisPos: Int, edgeChunk: Int,
+      edgeLen: Int) extends GridWriter.ChunkSink {
+    def write(varName: String, ciDotted: String, arr: AnyRef,
+        eff: Array[Int],
+        conf: org.apache.hadoop.conf.Configuration)
+        : (Option[(Any, Any)], Option[Double]) = {
+      val ci = ciDotted.split('.').map(_.toInt).toSeq
+      if (ci(axisPos) == edgeChunk)
+        overlayEdge(arr, readChunk(root, a, ci, conf), eff,
+          a.chunkShape.toArray, axisPos, edgeLen)
+      base.write(varName, ciDotted, arr, eff, conf)
+    }
   }
 
   private[grid] def coordValues(c: CoordArray): Seq[Any] = c match {

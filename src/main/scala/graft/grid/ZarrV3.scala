@@ -163,8 +163,7 @@ object ZarrV3 {
       s"$name: codecs pipeline required")
     val sharded = codecs.get(0).path("name").asText("") == "sharding_indexed"
     val (bigEndian, compressor, sharding, transpose) =
-      if (isVlen) {
-        require(!sharded, s"$name: sharded string arrays unsupported")
+      if (isVlen && !sharded) {
         (false, parseVlenPipeline(name, codecs), None, None)
       } else if (!sharded) {
         val (be, comp, tr) = parsePipeline(name, codecs)
@@ -182,10 +181,22 @@ object ZarrV3 {
             s"$name: inner chunk shape ${innerShape.mkString("x")} must " +
               s"evenly divide the shard shape ${chunkShape.mkString("x")}")
         }
-        val (iBig, iComp, iTr) = parsePipeline(s"$name (inner)",
-          cfg.path("codecs"))
-        require(iTr.isEmpty,
-          s"$name: transpose inside a shard pipeline unsupported")
+        // a sharded string array's inner pipeline is the vlen one —
+        // variable-size inner frames are exactly what the shard's
+        // (offset, nbytes) index was made for
+        val (iBig, iComp) =
+          if (isVlen) {
+            val innerCodecs = cfg.path("codecs")
+            require(innerCodecs.isArray && innerCodecs.size() >= 1,
+              s"$name: inner codecs pipeline required")
+            (false, parseVlenPipeline(s"$name (inner)", innerCodecs))
+          } else {
+            val (b, c, iTr) = parsePipeline(s"$name (inner)",
+              cfg.path("codecs"))
+            require(iTr.isEmpty,
+              s"$name: transpose inside a shard pipeline unsupported")
+            (b, c)
+          }
         // index pipeline: bytes (little, the spec'd uint64 layout) with
         // optional crc32c framing — the zarr-python default
         var crc = false
@@ -249,11 +260,7 @@ object ZarrV3 {
           compressor = Some(("zstd", cfg.path("level").asInt(0)))
         case "blosc" =>
           requireOneCompressor(name, compressor)
-          val cname = cfg.path("cname").asText("lz4")
-          require(
-            Set("blosclz", "lz4", "lz4hc", "zstd", "zlib", "snappy")(cname),
-            s"$name: blosc cname '$cname' has no JVM implementation")
-          compressor = Some(("blosc", cfg.path("clevel").asInt(5)))
+          compressor = Some(parseBloscCodec(name, cfg))
         case other => throw new IllegalArgumentException(
           s"$name: unsupported codec '$other' after vlen-utf8")
       }
@@ -295,13 +302,7 @@ object ZarrV3 {
           compressor = Some(("zstd", cfg.path("level").asInt(0)))
         case "blosc" =>
           requireOneCompressor(name, compressor)
-          // decode needs no config (the container self-describes codec
-          // and shuffle filter); the cname is validated to fail fast
-          val cname = cfg.path("cname").asText("lz4")
-          require(
-            Set("blosclz", "lz4", "lz4hc", "zstd", "zlib", "snappy")(cname),
-            s"$name: blosc cname '$cname' has no JVM implementation")
-          compressor = Some(("blosc", cfg.path("clevel").asInt(5)))
+          compressor = Some(parseBloscCodec(name, cfg))
         case "sharding_indexed" => throw new IllegalArgumentException(
           s"$name: nested sharding unsupported")
         case other => throw new IllegalArgumentException(
@@ -316,6 +317,26 @@ object ZarrV3 {
       cur: Option[(String, Int)]): Unit =
     require(cur.isEmpty,
       s"$name: at most one compression codec supported in the pipeline")
+
+  /** A v3 blosc codec config -> the `blosc/<cname>/<mode>` id form.
+    * Decode needs none of this (the container self-describes codec and
+    * shuffle filter), but carrying the declared config in the id lets
+    * appends re-encode new chunks to match the tree instead of the
+    * writer's defaults; the cname is validated to fail fast at open.
+    */
+  private def parseBloscCodec(name: String,
+      cfg: JsonNode): (String, Int) = {
+    val cname = cfg.path("cname").asText("lz4")
+    require(
+      Set("blosclz", "lz4", "lz4hc", "zstd", "zlib", "snappy")(cname),
+      s"$name: blosc cname '$cname' has no JVM implementation")
+    val mode = cfg.path("shuffle").asText("shuffle") match {
+      case "noshuffle" => "none"
+      case "bitshuffle" => "bit"
+      case _ => "byte"
+    }
+    (s"blosc/$cname/$mode", cfg.path("clevel").asInt(5))
+  }
 
   // ---- write ---------------------------------------------------------
 
@@ -364,11 +385,14 @@ object ZarrV3 {
       val data = source.readVar(varName, block)
       val padded = ZarrGridStore.padChunk(data, eff, chunkSz.toArray, dtype)
       val payload =
-        if (dtype == GString)
-          // vlen-utf8 chunk (sharding rejected for strings at plan time)
-          ZarrGridStore.compress(
+        if (dtype == GString) innerSz match {
+          case None => ZarrGridStore.compress(
             ZarrGridStore.encodeVlen(padded.asInstanceOf[Array[String]]),
             comp, 1)
+          case Some(inner) =>
+            encodeShardVlen(padded.asInstanceOf[Array[String]],
+              chunkSz, inner, comp)
+        }
         else {
           val leBytes = ZarrGridStore.toLE(padded, dtype)
           innerSz match {
@@ -401,7 +425,7 @@ object ZarrV3 {
       val chunkSz = v.dims.map(d =>
         chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
       val innerSz =
-        if (shardInner.isEmpty || v.dtype == GString) None
+        if (shardInner.isEmpty) None
         else Some(v.dims.zip(chunkSz).map { case (d, outer) =>
           shardInner.getOrElse(d, outer) })
       GridWriter.writeVar(df, schema, chunks,
@@ -411,12 +435,14 @@ object ZarrV3 {
   }
 
   /** The v3 face of [[ZarrGridStore.appendFromRows]] — same staged
-    * distributed scatter + shifted rename + metadata rewrite, but on
-    * the `c/`-keyed layout: sharded variables stage whole SHARDS
-    * (stored-file granularity), so appends align on the shard grid and
-    * the shifted rename moves one file per shard. The coordinate array
-    * and every growing variable's `zarr.json` shape are rewritten and
-    * the inline consolidated root is rebuilt.
+    * distributed scatter straight onto the store-global grid + rename +
+    * metadata rewrite, but on the `c/`-keyed layout: sharded variables
+    * stage whole SHARDS (stored-file granularity), so the scatter and
+    * the edge read-modify-write run on the shard grid — an unaligned
+    * old extent costs one decode + re-encode per edge SHARD, on the
+    * executor that owns it. The coordinate array and every growing
+    * variable's `zarr.json` shape are rewritten and the inline
+    * consolidated root is rebuilt.
     */
   def appendFromRows(df: org.apache.spark.sql.DataFrame,
       slabSchema: GridSchema, root: String,
@@ -427,21 +453,6 @@ object ZarrV3 {
     val exDim = existing.schema.dim(along)
     val slabDim = slabSchema.dim(along)
     require(slabDim.size > 0, s"empty slab on $along")
-    // appends align on the STORED-FILE grid (= shard grid when sharded)
-    val dataArrs = existing.schema.vars.map(v => existing.arrays(v.name))
-    val fileChunks: Map[String, Int] = dataArrs
-      .flatMap(a => a.dims.zip(a.chunkShape)).groupBy(_._1)
-      .map { case (d, szs) =>
-        require(szs.map(_._2).distinct.size == 1,
-          s"data variables disagree on the stored chunk of $d")
-        d -> szs.head._2
-      }
-    val alongChunk = fileChunks.getOrElse(along,
-      throw new IllegalArgumentException(s"$along is not a data-var dim"))
-    require(exDim.size % alongChunk == 0,
-      s"existing $along extent ${exDim.size} is not stored-chunk-aligned " +
-        s"($alongChunk); rechunk before appending")
-    val chunkOffset = exDim.size / alongChunk
     slabSchema.dims.filterNot(_.name == along).foreach { d =>
       val ex = existing.schema.dim(d.name)
       require(ZarrGridStore.coordValues(ex.coords) ==
@@ -450,12 +461,31 @@ object ZarrV3 {
     }
     val growing = slabSchema.vars.filter(_.dims.contains(along))
     require(growing.nonEmpty, s"no slab variable spans $along")
+    existing.schema.vars.filter(_.dims.contains(along)).foreach { sv =>
+      require(growing.exists(_.name == sv.name),
+        s"store variable ${sv.name} spans $along but is missing from " +
+          "the slab")
+    }
     growing.foreach { v =>
       val a = existing.arrays.getOrElse(v.name,
         throw new IllegalArgumentException(
           s"variable ${v.name} does not exist in the store"))
       require(a.dtype == v.dtype,
         s"${v.name}: slab dtype ${v.dtype} vs stored ${a.dtype}")
+      require(a.dims == v.dims,
+        s"${v.name}: slab dims (${v.dims.mkString(",")}) must equal " +
+          s"stored dims (${a.dims.mkString(",")})")
+      // this writer's layout and a plain encoding only — staged chunks/
+      // shards are encoded little-endian, unpacked, C-order, so any
+      // other declared encoding must fail loudly instead of corrupting
+      require(a.keyPrefix == "c" && a.dimSep == "/",
+        s"${v.name}: append supports the default v3 chunk-key encoding " +
+          s"only (keyPrefix='${a.keyPrefix}' sep='${a.dimSep}')")
+      require(!a.bigEndian && a.filters.isEmpty && a.stored.isEmpty &&
+        a.transposeOrder.isEmpty && !ZarrGridStore.scaledVar(a) &&
+        !a.sharding.exists(_.innerBigEndian),
+        s"${v.name}: append supports plain little-endian C-order " +
+          "unpacked unscaled layouts only")
       require(v.dtype != GString,
         s"${v.name}: appending string variables unsupported")
     }
@@ -463,25 +493,35 @@ object ZarrV3 {
     GridIO.sweepStaging(cleanRoot, conf)
     val staging = cleanRoot + ".staging-" +
       java.util.UUID.randomUUID().toString.take(8)
+    val globalSize = exDim.size + slabDim.size
     growing.foreach { v =>
       val a = existing.arrays(v.name)
       GridIO.mkdirs(s"$staging/${v.name}", conf)
-      GridWriter.writeVar(df, slabSchema, fileChunks,
-        GridWriter.V3Sink(staging, v.dtype, a.chunkShape,
-          a.sharding.map(_.innerShape),
-          a.sharding.map(_.innerCompressor).getOrElse(a.compressor),
-          flatKeys = true), v)
-    }
-    // staged flat keys -> nested shifted keys past the existing extent
-    growing.foreach { v =>
+      // the stored-file grid (= shard grid when sharded) keys the
+      // scatter; per-var, so variables may chunk the axis differently
+      val varChunks = v.dims.zip(a.chunkShape).toMap
       val axisPos = v.dims.indexOf(along)
+      val alongChunk = a.chunkShape(axisPos)
+      val edgeLen = exDim.size % alongChunk
+      val base = GridWriter.V3Sink(staging, v.dtype, a.chunkShape,
+        a.sharding.map(_.innerShape),
+        a.sharding.map(_.innerCompressor).getOrElse(a.compressor),
+        flatKeys = true)
+      val sink =
+        if (edgeLen > 0) ZarrGridStore.EdgeMergeSink(base, cleanRoot, a,
+          axisPos, exDim.size / alongChunk, edgeLen)
+        else base
+      GridWriter.writeVar(df, slabSchema, varChunks, sink, v,
+        globalAlong = Some((along, exDim.size, globalSize)))
+    }
+    // staged flat keys (already store-global) -> nested `c/` keys
+    growing.foreach { v =>
       GridIO.listNames(s"$staging/${v.name}", conf).foreach { fn =>
         val parts = fn.split('.')
-        parts(axisPos) = (parts(axisPos).toInt + chunkOffset).toString
         val destDir = (s"$cleanRoot/${v.name}/c" +: parts.init.toSeq)
           .mkString("/")
         GridIO.mkdirs(destDir, conf)
-        GridIO.rename(s"$staging/${v.name}/$fn",
+        GridIO.renameOver(s"$staging/${v.name}/$fn",
           s"$destDir/${parts.last}", conf)
       }
     }
@@ -561,7 +601,7 @@ object ZarrV3 {
       val chunkSz = v.dims.map(d =>
         chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
       val innerSz =
-        if (shardInner.isEmpty || v.dtype == GString) None
+        if (shardInner.isEmpty) None
         else Some(v.dims.zip(chunkSz).map { case (d, outer) =>
           shardInner.getOrElse(d, outer) })
       val sub = GridSchema(v.dims.map(schema.dim), Seq.empty)
@@ -608,10 +648,8 @@ object ZarrV3 {
       val dimSz = v.dims.map(d => schema.dim(d).size)
       val chunkSz = v.dims.map(d =>
         chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
-      require(shardInner.isEmpty || v.dtype != GString,
-        s"${v.name}: sharded string arrays unsupported (vlen chunks)")
       val innerSz: Option[Seq[Int]] =
-        if (shardInner.isEmpty || v.dtype == GString) None
+        if (shardInner.isEmpty) None
         else Some(v.dims.zip(chunkSz).map { case (d, outer) =>
           val in = shardInner.getOrElse(d, outer)
           require(in > 0 && outer % in == 0,
@@ -711,6 +749,15 @@ object ZarrV3 {
       }
       k += 1
     }
+    frameShard(streams)
+  }
+
+  /** Concatenate per-inner-chunk streams + the little-endian uint64
+    * (offset, nbytes) index + crc32c — the shard container framing,
+    * shared by the fixed-width and vlen encoders.
+    */
+  private def frameShard(streams: Array[Array[Byte]]): Array[Byte] = {
+    val nInner = streams.length
     val body = streams.map(_.length).sum
     val out = java.nio.ByteBuffer.allocate(body + nInner * 16 + 4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -722,6 +769,57 @@ object ZarrV3 {
     crc.update(out.array(), body, nInner * 16)
     out.putInt(crc.getValue.toInt)
     out.array()
+  }
+
+  /** One SHARD of a vlen-utf8 string array: each inner chunk's strings
+    * gather in C order, encode as a numcodecs VLenUTF8 frame,
+    * compress, and the variable-size streams concatenate under the
+    * same (offset, nbytes) index as numeric shards — which is exactly
+    * why vlen arrays shard cleanly: readers never need a fixed stride,
+    * only the index entry.
+    */
+  private[grid] def encodeShardVlen(values: Array[String], outer: Seq[Int],
+      inner: Seq[Int], comp: Option[(String, Int)]): Array[Byte] = {
+    val nd = outer.length
+    val innerPerDim = (0 until nd).map(d => outer(d) / inner(d))
+    val nInner = innerPerDim.product
+    val innerN = inner.product
+    val outerStrides = ChunkAssembly.strides(outer.toArray)
+    val innerRows = if (nd == 1) 1 else inner.init.product
+    val run = inner(nd - 1)
+    val innerRowStrides = ChunkAssembly.strides(
+      if (nd == 1) Array(1) else inner.init.toArray)
+    val streams = new Array[Array[Byte]](nInner)
+    val pos = new Array[Int](nd)
+    var k = 0
+    while (k < nInner) {
+      val block = new Array[String](innerN)
+      var r = 0
+      while (r < innerRows) {
+        var srcElems = pos(nd - 1) * inner(nd - 1)
+        var rem = r
+        var d = 0
+        while (d < nd - 1) {
+          val rowD = rem / innerRowStrides(d)
+          rem %= innerRowStrides(d)
+          srcElems += (pos(d) * inner(d) + rowD) * outerStrides(d)
+          d += 1
+        }
+        System.arraycopy(values, srcElems, block, r * run, run)
+        r += 1
+      }
+      streams(k) = ZarrGridStore.compress(
+        ZarrGridStore.encodeVlen(block), comp, 1)
+      var j = nd - 1
+      var carry = true
+      while (carry && j >= 0) {
+        pos(j) += 1
+        if (pos(j) < innerPerDim(j)) carry = false
+        else { pos(j) = 0; j -= 1 }
+      }
+      k += 1
+    }
+    frameShard(streams)
   }
 
   private def arrayJson(mapper: ObjectMapper, shape: Seq[Int],

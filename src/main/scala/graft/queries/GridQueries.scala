@@ -240,27 +240,31 @@ object GridQueries {
           col("air"))
     }),
 
-    // append-only ingest: the first 12 hours land as one store write,
-    // the next 12 arrive later as BinaryGridStore.appendAlong — new
-    // chunk files past the existing extent, old files untouched, one
-    // small metadata rewrite. The query straddles the append boundary
-    // (t 8..15 spans old chunk 1 and appended chunk 2), proving scans,
-    // pruning and stats see one seamless grid. The reference has no
-    // incremental ingest — a 100 TB archive needs one.
+    // append-only ingest: the first 9 hours land as one store write,
+    // the rest arrive later as two BinaryGridStore.appendAlong calls at
+    // UNALIGNED boundaries (9 and 19 are not multiples of the t=6
+    // chunk): each append read-modify-writes the partial edge chunk —
+    // the xarray to_zarr(append_dim) ingest shape — and lays new chunks
+    // past it, with one small metadata rewrite. The query straddles
+    // both boundaries (t 8..20), proving scans, pruning and the
+    // RECOMPUTED edge-chunk stats see one seamless grid. The reference
+    // has no incremental ingest — a 100 TB archive needs one.
     "pivot_grid_append" -> ((s, _) => {
       // unique per invocation (QueryTmp: race-free under concurrent
       // evaluation, tree deleted at exit instead of accumulating)
       val root = QueryTmp.dir("graft_append_grid") + "/store"
-      graft.grid.BinaryGridStore.write(Fixtures.linearGridSlice(0, 12),
+      graft.grid.BinaryGridStore.write(Fixtures.linearGridSlice(0, 9),
         root, Map("t" -> 6), "zstd")
+      graft.grid.BinaryGridStore.appendAlong(root,
+        Fixtures.linearGridSlice(9, 19), "t")
       val appended = graft.grid.BinaryGridStore.appendAlong(root,
-        Fixtures.linearGridSlice(12, 24), "t")
+        Fixtures.linearGridSlice(19, 24), "t")
       new XarrayContext(s)
         // registry key carries the unique store root (concurrent
         // evaluations must not cross-resolve) and is dropped after load
         .scratchDataFrame(s"append_grid@$root", appended, appended.chunks,
           Seq("t", "lat", "lon"))
-        .filter(col("t").between(8, 15))
+        .filter(col("t").between(8, 20))
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
           col("air"))
     }),
@@ -811,7 +815,7 @@ object GridQueries {
     "pivot_grid_append" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM grid
-         |WHERE t BETWEEN 8 AND 15""".stripMargin,
+         |WHERE t BETWEEN 8 AND 20""".stripMargin,
     "pivot_grid_where" ->
       s"""WITH $oracleGrid
          |SELECT CAST(g.t AS BIGINT) AS t, g.lat, g.lon,

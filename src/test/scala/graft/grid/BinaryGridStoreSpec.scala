@@ -69,9 +69,19 @@ class BinaryGridStoreSpec extends SparkTestBase {
     }
     assert(dup.getMessage.contains("overlaps"))
     BinaryGridStore.appendAlong(dir, Fixtures.linearGridSlice(24, 27), "t")
-    intercept[IllegalArgumentException] { // 27 % 6 != 0: ragged extent
-      BinaryGridStore.appendAlong(dir, Fixtures.linearGridSlice(27, 30), "t")
-    }
+    // 27 % 6 != 0: appending onto the ragged extent read-modify-writes
+    // the partial edge chunk (t 24..26 + t 27..29 merge into chunk 4)
+    val grown = BinaryGridStore.appendAlong(
+      dir, Fixtures.linearGridSlice(27, 30), "t")
+    assert(grown.schema.dim("t").size == 30)
+    val merged = grown.readVar("air", Seq((24, 6), (0, 12), (0, 10)))
+      .asInstanceOf[Array[Double]]
+    for (t <- 0 until 6; i <- 0 until 12; j <- 0 until 10)
+      assert(merged(t * 120 + i * 10 + j) == law(Array(24 + t, i, j)),
+        s"edge cell ($t,$i,$j)")
+    // the merged edge chunk's stats were recomputed over old + new data
+    assert(grown.varBounds("air", Seq((24, 6), (0, 12), (0, 10)))
+      .contains((200.0 + 24.0, 200.0 + 29.0 + 22.0 + 27.0)))
     // an UNCHUNKED axis cannot grow: readers re-derive its chunk size
     // from the merged extent and would misread the original file
     val udir = tempDir("append-unchunked")

@@ -1,0 +1,165 @@
+package graft.grid
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Unaligned appends (the xarray `to_zarr(append_dim=...)` ingest
+  * idiom): the existing extent of the growing axis need not be
+  * chunk-aligned — the owning executor read-modify-writes the partial
+  * edge chunk/shard. Every test appends at NON-chunk-multiple
+  * boundaries twice and byte-compares the grown tree against a one-shot
+  * write of the same data: the strongest equivalence the format allows
+  * (metadata, coordinate arrays, every chunk payload).
+  */
+class ZarrUnalignedAppendSpec extends SparkTestBase {
+
+  private def tmp(): Path = {
+    val p = Files.createTempDirectory("zarr_unaligned")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def gridDf = new graft.XarrayContext(spark).dataFrame(
+    "ua_grid", Fixtures.linearGrid, Map("t" -> 6), Seq("t", "lat", "lon"))
+
+  private def walk(r: String): Map[String, Seq[Byte]] = {
+    val base = Paths.get(r)
+    Files.walk(base).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => base.relativize(p).toString -> Files.readAllBytes(p).toSeq)
+      .toMap
+  }
+
+  private def assertTreesEqual(oneShot: String, appended: String): Unit = {
+    val a = walk(oneShot)
+    val b = walk(appended)
+    assert(a.keySet == b.keySet,
+      (a.keySet.diff(b.keySet), b.keySet.diff(a.keySet)))
+    a.keys.foreach(k => assert(a(k) == b(k), s"file $k differs"))
+  }
+
+  /** Write t-slices [0,c1), [c1,c2), [c2,24) via the format surface and
+    * byte-compare against a one-shot write with the same options.
+    */
+  private def appendVsOneShot(dir: Path, cuts: (Int, Int),
+      opts: Map[String, String]): Unit = {
+    val (c1, c2) = cuts
+    val df = gridDf
+    def slab(t0: Int, t1: Int) = df.filter(col("t") >= t0 && col("t") < t1)
+    val grow = dir.resolve("grow").toString
+    def writeSlab(t0: Int, t1: Int): Unit = {
+      var w = slab(t0, t1).write.format("zarr").option("dims", "t,lat,lon")
+      val useOpts = if (t0 == 0) opts else opts + ("appendDim" -> "t")
+      useOpts.foreach { case (k, v) => w = w.option(k, v) }
+      w.mode("append").save(grow)
+    }
+    writeSlab(0, c1); writeSlab(c1, c2); writeSlab(c2, 24)
+    val oneShot = dir.resolve("oneshot").toString
+    var w = df.write.format("zarr").option("dims", "t,lat,lon")
+    opts.foreach { case (k, v) => w = w.option(k, v) }
+    w.mode("overwrite").save(oneShot)
+    assertTreesEqual(oneShot, grow)
+    // read-back across both boundaries
+    val back = spark.read.format("zarr").load(grow)
+    assert(back.count() == 24L * 12 * 10)
+    val r = back.filter(col("t").between(c1 - 1, c2))
+      .agg(sum("air")).collect().head
+    val expect = (for (t <- (c1 - 1) to c2; i <- 0 until 12;
+        j <- 0 until 10) yield 200.0 + t + 2.0 * i + 3.0 * j).sum
+    assert(math.abs(r.getDouble(0) - expect) < 1e-6)
+  }
+
+  test("v2: unaligned append twice is byte-identical to one-shot") {
+    // chunk t=6; cuts at 7 and 16 — both inside a chunk
+    appendVsOneShot(tmp(), (7, 16),
+      Map("chunks" -> "t=6,lat=5", "compressor" -> "zlib:6"))
+  }
+
+  test("v2 blosc: append re-encodes with the tree's declared cname/shuffle") {
+    val dir = tmp()
+    appendVsOneShot(dir, (5, 13),
+      Map("chunks" -> "t=6,lat=5", "compressor" -> "blosc:zstd:7:bit"))
+    // the parsed metadata preserves the config end-to-end
+    val store = ZarrGridStore.open(dir.resolve("grow").toString)
+    assert(store.arrays("air").compressor.contains(("blosc/zstd/bit", 7)))
+  }
+
+  test("v3: unaligned append twice is byte-identical to one-shot") {
+    appendVsOneShot(tmp(), (7, 16),
+      Map("chunks" -> "t=6,lat=5", "format" -> "v3",
+        "compressor" -> "zstd:3"))
+  }
+
+  test("v3 sharded: unaligned append read-modify-writes the edge shard") {
+    // shard t=6 / inner t=2; cuts at 7 (edge len 1) and 17 (edge len 5)
+    appendVsOneShot(tmp(), (7, 17),
+      Map("chunks" -> "t=6,lat=5", "format" -> "v3", "shards" -> "t=2",
+        "compressor" -> "zstd:3"))
+  }
+
+  test("API path: second unaligned append onto a ragged v2 store") {
+    // drive ZarrGridStore.appendFromRows directly (dim-sliced slabs,
+    // per-slab schemas) to pin the non-format-surface entry point
+    val dir = tmp()
+    val root = dir.resolve("api").toString
+    val df = gridDf
+    val schemaAll = Fixtures.linearGrid.schema
+    def slabSchema(t0: Int, t1: Int) =
+      Fixtures.linearGridSlice(t0, t1).schema
+    ZarrGridStore.writeFromRows(df.filter(col("t") < 4),
+      slabSchema(0, 4), Map("t" -> 6, "lat" -> 5), root, "zlib:6")
+    ZarrGridStore.appendFromRows(
+      df.filter(col("t") >= 4 && col("t") < 9), slabSchema(4, 9), root, "t")
+    ZarrGridStore.appendFromRows(
+      df.filter(col("t") >= 9), slabSchema(9, 24), root, "t")
+    val oneShot = dir.resolve("oneshot").toString
+    ZarrGridStore.writeFromRows(df, schemaAll,
+      Map("t" -> 6, "lat" -> 5), oneShot, "zlib:6")
+    assertTreesEqual(oneShot, root)
+  }
+
+  test("append rejects layouts the staged encoding would corrupt") {
+    // a hand-authored big-endian tree passes the old keyPrefix/dimSep
+    // guard but must fail the layout guard loudly
+    val dir = tmp()
+    val root = dir.resolve("be").toString
+    java.nio.file.Files.createDirectories(Paths.get(root, "v"))
+    java.nio.file.Files.createDirectories(Paths.get(root, "t"))
+    def put(rel: String, s: String) =
+      Files.write(Paths.get(root, rel), s.getBytes("UTF-8"))
+    put(".zgroup", """{"zarr_format":2}""")
+    put("t/.zarray",
+      """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin)
+    put("t/.zattrs", """{"_ARRAY_DIMENSIONS":["t"]}""")
+    val tb = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 4).foreach(i => tb.putDouble(i.toDouble))
+    Files.write(Paths.get(root, "t", "0"), tb.array())
+    put("v/.zarray",
+      """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":">f8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin)
+    put("v/.zattrs", """{"_ARRAY_DIMENSIONS":["t"]}""")
+    val vb = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    vb.putDouble(1.0); vb.putDouble(2.0)
+    Files.write(Paths.get(root, "v", "0"), vb.array())
+    vb.clear(); vb.putDouble(3.0); vb.putDouble(4.0)
+    Files.write(Paths.get(root, "v", "1"), vb.array())
+
+    import spark.implicits._
+    val slab = Seq((4.0, 9.0), (5.0, 10.0)).toDF("t", "v")
+    val slabSchema = GridSchema(
+      Seq(DimDef("t", DoubleCoords(Array(4.0, 5.0)))),
+      Seq(VarDef("v", Seq("t"), GDouble)))
+    val err = intercept[IllegalArgumentException] {
+      ZarrGridStore.appendFromRows(slab, slabSchema, root, "t")
+    }
+    assert(err.getMessage.contains("little-endian"), err.getMessage)
+  }
+}
