@@ -735,6 +735,24 @@ object GridQueries {
         .select(col("station"), col("time"), col("reading"), col("quality"))
     }),
 
+    // the SAME string dataset under sharding_indexed: the string
+    // variable's vlen-utf8 inner chunks live inside SHARD files under
+    // the same (offset, nbytes) index as numeric shards — one stored
+    // object per shard at archive scale, inner-chunk ranged reads (with
+    // byte-adjacent entries coalesced into single GETs) on the way back
+    "pivot_grid_zarr_vlen_sharded" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_vlen_sh") + "/store"
+      val store = graft.grid.ZarrV3.write(Fixtures.stationQualityGrid,
+        root, Map("station" -> 4, "time" -> 5), "zstd:3",
+        shardInner = Map("station" -> 2))
+      new XarrayContext(s)
+        .scratchDataFrame(s"zarr_vlen_sh@$root", store, store.chunkMap,
+          Seq("station", "time"))
+        .filter(col("quality") =!= "bad" &&
+          col("time") >= lit("2020-01-04").cast("timestamp"))
+        .select(col("station"), col("time"), col("reading"), col("quality"))
+    }),
+
     // compaction end-to-end: a fragmented store (8 small t-chunks, the
     // shape appends leave behind) rechunks distributedly into 2 big
     // ones, and the REWRITTEN store serves the same filtered scan —
@@ -1057,6 +1075,17 @@ object GridQueries {
         |WHERE quality <> 'bad'
         |AND time >= TIMESTAMP '2020-01-04'""".stripMargin,
     "pivot_grid_zarr_vlen" ->
+      """WITH st AS (
+        |  SELECT 'st_' || CAST(i AS VARCHAR) AS station,
+        |         TIMESTAMP '2020-01-01' + INTERVAL (t) DAY AS time,
+        |         100.0 + 7.0*i + 0.25*t AS reading,
+        |         CASE (i + t) % 3 WHEN 0 THEN 'good' WHEN 1 THEN 'ok'
+        |              ELSE 'bad' END AS quality
+        |  FROM generate_series(0, 7) g1(i), generate_series(0, 9) g2(t))
+        |SELECT station, time, reading, quality FROM st
+        |WHERE quality <> 'bad'
+        |AND time >= TIMESTAMP '2020-01-04'""".stripMargin,
+    "pivot_grid_zarr_vlen_sharded" ->
       """WITH st AS (
         |  SELECT 'st_' || CAST(i AS VARCHAR) AS station,
         |         TIMESTAMP '2020-01-01' + INTERVAL (t) DAY AS time,

@@ -388,11 +388,13 @@ class ZarrV3Spec extends SparkTestBase {
       .values.sameElements(Array("alpha", "bē", "丙")))
     assert(rt.readVar("q", Seq((0, 3))).asInstanceOf[Array[String]]
       .sameElements(Array("good", "böse", "n/a")))
-    // sharded string arrays are rejected loudly
-    val e = intercept[IllegalArgumentException](
-      ZarrV3.write(store, tmp().resolve("sh").toString,
-        Map("station" -> 2), "zstd:3", shardInner = Map("station" -> 1)))
-    assert(e.getMessage.contains("string"), e.getMessage)
+    // sharded string arrays: vlen inner chunks under the shard index
+    // (the full matrix lives in ZarrShardedVlenSpec)
+    val sh = ZarrV3.write(store, tmp().resolve("sh").toString,
+      Map("station" -> 2), "zstd:3", shardInner = Map("station" -> 1))
+    assert(sh.arrays("q").sharding.exists(_.innerShape == Seq(1)))
+    assert(sh.readVar("q", Seq((0, 3))).asInstanceOf[Array[String]]
+      .sameElements(Array("good", "böse", "n/a")))
   }
 
   test("string variable serves through the registered scan") {
