@@ -300,6 +300,82 @@ object Fixtures {
       Map("temperature" -> TwoVarLaw(1.0), "precipitation" -> TwoVarLaw(0.5)))
   }
 
+  /** Hand-author a FOREIGN zarr v2 tree with a raw `<M8[ns]` datetime64
+    * time coordinate (what plain zarr-python emits for a numpy
+    * datetime64 array — no CF units attribute) and an f8 data variable:
+    * time[24] hourly from 2021-01-01, temp = 15 + 0.5*k, chunks t=6.
+    * Exercises the M8 decode (ns -> µs), TimeCoords surfacing and
+    * zone-map pruning on a tree this engine did not write.
+    */
+  def writeM8Tree(root: String): Unit = {
+    val conf = GridIO.driverConf()
+    GridIO.mkdirs(root, conf)
+    GridIO.writeString(s"$root/.zgroup", """{"zarr_format":2}""", conf)
+    GridIO.mkdirs(s"$root/time", conf)
+    GridIO.writeString(s"$root/time/.zarray",
+      """{"zarr_format":2,"shape":[24],"chunks":[24],"dtype":"<M8[ns]",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/time/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["time"]}""", conf)
+    val tb = java.nio.ByteBuffer.allocate(24 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val epoch2021ns = 1609459200L * 1000000000L
+    (0 until 24).foreach(k => tb.putLong(epoch2021ns + k * 3600L * 1000000000L))
+    GridIO.write(s"$root/time/0", tb.array(), conf)
+    GridIO.mkdirs(s"$root/temp", conf)
+    GridIO.writeString(s"$root/temp/.zarray",
+      """{"zarr_format":2,"shape":[24],"chunks":[6],"dtype":"<f8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/temp/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["time"]}""", conf)
+    (0 until 4).foreach { c =>
+      val vb = java.nio.ByteBuffer.allocate(6 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 6).foreach(j => vb.putDouble(15.0 + 0.5 * (c * 6 + j)))
+      GridIO.write(s"$root/temp/$c", vb.array(), conf)
+    }
+    ZarrGridStore.consolidate(root, conf)
+  }
+
+  /** Hand-author a foreign zarr v2 tree with a `<u8` (uint64) data
+    * variable: i[10] int64 coordinate, cnt = 2^40 + 3*i — values past
+    * Int but comfortably below Long.Max (the overflow guard is pinned
+    * separately in the spec with a high-bit value).
+    */
+  def writeU8Tree(root: String): Unit = {
+    val conf = GridIO.driverConf()
+    GridIO.mkdirs(root, conf)
+    GridIO.writeString(s"$root/.zgroup", """{"zarr_format":2}""", conf)
+    GridIO.mkdirs(s"$root/i", conf)
+    GridIO.writeString(s"$root/i/.zarray",
+      """{"zarr_format":2,"shape":[10],"chunks":[10],"dtype":"<i8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/i/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["i"]}""", conf)
+    val ib = java.nio.ByteBuffer.allocate(10 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 10).foreach(k => ib.putLong(k.toLong))
+    GridIO.write(s"$root/i/0", ib.array(), conf)
+    GridIO.mkdirs(s"$root/cnt", conf)
+    GridIO.writeString(s"$root/cnt/.zarray",
+      """{"zarr_format":2,"shape":[10],"chunks":[5],"dtype":"<u8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/cnt/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["i"]}""", conf)
+    (0 until 2).foreach { c =>
+      val vb = java.nio.ByteBuffer.allocate(5 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 5).foreach(j =>
+        vb.putLong((1L << 40) + 3L * (c * 5 + j)))
+      GridIO.write(s"$root/cnt/$c", vb.array(), conf)
+    }
+    ZarrGridStore.consolidate(root, conf)
+  }
+
   /** Mixed-dims fixture (FIXTURES.md §8): surface var over (time, lat) +
     * pressure var over (time, lat, level) — registers as two tables.
     */

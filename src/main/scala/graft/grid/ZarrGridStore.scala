@@ -92,6 +92,18 @@ final case class StoredInt(width: Int, signed: Boolean) extends StoredElem
   */
 case object StoredHalf extends StoredElem { val width = 2 }
 
+/** Raw numpy datetime64/timedelta64 storage (`<M8[ns]` etc., the
+  * layout plain zarr-python emits for numpy time arrays — reference
+  * xarray_sql/df.py:395, tests/test_cft.py:165-170): int64 offsets in
+  * the declared unit, converted to MICROSECONDS at decode (ns
+  * truncates toward zero — documented precision loss; s/ms widen
+  * exactly). NaT (Long.MinValue) is rejected loudly rather than
+  * surfaced as a bogus instant. µs = stored * num / den.
+  */
+final case class StoredTime64(num: Long, den: Long) extends StoredElem {
+  val width = 8
+}
+
 /** Fixed-width string element (`|S<n>` bytes or `<U<n>` UTF-32 code
   * points, NUL-padded — numpy's fixed-width layouts): decodes to
   * GString. Only legal on coordinate arrays (station-style dims); data
@@ -371,6 +383,21 @@ object ZarrGridStore {
           }
           DimDef(name,
             DurationCoords(offsets.map(_ * durationMicros(u))),
+            attrs = rest)
+        // raw numpy time dtypes (<M8[...]/<m8[...]): the decode already
+        // produced µs, so the axis surfaces exactly like a CF one; the
+        // writer's standard CF attrs are attached so a round trip
+        // re-emits a readable (int64 + units) encoding
+        case _ if a.dtype == GTimestamp =>
+          require(!scaledVar(a),
+            s"$name: scaled datetime64 coordinates unsupported")
+          DimDef(name, TimeCoords(raw.asInstanceOf[Array[Long]]),
+            calendar = Some("proleptic_gregorian"),
+            units = Some("microseconds since 1970-01-01"), attrs = rest)
+        case _ if a.dtype == GDuration =>
+          require(!scaledVar(a),
+            s"$name: scaled timedelta64 coordinates unsupported")
+          DimDef(name, DurationCoords(raw.asInstanceOf[Array[Long]]),
             attrs = rest)
         case _ if scaledVar(a) =>
           // CF mask_and_scale on a coordinate array: decode like
@@ -669,6 +696,19 @@ object ZarrGridStore {
           var i = 0
           while (i < n) { o(i) = ib.get(i) & 0xffffffffL; i += 1 }
           o
+        case (GLong, 8) => // u8: long-width, loud overflow past Long.Max
+          val lb = bb.asLongBuffer()
+          val o = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val v = lb.get(i)
+            if (v < 0) throw new ArithmeticException(
+              s"${a.name}: uint64 value ${java.lang.Long.toUnsignedString(v)} " +
+                "exceeds Long.MaxValue — not representable as a SQL BIGINT")
+            o(i) = v
+            i += 1
+          }
+          o
         case other => throw new IllegalArgumentException(
           s"${a.name}: bad packed layout $other")
       }
@@ -679,6 +719,21 @@ object ZarrGridStore {
       val o = new Array[Float](n)
       var i = 0
       while (i < n) { o(i) = halfToFloat(sb.get(i)); i += 1 }
+      o
+    case Some(StoredTime64(num, den)) =>
+      // raw datetime64/timedelta64 -> epoch/duration µs
+      val lb = ByteBuffer.wrap(bytes).order(
+        if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+        .asLongBuffer()
+      val o = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val v = lb.get(i)
+        if (v == Long.MinValue) throw new IllegalArgumentException(
+          s"${a.name}: NaT (not-a-time) values unsupported")
+        o(i) = v * num / den
+        i += 1
+      }
       o
     case Some(StoredVlenStr) => throw new IllegalStateException(
       "vlen strings decode via decodeVlen, not decodeStored")
@@ -1019,6 +1074,9 @@ object ZarrGridStore {
       case Some(StoredInt(1, _)) => one.put(intFill.toByte)
       case Some(StoredInt(2, _)) => one.putShort(intFill.toShort)
       case Some(StoredInt(4, _)) => one.putInt(intFill.toInt)
+      case Some(StoredInt(8, _)) => one.putLong(intFill)
+      // stored-unit fill; decodeStored converts it to µs like any cell
+      case Some(StoredTime64(_, _)) => one.putLong(intFill)
       case Some(StoredHalf) =>
         one.putShort(floatToHalf(a.fillValue.toFloat))
       case Some(s) => throw new IllegalArgumentException(
@@ -1375,12 +1433,34 @@ object ZarrGridStore {
   }
 
   private val strDtype = raw"([<>|])([SU])(\d+)".r
+  private val m8Dtype = raw"([<>])([Mm])8\[(ns|us|ms|s)\]".r
+
+  /** (num, den) such that µs = stored * num / den for one datetime64/
+    * timedelta64 storage unit.
+    */
+  private[grid] def m8Scale(unit: String): (Long, Long) = unit match {
+    case "ns" => (1L, 1000L)
+    case "us" => (1L, 1L)
+    case "ms" => (1000L, 1L)
+    case "s" => (1000000L, 1L)
+    case other => throw new IllegalArgumentException(
+      s"unsupported datetime64 unit '$other' (ns/us/ms/s)")
+  }
 
   private def parseDtype(s: String,
       name: String): (GridType, Boolean, Option[StoredElem]) = {
     // object dtype: zarr-python 2's variable-length strings (the
     // vlen-utf8 filter requirement is enforced by the caller)
     if (s == "|O") return (GString, false, Some(StoredVlenStr))
+    // raw numpy time dtypes: datetime64 (M8) -> timestamps,
+    // timedelta64 (m8) -> day-time intervals, both µs-backed
+    s match {
+      case m8Dtype(ord, kind, unit) =>
+        val (num, den) = m8Scale(unit)
+        return (if (kind == "M") GTimestamp else GDuration,
+          ord == ">", Some(StoredTime64(num, den)))
+      case _ => ()
+    }
     // fixed-width strings first: |S<n> bytes, <U<n>/>U<n> UTF-32
     s match {
       case strDtype(ord, kind, n) =>
@@ -1411,10 +1491,14 @@ object ZarrGridStore {
       case "i2" => (GInt, bigEndian, Some(StoredInt(2, signed = true)))
       case "u2" => (GInt, bigEndian, Some(StoredInt(2, signed = false)))
       case "u4" => (GLong, bigEndian, Some(StoredInt(4, signed = false)))
+      // u8 widens to LONG with a loud per-value overflow check: the
+      // high bit set means the archive holds counts past Long.Max,
+      // which no SQL integer column can carry faithfully
+      case "u8" => (GLong, bigEndian, Some(StoredInt(8, signed = false)))
       case "f2" => (GFloat, bigEndian, Some(StoredHalf))
       case _ => throw new IllegalArgumentException(
         s"$name: unsupported dtype '$s' " +
-          "(f2/f4/f8/i4/i8/i1/i2/u1/u2/u4 only)")
+          "(f2/f4/f8/i4/i8/i1/i2/u1/u2/u4/u8/M8/m8 only)")
     }
   }
 

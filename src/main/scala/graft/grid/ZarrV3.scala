@@ -106,23 +106,52 @@ object ZarrV3 {
       s"$name: bad shape/chunk_shape")
     require(chunkShape.forall(_ > 0) && shape.forall(_ >= 0),
       s"$name: non-positive chunk extent")
-    val (dtype, stored) = node.path("data_type").asText("") match {
-      case "float64" => (GDouble, None)
-      case "float32" => (GFloat, None)
-      case "int32" => (GInt, None)
-      case "int64" => (GLong, None)
-      case "int8" => (GInt, Some(StoredInt(1, signed = true)))
-      case "uint8" => (GInt, Some(StoredInt(1, signed = false)))
-      case "int16" => (GInt, Some(StoredInt(2, signed = true)))
-      case "uint16" => (GInt, Some(StoredInt(2, signed = false)))
-      case "uint32" => (GLong, Some(StoredInt(4, signed = false)))
-      case "float16" => (GFloat, Some(StoredHalf))
-      // zarr-python 3's default for string arrays (vlen-utf8 chunks)
-      case "string" => (GString, Some(StoredVlenStr))
-      case other => throw new IllegalArgumentException(
-        s"$name: unsupported data_type '$other' (float16/float32/float64/" +
-          "int32/int64/int8/int16/uint8/uint16/uint32/string only)")
+    val dtNode = node.path("data_type")
+    // zarr-python 3 writes numpy time dtypes as EXTENSION objects:
+    // {"name":"numpy.datetime64","configuration":{"unit":"ns",
+    //  "scale_factor":1}}; the bare "datetime64[ns]" string spelling is
+    // also accepted. Both decode to µs (GTimestamp/GDuration).
+    def timeStored(unit: String, sf: Int): StoredElem = {
+      require(sf == 1,
+        s"$name: datetime64 scale_factor $sf unsupported (1 only)")
+      val (num, den) = ZarrGridStore.m8Scale(unit)
+      StoredTime64(num, den)
     }
+    val m8Str = raw"(datetime64|timedelta64)\[(ns|us|ms|s)\]".r
+    val (dtype, stored): (GridType, Option[StoredElem]) =
+      if (dtNode.isObject) {
+        val cfg = dtNode.path("configuration")
+        val st = timeStored(cfg.path("unit").asText(""),
+          cfg.path("scale_factor").asInt(1))
+        dtNode.path("name").asText("") match {
+          case "numpy.datetime64" => (GTimestamp, Some(st))
+          case "numpy.timedelta64" => (GDuration, Some(st))
+          case other => throw new IllegalArgumentException(
+            s"$name: unsupported extension data_type '$other'")
+        }
+      } else dtNode.asText("") match {
+        case "float64" => (GDouble, None)
+        case "float32" => (GFloat, None)
+        case "int32" => (GInt, None)
+        case "int64" => (GLong, None)
+        case "int8" => (GInt, Some(StoredInt(1, signed = true)))
+        case "uint8" => (GInt, Some(StoredInt(1, signed = false)))
+        case "int16" => (GInt, Some(StoredInt(2, signed = true)))
+        case "uint16" => (GInt, Some(StoredInt(2, signed = false)))
+        case "uint32" => (GLong, Some(StoredInt(4, signed = false)))
+        // long-width with a loud per-value overflow check past Long.Max
+        case "uint64" => (GLong, Some(StoredInt(8, signed = false)))
+        case "float16" => (GFloat, Some(StoredHalf))
+        // zarr-python 3's default for string arrays (vlen-utf8 chunks)
+        case "string" => (GString, Some(StoredVlenStr))
+        case m8Str(kind, unit) =>
+          (if (kind == "datetime64") GTimestamp else GDuration,
+            Some(timeStored(unit, 1)))
+        case other => throw new IllegalArgumentException(
+          s"$name: unsupported data_type '$other' (float16/float32/" +
+            "float64/int32/int64/int8/int16/uint8/uint16/uint32/uint64/" +
+            "datetime64[..]/timedelta64[..]/string only)")
+      }
     val (keyPrefix, sep) = {
       val cke = node.path("chunk_key_encoding")
       val enc = if (cke.isMissingNode || cke.isNull) "default"

@@ -753,6 +753,35 @@ object GridQueries {
         .select(col("station"), col("time"), col("reading"), col("quality"))
     }),
 
+    // FOREIGN tree with a raw numpy `<M8[ns]` datetime64 time
+    // coordinate (plain zarr-python output, no CF units attribute):
+    // the ns offsets decode to µs timestamps, the axis surfaces as a
+    // real TIMESTAMP column, and a range filter prunes on the µs zone
+    // maps — reference df.py:395 handles the same dtype natively
+    "pivot_grid_m8time" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_m8time") + "/store"
+      Fixtures.writeM8Tree(root)
+      val store = graft.grid.ZarrGridStore.open(root)
+      new XarrayContext(s)
+        .scratchDataFrame(s"m8time@$root", store, store.chunkMap,
+          Seq("time"))
+        .filter(col("time") >= lit("2021-01-01 12:00:00").cast("timestamp"))
+        .select(col("time"), col("temp"))
+    }),
+
+    // foreign `<u8` (uint64) variable: widens to BIGINT with loud
+    // overflow past Long.Max (pinned in ZarrTimeDtypeSpec); values
+    // past 2^40 prove genuine 64-bit width survives the pivot
+    "pivot_grid_u8" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_u8") + "/store"
+      Fixtures.writeU8Tree(root)
+      val store = graft.grid.ZarrGridStore.open(root)
+      new XarrayContext(s)
+        .scratchDataFrame(s"u8@$root", store, store.chunkMap, Seq("i"))
+        .filter(col("i") >= 2)
+        .select(col("i"), col("cnt"))
+    }),
+
     // compaction end-to-end: a fragmented store (8 small t-chunks, the
     // shape appends leave behind) rechunks distributedly into 2 big
     // ones, and the REWRITTEN store serves the same filtered scan —
@@ -1096,6 +1125,17 @@ object GridQueries {
         |SELECT station, time, reading, quality FROM st
         |WHERE quality <> 'bad'
         |AND time >= TIMESTAMP '2020-01-04'""".stripMargin,
+    "pivot_grid_m8time" ->
+      """WITH g AS (
+        |  SELECT TIMESTAMP '2021-01-01' + INTERVAL (k) HOUR AS time,
+        |         15.0 + 0.5*k AS temp
+        |  FROM generate_series(0, 23) t(k))
+        |SELECT time, temp FROM g
+        |WHERE time >= TIMESTAMP '2021-01-01 12:00:00'""".stripMargin,
+    "pivot_grid_u8" ->
+      """SELECT CAST(k AS BIGINT) AS i,
+        |       CAST(1099511627776 + 3*k AS BIGINT) AS cnt
+        |FROM generate_series(0, 9) t(k) WHERE k >= 2""".stripMargin,
     "pivot_grid_zarr_format" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air

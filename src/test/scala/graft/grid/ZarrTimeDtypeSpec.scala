@@ -1,0 +1,154 @@
+package graft.grid
+
+import graft.SparkTestBase
+import graft.sources.ReadCounters
+import org.apache.spark.sql.functions._
+
+import java.nio.ByteBuffer
+import java.nio.ByteOrder
+import java.nio.file.{Files, Path}
+
+/** Raw numpy time dtypes (`<M8[ns]`, `<m8[us]`, `>M8[ms]`, v3
+  * extension objects) and `<u8`/uint64 — the storage layouts plain
+  * zarr-python emits for numpy arrays without CF encoding (reference
+  * xarray_sql/df.py:395, tests/test_cft.py:165-170).
+  */
+class ZarrTimeDtypeSpec extends SparkTestBase {
+
+  private def tmp(): Path = {
+    val p = Files.createTempDirectory("zarr_m8")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private val conf = GridIO.driverConf()
+
+  test("<M8[ns] time coordinate opens as µs timestamps and prunes") {
+    val root = tmp().resolve("m8").toString
+    Fixtures.writeM8Tree(root)
+    val store = ZarrGridStore.open(root)
+    val tc = store.schema.dim("time").coords.asInstanceOf[TimeCoords]
+    val epoch2021us = 1609459200L * 1000000L
+    assert(tc.values(0) == epoch2021us)
+    assert(tc.values(23) == epoch2021us + 23L * 3600000000L)
+    // the decoded data variable is intact
+    val temp = store.readVar("temp", Seq((0, 24))).asInstanceOf[Array[Double]]
+    assert(temp(13) == 15.0 + 0.5 * 13)
+    // registered scan: a BETWEEN over the M8 axis prunes to the chunks
+    // whose µs zone maps survive (hours 18.. = 1 of 4 t-chunks)
+    val df = new graft.XarrayContext(spark)
+      .scratchDataFrame(s"m8@$root", store, store.chunkMap, Seq("time"))
+    ReadCounters.reset()
+    val rows = df.filter(col("time") >=
+        lit("2021-01-01 18:00:00").cast("timestamp"))
+      .agg(sum("temp").as("s"), count(lit(1)).as("n")).collect()
+    assert(rows.head.getLong(1) == 6L)
+    assert(rows.head.getDouble(0) == (18 until 24).map(15.0 + 0.5 * _).sum)
+    assert(ReadCounters.partitionsOpened.sum() == 1L)
+  }
+
+  test(">M8[ms] big-endian and <m8[us] timedelta decode") {
+    val root = tmp().resolve("be").toString
+    GridIO.mkdirs(root, conf)
+    GridIO.writeString(s"$root/.zgroup", """{"zarr_format":2}""", conf)
+    def arr(name: String, dtype: String, n: Int, bytes: Array[Byte]): Unit = {
+      GridIO.mkdirs(s"$root/$name", conf)
+      GridIO.writeString(s"$root/$name/.zarray",
+        s"""{"zarr_format":2,"shape":[$n],"chunks":[$n],"dtype":"$dtype",
+           |"compressor":null,"fill_value":null,"order":"C",
+           |"filters":null}""".stripMargin, conf)
+      GridIO.writeString(s"$root/$name/.zattrs",
+        s"""{"_ARRAY_DIMENSIONS":["$name"]}""", conf)
+      GridIO.write(s"$root/$name/0", bytes, conf)
+    }
+    val ms = ByteBuffer.allocate(3 * 8).order(ByteOrder.BIG_ENDIAN)
+    Seq(0L, 1000L, 61000L).foreach(ms.putLong) // big-endian milliseconds
+    arr("t", ">M8[ms]", 3, ms.array())
+    val us = ByteBuffer.allocate(3 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0L, 250000L, 4000000L).foreach(us.putLong) // µs timedeltas
+    arr("d", "<m8[us]", 3, us.array())
+    val vb = ByteBuffer.allocate(3 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(1.0, 2.0, 3.0).foreach(vb.putDouble)
+    arr("v", "<f8", 3, vb.array())
+    // v spans its own dim; t and d are coordinate arrays of theirs —
+    // make v span t so the dataset has a data var over the M8 axis
+    GridIO.writeString(s"$root/v/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["t"]}""", conf)
+    ZarrGridStore.consolidate(root, conf)
+    val store = ZarrGridStore.open(root)
+    val tc = store.schema.dim("t").coords.asInstanceOf[TimeCoords]
+    assert(tc.values.sameElements(Array(0L, 1000000L, 61000000L)))
+    val dc = store.schema.dim("d").coords.asInstanceOf[DurationCoords]
+    assert(dc.values.sameElements(Array(0L, 250000L, 4000000L)))
+  }
+
+  test("NaT values fail loudly") {
+    val root = tmp().resolve("nat").toString
+    Fixtures.writeM8Tree(root)
+    // poison hour 3 with NaT (Long.MinValue) in the raw ns payload
+    val raw = Files.readAllBytes(java.nio.file.Paths.get(root, "time", "0"))
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(3 * 8, Long.MinValue)
+    Files.write(java.nio.file.Paths.get(root, "time", "0"), raw)
+    val e = intercept[IllegalArgumentException](ZarrGridStore.open(root))
+    assert(e.getMessage.contains("NaT"), e.getMessage)
+  }
+
+  test("<u8 widens to long; high-bit values overflow loudly") {
+    val root = tmp().resolve("u8").toString
+    Fixtures.writeU8Tree(root)
+    val store = ZarrGridStore.open(root)
+    assert(store.schema.vars.find(_.name == "cnt").get.dtype == GLong)
+    val cnt = store.readVar("cnt", Seq((0, 10))).asInstanceOf[Array[Long]]
+    assert(cnt(7) == (1L << 40) + 21L)
+    // a value past Long.Max must throw, not wrap
+    val raw = Files.readAllBytes(java.nio.file.Paths.get(root, "cnt", "1"))
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(0, -1L) // 2^64 - 1 unsigned
+    Files.write(java.nio.file.Paths.get(root, "cnt", "1"), raw)
+    val e = intercept[ArithmeticException](
+      store.readVar("cnt", Seq((5, 5))))
+    assert(e.getMessage.contains("uint64"), e.getMessage)
+  }
+
+  test("v3: uint64 and the numpy.datetime64 extension object") {
+    val root = tmp().resolve("v3m8").toString
+    GridIO.mkdirs(root, conf)
+    def arrJson(name: String, n: Int, chunk: Int, dt: String): String =
+      s"""{"zarr_format":3,"node_type":"array","shape":[$n],
+         |"chunk_grid":{"name":"regular","configuration":
+         |{"chunk_shape":[$chunk]}},
+         |"data_type":$dt,
+         |"chunk_key_encoding":{"name":"default",
+         |"configuration":{"separator":"/"}},
+         |"fill_value":0,
+         |"codecs":[{"name":"bytes",
+         |"configuration":{"endian":"little"}}],
+         |"attributes":{},"dimension_names":["t"]}""".stripMargin
+    GridIO.mkdirs(s"$root/t", conf)
+    GridIO.writeString(s"$root/t/zarr.json", arrJson("t", 6, 6,
+      """{"name":"numpy.datetime64",
+        |"configuration":{"unit":"s","scale_factor":1}}""".stripMargin),
+      conf)
+    val tb = ByteBuffer.allocate(6 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 6).foreach(k => tb.putLong(1609459200L + k * 60L))
+    GridIO.mkdirs(s"$root/t/c", conf)
+    GridIO.write(s"$root/t/c/0", tb.array(), conf)
+    GridIO.mkdirs(s"$root/big", conf)
+    GridIO.writeString(s"$root/big/zarr.json",
+      arrJson("big", 6, 3, "\"uint64\""), conf)
+    GridIO.mkdirs(s"$root/big/c", conf)
+    (0 until 2).foreach { c =>
+      val vb = ByteBuffer.allocate(3 * 8).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 3).foreach(j => vb.putLong((1L << 41) + c * 3 + j))
+      GridIO.write(s"$root/big/c/$c", vb.array(), conf)
+    }
+    GridIO.writeString(s"$root/zarr.json",
+      """{"zarr_format":3,"node_type":"group","attributes":{}}""", conf)
+    val store = ZarrGridStore.open(root)
+    val tc = store.schema.dim("t").coords.asInstanceOf[TimeCoords]
+    assert(tc.values(2) == (1609459200L + 120L) * 1000000L)
+    val big = store.readVar("big", Seq((0, 6))).asInstanceOf[Array[Long]]
+    assert(big(4) == (1L << 41) + 4L)
+  }
+}
