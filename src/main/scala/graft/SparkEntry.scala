@@ -32,15 +32,12 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.GridQueries.oracleSql
 
-  /** Pinned output schemas (Spark DDL) for queries WITHOUT an oracle:
-    * sketch-valued results (approx_stats) can't be value-gated against
-    * DuckDB — HLL++/GK internals are engine-specific — but their
-    * column names and types can and must be. Verify asserts these at
-    * dump time, so a schema drift fails the round loudly instead of
-    * slipping through the rows-only gate.
+  /** Pinned output schemas (Spark DDL) for queries WITHOUT an oracle.
+    * Empty since round 10: approx_stats — the one former rows-only
+    * entry — now ships a tolerance-banded oracle (each engine computes
+    * its own sketches AND exact anchors and emits band booleans, so
+    * the hash compare is engine-neutral) and is value-gated like every
+    * other query. The mechanism stays for future sketch queries.
     */
-  def pinnedSchemas: Map[String, String] = Map(
-    "approx_stats" ->
-      ("lang STRING,approx_distinct_texts BIGINT," +
-        "p50_chars DOUBLE,p95_chars DOUBLE"))
+  def pinnedSchemas: Map[String, String] = Map.empty
 }

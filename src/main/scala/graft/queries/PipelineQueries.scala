@@ -1021,18 +1021,40 @@ object PipelineQueries {
     // sketch-based corpus profiling: HLL++ distinct counts and GK
     // approximate percentiles — mergeable partial aggregates, the
     // profiling shape that stays one pass at 100 TB where exact
-    // distinct/percentile would shuffle the corpus. No DuckDB oracle
-    // (sketch internals differ by engine) -> rows-only gate.
-    "approx_stats" -> ((s, d) =>
-      Tables.documents(s, d)
-        .groupBy("lang")
-        .agg(
-          approx_count_distinct(col("text"), 0.01)
-            .as("approx_distinct_texts"),
-          percentile_approx(col("n_chars").cast("double"), lit(0.5),
-            lit(10000)).as("p50_chars"),
-          percentile_approx(col("n_chars").cast("double"), lit(0.95),
-            lit(10000)).as("p95_chars"))),
+    // distinct/percentile would shuffle the corpus. Sketch INTERNALS
+    // differ by engine, so the oracle is TOLERANCE-BANDED: each engine
+    // computes its own sketches AND its own exact anchors, and emits
+    // booleans (estimate within ±5% of exact NDV; approx percentile
+    // within ±5% RANK of its target — integer rank counting, so no
+    // float-edge flakiness) plus the exact anchors. Hash-comparing the
+    // booleans + anchors is a REAL cross-engine check: a broken sketch
+    // on either side flips a boolean. In-engine error-bound gates live
+    // in ApproxStatsSpec.
+    "approx_stats" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("lang", "text", "n_chars")
+      val sk = base.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("distinct_texts"),
+        approx_count_distinct(col("text"), 0.01).as("andv"),
+        percentile_approx(col("n_chars").cast("double"), lit(0.5),
+          lit(10000)).as("p50a"),
+        percentile_approx(col("n_chars").cast("double"), lit(0.95),
+          lit(10000)).as("p95a"))
+      val ranks = base
+        .join(broadcast(sk.select("lang", "p50a", "p95a")), "lang")
+        .groupBy("lang").agg(
+          sum(when(col("n_chars") <= col("p50a"), 1L).otherwise(0L))
+            .as("le50"),
+          sum(when(col("n_chars") <= col("p95a"), 1L).otherwise(0L))
+            .as("le95"))
+      sk.join(ranks, "lang").select(
+        col("lang"), col("n_docs"), col("distinct_texts"),
+        (abs(col("andv") - col("distinct_texts")) <=
+          greatest(col("distinct_texts") * 0.05, lit(2.0))).as("ndv_ok"),
+        (col("le50") * 100 >= col("n_docs") * 45 &&
+          col("le50") * 100 <= col("n_docs") * 55).as("p50_ok"),
+        (col("le95") * 100 >= col("n_docs") * 90).as("p95_ok"))
+    }),
 
     // weighted corpus mixture: per-source target fractions (25/50/75/
     // 100% by source index mod 4) enforced with deterministic md5-
@@ -1655,6 +1677,32 @@ object PipelineQueries {
         |    ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 3""".stripMargin,
+    // tolerance-banded: DuckDB computes ITS approx sketches + exact
+    // anchors and the same band booleans as the Spark side — the hash
+    // compares bands + anchors, not engine-specific sketch values
+    "approx_stats" ->
+      """WITH base AS (SELECT lang, text, n_chars FROM documents),
+        |sk AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts,
+        |         approx_count_distinct(text) AS andv,
+        |         approx_quantile(n_chars, 0.5) AS p50a,
+        |         approx_quantile(n_chars, 0.95) AS p95a
+        |  FROM base GROUP BY lang),
+        |ranks AS (
+        |  SELECT b.lang,
+        |         CAST(SUM(CASE WHEN b.n_chars <= s.p50a THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS le50,
+        |         CAST(SUM(CASE WHEN b.n_chars <= s.p95a THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS le95
+        |  FROM base b JOIN sk s USING (lang) GROUP BY b.lang)
+        |SELECT s.lang, s.n_docs, s.distinct_texts,
+        |  ABS(s.andv - s.distinct_texts) <=
+        |    GREATEST(s.distinct_texts * 0.05, 2) AS ndv_ok,
+        |  (r.le50 * 100 >= s.n_docs * 45 AND
+        |   r.le50 * 100 <= s.n_docs * 55) AS p50_ok,
+        |  (r.le95 * 100 >= s.n_docs * 90) AS p95_ok
+        |FROM sk s JOIN ranks r USING (lang)""".stripMargin,
     "dedup_incremental" ->
       """WITH f AS (
         |  SELECT doc_id, lang,

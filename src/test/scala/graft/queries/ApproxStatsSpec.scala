@@ -3,21 +3,44 @@ package graft.queries
 import graft.{SparkEntry, SparkTestBase}
 import org.apache.spark.sql.functions._
 
-/** approx_stats is the one query the driver gates rows-only (HLL++ and
-  * GK sketch internals are engine-specific, so no DuckDB hash oracle).
-  * This spec closes the trust gap IN-ENGINE: the sketch estimates must
-  * respect their configured error bounds against exact answers computed
-  * in the same session — HLL++ within its relative standard deviation,
-  * percentile_approx within its rank-error guarantee.
+/** approx_stats ships a TOLERANCE-BANDED oracle (each engine computes
+  * its own sketches + exact anchors and emits band booleans), so the
+  * driver hash-gates it like every other query. This spec keeps the
+  * sharper IN-ENGINE trust gates: the raw sketch estimates must respect
+  * their configured error bounds against exact answers in the same
+  * session — HLL++ within its relative standard deviation,
+  * percentile_approx within its rank-error guarantee — and the banded
+  * query itself must come back all-green.
   */
 class ApproxStatsSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.01"
 
+  private def sketches = graft.Tables.documents(spark, sf)
+    .groupBy("lang")
+    .agg(
+      approx_count_distinct(col("text"), 0.01).as("andv"),
+      percentile_approx(col("n_chars").cast("double"), lit(0.5),
+        lit(10000)).as("p50"),
+      percentile_approx(col("n_chars").cast("double"), lit(0.95),
+        lit(10000)).as("p95"))
+    .collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+
+  test("the banded query reports every sketch within tolerance") {
+    val rows = SparkEntry.queries("approx_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lang = r.getString(r.fieldIndex("lang"))
+      assert(r.getBoolean(r.fieldIndex("ndv_ok")), s"$lang ndv out of band")
+      assert(r.getBoolean(r.fieldIndex("p50_ok")), s"$lang p50 out of band")
+      assert(r.getBoolean(r.fieldIndex("p95_ok")), s"$lang p95 out of band")
+      assert(r.getLong(r.fieldIndex("n_docs")) > 0)
+    }
+  }
+
   test("HLL++ distinct estimates stay within the configured rsd") {
-    val got = SparkEntry.queries("approx_stats")(spark, sf)
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val got = sketches
     assert(got.nonEmpty)
     val exact = graft.Tables.documents(spark, sf)
       .groupBy("lang").agg(countDistinct(col("text")).as("nd"))
@@ -34,16 +57,14 @@ class ApproxStatsSpec extends SparkTestBase {
   }
 
   test("GK percentiles stay within the configured rank error") {
-    val got = SparkEntry.queries("approx_stats")(spark, sf)
-      .collect().map(r => r.getString(0) ->
-        (r.getDouble(2), r.getDouble(3))).toMap
+    val got = sketches
     val perLang = graft.Tables.documents(spark, sf)
       .select(col("lang"), col("n_chars").cast("double").as("c"))
       .collect().groupBy(_.getString(0))
       .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
     assert(got.keySet == perLang.keySet)
     for ((lang, sorted) <- perLang; (q, est) <- Seq(
-        (0.5, got(lang)._1), (0.95, got(lang)._2))) {
+        (0.5, got(lang)._2), (0.95, got(lang)._3))) {
       val n = sorted.length
       // percentile_approx(accuracy = 10000): rank error <= n/10000
       // (+1 index slack for the discrete rank convention)
