@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** sf1 scale smoke for the heavy-tail pipeline queries: builds a 10x
+  * `documents` table from sf0.1 (replica 0 is the original corpus
+  * verbatim; replicas 1..9 remap doc ids and suffix every word with the
+  * replica tag, so intra-replica duplicate/similarity structure is
+  * PRESERVED while cross-replica shingles stay disjoint — pure
+  * replication would make every doc a near-dup of its 9 siblings and
+  * manufacture a quadratic pair blowup that says nothing about the
+  * engine), then times each heavy query once at sf0.1 and once at sf1.
+  * A healthy plan keeps the sf1/sf0.1 wall-clock ratio near the 10x
+  * row ratio; superlinear blowups sf0.1 cannot see show up here.
+  * Output: one JSON line per query + a summary line (consumed into
+  * SCALE.md).
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      "/root/repo/tmp-scale/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = s"$sf1Dir/documents.parquet"
+    if (!new java.io.File(docs1).exists()) {
+      val d = spark.read.parquet(s"$base/documents.parquet")
+      val n = d.agg(max("doc_id")).collect().head.getLong(0) + 1
+      val replicas = (0 until 10).map { k =>
+        if (k == 0) d
+        else d.select(
+          (col("doc_id") + lit(k * n)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"_$k"))), " ").as("text"),
+          col("lang"), col("source"),
+          length(array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"_$k"))), " ")).as("n_chars"))
+      }
+      replicas.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(docs1)
+      System.err.println(s"[scale] built $docs1")
+    }
+
+    val heavy = Seq("ngram_dup_spans", "bm25_topk", "simhash_pairs",
+      "dedup_incremental_bloom", "token_encode")
+    // one warm pass at sf0.1 amortizes codegen/JIT out of the ratio
+    heavy.foreach(n => graft.SparkEntry.queries(n)(spark, base).count())
+    def time(name: String, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val c = graft.SparkEntry.queries(name)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, c)
+    }
+    val rowRatio = 10.0
+    val results = heavy.map { name =>
+      val (t01, c01) = time(name, base)
+      val (t1, c1) = time(name, sf1Dir)
+      val ratio = t1 / t01
+      println(s"""{"query":"$name","sf01_sec":$t01,"sf1_sec":$t1,""" +
+        s""""ratio":$ratio,"rows_sf01":$c01,"rows_sf1":$c1}""")
+      (name, t01, t1, ratio, c01, c1)
+    }
+    val worst = results.maxBy(_._4)
+    println(s"""{"summary":"sf1 smoke","row_ratio":$rowRatio,""" +
+      s""""worst_query":"${worst._1}","worst_ratio":${worst._4}}""")
+    spark.stop()
+  }
+}
