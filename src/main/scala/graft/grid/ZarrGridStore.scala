@@ -1741,15 +1741,17 @@ object ZarrGridStore {
         s"${v.name}: slab dims (${v.dims.mkString(",")}) must equal " +
           s"stored dims (${a.dims.mkString(",")})")
       // staged chunks are encoded plain little-endian, unfiltered,
-      // C-order, unpacked, unscaled — reject trees declaring anything
+      // C-order, unpacked, unscaled (string variables: the vlen-utf8
+      // |O layout this writer emits) — reject trees declaring anything
       // else so a mismatch fails loudly instead of corrupting
-      require(!a.bigEndian && a.filters.isEmpty && a.stored.isEmpty &&
-        a.transposeOrder.isEmpty && !scaledVar(a),
-        s"${v.name}: append supports plain little-endian C-order " +
-          "unpacked unscaled layouts only")
-      // fail before any staging work, not deep inside an executor task
-      require(v.dtype != GString,
-        s"${v.name}: appending string variables unsupported")
+      if (v.dtype == GString)
+        require(a.stored.contains(StoredVlenStr),
+          s"${v.name}: append supports vlen-utf8 string layouts only")
+      else
+        require(!a.bigEndian && a.filters.isEmpty && a.stored.isEmpty &&
+          a.transposeOrder.isEmpty && !scaledVar(a),
+          s"${v.name}: append supports plain little-endian C-order " +
+            "unpacked unscaled layouts only")
     }
 
     GridIO.sweepStaging(cleanRoot, conf)

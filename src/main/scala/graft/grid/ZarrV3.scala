@@ -510,13 +510,17 @@ object ZarrV3 {
       require(a.keyPrefix == "c" && a.dimSep == "/",
         s"${v.name}: append supports the default v3 chunk-key encoding " +
           s"only (keyPrefix='${a.keyPrefix}' sep='${a.dimSep}')")
-      require(!a.bigEndian && a.filters.isEmpty && a.stored.isEmpty &&
-        a.transposeOrder.isEmpty && !ZarrGridStore.scaledVar(a) &&
-        !a.sharding.exists(_.innerBigEndian),
-        s"${v.name}: append supports plain little-endian C-order " +
-          "unpacked unscaled layouts only")
-      require(v.dtype != GString,
-        s"${v.name}: appending string variables unsupported")
+      if (v.dtype == GString)
+        require(a.stored.contains(StoredVlenStr) && !a.bigEndian &&
+          a.filters.isEmpty && a.transposeOrder.isEmpty &&
+          !a.sharding.exists(_.innerBigEndian),
+          s"${v.name}: append supports vlen-utf8 string layouts only")
+      else
+        require(!a.bigEndian && a.filters.isEmpty && a.stored.isEmpty &&
+          a.transposeOrder.isEmpty && !ZarrGridStore.scaledVar(a) &&
+          !a.sharding.exists(_.innerBigEndian),
+          s"${v.name}: append supports plain little-endian C-order " +
+            "unpacked unscaled layouts only")
     }
 
     GridIO.sweepStaging(cleanRoot, conf)

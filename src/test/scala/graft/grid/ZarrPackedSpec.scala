@@ -473,8 +473,8 @@ class ZarrPackedSpec extends AnyFunSuite {
   test("unsupported dtypes still fail clearly") {
     val root = tmp()
     put(root, ".zgroup", """{"zarr_format":2}""")
-    v2Array(root, "z", "<u8", 2, 2, "0")
-    putBytes(root, "z/0", new Array[Byte](16))
+    v2Array(root, "z", "<c16", 2, 2, "0") // complex128: no SQL mapping
+    putBytes(root, "z/0", new Array[Byte](32))
     assert(intercept[IllegalArgumentException](
       ZarrGridStore.open(root.toString)).getMessage.contains("dtype"))
   }

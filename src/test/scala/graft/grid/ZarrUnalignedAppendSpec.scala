@@ -121,6 +121,51 @@ class ZarrUnalignedAppendSpec extends SparkTestBase {
     assertTreesEqual(oneShot, root)
   }
 
+  test("string variables append (v2 + sharded v3), unaligned, byte-equal") {
+    import spark.implicits._
+    def df(t0: Int, t1: Int) = (t0 until t1).map { t =>
+      (t, if (t % 3 == 0) "alpha" else if (t % 3 == 1) "beta" else "",
+        10.0 + t)
+    }.toDF("t", "label", "x")
+    def schema(t0: Int, t1: Int) = GridSchema(
+      Seq(DimDef("t", IntCoords((t0 until t1).toArray))),
+      Seq(VarDef("label", Seq("t"), GString),
+        VarDef("x", Seq("t"), GDouble)))
+    val expect = (0 until 12).map(t =>
+      if (t % 3 == 0) "alpha" else if (t % 3 == 1) "beta" else "").toArray
+
+    // v2: create 0..7 (7 % 5 != 0), append 7..12 — RMW of the vlen
+    // edge chunk, byte-identical to a one-shot write
+    val d2 = tmp()
+    val v2root = d2.resolve("grow").toString
+    ZarrGridStore.writeFromRows(df(0, 7), schema(0, 7), Map("t" -> 5),
+      v2root, "zstd:3")
+    val v2 = ZarrGridStore.appendFromRows(df(7, 12), schema(7, 12),
+      v2root, "t")
+    assert(v2.readVar("label", Seq((0, 12))).asInstanceOf[Array[String]]
+      .sameElements(expect))
+    ZarrGridStore.writeFromRows(df(0, 12), schema(0, 12), Map("t" -> 5),
+      d2.resolve("oneshot").toString, "zstd:3")
+    assertTreesEqual(d2.resolve("oneshot").toString, v2root)
+
+    // sharded v3: shard t=6 / inner t=2, create 0..7 (edge len 1 in
+    // shard 1), append 7..12 — the edge SHARD re-encodes merged vlen
+    // inner chunks
+    val d3 = tmp()
+    val v3root = d3.resolve("grow").toString
+    ZarrV3.writeFromRows(df(0, 7), schema(0, 7), Map("t" -> 6),
+      v3root, "zstd:3", shardInner = Map("t" -> 2))
+    val v3 = ZarrGridStore.appendFromRows(df(7, 12), schema(7, 12),
+      v3root, "t")
+    assert(v3.readVar("label", Seq((0, 12))).asInstanceOf[Array[String]]
+      .sameElements(expect))
+    assert(v3.arrays("label").sharding.isDefined)
+    ZarrV3.writeFromRows(df(0, 12), schema(0, 12), Map("t" -> 6),
+      d3.resolve("oneshot").toString, "zstd:3",
+      shardInner = Map("t" -> 2))
+    assertTreesEqual(d3.resolve("oneshot").toString, v3root)
+  }
+
   test("append rejects layouts the staged encoding would corrupt") {
     // a hand-authored big-endian tree passes the old keyPrefix/dimSep
     // guard but must fail the layout guard loudly

@@ -258,14 +258,15 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(pairJoinKeyed,
       s"within-cluster pair join not keyed on cluster id:\n$s")
   }
-  test("approx_stats: pinned output schema (no oracle, schema gated here)") {
-    // the sketch values are engine-specific (HLL++/GK), so the driver
-    // gate is rows-only — the schema contract lives in
-    // SparkEntry.pinnedSchemas and is asserted by Verify at dump time
-    // and here in unit tests
+  test("approx_stats: banded-oracle output schema stays pinned") {
+    // since round 10 the query emits band booleans + exact anchors
+    // (engine-neutral, so DuckDB hash-gates it); the schema contract
+    // is still pinned here so a drift fails the build before the
+    // driver round does
     val df = SparkEntry.queries("approx_stats")(spark, sf)
     val expected = org.apache.spark.sql.types.StructType.fromDDL(
-      SparkEntry.pinnedSchemas("approx_stats"))
+      "lang STRING,n_docs BIGINT,distinct_texts BIGINT," +
+        "ndv_ok BOOLEAN,p50_ok BOOLEAN,p95_ok BOOLEAN")
     val norm = (t: org.apache.spark.sql.types.StructType) =>
       org.apache.spark.sql.types.StructType(t.map(f => f.copy(
         metadata = org.apache.spark.sql.types.Metadata.empty,
