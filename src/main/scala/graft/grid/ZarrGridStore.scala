@@ -1143,6 +1143,13 @@ object ZarrGridStore {
         }
     }
 
+  /** Ranged reads of the same shard separated by a hole up to this
+    * many bytes merge into one GET (the hole is fetched and
+    * discarded): object stores price a request like ~dozens of KB of
+    * transfer, so below this size one merged read strictly wins.
+    */
+  private[grid] val CoalesceGapBytes: Long = 64L * 1024
+
   /** Every inner chunk a gather over `ranges` touches, decoded to the
     * logical element type, keyed by global inner-chunk index. This is
     * the 100x-scale read path — task I/O is inner-chunk-sized
@@ -1225,10 +1232,17 @@ object ZarrGridStore {
             }.sortBy(_._1)
             var i = 0
             while (i < wanted.length) {
-              // extend the run while entries are byte-adjacent in file
+              // extend the run while entries are byte-adjacent in file,
+              // or separated by a SMALL hole (skipped/absent inner
+              // chunks between wanted ones — a multi-dim request box
+              // selects file-non-contiguous inner chunks): fetching and
+              // discarding a few KB beats paying another round trip on
+              // an object store, where requests cost like bytes do
               var j = i
-              while (j + 1 < wanted.length &&
-                wanted(j)._1 + wanted(j)._2 == wanted(j + 1)._1) j += 1
+              while (j + 1 < wanted.length && {
+                val gap = wanted(j + 1)._1 - (wanted(j)._1 + wanted(j)._2)
+                gap >= 0 && gap <= CoalesceGapBytes
+              }) j += 1
               val runOff = wanted(i)._1
               val runLen = wanted(j)._1 + wanted(j)._2 - runOff
               require(runLen <= Int.MaxValue,

@@ -97,6 +97,27 @@ class ZarrShardedVlenSpec extends SparkTestBase {
     assert(store.arrays("tag").sharding.exists(_.innerShape == Seq(3)))
   }
 
+  test("file-non-contiguous inner chunks merge across small holes") {
+    val root = tmp().resolve("gap").toString
+    // shard (t=6, lat=12); inner (t=2, lat=6): 3x2 inner grid, C-order
+    // file layout k = tIdx*2 + latIdx. A box over lat 0..5 (inner lat
+    // chunk 0 only) and all t selects k = {0, 2, 4} — non-adjacent in
+    // the file, separated by the skipped k=1,3 byte ranges, each far
+    // below the 64 KiB gap cap -> ONE merged GET, holes discarded.
+    val store = ZarrV3.write(Fixtures.linearGrid, root,
+      Map("t" -> 6), "zstd:3", shardInner = Map("t" -> 2, "lat" -> 6))
+    store.readVar("air", Seq((0, 2), (0, 6), (0, 10))) // warm index cache
+    GridIO.Counters.reset()
+    val got = store.readVar("air", Seq((0, 6), (0, 6), (0, 10)))
+      .asInstanceOf[Array[Double]]
+    assert(got.sameElements(Fixtures.linearGrid
+      .readVar("air", Seq((0, 6), (0, 6), (0, 10)))
+      .asInstanceOf[Array[Double]]))
+    assert(GridIO.Counters.rangeReads.sum() == 1L,
+      s"expected 1 gap-merged range read, got " +
+        s"${GridIO.Counters.rangeReads.sum()}")
+  }
+
   test("adjacent inner chunks of one shard coalesce into ONE range GET") {
     val root = tmp().resolve("coalesce").toString
     // one shard spans full lat/lon; inner chunks split t (6 = 3 x 2)
