@@ -1768,6 +1768,11 @@ object ZarrGridStore {
             "unpacked unscaled layouts only")
     }
 
+    // optimistic concurrency key: the growing axis's coordinate
+    // metadata is rewritten by EVERY committed append, so its
+    // (length, mtime) is a cheap version stamp for the extent this
+    // append validated against
+    val versionKey = GridIO.statusOf(s"$cleanRoot/$along/.zarray", conf)
     GridIO.sweepStaging(cleanRoot, conf)
     val staging = cleanRoot + ".staging-" +
       java.util.UUID.randomUUID().toString.take(8)
@@ -1788,6 +1793,9 @@ object ZarrGridStore {
       GridWriter.writeVar(df, slabSchema, varChunks, sink, v,
         globalAlong = Some((along, exDim.size, globalSize)))
     }
+    appendTestHook(cleanRoot)
+    checkNoConcurrentAppend(cleanRoot, staging,
+      s"$cleanRoot/$along/.zarray", versionKey, conf)
     // staged chunks already carry store-global keys — pure renames
     // (renameOver: an unaligned append's merged edge chunk replaces
     // the store's old one)
@@ -1892,6 +1900,38 @@ object ZarrGridStore {
         overlayEdge(arr, readChunk(root, a, ci, conf), eff,
           a.chunkShape.toArray, axisPos, edgeLen)
       base.write(varName, ciDotted, arr, eff, conf)
+    }
+  }
+
+  /** Test seam: runs after an append finishes staging, before the
+    * conflict check + rename phase (lets a spec interleave a competing
+    * append deterministically). No-op in production.
+    */
+  private[grid] var appendTestHook: String => Unit = _ => ()
+
+  /** Best-effort guard on the SINGLE-WRITER append contract: the
+    * version stamp captured at open must still match right before the
+    * rename phase. A concurrent append that committed meanwhile
+    * rewrote the coordinate metadata, so this append's staged chunks
+    * were computed against a stale extent — renaming them would
+    * interleave two appends' chunks into one tree. Fail loudly
+    * instead: staging is deleted, the store stays untouched, the
+    * caller retries against the new extent. (mtime granularity makes
+    * this detection best-effort, not a serializability proof — the
+    * contract is still one ingest job per store.)
+    */
+  private[grid] def checkNoConcurrentAppend(cleanRoot: String,
+      staging: String, versionPath: String,
+      expected: Option[(Long, Long)],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val now = GridIO.statusOf(versionPath, conf)
+    if (now != expected) {
+      GridIO.delete(staging, conf)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent append detected on $cleanRoot ($versionPath " +
+          s"changed during staging: $expected -> $now); this append " +
+          "was aborted and the store is untouched — retry against the " +
+          "new extent")
     }
   }
 

@@ -523,6 +523,10 @@ object ZarrV3 {
             "unpacked unscaled layouts only")
     }
 
+    // optimistic concurrency key (see ZarrGridStore
+    // .checkNoConcurrentAppend): every committed append rewrites the
+    // growing axis's coordinate metadata
+    val versionKey = GridIO.statusOf(s"$cleanRoot/$along/zarr.json", conf)
     GridIO.sweepStaging(cleanRoot, conf)
     val staging = cleanRoot + ".staging-" +
       java.util.UUID.randomUUID().toString.take(8)
@@ -547,6 +551,9 @@ object ZarrV3 {
       GridWriter.writeVar(df, slabSchema, varChunks, sink, v,
         globalAlong = Some((along, exDim.size, globalSize)))
     }
+    ZarrGridStore.appendTestHook(cleanRoot)
+    ZarrGridStore.checkNoConcurrentAppend(cleanRoot, staging,
+      s"$cleanRoot/$along/zarr.json", versionKey, conf)
     // staged flat keys (already store-global) -> nested `c/` keys
     growing.foreach { v =>
       GridIO.listNames(s"$staging/${v.name}", conf).foreach { fn =>

@@ -166,6 +166,46 @@ class ZarrUnalignedAppendSpec extends SparkTestBase {
     assertTreesEqual(d3.resolve("oneshot").toString, v3root)
   }
 
+  test("a competing append committed during staging aborts loudly") {
+    import spark.implicits._
+    def df(t0: Int, t1: Int) =
+      (t0 until t1).map(t => (t, 10.0 + t)).toDF("t", "x")
+    def schema(t0: Int, t1: Int) = GridSchema(
+      Seq(DimDef("t", IntCoords((t0 until t1).toArray))),
+      Seq(VarDef("x", Seq("t"), GDouble)))
+    for (v3 <- Seq(false, true)) {
+      val root = tmp().resolve(if (v3) "ccv3" else "ccv2").toString
+      if (v3) ZarrV3.writeFromRows(df(0, 7), schema(0, 7),
+        Map("t" -> 5), root, "zstd:3")
+      else ZarrGridStore.writeFromRows(df(0, 7), schema(0, 7),
+        Map("t" -> 5), root, "zstd:3")
+      // the hook interleaves a COMPETING append (extent 7 -> 12) after
+      // this append finishes staging — exactly the race the version
+      // stamp must catch; the loser aborts, the store stays the
+      // winner's
+      ZarrGridStore.appendTestHook = { _ =>
+        ZarrGridStore.appendTestHook = _ => () // no reentrant interleave
+        ZarrGridStore.appendFromRows(df(7, 12), schema(7, 12), root, "t")
+        ()
+      }
+      try {
+        val e = intercept[java.util.ConcurrentModificationException] {
+          ZarrGridStore.appendFromRows(df(7, 14), schema(7, 14), root, "t")
+        }
+        assert(e.getMessage.contains("concurrent append"), e.getMessage)
+      } finally ZarrGridStore.appendTestHook = _ => ()
+      // the tree holds exactly the winner's commit, no interleaved mix
+      val store = ZarrGridStore.open(root)
+      assert(store.schema.dim("t").size == 12)
+      assert(store.readVar("x", Seq((0, 12))).asInstanceOf[Array[Double]]
+        .sameElements(Array.tabulate(12)(t => 10.0 + t)))
+      // and no staging residue survived the abort
+      val parent = java.nio.file.Paths.get(root).getParent
+      assert(!java.nio.file.Files.list(parent).iterator().asScala
+        .exists(_.getFileName.toString.contains(".staging-")))
+    }
+  }
+
   test("append rejects layouts the staged encoding would corrupt") {
     // a hand-authored big-endian tree passes the old keyPrefix/dimSep
     // guard but must fail the layout guard loudly
