@@ -165,7 +165,14 @@ object GridIO {
 
   /** Delete every `.staging-*` sibling of a store root (residue of
     * crashed appends; see GridWriter.append's single-writer contract —
-    * no live writer owns one when this runs). Returns deleted names.
+    * no live writer owns one when this runs). Before deleting, HEAL
+    * the replace phase a crashed append may have left half-done: the
+    * staging tree's `.replace-manifest` lists the store files it was
+    * about to replace through [[replaceWithBackup]]; any destination
+    * whose `.appendbak` survives is restored (crash hit between backup
+    * and replace — the store would otherwise silently serve fill for
+    * that chunk) or has its backup dropped (crash hit after the
+    * replace landed). Returns deleted staging names.
     */
   def sweepStaging(root: String, conf: Configuration): Seq[String] = {
     val cleanRoot = new Path(root.stripSuffix("/"))
@@ -174,7 +181,47 @@ object GridIO {
     else {
       val prefix = cleanRoot.getName + ".staging-"
       listNames(parent.toString, conf).filter(_.startsWith(prefix))
-        .map { n => delete(s"$parent/$n", conf); n }
+        .map { n =>
+          val manifest = s"$parent/$n/.replace-manifest"
+          if (exists(manifest, conf))
+            readLines(manifest, conf).filter(_.nonEmpty)
+              .foreach(healReplace(_, conf))
+          delete(s"$parent/$n", conf); n
+        }
+    }
+  }
+
+  /** Replace `dst` with `src` KEEPING a transient backup: an existing
+    * `dst` renames to `dst.appendbak`, `src` renames in, the backup
+    * deletes. A plain delete+rename would let a crash between the two
+    * steps silently LOSE the old chunk (an absent zarr chunk reads as
+    * fill, not as an error); with the backup, the loss window heals at
+    * the next append's [[sweepStaging]]. Callers record `dst` in their
+    * staging tree's `.replace-manifest` BEFORE the replace phase.
+    */
+  def replaceWithBackup(src: String, dst: String,
+      conf: Configuration): Unit = {
+    val d = new Path(dst)
+    val f = fs(d, conf)
+    val bak = new Path(dst + ".appendbak")
+    if (f.exists(d)) {
+      f.delete(bak, false) // residue of an even earlier crash
+      require(f.rename(d, bak), s"backup rename failed: $dst")
+    }
+    rename(src, dst, conf)
+    f.delete(bak, false)
+    ()
+  }
+
+  /** Idempotent single-file heal of a crashed [[replaceWithBackup]]. */
+  private def healReplace(dst: String, conf: Configuration): Unit = {
+    val d = new Path(dst)
+    val f = fs(d, conf)
+    val bak = new Path(dst + ".appendbak")
+    if (f.exists(bak)) {
+      if (f.exists(d)) f.delete(bak, false)
+      else require(f.rename(bak, d), s"recovery rename failed: $bak")
+      ()
     }
   }
 
@@ -184,16 +231,4 @@ object GridIO {
     require(fs(s, conf).rename(s, new Path(dst)), s"rename failed: $src -> $dst")
   }
 
-  /** Rename that REPLACES an existing destination file (Hadoop rename
-    * refuses that) — how an unaligned append commits its merged edge
-    * chunk over the store's old one. Delete+rename, not atomic as a
-    * pair: acceptable under the stores' single-writer append contract
-    * (no concurrent reader epoch guarantee is claimed during an
-    * append's rename phase).
-    */
-  def renameOver(src: String, dst: String, conf: Configuration): Unit = {
-    val d = new Path(dst)
-    fs(d, conf).delete(d, false)
-    rename(src, dst, conf)
-  }
 }

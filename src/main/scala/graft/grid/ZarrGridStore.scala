@@ -481,8 +481,21 @@ object ZarrGridStore {
       try Some(GridIO.readAllBytes(path, conf))
       catch { case _: java.io.FileNotFoundException => None }
     if (rawOpt.isEmpty) {
-      if (a.stored.contains(StoredVlenStr)) Array.fill(n)(a.stringFill)
-      else fillArray(a.dtype, a.fillValue, n)
+      if (a.dtype == GString) Array.fill(n)(a.stringFill)
+      else if (a.stored.isDefined) {
+        // packed/time storage: the declared fill is in STORED units —
+        // route it through the same pattern + decode as present chunks
+        // (a <M8[s] fill must convert to µs; a NaT or uint64-overflow
+        // fill must fail as loudly as a stored cell would)
+        val w = a.storedWidth
+        val pat = storedFillPattern(a, a.bigEndian)
+        val bytes = new Array[Byte](n * w)
+        var i = 0
+        while (i < bytes.length) {
+          System.arraycopy(pat, 0, bytes, i, w); i += w
+        }
+        decodeStored(bytes, a, a.bigEndian, n)
+      } else fillArray(a.dtype, a.fillValue, n)
     } else decodeChunkPayload(path, a, rawOpt.get)
   }
 
@@ -731,7 +744,9 @@ object ZarrGridStore {
         val v = lb.get(i)
         if (v == Long.MinValue) throw new IllegalArgumentException(
           s"${a.name}: NaT (not-a-time) values unsupported")
-        o(i) = v * num / den
+        // multiplyExact: an s/ms offset past the µs-representable
+        // range must fail loudly, not wrap into a plausible instant
+        o(i) = Math.multiplyExact(v, num) / den
         i += 1
       }
       o
@@ -1708,8 +1723,13 @@ object ZarrGridStore {
     * encodings inside one array corrupts it). Appended edge chunks pad
     * with NaN/0 like every other write. SINGLE WRITER per store (same
     * contract as the binary-store append): staging is uniquely
-    * suffixed, so a crashed append leaves only an inert `.staging-*`
-    * tree.
+    * suffixed, so a crashed append leaves an inert `.staging-*` tree —
+    * plus, if the crash hit the commit phase of an UNALIGNED append,
+    * at most a half-replaced edge chunk protected by a `.appendbak`
+    * backup, which the next append's staging sweep restores (a reader
+    * in between may see that one chunk as fill; nothing is lost). A
+    * competing append that commits during staging is detected via a
+    * metadata version stamp and aborts this append loudly.
     */
   def appendFromRows(df: org.apache.spark.sql.DataFrame,
       slabSchema: GridSchema, root: String,
@@ -1759,8 +1779,10 @@ object ZarrGridStore {
       // |O layout this writer emits) — reject trees declaring anything
       // else so a mismatch fails loudly instead of corrupting
       if (v.dtype == GString)
-        require(a.stored.contains(StoredVlenStr),
-          s"${v.name}: append supports vlen-utf8 string layouts only")
+        require(a.stored.contains(StoredVlenStr) &&
+          a.transposeOrder.isEmpty,
+          s"${v.name}: append supports C-order vlen-utf8 string " +
+            "layouts only")
       else
         require(!a.bigEndian && a.filters.isEmpty && a.stored.isEmpty &&
           a.transposeOrder.isEmpty && !scaledVar(a),
@@ -1777,6 +1799,15 @@ object ZarrGridStore {
     val staging = cleanRoot + ".staging-" +
       java.util.UUID.randomUUID().toString.take(8)
     val globalSize = exDim.size + slabDim.size
+    // vars whose partial edge chunk the commit will REPLACE (unaligned
+    // old extent): (axisPos, edge chunk index on the axis)
+    val edgeInfo: Map[String, (Int, Int)] = growing.flatMap { v =>
+      val a = existing.arrays(v.name)
+      val axisPos = v.dims.indexOf(along)
+      val alongChunk = a.chunkShape(axisPos)
+      if (exDim.size % alongChunk == 0) None
+      else Some(v.name -> (axisPos, exDim.size / alongChunk))
+    }.toMap
     growing.foreach { v =>
       GridIO.mkdirs(s"$staging/${v.name}", conf)
       val a = existing.arrays(v.name)
@@ -1796,13 +1827,28 @@ object ZarrGridStore {
     appendTestHook(cleanRoot)
     checkNoConcurrentAppend(cleanRoot, staging,
       s"$cleanRoot/$along/.zarray", versionKey, conf)
-    // staged chunks already carry store-global keys — pure renames
-    // (renameOver: an unaligned append's merged edge chunk replaces
-    // the store's old one)
+    // staged chunks already carry store-global keys — pure renames.
+    // Merged edge chunks REPLACE a live store file: record their
+    // destinations in the staging manifest first, then go through
+    // replaceWithBackup, so a crash mid-commit is healed (not silently
+    // served as fill) by the next append's sweepStaging.
+    def isEdge(v: VarDef, fn: String): Boolean =
+      edgeInfo.get(v.name).exists { case (axisPos, edgeChunk) =>
+        fn.split('.')(axisPos).toInt == edgeChunk
+      }
+    val edgeDsts = growing.flatMap { v =>
+      GridIO.listNames(s"$staging/${v.name}", conf)
+        .filter(isEdge(v, _)).map(fn => s"$cleanRoot/${v.name}/$fn")
+    }
+    if (edgeDsts.nonEmpty)
+      GridIO.writeString(s"$staging/.replace-manifest",
+        edgeDsts.mkString("\n"), conf)
     growing.foreach { v =>
       GridIO.listNames(s"$staging/${v.name}", conf).foreach { fn =>
-        GridIO.renameOver(s"$staging/${v.name}/$fn",
-          s"$cleanRoot/${v.name}/$fn", conf)
+        val src = s"$staging/${v.name}/$fn"
+        val dst = s"$cleanRoot/${v.name}/$fn"
+        if (isEdge(v, fn)) GridIO.replaceWithBackup(src, dst, conf)
+        else GridIO.rename(src, dst, conf)
       }
     }
     GridIO.delete(staging, conf)

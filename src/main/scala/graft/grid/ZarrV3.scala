@@ -521,6 +521,14 @@ object ZarrV3 {
           !a.sharding.exists(_.innerBigEndian),
           s"${v.name}: append supports plain little-endian C-order " +
             "unpacked unscaled layouts only")
+      // staged shards are framed by encodeShard/encodeShardVlen: index
+      // at the END, crc32c'd — a tree declaring index_location:'start'
+      // or an uncrc'd index would mis-parse every appended shard
+      a.sharding.foreach { sh =>
+        require(sh.indexAtEnd && sh.indexCrc32c,
+          s"${v.name}: append supports the default shard index layout " +
+            "only (index at end, crc32c)")
+      }
     }
 
     // optimistic concurrency key (see ZarrGridStore
@@ -554,15 +562,34 @@ object ZarrV3 {
     ZarrGridStore.appendTestHook(cleanRoot)
     ZarrGridStore.checkNoConcurrentAppend(cleanRoot, staging,
       s"$cleanRoot/$along/zarr.json", versionKey, conf)
-    // staged flat keys (already store-global) -> nested `c/` keys
+    // staged flat keys (already store-global) -> nested `c/` keys.
+    // Merged edge SHARDS replace a live store file: manifest +
+    // replaceWithBackup, same crash-heal contract as the v2 path.
+    def dstOf(v: VarDef, fn: String): String = {
+      val parts = fn.split('.')
+      (s"$cleanRoot/${v.name}/c" +: parts.toSeq).mkString("/")
+    }
+    def isEdge(v: VarDef, fn: String): Boolean = {
+      val a = existing.arrays(v.name)
+      val axisPos = v.dims.indexOf(along)
+      val alongChunk = a.chunkShape(axisPos)
+      exDim.size % alongChunk != 0 &&
+        fn.split('.')(axisPos).toInt == exDim.size / alongChunk
+    }
+    val edgeDsts = growing.flatMap { v =>
+      GridIO.listNames(s"$staging/${v.name}", conf)
+        .filter(isEdge(v, _)).map(dstOf(v, _))
+    }
+    if (edgeDsts.nonEmpty)
+      GridIO.writeString(s"$staging/.replace-manifest",
+        edgeDsts.mkString("\n"), conf)
     growing.foreach { v =>
       GridIO.listNames(s"$staging/${v.name}", conf).foreach { fn =>
-        val parts = fn.split('.')
-        val destDir = (s"$cleanRoot/${v.name}/c" +: parts.init.toSeq)
-          .mkString("/")
-        GridIO.mkdirs(destDir, conf)
-        GridIO.renameOver(s"$staging/${v.name}/$fn",
-          s"$destDir/${parts.last}", conf)
+        val dst = dstOf(v, fn)
+        GridIO.mkdirs(dst.substring(0, dst.lastIndexOf('/')), conf)
+        val src = s"$staging/${v.name}/$fn"
+        if (isEdge(v, fn)) GridIO.replaceWithBackup(src, dst, conf)
+        else GridIO.rename(src, dst, conf)
       }
     }
     GridIO.delete(staging, conf)

@@ -1047,13 +1047,21 @@ object PipelineQueries {
             .as("le50"),
           sum(when(col("n_chars") <= col("p95a"), 1L).otherwise(0L))
             .as("le95"))
+      // percentile bands are ±10% RANK (not the sketches' ~0.01%
+      // guarantee): the slack absorbs the worst-case inter-engine
+      // value gap across a tie plateau — Spark's GK returns an
+      // observed value, DuckDB's t-digest may interpolate, and if >5%
+      // of a group's mass sits exactly at the band edge the two
+      // engines' counted fractions could otherwise land on opposite
+      // sides and flip the boolean on one side only. A genuinely
+      // broken sketch is off by far more than 10% rank.
       sk.join(ranks, "lang").select(
         col("lang"), col("n_docs"), col("distinct_texts"),
         (abs(col("andv") - col("distinct_texts")) <=
           greatest(col("distinct_texts") * 0.05, lit(2.0))).as("ndv_ok"),
-        (col("le50") * 100 >= col("n_docs") * 45 &&
-          col("le50") * 100 <= col("n_docs") * 55).as("p50_ok"),
-        (col("le95") * 100 >= col("n_docs") * 90).as("p95_ok"))
+        (col("le50") * 100 >= col("n_docs") * 40 &&
+          col("le50") * 100 <= col("n_docs") * 60).as("p50_ok"),
+        (col("le95") * 100 >= col("n_docs") * 88).as("p95_ok"))
     }),
 
     // weighted corpus mixture: per-source target fractions (25/50/75/
@@ -1699,9 +1707,9 @@ object PipelineQueries {
         |SELECT s.lang, s.n_docs, s.distinct_texts,
         |  ABS(s.andv - s.distinct_texts) <=
         |    GREATEST(s.distinct_texts * 0.05, 2) AS ndv_ok,
-        |  (r.le50 * 100 >= s.n_docs * 45 AND
-        |   r.le50 * 100 <= s.n_docs * 55) AS p50_ok,
-        |  (r.le95 * 100 >= s.n_docs * 90) AS p95_ok
+        |  (r.le50 * 100 >= s.n_docs * 40 AND
+        |   r.le50 * 100 <= s.n_docs * 60) AS p50_ok,
+        |  (r.le95 * 100 >= s.n_docs * 88) AS p95_ok
         |FROM sk s JOIN ranks r USING (lang)""".stripMargin,
     "dedup_incremental" ->
       """WITH f AS (

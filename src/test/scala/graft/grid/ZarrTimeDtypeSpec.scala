@@ -111,6 +111,47 @@ class ZarrTimeDtypeSpec extends SparkTestBase {
     assert(e.getMessage.contains("uint64"), e.getMessage)
   }
 
+  test("absent-chunk fill converts stored units; overflow fails loudly") {
+    val root = tmp().resolve("m8fill").toString
+    GridIO.mkdirs(root, conf)
+    GridIO.writeString(s"$root/.zgroup", """{"zarr_format":2}""", conf)
+    GridIO.mkdirs(s"$root/t", conf)
+    GridIO.writeString(s"$root/t/.zarray",
+      """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<i8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/t/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["t"]}""", conf)
+    val tb = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 4).foreach(k => tb.putLong(k.toLong))
+    GridIO.write(s"$root/t/0", tb.array(), conf)
+    // <M8[s] data var, fill_value in STORED units (seconds), chunk 1
+    // ABSENT: the fill must decode through the same s->µs conversion
+    // as stored cells, not surface raw seconds as microseconds
+    GridIO.mkdirs(s"$root/when", conf)
+    GridIO.writeString(s"$root/when/.zarray",
+      """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<M8[s]",
+        |"compressor":null,"fill_value":1609459200,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/when/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["t"]}""", conf)
+    val wb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    wb.putLong(1609459200L); wb.putLong(1609459260L)
+    GridIO.write(s"$root/when/0", wb.array(), conf)
+    ZarrGridStore.consolidate(root, conf)
+    val store = ZarrGridStore.open(root)
+    val got = store.readVar("when", Seq((0, 4))).asInstanceOf[Array[Long]]
+    assert(got(0) == 1609459200L * 1000000L)
+    assert(got(2) == 1609459200L * 1000000L, // absent chunk: fill, in µs
+      s"absent-chunk fill not unit-converted: ${got(2)}")
+    // a stored s-offset whose µs value exceeds Long.Max must throw,
+    // not wrap into a plausible instant
+    val ob = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    ob.putLong(1L << 62); ob.putLong(0L)
+    GridIO.write(s"$root/when/1", ob.array(), conf)
+    intercept[ArithmeticException](store.readVar("when", Seq((2, 2))))
+  }
+
   test("v3: uint64 and the numpy.datetime64 extension object") {
     val root = tmp().resolve("v3m8").toString
     GridIO.mkdirs(root, conf)

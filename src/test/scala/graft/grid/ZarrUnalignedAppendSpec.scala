@@ -206,6 +206,80 @@ class ZarrUnalignedAppendSpec extends SparkTestBase {
     }
   }
 
+  test("a crashed edge-chunk replace heals from its backup") {
+    import spark.implicits._
+    val dir = tmp()
+    val root = dir.resolve("heal").toString
+    val df = (0 until 7).map(t => (t, 10.0 + t)).toDF("t", "x")
+    val schema = GridSchema(
+      Seq(DimDef("t", IntCoords((0 until 7).toArray))),
+      Seq(VarDef("x", Seq("t"), GDouble)))
+    ZarrGridStore.writeFromRows(df, schema, Map("t" -> 5), root, "zstd:3")
+    val conf = GridIO.driverConf()
+    // simulate a crash between backup and replace: the edge chunk "1"
+    // sits only in its .appendbak, and the staging tree's manifest
+    // records the half-done destination
+    GridIO.rename(s"$root/x/1", s"$root/x/1.appendbak", conf)
+    val staging = root + ".staging-crashed1"
+    GridIO.mkdirs(staging, conf)
+    GridIO.writeString(s"$staging/.replace-manifest", s"$root/x/1", conf)
+    // without healing the chunk would silently read as ALL-FILL
+    assert(ZarrGridStore.open(root)
+      .readVar("x", Seq((5, 2))).asInstanceOf[Array[Double]]
+      .forall(_.isNaN))
+    // the next append's staging sweep restores it
+    GridIO.sweepStaging(root, conf)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(staging)))
+    assert(ZarrGridStore.open(root)
+      .readVar("x", Seq((5, 2))).asInstanceOf[Array[Double]]
+      .sameElements(Array(15.0, 16.0)))
+    // crash AFTER the replace landed: stale backup is dropped, the
+    // live chunk is untouched
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/x/1.appendbak"),
+      Array[Byte](1, 2, 3))
+    val staging2 = root + ".staging-crashed2"
+    GridIO.mkdirs(staging2, conf)
+    GridIO.writeString(s"$staging2/.replace-manifest", s"$root/x/1", conf)
+    GridIO.sweepStaging(root, conf)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/x/1.appendbak")))
+    assert(ZarrGridStore.open(root)
+      .readVar("x", Seq((5, 2))).asInstanceOf[Array[Double]]
+      .sameElements(Array(15.0, 16.0)))
+  }
+
+  test("v3 append rejects a non-default shard index layout") {
+    import spark.implicits._
+    val dir = tmp()
+    val root = dir.resolve("idx").toString
+    val df = (0 until 6).map(t => (t, 10.0 + t)).toDF("t", "x")
+    val schema = GridSchema(
+      Seq(DimDef("t", IntCoords((0 until 6).toArray))),
+      Seq(VarDef("x", Seq("t"), GDouble)))
+    ZarrV3.writeFromRows(df, schema, Map("t" -> 6), root, "zstd:3",
+      shardInner = Map("t" -> 2))
+    // claim index_location "start" in the metadata (array + root):
+    // staged shards are always framed with an END index, so the append
+    // must refuse rather than mix layouts inside one array
+    Seq(s"$root/x/zarr.json", s"$root/zarr.json").foreach { p =>
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        s.replace("\"index_location\":\"end\"",
+          "\"index_location\":\"start\"").getBytes("UTF-8"))
+    }
+    val slab = (6 until 9).map(t => (t, 10.0 + t)).toDF("t", "x")
+    val slabSchema = GridSchema(
+      Seq(DimDef("t", IntCoords((6 until 9).toArray))),
+      Seq(VarDef("x", Seq("t"), GDouble)))
+    val e = intercept[IllegalArgumentException] {
+      ZarrGridStore.appendFromRows(slab, slabSchema, root, "t")
+    }
+    assert(e.getMessage.contains("shard index layout"), e.getMessage)
+  }
+
   test("append rejects layouts the staged encoding would corrupt") {
     // a hand-authored big-endian tree passes the old keyPrefix/dimSep
     // guard but must fail the layout guard loudly
