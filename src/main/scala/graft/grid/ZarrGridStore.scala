@@ -240,13 +240,21 @@ object ZarrGridStore {
       require(meta.isObject, s"$consolidatedPath: no metadata object")
       require(meta.path(".zgroup").path("zarr_format").asInt(0) == 2,
         s"unsupported zarr_format in consolidated .zgroup")
-      val arrayNames = meta.properties().asScala.map(_.getKey)
+      val allArrays = meta.properties().asScala.map(_.getKey)
         .filter(_.endsWith("/.zarray")).map(_.stripSuffix("/.zarray"))
         .toSeq.sorted
-      require(arrayNames.nonEmpty, s"no arrays in $consolidatedPath")
-      arrayNames.find(_.contains("/")).foreach { n =>
+      // hierarchical trees: nested keys belong to SUBGROUPS (each a
+      // full zarr root of its own — open it by path or via the
+      // provider's `group` option); the root dataset is the root-level
+      // arrays, exactly xarray's open_zarr(root) reading
+      val (nested, arrayNames) = allArrays.partition(_.contains("/"))
+      if (arrayNames.isEmpty) {
+        val groups = nested.map(_.takeWhile(_ != '/')).distinct.sorted
         throw new IllegalArgumentException(
-          s"nested groups unsupported (array '$n')")
+          s"no arrays at the root of $cleanRoot" + (if (groups.nonEmpty)
+            s"; tree has subgroups (${groups.mkString(", ")}) — open " +
+              "one via .option(\"group\", <name>) or the subgroup path"
+          else ""))
       }
       val metas = arrayNames.map { n =>
         n -> parseArrayNode(n, meta.get(s"$n/.zarray"),

@@ -65,13 +65,23 @@ object ZarrV3 {
     val consolidated = rootMeta.path("consolidated_metadata").path("metadata")
     val metas: Map[String, ZarrArrayMeta] =
       if (consolidated.isObject) {
-        consolidated.properties().asScala.toSeq
+        val arrayEntries = consolidated.properties().asScala.toSeq
           .filter(_.getValue.path("node_type").asText("") == "array")
-          .map { e =>
-            require(!e.getKey.contains("/"),
-              s"nested groups unsupported (array '${e.getKey}')")
-            e.getKey -> parseArrayNode(e.getKey, e.getValue)
-          }.toMap
+        // nested keys belong to SUBGROUPS (each openable as its own
+        // root, by path or the provider's `group` option); the root
+        // dataset is the root-level arrays — xarray's open_zarr(root)
+        val (nested, rootLevel) = arrayEntries.partition(
+          _.getKey.contains("/"))
+        if (rootLevel.isEmpty && nested.nonEmpty) {
+          val groups = nested.map(_.getKey.takeWhile(_ != '/'))
+            .distinct.sorted
+          throw new IllegalArgumentException(
+            s"no arrays at the root of $cleanRoot; tree has subgroups " +
+              s"(${groups.mkString(", ")}) — open one via " +
+              ".option(\"group\", <name>) or the subgroup path")
+        }
+        rootLevel.map(e =>
+          e.getKey -> parseArrayNode(e.getKey, e.getValue)).toMap
       } else {
         GridIO.listNames(cleanRoot, conf).filterNot(_.startsWith("."))
           .filter(n => GridIO.exists(s"$cleanRoot/$n/zarr.json", conf))

@@ -753,6 +753,26 @@ object GridQueries {
         .select(col("station"), col("time"), col("reading"), col("quality"))
     }),
 
+    // HIERARCHICAL tree: two datasets live as subgroups of one root
+    // (each subgroup a full zarr root of its own); the read surface's
+    // `group` option — xarray's open_zarr(group=...) — selects one,
+    // and the scan over it prunes/projects exactly like a flat tree
+    "pivot_grid_group" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_group") + "/tree"
+      val gdf = new XarrayContext(s).dataFrame("grp_grid",
+        Fixtures.linearGrid, Map("t" -> 6), Seq("t", "lat", "lon"))
+      gdf.write.format("zarr").option("dims", "t,lat,lon")
+        .option("chunks", "t=6,lat=5").mode("overwrite")
+        .save(s"$root/cube")
+      gdf.filter(col("t") < 2).write.format("zarr")
+        .option("dims", "t,lat,lon").mode("overwrite")
+        .save(s"$root/head")
+      s.read.format("zarr").option("group", "cube").load(root)
+        .filter(col("t") >= 12)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
+
     // FOREIGN tree with a raw numpy `<M8[ns]` datetime64 time
     // coordinate (plain zarr-python output, no CF units attribute):
     // the ns offsets decode to µs timestamps, the axis surfaces as a
@@ -1125,6 +1145,10 @@ object GridQueries {
         |SELECT station, time, reading, quality FROM st
         |WHERE quality <> 'bad'
         |AND time >= TIMESTAMP '2020-01-04'""".stripMargin,
+    "pivot_grid_group" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE t >= 12""".stripMargin,
     "pivot_grid_m8time" ->
       """WITH g AS (
         |  SELECT TIMESTAMP '2021-01-01' + INTERVAL (k) HOUR AS time,

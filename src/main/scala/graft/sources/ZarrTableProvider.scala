@@ -282,7 +282,14 @@ object ZarrTableProvider {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "zarr: no path given (use spark.read.format(\"zarr\").load(<root>))"))
-    val root = path.stripSuffix("/")
+    // `group` selects a subgroup of a hierarchical tree (xarray's
+    // open_zarr(group=...) spelling): zarr nests groups as plain
+    // subdirectories with their own node metadata, so the subgroup IS
+    // a root — resolve the joined path
+    val root = Option(options.get("group"))
+      .map(_.split("/").map(_.trim).filter(_.nonEmpty).mkString("/"))
+      .filter(_.nonEmpty)
+      .fold(path.stripSuffix("/"))(g => s"${path.stripSuffix("/")}/$g")
     val (len, mtime) = versionOf(root)
     val key = (root, len, mtime)
     // drop superseded versions of the same root before (re-)opening

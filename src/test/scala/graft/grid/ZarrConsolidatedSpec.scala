@@ -154,11 +154,13 @@ class ZarrConsolidatedSpec extends AnyFunSuite {
     Files.writeString(zm, """{"zarr_consolidated_format":9,"metadata":{}}""")
     assert(intercept[IllegalArgumentException](ZarrGridStore.open(root))
       .getMessage.contains("zarr_consolidated_format"))
+    // only nested (subgroup) arrays at the root: the error names the
+    // subgroups and points at the group-opening surface
     Files.writeString(zm,
       """{"zarr_consolidated_format":1,
         |"metadata":{".zgroup":{"zarr_format":2},
         |"g/sub/.zarray":{"zarr_format":2}}}""".stripMargin)
-    assert(intercept[IllegalArgumentException](ZarrGridStore.open(root))
-      .getMessage.contains("nested"))
+    val e = intercept[IllegalArgumentException](ZarrGridStore.open(root))
+    assert(e.getMessage.contains("subgroups (g)"), e.getMessage)
   }
 }
