@@ -9,6 +9,49 @@ package graft.grid
   * exact-size edge chunks (binary store) and padded-to-full edge chunks
   * (Zarr v2) both assemble through the same odometer.
   */
+/** Inner-chunk geometry of an outer block — the single home of the
+  * row-offset arithmetic every shard encoder/decoder shares
+  * (fixed-width and vlen, read and write directions). Inner chunks
+  * index in C order over the inner-chunk grid; each has `innerRows`
+  * rows of `rowLen` elements; `rowOffsets(k)` yields each row's
+  * first-element offset within the OUTER block's flat C-order array.
+  */
+private[grid] final class InnerGrid(outer: Seq[Int], inner: Seq[Int]) {
+  private val nd = outer.length
+  val innerPerDim: Array[Int] = Array.tabulate(nd)(d => outer(d) / inner(d))
+  val nInner: Int = innerPerDim.product
+  val innerRows: Int = if (nd == 1) 1 else inner.init.product
+  val rowLen: Int = inner(nd - 1)
+  val innerN: Int = inner.product
+  private val outerStrides = ChunkAssembly.strides(outer.toArray)
+  private val innerRowStrides = ChunkAssembly.strides(
+    if (nd == 1) Array(1) else inner.init.toArray)
+  private val innerArr = inner.toArray
+
+  def rowOffsets(k: Int): Array[Int] = {
+    val pos = new Array[Int](nd)
+    var rest = k
+    var d = nd - 1
+    while (d >= 0) { pos(d) = rest % innerPerDim(d); rest /= innerPerDim(d); d -= 1 }
+    val out = new Array[Int](innerRows)
+    var r = 0
+    while (r < innerRows) {
+      var off = pos(nd - 1) * innerArr(nd - 1)
+      var rem = r
+      var d2 = 0
+      while (d2 < nd - 1) {
+        val rowD = rem / innerRowStrides(d2)
+        rem %= innerRowStrides(d2)
+        off += (pos(d2) * innerArr(d2) + rowD) * outerStrides(d2)
+        d2 += 1
+      }
+      out(r) = off
+      r += 1
+    }
+    out
+  }
+}
+
 private[grid] object ChunkAssembly {
 
   private[grid] def strides(shape: Array[Int]): Array[Int] = {

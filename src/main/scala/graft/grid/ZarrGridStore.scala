@@ -980,14 +980,9 @@ object ZarrGridStore {
       }
     }
 
-    val innerN = sh.innerShape.product
-    val outerStrides = ChunkAssembly.strides(a.chunkShape.toArray)
-    val innerRows = if (nd == 1) 1 else sh.innerShape.init.product
-    val run = sh.innerShape(nd - 1) * w
-    val innerRowStrides = // strides over the inner block's row space
-      ChunkAssembly.strides(
-        (if (nd == 1) Array(1) else sh.innerShape.init.toArray))
-    val pos = new Array[Int](nd) // inner-chunk grid coords, C order
+    val g = new InnerGrid(a.chunkShape, sh.innerShape)
+    val innerN = g.innerN
+    val run = g.rowLen * w
     var k = 0
     while (k < nInner) {
       val (off, nb) = entries(k)
@@ -1002,28 +997,12 @@ object ZarrGridStore {
           s"shard $path: inner chunk $k decodes to ${bytes.length} bytes, " +
             s"expected ${innerN * w}")
         // copy the inner block row by row into the outer byte image
+        val offs = g.rowOffsets(k)
         var r = 0
-        while (r < innerRows) {
-          var destElems = pos(nd - 1) * sh.innerShape(nd - 1)
-          var rem = r
-          var d = 0
-          while (d < nd - 1) {
-            val rowD = rem / innerRowStrides(d)
-            rem %= innerRowStrides(d)
-            destElems += (pos(d) * sh.innerShape(d) + rowD) * outerStrides(d)
-            d += 1
-          }
-          System.arraycopy(bytes, r * run, outBytes, destElems * w, run)
+        while (r < g.innerRows) {
+          System.arraycopy(bytes, r * run, outBytes, offs(r) * w, run)
           r += 1
         }
-      }
-      // odometer step over the inner-chunk grid
-      var j = nd - 1
-      var carry = true
-      while (carry && j >= 0) {
-        pos(j) += 1
-        if (pos(j) < innerPerDim(j)) carry = false
-        else { pos(j) = 0; j -= 1 }
       }
       k += 1
     }
@@ -1039,16 +1018,8 @@ object ZarrGridStore {
   private def readShardVlen(path: String, a: ZarrArrayMeta,
       raw: Array[Byte], entries: Seq[(Long, Long)]): Array[String] = {
     val sh = a.sharding.get
-    val nd = a.nd
-    val innerPerDim = (0 until nd).map(d => a.chunkShape(d) / sh.innerShape(d))
-    val innerN = sh.innerShape.product
+    val g = new InnerGrid(a.chunkShape, sh.innerShape)
     val out = Array.fill(a.chunkShape.product)(a.stringFill)
-    val outerStrides = ChunkAssembly.strides(a.chunkShape.toArray)
-    val innerRows = if (nd == 1) 1 else sh.innerShape.init.product
-    val run = sh.innerShape(nd - 1)
-    val innerRowStrides = ChunkAssembly.strides(
-      if (nd == 1) Array(1) else sh.innerShape.init.toArray)
-    val pos = new Array[Int](nd)
     var k = 0
     while (k < entries.length) {
       val (off, nb) = entries(k)
@@ -1059,28 +1030,13 @@ object ZarrGridStore {
           raw, off.toInt, (off + nb).toInt)
         val strings = decodeVlen(s"$path#$k",
           decompressedUnknown(s"$path#$k", comp, sh.innerCompressor),
-          innerN)
+          g.innerN)
+        val offs = g.rowOffsets(k)
         var r = 0
-        while (r < innerRows) {
-          var destElems = pos(nd - 1) * sh.innerShape(nd - 1)
-          var rem = r
-          var d = 0
-          while (d < nd - 1) {
-            val rowD = rem / innerRowStrides(d)
-            rem %= innerRowStrides(d)
-            destElems += (pos(d) * sh.innerShape(d) + rowD) * outerStrides(d)
-            d += 1
-          }
-          System.arraycopy(strings, r * run, out, destElems, run)
+        while (r < g.innerRows) {
+          System.arraycopy(strings, r * g.rowLen, out, offs(r), g.rowLen)
           r += 1
         }
-      }
-      var j = nd - 1
-      var carry = true
-      while (carry && j >= 0) {
-        pos(j) += 1
-        if (pos(j) < innerPerDim(j)) carry = false
-        else { pos(j) = 0; j -= 1 }
       }
       k += 1
     }

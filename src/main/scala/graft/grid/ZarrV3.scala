@@ -788,42 +788,19 @@ object ZarrV3 {
     */
   private[grid] def encodeShard(leBytes: Array[Byte], outer: Seq[Int],
       inner: Seq[Int], w: Int, comp: Option[(String, Int)]): Array[Byte] = {
-    val nd = outer.length
-    val innerPerDim = (0 until nd).map(d => outer(d) / inner(d))
-    val nInner = innerPerDim.product
-    val innerN = inner.product
-    val outerStrides = ChunkAssembly.strides(outer.toArray)
-    val innerRows = if (nd == 1) 1 else inner.init.product
-    val run = inner(nd - 1) * w
-    val innerRowStrides = ChunkAssembly.strides(
-      if (nd == 1) Array(1) else inner.init.toArray)
-    val streams = new Array[Array[Byte]](nInner)
-    val pos = new Array[Int](nd)
+    val g = new InnerGrid(outer, inner)
+    val run = g.rowLen * w
+    val streams = new Array[Array[Byte]](g.nInner)
     var k = 0
-    while (k < nInner) {
-      val block = new Array[Byte](innerN * w)
+    while (k < g.nInner) {
+      val offs = g.rowOffsets(k)
+      val block = new Array[Byte](g.innerN * w)
       var r = 0
-      while (r < innerRows) {
-        var srcElems = pos(nd - 1) * inner(nd - 1)
-        var rem = r
-        var d = 0
-        while (d < nd - 1) {
-          val rowD = rem / innerRowStrides(d)
-          rem %= innerRowStrides(d)
-          srcElems += (pos(d) * inner(d) + rowD) * outerStrides(d)
-          d += 1
-        }
-        System.arraycopy(leBytes, srcElems * w, block, r * run, run)
+      while (r < g.innerRows) {
+        System.arraycopy(leBytes, offs(r) * w, block, r * run, run)
         r += 1
       }
       streams(k) = ZarrGridStore.compress(block, comp, w)
-      var j = nd - 1
-      var carry = true
-      while (carry && j >= 0) {
-        pos(j) += 1
-        if (pos(j) < innerPerDim(j)) carry = false
-        else { pos(j) = 0; j -= 1 }
-      }
       k += 1
     }
     frameShard(streams)
@@ -857,43 +834,19 @@ object ZarrV3 {
     */
   private[grid] def encodeShardVlen(values: Array[String], outer: Seq[Int],
       inner: Seq[Int], comp: Option[(String, Int)]): Array[Byte] = {
-    val nd = outer.length
-    val innerPerDim = (0 until nd).map(d => outer(d) / inner(d))
-    val nInner = innerPerDim.product
-    val innerN = inner.product
-    val outerStrides = ChunkAssembly.strides(outer.toArray)
-    val innerRows = if (nd == 1) 1 else inner.init.product
-    val run = inner(nd - 1)
-    val innerRowStrides = ChunkAssembly.strides(
-      if (nd == 1) Array(1) else inner.init.toArray)
-    val streams = new Array[Array[Byte]](nInner)
-    val pos = new Array[Int](nd)
+    val g = new InnerGrid(outer, inner)
+    val streams = new Array[Array[Byte]](g.nInner)
     var k = 0
-    while (k < nInner) {
-      val block = new Array[String](innerN)
+    while (k < g.nInner) {
+      val offs = g.rowOffsets(k)
+      val block = new Array[String](g.innerN)
       var r = 0
-      while (r < innerRows) {
-        var srcElems = pos(nd - 1) * inner(nd - 1)
-        var rem = r
-        var d = 0
-        while (d < nd - 1) {
-          val rowD = rem / innerRowStrides(d)
-          rem %= innerRowStrides(d)
-          srcElems += (pos(d) * inner(d) + rowD) * outerStrides(d)
-          d += 1
-        }
-        System.arraycopy(values, srcElems, block, r * run, run)
+      while (r < g.innerRows) {
+        System.arraycopy(values, offs(r), block, r * g.rowLen, g.rowLen)
         r += 1
       }
       streams(k) = ZarrGridStore.compress(
         ZarrGridStore.encodeVlen(block), comp, 1)
-      var j = nd - 1
-      var carry = true
-      while (carry && j >= 0) {
-        pos(j) += 1
-        if (pos(j) < innerPerDim(j)) carry = false
-        else { pos(j) = 0; j -= 1 }
-      }
       k += 1
     }
     frameShard(streams)

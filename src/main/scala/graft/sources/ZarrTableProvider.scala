@@ -125,9 +125,15 @@ private[sources] object ZarrWrite {
 
   def run(df: DataFrame, options: CaseInsensitiveStringMap,
       overwrite: Boolean): Unit = {
-    val root = Option(options.get("path")).getOrElse(
+    val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("zarr write: no path"))
       .stripSuffix("/")
+    // `group` writes into a subgroup of a hierarchical tree (the
+    // subgroup is its own zarr root; the caller maintains the parent
+    // group metadata) — mirrors the read surface
+    val root = Option(options.get("group"))
+      .map(_.split("/").map(_.trim).filter(_.nonEmpty).mkString("/"))
+      .filter(_.nonEmpty).fold(path)(g => s"$path/$g")
     val dims = Option(options.get("dims")).getOrElse(
       throw new IllegalArgumentException(
         "zarr write: .option(\"dims\", \"<d1,d2,...>\") is required " +
