@@ -280,9 +280,20 @@ object ZarrGridStore {
     val group = parseJson(GridIO.readAllBytes(s"$cleanRoot/.zgroup", conf))
     require(group.path("zarr_format").asInt(0) == 2,
       s"unsupported zarr_format ${group.path("zarr_format")}")
-    val arrayNames = GridIO.listNames(cleanRoot, conf).filter(n =>
-      GridIO.exists(s"$cleanRoot/$n/.zarray", conf)).sorted
-    require(arrayNames.nonEmpty, s"no arrays under $cleanRoot")
+    val children = GridIO.listNames(cleanRoot, conf).sorted
+    val arrayNames = children.filter(n =>
+      GridIO.exists(s"$cleanRoot/$n/.zarray", conf))
+    if (arrayNames.isEmpty) {
+      // a hierarchical tree's children are subgroups (.zgroup, no
+      // .zarray): name them instead of a blind "no arrays"
+      val subgroups = children.filter(n =>
+        GridIO.exists(s"$cleanRoot/$n/.zgroup", conf))
+      throw new IllegalArgumentException(
+        s"no arrays under $cleanRoot" + (if (subgroups.nonEmpty)
+          s"; tree has subgroups (${subgroups.mkString(", ")}) — open " +
+            "one via .option(\"group\", <name>) or the subgroup path"
+        else ""))
+    }
     val metas = arrayNames.map(n => n -> parseArray(cleanRoot, n, conf)).toMap
     val dsAttrs =
       if (!GridIO.exists(s"$cleanRoot/.zattrs", conf)) Map.empty[String, String]

@@ -83,12 +83,23 @@ object ZarrV3 {
         rootLevel.map(e =>
           e.getKey -> parseArrayNode(e.getKey, e.getValue)).toMap
       } else {
-        GridIO.listNames(cleanRoot, conf).filterNot(_.startsWith("."))
+        // listing fallback: children with zarr.json are arrays OR
+        // subgroups — parse arrays, collect group names for the error
+        val children = GridIO.listNames(cleanRoot, conf)
+          .filterNot(_.startsWith("."))
           .filter(n => GridIO.exists(s"$cleanRoot/$n/zarr.json", conf))
           .sorted.map { n =>
-            n -> parseArrayNode(n, ZarrGridStore.parseJson(
-              GridIO.readAllBytes(s"$cleanRoot/$n/zarr.json", conf)))
-          }.toMap
+            n -> ZarrGridStore.parseJson(
+              GridIO.readAllBytes(s"$cleanRoot/$n/zarr.json", conf))
+          }
+        val (groups, arrays) = children.partition(
+          _._2.path("node_type").asText("") == "group")
+        if (arrays.isEmpty && groups.nonEmpty)
+          throw new IllegalArgumentException(
+            s"no arrays at the root of $cleanRoot; tree has subgroups " +
+              s"(${groups.map(_._1).mkString(", ")}) — open one via " +
+              ".option(\"group\", <name>) or the subgroup path")
+        arrays.map { case (n, node) => n -> parseArrayNode(n, node) }.toMap
       }
     require(metas.nonEmpty, s"no arrays under $cleanRoot")
     val dsAttrs = attrsOf(rootMeta)

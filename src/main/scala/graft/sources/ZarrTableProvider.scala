@@ -196,6 +196,24 @@ private[sources] object ZarrWrite {
             "replace it"))
       ZarrGridStore.appendFromRows(df, schema, root, along)
     }
+    // a group write maintains the HIERARCHY: every ancestor between
+    // the path root and the subgroup gets minimal group metadata (of
+    // the leaf's format) if missing, so the tree stays openable and
+    // its root error can enumerate subgroups
+    if (root != path) {
+      val leafIsV3 = GridIO.exists(s"$root/zarr.json", conf)
+      val segs = root.stripPrefix(path + "/").split("/").toSeq
+      segs.inits.toSeq.reverse.map(anc =>
+        (path +: anc).mkString("/")).init.foreach { p =>
+        if (leafIsV3) {
+          if (!GridIO.exists(s"$p/zarr.json", conf))
+            GridIO.writeString(s"$p/zarr.json",
+              """{"zarr_format":3,"node_type":"group","attributes":{}}""",
+              conf)
+        } else if (!GridIO.exists(s"$p/.zgroup", conf))
+          GridIO.writeString(s"$p/.zgroup", """{"zarr_format":2}""", conf)
+      }
+    }
     ()
   }
 

@@ -98,6 +98,31 @@ class ZarrNestedGroupSpec extends SparkTestBase {
       (0 until 6).map(300.0 + _).sum)
   }
 
+  test("group writes create ancestor group metadata") {
+    val root = tmp().resolve("w").toString
+    subDf(40.0).write.format("zarr")
+      .option("dims", "t").option("chunks", "t=3")
+      .option("group", "x/y").mode("overwrite").save(root)
+    // ancestors got minimal v2 group metadata, so the root opens far
+    // enough to enumerate its subgroups
+    assert(Files.exists(java.nio.file.Paths.get(root, ".zgroup")))
+    assert(Files.exists(java.nio.file.Paths.get(root, "x", ".zgroup")))
+    val e = intercept[IllegalArgumentException](ZarrGridStore.open(root))
+    assert(e.getMessage.contains("subgroups (x)"), e.getMessage)
+    // and the leaf reads back through the group option
+    val back = spark.read.format("zarr").option("group", "x/y").load(root)
+    assert(back.agg(sum("x")).collect().head.getDouble(0) ==
+      (0 until 6).map(40.0 + _).sum)
+    // v3 leaf: ancestors get v3 group nodes
+    val root3 = tmp().resolve("w3").toString
+    subDf(50.0).write.format("zarr")
+      .option("dims", "t").option("format", "v3")
+      .option("group", "g1").mode("overwrite").save(root3)
+    assert(Files.exists(java.nio.file.Paths.get(root3, "zarr.json")))
+    val e3 = intercept[IllegalArgumentException](ZarrGridStore.open(root3))
+    assert(e3.getMessage.contains("subgroups (g1)"), e3.getMessage)
+  }
+
   test("v2: a root-level dataset coexisting with subgroups still serves") {
     val root = tmp().resolve("mix").toString
     val conf = GridIO.driverConf()
