@@ -213,6 +213,31 @@ object GridIO {
     ()
   }
 
+  /** Commit staged append files into the store — the shared protocol
+    * of all three append paths: EVERY destination is recorded in the
+    * staging tree's `.replace-manifest` first, then each staged file
+    * moves in via [[replaceWithBackup]]. Existing destinations — a
+    * merged edge chunk, or orphan chunks landed by a CRASHED earlier
+    * commit of this same logical append — are replaced safely (plain
+    * rename would refuse an existing destination on HDFS/S3A and make
+    * retries fail forever), and a crash mid-commit heals at the next
+    * [[sweepStaging]]. `pairs` are (absolute src, absolute dst);
+    * `mkdirParents` creates nested destination dirs (the v3 `c/`
+    * layout). Cost: one existence HEAD per staged file — the price of
+    * retry-idempotent commits.
+    */
+  def commitStaged(staging: String, pairs: Seq[(String, String)],
+      mkdirParents: Boolean, conf: Configuration): Unit = {
+    if (pairs.isEmpty) return
+    writeString(s"$staging/.replace-manifest",
+      pairs.map(_._2).mkString("\n"), conf)
+    pairs.foreach { case (src, dst) =>
+      if (mkdirParents)
+        mkdirs(dst.substring(0, dst.lastIndexOf('/')), conf)
+      replaceWithBackup(src, dst, conf)
+    }
+  }
+
   /** Idempotent single-file heal of a crashed [[replaceWithBackup]]. */
   private def healReplace(dst: String, conf: Configuration): Unit = {
     val d = new Path(dst)

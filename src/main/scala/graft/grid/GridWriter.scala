@@ -213,15 +213,17 @@ object GridWriter {
     */
   def append(df: DataFrame, slabSchema: GridSchema, root: String,
       along: String): BinaryGridStore = {
+    val conf = GridIO.driverConf()
+    // optimistic concurrency key, same contract as the zarr appends
+    // (captured BEFORE open so a competing commit in between merely
+    // aborts this append spuriously): commitAppend rewrites
+    // metadata.txt, so its (length, mtime) stamps the extent this
+    // append validated against
+    val versionKey = GridIO.statusOf(
+      s"${root.stripSuffix("/")}/metadata.txt", conf)
     val existing = BinaryGridStore.open(root)
     val oldN =
       BinaryGridStore.validateAppend(existing, slabSchema, along)
-    val conf = GridIO.driverConf()
-    // optimistic concurrency key, same contract as the zarr appends:
-    // commitAppend rewrites metadata.txt, so its (length, mtime) stamps
-    // the extent this append validated against
-    val versionKey = GridIO.statusOf(
-      s"${root.stripSuffix("/")}/metadata.txt", conf)
     // sweep residue of CRASHED prior appends before staging anew — the
     // single-writer contract guarantees no live append owns any
     // existing .staging-* tree, so deleting them all is safe and keeps
@@ -251,30 +253,16 @@ object GridWriter {
       writeVar(df, slabSchema, existing.chunks, sink, v,
         globalAlong = Some((along, oldN, globalSize)))
     }
+    ZarrGridStore.appendTestHook(cleanRoot)
     ZarrGridStore.checkNoConcurrentAppend(cleanRoot, staging,
       s"$cleanRoot/metadata.txt", versionKey, conf)
-    // merged edge chunks REPLACE live store files: manifest +
-    // replaceWithBackup, same crash-heal contract as the zarr appends
-    def isEdge(v: VarDef, fn: String): Boolean =
-      edgeLen > 0 && fn.stripSuffix(".bin").split('.')(
-        v.dims.indexOf(along)).toInt == oldN / axisChunk
-    val edgeDsts = growing.flatMap { v =>
-      GridIO.listNames(s"$staging/${v.name}", conf)
-        .filter(f => f.endsWith(".bin") && isEdge(v, f))
-        .map(fn => s"$root/${v.name}/$fn")
-    }
-    if (edgeDsts.nonEmpty)
-      GridIO.writeString(s"$staging/.replace-manifest",
-        edgeDsts.mkString("\n"), conf)
-    growing.foreach { v =>
-      GridIO.listNames(s"$staging/${v.name}", conf)
-        .filter(_.endsWith(".bin")).foreach { fn =>
-          val src = s"$staging/${v.name}/$fn"
-          val dst = s"$root/${v.name}/$fn"
-          if (isEdge(v, fn)) GridIO.replaceWithBackup(src, dst, conf)
-          else GridIO.rename(src, dst, conf)
-        }
-    }
+    // shared crash-healable, retry-idempotent commit protocol
+    GridIO.commitStaged(staging,
+      growing.flatMap { v =>
+        GridIO.listNames(s"$staging/${v.name}", conf)
+          .filter(_.endsWith(".bin")).map(fn =>
+            (s"$staging/${v.name}/$fn", s"$cleanRoot/${v.name}/$fn"))
+      }, mkdirParents = false, conf)
     val stats = perChunk.flatMap { case (k, mm, _) => mm.map(k -> _) }.toMap
     val sums = perChunk.flatMap { case (k, _, sm) => sm.map(k -> _) }.toMap
     GridIO.delete(staging, conf)

@@ -1713,6 +1713,11 @@ object ZarrGridStore {
     val cleanRoot = root.stripSuffix("/")
     if (GridIO.exists(s"$cleanRoot/zarr.json", conf))
       return ZarrV3.appendFromRows(df, slabSchema, cleanRoot, along)
+    // optimistic concurrency key, captured BEFORE open reads the
+    // store's metadata: a competing append that commits between the
+    // stamp and the open merely aborts this one spuriously (retry),
+    // never slips past the check
+    val versionKey = GridIO.statusOf(s"$cleanRoot/$along/.zarray", conf)
     val existing = open(cleanRoot)
     val exDim = existing.schema.dim(along)
     val slabDim = slabSchema.dim(along)
@@ -1765,24 +1770,10 @@ object ZarrGridStore {
             "unpacked unscaled layouts only")
     }
 
-    // optimistic concurrency key: the growing axis's coordinate
-    // metadata is rewritten by EVERY committed append, so its
-    // (length, mtime) is a cheap version stamp for the extent this
-    // append validated against
-    val versionKey = GridIO.statusOf(s"$cleanRoot/$along/.zarray", conf)
     GridIO.sweepStaging(cleanRoot, conf)
     val staging = cleanRoot + ".staging-" +
       java.util.UUID.randomUUID().toString.take(8)
     val globalSize = exDim.size + slabDim.size
-    // vars whose partial edge chunk the commit will REPLACE (unaligned
-    // old extent): (axisPos, edge chunk index on the axis)
-    val edgeInfo: Map[String, (Int, Int)] = growing.flatMap { v =>
-      val a = existing.arrays(v.name)
-      val axisPos = v.dims.indexOf(along)
-      val alongChunk = a.chunkShape(axisPos)
-      if (exDim.size % alongChunk == 0) None
-      else Some(v.name -> (axisPos, exDim.size / alongChunk))
-    }.toMap
     growing.foreach { v =>
       GridIO.mkdirs(s"$staging/${v.name}", conf)
       val a = existing.arrays(v.name)
@@ -1802,30 +1793,15 @@ object ZarrGridStore {
     appendTestHook(cleanRoot)
     checkNoConcurrentAppend(cleanRoot, staging,
       s"$cleanRoot/$along/.zarray", versionKey, conf)
-    // staged chunks already carry store-global keys — pure renames.
-    // Merged edge chunks REPLACE a live store file: record their
-    // destinations in the staging manifest first, then go through
-    // replaceWithBackup, so a crash mid-commit is healed (not silently
-    // served as fill) by the next append's sweepStaging.
-    def isEdge(v: VarDef, fn: String): Boolean =
-      edgeInfo.get(v.name).exists { case (axisPos, edgeChunk) =>
-        fn.split('.')(axisPos).toInt == edgeChunk
-      }
-    val edgeDsts = growing.flatMap { v =>
-      GridIO.listNames(s"$staging/${v.name}", conf)
-        .filter(isEdge(v, _)).map(fn => s"$cleanRoot/${v.name}/$fn")
-    }
-    if (edgeDsts.nonEmpty)
-      GridIO.writeString(s"$staging/.replace-manifest",
-        edgeDsts.mkString("\n"), conf)
-    growing.foreach { v =>
-      GridIO.listNames(s"$staging/${v.name}", conf).foreach { fn =>
-        val src = s"$staging/${v.name}/$fn"
-        val dst = s"$cleanRoot/${v.name}/$fn"
-        if (isEdge(v, fn)) GridIO.replaceWithBackup(src, dst, conf)
-        else GridIO.rename(src, dst, conf)
-      }
-    }
+    // staged chunks already carry store-global keys; the shared commit
+    // protocol (manifest + replaceWithBackup) makes the move crash-
+    // healable and retry-idempotent — merged edge chunks and orphans
+    // of a crashed earlier commit both replace safely
+    GridIO.commitStaged(staging,
+      growing.flatMap { v =>
+        GridIO.listNames(s"$staging/${v.name}", conf).map(fn =>
+          (s"$staging/${v.name}/$fn", s"$cleanRoot/${v.name}/$fn"))
+      }, mkdirParents = false, conf)
     GridIO.delete(staging, conf)
     // grow the coordinate array (single-chunk rewrite) + var shapes
     val combined = DimDef(along, concatCoords(exDim.coords, slabDim.coords),

@@ -499,6 +499,8 @@ object ZarrV3 {
       along: String): ZarrGridStore = {
     val conf = GridIO.driverConf()
     val cleanRoot = root.stripSuffix("/")
+    // concurrency stamp BEFORE open (see the v2 path's rationale)
+    val versionKey = GridIO.statusOf(s"$cleanRoot/$along/zarr.json", conf)
     val existing = open(cleanRoot)
     val exDim = existing.schema.dim(along)
     val slabDim = slabSchema.dim(along)
@@ -552,10 +554,6 @@ object ZarrV3 {
       }
     }
 
-    // optimistic concurrency key (see ZarrGridStore
-    // .checkNoConcurrentAppend): every committed append rewrites the
-    // growing axis's coordinate metadata
-    val versionKey = GridIO.statusOf(s"$cleanRoot/$along/zarr.json", conf)
     GridIO.sweepStaging(cleanRoot, conf)
     val staging = cleanRoot + ".staging-" +
       java.util.UUID.randomUUID().toString.take(8)
@@ -583,36 +581,16 @@ object ZarrV3 {
     ZarrGridStore.appendTestHook(cleanRoot)
     ZarrGridStore.checkNoConcurrentAppend(cleanRoot, staging,
       s"$cleanRoot/$along/zarr.json", versionKey, conf)
-    // staged flat keys (already store-global) -> nested `c/` keys.
-    // Merged edge SHARDS replace a live store file: manifest +
-    // replaceWithBackup, same crash-heal contract as the v2 path.
-    def dstOf(v: VarDef, fn: String): String = {
-      val parts = fn.split('.')
-      (s"$cleanRoot/${v.name}/c" +: parts.toSeq).mkString("/")
-    }
-    def isEdge(v: VarDef, fn: String): Boolean = {
-      val a = existing.arrays(v.name)
-      val axisPos = v.dims.indexOf(along)
-      val alongChunk = a.chunkShape(axisPos)
-      exDim.size % alongChunk != 0 &&
-        fn.split('.')(axisPos).toInt == exDim.size / alongChunk
-    }
-    val edgeDsts = growing.flatMap { v =>
-      GridIO.listNames(s"$staging/${v.name}", conf)
-        .filter(isEdge(v, _)).map(dstOf(v, _))
-    }
-    if (edgeDsts.nonEmpty)
-      GridIO.writeString(s"$staging/.replace-manifest",
-        edgeDsts.mkString("\n"), conf)
-    growing.foreach { v =>
-      GridIO.listNames(s"$staging/${v.name}", conf).foreach { fn =>
-        val dst = dstOf(v, fn)
-        GridIO.mkdirs(dst.substring(0, dst.lastIndexOf('/')), conf)
-        val src = s"$staging/${v.name}/$fn"
-        if (isEdge(v, fn)) GridIO.replaceWithBackup(src, dst, conf)
-        else GridIO.rename(src, dst, conf)
-      }
-    }
+    // staged flat keys (already store-global) -> nested `c/` keys via
+    // the shared crash-healable, retry-idempotent commit protocol
+    GridIO.commitStaged(staging,
+      growing.flatMap { v =>
+        GridIO.listNames(s"$staging/${v.name}", conf).map { fn =>
+          (s"$staging/${v.name}/$fn",
+            (s"$cleanRoot/${v.name}/c" +: fn.split('.').toSeq)
+              .mkString("/"))
+        }
+      }, mkdirParents = true, conf)
     GridIO.delete(staging, conf)
 
     val mapper = new ObjectMapper()

@@ -128,12 +128,9 @@ private[sources] object ZarrWrite {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("zarr write: no path"))
       .stripSuffix("/")
-    // `group` writes into a subgroup of a hierarchical tree (the
-    // subgroup is its own zarr root; the caller maintains the parent
-    // group metadata) — mirrors the read surface
-    val root = Option(options.get("group"))
-      .map(_.split("/").map(_.trim).filter(_.nonEmpty).mkString("/"))
-      .filter(_.nonEmpty).fold(path)(g => s"$path/$g")
+    // `group` writes into a subgroup of a hierarchical tree — same
+    // resolution (and traversal validation) as the read surface
+    val root = ZarrTableProvider.groupRoot(path, options)
     val dims = Option(options.get("dims")).getOrElse(
       throw new IllegalArgumentException(
         "zarr write: .option(\"dims\", \"<d1,d2,...>\") is required " +
@@ -289,6 +286,24 @@ object ZarrTableProvider {
     ()
   }
 
+  /** Resolve the effective tree root: `group` selects a subgroup of a
+    * hierarchical tree (xarray's open_zarr/to_zarr `group=` spelling) —
+    * zarr nests groups as plain subdirectories with their own node
+    * metadata, so the subgroup IS a root. One home for read AND write;
+    * `.`/`..` segments are rejected (a traversal would escape the tree
+    * — and `mode("overwrite")` recursively DELETES the resolved root).
+    */
+  private[sources] def groupRoot(path: String,
+      options: CaseInsensitiveStringMap): String = {
+    val base = path.stripSuffix("/")
+    Option(options.get("group")).map { g =>
+      val segs = g.split("/").map(_.trim).filter(_.nonEmpty).toSeq
+      segs.foreach(s => require(s != "." && s != "..",
+        s"zarr: bad group segment '$s' ('.'/'..' would escape the tree)"))
+      if (segs.isEmpty) base else (base +: segs).mkString("/")
+    }.getOrElse(base)
+  }
+
   /** Content-version key of a tree: length + mtime of whichever root
     * metadata file the open path would read first. Any append or
     * rewrite rewrites that file.
@@ -306,14 +321,7 @@ object ZarrTableProvider {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "zarr: no path given (use spark.read.format(\"zarr\").load(<root>))"))
-    // `group` selects a subgroup of a hierarchical tree (xarray's
-    // open_zarr(group=...) spelling): zarr nests groups as plain
-    // subdirectories with their own node metadata, so the subgroup IS
-    // a root — resolve the joined path
-    val root = Option(options.get("group"))
-      .map(_.split("/").map(_.trim).filter(_.nonEmpty).mkString("/"))
-      .filter(_.nonEmpty)
-      .fold(path.stripSuffix("/"))(g => s"${path.stripSuffix("/")}/$g")
+    val root = groupRoot(path, options)
     val (len, mtime) = versionOf(root)
     val key = (root, len, mtime)
     // drop superseded versions of the same root before (re-)opening

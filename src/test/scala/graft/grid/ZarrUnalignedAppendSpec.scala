@@ -250,6 +250,42 @@ class ZarrUnalignedAppendSpec extends SparkTestBase {
       .sameElements(Array(15.0, 16.0)))
   }
 
+  test("retry after a crashed commit replaces orphan chunks") {
+    import spark.implicits._
+    val root = tmp().resolve("retry").toString
+    def df(t0: Int, t1: Int) =
+      (t0 until t1).map(t => (t, 10.0 + t)).toDF("t", "x")
+    def schema(t0: Int, t1: Int) = GridSchema(
+      Seq(DimDef("t", IntCoords((t0 until t1).toArray))),
+      Seq(VarDef("x", Seq("t"), GDouble)))
+    ZarrGridStore.writeFromRows(df(0, 7), schema(0, 7), Map("t" -> 5),
+      root, "zstd:3")
+    // a crashed earlier commit of this same append landed an orphan
+    // beyond-extent chunk (metadata never grew); the retry must
+    // REPLACE it, not fail "rename failed" forever
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/x/2"),
+      Array[Byte](9, 9, 9))
+    val grown = ZarrGridStore.appendFromRows(df(7, 12), schema(7, 12),
+      root, "t")
+    assert(grown.readVar("x", Seq((0, 12))).asInstanceOf[Array[Double]]
+      .sameElements(Array.tabulate(12)(t => 10.0 + t)))
+  }
+
+  test("group option rejects traversal segments") {
+    import spark.implicits._
+    val root = tmp().resolve("trav").toString
+    val df = (0 until 3).map(t => (t, 1.0 * t)).toDF("t", "x")
+    val e = intercept[Exception] {
+      df.write.format("zarr").option("dims", "t")
+        .option("group", "..").mode("overwrite").save(root)
+    }
+    assert(e.getMessage.contains("escape"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.read.format("zarr").option("group", "a/../b").load(root)
+    }
+    assert(e2.getMessage.contains("escape"), e2.getMessage)
+  }
+
   test("v3 append rejects a non-default shard index layout") {
     import spark.implicits._
     val dir = tmp()
