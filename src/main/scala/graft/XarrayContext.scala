@@ -44,6 +44,30 @@ class XarrayContext(val spark: SparkSession) {
     }
   }
 
+  /** Register every dataset of a HIERARCHICAL zarr tree: the
+    * root-level dataset (when the root holds arrays) under `name`, and
+    * each subgroup's dataset under `<name>_<group path joined by _>`,
+    * recursively — ONE registration call puts a whole grouped archive
+    * on the SQL surface (the reference registers datasets one by one,
+    * sql.py:105-125; real archives arrive as hierarchies). The
+    * laziness invariant is unchanged: registration reads metadata
+    * only, one round per group. Returns every view name created.
+    */
+  def fromZarrTree(name: String, root: String): Seq[String] = {
+    def walk(nm: String, r: String): Seq[String] = {
+      val rootViews = graft.grid.ZarrGridStore.openDataset(r)
+        .map(st => fromDataset(nm, st, st.chunkMap))
+        .getOrElse(Seq.empty)
+      rootViews ++ graft.grid.ZarrGridStore.subgroups(r).flatMap { g =>
+        // group names become view-name segments: identifier-safe
+        walk(s"${nm}_${g.replaceAll("[^A-Za-z0-9_]", "_")}", s"$r/$g")
+      }
+    }
+    val views = walk(name, root.stripSuffix("/"))
+    require(views.nonEmpty, s"no datasets anywhere under $root")
+    views
+  }
+
   /** Register `store` under a 2-level SQL namespace — the reference's
     * `era5.time_lat_lon` schema scoping (sql.py:105-125) — by activating
     * a per-dataset DSv2 catalog: `SELECT ... FROM <name>.<dim_group>`

@@ -269,6 +269,34 @@ object ZarrGridStore {
     } else openListed(cleanRoot, hconf)
   }
 
+  /** Names of the DIRECT subgroups of a zarr root (v2 `.zgroup`
+    * children; v3 children whose `zarr.json` is a group node) —
+    * hierarchy discovery for multi-dataset registration.
+    */
+  def subgroups(root: String): Seq[String] = {
+    val conf = GridIO.driverConf()
+    val cleanRoot = root.stripSuffix("/")
+    GridIO.listNames(cleanRoot, conf).filterNot(_.startsWith("."))
+      .filter { n =>
+        GridIO.exists(s"$cleanRoot/$n/.zgroup", conf) ||
+          (GridIO.exists(s"$cleanRoot/$n/zarr.json", conf) &&
+            parseJson(GridIO.readAllBytes(s"$cleanRoot/$n/zarr.json", conf))
+              .path("node_type").asText("") == "group")
+      }.sorted
+  }
+
+  /** Open `root` when it holds a root-level dataset; None when its
+    * arrays all live in subgroups (a pure hierarchy node). Any other
+    * failure — corrupt metadata, unsupported layout — propagates.
+    */
+  def openDataset(root: String): Option[ZarrGridStore] =
+    try Some(open(root))
+    catch {
+      case e: IllegalArgumentException
+        if e.getMessage != null && (e.getMessage.contains("no arrays") ||
+          e.getMessage.contains("no data variables")) => None
+    }
+
   /** The unconsolidated path: directory listing + per-array metadata
     * round trips.
     */

@@ -773,6 +773,31 @@ object GridQueries {
           col("air"))
     }),
 
+    // HIERARCHY registration: ONE fromZarrTree call walks a grouped
+    // archive and registers every dataset (cube + mask subgroups here)
+    // as SQL views; the query then joins across subgroups in plain
+    // SQL — the whole-archive registration the reference does one
+    // dataset at a time
+    "pivot_grid_tree" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_tree") + "/tree"
+      val conf = graft.grid.GridIO.driverConf()
+      graft.grid.ZarrGridStore.write(Fixtures.linearGrid, s"$root/cube",
+        Map("t" -> 6), "zstd:3")
+      graft.grid.ZarrGridStore.write(Fixtures.maskGrid, s"$root/mask",
+        Map("lat" -> 6), "zstd:3")
+      graft.grid.GridIO.writeString(s"$root/.zgroup",
+        """{"zarr_format":2}""", conf)
+      // view names must be unique under concurrent evaluation
+      val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
+      new XarrayContext(s).fromZarrTree(s"tree_$tag", root)
+      s.sql(
+        s"""SELECT CAST(g.t AS BIGINT) AS t, COUNT(*) AS cnt,
+           |AVG(g.air) AS avg_air
+           |FROM tree_${tag}_cube g JOIN tree_${tag}_mask m
+           |ON g.lat = m.lat AND g.lon = m.lon
+           |WHERE m.mask = 1.0 GROUP BY g.t""".stripMargin)
+    }),
+
     // FOREIGN tree with a raw numpy `<M8[ns]` datetime64 time
     // coordinate (plain zarr-python output, no CF units attribute):
     // the ns offsets decode to µs timestamps, the axis surfaces as a
@@ -1149,6 +1174,17 @@ object GridQueries {
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE t >= 12""".stripMargin,
+    "pivot_grid_tree" ->
+      s"""WITH $oracleGrid,
+         |mask AS (
+         |  SELECT 75.0 - 2.5*i AS lat, 200.0 + 2.5*j AS lon,
+         |         CASE WHEN (3*i + j) % 5 < 3 THEN 1.0 ELSE 0.0 END AS mask
+         |  FROM generate_series(0, 11) m1(i), generate_series(0, 9) m2(j))
+         |SELECT CAST(g.t AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |AVG(g.air) AS avg_air
+         |FROM grid g JOIN mask m ON g.lat = m.lat AND g.lon = m.lon
+         |WHERE m.mask = 1.0
+         |GROUP BY g.t""".stripMargin,
     "pivot_grid_m8time" ->
       """WITH g AS (
         |  SELECT TIMESTAMP '2021-01-01' + INTERVAL (k) HOUR AS time,

@@ -98,6 +98,29 @@ class ZarrNestedGroupSpec extends SparkTestBase {
       (0 until 6).map(300.0 + _).sum)
   }
 
+  test("fromZarrTree registers every dataset of a hierarchy") {
+    val root = tmp().resolve("reg").toString
+    val conf = GridIO.driverConf()
+    // root-level dataset + two subgroups, one of them nested two deep
+    ZarrGridStore.writeFromRows(subDf(1.0), subSchema, Map("t" -> 3),
+      root, "zstd:3")
+    ZarrGridStore.writeFromRows(subDf(10.0), subSchema, Map("t" -> 3),
+      s"$root/a", "zstd:3")
+    ZarrV3.writeFromRows(subDf(20.0), subSchema, Map("t" -> 3),
+      s"$root/b/c", "zstd:3")
+    GridIO.writeString(s"$root/b/.zgroup", """{"zarr_format":2}""", conf)
+    val views = new graft.XarrayContext(spark).fromZarrTree("reg9", root)
+    assert(views.toSet == Set("reg9", "reg9_a", "reg9_b_c"), views)
+    val got = spark.sql(
+      """SELECT (SELECT SUM(x) FROM reg9) AS s0,
+        |(SELECT SUM(x) FROM reg9_a) AS sa,
+        |(SELECT SUM(x) FROM reg9_b_c) AS sc""".stripMargin)
+      .collect().head
+    assert(got.getDouble(0) == (0 until 6).map(1.0 + _).sum)
+    assert(got.getDouble(1) == (0 until 6).map(10.0 + _).sum)
+    assert(got.getDouble(2) == (0 until 6).map(20.0 + _).sum)
+  }
+
   test("group writes create ancestor group metadata") {
     val root = tmp().resolve("w").toString
     subDf(40.0).write.format("zarr")
