@@ -186,7 +186,13 @@ object BinaryGridStore {
       Some((mn.toDouble, mx.toDouble))
     case a: Array[Int] if a.nonEmpty =>
       Some((a.min.toDouble, a.max.toDouble))
-    case a: Array[Long] if a.nonEmpty => Some((a.min, a.max))
+    case a: Array[Long] if a.nonEmpty =>
+      // Long.MinValue doubles as the NaT (null) sentinel for time
+      // variables; a chunk containing it reports no bounds (the same
+      // all-values-known rule NaN enforces for floats). Conservative
+      // for a genuine i8 MinValue — sound either way.
+      val mn = a.min
+      if (mn == Long.MinValue) None else Some((mn, a.max))
     case _ => None
   }
 

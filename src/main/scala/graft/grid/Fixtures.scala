@@ -339,6 +339,36 @@ object Fixtures {
     ZarrGridStore.consolidate(root, conf)
   }
 
+  /** [[writeM8Tree]] plus an `obs` data variable of dtype `<M8[ns]`
+    * (a timestamp-valued OBSERVATION column, chunks t=6) with NaT —
+    * numpy's missing-time marker, Long.MinValue — at hours where
+    * k % 7 == 3. Exercises the NaT -> SQL NULL surface on data
+    * variables (coordinate NaT stays a loud error).
+    */
+  def writeM8NatTree(root: String): Unit = {
+    writeM8Tree(root)
+    val conf = GridIO.driverConf()
+    GridIO.mkdirs(s"$root/obs", conf)
+    GridIO.writeString(s"$root/obs/.zarray",
+      """{"zarr_format":2,"shape":[24],"chunks":[6],"dtype":"<M8[ns]",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/obs/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["time"]}""", conf)
+    val epoch2021ns = 1609459200L * 1000000000L
+    (0 until 4).foreach { c =>
+      val vb = java.nio.ByteBuffer.allocate(6 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 6).foreach { j =>
+        val k = c * 6 + j
+        vb.putLong(if (k % 7 == 3) Long.MinValue
+        else epoch2021ns + k * 3600L * 1000000000L + 90L * 1000000000L)
+      }
+      GridIO.write(s"$root/obs/$c", vb.array(), conf)
+    }
+    ZarrGridStore.consolidate(root, conf)
+  }
+
   /** Hand-author a foreign zarr v2 tree with a `<u8` (uint64) data
     * variable: i[10] int64 coordinate, cnt = 2^40 + 3*i — values past
     * Int but comfortably below Long.Max (the overflow guard is pinned

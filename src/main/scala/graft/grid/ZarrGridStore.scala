@@ -97,8 +97,10 @@ case object StoredHalf extends StoredElem { val width = 2 }
   * xarray_sql/df.py:395, tests/test_cft.py:165-170): int64 offsets in
   * the declared unit, converted to MICROSECONDS at decode (ns
   * truncates toward zero — documented precision loss; s/ms widen
-  * exactly). NaT (Long.MinValue) is rejected loudly rather than
-  * surfaced as a bogus instant. µs = stored * num / den.
+  * exactly). NaT (Long.MinValue, numpy's missing-time marker) is kept
+  * as the sentinel: data variables surface it as SQL NULL (xarray's
+  * NaT semantics), coordinate arrays reject it loudly (axis labels
+  * are row identity). µs = stored * num / den.
   */
 final case class StoredTime64(num: Long, den: Long) extends StoredElem {
   val width = 8
@@ -390,6 +392,18 @@ object ZarrGridStore {
     * metadata-sized) through the CF time bridge, or synthesize the
     * positional index when no coordinate array exists.
     */
+  /** Coordinate arrays are row identity: a NaT label would make its
+    * whole hyperplane unaddressable, so it fails here; NaT in DATA
+    * variables flows through as SQL NULL instead (GridSource).
+    */
+  private def rejectNaT(name: String, raw: AnyRef): Unit = raw match {
+    case v: Array[Long] =>
+      require(!v.contains(Long.MinValue),
+        s"$name: NaT (not-a-time) in a coordinate array — axis labels " +
+          "must be total")
+    case _ => ()
+  }
+
   private def buildDim(root: String, name: String, size: Int,
       coord: Option[ZarrArrayMeta],
       conf: org.apache.hadoop.conf.Configuration): DimDef = coord match {
@@ -438,12 +452,14 @@ object ZarrGridStore {
         case _ if a.dtype == GTimestamp =>
           require(!scaledVar(a),
             s"$name: scaled datetime64 coordinates unsupported")
+          rejectNaT(name, raw)
           DimDef(name, TimeCoords(raw.asInstanceOf[Array[Long]]),
             calendar = Some("proleptic_gregorian"),
             units = Some("microseconds since 1970-01-01"), attrs = rest)
         case _ if a.dtype == GDuration =>
           require(!scaledVar(a),
             s"$name: scaled timedelta64 coordinates unsupported")
+          rejectNaT(name, raw)
           DimDef(name, DurationCoords(raw.asInstanceOf[Array[Long]]),
             attrs = rest)
         case _ if scaledVar(a) =>
@@ -781,7 +797,11 @@ object ZarrGridStore {
       while (i < n) { o(i) = halfToFloat(sb.get(i)); i += 1 }
       o
     case Some(StoredTime64(num, den)) =>
-      // raw datetime64/timedelta64 -> epoch/duration µs
+      // raw datetime64/timedelta64 -> epoch/duration µs. NaT
+      // (Long.MinValue, numpy's missing-time marker) passes through as
+      // the same sentinel: the scan surfaces it as SQL NULL for DATA
+      // variables (GridSource), and buildDim rejects it on COORDINATE
+      // arrays (axis labels are row identity and must be total).
       val lb = ByteBuffer.wrap(bytes).order(
         if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
         .asLongBuffer()
@@ -789,11 +809,10 @@ object ZarrGridStore {
       var i = 0
       while (i < n) {
         val v = lb.get(i)
-        if (v == Long.MinValue) throw new IllegalArgumentException(
-          s"${a.name}: NaT (not-a-time) values unsupported")
         // multiplyExact: an s/ms offset past the µs-representable
         // range must fail loudly, not wrap into a plausible instant
-        o(i) = Math.multiplyExact(v, num) / den
+        o(i) = if (v == Long.MinValue) Long.MinValue
+               else Math.multiplyExact(v, num) / den
         i += 1
       }
       o

@@ -814,6 +814,22 @@ object GridQueries {
         .select(col("time"), col("temp"))
     }),
 
+    // NaT (numpy's missing-time marker) in an M8 DATA variable
+    // surfaces as SQL NULL — the filter exercises three-valued logic
+    // across the null cells (IS NULL picks up every NaT hour, the
+    // comparison silently skips them), matching xarray's NaT handling
+    "pivot_grid_m8nat" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_m8nat") + "/store"
+      Fixtures.writeM8NatTree(root)
+      val store = graft.grid.ZarrGridStore.open(root)
+      new XarrayContext(s)
+        .scratchDataFrame(s"m8nat@$root", store, store.chunkMap,
+          Seq("time"))
+        .filter(col("obs").isNull ||
+          col("obs") < lit("2021-01-01 12:00:00").cast("timestamp"))
+        .select(col("time"), col("obs"))
+    }),
+
     // foreign `<u8` (uint64) variable: widens to BIGINT with loud
     // overflow past Long.Max (pinned in ZarrTimeDtypeSpec); values
     // past 2^40 prove genuine 64-bit width survives the pivot
@@ -1192,6 +1208,16 @@ object GridQueries {
         |  FROM generate_series(0, 23) t(k))
         |SELECT time, temp FROM g
         |WHERE time >= TIMESTAMP '2021-01-01 12:00:00'""".stripMargin,
+    "pivot_grid_m8nat" ->
+      """WITH g AS (
+        |  SELECT TIMESTAMP '2021-01-01' + INTERVAL (k) HOUR AS time,
+        |         CASE WHEN k % 7 = 3 THEN NULL
+        |              ELSE TIMESTAMP '2021-01-01' + INTERVAL (k) HOUR
+        |                   + INTERVAL 90 SECOND END AS obs
+        |  FROM generate_series(0, 23) t(k))
+        |SELECT time, obs FROM g
+        |WHERE obs IS NULL OR obs < TIMESTAMP '2021-01-01 12:00:00'"""
+        .stripMargin,
     "pivot_grid_u8" ->
       """SELECT CAST(k AS BIGINT) AS i,
         |       CAST(1099511627776 + 3*k AS BIGINT) AS cnt

@@ -1254,6 +1254,64 @@ object PipelineQueries {
           (sum("n").cast("double") / count(lit(1))).as("mean_bg_freq"))
     }),
 
+    // one BPE merge iteration (the inner loop of subword-tokenizer
+    // training, Sennrich et al. 2016): count adjacent CHARACTER pairs
+    // weighted by word frequency and surface the top merge candidates.
+    // The scalable shape: ONE corpus-sized shuffle builds the word
+    // frequency table; the character-pair explosion then runs over the
+    // DISTINCT vocabulary (thousands of rows) weighted by the counts —
+    // at 100 TB the pair stage costs vocab-size, not corpus-size, which
+    // is what makes iterated merges (30k-50k of them for a real
+    // tokenizer) tractable at all.
+    "bpe_merge_pairs" -> ((s, d) => {
+      val wf = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("f"))
+      wf.filter(length(col("word")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, length(word) - 1), " +
+            "i -> struct(substring(word, i, 1) AS a, " +
+            "substring(word, i + 1, 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(20)
+    }),
+
+    // collocation mining by LIFT (log-free PMI: observed/expected
+    // adjacency ratio — products and one division only, so both
+    // engines produce bit-identical doubles; a log would hang the gate
+    // on libm last-ulp drift): unigram counts broadcast against the
+    // observed-bigram table. 100 TB shape: the bigram groupBy shuffles
+    // observed PAIRS (vocab-bounded), the unigram side is a broadcast,
+    // and the corpus is read once.
+    "colloc_lift" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(split(lower(col("text")), " ").as("w"))
+      val pairs = tok.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
+        .filter(length(col("p.a")) > 0 && length(col("p.b")) > 0)
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c_ab"))
+      val uni = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val n = uni.agg(sum("c")).head.getLong(0)
+      pairs.filter(col("c_ab") >= 5)
+        .join(broadcast(uni.withColumnRenamed("word", "a")
+          .withColumnRenamed("c", "c_a")), Seq("a"))
+        .join(broadcast(uni.withColumnRenamed("word", "b")
+          .withColumnRenamed("c", "c_b")), Seq("b"))
+        .select(col("a"), col("b"), col("c_ab"),
+          ((col("c_ab").cast("double") * lit(n.toDouble)) /
+            (col("c_a").cast("double") * col("c_b").cast("double")))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("a"), col("b")).limit(30)
+    }),
+
     // vocabulary truncation: rank tokens by global frequency, keep the
     // top 40, report per-language OOV-token rate — the "how much does a
     // k-entry vocab cover" question behind every tokenizer size choice.
@@ -2341,6 +2399,40 @@ object PipelineQueries {
         |CAST(SUM(f.n) AS DOUBLE) / COUNT(*) AS mean_bg_freq
         |FROM bg JOIN f ON bg.b = f.b
         |GROUP BY bg.doc_id""".stripMargin,
+    "bpe_merge_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word
+        |  FROM documents),
+        |wf AS (SELECT word, count(*) AS f FROM w
+        |       WHERE length(word) > 0 GROUP BY 1),
+        |p AS (SELECT substr(word, CAST(i AS INT), 1) AS a,
+        |             substr(word, CAST(i AS INT) + 1, 1) AS b, f
+        |      FROM wf, unnest(generate_series(1, length(word) - 1)) AS t(i)
+        |      WHERE length(word) >= 2)
+        |SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt FROM p GROUP BY a, b
+        |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
+    "colloc_lift" ->
+      """WITH tok AS (
+        |  SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |bg AS (SELECT w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b
+        |       FROM tok, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |       WHERE len(w) >= 2),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM bg
+        |        WHERE length(a) > 0 AND length(b) > 0 GROUP BY 1, 2),
+        |uw AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+        |       FROM documents),
+        |uni AS (SELECT word, count(*) AS c FROM uw
+        |        WHERE length(word) > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni)
+        |SELECT cab.a AS a, cab.b AS b, CAST(c_ab AS BIGINT) AS c_ab,
+        |       (CAST(c_ab AS DOUBLE) * n) /
+        |       (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+        |FROM cab
+        |JOIN uni ua ON ua.word = cab.a
+        |JOIN uni ub ON ub.word = cab.b
+        |CROSS JOIN tot
+        |WHERE c_ab >= 5
+        |ORDER BY lift DESC, a, b LIMIT 30""".stripMargin,
     "oov_rate" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok

@@ -674,7 +674,10 @@ class GridColumnarReader(part: GridInputPartition)
 
   private sealed trait ColSrc
   private case class DimCol(dimIdx: Int, coords: CoordArray) extends ColSrc
-  private case class VarCol(data: AnyRef) extends ColSrc
+  // natNull: time/duration variables surface the NaT sentinel
+  // (Long.MinValue) as SQL NULL; for plain long variables the same bit
+  // pattern is a legitimate value and copies through untouched
+  private case class VarCol(data: AnyRef, natNull: Boolean) extends ColSrc
 
   private val cols: Array[(ColSrc, org.apache.spark.sql.types.DataType)] =
     part.requiredCols.map { c =>
@@ -685,7 +688,8 @@ class GridColumnarReader(part: GridInputPartition)
       } else {
         ReadCounters.recordVarRead(c)
         val v = schema.vars.find(_.name == c).get
-        (VarCol(part.store.readVar(c, part.block)), v.dtype.sparkType)
+        (VarCol(part.store.readVar(c, part.block),
+          v.dtype == GTimestamp || v.dtype == GDuration), v.dtype.sparkType)
       }
     }
 
@@ -739,12 +743,30 @@ class GridColumnarReader(part: GridInputPartition)
                 vec.putByteArray(r, b, 0, b.length); r += 1
               }
           }
-        case VarCol(data) =>
+        case VarCol(data, natNull) =>
           val off = offset.toInt
           data match {
             case a: Array[Double] => vec.putDoubles(0, m, a, off)
             case a: Array[Float] => vec.putFloats(0, m, a, off)
             case a: Array[Int] => vec.putInts(0, m, a, off)
+            case a: Array[Long] if natNull =>
+              // pre-scan for NaT: clean batches (the usual case) keep
+              // the bulk copy; any sentinel takes the per-cell path
+              var hasNat = false
+              var r = 0
+              while (r < m && !hasNat) {
+                hasNat = a(off + r) == Long.MinValue; r += 1
+              }
+              if (!hasNat) vec.putLongs(0, m, a, off)
+              else {
+                r = 0
+                while (r < m) {
+                  val x = a(off + r)
+                  if (x == Long.MinValue) vec.putNull(r)
+                  else vec.putLong(r, x)
+                  r += 1
+                }
+              }
             case a: Array[Long] => vec.putLongs(0, m, a, off)
             case a: Array[String] => // vlen string variables (zarr v3)
               var r = 0
@@ -798,14 +820,18 @@ class GridPartitionReader(part: GridInputPartition)
   // per required column: either a dim (coord lookup) or a var (flat array)
   private sealed trait ColSrc
   private case class DimCol(dimIdx: Int, coords: CoordArray) extends ColSrc
-  private case class VarCol(data: AnyRef) extends ColSrc
+  // natNull: see GridColumnarReader — NaT sentinel -> SQL NULL, but
+  // only for time/duration variables
+  private case class VarCol(data: AnyRef, natNull: Boolean) extends ColSrc
 
   private val cols: Array[ColSrc] = part.requiredCols.map { c =>
     val di = part.groupDims.indexOf(c)
     if (di >= 0) DimCol(di, schema.dim(c).coords)
     else {
       ReadCounters.recordVarRead(c)
-      VarCol(part.store.readVar(c, part.block))
+      val v = schema.vars.find(_.name == c).get
+      VarCol(part.store.readVar(c, part.block),
+        v.dtype == GTimestamp || v.dtype == GDuration)
     }
   }
 
@@ -903,13 +929,16 @@ class GridPartitionReader(part: GridInputPartition)
       cols(c) match {
         case DimCol(d, coords) =>
           row.update(c, coords.internal(starts(d) + dimIdx(d)))
-        case VarCol(data) =>
+        case VarCol(data, natNull) =>
           val fi = flat.toInt // block row counts are bounded by chunk sizing
           data match {
             case a: Array[Double] => row.update(c, a(fi))
             case a: Array[Float] => row.update(c, a(fi))
             case a: Array[Int] => row.update(c, a(fi))
-            case a: Array[Long] => row.update(c, a(fi))
+            case a: Array[Long] =>
+              val x = a(fi)
+              if (natNull && x == Long.MinValue) row.setNullAt(c)
+              else row.update(c, x)
             case a: Array[String] => row.update(c,
               org.apache.spark.unsafe.types.UTF8String.fromString(a(fi)))
           }

@@ -203,13 +203,7 @@ object GridStreams {
             case a: Array[Double] => a(flat)
             case a: Array[Float] => a(flat)
             case a: Array[Int] => a(flat)
-            case a: Array[Long] => vv.dtype match {
-              case GTimestamp => org.apache.spark.sql.catalyst.util
-                .DateTimeUtils.toJavaTimestamp(a(flat))
-              case GDuration => java.time.Duration.ofSeconds(
-                a(flat) / 1000000L, (a(flat) % 1000000L) * 1000L)
-              case _ => a(flat)
-            }
+            case a: Array[Long] => timeBridge(a(flat), vv.dtype)
           }
           Row.fromSeq(vals.toIndexedSeq)
         }
@@ -322,7 +316,7 @@ object GridStreams {
                 case arr: Array[Double] => arr(flat)
                 case arr: Array[Float] => arr(flat)
                 case arr: Array[Int] => arr(flat)
-                case arr: Array[Long] => arr(flat)
+                case arr: Array[Long] => timeBridge(arr(flat), v.dtype)
               }
               Iterator.single(Row.fromSeq(vals.toIndexedSeq))
             }
@@ -331,6 +325,25 @@ object GridStreams {
       }
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema))
+  }
+
+  /** Long cell value -> the external (Row) type the outSchema
+    * declares: timestamp/duration variables decode as raw micros longs
+    * and must surface as java.sql.Timestamp / java.time.Duration (the
+    * same bridge as LazyGridView.externalCoord) or the RowEncoder
+    * rejects the row at runtime; the NaT sentinel surfaces as SQL NULL
+    * exactly like the batch scan (GridSource).
+    */
+  private def timeBridge(x: Long, dtype: GridType): Any = dtype match {
+    case GTimestamp =>
+      if (x == Long.MinValue) null
+      else org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaTimestamp(x)
+    case GDuration =>
+      if (x == Long.MinValue) null
+      else java.time.Duration.ofSeconds(x / 1000000L,
+        (x % 1000000L) * 1000L)
+    case _ => x
   }
 
   /** Coordinate values in the external (Row) representation the reverse

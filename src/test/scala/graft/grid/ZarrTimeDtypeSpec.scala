@@ -82,7 +82,7 @@ class ZarrTimeDtypeSpec extends SparkTestBase {
     assert(dc.values.sameElements(Array(0L, 250000L, 4000000L)))
   }
 
-  test("NaT values fail loudly") {
+  test("NaT in a coordinate array fails loudly") {
     val root = tmp().resolve("nat").toString
     Fixtures.writeM8Tree(root)
     // poison hour 3 with NaT (Long.MinValue) in the raw ns payload
@@ -92,6 +92,43 @@ class ZarrTimeDtypeSpec extends SparkTestBase {
     Files.write(java.nio.file.Paths.get(root, "time", "0"), raw)
     val e = intercept[IllegalArgumentException](ZarrGridStore.open(root))
     assert(e.getMessage.contains("NaT"), e.getMessage)
+    assert(e.getMessage.contains("coordinate"), e.getMessage)
+  }
+
+  test("NaT in a data variable surfaces as SQL NULL (both readers)") {
+    val root = tmp().resolve("natvar").toString
+    Fixtures.writeM8NatTree(root)
+    val store = ZarrGridStore.open(root)
+    val df = new graft.XarrayContext(spark)
+      .scratchDataFrame(s"m8nat@$root", store, store.chunkMap, Seq("time"))
+    // columnar path: plain scan — 3 NaT cells (k = 3, 10, 17) are
+    // NULL; count/min/max skip them like any SQL null
+    val agg = df.agg(
+      count(col("obs")).as("n_obs"),
+      count(lit(1)).as("n_rows"),
+      sum(when(col("obs").isNull, 1).otherwise(0)).as("n_nat")).collect()
+    assert(agg.head.getLong(0) == 21L)
+    assert(agg.head.getLong(1) == 24L)
+    assert(agg.head.getLong(2) == 3L)
+    // IS NULL predicate returns exactly the NaT hours
+    val natHours = df.filter(col("obs").isNull)
+      .select(col("time")).collect().map(_.getTimestamp(0).getTime)
+      .sorted
+    val epochMs = 1609459200L * 1000L
+    assert(natHours.sameElements(
+      Array(3L, 10L, 17L).map(epochMs + _ * 3600000L)))
+    // row (enumerating) path: a pushed dim filter forces the
+    // non-columnar reader — same null surface
+    val viaRows = df.filter(col("time") === lit("2021-01-01 03:00:00")
+        .cast("timestamp") || col("time") === lit("2021-01-01 04:00:00")
+        .cast("timestamp"))
+      .orderBy("time").select("obs").collect()
+    assert(viaRows.length == 2)
+    assert(viaRows(0).isNullAt(0))
+    assert(!viaRows(1).isNullAt(0))
+    // non-NaT values decode normally (time + 90 s)
+    assert(viaRows(1).getTimestamp(0).getTime ==
+      epochMs + 4L * 3600000L + 90000L)
   }
 
   test("<u8 widens to long; high-bit values overflow loudly") {
