@@ -378,9 +378,13 @@ object GridWriter {
           stride *= len
           k3 -= 1
         }
-        if (r.isNullAt(nd)) throw new IllegalArgumentException(
-          s"null value for cell [${idx.mkString(",")}]; grid cells are " +
-            "primitive (filter nulls or fill before writing)")
+        if (r.isNullAt(nd) &&
+            v.dtype != GTimestamp && v.dtype != GDuration)
+          // NULL has a canonical stored form only for time kinds (NaT);
+          // float missing is expressible as NaN in SQL, so stay strict
+          throw new IllegalArgumentException(
+            s"null value for cell [${idx.mkString(",")}]; grid cells are " +
+              "primitive (filter nulls or fill before writing)")
         Row(chunkId, off, r.get(nd))
       }
     }(RowEncoder.encoderFor(triSchema))
@@ -396,7 +400,11 @@ object GridWriter {
           case GDouble => Array.fill(cells)(Double.NaN)
           case GFloat => Array.fill(cells)(Float.NaN)
           case GInt => new Array[Int](cells)
-          case GLong | GTimestamp | GDuration => new Array[Long](cells)
+          case GLong => new Array[Long](cells)
+          // unset time cells are MISSING, not epoch-0: prefill NaT
+          // (the time analogue of the float NaN prefill above)
+          case GTimestamp | GDuration =>
+            Array.fill(cells)(Long.MinValue)
           // unset cells become the empty string (the declared vlen
           // fill of every tree this engine writes)
           case GString => Array.fill(cells)("")
@@ -428,6 +436,8 @@ object GridWriter {
             case a: Array[Float] => a(off) = r.getFloat(2)
             case a: Array[Int] => a(off) = r.getInt(2)
             case a: Array[Long] => a(off) = r.get(2) match {
+              case null => Long.MinValue // NaT (time kinds only; the
+              // triple builder rejects nulls for every other dtype)
               case l: Long => l
               case t: java.sql.Timestamp => // keep sub-ms precision
                 org.apache.spark.sql.catalyst.util.DateTimeUtils
@@ -435,6 +445,9 @@ object GridWriter {
               case i: java.time.Instant =>
                 org.apache.spark.sql.catalyst.util.DateTimeUtils
                   .instantToMicros(i)
+              case dur: java.time.Duration =>
+                Math.addExact(Math.multiplyExact(dur.getSeconds, 1000000L),
+                  dur.getNano / 1000L)
             }
             case a: Array[String] => a(off) = r.getString(2)
           }

@@ -1653,6 +1653,9 @@ object ZarrGridStore {
       val fillJson = v.dtype match {
         case GDouble | GFloat => "\"NaN\""
         case GString => "\"\""
+        // NaT: absent chunks of a time variable read as all-NULL, the
+        // missing-data semantics, never as epoch-0 instants
+        case GTimestamp | GDuration => Long.MinValue.toString
         case _ => "0"
       }
       val filtersJson = // zarr-python 2's string-array convention
@@ -1811,7 +1814,11 @@ object ZarrGridStore {
           s"${v.name}: append supports C-order vlen-utf8 string " +
             "layouts only")
       else
-        require(!a.bigEndian && a.filters.isEmpty && a.stored.isEmpty &&
+        require(!a.bigEndian && a.filters.isEmpty &&
+          // µs time dtypes are THIS writer's own time layout — staged
+          // chunks carry identical int64-µs payloads; any other stored
+          // encoding would decode appended chunks as garbage
+          (a.stored.isEmpty || a.stored.contains(StoredTime64(1L, 1L))) &&
           a.transposeOrder.isEmpty && !scaledVar(a),
           s"${v.name}: append supports plain little-endian C-order " +
             "unpacked unscaled layouts only")
@@ -2156,7 +2163,13 @@ object ZarrGridStore {
     case GDouble => "<f8"
     case GFloat => "<f4"
     case GInt => "<i4"
-    case GLong | GTimestamp | GDuration => "<i8"
+    case GLong => "<i8"
+    // time-kind DATA variables keep their time-ness through a round
+    // trip via numpy's own dtypes (µs payload = the engine's internal
+    // unit); TIME COORDS still write CF (int64 + units) via
+    // coordPayload, which is what xarray emits for axes
+    case GTimestamp => "<M8[us]"
+    case GDuration => "<m8[us]"
     case GString => "|O" // data variables; string COORDS write as <U
   }
 

@@ -539,7 +539,10 @@ object ZarrV3 {
           !a.sharding.exists(_.innerBigEndian),
           s"${v.name}: append supports vlen-utf8 string layouts only")
       else
-        require(!a.bigEndian && a.filters.isEmpty && a.stored.isEmpty &&
+        require(!a.bigEndian && a.filters.isEmpty &&
+          // µs time dtypes are this writer's own time layout (int64-µs
+          // payloads, same as the staged chunks)
+          (a.stored.isEmpty || a.stored.contains(StoredTime64(1L, 1L))) &&
           a.transposeOrder.isEmpty && !ZarrGridStore.scaledVar(a) &&
           !a.sharding.exists(_.innerBigEndian),
           s"${v.name}: append supports plain little-endian C-order " +
@@ -849,13 +852,24 @@ object ZarrV3 {
     node.put("zarr_format", 3)
     node.put("node_type", "array")
     val sh = node.putArray("shape"); shape.foreach(sh.add)
-    node.put("data_type", dtype match {
-      case GDouble => "float64"
-      case GFloat => "float32"
-      case GInt => "int32"
-      case GLong | GTimestamp | GDuration => "int64"
-      case GString => "string" // vlen-utf8 chunks, zarr-python 3 layout
-    })
+    dtype match {
+      case GDouble => node.put("data_type", "float64")
+      case GFloat => node.put("data_type", "float32")
+      case GInt => node.put("data_type", "int32")
+      case GLong => node.put("data_type", "int64")
+      // time kinds: the extension-object spelling zarr-python 3 emits
+      // for numpy time dtypes (µs payload = the engine's unit)
+      case GTimestamp | GDuration =>
+        val dt = node.putObject("data_type")
+        dt.put("name",
+          if (dtype == GTimestamp) "numpy.datetime64"
+          else "numpy.timedelta64")
+        val cfg = dt.putObject("configuration")
+        cfg.put("unit", "us")
+        cfg.put("scale_factor", 1)
+      case GString => // vlen-utf8 chunks, zarr-python 3 layout
+        node.put("data_type", "string")
+    }
     val cg = node.putObject("chunk_grid")
     cg.put("name", "regular")
     val cs = cg.putObject("configuration").putArray("chunk_shape")
@@ -866,6 +880,8 @@ object ZarrV3 {
     dtype match {
       case GDouble | GFloat => node.put("fill_value", "NaN")
       case GString => node.put("fill_value", "")
+      // NaT: absent chunks of a time variable read all-NULL
+      case GTimestamp | GDuration => node.put("fill_value", Long.MinValue)
       case _ => node.put("fill_value", 0)
     }
     def pipeline(into: com.fasterxml.jackson.databind.node.ArrayNode): Unit = {

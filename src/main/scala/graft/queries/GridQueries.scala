@@ -814,6 +814,33 @@ object GridQueries {
         .select(col("time"), col("temp"))
     }),
 
+    // timestamp DATA variable through the full write surface: the row
+    // scatter emits `<M8[us]` (NULL cells -> NaT), the tree re-opens
+    // with the time-ness intact, and NaT comes back as SQL NULL — a
+    // zarr round trip of an observation-time column, not just a coord
+    "pivot_grid_m8_write" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_m8_write") + "/store"
+      val src = s.range(0, 24).toDF("t")
+        .select(col("t").cast("int").as("t"),
+          when(col("t") % 7 === 3, lit(null))
+            .otherwise(timestamp_seconds(lit(1609459200L) +
+              col("t") * 3600 + 90)).as("obs"),
+          (col("t").cast("double") * 0.5 + 15.0).as("temp"))
+      val schema = graft.grid.GridSchema(
+        Seq(graft.grid.DimDef("t",
+          graft.grid.IntCoords((0 until 24).toArray))),
+        Seq(graft.grid.VarDef("obs", Seq("t"), graft.grid.GTimestamp),
+          graft.grid.VarDef("temp", Seq("t"), graft.grid.GDouble)))
+      val store = graft.grid.ZarrGridStore.writeFromRows(src, schema,
+        Map("t" -> 6), root, "zstd:3")
+      new XarrayContext(s)
+        .scratchDataFrame(s"m8write@$root", store, store.chunkMap,
+          Seq("t"))
+        .filter(col("obs").isNull ||
+          col("obs") < lit("2021-01-01 12:00:00").cast("timestamp"))
+        .select(col("t").cast("long").as("t"), col("obs"), col("temp"))
+    }),
+
     // NaT (numpy's missing-time marker) in an M8 DATA variable
     // surfaces as SQL NULL — the filter exercises three-valued logic
     // across the null cells (IS NULL picks up every NaT hour, the
@@ -1208,6 +1235,17 @@ object GridQueries {
         |  FROM generate_series(0, 23) t(k))
         |SELECT time, temp FROM g
         |WHERE time >= TIMESTAMP '2021-01-01 12:00:00'""".stripMargin,
+    "pivot_grid_m8_write" ->
+      """WITH g AS (
+        |  SELECT k AS t,
+        |         CASE WHEN k % 7 = 3 THEN NULL
+        |              ELSE TIMESTAMP '2021-01-01' + INTERVAL (k) HOUR
+        |                   + INTERVAL 90 SECOND END AS obs,
+        |         15.0 + 0.5*k AS temp
+        |  FROM generate_series(0, 23) t(k))
+        |SELECT CAST(t AS BIGINT) AS t, obs, temp FROM g
+        |WHERE obs IS NULL OR obs < TIMESTAMP '2021-01-01 12:00:00'"""
+        .stripMargin,
     "pivot_grid_m8nat" ->
       """WITH g AS (
         |  SELECT TIMESTAMP '2021-01-01' + INTERVAL (k) HOUR AS time,

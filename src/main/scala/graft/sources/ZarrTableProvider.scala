@@ -253,6 +253,7 @@ private[sources] object ZarrWrite {
         case IntegerType => GInt
         case LongType => GLong
         case TimestampType => GTimestamp
+        case _: DayTimeIntervalType => GDuration
         case StringType => GString // vlen-utf8 (v2 |O, v3 "string")
         case other => throw new IllegalArgumentException(
           s"zarr write: variable '$c' has unsupported type $other")

@@ -236,4 +236,24 @@ class ZarrWriteFormatSpec extends SparkTestBase {
     assert(r.getLong(0) == keep.map(_._1.toLong).sum)
     assert(r.getDouble(1) == keep.map(_._2.toDouble).sum)
   }
+
+  test("timestamp VARIABLE round-trips through the format (NULL = NaT)") {
+    val root = tmp().resolve("tsvar").toString
+    val df = spark.range(0, 10).toDF("t")
+      .select(col("t").cast("int").as("t"),
+        when(col("t") === 4, lit(null))
+          .otherwise(timestamp_seconds(lit(1609459200L) + col("t") * 60))
+          .as("seen"),
+        col("t").cast("double").as("x"))
+    df.write.format("zarr").option("dims", "t")
+      .option("chunks", "t=4").mode("overwrite").save(root)
+    val back = spark.read.format("zarr").load(root)
+    // schema keeps TIMESTAMP (previously degraded to BIGINT micros)
+    assert(back.schema("seen").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(back.filter(col("seen").isNull).select("t")
+      .collect().map(_.getInt(0)).toSeq == Seq(4))
+    assert(back.filter(col("t") === 7).select("seen").collect()
+      .head.getTimestamp(0).getTime == (1609459200L + 7 * 60) * 1000L)
+  }
 }
