@@ -369,6 +369,51 @@ object Fixtures {
     ZarrGridStore.consolidate(root, conf)
   }
 
+  /** Foreign tree with a CF-ENCODED time DATA variable (what xarray's
+    * to_zarr emits for a datetime64 data var): `obs` is int64
+    * "seconds since 2021-01-01" offsets with `_FillValue` -999 at
+    * hours where k % 7 == 3, over an int `t` axis 0..23; `temp` f8.
+    */
+  def writeCfTimeVarTree(root: String): Unit = {
+    val conf = GridIO.driverConf()
+    GridIO.mkdirs(root, conf)
+    GridIO.writeString(s"$root/.zgroup", """{"zarr_format":2}""", conf)
+    def arr(name: String, dtype: String, chunks: Int, attrs: String): Unit = {
+      GridIO.mkdirs(s"$root/$name", conf)
+      GridIO.writeString(s"$root/$name/.zarray",
+        s"""{"zarr_format":2,"shape":[24],"chunks":[$chunks],
+           |"dtype":"$dtype","compressor":null,"fill_value":null,
+           |"order":"C","filters":null}""".stripMargin, conf)
+      GridIO.writeString(s"$root/$name/.zattrs", attrs, conf)
+    }
+    arr("t", "<i8", 24, """{"_ARRAY_DIMENSIONS":["t"]}""")
+    val tb = java.nio.ByteBuffer.allocate(24 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 24).foreach(k => tb.putLong(k.toLong))
+    GridIO.write(s"$root/t/0", tb.array(), conf)
+    arr("obs", "<i8", 6,
+      """{"_ARRAY_DIMENSIONS":["t"],
+        |"units":"seconds since 2021-01-01","_FillValue":-999}"""
+        .stripMargin)
+    (0 until 4).foreach { c =>
+      val vb = java.nio.ByteBuffer.allocate(6 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 6).foreach { j =>
+        val k = c * 6 + j
+        vb.putLong(if (k % 7 == 3) -999L else k * 3600L + 90L)
+      }
+      GridIO.write(s"$root/obs/$c", vb.array(), conf)
+    }
+    arr("temp", "<f8", 6, """{"_ARRAY_DIMENSIONS":["t"]}""")
+    (0 until 4).foreach { c =>
+      val vb = java.nio.ByteBuffer.allocate(6 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 6).foreach(j => vb.putDouble(15.0 + 0.5 * (c * 6 + j)))
+      GridIO.write(s"$root/temp/$c", vb.array(), conf)
+    }
+    ZarrGridStore.consolidate(root, conf)
+  }
+
   /** Hand-author a foreign zarr v2 tree with a `<u8` (uint64) data
     * variable: i[10] int64 coordinate, cnt = 2^40 + 3*i — values past
     * Int but comfortably below Long.Max (the overflow guard is pinned

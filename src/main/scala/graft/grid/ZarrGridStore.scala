@@ -106,6 +106,21 @@ final case class StoredTime64(num: Long, den: Long) extends StoredElem {
   val width = 8
 }
 
+/** CF-ENCODED time storage on a DATA variable: int32/int64 offsets in
+  * `units` ("<step> since <date>", or a bare duration step) under a
+  * Gregorian-like `calendar` — what xarray's `to_zarr` emits for
+  * datetime64/timedelta64 DATA variables (its `decode_cf` reverses it;
+  * coordinates take the same bridge eagerly in `buildDim`). Values
+  * equal to the CF `_FillValue` attribute surface as SQL NULL via the
+  * NaT sentinel. Real-timeline calendars decode linearly; noleap /
+  * all_leap route each offset through [[graft.time.CfCalendar]]'s own
+  * year-length arithmetic.
+  */
+final case class StoredCfTime(w: Int, units: String, calendar: String,
+    fillRaw: Option[Long]) extends StoredElem {
+  val width: Int = w
+}
+
 /** Fixed-width string element (`|S<n>` bytes or `<U<n>` UTF-32 code
   * points, NUL-padded — numpy's fixed-width layouts): decodes to
   * GString. Only legal on coordinate arrays (station-style dims); data
@@ -365,7 +380,17 @@ object ZarrGridStore {
       buildDim(cleanRoot, d, dimSizes(d), coordByName.get(d), conf)
     }
 
-    val vars = dataArrs.toSeq.sortBy(_.name).map { a =>
+    // CF-encoded time DATA variables (xarray to_zarr writes time-kind
+    // data vars as int offsets + units/calendar attrs; its decode_cf
+    // reverses them — same bridge coords take in buildDim). The metas
+    // map must carry the REWRITTEN entries so the chunk decode sees
+    // the CF storage.
+    val metas2 = metas.map { case (n, a) =>
+      n -> (if (a.nd == 1 && a.dims == Seq(a.name)) a else cfTimeVar(a))
+    }
+    val dataArrs2 = dataArrs.map(a => metas2(a.name))
+
+    val vars = dataArrs2.toSeq.sortBy(_.name).map { a =>
       require(a.dtype != GString || a.stored.contains(StoredVlenStr),
         s"string data variables must be vlen-utf8 encoded (${a.name})")
       if (scaledVar(a))
@@ -385,7 +410,39 @@ object ZarrGridStore {
             sizes.map(_._2).distinct.mkString(","))
       }
 
-    ZarrGridStore(cleanRoot, GridSchema(dims, vars, dsAttrs), metas, hconf)
+    ZarrGridStore(cleanRoot, GridSchema(dims, vars, dsAttrs), metas2, hconf)
+  }
+
+  /** Rewrite one DATA array's meta when it is CF-encoded time: int
+    * offsets + `units` attr ("<step> since <date>" under a
+    * Gregorian-like calendar -> timestamps; a bare duration step ->
+    * durations; 360_day/julian keep raw ints, exactly like coords).
+    * `_FillValue` becomes the NaT (SQL NULL) marker. Scaled or
+    * already-packed layouts are left alone.
+    */
+  private def cfTimeVar(a: ZarrArrayMeta): ZarrArrayMeta = {
+    if (scaledVar(a) || a.stored.isDefined) return a
+    if (a.dtype != GInt && a.dtype != GLong) return a
+    val w = if (a.dtype == GLong) 8 else 4
+    def fillOf: Option[Long] =
+      a.attrs.get("_FillValue").flatMap(_.toLongOption)
+    a.attrs.get("units") match {
+      case Some(u) if u.contains(" since ") =>
+        val cal = a.attrs.getOrElse("calendar", "standard")
+        if (graft.time.CfCalendar.classify(cal) !=
+            graft.time.CfCalendar.GregorianLike) a
+        else {
+          graft.time.CfCalendar.parseUnits(u) // loud on bad units
+          a.copy(dtype = GTimestamp,
+            stored = Some(StoredCfTime(w, u, cal, fillOf)),
+            attrs = a.attrs -- Seq("units", "calendar", "_FillValue"))
+        }
+      case Some(u) if durationMicros.contains(u) =>
+        a.copy(dtype = GDuration,
+          stored = Some(StoredCfTime(w, u, "standard", fillOf)),
+          attrs = a.attrs -- Seq("units", "_FillValue"))
+      case _ => a
+    }
   }
 
   /** One dimension: decode its coordinate array (eager — coords are
@@ -816,6 +873,62 @@ object ZarrGridStore {
         i += 1
       }
       o
+    case Some(StoredCfTime(w, units, cal, fillRaw)) =>
+      // CF int offsets -> epoch/duration µs; _FillValue -> NaT sentinel
+      val bb = ByteBuffer.wrap(bytes).order(
+        if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      val getRaw: Int => Long =
+        if (w == 8) { val lb = bb.asLongBuffer(); lb.get(_) }
+        else { val ib = bb.asIntBuffer(); ib.get(_).toLong }
+      val o = new Array[Long](n)
+      val fl = fillRaw.getOrElse(Long.MinValue)
+      if (!units.contains(" since ")) { // bare duration step
+        val um = durationMicros(units)
+        var i = 0
+        while (i < n) {
+          val v = getRaw(i)
+          o(i) = if (v == fl || v == Long.MinValue) Long.MinValue
+                 else Math.multiplyExact(v, um)
+          i += 1
+        }
+      } else {
+        val spd = graft.time.CfCalendar.parseUnits(units).stepsPerDay
+        val linearCal = cal.toLowerCase match {
+          case "noleap" | "365_day" | "all_leap" | "366_day" => false
+          case _ => true // real timeline: µs is linear in the offset
+        }
+        if (linearCal) {
+          val base = graft.time.CfCalendar.offsetToMicros(0L, units, cal)
+          val MicrosPerDay = 86400000000L
+          var i = 0
+          if (spd >= MicrosPerDay) { // sub-µs step: truncate like <M8[ns]
+            val den = spd / MicrosPerDay
+            while (i < n) {
+              val v = getRaw(i)
+              o(i) = if (v == fl || v == Long.MinValue) Long.MinValue
+                     else Math.addExact(v / den, base)
+              i += 1
+            }
+          } else {
+            val num = MicrosPerDay / spd
+            while (i < n) {
+              val v = getRaw(i)
+              o(i) = if (v == fl || v == Long.MinValue) Long.MinValue
+                     else Math.addExact(Math.multiplyExact(v, num), base)
+              i += 1
+            }
+          }
+        } else { // noleap/all_leap: piecewise — per-offset bridge
+          var i = 0
+          while (i < n) {
+            val v = getRaw(i)
+            o(i) = if (v == fl || v == Long.MinValue) Long.MinValue
+                   else graft.time.CfCalendar.offsetToMicros(v, units, cal)
+            i += 1
+          }
+        }
+      }
+      o
     case Some(StoredVlenStr) => throw new IllegalStateException(
       "vlen strings decode via decodeVlen, not decodeStored")
     case Some(s @ StoredStr(nchars, utf32)) =>
@@ -1114,6 +1227,8 @@ object ZarrGridStore {
       case Some(StoredInt(8, _)) => one.putLong(intFill)
       // stored-unit fill; decodeStored converts it to µs like any cell
       case Some(StoredTime64(_, _)) => one.putLong(intFill)
+      case Some(StoredCfTime(w, _, _, _)) =>
+        if (w == 8) one.putLong(intFill) else one.putInt(intFill.toInt)
       case Some(StoredHalf) =>
         one.putShort(floatToHalf(a.fillValue.toFloat))
       case Some(s) => throw new IllegalArgumentException(
@@ -1539,6 +1654,9 @@ object ZarrGridStore {
       case "i8" => (GLong, bigEndian, None)
       case "i1" => (GInt, bigEndian, Some(StoredInt(1, signed = true)))
       case "u1" => (GInt, bigEndian, Some(StoredInt(1, signed = false)))
+      // numpy bool (mask variables): one byte 0/1, u1's exact layout —
+      // surfaces as INT 0/1 (queryable as `mask = 1`)
+      case "b1" => (GInt, bigEndian, Some(StoredInt(1, signed = false)))
       case "i2" => (GInt, bigEndian, Some(StoredInt(2, signed = true)))
       case "u2" => (GInt, bigEndian, Some(StoredInt(2, signed = false)))
       case "u4" => (GLong, bigEndian, Some(StoredInt(4, signed = false)))
@@ -1549,7 +1667,7 @@ object ZarrGridStore {
       case "f2" => (GFloat, bigEndian, Some(StoredHalf))
       case _ => throw new IllegalArgumentException(
         s"$name: unsupported dtype '$s' " +
-          "(f2/f4/f8/i4/i8/i1/i2/u1/u2/u4/u8/M8/m8 only)")
+          "(f2/f4/f8/i4/i8/i1/i2/u1/u2/u4/u8/b1/M8/m8 only)")
     }
   }
 

@@ -157,6 +157,8 @@ object ZarrV3 {
         case "int64" => (GLong, None)
         case "int8" => (GInt, Some(StoredInt(1, signed = true)))
         case "uint8" => (GInt, Some(StoredInt(1, signed = false)))
+        // numpy bool (mask variables): one byte 0/1, uint8's layout
+        case "bool" => (GInt, Some(StoredInt(1, signed = false)))
         case "int16" => (GInt, Some(StoredInt(2, signed = true)))
         case "uint16" => (GInt, Some(StoredInt(2, signed = false)))
         case "uint32" => (GLong, Some(StoredInt(4, signed = false)))
@@ -171,7 +173,7 @@ object ZarrV3 {
         case other => throw new IllegalArgumentException(
           s"$name: unsupported data_type '$other' (float16/float32/" +
             "float64/int32/int64/int8/int16/uint8/uint16/uint32/uint64/" +
-            "datetime64[..]/timedelta64[..]/string only)")
+            "bool/datetime64[..]/timedelta64[..]/string only)")
       }
     val (keyPrefix, sep) = {
       val cke = node.path("chunk_key_encoding")

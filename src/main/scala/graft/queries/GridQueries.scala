@@ -814,6 +814,22 @@ object GridQueries {
         .select(col("time"), col("temp"))
     }),
 
+    // CF-ENCODED time DATA variable on a foreign tree (int64 "seconds
+    // since ..." + _FillValue, the layout xarray's to_zarr emits and
+    // its decode_cf reverses): offsets decode to timestamps lazily at
+    // chunk-read time, _FillValue cells surface as SQL NULL
+    "pivot_grid_cfvar" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_cfvar") + "/store"
+      Fixtures.writeCfTimeVarTree(root)
+      val store = graft.grid.ZarrGridStore.open(root)
+      new XarrayContext(s)
+        .scratchDataFrame(s"cfvar@$root", store, store.chunkMap,
+          Seq("t"))
+        .filter(col("obs").isNull ||
+          col("obs") < lit("2021-01-01 12:00:00").cast("timestamp"))
+        .select(col("t"), col("obs"), col("temp"))
+    }),
+
     // timestamp DATA variable through the full write surface: the row
     // scatter emits `<M8[us]` (NULL cells -> NaT), the tree re-opens
     // with the time-ness intact, and NaT comes back as SQL NULL — a
@@ -1235,6 +1251,17 @@ object GridQueries {
         |  FROM generate_series(0, 23) t(k))
         |SELECT time, temp FROM g
         |WHERE time >= TIMESTAMP '2021-01-01 12:00:00'""".stripMargin,
+    "pivot_grid_cfvar" ->
+      """WITH g AS (
+        |  SELECT CAST(k AS BIGINT) AS t,
+        |         CASE WHEN k % 7 = 3 THEN NULL
+        |              ELSE TIMESTAMP '2021-01-01' + INTERVAL (k) HOUR
+        |                   + INTERVAL 90 SECOND END AS obs,
+        |         15.0 + 0.5*k AS temp
+        |  FROM generate_series(0, 23) t(k))
+        |SELECT t, obs, temp FROM g
+        |WHERE obs IS NULL OR obs < TIMESTAMP '2021-01-01 12:00:00'"""
+        .stripMargin,
     "pivot_grid_m8_write" ->
       """WITH g AS (
         |  SELECT k AS t,

@@ -65,6 +65,9 @@ object CfCalendar {
       // ZarrGridStore.write emits for microsecond-resolution time axes
       case "milliseconds" => 86400000L
       case "microseconds" => 86400000000L
+      // sub-µs: offsets truncate to the engine's µs resolution at
+      // decode (same documented loss as the raw <M8[ns] dtype path)
+      case "nanoseconds" => 86400000000000L
       case other => throw new IllegalArgumentException(s"unknown unit $other")
     }
   }

@@ -470,6 +470,25 @@ class ZarrPackedSpec extends AnyFunSuite {
         .asInstanceOf[Array[Double]]))
   }
 
+  test("numpy bool (|b1) mask variables widen to 0/1 ints") {
+    val root = tmp()
+    put(root, ".zgroup", """{"zarr_format":2}""")
+    v2Array(root, "x", "<i4", 6, 6, "0")
+    putBytes(root, "x/0", {
+      val bb = java.nio.ByteBuffer.allocate(6 * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 6).foreach(bb.putInt)
+      bb.array()
+    })
+    v2Array(root, "mask", "|b1", 6, 3, "0")
+    putBytes(root, "mask/0", Array[Byte](1, 0, 1))
+    putBytes(root, "mask/1", Array[Byte](0, 1, 1))
+    val store = ZarrGridStore.open(root.toString)
+    assert(store.schema.vars.find(_.name == "mask").get.dtype == GInt)
+    assert(store.readVar("mask", Seq((0, 6))).asInstanceOf[Array[Int]]
+      .toSeq == Seq(1, 0, 1, 0, 1, 1))
+  }
+
   test("unsupported dtypes still fail clearly") {
     val root = tmp()
     put(root, ".zgroup", """{"zarr_format":2}""")

@@ -131,6 +131,85 @@ class ZarrTimeDtypeSpec extends SparkTestBase {
       epochMs + 4L * 3600000L + 90000L)
   }
 
+  test("CF-encoded time DATA variables decode like xarray decode_cf") {
+    val root = tmp().resolve("cfvar").toString
+    GridIO.mkdirs(root, conf)
+    GridIO.writeString(s"$root/.zgroup", """{"zarr_format":2}""", conf)
+    def arr(name: String, dtype: String, attrs: String, n: Int,
+        bytes: Array[Byte]): Unit = {
+      GridIO.mkdirs(s"$root/$name", conf)
+      GridIO.writeString(s"$root/$name/.zarray",
+        s"""{"zarr_format":2,"shape":[$n],"chunks":[$n],"dtype":"$dtype",
+           |"compressor":null,"fill_value":null,"order":"C",
+           |"filters":null}""".stripMargin, conf)
+      GridIO.writeString(s"$root/$name/.zattrs", attrs, conf)
+      GridIO.write(s"$root/$name/0", bytes, conf)
+    }
+    // i-coordinate 0..3
+    val ib = ByteBuffer.allocate(4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 4).foreach(k => ib.putLong(k.toLong))
+    arr("i", "<i8", """{"_ARRAY_DIMENSIONS":["i"]}""", 4, ib.array())
+    // i8 "seconds since 2000-01-01" with _FillValue -999 at slot 2
+    val sb = ByteBuffer.allocate(4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0L, 7200L, -999L, 86400L).foreach(sb.putLong)
+    arr("ts", "<i8",
+      """{"_ARRAY_DIMENSIONS":["i"],
+        |"units":"seconds since 2000-01-01","_FillValue":-999}"""
+        .stripMargin, 4, sb.array())
+    // i4 "hours since 1970-01-02" (int32 width, real timeline)
+    val hb = ByteBuffer.allocate(4 * 4).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0, 1, 2, 3).foreach(hb.putInt)
+    arr("th", "<i4",
+      """{"_ARRAY_DIMENSIONS":["i"],"units":"hours since 1970-01-02",
+        |"calendar":"proleptic_gregorian"}""".stripMargin, 4, hb.array())
+    // noleap calendar: "days since 2000-01-01" — day 60 crosses the
+    // calendar's missing Feb 29, so linear decode would be wrong
+    val nb = ByteBuffer.allocate(4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0L, 31L, 59L, 60L).foreach(nb.putLong)
+    arr("tn", "<i8",
+      """{"_ARRAY_DIMENSIONS":["i"],"units":"days since 2000-01-01",
+        |"calendar":"noleap"}""".stripMargin, 4, nb.array())
+    // bare duration step (timedelta64 encoding): "seconds"
+    val db = ByteBuffer.allocate(4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0L, 90L, -999L, 3600L).foreach(db.putLong)
+    arr("dt", "<i8",
+      """{"_ARRAY_DIMENSIONS":["i"],"units":"seconds",
+        |"_FillValue":-999}""".stripMargin, 4, db.array())
+    ZarrGridStore.consolidate(root, conf)
+
+    val store = ZarrGridStore.open(root)
+    val epoch2000us = 946684800L * 1000000L
+    assert(store.schema.vars.find(_.name == "ts").get.dtype == GTimestamp)
+    val ts = store.readVar("ts", Seq((0, 4))).asInstanceOf[Array[Long]]
+    assert(ts(0) == epoch2000us)
+    assert(ts(1) == epoch2000us + 7200L * 1000000L)
+    assert(ts(2) == Long.MinValue) // _FillValue -> NaT -> SQL NULL
+    assert(ts(3) == epoch2000us + 86400L * 1000000L)
+    val th = store.readVar("th", Seq((0, 4))).asInstanceOf[Array[Long]]
+    assert(th(0) == 86400L * 1000000L)
+    assert(th(3) == (86400L + 3 * 3600L) * 1000000L)
+    // noleap: day 59 = 2000-02-28 (wait — noleap skips Feb 29), day 60
+    // must match CfCalendar's own per-offset bridge, not a linear law
+    val tn = store.readVar("tn", Seq((0, 4))).asInstanceOf[Array[Long]]
+    (0 until 4).foreach { k =>
+      val off = Seq(0L, 31L, 59L, 60L)(k)
+      assert(tn(k) == graft.time.CfCalendar.offsetToMicros(
+        off, "days since 2000-01-01", "noleap"), s"k=$k")
+    }
+    assert(store.schema.vars.find(_.name == "dt").get.dtype == GDuration)
+    val dt = store.readVar("dt", Seq((0, 4))).asInstanceOf[Array[Long]]
+    assert(dt(1) == 90L * 1000000L)
+    assert(dt(2) == Long.MinValue)
+    assert(dt(3) == 3600L * 1000000L)
+    // and the scan serves TIMESTAMP/NULL through SQL
+    val df = new graft.XarrayContext(spark)
+      .scratchDataFrame(s"cfvar@$root", store, store.chunkMap, Seq("i"))
+    val got = df.orderBy("i").select("ts").collect()
+    assert(got(2).isNullAt(0))
+    assert(got(1).getTimestamp(0).getTime ==
+      (946684800L + 7200L) * 1000L)
+  }
+
   test("<u8 widens to long; high-bit values overflow loudly") {
     val root = tmp().resolve("u8").toString
     Fixtures.writeU8Tree(root)
