@@ -425,7 +425,18 @@ object ZarrGridStore {
     if (a.dtype != GInt && a.dtype != GLong) return a
     val w = if (a.dtype == GLong) 8 else 4
     def fillOf: Option[Long] =
-      a.attrs.get("_FillValue").flatMap(_.toLongOption)
+      a.attrs.get("_FillValue").flatMap { s =>
+        s.toLongOption.orElse {
+          // float spelling of an integral fill ("-999.0"); reject
+          // NaN/fractional instead of silently masking a wrong value
+          val d = s.toDouble
+          if (d.isNaN || d.isInfinite || d != d.floor)
+            throw new IllegalArgumentException(
+              s"${a.name}: non-integral _FillValue '$s' on an " +
+                "integer CF time variable")
+          Some(d.toLong)
+        }
+      }
     a.attrs.get("units") match {
       case Some(u) if u.contains(" since ") =>
         val cal = a.attrs.getOrElse("calendar", "standard")
