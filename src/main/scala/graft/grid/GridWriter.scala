@@ -104,7 +104,9 @@ object GridWriter {
         else ZarrGridStore.compress(ZarrGridStore.toLE(padded, dtype),
           comp, dtype.byteWidth)
       GridIO.write(s"$root/$varName/$ciDotted", payload, conf)
-      (None, None)
+      // value stats on the EFFECTIVE cells (padding is storage, not
+      // data) — feeds the .graft-stats.json sidecar
+      (BinaryGridStore.chunkStats(arr), BinaryGridStore.chunkSum(arr))
     }
   }
 
@@ -149,7 +151,10 @@ object GridWriter {
         if (flatKeys) s"$root/$varName/$ciDotted"
         else s"$root/$varName/c/${ciDotted.split('.').mkString("/")}",
         payload, conf)
-      (None, None)
+      // sharded arrays serve no stats (the scan plans on the INNER
+      // grid; outer-shard bounds would never be consulted)
+      if (innerSz.isDefined) (None, None)
+      else (BinaryGridStore.chunkStats(arr), BinaryGridStore.chunkSum(arr))
     }
   }
 

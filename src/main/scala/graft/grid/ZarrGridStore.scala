@@ -205,7 +205,44 @@ final case class ShardMeta(
   */
 final case class ZarrGridStore(root: String, schema: GridSchema,
     arrays: Map[String, ZarrArrayMeta],
-    hconf: SerializableHadoopConf = GridIO.shippable()) extends GridStore {
+    hconf: SerializableHadoopConf = GridIO.shippable(),
+    /** Per-chunk (min,max) / sums recorded by THIS engine's writers in
+      * the `.graft-stats.json` sidecar (keys `"<var> <ci.dotted>"`,
+      * same contract as BinaryGridStore). Parquet-footer rules apply:
+      * the sidecar is part of the written format — rewriting chunk
+      * files by hand without dropping it is corruption. Foreign trees
+      * have no sidecar and simply serve no bounds.
+      */
+    stats: Map[String, (Any, Any)] = Map.empty,
+    sums: Map[String, Double] = Map.empty) extends GridStore {
+
+  /** Chunk key for `block` when it aligns with `name`'s own storage
+    * grid (the blocks the DSv2 scan plans), else None. Sharded arrays
+    * serve no stats: the sidecar keys OUTER chunks while scan blocks
+    * run on the inner grid.
+    */
+  private def alignedKey(name: String,
+      block: Seq[(Int, Int)]): Option[String] = {
+    val a = arrays.getOrElse(name, return None)
+    if (a.sharding.isDefined || ZarrGridStore.scaledVar(a)) return None
+    val chunkSz = a.effectiveChunk
+    val aligned = block.indices.forall { i =>
+      val (start, len) = block(i)
+      start % chunkSz(i) == 0 && len <= chunkSz(i) &&
+        (len == chunkSz(i) || start + len == a.shape(i))
+    }
+    if (!aligned) None
+    else Some(
+      s"$name ${block.zip(chunkSz).map(b => b._1._1 / b._2).mkString(".")}")
+  }
+
+  override def varBounds(name: String,
+      block: Seq[(Int, Int)]): Option[(Any, Any)] =
+    alignedKey(name, block).flatMap(stats.get)
+
+  override def varSums(name: String,
+      block: Seq[(Int, Int)]): Option[Double] =
+    alignedKey(name, block).flatMap(sums.get)
 
   /** Per-dim chunk sizes of the DATA variables (what registration
     * partitions the scan by). Coordinate arrays may chunk differently;
@@ -410,7 +447,106 @@ object ZarrGridStore {
             sizes.map(_._2).distinct.mkString(","))
       }
 
-    ZarrGridStore(cleanRoot, GridSchema(dims, vars, dsAttrs), metas2, hconf)
+    val (chunkStatsMap, chunkSumsMap) = readStatsSidecar(cleanRoot, conf)
+    ZarrGridStore(cleanRoot, GridSchema(dims, vars, dsAttrs), metas2, hconf,
+      stats = chunkStatsMap, sums = chunkSumsMap)
+  }
+
+  /** Sidecar carrying per-chunk value stats for zarr trees — the same
+    * (min,max)/sum law BinaryGridStore records in metadata.txt, keyed
+    * `"<var> <ci.dotted>"`. zarr-python ignores unknown root files, so
+    * the tree stays a perfectly ordinary zarr archive. Absent on
+    * foreign trees (no stats, no pruning — always sound). Append
+    * DELETES it before the commit phase and rewrites it after, so a
+    * crash window can only lose stats, never serve stale bounds.
+    */
+  private[grid] val StatsSidecar = ".graft-stats.json"
+
+  /** `kind` tag per dtype, mirroring BinaryGridStore.chunkStats boxing:
+    * long-kind arrays carry (Long, Long) (exact past 2^53), everything
+    * else (Double, Double).
+    */
+  private def statsKind(dtype: GridType): String = dtype match {
+    case GLong | GTimestamp | GDuration => "long"
+    case _ => "double"
+  }
+
+  private[grid] def writeStatsSidecar(root: String, schema: GridSchema,
+      entries: Seq[(String, Option[(Any, Any)], Option[Double])],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    // nothing to record (all-sharded / all-string trees): write no
+    // file, so append-vs-one-shot byte identity holds for those too
+    if (!entries.exists(e => e._2.isDefined || e._3.isDefined)) return
+    val mapper = new ObjectMapper()
+    val top = mapper.createObjectNode()
+    top.put("version", 1)
+    val vars = top.putObject("vars")
+    val byVar = entries.flatMap { case (key, mm, sm) =>
+      key.split(" ", 2) match {
+        case Array(nm, ci) => Some((nm, ci, mm, sm))
+        case _ => None
+      }
+    }.groupBy(_._1)
+    schema.vars.foreach { v =>
+      // sorted by chunk key: scatter results arrive in executor map
+      // order, and the sidecar must be byte-deterministic (the append
+      // byte-identity property covers it)
+      val es = byVar.getOrElse(v.name, Seq.empty).sortBy(_._2)
+      if (es.nonEmpty) {
+        val vn = vars.putObject(v.name)
+        vn.put("kind", statsKind(v.dtype))
+        val st = vn.putObject("stats")
+        val su = vn.putObject("sums")
+        es.foreach { case (_, ci, mm, sm) =>
+          mm.foreach { case (mn, mx) =>
+            val arr = st.putArray(ci)
+            Seq(mn, mx).foreach {
+              case l: Long => arr.add(l)
+              case d: Double => arr.add(d)
+              case other => throw new IllegalStateException(
+                s"${v.name}: unexpected stats box ${other.getClass}")
+            }
+          }
+          sm.foreach(s => su.put(ci, s))
+        }
+      }
+    }
+    GridIO.writeString(s"$root/$StatsSidecar",
+      mapper.writeValueAsString(top), conf)
+  }
+
+  private[grid] def readStatsSidecar(root: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : (Map[String, (Any, Any)], Map[String, Double]) = {
+    val p = s"$root/$StatsSidecar"
+    val raw =
+      try Some(GridIO.readAllBytes(p, conf))
+      catch { case _: java.io.FileNotFoundException => None }
+    raw match {
+      case None => (Map.empty, Map.empty)
+      case Some(bytes) =>
+        val node = parseJson(bytes)
+        require(node.path("version").asInt(0) == 1,
+          s"$p: unsupported stats sidecar version")
+        val stats = Map.newBuilder[String, (Any, Any)]
+        val sums = Map.newBuilder[String, Double]
+        node.path("vars").properties().asScala.foreach { e =>
+          val name = e.getKey
+          val vn = e.getValue
+          val long = vn.path("kind").asText("double") == "long"
+          vn.path("stats").properties().asScala.foreach { s =>
+            val a = s.getValue
+            require(a.isArray && a.size() == 2, s"$p: bad stats entry")
+            val pair: (Any, Any) =
+              if (long) (a.get(0).asLong(), a.get(1).asLong())
+              else (a.get(0).asDouble(), a.get(1).asDouble())
+            stats += s"$name ${s.getKey}" -> pair
+          }
+          vn.path("sums").properties().asScala.foreach(s =>
+            sums += s"$name ${s.getKey}" -> s.getValue.asDouble())
+        }
+        (stats.result(), sums.result())
+    }
   }
 
   /** Rewrite one DATA array's meta when it is CF-encoded time: int
@@ -1610,18 +1746,23 @@ object ZarrGridStore {
   }
 
   private val strDtype = raw"([<>|])([SU])(\d+)".r
-  private val m8Dtype = raw"([<>])([Mm])8\[(ns|us|ms|s)\]".r
+  private val m8Dtype = raw"([<>])([Mm])8\[(ns|us|ms|s|m|h|D|W)\]".r
 
   /** (num, den) such that µs = stored * num / den for one datetime64/
-    * timedelta64 storage unit.
+    * timedelta64 storage unit (numpy's full sub-week ladder; W/M/Y
+    * have no fixed µs law and stay unsupported).
     */
   private[grid] def m8Scale(unit: String): (Long, Long) = unit match {
     case "ns" => (1L, 1000L)
     case "us" => (1L, 1L)
     case "ms" => (1000L, 1L)
     case "s" => (1000000L, 1L)
+    case "m" => (60000000L, 1L)
+    case "h" => (3600000000L, 1L)
+    case "D" => (86400000000L, 1L)
+    case "W" => (604800000000L, 1L) // numpy weeks are exactly 7 days
     case other => throw new IllegalArgumentException(
-      s"unsupported datetime64 unit '$other' (ns/us/ms/s)")
+      s"unsupported datetime64 unit '$other' (ns/us/ms/s/m/h/D/W)")
   }
 
   private def parseDtype(s: String,
@@ -1733,20 +1874,23 @@ object ZarrGridStore {
     val cleanRoot = root.stripSuffix("/")
     val comp = parseCompressor(compressor)
     val tasks = writeShell(source.schema, cleanRoot, chunks, comp, conf)
-    tasks.foreach(_.run(source, comp, conf))
+    val entries = tasks.map(_.run(source, comp, conf))
+    writeStatsSidecar(cleanRoot, source.schema, entries, conf)
     consolidate(cleanRoot, conf)
     open(cleanRoot) // takes the consolidated path it just wrote
   }
 
   /** One data chunk's write work: read the block from the source, pad
-    * to the full chunk shape, encode, write the chunk file. Small and
-    * Serializable so [[writeDistributed]] ships it to executors.
+    * to the full chunk shape, encode, write the chunk file; returns
+    * the chunk's sidecar stats entry. Small and Serializable so
+    * [[writeDistributed]] ships it to executors.
     */
   private[grid] final case class ChunkWriteTask(dir: String, varName: String,
       dtype: GridType, chunkSz: Seq[Int],
       block: Seq[(Int, Int)]) extends Serializable {
     def run(source: GridStore, comp: Option[(String, Int)],
-        conf: org.apache.hadoop.conf.Configuration): Unit = {
+        conf: org.apache.hadoop.conf.Configuration)
+        : (String, Option[(Any, Any)], Option[Double]) = {
       val ci = block.zip(chunkSz).map(b => b._1._1 / b._2)
       val eff = block.map(_._2).toArray
       val data = source.readVar(varName, block)
@@ -1756,6 +1900,8 @@ object ZarrGridStore {
           compress(encodeVlen(padded.asInstanceOf[Array[String]]), comp, 1)
         else compress(toLE(padded, dtype), comp, dtype.byteWidth)
       GridIO.write(s"$dir/${ci.mkString(".")}", payload, conf)
+      (s"$varName ${ci.mkString(".")}",
+        BinaryGridStore.chunkStats(data), BinaryGridStore.chunkSum(data))
     }
   }
 
@@ -1821,9 +1967,12 @@ object ZarrGridStore {
     val hconf = GridIO.shippable()
     val bSource = sc.broadcast(source)
     val parts = math.max(1, math.min(tasks.size, sc.defaultParallelism * 2))
-    sc.parallelize(tasks, parts)
-      .foreach(t => t.run(bSource.value, comp, hconf.value))
+    // stats entries are tiny ((key, min, max, sum) per chunk) — the
+    // collect is metadata-sized, never data-sized
+    val entries = sc.parallelize(tasks, parts)
+      .map(t => t.run(bSource.value, comp, hconf.value)).collect().toSeq
     bSource.destroy()
+    writeStatsSidecar(cleanRoot, source.schema, entries, conf)
     consolidate(cleanRoot, conf)
     open(cleanRoot)
   }
@@ -1847,12 +1996,13 @@ object ZarrGridStore {
     val cleanRoot = root.stripSuffix("/")
     val comp = parseCompressor(compressor)
     writeShell(schema, cleanRoot, chunks, comp, conf) // data via scatter
-    schema.vars.foreach { v =>
+    val entries = schema.vars.flatMap { v =>
       val chunkSz = v.dims.map(d =>
         chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
       GridWriter.writeVar(df, schema, chunks,
         GridWriter.ZarrSink(cleanRoot, v.dtype, chunkSz, comp), v)
     }
+    writeStatsSidecar(cleanRoot, schema, entries, conf)
     consolidate(cleanRoot, conf)
     open(cleanRoot)
   }
@@ -1957,7 +2107,7 @@ object ZarrGridStore {
     val staging = cleanRoot + ".staging-" +
       java.util.UUID.randomUUID().toString.take(8)
     val globalSize = exDim.size + slabDim.size
-    growing.foreach { v =>
+    val newEntries = growing.flatMap { v =>
       GridIO.mkdirs(s"$staging/${v.name}", conf)
       val a = existing.arrays(v.name)
       val varChunks = v.dims.zip(a.chunkShape).toMap
@@ -1976,6 +2126,12 @@ object ZarrGridStore {
     appendTestHook(cleanRoot)
     checkNoConcurrentAppend(cleanRoot, staging,
       s"$cleanRoot/$along/.zarray", versionKey, conf)
+    // stats sidecar: capture the pre-append entries, then DELETE the
+    // sidecar before any chunk moves — a crash mid-commit leaves no
+    // sidecar (no stats, sound) instead of stale bounds for the
+    // replaced edge chunk
+    val (oldStats, oldSums) = readStatsSidecar(cleanRoot, conf)
+    GridIO.delete(s"$cleanRoot/$StatsSidecar", conf)
     // staged chunks already carry store-global keys; the shared commit
     // protocol (manifest + replaceWithBackup) makes the move crash-
     // healable and retry-idempotent — merged edge chunks and orphans
@@ -2003,8 +2159,33 @@ object ZarrGridStore {
       GridIO.writeString(s"$cleanRoot/${v.name}/.zarray",
         new ObjectMapper().writeValueAsString(za), conf)
     }
+    // merged sidecar: untouched chunks keep their entries, the merged
+    // edge chunk and new chunks take the append's recomputed stats
+    // (same key -> the new entry wins)
+    mergeStatsSidecar(cleanRoot, existing.schema, oldStats, oldSums,
+      newEntries, conf)
     consolidate(cleanRoot, conf)
     open(cleanRoot)
+  }
+
+  /** Rewrite the stats sidecar after an append: old entries ++ new
+    * entries (new wins on the shared edge-chunk key). Writing happens
+    * only when either side HAS stats — appending to a foreign tree
+    * that never had a sidecar still creates one covering the appended
+    * chunks (partial coverage is sound: absent keys serve no bounds).
+    */
+  private[grid] def mergeStatsSidecar(root: String, schema: GridSchema,
+      oldStats: Map[String, (Any, Any)], oldSums: Map[String, Double],
+      newEntries: Seq[(String, Option[(Any, Any)], Option[Double])],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val merged = newEntries.map(_._1).toSet
+    val keep = oldStats.view.filterKeys(!merged.contains(_)).toMap
+    val keepSums = oldSums.view.filterKeys(!merged.contains(_)).toMap
+    val entries =
+      keep.keysIterator.concat(keepSums.keysIterator).toSeq.distinct
+        .map(k => (k, keep.get(k), keepSums.get(k))) ++ newEntries
+    if (entries.exists(e => e._2.isDefined || e._3.isDefined))
+      writeStatsSidecar(root, schema, entries, conf)
   }
 
   /** In place on `arr` (flat C-order of shape `eff`): every position

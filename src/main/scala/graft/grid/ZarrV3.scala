@@ -138,7 +138,7 @@ object ZarrV3 {
       val (num, den) = ZarrGridStore.m8Scale(unit)
       StoredTime64(num, den)
     }
-    val m8Str = raw"(datetime64|timedelta64)\[(ns|us|ms|s)\]".r
+    val m8Str = raw"(datetime64|timedelta64)\[(ns|us|ms|s|m|h|D|W)\]".r
     val (dtype, stored): (GridType, Option[StoredElem]) =
       if (dtNode.isObject) {
         val cfg = dtNode.path("configuration")
@@ -426,12 +426,16 @@ object ZarrV3 {
     writeImpl(source, root, chunks, compressor, shardInner,
       distributed = true)
 
-  /** One v3 data chunk (or shard): read, pad, encode, write. */
+  /** One v3 data chunk (or shard): read, pad, encode, write; returns
+    * the chunk's sidecar stats entry (None for shards — the scan plans
+    * on the inner grid).
+    */
   private final case class V3ChunkTask(dir: String, varName: String,
       dtype: GridType, chunkSz: Seq[Int], innerSz: Option[Seq[Int]],
       block: Seq[(Int, Int)]) extends Serializable {
     def run(source: GridStore, comp: Option[(String, Int)],
-        conf: org.apache.hadoop.conf.Configuration): Unit = {
+        conf: org.apache.hadoop.conf.Configuration)
+        : (String, Option[(Any, Any)], Option[Double]) = {
       val ci = block.zip(chunkSz).map(b => b._1._1 / b._2)
       val eff = block.map(_._2).toArray
       val data = source.readVar(varName, block)
@@ -454,6 +458,9 @@ object ZarrV3 {
           }
         }
       GridIO.write(s"$dir/c/${ci.mkString("/")}", payload, conf)
+      if (innerSz.isDefined) (s"$varName ${ci.mkString(".")}", None, None)
+      else (s"$varName ${ci.mkString(".")}",
+        BinaryGridStore.chunkStats(data), BinaryGridStore.chunkSum(data))
     }
   }
 
@@ -473,7 +480,7 @@ object ZarrV3 {
     val conf = GridIO.driverConf()
     val cleanRoot = root.stripSuffix("/")
     writeMetadataShell(schema, cleanRoot, chunks, comp, shardInner, conf)
-    schema.vars.foreach { v =>
+    val entries = schema.vars.flatMap { v =>
       val chunkSz = v.dims.map(d =>
         chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
       val innerSz =
@@ -483,6 +490,7 @@ object ZarrV3 {
       GridWriter.writeVar(df, schema, chunks,
         GridWriter.V3Sink(cleanRoot, v.dtype, chunkSz, innerSz, comp), v)
     }
+    ZarrGridStore.writeStatsSidecar(cleanRoot, schema, entries, conf)
     open(cleanRoot)
   }
 
@@ -563,7 +571,7 @@ object ZarrV3 {
     val staging = cleanRoot + ".staging-" +
       java.util.UUID.randomUUID().toString.take(8)
     val globalSize = exDim.size + slabDim.size
-    growing.foreach { v =>
+    val newEntries = growing.flatMap { v =>
       val a = existing.arrays(v.name)
       GridIO.mkdirs(s"$staging/${v.name}", conf)
       // the stored-file grid (= shard grid when sharded) keys the
@@ -586,6 +594,11 @@ object ZarrV3 {
     ZarrGridStore.appendTestHook(cleanRoot)
     ZarrGridStore.checkNoConcurrentAppend(cleanRoot, staging,
       s"$cleanRoot/$along/zarr.json", versionKey, conf)
+    // stats sidecar: capture, then delete BEFORE chunk moves (crash
+    // mid-commit -> no sidecar -> no stats, never stale bounds)
+    val (oldStats, oldSums) =
+      ZarrGridStore.readStatsSidecar(cleanRoot, conf)
+    GridIO.delete(s"$cleanRoot/${ZarrGridStore.StatsSidecar}", conf)
     // staged flat keys (already store-global) -> nested `c/` keys via
     // the shared crash-healable, retry-idempotent commit protocol
     GridIO.commitStaged(staging,
@@ -615,6 +628,9 @@ object ZarrV3 {
       GridIO.writeString(s"$cleanRoot/${v.name}/zarr.json",
         mapper.writeValueAsString(za), conf)
     }
+    // merged sidecar (new entries win on the shared edge-chunk key)
+    ZarrGridStore.mergeStatsSidecar(cleanRoot, existing.schema,
+      oldStats, oldSums, newEntries, conf)
     // the writer's metadata order (dims, then vars) keeps the rebuilt
     // root byte-identical to a one-shot write of the grown dataset
     reconsolidateRoot(cleanRoot,
@@ -680,16 +696,21 @@ object ZarrV3 {
         V3ChunkTask(s"$cleanRoot/${v.name}", v.name, v.dtype, chunkSz,
           innerSz, block))
     }
-    if (!distributed) tasks.foreach(_.run(source, comp, conf))
-    else {
-      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-      val hconf = GridIO.shippable()
-      val bSource = sc.broadcast(source)
-      val parts = math.max(1, math.min(tasks.size, sc.defaultParallelism * 2))
-      sc.parallelize(tasks, parts)
-        .foreach(t => t.run(bSource.value, comp, hconf.value))
-      bSource.destroy()
-    }
+    val entries =
+      if (!distributed) tasks.map(_.run(source, comp, conf))
+      else {
+        val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+        val hconf = GridIO.shippable()
+        val bSource = sc.broadcast(source)
+        val parts = math.max(1,
+          math.min(tasks.size, sc.defaultParallelism * 2))
+        // stats entries are metadata-sized; the collect never carries data
+        val es = sc.parallelize(tasks, parts)
+          .map(t => t.run(bSource.value, comp, hconf.value)).collect().toSeq
+        bSource.destroy()
+        es
+      }
+    ZarrGridStore.writeStatsSidecar(cleanRoot, schema, entries, conf)
     open(cleanRoot)
   }
 

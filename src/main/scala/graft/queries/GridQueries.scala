@@ -370,6 +370,22 @@ object GridQueries {
           col("air"))
     }),
 
+    // the same DATA-VARIABLE zone maps on the PRIMARY format: a ZARR
+    // tree written by this engine carries per-chunk value stats in the
+    // .graft-stats.json sidecar, and the var predicate prunes chunk
+    // FILES (open counts pinned in ZarrVarStatsSpec)
+    "pivot_grid_zarr_varstats" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_zarr_varstats") + "/store"
+      val store = graft.grid.ZarrGridStore.write(Fixtures.linearGrid,
+        root, Map("t" -> 6), "zlib")
+      new XarrayContext(s)
+        .scratchDataFrame(s"zarr_varstats@$root", store, store.chunkMap,
+          Seq("t", "lat", "lon"))
+        .filter(col("air") >= 255.0)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
+
     // timedelta (DayTimeInterval) coordinate end-to-end: a forecast grid
     // keyed by init time x prediction lead; the interval-literal filter
     // zone-map-prunes lead chunks and valid time = time + lead uses
@@ -1094,6 +1110,10 @@ object GridQueries {
          |SELECT AVG(air) AS mean_air
          |FROM grid WHERE t BETWEEN 3 AND 20""".stripMargin,
     "pivot_grid_varstats" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
+         |FROM grid WHERE air >= 255.0""".stripMargin,
+    "pivot_grid_zarr_varstats" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE air >= 255.0""".stripMargin,

@@ -27,11 +27,11 @@ class ZarrConsolidatedSpec extends AnyFunSuite {
     val conf = GridIO.driverConf()
     GridIO.Counters.reset()
     val store = ZarrGridStore.open(root)
-    // 1 exists(.zmetadata) + 1 read(.zmetadata); the 3 extra reads are
-    // the eager coordinate DATA chunks (t, lat, lon), not metadata.
+    // 1 exists(.zmetadata) + 1 read(.zmetadata); 3 extra reads are the
+    // eager coordinate DATA chunks (t, lat, lon) + 1 the stats sidecar.
     // No directory listing, no per-array metadata round trips.
     assert(GridIO.Counters.existChecks.sum() == 1L)
-    assert(GridIO.Counters.reads.sum() == 1L + 3L)
+    assert(GridIO.Counters.reads.sum() == 1L + 3L + 1L)
     assert(GridIO.Counters.lists.sum() == 0L)
     assert(store.schema.dimNames == Seq("t", "lat", "lon"))
     assert(store.schema.vars.map(_.name) == Seq("air"))

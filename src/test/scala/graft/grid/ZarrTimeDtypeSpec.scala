@@ -67,6 +67,13 @@ class ZarrTimeDtypeSpec extends SparkTestBase {
     val us = ByteBuffer.allocate(3 * 8).order(ByteOrder.LITTLE_ENDIAN)
     Seq(0L, 250000L, 4000000L).foreach(us.putLong) // µs timedeltas
     arr("d", "<m8[us]", 3, us.array())
+    // coarse units: days (and numpy's exactly-7-day weeks)
+    val db = ByteBuffer.allocate(3 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0L, 1L, 31L).foreach(db.putLong)
+    arr("td", "<M8[D]", 3, db.array())
+    val wb = ByteBuffer.allocate(3 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0L, 1L, 52L).foreach(wb.putLong)
+    arr("tw", "<m8[W]", 3, wb.array())
     val vb = ByteBuffer.allocate(3 * 8).order(ByteOrder.LITTLE_ENDIAN)
     Seq(1.0, 2.0, 3.0).foreach(vb.putDouble)
     arr("v", "<f8", 3, vb.array())
@@ -80,6 +87,12 @@ class ZarrTimeDtypeSpec extends SparkTestBase {
     assert(tc.values.sameElements(Array(0L, 1000000L, 61000000L)))
     val dc = store.schema.dim("d").coords.asInstanceOf[DurationCoords]
     assert(dc.values.sameElements(Array(0L, 250000L, 4000000L)))
+    val td = store.schema.dim("td").coords.asInstanceOf[TimeCoords]
+    assert(td.values.sameElements(
+      Array(0L, 86400000000L, 31L * 86400000000L)))
+    val tw = store.schema.dim("tw").coords.asInstanceOf[DurationCoords]
+    assert(tw.values.sameElements(
+      Array(0L, 604800000000L, 52L * 604800000000L)))
   }
 
   test("NaT in a coordinate array fails loudly") {

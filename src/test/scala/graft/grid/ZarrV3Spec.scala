@@ -124,9 +124,10 @@ class ZarrV3Spec extends SparkTestBase {
     GridIO.Counters.reset()
     ZarrGridStore.open(root)
     // exists(.zmetadata) + exists(zarr.json) + read(zarr.json with
-    // inline consolidated metadata) + 3 coordinate chunk reads
+    // inline consolidated metadata) + 3 coordinate chunk reads + the
+    // .graft-stats.json sidecar (one read, metadata-sized)
     assert(GridIO.Counters.existChecks.sum() == 2L)
-    assert(GridIO.Counters.reads.sum() == 1L + 3L)
+    assert(GridIO.Counters.reads.sum() == 1L + 3L + 1L)
     assert(GridIO.Counters.lists.sum() == 0L)
     // strip consolidation -> per-array listing walk, same store
     val rootJson = java.nio.file.Paths.get(root, "zarr.json")

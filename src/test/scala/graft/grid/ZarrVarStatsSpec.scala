@@ -1,0 +1,121 @@
+package graft.grid
+
+import graft.SparkTestBase
+import graft.XarrayContext
+import graft.sources.ReadCounters
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Per-chunk VALUE stats on ZARR trees (`.graft-stats.json` sidecar):
+  * recorded by every writer path, merged by append, served through the
+  * same `varBounds`/`varSums` contract as the binary store — so
+  * data-variable zone maps and metadata SUM/AVG now work on the
+  * reference's PRIMARY format, not just the engine's own binary one.
+  */
+class ZarrVarStatsSpec extends SparkTestBase {
+
+  private def tmp(): Path = {
+    val p = Files.createTempDirectory("zarr_vstats")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("v2 + v3 writes record stats; scan prunes on a var predicate") {
+    for ((root, store) <- Seq(
+      { val r = tmp().resolve("v2").toString
+        (r, ZarrGridStore.write(Fixtures.pruneGrid, r,
+          Map("time" -> 25), "zlib")) },
+      { val r = tmp().resolve("v3").toString
+        (r, ZarrV3.write(Fixtures.pruneGrid, r,
+          Map("time" -> 25), "zstd:3")) })) {
+      assert(Files.exists(Paths.get(root, ".graft-stats.json")), root)
+      // temperature = t*10 + lat_idx -> chunk maxima 244 / ... / 994
+      assert(store.varBounds("temperature", Seq((0, 25), (0, 5)))
+        .contains((0.0, 244.0)), root)
+      assert(store.varBounds("temperature", Seq((75, 25), (0, 5)))
+        .contains((750.0, 994.0)), root)
+      // unaligned block -> no stats (sound: unknown)
+      assert(store.varBounds("temperature",
+        Seq((10, 25), (0, 5))).isEmpty, root)
+      val df = new XarrayContext(spark).dataFrame(s"zvs@$root", store,
+        Map("time" -> 25), Seq("time", "lat"))
+      ReadCounters.reset()
+      assert(df.filter(col("temperature") >= 750.0)
+        .collect().length == 125, root)
+      assert(ReadCounters.partitionsOpened.sum() == 1L, root)
+    }
+  }
+
+  test("metadata SUM/AVG answered from the sidecar (zero var reads)") {
+    val root = tmp().resolve("sum").toString
+    val store = ZarrGridStore.write(Fixtures.pruneGrid, root,
+      Map("time" -> 25), "zlib")
+    assert(store.varSums("temperature", Seq((0, 25), (0, 5))).nonEmpty)
+    // the SUM rewrite is an injected optimizer rule — needs a session
+    // built with GraftExtensions (the shared test session has none)
+    spark // force the shared context first
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val session = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      val df = new XarrayContext(session).dataFrame(s"zvsum@$root", store,
+        Map("time" -> 25), Seq("time", "lat"))
+      ReadCounters.reset()
+      val s = df.agg(sum("temperature")).collect().head.getDouble(0)
+      val expect = (for (t <- 0 until 100; i <- 0 until 5)
+        yield t * 10.0 + i).sum
+      assert(s == expect)
+      assert(ReadCounters.varReadCount("temperature") == 0L)
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("row-scatter writes record stats; append merges the edge entry") {
+    import spark.implicits._
+    val df = (0 until 10).map(t => (t, t * 2.0)).toDF("t", "x")
+    val root = tmp().resolve("ap").toString
+    val s7 = GridSchema(
+      Seq(DimDef("t", IntCoords((0 until 7).toArray))),
+      Seq(VarDef("x", Seq("t"), GDouble)))
+    val first = ZarrGridStore.writeFromRows(df.filter(col("t") < 7), s7,
+      Map("t" -> 4), root, "zstd:3")
+    // edge chunk 1 holds t=4..6 before the append
+    assert(first.varBounds("x", Seq((4, 3))).contains((8.0, 12.0)))
+    val slab = GridSchema(
+      Seq(DimDef("t", IntCoords((7 until 10).toArray))),
+      Seq(VarDef("x", Seq("t"), GDouble)))
+    val grown = ZarrGridStore.appendFromRows(
+      df.filter(col("t") >= 7), slab, root, "t")
+    // merged edge chunk t=4..7, new chunk t=8..9 — stats recomputed
+    assert(grown.varBounds("x", Seq((4, 4))).contains((8.0, 14.0)))
+    assert(grown.varBounds("x", Seq((8, 2))).contains((16.0, 18.0)))
+    // untouched chunk keeps its entry
+    assert(grown.varBounds("x", Seq((0, 4))).contains((0.0, 6.0)))
+  }
+
+  test("foreign trees (no sidecar) serve no bounds; sharded arrays too") {
+    val root = tmp().resolve("foreign").toString
+    Fixtures.writeM8Tree(root)
+    val store = ZarrGridStore.open(root)
+    assert(store.varBounds("temp", Seq((0, 6))).isEmpty)
+    // sharded: stats keyed on outer shards would never align with the
+    // inner-grid scan blocks, so none are recorded or served
+    val shRoot = tmp().resolve("sh").toString
+    val sh = ZarrV3.write(Fixtures.linearGrid, shRoot,
+      Map("t" -> 6), "zstd:3", shardInner = Map("t" -> 2))
+    assert(sh.varBounds("air", Seq((0, 2), (0, 12), (0, 10))).isEmpty)
+    assert(!Files.exists(Paths.get(shRoot, ".graft-stats.json")))
+  }
+}
