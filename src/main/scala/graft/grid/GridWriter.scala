@@ -34,14 +34,16 @@ object GridWriter {
     */
   trait ChunkSink extends Serializable {
     /** Persist one dense chunk. `eff` is the per-dim effective
-      * (boundary-clipped) lengths of this chunk. Returns the optional
-      * (min,max) / sum stats entries the driver should commit (binary
-      * store) or None (formats without a stats sidecar).
+      * (boundary-clipped) lengths of this chunk. Returns the stats
+      * entries the driver should commit, keyed by chunk key — one
+      * `(ciDotted, (min,max), sum)` per stored chunk, or one per
+      * INNER chunk (global inner-grid keys) for sharded v3, so the
+      * sidecar granularity always matches what the scan plans on.
       */
     def write(varName: String, ciDotted: String, arr: AnyRef,
         eff: Array[Int],
         conf: org.apache.hadoop.conf.Configuration)
-        : (Option[(Any, Any)], Option[Double])
+        : Seq[(String, Option[(Any, Any)], Option[Double])]
   }
 
   private final case class BinarySink(root: String,
@@ -49,10 +51,11 @@ object GridWriter {
     def write(varName: String, ciDotted: String, arr: AnyRef,
         eff: Array[Int],
         conf: org.apache.hadoop.conf.Configuration)
-        : (Option[(Any, Any)], Option[Double]) = {
+        : Seq[(String, Option[(Any, Any)], Option[Double])] = {
       GridIO.write(s"$root/$varName/$ciDotted.bin",
         BinaryGridStore.encodeChunk(arr, codec), conf)
-      (BinaryGridStore.chunkStats(arr), BinaryGridStore.chunkSum(arr))
+      Seq((ciDotted,
+        BinaryGridStore.chunkStats(arr), BinaryGridStore.chunkSum(arr)))
     }
   }
 
@@ -69,7 +72,7 @@ object GridWriter {
     def write(varName: String, ciDotted: String, arr: AnyRef,
         eff: Array[Int],
         conf: org.apache.hadoop.conf.Configuration)
-        : (Option[(Any, Any)], Option[Double]) = {
+        : Seq[(String, Option[(Any, Any)], Option[Double])] = {
       val ci = ciDotted.split('.').map(_.toInt)
       if (ci(axisPos) == edgeChunk) {
         val v = store.schema.vars.find(_.name == varName).get
@@ -94,7 +97,7 @@ object GridWriter {
     def write(varName: String, ciDotted: String, arr: AnyRef,
         eff: Array[Int],
         conf: org.apache.hadoop.conf.Configuration)
-        : (Option[(Any, Any)], Option[Double]) = {
+        : Seq[(String, Option[(Any, Any)], Option[Double])] = {
       val padded = ZarrGridStore.padChunk(arr, eff, chunkSz.toArray, dtype)
       val payload =
         if (dtype == GString) // |O + vlen-utf8 layout
@@ -106,7 +109,8 @@ object GridWriter {
       GridIO.write(s"$root/$varName/$ciDotted", payload, conf)
       // value stats on the EFFECTIVE cells (padding is storage, not
       // data) — feeds the .graft-stats.json sidecar
-      (BinaryGridStore.chunkStats(arr), BinaryGridStore.chunkSum(arr))
+      Seq((ciDotted,
+        BinaryGridStore.chunkStats(arr), BinaryGridStore.chunkSum(arr)))
     }
   }
 
@@ -126,7 +130,7 @@ object GridWriter {
     def write(varName: String, ciDotted: String, arr: AnyRef,
         eff: Array[Int],
         conf: org.apache.hadoop.conf.Configuration)
-        : (Option[(Any, Any)], Option[Double]) = {
+        : Seq[(String, Option[(Any, Any)], Option[Double])] = {
       val padded = ZarrGridStore.padChunk(arr, eff, chunkSz.toArray, dtype)
       val payload =
         if (dtype == GString) innerSz match {
@@ -151,10 +155,15 @@ object GridWriter {
         if (flatKeys) s"$root/$varName/$ciDotted"
         else s"$root/$varName/c/${ciDotted.split('.').mkString("/")}",
         payload, conf)
-      // sharded arrays serve no stats (the scan plans on the INNER
-      // grid; outer-shard bounds would never be consulted)
-      if (innerSz.isDefined) (None, None)
-      else (BinaryGridStore.chunkStats(arr), BinaryGridStore.chunkSum(arr))
+      innerSz match {
+        case None => Seq((ciDotted,
+          BinaryGridStore.chunkStats(arr), BinaryGridStore.chunkSum(arr)))
+        case Some(inner) =>
+          // per-INNER-chunk stats with GLOBAL inner-grid keys — the
+          // granularity the scan plans (and prunes) sharded arrays on
+          ZarrGridStore.innerChunkStats(arr, eff,
+            ciDotted.split('.').map(_.toInt), chunkSz, inner)
+      }
     }
   }
 
@@ -469,9 +478,10 @@ object GridWriter {
             }
             ci.mkString(".")
           }
-          val (mm, sm) =
-            sink.write(varName, name, arr, effOf(chunkId), hconf.value)
-          if (mm.isDefined || sm.isDefined) stats += ((name, mm, sm))
+          sink.write(varName, name, arr, effOf(chunkId), hconf.value)
+            .foreach { case (k, mm, sm) =>
+              if (mm.isDefined || sm.isDefined) stats += ((k, mm, sm))
+            }
         }
         stats.result().iterator
     }.collect()

@@ -217,14 +217,14 @@ final case class ZarrGridStore(root: String, schema: GridSchema,
     sums: Map[String, Double] = Map.empty) extends GridStore {
 
   /** Chunk key for `block` when it aligns with `name`'s own storage
-    * grid (the blocks the DSv2 scan plans), else None. Sharded arrays
-    * serve no stats: the sidecar keys OUTER chunks while scan blocks
-    * run on the inner grid.
+    * grid (the blocks the DSv2 scan plans), else None. For sharded
+    * arrays the grid is the INNER chunk grid — the writer records
+    * per-inner-chunk entries with global inner keys to match.
     */
   private def alignedKey(name: String,
       block: Seq[(Int, Int)]): Option[String] = {
     val a = arrays.getOrElse(name, return None)
-    if (a.sharding.isDefined || ZarrGridStore.scaledVar(a)) return None
+    if (ZarrGridStore.scaledVar(a)) return None
     val chunkSz = a.effectiveChunk
     val aligned = block.indices.forall { i =>
       val (start, len) = block(i)
@@ -452,6 +452,70 @@ object ZarrGridStore {
       stats = chunkStatsMap, sums = chunkSumsMap)
   }
 
+  /** Per-INNER-chunk stats of one scattered outer shard: `arr` is the
+    * flat C-order EFFECTIVE cells of outer chunk `outerCi` (shape
+    * `eff`, clipped at the array extent), `inner` the shard's inner
+    * chunk shape. Returns one sidecar entry per intersecting inner
+    * chunk, keyed on the GLOBAL inner grid — exactly the blocks the
+    * scan plans sharded arrays on, so shard trees prune and
+    * metadata-aggregate at the same granularity they read.
+    */
+  private[grid] def innerChunkStats(arr: AnyRef, eff: Array[Int],
+      outerCi: Array[Int], chunkSz: Seq[Int], inner: Seq[Int])
+      : Seq[(String, Option[(Any, Any)], Option[Double])] = {
+    arr match {
+      case _: Array[String] => return Nil // vlen: no numeric stats
+      case _ => ()
+    }
+    val nd = eff.length
+    val effStrides = ChunkAssembly.strides(eff)
+    val perDim = Array.tabulate(nd)(d =>
+      (eff(d) + inner(d) - 1) / inner(d)) // intersecting inner chunks
+    val innersPerOuter = Array.tabulate(nd)(d => chunkSz(d) / inner(d))
+    val nInner = perDim.product
+    val out = Seq.newBuilder[(String, Option[(Any, Any)], Option[Double])]
+    val pos = new Array[Int](nd)
+    var k = 0
+    while (k < nInner) {
+      var rest = k
+      var d = nd - 1
+      while (d >= 0) { pos(d) = rest % perDim(d); rest /= perDim(d); d -= 1 }
+      val start = Array.tabulate(nd)(d => pos(d) * inner(d))
+      val len = Array.tabulate(nd)(d =>
+        math.min(inner(d), eff(d) - start(d)))
+      val cells = len.product
+      // gather the box into a dense slice (runs of the last dim)
+      val slice = java.lang.reflect.Array.newInstance(
+        arr.getClass.getComponentType, cells)
+      val run = len(nd - 1)
+      val nRuns = cells / run
+      // strides of the leading dims' run counter (C-order over
+      // len(0..nd-2): last leading dim varies fastest)
+      val leadStrides = ChunkAssembly.strides(
+        if (nd == 1) Array(1) else len.init)
+      var r = 0
+      while (r < nRuns) {
+        var srcOff = start(nd - 1)
+        var rem = r
+        var j = 0
+        while (j < nd - 1) {
+          val lj = rem / leadStrides(j)
+          rem %= leadStrides(j)
+          srcOff += (start(j) + lj) * effStrides(j)
+          j += 1
+        }
+        System.arraycopy(arr, srcOff, slice, r * run, run)
+        r += 1
+      }
+      val key = (0 until nd).map(d =>
+        outerCi(d) * innersPerOuter(d) + pos(d)).mkString(".")
+      out += ((key, BinaryGridStore.chunkStats(slice),
+        BinaryGridStore.chunkSum(slice)))
+      k += 1
+    }
+    out.result()
+  }
+
   /** Sidecar carrying per-chunk value stats for zarr trees — the same
     * (min,max)/sum law BinaryGridStore records in metadata.txt, keyed
     * `"<var> <ci.dotted>"`. zarr-python ignores unknown root files, so
@@ -475,8 +539,13 @@ object ZarrGridStore {
       entries: Seq[(String, Option[(Any, Any)], Option[Double])],
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     // nothing to record (all-sharded / all-string trees): write no
-    // file, so append-vs-one-shot byte identity holds for those too
-    if (!entries.exists(e => e._2.isDefined || e._3.isDefined)) return
+    // file — but DELETE any stale one first (a re-write into an
+    // existing root must never leave old bounds next to new chunks),
+    // so append-vs-one-shot byte identity holds for those too
+    if (!entries.exists(e => e._2.isDefined || e._3.isDefined)) {
+      GridIO.delete(s"$root/$StatsSidecar", conf)
+      return
+    }
     val mapper = new ObjectMapper()
     val top = mapper.createObjectNode()
     top.put("version", 1)
@@ -2255,7 +2324,7 @@ object ZarrGridStore {
     def write(varName: String, ciDotted: String, arr: AnyRef,
         eff: Array[Int],
         conf: org.apache.hadoop.conf.Configuration)
-        : (Option[(Any, Any)], Option[Double]) = {
+        : Seq[(String, Option[(Any, Any)], Option[Double])] = {
       val ci = ciDotted.split('.').map(_.toInt).toSeq
       if (ci(axisPos) == edgeChunk)
         overlayEdge(arr, readChunk(root, a, ci, conf), eff,

@@ -435,7 +435,7 @@ object ZarrV3 {
       block: Seq[(Int, Int)]) extends Serializable {
     def run(source: GridStore, comp: Option[(String, Int)],
         conf: org.apache.hadoop.conf.Configuration)
-        : (String, Option[(Any, Any)], Option[Double]) = {
+        : Seq[(String, Option[(Any, Any)], Option[Double])] = {
       val ci = block.zip(chunkSz).map(b => b._1._1 / b._2)
       val eff = block.map(_._2).toArray
       val data = source.readVar(varName, block)
@@ -458,9 +458,14 @@ object ZarrV3 {
           }
         }
       GridIO.write(s"$dir/c/${ci.mkString("/")}", payload, conf)
-      if (innerSz.isDefined) (s"$varName ${ci.mkString(".")}", None, None)
-      else (s"$varName ${ci.mkString(".")}",
-        BinaryGridStore.chunkStats(data), BinaryGridStore.chunkSum(data))
+      innerSz match {
+        case None => Seq((s"$varName ${ci.mkString(".")}",
+          BinaryGridStore.chunkStats(data),
+          BinaryGridStore.chunkSum(data)))
+        case Some(inner) =>
+          ZarrGridStore.innerChunkStats(data, eff, ci.toArray, chunkSz,
+            inner).map { case (k, mm, sm) => (s"$varName $k", mm, sm) }
+      }
     }
   }
 
@@ -697,7 +702,7 @@ object ZarrV3 {
           innerSz, block))
     }
     val entries =
-      if (!distributed) tasks.map(_.run(source, comp, conf))
+      if (!distributed) tasks.flatMap(_.run(source, comp, conf))
       else {
         val sc = org.apache.spark.sql.SparkSession.active.sparkContext
         val hconf = GridIO.shippable()
@@ -706,7 +711,8 @@ object ZarrV3 {
           math.min(tasks.size, sc.defaultParallelism * 2))
         // stats entries are metadata-sized; the collect never carries data
         val es = sc.parallelize(tasks, parts)
-          .map(t => t.run(bSource.value, comp, hconf.value)).collect().toSeq
+          .flatMap(t => t.run(bSource.value, comp, hconf.value))
+          .collect().toSeq
         bSource.destroy()
         es
       }

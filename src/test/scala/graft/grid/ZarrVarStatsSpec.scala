@@ -105,17 +105,44 @@ class ZarrVarStatsSpec extends SparkTestBase {
     assert(grown.varBounds("x", Seq((0, 4))).contains((0.0, 6.0)))
   }
 
-  test("foreign trees (no sidecar) serve no bounds; sharded arrays too") {
+  test("foreign trees (no sidecar) serve no bounds") {
     val root = tmp().resolve("foreign").toString
     Fixtures.writeM8Tree(root)
     val store = ZarrGridStore.open(root)
     assert(store.varBounds("temp", Seq((0, 6))).isEmpty)
-    // sharded: stats keyed on outer shards would never align with the
-    // inner-grid scan blocks, so none are recorded or served
+  }
+
+  test("SHARDED arrays record per-INNER-chunk stats on the global grid") {
+    // air = 200 + t + 2*i + 3*j over t 0..23, lat 12, lon 10;
+    // shards of 6 t-steps, inner chunks of 2 -> the scan plans (and
+    // the sidecar keys) 12 inner chunks along t
     val shRoot = tmp().resolve("sh").toString
     val sh = ZarrV3.write(Fixtures.linearGrid, shRoot,
       Map("t" -> 6), "zstd:3", shardInner = Map("t" -> 2))
-    assert(sh.varBounds("air", Seq((0, 2), (0, 12), (0, 10))).isEmpty)
-    assert(!Files.exists(Paths.get(shRoot, ".graft-stats.json")))
+    // inner chunk t=22..23 (global inner index 11): min at (22,0,0),
+    // max at (23,11,9)
+    assert(sh.varBounds("air", Seq((22, 2), (0, 12), (0, 10)))
+      .contains((222.0, 200.0 + 23 + 22 + 27)))
+    // inner-grid-unaligned block -> None
+    assert(sh.varBounds("air", Seq((21, 2), (0, 12), (0, 10))).isEmpty)
+    // a var predicate prunes to the inner chunks whose bounds survive
+    val df = new XarrayContext(spark).dataFrame(s"shvs@$shRoot", sh,
+      sh.chunkMap, Seq("t", "lat", "lon"))
+    ReadCounters.reset()
+    // air >= 272 -> only rows with t+2i+3j >= 72; max(2i+3j)=49, so
+    // t-inner-chunks with 23+49 < 72 ... bounds max = 200+t_max+49
+    // -> chunks with t_max >= 23 survive: only the last inner chunk
+    assert(df.filter(col("air") >= 272.0).collect()
+      .forall(_.getDouble(3) >= 272.0))
+    assert(ReadCounters.partitionsOpened.sum() == 1L)
+    // row-scatter sharded writes record the same inner entries
+    val rsRoot = tmp().resolve("rs").toString
+    import spark.implicits._
+    val rdf = (0 until 12).map(t => (t, t * 2.0)).toDF("t", "x")
+    val rs = ZarrV3.writeFromRows(rdf,
+      GridSchema(Seq(DimDef("t", IntCoords((0 until 12).toArray))),
+        Seq(VarDef("x", Seq("t"), GDouble))),
+      Map("t" -> 6), rsRoot, "zstd:3", shardInner = Map("t" -> 2))
+    assert(rs.varBounds("x", Seq((10, 2))).contains((20.0, 22.0)))
   }
 }
