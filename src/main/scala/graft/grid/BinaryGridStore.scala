@@ -250,6 +250,7 @@ object BinaryGridStore {
     val oldN = validateAppend(existing, add, along)
     val stats = Map.newBuilder[String, (Any, Any)]
     val sums = Map.newBuilder[String, Double]
+    val touched = Set.newBuilder[String]
     add.vars.filter(_.dims.contains(along)).foreach { v =>
       val axisPos = v.dims.indexOf(along)
       // blocks over the GROWN global grid, keeping only those touching
@@ -289,6 +290,7 @@ object BinaryGridStore {
               math.max(add.dim(dn).size, 1))
           }
           val key = s"${v.name} ${idx.mkString(".")}"
+          touched += key
           chunkStats(data).foreach(st => stats += key -> st)
           chunkSum(data).foreach(st => sums += key -> st)
           GridIO.write(s"$root/${v.name}/${idx.mkString(".")}.bin",
@@ -296,7 +298,7 @@ object BinaryGridStore {
         }
     }
     commitAppend(root, existing, add.dim(along).coords, along,
-      stats.result(), sums.result())
+      stats.result(), sums.result(), touched = touched.result())
   }
 
   /** Shared append preconditions; returns the existing extent of the
@@ -343,13 +345,20 @@ object BinaryGridStore {
   private[grid] def commitAppend(root: String, existing: BinaryGridStore,
       addCoords: CoordArray, along: String,
       newStats: Map[String, (Any, Any)],
-      newSums: Map[String, Double] = Map.empty): BinaryGridStore = {
+      newSums: Map[String, Double] = Map.empty,
+      /** Every chunk key the append REWROTE — entries for touched
+        * chunks that produced no fresh stats (NaT/NaN introduced by an
+        * edge merge) must be dropped, never inherited: stale bounds
+        * would mis-prune the merged chunk.
+        */
+      touched: Set[String] = Set.empty): BinaryGridStore = {
     val merged = GridSchema(
       existing.schema.dims.map(d => if (d.name == along)
         d.copy(coords = concatCoords(d.coords, addCoords)) else d),
       existing.schema.vars, existing.schema.attrs)
-    val mergedStats = existing.stats ++ newStats
-    val mergedSums = existing.sums ++ newSums
+    val drop = touched ++ newStats.keySet ++ newSums.keySet
+    val mergedStats = (existing.stats -- drop) ++ newStats
+    val mergedSums = (existing.sums -- drop) ++ newSums
     writeMetadata(s"$root/metadata.txt", merged, existing.chunks,
       existing.codec, GridIO.driverConf(), mergedStats, mergedSums)
     BinaryGridStore(root, merged, existing.chunks, existing.codec,

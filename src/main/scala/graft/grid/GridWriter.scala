@@ -281,7 +281,8 @@ object GridWriter {
     val sums = perChunk.flatMap { case (k, _, sm) => sm.map(k -> _) }.toMap
     GridIO.delete(staging, conf)
     BinaryGridStore.commitAppend(root, existing,
-      slabSchema.dim(along).coords, along, stats, sums)
+      slabSchema.dim(along).coords, along, stats, sums,
+      touched = perChunk.map(_._1).toSet)
   }
 
   /** Normalized dim column (what the coord->index maps are keyed on). */
@@ -478,10 +479,11 @@ object GridWriter {
             }
             ci.mkString(".")
           }
-          sink.write(varName, name, arr, effOf(chunkId), hconf.value)
-            .foreach { case (k, mm, sm) =>
-              if (mm.isDefined || sm.isDefined) stats += ((k, mm, sm))
-            }
+          // keep EMPTY entries too: a rewritten chunk whose stats
+          // vanish (NaT/NaN introduced by a merge) must still reach
+          // the sidecar merge so the stale pre-append entry is dropped
+          stats ++= sink.write(varName, name, arr, effOf(chunkId),
+            hconf.value)
         }
         stats.result().iterator
     }.collect()

@@ -95,9 +95,9 @@ case object StoredHalf extends StoredElem { val width = 2 }
 /** Raw numpy datetime64/timedelta64 storage (`<M8[ns]` etc., the
   * layout plain zarr-python emits for numpy time arrays — reference
   * xarray_sql/df.py:395, tests/test_cft.py:165-170): int64 offsets in
-  * the declared unit, converted to MICROSECONDS at decode (ns
-  * truncates toward zero — documented precision loss; s/ms widen
-  * exactly). NaT (Long.MinValue, numpy's missing-time marker) is kept
+  * the declared unit, converted to MICROSECONDS at decode (ns FLOORS
+  * to µs — numpy's unit-cast semantics, documented precision loss;
+  * s/ms widen exactly). NaT (Long.MinValue, numpy's marker) is kept
   * as the sentinel: data variables surface it as SQL NULL (xarray's
   * NaT semantics), coordinate arrays reject it loudly (axis labels
   * are row identity). µs = stored * num / den.
@@ -629,26 +629,31 @@ object ZarrGridStore {
     if (scaledVar(a) || a.stored.isDefined) return a
     if (a.dtype != GInt && a.dtype != GLong) return a
     val w = if (a.dtype == GLong) 8 else 4
+    // "null" = a JSON null attribute (attrMap stringifies it): no fill
     def fillOf: Option[Long] =
-      a.attrs.get("_FillValue").flatMap { s =>
-        s.toLongOption.orElse {
+      a.attrs.get("_FillValue").filterNot(_ == "null").map { s =>
+        s.toLongOption.getOrElse {
           // float spelling of an integral fill ("-999.0"); reject
           // NaN/fractional instead of silently masking a wrong value
           val d = s.toDouble
-          if (d.isNaN || d.isInfinite || d != d.floor)
-            throw new IllegalArgumentException(
-              s"${a.name}: non-integral _FillValue '$s' on an " +
-                "integer CF time variable")
-          Some(d.toLong)
+          require(!d.isNaN && !d.isInfinite && d == d.floor,
+            s"${a.name}: non-integral _FillValue '$s'")
+          d.toLong
         }
       }
-    a.attrs.get("units") match {
+    // any undecodable encoding — "months since" (no fixed µs law),
+    // "days since launch" (unparseable reference), unknown calendar,
+    // garbage fill — keeps the variable as RAW INT OFFSETS instead of
+    // failing open() or exploding later at chunk-read time: xarray's
+    // decode_cf fallback behavior, and what this engine did before
+    // CF data-var decoding existed
+    try a.attrs.get("units") match {
       case Some(u) if u.contains(" since ") =>
         val cal = a.attrs.getOrElse("calendar", "standard")
         if (graft.time.CfCalendar.classify(cal) !=
             graft.time.CfCalendar.GregorianLike) a
         else {
-          graft.time.CfCalendar.parseUnits(u) // loud on bad units
+          graft.time.CfCalendar.parseUnits(u).stepsPerDay // validates
           a.copy(dtype = GTimestamp,
             stored = Some(StoredCfTime(w, u, cal, fillOf)),
             attrs = a.attrs -- Seq("units", "calendar", "_FillValue"))
@@ -658,6 +663,8 @@ object ZarrGridStore {
           stored = Some(StoredCfTime(w, u, "standard", fillOf)),
           attrs = a.attrs -- Seq("units", "_FillValue"))
       case _ => a
+    } catch {
+      case _: IllegalArgumentException | _: NumberFormatException => a
     }
   }
 
@@ -1083,9 +1090,12 @@ object ZarrGridStore {
       while (i < n) {
         val v = lb.get(i)
         // multiplyExact: an s/ms offset past the µs-representable
-        // range must fail loudly, not wrap into a plausible instant
+        // range must fail loudly, not wrap into a plausible instant.
+        // floorDiv: sub-µs offsets FLOOR to µs (numpy's unit-cast
+        // semantics; keeps negative ns offsets consistent with the
+        // CF coordinate bridge)
         o(i) = if (v == Long.MinValue) Long.MinValue
-               else Math.multiplyExact(v, num) / den
+               else Math.floorDiv(Math.multiplyExact(v, num), den)
         i += 1
       }
       o
@@ -1117,12 +1127,12 @@ object ZarrGridStore {
           val base = graft.time.CfCalendar.offsetToMicros(0L, units, cal)
           val MicrosPerDay = 86400000000L
           var i = 0
-          if (spd >= MicrosPerDay) { // sub-µs step: truncate like <M8[ns]
+          if (spd >= MicrosPerDay) { // sub-µs step: FLOOR like <M8[ns]
             val den = spd / MicrosPerDay
             while (i < n) {
               val v = getRaw(i)
               o(i) = if (v == fl || v == Long.MinValue) Long.MinValue
-                     else Math.addExact(v / den, base)
+                     else Math.addExact(Math.floorDiv(v, den), base)
               i += 1
             }
           } else {
@@ -1818,8 +1828,9 @@ object ZarrGridStore {
   private val m8Dtype = raw"([<>])([Mm])8\[(ns|us|ms|s|m|h|D|W)\]".r
 
   /** (num, den) such that µs = stored * num / den for one datetime64/
-    * timedelta64 storage unit (numpy's full sub-week ladder; W/M/Y
-    * have no fixed µs law and stay unsupported).
+    * timedelta64 storage unit — numpy's full ns-to-week ladder (weeks
+    * are exactly 7 days); M/Y are calendar-variable with no fixed µs
+    * law and stay unsupported.
     */
   private[grid] def m8Scale(unit: String): (Long, Long) = unit match {
     case "ns" => (1L, 1000L)
@@ -1982,6 +1993,10 @@ object ZarrGridStore {
       chunks: Map[String, Int], comp: Option[(String, Int)],
       conf: org.apache.hadoop.conf.Configuration): Seq[ChunkWriteTask] = {
     GridIO.mkdirs(cleanRoot, conf)
+    // a re-write into an existing root must drop the old sidecar
+    // BEFORE any chunk lands: a crash mid-write then leaves no stats
+    // (sound) instead of old bounds next to new data
+    GridIO.delete(s"$cleanRoot/$StatsSidecar", conf)
     GridIO.writeString(s"$cleanRoot/.zgroup", """{"zarr_format":2}""", conf)
     if (schema.attrs.nonEmpty)
       GridIO.writeString(s"$cleanRoot/.zattrs", attrsJson(schema.attrs), conf)

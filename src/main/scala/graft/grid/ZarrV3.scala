@@ -730,6 +730,8 @@ object ZarrV3 {
       shardInner: Map[String, Int],
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     GridIO.mkdirs(cleanRoot, conf)
+    // drop any stale sidecar before chunks land (see v2 writeShell)
+    GridIO.delete(s"$cleanRoot/${ZarrGridStore.StatsSidecar}", conf)
     val mapper = new ObjectMapper()
     val arrayMetaNodes = scala.collection.mutable.LinkedHashMap
       .empty[String, ObjectNode]

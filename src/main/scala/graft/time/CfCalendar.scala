@@ -114,10 +114,12 @@ object CfCalendar {
       s"calendar $calendar keeps int64 offsets; no timestamp bridge")
     val u = parseUnits(units)
     val spd = u.stepsPerDay
-    val totalSteps =
-      daysFromYearZero(calendar, u.refY, u.refM, u.refD) * spd + offset
-    val days = Math.floorDiv(totalSteps, spd)
-    val remSteps = Math.floorMod(totalSteps, spd)
+    // equivalent to floorDiv/floorMod of (refDays*spd + offset) but
+    // WITHOUT forming that product: for sub-second steps it overflows
+    // Long (738k days since year 0 × 86400e9 ns/day ≈ 6e19 > 2^63)
+    val days = daysFromYearZero(calendar, u.refY, u.refM, u.refD) +
+      Math.floorDiv(offset, spd)
+    val remSteps = Math.floorMod(offset, spd)
     val (y, m, d) = calendar.toLowerCase match {
       case "noleap" | "365_day" =>
         val yy = Math.floorDiv(days, 365L).toInt
@@ -135,7 +137,14 @@ object CfCalendar {
         val ld = java.time.LocalDate.ofEpochDay(days - 719528L)
         (ld.getYear, ld.getMonthValue, ld.getDayOfMonth)
     }
-    gregorianMicros(y, m, d) + remSteps * (86400000000L / spd)
+    // intra-day component: multiply up for coarse steps, divide down
+    // (floor — remSteps is non-negative from floorMod) for sub-µs
+    // steps; the old `remSteps * (µsPerDay / spd)` zeroed out whole
+    // days' worth of nanosecond offsets via integer division
+    val microsPerDay = 86400000000L
+    gregorianMicros(y, m, d) + (if (spd >= microsPerDay)
+      remSteps / (spd / microsPerDay)
+    else remSteps * (microsPerDay / spd))
   }
 
   /** Gregorian-like coordinate -> microseconds since the Unix epoch.

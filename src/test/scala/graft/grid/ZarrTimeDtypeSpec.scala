@@ -223,6 +223,86 @@ class ZarrTimeDtypeSpec extends SparkTestBase {
       (946684800L + 7200L) * 1000L)
   }
 
+  test("undecodable CF encodings keep raw ints; ns units decode right") {
+    val root = tmp().resolve("cfedge").toString
+    GridIO.mkdirs(root, conf)
+    GridIO.writeString(s"$root/.zgroup", """{"zarr_format":2}""", conf)
+    def arr(name: String, attrs: String, vals: Seq[Long]): Unit = {
+      GridIO.mkdirs(s"$root/$name", conf)
+      GridIO.writeString(s"$root/$name/.zarray",
+        s"""{"zarr_format":2,"shape":[${vals.length}],
+           |"chunks":[${vals.length}],"dtype":"<i8","compressor":null,
+           |"fill_value":null,"order":"C","filters":null}"""
+          .stripMargin, conf)
+      GridIO.writeString(s"$root/$name/.zattrs", attrs, conf)
+      val bb = ByteBuffer.allocate(vals.length * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putLong)
+      GridIO.write(s"$root/$name/0", bb.array(), conf)
+    }
+    arr("i", """{"_ARRAY_DIMENSIONS":["i"]}""", Seq(0L, 1L, 2L))
+    // CMIP-style "months since": no fixed µs law -> stays BIGINT, and
+    // the whole tree still OPENS (was: throws at chunk-read time)
+    arr("tm", """{"_ARRAY_DIMENSIONS":["i"],
+        |"units":"months since 1850-01-01"}""".stripMargin,
+      Seq(0L, 1L, 2L))
+    // unparseable reference date -> raw ints, open survives
+    arr("tl", """{"_ARRAY_DIMENSIONS":["i"],
+        |"units":"days since launch"}""".stripMargin, Seq(0L, 5L, 9L))
+    // JSON-null _FillValue is inert: still decodes as timestamps
+    arr("tn", """{"_ARRAY_DIMENSIONS":["i"],
+        |"units":"seconds since 2021-01-01","_FillValue":null}"""
+        .stripMargin, Seq(0L, 60L, 120L))
+    // nanosecond CF units: the intra-day component must survive
+    // (the old remSteps*(µsPerDay/spd) integer division zeroed it)
+    arr("tns", """{"_ARRAY_DIMENSIONS":["i"],
+        |"units":"nanoseconds since 2021-01-01"}""".stripMargin,
+      Seq(0L, 3600L * 1000000000L, 7200L * 1000000000L + 1500L))
+    ZarrGridStore.consolidate(root, conf)
+    val store = ZarrGridStore.open(root)
+    assert(store.schema.vars.find(_.name == "tm").get.dtype == GLong)
+    assert(store.schema.vars.find(_.name == "tl").get.dtype == GLong)
+    assert(store.readVar("tm", Seq((0, 3))).asInstanceOf[Array[Long]]
+      .sameElements(Array(0L, 1L, 2L)))
+    val epoch2021us = 1609459200L * 1000000L
+    val tn = store.readVar("tn", Seq((0, 3))).asInstanceOf[Array[Long]]
+    assert(tn(1) == epoch2021us + 60L * 1000000L)
+    val tns = store.readVar("tns", Seq((0, 3))).asInstanceOf[Array[Long]]
+    assert(tns(1) == epoch2021us + 3600L * 1000000L)
+    assert(tns(2) == epoch2021us + 7200L * 1000000L + 1L) // ns floor
+  }
+
+  test("negative sub-µs offsets FLOOR to µs (numpy cast semantics)") {
+    val root = tmp().resolve("negns").toString
+    GridIO.mkdirs(root, conf)
+    GridIO.writeString(s"$root/.zgroup", """{"zarr_format":2}""", conf)
+    GridIO.mkdirs(s"$root/i", conf)
+    GridIO.writeString(s"$root/i/.zarray",
+      """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"<i8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/i/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["i"]}""", conf)
+    val ib = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0L, 1L).foreach(ib.putLong)
+    GridIO.write(s"$root/i/0", ib.array(), conf)
+    GridIO.mkdirs(s"$root/o", conf)
+    GridIO.writeString(s"$root/o/.zarray",
+      """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"<M8[ns]",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/o/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["i"]}""", conf)
+    val ob = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(-1L, -1000L).foreach(ob.putLong) // 1 ns and 1 µs before epoch
+    GridIO.write(s"$root/o/0", ob.array(), conf)
+    ZarrGridStore.consolidate(root, conf)
+    val o = ZarrGridStore.open(root).readVar("o", Seq((0, 2)))
+      .asInstanceOf[Array[Long]]
+    assert(o(0) == -1L) // floor(-1/1000) = -1 µs, not 0
+    assert(o(1) == -1L)
+  }
+
   test("<u8 widens to long; high-bit values overflow loudly") {
     val root = tmp().resolve("u8").toString
     Fixtures.writeU8Tree(root)

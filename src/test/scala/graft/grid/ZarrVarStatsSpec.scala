@@ -105,6 +105,38 @@ class ZarrVarStatsSpec extends SparkTestBase {
     assert(grown.varBounds("x", Seq((0, 4))).contains((0.0, 6.0)))
   }
 
+  test("append that voids a merged edge chunk's stats DROPS the entry") {
+    // time variable: the slab writes a NULL (NaT) into the row that
+    // merges into the existing edge chunk — the merged chunk has no
+    // valid bounds, and the PRE-append entry must not survive (stale
+    // [o4,o6] bounds would prune `obs IS NULL` away from this chunk)
+    val root = tmp().resolve("void").toString
+    def obsDf(lo: Int, hi: Int, natAt: Int) =
+      spark.range(lo, hi).toDF("t")
+        .select(col("t").cast("int").as("t"),
+          when(col("t") === natAt, lit(null))
+            .otherwise(timestamp_seconds(lit(1609459200L) + col("t")))
+            .as("obs"))
+    val s7 = GridSchema(
+      Seq(DimDef("t", IntCoords((0 until 7).toArray))),
+      Seq(VarDef("obs", Seq("t"), GTimestamp)))
+    val first = ZarrGridStore.writeFromRows(obsDf(0, 7, -1), s7,
+      Map("t" -> 4), root, "zstd:3")
+    assert(first.varBounds("obs", Seq((4, 3))).nonEmpty) // edge has stats
+    val slab = GridSchema(
+      Seq(DimDef("t", IntCoords((7 until 10).toArray))),
+      Seq(VarDef("obs", Seq("t"), GTimestamp)))
+    val grown = ZarrGridStore.appendFromRows(obsDf(7, 10, 7), slab,
+      root, "t") // t=7 is NaT and lands in the merged edge chunk 1
+    assert(grown.varBounds("obs", Seq((4, 4))).isEmpty,
+      "stale pre-append bounds survived a NaT-voided edge merge")
+    // the NULL row is actually served (would vanish under stale bounds)
+    val df = new XarrayContext(spark).dataFrame(s"void@$root", grown,
+      grown.chunkMap, Seq("t"))
+    assert(df.filter(col("obs").isNull).select("t").collect()
+      .map(_.getInt(0)).toSeq == Seq(7))
+  }
+
   test("foreign trees (no sidecar) serve no bounds") {
     val root = tmp().resolve("foreign").toString
     Fixtures.writeM8Tree(root)
