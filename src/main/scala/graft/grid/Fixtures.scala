@@ -369,6 +369,56 @@ object Fixtures {
     ZarrGridStore.consolidate(root, conf)
   }
 
+  /** rioxarray-style tree: t[6] axis, temp(t) = 15+k with a
+    * grid_mapping attr, and the ubiquitous 0-d `spatial_ref` CRS
+    * variable (int64 4326 + crs_wkt attr) — the shape practically
+    * every georeferenced zarr archive has.
+    */
+  def writeRioTree(root: String): Unit = {
+    val conf = GridIO.driverConf()
+    GridIO.mkdirs(root, conf)
+    GridIO.writeString(s"$root/.zgroup", """{"zarr_format":2}""", conf)
+    GridIO.mkdirs(s"$root/t", conf)
+    GridIO.writeString(s"$root/t/.zarray",
+      """{"zarr_format":2,"shape":[6],"chunks":[6],"dtype":"<i8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/t/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["t"]}""", conf)
+    val tb = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 6).foreach(k => tb.putLong(k.toLong))
+    GridIO.write(s"$root/t/0", tb.array(), conf)
+    GridIO.mkdirs(s"$root/temp", conf)
+    GridIO.writeString(s"$root/temp/.zarray",
+      """{"zarr_format":2,"shape":[6],"chunks":[3],"dtype":"<f8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/temp/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["t"],"grid_mapping":"spatial_ref"}""",
+      conf)
+    (0 until 2).foreach { c =>
+      val vb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 3).foreach(j => vb.putDouble(15.0 + c * 3 + j))
+      GridIO.write(s"$root/temp/$c", vb.array(), conf)
+    }
+    GridIO.mkdirs(s"$root/spatial_ref", conf)
+    GridIO.writeString(s"$root/spatial_ref/.zarray",
+      """{"zarr_format":2,"shape":[],"chunks":[],"dtype":"<i8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/spatial_ref/.zattrs",
+      """{"_ARRAY_DIMENSIONS":[],
+        |"crs_wkt":"GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"]]"}"""
+        .stripMargin, conf)
+    val sb = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    sb.putLong(4326L)
+    GridIO.write(s"$root/spatial_ref/0", sb.array(), conf)
+    ZarrGridStore.consolidate(root, conf)
+  }
+
   /** Foreign tree with a CF-ENCODED time DATA variable (what xarray's
     * to_zarr emits for a datetime64 data var): `obs` is int64
     * "seconds since 2021-01-01" offsets with `_FillValue` -999 at

@@ -73,9 +73,13 @@ final case class ZarrArrayMeta(
   def effectiveChunk: Seq[Int] =
     sharding.map(_.innerShape).getOrElse(chunkShape)
 
-  /** Storage key of chunk `ci` relative to the array dir. */
+  /** Storage key of chunk `ci` relative to the array dir. 0-d arrays
+    * store their single chunk under "0" (zarr v2) / bare "c" (v3
+    * default encoding) — zarr-python's spellings.
+    */
   def chunkKey(ci: Seq[Int]): String =
-    if (keyPrefix.isEmpty) ci.mkString(dimSep)
+    if (ci.isEmpty) { if (keyPrefix.isEmpty) "0" else keyPrefix }
+    else if (keyPrefix.isEmpty) ci.mkString(dimSep)
     else keyPrefix + dimSep + ci.mkString(dimSep)
 }
 
@@ -1702,7 +1706,9 @@ object ZarrGridStore {
       s"$name: unsupported zarr_format")
     val shape = za.path("shape").elements().asScala.map(_.asInt()).toSeq
     val chunks = za.path("chunks").elements().asScala.map(_.asInt()).toSeq
-    require(shape.nonEmpty && chunks.length == shape.length,
+    // shape [] = a 0-d SCALAR array (xarray scalar variables — e.g.
+    // rioxarray's ubiquitous `spatial_ref` CRS var); single chunk "0"
+    require(chunks.length == shape.length,
       s"$name: bad shape/chunks")
     require(chunks.forall(_ > 0) && shape.forall(_ >= 0),
       s"$name: non-positive chunk extent")
@@ -1812,6 +1818,9 @@ object ZarrGridStore {
     val dims = attrsNode.path("_ARRAY_DIMENSIONS") match {
       case d if d.isArray =>
         d.elements().asScala.map(_.asText()).toSeq
+      // a 0-d scalar array needs no axis names (xarray may omit the
+      // attribute entirely for them)
+      case _ if shape.isEmpty => Seq.empty
       case _ => throw new IllegalArgumentException(
         s"$name: missing _ARRAY_DIMENSIONS (the xarray dimension-naming " +
           "convention); cannot infer axis names")

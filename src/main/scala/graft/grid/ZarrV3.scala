@@ -123,7 +123,8 @@ object ZarrV3 {
         s"(got '${cg.path("name").asText("")}')")
     val chunkShape = cg.path("configuration").path("chunk_shape")
       .elements().asScala.map(_.asInt()).toSeq
-    require(shape.nonEmpty && chunkShape.length == shape.length,
+    // shape [] = a 0-d SCALAR array (xarray scalar variables)
+    require(chunkShape.length == shape.length,
       s"$name: bad shape/chunk_shape")
     require(chunkShape.forall(_ > 0) && shape.forall(_ >= 0),
       s"$name: non-positive chunk extent")
@@ -280,6 +281,7 @@ object ZarrV3 {
     }
     val dims = node.path("dimension_names") match {
       case d if d.isArray => d.elements().asScala.map(_.asText()).toSeq
+      case _ if shape.isEmpty => Seq.empty // 0-d scalar: no axes
       case _ => throw new IllegalArgumentException(
         s"$name: missing dimension_names; cannot infer axis names")
     }

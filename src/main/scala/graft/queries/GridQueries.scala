@@ -830,6 +830,24 @@ object GridQueries {
         .select(col("time"), col("temp"))
     }),
 
+    // 0-d SCALAR variable (rioxarray's spatial_ref CRS pattern): the
+    // scalar registers as the reference's 1-row table (sql.py:112) and
+    // joins against an aggregate of the dimensional table — the
+    // "stamp every result row with the dataset CRS" query
+    "pivot_grid_scalar" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_rio") + "/store"
+      Fixtures.writeRioTree(root)
+      val store = graft.grid.ZarrGridStore.open(root)
+      val tag = s"rio_${Math.abs(root.hashCode)}"
+      new XarrayContext(s).fromDataset(tag, store, store.chunkMap)
+      s.sql(
+        s"""SELECT sc.spatial_ref, t.n_obs, t.avg_temp
+           |FROM ${tag}_scalar sc
+           |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_obs,
+           |                   avg(temp) AS avg_temp
+           |            FROM ${tag}_t) t""".stripMargin)
+    }),
+
     // CF-ENCODED time DATA variable on a foreign tree (int64 "seconds
     // since ..." + _FillValue, the layout xarray's to_zarr emits and
     // its decode_cf reverses): offsets decode to timestamps lazily at
@@ -1271,6 +1289,13 @@ object GridQueries {
         |  FROM generate_series(0, 23) t(k))
         |SELECT time, temp FROM g
         |WHERE time >= TIMESTAMP '2021-01-01 12:00:00'""".stripMargin,
+    "pivot_grid_scalar" ->
+      """WITH tv AS (SELECT 15.0 + k AS temp
+        |            FROM generate_series(0, 5) t(k))
+        |SELECT CAST(4326 AS BIGINT) AS spatial_ref,
+        |       CAST(count(*) AS BIGINT) AS n_obs,
+        |       avg(temp) AS avg_temp
+        |FROM tv""".stripMargin,
     "pivot_grid_cfvar" ->
       """WITH g AS (
         |  SELECT CAST(k AS BIGINT) AS t,

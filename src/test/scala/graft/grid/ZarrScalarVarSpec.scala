@@ -1,0 +1,97 @@
+package graft.grid
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+import java.nio.ByteBuffer
+import java.nio.ByteOrder
+import java.nio.file.{Files, Path}
+
+/** 0-d (SCALAR) zarr arrays — xarray scalar variables, most famously
+  * rioxarray's `spatial_ref` CRS variable that sits in practically
+  * every georeferenced archive. They parse (shape [], single chunk
+  * "0" v2 / "c" v3), read as one value, and register as the 1-row
+  * `<name>_scalar` table the reference builds (sql.py:112,
+  * tests/test_sql.py:434-456). Before this, any tree containing one
+  * failed to open at all.
+  */
+class ZarrScalarVarSpec extends SparkTestBase {
+
+  private def tmp(): Path = {
+    val p = Files.createTempDirectory("zarr_scalar")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private val conf = GridIO.driverConf()
+
+  private def writeRioStyleTree(root: String): Unit =
+    Fixtures.writeRioTree(root)
+
+  test("rioxarray-style tree with a 0-d spatial_ref opens and reads") {
+    val root = tmp().resolve("rio").toString
+    writeRioStyleTree(root)
+    val store = ZarrGridStore.open(root)
+    val sv = store.schema.vars.find(_.name == "spatial_ref").get
+    assert(sv.dims.isEmpty && sv.dtype == GLong)
+    assert(sv.attrs("crs_wkt").contains("WGS 84"))
+    assert(store.readVar("spatial_ref", Seq.empty)
+      .asInstanceOf[Array[Long]].toSeq == Seq(4326L))
+    // the dimensional variable is untouched
+    assert(store.readVar("temp", Seq((0, 6))).asInstanceOf[Array[Double]]
+      .toSeq == (0 until 6).map(15.0 + _))
+  }
+
+  test("scalar vars register as the reference's 1-row scalar table") {
+    val root = tmp().resolve("reg").toString
+    writeRioStyleTree(root)
+    val store = ZarrGridStore.open(root)
+    val views = new graft.XarrayContext(spark)
+      .fromDataset("rio", store, store.chunkMap)
+    assert(views.toSet == Set("rio_t", "rio_scalar"))
+    val scalar = spark.sql("SELECT spatial_ref FROM rio_scalar").collect()
+    assert(scalar.length == 1 && scalar.head.getLong(0) == 4326L)
+    val agg = spark.sql(
+      "SELECT count(*) AS n, sum(temp) AS s FROM rio_t").collect().head
+    assert(agg.getLong(0) == 6L)
+    assert(agg.getDouble(1) == (0 until 6).map(15.0 + _).sum)
+  }
+
+  test("v3: a 0-d array (chunk key 'c') round-trips the same way") {
+    val root = tmp().resolve("v3").toString
+    GridIO.mkdirs(root, conf)
+    GridIO.mkdirs(s"$root/sref", conf)
+    GridIO.mkdirs(s"$root/x", conf)
+    GridIO.writeString(s"$root/zarr.json",
+      """{"zarr_format":3,"node_type":"group","attributes":{}}""", conf)
+    GridIO.writeString(s"$root/sref/zarr.json",
+      """{"zarr_format":3,"node_type":"array","shape":[],
+        |"data_type":"int64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[]}},
+        |"chunk_key_encoding":{"name":"default",
+        |  "configuration":{"separator":"/"}},
+        |"fill_value":0,"codecs":[{"name":"bytes",
+        |  "configuration":{"endian":"little"}}],
+        |"attributes":{"crs_wkt":"EPSG:4326"}}""".stripMargin, conf)
+    val sb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    sb.putLong(4326L)
+    GridIO.write(s"$root/sref/c", sb.array(), conf)
+    GridIO.writeString(s"$root/x/zarr.json",
+      """{"zarr_format":3,"node_type":"array","shape":[4],
+        |"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4]}},
+        |"chunk_key_encoding":{"name":"default",
+        |  "configuration":{"separator":"/"}},
+        |"fill_value":"NaN","codecs":[{"name":"bytes",
+        |  "configuration":{"endian":"little"}}],
+        |"dimension_names":["i"],"attributes":{}}""".stripMargin, conf)
+    val xb = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 4).foreach(j => xb.putDouble(j * 1.5))
+    GridIO.write(s"$root/x/c/0", xb.array(), conf)
+    val store = ZarrGridStore.open(root)
+    assert(store.readVar("sref", Seq.empty)
+      .asInstanceOf[Array[Long]].toSeq == Seq(4326L))
+    assert(store.readVar("x", Seq((0, 4))).asInstanceOf[Array[Double]]
+      .toSeq == (0 until 4).map(_ * 1.5))
+  }
+}
