@@ -190,6 +190,8 @@ object GridWriter {
     // chunk layout (Zarr sinks encode vlen-utf8; this format does not)
     schema.vars.foreach(v => require(v.dtype != GString,
       s"${v.name}: string variables unsupported in the binary store"))
+    schema.vars.foreach(v => require(v.dims.nonEmpty,
+      s"${v.name}: writing 0-d (scalar) variables is unsupported"))
     schema.vars.foreach(v => GridIO.mkdirs(s"$root/${v.name}", conf))
     // executors return per-chunk (min, max) and value sums alongside
     // writing the chunk files; the driver folds them into the final

@@ -2001,6 +2001,12 @@ object ZarrGridStore {
   private def writeShell(schema: GridSchema, cleanRoot: String,
       chunks: Map[String, Int], comp: Option[(String, Int)],
       conf: org.apache.hadoop.conf.Configuration): Seq[ChunkWriteTask] = {
+    // 0-d variables READ fine (chunk key "0") but the writers' chunk
+    // keys/grids assume >= 1 dim — reject loudly rather than emit a
+    // misnamed chunk file
+    schema.vars.find(_.dims.isEmpty).foreach(v =>
+      throw new IllegalArgumentException(
+        s"${v.name}: writing 0-d (scalar) variables is unsupported"))
     GridIO.mkdirs(cleanRoot, conf)
     // a re-write into an existing root must drop the old sidecar
     // BEFORE any chunk lands: a crash mid-write then leaves no stats

@@ -731,6 +731,10 @@ object ZarrV3 {
       chunks: Map[String, Int], comp: Option[(String, Int)],
       shardInner: Map[String, Int],
       conf: org.apache.hadoop.conf.Configuration): Unit = {
+    // see v2 writeShell: scalar variables read, never write
+    schema.vars.find(_.dims.isEmpty).foreach(v =>
+      throw new IllegalArgumentException(
+        s"${v.name}: writing 0-d (scalar) variables is unsupported"))
     GridIO.mkdirs(cleanRoot, conf)
     // drop any stale sidecar before chunks land (see v2 writeShell)
     GridIO.delete(s"$cleanRoot/${ZarrGridStore.StatsSidecar}", conf)
