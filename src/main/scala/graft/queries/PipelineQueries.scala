@@ -1295,10 +1295,14 @@ object PipelineQueries {
         .filter(length(col("p.a")) > 0 && length(col("p.b")) > 0)
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("c_ab"))
-      val uni = Tables.documents(s, d)
-        .select(explode(split(lower(col("text")), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-        .groupBy("word").agg(count(lit(1)).as("c"))
+      // the unigram table is consumed THREE times (total N + both
+      // broadcast sides); staged once, the corpus is read once for it
+      // instead of three times — at 100 TB that is the whole game
+      val uni = staged(s, d, "unigrams")(
+        Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("c")))
       val n = uni.agg(sum("c")).head.getLong(0)
       pairs.filter(col("c_ab") >= 5)
         .join(broadcast(uni.withColumnRenamed("word", "a")

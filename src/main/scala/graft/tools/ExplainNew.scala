@@ -1,0 +1,20 @@
+package graft.tools
+object ExplainNew {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]").config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- Seq("bpe_merge_pairs", "colloc_lift")) {
+      println(s"===== $q =====")
+      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+      val plan = df.queryExecution.executedPlan.toString
+      println("broadcasts: " + "BroadcastHashJoin".r.findAllIn(plan).length)
+      println("sortmerge:  " + "SortMergeJoin".r.findAllIn(plan).length)
+      println("scans:      " + "Scan parquet".r.findAllIn(plan).length)
+      println("exchanges:  " + "Exchange ".r.findAllIn(plan).length)
+    }
+    spark.stop()
+  }
+}
