@@ -419,6 +419,54 @@ object Fixtures {
     ZarrGridStore.consolidate(root, conf)
   }
 
+  /** Foreign tree with a numpy-bool (`|b1`) mask variable over the
+    * same t[24] axis as [[writeM8Tree]]'s layout: mask = 1 where
+    * k % 3 == 0, plus f8 temp = 15 + 0.5*k. The land/sea-mask shape.
+    */
+  def writeBoolMaskTree(root: String): Unit = {
+    val conf = GridIO.driverConf()
+    GridIO.mkdirs(root, conf)
+    GridIO.writeString(s"$root/.zgroup", """{"zarr_format":2}""", conf)
+    GridIO.mkdirs(s"$root/t", conf)
+    GridIO.writeString(s"$root/t/.zarray",
+      """{"zarr_format":2,"shape":[24],"chunks":[24],"dtype":"<i8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/t/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["t"]}""", conf)
+    val tb = java.nio.ByteBuffer.allocate(24 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 24).foreach(k => tb.putLong(k.toLong))
+    GridIO.write(s"$root/t/0", tb.array(), conf)
+    GridIO.mkdirs(s"$root/mask", conf)
+    GridIO.writeString(s"$root/mask/.zarray",
+      """{"zarr_format":2,"shape":[24],"chunks":[6],"dtype":"|b1",
+        |"compressor":null,"fill_value":false,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/mask/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["t"]}""", conf)
+    (0 until 4).foreach { c =>
+      val mb = new Array[Byte](6)
+      (0 until 6).foreach(j =>
+        mb(j) = if ((c * 6 + j) % 3 == 0) 1.toByte else 0.toByte)
+      GridIO.write(s"$root/mask/$c", mb, conf)
+    }
+    GridIO.mkdirs(s"$root/temp", conf)
+    GridIO.writeString(s"$root/temp/.zarray",
+      """{"zarr_format":2,"shape":[24],"chunks":[6],"dtype":"<f8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin, conf)
+    GridIO.writeString(s"$root/temp/.zattrs",
+      """{"_ARRAY_DIMENSIONS":["t"]}""", conf)
+    (0 until 4).foreach { c =>
+      val vb = java.nio.ByteBuffer.allocate(6 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 6).foreach(j => vb.putDouble(15.0 + 0.5 * (c * 6 + j)))
+      GridIO.write(s"$root/temp/$c", vb.array(), conf)
+    }
+    ZarrGridStore.consolidate(root, conf)
+  }
+
   /** Foreign tree with a CF-ENCODED time DATA variable (what xarray's
     * to_zarr emits for a datetime64 data var): `obs` is int64
     * "seconds since 2021-01-01" offsets with `_FillValue` -999 at

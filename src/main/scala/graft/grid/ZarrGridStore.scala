@@ -1793,6 +1793,8 @@ object ZarrGridStore {
       case f if f == null || f.isNull || f.isMissingNode => Double.NaN
       case _ if isVlen => Double.NaN // string fill parsed below
       case f if f.isNumber => f.asDouble()
+      // zarr-python writes JSON true/false for |b1 (bool) arrays
+      case f if f.isBoolean => if (f.asBoolean()) 1.0 else 0.0
       case f if f.isTextual => f.asText() match {
         case "NaN" => Double.NaN
         case "Infinity" => Double.PositiveInfinity

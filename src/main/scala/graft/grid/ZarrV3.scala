@@ -194,6 +194,8 @@ object ZarrV3 {
       case f if f == null || f.isNull || f.isMissingNode => Double.NaN
       case _ if isVlen => Double.NaN // string fills parse below
       case f if f.isNumber => f.asDouble()
+      // zarr-python writes JSON true/false for bool arrays
+      case f if f.isBoolean => if (f.asBoolean()) 1.0 else 0.0
       case f if f.isTextual => f.asText() match {
         case "NaN" => Double.NaN
         case "Infinity" => Double.PositiveInfinity

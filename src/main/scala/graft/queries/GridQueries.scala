@@ -830,6 +830,21 @@ object GridQueries {
         .select(col("time"), col("temp"))
     }),
 
+    // numpy-bool (|b1) MASK variable — the land/sea-mask shape every
+    // geoscience archive carries: 0/1 ints, queried as `mask = 1`,
+    // masking a sibling variable's aggregate
+    "pivot_grid_bool_mask" -> ((s, _) => {
+      val root = QueryTmp.dir("graft_boolmask") + "/store"
+      Fixtures.writeBoolMaskTree(root)
+      val store = graft.grid.ZarrGridStore.open(root)
+      new XarrayContext(s)
+        .scratchDataFrame(s"boolmask@$root", store, store.chunkMap,
+          Seq("t"))
+        .filter(col("mask") === 1)
+        .agg(count(lit(1)).as("n_masked"),
+          sum("temp").as("sum_temp"))
+    }),
+
     // 0-d SCALAR variable (rioxarray's spatial_ref CRS pattern): the
     // scalar registers as the reference's 1-row table (sql.py:112) and
     // joins against an aggregate of the dimensional table — the
@@ -1289,6 +1304,14 @@ object GridQueries {
         |  FROM generate_series(0, 23) t(k))
         |SELECT time, temp FROM g
         |WHERE time >= TIMESTAMP '2021-01-01 12:00:00'""".stripMargin,
+    "pivot_grid_bool_mask" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS mask,
+        |         15.0 + 0.5*k AS temp
+        |  FROM generate_series(0, 23) t(k))
+        |SELECT CAST(count(*) AS BIGINT) AS n_masked,
+        |       sum(temp) AS sum_temp
+        |FROM g WHERE mask = 1""".stripMargin,
     "pivot_grid_scalar" ->
       """WITH tv AS (SELECT 15.0 + k AS temp
         |            FROM generate_series(0, 5) t(k))

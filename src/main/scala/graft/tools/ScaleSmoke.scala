@@ -51,7 +51,10 @@ object ScaleSmoke {
     }
 
     val heavy = Seq("ngram_dup_spans", "bm25_topk", "simhash_pairs",
-      "dedup_incremental_bloom", "token_encode")
+      "dedup_incremental_bloom", "token_encode",
+      // round-10 continuation additions: one BPE merge iteration
+      // (vocab-sized pair stage) and staged-unigram collocations
+      "bpe_merge_pairs", "colloc_lift")
     // one warm pass at sf0.1 amortizes codegen/JIT out of the ratio
     heavy.foreach(n => graft.SparkEntry.queries(n)(spark, base).count())
     def time(name: String, dir: String): (Double, Long) = {
