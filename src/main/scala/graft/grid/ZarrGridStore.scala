@@ -212,13 +212,17 @@ final case class ZarrGridStore(root: String, schema: GridSchema,
     hconf: SerializableHadoopConf = GridIO.shippable(),
     /** Per-chunk (min,max) / sums recorded by THIS engine's writers in
       * the `.graft-stats.json` sidecar (keys `"<var> <ci.dotted>"`,
-      * same contract as BinaryGridStore). Parquet-footer rules apply:
+      * same contract as BinaryGridStore), loaded lazily per variable
+      * under format v2 ([[StatsSource]]). Parquet-footer rules apply:
       * the sidecar is part of the written format — rewriting chunk
       * files by hand without dropping it is corruption. Foreign trees
       * have no sidecar and simply serve no bounds.
       */
-    stats: Map[String, (Any, Any)] = Map.empty,
-    sums: Map[String, Double] = Map.empty) extends GridStore {
+    statsSource: StatsSource = StatsSource.Empty) extends GridStore {
+
+  /** Eager views for tests/inspection — forces every stats file. */
+  def stats: Map[String, (Any, Any)] = statsSource.allBounds
+  def sums: Map[String, Double] = statsSource.allSums
 
   /** Chunk key for `block` when it aligns with `name`'s own storage
     * grid (the blocks the DSv2 scan plans), else None. For sharded
@@ -242,11 +246,11 @@ final case class ZarrGridStore(root: String, schema: GridSchema,
 
   override def varBounds(name: String,
       block: Seq[(Int, Int)]): Option[(Any, Any)] =
-    alignedKey(name, block).flatMap(stats.get)
+    alignedKey(name, block).flatMap(statsSource.bounds)
 
   override def varSums(name: String,
       block: Seq[(Int, Int)]): Option[Double] =
-    alignedKey(name, block).flatMap(sums.get)
+    alignedKey(name, block).flatMap(statsSource.sum)
 
   /** Per-dim chunk sizes of the DATA variables (what registration
     * partitions the scan by). Coordinate arrays may chunk differently;
@@ -451,9 +455,8 @@ object ZarrGridStore {
             sizes.map(_._2).distinct.mkString(","))
       }
 
-    val (chunkStatsMap, chunkSumsMap) = readStatsSidecar(cleanRoot, conf)
     ZarrGridStore(cleanRoot, GridSchema(dims, vars, dsAttrs), metas2, hconf,
-      stats = chunkStatsMap, sums = chunkSumsMap)
+      statsSource = readStatsManifest(cleanRoot, hconf))
   }
 
   /** Per-INNER-chunk stats of one scattered outer shard: `arr` is the
@@ -522,11 +525,18 @@ object ZarrGridStore {
 
   /** Sidecar carrying per-chunk value stats for zarr trees — the same
     * (min,max)/sum law BinaryGridStore records in metadata.txt, keyed
-    * `"<var> <ci.dotted>"`. zarr-python ignores unknown root files, so
-    * the tree stays a perfectly ordinary zarr archive. Absent on
-    * foreign trees (no stats, no pruning — always sound). Append
-    * DELETES it before the commit phase and rewrites it after, so a
-    * crash window can only lose stats, never serve stale bounds.
+    * `"<var> <ci.dotted>"`. zarr-python ignores unknown files, so the
+    * tree stays a perfectly ordinary zarr archive. Absent on foreign
+    * trees (no stats, no pruning — always sound).
+    *
+    * Format v2 (written since round 11): the ROOT file of this name is
+    * a manifest (`{"version":2,"vars":[...]}`) and each listed variable
+    * carries its own `<var>/.graft-stats.json` — a 100 TB tree's stats
+    * are no longer one GB-scale driver read ([[StatsSource]]). v1
+    * single-file sidecars remain readable. Writers order commits so a
+    * crash can only LOSE stats, never serve stale bounds: the manifest
+    * deletes before any chunk moves and rewrites LAST, and readers
+    * consult per-var files only through the manifest.
     */
   private[grid] val StatsSidecar = ".graft-stats.json"
 
@@ -539,88 +549,122 @@ object ZarrGridStore {
     case _ => "double"
   }
 
-  private[grid] def writeStatsSidecar(root: String, schema: GridSchema,
+  /** Write one variable's v2 stats file from its (key, bounds, sum)
+    * entries; deletes any stale file when there is nothing to record.
+    * Entries are sorted by chunk key (scatter results arrive in
+    * executor map order, and the file must be byte-deterministic — the
+    * append byte-identity property covers it). Returns whether a file
+    * now exists for the variable.
+    */
+  private[grid] def writeVarStats(root: String, v: VarDef,
       entries: Seq[(String, Option[(Any, Any)], Option[Double])],
-      conf: org.apache.hadoop.conf.Configuration): Unit = {
-    // nothing to record (all-sharded / all-string trees): write no
-    // file — but DELETE any stale one first (a re-write into an
-    // existing root must never leave old bounds next to new chunks),
-    // so append-vs-one-shot byte identity holds for those too
-    if (!entries.exists(e => e._2.isDefined || e._3.isDefined)) {
-      GridIO.delete(s"$root/$StatsSidecar", conf)
-      return
-    }
-    val mapper = new ObjectMapper()
-    val top = mapper.createObjectNode()
-    top.put("version", 1)
-    val vars = top.putObject("vars")
-    val byVar = entries.flatMap { case (key, mm, sm) =>
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val p = s"$root/${v.name}/$StatsSidecar"
+    val es = entries.flatMap { case (key, mm, sm) =>
       key.split(" ", 2) match {
-        case Array(nm, ci) => Some((nm, ci, mm, sm))
+        case Array(nm, ci) if nm == v.name &&
+          (mm.isDefined || sm.isDefined) => Some((ci, mm, sm))
         case _ => None
       }
-    }.groupBy(_._1)
-    schema.vars.foreach { v =>
-      // sorted by chunk key: scatter results arrive in executor map
-      // order, and the sidecar must be byte-deterministic (the append
-      // byte-identity property covers it)
-      val es = byVar.getOrElse(v.name, Seq.empty).sortBy(_._2)
-      if (es.nonEmpty) {
-        val vn = vars.putObject(v.name)
-        vn.put("kind", statsKind(v.dtype))
-        val st = vn.putObject("stats")
-        val su = vn.putObject("sums")
-        es.foreach { case (_, ci, mm, sm) =>
-          mm.foreach { case (mn, mx) =>
-            val arr = st.putArray(ci)
-            Seq(mn, mx).foreach {
-              case l: Long => arr.add(l)
-              case d: Double => arr.add(d)
-              case other => throw new IllegalStateException(
-                s"${v.name}: unexpected stats box ${other.getClass}")
-            }
-          }
-          sm.foreach(s => su.put(ci, s))
+    }.sortBy(_._1)
+    if (es.isEmpty) { GridIO.delete(p, conf); return false }
+    val mapper = new ObjectMapper()
+    val vn = mapper.createObjectNode()
+    vn.put("version", 2)
+    vn.put("kind", statsKind(v.dtype))
+    val st = vn.putObject("stats")
+    val su = vn.putObject("sums")
+    es.foreach { case (ci, mm, sm) =>
+      mm.foreach { case (mn, mx) =>
+        val arr = st.putArray(ci)
+        Seq(mn, mx).foreach {
+          case l: Long => arr.add(l)
+          case d: Double => arr.add(d)
+          case other => throw new IllegalStateException(
+            s"${v.name}: unexpected stats box ${other.getClass}")
         }
       }
+      sm.foreach(s => su.put(ci, s))
     }
+    GridIO.writeString(p, mapper.writeValueAsString(vn), conf)
+    true
+  }
+
+  /** Root manifest (format v2) — written LAST so readers never consult
+    * a per-var file the writer has not finished.
+    */
+  private[grid] def writeStatsManifest(root: String, vars: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    if (vars.isEmpty) { GridIO.delete(s"$root/$StatsSidecar", conf); return }
+    val mapper = new ObjectMapper()
+    val top = mapper.createObjectNode()
+    top.put("version", 2)
+    val arr = top.putArray("vars")
+    vars.sorted.foreach(arr.add)
     GridIO.writeString(s"$root/$StatsSidecar",
       mapper.writeValueAsString(top), conf)
   }
 
-  private[grid] def readStatsSidecar(root: String,
-      conf: org.apache.hadoop.conf.Configuration)
-      : (Map[String, (Any, Any)], Map[String, Double]) = {
+  /** Full-tree stats write (one-shot writers): per-var files for every
+    * variable with entries, stale files dropped for those without,
+    * manifest last.
+    */
+  private[grid] def writeStatsSidecar(root: String, schema: GridSchema,
+      entries: Seq[(String, Option[(Any, Any)], Option[Double])],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val withFiles = schema.vars.filter(v =>
+      writeVarStats(root, v, entries, conf)).map(_.name)
+    writeStatsManifest(root, withFiles, conf)
+  }
+
+  /** Open-time stats resolution: the root sidecar is either a v1
+    * full-content file (parsed eagerly) or a v2 manifest (per-var files
+    * load lazily on first touch). Stats are an optimization — any
+    * corrupt or future-versioned sidecar degrades to "no stats" with a
+    * warning instead of bricking an otherwise-valid tree.
+    */
+  private[grid] def readStatsManifest(root: String,
+      hconf: SerializableHadoopConf): StatsSource = {
+    val conf = hconf.value
     val p = s"$root/$StatsSidecar"
     val raw =
       try Some(GridIO.readAllBytes(p, conf))
       catch { case _: java.io.FileNotFoundException => None }
     raw match {
-      case None => (Map.empty, Map.empty)
+      case None => StatsSource.Empty
       case Some(bytes) =>
-        val node = parseJson(bytes)
-        require(node.path("version").asInt(0) == 1,
-          s"$p: unsupported stats sidecar version")
-        val stats = Map.newBuilder[String, (Any, Any)]
-        val sums = Map.newBuilder[String, Double]
-        node.path("vars").properties().asScala.foreach { e =>
-          val name = e.getKey
-          val vn = e.getValue
-          val long = vn.path("kind").asText("double") == "long"
-          vn.path("stats").properties().asScala.foreach { s =>
-            val a = s.getValue
-            require(a.isArray && a.size() == 2, s"$p: bad stats entry")
-            val pair: (Any, Any) =
-              if (long) (a.get(0).asLong(), a.get(1).asLong())
-              else (a.get(0).asDouble(), a.get(1).asDouble())
-            stats += s"$name ${s.getKey}" -> pair
+        try {
+          val node = parseJson(bytes)
+          node.path("version").asInt(0) match {
+            case 1 =>
+              var stats = Map.empty[String, (Any, Any)]
+              var sums = Map.empty[String, Double]
+              node.path("vars").properties().asScala.foreach { e =>
+                val (st, su) =
+                  StatsSource.parseVarStats(e.getKey, e.getValue)
+                stats ++= st; sums ++= su
+              }
+              StatsSource.Eager(stats, sums)
+            case 2 =>
+              val vars = node.path("vars").elements().asScala
+                .map(_.asText()).toSet
+              new StatsSource.LazyPerVar(root, vars, hconf)
+            case v =>
+              statsWarn(s"$p: unsupported stats sidecar version $v — " +
+                "ignoring (no pruning bounds served)")
+              StatsSource.Empty
           }
-          vn.path("sums").properties().asScala.foreach(s =>
-            sums += s"$name ${s.getKey}" -> s.getValue.asDouble())
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            statsWarn(s"$p: unreadable stats sidecar " +
+              s"(${e.getMessage}) — ignoring (no pruning bounds served)")
+            StatsSource.Empty
         }
-        (stats.result(), sums.result())
     }
   }
+
+  private def statsWarn(msg: String): Unit =
+    org.slf4j.LoggerFactory.getLogger(ZarrGridStore.getClass).warn(msg)
 
   /** Rewrite one DATA array's meta when it is CF-encoded time: int
     * offsets + `units` attr ("<step> since <date>" under a
@@ -1966,6 +2010,9 @@ object ZarrGridStore {
     val comp = parseCompressor(compressor)
     val tasks = writeShell(source.schema, cleanRoot, chunks, comp, conf)
     val entries = tasks.map(_.run(source, comp, conf))
+    source.schema.vars.filter(_.dims.isEmpty).foreach(v =>
+      writeScalarChunk(cleanRoot, v, source.readVar(v.name, Seq.empty),
+        comp, "0", conf))
     writeStatsSidecar(cleanRoot, source.schema, entries, conf)
     consolidate(cleanRoot, conf)
     open(cleanRoot) // takes the consolidated path it just wrote
@@ -2003,12 +2050,6 @@ object ZarrGridStore {
   private def writeShell(schema: GridSchema, cleanRoot: String,
       chunks: Map[String, Int], comp: Option[(String, Int)],
       conf: org.apache.hadoop.conf.Configuration): Seq[ChunkWriteTask] = {
-    // 0-d variables READ fine (chunk key "0") but the writers' chunk
-    // keys/grids assume >= 1 dim — reject loudly rather than emit a
-    // misnamed chunk file
-    schema.vars.find(_.dims.isEmpty).foreach(v =>
-      throw new IllegalArgumentException(
-        s"${v.name}: writing 0-d (scalar) variables is unsupported"))
     GridIO.mkdirs(cleanRoot, conf)
     // a re-write into an existing root must drop the old sidecar
     // BEFORE any chunk lands: a crash mid-write then leaves no stats
@@ -2040,9 +2081,71 @@ object ZarrGridStore {
         dtypeString(v.dtype), comp, fillJson, filtersJson), conf)
       GridIO.writeString(s"$dir/.zattrs",
         attrsJson(v.attrs, Some(v.dims)), conf)
-      val sub = GridSchema(v.dims.map(schema.dim), Seq.empty)
-      ChunkGrid.blocks(sub, chunks).map(block =>
-        ChunkWriteTask(dir, v.name, v.dtype, chunkSz, block))
+      // 0-d (scalar) variables: shape []/chunks [] metadata above; the
+      // single chunk ("0") is metadata-sized and written driver-side by
+      // the caller via writeScalarChunk — no distributed task
+      if (v.dims.isEmpty) Seq.empty
+      else {
+        val sub = GridSchema(v.dims.map(schema.dim), Seq.empty)
+        ChunkGrid.blocks(sub, chunks).map(block =>
+          ChunkWriteTask(dir, v.name, v.dtype, chunkSz, block))
+      }
+    }
+  }
+
+  /** Write a 0-d variable's single chunk — `"0"` (v2) or `"c"` (v3) —
+    * from its 1-element array. Scalars are metadata-sized (rioxarray's
+    * `spatial_ref` pattern), so this runs driver-side in every writer;
+    * no stats entry is recorded (nothing to prune on a 1-cell array).
+    */
+  private[grid] def writeScalarChunk(cleanRoot: String, v: VarDef,
+      value: AnyRef, comp: Option[(String, Int)], key: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    require(java.lang.reflect.Array.getLength(value) == 1,
+      s"${v.name}: scalar variable value must be a single element")
+    val payload =
+      if (v.dtype == GString)
+        compress(encodeVlen(value.asInstanceOf[Array[String]]), comp, 1)
+      else compress(toLE(value, v.dtype), comp, v.dtype.byteWidth)
+    GridIO.write(s"$cleanRoot/${v.name}/$key", payload, conf)
+  }
+
+  /** The 1-element array of a 0-d variable taken from a row-scatter
+    * DataFrame: the variable's column must hold exactly one distinct
+    * non-null value (every row of a pivoted grid carries the same
+    * scalar — xarray broadcasts scalars the same way).
+    */
+  private[grid] def scalarValueFromRows(df: org.apache.spark.sql.DataFrame,
+      v: VarDef): AnyRef = {
+    val rows = df.select(df.col(v.name)).distinct().limit(2).collect()
+    require(rows.length == 1 && !rows.head.isNullAt(0),
+      s"${v.name}: a 0-d (scalar) variable's column must hold exactly " +
+        "one non-null value")
+    val x = rows.head.get(0)
+    v.dtype match {
+      case GDouble => Array(x.asInstanceOf[Double])
+      case GFloat => Array(x.asInstanceOf[Float])
+      case GInt => Array(x.asInstanceOf[Int])
+      case GLong => Array(x.asInstanceOf[Long])
+      case GString => Array(x.asInstanceOf[String])
+      case GTimestamp => x match {
+        case t: java.sql.Timestamp =>
+          Array(Math.addExact(Math.multiplyExact(
+            Math.floorDiv(t.getTime, 1000L), 1000000L),
+            (t.getNanos / 1000).toLong))
+        case i: java.time.Instant =>
+          Array(Math.addExact(Math.multiplyExact(i.getEpochSecond,
+            1000000L), (i.getNano / 1000).toLong))
+        case other => throw new IllegalArgumentException(
+          s"${v.name}: unexpected timestamp box ${other.getClass}")
+      }
+      case GDuration => x match {
+        case d: java.time.Duration =>
+          Array(Math.addExact(Math.multiplyExact(d.getSeconds, 1000000L),
+            (d.getNano / 1000).toLong))
+        case other => throw new IllegalArgumentException(
+          s"${v.name}: unexpected duration box ${other.getClass}")
+      }
     }
   }
 
@@ -2073,6 +2176,9 @@ object ZarrGridStore {
     val entries = sc.parallelize(tasks, parts)
       .map(t => t.run(bSource.value, comp, hconf.value)).collect().toSeq
     bSource.destroy()
+    source.schema.vars.filter(_.dims.isEmpty).foreach(v =>
+      writeScalarChunk(cleanRoot, v, source.readVar(v.name, Seq.empty),
+        comp, "0", conf))
     writeStatsSidecar(cleanRoot, source.schema, entries, conf)
     consolidate(cleanRoot, conf)
     open(cleanRoot)
@@ -2097,12 +2203,15 @@ object ZarrGridStore {
     val cleanRoot = root.stripSuffix("/")
     val comp = parseCompressor(compressor)
     writeShell(schema, cleanRoot, chunks, comp, conf) // data via scatter
-    val entries = schema.vars.flatMap { v =>
+    val entries = schema.vars.filter(_.dims.nonEmpty).flatMap { v =>
       val chunkSz = v.dims.map(d =>
         chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
       GridWriter.writeVar(df, schema, chunks,
         GridWriter.ZarrSink(cleanRoot, v.dtype, chunkSz, comp), v)
     }
+    schema.vars.filter(_.dims.isEmpty).foreach(v =>
+      writeScalarChunk(cleanRoot, v, scalarValueFromRows(df, v), comp,
+        "0", conf))
     writeStatsSidecar(cleanRoot, schema, entries, conf)
     consolidate(cleanRoot, conf)
     open(cleanRoot)
@@ -2227,11 +2336,12 @@ object ZarrGridStore {
     appendTestHook(cleanRoot)
     checkNoConcurrentAppend(cleanRoot, staging,
       s"$cleanRoot/$along/.zarray", versionKey, conf)
-    // stats sidecar: capture the pre-append entries, then DELETE the
-    // sidecar before any chunk moves — a crash mid-commit leaves no
-    // sidecar (no stats, sound) instead of stale bounds for the
-    // replaced edge chunk
-    val (oldStats, oldSums) = readStatsSidecar(cleanRoot, conf)
+    // stats sidecar: the open's StatsSource already indexes the
+    // pre-append stats; DELETE the manifest before any chunk moves — a
+    // crash mid-commit leaves no manifest (per-var files unreachable,
+    // no stats, sound) instead of stale bounds for the replaced edge
+    // chunk
+    val oldSource = existing.statsSource
     GridIO.delete(s"$cleanRoot/$StatsSidecar", conf)
     // staged chunks already carry store-global keys; the shared commit
     // protocol (manifest + replaceWithBackup) makes the move crash-
@@ -2263,30 +2373,50 @@ object ZarrGridStore {
     // merged sidecar: untouched chunks keep their entries, the merged
     // edge chunk and new chunks take the append's recomputed stats
     // (same key -> the new entry wins)
-    mergeStatsSidecar(cleanRoot, existing.schema, oldStats, oldSums,
+    mergeStatsSidecar(cleanRoot, existing.schema, oldSource,
       newEntries, conf)
     consolidate(cleanRoot, conf)
     open(cleanRoot)
   }
 
-  /** Rewrite the stats sidecar after an append: old entries ++ new
-    * entries (new wins on the shared edge-chunk key). Writing happens
-    * only when either side HAS stats — appending to a foreign tree
-    * that never had a sidecar still creates one covering the appended
-    * chunks (partial coverage is sound: absent keys serve no bounds).
+  /** Rewrite the stats sidecar after an append: per TOUCHED variable,
+    * old entries ++ new entries (new wins on the shared edge-chunk
+    * key). Under format v2 only the growing variables' files are read
+    * and rewritten — untouched variables' files stay on disk unread,
+    * which is what keeps append O(slab), not O(tree), at 10⁸ chunks. A
+    * v1 source (pre-v2 tree) migrates every variable to per-var files
+    * here. Appending to a foreign tree that never had a sidecar still
+    * creates one covering the appended chunks (partial coverage is
+    * sound: absent keys serve no bounds).
     */
   private[grid] def mergeStatsSidecar(root: String, schema: GridSchema,
-      oldStats: Map[String, (Any, Any)], oldSums: Map[String, Double],
+      old: StatsSource,
       newEntries: Seq[(String, Option[(Any, Any)], Option[Double])],
       conf: org.apache.hadoop.conf.Configuration): Unit = {
-    val merged = newEntries.map(_._1).toSet
-    val keep = oldStats.view.filterKeys(!merged.contains(_)).toMap
-    val keepSums = oldSums.view.filterKeys(!merged.contains(_)).toMap
-    val entries =
-      keep.keysIterator.concat(keepSums.keysIterator).toSeq.distinct
-        .map(k => (k, keep.get(k), keepSums.get(k))) ++ newEntries
-    if (entries.exists(e => e._2.isDefined || e._3.isDefined))
-      writeStatsSidecar(root, schema, entries, conf)
+    val touched = newEntries.map(_._1.split(" ", 2)(0)).toSet
+    val withFiles = Set.newBuilder[String]
+    touched.toSeq.sorted.foreach { vn =>
+      schema.vars.find(_.name == vn).foreach { v =>
+        val prefix = vn + " "
+        val news = newEntries.filter(_._1.startsWith(prefix))
+        val replaced = news.map(_._1).toSet
+        val olds = old.entriesFor(vn).filterNot(e => replaced(e._1))
+        if (writeVarStats(root, v, olds ++ news, conf)) withFiles += vn
+      }
+    }
+    val untouched = old.varNames -- touched
+    old match {
+      case _: StatsSource.LazyPerVar =>
+        withFiles ++= untouched // v2 files already on disk, untouched
+      case _ =>
+        untouched.toSeq.sorted.foreach { vn =>
+          schema.vars.find(_.name == vn).foreach { v =>
+            if (writeVarStats(root, v, old.entriesFor(vn), conf))
+              withFiles += vn
+          }
+        }
+    }
+    writeStatsManifest(root, withFiles.result().toSeq, conf)
   }
 
   /** In place on `arr` (flat C-order of shape `eff`): every position

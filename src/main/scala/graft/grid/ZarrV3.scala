@@ -489,7 +489,7 @@ object ZarrV3 {
     val conf = GridIO.driverConf()
     val cleanRoot = root.stripSuffix("/")
     writeMetadataShell(schema, cleanRoot, chunks, comp, shardInner, conf)
-    val entries = schema.vars.flatMap { v =>
+    val entries = schema.vars.filter(_.dims.nonEmpty).flatMap { v =>
       val chunkSz = v.dims.map(d =>
         chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
       val innerSz =
@@ -499,6 +499,9 @@ object ZarrV3 {
       GridWriter.writeVar(df, schema, chunks,
         GridWriter.V3Sink(cleanRoot, v.dtype, chunkSz, innerSz, comp), v)
     }
+    schema.vars.filter(_.dims.isEmpty).foreach(v =>
+      ZarrGridStore.writeScalarChunk(cleanRoot, v,
+        ZarrGridStore.scalarValueFromRows(df, v), comp, "c", conf))
     ZarrGridStore.writeStatsSidecar(cleanRoot, schema, entries, conf)
     open(cleanRoot)
   }
@@ -603,10 +606,10 @@ object ZarrV3 {
     ZarrGridStore.appendTestHook(cleanRoot)
     ZarrGridStore.checkNoConcurrentAppend(cleanRoot, staging,
       s"$cleanRoot/$along/zarr.json", versionKey, conf)
-    // stats sidecar: capture, then delete BEFORE chunk moves (crash
-    // mid-commit -> no sidecar -> no stats, never stale bounds)
-    val (oldStats, oldSums) =
-      ZarrGridStore.readStatsSidecar(cleanRoot, conf)
+    // stats sidecar: the open's StatsSource indexes the pre-append
+    // stats; delete the MANIFEST before chunk moves (crash mid-commit
+    // -> no manifest -> no stats, never stale bounds)
+    val oldSource = existing.statsSource
     GridIO.delete(s"$cleanRoot/${ZarrGridStore.StatsSidecar}", conf)
     // staged flat keys (already store-global) -> nested `c/` keys via
     // the shared crash-healable, retry-idempotent commit protocol
@@ -639,7 +642,7 @@ object ZarrV3 {
     }
     // merged sidecar (new entries win on the shared edge-chunk key)
     ZarrGridStore.mergeStatsSidecar(cleanRoot, existing.schema,
-      oldStats, oldSums, newEntries, conf)
+      oldSource, newEntries, conf)
     // the writer's metadata order (dims, then vars) keeps the rebuilt
     // root byte-identical to a one-shot write of the grown dataset
     reconsolidateRoot(cleanRoot,
@@ -693,7 +696,7 @@ object ZarrV3 {
     val schema = source.schema
     val cleanRoot = root.stripSuffix("/")
     writeMetadataShell(schema, cleanRoot, chunks, comp, shardInner, conf)
-    val tasks = schema.vars.flatMap { v =>
+    val tasks = schema.vars.filter(_.dims.nonEmpty).flatMap { v =>
       val chunkSz = v.dims.map(d =>
         chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
       val innerSz =
@@ -720,6 +723,9 @@ object ZarrV3 {
         bSource.destroy()
         es
       }
+    schema.vars.filter(_.dims.isEmpty).foreach(v =>
+      ZarrGridStore.writeScalarChunk(cleanRoot, v,
+        source.readVar(v.name, Seq.empty), comp, "c", conf))
     ZarrGridStore.writeStatsSidecar(cleanRoot, schema, entries, conf)
     open(cleanRoot)
   }
@@ -727,16 +733,14 @@ object ZarrV3 {
   /** Driver-side metadata shell of a v3 write: coordinate arrays,
     * per-array `zarr.json`, and the consolidated root `zarr.json` —
     * everything except data chunks (which the caller writes, serially,
-    * distributed store-to-store, or via the row scatter).
+    * distributed store-to-store, or via the row scatter). 0-d (scalar)
+    * variables get shape-[] metadata here; their single `c` chunk is
+    * written driver-side by the caller.
     */
   private def writeMetadataShell(schema: GridSchema, cleanRoot: String,
       chunks: Map[String, Int], comp: Option[(String, Int)],
       shardInner: Map[String, Int],
       conf: org.apache.hadoop.conf.Configuration): Unit = {
-    // see v2 writeShell: scalar variables read, never write
-    schema.vars.find(_.dims.isEmpty).foreach(v =>
-      throw new IllegalArgumentException(
-        s"${v.name}: writing 0-d (scalar) variables is unsupported"))
     GridIO.mkdirs(cleanRoot, conf)
     // drop any stale sidecar before chunks land (see v2 writeShell)
     GridIO.delete(s"$cleanRoot/${ZarrGridStore.StatsSidecar}", conf)
@@ -757,7 +761,7 @@ object ZarrV3 {
       val chunkSz = v.dims.map(d =>
         chunks.getOrElse(d, math.max(schema.dim(d).size, 1)))
       val innerSz: Option[Seq[Int]] =
-        if (shardInner.isEmpty) None
+        if (shardInner.isEmpty || v.dims.isEmpty) None // scalars: no shards
         else Some(v.dims.zip(chunkSz).map { case (d, outer) =>
           val in = shardInner.getOrElse(d, outer)
           require(in > 0 && outer % in == 0,

@@ -850,9 +850,14 @@ object GridQueries {
     // joins against an aggregate of the dimensional table — the
     // "stamp every result row with the dataset CRS" query
     "pivot_grid_scalar" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_rio") + "/store"
-      Fixtures.writeRioTree(root)
-      val store = graft.grid.ZarrGridStore.open(root)
+      val rioRoot = QueryTmp.dir("graft_rio") + "/store"
+      Fixtures.writeRioTree(rioRoot)
+      // round-trip the scalar through THIS REPO'S writer (round 11:
+      // 0-d variables write too) — the gated store is repo-written
+      val root = QueryTmp.dir("graft_rio") + "/rewritten"
+      val store = graft.grid.ZarrGridStore.write(
+        graft.grid.ZarrGridStore.open(rioRoot), root, Map("t" -> 3),
+        "zstd:3")
       val tag = s"rio_${Math.abs(root.hashCode)}"
       new XarrayContext(s).fromDataset(tag, store, store.chunkMap)
       s.sql(

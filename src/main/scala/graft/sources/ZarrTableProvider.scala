@@ -172,7 +172,19 @@ private[sources] object ZarrWrite {
       GridIO.exists(s"$root/.zgroup", conf) ||
       GridIO.exists(s"$root/zarr.json", conf)
 
-    val schema = inferGridSchema(df, dims)
+    // 0-d (scalar) variables: listed columns carry one constant value
+    // (rioxarray's `spatial_ref` pattern) and write as shape-[] arrays
+    val scalarVars = Option(options.get("scalarVars")).map(_.split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    scalarVars.foreach { c =>
+      require(df.columns.contains(c),
+        s"zarr write: scalarVars column '$c' not in " +
+          df.columns.mkString(", "))
+      require(!dims.contains(c),
+        s"zarr write: '$c' cannot be both a dim and a scalar variable")
+    }
+
+    val schema = inferGridSchema(df, dims, scalarVars)
     def create(): Unit = {
       if (format == "v3")
         ZarrV3.writeFromRows(df, schema, chunks, root, compressor,
@@ -219,7 +231,7 @@ private[sources] object ZarrWrite {
     * job per dim), variables are every remaining column.
     */
   private[sources] def inferGridSchema(df: DataFrame,
-      dims: Seq[String]): GridSchema = {
+      dims: Seq[String], scalarVars: Seq[String] = Seq.empty): GridSchema = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.functions._
     val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -258,9 +270,10 @@ private[sources] object ZarrWrite {
         case other => throw new IllegalArgumentException(
           s"zarr write: variable '$c' has unsupported type $other")
       }
-      VarDef(c, dims, dt)
+      VarDef(c, if (scalarVars.contains(c)) Seq.empty else dims, dt)
     }
-    require(vars.nonEmpty, "zarr write: no variable columns besides dims")
+    require(vars.exists(_.dims.nonEmpty),
+      "zarr write: no variable columns besides dims and scalars")
     GridSchema(dimDefs, vars)
   }
 }

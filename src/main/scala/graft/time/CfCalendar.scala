@@ -54,8 +54,15 @@ object CfCalendar {
     }
   }
 
-  /** Parse "days since 2000-01-01" / "hours since ..." style CF units. */
-  final case class Units(step: String, refY: Int, refM: Int, refD: Int) {
+  /** Parse "days since 2000-01-01" / "hours since ..." style CF units.
+    * `refMicros` is the reference datetime's intra-day component
+    * ("days since 1850-01-01 12:00:00" -> 43_200_000_000): CF reference
+    * dates routinely carry a time-of-day (ERA-style "hours since
+    * 1900-01-01 00:00:0.0"), and dropping it shifts every decoded
+    * timestamp by up to a day (cftime.date2num honors it).
+    */
+  final case class Units(step: String, refY: Int, refM: Int, refD: Int,
+      refMicros: Long = 0L) {
     def stepsPerDay: Long = step match {
       case "days" => 1L
       case "hours" => 24L
@@ -72,10 +79,40 @@ object CfCalendar {
     }
   }
 
-  private val UnitsRe = """(\w+) since (\d{1,4})-(\d{1,2})-(\d{1,2}).*""".r
+  private val UnitsRe =
+    ("""(\w+) since (\d{1,4})-(\d{1,2})-(\d{1,2})""" +
+      """(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2}(?:\.\d+)?))?)?""" +
+      """(?:\s*(Z|UTC|GMT|[+-]\d{1,2}(?::?\d{2})?))?\s*""").r
 
   def parseUnits(units: String): Units = units match {
-    case UnitsRe(step, y, m, d) => Units(step, y.toInt, m.toInt, d.toInt)
+    case UnitsRe(step, y, m, d, hh, mi, ss, tz) =>
+      val h = Option(hh).map(_.toInt).getOrElse(0)
+      val mn = Option(mi).map(_.toInt).getOrElse(0)
+      val (sec, fracMicros) = Option(ss) match {
+        case None => (0, 0L)
+        case Some(s) => s.split('.') match {
+          case Array(w) => (w.toInt, 0L)
+          case Array(w, f) => (w.toInt, (f + "000000").take(6).toLong)
+        }
+      }
+      require(h < 24 && mn < 60 && sec <= 60,
+        s"bad reference time-of-day in CF units: $units")
+      // a UTC-equivalent zone marker is fine; a nonzero offset would
+      // silently shift every timestamp — reject loudly instead
+      Option(tz).foreach {
+        case "Z" | "UTC" | "GMT" => ()
+        case off =>
+          val digits = off.drop(1).filter(_ != ':')
+          val (oh, om) =
+            if (digits.length > 2)
+              (digits.dropRight(2).toInt, digits.takeRight(2).toInt)
+            else (digits.toInt, 0)
+          require(oh == 0 && om == 0,
+            s"nonzero UTC offset in CF units unsupported: $units")
+      }
+      val refMicros =
+        ((h * 3600L + mn * 60L + sec) * 1000000L) + fracMicros
+      Units(step, y.toInt, m.toInt, d.toInt, refMicros)
     case other => throw new IllegalArgumentException(s"bad CF units: $other")
   }
 
@@ -92,7 +129,24 @@ object CfCalendar {
     }
     val days = daysFromYearZero(calendar, y, m, d) -
       daysFromYearZero(calendar, u.refY, u.refM, u.refD)
-    days * u.stepsPerDay
+    val spd = u.stepsPerDay
+    val microsPerDay = 86400000000L
+    // a reference time-of-day shifts the integer offset grid: offset =
+    // (date - refDate) in steps MINUS the ref's intra-day steps. Exact
+    // only when the time-of-day is a whole number of steps ("12:00:00"
+    // under hours; never under days) — otherwise no integer offset
+    // denotes the date and we fail loudly rather than round silently.
+    val refSteps =
+      if (u.refMicros == 0L) 0L
+      else if (spd >= microsPerDay) u.refMicros * (spd / microsPerDay)
+      else {
+        val microsPerStep = microsPerDay / spd
+        require(u.refMicros % microsPerStep == 0,
+          s"reference time-of-day in '$units' is not a whole number of " +
+            s"${u.step}; this date has no integer offset")
+        u.refMicros / microsPerStep
+      }
+    Math.subtractExact(Math.multiplyExact(days, spd), refSteps)
   }
 
   /** Gregorian-like CF offset -> microseconds since the Unix epoch:
@@ -117,9 +171,20 @@ object CfCalendar {
     // equivalent to floorDiv/floorMod of (refDays*spd + offset) but
     // WITHOUT forming that product: for sub-second steps it overflows
     // Long (738k days since year 0 × 86400e9 ns/day ≈ 6e19 > 2^63)
-    val days = daysFromYearZero(calendar, u.refY, u.refM, u.refD) +
-      Math.floorDiv(offset, spd)
     val remSteps = Math.floorMod(offset, spd)
+    // intra-day component: multiply up for coarse steps, divide down
+    // (floor — remSteps is non-negative from floorMod) for sub-µs
+    // steps; the old `remSteps * (µsPerDay / spd)` zeroed out whole
+    // days' worth of nanosecond offsets via integer division. The
+    // reference datetime's own time-of-day folds in here, rolling the
+    // civil day over IN THE DATASET'S CALENDAR when the sum crosses
+    // midnight (both addends are < 1 day, so one carry suffices).
+    val microsPerDay = 86400000000L
+    val intra0 = (if (spd >= microsPerDay) remSteps / (spd / microsPerDay)
+                  else remSteps * (microsPerDay / spd)) + u.refMicros
+    val days = daysFromYearZero(calendar, u.refY, u.refM, u.refD) +
+      Math.floorDiv(offset, spd) + intra0 / microsPerDay
+    val intra = intra0 % microsPerDay
     val (y, m, d) = calendar.toLowerCase match {
       case "noleap" | "365_day" =>
         val yy = Math.floorDiv(days, 365L).toInt
@@ -137,14 +202,7 @@ object CfCalendar {
         val ld = java.time.LocalDate.ofEpochDay(days - 719528L)
         (ld.getYear, ld.getMonthValue, ld.getDayOfMonth)
     }
-    // intra-day component: multiply up for coarse steps, divide down
-    // (floor — remSteps is non-negative from floorMod) for sub-µs
-    // steps; the old `remSteps * (µsPerDay / spd)` zeroed out whole
-    // days' worth of nanosecond offsets via integer division
-    val microsPerDay = 86400000000L
-    gregorianMicros(y, m, d) + (if (spd >= microsPerDay)
-      remSteps / (spd / microsPerDay)
-    else remSteps * (microsPerDay / spd))
+    gregorianMicros(y, m, d) + intra
   }
 
   /** Gregorian-like coordinate -> microseconds since the Unix epoch.

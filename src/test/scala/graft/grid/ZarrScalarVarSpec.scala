@@ -57,6 +57,70 @@ class ZarrScalarVarSpec extends SparkTestBase {
     assert(agg.getDouble(1) == (0 until 6).map(15.0 + _).sum)
   }
 
+  test("scalar vars WRITE: v2 + v3 store-to-store round-trip") {
+    // a rio-style source: dimensional temp(t) + 0-d spatial_ref
+    val src = tmp().resolve("src").toString
+    writeRioStyleTree(src)
+    val source = ZarrGridStore.open(src)
+    for ((label, write) <- Seq[(String, String => ZarrGridStore)](
+      "v2" -> (r => ZarrGridStore.write(source, r, Map("t" -> 3), "zlib")),
+      "v2dist" -> (r =>
+        ZarrGridStore.writeDistributed(source, r, Map("t" -> 3), "zstd:3")),
+      "v3" -> (r => ZarrV3.write(source, r, Map("t" -> 3), "zstd:3")))) {
+      val root = tmp().resolve(label).toString
+      val rt = write(root)
+      val sv = rt.schema.vars.find(_.name == "spatial_ref").get
+      assert(sv.dims.isEmpty && sv.dtype == GLong, label)
+      assert(sv.attrs("crs_wkt").contains("WGS 84"), label)
+      assert(rt.readVar("spatial_ref", Seq.empty)
+        .asInstanceOf[Array[Long]].toSeq == Seq(4326L), label)
+      assert(rt.readVar("temp", Seq((0, 6))).asInstanceOf[Array[Double]]
+        .toSeq == (0 until 6).map(15.0 + _), label)
+      // and a SECOND round trip from the repo-written tree
+      val root2 = tmp().resolve(label + "_again").toString
+      val rt2 = ZarrGridStore.write(ZarrGridStore.open(root), root2,
+        Map("t" -> 3), "zlib")
+      assert(rt2.readVar("spatial_ref", Seq.empty)
+        .asInstanceOf[Array[Long]].toSeq == Seq(4326L), label)
+    }
+  }
+
+  test("scalar vars WRITE: df.write.format(zarr) with scalarVars") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 6)
+      .select(col("id").cast("int").as("t"),
+        (col("id") * 1.5).as("temp"), lit(4326L).as("spatial_ref"))
+    for (fmt <- Seq("v2", "v3")) {
+      val root = tmp().resolve(s"dfw_$fmt").toString
+      df.write.format("zarr").option("dims", "t")
+        .option("chunks", "t=3").option("format", fmt)
+        .option("scalarVars", "spatial_ref").mode("overwrite").save(root)
+      val store = ZarrGridStore.open(root)
+      val sv = store.schema.vars.find(_.name == "spatial_ref").get
+      assert(sv.dims.isEmpty && sv.dtype == GLong, fmt)
+      assert(store.readVar("spatial_ref", Seq.empty)
+        .asInstanceOf[Array[Long]].toSeq == Seq(4326L), fmt)
+      assert(store.readVar("temp", Seq((0, 6))).asInstanceOf[Array[Double]]
+        .toSeq == (0 until 6).map(_ * 1.5), fmt)
+      // the scalar registers as the reference's 1-row table on re-read
+      val views = new graft.XarrayContext(spark)
+        .fromDataset(s"rtw_$fmt", store, store.chunkMap)
+      assert(views.contains(s"rtw_${fmt}_scalar"))
+      val got = spark.sql(s"SELECT spatial_ref FROM rtw_${fmt}_scalar")
+        .collect()
+      assert(got.length == 1 && got.head.getLong(0) == 4326L, fmt)
+    }
+    // a column that is NOT constant fails loudly
+    val bad = spark.range(0, 4).select(col("id").cast("int").as("t"),
+      (col("id") * 1.0).as("x"), col("id").as("notconst"))
+    val err = intercept[Exception] {
+      bad.write.format("zarr").option("dims", "t")
+        .option("scalarVars", "notconst")
+        .mode("overwrite").save(tmp().resolve("bad").toString)
+    }
+    assert(err.getMessage.contains("exactly"), err.getMessage)
+  }
+
   test("v3: a 0-d array (chunk key 'c') round-trips the same way") {
     val root = tmp().resolve("v3").toString
     GridIO.mkdirs(root, conf)

@@ -223,6 +223,48 @@ class ZarrTimeDtypeSpec extends SparkTestBase {
       (946684800L + 7200L) * 1000L)
   }
 
+  test("CF reference time-of-day honored in coords and data vars") {
+    val root = tmp().resolve("cfrefnoon").toString
+    GridIO.mkdirs(root, conf)
+    GridIO.writeString(s"$root/.zgroup", """{"zarr_format":2}""", conf)
+    def arr(name: String, attrs: String, vals: Seq[Long]): Unit = {
+      GridIO.mkdirs(s"$root/$name", conf)
+      GridIO.writeString(s"$root/$name/.zarray",
+        s"""{"zarr_format":2,"shape":[${vals.length}],
+           |"chunks":[${vals.length}],"dtype":"<i8","compressor":null,
+           |"fill_value":null,"order":"C","filters":null}""".stripMargin,
+        conf)
+      GridIO.writeString(s"$root/$name/.zattrs", attrs, conf)
+      val bb = ByteBuffer.allocate(vals.length * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putLong)
+      GridIO.write(s"$root/$name/0", bb.array(), conf)
+    }
+    // COORDINATE with a noon reference (CMIP-style daily means)
+    arr("time",
+      """{"_ARRAY_DIMENSIONS":["time"],
+        |"units":"days since 1850-01-01 12:00:00"}""".stripMargin,
+      Seq(0L, 1L, 2L))
+    // DATA var via the StoredCfTime LINEAR path (real timeline) with a
+    // non-midnight reference
+    arr("tv",
+      """{"_ARRAY_DIMENSIONS":["time"],
+        |"units":"hours since 2000-01-01 06:00:00"}""".stripMargin,
+      Seq(0L, 1L, 20L))
+    val store = ZarrGridStore.open(root)
+    val coords = store.schema.dims.head.coords
+      .asInstanceOf[TimeCoords].values
+    val noon1850 = graft.time.CfCalendar.gregorianMicros(1850, 1, 1,
+      hour = 12)
+    assert(coords.sameElements(
+      Array(0L, 1L, 2L).map(noon1850 + _ * 86400000000L)))
+    val six2000 = graft.time.CfCalendar.gregorianMicros(2000, 1, 1,
+      hour = 6)
+    val tv = store.readVar("tv", Seq((0, 3))).asInstanceOf[Array[Long]]
+    assert(tv.sameElements(
+      Array(0L, 1L, 20L).map(six2000 + _ * 3600000000L)))
+  }
+
   test("undecodable CF encodings keep raw ints; ns units decode right") {
     val root = tmp().resolve("cfedge").toString
     GridIO.mkdirs(root, conf)

@@ -137,6 +137,122 @@ class ZarrVarStatsSpec extends SparkTestBase {
       .map(_.getInt(0)).toSeq == Seq(7))
   }
 
+  test("format v2: manifest + per-var files, loaded lazily per var") {
+    val root = tmp().resolve("lazy").toString
+    // two data variables -> two per-var stats files
+    val store2 = ZarrGridStore.write(Fixtures.twoVarGrid, root,
+      Map("time" -> 5), "zlib")
+    val manifest = new String(Files.readAllBytes(
+      Paths.get(root, ".graft-stats.json")))
+    assert(manifest.contains("\"version\":2"), manifest)
+    val vnames = store2.schema.vars.map(_.name)
+    vnames.foreach(v => assert(
+      Files.exists(Paths.get(root, v, ".graft-stats.json")), v))
+    // a FRESH open reads the manifest only; each variable's file loads
+    // on first touch and memoizes — the 100 TB property: stats I/O is
+    // O(touched vars), not O(tree)
+    val reopened = ZarrGridStore.open(root)
+    val Seq(va, vb) = vnames.take(2)
+    GridIO.Counters.reset()
+    assert(reopened.varBounds(va, Seq((0, 5), (0, 5))).nonEmpty)
+    assert(GridIO.Counters.reads.sum() == 1L, "first touch = one read")
+    assert(reopened.varBounds(va, Seq((5, 5), (0, 5))).nonEmpty)
+    assert(GridIO.Counters.reads.sum() == 1L, "memoized, no re-read")
+    assert(reopened.varBounds(vb, Seq((0, 5), (0, 5))).nonEmpty)
+    assert(GridIO.Counters.reads.sum() == 2L, "second var = one more")
+  }
+
+  test("format v1 sidecars remain readable") {
+    val root = tmp().resolve("v1compat").toString
+    import spark.implicits._
+    val df = (0 until 8).map(t => (t, t * 3.0)).toDF("t", "x")
+    ZarrGridStore.writeFromRows(df,
+      GridSchema(Seq(DimDef("t", IntCoords((0 until 8).toArray))),
+        Seq(VarDef("x", Seq("t"), GDouble))),
+      Map("t" -> 4), root, "zlib")
+    // rewrite the sidecar as a pre-round-11 v1 single file
+    GridIO.delete(s"$root/x/.graft-stats.json", GridIO.driverConf())
+    Files.write(Paths.get(root, ".graft-stats.json"),
+      """{"version":1,"vars":{"x":{"kind":"double",
+        |"stats":{"0":[0.0,9.0],"1":[12.0,21.0]},
+        |"sums":{"0":18.0,"1":66.0}}}}""".stripMargin
+        .getBytes("UTF-8"))
+    val store = ZarrGridStore.open(root)
+    assert(store.varBounds("x", Seq((0, 4))).contains((0.0, 9.0)))
+    assert(store.varBounds("x", Seq((4, 4))).contains((12.0, 21.0)))
+    assert(store.varSums("x", Seq((4, 4))).contains(66.0))
+  }
+
+  test("corrupt or future-versioned sidecars degrade to no stats") {
+    val conf = GridIO.driverConf()
+    def freshTree(name: String): String = {
+      val root = tmp().resolve(name).toString
+      ZarrGridStore.write(Fixtures.pruneGrid, root, Map("time" -> 25),
+        "zlib")
+      root
+    }
+    // garbage manifest: open succeeds, no bounds
+    val r1 = freshTree("garbage")
+    Files.write(Paths.get(r1, ".graft-stats.json"),
+      "not json{{{".getBytes("UTF-8"))
+    val s1 = ZarrGridStore.open(r1)
+    assert(s1.varBounds("temperature", Seq((0, 25), (0, 5))).isEmpty)
+    assert(s1.readVar("temperature", Seq((0, 1), (0, 1))) != null)
+    // future version: open succeeds, no bounds
+    val r2 = freshTree("future")
+    Files.write(Paths.get(r2, ".graft-stats.json"),
+      """{"version":99,"opaque":true}""".getBytes("UTF-8"))
+    assert(ZarrGridStore.open(r2)
+      .varBounds("temperature", Seq((0, 25), (0, 5))).isEmpty)
+    // valid manifest, corrupt PER-VAR file: open succeeds, that var
+    // serves no bounds (and the read is attempted once, not fatal)
+    val r3 = freshTree("varcorrupt")
+    Files.write(Paths.get(r3, "temperature", ".graft-stats.json"),
+      "}{".getBytes("UTF-8"))
+    val s3 = ZarrGridStore.open(r3)
+    assert(s3.varBounds("temperature", Seq((0, 25), (0, 5))).isEmpty)
+  }
+
+  test("append rewrites ONLY the growing variable's stats file") {
+    import spark.implicits._
+    val root = tmp().resolve("apv2").toString
+    // x spans the growing axis t; y spans only s (untouched by append)
+    val s7 = GridSchema(
+      Seq(DimDef("t", IntCoords((0 until 7).toArray)),
+        DimDef("s", IntCoords((0 until 3).toArray))),
+      Seq(VarDef("x", Seq("t"), GDouble), VarDef("y", Seq("s"), GDouble)))
+    ZarrGridStore.write(
+      SyntheticGridStore(s7, Map(
+        "x" -> Fixtures.AffineLaw(0.0, Seq(2.0)),
+        "y" -> Fixtures.AffineLaw(0.0, Seq(5.0)))),
+      root, Map("t" -> 4), "zlib")
+    val yStats = Paths.get(root, "y", ".graft-stats.json")
+    val xStats = Paths.get(root, "x", ".graft-stats.json")
+    val yBefore = Files.readAllBytes(yStats)
+    val yMtime = Files.getLastModifiedTime(yStats)
+    val xBefore = Files.readAllBytes(xStats)
+    val slab = GridSchema(
+      Seq(DimDef("t", IntCoords((7 until 10).toArray)),
+        DimDef("s", IntCoords((0 until 3).toArray))),
+      Seq(VarDef("x", Seq("t"), GDouble)))
+    val slabDf = (7 until 10).map(t => (t, t * 2.0)).toDF("t", "x")
+    val grown = ZarrGridStore.appendFromRows(slabDf, slab, root, "t")
+    // y's file: byte-identical AND not rewritten (mtime unchanged) —
+    // the append was O(slab vars), not O(tree vars)
+    assert(Files.readAllBytes(yStats).sameElements(yBefore))
+    assert(Files.getLastModifiedTime(yStats) == yMtime,
+      "untouched variable's stats file was rewritten by append")
+    // x's file: updated (merged edge chunk + new chunk)
+    assert(!Files.readAllBytes(xStats).sameElements(xBefore))
+    assert(grown.varBounds("x", Seq((8, 2))).contains((16.0, 18.0)))
+    assert(grown.varBounds("y", Seq((0, 3))).contains((0.0, 10.0)))
+    // manifest still lists both
+    val manifest = new String(Files.readAllBytes(
+      Paths.get(root, ".graft-stats.json")))
+    assert(manifest.contains("\"x\"") && manifest.contains("\"y\""),
+      manifest)
+  }
+
   test("foreign trees (no sidecar) serve no bounds") {
     val root = tmp().resolve("foreign").toString
     Fixtures.writeM8Tree(root)

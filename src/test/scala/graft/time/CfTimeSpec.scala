@@ -75,6 +75,36 @@ class CfTimeSpec extends SparkTestBase {
       offsetToMicros(0, "days since 2000-01-01", "360_day"))
   }
 
+  test("reference time-of-day in CF units is honored") {
+    import CfCalendar._
+    // the classic ERA/CMIP patterns parse, time-of-day captured
+    assert(parseUnits("days since 1850-01-01 12:00:00").refMicros ==
+      43200000000L)
+    assert(parseUnits("hours since 1900-01-01 00:00:0.0").refMicros == 0L)
+    assert(parseUnits("seconds since 1970-01-01T00:00:00Z").refMicros == 0L)
+    assert(parseUnits("seconds since 2000-01-01 06:30:15.25").refMicros ==
+      (6 * 3600L + 30 * 60L + 15L) * 1000000L + 250000L)
+    // UTC-equivalent zone markers pass; a nonzero offset is a loud no
+    assert(parseUnits("days since 2000-01-01 00:00:00 UTC").refMicros == 0L)
+    intercept[IllegalArgumentException](
+      parseUnits("days since 2000-01-01 00:00:00+05:30"))
+    // decode: offset 0 lands at the reference INSTANT, not midnight
+    assert(offsetToMicros(0, "days since 1850-01-01 12:00:00", "standard") ==
+      gregorianMicros(1850, 1, 1, hour = 12))
+    assert(offsetToMicros(1, "days since 1850-01-01 12:00:00", "standard") ==
+      gregorianMicros(1850, 1, 2, hour = 12))
+    // midnight rollover happens in the dataset's OWN calendar: noleap
+    // Feb 28 23:00 + 1h is Mar 1 (no Feb 29 in the calendar)
+    assert(offsetToMicros(1, "hours since 2000-02-28 23:00:00", "noleap") ==
+      gregorianMicros(2000, 3, 1))
+    // encode (cftime()): exact when the time-of-day is whole steps...
+    assert(CfCalendar.dateToOffset("2000-01-02",
+      "hours since 2000-01-01 12:00:00", "standard") == 12L)
+    // ...loud when it is not (midnight is half a day off the offset grid)
+    intercept[IllegalArgumentException](CfCalendar.dateToOffset("2000-01-02",
+      "days since 2000-01-01 12:00:00", "standard"))
+  }
+
   test("gregorian micros epoch sanity") {
     assert(CfCalendar.gregorianMicros(1970, 1, 1) == 0L)
     assert(CfCalendar.gregorianMicros(2000, 1, 1) == 946684800000000L)
