@@ -213,28 +213,92 @@ object GridIO {
     ()
   }
 
+  /** Commit-protocol selection for [[commitStaged]]. On filesystems
+    * where rename is an atomic metadata op (local, HDFS, viewfs, ABFS)
+    * staged files MOVE in via the rename+backup protocol. On object
+    * stores whose FileSystem "rename" is an emulated COPY+DELETE —
+    * S3A-style connectors — rename is both non-atomic and O(bytes), so
+    * the protocol flips to direct overwrite PUTs: there the atomic
+    * primitive is the whole-object write itself (the object is
+    * replaced at close() or not at all; a crashed PUT leaves the OLD
+    * object). Auto-detected from the destination scheme; force with
+    * `graft.zarr.commit` = `rename` | `put` in the Hadoop conf.
+    */
+  private[grid] val CommitProtocolKey = "graft.zarr.commit"
+
+  /** Schemes whose Hadoop connectors emulate rename as copy+delete. */
+  private val copyRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "swift", "obs")
+
+  private[grid] def usePutCommit(path: String, conf: Configuration): Boolean =
+    conf.get(CommitProtocolKey, "auto") match {
+      case "rename" => false
+      case "put" => true
+      case "auto" =>
+        val scheme = Option(new Path(path).toUri.getScheme)
+          .orElse(Option(FileSystem.getDefaultUri(conf).getScheme))
+          .getOrElse("file")
+        copyRenameSchemes.contains(scheme.toLowerCase)
+      case other => throw new IllegalArgumentException(
+        s"$CommitProtocolKey=$other (auto | rename | put)")
+    }
+
+  /** Stream `src` over `dst` through `create(overwrite)` — on an object
+    * store this is one PUT that atomically replaces the whole object at
+    * close. The commit primitive of the put protocol.
+    */
+  private def copyOverwrite(src: String, dst: String,
+      conf: Configuration): Unit = {
+    val sp = new Path(src)
+    val dp = new Path(dst)
+    val in = fs(sp, conf).open(sp)
+    try {
+      val out = fs(dp, conf).create(dp, true)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 16, false)
+      finally out.close()
+    } finally in.close()
+  }
+
   /** Commit staged append files into the store — the shared protocol
-    * of all three append paths: EVERY destination is recorded in the
-    * staging tree's `.replace-manifest` first, then each staged file
-    * moves in via [[replaceWithBackup]]. Existing destinations — a
-    * merged edge chunk, or orphan chunks landed by a CRASHED earlier
-    * commit of this same logical append — are replaced safely (plain
-    * rename would refuse an existing destination on HDFS/S3A and make
-    * retries fail forever), and a crash mid-commit heals at the next
-    * [[sweepStaging]]. `pairs` are (absolute src, absolute dst);
-    * `mkdirParents` creates nested destination dirs (the v3 `c/`
-    * layout). Cost: one existence HEAD per staged file — the price of
-    * retry-idempotent commits.
+    * of all three append paths. `pairs` are (absolute src, absolute
+    * dst); `mkdirParents` creates nested destination dirs (the v3 `c/`
+    * layout).
+    *
+    * Rename mode (atomic-rename filesystems): EVERY destination is
+    * recorded in the staging tree's `.replace-manifest` first, then
+    * each staged file moves in via [[replaceWithBackup]]. Existing
+    * destinations — a merged edge chunk, or orphan chunks landed by a
+    * CRASHED earlier commit of this same logical append — are replaced
+    * safely (plain rename would refuse an existing destination on HDFS
+    * and make retries fail forever), and a crash mid-commit heals at
+    * the next [[sweepStaging]]. Cost: one existence HEAD per staged
+    * file — the price of retry-idempotent commits.
+    *
+    * Put mode (copy-rename object stores, [[usePutCommit]]): each
+    * staged file STREAMS over its destination in one atomic
+    * whole-object PUT. No backups and no manifest — every crash window
+    * leaves either the old or the new object, never a torn one, and a
+    * retried append re-puts byte-identical content. The staged source
+    * files stay until the caller deletes the staging tree, so a crash
+    * mid-commit is retried from intact inputs.
     */
   def commitStaged(staging: String, pairs: Seq[(String, String)],
       mkdirParents: Boolean, conf: Configuration): Unit = {
     if (pairs.isEmpty) return
-    writeString(s"$staging/.replace-manifest",
-      pairs.map(_._2).mkString("\n"), conf)
-    pairs.foreach { case (src, dst) =>
-      if (mkdirParents)
-        mkdirs(dst.substring(0, dst.lastIndexOf('/')), conf)
-      replaceWithBackup(src, dst, conf)
+    if (usePutCommit(pairs.head._2, conf)) {
+      pairs.foreach { case (src, dst) =>
+        if (mkdirParents)
+          mkdirs(dst.substring(0, dst.lastIndexOf('/')), conf)
+        copyOverwrite(src, dst, conf)
+      }
+    } else {
+      writeString(s"$staging/.replace-manifest",
+        pairs.map(_._2).mkString("\n"), conf)
+      pairs.foreach { case (src, dst) =>
+        if (mkdirParents)
+          mkdirs(dst.substring(0, dst.lastIndexOf('/')), conf)
+        replaceWithBackup(src, dst, conf)
+      }
     }
   }
 

@@ -2353,10 +2353,13 @@ object ZarrGridStore {
           (s"$staging/${v.name}/$fn", s"$cleanRoot/${v.name}/$fn"))
       }, mkdirParents = false, conf)
     GridIO.delete(staging, conf)
-    // grow the coordinate array (single-chunk rewrite) + var shapes
+    // grow the coordinate array: overwrite IN PLACE (single chunk "0"
+    // + metadata) — no delete first, so there is no crash window where
+    // the tree has no coordinate array at all. A stale extra chunk
+    // file from a foreign multi-chunk coord is ignored by readers (the
+    // rewritten .zarray declares one chunk).
     val combined = DimDef(along, concatCoords(exDim.coords, slabDim.coords),
       exDim.calendar, exDim.units, exDim.attrs)
-    GridIO.delete(s"$cleanRoot/$along", conf)
     writeCoord(cleanRoot, combined, conf)
     growing.foreach { v =>
       val a = existing.arrays(v.name)

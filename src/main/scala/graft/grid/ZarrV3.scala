@@ -627,7 +627,8 @@ object ZarrV3 {
     val combined = DimDef(along,
       ZarrGridStore.concatCoords(exDim.coords, slabDim.coords),
       exDim.calendar, exDim.units, exDim.attrs)
-    GridIO.delete(s"$cleanRoot/$along", conf)
+    // overwrite in place — no delete-first crash window (see the v2
+    // append's coordinate rewrite)
     writeCoordArray(cleanRoot, combined, mapper, conf)
     growing.foreach { v =>
       val a = existing.arrays(v.name)
