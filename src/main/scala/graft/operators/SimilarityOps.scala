@@ -299,6 +299,45 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** MULTI-PROBE IVF: exact scoring over the UNION of the probe's
+    * `nprobe` nearest cells instead of only its own — the standard
+    * recall dial for neighbors that fell just across a cell boundary
+    * (single-probe recall is fragile exactly there; see the recall
+    * measurements in AnnRecallSpec). Cell selection is an argtop over
+    * the broadcast codebook with the SAME score ivfAssign uses
+    * (dot(v,c)/|c|, ties to the lowest cid), so `nprobe=1` reproduces
+    * [[annIvf]] bit for bit. Probed rows stay a ~nprobe/nCentroids
+    * fraction of the data, reached through one bucket equi-join
+    * against the broadcast cell list — on a bucketed materialization
+    * the same list is a partition-pruning IN filter.
+    */
+  def annIvfMultiProbe(vecs: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, probeId: Long, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe=$nprobe")
+    val dot = GraftFunctions.dot_f64 _
+    val assigned = ivfAssign(vecs, idCol, vecCol, nCentroids)
+    val e = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = e.filter(col("id") < nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val probe = e.filter(col("id") === probeId)
+      .select(col("v").as("pv"), sqrt(dot(col("v"), col("v"))).as("pn"))
+    // nprobe nearest cells to the probe VECTOR — codebook-sized work
+    val cells = cents.crossJoin(broadcast(probe))
+      .select(col("cid"), col("pv"), col("pn"),
+        (dot(col("cv"), col("pv")) / sqrt(dot(col("cv"), col("cv"))))
+          .as("score"))
+      .orderBy(col("score").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid"), col("pv"), col("pn"))
+    assigned.filter(col("id") =!= probeId)
+      .join(broadcast(cells), col("bucket") === col("cid"))
+      .select(col("id"),
+        (dot(col("v"), col("pv")) /
+          (sqrt(dot(col("v"), col("v"))) * col("pn"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** IVF ANN with a TRAINED codebook: centroids come from
     * [[KMeans.centroids]] (Lloyd iterations, deterministic seed)
     * instead of the first-k-rows stand-in, vectors coarse-quantize to

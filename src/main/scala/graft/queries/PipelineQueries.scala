@@ -430,6 +430,19 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("cosine"))
     }),
 
+    // multi-probe IVF: the recall dial — the probe scores exactly
+    // against the UNION of its 3 nearest cells (nprobe=3 of 8), so
+    // neighbors that fell just across the probe's own cell boundary
+    // come back. Still broadcast-pruned: ~nprobe/nCentroids of the
+    // data is touched.
+    "ann_ivf_multiprobe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      graft.operators.SimilarityOps
+        .annIvfMultiProbe(e, "vec_id", "v", 8, 8L, 10, 3)
+        .select(col("id").as("vec_id"), col("cosine"))
+    }),
+
     // the repeated-query production shape of ann_ivf: assignment
     // materialized partitionBy(bucket) ONCE per corpus (the staged-path
     // registry serializes concurrent first builds), so the probe-cell
@@ -1662,7 +1675,49 @@ object PipelineQueries {
       |WHERE a.bucket = p.pb AND a.id <> 8
       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Multi-probe variant of [[annIvfOracle]]: cell selection is an
+    * argtop-3 over the codebook with the same dot(pv,c)/|c| score
+    * (sequential double folds, bit-identical across engines), then the
+    * exact scoring runs over the union of those cells.
+    */
+  private val annIvfMultiProbeOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id AS id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+      |p AS (SELECT v AS pv FROM e WHERE id = 8),
+      |cells AS (
+      |  SELECT cid FROM (
+      |    SELECT c.cid,
+      |    list_aggregate(list_transform(list_zip(c.cv, p.pv),
+      |      z -> z[1]*z[2]), 'sum') /
+      |      sqrt(list_aggregate(list_transform(c.cv, x -> x*x), 'sum'))
+      |      AS score
+      |    FROM c, p) t
+      |  ORDER BY score DESC, cid LIMIT 3),
+      |scored AS (
+      |  SELECT e.id, e.v, c.cid,
+      |  list_aggregate(list_transform(list_zip(e.v, c.cv), z -> z[1]*z[2]),
+      |    'sum') / sqrt(list_aggregate(list_transform(c.cv, x -> x*x),
+      |    'sum')) AS score
+      |  FROM e, c WHERE e.id >= 8),
+      |assigned AS (
+      |  SELECT id, v, cid AS bucket FROM (
+      |    SELECT id, v, cid,
+      |    row_number() OVER (PARTITION BY id ORDER BY score DESC, cid) AS rn
+      |    FROM scored) t WHERE rn = 1)
+      |SELECT a.id AS vec_id,
+      |list_aggregate(list_transform(list_zip(a.v, p.pv), z -> z[1]*z[2]),
+      |  'sum') / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+      |  * sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum')))
+      |  AS cosine
+      |FROM assigned a, p
+      |WHERE a.bucket IN (SELECT cid FROM cells) AND a.id <> 8
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
   val oracleSql: ListMap[String, String] = ListMap(
+    "ann_ivf_multiprobe" -> annIvfMultiProbeOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |CAST(COUNT(*) AS BIGINT) AS n_copies

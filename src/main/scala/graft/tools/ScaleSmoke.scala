@@ -54,7 +54,11 @@ object ScaleSmoke {
       "dedup_incremental_bloom", "token_encode",
       // round-10 continuation additions: one BPE merge iteration
       // (vocab-sized pair stage) and staged-unigram collocations
-      "bpe_merge_pairs", "colloc_lift")
+      "bpe_merge_pairs", "colloc_lift",
+      // round-11 additions: the remaining bench heavy tail —
+      // Misra-Gries candidates + exact verify, and the broadcast-df
+      // tf-idf ranking
+      "heavy_hitters", "tfidf_top_terms")
     // one warm pass at sf0.1 amortizes codegen/JIT out of the ratio
     heavy.foreach(n => graft.SparkEntry.queries(n)(spark, base).count())
     def time(name: String, dir: String): (Double, Long) = {
@@ -74,6 +78,48 @@ object ScaleSmoke {
     val worst = results.maxBy(_._4)
     println(s"""{"summary":"sf1 smoke","row_ratio":$rowRatio,""" +
       s""""worst_query":"${worst._1}","worst_ratio":${worst._4}}""")
+
+    // zarr GROUP scan smoke — pivot_grid_group's SCAN with the write
+    // fixture excluded (the bench number for that query is mostly
+    // fixture I/O; this isolates what a reader pays). Two grouped
+    // trees, 10x apart in cells, built once outside the timed region:
+    // a full-scan aggregate should track the cell ratio; a tail
+    // filter should stay near-flat (zone-map chunk pruning).
+    def tree(nt: Int): String = {
+      val dir = s"$sf1Dir/zarr_group_$nt"
+      if (!new java.io.File(s"$dir/cube/.zmetadata").exists()) {
+        graft.grid.ZarrGridStore.writeDistributed(
+          graft.grid.Fixtures.linearGridSlice(0, nt), s"$dir/cube",
+          Map("t" -> 600), "zstd:3")
+        System.err.println(s"[scale] built $dir")
+      }
+      dir
+    }
+    val small = tree(24000) // 2.88M cells
+    val big = tree(240000) // 28.8M cells
+    def scanAgg(dir: String): Double = {
+      val t0 = System.nanoTime()
+      spark.read.format("zarr").option("group", "cube").load(dir)
+        .agg(sum("air"), count(lit(1))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def scanTail(dir: String, nt: Int): Double = {
+      val t0 = System.nanoTime()
+      spark.read.format("zarr").option("group", "cube").load(dir)
+        .filter(col("t") >= nt - 24)
+        .agg(sum("air"), count(lit(1))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    scanAgg(small) // warm the zarr scan path once
+    val fullS = scanAgg(small)
+    val fullB = scanAgg(big)
+    println(s"""{"query":"zarr_group_scan_full","sf01_sec":$fullS,""" +
+      s""""sf1_sec":$fullB,"ratio":${fullB / fullS},"cells_ratio":10}""")
+    val tailS = scanTail(small, 24000)
+    val tailB = scanTail(big, 240000)
+    println(s"""{"query":"zarr_group_scan_tail","sf01_sec":$tailS,""" +
+      s""""sf1_sec":$tailB,"ratio":${tailB / tailS},""" +
+      """"note":"pruned to the last chunks on both sizes"}""")
     spark.stop()
   }
 }

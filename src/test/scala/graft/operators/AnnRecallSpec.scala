@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+import scala.util.Random
+
+/** Recall characterization of the IVF ANN family against the exact
+  * brute-force top-k. Single-probe IVF is recall-fragile near cell
+  * boundaries; multi-probe ([[SimilarityOps.annIvfMultiProbe]]) probes
+  * the union of the `nprobe` nearest cells and provably dominates it:
+  * a true neighbor in the single-probe answer can never drop out when
+  * the candidate set only grows (fewer than k items beat it globally,
+  * so fewer than k beat it in any candidate subset).
+  */
+class AnnRecallSpec extends SparkTestBase {
+
+  private val n = 400
+  private val dim = 32
+  private val nCents = 8
+  private val k = 10
+
+  private def vectors: Seq[(Long, Array[Double])] = {
+    val rnd = new Random(7)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+
+  /** Exact cosine top-k over the non-centroid universe, driver-side. */
+  private def bruteTopK(vecs: Seq[(Long, Array[Double])],
+      probeId: Long): Seq[Long] = {
+    val pv = vecs.find(_._1 == probeId).get._2
+    vecs.filter { case (id, _) => id >= nCents && id != probeId }
+      .map { case (id, v) =>
+        (id, dot(v, pv) / (math.sqrt(dot(v, v)) * math.sqrt(dot(pv, pv))))
+      }.sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+  }
+
+  test("nprobe=1 reproduces single-probe IVF bit for bit") {
+    import spark.implicits._
+    val df = vectors.toDF("id", "v")
+    val single = SimilarityOps.annIvf(df, "id", "v", nCents, 8L, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val multi1 = SimilarityOps
+      .annIvfMultiProbe(df, "id", "v", nCents, 8L, k, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(multi1 == single)
+  }
+
+  test("multi-probe recall dominates single-probe and clears the floor") {
+    import spark.implicits._
+    val vs = vectors
+    val df = vs.toDF("id", "v").cache()
+    val probes = Seq(8L, 25L, 77L, 130L, 222L, 301L)
+    var sumSingle = 0.0
+    var sumMulti = 0.0
+    probes.foreach { p =>
+      val truth = bruteTopK(vs, p).toSet
+      def recallOf(ids: Seq[Long]): Double =
+        ids.count(truth.contains).toDouble / k
+      val single = recallOf(SimilarityOps
+        .annIvf(df, "id", "v", nCents, p, k).collect().map(_.getLong(0)))
+      val multi = recallOf(SimilarityOps
+        .annIvfMultiProbe(df, "id", "v", nCents, p, k, nprobe = 3)
+        .collect().map(_.getLong(0)))
+      // growing the candidate set can only help (proof in scaladoc)
+      assert(multi >= single, s"probe $p: multi $multi < single $single")
+      sumSingle += single
+      sumMulti += multi
+    }
+    val meanSingle = sumSingle / probes.size
+    val meanMulti = sumMulti / probes.size
+    info(f"mean recall@$k: single-probe $meanSingle%.2f, " +
+      f"nprobe=3 $meanMulti%.2f")
+    // floor measured on this fixture (seed 7): single ~0.5, nprobe=3
+    // well above — pin a margin below the measured value
+    assert(meanMulti >= 0.6, f"nprobe=3 mean recall $meanMulti%.2f")
+    assert(meanMulti > meanSingle,
+      "multi-probe brought no recall gain on the fixture")
+    df.unpersist()
+  }
+}
