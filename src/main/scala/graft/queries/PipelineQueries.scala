@@ -1031,6 +1031,80 @@ object PipelineQueries {
         Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
         Seq("lang"), Seq("n_chars" -> false, "doc_id" -> true), 3)),
 
+    // vocabulary sizing by coverage: the smallest frequency-sorted
+    // vocabulary prefix covering >= 95% of token mass — the question a
+    // tokenizer-vocab budget answers. One token-count shuffle (vocab-
+    // sized result), then a running sum over the VOCABULARY (bounded
+    // by distinct tokens, not corpus — the single-partition window is
+    // over ~1e5-1e6 rows at any corpus size). All-integer arithmetic:
+    // the 95% test is cum*100 >= total*95, no float thresholds.
+    "vocab_coverage" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(words(col("text"))).as("token"))
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))
+      counts
+        .withColumn("vocab_size", row_number().over(w).cast("long"))
+        .withColumn("covered", sum(col("cnt")).over(w))
+        .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+        .filter(col("covered") * 100 >= col("total") * 95)
+        .orderBy("vocab_size").limit(1)
+        .select(col("vocab_size"), col("covered"), col("total"))
+    }),
+
+    // DSIR-style hashed importance weights: score every document by
+    // how much its hashed-unigram profile resembles a TARGET domain
+    // (here lang='en') relative to the whole corpus — the data-
+    // selection weighting used to upsample in-domain text. Bucket
+    // ratios are integer micro-units ((t+1)*1e6 div (c+1)) and the
+    // per-doc score is a sum of longs, so the result is exact and
+    // order-free on both engines. Scale shape: the 64-bucket ratio
+    // table broadcasts; the per-(doc,bucket) count is map-side
+    // combinable; nothing corpus-sized shuffles except one token
+    // count pass. (The bucket law is a deliberately SQL-replayable
+    // stand-in — production would use a real feature hash.)
+    "dsir_weights" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(words(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      val bt = tok.select(col("doc_id"), col("lang"),
+        ((length(col("token")) * 31 + ascii(col("token"))) % 64)
+          .as("bucket"))
+      val corpus = bt.groupBy("bucket").agg(count(lit(1)).as("c"))
+      val target = bt.filter(col("lang") === "en")
+        .groupBy("bucket").agg(count(lit(1)).as("t"))
+      val ratios = corpus.join(target, Seq("bucket"), "left")
+        .select(col("bucket"),
+          expr("((coalesce(t, 0L) + 1) * 1000000) div (c + 1)").as("r"))
+      bt.groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+        .join(broadcast(ratios), "bucket")
+        .groupBy("doc_id").agg(sum(col("n") * col("r")).as("weight"))
+    }),
+
+    // per-document near-dup NEIGHBOR list: for every document, its 2
+    // most similar candidates by exact shingle-Jaccard over the LSH
+    // band candidates — the kNN-graph form of dedup review ("show me
+    // what this doc nearly duplicates"). Rides the staged signature
+    // table and the heap-bounded GroupedTopK operator: per-group
+    // partial heaps, k-bounded shuffle, no corpus-wide window sort.
+    "neardup_topk" -> ((s, d) => {
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val jac = inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter)
+      val undirected = candidateShingles(s, d)
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+      val directed = undirected
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"),
+          col("jaccard"))
+        .unionAll(undirected.select(col("doc_b").as("src"),
+          col("doc_a").as("dst"), col("jaccard")))
+      graft.operators.TopKOps.topKPerGroup(directed, Seq("src"),
+        Seq("jaccard" -> false, "dst" -> true), 2)
+    }),
+
     // sketch-based corpus profiling: HLL++ distinct counts and GK
     // approximate percentiles — mergeable partial aggregates, the
     // profiling shape that stays one pass at 100 TB where exact
@@ -1718,6 +1792,72 @@ object PipelineQueries {
 
   val oracleSql: ListMap[String, String] = ListMap(
     "ann_ivf_multiprobe" -> annIvfMultiProbeOracle,
+    "vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM toks GROUP BY token),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+        |r AS (SELECT token, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+        |    AS vocab_size,
+        |  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token) AS BIGINT)
+        |    AS covered
+        |  FROM c)
+        |SELECT vocab_size, covered, total FROM r, t
+        |WHERE covered * 100 >= total * 95
+        |ORDER BY vocab_size LIMIT 1""".stripMargin,
+    "dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |  unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |bt AS (
+        |  SELECT doc_id, lang,
+        |  (length(token)*31 + ascii(token)) % 64 AS bucket
+        |  FROM tok WHERE length(token) > 0),
+        |corpus AS (SELECT bucket, COUNT(*) AS c FROM bt GROUP BY bucket),
+        |target AS (SELECT bucket, COUNT(*) AS t FROM bt
+        |           WHERE lang = 'en' GROUP BY bucket),
+        |ratios AS (
+        |  SELECT corpus.bucket,
+        |  ((COALESCE(t, 0) + 1) * 1000000) // (c + 1) AS r
+        |  FROM corpus LEFT JOIN target ON corpus.bucket = target.bucket),
+        |db AS (SELECT doc_id, bucket, COUNT(*) AS n
+        |       FROM bt GROUP BY doc_id, bucket)
+        |SELECT db.doc_id, CAST(SUM(n * r) AS BIGINT) AS weight
+        |FROM db JOIN ratios ON db.bucket = ratios.bucket
+        |GROUP BY db.doc_id""".stripMargin,
+    "neardup_topk" ->
+      s"""WITH $sigSqlCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 || sig1 AS key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, sig2 || sig3 AS key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |undirected AS (
+         |  SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |    AS jaccard
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = cand.doc_a
+         |  JOIN sig sb ON sb.doc_id = cand.doc_b),
+         |directed AS (
+         |  SELECT doc_a AS src, doc_b AS dst, jaccard FROM undirected
+         |  WHERE jaccard >= 0.2
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst, jaccard FROM undirected
+         |  WHERE jaccard >= 0.2)
+         |SELECT src, dst, jaccard FROM (
+         |  SELECT src, dst, jaccard,
+         |  row_number() OVER (PARTITION BY src
+         |    ORDER BY jaccard DESC, dst) AS rn
+         |  FROM directed) t WHERE rn <= 2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |CAST(COUNT(*) AS BIGINT) AS n_copies

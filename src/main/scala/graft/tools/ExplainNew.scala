@@ -6,7 +6,7 @@ object ExplainNew {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("bpe_merge_pairs", "colloc_lift")) {
+    for (q <- Seq("ann_ivf_multiprobe", "vocab_coverage", "dsir_weights", "neardup_topk")) {
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       val plan = df.queryExecution.executedPlan.toString
@@ -14,6 +14,8 @@ object ExplainNew {
       println("sortmerge:  " + "SortMergeJoin".r.findAllIn(plan).length)
       println("scans:      " + "Scan parquet".r.findAllIn(plan).length)
       println("exchanges:  " + "Exchange ".r.findAllIn(plan).length)
+      println("nestedloop: " + "NestedLoop".r.findAllIn(plan).length)
+      println("cartesian:  " + "CartesianProduct".r.findAllIn(plan).length)
     }
     spark.stop()
   }
