@@ -398,10 +398,16 @@ object SimilarityOps {
     * repeated-query economics the index exists for.
     */
   def buildIvfIndex(vecs: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, dir: String): Unit =
+      nCentroids: Int, dir: String): Unit = {
     ivfAssign(vecs, idCol, vecCol, nCentroids)
       .withColumn("bucket", col("bucket").cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    // the codebook rides along under an underscore dir (invisible to
+    // parquet readers of `dir`): multi-probe needs it to rank cells
+    vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("id") < nCentroids)
+      .write.mode("overwrite").parquet(s"$dir/_codebook")
+  }
 
   /** Probe a [[buildIvfIndex]] materialization: the probe row is a
     * driver-side point lookup (one row; its norm a driver-side
@@ -409,15 +415,50 @@ object SimilarityOps {
     * executor fold), and the cell filter prunes at directory level.
     */
   def annIvfFromIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, probeId: Long, k: Int): DataFrame = {
+      dir: String, probeId: Long, k: Int): DataFrame =
+    annIvfFromIndexMultiProbe(spark, dir, probeId, k, nprobe = 1,
+      nCentroids = 0)
+
+  /** Multi-probe over the bucketed materialization — the production
+    * repeated-query form of [[annIvfMultiProbe]]: the probe's `nprobe`
+    * nearest cells are computed DRIVER-SIDE against the codebook (the
+    * first `nCentroids` index rows for nprobe>1; for nprobe=1 the
+    * probe row's own stored bucket is reused and no codebook read
+    * happens), and the scan filter is `bucket IN (<cells>)` — still
+    * directory-level partition pruning, now over nprobe directories.
+    * Cell scoring matches [[ivfAssign]] (dot(pv,c)/|c|, ties to the
+    * lowest cid), so results equal the one-shot multi-probe exactly.
+    */
+  def annIvfFromIndexMultiProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probeId: Long, k: Int, nprobe: Int,
+      nCentroids: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe=$nprobe")
     val dot = GraftFunctions.dot_f64 _
     val stored = spark.read.parquet(dir)
     val probe = stored.filter(col("id") === probeId)
       .select(col("bucket"), col("v")).collect()(0)
-    val pb = probe.getInt(0)
     val pv = probe.getSeq[Double](1).toArray
     val pn = math.sqrt(pv.map(x => x * x).sum)
-    stored.filter(col("bucket") === pb && col("id") =!= probeId)
+    val cells: Seq[Int] =
+      if (nprobe == 1) Seq(probe.getInt(0))
+      else {
+        // codebook: metadata-sized driver read of the index's
+        // `_codebook` sidecar; sequential fold order matches the
+        // executor fold, so cell ranking equals ivfAssign's
+        require(nCentroids >= nprobe, s"nCentroids=$nCentroids < $nprobe")
+        def d(a: Array[Double], b: Array[Double]) =
+          a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+        val cents = spark.read.parquet(s"$dir/_codebook")
+          .select(col("id"), col("v")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        require(cents.length >= nprobe,
+          s"codebook has ${cents.length} centroids < nprobe=$nprobe")
+        cents.map { case (cid, cv) =>
+          (cid, d(cv, pv) / math.sqrt(d(cv, cv)))
+        }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe)
+          .map(_._1.toInt).toSeq
+      }
+    stored.filter(col("bucket").isin(cells: _*) && col("id") =!= probeId)
       .select(col("id"),
         (dot(col("v"), lit(pv)) /
           (sqrt(dot(col("v"), col("v"))) * lit(pn))).as("cosine"))

@@ -459,6 +459,23 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("cosine"))
     }),
 
+    // multi-probe over the SAME bucketed index: the probe's 3 nearest
+    // cells rank driver-side against the index's _codebook sidecar and
+    // the scan filter is `bucket IN (...)` — partition pruning over 3
+    // directories instead of 1, repeated-query economics intact. Same
+    // answer as the one-shot ann_ivf_multiprobe by construction.
+    "ann_ivf_bucketed_multiprobe" -> ((s, d) => {
+      val dir = stagedPath(s, d, "ivfidx") { p =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        graft.operators.SimilarityOps.buildIvfIndex(e, "vec_id", "v", 8, p)
+      }
+      graft.operators.SimilarityOps
+        .annIvfFromIndexMultiProbe(s, dir, 8L, 10, nprobe = 3,
+          nCentroids = 8)
+        .select(col("id").as("vec_id"), col("cosine"))
+    }),
+
     // multimodal: binary payloads -> typed features through the
     // partition-wise decode plumbing. Image rows carry REAL binary PPM
     // (P6) payloads and go through the actual byte-level parser
@@ -1792,6 +1809,9 @@ object PipelineQueries {
 
   val oracleSql: ListMap[String, String] = ListMap(
     "ann_ivf_multiprobe" -> annIvfMultiProbeOracle,
+    // physical plan differs (partition-pruned index scan), answer
+    // does not: one oracle serves both — same as ann_ivf_bucketed
+    "ann_ivf_bucketed_multiprobe" -> annIvfMultiProbeOracle,
     "vocab_coverage" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS token

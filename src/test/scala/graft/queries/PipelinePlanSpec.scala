@@ -81,6 +81,20 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"no bucket partition filter in:\n${df.queryExecution.executedPlan}")
   }
 
+  test("ann_ivf_bucketed_multiprobe: 3-cell IN filter prunes partitions") {
+    val df = SparkEntry.queries("ann_ivf_bucketed_multiprobe")(spark, sf)
+    val expect = SparkEntry.queries("ann_ivf_multiprobe")(spark, sf)
+      .collect()
+    assert(df.collect().toSeq == expect.toSeq,
+      "bucketed multi-probe must return the one-shot multi-probe answer")
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.partitionFilters.exists(
+      _.toString.contains("bucket"))),
+      s"no bucket partition filter in:\n${df.queryExecution.executedPlan}")
+  }
+
   test("token_encode: no vocab-wide single task, no vocab broadcast hint") {
     val df = SparkEntry.queries("token_encode")(spark, sf)
     df.collect()
