@@ -429,9 +429,15 @@ object ZarrGridStore {
     // data vars as int offsets + units/calendar attrs; its decode_cf
     // reverses them — same bridge coords take in buildDim). The metas
     // map must carry the REWRITTEN entries so the chunk decode sees
-    // the CF storage.
+    // the CF storage. Bare-duration decoding ("seconds" -> interval)
+    // mirrors xarray's decode_timedelta default and is gated by the
+    // same-named switch: xarray is deprecating the inference for its
+    // false positives (an elapsed-seconds counter is not a timedelta),
+    // so a session can turn it off without losing "since"-style time.
+    val decodeTd = conf.getBoolean(DecodeTimedeltaKey, true)
     val metas2 = metas.map { case (n, a) =>
-      n -> (if (a.nd == 1 && a.dims == Seq(a.name)) a else cfTimeVar(a))
+      n -> (if (a.nd == 1 && a.dims == Seq(a.name)) a
+            else cfTimeVar(a, decodeTd))
     }
     val dataArrs2 = dataArrs.map(a => metas2(a.name))
 
@@ -673,7 +679,17 @@ object ZarrGridStore {
     * `_FillValue` becomes the NaT (SQL NULL) marker. Scaled or
     * already-packed layouts are left alone.
     */
-  private def cfTimeVar(a: ZarrArrayMeta): ZarrArrayMeta = {
+  /** Hadoop-conf switch (default true) mirroring xarray's
+    * `decode_timedelta`: when false, int data variables and coordinate
+    * arrays whose `units` is a bare duration word stay raw ints
+    * instead of becoming day-time intervals. "since"-style datetime
+    * decoding is unaffected. Set via
+    * `spark.hadoop.graft.zarr.decodeTimedelta=false` (session-wide).
+    */
+  val DecodeTimedeltaKey = "graft.zarr.decodeTimedelta"
+
+  private def cfTimeVar(a: ZarrArrayMeta,
+      decodeTimedelta: Boolean): ZarrArrayMeta = {
     if (scaledVar(a) || a.stored.isDefined) return a
     if (a.dtype != GInt && a.dtype != GLong) return a
     val w = if (a.dtype == GLong) 8 else 4
@@ -706,7 +722,7 @@ object ZarrGridStore {
             stored = Some(StoredCfTime(w, u, cal, fillOf)),
             attrs = a.attrs -- Seq("units", "calendar", "_FillValue"))
         }
-      case Some(u) if durationMicros.contains(u) =>
+      case Some(u) if durationMicros.contains(u) && decodeTimedelta =>
         a.copy(dtype = GDuration,
           stored = Some(StoredCfTime(w, u, "standard", fillOf)),
           attrs = a.attrs -- Seq("units", "_FillValue"))
@@ -762,8 +778,10 @@ object ZarrGridStore {
               DimDef(name, LongCoords(offsets),
                 calendar = Some(cal), units = Some(u), attrs = rest)
           }
-        // bare duration units (timedelta axis — no "since")
-        case (Some(u), _) if intKind && durationMicros.contains(u) =>
+        // bare duration units (timedelta axis — no "since"); same
+        // decode_timedelta gate as data variables
+        case (Some(u), _) if intKind && durationMicros.contains(u) &&
+            conf.getBoolean(DecodeTimedeltaKey, true) =>
           require(!scaledVar(a),
             s"$name: scaled duration coordinates unsupported")
           val offsets = raw match {

@@ -121,6 +121,31 @@ class ZarrScalarVarSpec extends SparkTestBase {
     assert(err.getMessage.contains("exactly"), err.getMessage)
   }
 
+  test("scalar dtypes: string and timestamp scalars round-trip") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 4)
+      .select(col("id").cast("int").as("t"), (col("id") * 2.0).as("x"),
+        lit("EPSG:4326").as("crs"),
+        lit("2021-06-01 12:30:00").cast("timestamp").as("t0"))
+    for (fmt <- Seq("v2", "v3")) {
+      val root = tmp().resolve(s"sdt_$fmt").toString
+      df.write.format("zarr").option("dims", "t")
+        .option("format", fmt).option("scalarVars", "crs,t0")
+        .mode("overwrite").save(root)
+      val store = ZarrGridStore.open(root)
+      assert(store.schema.vars.find(_.name == "crs").get.dtype == GString,
+        fmt)
+      assert(store.readVar("crs", Seq.empty)
+        .asInstanceOf[Array[String]].toSeq == Seq("EPSG:4326"), fmt)
+      val sv = store.schema.vars.find(_.name == "t0").get
+      assert(sv.dims.isEmpty && sv.dtype == GTimestamp, fmt)
+      val micros = store.readVar("t0", Seq.empty)
+        .asInstanceOf[Array[Long]].head
+      assert(micros == java.time.Instant.parse("2021-06-01T12:30:00Z")
+        .getEpochSecond * 1000000L, fmt)
+    }
+  }
+
   test("v3: a 0-d array (chunk key 'c') round-trips the same way") {
     val root = tmp().resolve("v3").toString
     GridIO.mkdirs(root, conf)

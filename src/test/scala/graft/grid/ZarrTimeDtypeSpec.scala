@@ -265,6 +265,46 @@ class ZarrTimeDtypeSpec extends SparkTestBase {
       Array(0L, 1L, 20L).map(six2000 + _ * 3600000000L)))
   }
 
+  test("decodeTimedelta=false keeps bare-duration ints raw (xarray flag)") {
+    val root = tmp().resolve("tdgate").toString
+    GridIO.mkdirs(root, conf)
+    GridIO.writeString(s"$root/.zgroup", """{"zarr_format":2}""", conf)
+    def arr(name: String, attrs: String, vals: Seq[Long]): Unit = {
+      GridIO.mkdirs(s"$root/$name", conf)
+      GridIO.writeString(s"$root/$name/.zarray",
+        s"""{"zarr_format":2,"shape":[${vals.length}],
+           |"chunks":[${vals.length}],"dtype":"<i8","compressor":null,
+           |"fill_value":null,"order":"C","filters":null}""".stripMargin,
+        conf)
+      GridIO.writeString(s"$root/$name/.zattrs", attrs, conf)
+      val bb = ByteBuffer.allocate(vals.length * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putLong)
+      GridIO.write(s"$root/$name/0", bb.array(), conf)
+    }
+    // a bare-duration COORDINATE and a bare-duration DATA variable
+    arr("lead",
+      """{"_ARRAY_DIMENSIONS":["lead"],"units":"hours"}""",
+      Seq(0L, 6L, 12L))
+    arr("elapsed",
+      """{"_ARRAY_DIMENSIONS":["lead"],"units":"seconds"}""",
+      Seq(10L, 20L, 30L))
+    // default: xarray-compatible decode -> intervals
+    val on = ZarrGridStore.open(root)
+    assert(on.schema.vars.find(_.name == "elapsed").get.dtype == GDuration)
+    assert(on.schema.dim("lead").coords.isInstanceOf[DurationCoords])
+    // flag off: both stay raw int64 (the deprecated-inference escape)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setBoolean(ZarrGridStore.DecodeTimedeltaKey, false)
+    try {
+      val off = ZarrGridStore.open(root)
+      assert(off.schema.vars.find(_.name == "elapsed").get.dtype == GLong)
+      assert(off.schema.dim("lead").coords.isInstanceOf[LongCoords])
+      assert(off.readVar("elapsed", Seq((0, 3))).asInstanceOf[Array[Long]]
+        .toSeq == Seq(10L, 20L, 30L))
+    } finally hc.unset(ZarrGridStore.DecodeTimedeltaKey)
+  }
+
   test("undecodable CF encodings keep raw ints; ns units decode right") {
     val root = tmp().resolve("cfedge").toString
     GridIO.mkdirs(root, conf)
