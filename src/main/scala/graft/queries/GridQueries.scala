@@ -135,6 +135,29 @@ object GridQueries {
         .agg((sum(col("air") * w) / sum(w)).as("air_wmean"))
     }),
 
+    // xarray polyfit(dim='t', deg=1) analogue: per-cell OLS trend of
+    // air over the time index — the per-pixel climate-trend map. One
+    // map-side-combinable groupBy of five moment sums (all
+    // integer-valued doubles on this grid: exact, order-free), then
+    // the closed-form slope/intercept as ONE division each — no
+    // iterative fit, no per-cell collect.
+    "pivot_grid_trend" -> ((s, _) => {
+      val g = grid(s).select(col("t").cast("double").as("x"),
+        col("lat"), col("lon"), col("air"))
+      g.groupBy("lat", "lon")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("air")).as("sy"),
+          sum(col("x") * col("air")).as("sxy"))
+        .select(col("lat"), col("lon"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          ((col("sxx") * col("sy") - col("sx") * col("sxy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+            .as("intercept"))
+    }),
+
     // xarray `sel(lat=[...], method="nearest")`: nearest-coordinate
     // lookup resolved from the DIM COLUMN ALONE (a projection-pushed
     // coordinate scan — no variable data read), then a broadcast
@@ -1183,6 +1206,19 @@ object GridQueries {
          |SUM(air * (lat - 45.0) / 2.5) / SUM((lat - 45.0) / 2.5)
          |  AS air_wmean
          |FROM grid GROUP BY 1, 2""".stripMargin,
+    "pivot_grid_trend" ->
+      s"""WITH $oracleGrid
+         |SELECT lat, lon,
+         |(COUNT(*) * SUM(CAST(t AS DOUBLE) * air)
+         |   - SUM(CAST(t AS DOUBLE)) * SUM(air)) /
+         |  (COUNT(*) * SUM(CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+         |   - SUM(CAST(t AS DOUBLE)) * SUM(CAST(t AS DOUBLE))) AS slope,
+         |(SUM(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) * SUM(air)
+         |   - SUM(CAST(t AS DOUBLE)) * SUM(CAST(t AS DOUBLE) * air)) /
+         |  (COUNT(*) * SUM(CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+         |   - SUM(CAST(t AS DOUBLE)) * SUM(CAST(t AS DOUBLE)))
+         |  AS intercept
+         |FROM grid GROUP BY lat, lon""".stripMargin,
     // cftime('1900-03-01') in julian/"days since 1900-01-01" = 31 + 29
     // = 60 (1900 IS a julian leap year); the oracle replays the julian
     // leap arithmetic as the folded literal
