@@ -114,12 +114,17 @@ class XarrayContext(val spark: SparkSession) {
     * entry is dropped as soon as `load()` has captured the table, so
     * unique scratch keys do not grow the registry for the life of the
     * driver (partitions serialize the store itself; nothing consults
-    * the registry after load).
+    * the registry after load). The caller's key gets a per-invocation
+    * nonce: callers over STAGED (build-once) fixtures share the same
+    * human key, and without the nonce one invocation's unregister
+    * could land between a concurrent invocation's register and load.
     */
   def scratchDataFrame(key: String, store: GridStore,
-      chunks: Map[String, Int], groupDims: Seq[String]): DataFrame =
-    try dataFrame(key, store, chunks, groupDims)
-    finally GridSource.unregister(key)
+      chunks: Map[String, Int], groupDims: Seq[String]): DataFrame = {
+    val k = key + "#" + java.util.UUID.randomUUID().toString.take(8)
+    try dataFrame(k, store, chunks, groupDims)
+    finally GridSource.unregister(k)
+  }
 
   def sql(query: String): DataFrame = spark.sql(query)
 

@@ -353,9 +353,9 @@ object GridQueries {
     // — Verify's plain session computes the identical result through
     // the scanned plan, which is what the oracle gates)
     "pivot_grid_metasum" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_metasum_grid") + "/store"
-      graft.grid.BinaryGridStore.write(Fixtures.linearGrid, root,
-        Map("t" -> 6))
+      val root = QueryTmp.staged("graft_metasum_grid")(base =>
+        graft.grid.BinaryGridStore.write(Fixtures.linearGrid,
+          s"$base/store", Map("t" -> 6))) + "/store"
       val store = graft.grid.BinaryGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"metasum_grid@$root", store, store.chunks,
@@ -369,9 +369,9 @@ object GridQueries {
     // combined by the evaluator's own single final division
     // (MetadataSumRuleSpec pins the 2-of-4-chunks read behavior)
     "pivot_grid_metamean" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_metamean_grid") + "/store"
-      graft.grid.BinaryGridStore.write(Fixtures.linearGrid, root,
-        Map("t" -> 6))
+      val root = QueryTmp.staged("graft_metamean_grid")(base =>
+        graft.grid.BinaryGridStore.write(Fixtures.linearGrid,
+          s"$base/store", Map("t" -> 6))) + "/store"
       val store = graft.grid.BinaryGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"metamean_grid@$root", store, store.chunks,
@@ -381,9 +381,9 @@ object GridQueries {
     }),
 
     "pivot_grid_varstats" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_varstats_grid") + "/store"
-      graft.grid.BinaryGridStore.write(Fixtures.linearGrid, root,
-        Map("t" -> 6))
+      val root = QueryTmp.staged("graft_varstats_grid")(base =>
+        graft.grid.BinaryGridStore.write(Fixtures.linearGrid,
+          s"$base/store", Map("t" -> 6))) + "/store"
       val store = graft.grid.BinaryGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"varstats_linear_grid@$root", store, store.chunks,
@@ -398,9 +398,10 @@ object GridQueries {
     // .graft-stats.json sidecar, and the var predicate prunes chunk
     // FILES (open counts pinned in ZarrVarStatsSpec)
     "pivot_grid_zarr_varstats" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_zarr_varstats") + "/store"
-      val store = graft.grid.ZarrGridStore.write(Fixtures.linearGrid,
-        root, Map("t" -> 6), "zlib")
+      val root = QueryTmp.staged("graft_zarr_varstats")(base =>
+        graft.grid.ZarrGridStore.write(Fixtures.linearGrid,
+          s"$base/store", Map("t" -> 6), "zlib")) + "/store"
+      val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"zarr_varstats@$root", store, store.chunkMap,
           Seq("t", "lat", "lon"))
@@ -507,9 +508,9 @@ object GridQueries {
     // chunk partitions) + zstd decode. Mirrors the reference's Zarr write
     // + read round trip (reference xarray_sql/reader.py:192-337).
     "pivot_grid_disk" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_disk_grid") + "/store"
-      graft.grid.GridWriter.write(grid(s), Fixtures.linearGrid.schema,
-        Map("t" -> 6), root, "zstd")
+      val root = QueryTmp.staged("graft_disk_grid")(base =>
+        graft.grid.GridWriter.write(grid(s), Fixtures.linearGrid.schema,
+          Map("t" -> 6), s"$base/store", "zstd")) + "/store"
       val store = graft.grid.BinaryGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"disk_linear_grid@$root", store, store.chunks,
@@ -525,9 +526,10 @@ object GridQueries {
     // the residual string IN filter evaluates on the decoded coords —
     // the same query shape as pivot_grid_station on the binary store
     "pivot_grid_station_zarr" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_zarr_station") + "/store"
-      val store = graft.grid.ZarrGridStore.write(Fixtures.stationGrid,
-        root, Map("station" -> 4), "zlib")
+      val root = QueryTmp.staged("graft_zarr_station")(base =>
+        graft.grid.ZarrGridStore.write(Fixtures.stationGrid,
+          s"$base/store", Map("station" -> 4), "zlib")) + "/store"
+      val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s).fromDataset("stations_zarr", store,
         Map("station" -> 4))
       s.sql("""SELECT station, time, reading FROM stations_zarr
@@ -564,9 +566,10 @@ object GridQueries {
     // through the Zarr/fsspec abstraction (xarray_sql/reader.py:192-337,
     // README.md:96-105); here the tree is parsed natively on the JVM.
     "pivot_grid_zarr" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_zarr_grid") + "/store"
-      val store = graft.grid.ZarrGridStore.write(Fixtures.linearGrid, root,
-        Map("t" -> 6, "lat" -> 5), "zlib")
+      val root = QueryTmp.staged("graft_zarr_grid")(base =>
+        graft.grid.ZarrGridStore.write(Fixtures.linearGrid,
+          s"$base/store", Map("t" -> 6, "lat" -> 5), "zlib")) + "/store"
+      val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"zarr_grid@$root", store, store.chunkMap,
           Seq("t", "lat", "lon"))
@@ -580,9 +583,10 @@ object GridQueries {
     // opens (README.md:76-77); ZarrGridStore.open auto-detects the
     // version
     "pivot_grid_zarr_v3" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_zarr_v3_grid") + "/store"
-      val store = graft.grid.ZarrV3.write(Fixtures.linearGrid, root,
-        Map("t" -> 6, "lat" -> 5), "zstd:3")
+      val root = QueryTmp.staged("graft_zarr_v3_grid")(base =>
+        graft.grid.ZarrV3.write(Fixtures.linearGrid, s"$base/store",
+          Map("t" -> 6, "lat" -> 5), "zstd:3")) + "/store"
+      val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"zarr_v3_grid@$root", store, store.chunkMap,
           Seq("t", "lat", "lon"))
@@ -594,9 +598,9 @@ object GridQueries {
     // XarrayContext — short-name ServiceLoader registration, store
     // opened by the provider, same pruned DSv2 scan underneath
     "pivot_grid_zarr_format" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_zarr_fmt_grid") + "/store"
-      graft.grid.ZarrGridStore.write(Fixtures.linearGrid, root,
-        Map("t" -> 6, "lat" -> 5), "zstd:3")
+      val root = QueryTmp.staged("graft_zarr_fmt_grid")(base =>
+        graft.grid.ZarrGridStore.write(Fixtures.linearGrid,
+          s"$base/store", Map("t" -> 6, "lat" -> 5), "zstd:3")) + "/store"
       graft.sources.ZarrTableProvider.invalidate(root)
       s.read.format("zarr").load(root)
         .filter(col("t") >= 12)
@@ -658,10 +662,11 @@ object GridQueries {
     // count. The scan prunes at shard granularity; every surviving
     // shard decodes through the index/inner-codec path
     "pivot_grid_zarr_sharded" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_zarr_shard_grid") + "/store"
-      val store = graft.grid.ZarrV3.write(Fixtures.linearGrid, root,
-        Map("t" -> 6, "lat" -> 5), "zstd:3",
-        shardInner = Map("t" -> 2, "lat" -> 5))
+      val root = QueryTmp.staged("graft_zarr_shard_grid")(base =>
+        graft.grid.ZarrV3.write(Fixtures.linearGrid, s"$base/store",
+          Map("t" -> 6, "lat" -> 5), "zstd:3",
+          shardInner = Map("t" -> 2, "lat" -> 5))) + "/store"
+      val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"zarr_shard_grid@$root", store, store.chunkMap,
           Seq("t", "lat", "lon"))
@@ -674,9 +679,10 @@ object GridQueries {
     // (reference perf_tests/open_era5.py:7-8): exercises the pure-JVM
     // Blosc container decode on every unpruned chunk read
     "pivot_grid_zarr_blosc" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_zarr_blosc_grid") + "/store"
-      val store = graft.grid.ZarrGridStore.write(Fixtures.linearGrid, root,
-        Map("t" -> 6, "lat" -> 5), "blosc")
+      val root = QueryTmp.staged("graft_zarr_blosc_grid")(base =>
+        graft.grid.ZarrGridStore.write(Fixtures.linearGrid,
+          s"$base/store", Map("t" -> 6, "lat" -> 5), "blosc")) + "/store"
+      val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"zarr_blosc_grid@$root", store, store.chunkMap,
           Seq("t", "lat", "lon"))
@@ -689,9 +695,10 @@ object GridQueries {
     // exercises the pure-JVM BloscLz token decode and the bit-matrix
     // unshuffle on every unpruned chunk read
     "pivot_grid_zarr_blosclz" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_zarr_blosclz_grid") + "/store"
-      val store = graft.grid.ZarrGridStore.write(Fixtures.linearGrid, root,
-        Map("t" -> 6, "lat" -> 5), "blosc:blosclz:bit")
+      val root = QueryTmp.staged("graft_zarr_blosclz_grid")(base =>
+        graft.grid.ZarrGridStore.write(Fixtures.linearGrid,
+          s"$base/store", Map("t" -> 6, "lat" -> 5), "blosc:blosclz:bit")) + "/store"
+      val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"zarr_blosclz_grid@$root", store, store.chunkMap,
           Seq("t", "lat", "lon"))
@@ -746,9 +753,10 @@ object GridQueries {
     // the string variable — the layout zarr-python 3 emits by default
     // for any string array
     "pivot_grid_zarr_vlen" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_zarr_vlen") + "/store"
-      val store = graft.grid.ZarrV3.write(Fixtures.stationQualityGrid,
-        root, Map("station" -> 4, "time" -> 5), "zstd:3")
+      val root = QueryTmp.staged("graft_zarr_vlen")(base =>
+        graft.grid.ZarrV3.write(Fixtures.stationQualityGrid,
+          s"$base/store", Map("station" -> 4, "time" -> 5), "zstd:3")) + "/store"
+      val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"zarr_vlen@$root", store, store.chunkMap,
           Seq("station", "time"))
@@ -762,10 +770,10 @@ object GridQueries {
     // 2 writes for string arrays): v2 writer emits it, the reader
     // decodes filter + fill, and the identical query gates both paths
     "pivot_grid_zarr_vlen_v2" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_zarr_vlen_v2") + "/store"
-      val store = graft.grid.ZarrGridStore.write(
-        Fixtures.stationQualityGrid, root,
-        Map("station" -> 4, "time" -> 5), "zstd:3")
+      val root = QueryTmp.staged("graft_zarr_vlen_v2")(base =>
+        graft.grid.ZarrGridStore.write(Fixtures.stationQualityGrid,
+          s"$base/store", Map("station" -> 4, "time" -> 5), "zstd:3")) + "/store"
+      val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"zarr_vlen_v2@$root", store, store.chunkMap,
           Seq("station", "time"))
@@ -780,10 +788,11 @@ object GridQueries {
     // object per shard at archive scale, inner-chunk ranged reads (with
     // byte-adjacent entries coalesced into single GETs) on the way back
     "pivot_grid_zarr_vlen_sharded" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_zarr_vlen_sh") + "/store"
-      val store = graft.grid.ZarrV3.write(Fixtures.stationQualityGrid,
-        root, Map("station" -> 4, "time" -> 5), "zstd:3",
-        shardInner = Map("station" -> 2))
+      val root = QueryTmp.staged("graft_zarr_vlen_sh")(base =>
+        graft.grid.ZarrV3.write(Fixtures.stationQualityGrid,
+          s"$base/store", Map("station" -> 4, "time" -> 5), "zstd:3",
+          shardInner = Map("station" -> 2))) + "/store"
+      val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"zarr_vlen_sh@$root", store, store.chunkMap,
           Seq("station", "time"))
@@ -797,15 +806,17 @@ object GridQueries {
     // `group` option — xarray's open_zarr(group=...) — selects one,
     // and the scan over it prunes/projects exactly like a flat tree
     "pivot_grid_group" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_zarr_group") + "/tree"
-      val gdf = new XarrayContext(s).dataFrame("grp_grid",
-        Fixtures.linearGrid, Map("t" -> 6), Seq("t", "lat", "lon"))
-      gdf.write.format("zarr").option("dims", "t,lat,lon")
-        .option("chunks", "t=6,lat=5").mode("overwrite")
-        .save(s"$root/cube")
-      gdf.filter(col("t") < 2).write.format("zarr")
-        .option("dims", "t,lat,lon").mode("overwrite")
-        .save(s"$root/head")
+      val root = QueryTmp.staged("graft_zarr_group") { base =>
+        val tree = s"$base/tree"
+        val gdf = new XarrayContext(s).dataFrame("grp_grid",
+          Fixtures.linearGrid, Map("t" -> 6), Seq("t", "lat", "lon"))
+        gdf.write.format("zarr").option("dims", "t,lat,lon")
+          .option("chunks", "t=6,lat=5").mode("overwrite")
+          .save(s"$tree/cube")
+        gdf.filter(col("t") < 2).write.format("zarr")
+          .option("dims", "t,lat,lon").mode("overwrite")
+          .save(s"$tree/head")
+      } + "/tree"
       s.read.format("zarr").option("group", "cube").load(root)
         .filter(col("t") >= 12)
         .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
@@ -818,14 +829,15 @@ object GridQueries {
     // SQL — the whole-archive registration the reference does one
     // dataset at a time
     "pivot_grid_tree" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_zarr_tree") + "/tree"
-      val conf = graft.grid.GridIO.driverConf()
-      graft.grid.ZarrGridStore.write(Fixtures.linearGrid, s"$root/cube",
-        Map("t" -> 6), "zstd:3")
-      graft.grid.ZarrGridStore.write(Fixtures.maskGrid, s"$root/mask",
-        Map("lat" -> 6), "zstd:3")
-      graft.grid.GridIO.writeString(s"$root/.zgroup",
-        """{"zarr_format":2}""", conf)
+      val root = QueryTmp.staged("graft_zarr_tree") { base =>
+        val tree = s"$base/tree"
+        graft.grid.ZarrGridStore.write(Fixtures.linearGrid,
+          s"$tree/cube", Map("t" -> 6), "zstd:3")
+        graft.grid.ZarrGridStore.write(Fixtures.maskGrid, s"$tree/mask",
+          Map("lat" -> 6), "zstd:3")
+        graft.grid.GridIO.writeString(s"$tree/.zgroup",
+          """{"zarr_format":2}""", graft.grid.GridIO.driverConf())
+      } + "/tree"
       // view names must be unique under concurrent evaluation
       val tag = java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
       new XarrayContext(s).fromZarrTree(s"tree_$tag", root)
@@ -843,8 +855,8 @@ object GridQueries {
     // real TIMESTAMP column, and a range filter prunes on the µs zone
     // maps — reference df.py:395 handles the same dtype natively
     "pivot_grid_m8time" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_m8time") + "/store"
-      Fixtures.writeM8Tree(root)
+      val root = QueryTmp.staged("graft_m8time")(base =>
+        Fixtures.writeM8Tree(s"$base/store")) + "/store"
       val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"m8time@$root", store, store.chunkMap,
@@ -857,8 +869,8 @@ object GridQueries {
     // geoscience archive carries: 0/1 ints, queried as `mask = 1`,
     // masking a sibling variable's aggregate
     "pivot_grid_bool_mask" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_boolmask") + "/store"
-      Fixtures.writeBoolMaskTree(root)
+      val root = QueryTmp.staged("graft_boolmask")(base =>
+        Fixtures.writeBoolMaskTree(s"$base/store")) + "/store"
       val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"boolmask@$root", store, store.chunkMap,
@@ -873,14 +885,16 @@ object GridQueries {
     // joins against an aggregate of the dimensional table — the
     // "stamp every result row with the dataset CRS" query
     "pivot_grid_scalar" -> ((s, _) => {
-      val rioRoot = QueryTmp.dir("graft_rio") + "/store"
-      Fixtures.writeRioTree(rioRoot)
       // round-trip the scalar through THIS REPO'S writer (round 11:
       // 0-d variables write too) — the gated store is repo-written
-      val root = QueryTmp.dir("graft_rio") + "/rewritten"
-      val store = graft.grid.ZarrGridStore.write(
-        graft.grid.ZarrGridStore.open(rioRoot), root, Map("t" -> 3),
-        "zstd:3")
+      val root = QueryTmp.staged("graft_rio") { base =>
+        val rioRoot = s"$base/store"
+        Fixtures.writeRioTree(rioRoot)
+        graft.grid.ZarrGridStore.write(
+          graft.grid.ZarrGridStore.open(rioRoot), s"$base/rewritten",
+          Map("t" -> 3), "zstd:3")
+      } + "/rewritten"
+      val store = graft.grid.ZarrGridStore.open(root)
       val tag = s"rio_${Math.abs(root.hashCode)}"
       new XarrayContext(s).fromDataset(tag, store, store.chunkMap)
       s.sql(
@@ -896,8 +910,8 @@ object GridQueries {
     // its decode_cf reverses): offsets decode to timestamps lazily at
     // chunk-read time, _FillValue cells surface as SQL NULL
     "pivot_grid_cfvar" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_cfvar") + "/store"
-      Fixtures.writeCfTimeVarTree(root)
+      val root = QueryTmp.staged("graft_cfvar")(base =>
+        Fixtures.writeCfTimeVarTree(s"$base/store")) + "/store"
       val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"cfvar@$root", store, store.chunkMap,
@@ -939,8 +953,8 @@ object GridQueries {
     // across the null cells (IS NULL picks up every NaT hour, the
     // comparison silently skips them), matching xarray's NaT handling
     "pivot_grid_m8nat" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_m8nat") + "/store"
-      Fixtures.writeM8NatTree(root)
+      val root = QueryTmp.staged("graft_m8nat")(base =>
+        Fixtures.writeM8NatTree(s"$base/store")) + "/store"
       val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"m8nat@$root", store, store.chunkMap,
@@ -954,8 +968,8 @@ object GridQueries {
     // overflow past Long.Max (pinned in ZarrTimeDtypeSpec); values
     // past 2^40 prove genuine 64-bit width survives the pivot
     "pivot_grid_u8" -> ((s, _) => {
-      val root = QueryTmp.dir("graft_u8") + "/store"
-      Fixtures.writeU8Tree(root)
+      val root = QueryTmp.staged("graft_u8")(base =>
+        Fixtures.writeU8Tree(s"$base/store")) + "/store"
       val store = graft.grid.ZarrGridStore.open(root)
       new XarrayContext(s)
         .scratchDataFrame(s"u8@$root", store, store.chunkMap, Seq("i"))

@@ -29,6 +29,24 @@ object QueryTmp {
     p.toString
   }
 
+  private val stagedDirs =
+    scala.collection.mutable.HashMap.empty[String, String]
+
+  /** Build-once fixture staging: the first call for `name` creates a
+    * fresh dir, runs `build` against it, and every later call returns
+    * the same committed path. For queries whose GATE is a read path
+    * over a deterministic fixture: the fixture write is paid once per
+    * JVM instead of once per bench rep, so the benched number is the
+    * read cost, not fixture I/O (the round-10 verdict flagged
+    * `pivot_grid_group`'s number as mostly fixture writes). Queries
+    * whose gate IS a write keep per-invocation [[dir]]s. The monitor
+    * serializes concurrent first builds — same contract as
+    * PipelineQueries' stage registry.
+    */
+  def staged(name: String)(build: String => Unit): String = synchronized {
+    stagedDirs.getOrElseUpdate(name, { val p = dir(name); build(p); p })
+  }
+
   private def deleteTree(p: Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
