@@ -58,7 +58,11 @@ object ScaleSmoke {
       // round-11 additions: the remaining bench heavy tail —
       // Misra-Gries candidates + exact verify, and the broadcast-df
       // tf-idf ranking
-      "heavy_hitters", "tfidf_top_terms")
+      "heavy_hitters", "tfidf_top_terms",
+      // round-11 new operators: coverage-cutoff vocab sizing (vocab-
+      // bounded window), DSIR importance weights (64-bucket broadcast),
+      // per-doc near-dup neighbors (banded candidates + GroupedTopK)
+      "vocab_coverage", "dsir_weights", "neardup_topk")
     // one warm pass at sf0.1 amortizes codegen/JIT out of the ratio
     heavy.foreach(n => graft.SparkEntry.queries(n)(spark, base).count())
     def time(name: String, dir: String): (Double, Long) = {
