@@ -226,9 +226,15 @@ object GridIO {
     */
   private[grid] val CommitProtocolKey = "graft.zarr.commit"
 
-  /** Schemes whose Hadoop connectors emulate rename as copy+delete. */
+  /** Schemes whose Hadoop connectors emulate rename as copy+delete.
+    * wasb/wasbs (classic Azure blob) belong here; abfs/abfss (ADLS
+    * Gen2 with a hierarchical namespace) rename atomically and stay on
+    * the rename protocol — an HNS-less abfs account should set
+    * `graft.zarr.commit=put` explicitly.
+    */
   private val copyRenameSchemes =
-    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "swift", "obs")
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "swift", "obs",
+      "wasb", "wasbs")
 
   private[grid] def usePutCommit(path: String, conf: Configuration): Boolean =
     conf.get(CommitProtocolKey, "auto") match {

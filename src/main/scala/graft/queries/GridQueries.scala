@@ -150,11 +150,12 @@ object GridQueries {
           sum(col("x") * col("x")).as("sxx"),
           sum(col("air")).as("sy"),
           sum(col("x") * col("air")).as("sxy"))
+        .withColumn("den",
+          col("n") * col("sxx") - col("sx") * col("sx"))
         .select(col("lat"), col("lon"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
-          ((col("sxx") * col("sy") - col("sx") * col("sxy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")))
+          ((col("n") * col("sxy") - col("sx") * col("sy")) / col("den"))
+            .as("slope"),
+          ((col("sxx") * col("sy") - col("sx") * col("sxy")) / col("den"))
             .as("intercept"))
     }),
 

@@ -1058,13 +1058,16 @@ object PipelineQueries {
     "vocab_coverage" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(explode(words(col("text"))).as("token"))
+      // materialized once: both the window and the total read the
+      // vocab-sized aggregate — the corpus is scanned exactly ONCE
       val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("token"))
       counts
         .withColumn("vocab_size", row_number().over(w).cast("long"))
         .withColumn("covered", sum(col("cnt")).over(w))
-        .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+        .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
         .filter(col("covered") * 100 >= col("total") * 95)
         .orderBy("vocab_size").limit(1)
         .select(col("vocab_size"), col("covered"), col("total"))

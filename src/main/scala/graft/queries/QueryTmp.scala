@@ -47,6 +47,13 @@ object QueryTmp {
     stagedDirs.getOrElseUpdate(name, { val p = dir(name); build(p); p })
   }
 
+  /** The committed staged dir for `name`, if built in this JVM — test
+    * introspection (a tmpdir prefix listing would be flaky against
+    * residue of killed JVMs or concurrent suites).
+    */
+  private[graft] def stagedLookup(name: String): Option[String] =
+    synchronized(stagedDirs.get(name))
+
   private def deleteTree(p: Path): Unit =
     try {
       import scala.jdk.CollectionConverters._

@@ -203,6 +203,13 @@ private[sources] object ZarrWrite {
           "zarr write: appending to an existing tree needs " +
             ".option(\"appendDim\", <dim>); use mode(\"overwrite\") to " +
             "replace it"))
+      // scalars don't span the append dim, so an append would silently
+      // DROP them (neither written nor checked against the stored
+      // value) — refuse instead: write scalars at create/overwrite time
+      require(scalarVars.isEmpty,
+        "zarr write: scalarVars cannot be appended (a 0-d variable " +
+          "does not span the append dim); write scalars with " +
+          "mode(\"overwrite\") or at tree creation")
       ZarrGridStore.appendFromRows(df, schema, root, along)
     }
     // a group write maintains the HIERARCHY: every ancestor between

@@ -79,10 +79,15 @@ object CfCalendar {
     }
   }
 
+  // udunits/cftime grammar, as found in real archives: optional
+  // time-of-day down to hour-only ("days since 2000-01-01 0"),
+  // fractional seconds ("hours since 1900-01-01 00:00:0.0"), and an
+  // optional UTC-offset suffix with or without a sign ("... 0:00",
+  // CMIP/CORDEX style) or a zone word
   private val UnitsRe =
     ("""(\w+) since (\d{1,4})-(\d{1,2})-(\d{1,2})""" +
-      """(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2}(?:\.\d+)?))?)?""" +
-      """(?:\s*(Z|UTC|GMT|[+-]\d{1,2}(?::?\d{2})?))?\s*""").r
+      """(?:[T ](\d{1,2})(?::(\d{1,2})(?::(\d{1,2}(?:\.\d+)?))?)?)?""" +
+      """(?:\s*(Z|UTC|GMT|[+-]?\d{1,2}(?::?\d{2})?))?\s*""").r
 
   def parseUnits(units: String): Units = units match {
     case UnitsRe(step, y, m, d, hh, mi, ss, tz) =>
@@ -102,7 +107,8 @@ object CfCalendar {
       Option(tz).foreach {
         case "Z" | "UTC" | "GMT" => ()
         case off =>
-          val digits = off.drop(1).filter(_ != ':')
+          val digits = off.dropWhile(c => c == '+' || c == '-')
+            .filter(_ != ':')
           val (oh, om) =
             if (digits.length > 2)
               (digits.dropRight(2).toInt, digits.takeRight(2).toInt)

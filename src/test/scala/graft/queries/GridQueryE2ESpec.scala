@@ -12,14 +12,9 @@ class GridQueryE2ESpec extends SparkTestBase {
   test("pivot_grid_disk: writer->zstd store->scan round trip, pruned") {
     val q = SparkEntry.queries("pivot_grid_disk")
     // the store is STAGED once per JVM (QueryTmp.staged): construction
-    // builds it on first use and reuses it afterwards — find it by
-    // prefix in the tmpdir
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    def stores() = tmp.listFiles()
-      .filter(_.getName.startsWith("graft_disk_grid")).map(_.getName).toSet
-    // the distributed write runs at first query construction (4 source
-    // chunks); reset counters after it so the assertion sees only the
-    // disk scan
+    // builds it on first use and reuses it afterwards. The distributed
+    // write runs at first query construction (4 source chunks); reset
+    // counters after it so the assertion sees only the disk scan
     val df = q(spark, "unused")
     ReadCounters.reset()
     val rows = df.collect()
@@ -34,10 +29,11 @@ class GridQueryE2ESpec extends SparkTestBase {
     }
     // t >= 12 with t chunked by 6 over 0..23 -> scan opens 2 of 4 chunks
     assert(ReadCounters.partitionsOpened.sum() == 2L)
-    // the scan provably hit zstd chunk files written by the writer
-    val staged = stores()
-    assert(staged.size == 1, s"expected one staged store dir, got $staged")
-    val root = new java.io.File(tmp, staged.head).toString + "/store"
+    // the scan provably hit zstd chunk files written by the writer —
+    // resolve the staged dir through the registry, not a tmpdir
+    // listing (robust against residue of killed JVMs)
+    val root = graft.queries.QueryTmp.stagedLookup("graft_disk_grid")
+      .getOrElse(fail("disk fixture was not staged")) + "/store"
     val files = new java.io.File(root, "air").listFiles()
     assert(files != null && files.count(_.getName.endsWith(".bin")) == 4)
     val meta = java.nio.file.Files.readString(

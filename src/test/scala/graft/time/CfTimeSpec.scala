@@ -88,6 +88,14 @@ class CfTimeSpec extends SparkTestBase {
     assert(parseUnits("days since 2000-01-01 00:00:00 UTC").refMicros == 0L)
     intercept[IllegalArgumentException](
       parseUnits("days since 2000-01-01 00:00:00+05:30"))
+    // udunits forms real archives carry: unsigned zero UTC offset
+    // (CMIP/CORDEX "0:00"), hour-only reference times
+    assert(parseUnits("days since 1950-01-01 00:00:00 0:00").refMicros
+      == 0L)
+    assert(parseUnits("days since 2000-01-01 12").refMicros ==
+      12L * 3600L * 1000000L)
+    intercept[IllegalArgumentException](
+      parseUnits("days since 2000-01-01 00:00:00 5:00")) // nonzero tz
     // decode: offset 0 lands at the reference INSTANT, not midnight
     assert(offsetToMicros(0, "days since 1850-01-01 12:00:00", "standard") ==
       gregorianMicros(1850, 1, 1, hour = 12))
