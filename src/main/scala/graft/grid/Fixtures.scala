@@ -281,6 +281,14 @@ object Fixtures {
       Map("temperature" -> PruneLaw()))
   }
 
+  /** scale * idx(0)² — a variable NONLINEAR in the leading dim, for
+    * correlation/trend fixtures where a linear law would degenerate to
+    * |r| = 1.
+    */
+  final case class QuadLaw(scale: Double) extends GridFun {
+    def apply(idx: Array[Int]): Double = scale * idx(0) * idx(0)
+  }
+
   final case class TwoVarLaw(scale: Double) extends GridFun {
     def apply(idx: Array[Int]): Double = scale * (idx(0) * 5 + idx(1))
   }

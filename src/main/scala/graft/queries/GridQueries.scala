@@ -159,6 +159,38 @@ object GridQueries {
             .as("intercept"))
     }),
 
+    // xarray.corr(a, b, dim='t') analogue: per-lat Pearson correlation
+    // of two co-dimensional variables, from the same moment-sum shape
+    // as pivot_grid_trend (one map-side-combinable groupBy; sums are
+    // integer-valued doubles, exact and order-free; sqrt is IEEE
+    // correctly-rounded on both engines). The b variable is QUADRATIC
+    // in t so |r| < 1 and the full formula is exercised.
+    "pivot_grid_corr" -> ((s, _) => {
+      import graft.grid._
+      val st = SyntheticGridStore(
+        GridSchema(
+          Seq(DimDef("t", IntCoords((0 until 24).toArray)),
+            DimDef("lat", DoubleCoords(
+              (0 until 5).map(i => -60.0 + 30.0 * i).toArray))),
+          Seq(VarDef("a", Seq("t", "lat"), GDouble),
+            VarDef("b", Seq("t", "lat"), GDouble))),
+        Map("a" -> Fixtures.AffineLaw(200.0, Seq(1.0, 2.0)),
+          "b" -> Fixtures.QuadLaw(1.0)))
+      new XarrayContext(s)
+        .scratchDataFrame("corr_grid", st, Map("t" -> 6), Seq("t", "lat"))
+        .groupBy("lat")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+          sum(col("a") * col("a")).as("saa"),
+          sum(col("b") * col("b")).as("sbb"),
+          sum(col("a") * col("b")).as("sab"))
+        .select(col("lat"),
+          ((col("n") * col("sab") - col("sa") * col("sb")) /
+            (sqrt(col("n") * col("saa") - col("sa") * col("sa")) *
+              sqrt(col("n") * col("sbb") - col("sb") * col("sb"))))
+            .as("corr_ab"))
+    }),
+
     // xarray `sel(lat=[...], method="nearest")`: nearest-coordinate
     // lookup resolved from the DIM COLUMN ALONE (a projection-pushed
     // coordinate scan — no variable data read), then a broadcast
@@ -1221,6 +1253,17 @@ object GridQueries {
          |SUM(air * (lat - 45.0) / 2.5) / SUM((lat - 45.0) / 2.5)
          |  AS air_wmean
          |FROM grid GROUP BY 1, 2""".stripMargin,
+    "pivot_grid_corr" ->
+      """WITH g AS (
+        |  SELECT t, -60.0 + 30.0*i AS lat,
+        |         200.0 + t + 2.0*i AS a,
+        |         CAST(t*t AS DOUBLE) AS b
+        |  FROM generate_series(0, 23) g1(t), generate_series(0, 4) g2(i))
+        |SELECT lat,
+        |(COUNT(*) * SUM(a*b) - SUM(a)*SUM(b)) /
+        |  (sqrt(COUNT(*) * SUM(a*a) - SUM(a)*SUM(a)) *
+        |   sqrt(COUNT(*) * SUM(b*b) - SUM(b)*SUM(b))) AS corr_ab
+        |FROM g GROUP BY lat""".stripMargin,
     "pivot_grid_trend" ->
       s"""WITH $oracleGrid
          |SELECT lat, lon,

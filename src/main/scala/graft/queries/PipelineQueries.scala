@@ -1232,6 +1232,27 @@ object PipelineQueries {
           (unix_micros(col("ts")) - col("last_click_us")).as("gap_us"))
     }),
 
+    // merge_asof(tolerance=...) semantics: the same backward as-of
+    // join, but a click older than ONE HOUR does not attribute — the
+    // match nulls out instead of reaching arbitrarily far back. Same
+    // single keyed-window shape (no extra shuffle for the tolerance;
+    // it is a post-window projection).
+    "join_asof_tol" -> ((s, d) => {
+      val tolUs = 3600L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("lc",
+          last(when(col("event_type") === "click", unix_micros(col("ts"))),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "view")
+        .withColumn("gap", unix_micros(col("ts")) - col("lc"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          when(col("gap") <= tolUs, col("lc")).as("last_click_us"),
+          when(col("gap") <= tolUs, col("gap")).as("gap_us"))
+    }),
+
     // winnowing fingerprint (Schleimer et al. 2003) via the
     // RollingFingerprint expression, exploded to scalar (doc_id, fp) rows
     // (array columns break the driver's pandas canonicalization); the
@@ -2504,6 +2525,21 @@ object PipelineQueries {
          |  '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_tokens
          |FROM clean GROUP BY lang""".stripMargin
     },
+    "join_asof_tol" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |CASE WHEN epoch_us(ts) - lc <= 3600000000 THEN lc END
+        |  AS last_click_us,
+        |CASE WHEN epoch_us(ts) - lc <= 3600000000
+        |  THEN epoch_us(ts) - lc END AS gap_us
+        |FROM (
+        |  SELECT *,
+        |  last_value(CASE WHEN event_type = 'click'
+        |      THEN epoch_us(ts) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS lc
+        |  FROM events) t
+        |WHERE event_type = 'view'""".stripMargin,
     "join_asof" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, last_click_us,
         |epoch_us(ts) - last_click_us AS gap_us
