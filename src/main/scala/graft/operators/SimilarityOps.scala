@@ -338,6 +338,48 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** BATCH multi-probe IVF — the production shape for a WORKLOAD of
+    * probes (nightly retrieval batch, dedup-against-index) rather than
+    * one: every probe's `nprobe` nearest cells rank in one pass
+    * against the broadcast codebook (argtop per probe via the
+    * heap-bounded GroupedTopK — no window sort), the candidate set
+    * forms through ONE bucket equi-join against the broadcast
+    * (probe, cell) list, and per-probe exact top-k again rides
+    * GroupedTopK, so the shuffle is k-bounded per probe. No per-probe
+    * driver loop anywhere: 10⁶ probes cost one extra broadcast, not
+    * 10⁶ jobs. Tie-breaks match [[annIvfMultiProbe]], so each probe's
+    * rows equal its one-shot answer.
+    */
+  def annIvfMultiProbeBatch(vecs: DataFrame, idCol: String,
+      vecCol: String, nCentroids: Int, probeIds: Seq[Long], k: Int,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && probeIds.nonEmpty, s"nprobe=$nprobe")
+    val dot = GraftFunctions.dot_f64 _
+    val assigned = ivfAssign(vecs, idCol, vecCol, nCentroids)
+    val e = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = e.filter(col("id") < nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val probes = e.filter(col("id").isin(probeIds: _*))
+      .select(col("id").as("pid"), col("v").as("pv"),
+        sqrt(dot(col("v"), col("v"))).as("pn"))
+    val cellScores = probes.crossJoin(broadcast(cents))
+      .select(col("pid"), col("cid"),
+        (dot(col("cv"), col("pv")) / sqrt(dot(col("cv"), col("cv"))))
+          .as("score"))
+    val probeCells = TopKOps.topKPerGroup(cellScores, Seq("pid"),
+      Seq("score" -> false, "cid" -> true), nprobe)
+      .select(col("pid"), col("cid"))
+    assigned
+      .join(broadcast(probeCells), col("bucket") === col("cid"))
+      .join(broadcast(probes), "pid")
+      .filter(col("id") =!= col("pid"))
+      .select(col("pid"), col("id"),
+        (dot(col("v"), col("pv")) /
+          (sqrt(dot(col("v"), col("v"))) * col("pn"))).as("cosine"))
+      .transform(d => TopKOps.topKPerGroup(d, Seq("pid"),
+        Seq("cosine" -> false, "id" -> true), k))
+  }
+
   /** IVF ANN with a TRAINED codebook: centroids come from
     * [[KMeans.centroids]] (Lloyd iterations, deterministic seed)
     * instead of the first-k-rows stand-in, vectors coarse-quantize to

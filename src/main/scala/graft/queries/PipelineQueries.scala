@@ -443,6 +443,21 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("cosine"))
     }),
 
+    // BATCH multi-probe: three probes answered in ONE pipeline — cells
+    // rank per probe through GroupedTopK, candidates form via one
+    // bucket equi-join against the broadcast (probe, cell) list,
+    // per-probe exact top-5 again through GroupedTopK. The workload
+    // shape: many probes, no per-probe jobs.
+    "ann_ivf_batch" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      graft.operators.SimilarityOps
+        .annIvfMultiProbeBatch(e, "vec_id", "v", 8, Seq(8L, 9L, 10L),
+          k = 5, nprobe = 2)
+        .select(col("pid").as("probe_id"), col("id").as("vec_id"),
+          col("cosine"))
+    }),
+
     // the repeated-query production shape of ann_ivf: assignment
     // materialized partitionBy(bucket) ONCE per corpus (the staged-path
     // registry serializes concurrent first builds), so the probe-cell
@@ -1833,6 +1848,53 @@ object PipelineQueries {
 
   val oracleSql: ListMap[String, String] = ListMap(
     "ann_ivf_multiprobe" -> annIvfMultiProbeOracle,
+    "ann_ivf_batch" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+        |p AS (SELECT id AS pid, v AS pv FROM e WHERE id IN (8, 9, 10)),
+        |cellscores AS (
+        |  SELECT p.pid, c.cid,
+        |  list_aggregate(list_transform(list_zip(c.cv, p.pv),
+        |    z -> z[1]*z[2]), 'sum') /
+        |    sqrt(list_aggregate(list_transform(c.cv, x -> x*x), 'sum'))
+        |    AS score
+        |  FROM p, c),
+        |probecells AS (
+        |  SELECT pid, cid FROM (
+        |    SELECT pid, cid, row_number() OVER (PARTITION BY pid
+        |      ORDER BY score DESC, cid) AS rn
+        |    FROM cellscores) t WHERE rn <= 2),
+        |scored AS (
+        |  SELECT e.id, e.v, c.cid,
+        |  list_aggregate(list_transform(list_zip(e.v, c.cv),
+        |    z -> z[1]*z[2]), 'sum') /
+        |    sqrt(list_aggregate(list_transform(c.cv, x -> x*x), 'sum'))
+        |    AS score
+        |  FROM e, c WHERE e.id >= 8),
+        |assigned AS (
+        |  SELECT id, v, cid AS bucket FROM (
+        |    SELECT id, v, cid,
+        |    row_number() OVER (PARTITION BY id
+        |      ORDER BY score DESC, cid) AS rn
+        |    FROM scored) t WHERE rn = 1),
+        |cand AS (
+        |  SELECT pc.pid, a.id,
+        |  list_aggregate(list_transform(list_zip(a.v, p.pv),
+        |    z -> z[1]*z[2]), 'sum') /
+        |    (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum')) *
+        |     sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum')))
+        |    AS cosine
+        |  FROM assigned a
+        |  JOIN probecells pc ON a.bucket = pc.cid
+        |  JOIN p ON p.pid = pc.pid
+        |  WHERE a.id <> pc.pid)
+        |SELECT pid AS probe_id, id AS vec_id, cosine FROM (
+        |  SELECT pid, id, cosine, row_number() OVER (PARTITION BY pid
+        |    ORDER BY cosine DESC, id) AS rn
+        |  FROM cand) t WHERE rn <= 5""".stripMargin,
     // physical plan differs (partition-pruned index scan), answer
     // does not: one oracle serves both — same as ann_ivf_bucketed
     "ann_ivf_bucketed_multiprobe" -> annIvfMultiProbeOracle,

@@ -48,6 +48,26 @@ class AnnRecallSpec extends SparkTestBase {
     assert(multi1 == single)
   }
 
+  test("batch multi-probe equals the one-shot answer per probe") {
+    import spark.implicits._
+    val df = vectors.toDF("id", "v")
+    val probes = Seq(8L, 77L, 222L)
+    val batch = SimilarityOps
+      .annIvfMultiProbeBatch(df, "id", "v", nCents, probes, k, nprobe = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    probes.foreach { p =>
+      val single = SimilarityOps
+        .annIvfMultiProbe(df, "id", "v", nCents, p, k, nprobe = 3)
+        .collect().map(r => (p, r.getLong(0), r.getDouble(1))).toSeq
+      // per-probe rows match bit for bit (same tie-breaks, same folds);
+      // GroupedTopK emits unordered rows, so compare as ordered-by-rank
+      val got = batch(p).sortBy(t => (-t._3, t._2)).toSeq
+      assert(got == single.sortBy(t => (-t._3, t._2)), s"probe $p")
+    }
+  }
+
   test("multi-probe recall dominates single-probe and clears the floor") {
     import spark.implicits._
     val vs = vectors
