@@ -83,6 +83,88 @@ object GridStreams {
     ()
   }
 
+  /** [[appendSink]] for a REAL Zarr tree (v2 or v3 — appendFromRows
+    * dispatches by layout): the streaming head of a cloud archive.
+    * Needs no template — the slab schema derives from the store itself
+    * per batch. Inherits everything the batch append has: unaligned
+    * batches read-modify-write the edge chunk (no whole-chunk batch
+    * rule, unlike the binary sink), the commit protocol is
+    * scheme-aware (renames on HDFS/local, atomic whole-object PUTs on
+    * S3A-style stores), per-variable stats merge touches only the
+    * growing variables' files, and replayed `along` values are dropped
+    * before appending (effectively-once, same as [[appendSink]]).
+    */
+  def appendSinkZarr(rows: DataFrame, root: String,
+      along: String): DataStreamWriter[Row] =
+    rows.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) => appendBatchZarr(batch, root, along)
+    }
+
+  /** One zarr micro-batch: drop already-present `along` values, build
+    * the slab schema from the store's own (non-along dims verbatim,
+    * vars verbatim, `along` = the batch's new coordinates ascending),
+    * and run the distributed unaligned append.
+    */
+  def appendBatchZarr(batch: DataFrame, root: String,
+      along: String): Unit = {
+    if (batch.isEmpty) return
+    val existing = ZarrGridStore.open(root)
+    val exDim = existing.schema.dim(along)
+    val have = coordValues(exDim.coords).toSet
+    val alongVals: IndexedSeq[Any] =
+      batch.select(along).distinct().orderBy(along).collect()
+        .map(_.get(0)).toIndexedSeq.filterNot(have)
+    if (alongVals.isEmpty) return
+    val fresh = batch.filter(batch.col(along).isin(alongVals: _*))
+    // complete slabs only — a NaN-filled missing cell arriving in a
+    // later batch would be dropped as a replay (same rule and reason
+    // as the binary sink)
+    val cellsPerStep = existing.schema.dims.filterNot(_.name == along)
+      .map(_.size.toLong).product
+    val expect = alongVals.size * cellsPerStep
+    val got = fresh.count()
+    require(got == expect,
+      s"micro-batch covers $got of $expect cells for its $along steps; " +
+        "slabs must arrive complete within one batch")
+    val slabDims = existing.schema.dims.map { d =>
+      if (d.name != along) d
+      else DimDef(along, internalCoords(d.coords, alongVals),
+        d.calendar, d.units, d.attrs)
+    }
+    ZarrGridStore.appendFromRows(fresh,
+      GridSchema(slabDims, existing.schema.vars, existing.schema.attrs),
+      root, along)
+    ()
+  }
+
+  /** External (Row) coordinate values -> a CoordArray of the same kind
+    * as `template` (the inverse of [[LazyGridView.externalCoord]] for
+    * the axis types a streaming append can grow).
+    */
+  private def internalCoords(template: CoordArray,
+      vals: IndexedSeq[Any]): CoordArray = template match {
+    case _: IntCoords => IntCoords(vals.map {
+      case i: Int => i
+      case l: Long => l.toInt
+    }.toArray)
+    case _: LongCoords => LongCoords(vals.map {
+      case l: Long => l
+      case i: Int => i.toLong
+    }.toArray)
+    case _: DoubleCoords =>
+      DoubleCoords(vals.map(_.asInstanceOf[Double]).toArray)
+    case _: TimeCoords => TimeCoords(vals.map {
+      case t: java.sql.Timestamp =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(t)
+      case i: java.time.Instant =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+    }.toArray)
+    case other => throw new IllegalArgumentException(
+      s"streaming zarr append cannot grow a " +
+        s"${other.getClass.getSimpleName} axis")
+  }
+
   /** Tail a growing store as a STREAM — the read side of the archive's
     * streaming story (the write side is [[appendSink]]): Spark's
     * binaryFile streaming source watches `<root>/<varName>` — its

@@ -100,6 +100,64 @@ class GridStreamsSpec extends SparkTestBase {
     assert(BinaryGridStore.open(root).schema.dim("t").size == 24) // intact
   }
 
+  test("zarr streaming append: unaligned batches, replay-safe, on s3a") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the mock object store: the streaming sink's commits must take
+    // the atomic-PUT protocol end to end (zero renames)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[MockS3FileSystem].getName)
+    MockS3FileSystem.reset()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-szarr")
+      dir.toFile.deleteOnExit()
+      val root = "s3a:" + dir.toString + "/store"
+      def cdf(cells: Seq[Cell]) =
+        cells.map(c => (c.t, c.lat, c.lon, c.air))
+          .toDF("t", "lat", "lon", "air")
+      ZarrGridStore.writeFromRows(
+        cdf(slab(0, 7)), Fixtures.linearGridSlice(0, 7).schema,
+        Map("t" -> 6), root, "zstd:3")
+      MockS3FileSystem.reset() // count the streamed appends only
+
+      val input = MemoryStream[Cell]
+      val q = GridStreams.appendSinkZarr(input.toDF(), root, "t").start()
+      // UNALIGNED batches (7 -> 13 -> 24 with chunk 6): each append
+      // read-modify-writes the edge chunk — no whole-chunk batch rule
+      input.addData(slab(7, 13): _*)
+      q.processAllAvailable()
+      input.addData(slab(13, 24): _*)
+      q.processAllAvailable()
+      q.stop()
+      assert(MockS3FileSystem.renameCalls.get() == 0,
+        "streaming zarr append renamed on an object store")
+
+      val store = ZarrGridStore.open(root)
+      assert(store.schema.dim("t").size == 24)
+      val law = Fixtures.linearGrid.laws("air")
+      val rows = new XarrayContext(spark)
+        .scratchDataFrame("szarr", store, store.chunkMap,
+          Seq("t", "lat", "lon"))
+        .filter(col("t") >= 5).collect()
+      assert(rows.length == 19 * 12 * 10)
+      rows.foreach { r =>
+        val t = r.getInt(0)
+        val i = ((75.0 - r.getDouble(1)) / 2.5).round.toInt
+        val j = ((r.getDouble(2) - 200.0) / 2.5).round.toInt
+        assert(r.getDouble(3) == law(Array(t, i, j)), s"cell ($t,$i,$j)")
+      }
+      // replay: an already-appended slab is a no-op
+      GridStreams.appendBatchZarr(cdf(slab(13, 24)), root, "t")
+      assert(ZarrGridStore.open(root).schema.dim("t").size == 24)
+      // incomplete slabs still fail fast
+      val part = intercept[IllegalArgumentException] {
+        GridStreams.appendBatchZarr(cdf(slab(24, 26)).limit(100),
+          root, "t")
+      }
+      assert(part.getMessage.contains("cells"))
+    } finally MockS3FileSystem.reset()
+  }
+
   test("tailCells: timestamp/duration variables surface as external types") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-tail-ts").toString + "/store"
