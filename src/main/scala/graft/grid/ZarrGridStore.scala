@@ -2279,6 +2279,7 @@ object ZarrGridStore {
     val exDim = existing.schema.dim(along)
     val slabDim = slabSchema.dim(along)
     require(slabDim.size > 0, s"empty slab on $along")
+    rejectOverlappingSlab(exDim, slabDim, along)
     existing.arrays.values.foreach { a =>
       require(a.keyPrefix.isEmpty && a.dimSep == ".",
         s"appendFromRows supports this writer's layouts only " +
@@ -2546,6 +2547,23 @@ object ZarrGridStore {
           "was aborted and the store is untouched — retry against the " +
           "new extent")
     }
+  }
+
+  /** Appending a slab whose `along` coordinates overlap the store
+    * would silently DUPLICATE axis labels (the coordinate array just
+    * concatenates) and double-count those steps in every later scan —
+    * the binary store's validateAppend rejects this; both zarr append
+    * faces call this to do the same. Compares internal values, so no
+    * external-box mismatch can slip an overlap through.
+    */
+  private[grid] def rejectOverlappingSlab(exDim: DimDef, slabDim: DimDef,
+      along: String): Unit = {
+    val have = coordValues(exDim.coords).toSet
+    val dup = coordValues(slabDim.coords).filter(have)
+    require(dup.isEmpty,
+      s"slab $along coordinates overlap the store " +
+        s"(${dup.take(3).mkString(", ")}${if (dup.size > 3) ", ..." else ""})" +
+        " — duplicate axis labels would double-count those steps")
   }
 
   private[grid] def coordValues(c: CoordArray): Seq[Any] = c match {

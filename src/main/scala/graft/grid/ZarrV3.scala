@@ -527,6 +527,7 @@ object ZarrV3 {
     val exDim = existing.schema.dim(along)
     val slabDim = slabSchema.dim(along)
     require(slabDim.size > 0, s"empty slab on $along")
+    ZarrGridStore.rejectOverlappingSlab(exDim, slabDim, along)
     slabSchema.dims.filterNot(_.name == along).foreach { d =>
       val ex = existing.schema.dim(d.name)
       require(ZarrGridStore.coordValues(ex.coords) ==

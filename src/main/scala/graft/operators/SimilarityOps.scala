@@ -353,13 +353,21 @@ object SimilarityOps {
   def annIvfMultiProbeBatch(vecs: DataFrame, idCol: String,
       vecCol: String, nCentroids: Int, probeIds: Seq[Long], k: Int,
       nprobe: Int): DataFrame = {
-    require(nprobe >= 1 && probeIds.nonEmpty, s"nprobe=$nprobe")
+    require(nprobe >= 1, s"nprobe=$nprobe")
+    require(probeIds.nonEmpty, "empty probeIds")
     val dot = GraftFunctions.dot_f64 _
     val assigned = ivfAssign(vecs, idCol, vecCol, nCentroids)
     val e = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cents = e.filter(col("id") < nCentroids)
       .select(col("id").as("cid"), col("v").as("cv"))
-    val probes = e.filter(col("id").isin(probeIds: _*))
+    // probe selection as a broadcast equi-join, NOT isin: a literal
+    // In list is one expression per probe — fine at 3, pathological at
+    // the 10^6-probe workload this operator exists for
+    val pidDf = {
+      import vecs.sparkSession.implicits._
+      probeIds.toDF("id")
+    }
+    val probes = e.join(broadcast(pidDf), "id")
       .select(col("id").as("pid"), col("v").as("pv"),
         sqrt(dot(col("v"), col("v"))).as("pn"))
     val cellScores = probes.crossJoin(broadcast(cents))

@@ -68,11 +68,8 @@ object GridStreams {
     // silent permanent data loss. Count instead and fail fast.
     val cellsPerStep = dims.filterNot(_ == along)
       .map(d => template.dim(d).size.toLong).product
-    val expect = alongVals.size * cellsPerStep
-    val got = fresh.count()
-    require(got == expect,
-      s"micro-batch covers $got of $expect cells for its $along steps; " +
-        "slabs must arrive complete within one batch")
+    requireCompleteSlab(fresh.count(), alongVals.size * cellsPerStep,
+      along)
     val coords: Map[String, IndexedSeq[Any]] = dims.map { d =>
       d -> (if (d == along) alongVals
       else coordValues(template.dim(d).coords))
@@ -110,10 +107,16 @@ object GridStreams {
     if (batch.isEmpty) return
     val existing = ZarrGridStore.open(root)
     val exDim = existing.schema.dim(along)
-    val have = coordValues(exDim.coords).toSet
+    // replay detection compares in INTERNAL coordinate space: external
+    // boxes vary with session config (java8API serves Instant where
+    // the store's externalCoord view yields Timestamp, and
+    // Timestamp.equals(Instant) is always false) — a missed equality
+    // here would re-append a replayed slab. Micros compare to micros.
+    val haveInternal = internalSet(exDim.coords)
     val alongVals: IndexedSeq[Any] =
       batch.select(along).distinct().orderBy(along).collect()
-        .map(_.get(0)).toIndexedSeq.filterNot(have)
+        .map(_.get(0)).toIndexedSeq
+        .filterNot(v => haveInternal(internalValue(exDim.coords, along, v)))
     if (alongVals.isEmpty) return
     val fresh = batch.filter(batch.col(along).isin(alongVals: _*))
     // complete slabs only — a NaN-filled missing cell arriving in a
@@ -121,11 +124,8 @@ object GridStreams {
     // as the binary sink)
     val cellsPerStep = existing.schema.dims.filterNot(_.name == along)
       .map(_.size.toLong).product
-    val expect = alongVals.size * cellsPerStep
-    val got = fresh.count()
-    require(got == expect,
-      s"micro-batch covers $got of $expect cells for its $along steps; " +
-        "slabs must arrive complete within one batch")
+    requireCompleteSlab(fresh.count(), alongVals.size * cellsPerStep,
+      along)
     val slabDims = existing.schema.dims.map { d =>
       if (d.name != along) d
       else DimDef(along, internalCoords(d.coords, alongVals),
@@ -137,29 +137,82 @@ object GridStreams {
     ()
   }
 
+  /** Shared slab-completeness rule of both append faces: a NaN-filled
+    * missing cell arriving in a LATER batch would be dropped as a
+    * replay — silent permanent data loss — so incomplete slabs fail
+    * the batch loudly instead.
+    */
+  private def requireCompleteSlab(got: Long, expect: Long,
+      along: String): Unit =
+    require(got == expect,
+      s"micro-batch covers $got of $expect cells for its $along steps; " +
+        "slabs must arrive complete within one batch")
+
+  /** Internal (stored) values of a growable coordinate axis, as a
+    * membership test.
+    */
+  private def internalSet(c: CoordArray): Any => Boolean = c match {
+    case IntCoords(v) => v.toSet.asInstanceOf[Set[Any]]
+    case LongCoords(v) => v.toSet.asInstanceOf[Set[Any]]
+    case DoubleCoords(v) => v.toSet.asInstanceOf[Set[Any]]
+    case TimeCoords(v) => v.toSet.asInstanceOf[Set[Any]]
+    case other => throw new IllegalArgumentException(
+      s"streaming zarr append cannot grow a " +
+        s"${other.getClass.getSimpleName} axis")
+  }
+
+  /** One external (Row) coordinate value -> the axis' internal
+    * representation; loud (with the axis name and the offending box)
+    * on nulls and unexpected types instead of a bare MatchError.
+    */
+  private def internalValue(template: CoordArray, axis: String,
+      v: Any): Any = {
+    def bad(): Nothing = throw new IllegalArgumentException(
+      s"streaming zarr append: $axis value " +
+        s"${if (v == null) "NULL" else s"$v (${v.getClass.getName})"} " +
+        s"does not fit a ${template.getClass.getSimpleName} axis")
+    template match {
+      case _: IntCoords => v match {
+        case i: Int => i
+        case l: Long if l.isValidInt => l.toInt
+        case _ => bad()
+      }
+      case _: LongCoords => v match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case _ => bad()
+      }
+      case _: DoubleCoords => v match {
+        case d: Double => d
+        case _ => bad()
+      }
+      case _: TimeCoords => v match {
+        case t: java.sql.Timestamp =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaTimestamp(t)
+        case i: java.time.Instant =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .instantToMicros(i)
+        case _ => bad()
+      }
+      case _ => bad()
+    }
+  }
+
   /** External (Row) coordinate values -> a CoordArray of the same kind
     * as `template` (the inverse of [[LazyGridView.externalCoord]] for
     * the axis types a streaming append can grow).
     */
   private def internalCoords(template: CoordArray,
       vals: IndexedSeq[Any]): CoordArray = template match {
-    case _: IntCoords => IntCoords(vals.map {
-      case i: Int => i
-      case l: Long => l.toInt
-    }.toArray)
-    case _: LongCoords => LongCoords(vals.map {
-      case l: Long => l
-      case i: Int => i.toLong
-    }.toArray)
-    case _: DoubleCoords =>
-      DoubleCoords(vals.map(_.asInstanceOf[Double]).toArray)
-    case _: TimeCoords => TimeCoords(vals.map {
-      case t: java.sql.Timestamp =>
-        org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .fromJavaTimestamp(t)
-      case i: java.time.Instant =>
-        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
-    }.toArray)
+    case _: IntCoords => IntCoords(vals.map(
+      internalValue(template, "along", _).asInstanceOf[Int]).toArray)
+    case _: LongCoords => LongCoords(vals.map(
+      internalValue(template, "along", _).asInstanceOf[Long]).toArray)
+    case _: DoubleCoords => DoubleCoords(vals.map(
+      internalValue(template, "along", _).asInstanceOf[Double]).toArray)
+    case _: TimeCoords => TimeCoords(vals.map(
+      internalValue(template, "along", _).asInstanceOf[Long]).toArray)
     case other => throw new IllegalArgumentException(
       s"streaming zarr append cannot grow a " +
         s"${other.getClass.getSimpleName} axis")
