@@ -19,7 +19,12 @@ class ConcurrentEvalSpec extends SparkTestBase {
     "pivot_grid_append", "ann_ivf_bucketed",
     // round-6 store-lifecycle queries: rechunk writes a second store
     // from a scratch scan; concat registers two scratch member scans
-    "pivot_grid_rechunk", "pivot_grid_concat")) {
+    "pivot_grid_rechunk", "pivot_grid_concat",
+    // round-11 STAGED fixtures: two concurrent FIRST evaluations must
+    // serialize the build (QueryTmp.staged) and share one committed
+    // store — plus the group query goes through the zarr provider's
+    // path-keyed cache concurrently
+    "pivot_grid_group", "pivot_grid_zarr")) {
     test(s"$q: two concurrent evaluations do not race their scratch store") {
       val runs = (1 to 2).map(_ => Future {
         SparkEntry.queries(q)(spark, sf).collect().length
