@@ -50,6 +50,30 @@ object ScaleSmoke {
       System.err.println(s"[scale] built $docs1")
     }
 
+    // embeddings at sf1: replicas flip each coordinate's SIGN by a
+    // deterministic per-replica pattern — norms and intra-replica
+    // cosines are preserved exactly (the dup/cluster structure scales
+    // with the corpus) while cross-replica cosines decorrelate, so no
+    // artificial near-dup blowup (the embedding analogue of the
+    // word-suffix trick above)
+    val emb1 = s"$sf1Dir/embeddings.parquet"
+    if (!new java.io.File(emb1).exists()) {
+      val e = spark.read.parquet(s"$base/embeddings.parquet")
+      val n = e.agg(max("vec_id")).collect().head.getLong(0) + 1
+      val replicas = (0 until 10).map { k =>
+        if (k == 0) e
+        else e.select(
+          (col("vec_id") + lit(k * n)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when((i * 31 + lit(k)) % 2 === 0, x).otherwise(-x))
+            .as("embedding"),
+          col("label"))
+      }
+      replicas.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(emb1)
+      System.err.println(s"[scale] built $emb1")
+    }
+
     val heavy = Seq("ngram_dup_spans", "bm25_topk", "simhash_pairs",
       "dedup_incremental_bloom", "token_encode",
       // round-10 continuation additions: one BPE merge iteration
@@ -62,7 +86,12 @@ object ScaleSmoke {
       // round-11 new operators: coverage-cutoff vocab sizing (vocab-
       // bounded window), DSIR importance weights (64-bucket broadcast),
       // per-doc near-dup neighbors (banded candidates + GroupedTopK)
-      "vocab_coverage", "dsir_weights", "neardup_topk")
+      "vocab_coverage", "dsir_weights", "neardup_topk",
+      // embedding operators over the sign-flipped sf1 table: IVF
+      // probes touch ~1/nCentroids of a 10x corpus; batch multi-probe
+      // shares one pipeline across probes; k-means pays 10x map-side
+      // per Lloyd iteration
+      "ann_ivf", "ann_ivf_multiprobe", "ann_ivf_batch", "kmeans_embed")
     // one warm pass at sf0.1 amortizes codegen/JIT out of the ratio
     heavy.foreach(n => graft.SparkEntry.queries(n)(spark, base).count())
     def time(name: String, dir: String): (Double, Long) = {
