@@ -79,9 +79,21 @@ object StatsSource {
   /** Format v2: per-variable files loaded on first touch. The cache is
     * transient — a store shipped to executors re-reads lazily there
     * (executors only readVar today, so in practice nothing loads).
+    *
+    * `manifestKey` is the manifest's (length, mtime) captured at OPEN:
+    * every append rewrites the manifest last, so a per-var load whose
+    * manifest has since changed belongs to a NEWER tree state than this
+    * handle's extent — v1's eager open-time parse could never serve
+    * post-append stats against a pre-append extent (e.g. a merged
+    * edge-chunk SUM covering rows the handle doesn't scan), and the
+    * lazy form must not either. A changed (or vanished) manifest
+    * degrades that load to "no stats" with a warning: one extra HEAD
+    * per first-touched variable, zero for the common single-process
+    * case where nothing moved.
     */
   final class LazyPerVar(root: String, vars: Set[String],
-      hconf: SerializableHadoopConf) extends StatsSource {
+      hconf: SerializableHadoopConf,
+      manifestKey: Option[(Long, Long)]) extends StatsSource {
     @transient private lazy val cache =
       scala.collection.concurrent.TrieMap
         .empty[String, (Map[String, (Any, Any)], Map[String, Double])]
@@ -90,13 +102,21 @@ object StatsSource {
         : (Map[String, (Any, Any)], Map[String, Double]) =
       cache.getOrElseUpdate(v, {
         val p = s"$root/$v/${ZarrGridStore.StatsSidecar}"
+        val manifest = s"$root/${ZarrGridStore.StatsSidecar}"
         try {
-          val node = ZarrGridStore.parseJson(
-            GridIO.readAllBytes(p, hconf.value))
-          if (node.path("version").asInt(0) != 2) {
-            warn(s"$p: unsupported per-var stats version — ignoring")
+          val nowKey = GridIO.statusOf(manifest, hconf.value)
+          if (nowKey != manifestKey) {
+            warn(s"$p: stats manifest changed since this handle opened " +
+              "(concurrent append?) — serving no stats for this variable")
             (Map.empty, Map.empty)
-          } else parseVarStats(v, node)
+          } else {
+            val node = ZarrGridStore.parseJson(
+              GridIO.readAllBytes(p, hconf.value))
+            if (node.path("version").asInt(0) != 2) {
+              warn(s"$p: unsupported per-var stats version — ignoring")
+              (Map.empty, Map.empty)
+            } else parseVarStats(v, node)
+          }
         } catch {
           case _: java.io.FileNotFoundException =>
             // manifest listed it but the file is gone (e.g. hand-pruned

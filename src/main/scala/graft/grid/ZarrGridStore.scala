@@ -613,13 +613,17 @@ object ZarrGridStore {
 
   /** Full-tree stats write (one-shot writers): per-var files for every
     * variable with entries, stale files dropped for those without,
-    * manifest last.
+    * manifest last. Entries group by variable ONCE — handing the full
+    * list to every per-var write would rescan E entries V times, a
+    * real driver cost at the 10⁸-entry scale format v2 targets.
     */
   private[grid] def writeStatsSidecar(root: String, schema: GridSchema,
       entries: Seq[(String, Option[(Any, Any)], Option[Double])],
       conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val byVar = entries.groupBy(_._1.split(" ", 2)(0))
     val withFiles = schema.vars.filter(v =>
-      writeVarStats(root, v, entries, conf)).map(_.name)
+      writeVarStats(root, v, byVar.getOrElse(v.name, Seq.empty), conf))
+      .map(_.name)
     writeStatsManifest(root, withFiles, conf)
   }
 
@@ -654,7 +658,10 @@ object ZarrGridStore {
             case 2 =>
               val vars = node.path("vars").elements().asScala
                 .map(_.asText()).toSet
-              new StatsSource.LazyPerVar(root, vars, hconf)
+              // open-time version key: per-var loads verify the
+              // manifest is still THIS one (see LazyPerVar scaladoc)
+              new StatsSource.LazyPerVar(root, vars, hconf,
+                GridIO.statusOf(p, conf))
             case v =>
               statsWarn(s"$p: unsupported stats sidecar version $v — " +
                 "ignoring (no pruning bounds served)")
@@ -2356,11 +2363,14 @@ object ZarrGridStore {
     checkNoConcurrentAppend(cleanRoot, staging,
       s"$cleanRoot/$along/.zarray", versionKey, conf)
     // stats sidecar: the open's StatsSource already indexes the
-    // pre-append stats; DELETE the manifest before any chunk moves — a
-    // crash mid-commit leaves no manifest (per-var files unreachable,
-    // no stats, sound) instead of stale bounds for the replaced edge
-    // chunk
+    // pre-append stats; force-load the GROWING variables' entries NOW
+    // (the lazy source verifies the manifest version on first load,
+    // and the manifest is about to be deleted), then DELETE the
+    // manifest before any chunk moves — a crash mid-commit leaves no
+    // manifest (per-var files unreachable, no stats, sound) instead of
+    // stale bounds for the replaced edge chunk
     val oldSource = existing.statsSource
+    growing.foreach(v => oldSource.entriesFor(v.name))
     GridIO.delete(s"$cleanRoot/$StatsSidecar", conf)
     // staged chunks already carry store-global keys; the shared commit
     // protocol (manifest + replaceWithBackup) makes the move crash-

@@ -608,9 +608,12 @@ object ZarrV3 {
     ZarrGridStore.checkNoConcurrentAppend(cleanRoot, staging,
       s"$cleanRoot/$along/zarr.json", versionKey, conf)
     // stats sidecar: the open's StatsSource indexes the pre-append
-    // stats; delete the MANIFEST before chunk moves (crash mid-commit
-    // -> no manifest -> no stats, never stale bounds)
+    // stats; force-load the growing variables' entries before the
+    // manifest goes away (the lazy source version-checks on first
+    // load), then delete the MANIFEST before chunk moves (crash
+    // mid-commit -> no manifest -> no stats, never stale bounds)
     val oldSource = existing.statsSource
+    growing.foreach(v => oldSource.entriesFor(v.name))
     GridIO.delete(s"$cleanRoot/${ZarrGridStore.StatsSidecar}", conf)
     // staged flat keys (already store-global) -> nested `c/` keys via
     // the shared crash-healable, retry-idempotent commit protocol

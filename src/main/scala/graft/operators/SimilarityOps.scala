@@ -466,22 +466,20 @@ object SimilarityOps {
     */
   def annIvfFromIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, probeId: Long, k: Int): DataFrame =
-    annIvfFromIndexMultiProbe(spark, dir, probeId, k, nprobe = 1,
-      nCentroids = 0)
+    annIvfFromIndexMultiProbe(spark, dir, probeId, k, nprobe = 1)
 
   /** Multi-probe over the bucketed materialization — the production
     * repeated-query form of [[annIvfMultiProbe]]: the probe's `nprobe`
-    * nearest cells are computed DRIVER-SIDE against the codebook (the
-    * first `nCentroids` index rows for nprobe>1; for nprobe=1 the
-    * probe row's own stored bucket is reused and no codebook read
-    * happens), and the scan filter is `bucket IN (<cells>)` — still
-    * directory-level partition pruning, now over nprobe directories.
-    * Cell scoring matches [[ivfAssign]] (dot(pv,c)/|c|, ties to the
-    * lowest cid), so results equal the one-shot multi-probe exactly.
+    * nearest cells are computed DRIVER-SIDE against the index's own
+    * `_codebook` sidecar (for nprobe=1 the probe row's stored bucket
+    * is reused and no codebook read happens), and the scan filter is
+    * `bucket IN (<cells>)` — still directory-level partition pruning,
+    * now over nprobe directories. Cell scoring matches [[ivfAssign]]
+    * (dot(pv,c)/|c|, ties to the lowest cid), so results equal the
+    * one-shot multi-probe exactly.
     */
   def annIvfFromIndexMultiProbe(spark: org.apache.spark.sql.SparkSession,
-      dir: String, probeId: Long, k: Int, nprobe: Int,
-      nCentroids: Int): DataFrame = {
+      dir: String, probeId: Long, k: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe=$nprobe")
     val dot = GraftFunctions.dot_f64 _
     val stored = spark.read.parquet(dir)
@@ -495,12 +493,18 @@ object SimilarityOps {
         // codebook: metadata-sized driver read of the index's
         // `_codebook` sidecar; sequential fold order matches the
         // executor fold, so cell ranking equals ivfAssign's
-        require(nCentroids >= nprobe, s"nCentroids=$nCentroids < $nprobe")
         def d(a: Array[Double], b: Array[Double]) =
           a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
-        val cents = spark.read.parquet(s"$dir/_codebook")
-          .select(col("id"), col("v")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val cents =
+          try spark.read.parquet(s"$dir/_codebook")
+            .select(col("id"), col("v")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"$dir has no _codebook sidecar — the index predates " +
+                "multi-probe support; rebuild it with buildIvfIndex",
+              e)
+          }
         require(cents.length >= nprobe,
           s"codebook has ${cents.length} centroids < nprobe=$nprobe")
         cents.map { case (cid, cv) =>

@@ -486,8 +486,7 @@ object PipelineQueries {
         graft.operators.SimilarityOps.buildIvfIndex(e, "vec_id", "v", 8, p)
       }
       graft.operators.SimilarityOps
-        .annIvfFromIndexMultiProbe(s, dir, 8L, 10, nprobe = 3,
-          nCentroids = 8)
+        .annIvfFromIndexMultiProbe(s, dir, 8L, 10, nprobe = 3)
         .select(col("id").as("vec_id"), col("cosine"))
     }),
 

@@ -139,18 +139,29 @@ object CfCalendar {
     val microsPerDay = 86400000000L
     // a reference time-of-day shifts the integer offset grid: offset =
     // (date - refDate) in steps MINUS the ref's intra-day steps. Exact
-    // only when the time-of-day is a whole number of steps ("12:00:00"
-    // under hours; never under days) — otherwise no integer offset
-    // denotes the date and we fail loudly rather than round silently.
+    // when the time-of-day is a whole number of steps ("12:00:00"
+    // under hours); otherwise — "days since ... 12:00:00", where NO
+    // integer offset denotes midnight — round to the NEAREST step
+    // (ties toward the requested date), which reproduces the legacy
+    // behavior of ignoring the reference time and is off by at most
+    // half a step on boundary instants. Warn so the half-step
+    // semantics are visible; cftime.date2num returns fractions here,
+    // which an int64 offset column cannot carry.
     val refSteps =
       if (u.refMicros == 0L) 0L
       else if (spd >= microsPerDay) u.refMicros * (spd / microsPerDay)
       else {
         val microsPerStep = microsPerDay / spd
-        require(u.refMicros % microsPerStep == 0,
-          s"reference time-of-day in '$units' is not a whole number of " +
-            s"${u.step}; this date has no integer offset")
-        u.refMicros / microsPerStep
+        val q = u.refMicros / microsPerStep
+        val r = u.refMicros % microsPerStep
+        if (r != 0L)
+          org.slf4j.LoggerFactory.getLogger(CfCalendar.getClass).warn(
+            s"cftime('$dateStr') on '$units': the reference " +
+              "time-of-day is not a whole number of steps; rounding to " +
+              "the nearest offset (boundary rows within half a step of " +
+              "the date may shift)")
+        // round(base - q - r/mps): half-up keeps ties on the date
+        q + (if (r * 2 > microsPerStep) 1L else 0L)
       }
     Math.subtractExact(Math.multiplyExact(days, spd), refSteps)
   }

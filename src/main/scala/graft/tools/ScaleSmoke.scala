@@ -64,8 +64,12 @@ object ScaleSmoke {
         if (k == 0) e
         else e.select(
           (col("vec_id") + lit(k * n)).as("vec_id"),
+          // per-replica sign pattern with an ODD multiplier mod 16:
+          // distinct for every k in 1..9 ((i*31+k)%2 would collapse to
+          // parity of k and make half the replicas byte-identical)
           transform(col("embedding"), (x, i) =>
-            when((i * 31 + lit(k)) % 2 === 0, x).otherwise(-x))
+            when((i * lit(2 * k + 1) + lit(5 * k)) % 16 < 8, x)
+              .otherwise(-x))
             .as("embedding"),
           col("label"))
       }

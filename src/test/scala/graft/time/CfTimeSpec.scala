@@ -108,9 +108,17 @@ class CfTimeSpec extends SparkTestBase {
     // encode (cftime()): exact when the time-of-day is whole steps...
     assert(CfCalendar.dateToOffset("2000-01-02",
       "hours since 2000-01-01 12:00:00", "standard") == 12L)
-    // ...loud when it is not (midnight is half a day off the offset grid)
-    intercept[IllegalArgumentException](CfCalendar.dateToOffset("2000-01-02",
-      "days since 2000-01-01 12:00:00", "standard"))
+    // ...nearest-step (ties toward the date) when it is not: midnight
+    // is half a day off a noon-referenced day grid, and the rounded
+    // offset matches what filters always computed when the reference
+    // time was ignored (warned, documented half-step boundary)
+    assert(CfCalendar.dateToOffset("2000-01-02",
+      "days since 2000-01-01 12:00:00", "standard") == 1L)
+    // a reference 18:00 is PAST the half step: the nearest offset is
+    // one lower (2000-01-02T18:00 ref grid: offset 0 = Jan 1 18:00,
+    // offset 1 = Jan 2 18:00; midnight Jan 2 is nearer offset 0)
+    assert(CfCalendar.dateToOffset("2000-01-02",
+      "days since 2000-01-01 18:00:00", "standard") == 0L)
   }
 
   test("gregorian micros epoch sanity") {
