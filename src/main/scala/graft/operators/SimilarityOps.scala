@@ -261,12 +261,21 @@ object SimilarityOps {
     */
   def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int): DataFrame = {
-    val dot = GraftFunctions.dot_f64 _
     val e = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cents = e.filter(col("id") < nCentroids)
-      .select(col("id").as("cid"), col("v").as("cv"))
-    e.filter(col("id") >= nCentroids)
-      .crossJoin(broadcast(cents))
+    assignToCodebook(e.filter(col("id") >= nCentroids),
+      e.filter(col("id") < nCentroids)
+        .select(col("id").as("cid"), col("v").as("cv")))
+  }
+
+  /** Coarse-quantize (id, v) rows against an explicit (cid, cv)
+    * codebook: broadcast codebook, map-side argmax over
+    * dot(v,c)/|c| with ties to the lowest cid — the one scoring rule
+    * every IVF path in this file shares, so assignments computed at
+    * build time, append time, and probe time always agree.
+    */
+  private def assignToCodebook(e: DataFrame, cents: DataFrame): DataFrame = {
+    val dot = GraftFunctions.dot_f64 _
+    e.crossJoin(broadcast(cents))
       .select(col("id"), col("v"), col("cid"),
         (dot(col("v"), col("cv")) / sqrt(dot(col("cv"), col("cv"))))
           .as("score"))
@@ -449,14 +458,58 @@ object SimilarityOps {
     */
   def buildIvfIndex(vecs: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, dir: String): Unit = {
-    ivfAssign(vecs, idCol, vecCol, nCentroids)
+    val assigned = ivfAssign(vecs, idCol, vecCol, nCentroids)
       .withColumn("bucket", col("bucket").cast("int"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      .localCheckpoint() // two consumers: data + _ids sidecar
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(dir)
     // the codebook rides along under an underscore dir (invisible to
     // parquet readers of `dir`): multi-probe needs it to rank cells
     vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("id") < nCentroids)
       .write.mode("overwrite").parquet(s"$dir/_codebook")
+    writeIdsSidecar(assigned, dir, overwrite = true)
+  }
+
+  /** The id→bucket lookup sidecar: (id, bucket) range-partitioned and
+    * sorted by id, so every parquet file/row-group carries tight
+    * min/max id stats BY CONSTRUCTION (not layout luck) and a probe's
+    * `id = ?` lookup is footer-metadata plus one row group — a
+    * metadata-sized read no matter the index size. Appends add files
+    * covering only the new batch's id range; per-file pruning is
+    * unaffected by how many appends landed.
+    */
+  private def writeIdsSidecar(assigned: DataFrame, dir: String,
+      overwrite: Boolean): Unit =
+    assigned.select(col("id"), col("bucket"))
+      .repartitionByRange(col("id")).sortWithinPartitions(col("id"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(s"$dir/_ids")
+
+  /** INCREMENTAL index append — the daily-ingest shape
+    * (dedup_incremental's ANN counterpart): quantize ONLY the new
+    * batch against the index's own immutable `_codebook`, append the
+    * labelled rows into the bucket directories, extend the `_ids`
+    * sidecar. Untouched bucket files are never read or rewritten
+    * (parquet append adds files), so the cost is O(new batch), not
+    * O(index). Because the scoring rule is [[assignToCodebook]] —
+    * identical to build-time assignment — the appended index is
+    * row-for-row the index a full rebuild over the unioned corpus
+    * would produce, and every probe answers identically (pinned in
+    * AnnIndexSpec). New ids are the caller's contract: re-appending an
+    * id does not replace the old row (dedup upstream, as with
+    * dedup_incremental).
+    */
+  def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = spark.read.parquet(s"$dir/_codebook")
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val assigned = assignToCodebook(
+      newVecs.select(col(idCol).as("id"), col(vecCol).as("v")), cents)
+      .withColumn("bucket", col("bucket").cast("int"))
+      .localCheckpoint() // two consumers: data + _ids sidecar
+    assigned.write.mode("append").partitionBy("bucket").parquet(dir)
+    writeIdsSidecar(assigned, dir, overwrite = false)
   }
 
   /** Probe a [[buildIvfIndex]] materialization: the probe row is a
@@ -481,38 +534,96 @@ object SimilarityOps {
   def annIvfFromIndexMultiProbe(spark: org.apache.spark.sql.SparkSession,
       dir: String, probeId: Long, k: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe=$nprobe")
-    val dot = GraftFunctions.dot_f64 _
     val stored = spark.read.parquet(dir)
-    val probe = stored.filter(col("id") === probeId)
-      .select(col("bucket"), col("v")).collect()(0)
+    // probe row: through the `_ids` sidecar when the index carries one
+    // (a metadata-sized id lookup, then ONE partition-pruned bucket
+    // directory read for the vector); pre-sidecar indexes fall back to
+    // the old index-wide id filter. The old path's footprint was the
+    // whole index's footers+row-groups at 10⁹ rows — the sidecar makes
+    // a probe O(row group), not O(index).
+    val probe = probeBucketLookup(spark, dir, probeId) match {
+      case Some(b) =>
+        stored.filter(col("bucket") === b && col("id") === probeId)
+          .select(col("bucket"), col("v")).collect()(0)
+      case None =>
+        stored.filter(col("id") === probeId)
+          .select(col("bucket"), col("v")).collect()(0)
+    }
     val pv = probe.getSeq[Double](1).toArray
     val pn = math.sqrt(pv.map(x => x * x).sum)
     val cells: Seq[Int] =
       if (nprobe == 1) Seq(probe.getInt(0))
-      else {
-        // codebook: metadata-sized driver read of the index's
-        // `_codebook` sidecar; sequential fold order matches the
-        // executor fold, so cell ranking equals ivfAssign's
-        def d(a: Array[Double], b: Array[Double]) =
-          a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
-        val cents =
-          try spark.read.parquet(s"$dir/_codebook")
-            .select(col("id"), col("v")).collect()
-            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-          catch { case e: org.apache.spark.sql.AnalysisException =>
-            throw new IllegalArgumentException(
-              s"$dir has no _codebook sidecar — the index predates " +
-                "multi-probe support; rebuild it with buildIvfIndex",
-              e)
-          }
-        require(cents.length >= nprobe,
-          s"codebook has ${cents.length} centroids < nprobe=$nprobe")
-        cents.map { case (cid, cv) =>
-          (cid, d(cv, pv) / math.sqrt(d(cv, cv)))
-        }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe)
-          .map(_._1.toInt).toSeq
+      else codebookCells(spark, dir, pv, nprobe)
+    scoreCells(stored, cells, pv, pn, k, excludeId = Some(probeId))
+  }
+
+  /** Probe the bucketed index with an EXPLICIT query vector — the
+    * retrieval shape (the query embedded at request time, not a stored
+    * row): no id lookup happens at all, the `nprobe` nearest cells
+    * rank driver-side against the `_codebook` sidecar, and the scan is
+    * partition-pruned to those cell directories. No self-exclusion
+    * (there is no stored self); otherwise identical scoring and
+    * tie-breaks to [[annIvfFromIndexMultiProbe]].
+    */
+  def annIvfFromIndexVector(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probeVec: Array[Double], k: Int,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe=$nprobe")
+    val pn = math.sqrt(probeVec.map(x => x * x).sum)
+    val cells = codebookCells(spark, dir, probeVec, nprobe)
+    scoreCells(spark.read.parquet(dir), cells, probeVec, pn, k,
+      excludeId = None)
+  }
+
+  /** id→bucket point lookup against the `_ids` sidecar; None when the
+    * index predates the sidecar or the id is absent. The sidecar is
+    * sorted/range-partitioned by id, so the filter prunes to one row
+    * group via parquet min/max stats.
+    */
+  private[graft] def probeBucketLookup(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      probeId: Long): Option[Int] =
+    try
+      spark.read.parquet(s"$dir/_ids").filter(col("id") === probeId)
+        .collect().headOption.map(_.getInt(1))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** The probe vector's `nprobe` nearest cells, ranked driver-side
+    * against the index's `_codebook` sidecar. The sequential fold
+    * order matches the executor fold, so the ranking equals
+    * ivfAssign's (dot(pv,c)/|c|, ties to the lowest cid).
+    */
+  private def codebookCells(spark: org.apache.spark.sql.SparkSession,
+      dir: String, pv: Array[Double], nprobe: Int): Seq[Int] = {
+    def d(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val cents =
+      try spark.read.parquet(s"$dir/_codebook")
+        .select(col("id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$dir has no _codebook sidecar — the index predates " +
+            "multi-probe support; rebuild it with buildIvfIndex",
+          e)
       }
-    stored.filter(col("bucket").isin(cells: _*) && col("id") =!= probeId)
+    require(cents.length >= nprobe,
+      s"codebook has ${cents.length} centroids < nprobe=$nprobe")
+    cents.map { case (cid, cv) =>
+      (cid, d(cv, pv) / math.sqrt(d(cv, cv)))
+    }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe)
+      .map(_._1.toInt).toSeq
+  }
+
+  /** Exact top-k over the union of `cells` (a partition-pruned IN
+    * filter on the bucketed scan) against a literal probe vector.
+    */
+  private def scoreCells(stored: DataFrame, cells: Seq[Int],
+      pv: Array[Double], pn: Double, k: Int,
+      excludeId: Option[Long]): DataFrame = {
+    val dot = GraftFunctions.dot_f64 _
+    val pruned = stored.filter(col("bucket").isin(cells: _*))
+    excludeId.fold(pruned)(id => pruned.filter(col("id") =!= id))
       .select(col("id"),
         (dot(col("v"), lit(pv)) /
           (sqrt(dot(col("v"), col("v"))) * lit(pn))).as("cosine"))

@@ -490,6 +490,49 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("cosine"))
     }),
 
+    // INCREMENTAL index ingest — the daily-batch shape
+    // (dedup_incremental's ANN counterpart): the index is built over
+    // the corpus's first slice, the remainder arrives later through
+    // appendToIvfIndex, which quantizes ONLY the new rows against the
+    // stored immutable _codebook and appends bucket files (untouched
+    // files byte-identical, pinned in AnnIndexSpec). Because build and
+    // append share one scoring rule, the appended index row-for-row
+    // equals a full rebuild over the union — so the probe's oracle is
+    // the one-shot multi-probe oracle, and the hash gate proves the
+    // incremental path loses nothing.
+    "ann_ivf_incremental" -> ((s, d) => {
+      val dir = stagedPath(s, d, "ivfinc") { p =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        graft.operators.SimilarityOps.buildIvfIndex(
+          e.filter(col("vec_id") < 32), "vec_id", "v", 8, p)
+        graft.operators.SimilarityOps.appendToIvfIndex(
+          e.filter(col("vec_id") >= 32), "vec_id", "v", p)
+      }
+      graft.operators.SimilarityOps
+        .annIvfFromIndexMultiProbe(s, dir, 8L, 10, nprobe = 3)
+        .select(col("id").as("vec_id"), col("cosine"))
+    }),
+
+    // probe-by-VECTOR over the same bucketed index — the retrieval
+    // shape (query embedded at request time, not a stored row): no id
+    // lookup at all, cells rank against _codebook, scan prunes to the
+    // probed directories. No self-exclusion — the probe vector here is
+    // vec_id 8's embedding, so that row itself comes back at cosine 1.
+    "ann_ivf_vector" -> ((s, d) => {
+      val dir = stagedPath(s, d, "ivfidx") { p =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        graft.operators.SimilarityOps.buildIvfIndex(e, "vec_id", "v", 8, p)
+      }
+      val pv = Tables.embeddings(s, d).filter(col("vec_id") === 8L)
+        .select(toDouble(col("embedding"))).collect()(0)
+        .getSeq[Double](0).toArray
+      graft.operators.SimilarityOps
+        .annIvfFromIndexVector(s, dir, pv, 10, nprobe = 3)
+        .select(col("id").as("vec_id"), col("cosine"))
+    }),
+
     // multimodal: binary payloads -> typed features through the
     // partition-wise decode plumbing. Image rows carry REAL binary PPM
     // (P6) payloads and go through the actual byte-level parser
@@ -1064,27 +1107,49 @@ object PipelineQueries {
 
     // vocabulary sizing by coverage: the smallest frequency-sorted
     // vocabulary prefix covering >= 95% of token mass — the question a
-    // tokenizer-vocab budget answers. One token-count shuffle (vocab-
-    // sized result), then a running sum over the VOCABULARY (bounded
-    // by distinct tokens, not corpus — the single-partition window is
-    // over ~1e5-1e6 rows at any corpus size). All-integer arithmetic:
-    // the 95% test is cum*100 >= total*95, no float thresholds.
+    // tokenizer-vocab budget answers. TWO-LEVEL form: the vocabulary
+    // itself never flows through a window. Tokens aggregate to
+    // (token, cnt) once (the only corpus-sized shuffle), then
+    // collapse to COUNT-VALUE bands (cnt, nrows, mass) — at most
+    // O(sqrt(total mass)) rows at ANY corpus size, since n distinct
+    // count values need >= n(n+1)/2 total mass — and the running sum
+    // windows over those bands only. Within the boundary band every
+    // row contributes exactly `cnt`, and tie order (by token) cannot
+    // move the crossing, so the first crossing ROW is pure integer
+    // arithmetic: m = ceil((total*95 - prior*100) / (cnt*100)) rows
+    // into the band. Same all-integer 95% law (cum*100 >= total*95),
+    // same answer and hash as the row-level window, no single-task
+    // vocabulary sort anywhere.
     "vocab_coverage" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(explode(words(col("text"))).as("token"))
-      // materialized once: both the window and the total read the
+      // materialized once: bands and the total both read the
       // vocab-sized aggregate — the corpus is scanned exactly ONCE
       val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
+      val bands = counts.groupBy("cnt")
+        .agg(count(lit(1)).as("nrows"))
+        .withColumn("mass", col("cnt") * col("nrows"))
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("token"))
-      counts
-        .withColumn("vocab_size", row_number().over(w).cast("long"))
-        .withColumn("covered", sum(col("cnt")).over(w))
+        .orderBy(col("cnt").desc)
+      bands
+        .withColumn("cum_mass", sum(col("mass")).over(w))
+        .withColumn("cum_rows", sum(col("nrows")).over(w))
         .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
-        .filter(col("covered") * 100 >= col("total") * 95)
-        .orderBy("vocab_size").limit(1)
-        .select(col("vocab_size"), col("covered"), col("total"))
+        // boundary band: the FIRST (largest-cnt) band whose cumulative
+        // mass crosses the threshold; its predecessor is strictly
+        // below, so the needed remainder is positive
+        .filter(col("cum_mass") * 100 >= col("total") * 95)
+        .orderBy(col("cnt").desc).limit(1)
+        .withColumn("need",
+          col("total") * 95 - (col("cum_mass") - col("mass")) * 100)
+        .withColumn("m",
+          expr("(need + cnt * 100 - 1) div (cnt * 100)"))
+        .select(
+          (col("cum_rows") - col("nrows") + col("m")).as("vocab_size"),
+          (col("cum_mass") - col("mass") + col("m") * col("cnt"))
+            .as("covered"),
+          col("total"))
     }),
 
     // DSIR-style hashed importance weights: score every document by
@@ -1897,6 +1962,14 @@ object PipelineQueries {
     // physical plan differs (partition-pruned index scan), answer
     // does not: one oracle serves both — same as ann_ivf_bucketed
     "ann_ivf_bucketed_multiprobe" -> annIvfMultiProbeOracle,
+    // incremental build == full rebuild over the union, so the
+    // one-shot multi-probe oracle serves verbatim — the hash gate IS
+    // the rebuild-equivalence proof
+    "ann_ivf_incremental" -> annIvfMultiProbeOracle,
+    // vector probe: same cells and scoring, minus the self-exclusion
+    // (the probe is a request-time vector, not a stored row)
+    "ann_ivf_vector" ->
+      annIvfMultiProbeOracle.replace(" AND a.id <> 8", ""),
     "vocab_coverage" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS token

@@ -59,7 +59,13 @@ object CfCalendar {
     * ("days since 1850-01-01 12:00:00" -> 43_200_000_000): CF reference
     * dates routinely carry a time-of-day (ERA-style "hours since
     * 1900-01-01 00:00:0.0"), and dropping it shifts every decoded
-    * timestamp by up to a day (cftime.date2num honors it).
+    * timestamp by up to a day (cftime.date2num honors it). A nonzero
+    * UTC offset on the reference ("... 00:00:00 +01:00") folds in here
+    * too — the reference instant is LOCAL to that offset, so its UTC
+    * micros are time-of-day MINUS offset, exactly cftime's conversion
+    * of the tz-aware reference to UTC — which can push `refMicros`
+    * outside [0, day): consumers use floor division, so any magnitude
+    * carries correctly across civil days.
     */
   final case class Units(step: String, refY: Int, refM: Int, refD: Int,
       refMicros: Long = 0L) {
@@ -83,11 +89,14 @@ object CfCalendar {
   // time-of-day down to hour-only ("days since 2000-01-01 0"),
   // fractional seconds ("hours since 1900-01-01 00:00:0.0"), and an
   // optional UTC-offset suffix with or without a sign ("... 0:00",
-  // CMIP/CORDEX style) or a zone word
+  // CMIP/CORDEX style) or a case-insensitive UTC-equivalent zone word
+  // ("utc" appears lowercased in the wild; other zone words like
+  // "PST" stay a loud reject — the old permissive grammar silently
+  // decoded them AS UTC, which was wrong whenever the zone wasn't)
   private val UnitsRe =
     ("""(\w+) since (\d{1,4})-(\d{1,2})-(\d{1,2})""" +
       """(?:[T ](\d{1,2})(?::(\d{1,2})(?::(\d{1,2}(?:\.\d+)?))?)?)?""" +
-      """(?:\s*(Z|UTC|GMT|[+-]?\d{1,2}(?::?\d{2})?))?\s*""").r
+      """(?:\s*((?i:Z|UTC|GMT)|[+-]?\d{1,2}(?::?\d{2})?))?\s*""").r
 
   def parseUnits(units: String): Units = units match {
     case UnitsRe(step, y, m, d, hh, mi, ss, tz) =>
@@ -102,22 +111,31 @@ object CfCalendar {
       }
       require(h < 24 && mn < 60 && sec <= 60,
         s"bad reference time-of-day in CF units: $units")
-      // a UTC-equivalent zone marker is fine; a nonzero offset would
-      // silently shift every timestamp — reject loudly instead
-      Option(tz).foreach {
-        case "Z" | "UTC" | "GMT" => ()
-        case off =>
+      // zone suffix: UTC-equivalent words (any case) are a no-op; a
+      // NUMERIC offset marks the reference instant as local to that
+      // offset, so its UTC intra-day micros are time-of-day minus
+      // offset — the same conversion cftime applies to a tz-aware
+      // reference ("hours since 1980-01-01 00:00:00 +01:00" references
+      // 1979-12-31T23:00Z). Unsigned offsets are positive (udunits).
+      val offMicros: Long = Option(tz) match {
+        case None => 0L
+        case Some(z) if z.equalsIgnoreCase("Z") ||
+            z.equalsIgnoreCase("UTC") || z.equalsIgnoreCase("GMT") => 0L
+        case Some(off) =>
+          val neg = off.startsWith("-")
           val digits = off.dropWhile(c => c == '+' || c == '-')
             .filter(_ != ':')
           val (oh, om) =
             if (digits.length > 2)
               (digits.dropRight(2).toInt, digits.takeRight(2).toInt)
             else (digits.toInt, 0)
-          require(oh == 0 && om == 0,
-            s"nonzero UTC offset in CF units unsupported: $units")
+          require(oh < 24 && om < 60,
+            s"bad UTC offset in CF units: $units")
+          val mag = (oh * 60L + om) * 60000000L
+          if (neg) -mag else mag
       }
       val refMicros =
-        ((h * 3600L + mn * 60L + sec) * 1000000L) + fracMicros
+        ((h * 3600L + mn * 60L + sec) * 1000000L) + fracMicros - offMicros
       Units(step, y.toInt, m.toInt, d.toInt, refMicros)
     case other => throw new IllegalArgumentException(s"bad CF units: $other")
   }
@@ -151,9 +169,13 @@ object CfCalendar {
       if (u.refMicros == 0L) 0L
       else if (spd >= microsPerDay) u.refMicros * (spd / microsPerDay)
       else {
+        // floor semantics: refMicros can be negative once a UTC offset
+        // folds in, and floorDiv/floorMod keep r in [0, step) so the
+        // whole-step exactness and half-up rounding laws below hold
+        // for any sign
         val microsPerStep = microsPerDay / spd
-        val q = u.refMicros / microsPerStep
-        val r = u.refMicros % microsPerStep
+        val q = Math.floorDiv(u.refMicros, microsPerStep)
+        val r = Math.floorMod(u.refMicros, microsPerStep)
         if (r != 0L)
           org.slf4j.LoggerFactory.getLogger(CfCalendar.getClass).warn(
             s"cftime('$dateStr') on '$units': the reference " +
@@ -195,13 +217,17 @@ object CfCalendar {
     // days' worth of nanosecond offsets via integer division. The
     // reference datetime's own time-of-day folds in here, rolling the
     // civil day over IN THE DATASET'S CALENDAR when the sum crosses
-    // midnight (both addends are < 1 day, so one carry suffices).
+    // midnight (floor-carried below, any magnitude or sign).
     val microsPerDay = 86400000000L
     val intra0 = (if (spd >= microsPerDay) remSteps / (spd / microsPerDay)
                   else remSteps * (microsPerDay / spd)) + u.refMicros
+    // floorDiv/floorMod, not truncation: a UTC-offset-bearing
+    // reference can make refMicros negative (or push intra0 past two
+    // days for extreme offsets), and the civil-day carry must still
+    // land intra in [0, day) with the day borrow going DOWN
     val days = daysFromYearZero(calendar, u.refY, u.refM, u.refD) +
-      Math.floorDiv(offset, spd) + intra0 / microsPerDay
-    val intra = intra0 % microsPerDay
+      Math.floorDiv(offset, spd) + Math.floorDiv(intra0, microsPerDay)
+    val intra = Math.floorMod(intra0, microsPerDay)
     val (y, m, d) = calendar.toLowerCase match {
       case "noleap" | "365_day" =>
         val yy = Math.floorDiv(days, 365L).toInt

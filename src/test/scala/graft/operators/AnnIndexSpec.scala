@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The bucketed IVF index's lifecycle properties:
+  *
+  *  - incremental append ([[SimilarityOps.appendToIvfIndex]]) touches
+  *    only the new batch — every pre-append file stays byte-identical,
+  *    and the appended index equals a full rebuild over the union both
+  *    row-for-row and probe-for-probe;
+  *  - the `_ids` sidecar makes probe-by-id metadata-sized: the id
+  *    lookup reads the (id, bucket)-only sidecar and the vector fetch
+  *    scans ONE bucket directory (partition pruning pinned via scan
+  *    metrics), instead of filtering the whole index;
+  *  - probe-by-vector needs no lookup at all and matches the by-id
+  *    path modulo self-exclusion;
+  *  - indexes that predate the sidecar still answer (fallback scan).
+  */
+class AnnIndexSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+
+  import spark.implicits._
+
+  private val dim = 4
+
+  /** Deterministic synthetic vectors; ids 0..n-1, first `nc` double as
+    * the codebook (the ivfAssign contract).
+    */
+  private def vecs(ids: Range): DataFrame =
+    ids.map { i =>
+      val r = new scala.util.Random(i * 7919L + 13)
+      (i.toLong, Array.fill(dim)(r.nextDouble() * 2 - 1))
+    }.toDF("id", "v")
+
+  private def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    s"$p/idx"
+  }
+
+  private def filesUnder(dir: String): Map[String, Seq[Byte]] = {
+    val root = Paths.get(dir)
+    val walk = Files.walk(root)
+    val all = try walk.iterator().asScala.toSeq finally walk.close()
+    all.filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith(".")) // local-fs .crc noise
+      .map(p => root.relativize(p).toString ->
+        Files.readAllBytes(p).toSeq).toMap
+  }
+
+  test("append: pre-append files byte-identical; index == full rebuild") {
+    val appended = tmp("ann_append")
+    SimilarityOps.buildIvfIndex(vecs(0 until 120), "id", "v", 4, appended)
+    val before = filesUnder(appended)
+    SimilarityOps.appendToIvfIndex(vecs(120 until 200), "id", "v", appended)
+    val after = filesUnder(appended)
+    // every pre-append file survives with identical bytes (the
+    // append's _SUCCESS markers are rewritten; exclude marker files)
+    val markers = Set("_SUCCESS")
+    before.filterNot { case (p, _) =>
+      markers(Paths.get(p).getFileName.toString) }.foreach {
+      case (path, bytes) =>
+        assert(after.contains(path), s"pre-append file vanished: $path")
+        assert(after(path) == bytes, s"pre-append file rewritten: $path")
+    }
+    val rebuilt = tmp("ann_rebuild")
+    SimilarityOps.buildIvfIndex(vecs(0 until 200), "id", "v", 4, rebuilt)
+    // row-for-row: same (id, bucket, v) content
+    def content(d: String) =
+      spark.read.parquet(d).select("id", "bucket", "v")
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Double](2))).sortBy(_._1).toSeq
+    assert(content(appended) == content(rebuilt))
+    // probe-for-probe, across probes and nprobe settings
+    for (pid <- Seq(10L, 57L, 150L, 199L); np <- Seq(1, 3)) {
+      val a = SimilarityOps
+        .annIvfFromIndexMultiProbe(spark, appended, pid, 5, np).collect()
+      val b = SimilarityOps
+        .annIvfFromIndexMultiProbe(spark, rebuilt, pid, 5, np).collect()
+      assert(a.toSeq == b.toSeq, s"probe $pid nprobe=$np diverged")
+    }
+  }
+
+  test("_ids sidecar: correct bucket, pruned vector fetch, small lookup") {
+    val dir = tmp("ann_ids")
+    SimilarityOps.buildIvfIndex(vecs(0 until 160), "id", "v", 4, dir)
+    val stored = spark.read.parquet(dir)
+    val truth = stored.select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // sidecar agrees with the stored assignment for every id
+    truth.foreach { case (id, b) =>
+      assert(SimilarityOps.probeBucketLookup(spark, dir, id).contains(b))
+    }
+    assert(SimilarityOps.probeBucketLookup(spark, dir, 99999L).isEmpty)
+    // the vector fetch is partition-pruned to ONE bucket directory:
+    // scan metrics count only that directory's files
+    val pid = truth.keys.min
+    val fetch = stored
+      .filter(col("bucket") === truth(pid) && col("id") === pid)
+    assert(fetch.collect().length == 1)
+    val scan = collectWithSubqueries(fetch.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("bucket")),
+      s"no bucket partition filter in:\n${fetch.queryExecution.executedPlan}")
+    val bucketFiles = {
+      val d = Paths.get(dir, s"bucket=${truth(pid)}")
+      val walk = Files.list(d)
+      try walk.iterator().asScala.count(p =>
+        p.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+    val allFiles = {
+      val walk = Files.walk(Paths.get(dir))
+      try walk.iterator().asScala.count(p =>
+        p.toString.endsWith(".parquet") && !p.toString.contains("/_"))
+      finally walk.close()
+    }
+    assert(scan.metrics("numFiles").value == bucketFiles,
+      "vector fetch read more than the probe's bucket directory")
+    assert(bucketFiles < allFiles, "pruning pin is vacuous")
+    // the sidecar itself is (id, bucket)-only — a small fraction of
+    // the index's vector payload even at this toy dim
+    def bytesOf(p: Path): Long = {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(Files.size).sum
+      finally walk.close()
+    }
+    assert(bytesOf(Paths.get(dir, "_ids")) <
+      bytesOf(Paths.get(dir)) / 2)
+  }
+
+  test("pre-sidecar index: probe falls back to the id filter") {
+    val dir = tmp("ann_legacy")
+    SimilarityOps.buildIvfIndex(vecs(0 until 80), "id", "v", 4, dir)
+    val expect = SimilarityOps
+      .annIvfFromIndexMultiProbe(spark, dir, 20L, 5, 2).collect().toSeq
+    // simulate an index written before the sidecar existed
+    val ids = Paths.get(dir, "_ids")
+    val walk = Files.walk(ids)
+    val all = try walk.iterator().asScala.toSeq finally walk.close()
+    all.reverseIterator.foreach(Files.deleteIfExists(_))
+    assert(SimilarityOps.probeBucketLookup(spark, dir, 20L).isEmpty)
+    val got = SimilarityOps
+      .annIvfFromIndexMultiProbe(spark, dir, 20L, 5, 2).collect().toSeq
+    assert(got == expect)
+  }
+
+  test("probe-by-vector == probe-by-id modulo self-exclusion") {
+    val dir = tmp("ann_vec")
+    SimilarityOps.buildIvfIndex(vecs(0 until 160), "id", "v", 4, dir)
+    val pid = 42L
+    val pv = spark.read.parquet(dir).filter(col("id") === pid)
+      .select("v").collect()(0).getSeq[Double](0).toArray
+    val byVec = SimilarityOps
+      .annIvfFromIndexVector(spark, dir, pv, 6, nprobe = 3).collect()
+    val byId = SimilarityOps
+      .annIvfFromIndexMultiProbe(spark, dir, pid, 5, nprobe = 3).collect()
+    // the stored self tops the vector-probe list...
+    assert(byVec.head.getLong(0) == pid)
+    assert(math.abs(byVec.head.getDouble(1) - 1.0) < 1e-12)
+    // ...and the rest is exactly the by-id answer
+    assert(byVec.tail.toSeq == byId.toSeq)
+  }
+}

@@ -131,6 +131,32 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"no shuffled encode join on tok in:\n$pre")
   }
 
+  test("vocab_coverage: window input is count-value bands, not the vocab") {
+    val df = SparkEntry.queries("vocab_coverage")(spark, sf)
+    df.collect()
+    // the only window runs over the (cnt, nrows, mass) band relation —
+    // its child subtree must contain the cnt-grouping aggregate, so
+    // the single-partition sort is over O(sqrt(corpus mass)) rows, not
+    // the vocabulary
+    val windows = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the band running-sum window")
+    windows.foreach { w =>
+      // helper collect: traverses AQE query-stage boundaries
+      val bandAgg = collect(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.exists(_.toString.startsWith("cnt#")) =>
+            a
+      }
+      assert(bandAgg.nonEmpty,
+        s"window not downstream of the cnt-band aggregate:\n$w")
+      // the window itself orders by cnt, never token
+      assert(!w.orderSpec.exists(_.toString.contains("token#")),
+        s"token-level ordering in the window:\n$w")
+    }
+  }
+
   test("oov_rate: top-k vocab is TakeOrdered, not a full-vocab rank") {
     val df = SparkEntry.queries("oov_rate")(spark, sf)
     df.collect()

@@ -83,15 +83,63 @@ class CfCalendarPropertySpec extends AnyFunSuite {
     })
   }
 
-  test("parseUnits: refMicros always within one day; tz zero or loud") {
-    check("refmicros-bounded", Prop.forAll(stepGen, dateGen,
-      Gen.choose(0, 23), Gen.choose(0, 59), Gen.choose(0, 59)) {
-      (step, ref, hh, mm, ss) =>
+  test("parseUnits: refMicros = time-of-day minus UTC offset") {
+    val tzGen = Gen.option(for {
+      sign <- Gen.oneOf("+", "-")
+      oh <- Gen.choose(0, 14)
+      om <- Gen.oneOf(0, 15, 30, 45)
+    } yield (sign, oh, om))
+    check("refmicros-fold", Prop.forAll(stepGen, dateGen,
+      Gen.choose(0, 23), Gen.choose(0, 59), Gen.choose(0, 59), tzGen) {
+      (step, ref, hh, mm, ss, tz) =>
         val (y, m, d) = ref
+        val suffix = tz.fold("") { case (s, oh, om) =>
+          f" $s$oh%02d:$om%02d" }
         val u = CfCalendar.parseUnits(
-          f"$step since $y%04d-$m%02d-$d%02d $hh%02d:$mm%02d:$ss%02d")
-        u.refMicros == ((hh * 3600L + mm * 60L + ss) * 1000000L) &&
-          u.refMicros >= 0L && u.refMicros < 86400000000L
+          f"$step since $y%04d-$m%02d-$d%02d $hh%02d:$mm%02d:$ss%02d" +
+            suffix)
+        val tod = (hh * 3600L + mm * 60L + ss) * 1000000L
+        val off = tz.fold(0L) { case (s, oh, om) =>
+          val mag = (oh * 60L + om) * 60000000L
+          if (s == "-") -mag else mag
+        }
+        u.refMicros == tod - off
+    })
+  }
+
+  test("UTC offset == real-timeline shift (Gregorian calendars)") {
+    // on calendars that ARE the real timeline, folding the reference
+    // offset is exactly subtracting it from every decoded instant
+    check("offset-shift-greg", Prop.forAll(
+      Gen.oneOf("standard", "proleptic_gregorian"), stepGen, dateGen,
+      Gen.choose(-100000L, 100000L), Gen.choose(-14, 14),
+      Gen.oneOf(0, 30)) { (cal, step, ref, o, oh, om) =>
+      val (y, m, d) = ref
+      val base = f"$step since $y%04d-$m%02d-$d%02d 06:00:00"
+      val sign = if (oh < 0) "-" else "+"
+      val units = f"$base $sign${math.abs(oh)}%02d:$om%02d"
+      val offMicros =
+        (math.abs(oh) * 60L + om) * 60000000L * (if (oh < 0) -1 else 1)
+      CfCalendar.offsetToMicros(o, units, cal) ==
+        CfCalendar.offsetToMicros(o, base, cal) - offMicros
+    })
+  }
+
+  test("UTC offset == in-calendar shift of the offset grid (all calendars)") {
+    // in noleap/all_leap the subtraction must happen in the CALENDAR'S
+    // OWN reckoning (the real-timeline shift law above breaks across
+    // its missing/extra Feb 29), which for whole-step offsets equals
+    // shifting the integer offset: "hours since D HH +OH:00" at o ==
+    // "hours since D" at o + HH - OH
+    check("offset-shift-cal", Prop.forAll(calGen, dateGen,
+      Gen.choose(0, 23), Gen.choose(-14, 14),
+      Gen.choose(-100000L, 100000L)) { (cal, ref, hh, oh, o) =>
+      val (y, m, d) = ref
+      val base = f"hours since $y%04d-$m%02d-$d%02d"
+      val sign = if (oh < 0) "-" else "+"
+      val units = f"$base $hh%02d:00:00 $sign${math.abs(oh)}%02d:00"
+      CfCalendar.offsetToMicros(o, units, cal) ==
+        CfCalendar.offsetToMicros(o + hh - oh, base, cal)
     })
   }
 }

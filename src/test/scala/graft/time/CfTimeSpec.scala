@@ -84,18 +84,29 @@ class CfTimeSpec extends SparkTestBase {
     assert(parseUnits("seconds since 1970-01-01T00:00:00Z").refMicros == 0L)
     assert(parseUnits("seconds since 2000-01-01 06:30:15.25").refMicros ==
       (6 * 3600L + 30 * 60L + 15L) * 1000000L + 250000L)
-    // UTC-equivalent zone markers pass; a nonzero offset is a loud no
+    // UTC-equivalent zone markers pass, case-insensitively ("utc"
+    // appears lowercased in real archives)
     assert(parseUnits("days since 2000-01-01 00:00:00 UTC").refMicros == 0L)
-    intercept[IllegalArgumentException](
-      parseUnits("days since 2000-01-01 00:00:00+05:30"))
+    assert(parseUnits("days since 2000-01-01 00:00:00 utc").refMicros == 0L)
+    assert(parseUnits("seconds since 1970-01-01T00:00:00z").refMicros == 0L)
+    // a NONZERO offset folds into the reference instant exactly as
+    // cftime converts a tz-aware reference to UTC: the reference is
+    // LOCAL to the offset, so UTC intra-day micros go negative here
+    assert(parseUnits("days since 2000-01-01 00:00:00+05:30").refMicros ==
+      -(5L * 3600L + 30L * 60L) * 1000000L)
     // udunits forms real archives carry: unsigned zero UTC offset
-    // (CMIP/CORDEX "0:00"), hour-only reference times
+    // (CMIP/CORDEX "0:00"), hour-only reference times, unsigned
+    // nonzero offsets (positive per udunits)
     assert(parseUnits("days since 1950-01-01 00:00:00 0:00").refMicros
       == 0L)
     assert(parseUnits("days since 2000-01-01 12").refMicros ==
       12L * 3600L * 1000000L)
+    assert(parseUnits("days since 2000-01-01 00:00:00 5:00").refMicros ==
+      -5L * 3600L * 1000000L)
+    // non-UTC zone WORDS stay a loud reject (the old permissive
+    // grammar decoded "PST" as if UTC — wrong by eight hours)
     intercept[IllegalArgumentException](
-      parseUnits("days since 2000-01-01 00:00:00 5:00")) // nonzero tz
+      parseUnits("days since 2000-01-01 00:00:00 PST"))
     // decode: offset 0 lands at the reference INSTANT, not midnight
     assert(offsetToMicros(0, "days since 1850-01-01 12:00:00", "standard") ==
       gregorianMicros(1850, 1, 1, hour = 12))
@@ -119,6 +130,30 @@ class CfTimeSpec extends SparkTestBase {
     // offset 1 = Jan 2 18:00; midnight Jan 2 is nearer offset 0)
     assert(CfCalendar.dateToOffset("2000-01-02",
       "days since 2000-01-01 18:00:00", "standard") == 0L)
+  }
+
+  test("nonzero UTC offsets decode to cftime's instants") {
+    import CfCalendar._
+    // cftime.num2date(0, 'hours since 1980-01-01 00:00:00 +01:00')
+    // == 1979-12-31 23:00:00 (reference converted to UTC)
+    assert(offsetToMicros(0, "hours since 1980-01-01 00:00:00 +01:00",
+      "standard") == gregorianMicros(1979, 12, 31, hour = 23))
+    assert(offsetToMicros(2, "hours since 1980-01-01 00:00:00 +01:00",
+      "standard") == gregorianMicros(1980, 1, 1, hour = 1))
+    // cftime.num2date(0, 'hours since 1980-01-01 00:00:00 -06:00')
+    // == 1980-01-01 06:00:00
+    assert(offsetToMicros(0, "hours since 1980-01-01 00:00:00 -06:00",
+      "standard") == gregorianMicros(1980, 1, 1, hour = 6))
+    // the day borrow crosses midnight IN THE DATASET'S CALENDAR:
+    // noleap Mar 1 minus 12h is Feb 28 12:00 (no Feb 29 to land on)
+    assert(offsetToMicros(0, "days since 2000-03-01 00:00:00 +12:00",
+      "noleap") == gregorianMicros(2000, 2, 28, hour = 12))
+    // encode side: whole-step offsets stay exact — midnight Jan 2 is
+    // 25 whole hours after 1979-12-31T23:00Z
+    assert(dateToOffset("1980-01-02",
+      "hours since 1980-01-01 00:00:00 +01:00", "standard") == 25L)
+    assert(dateToOffset("1980-01-02",
+      "hours since 1980-01-01 00:00:00 -06:00", "standard") == 18L)
   }
 
   test("gregorian micros epoch sanity") {
