@@ -292,10 +292,35 @@ object GridIO {
       mkdirParents: Boolean, conf: Configuration): Unit = {
     if (pairs.isEmpty) return
     if (usePutCommit(pairs.head._2, conf)) {
-      pairs.foreach { case (src, dst) =>
-        if (mkdirParents)
-          mkdirs(dst.substring(0, dst.lastIndexOf('/')), conf)
-        copyOverwrite(src, dst, conf)
+      // Hadoop's FileSystem API has no portable server-side copy, and
+      // a single-object S3A rename (which WOULD copy server-side)
+      // refuses an existing destination — so the commit primitive
+      // stays the streamed overwrite PUT. But PUTs to distinct
+      // objects are independent and latency-bound, so the loop runs
+      // on a bounded thread pool: a large slab commit pays
+      // ~ceil(n/16) round-trip latencies instead of the serial sum.
+      if (mkdirParents)
+        pairs.foreach(p =>
+          mkdirs(p._2.substring(0, p._2.lastIndexOf('/')), conf))
+      val par = math.min(16, pairs.size)
+      if (par <= 1)
+        pairs.foreach { case (src, dst) => copyOverwrite(src, dst, conf) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+        try {
+          val futs = pairs.map { case (src, dst) =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = copyOverwrite(src, dst, conf)
+            })
+          }
+          // propagate the FIRST failure with its original type (the
+          // append paths key their crash-retry contract on it)
+          try futs.foreach(_.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        } finally pool.shutdownNow()
       }
     } else {
       writeString(s"$staging/.replace-manifest",

@@ -11,11 +11,18 @@ import scala.jdk.CollectionConverters._
   *    a GB-scale single driver read at 10⁸ inner chunks (SCALE.md does
   *    the math);
   *  - format v2 (written since round 11): the root file is a tiny
-  *    MANIFEST (`{"version":2,"vars":[...]}`) and each listed variable
-  *    carries its own `<root>/<var>/.graft-stats.json`. Opening a tree
-  *    reads only the manifest; a variable's stats file is fetched on
-  *    first [[bounds]]/[[sum]] touch and memoized, so a query over one
-  *    variable of a 300-array archive loads one stats file, not 300.
+  *    MANIFEST (`{"version":2,"vars":[...],"fp":{...}}`) and each
+  *    listed variable carries its own `<root>/<var>/.graft-stats.json`.
+  *    Opening a tree reads only the manifest; a variable's stats file
+  *    is fetched on first [[bounds]]/[[sum]] touch and memoized, so a
+  *    query over one variable of a 300-array archive loads one stats
+  *    file, not 300;
+  *  - per-var format v3 (written since round 12, for variables whose
+  *    OWN entry list is huge — the skew-heavy single-dominant-variable
+  *    tree): the per-var file is a directory of leading-chunk-index
+  *    range shards, each shard a separate file loaded only when a key
+  *    in its range is touched, so a tail filter reads O(touched-range)
+  *    stats bytes even when one variable owns 10⁸ chunks.
   *
   * Stats are purely an optimization: a corrupt or future-versioned
   * sidecar degrades to "no stats" with a warning instead of failing the
@@ -76,72 +83,172 @@ object StatsSource {
     }
   }
 
-  /** Format v2: per-variable files loaded on first touch. The cache is
-    * transient — a store shipped to executors re-reads lazily there
+  /** One loaded variable's stats: either the full maps (per-var format
+    * v2) or a shard directory (format v3 — skew-heavy variables whose
+    * entry list is itself huge split into leading-chunk-index ranges,
+    * each range a separate file loaded only when a key in it is
+    * touched).
+    */
+  private sealed trait VarStats
+  private final case class Full(st: Map[String, (Any, Any)],
+      su: Map[String, Double]) extends VarStats
+  /** `shards` sorted by `lo`; ranges are disjoint. `fp` is the shard
+    * file's content fingerprint recorded at write time — the same
+    * bytes-served guard the manifest applies to the per-var file,
+    * chained one level down.
+    */
+  private final case class Sharded(
+      shards: IndexedSeq[(Long, Long, String, String)]) extends VarStats
+
+  private val NoStats = Full(Map.empty, Map.empty)
+
+  /** Format v2/v3: per-variable files loaded on first touch. The cache
+    * is transient — a store shipped to executors re-reads lazily there
     * (executors only readVar today, so in practice nothing loads).
     *
-    * `manifestKey` is the manifest's (length, mtime) captured at OPEN:
-    * every append rewrites the manifest last, so a per-var load whose
-    * manifest has since changed belongs to a NEWER tree state than this
-    * handle's extent — v1's eager open-time parse could never serve
-    * post-append stats against a pre-append extent (e.g. a merged
-    * edge-chunk SUM covering rows the handle doesn't scan), and the
-    * lazy form must not either. A changed (or vanished) manifest
-    * degrades that load to "no stats" with a warning: one extra HEAD
-    * per first-touched variable, zero for the common single-process
-    * case where nothing moved.
+    * Staleness guard, two tiers:
+    *  - `fps` (manifests written since round 12) maps each variable to
+    *    the content fingerprint of its stats file at manifest-write
+    *    time. A load hashes the bytes it just read and compares — the
+    *    guard covers the EXACT bytes served, so there is no window at
+    *    all: an append that changed this variable's stats flips its
+    *    fingerprint (and only its — untouched variables keep serving),
+    *    and a retried byte-identical rewrite correctly still passes.
+    *  - legacy v2 manifests (no `fp`) fall back to comparing the
+    *    manifest's (length, mtime) `manifestKey` captured at OPEN —
+    *    coarse (mtime granularity) but only for pre-fp trees.
+    *
+    * Either mismatch degrades that variable to "no stats" with a
+    * warning: v1's eager open-time parse could never serve post-append
+    * stats against a pre-append extent (e.g. a merged edge-chunk SUM
+    * covering rows the handle doesn't scan), and the lazy form must
+    * not either.
     */
   final class LazyPerVar(root: String, vars: Set[String],
       hconf: SerializableHadoopConf,
-      manifestKey: Option[(Long, Long)]) extends StatsSource {
+      manifestKey: Option[(Long, Long)],
+      fps: Map[String, String]) extends StatsSource {
     @transient private lazy val cache =
+      scala.collection.concurrent.TrieMap.empty[String, VarStats]
+    @transient private lazy val shardCache =
       scala.collection.concurrent.TrieMap
-        .empty[String, (Map[String, (Any, Any)], Map[String, Double])]
+        .empty[(String, Int), (Map[String, (Any, Any)], Map[String, Double])]
 
-    private def load(v: String)
-        : (Map[String, (Any, Any)], Map[String, Double]) =
-      cache.getOrElseUpdate(v, {
-        val p = s"$root/$v/${ZarrGridStore.StatsSidecar}"
-        val manifest = s"$root/${ZarrGridStore.StatsSidecar}"
-        try {
-          val nowKey = GridIO.statusOf(manifest, hconf.value)
-          if (nowKey != manifestKey) {
-            warn(s"$p: stats manifest changed since this handle opened " +
-              "(concurrent append?) — serving no stats for this variable")
-            (Map.empty, Map.empty)
-          } else {
-            val node = ZarrGridStore.parseJson(
-              GridIO.readAllBytes(p, hconf.value))
-            if (node.path("version").asInt(0) != 2) {
-              warn(s"$p: unsupported per-var stats version — ignoring")
-              (Map.empty, Map.empty)
-            } else parseVarStats(v, node)
-          }
-        } catch {
-          case _: java.io.FileNotFoundException =>
-            // manifest listed it but the file is gone (e.g. hand-pruned
-            // tree): stats are optional, serve none
-            (Map.empty, Map.empty)
-          case scala.util.control.NonFatal(e) =>
-            warn(s"$p: unreadable stats file (${e.getMessage}) — ignoring")
-            (Map.empty, Map.empty)
+    /** Carried forward by append merges for untouched variables. */
+    private[grid] def fpOf(v: String): Option[String] = fps.get(v)
+
+    private def guarded(p: String, expectFp: Option[String])(
+        parse: com.fasterxml.jackson.databind.JsonNode => VarStats)
+        : VarStats =
+      try {
+        val bytes = GridIO.readAllBytes(p, hconf.value)
+        expectFp match {
+          case Some(fp) if ZarrGridStore.statsFp(bytes) != fp =>
+            warn(s"$p: stats content changed since this handle opened " +
+              "(concurrent append?) — serving no stats")
+            NoStats
+          case Some(_) => parse(ZarrGridStore.parseJson(bytes))
+          case None =>
+            // legacy manifest: coarse (length, mtime) guard
+            val manifest = s"$root/${ZarrGridStore.StatsSidecar}"
+            if (GridIO.statusOf(manifest, hconf.value) != manifestKey) {
+              warn(s"$p: stats manifest changed since this handle " +
+                "opened (concurrent append?) — serving no stats")
+              NoStats
+            } else parse(ZarrGridStore.parseJson(bytes))
         }
-      })
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          // manifest listed it but the file is gone (e.g. hand-pruned
+          // tree): stats are optional, serve none
+          NoStats
+        case scala.util.control.NonFatal(e) =>
+          warn(s"$p: unreadable stats file (${e.getMessage}) — ignoring")
+          NoStats
+      }
 
-    def bounds(key: String): Option[(Any, Any)] = {
-      val v = key.split(" ", 2)(0)
-      if (!vars(v)) None else load(v)._1.get(key)
+    private def load(v: String): VarStats =
+      cache.getOrElseUpdate(v,
+        guarded(s"$root/$v/${ZarrGridStore.StatsSidecar}", fps.get(v)) {
+          node =>
+            node.path("version").asInt(0) match {
+              case 2 =>
+                val (st, su) = parseVarStats(v, node)
+                Full(st, su)
+              case 3 =>
+                val shards = node.path("shards").elements().asScala.map {
+                  s => (s.path("lo").asLong(), s.path("hi").asLong(),
+                    s.path("file").asText(), s.path("fp").asText())
+                }.toIndexedSeq.sortBy(_._1)
+                Sharded(shards)
+              case _ =>
+                warn(s"$root/$v: unsupported per-var stats version — " +
+                  "ignoring")
+                NoStats
+            }
+        })
+
+    private def loadShard(v: String, idx: Int, file: String, fp: String)
+        : (Map[String, (Any, Any)], Map[String, Double]) =
+      shardCache.getOrElseUpdate((v, idx),
+        guarded(s"$root/$v/$file", Some(fp)) { node =>
+          val (st, su) = parseVarStats(v, node)
+          Full(st, su)
+        } match {
+          case Full(st, su) => (st, su)
+          case _ => (Map.empty, Map.empty)
+        })
+
+    /** The shard whose [lo, hi] leading-index range covers `ci`'s
+      * leading chunk index, loaded on demand; keys outside every range
+      * have no stats. Binary search over the sorted shard list.
+      */
+    private def shardMaps(v: String, sh: Sharded, ci: String)
+        : (Map[String, (Any, Any)], Map[String, Double]) = {
+      val lead = ci.takeWhile(_ != '.') match {
+        case s if s.nonEmpty && s.forall(_.isDigit) => s.toLong
+        case _ => return (Map.empty, Map.empty)
+      }
+      var lo = 0
+      var hi = sh.shards.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val (slo, shi, file, fp) = sh.shards(mid)
+        if (lead < slo) hi = mid - 1
+        else if (lead > shi) lo = mid + 1
+        else return loadShard(v, mid, file, fp)
+      }
+      (Map.empty, Map.empty)
     }
-    def sum(key: String): Option[Double] = {
-      val v = key.split(" ", 2)(0)
-      if (!vars(v)) None else load(v)._2.get(key)
+
+    private def mapsFor(key: String)
+        : (Map[String, (Any, Any)], Map[String, Double]) = {
+      val parts = key.split(" ", 2)
+      val v = parts(0)
+      if (!vars(v)) (Map.empty, Map.empty)
+      else load(v) match {
+        case Full(st, su) => (st, su)
+        case sh: Sharded if parts.length == 2 => shardMaps(v, sh, parts(1))
+        case _: Sharded => (Map.empty, Map.empty)
+      }
     }
+
+    def bounds(key: String): Option[(Any, Any)] = mapsFor(key)._1.get(key)
+    def sum(key: String): Option[Double] = mapsFor(key)._2.get(key)
     def varNames: Set[String] = vars
     def entriesFor(v: String)
         : Seq[(String, Option[(Any, Any)], Option[Double])] =
       if (!vars(v)) Seq.empty
       else {
-        val (st, su) = load(v)
+        val (st, su) = load(v) match {
+          case Full(st, su) => (st, su)
+          case sh: Sharded =>
+            // merge/inspection surface: force every shard
+            val all = sh.shards.zipWithIndex.map { case ((_, _, f, fp), i)
+              => loadShard(v, i, f, fp) }
+            (all.map(_._1).fold(Map.empty[String, (Any, Any)])(_ ++ _),
+              all.map(_._2).fold(Map.empty[String, Double])(_ ++ _))
+        }
         (st.keysIterator ++ su.keysIterator).toSeq.distinct.sorted
           .map(k => (k, st.get(k), su.get(k)))
       }

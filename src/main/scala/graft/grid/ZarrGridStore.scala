@@ -535,14 +535,22 @@ object ZarrGridStore {
     * tree stays a perfectly ordinary zarr archive. Absent on foreign
     * trees (no stats, no pruning — always sound).
     *
-    * Format v2 (written since round 11): the ROOT file of this name is
-    * a manifest (`{"version":2,"vars":[...]}`) and each listed variable
-    * carries its own `<var>/.graft-stats.json` — a 100 TB tree's stats
-    * are no longer one GB-scale driver read ([[StatsSource]]). v1
-    * single-file sidecars remain readable. Writers order commits so a
-    * crash can only LOSE stats, never serve stale bounds: the manifest
-    * deletes before any chunk moves and rewrites LAST, and readers
-    * consult per-var files only through the manifest.
+    * Format v2: the ROOT file of this name is a manifest
+    * (`{"version":2,"vars":[...],"fp":{...}}`) and each listed
+    * variable carries its own `<var>/.graft-stats.json` — a 100 TB
+    * tree's stats are no longer one GB-scale driver read
+    * ([[StatsSource]]). The `fp` object records each per-var file's
+    * content fingerprint so readers validate the exact bytes they
+    * serve against the manifest they opened (no staleness window). A
+    * variable whose entry list alone exceeds [[StatsShardEntriesKey]]
+    * (the skew-heavy one-dominant-variable tree) writes per-var format
+    * v3 instead: its file becomes a shard directory over leading-
+    * chunk-index ranges, each range a separate fingerprinted file
+    * loaded only when pruning touches it. v1 single-file sidecars
+    * remain readable. Writers order commits so a crash can only LOSE
+    * stats, never serve stale bounds: the manifest deletes before any
+    * chunk moves and rewrites LAST, and readers consult per-var files
+    * only through the manifest.
     */
   private[grid] val StatsSidecar = ".graft-stats.json"
 
@@ -555,25 +563,34 @@ object ZarrGridStore {
     case _ => "double"
   }
 
-  /** Write one variable's v2 stats file from its (key, bounds, sum)
-    * entries; deletes any stale file when there is nothing to record.
-    * Entries are sorted by chunk key (scatter results arrive in
-    * executor map order, and the file must be byte-deterministic — the
-    * append byte-identity property covers it). Returns whether a file
-    * now exists for the variable.
+  /** Content fingerprint of a stats file — the bytes-served staleness
+    * guard (StatsSource.LazyPerVar): truncated SHA-256, hex. Purely
+    * content-derived so the append-equals-one-shot byte identity of
+    * the sidecar tree is preserved (a random token would break it) and
+    * a retried byte-identical rewrite correctly still validates.
     */
-  private[grid] def writeVarStats(root: String, v: VarDef,
-      entries: Seq[(String, Option[(Any, Any)], Option[Double])],
-      conf: org.apache.hadoop.conf.Configuration): Boolean = {
-    val p = s"$root/${v.name}/$StatsSidecar"
-    val es = entries.flatMap { case (key, mm, sm) =>
-      key.split(" ", 2) match {
-        case Array(nm, ci) if nm == v.name &&
-          (mm.isDefined || sm.isDefined) => Some((ci, mm, sm))
-        case _ => None
-      }
-    }.sortBy(_._1)
-    if (es.isEmpty) { GridIO.delete(p, conf); return false }
+  private[grid] def statsFp(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .take(8).map(b => f"$b%02x").mkString
+
+  /** Entry-count threshold above which one variable's stats split into
+    * leading-chunk-index range shards (per-var format v3). The v2
+    * per-var split already keeps a 300-variable archive from paying
+    * one giant read, but a SKEW-HEAVY tree — one dominant 100 TB data
+    * variable plus tiny coords — concentrates everything back into one
+    * file; v3 bounds any single stats read by this many entries
+    * (~40 B/entry of JSON, so the default keeps files a few MB).
+    */
+  val StatsShardEntriesKey = "graft.zarr.stats.shardEntries"
+  private val DefaultStatsShardEntries = 65536
+
+  /** One variable's v2-format stats CONTENT (also the per-shard file
+    * body under v3). Entries sorted by chunk key — scatter results
+    * arrive in executor map order and the bytes must be deterministic
+    * (the append byte-identity property pins it).
+    */
+  private def varStatsJson(v: VarDef,
+      es: Seq[(String, Option[(Any, Any)], Option[Double])]): String = {
     val mapper = new ObjectMapper()
     val vn = mapper.createObjectNode()
     vn.put("version", 2)
@@ -592,21 +609,115 @@ object ZarrGridStore {
       }
       sm.foreach(s => su.put(ci, s))
     }
-    GridIO.writeString(p, mapper.writeValueAsString(vn), conf)
-    true
+    mapper.writeValueAsString(vn)
+  }
+
+  /** Write one variable's stats from its (key, bounds, sum) entries;
+    * deletes stale files when there is nothing to record. Small entry
+    * lists write the single v2 per-var file; lists over
+    * [[StatsShardEntriesKey]] split by leading chunk index into range
+    * shard files plus a v3 shard directory, so a reader pruning a
+    * range of a skew-heavy variable reads O(touched shards), not the
+    * whole list. Shard packing is a pure function of the entry set
+    * (numeric-sorted leading-index groups, greedily packed), so a
+    * merge rewrite stays byte-identical to a one-shot write. Returns
+    * the written per-var file's content fingerprint, or None when no
+    * file exists for the variable.
+    */
+  private[grid] def writeVarStats(root: String, v: VarDef,
+      entries: Seq[(String, Option[(Any, Any)], Option[Double])],
+      conf: org.apache.hadoop.conf.Configuration): Option[String] = {
+    val p = s"$root/${v.name}/$StatsSidecar"
+    val es = entries.flatMap { case (key, mm, sm) =>
+      key.split(" ", 2) match {
+        case Array(nm, ci) if nm == v.name &&
+          (mm.isDefined || sm.isDefined) => Some((ci, mm, sm))
+        case _ => None
+      }
+    }.sortBy(_._1)
+    // a previous v3 write's shard files must not outlive a rewrite
+    // that shards differently (or not at all): collect them up front,
+    // delete the no-longer-referenced ones LAST (after the new per-var
+    // file is in place, so a crash window can only lose stats)
+    val oldShards: Seq[String] =
+      try {
+        val node = parseJson(GridIO.readAllBytes(p, conf))
+        if (node.path("version").asInt(0) == 3)
+          node.path("shards").elements().asScala
+            .map(_.path("file").asText()).toSeq
+        else Seq.empty
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    if (es.isEmpty) {
+      GridIO.delete(p, conf)
+      oldShards.foreach(f => GridIO.delete(s"$root/${v.name}/$f", conf))
+      return None
+    }
+    val threshold = conf.getInt(StatsShardEntriesKey,
+      DefaultStatsShardEntries)
+    val (json, newShards) =
+      if (es.size <= threshold) (varStatsJson(v, es), Seq.empty[String])
+      else {
+        // group by leading chunk index (groups stay whole so a range
+        // lookup is unambiguous; one index's group exceeding the
+        // threshold just yields one oversized shard), pack greedily
+        val groups = es.groupBy(_._1.takeWhile(_ != '.').toLong)
+          .toSeq.sortBy(_._1)
+        val shards = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Seq[(String, Option[(Any, Any)],
+            Option[Double])])]
+        groups.foreach { case (lead, ges) =>
+          shards.lastOption match {
+            case Some((lo, _, acc))
+                if acc.size + ges.size <= threshold =>
+              shards(shards.length - 1) = (lo, lead, acc ++ ges)
+            case _ => shards += ((lead, lead, ges))
+          }
+        }
+        val mapper = new ObjectMapper()
+        val top = mapper.createObjectNode()
+        top.put("version", 3)
+        top.put("kind", statsKind(v.dtype))
+        val arr = top.putArray("shards")
+        val files = shards.map { case (lo, hi, ses) =>
+          val file = f".graft-stats.$lo%012d-$hi%012d.json"
+          val body = varStatsJson(v, ses.sortBy(_._1))
+          GridIO.writeString(s"$root/${v.name}/$file", body, conf)
+          val e = arr.addObject()
+          e.put("lo", lo)
+          e.put("hi", hi)
+          e.put("file", file)
+          e.put("fp", statsFp(body.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)))
+          file
+        }
+        (mapper.writeValueAsString(top), files.toSeq)
+      }
+    GridIO.writeString(p, json, conf)
+    oldShards.filterNot(newShards.toSet).foreach(f =>
+      GridIO.delete(s"$root/${v.name}/$f", conf))
+    Some(statsFp(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   /** Root manifest (format v2) — written LAST so readers never consult
-    * a per-var file the writer has not finished.
+    * a per-var file the writer has not finished. `vars` carries each
+    * variable's per-var-file fingerprint where known (None only for
+    * entries carried forward from a pre-fp manifest by a merge);
+    * readers use it as the bytes-served staleness guard.
     */
-  private[grid] def writeStatsManifest(root: String, vars: Seq[String],
+  private[grid] def writeStatsManifest(root: String,
+      vars: Seq[(String, Option[String])],
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     if (vars.isEmpty) { GridIO.delete(s"$root/$StatsSidecar", conf); return }
     val mapper = new ObjectMapper()
     val top = mapper.createObjectNode()
     top.put("version", 2)
+    val sorted = vars.sortBy(_._1)
     val arr = top.putArray("vars")
-    vars.sorted.foreach(arr.add)
+    sorted.foreach(v => arr.add(v._1))
+    if (sorted.exists(_._2.isDefined)) {
+      val fo = top.putObject("fp")
+      sorted.foreach { case (n, fp) => fp.foreach(fo.put(n, _)) }
+    }
     GridIO.writeString(s"$root/$StatsSidecar",
       mapper.writeValueAsString(top), conf)
   }
@@ -621,9 +732,9 @@ object ZarrGridStore {
       entries: Seq[(String, Option[(Any, Any)], Option[Double])],
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     val byVar = entries.groupBy(_._1.split(" ", 2)(0))
-    val withFiles = schema.vars.filter(v =>
-      writeVarStats(root, v, byVar.getOrElse(v.name, Seq.empty), conf))
-      .map(_.name)
+    val withFiles = schema.vars.flatMap(v =>
+      writeVarStats(root, v, byVar.getOrElse(v.name, Seq.empty), conf)
+        .map(fp => v.name -> Option(fp)))
     writeStatsManifest(root, withFiles, conf)
   }
 
@@ -658,10 +769,16 @@ object ZarrGridStore {
             case 2 =>
               val vars = node.path("vars").elements().asScala
                 .map(_.asText()).toSet
-              // open-time version key: per-var loads verify the
-              // manifest is still THIS one (see LazyPerVar scaladoc)
+              // per-var content fingerprints (bytes-served staleness
+              // guard); absent on pre-fp manifests, which fall back to
+              // the open-time (length, mtime) key — see LazyPerVar
+              val fpNode = node.path("fp")
+              val fps =
+                if (!fpNode.isObject) Map.empty[String, String]
+                else fpNode.properties().asScala
+                  .map(e => e.getKey -> e.getValue.asText()).toMap
               new StatsSource.LazyPerVar(root, vars, hconf,
-                GridIO.statusOf(p, conf))
+                GridIO.statusOf(p, conf), fps)
             case v =>
               statsWarn(s"$p: unsupported stats sidecar version $v — " +
                 "ignoring (no pruning bounds served)")
@@ -2426,29 +2543,34 @@ object ZarrGridStore {
       newEntries: Seq[(String, Option[(Any, Any)], Option[Double])],
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     val touched = newEntries.map(_._1.split(" ", 2)(0)).toSet
-    val withFiles = Set.newBuilder[String]
+    val withFiles = Seq.newBuilder[(String, Option[String])]
     touched.toSeq.sorted.foreach { vn =>
       schema.vars.find(_.name == vn).foreach { v =>
         val prefix = vn + " "
         val news = newEntries.filter(_._1.startsWith(prefix))
         val replaced = news.map(_._1).toSet
         val olds = old.entriesFor(vn).filterNot(e => replaced(e._1))
-        if (writeVarStats(root, v, olds ++ news, conf)) withFiles += vn
+        writeVarStats(root, v, olds ++ news, conf).foreach(fp =>
+          withFiles += vn -> Some(fp))
       }
     }
     val untouched = old.varNames -- touched
     old match {
-      case _: StatsSource.LazyPerVar =>
-        withFiles ++= untouched // v2 files already on disk, untouched
+      case lp: StatsSource.LazyPerVar =>
+        // v2/v3 files already on disk, untouched — carry their
+        // fingerprints forward unread (None only for pre-fp manifests,
+        // where readers keep the coarse manifest-key guard)
+        untouched.toSeq.sorted.foreach(vn =>
+          withFiles += vn -> lp.fpOf(vn))
       case _ =>
         untouched.toSeq.sorted.foreach { vn =>
           schema.vars.find(_.name == vn).foreach { v =>
-            if (writeVarStats(root, v, old.entriesFor(vn), conf))
-              withFiles += vn
+            writeVarStats(root, v, old.entriesFor(vn), conf).foreach(fp =>
+              withFiles += vn -> Some(fp))
           }
         }
     }
-    writeStatsManifest(root, withFiles.result().toSeq, conf)
+    writeStatsManifest(root, withFiles.result(), conf)
   }
 
   /** In place on `arr` (flat C-order of shape `eff`): every position

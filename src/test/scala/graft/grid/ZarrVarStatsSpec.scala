@@ -253,6 +253,83 @@ class ZarrVarStatsSpec extends SparkTestBase {
       manifest)
   }
 
+  test("pre-append handle never serves post-append stats (fp guard)") {
+    import spark.implicits._
+    val root = tmp().resolve("stale").toString
+    val s7 = GridSchema(
+      Seq(DimDef("t", IntCoords((0 until 7).toArray)),
+        DimDef("s", IntCoords((0 until 3).toArray))),
+      Seq(VarDef("x", Seq("t"), GDouble), VarDef("y", Seq("s"), GDouble)))
+    ZarrGridStore.write(
+      SyntheticGridStore(s7, Map(
+        "x" -> Fixtures.AffineLaw(0.0, Seq(2.0)),
+        "y" -> Fixtures.AffineLaw(0.0, Seq(5.0)))),
+      root, Map("t" -> 4), "zlib")
+    // handle opened BEFORE the append; its lazy stats must belong to
+    // the pre-append extent forever. The manifest-key (length, mtime)
+    // guard had a window here — an append landing within the same
+    // mtime tick passed it and served merged edge-chunk stats against
+    // the old extent; the content-fingerprint guard compares the very
+    // bytes served, so no filesystem timing can fool it.
+    val before = ZarrGridStore.open(root)
+    val slab = GridSchema(
+      Seq(DimDef("t", IntCoords((7 until 10).toArray)),
+        DimDef("s", IntCoords((0 until 3).toArray))),
+      Seq(VarDef("x", Seq("t"), GDouble)))
+    ZarrGridStore.appendFromRows(
+      (7 until 10).map(t => (t, t * 2.0)).toDF("t", "x"), slab, root, "t")
+    GridIO.Counters.reset()
+    // x's stats file changed under the handle: degrade, loudly not
+    // wrongly — a merged edge-chunk SUM would overcount its extent
+    assert(before.varBounds("x", Seq((4, 3))).isEmpty,
+      "pre-append handle served post-append stats")
+    // ...and the guard is content-based: no statusOf HEAD happened
+    assert(GridIO.Counters.existChecks.sum() == 0,
+      "fp guard fell back to the legacy manifest HEAD")
+    // untouched y keeps serving — only the changed variable degrades
+    assert(before.varBounds("y", Seq((0, 3))).contains((0.0, 10.0)))
+    // a FRESH open serves the merged stats (chunk 1 now spans t=4..7)
+    assert(ZarrGridStore.open(root).varBounds("x", Seq((4, 4)))
+      .contains((8.0, 14.0)))
+  }
+
+  test("sharded per-var stats (v3) serve a zarr tree end-to-end") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt(ZarrGridStore.StatsShardEntriesKey, 2)
+    val root = tmp().resolve("sharded").toString
+    try {
+      // 8 chunks along t -> 8 stats entries for x, forced into 4
+      // leading-index range shards
+      val s16 = GridSchema(
+        Seq(DimDef("t", IntCoords((0 until 16).toArray))),
+        Seq(VarDef("x", Seq("t"), GDouble)))
+      ZarrGridStore.write(
+        SyntheticGridStore(s16,
+          Map("x" -> Fixtures.AffineLaw(0.0, Seq(3.0)))),
+        root, Map("t" -> 2), "zlib")
+      val varFile = new String(Files.readAllBytes(
+        Paths.get(root, "x", ".graft-stats.json")))
+      assert(varFile.contains("\"version\":3"), varFile)
+      assert(Files.list(Paths.get(root, "x")).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".graft-stats.") && n != ".graft-stats.json"
+      }.count() == 4L)
+      val store = ZarrGridStore.open(root)
+      assert(store.varBounds("x", Seq((14, 2))).contains((42.0, 45.0)))
+      assert(store.varBounds("x", Seq((0, 2))).contains((0.0, 3.0)))
+      // append merges through the sharded format too
+      import spark.implicits._
+      val slab = GridSchema(
+        Seq(DimDef("t", IntCoords((16 until 18).toArray))),
+        Seq(VarDef("x", Seq("t"), GDouble)))
+      val grown = ZarrGridStore.appendFromRows(
+        (16 until 18).map(t => (t, t * 3.0)).toDF("t", "x"),
+        slab, root, "t")
+      assert(grown.varBounds("x", Seq((16, 2))).contains((48.0, 51.0)))
+      assert(grown.varBounds("x", Seq((0, 2))).contains((0.0, 3.0)))
+    } finally hconf.unset(ZarrGridStore.StatsShardEntriesKey)
+  }
+
   test("foreign trees (no sidecar) serve no bounds") {
     val root = tmp().resolve("foreign").toString
     Fixtures.writeM8Tree(root)
