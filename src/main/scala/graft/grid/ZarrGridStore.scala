@@ -635,21 +635,27 @@ object ZarrGridStore {
         case _ => None
       }
     }.sortBy(_._1)
-    // a previous v3 write's shard files must not outlive a rewrite
-    // that shards differently (or not at all): collect them up front,
-    // delete the no-longer-referenced ones LAST (after the new per-var
-    // file is in place, so a crash window can only lose stats)
-    val oldShards: Seq[String] =
+    // a previous v3 write's shard layout, (file -> fp): shard files
+    // must not outlive a rewrite that shards differently (or not at
+    // all) — the no-longer-referenced ones delete LAST (after the new
+    // per-var file is in place, so a crash window can only lose
+    // stats) — and a rewrite producing a byte-identical shard (same
+    // name, same fingerprint) SKIPS the write: greedy packing is a
+    // pure function of the entry set, so an append touching only the
+    // tail leaves every prefix shard's (lo, hi, bytes) unchanged and
+    // the merge pays O(touched-suffix) shard writes, not O(var)
+    val oldShards: Map[String, String] =
       try {
         val node = parseJson(GridIO.readAllBytes(p, conf))
         if (node.path("version").asInt(0) == 3)
           node.path("shards").elements().asScala
-            .map(_.path("file").asText()).toSeq
-        else Seq.empty
-      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+            .map(s => s.path("file").asText() -> s.path("fp").asText())
+            .toMap
+        else Map.empty
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
     if (es.isEmpty) {
       GridIO.delete(p, conf)
-      oldShards.foreach(f => GridIO.delete(s"$root/${v.name}/$f", conf))
+      oldShards.keys.foreach(f => GridIO.delete(s"$root/${v.name}/$f", conf))
       return None
     }
     val threshold = conf.getInt(StatsShardEntriesKey,
@@ -681,19 +687,22 @@ object ZarrGridStore {
         val files = shards.map { case (lo, hi, ses) =>
           val file = f".graft-stats.$lo%012d-$hi%012d.json"
           val body = varStatsJson(v, ses.sortBy(_._1))
-          GridIO.writeString(s"$root/${v.name}/$file", body, conf)
+          val fp = statsFp(body.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          // byte-identical shard already on disk: skip the PUT
+          if (!oldShards.get(file).contains(fp))
+            GridIO.writeString(s"$root/${v.name}/$file", body, conf)
           val e = arr.addObject()
           e.put("lo", lo)
           e.put("hi", hi)
           e.put("file", file)
-          e.put("fp", statsFp(body.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8)))
+          e.put("fp", fp)
           file
         }
         (mapper.writeValueAsString(top), files.toSeq)
       }
     GridIO.writeString(p, json, conf)
-    oldShards.filterNot(newShards.toSet).foreach(f =>
+    oldShards.keysIterator.filterNot(newShards.toSet).foreach(f =>
       GridIO.delete(s"$root/${v.name}/$f", conf))
     Some(statsFp(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }

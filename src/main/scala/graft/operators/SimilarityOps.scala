@@ -575,6 +575,76 @@ object SimilarityOps {
       excludeId = None)
   }
 
+  /** BATCH multi-probe over a [[buildIvfIndex]] materialization — the
+    * nightly-retrieval workload against a STORED index (the from-index
+    * form of [[annIvfMultiProbeBatch]], bit-identical tie-breaks).
+    * Probe rows are located through the `_ids` sidecar (P driver-side
+    * (id, bucket) pairs, then ONE scan pruned to the probes' own
+    * bucket directories — never an index-wide id filter; pre-sidecar
+    * indexes fall back to the full join). Cell ranking and per-probe
+    * exact top-k run entirely executor-side through GroupedTopK, and
+    * the candidate scan joins `bucket === cid` against the broadcast
+    * (probe, cell) list — on the bucket-partitioned layout Spark's
+    * dynamic partition pruning turns that broadcast into a runtime
+    * directory filter (pinned in AnnIndexSpec), so candidate I/O is
+    * the union of probed cells no matter the index size.
+    */
+  def annIvfFromIndexBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probeIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe=$nprobe")
+    require(probeIds.nonEmpty, "empty probeIds")
+    val dot = GraftFunctions.dot_f64 _
+    val stored = spark.read.parquet(dir)
+    val pidDf = {
+      import spark.implicits._
+      probeIds.toDF("id")
+    }
+    // probe vectors: sidecar lookup -> scan only the probes' buckets
+    val probeRows = {
+      val viaSidecar =
+        try {
+          val pb = spark.read.parquet(s"$dir/_ids")
+            .join(broadcast(pidDf), "id").collect()
+          if (pb.length < probeIds.distinct.length) None // ids missing
+          else Some(pb.map(_.getInt(1)).distinct.toSeq)
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
+      viaSidecar match {
+        case Some(buckets) =>
+          stored.filter(col("bucket").isin(buckets: _*))
+            .join(broadcast(pidDf), "id")
+        case None => stored.join(broadcast(pidDf), "id")
+      }
+    }
+    val probes = probeRows.select(col("id").as("pid"), col("v").as("pv"),
+      sqrt(dot(col("v"), col("v"))).as("pn"))
+    val cents =
+      try spark.read.parquet(s"$dir/_codebook")
+        .select(col("id").as("cid"), col("v").as("cv"))
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$dir has no _codebook sidecar — the index predates " +
+            "multi-probe support; rebuild it with buildIvfIndex", e)
+      }
+    val cellScores = probes.crossJoin(broadcast(cents))
+      .select(col("pid"), col("cid"),
+        (dot(col("cv"), col("pv")) / sqrt(dot(col("cv"), col("cv"))))
+          .as("score"))
+    val probeCells = TopKOps.topKPerGroup(cellScores, Seq("pid"),
+      Seq("score" -> false, "cid" -> true), nprobe)
+      .select(col("pid"), col("cid"))
+    stored
+      .join(broadcast(probeCells), col("bucket") === col("cid"))
+      .join(broadcast(probes), "pid")
+      .filter(col("id") =!= col("pid"))
+      .select(col("pid"), col("id"),
+        (dot(col("v"), col("pv")) /
+          (sqrt(dot(col("v"), col("v"))) * col("pn"))).as("cosine"))
+      .transform(d => TopKOps.topKPerGroup(d, Seq("pid"),
+        Seq("cosine" -> false, "id" -> true), k))
+  }
+
   /** id→bucket point lookup against the `_ids` sidecar; None when the
     * index predates the sidecar or the id is absent. The sidecar is
     * sorted/range-partitioned by id, so the filter prunes to one row

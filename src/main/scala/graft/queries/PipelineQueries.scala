@@ -514,6 +514,25 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("cosine"))
     }),
 
+    // BATCH multi-probe against the STORED index — the nightly
+    // retrieval workload: probe rows located via the _ids sidecar
+    // (scan pruned to the probes' own buckets), cells ranked per probe
+    // through GroupedTopK, candidates reached by a broadcast
+    // (probe,cell) join the bucket-partitioned scan answers with
+    // dynamic partition pruning. Bit-identical to the one-shot batch
+    // (same oracle).
+    "ann_ivf_index_batch" -> ((s, d) => {
+      val dir = stagedPath(s, d, "ivfidx") { p =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        graft.operators.SimilarityOps.buildIvfIndex(e, "vec_id", "v", 8, p)
+      }
+      graft.operators.SimilarityOps
+        .annIvfFromIndexBatch(s, dir, Seq(8L, 9L, 10L), k = 5, nprobe = 2)
+        .select(col("pid").as("probe_id"), col("id").as("vec_id"),
+          col("cosine"))
+    }),
+
     // probe-by-VECTOR over the same bucketed index — the retrieval
     // shape (query embedded at request time, not a stored row): no id
     // lookup at all, cells rank against _codebook, scan prunes to the
@@ -1910,9 +1929,7 @@ object PipelineQueries {
       |WHERE a.bucket IN (SELECT cid FROM cells) AND a.id <> 8
       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
-  val oracleSql: ListMap[String, String] = ListMap(
-    "ann_ivf_multiprobe" -> annIvfMultiProbeOracle,
-    "ann_ivf_batch" ->
+  private val annIvfBatchOracle: String =
       """WITH e AS (
         |  SELECT vec_id AS id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1958,7 +1975,14 @@ object PipelineQueries {
         |SELECT pid AS probe_id, id AS vec_id, cosine FROM (
         |  SELECT pid, id, cosine, row_number() OVER (PARTITION BY pid
         |    ORDER BY cosine DESC, id) AS rn
-        |  FROM cand) t WHERE rn <= 5""".stripMargin,
+        |  FROM cand) t WHERE rn <= 5""".stripMargin
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "ann_ivf_multiprobe" -> annIvfMultiProbeOracle,
+    "ann_ivf_batch" -> annIvfBatchOracle,
+    // from-index batch == one-shot batch bit for bit (same scoring
+    // rule, same tie-breaks; only the physical scan differs)
+    "ann_ivf_index_batch" -> annIvfBatchOracle,
     // physical plan differs (partition-pruned index scan), answer
     // does not: one oracle serves both — same as ann_ivf_bucketed
     "ann_ivf_bucketed_multiprobe" -> annIvfMultiProbeOracle,

@@ -95,7 +95,13 @@ object ScaleSmoke {
       // probes touch ~1/nCentroids of a 10x corpus; batch multi-probe
       // shares one pipeline across probes; k-means pays 10x map-side
       // per Lloyd iteration
-      "ann_ivf", "ann_ivf_multiprobe", "ann_ivf_batch", "kmeans_embed")
+      "ann_ivf", "ann_ivf_multiprobe", "ann_ivf_batch", "kmeans_embed",
+      // round-12 additions: incremental index ingest (build slice +
+      // append slice + probe — the cost is the index WRITE, which must
+      // track corpus size, while the probe stays pruned) and
+      // probe-by-vector over the bucketed index (read-side cost only:
+      // codebook ranking + nprobe pruned directories)
+      "ann_ivf_incremental", "ann_ivf_vector")
     // one warm pass at sf0.1 amortizes codegen/JIT out of the ratio
     heavy.foreach(n => graft.SparkEntry.queries(n)(spark, base).count())
     def time(name: String, dir: String): (Double, Long) = {

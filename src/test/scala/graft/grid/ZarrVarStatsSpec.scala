@@ -317,8 +317,22 @@ class ZarrVarStatsSpec extends SparkTestBase {
       val store = ZarrGridStore.open(root)
       assert(store.varBounds("x", Seq((14, 2))).contains((42.0, 45.0)))
       assert(store.varBounds("x", Seq((0, 2))).contains((0.0, 3.0)))
-      // append merges through the sharded format too
+      // append merges through the sharded format too — and pays only
+      // the TOUCHED suffix: packing is a pure function of the entry
+      // set, so prefix shards repack byte-identically and their
+      // rewrite is skipped (mtime pin below)
       import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      def shardMtimes: Map[String, java.nio.file.attribute.FileTime] = {
+        val l = Files.list(Paths.get(root, "x"))
+        try l.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".graft-stats.") && n != ".graft-stats.json"
+        }.map(p => p.getFileName.toString ->
+          Files.getLastModifiedTime(p)).toMap
+        finally l.close()
+      }
+      val before = shardMtimes
       val slab = GridSchema(
         Seq(DimDef("t", IntCoords((16 until 18).toArray))),
         Seq(VarDef("x", Seq("t"), GDouble)))
@@ -327,6 +341,11 @@ class ZarrVarStatsSpec extends SparkTestBase {
         slab, root, "t")
       assert(grown.varBounds("x", Seq((16, 2))).contains((48.0, 51.0)))
       assert(grown.varBounds("x", Seq((0, 2))).contains((0.0, 3.0)))
+      val after = shardMtimes
+      assert(after.size == before.size + 1, "expected one new shard")
+      before.foreach { case (f, t) =>
+        assert(after(f) == t, s"prefix shard $f rewritten by append")
+      }
     } finally hconf.unset(ZarrGridStore.StatsShardEntriesKey)
   }
 

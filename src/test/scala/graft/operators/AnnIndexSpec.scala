@@ -153,6 +153,37 @@ class AnnIndexSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(got == expect)
   }
 
+  test("from-index batch == one-shot batch; DPP prunes the candidate scan") {
+    val rows = vecs(0 until 160)
+    val dir = tmp("ann_batch")
+    SimilarityOps.buildIvfIndex(rows, "id", "v", 4, dir)
+    val probes = Seq(10L, 77L, 140L)
+    val fromIndex = SimilarityOps
+      .annIvfFromIndexBatch(spark, dir, probes, k = 5, nprobe = 2)
+    // GroupedTopK emits a group's rows in heap order (unordered set
+    // semantics, like the driver's sorted-rows hash gate): compare as
+    // sorted rows
+    def sorted(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val got = sorted(fromIndex.collect())
+    val expect = sorted(SimilarityOps
+      .annIvfMultiProbeBatch(rows, "id", "v", 4, probes, k = 5,
+        nprobe = 2).collect())
+    assert(got == expect)
+    // the candidate scan (bucket-partitioned, joined on bucket = cid
+    // against a broadcast) must carry a dynamic partition pruning
+    // filter — the runtime form of the one-shot path's literal IN
+    val scans = collectWithSubqueries(
+      fromIndex.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.exists(_.partitionFilters.exists(
+      _.toString.contains("dynamicpruning"))),
+      s"no DPP filter on the index scan:\n" +
+        fromIndex.queryExecution.executedPlan)
+  }
+
   test("probe-by-vector == probe-by-id modulo self-exclusion") {
     val dir = tmp("ann_vec")
     SimilarityOps.buildIvfIndex(vecs(0 until 160), "id", "v", 4, dir)
