@@ -166,6 +166,27 @@ object Fixtures {
       Map("temp" -> AffineLaw(100.0, Seq(0.5, 3.0))))
   }
 
+  /** Nonzero-UTC-offset CF units end-to-end: hourly offsets whose
+    * reference instant is LOCAL +01:00 ("hours since 2000-01-01
+    * 00:00:00 +01:00" = 1999-12-31T23:00Z after the cftime-style
+    * tz-aware->UTC fold) — the CMIP/CORDEX archive shape that was a
+    * loud reject before round 12. Dyadic value law for oracle parity.
+    */
+  def cfOffsetGrid: SyntheticGridStore = {
+    val units = "hours since 2000-01-01 00:00:00 +01:00"
+    val micros = (0L until 96L).map(o => graft.time.CfCalendar
+      .offsetToMicros(o, units, "standard")).toArray
+    val lat = DoubleCoords((0 until 4).map(i => 10.0 * i).toArray)
+    SyntheticGridStore(
+      GridSchema(
+        Seq(
+          DimDef("time", TimeCoords(micros),
+            calendar = Some("standard"), units = Some(units)),
+          DimDef("lat", lat)),
+        Seq(VarDef("temp", Seq("time", "lat"), GDouble))),
+      Map("temp" -> AffineLaw(100.0, Seq(0.5, 3.0))))
+  }
+
   /** All-leap-calendar fixture: 119 daily offsets ("days since
     * 2000-01-01", calendar=all_leap) x 4 latitudes, bridged onto the
     * real timeline (GregorianLike tier, reference cftime.py:33-47).

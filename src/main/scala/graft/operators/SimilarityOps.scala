@@ -458,16 +458,20 @@ object SimilarityOps {
     */
   def buildIvfIndex(vecs: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, dir: String): Unit = {
-    val assigned = ivfAssign(vecs, idCol, vecCol, nCentroids)
+    ivfAssign(vecs, idCol, vecCol, nCentroids)
       .withColumn("bucket", col("bucket").cast("int"))
-      .localCheckpoint() // two consumers: data + _ids sidecar
-    assigned.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
     // the codebook rides along under an underscore dir (invisible to
     // parquet readers of `dir`): multi-probe needs it to rank cells
     vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("id") < nCentroids)
       .write.mode("overwrite").parquet(s"$dir/_codebook")
-    writeIdsSidecar(assigned, dir, overwrite = true)
+    // _ids derives from the JUST-WRITTEN index — a column-pruned read
+    // of (id, partition-column) only, never a re-quantization and
+    // never a checkpoint of the corpus-sized assignment (vectors
+    // included) just to reuse two small columns
+    writeIdsSidecar(vecs.sparkSession.read.parquet(dir)
+      .select("id", "bucket"), dir, overwrite = true)
   }
 
   /** The id→bucket lookup sidecar: (id, bucket) range-partitioned and
@@ -504,12 +508,17 @@ object SimilarityOps {
     val spark = newVecs.sparkSession
     val cents = spark.read.parquet(s"$dir/_codebook")
       .select(col("id").as("cid"), col("v").as("cv"))
+    // BATCH-sized checkpoint (not index-sized): the appended rows
+    // cannot be told apart from the rest of `dir` after the write, so
+    // the assignment is pinned once and shared by the data append and
+    // the _ids append instead of quantizing the batch twice
     val assigned = assignToCodebook(
       newVecs.select(col(idCol).as("id"), col(vecCol).as("v")), cents)
       .withColumn("bucket", col("bucket").cast("int"))
-      .localCheckpoint() // two consumers: data + _ids sidecar
+      .localCheckpoint()
     assigned.write.mode("append").partitionBy("bucket").parquet(dir)
-    writeIdsSidecar(assigned, dir, overwrite = false)
+    writeIdsSidecar(assigned.select("id", "bucket"), dir,
+      overwrite = false)
   }
 
   /** Probe a [[buildIvfIndex]] materialization: the probe row is a
@@ -599,14 +608,27 @@ object SimilarityOps {
       import spark.implicits._
       probeIds.toDF("id")
     }
-    // probe vectors: sidecar lookup -> scan only the probes' buckets
+    // probe vectors: sidecar lookup -> scan only the probes' buckets.
+    // Bounded probe lists filter the sidecar with a literal isin —
+    // that pushes into parquet min/max stats, so the sorted layout
+    // prunes to the touched row groups; past the literal-list
+    // threshold (the 10^6-probe workload) a broadcast join scans the
+    // sidecar once, which at that probe count IS the lookup's amortized
+    // cost (2 longs/row — a sliver of the vector payload it replaces).
+    val distinctPids = probeIds.distinct
     val probeRows = {
       val viaSidecar =
         try {
-          val pb = spark.read.parquet(s"$dir/_ids")
-            .join(broadcast(pidDf), "id").collect()
-          if (pb.length < probeIds.distinct.length) None // ids missing
-          else Some(pb.map(_.getInt(1)).distinct.toSeq)
+          val ids = spark.read.parquet(s"$dir/_ids")
+          val matched =
+            (if (distinctPids.length <= 1000)
+              ids.filter(col("id").isin(distinctPids: _*))
+            else ids.join(broadcast(pidDf), "id")).collect()
+          // distinct on the MATCHED ids: duplicate probeIds must not
+          // mask ids the sidecar is missing
+          if (matched.map(_.getLong(0)).distinct.length <
+              distinctPids.length) None
+          else Some(matched.map(_.getInt(1)).distinct.toSeq)
         } catch {
           case _: org.apache.spark.sql.AnalysisException => None
         }
@@ -619,14 +641,11 @@ object SimilarityOps {
     }
     val probes = probeRows.select(col("id").as("pid"), col("v").as("pv"),
       sqrt(dot(col("v"), col("v"))).as("pn"))
-    val cents =
-      try spark.read.parquet(s"$dir/_codebook")
-        .select(col("id").as("cid"), col("v").as("cv"))
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"$dir has no _codebook sidecar — the index predates " +
-            "multi-probe support; rebuild it with buildIvfIndex", e)
-      }
+    val cents = codebookDf(spark, dir)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val nCents = cents.count()
+    require(nCents >= nprobe,
+      s"codebook has $nCents centroids < nprobe=$nprobe")
     val cellScores = probes.crossJoin(broadcast(cents))
       .select(col("pid"), col("cid"),
         (dot(col("cv"), col("pv")) / sqrt(dot(col("cv"), col("cv"))))
@@ -643,6 +662,55 @@ object SimilarityOps {
           (sqrt(dot(col("v"), col("v"))) * col("pn"))).as("cosine"))
       .transform(d => TopKOps.topKPerGroup(d, Seq("pid"),
         Seq("cosine" -> false, "id" -> true), k))
+  }
+
+  /** COMPACT an appended index: every [[appendToIvfIndex]] batch adds
+    * one file set per touched bucket, so N daily ingests leave O(N)
+    * small files per directory and probes pay O(N) opens. Buckets
+    * whose file count exceeds `maxFilesPerBucket` are rewritten as
+    * one file each through Spark's DYNAMIC partition overwrite —
+    * only the compacted bucket directories are replaced (a
+    * partition-pruned read of exactly those buckets, one shuffle
+    * keyed by bucket, standard Spark commit semantics), untouched
+    * buckets and the `_codebook` keep their files byte-identical.
+    * Content is preserved row-for-row and the id→bucket map is
+    * unchanged, so the `_ids` sidecar stays valid as-is; it is
+    * re-sorted/rewritten only when its own file count passed the
+    * threshold. Probe answers are identical before and after (pinned
+    * in AnnIndexSpec).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxFilesPerBucket: Int = 4): Unit = {
+    require(maxFilesPerBucket >= 1, s"maxFilesPerBucket=$maxFilesPerBucket")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    def parquetCount(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    val fat = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .filter(s => parquetCount(s.getPath) > maxFilesPerBucket)
+      .map(_.getPath.getName.stripPrefix("bucket=").toInt)
+    if (fat.nonEmpty) {
+      // localCheckpoint: materializes the fat buckets BEFORE the
+      // overwrite (Spark refuses to overwrite a path it is still
+      // reading, and rightly so) — the spill footprint is exactly the
+      // data being rewritten, the same bytes any staging scheme holds
+      spark.read.parquet(dir)
+        .filter(col("bucket").isin(fat: _*)) // partition-pruned read
+        .localCheckpoint()
+        .repartition(fat.length, col("bucket")) // ~one file per bucket
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(dir)
+    }
+    val idsPath = new org.apache.hadoop.fs.Path(s"$dir/_ids")
+    if (fs.exists(idsPath) && parquetCount(idsPath) > maxFilesPerBucket) {
+      // content unchanged by bucket compaction; rewrite only to
+      // restore the sorted few-files layout the point lookup relies on
+      val ids = spark.read.parquet(s"$dir/_ids").localCheckpoint()
+      writeIdsSidecar(ids, dir, overwrite = true)
+    }
   }
 
   /** id→bucket point lookup against the `_ids` sidecar; None when the
@@ -663,20 +731,29 @@ object SimilarityOps {
     * order matches the executor fold, so the ranking equals
     * ivfAssign's (dot(pv,c)/|c|, ties to the lowest cid).
     */
+  /** The index's `_codebook` sidecar as a DataFrame; loud error for
+    * pre-multi-probe indexes — the one loader every from-index path
+    * shares.
+    */
+  private def codebookDf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    try {
+      val df = spark.read.parquet(s"$dir/_codebook")
+      df.schema // force resolution so a missing dir fails HERE
+      df
+    } catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalArgumentException(
+        s"$dir has no _codebook sidecar — the index predates " +
+          "multi-probe support; rebuild it with buildIvfIndex", e)
+    }
+
   private def codebookCells(spark: org.apache.spark.sql.SparkSession,
       dir: String, pv: Array[Double], nprobe: Int): Seq[Int] = {
     def d(a: Array[Double], b: Array[Double]) =
       a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
-    val cents =
-      try spark.read.parquet(s"$dir/_codebook")
-        .select(col("id"), col("v")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"$dir has no _codebook sidecar — the index predates " +
-            "multi-probe support; rebuild it with buildIvfIndex",
-          e)
-      }
+    val cents = codebookDf(spark, dir)
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(cents.length >= nprobe,
       s"codebook has ${cents.length} centroids < nprobe=$nprobe")
     cents.map { case (cid, cv) =>

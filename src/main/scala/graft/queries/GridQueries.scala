@@ -507,6 +507,20 @@ object GridQueries {
               |WHERE time >= timestamp'2000-03-01 00:00:00'""".stripMargin)
     }),
 
+    // nonzero-UTC-offset CF units end-to-end (round-12 fold): the
+    // reference instant is local +01:00, so every coordinate decodes
+    // one hour EARLIER than a naive offset-ignoring read — the Jan-2
+    // filter boundary falls at offset 25, not 24, and the timestamp
+    // zone maps prune chunk 0 (offsets 0-23 all end before Jan 2).
+    // cftime's tz-aware->UTC semantics gated against DuckDB's own
+    // timestamp arithmetic.
+    "pivot_grid_cfoffset" -> ((s, _) => {
+      new XarrayContext(s).fromDataset("caloffset", Fixtures.cfOffsetGrid,
+        Map("time" -> 24))
+      s.sql("""SELECT time, lat, temp FROM caloffset
+              |WHERE time >= timestamp'2000-01-02 00:00:00'""".stripMargin)
+    }),
+
     // all_leap calendar through the GregorianLike tier: the offsets
     // span all_leap year 2001 minus its timeline-unrepresentable
     // Feb 29 (Fixtures.allLeapGrid), so the decode lands on 119
@@ -1295,6 +1309,17 @@ object GridQueries {
         |SELECT CAST((t % 360) // 30 AS BIGINT) AS month, lat,
         |AVG(temp) AS mean_temp, CAST(COUNT(*) AS BIGINT) AS n
         |FROM cal GROUP BY 1, 2""".stripMargin,
+    "pivot_grid_cfoffset" ->
+      // replay the offset fold as literal arithmetic: the reference
+      // "2000-01-01 00:00:00 +01:00" is 1999-12-31T23:00 UTC, offsets
+      // are whole hours from there
+      """WITH g AS (
+        |  SELECT t, 10.0*i AS lat, 100.0 + 0.5*t + 3.0*i AS temp,
+        |  TIMESTAMP '1999-12-31 23:00:00' + t * INTERVAL 1 HOUR AS time
+        |  FROM generate_series(0, 95) g1(t),
+        |       generate_series(0, 3) g2(i))
+        |SELECT time, lat, temp FROM g
+        |WHERE time >= TIMESTAMP '2000-01-02 00:00:00'""".stripMargin,
     "pivot_grid_noleap" ->
       // replay the noleap decode as literal arithmetic: offsets < 59
       // (Jan 1 - Feb 28) land on the same real dates; from offset 59 on

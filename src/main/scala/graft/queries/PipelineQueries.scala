@@ -514,6 +514,31 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("cosine"))
     }),
 
+    // full index LIFECYCLE gate: build on the first slice, append the
+    // rest in two batches (O(batch) each), COMPACT the fragmented
+    // bucket directories (dynamic partition overwrite, content
+    // preserved row-for-row), then probe — the answer must equal the
+    // one-shot multi-probe over the whole corpus, which is exactly
+    // what the shared oracle hash-checks.
+    "ann_ivf_compacted" -> ((s, d) => {
+      val dir = stagedPath(s, d, "ivfcmp") { p =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        graft.operators.SimilarityOps.buildIvfIndex(
+          e.filter(col("vec_id") < 32), "vec_id", "v", 8, p)
+        graft.operators.SimilarityOps.appendToIvfIndex(
+          e.filter(col("vec_id") >= 32 && col("vec_id") < 64),
+          "vec_id", "v", p)
+        graft.operators.SimilarityOps.appendToIvfIndex(
+          e.filter(col("vec_id") >= 64), "vec_id", "v", p)
+        graft.operators.SimilarityOps.compactIvfIndex(s, p,
+          maxFilesPerBucket = 1)
+      }
+      graft.operators.SimilarityOps
+        .annIvfFromIndexMultiProbe(s, dir, 8L, 10, nprobe = 3)
+        .select(col("id").as("vec_id"), col("cosine"))
+    }),
+
     // BATCH multi-probe against the STORED index — the nightly
     // retrieval workload: probe rows located via the _ids sidecar
     // (scan pruned to the probes' own buckets), cells ranked per probe
@@ -1990,6 +2015,9 @@ object PipelineQueries {
     // one-shot multi-probe oracle serves verbatim — the hash gate IS
     // the rebuild-equivalence proof
     "ann_ivf_incremental" -> annIvfMultiProbeOracle,
+    // build + 2 appends + compaction preserves content row-for-row,
+    // so the one-shot multi-probe oracle serves verbatim
+    "ann_ivf_compacted" -> annIvfMultiProbeOracle,
     // vector probe: same cells and scoring, minus the self-exclusion
     // (the probe is a request-time vector, not a stored row)
     "ann_ivf_vector" ->

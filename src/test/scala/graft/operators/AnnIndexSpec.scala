@@ -184,6 +184,49 @@ class AnnIndexSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
         fromIndex.queryExecution.executedPlan)
   }
 
+  test("compaction: fewer files, identical content, identical probes") {
+    val dir = tmp("ann_compact")
+    SimilarityOps.buildIvfIndex(vecs(0 until 60), "id", "v", 4, dir)
+    // three daily batches -> O(3) file sets per touched bucket
+    SimilarityOps.appendToIvfIndex(vecs(60 until 100), "id", "v", dir)
+    SimilarityOps.appendToIvfIndex(vecs(100 until 140), "id", "v", dir)
+    SimilarityOps.appendToIvfIndex(vecs(140 until 180), "id", "v", dir)
+    def content() = spark.read.parquet(dir).select("id", "bucket", "v")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2))).sortBy(_._1).toSeq
+    def bucketFiles(): Map[String, Int] = {
+      val walk = Files.list(Paths.get(dir))
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("bucket="))
+        .map { p =>
+          val l = Files.list(p)
+          try p.getFileName.toString -> l.iterator().asScala.count(
+            _.toString.endsWith(".parquet"))
+          finally l.close()
+        }.toMap
+      finally walk.close()
+    }
+    val beforeContent = content()
+    val beforeProbe = SimilarityOps
+      .annIvfFromIndexMultiProbe(spark, dir, 20L, 5, 3).collect().toSeq
+    assert(bucketFiles().values.max > 1, "fixture never fragmented")
+    SimilarityOps.compactIvfIndex(spark, dir, maxFilesPerBucket = 1)
+    assert(bucketFiles().values.forall(_ == 1),
+      s"buckets still fragmented: ${bucketFiles()}")
+    assert(content() == beforeContent)
+    assert(SimilarityOps.annIvfFromIndexMultiProbe(spark, dir, 20L, 5, 3)
+      .collect().toSeq == beforeProbe)
+    // _ids still answers point lookups after its own rewrite
+    val truth = spark.read.parquet(dir).select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Seq(5L, 75L, 179L).foreach(id =>
+      assert(SimilarityOps.probeBucketLookup(spark, dir, id)
+        .contains(truth(id))))
+    // idempotent: a second compaction finds nothing to do
+    SimilarityOps.compactIvfIndex(spark, dir, maxFilesPerBucket = 1)
+    assert(content() == beforeContent)
+  }
+
   test("probe-by-vector == probe-by-id modulo self-exclusion") {
     val dir = tmp("ann_vec")
     SimilarityOps.buildIvfIndex(vecs(0 until 160), "id", "v", 4, dir)

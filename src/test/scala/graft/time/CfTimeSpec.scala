@@ -191,6 +191,25 @@ class CfTimeSpec extends SparkTestBase {
     assert(physical.contains("partitions=1/2"), physical)
   }
 
+  test("nonzero-offset units: decode + timestamp pruning end-to-end") {
+    val ctx = new XarrayContext(spark)
+    ctx.fromDataset("caloffset_t", graft.grid.Fixtures.cfOffsetGrid,
+      Map("time" -> 24))
+    // reference local +01:00 -> every stamp one hour EARLIER than the
+    // naive read: the Jan-2 boundary falls at offset 25, so 71 of 96
+    // hourly rows survive (x4 lats)
+    val res = spark.sql(
+      """SELECT time, temp FROM caloffset_t
+        |WHERE time >= timestamp'2000-01-02 00:00:00'""".stripMargin)
+    assert(res.count() == 71L * 4L)
+    // chunk 0 (offsets 0-23 = through Jan 1 22:00 UTC) zone-map-prunes
+    ReadCounters.reset()
+    res.collect()
+    assert(ReadCounters.partitionsOpened.sum() == 3L)
+    assert(res.queryExecution.executedPlan.toString
+      .contains("partitions=3/4"))
+  }
+
   test("calendar metadata survives the pivot onto the Spark column") {
     val ctx = new XarrayContext(spark)
     ctx.fromDataset("cal360m", cal360Store, Map("time" -> 6))
