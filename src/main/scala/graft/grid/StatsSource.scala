@@ -95,10 +95,15 @@ object StatsSource {
   /** `shards` sorted by `lo`; ranges are disjoint. `fp` is the shard
     * file's content fingerprint recorded at write time — the same
     * bytes-served guard the manifest applies to the per-var file,
-    * chained one level down.
+    * chained one level down. `n` is the shard's entry count (-1 when
+    * written before counts existed) — what lets an append merge keep
+    * prefix shards UNLOADED (ShardRef.n sums stand in for loading
+    * them when re-deciding the sharded-vs-not threshold).
     */
-  private final case class Sharded(
-      shards: IndexedSeq[(Long, Long, String, String)]) extends VarStats
+  private[grid] final case class ShardRef(lo: Long, hi: Long,
+      file: String, fp: String, n: Long)
+  private final case class Sharded(shards: IndexedSeq[ShardRef])
+    extends VarStats
 
   private val NoStats = Full(Map.empty, Map.empty)
 
@@ -177,9 +182,10 @@ object StatsSource {
                 Full(st, su)
               case 3 =>
                 val shards = node.path("shards").elements().asScala.map {
-                  s => (s.path("lo").asLong(), s.path("hi").asLong(),
-                    s.path("file").asText(), s.path("fp").asText())
-                }.toIndexedSeq.sortBy(_._1)
+                  s => ShardRef(s.path("lo").asLong(),
+                    s.path("hi").asLong(), s.path("file").asText(),
+                    s.path("fp").asText(), s.path("n").asLong(-1L))
+                }.toIndexedSeq.sortBy(_.lo)
                 Sharded(shards)
               case _ =>
                 warn(s"$root/$v: unsupported per-var stats version — " +
@@ -213,13 +219,53 @@ object StatsSource {
       var hi = sh.shards.length - 1
       while (lo <= hi) {
         val mid = (lo + hi) >>> 1
-        val (slo, shi, file, fp) = sh.shards(mid)
-        if (lead < slo) hi = mid - 1
-        else if (lead > shi) lo = mid + 1
-        else return loadShard(v, mid, file, fp)
+        val s = sh.shards(mid)
+        if (lead < s.lo) hi = mid - 1
+        else if (lead > s.hi) lo = mid + 1
+        else return loadShard(v, mid, s.file, s.fp)
       }
       (Map.empty, Map.empty)
     }
+
+    /** Append-merge accessor: split a sharded variable at the smallest
+      * touched leading index `minLead` into (preserved prefix shard
+      * refs, loaded suffix entries). The cut steps one shard EARLIER
+      * than the first shard whose range reaches `minLead`, because the
+      * one-shot greedy packer could let that earlier shard absorb a
+      * shrunk or gap-filling first suffix group — everything before it
+      * packs from untouched groups only and is provably byte-stable.
+      * None when the variable is not sharded, or any prefix shard
+      * predates entry counts (the caller then falls back to the full
+      * load; counts are needed to re-decide the sharded-vs-not
+      * threshold without reading the prefix).
+      */
+    private[grid] def suffixSplit(v: String, minLead: Long)
+        : Option[(IndexedSeq[ShardRef],
+          Seq[(String, Option[(Any, Any)], Option[Double])])] =
+      load(v) match {
+        case sh: Sharded if sh.shards.nonEmpty =>
+          val first = sh.shards.indexWhere(_.hi >= minLead)
+          val cut =
+            if (first == -1) sh.shards.length - 1
+            else math.max(0, first - 1)
+          val preserved = sh.shards.take(cut)
+          if (preserved.exists(_.n < 0L)) None
+          else {
+            val (st, su) = {
+              val all = (cut until sh.shards.length).map { i =>
+                val s = sh.shards(i)
+                loadShard(v, i, s.file, s.fp)
+              }
+              (all.map(_._1).fold(Map.empty[String, (Any, Any)])(_ ++ _),
+                all.map(_._2).fold(Map.empty[String, Double])(_ ++ _))
+            }
+            val entries = (st.keysIterator ++ su.keysIterator)
+              .toSeq.distinct.sorted
+              .map(k => (k, st.get(k), su.get(k)))
+            Some((preserved, entries))
+          }
+        case _ => None
+      }
 
     private def mapsFor(key: String)
         : (Map[String, (Any, Any)], Map[String, Double]) = {
@@ -244,8 +290,8 @@ object StatsSource {
           case Full(st, su) => (st, su)
           case sh: Sharded =>
             // merge/inspection surface: force every shard
-            val all = sh.shards.zipWithIndex.map { case ((_, _, f, fp), i)
-              => loadShard(v, i, f, fp) }
+            val all = sh.shards.zipWithIndex.map { case (s, i) =>
+              loadShard(v, i, s.file, s.fp) }
             (all.map(_._1).fold(Map.empty[String, (Any, Any)])(_ ++ _),
               all.map(_._2).fold(Map.empty[String, Double])(_ ++ _))
         }

@@ -626,7 +626,9 @@ object ZarrGridStore {
     */
   private[grid] def writeVarStats(root: String, v: VarDef,
       entries: Seq[(String, Option[(Any, Any)], Option[Double])],
-      conf: org.apache.hadoop.conf.Configuration): Option[String] = {
+      conf: org.apache.hadoop.conf.Configuration,
+      preserved: Seq[StatsSource.ShardRef] = Seq.empty)
+      : Option[String] = {
     val p = s"$root/${v.name}/$StatsSidecar"
     val es = entries.flatMap { case (key, mm, sm) =>
       key.split(" ", 2) match {
@@ -635,6 +637,16 @@ object ZarrGridStore {
         case _ => None
       }
     }.sortBy(_._1)
+    // suffix-merge contract (mergeStatsSidecar): `preserved` prefix
+    // shards stay on disk UNREAD and re-enter the manifest verbatim;
+    // `entries` covers only the repacked suffix, whose greedy packing
+    // is independent of the prefix (packing restarts at each shard
+    // boundary), so the result is byte-identical to a full one-shot
+    // write of prefix+suffix. The caller guarantees the combined
+    // entry count exceeds the shard threshold when preserved is
+    // non-empty.
+    require(preserved.isEmpty || es.nonEmpty,
+      s"${v.name}: preserved prefix with empty suffix")
     // a previous v3 write's shard layout, (file -> fp): shard files
     // must not outlive a rewrite that shards differently (or not at
     // all) — the no-longer-referenced ones delete LAST (after the new
@@ -661,7 +673,8 @@ object ZarrGridStore {
     val threshold = conf.getInt(StatsShardEntriesKey,
       DefaultStatsShardEntries)
     val (json, newShards) =
-      if (es.size <= threshold) (varStatsJson(v, es), Seq.empty[String])
+      if (preserved.isEmpty && es.size <= threshold)
+        (varStatsJson(v, es), Seq.empty[String])
       else {
         // group by leading chunk index (groups stay whole so a range
         // lookup is unambiguous; one index's group exceeding the
@@ -684,6 +697,15 @@ object ZarrGridStore {
         top.put("version", 3)
         top.put("kind", statsKind(v.dtype))
         val arr = top.putArray("shards")
+        // preserved prefix re-enters the manifest verbatim, unread
+        preserved.foreach { s =>
+          val e = arr.addObject()
+          e.put("lo", s.lo)
+          e.put("hi", s.hi)
+          e.put("file", s.file)
+          e.put("fp", s.fp)
+          e.put("n", s.n)
+        }
         val files = shards.map { case (lo, hi, ses) =>
           val file = f".graft-stats.$lo%012d-$hi%012d.json"
           val body = varStatsJson(v, ses.sortBy(_._1))
@@ -697,9 +719,11 @@ object ZarrGridStore {
           e.put("hi", hi)
           e.put("file", file)
           e.put("fp", fp)
+          e.put("n", ses.size.toLong)
           file
         }
-        (mapper.writeValueAsString(top), files.toSeq)
+        (mapper.writeValueAsString(top),
+          preserved.map(_.file) ++ files.toSeq)
       }
     GridIO.writeString(p, json, conf)
     oldShards.keysIterator.filterNot(newShards.toSet).foreach(f =>
@@ -2552,15 +2576,44 @@ object ZarrGridStore {
       newEntries: Seq[(String, Option[(Any, Any)], Option[Double])],
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     val touched = newEntries.map(_._1.split(" ", 2)(0)).toSet
+    val threshold = conf.getInt(StatsShardEntriesKey,
+      DefaultStatsShardEntries)
     val withFiles = Seq.newBuilder[(String, Option[String])]
     touched.toSeq.sorted.foreach { vn =>
       schema.vars.find(_.name == vn).foreach { v =>
         val prefix = vn + " "
         val news = newEntries.filter(_._1.startsWith(prefix))
         val replaced = news.map(_._1).toSet
-        val olds = old.entriesFor(vn).filterNot(e => replaced(e._1))
-        writeVarStats(root, v, olds ++ news, conf).foreach(fp =>
-          withFiles += vn -> Some(fp))
+        // SUFFIX merge for sharded variables: the slab's smallest
+        // touched leading index bounds what can change; shards before
+        // the (safety-stepped) cut stay on disk unread and re-enter
+        // the manifest verbatim, so a tail append into a 10⁸-entry
+        // variable loads and rewrites O(touched-suffix) stats, never
+        // O(var). Falls back to the full load when the variable is
+        // unsharded, counts are missing, the merged total could cross
+        // below the shard threshold, or the suffix would empty out.
+        val minLead = news.flatMap(
+          _._1.split(" ", 2)(1).takeWhile(_ != '.').toLongOption)
+          .minOption
+        val suffixPath = (old, minLead) match {
+          case (lp: StatsSource.LazyPerVar, Some(ml)) =>
+            lp.suffixSplit(vn, ml).flatMap { case (pres, sufOld) =>
+              val suffix = sufOld.filterNot(e => replaced(e._1)) ++ news
+              val live = suffix.count(e => e._2.isDefined || e._3.isDefined)
+              if (live == 0 ||
+                  pres.map(_.n).sum + live <= threshold) None
+              else Some((pres, suffix))
+            }
+          case _ => None
+        }
+        val written = suffixPath match {
+          case Some((pres, suffix)) =>
+            writeVarStats(root, v, suffix, conf, pres)
+          case None =>
+            val olds = old.entriesFor(vn).filterNot(e => replaced(e._1))
+            writeVarStats(root, v, olds ++ news, conf)
+        }
+        written.foreach(fp => withFiles += vn -> Some(fp))
       }
     }
     val untouched = old.varNames -- touched

@@ -144,6 +144,37 @@ class StatsSidecarPropertySpec extends AnyFunSuite {
     check("merge-identity-sharded", mergeIdentityProp(shardedConf))
   }
 
+  test("suffix merge: tail append reads O(touched-suffix) shard files") {
+    // 64 single-entry leading-index groups at 8 entries/shard = 8
+    // shards. A tail append touching lead 62 must load the cut-stepped
+    // suffix only — shards [48-55] and [56-63] — never the first six;
+    // and the merged tree must be byte-identical to a one-shot write
+    // of the union (the packing prefix-stability this rests on).
+    val c = new org.apache.hadoop.conf.Configuration()
+    c.setInt(ZarrGridStore.StatsShardEntriesKey, 8)
+    def entry(lead: Int, value: Double)
+        : (String, Option[(Any, Any)], Option[Double]) =
+      (s"alpha $lead", Some((value, value)), Some(value))
+    val base = (0 until 64).map(i => entry(i, i.toDouble))
+    val news = Seq(entry(62, 620.0), entry(64, 640.0), entry(65, 650.0))
+    val schema = schemaOf(Seq("alpha"), Map("alpha" -> false))
+    val merged = freshRoot()
+    ZarrGridStore.writeStatsSidecar(merged, schema, base, c)
+    val src = ZarrGridStore.readStatsManifest(merged,
+      new SerializableHadoopConf(c))
+    GridIO.Counters.reset()
+    ZarrGridStore.mergeStatsSidecar(merged, schema, src, news, c)
+    // reads: per-var shard dir (suffixSplit) + 2 suffix shards + the
+    // writer's own stale-layout re-read of the shard dir = 4, never
+    // the 1 + 8 a full load pays
+    val reads = GridIO.Counters.reads.sum()
+    assert(reads <= 4, s"suffix merge read $reads files")
+    val oneShot = freshRoot()
+    val union = base.filterNot(e => news.exists(_._1 == e._1)) ++ news
+    ZarrGridStore.writeStatsSidecar(oneShot, schema, union, c)
+    assert(allStatsBytes(merged) == allStatsBytes(oneShot))
+  }
+
   test("sharded stats: a tail touch reads O(touched-range) files") {
     // the skew-heavy shape format v3 exists for: ONE variable owning
     // every chunk. 64 leading indices at 8 entries/shard = 8 shard
