@@ -142,6 +142,16 @@ object StatsSource {
     /** Carried forward by append merges for untouched variables. */
     private[grid] def fpOf(v: String): Option[String] = fps.get(v)
 
+    /** True when this variable's lazy loads are manifest-independent:
+      * either it has no stats at all, or its file is fp-guarded (the
+      * bytes-served check needs no manifest). Append paths use this to
+      * SKIP the eager pre-force before deleting the manifest — the
+      * skip is what lets the suffix merge keep prefix shards unread
+      * end-to-end, not just in the merge unit.
+      */
+    private[grid] def fpCovered(v: String): Boolean =
+      !vars(v) || fps.contains(v)
+
     private def guarded(p: String, expectFp: Option[String])(
         parse: com.fasterxml.jackson.databind.JsonNode => VarStats)
         : VarStats =
@@ -251,21 +261,32 @@ object StatsSource {
           val preserved = sh.shards.take(cut)
           if (preserved.exists(_.n < 0L)) None
           else {
-            val (st, su) = {
-              val all = (cut until sh.shards.length).map { i =>
-                val s = sh.shards(i)
-                loadShard(v, i, s.file, s.fp)
-              }
-              (all.map(_._1).fold(Map.empty[String, (Any, Any)])(_ ++ _),
-                all.map(_._2).fold(Map.empty[String, Double])(_ ++ _))
-            }
-            val entries = (st.keysIterator ++ su.keysIterator)
-              .toSeq.distinct.sorted
-              .map(k => (k, st.get(k), su.get(k)))
-            Some((preserved, entries))
+            val (st, su) = foldShards(v, sh, from = cut)
+            Some((preserved, entryList(st, su)))
           }
         case _ => None
       }
+
+    /** Load and fold shards [from, end) into one (bounds, sums) pair —
+      * the one fold entriesFor (full range) and suffixSplit (suffix
+      * only) share, so entry-list semantics cannot diverge between the
+      * full-load and suffix-merge paths.
+      */
+    private def foldShards(v: String, sh: Sharded, from: Int)
+        : (Map[String, (Any, Any)], Map[String, Double]) = {
+      val all = (from until sh.shards.length).map { i =>
+        val s = sh.shards(i)
+        loadShard(v, i, s.file, s.fp)
+      }
+      (all.map(_._1).fold(Map.empty[String, (Any, Any)])(_ ++ _),
+        all.map(_._2).fold(Map.empty[String, Double])(_ ++ _))
+    }
+
+    private def entryList(st: Map[String, (Any, Any)],
+        su: Map[String, Double])
+        : Seq[(String, Option[(Any, Any)], Option[Double])] =
+      (st.keysIterator ++ su.keysIterator).toSeq.distinct.sorted
+        .map(k => (k, st.get(k), su.get(k)))
 
     private def mapsFor(key: String)
         : (Map[String, (Any, Any)], Map[String, Double]) = {
@@ -288,15 +309,10 @@ object StatsSource {
       else {
         val (st, su) = load(v) match {
           case Full(st, su) => (st, su)
-          case sh: Sharded =>
-            // merge/inspection surface: force every shard
-            val all = sh.shards.zipWithIndex.map { case (s, i) =>
-              loadShard(v, i, s.file, s.fp) }
-            (all.map(_._1).fold(Map.empty[String, (Any, Any)])(_ ++ _),
-              all.map(_._2).fold(Map.empty[String, Double])(_ ++ _))
+          // merge/inspection surface: force every shard
+          case sh: Sharded => foldShards(v, sh, from = 0)
         }
-        (st.keysIterator ++ su.keysIterator).toSeq.distinct.sorted
-          .map(k => (k, st.get(k), su.get(k)))
+        entryList(st, su)
       }
   }
 

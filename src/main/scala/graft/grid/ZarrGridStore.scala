@@ -2513,14 +2513,24 @@ object ZarrGridStore {
     checkNoConcurrentAppend(cleanRoot, staging,
       s"$cleanRoot/$along/.zarray", versionKey, conf)
     // stats sidecar: the open's StatsSource already indexes the
-    // pre-append stats; force-load the GROWING variables' entries NOW
-    // (the lazy source verifies the manifest version on first load,
-    // and the manifest is about to be deleted), then DELETE the
-    // manifest before any chunk moves — a crash mid-commit leaves no
-    // manifest (per-var files unreachable, no stats, sound) instead of
-    // stale bounds for the replaced edge chunk
+    // pre-append stats. fp-manifest sources verify the very bytes they
+    // serve, so their lazy loads stay valid after the manifest
+    // deletion below AND the merge can keep prefix shards unread (the
+    // suffix-merge path) — for them the eager pre-force is skipped;
+    // it would load O(var) shards and defeat the suffix bound. Legacy
+    // sources (v2 manifests without fp) guard on the manifest key,
+    // which the deletion invalidates: force-load the GROWING
+    // variables' entries NOW or their stats would be lost. Either
+    // way the manifest DELETES before any chunk moves — a crash
+    // mid-commit leaves no manifest (per-var files unreachable, no
+    // stats, sound) instead of stale bounds for the replaced edge
+    // chunk.
     val oldSource = existing.statsSource
-    growing.foreach(v => oldSource.entriesFor(v.name))
+    oldSource match {
+      case lp: StatsSource.LazyPerVar
+          if growing.forall(v => lp.fpCovered(v.name)) => ()
+      case _ => growing.foreach(v => oldSource.entriesFor(v.name))
+    }
     GridIO.delete(s"$cleanRoot/$StatsSidecar", conf)
     // staged chunks already carry store-global keys; the shared commit
     // protocol (manifest + replaceWithBackup) makes the move crash-

@@ -607,13 +607,19 @@ object ZarrV3 {
     ZarrGridStore.appendTestHook(cleanRoot)
     ZarrGridStore.checkNoConcurrentAppend(cleanRoot, staging,
       s"$cleanRoot/$along/zarr.json", versionKey, conf)
-    // stats sidecar: the open's StatsSource indexes the pre-append
-    // stats; force-load the growing variables' entries before the
-    // manifest goes away (the lazy source version-checks on first
-    // load), then delete the MANIFEST before chunk moves (crash
+    // stats sidecar: fp-guarded sources skip the eager pre-force (the
+    // bytes-served check is manifest-independent, and skipping it is
+    // what keeps the suffix merge's prefix shards unread end-to-end);
+    // legacy fp-less manifests must force-load the growing variables
+    // NOW before the manifest deletion invalidates their guard. The
+    // MANIFEST deletes before chunk moves either way (crash
     // mid-commit -> no manifest -> no stats, never stale bounds)
     val oldSource = existing.statsSource
-    growing.foreach(v => oldSource.entriesFor(v.name))
+    oldSource match {
+      case lp: StatsSource.LazyPerVar
+          if growing.forall(v => lp.fpCovered(v.name)) => ()
+      case _ => growing.foreach(v => oldSource.entriesFor(v.name))
+    }
     GridIO.delete(s"$cleanRoot/${ZarrGridStore.StatsSidecar}", conf)
     // staged flat keys (already store-global) -> nested `c/` keys via
     // the shared crash-healable, retry-idempotent commit protocol

@@ -371,10 +371,12 @@ object SimilarityOps {
       .select(col("id").as("cid"), col("v").as("cv"))
     // probe selection as a broadcast equi-join, NOT isin: a literal
     // In list is one expression per probe — fine at 3, pathological at
-    // the 10^6-probe workload this operator exists for
+    // the 10^6-probe workload this operator exists for. DISTINCT ids:
+    // a duplicated probe would duplicate its probe row and fill its
+    // top-k with repeated candidates
     val pidDf = {
       import vecs.sparkSession.implicits._
-      probeIds.toDF("id")
+      probeIds.distinct.toDF("id")
     }
     val probes = e.join(broadcast(pidDf), "id")
       .select(col("id").as("pid"), col("v").as("pv"),
@@ -604,9 +606,13 @@ object SimilarityOps {
     require(probeIds.nonEmpty, "empty probeIds")
     val dot = GraftFunctions.dot_f64 _
     val stored = spark.read.parquet(dir)
+    // DISTINCT ids throughout — a duplicated probe id would otherwise
+    // duplicate its probe row and fill that probe's top-k with
+    // repeated (pid, id) candidates
+    val distinctPids = probeIds.distinct
     val pidDf = {
       import spark.implicits._
-      probeIds.toDF("id")
+      distinctPids.toDF("id")
     }
     // probe vectors: sidecar lookup -> scan only the probes' buckets.
     // Bounded probe lists filter the sidecar with a literal isin —
@@ -615,7 +621,6 @@ object SimilarityOps {
     // threshold (the 10^6-probe workload) a broadcast join scans the
     // sidecar once, which at that probe count IS the lookup's amortized
     // cost (2 longs/row — a sliver of the vector payload it replaces).
-    val distinctPids = probeIds.distinct
     val probeRows = {
       val viaSidecar =
         try {
@@ -641,11 +646,17 @@ object SimilarityOps {
     }
     val probes = probeRows.select(col("id").as("pid"), col("v").as("pv"),
       sqrt(dot(col("v"), col("v"))).as("pn"))
-    val cents = codebookDf(spark, dir)
-      .select(col("id").as("cid"), col("v").as("cv"))
-    val nCents = cents.count()
-    require(nCents >= nprobe,
-      s"codebook has $nCents centroids < nprobe=$nprobe")
+    // codebook: one driver-side collect (it is nCentroids rows by
+    // construction) serves both the nprobe guard and the broadcast
+    // side — no separate count() job, no second parquet read
+    val centArr = codebookDf(spark, dir).select(col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(centArr.length >= nprobe,
+      s"codebook has ${centArr.length} centroids < nprobe=$nprobe")
+    val cents = {
+      import spark.implicits._
+      centArr.toSeq.toDF("cid", "cv")
+    }
     val cellScores = probes.crossJoin(broadcast(cents))
       .select(col("pid"), col("cid"),
         (dot(col("cv"), col("pv")) / sqrt(dot(col("cv"), col("cv"))))
