@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Streaming retrieval over the stored IVF index: every streamed
+  * probe's rows must equal the batch probe-by-vector answer over the
+  * same index, across micro-batches, with zero retained state.
+  */
+class AnnStreamsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val dim = 4
+
+  private def vecs(ids: Range) =
+    ids.map { i =>
+      val r = new scala.util.Random(i * 7919L + 13)
+      (i.toLong, Array.fill(dim)(r.nextDouble() * 2 - 1))
+    }.toDF("id", "v")
+
+  test("streamed probes answer identically to batch probe-by-vector") {
+    val dir = {
+      val p = Files.createTempDirectory("ann_stream")
+      p.toFile.deleteOnExit()
+      s"$p/idx"
+    }
+    SimilarityOps.buildIvfIndex(vecs(0 until 120), "id", "v", 4, dir)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double])]
+    val out = AnnStreams.probeStream(
+      input.toDF().toDF("pid", "pv"), dir, k = 5, nprobe = 2)
+    val q = out.writeStream.format("memory").queryName("ann_probe_out")
+      .outputMode("append").start()
+    try {
+      def probeVec(seed: Int): Seq[Double] = {
+        val r = new scala.util.Random(seed * 7919L + 13)
+        Seq.fill(dim)(r.nextDouble() * 2 - 1)
+      }
+      // two micro-batches; probe 200/201/202 are request-time vectors
+      // (200 coincides with stored row 200? ids stop at 119 — no
+      // stored self anywhere)
+      input.addData((200L, probeVec(200)), (201L, probeVec(201)))
+      q.processAllAvailable()
+      input.addData((202L, probeVec(202)))
+      q.processAllAvailable()
+      val got = spark.table("ann_probe_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1)
+      assert(got.keySet == Set(200L, 201L, 202L))
+      Seq(200, 201, 202).foreach { s =>
+        val expect = SimilarityOps.annIvfFromIndexVector(spark, dir,
+            probeVec(s).toArray, 5, nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          .sortBy(t => (-t._2, t._1))
+        val rows = got(s.toLong).map(r => (r._2, r._3)).toSeq
+          .sortBy(t => (-t._2, t._1))
+        assert(rows == expect, s"probe $s diverged from batch answer")
+      }
+      // stateless by construction: the group function never stores
+      // anything, so the state store holds zero rows after both batches
+      val progress = q.lastProgress
+      val stateRows = Option(progress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      assert(stateRows == 0L, s"retrieval retained $stateRows state rows")
+    } finally q.stop()
+  }
+}
