@@ -42,8 +42,9 @@ final class GridPlanIndex(
   /** Blocks in the full (unpruned) grid. */
   def totalBlocks: Long = dimChunks.foldLeft(1L)(_ * _.length.toLong)
 
-  /** Per dim per chunk: pruning bounds; null for string axes (which
-    * carry no bounds, reference df.py:447-450). One pass per axis.
+  /** Per dim per chunk: pruning bounds — string axes included, in
+    * UTF-8 binary order (the reference skips string bounds entirely,
+    * df.py:447-450). One pass per axis.
     */
   val chunkBounds: Array[Array[DimBounds]] =
     Array.tabulate(nd) { di =>
@@ -59,7 +60,7 @@ final class GridPlanIndex(
       case LongCoords(v) => longBounds(v, start, len)
       case TimeCoords(v) => longBounds(v, start, len)
       case DurationCoords(v) => longBounds(v, start, len)
-      case StringCoords(_) => null
+      case StringCoords(v) => strBounds(v, start, len)
     }
 
   private def numBounds(at: Int => Double, len: Int): NumBounds = {
@@ -84,6 +85,18 @@ final class GridPlanIndex(
       i += 1
     }
     LongBounds(mn, mx)
+  }
+
+  private def strBounds(v: Array[String], start: Int, len: Int): StrBounds = {
+    var mn = v(start); var mx = mn
+    var i = 1
+    while (i < len) {
+      val x = v(start + i)
+      if (Utf8Order.compare(x, mn) < 0) mn = x
+      if (Utf8Order.compare(x, mx) > 0) mx = x
+      i += 1
+    }
+    StrBounds(mn, mx)
   }
 
   private val predDims: Set[String] =

@@ -196,9 +196,10 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     def dimOf(c: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       c match {
+        // string dims included: extrema compare in UTF-8 binary order
+        // (Utf8Order), matching Spark's UTF8_BINARY Min/Max
         case nr: NamedReference if nr.fieldNames().length == 1 &&
-          groupDims.contains(nr.fieldNames()(0)) &&
-          !store.schema.dim(nr.fieldNames()(0)).coords.isInstanceOf[StringCoords] =>
+          groupDims.contains(nr.fieldNames()(0)) =>
           Some(nr.fieldNames()(0))
         case _ => None
       }
@@ -241,11 +242,10 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
     val keys = orders.toSeq.map { so =>
       so.expression() match {
-        // string dims are excluded: JVM String ordering is UTF-16-based
-        // and can disagree with Spark's binary UTF-8 collation
+        // string dims included: the per-dim permutation sorts in UTF-8
+        // binary order (Utf8Order), == Spark's UTF8_BINARY collation
         case nr: NamedReference if nr.fieldNames().length == 1 &&
-          groupDims.contains(nr.fieldNames()(0)) &&
-          !store.schema.dim(nr.fieldNames()(0)).coords.isInstanceOf[StringCoords] =>
+          groupDims.contains(nr.fieldNames()(0)) =>
           Some((nr.fieldNames()(0),
             so.direction() == SortDirection.DESCENDING))
         case _ => None
@@ -294,7 +294,12 @@ object GridBounds {
         case DurationCoords(v) =>
           val s = v.slice(start, start + len)
           if (s.isEmpty) None else Some(dimName -> LongBounds(s.min, s.max))
-        case StringCoords(_) => None // strings: no pruning bounds
+        case StringCoords(v) =>
+          val s = v.slice(start, start + len)
+          if (s.isEmpty) None
+          else Some(dimName -> StrBounds(
+            s.reduce((a, b) => if (Utf8Order.compare(a, b) <= 0) a else b),
+            s.reduce((a, b) => if (Utf8Order.compare(a, b) >= 0) a else b)))
       }
     }.toMap
 
@@ -372,8 +377,11 @@ class MetaAggScan(store: GridStore, chunks: Map[String, Int],
         val s = keep.map(v); if (wantMax) s.max else s.min
       case DurationCoords(v) =>
         val s = keep.map(v); if (wantMax) s.max else s.min
-      case StringCoords(_) => throw new IllegalStateException(
-        "string dims are never meta-agg pushed")
+      case StringCoords(v) =>
+        val s = keep.map(v)
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          s.reduce((a, b) =>
+            if ((Utf8Order.compare(a, b) >= 0) == wantMax) a else b))
     }
   }
 
@@ -470,9 +478,10 @@ class GridScan(store: GridStore, chunks: Map[String, Int],
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
     groupDims.filter(d =>
-      // must be resolvable against the scan OUTPUT (pruned columns)
-      required.fieldNames.contains(d) &&
-        !store.schema.dim(d).coords.isInstanceOf[StringCoords])
+      // must be resolvable against the scan OUTPUT (pruned columns);
+      // string dims included — runtime IN lists evaluate exactly and
+      // StrBounds zone-map prune in UTF-8 binary order
+      required.fieldNames.contains(d))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
 
@@ -869,8 +878,9 @@ class GridPartitionReader(part: GridInputPartition)
             case LongCoords(v) => sorted(v)
             case TimeCoords(v) => sorted(v)
             case DurationCoords(v) => sorted(v)
-            case StringCoords(_) => throw new IllegalStateException(
-              "string dims are never TopN-pushed")
+            case StringCoords(v) =>
+              sorted(v)(Ordering.fromLessThan[String](
+                Utf8Order.compare(_, _) < 0))
           }
       }
     }

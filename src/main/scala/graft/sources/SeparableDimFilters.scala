@@ -7,11 +7,13 @@ import org.apache.spark.sql.sources._
 /** Separable-exact dimension predicates: conjunction trees in which every
   * leaf references exactly one dimension — ops `=,<,<=,>,>=,IN,
   * IS [NOT] NULL` plus `NOT` of any such subtree (OR allowed only within
-  * a single dim). String dims participate with the equality-shaped ops
-  * only (`=`, `IN`, null checks): equality needs no collation, while
-  * string ORDERING is deliberately left residual — Spark compares
-  * UTF-8 binary, `String.compareTo` compares UTF-16 units, and the two
-  * disagree outside the BMP. `NOT` is exact here (unlike the
+  * a single dim). String dims participate with ALL of these ops plus
+  * `LIKE 'p%'` prefixes: comparisons run in UTF-8 unsigned-byte order
+  * ([[Utf8Order]]), bit-identical to Spark's default UTF8_BINARY
+  * collation (`String.compareTo`'s UTF-16 unit order would disagree
+  * outside the BMP, which is why ordering used to stay residual —
+  * non-binary collations never arrive as bare attribute filters, so
+  * every pushed comparison IS binary). `NOT` is exact here (unlike the
   * conservative zone-map NOT) because predicates are evaluated against
   * the actual coordinate values, where complement is complement.
   * For these trees the scan claims EXACT pushdown — each dimension gets
@@ -25,12 +27,12 @@ import org.apache.spark.sql.sources._
   *     MIN/MAX(dim) = extrema of that dim's list — pure metadata, no
   *     partition opened, chunk alignment irrelevant.
   *
-  * Anything else (cross-dim OR, data-variable predicates, string
-  * ordering) stays residual: Spark re-applies it row-level, exactly the
-  * reference's Inexact contract (lib.rs:548-565). The reference cannot
-  * prune string dims at all (df.py:447-450 skips their bounds); exact
-  * index-list evaluation is a beyond-reference win for station-style
-  * tables.
+  * Anything else (cross-dim OR, data-variable predicates, contains/
+  * ends-with patterns) stays residual: Spark re-applies it row-level,
+  * exactly the reference's Inexact contract (lib.rs:548-565). The
+  * reference cannot prune string dims at all (df.py:447-450 skips
+  * their bounds); exact index-list evaluation is a beyond-reference
+  * win for station-style tables.
   */
 object SeparableDimFilters {
 
@@ -43,13 +45,12 @@ object SeparableDimFilters {
       schema.dim(d).coords.isInstanceOf[StringCoords]
     def dimOf(attr: String): Option[String] =
       if (groupDims.contains(attr)) Some(attr) else None
-    // ordering op: numeric/time dims only
+    // ordering + equality ops: string dims compare in UTF-8 binary
+    // order (Utf8Order), numeric/time dims through litOk conversion
     def ordDim(attr: String, v: Any): Option[String] =
-      dimOf(attr).filter(d => !isStr(d) && litOk(v))
-    // equality op: string dims allowed with string literals
-    def eqDim(attr: String, v: Any): Option[String] =
       dimOf(attr).filter(d =>
         if (isStr(d)) v.isInstanceOf[String] else litOk(v))
+    def eqDim(attr: String, v: Any): Option[String] = ordDim(attr, v)
     f match {
       case And(l, r) => for {
         a <- soleDim(l, schema, groupDims)
@@ -68,6 +69,7 @@ object SeparableDimFilters {
       case In(a, vs) => dimOf(a).filter(d =>
         if (isStr(d)) vs.forall(_.isInstanceOf[String])
         else vs.forall(litOk))
+      case StringStartsWith(a, _) => dimOf(a).filter(isStr)
       case IsNotNull(a) => dimOf(a)
       case IsNull(a) => dimOf(a)
       case _ => None
@@ -121,9 +123,8 @@ object SeparableDimFilters {
           d.getSeconds * 1000000L + d.getNano / 1000))
       case (l: java.lang.Long, n: java.lang.Number) =>
         Some(java.lang.Long.compare(l, n.longValue()))
-      // strings: used for equality only (soleDim admits no string
-      // ordering op), where ==/!= is collation-free
-      case (s: String, t: String) => Some(if (s == t) 0 else 1)
+      // strings: UTF-8 binary order, == Spark's UTF8_BINARY collation
+      case (s: String, t: String) => Some(Utf8Order.compare(s, t))
       case _ => None
     }
     f match {
@@ -138,6 +139,11 @@ object SeparableDimFilters {
       case LessThan(_, v) => cmpTo(v).exists(_ < 0)
       case LessThanOrEqual(_, v) => cmpTo(v).exists(_ <= 0)
       case In(_, vs) => vs.exists(v => cmpTo(v).contains(0))
+      case StringStartsWith(_, p) => value match {
+        // byte-prefix test == UTF8String.startsWith semantics
+        case s: String => Utf8Order.startsWith(s, p)
+        case _ => false
+      }
       case IsNotNull(_) => true // dim coordinates are never null
       case IsNull(_) => false
       case _ => false // unreachable for separable trees; fail closed

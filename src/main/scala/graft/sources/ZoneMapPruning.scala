@@ -11,6 +11,62 @@ final case class NumBounds(min: Double, max: Double) extends DimBounds
   * microsecond epochs (> 2^53) prune exactly.
   */
 final case class LongBounds(min: Long, max: Long) extends DimBounds
+/** String coordinate bounds, min/max under UTF-8 BINARY byte order —
+  * the order Spark's default UTF8_BINARY collation compares in (see
+  * [[Utf8Order]]).
+  */
+final case class StrBounds(min: String, max: String) extends DimBounds
+
+/** String comparison in UTF-8 unsigned-byte order — bit-identical to
+  * Spark's `UTF8String.binaryCompare` (string literals reach Spark
+  * through `UTF8String.fromString`, i.e. the same
+  * `getBytes(StandardCharsets.UTF_8)` encoding, so even the unpaired-
+  * surrogate replacement path matches). `String.compareTo` would
+  * compare UTF-16 code units instead, which disagrees with Spark
+  * outside the BMP — the reason string ordering used to stay residual.
+  * Non-binary (ICU) collations never reach the source as bare
+  * attribute filters: the collation cast on the column defeats V1
+  * filter translation, so every pushed string comparison IS binary.
+  */
+object Utf8Order {
+  private def bytes(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  def compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(bytes(a), bytes(b))
+
+  /** Byte-prefix test == `UTF8String.startsWith` semantics. */
+  def startsWith(s: String, prefix: String): Boolean = {
+    val sb = bytes(s); val pb = bytes(prefix)
+    pb.length <= sb.length &&
+      java.util.Arrays.equals(sb, 0, pb.length, pb, 0, pb.length)
+  }
+
+  /** The smallest string strictly greater than EVERY string with this
+    * prefix, in byte order: increment the last non-0xFF byte and drop
+    * the tail. None when the prefix is all 0xFF bytes (or empty) — no
+    * finite successor exists.
+    */
+  def prefixSuccessor(prefix: String): Option[String] = {
+    val pb = bytes(prefix)
+    var i = pb.length - 1
+    while (i >= 0 && pb(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(pb, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(new String(out, java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+  }
+
+  /** Re-encode for successor comparisons: the successor string was
+    * built byte-wise (ISO-8859-1 round-trip), so compare it byte-wise
+    * against the same encoding.
+    */
+  def compareRaw(aIso: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      aIso.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), bytes(b))
+}
 
 /** Min/max zone-map partition pruning: decide whether a pushed filter
   * PROVABLY excludes a partition given its per-dimension coordinate bounds.
@@ -18,10 +74,12 @@ final case class LongBounds(min: Long, max: Long) extends DimBounds
   * Re-expression of the reference's pruning semantics
   * (src/lib.rs:205-477 `filter_excludes_partition`): ops =,<,<=,>,>=,IN,
   * recursive AND/OR; everything else — including NOT and unknown
-  * expressions — is conservative (never excludes). String dims carry no
-  * bounds (reference df.py:447-450). Spark re-applies all filters
-  * row-level after the scan (filters are kept as residual), so pruning
-  * only ever has to be sound, not complete.
+  * expressions — is conservative (never excludes). String dims prune
+  * too, in UTF-8 binary order ([[StrBounds]]/[[Utf8Order]]) including
+  * `LIKE 'p%'` prefix regions — beyond the reference, which skips
+  * string bounds entirely (df.py:447-450). Spark re-applies all
+  * filters row-level after the scan (filters are kept as residual), so
+  * pruning only ever has to be sound, not complete.
   */
 object ZoneMapPruning {
 
@@ -46,7 +104,17 @@ object ZoneMapPruning {
       case IsNull(a) =>
         // dimension coordinates are never null; data vars have no bounds
         bounds.contains(a)
-      case _ => false // Not / IsNotNull / string ops / unknown: conservative
+      case StringStartsWith(a, p) if p.nonEmpty =>
+        // excluded iff the whole bound range sits before the prefix
+        // region (max < p) or at/after its successor (min >= succ(p))
+        bounds.get(a).exists {
+          case StrBounds(mn, mx) =>
+            Utf8Order.compare(mx, p) < 0 ||
+              Utf8Order.prefixSuccessor(p)
+                .exists(s => Utf8Order.compareRaw(s, mn) <= 0)
+          case _ => false
+        }
+      case _ => false // Not / IsNotNull / unknown: conservative
     }
 
   /** True iff `filter` proves EVERY row of a partition with `bounds`
@@ -73,6 +141,16 @@ object ZoneMapPruning {
         vs.exists(v =>
           cmp(a, v, bounds).exists { case (lo, hi) => lo == 0 && hi == 0 })
       case IsNotNull(a) => bounds.contains(a) // dim coords are never null
+      case StringStartsWith(a, p) if p.nonEmpty =>
+        // every row matches iff the whole range lies inside the prefix
+        // region: min >= p and max < succ(p)
+        bounds.get(a).exists {
+          case StrBounds(mn, mx) =>
+            Utf8Order.compare(mn, p) >= 0 &&
+              Utf8Order.prefixSuccessor(p)
+                .exists(s => Utf8Order.compareRaw(s, mx) > 0)
+          case _ => false
+        }
       case _ => false
     }
 
@@ -88,6 +166,12 @@ object ZoneMapPruning {
       case LongBounds(min, max) =>
         toLong(value).map(v =>
           (java.lang.Long.compare(min, v), java.lang.Long.compare(max, v)))
+      case StrBounds(min, max) =>
+        value match {
+          case s: String =>
+            Some((Utf8Order.compare(min, s), Utf8Order.compare(max, s)))
+          case _ => None
+        }
     }
 
   private def toDouble(v: Any): Option[Double] = v match {

@@ -176,10 +176,26 @@ class GridSourceSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       assert(st.filter(col("station") === "st_5").count() == 10L)
       assert(ReadCounters.partitionsOpened.sum() == 0L)
     }
-    // string ORDERING stays residual (collation): still correct, scans
+    // string ORDERING is exact too (UTF-8 binary order == Spark's
+    // UTF8_BINARY collation): the COUNT answers from metadata
     counted {
       assert(st.filter(col("station") > "st_5").count() == 20L)
-      assert(ReadCounters.partitionsOpened.sum() > 0L)
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+    }
+    // ...and a range collect opens only the chunk holding survivors
+    counted {
+      val rows = st.filter(col("station") >= "st_6").collect()
+      assert(rows.length == 2 * 10)
+      assert(rows.forall(r => Set("st_6", "st_7")(r.getString(0))))
+      assert(ReadCounters.partitionsOpened.sum() == 1L)
+    }
+    // LIKE 'p%' prefixes prune exactly (byte-prefix semantics); a
+    // prefix matching nothing opens nothing
+    counted {
+      assert(st.filter(col("station").startsWith("st_")).count() == 80L)
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
+      assert(st.filter(col("station").startsWith("zz")).count() == 0L)
+      assert(ReadCounters.partitionsOpened.sum() == 0L)
     }
   }
 
