@@ -249,6 +249,60 @@ object GridQueries {
         .filter(col("d_air").isNotNull)
     }),
 
+    // xarray `ffill("t")` per cell: forward-fill gaps along the time
+    // axis — a t-VARYING null law ((t+i+j) % 7 == 0, unlike the
+    // time-invariant `where` mask) punches holes, then
+    // last(ignoreNulls) over the per-series running window carries the
+    // latest observation forward. Leading nulls stay null, exactly as
+    // xarray leaves leading NaNs. Same one-window-per-(lat,lon)-series
+    // shape as cumsum/rolling: cells are the parallelism, no global
+    // sort, holds at any grid size.
+    "pivot_grid_ffill" -> ((s, _) => {
+      val li = ((lit(75.0) - col("lat")) / lit(2.5)).cast("long")
+      val lj = ((col("lon") - lit(200.0)) / lit(2.5)).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lat", "lon").orderBy("t")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      grid(s)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          when((col("t").cast("long") + li + lj) % 7 === 0,
+            lit(null).cast("double")).otherwise(col("air")).as("gappy"))
+        .select(col("t"), col("lat"), col("lon"),
+          last("gappy", ignoreNulls = true).over(w).as("air_ffill"))
+    }),
+
+    // xarray `quantile([0.25, 0.5], dim="t")` per cell: EXACT
+    // linear-interpolation percentiles (Spark `percentile` == DuckDB
+    // `quantile_cont`, both xarray's default "linear" method). The
+    // fixture's integer values and dyadic interpolation weights (0.75
+    // at q=.25 over 24 points, 0.5 at the median) keep both engines
+    // bit-identical. Scale note: exact percentile buffers one series
+    // per group — bounded by the time-axis length, not the grid; for
+    // an unbounded axis the approx_percentile sketch (see
+    // approx_stats) is the 100 TB form.
+    "pivot_grid_quantile" -> ((s, _) =>
+      grid(s).groupBy("lat", "lon").agg(
+        expr("percentile(air, 0.25D)").as("q25"),
+        expr("percentile(air, 0.5D)").as("q50"))),
+
+    // xarray `integrate("t")` per cell: trapezoidal rule over the
+    // time axis — one lead window per series builds consecutive
+    // pairs, then one partial-agg shuffle sums (a+b)/2 * dt (dt=1).
+    // Every trapezoid is a multiple of 0.5 and the total stays far
+    // below 2^52, so the sum is exact under ANY order — order-free
+    // for the hash gate and for map-side combining alike.
+    "pivot_grid_integrate" -> ((s, _) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lat", "lon").orderBy("t")
+      grid(s)
+        .select(col("lat"), col("lon"), col("air"),
+          lead("air", 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy("lat", "lon")
+        .agg(sum((col("air") + col("nxt")) / 2.0).as("air_integral"))
+    }),
+
     // the LAZY reverse pivot through the hash gate (SURVEY §2A A12):
     // an indexer slice (t 6..11, lat rows {0,3,5}) derives ONE pruned
     // filtered scan, scatters into a dense sub-grid, and the sub-grid
@@ -507,6 +561,22 @@ object GridQueries {
               |WHERE time >= timestamp'2000-03-01 00:00:00'""".stripMargin)
     }),
 
+    // xarray `resample(time='M').mean()` — CALENDAR-bucketed
+    // aggregation over a real timestamp axis (distinct from the
+    // positional `coarsen` and the cyclic `climatology`): date_trunc
+    // buckets the decoded noleap timestamps into civil months, one
+    // partial-agg shuffle keyed (month, lat) — group count is bounded
+    // by months x lats regardless of axis length, the scale-free
+    // climatology shape. Means stay exact: the dyadic value law sums
+    // exactly in doubles, then one division by the count.
+    "pivot_grid_resample" -> ((s, _) => {
+      new XarrayContext(s).fromDataset("calnoleap_rs", Fixtures.noleapGrid,
+        Map("time" -> 30))
+      s.sql("""SELECT date_trunc('MONTH', time) AS month, lat,
+              |  avg(temp) AS mean_temp, count(*) AS n
+              |FROM calnoleap_rs GROUP BY 1, 2""".stripMargin)
+    }),
+
     // nonzero-UTC-offset CF units end-to-end (round-12 fold): the
     // reference instant is local +01:00, so every coordinate decodes
     // one hour EARLIER than a naive offset-ignoring read — the Jan-2
@@ -537,15 +607,30 @@ object GridQueries {
 
     // string-coordinate dimension end-to-end (station table shape,
     // reference tests/test_sql.py:137-152): string dims are queryable
-    // (residual IN filter, ASCII ordering identical across engines) but
-    // excluded from zone-map pruning — the chunked station dim cannot
-    // prune, which StationGridSpec pins via partition-open counts.
+    // AND prune — the IN list evaluates exactly against the coordinate
+    // values (partition-open counts pinned in GridSourceSpec), beyond
+    // the reference, which skips string bounds (df.py:447-450).
     "pivot_grid_station" -> ((s, _) => {
       new XarrayContext(s).fromDataset("stations", Fixtures.stationGrid,
         Map("station" -> 4))
       s.sql("""SELECT station, time, reading FROM stations
               |WHERE station IN ('st_1','st_4')
               |AND time >= timestamp'2020-01-04 00:00:00'""".stripMargin)
+    }),
+
+    // string RANGE + prefix predicates on the station dim, exact-pushed
+    // in UTF-8 binary order (Utf8Order == Spark's UTF8_BINARY; DuckDB
+    // also collates binary, and the fixture is ASCII anyway): the
+    // station >= / LIKE conjunction prunes the first station chunk and
+    // enumerates only surviving cells — the round-12 string zone-map
+    // surface through the hash gate.
+    "pivot_grid_station_range" -> ((s, _) => {
+      new XarrayContext(s).fromDataset("stations_rng", Fixtures.stationGrid,
+        Map("station" -> 4))
+      s.sql("""SELECT station, time, reading FROM stations_rng
+              |WHERE station >= 'st_4' AND station < 'st_7'
+              |AND station LIKE 'st%'
+              |AND time < timestamp'2020-01-06 00:00:00'""".stripMargin)
     }),
 
     // the production on-disk path end-to-end: distributed reverse pivot
@@ -1161,6 +1246,33 @@ object GridQueries {
          |    AS d_air
          |  FROM grid) x
          |WHERE d_air IS NOT NULL""".stripMargin,
+    "pivot_grid_ffill" ->
+      s"""WITH $oracleGrid,
+         |gappy AS (
+         |  SELECT t, lat, lon,
+         |  CASE WHEN (t + CAST((75.0 - lat) / 2.5 AS BIGINT)
+         |           + CAST((lon - 200.0) / 2.5 AS BIGINT)) % 7 <> 0
+         |    THEN air END AS gappy
+         |  FROM grid)
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon,
+         |last_value(gappy IGNORE NULLS) OVER (
+         |  PARTITION BY lat, lon ORDER BY t
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS air_ffill
+         |FROM gappy""".stripMargin,
+    "pivot_grid_quantile" ->
+      s"""WITH $oracleGrid
+         |SELECT lat, lon,
+         |quantile_cont(CAST(air AS DOUBLE), 0.25) AS q25,
+         |quantile_cont(CAST(air AS DOUBLE), 0.5) AS q50
+         |FROM grid GROUP BY lat, lon""".stripMargin,
+    "pivot_grid_integrate" ->
+      s"""WITH $oracleGrid,
+         |led AS (
+         |  SELECT lat, lon, air,
+         |  lead(air, 1) OVER (PARTITION BY lat, lon ORDER BY t) AS nxt
+         |  FROM grid)
+         |SELECT lat, lon, SUM((air + nxt) / 2.0) AS air_integral
+         |FROM led WHERE nxt IS NOT NULL GROUP BY lat, lon""".stripMargin,
     "pivot_grid_lazyslice" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM grid
@@ -1214,6 +1326,16 @@ object GridQueries {
         |SELECT station, time, reading FROM st
         |WHERE station IN ('st_1','st_4')
         |AND time >= TIMESTAMP '2020-01-04'""".stripMargin,
+    "pivot_grid_station_range" ->
+      """WITH st AS (
+        |  SELECT 'st_' || CAST(i AS VARCHAR) AS station,
+        |         TIMESTAMP '2020-01-01' + INTERVAL (t) DAY AS time,
+        |         100.0 + 7.0*i + 0.25*t AS reading
+        |  FROM generate_series(0, 7) g1(i), generate_series(0, 9) g2(t))
+        |SELECT station, time, reading FROM st
+        |WHERE station >= 'st_4' AND station < 'st_7'
+        |AND station LIKE 'st%'
+        |AND time < TIMESTAMP '2020-01-06'""".stripMargin,
     "pivot_grid_groupcount" ->
       s"""WITH $oracleGrid
          |SELECT lat, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -1307,6 +1429,19 @@ object GridQueries {
         |  FROM generate_series(0, 359) g1(t),
         |       generate_series(0, 3) g2(i))
         |SELECT CAST((t % 360) // 30 AS BIGINT) AS month, lat,
+        |AVG(temp) AS mean_temp, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM cal GROUP BY 1, 2""".stripMargin,
+    "pivot_grid_resample" ->
+      // the noleap decode replayed as literal arithmetic (see the
+      // pivot_grid_noleap oracle), bucketed by civil month
+      """WITH cal AS (
+        |  SELECT t, 10.0*i AS lat, 100.0 + 0.5*t + 3.0*i AS temp,
+        |         TIMESTAMP '2000-01-01 00:00:00' +
+        |           (CASE WHEN t >= 59 THEN t + 1 ELSE t END) * INTERVAL 1 DAY
+        |           AS time
+        |  FROM generate_series(0, 119) g1(t),
+        |       generate_series(0, 3) g2(i))
+        |SELECT date_trunc('month', time) AS month, lat,
         |AVG(temp) AS mean_temp, CAST(COUNT(*) AS BIGINT) AS n
         |FROM cal GROUP BY 1, 2""".stripMargin,
     "pivot_grid_cfoffset" ->

@@ -429,7 +429,29 @@ object RelationalQueries {
       wide.unpivot(Array(col("source")), langs.map(col).toArray,
         "lang", "n_docs")
         .filter(col("n_docs") > 0)
-    })
+    }),
+
+    // GROUPING SETS with non-hierarchical sets ((flag), (status), ()) —
+    // a shape neither ROLLUP nor CUBE expresses; still ONE Expand +
+    // one agg shuffle, no union of rescans
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |CAST(count(*) AS BIGINT) AS cnt,
+              |CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS STRING)
+              |  AS DOUBLE) AS sum_qty
+              |FROM lineitem_gs
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |""".stripMargin)
+    }),
+
+    // lateral explode (generator / UNNEST): one row per split token —
+    // a map-side generator, zero shuffles; the row-multiplying verb
+    // under every token-level pipeline stage
+    "lateral_explode" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          explode(split(col("o_orderpriority"), "-")).as("tok")))
   )
 
   private val davgSql =
@@ -604,6 +626,16 @@ object RelationalQueries {
     "unpivot_long" ->
       """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY source, lang""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |CAST(COUNT(*) AS BIGINT) AS cnt,
+         |${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "lateral_explode" ->
+      """SELECT o_orderkey,
+        |unnest(string_split(o_orderpriority, '-')) AS tok
+        |FROM orders""".stripMargin,
     "union_all" ->
       """SELECT r_name AS name FROM region
         |UNION ALL SELECT n_name AS name FROM nation""".stripMargin,
