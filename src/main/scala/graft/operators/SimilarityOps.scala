@@ -523,6 +523,53 @@ object SimilarityOps {
       overwrite = false)
   }
 
+  /** TOMBSTONE delete — the deletion-vector pattern (the third verb of
+    * the index lifecycle, after build/append and before compact):
+    * deleting appends the ids to a `_tombstones` sidecar (one
+    * metadata-sized file per delete batch; no index data is read or
+    * rewritten, so a delete is O(batch) like an append), every probe
+    * path anti-joins candidates against the broadcast tombstone set,
+    * and [[compactIvfIndex]] physically purges the rows — rewriting
+    * only the buckets that actually hold deleted ids (located through
+    * the `_ids` sidecar, a metadata-sized lookup) — then clears the
+    * tombstones. Tombstone growth is therefore bounded by compaction
+    * cadence, which is what keeps the broadcast side small at any
+    * index size. Re-deleting an absent id is a harmless no-op row.
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, deleteIds: Seq[Long]): Unit = {
+    require(deleteIds.nonEmpty, "empty deleteIds")
+    import spark.implicits._
+    deleteIds.distinct.toDF("id")
+      .coalesce(1)
+      .write.mode("append").parquet(s"$dir/_tombstones")
+  }
+
+  /** The `_tombstones` sidecar as a distinct id set; None when the
+    * index has no pending deletes.
+    */
+  private def tombstonesDf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(s"$dir/_tombstones")
+      df.schema // force resolution so a missing dir lands HERE
+      Some(df.select("id").distinct())
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** The stored index minus tombstoned rows — what every probe path
+    * scans. The anti-join side is the tombstone set (compaction-
+    * bounded), broadcast so candidate scans stay partition-pruned
+    * single-pass reads.
+    */
+  private[graft] def liveIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val stored = spark.read.parquet(dir)
+    tombstonesDf(spark, dir) match {
+      case Some(ts) => stored.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => stored
+    }
+  }
+
   /** Probe a [[buildIvfIndex]] materialization: the probe row is a
     * driver-side point lookup (one row; its norm a driver-side
     * sequential fold — identical order, hence bit-identical, to the
@@ -545,21 +592,24 @@ object SimilarityOps {
   def annIvfFromIndexMultiProbe(spark: org.apache.spark.sql.SparkSession,
       dir: String, probeId: Long, k: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe=$nprobe")
-    val stored = spark.read.parquet(dir)
+    val stored = liveIndex(spark, dir)
     // probe row: through the `_ids` sidecar when the index carries one
     // (a metadata-sized id lookup, then ONE partition-pruned bucket
     // directory read for the vector); pre-sidecar indexes fall back to
     // the old index-wide id filter. The old path's footprint was the
     // whole index's footers+row-groups at 10⁹ rows — the sidecar makes
-    // a probe O(row group), not O(index).
-    val probe = probeBucketLookup(spark, dir, probeId) match {
+    // a probe O(row group), not O(index). A tombstoned probe id fails
+    // loudly here — the live scan has no row for it even when the
+    // (unrewritten) sidecar still lists its bucket.
+    val probe = (probeBucketLookup(spark, dir, probeId) match {
       case Some(b) =>
         stored.filter(col("bucket") === b && col("id") === probeId)
-          .select(col("bucket"), col("v")).collect()(0)
+          .select(col("bucket"), col("v")).collect()
       case None =>
         stored.filter(col("id") === probeId)
-          .select(col("bucket"), col("v")).collect()(0)
-    }
+          .select(col("bucket"), col("v")).collect()
+    }).headOption.getOrElse(throw new IllegalArgumentException(
+      s"probe id $probeId not in index $dir (absent or deleted)"))
     val pv = probe.getSeq[Double](1).toArray
     val pn = math.sqrt(pv.map(x => x * x).sum)
     val cells: Seq[Int] =
@@ -582,7 +632,7 @@ object SimilarityOps {
     require(nprobe >= 1, s"nprobe=$nprobe")
     val pn = math.sqrt(probeVec.map(x => x * x).sum)
     val cells = codebookCells(spark, dir, probeVec, nprobe)
-    scoreCells(spark.read.parquet(dir), cells, probeVec, pn, k,
+    scoreCells(liveIndex(spark, dir), cells, probeVec, pn, k,
       excludeId = None)
   }
 
@@ -605,7 +655,11 @@ object SimilarityOps {
     require(nprobe >= 1, s"nprobe=$nprobe")
     require(probeIds.nonEmpty, "empty probeIds")
     val dot = GraftFunctions.dot_f64 _
-    val stored = spark.read.parquet(dir)
+    // tombstone-masked: deleted rows never appear as candidates, and a
+    // tombstoned PROBE id contributes no probe row — its pid is simply
+    // absent from the output (the batch contract; the single-probe
+    // path errors loudly instead)
+    val stored = liveIndex(spark, dir)
     // DISTINCT ids throughout — a duplicated probe id would otherwise
     // duplicate its probe row and fill that probe's top-k with
     // repeated (pid, id) candidates
@@ -688,7 +742,10 @@ object SimilarityOps {
     * unchanged, so the `_ids` sidecar stays valid as-is; it is
     * re-sorted/rewritten only when its own file count passed the
     * threshold. Probe answers are identical before and after (pinned
-    * in AnnIndexSpec).
+    * in AnnIndexSpec). Pending [[deleteFromIvfIndex]] tombstones are
+    * physically PURGED first — only the buckets holding deleted ids
+    * are rewritten, emptied bucket directories are removed, and the
+    * tombstone sidecar is cleared.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxFilesPerBucket: Int = 4): Unit = {
@@ -698,6 +755,56 @@ object SimilarityOps {
     val fs = root.getFileSystem(conf)
     def parquetCount(p: org.apache.hadoop.fs.Path): Int =
       fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    // PURGE pending tombstones first: rewrite ONLY the buckets that
+    // hold deleted ids (located through the `_ids` sidecar — a
+    // metadata-sized lookup; pre-sidecar indexes fall back to an
+    // index-wide locate, correct but wider), drop the rows, remove
+    // bucket directories the purge emptied (dynamic overwrite only
+    // replaces partitions it WRITES, so an empty result leaves the
+    // stale directory behind), rewrite `_ids` without the deleted
+    // ids, and clear `_tombstones`. After this block the index is
+    // byte-equivalent to one never containing the deleted rows, and
+    // probes stop paying the anti-join.
+    val tsPath = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
+    if (fs.exists(tsPath)) {
+      val ts = spark.read.parquet(s"$dir/_tombstones")
+        .select("id").distinct().localCheckpoint()
+      def locate(df: DataFrame): Array[Int] =
+        df.join(broadcast(ts), "id")
+          .select("bucket").distinct().collect().map(_.getInt(0))
+      val touched: Array[Int] =
+        try {
+          val ids = spark.read.parquet(s"$dir/_ids")
+          ids.schema // force resolution: missing sidecar lands HERE
+          locate(ids)
+        } catch { case _: org.apache.spark.sql.AnalysisException =>
+          locate(spark.read.parquet(dir))
+        }
+      if (touched.nonEmpty) {
+        val kept = spark.read.parquet(dir)
+          .filter(col("bucket").isin(touched.toSeq: _*)) // pruned read
+          .join(broadcast(ts), Seq("id"), "left_anti")
+          .localCheckpoint() // materialize BEFORE overwriting the source
+        val surviving = kept.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (surviving.nonEmpty)
+          kept.repartition(surviving.size, col("bucket"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket").parquet(dir)
+        (touched.toSet -- surviving).foreach(b =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bucket=$b"), true))
+        try {
+          val ids0 = spark.read.parquet(s"$dir/_ids")
+          ids0.schema
+          writeIdsSidecar(
+            ids0.join(broadcast(ts), Seq("id"), "left_anti")
+              .localCheckpoint(),
+            dir, overwrite = true)
+        } catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+      fs.delete(tsPath, true)
+    }
     val fat = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .filter(s => parquetCount(s.getPath) > maxFilesPerBucket)

@@ -539,6 +539,44 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("cosine"))
     }),
 
+    // TOMBSTONE delete — the third index-lifecycle verb: build over
+    // the full corpus, delete ids 100..299 (a metadata-sized sidecar
+    // append; no index data rewritten), probe. The probe's candidates
+    // anti-join the broadcast tombstone set, so the answer equals the
+    // multi-probe oracle over the corpus WITHOUT the deleted rows —
+    // which is exactly what the dedicated oracle hash-checks.
+    "ann_ivf_deleted" -> ((s, d) => {
+      val dir = stagedPath(s, d, "ivfdel") { p =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        graft.operators.SimilarityOps.buildIvfIndex(e, "vec_id", "v", 8, p)
+        graft.operators.SimilarityOps.deleteFromIvfIndex(
+          s, p, (100L until 300L))
+      }
+      graft.operators.SimilarityOps
+        .annIvfFromIndexMultiProbe(s, dir, 8L, 10, nprobe = 3)
+        .select(col("id").as("vec_id"), col("cosine"))
+    }),
+
+    // ...and the PURGE: same deletes, then compactIvfIndex physically
+    // rewrites only the buckets holding deleted ids, removes emptied
+    // bucket directories, rewrites the _ids sidecar and clears the
+    // tombstones — after which probes stop paying the anti-join. Same
+    // oracle as ann_ivf_deleted: purge must change no answer.
+    "ann_ivf_purged" -> ((s, d) => {
+      val dir = stagedPath(s, d, "ivfpur") { p =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        graft.operators.SimilarityOps.buildIvfIndex(e, "vec_id", "v", 8, p)
+        graft.operators.SimilarityOps.deleteFromIvfIndex(
+          s, p, (100L until 300L))
+        graft.operators.SimilarityOps.compactIvfIndex(s, p)
+      }
+      graft.operators.SimilarityOps
+        .annIvfFromIndexMultiProbe(s, dir, 8L, 10, nprobe = 3)
+        .select(col("id").as("vec_id"), col("cosine"))
+    }),
+
     // BATCH multi-probe against the STORED index — the nightly
     // retrieval workload: probe rows located via the _ids sidecar
     // (scan pruned to the probes' own buckets), cells ranked per probe
@@ -1954,6 +1992,17 @@ object PipelineQueries {
       |WHERE a.bucket IN (SELECT cid FROM cells) AND a.id <> 8
       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
+  // the multi-probe oracle minus the tombstoned ids: deletes remove
+  // CANDIDATES only (the codebook rows 0..7 are never deleted, so
+  // cell ranking is untouched) — shared by ann_ivf_deleted (masked)
+  // and ann_ivf_purged (physically rewritten), proving both paths
+  // answer as if the rows never existed
+  private val annIvfDeletedOracle: String =
+    annIvfMultiProbeOracle.replace(
+      "WHERE a.bucket IN (SELECT cid FROM cells) AND a.id <> 8",
+      "WHERE a.bucket IN (SELECT cid FROM cells) AND a.id <> 8\n" +
+        "AND a.id NOT BETWEEN 100 AND 299")
+
   private val annIvfBatchOracle: String =
       """WITH e AS (
         |  SELECT vec_id AS id,
@@ -2018,6 +2067,8 @@ object PipelineQueries {
     // build + 2 appends + compaction preserves content row-for-row,
     // so the one-shot multi-probe oracle serves verbatim
     "ann_ivf_compacted" -> annIvfMultiProbeOracle,
+    "ann_ivf_deleted" -> annIvfDeletedOracle,
+    "ann_ivf_purged" -> annIvfDeletedOracle,
     // vector probe: same cells and scoring, minus the self-exclusion
     // (the probe is a request-time vector, not a stored row)
     "ann_ivf_vector" ->

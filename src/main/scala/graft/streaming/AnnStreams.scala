@@ -66,7 +66,10 @@ object AnnStreams {
       }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
     })
     val dot = GraftFunctions.dot_f64 _
-    val stored = spark.read.parquet(indexDir)
+    // tombstone-masked (deleted rows never surface as candidates);
+    // note the mask is resolved at PLAN time like the static scan
+    // itself — deletes landing mid-stream apply from the next (re)start
+    val stored = graft.operators.SimilarityOps.liveIndex(spark, indexDir)
     val cand = probes
       .select(col("pid"), col("pv"))
       .withColumn("pn", sqrt(dot(col("pv"), col("pv"))))

@@ -227,6 +227,69 @@ class AnnIndexSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(content() == beforeContent)
   }
 
+  test("delete: tombstones mask rows; purge removes them physically") {
+    val dir = tmp("ann_delete")
+    SimilarityOps.buildIvfIndex(vecs(0 until 160), "id", "v", 4, dir)
+    val pid = 42L
+    val full = SimilarityOps
+      .annIvfFromIndexMultiProbe(spark, dir, pid, 8, 3)
+      .collect().map(_.getLong(0)).toSeq
+    // delete the probe's top two neighbors (forces a changed answer)
+    // plus an id outside the probed cells and one absent id (no-op)
+    val dead = Seq(full(0), full(1), 150L, 9999L)
+    SimilarityOps.deleteFromIvfIndex(spark, dir, dead)
+    // data files untouched by the delete itself: tombstones are a
+    // sidecar, not a rewrite
+    val masked = SimilarityOps
+      .annIvfFromIndexMultiProbe(spark, dir, pid, 8, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(masked.intersect(dead).isEmpty)
+    val survivors = full.filterNot(dead.contains)
+    assert(masked.take(survivors.length) == survivors,
+      "surviving prefix must keep its order")
+    assert(masked.length == full.length, "k refills from the live set")
+    // deleted ids vanish from batch output as candidates AND probes
+    val batch = SimilarityOps
+      .annIvfFromIndexBatch(spark, dir, Seq(pid, full(0)), 5, 2).collect()
+    assert(batch.map(_.getLong(0)).distinct.toSeq == Seq(pid))
+    assert(!batch.map(_.getLong(1)).contains(full(0)))
+    // a tombstoned single-probe id errors loudly
+    val e = intercept[IllegalArgumentException](
+      SimilarityOps.annIvfFromIndexMultiProbe(spark, dir, full(0), 5, 1))
+    assert(e.getMessage.contains("absent or deleted"))
+    // PURGE: physically gone, tombstones cleared, answers unchanged
+    SimilarityOps.compactIvfIndex(spark, dir)
+    assert(!Files.exists(Paths.get(s"$dir/_tombstones")))
+    val storedIds = spark.read.parquet(dir).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(dead.take(3).forall(id => !storedIds.contains(id)))
+    assert(SimilarityOps
+      .annIvfFromIndexMultiProbe(spark, dir, pid, 8, 3)
+      .collect().map(_.getLong(0)).toSeq == masked)
+    // the rewritten _ids sidecar dropped the deleted ids
+    val sidecarIds = spark.read.parquet(s"$dir/_ids").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(dead.take(3).forall(id => !sidecarIds.contains(id)))
+    assert(sidecarIds == storedIds)
+  }
+
+  test("purge removes a bucket directory it empties") {
+    val dir = tmp("ann_emptied")
+    SimilarityOps.buildIvfIndex(vecs(0 until 80), "id", "v", 4, dir)
+    // empty one whole bucket: delete every id assigned to it
+    val byBucket = spark.read.parquet(dir).select("id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val (victim, victims) = byBucket.minBy(_._2.length)
+    SimilarityOps.deleteFromIvfIndex(spark, dir, victims)
+    SimilarityOps.compactIvfIndex(spark, dir)
+    assert(!Files.exists(Paths.get(s"$dir/bucket=$victim")),
+      s"emptied bucket=$victim directory must be removed")
+    val left = spark.read.parquet(dir).select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(left == byBucket.keySet - victim)
+  }
+
   test("probe-by-vector == probe-by-id modulo self-exclusion") {
     val dir = tmp("ann_vec")
     SimilarityOps.buildIvfIndex(vecs(0 until 160), "id", "v", 4, dir)
