@@ -685,9 +685,23 @@ object SimilarityOps {
             else ids.join(broadcast(pidDf), "id")).collect()
           // distinct on the MATCHED ids: duplicate probeIds must not
           // mask ids the sidecar is missing
-          if (matched.map(_.getLong(0)).distinct.length <
-              distinctPids.length) None
-          else Some(matched.map(_.getInt(1)).distinct.toSeq)
+          val matchedIds = matched.map(_.getLong(0)).distinct
+          if (matchedIds.length == distinctPids.length)
+            Some(matched.map(_.getInt(1)).distinct.toSeq)
+          else {
+            // ids the sidecar lacks: if every one is TOMBSTONED the
+            // matched buckets are still exactly right (a deleted probe
+            // contributes no rows anyway) — don't degrade the whole
+            // batch to the index-wide fallback for a stale probe list.
+            // A genuinely unknown id (legacy pre-sidecar append) still
+            // falls back conservatively.
+            val missing = distinctPids.toSet -- matchedIds
+            val allDead = tombstonesDf(spark, dir).exists(ts =>
+              ts.filter(col("id").isin(missing.toSeq: _*)).count() ==
+                missing.size)
+            if (allDead) Some(matched.map(_.getInt(1)).distinct.toSeq)
+            else None
+          }
         } catch {
           case _: org.apache.spark.sql.AnalysisException => None
         }

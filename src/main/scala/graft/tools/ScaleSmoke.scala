@@ -102,7 +102,12 @@ object ScaleSmoke {
       // BUILD-INCLUSIVE on both sides, see below) and the three read
       // shapes over the bucketed index (probe-by-vector, from-index
       // batch: codebook ranking + pruned directories only)
-      "ann_ivf_incremental", "ann_ivf_vector", "ann_ivf_index_batch")
+      "ann_ivf_incremental", "ann_ivf_vector", "ann_ivf_index_batch",
+      // round-12 continuation: tombstone delete (gate = build + the
+      // sidecar-append delete; probe pays the broadcast anti-join)
+      // and physical purge (gate additionally rewrites the touched
+      // buckets and the _ids sidecar)
+      "ann_ivf_deleted", "ann_ivf_purged")
     // warm passes at BOTH scales: amortizes codegen/JIT out of the
     // ratio AND commits every staged fixture (the "ivfidx" index,
     // signature tables) on both sides, so each timed number is the
@@ -112,7 +117,8 @@ object ScaleSmoke {
     // are warmed on NEITHER side — their gate IS a staged build
     // (index ingest write; Lloyd training), so both timed numbers
     // include it and the ratio measures that build's scaling.
-    val buildGated = Set("ann_ivf_incremental", "kmeans_embed")
+    val buildGated = Set("ann_ivf_incremental", "kmeans_embed",
+      "ann_ivf_deleted", "ann_ivf_purged")
     for (n <- heavy if !buildGated(n); d <- Seq(base, sf1Dir))
       graft.SparkEntry.queries(n)(spark, d).count()
     // build-gated queries stay cold by design (their gate IS the
@@ -132,6 +138,11 @@ object ScaleSmoke {
       graft.operators.SimilarityOps.buildIvfIndex(tiny, "id", "v", 4, idx)
       graft.operators.SimilarityOps.appendToIvfIndex(
         tiny.select((col("id") + 64).as("id"), col("v")), "id", "v", idx)
+      graft.operators.SimilarityOps
+        .annIvfFromIndexMultiProbe(spark, idx, 70L, 3, 2).count()
+      graft.operators.SimilarityOps.deleteFromIvfIndex(
+        spark, idx, Seq(5L, 6L))
+      graft.operators.SimilarityOps.compactIvfIndex(spark, idx)
       graft.operators.SimilarityOps
         .annIvfFromIndexMultiProbe(spark, idx, 70L, 3, 2).count()
       graft.operators.KMeans.assign(tiny,

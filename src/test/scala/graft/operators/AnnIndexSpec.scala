@@ -248,9 +248,13 @@ class AnnIndexSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(masked.take(survivors.length) == survivors,
       "surviving prefix must keep its order")
     assert(masked.length == full.length, "k refills from the live set")
-    // deleted ids vanish from batch output as candidates AND probes
+    // deleted ids vanish from batch output as candidates AND probes —
+    // including 9999L, which the _ids sidecar never had: all-missing-
+    // ids-tombstoned keeps the sidecar bucket route (no full-scan
+    // degradation for a stale probe list)
     val batch = SimilarityOps
-      .annIvfFromIndexBatch(spark, dir, Seq(pid, full(0)), 5, 2).collect()
+      .annIvfFromIndexBatch(spark, dir, Seq(pid, full(0), 9999L), 5, 2)
+      .collect()
     assert(batch.map(_.getLong(0)).distinct.toSeq == Seq(pid))
     assert(!batch.map(_.getLong(1)).contains(full(0)))
     // a tombstoned single-probe id errors loudly
