@@ -1,16 +1,79 @@
 package graft.streaming
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
-/** STREAMING retrieval against a stored IVF index — the serving shape
-  * that closes the index lifecycle: build (`buildIvfIndex`) → ingest
-  * (`appendToIvfIndex`) → maintain (`compactIvfIndex`) → serve a
-  * CONTINUOUS probe stream, answers flowing to any streaming sink.
+/** STREAMING head and tail of the stored IVF index — the shapes that
+  * close the lifecycle end to end: build (`buildIvfIndex`) → ingest a
+  * CONTINUOUS vector stream ([[ingestSink]], each micro-batch an
+  * O(batch) `appendToIvfIndex`) → delete (`deleteFromIvfIndex`) →
+  * maintain (`compactIvfIndex`) → serve a CONTINUOUS probe stream
+  * ([[probeStream]]), answers flowing to any streaming sink.
   */
 object AnnStreams {
+
+  /** A foreachBatch writer quantizing each micro-batch of (id: long,
+    * v: array<double>) rows against the index's immutable `_codebook`
+    * and appending it to the bucket directories — the streaming head
+    * of daily ANN ingest. Call `.start()` (+ checkpointLocation for
+    * restart semantics).
+    *
+    * Replay-safe: foreachBatch is at-least-once, so ids the index
+    * already carries are dropped before appending (a replayed batch
+    * becomes a no-op instead of duplicated rows — effectively-once
+    * without checkpoint coupling). The membership check is
+    * batch-bounded: the `_ids` sidecar is semi-joined against the
+    * BROADCAST batch-id set, so its sorted per-file min/max stats
+    * prune the lookup and nothing index-sized shuffles. TOMBSTONED ids
+    * are dropped the same way — a replayed insert must not resurrect a
+    * delete (delete wins), matching the batch-append contract that
+    * re-adding a tombstoned id before the next compact is unsupported.
+    */
+  def ingestSink(vecs: DataFrame, indexDir: String): DataStreamWriter[Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) => ingestBatch(batch, indexDir)
+    }
+
+  /** One ingest micro-batch; see [[ingestSink]]. */
+  def ingestBatch(batch: DataFrame, indexDir: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val known =
+      try {
+        val ids = spark.read.parquet(s"$indexDir/_ids")
+        ids.schema // force resolution so a missing sidecar lands HERE
+        ids
+      } catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$indexDir has no _ids sidecar — the streaming ingest needs " +
+            "it for replay detection; rebuild with buildIvfIndex", e)
+      }
+    val batchIds = batch.select(col("id")).distinct()
+    val dead =
+      try spark.read.parquet(s"$indexDir/_tombstones").select("id")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
+      }
+    // collect is batch-bounded: the semi-join keeps at most one row
+    // per distinct batch id
+    val drop = known.select("id").union(dead)
+      .join(broadcast(batchIds), "id")
+      .collect().map(_.getLong(0)).toSet
+    val fresh =
+      if (drop.isEmpty) batch
+      else {
+        val dropDf = {
+          import spark.implicits._
+          drop.toSeq.toDF("id")
+        }
+        batch.join(broadcast(dropDf), Seq("id"), "left_anti")
+      }
+    if (fresh.isEmpty) return
+    graft.operators.SimilarityOps.appendToIvfIndex(
+      fresh, "id", "v", indexDir)
+  }
 
   /** Answer a stream of (pid, pv) probe vectors with each probe's
     * exact top-k over its `nprobe` nearest index cells.

@@ -69,4 +69,54 @@ class AnnStreamsSpec extends SparkTestBase {
       assert(stateRows == 0L, s"retrieval retained $stateRows state rows")
     } finally q.stop()
   }
+
+  test("streamed ingest: replays and tombstoned ids drop; index == rebuild") {
+    val dir = {
+      val p = Files.createTempDirectory("ann_ingest")
+      p.toFile.deleteOnExit()
+      s"$p/idx"
+    }
+    SimilarityOps.buildIvfIndex(vecs(0 until 120), "id", "v", 4, dir)
+    implicit val sqlCtx = spark.sqlContext
+    def pairs(ids: Seq[Int]): Seq[(Long, Seq[Double])] = ids.map { i =>
+      val r = new scala.util.Random(i * 7919L + 13)
+      (i.toLong, Seq.fill(dim)(r.nextDouble() * 2 - 1))
+    }
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = AnnStreams.ingestSink(input.toDF().toDF("id", "v"), dir).start()
+    try {
+      input.addData(pairs(120 until 140): _*)
+      q.processAllAvailable()
+      // a delete lands mid-stream...
+      SimilarityOps.deleteFromIvfIndex(spark, dir, Seq(125L))
+      // ...then the next batch replays 130..139, attempts to resurrect
+      // the tombstoned 125, and brings genuinely new rows 140..149
+      input.addData(pairs((130 until 150) :+ 125): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // no id appears twice (the replay was dropped, not re-appended)
+    assert(spark.read.parquet(dir).groupBy("id").count()
+      .filter(col("count") > 1).count() == 0L)
+    // content equals a one-shot rebuild over the whole union — the
+    // shared assignToCodebook scoring rule makes this row-for-row, and
+    // the tombstoned 125 was NOT resurrected (only its original,
+    // pre-delete row remains, still masked by the tombstone)
+    val rebuilt = {
+      val p = Files.createTempDirectory("ann_ingest_rebuild")
+      p.toFile.deleteOnExit()
+      s"$p/idx"
+    }
+    SimilarityOps.buildIvfIndex(vecs(0 until 150), "id", "v", 4, rebuilt)
+    def rows(d: String) = spark.read.parquet(d)
+      .select("id", "bucket", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(_._1).toSeq
+    assert(rows(dir) == rows(rebuilt))
+    // probes see the live set: 125 masked, the streamed rows present
+    val got = SimilarityOps
+      .annIvfFromIndexMultiProbe(spark, dir, 60L, 200, 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(125L))
+    assert(got.contains(145L) && got.contains(130L))
+  }
 }
