@@ -143,8 +143,10 @@ object Bench {
     // latest driver-written round. Written at the repo root (NOT under
     // the gitignored target/) so the round-end auto-commit preserves it —
     // the r6/r7 target/ copies the perf analysis relied on never made it
-    // into history.
-    try {
+    // into history. SKIPPED for SPARK_GRAFT_ONLY subset runs — a
+    // partial run must never overwrite the FULL artifact (an ONLY
+    // smoke once clobbered BENCH_FULL_r12 with a 6-query total).
+    if (only.isEmpty) try {
       val dir = java.nio.file.Paths.get(".")
       val re = raw"BENCH_r(\d+)\.json".r
       import scala.jdk.CollectionConverters._

@@ -484,6 +484,14 @@ object SimilarityOps {
     * covering only the new batch's id range; per-file pruning is
     * unaffected by how many appends landed.
     */
+  /** Append (id, bucket) rows to the `_ids` sidecar without touching
+    * data files — the ingest sink's crash-window repair (see
+    * [[graft.streaming.AnnStreams.ingestBatch]]).
+    */
+  private[graft] def extendIdsSidecar(entries: DataFrame,
+      dir: String): Unit =
+    writeIdsSidecar(entries, dir, overwrite = false)
+
   private def writeIdsSidecar(assigned: DataFrame, dir: String,
       overwrite: Boolean): Unit =
     assigned.select(col("id"), col("bucket"))
@@ -506,18 +514,28 @@ object SimilarityOps {
     * dedup_incremental).
     */
   def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
-      dir: String): Unit = {
-    val spark = newVecs.sparkSession
-    val cents = spark.read.parquet(s"$dir/_codebook")
+      dir: String): Unit =
+    appendAssigned(assignForIndex(
+      newVecs.select(col(idCol).as("id"), col(vecCol).as("v")), dir), dir)
+
+  /** Quantize (id, v) rows against the index's own `_codebook` — the
+    * shared assignment step of every append path.
+    */
+  private[graft] def assignForIndex(e: DataFrame, dir: String): DataFrame = {
+    val cents = e.sparkSession.read.parquet(s"$dir/_codebook")
       .select(col("id").as("cid"), col("v").as("cv"))
-    // BATCH-sized checkpoint (not index-sized): the appended rows
-    // cannot be told apart from the rest of `dir` after the write, so
-    // the assignment is pinned once and shared by the data append and
-    // the _ids append instead of quantizing the batch twice
-    val assigned = assignToCodebook(
-      newVecs.select(col(idCol).as("id"), col(vecCol).as("v")), cents)
-      .withColumn("bucket", col("bucket").cast("int"))
-      .localCheckpoint()
+    assignToCodebook(e, cents).withColumn("bucket", col("bucket").cast("int"))
+  }
+
+  /** Append pre-assigned (id, v, bucket) rows: data files, then the
+    * `_ids` extension. BATCH-sized checkpoint (not index-sized): the
+    * appended rows cannot be told apart from the rest of `dir` after
+    * the write, so the assignment is pinned once and shared by the
+    * data append and the `_ids` append instead of quantizing twice.
+    */
+  private[graft] def appendAssigned(assigned0: DataFrame,
+      dir: String): Unit = {
+    val assigned = assigned0.localCheckpoint()
     assigned.write.mode("append").partitionBy("bucket").parquet(dir)
     writeIdsSidecar(assigned.select("id", "bucket"), dir,
       overwrite = false)
@@ -696,9 +714,16 @@ object SimilarityOps {
             // A genuinely unknown id (legacy pre-sidecar append) still
             // falls back conservatively.
             val missing = distinctPids.toSet -- matchedIds
-            val allDead = tombstonesDf(spark, dir).exists(ts =>
-              ts.filter(col("id").isin(missing.toSeq: _*)).count() ==
-                missing.size)
+            // broadcast the (probe-bounded) missing set rather than an
+            // isin literal: at the 10^6-probe workload a large stale
+            // fraction would otherwise build a planning-killing In list
+            val allDead = tombstonesDf(spark, dir).exists { ts =>
+              val missingDf = {
+                import spark.implicits._
+                missing.toSeq.toDF("id")
+              }
+              ts.join(broadcast(missingDf), "id").count() == missing.size
+            }
             if (allDead) Some(matched.map(_.getInt(1)).distinct.toSeq)
             else None
           }
@@ -786,14 +811,24 @@ object SimilarityOps {
       def locate(df: DataFrame): Array[Int] =
         df.join(broadcast(ts), "id")
           .select("bucket").distinct().collect().map(_.getInt(0))
-      val touched: Array[Int] =
+      // the sidecar locate is only sound when the sidecar is COMPLETE
+      // — a legacy index (built pre-sidecar, then appended) has an
+      // _ids covering only the appended batches, and trusting it
+      // would SKIP the original rows' buckets, leave deleted rows in
+      // place, and still clear the tombstones (silent resurrection).
+      // Completeness is a metadata-sized check: both counts answer
+      // from parquet footers.
+      val completeSidecar: Option[DataFrame] =
         try {
           val ids = spark.read.parquet(s"$dir/_ids")
           ids.schema // force resolution: missing sidecar lands HERE
-          locate(ids)
+          if (ids.count() == spark.read.parquet(dir).count()) Some(ids)
+          else None // incomplete (legacy) sidecar: locate index-wide
         } catch { case _: org.apache.spark.sql.AnalysisException =>
-          locate(spark.read.parquet(dir))
+          None
         }
+      val touched: Array[Int] = completeSidecar.map(locate)
+        .getOrElse(locate(spark.read.parquet(dir)))
       if (touched.nonEmpty) {
         val kept = spark.read.parquet(dir)
           .filter(col("bucket").isin(touched.toSeq: _*)) // pruned read
@@ -808,14 +843,18 @@ object SimilarityOps {
             .partitionBy("bucket").parquet(dir)
         (touched.toSet -- surviving).foreach(b =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bucket=$b"), true))
-        try {
-          val ids0 = spark.read.parquet(s"$dir/_ids")
-          ids0.schema
-          writeIdsSidecar(
-            ids0.join(broadcast(ts), Seq("id"), "left_anti")
-              .localCheckpoint(),
-            dir, overwrite = true)
-        } catch { case _: org.apache.spark.sql.AnalysisException => () }
+        // complete sidecar: drop the dead ids; incomplete or missing:
+        // REBUILD it from the post-purge data (same column-pruned read
+        // buildIvfIndex uses) — the purge is the natural moment to
+        // heal a legacy index into the metadata-sized-lookup layout
+        writeIdsSidecar(
+          completeSidecar match {
+            case Some(ids0) =>
+              ids0.join(broadcast(ts), Seq("id"), "left_anti")
+                .localCheckpoint()
+            case None => spark.read.parquet(dir).select("id", "bucket")
+          },
+          dir, overwrite = true)
       }
       fs.delete(tsPath, true)
     }

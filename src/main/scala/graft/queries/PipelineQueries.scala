@@ -1997,11 +1997,18 @@ object PipelineQueries {
   // cell ranking is untouched) — shared by ann_ivf_deleted (masked)
   // and ann_ivf_purged (physically rewritten), proving both paths
   // answer as if the rows never existed
-  private val annIvfDeletedOracle: String =
-    annIvfMultiProbeOracle.replace(
+  private val annIvfDeletedOracle: String = {
+    val derived = annIvfMultiProbeOracle.replace(
       "WHERE a.bucket IN (SELECT cid FROM cells) AND a.id <> 8",
       "WHERE a.bucket IN (SELECT cid FROM cells) AND a.id <> 8\n" +
         "AND a.id NOT BETWEEN 100 AND 299")
+    // replace() on a reworded base would silently no-op and gate the
+    // delete queries against the UN-deleted oracle — fail loudly here
+    require(derived != annIvfMultiProbeOracle,
+      "annIvfDeletedOracle: WHERE-clause anchor no longer matches the " +
+        "multi-probe oracle — update the derivation")
+    derived
+  }
 
   private val annIvfBatchOracle: String =
       """WITH e AS (

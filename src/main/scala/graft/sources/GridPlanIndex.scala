@@ -60,7 +60,7 @@ final class GridPlanIndex(
       case LongCoords(v) => longBounds(v, start, len)
       case TimeCoords(v) => longBounds(v, start, len)
       case DurationCoords(v) => longBounds(v, start, len)
-      case StringCoords(v) => strBounds(v, start, len)
+      case StringCoords(v) => StrBounds.of(v, start, len)
     }
 
   private def numBounds(at: Int => Double, len: Int): NumBounds = {
@@ -85,18 +85,6 @@ final class GridPlanIndex(
       i += 1
     }
     LongBounds(mn, mx)
-  }
-
-  private def strBounds(v: Array[String], start: Int, len: Int): StrBounds = {
-    var mn = v(start); var mx = mn
-    var i = 1
-    while (i < len) {
-      val x = v(start + i)
-      if (Utf8Order.compare(x, mn) < 0) mn = x
-      if (Utf8Order.compare(x, mx) > 0) mx = x
-      i += 1
-    }
-    StrBounds(mn, mx)
   }
 
   private val predDims: Set[String] =

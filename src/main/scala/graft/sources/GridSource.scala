@@ -143,7 +143,8 @@ class GridScanBuilder(store: GridStore, chunks: Map[String, Int],
   private var topKeys: Seq[(String, Boolean)] = Nil
 
   /** Separable-exact dimension predicates (conjunctions of single-dim
-    * compares on non-string dims) are claimed EXACT: the reader
+    * compares — string dims included, in UTF-8 binary order, see
+    * [[SeparableDimFilters]]) are claimed EXACT: the reader
     * enumerates only matching cells, so Spark drops its re-filter.
     * Everything else stays residual (Spark re-applies it row-level),
     * mirroring the reference's Inexact pushdown (lib.rs:548-565); the
@@ -295,11 +296,8 @@ object GridBounds {
           val s = v.slice(start, start + len)
           if (s.isEmpty) None else Some(dimName -> LongBounds(s.min, s.max))
         case StringCoords(v) =>
-          val s = v.slice(start, start + len)
-          if (s.isEmpty) None
-          else Some(dimName -> StrBounds(
-            s.reduce((a, b) => if (Utf8Order.compare(a, b) <= 0) a else b),
-            s.reduce((a, b) => if (Utf8Order.compare(a, b) >= 0) a else b)))
+          if (len <= 0) None
+          else Some(dimName -> StrBounds.of(v, start, len))
       }
     }.toMap
 
@@ -879,8 +877,15 @@ class GridPartitionReader(part: GridInputPartition)
             case TimeCoords(v) => sorted(v)
             case DurationCoords(v) => sorted(v)
             case StringCoords(v) =>
-              sorted(v)(Ordering.fromLessThan[String](
-                Utf8Order.compare(_, _) < 0))
+              // pre-encode once per index: comparator-side getBytes
+              // would re-encode both strings O(n log n) times
+              val enc = base.map(j => v(st + j)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val byBytes = Ordering.fromLessThan[Int]((a, b) =>
+                java.util.Arrays.compareUnsigned(enc(a), enc(b)) < 0)
+              base.indices.sortBy(identity)(
+                if (desc) byBytes.reverse else byBytes)
+                .map(base).toArray
           }
       }
     }

@@ -17,6 +17,23 @@ final case class LongBounds(min: Long, max: Long) extends DimBounds
   */
 final case class StrBounds(min: String, max: String) extends DimBounds
 
+object StrBounds {
+  /** Bounds of `v[start, start+len)` in UTF-8 binary order — the one
+    * implementation both block-bounds builders share (single pass).
+    */
+  def of(v: Array[String], start: Int, len: Int): StrBounds = {
+    var mn = v(start); var mx = mn
+    var i = 1
+    while (i < len) {
+      val x = v(start + i)
+      if (Utf8Order.compare(x, mn) < 0) mn = x
+      if (Utf8Order.compare(x, mx) > 0) mx = x
+      i += 1
+    }
+    StrBounds(mn, mx)
+  }
+}
+
 /** String comparison in UTF-8 unsigned-byte order — bit-identical to
   * Spark's `UTF8String.binaryCompare` (string literals reach Spark
   * through `UTF8String.fromString`, i.e. the same

@@ -23,13 +23,25 @@ object AnnStreams {
     * Replay-safe: foreachBatch is at-least-once, so ids the index
     * already carries are dropped before appending (a replayed batch
     * becomes a no-op instead of duplicated rows — effectively-once
-    * without checkpoint coupling). The membership check is
-    * batch-bounded: the `_ids` sidecar is semi-joined against the
-    * BROADCAST batch-id set, so its sorted per-file min/max stats
-    * prune the lookup and nothing index-sized shuffles. TOMBSTONED ids
-    * are dropped the same way — a replayed insert must not resurrect a
-    * delete (delete wins), matching the batch-append contract that
-    * re-adding a tombstoned id before the next compact is unsupported.
+    * without checkpoint coupling), and a batch repeating an id
+    * INTERNALLY keeps one arbitrary row (the dedup contract, as with
+    * `dedup_incremental`). The membership check is batch-bounded: the
+    * batch's distinct ids collect driver-side (≤ batch rows), bounded
+    * lists filter the `_ids` sidecar with a literal isin — which
+    * pushes into its sorted per-file min/max stats, a metadata-sized
+    * lookup — and larger batches fall back to a broadcast semi-join
+    * (one sidecar scan of 2 longs/row, amortized across the batch).
+    * TOMBSTONED ids are dropped the same way — a replayed insert must
+    * not resurrect a delete (delete wins), matching the batch-append
+    * contract that re-adding a tombstoned id before the next compact
+    * is unsupported. The crash window between appendToIvfIndex's data
+    * write and its `_ids` extension is ALSO covered: surviving
+    * candidates are quantized first and their predicted buckets
+    * checked for the ids directly (assignment is deterministic, so a
+    * data-committed-but-sidecar-lost row is exactly there) — such rows
+    * are not re-appended, and their missing sidecar entries are
+    * repaired from the stored data, so the replay heals the index
+    * instead of duplicating into it.
     */
   def ingestSink(vecs: DataFrame, indexDir: String): DataStreamWriter[Row] =
     vecs.writeStream.outputMode("append").foreachBatch {
@@ -38,41 +50,62 @@ object AnnStreams {
 
   /** One ingest micro-batch; see [[ingestSink]]. */
   def ingestBatch(batch: DataFrame, indexDir: String): Unit = {
+    import graft.operators.SimilarityOps
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    import spark.implicits._
     val known =
       try {
         val ids = spark.read.parquet(s"$indexDir/_ids")
         ids.schema // force resolution so a missing sidecar lands HERE
-        ids
+        ids.select("id")
       } catch { case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(
           s"$indexDir has no _ids sidecar — the streaming ingest needs " +
             "it for replay detection; rebuild with buildIvfIndex", e)
       }
-    val batchIds = batch.select(col("id")).distinct()
     val dead =
       try spark.read.parquet(s"$indexDir/_tombstones").select("id")
       catch { case _: org.apache.spark.sql.AnalysisException =>
-        spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
+        Seq.empty[Long].toDF("id")
       }
-    // collect is batch-bounded: the semi-join keeps at most one row
-    // per distinct batch id
-    val drop = known.select("id").union(dead)
-      .join(broadcast(batchIds), "id")
+    // batch-bounded driver-side id list; one row kept per id
+    val deduped = batch.dropDuplicates("id").localCheckpoint()
+    val batchIdSeq = deduped.select("id").collect().map(_.getLong(0)).toSeq
+    val candidates = known.union(dead)
+    val drop = (if (batchIdSeq.length <= 1000)
+      candidates.filter(col("id").isin(batchIdSeq: _*))
+    else candidates.join(broadcast(batchIdSeq.toDF("id")), "id"))
       .collect().map(_.getLong(0)).toSet
-    val fresh =
-      if (drop.isEmpty) batch
-      else {
-        val dropDf = {
-          import spark.implicits._
-          drop.toSeq.toDF("id")
-        }
-        batch.join(broadcast(dropDf), Seq("id"), "left_anti")
-      }
-    if (fresh.isEmpty) return
-    graft.operators.SimilarityOps.appendToIvfIndex(
-      fresh, "id", "v", indexDir)
+    val fresh0 = batchIdSeq.filterNot(drop)
+    if (fresh0.isEmpty) return
+    val freshDf = fresh0.toDF("id")
+    val assigned = SimilarityOps.assignForIndex(
+      deduped.join(broadcast(freshDf), "id").select(col("id"), col("v")),
+      indexDir).localCheckpoint()
+    // crash-window check: ids whose DATA landed but whose sidecar
+    // extension did not — look only in the predicted buckets
+    // (partition-pruned; assignment is deterministic, so that is the
+    // only place a prior attempt can have put them)
+    val buckets = assigned.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val committed = spark.read.parquet(indexDir)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(freshDf), "id")
+      .select(col("id"), col("bucket"))
+      .localCheckpoint()
+    val committedIds = committed.select("id")
+      .collect().map(_.getLong(0)).toSet
+    if (committedIds.nonEmpty) {
+      // repair the lost sidecar entries from the stored truth
+      SimilarityOps.extendIdsSidecar(committed, indexDir)
+    }
+    val toAppend =
+      if (committedIds.isEmpty) assigned
+      else assigned.join(
+        broadcast(committedIds.toSeq.toDF("id")), Seq("id"), "left_anti")
+    if (!toAppend.isEmpty)
+      SimilarityOps.appendAssigned(toAppend, indexDir)
   }
 
   /** Answer a stream of (pid, pv) probe vectors with each probe's

@@ -277,6 +277,34 @@ class AnnIndexSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(sidecarIds == storedIds)
   }
 
+  test("purge with an incomplete legacy sidecar still removes the rows") {
+    val dir = tmp("ann_legacy_purge")
+    SimilarityOps.buildIvfIndex(vecs(0 until 80), "id", "v", 4, dir)
+    // legacy state: the original build's sidecar is gone; a later
+    // append recreates _ids covering ONLY its own batch
+    deleteRecursively(Paths.get(s"$dir/_ids"))
+    SimilarityOps.appendToIvfIndex(vecs(80 until 100), "id", "v", dir)
+    // delete an ORIGINAL row (absent from the incomplete sidecar) —
+    // trusting the sidecar to locate its bucket would skip the purge
+    // and silently resurrect it once the tombstones clear
+    SimilarityOps.deleteFromIvfIndex(spark, dir, Seq(10L))
+    SimilarityOps.compactIvfIndex(spark, dir)
+    val storedIds = spark.read.parquet(dir).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!storedIds.contains(10L), "deleted row resurrected")
+    assert(!Files.exists(Paths.get(s"$dir/_tombstones")))
+    // ...and the purge healed the sidecar to full coverage
+    val sidecarIds = spark.read.parquet(s"$dir/_ids").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sidecarIds == storedIds)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    val walk = Files.walk(p)
+    val all = try walk.iterator().asScala.toSeq finally walk.close()
+    all.sortBy(-_.getNameCount).foreach(Files.delete)
+  }
+
   test("purge removes a bucket directory it empties") {
     val dir = tmp("ann_emptied")
     SimilarityOps.buildIvfIndex(vecs(0 until 80), "id", "v", 4, dir)

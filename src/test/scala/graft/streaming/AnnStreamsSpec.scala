@@ -85,7 +85,10 @@ class AnnStreamsSpec extends SparkTestBase {
     val input = MemoryStream[(Long, Seq[Double])]
     val q = AnnStreams.ingestSink(input.toDF().toDF("id", "v"), dir).start()
     try {
-      input.addData(pairs(120 until 140): _*)
+      // 135 arrives twice WITHIN the first batch: one arbitrary row
+      // survives (the dedup contract) — with identical payloads here,
+      // so content stays deterministic
+      input.addData(pairs((120 until 140) :+ 135): _*)
       q.processAllAvailable()
       // a delete lands mid-stream...
       SimilarityOps.deleteFromIvfIndex(spark, dir, Seq(125L))
@@ -118,5 +121,51 @@ class AnnStreamsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(!got.contains(125L))
     assert(got.contains(145L) && got.contains(130L))
+  }
+
+  test("ingest heals the data-committed/sidecar-lost crash window") {
+    val dir = {
+      val p = Files.createTempDirectory("ann_crash")
+      p.toFile.deleteOnExit()
+      s"$p/idx"
+    }
+    SimilarityOps.buildIvfIndex(vecs(0 until 120), "id", "v", 4, dir)
+    // simulate a crash between appendToIvfIndex's data write and its
+    // _ids extension: append, then remove exactly the sidecar files
+    // the append created
+    import scala.jdk.CollectionConverters._
+    def idsFiles() = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/_ids"))
+      try l.iterator().asScala.map(_.toString).toSet
+      finally l.close()
+    }
+    val before = idsFiles()
+    SimilarityOps.appendToIvfIndex(vecs(150 until 160), "id", "v", dir)
+    (idsFiles() -- before).foreach(f =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
+    // the replayed batch re-carries 150..159 (data present, sidecar
+    // lost) plus genuinely new 160..169
+    def pairs(ids: Seq[Int]): Seq[(Long, Seq[Double])] = ids.map { i =>
+      val r = new scala.util.Random(i * 7919L + 13)
+      (i.toLong, Seq.fill(dim)(r.nextDouble() * 2 - 1))
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = AnnStreams.ingestSink(input.toDF().toDF("id", "v"), dir).start()
+    try {
+      input.addData(pairs(150 until 170): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // no duplicates: the crash-window rows were detected in their
+    // predicted buckets and NOT re-appended
+    assert(spark.read.parquet(dir).groupBy("id").count()
+      .filter(col("count") > 1).count() == 0L)
+    // ...and their sidecar entries were repaired from the stored data
+    val sidecar = spark.read.parquet(s"$dir/_ids")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val truth = spark.read.parquet(dir).select("id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sidecar == truth)
+    assert((150L until 170L).forall(sidecar.contains))
   }
 }
