@@ -286,6 +286,43 @@ object GridQueries {
         expr("percentile(air, 0.25D)").as("q25"),
         expr("percentile(air, 0.5D)").as("q50"))),
 
+    // xarray `interp(lat=..., lon=...)` / `interp_like` — 2-D BILINEAR
+    // regridding, the resolution-change verb of every climate
+    // pipeline. Shape: each target axis expands to a (target, source
+    // index, weight) map with ≤2 rows per target — BROADCAST (axis-
+    // sized, never the grid) — the grid joins both maps (≤4 rows per
+    // source cell) and one partial-agg shuffle keyed by target cell
+    // sums the weighted neighbors. Exactness: dyadic fractional
+    // positions (denominator ≤16) x integer-valued air keep every
+    // product and the ≤4-term sum exact in doubles on both engines.
+    "pivot_grid_regrid" -> ((s, _) => {
+      import s.implicits._
+      def axisMap(ts: Seq[Double]): Seq[(Double, Long, Double)] =
+        ts.flatMap { p =>
+          val i0 = p.floor.toLong
+          val f = p - p.floor
+          if (f == 0.0) Seq((p, i0, 1.0))
+          else Seq((p, i0, 1.0 - f), (p, i0 + 1, f))
+        }
+      val latMap = axisMap((0 until 8).map(k => 0.25 + 1.25 * k))
+        .toDF("lat_t", "li", "wlat")
+      val lonMap = axisMap((0 until 7).map(m => 0.5 + 1.25 * m))
+        .toDF("lon_t", "lj", "wlon")
+      grid(s)
+        .select(col("t").cast("long").as("t"),
+          ((lit(75.0) - col("lat")) / 2.5).cast("long").as("li"),
+          ((col("lon") - lit(200.0)) / 2.5).cast("long").as("lj"),
+          col("air"))
+        .join(broadcast(latMap), "li")
+        .join(broadcast(lonMap), "lj")
+        .groupBy(col("t"), col("lat_t"), col("lon_t"))
+        .agg(sum(col("air") * col("wlat") * col("wlon")).as("air_interp"))
+        .select(col("t"),
+          (lit(75.0) - lit(2.5) * col("lat_t")).as("lat"),
+          (lit(200.0) + lit(2.5) * col("lon_t")).as("lon"),
+          col("air_interp"))
+    }),
+
     // xarray `integrate("t")` per cell: trapezoidal rule over the
     // time axis — one lead window per series builds consecutive
     // pairs, then one partial-agg shuffle sums (a+b)/2 * dt (dt=1).
@@ -1265,6 +1302,32 @@ object GridQueries {
          |quantile_cont(CAST(air AS DOUBLE), 0.25) AS q25,
          |quantile_cont(CAST(air AS DOUBLE), 0.5) AS q50
          |FROM grid GROUP BY lat, lon""".stripMargin,
+    "pivot_grid_regrid" ->
+      s"""WITH $oracleGrid,
+         |lt AS (SELECT 0.25 + 1.25*k AS p FROM generate_series(0, 7) g(k)),
+         |lo AS (SELECT 0.5 + 1.25*m AS p FROM generate_series(0, 6) g(m)),
+         |latmap AS (
+         |  SELECT p AS lat_t, CAST(floor(p) AS BIGINT) AS li,
+         |         1.0 - (p - floor(p)) AS wlat FROM lt
+         |  UNION ALL
+         |  SELECT p, CAST(floor(p) AS BIGINT) + 1, p - floor(p)
+         |  FROM lt WHERE p <> floor(p)),
+         |lonmap AS (
+         |  SELECT p AS lon_t, CAST(floor(p) AS BIGINT) AS lj,
+         |         1.0 - (p - floor(p)) AS wlon FROM lo
+         |  UNION ALL
+         |  SELECT p, CAST(floor(p) AS BIGINT) + 1, p - floor(p)
+         |  FROM lo WHERE p <> floor(p)),
+         |idx AS (
+         |  SELECT CAST(t AS BIGINT) AS t,
+         |  CAST((75.0 - lat) / 2.5 AS BIGINT) AS li,
+         |  CAST((lon - 200.0) / 2.5 AS BIGINT) AS lj, air FROM grid)
+         |SELECT i.t, 75.0 - 2.5*a.lat_t AS lat,
+         |200.0 + 2.5*b.lon_t AS lon,
+         |SUM(i.air * a.wlat * b.wlon) AS air_interp
+         |FROM idx i JOIN latmap a ON i.li = a.li
+         |JOIN lonmap b ON i.lj = b.lj
+         |GROUP BY i.t, a.lat_t, b.lon_t""".stripMargin,
     "pivot_grid_integrate" ->
       s"""WITH $oracleGrid,
          |led AS (

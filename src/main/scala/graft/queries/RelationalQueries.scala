@@ -445,6 +445,21 @@ object RelationalQueries {
               |""".stripMargin)
     }),
 
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE): a generated month
+    // spine LEFT JOINs the fact table, so empty months would surface —
+    // the calendar-spine shape; recursion is pure sequence generation
+    // (12 iterations, no data-dependent bound), everything after it a
+    // plain broadcast join + agg
+    "cte_recursive" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_rc")
+      s.sql("""WITH RECURSIVE m(n) AS (
+              |  SELECT 1 UNION ALL SELECT n + 1 FROM m WHERE n < 12)
+              |SELECT CAST(n AS BIGINT) AS ship_month,
+              |CAST(COUNT(l_orderkey) AS BIGINT) AS cnt
+              |FROM m LEFT JOIN lineitem_rc ON month(l_shipdate) = n
+              |GROUP BY n""".stripMargin)
+    }),
+
     // lateral explode (generator / UNNEST): one row per split token —
     // a map-side generator, zero shuffles; the row-multiplying verb
     // under every token-level pipeline stage
@@ -632,6 +647,14 @@ object RelationalQueries {
          |${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "cte_recursive" ->
+      """WITH RECURSIVE m(n) AS (
+        |  SELECT 1 UNION ALL SELECT n + 1 FROM m WHERE n < 12)
+        |SELECT CAST(n AS BIGINT) AS ship_month,
+        |CAST(COUNT(l_orderkey) AS BIGINT) AS cnt
+        |FROM m LEFT JOIN lineitem
+        |  ON date_part('month', l_shipdate) = n
+        |GROUP BY n""".stripMargin,
     "lateral_explode" ->
       """SELECT o_orderkey,
         |unnest(string_split(o_orderpriority, '-')) AS tok
