@@ -201,6 +201,23 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"$nBuckets buckets exceeds the O(cores) target $target")
   }
 
+  test("regrid: axis maps stay broadcast under -1 threshold; one agg shuffle") {
+    // the target-axis maps carry explicit broadcast() hints (they are
+    // axis-sized, never grid-sized) — with size-based broadcast OFF
+    // they must STILL plan as broadcast joins, and the only exchange
+    // is the final target-cell aggregate
+    val pre = planNoAutoBroadcast("pivot_grid_regrid")
+    assert("BroadcastHashJoin".r.findAllIn(pre).size == 2,
+      s"expected exactly 2 hinted broadcast joins in:\n$pre")
+    assert(!pre.contains("SortMergeJoin") &&
+      !pre.contains("ShuffledHashJoin"),
+      s"axis-map join shuffled the grid:\n$pre")
+    // pre-AQE sparkPlan shows no Exchange nodes; the partial+final
+    // HashAggregate pair IS the single shuffle boundary
+    assert("HashAggregate".r.findAllIn(pre).size == 2,
+      s"expected one partial+final agg pair in:\n$pre")
+  }
+
   test("bigram_commonness: frequency join shuffled, not hint-broadcast") {
     val pre = planNoAutoBroadcast("bigram_commonness")
     assert(!pre.contains("BroadcastHashJoin [b#"),
