@@ -193,6 +193,22 @@ object BinaryGridStore {
       // for a genuine i8 MinValue — sound either way.
       val mn = a.min
       if (mn == Long.MinValue) None else Some((mn, a.max))
+    case a: Array[String] if a.nonEmpty =>
+      // UTF-8 binary order — the order string predicates prune in
+      // (graft.sources.Utf8Order == Spark's UTF8_BINARY). Any null
+      // element hides the chunk from stats (the all-values-known rule
+      // NaN enforces for floats). Zarr sidecars serialize these as
+      // JSON strings; BinaryGridStore rejects string vars before
+      // stats are ever taken.
+      var mn = a(0); var mx = a(0); var i = 0
+      while (i < a.length) {
+        val x = a(i)
+        if (x == null) return None
+        if (graft.sources.Utf8Order.compare(x, mn) < 0) mn = x
+        if (graft.sources.Utf8Order.compare(x, mx) > 0) mx = x
+        i += 1
+      }
+      Some((mn, mx))
     case _ => None
   }
 

@@ -268,6 +268,30 @@ object Fixtures {
 
   def stationQualityGrid: StationQualityStore = StationQualityStore()
 
+  /** STRING data variable with per-25-step-chunk-CONSTANT values
+    * ("g0".."g3") over time(100) x lat(5) — each chunk's stats collapse
+    * to exact (gk, gk) bounds, so string predicates prune through the
+    * value-stats sidecar (the string analogue of [[pruneGrid]]).
+    */
+  final case class GradeStore() extends GridStore {
+    val schema: GridSchema = GridSchema(
+      Seq(
+        DimDef("time", TimeCoords((0 until 100).map(k =>
+          (18262L + k) * 86400000000L).toArray)),
+        DimDef("lat", DoubleCoords((0 until 5).map(10.0 * _).toArray))),
+      Seq(VarDef("grade", Seq("time", "lat"), GString)))
+    def readVar(name: String, ranges: Seq[(Int, Int)]): AnyRef = {
+      require(name == "grade", s"unknown var $name")
+      val Seq((t0, nt), (_, ni)) = ranges
+      val out = new Array[String](nt * ni)
+      for (t <- 0 until nt; i <- 0 until ni)
+        out(t * ni + i) = s"g${(t0 + t) / 25}"
+      out
+    }
+  }
+
+  def gradeGrid: GradeStore = GradeStore()
+
   /** Forecast-skill fixture: init time (4 x 6-hourly from 2021-01-01) x
     * prediction lead (6 x 6-hour day-time intervals) — the reference's
     * `prediction_timedelta` coordinate

@@ -321,15 +321,17 @@ object StatsSource {
     */
   private[grid] def parseVarStats(name: String, vn: JsonNode)
       : (Map[String, (Any, Any)], Map[String, Double]) = {
-    val long = vn.path("kind").asText("double") == "long"
+    val kind = vn.path("kind").asText("double")
     val stats = Map.newBuilder[String, (Any, Any)]
     val sums = Map.newBuilder[String, Double]
     vn.path("stats").properties().asScala.foreach { s =>
       val a = s.getValue
       require(a.isArray && a.size() == 2, s"$name: bad stats entry")
-      val pair: (Any, Any) =
-        if (long) (a.get(0).asLong(), a.get(1).asLong())
-        else (a.get(0).asDouble(), a.get(1).asDouble())
+      val pair: (Any, Any) = kind match {
+        case "long" => (a.get(0).asLong(), a.get(1).asLong())
+        case "string" => (a.get(0).asText(), a.get(1).asText())
+        case _ => (a.get(0).asDouble(), a.get(1).asDouble())
+      }
       stats += s"$name ${s.getKey}" -> pair
     }
     vn.path("sums").properties().asScala.foreach(s =>

@@ -560,6 +560,7 @@ object ZarrGridStore {
     */
   private def statsKind(dtype: GridType): String = dtype match {
     case GLong | GTimestamp | GDuration => "long"
+    case GString => "string" // UTF-8 binary order (Utf8Order)
     case _ => "double"
   }
 
@@ -603,6 +604,7 @@ object ZarrGridStore {
         Seq(mn, mx).foreach {
           case l: Long => arr.add(l)
           case d: Double => arr.add(d)
+          case s: String => arr.add(s)
           case other => throw new IllegalStateException(
             s"${v.name}: unexpected stats box ${other.getClass}")
         }

@@ -534,6 +534,23 @@ object GridQueries {
           col("air"))
     }),
 
+    // STRING data-variable VALUE stats end-to-end: grade is constant
+    // per time chunk, so the written zarr tree's sidecar carries exact
+    // (gk, gk) string bounds and the range + prefix predicate prunes
+    // half the chunks in UTF-8 binary order (open counts pinned in
+    // ZarrVarStatsSpec) — the string analogue of pivot_grid_zarr_varstats
+    "pivot_grid_zarr_strstats" -> ((s, _) => {
+      val root = QueryTmp.staged("graft_zarr_strstats")(base =>
+        graft.grid.ZarrGridStore.write(Fixtures.gradeGrid,
+          s"$base/store", Map("time" -> 25), "zlib")) + "/store"
+      val store = graft.grid.ZarrGridStore.open(root)
+      new XarrayContext(s)
+        .scratchDataFrame(s"zarr_strstats@$root", store, store.chunkMap,
+          Seq("time", "lat"))
+        .filter(col("grade") >= "g2" && col("grade").startsWith("g"))
+        .select(col("time"), col("lat"), col("grade"))
+    }),
+
     // timedelta (DayTimeInterval) coordinate end-to-end: a forecast grid
     // keyed by init time x prediction lead; the interval-literal filter
     // zone-map-prunes lead chunks and valid time = time + lead uses
@@ -1424,6 +1441,13 @@ object GridQueries {
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air
          |FROM grid WHERE air >= 255.0""".stripMargin,
+    "pivot_grid_zarr_strstats" ->
+      // grade law replayed as literal arithmetic; grade >= 'g2' AND
+      // grade LIKE 'g%' over ASCII grades == k >= 50 on both engines
+      """SELECT TIMESTAMP '2020-01-01' + k * INTERVAL 1 DAY AS time,
+        |10.0*i AS lat, 'g' || CAST(k // 25 AS VARCHAR) AS grade
+        |FROM generate_series(0, 99) g1(k), generate_series(0, 4) g2(i)
+        |WHERE 'g' || CAST(k // 25 AS VARCHAR) >= 'g2'""".stripMargin,
     "pivot_grid_timedelta" ->
       """WITH fc AS (
         |  SELECT TIMESTAMP '2021-01-01' + INTERVAL (t*6) HOUR AS time, l,

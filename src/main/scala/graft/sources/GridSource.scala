@@ -309,6 +309,7 @@ object GridBounds {
       LongBounds(mn, mx)
     case (mn: java.lang.Number, mx: java.lang.Number) =>
       NumBounds(mn.doubleValue(), mx.doubleValue())
+    case (mn: String, mx: String) => StrBounds(mn, mx)
     case other => throw new IllegalArgumentException(s"bad var stats $other")
   }
 

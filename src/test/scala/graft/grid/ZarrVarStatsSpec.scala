@@ -47,6 +47,35 @@ class ZarrVarStatsSpec extends SparkTestBase {
     }
   }
 
+  test("STRING variable stats: recorded, round-tripped, pruning scans") {
+    // grade is constant per 25-step time chunk ("g0".."g3") — exact
+    // (gk, gk) bounds per chunk, so string predicates prune in UTF-8
+    // binary order through the same sidecar zone maps numerics use
+    val store0 = Fixtures.gradeGrid
+    for ((root, store) <- Seq(
+      { val r = tmp().resolve("v2s").toString
+        (r, ZarrGridStore.write(store0, r, Map("time" -> 25), "zlib")) },
+      { val r = tmp().resolve("v3s").toString
+        (r, ZarrV3.write(store0, r, Map("time" -> 25), "zstd:3")) })) {
+      assert(store.varBounds("grade", Seq((0, 25), (0, 5)))
+        .contains(("g0", "g0")), root)
+      assert(store.varBounds("grade", Seq((75, 25), (0, 5)))
+        .contains(("g3", "g3")), root)
+      val df = new XarrayContext(spark).dataFrame(s"zvss@$root", store,
+        Map("time" -> 25), Seq("time", "lat"))
+      ReadCounters.reset()
+      assert(df.filter(col("grade") === "g2").collect().length == 125, root)
+      assert(ReadCounters.partitionsOpened.sum() == 1L, root)
+      ReadCounters.reset()
+      assert(df.filter(col("grade") >= "g2").collect().length == 250, root)
+      assert(ReadCounters.partitionsOpened.sum() == 2L, root)
+      // prefix region with no matching chunk opens nothing
+      ReadCounters.reset()
+      assert(df.filter(col("grade").startsWith("h")).count() == 0L, root)
+      assert(ReadCounters.partitionsOpened.sum() == 0L, root)
+    }
+  }
+
   test("metadata SUM/AVG answered from the sidecar (zero var reads)") {
     val root = tmp().resolve("sum").toString
     val store = ZarrGridStore.write(Fixtures.pruneGrid, root,
