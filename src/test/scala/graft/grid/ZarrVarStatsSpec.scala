@@ -73,6 +73,9 @@ class ZarrVarStatsSpec extends SparkTestBase {
       ReadCounters.reset()
       assert(df.filter(col("grade").startsWith("h")).count() == 0L, root)
       assert(ReadCounters.partitionsOpened.sum() == 0L, root)
+      // (the metadata-COUNT form of the string predicate is pinned in
+      // MetadataCountRuleSpec — the rewrite is an injected optimizer
+      // rule the shared test session does not carry)
     }
   }
 

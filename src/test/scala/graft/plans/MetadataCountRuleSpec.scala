@@ -111,4 +111,28 @@ class MetadataCountRuleSpec extends SparkTestBase {
     assert(df.filter(col("temperature") >= 800.0).count() == 100L)
     assert(ReadCounters.partitionsOpened.sum() == 1L)
   }
+
+  test("STRING-variable-predicate counts answer from per-chunk stats") {
+    // grade constant per time chunk ("g0".."g3"): equality and range
+    // predicates fully classify every chunk, so the COUNT is pure
+    // metadata — the includes() dual works for StrBounds too
+    val dir = java.nio.file.Files.createTempDirectory("graft-strstat")
+    dir.toFile.deleteOnExit()
+    val root = s"$dir/z"
+    val store = graft.grid.ZarrGridStore.write(Fixtures.gradeGrid, root,
+      Map("time" -> 25), "zlib")
+    val ctx = new XarrayContext(session)
+    val df = ctx.dataFrame("metacount5", store, Map("time" -> 25),
+      Seq("time", "lat"))
+    ReadCounters.reset()
+    assert(df.filter(col("grade") === "g1").count() == 125L)
+    assert(ReadCounters.partitionsOpened.sum() == 0L,
+      s"opened ${ReadCounters.partitionsOpened.sum()}")
+    ReadCounters.reset()
+    assert(df.filter(col("grade") >= "g2").count() == 250L)
+    assert(ReadCounters.partitionsOpened.sum() == 0L)
+    ReadCounters.reset()
+    assert(df.filter(col("grade").startsWith("g")).count() == 500L)
+    assert(ReadCounters.partitionsOpened.sum() == 0L)
+  }
 }
