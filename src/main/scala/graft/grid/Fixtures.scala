@@ -271,7 +271,9 @@ object Fixtures {
   /** STRING data variable with per-25-step-chunk-CONSTANT values
     * ("g0".."g3") over time(100) x lat(5) — each chunk's stats collapse
     * to exact (gk, gk) bounds, so string predicates prune through the
-    * value-stats sidecar (the string analogue of [[pruneGrid]]).
+    * value-stats sidecar (the string analogue of [[pruneGrid]]) — plus
+    * a numeric `reading` (t + 10i, integer-exact) so string-filtered
+    * metadata SUMs have something to sum.
     */
   final case class GradeStore() extends GridStore {
     val schema: GridSchema = GridSchema(
@@ -279,14 +281,24 @@ object Fixtures {
         DimDef("time", TimeCoords((0 until 100).map(k =>
           (18262L + k) * 86400000000L).toArray)),
         DimDef("lat", DoubleCoords((0 until 5).map(10.0 * _).toArray))),
-      Seq(VarDef("grade", Seq("time", "lat"), GString)))
+      Seq(
+        VarDef("grade", Seq("time", "lat"), GString),
+        VarDef("reading", Seq("time", "lat"), GDouble)))
     def readVar(name: String, ranges: Seq[(Int, Int)]): AnyRef = {
-      require(name == "grade", s"unknown var $name")
       val Seq((t0, nt), (_, ni)) = ranges
-      val out = new Array[String](nt * ni)
-      for (t <- 0 until nt; i <- 0 until ni)
-        out(t * ni + i) = s"g${(t0 + t) / 25}"
-      out
+      name match {
+        case "grade" =>
+          val out = new Array[String](nt * ni)
+          for (t <- 0 until nt; i <- 0 until ni)
+            out(t * ni + i) = s"g${(t0 + t) / 25}"
+          out
+        case "reading" =>
+          val out = new Array[Double](nt * ni)
+          for (t <- 0 until nt; i <- 0 until ni)
+            out(t * ni + i) = (t0 + t) + 10.0 * i
+          out
+        case other => throw new IllegalArgumentException(s"unknown var $other")
+      }
     }
   }
 

@@ -139,4 +139,25 @@ class MetadataSumRuleSpec extends SparkTestBase {
     assert(ReadCounters.partitionsOpened.sum() == 1L,
       s"opened ${ReadCounters.partitionsOpened.sum()}")
   }
+
+  test("STRING-variable predicate: SUM of a numeric var is pure metadata") {
+    // grade constant per chunk fully classifies every chunk, so
+    // SUM(reading) WHERE grade = 'g1' folds the included chunk's
+    // recorded sum — zero partitions opened, exact integer value
+    val dir = java.nio.file.Files.createTempDirectory("graft-strsum")
+    dir.toFile.deleteOnExit()
+    val store = graft.grid.ZarrGridStore.write(Fixtures.gradeGrid,
+      s"$dir/z", Map("time" -> 25), "zlib")
+    val ctx = new XarrayContext(session)
+    val gdf = ctx.dataFrame("metasum_str", store, Map("time" -> 25),
+      Seq("time", "lat"))
+    ReadCounters.reset()
+    val got = gdf.filter(col("grade") === "g1").agg(sum("reading"))
+      .collect()(0).getDouble(0)
+    val expected = (for (t <- 25 until 50; i <- 0 until 5)
+      yield t + 10.0 * i).sum
+    assert(got == expected)
+    assert(ReadCounters.partitionsOpened.sum() == 0L,
+      s"opened ${ReadCounters.partitionsOpened.sum()}")
+  }
 }
