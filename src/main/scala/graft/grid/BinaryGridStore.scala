@@ -199,16 +199,9 @@ object BinaryGridStore {
       // element hides the chunk from stats (the all-values-known rule
       // NaN enforces for floats). Zarr sidecars serialize these as
       // JSON strings; BinaryGridStore rejects string vars before
-      // stats are ever taken.
-      var mn = a(0); var mx = a(0); var i = 0
-      while (i < a.length) {
-        val x = a(i)
-        if (x == null) return None
-        if (graft.sources.Utf8Order.compare(x, mn) < 0) mn = x
-        if (graft.sources.Utf8Order.compare(x, mx) > 0) mx = x
-        i += 1
-      }
-      Some((mn, mx))
+      // stats are ever taken. One UTF-8 encode per element (minMax
+      // caches the running extrema's bytes).
+      graft.sources.Utf8Order.minMax(a, 0, a.length)
     case _ => None
   }
 

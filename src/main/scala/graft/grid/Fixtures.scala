@@ -285,7 +285,7 @@ object Fixtures {
         VarDef("grade", Seq("time", "lat"), GString),
         VarDef("reading", Seq("time", "lat"), GDouble)))
     def readVar(name: String, ranges: Seq[(Int, Int)]): AnyRef = {
-      val Seq((t0, nt), (_, ni)) = ranges
+      val Seq((t0, nt), (i0, ni)) = ranges
       name match {
         case "grade" =>
           val out = new Array[String](nt * ni)
@@ -295,7 +295,7 @@ object Fixtures {
         case "reading" =>
           val out = new Array[Double](nt * ni)
           for (t <- 0 until nt; i <- 0 until ni)
-            out(t * ni + i) = (t0 + t) + 10.0 * i
+            out(t * ni + i) = (t0 + t) + 10.0 * (i0 + i)
           out
         case other => throw new IllegalArgumentException(s"unknown var $other")
       }

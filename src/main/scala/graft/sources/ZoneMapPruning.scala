@@ -19,19 +19,15 @@ final case class StrBounds(min: String, max: String) extends DimBounds
 
 object StrBounds {
   /** Bounds of `v[start, start+len)` in UTF-8 binary order — the one
-    * implementation both block-bounds builders share (single pass).
+    * implementation both block-bounds builders share. Coordinates are
+    * never null, so a null here is a loud contract error.
     */
-  def of(v: Array[String], start: Int, len: Int): StrBounds = {
-    var mn = v(start); var mx = mn
-    var i = 1
-    while (i < len) {
-      val x = v(start + i)
-      if (Utf8Order.compare(x, mn) < 0) mn = x
-      if (Utf8Order.compare(x, mx) > 0) mx = x
-      i += 1
+  def of(v: Array[String], start: Int, len: Int): StrBounds =
+    Utf8Order.minMax(v, start, len) match {
+      case Some((mn, mx)) => StrBounds(mn, mx)
+      case None => throw new IllegalArgumentException(
+        "null or empty string coordinate slice")
     }
-    StrBounds(mn, mx)
-  }
 }
 
 /** String comparison in UTF-8 unsigned-byte order — bit-identical to
@@ -83,6 +79,30 @@ object Utf8Order {
   def compareRaw(aIso: String, b: String): Int =
     java.util.Arrays.compareUnsigned(
       aIso.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), bytes(b))
+
+  /** Cached-bytes min/max of `v[start, start+len)` — ONE UTF-8 encode
+    * per element (a comparator-side encode would pay 4n); None when
+    * any element is null (the all-values-known stats rule) or the
+    * slice is empty.
+    */
+  def minMax(v: Array[String], start: Int,
+      len: Int): Option[(String, String)] = {
+    if (len <= 0) return None
+    var mn = v(start)
+    if (mn == null) return None
+    var mx = mn
+    var mnB = bytes(mn); var mxB = mnB
+    var i = 1
+    while (i < len) {
+      val x = v(start + i)
+      if (x == null) return None
+      val xb = bytes(x)
+      if (java.util.Arrays.compareUnsigned(xb, mnB) < 0) { mn = x; mnB = xb }
+      if (java.util.Arrays.compareUnsigned(xb, mxB) > 0) { mx = x; mxB = xb }
+      i += 1
+    }
+    Some((mn, mx))
+  }
 }
 
 /** Min/max zone-map partition pruning: decide whether a pushed filter

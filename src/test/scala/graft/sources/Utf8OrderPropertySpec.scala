@@ -40,12 +40,17 @@ class Utf8OrderPropertySpec extends AnyFunSuite {
       new String(Character.toChars(0x10FFFF)))
   } yield cs.mkString + sup
 
-  // shared-prefix pairs stress the "one is a prefix of the other" and
-  // first-difference-in-the-tail cases that pruning math relies on
+  // three shapes: shared-prefix (first difference deep in the tail),
+  // one-is-a-prefix-of-the-other, and unrelated — the cases pruning
+  // math relies on
   private val pairGen: Gen[(String, String)] = for {
     p <- strGen; a <- strGen; b <- strGen
-    swap <- Gen.oneOf(true, false)
-  } yield if (swap) (p + a, p + b) else (p + a, a + p)
+    mode <- Gen.choose(0, 2)
+  } yield mode match {
+    case 0 => (p + a, p + b)
+    case 1 => (p, p + a)
+    case _ => (a, b)
+  }
 
   test("compare == UTF8String.binaryCompare for all generated pairs") {
     check("compare", Prop.forAll(pairGen) { case (a, b) =>
