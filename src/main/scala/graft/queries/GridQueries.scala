@@ -286,6 +286,34 @@ object GridQueries {
         expr("percentile(air, 0.25D)").as("q25"),
         expr("percentile(air, 0.5D)").as("q50"))),
 
+    // xarray `differentiate("t")`: d(air)/dt via SECOND-ORDER central
+    // differences on the interior, one-sided at the edges — exactly
+    // xarray's np.gradient semantics on a unit-spaced axis. One lead +
+    // one lag window per (lat, lon) series; halves of integer-valued
+    // differences are exact dyadics on both engines.
+    "pivot_grid_differentiate" -> ((s, _) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lat", "lon").orderBy("t")
+      grid(s)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"), lag("air", 1).over(w).as("prv"),
+          lead("air", 1).over(w).as("nxt"))
+        .select(col("t"), col("lat"), col("lon"),
+          when(col("prv").isNull, col("nxt") - col("air"))
+            .when(col("nxt").isNull, col("air") - col("prv"))
+            .otherwise((col("nxt") - col("prv")) / 2.0).as("dair_dt"))
+    }),
+
+    // xarray `groupby_bins` on a DATA VARIABLE (value-space histogram,
+    // the first exploration query of any dataset): width_bucket-style
+    // integer bins over `air` — one map-side-combinable agg shuffle,
+    // bin count bounded by the value range regardless of grid size.
+    // floor(air / 25) is exact on the integer-valued fixture.
+    "pivot_grid_valbins" -> ((s, _) =>
+      grid(s)
+        .groupBy(floor(col("air") / 25.0).cast("long").as("air_bin"))
+        .agg(count(lit(1)).as("cnt"), avg("air").as("bin_mean"))),
+
     // xarray `interp(lat=..., lon=...)` / `interp_like` — 2-D BILINEAR
     // regridding, the resolution-change verb of every climate
     // pipeline. Shape: each target axis expands to a (target, source
@@ -1319,6 +1347,23 @@ object GridQueries {
          |quantile_cont(CAST(air AS DOUBLE), 0.25) AS q25,
          |quantile_cont(CAST(air AS DOUBLE), 0.5) AS q50
          |FROM grid GROUP BY lat, lon""".stripMargin,
+    "pivot_grid_differentiate" ->
+      s"""WITH $oracleGrid,
+         |led AS (
+         |  SELECT t, lat, lon, air,
+         |  lag(air, 1) OVER (PARTITION BY lat, lon ORDER BY t) AS prv,
+         |  lead(air, 1) OVER (PARTITION BY lat, lon ORDER BY t) AS nxt
+         |  FROM grid)
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon,
+         |CASE WHEN prv IS NULL THEN nxt - air
+         |     WHEN nxt IS NULL THEN air - prv
+         |     ELSE (nxt - prv) / 2.0 END AS dair_dt
+         |FROM led""".stripMargin,
+    "pivot_grid_valbins" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(floor(air / 25.0) AS BIGINT) AS air_bin,
+         |CAST(COUNT(*) AS BIGINT) AS cnt, AVG(air) AS bin_mean
+         |FROM grid GROUP BY 1""".stripMargin,
     "pivot_grid_regrid" ->
       s"""WITH $oracleGrid,
          |lt AS (SELECT 0.25 + 1.25*k AS p FROM generate_series(0, 7) g(k)),

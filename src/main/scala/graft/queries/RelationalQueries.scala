@@ -209,6 +209,21 @@ object RelationalQueries {
           .cast("string").cast("double").as("weighted_qty"))
     }),
 
+    // 17b. bucketed co-located join: both sides staged once per JVM as
+    //      Spark bucketed tables on the order key (BucketedTables), so
+    //      the sort-merge join runs with ZERO Exchange below it — the
+    //      join's hash distribution is satisfied by the write-time
+    //      bucket layout (pinned in BucketedJoinSpec with broadcast
+    //      off). The repeated-join lever at 100 TB: the fact table's
+    //      shuffle is paid once at ingest, not per query. Results are
+    //      layout-independent, so the oracle is the plain join.
+    "join_bucketed" -> ((s, d) => {
+      val (ot, lt) = BucketedTables.ordersLineitem(s, d)
+      ot.join(lt, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("qty"))
+    }),
+
     // 18. CROSS JOIN (ref tests/test_sql.py:126-134)
     "cross_join_count" -> ((s, d) =>
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
@@ -573,6 +588,11 @@ object RelationalQueries {
         |FROM lineitem JOIN (VALUES ('A',0.5),('N',1.0),('R',0.25))
         |  AS w(flag,wt) ON l_returnflag = flag
         |GROUP BY flag""".stripMargin,
+    "join_bucketed" ->
+      s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |${dsumSql("l_quantity")} AS qty
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderstatus""".stripMargin,
     "cross_join_count" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM region CROSS JOIN nation",
     "cte_selfjoin" ->
