@@ -314,6 +314,39 @@ object GridQueries {
         .groupBy(floor(col("air") / 25.0).cast("long").as("air_bin"))
         .agg(count(lit(1)).as("cnt"), avg("air").as("bin_mean"))),
 
+    // xarray `stack(point=("lat","lon"))`: flatten two dims into one
+    // multi-index. The index table is DISTINCT coordinate pairs ranked
+    // in coordinate order — metadata-sized (nlat*nlon rows regardless
+    // of grid length), so the single-task ordering window is bounded
+    // and the fact-side assignment is a broadcast join, never a global
+    // sort of the data.
+    "pivot_grid_stack" -> ((s, _) => {
+      val g = grid(s)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("lat", "lon")
+      val pts = g.select("lat", "lon").distinct()
+        .select(col("lat"), col("lon"),
+          (row_number().over(w) - 1).cast("long").as("point"))
+      g.join(broadcast(pts), Seq("lat", "lon"))
+        .select(col("t").cast("long").as("t"), col("point"),
+          col("lat"), col("lon"), col("air"))
+    }),
+
+    // xarray `rank("t")`: average-rank (bottleneck semantics — ties get
+    // the mean of their positional ranks) of a derived value along the
+    // time axis, per (lat, lon) series. rank() + (ties-1)/2 reproduces
+    // average ranks from two bounded windows; halves of integers are
+    // exact dyadics on both engines.
+    "pivot_grid_rank" -> ((s, _) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val lvl = floor(col("air") / 25.0)
+      grid(s)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          lvl.cast("long").as("air_level"),
+          (rank().over(W.partitionBy("lat", "lon").orderBy(lvl)) +
+            (count(lit(1)).over(W.partitionBy(col("lat"), col("lon"), lvl))
+              - 1) / 2.0).as("rank_t"))
+    }),
+
     // xarray `interp(lat=..., lon=...)` / `interp_like` — 2-D BILINEAR
     // regridding, the resolution-change verb of every climate
     // pipeline. Shape: each target axis expands to a (target, source
@@ -1364,6 +1397,22 @@ object GridQueries {
          |SELECT CAST(floor(air / 25.0) AS BIGINT) AS air_bin,
          |CAST(COUNT(*) AS BIGINT) AS cnt, AVG(air) AS bin_mean
          |FROM grid GROUP BY 1""".stripMargin,
+    "pivot_grid_stack" ->
+      s"""WITH $oracleGrid,
+         |pts AS (
+         |  SELECT lat, lon,
+         |  CAST(row_number() OVER (ORDER BY lat, lon) - 1 AS BIGINT) AS point
+         |  FROM (SELECT DISTINCT lat, lon FROM grid))
+         |SELECT CAST(g.t AS BIGINT) AS t, p.point, g.lat, g.lon, g.air
+         |FROM grid g JOIN pts p ON g.lat = p.lat AND g.lon = p.lon""".stripMargin,
+    "pivot_grid_rank" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon,
+         |CAST(floor(air / 25.0) AS BIGINT) AS air_level,
+         |rank() OVER (PARTITION BY lat, lon ORDER BY floor(air / 25.0)) +
+         |  (COUNT(*) OVER (PARTITION BY lat, lon, floor(air / 25.0)) - 1)
+         |  / 2.0 AS rank_t
+         |FROM grid""".stripMargin,
     "pivot_grid_regrid" ->
       s"""WITH $oracleGrid,
          |lt AS (SELECT 0.25 + 1.25*k AS p FROM generate_series(0, 7) g(k)),

@@ -710,6 +710,44 @@ object PipelineQueries {
           .otherwise("unknown").as("guess"))
     }),
 
+    // fastText-style linear domain classifier INFERENCE (the corpus
+    // routing step between crawl and training mix): tokens hash to 256
+    // feature buckets (first md5 byte — the corpus_split idiom), a
+    // (class x feature) weight table broadcast-joins the per-doc
+    // feature-frequency vectors, and argmax over integer class scores
+    // picks the domain. The 100 TB shape: per-doc features are
+    // pre-aggregated (<= 256 rows/doc) BEFORE the weight join; the
+    // model is a 1024-row broadcast, the corpus never shuffles except
+    // to regroup its own (doc, feat) pairs; integer weights keep the
+    // argmax bit-deterministic (ties break to the lexicographically
+    // LAST class on both engines). Weights here are a fixed synthetic
+    // model — inference cost and plan shape are identical to a trained
+    // one.
+    "domain_classify" -> ((s, d) => {
+      import s.implicits._
+      val nFeat = 256
+      val classes = Seq(("web", 7L, 13L), ("news", 11L, 97L),
+        ("code", 17L, 31L), ("wiki", 23L, 5L))
+      val weights = classes.toDF("cls", "p", "q")
+        .crossJoin(s.range(nFeat).toDF("feat"))
+        .select(col("cls"), col("feat"),
+          (pmod(col("feat") * col("p") + col("q"), lit(1001L)) - 500L)
+            .as("w"))
+      val feats = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("token"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("token").cast("binary")), 1, 2), 16, 10)
+            .cast("long").as("feat"))
+        .groupBy("doc_id", "feat").agg(count(lit(1)).as("tf"))
+      feats.join(broadcast(weights), "feat")
+        .groupBy("doc_id", "cls")
+        .agg(sum(col("tf") * col("w")).as("score"))
+        .groupBy("doc_id")
+        .agg(max(struct(col("score"), col("cls"))).as("m"))
+        .select(col("doc_id"), col("m.cls").as("domain"),
+          col("m.score").as("score"))
+    }),
+
     // BPE-ish token counting: regex token classes (letter runs, digit
     // runs, single punctuation) — the same RE2-safe pattern evaluates
     // identically in Spark and DuckDB
@@ -2508,6 +2546,31 @@ object PipelineQueries {
          |ELSE 'unknown' END AS guess
          |FROM documents""".stripMargin
     },
+    // same synthetic weight law ((feat*p + q) % 1001 - 500, integer),
+    // same first-md5-byte feature hash; ties break to the
+    // lexicographically LAST class (ORDER BY score DESC, cls DESC ==
+    // Spark's max(struct(score, cls)))
+    "domain_classify" ->
+      """WITH w AS (
+        |  SELECT cls, g.k AS feat,
+        |  (g.k * p + q) % 1001 - 500 AS w
+        |  FROM (VALUES ('web', 7, 13), ('news', 11, 97),
+        |        ('code', 17, 31), ('wiki', 23, 5)) c(cls, p, q)
+        |  CROSS JOIN generate_series(0, 255) g(k)),
+        |tok AS (
+        |  SELECT doc_id,
+        |  (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16 +
+        |  (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) AS feat
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents) t),
+        |pf AS (SELECT doc_id, feat, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, cls, SUM(tf * w) AS score
+        |       FROM pf JOIN w USING (feat) GROUP BY 1, 2),
+        |r AS (SELECT doc_id, cls, score, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, cls DESC) AS rn
+        |      FROM sc)
+        |SELECT doc_id, cls AS domain, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rn = 1""".stripMargin,
     "token_count_bpe" ->
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
