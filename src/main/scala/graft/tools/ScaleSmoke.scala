@@ -107,7 +107,18 @@ object ScaleSmoke {
       // sidecar-append delete; probe pays the broadcast anti-join)
       // and physical purge (gate additionally rewrites the touched
       // buckets and the _ids sidecar)
-      "ann_ivf_deleted", "ann_ivf_purged")
+      "ann_ivf_deleted", "ann_ivf_purged",
+      // round-12 late addition: hashed-feature linear classifier
+      // inference — per-doc pre-aggregation then a 1024-row broadcast
+      // weight join; should track the token count linearly
+      "domain_classify")
+      // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
+      // smoke only the named queries (comma-separated)
+      .filter { n =>
+        sys.env.get("SPARK_GRAFT_ONLY")
+          .map(_.split(",").map(_.trim).toSet)
+          .forall(_.contains(n))
+      }
     // warm passes at BOTH scales: amortizes codegen/JIT out of the
     // ratio AND commits every staged fixture (the "ivfidx" index,
     // signature tables) on both sides, so each timed number is the
