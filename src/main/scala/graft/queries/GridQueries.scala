@@ -331,6 +331,57 @@ object GridQueries {
           col("lat"), col("lon"), col("air"))
     }),
 
+    // xarray `unstack("point")`: the inverse of `stack` — the stacked
+    // frame (which dropped lat/lon, keeping only the multi-index
+    // ordinal) recovers its source dims by joining the SAME
+    // metadata-sized index table back, pinning stack∘unstack = id
+    // through the engine. Both joins broadcast the point table; the
+    // data is never sorted or shuffled.
+    "pivot_grid_unstack" -> ((s, _) => {
+      val g = grid(s)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("lat", "lon")
+      val pts = g.select("lat", "lon").distinct()
+        .select(col("lat"), col("lon"),
+          (row_number().over(w) - 1).cast("long").as("point"))
+      val stacked = g.join(broadcast(pts), Seq("lat", "lon"))
+        .select(col("t"), col("point"), col("air"))
+      stacked.join(broadcast(pts), Seq("point"))
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air"))
+    }),
+
+    // xarray `shift(t=1)`: lag the variable along time per series,
+    // NULL (xarray NaN) at the leading edge — the lagged-feature /
+    // autocorrelation verb. One bounded per-series window, same
+    // shuffle key as every other time-axis verb.
+    "pivot_grid_shift" -> ((s, _) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lat", "lon").orderBy("t")
+      grid(s).select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+        lag("air", 1).over(w).as("air_shift"))
+    }),
+
+    // xarray `align(a, b, join="outer")`: two stores with different
+    // time extents (t 0..15 and t 8..23) align onto the UNION of their
+    // coordinates, each side NULL-filled outside its own extent — the
+    // multi-archive reconciliation verb. Plan shape: one full-outer
+    // join keyed on the coords; at scale both sides arrive
+    // chunk-partitioned on the same dims, so with co-chunked stores
+    // the exchange is a co-partitioned merge, and zone maps prune the
+    // non-overlap region from the PROBE of the opposite store.
+    "pivot_grid_align" -> ((s, _) => {
+      val ctx = new XarrayContext(s)
+      val a = ctx.dataFrame("align_a", Fixtures.linearGridSlice(0, 16),
+          Map("t" -> 6), Seq("t", "lat", "lon"))
+        .select(col("t"), col("lat"), col("lon"), col("air").as("air_a"))
+      val b = ctx.dataFrame("align_b", Fixtures.linearGridSlice(8, 24),
+          Map("t" -> 6), Seq("t", "lat", "lon"))
+        .select(col("t"), col("lat"), col("lon"), col("air").as("air_b"))
+      a.join(b, Seq("t", "lat", "lon"), "full_outer")
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air_a"), col("air_b"))
+    }),
+
     // xarray `rank("t")`: average-rank (bottleneck semantics — ties get
     // the mean of their positional ranks) of a derived value along the
     // time axis, per (lat, lon) series. rank() + (ties-1)/2 reproduces
@@ -1405,6 +1456,21 @@ object GridQueries {
          |  FROM (SELECT DISTINCT lat, lon FROM grid))
          |SELECT CAST(g.t AS BIGINT) AS t, p.point, g.lat, g.lon, g.air
          |FROM grid g JOIN pts p ON g.lat = p.lat AND g.lon = p.lon""".stripMargin,
+    // stack then unstack is the identity on the pivoted table
+    "pivot_grid_unstack" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air FROM grid""".stripMargin,
+    "pivot_grid_shift" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon,
+         |lag(air) OVER (PARTITION BY lat, lon ORDER BY t) AS air_shift
+         |FROM grid""".stripMargin,
+    "pivot_grid_align" ->
+      s"""WITH $oracleGrid,
+         |a AS (SELECT t, lat, lon, air AS air_a FROM grid WHERE t < 16),
+         |b AS (SELECT t, lat, lon, air AS air_b FROM grid WHERE t >= 8)
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon, air_a, air_b
+         |FROM a FULL OUTER JOIN b USING (t, lat, lon)""".stripMargin,
     "pivot_grid_rank" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon,

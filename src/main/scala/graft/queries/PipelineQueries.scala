@@ -322,6 +322,35 @@ object PipelineQueries {
           .word_set_fingerprint(col("text")).as("fp"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))),
 
+    // paragraph-level exact dedup (the C4/RefinedWeb within-corpus
+    // transform): each document splits into fixed 10-token blocks
+    // map-side, every block competes GLOBALLY for its content hash
+    // (winner = first occurrence by (doc_id, block)), losers are
+    // removed and the surviving blocks re-assemble the document. 100 TB
+    // shape: ONE map-side-combinable min() shuffle keyed on the 128-bit
+    // block hash (fixed-width keys, never the block text), one hash
+    // join back, one doc_id re-assembly shuffle bounded by document
+    // size — no windows, no global sort, no pair blowup.
+    "para_dedup" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nblk = ceil(size(toks) / lit(10.0)).cast("int")
+      val blocks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nblk - 1),
+            b => array_join(slice(toks, b * 10 + 1, lit(10)), " ")))
+            .as(Seq("b", "para")))
+      val keyed = blocks.select(col("doc_id"), col("b"), col("para"),
+        (col("doc_id") * 1000000L + col("b")).as("rk"),
+        md5(col("para").cast("binary")).as("h"))
+      val winners = keyed.groupBy("h").agg(min("rk").as("win"))
+      keyed.join(winners, "h").filter(col("rk") === col("win"))
+        .groupBy("doc_id")
+        .agg(array_join(
+            transform(array_sort(collect_list(struct(col("b"), col("para")))),
+              x => x.getField("para")), " ").as("clean_text"),
+          count(lit(1)).as("n_kept"))
+    }),
+
     // per-doc MinHash signature (4 hashes over word-3-gram shingles)
     "minhash_signature" -> ((s, d) =>
       sigDF(s, d).select("doc_id", "sig0", "sig1", "sig2", "sig3")),
@@ -2194,6 +2223,27 @@ object PipelineQueries {
         |CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    // DuckDB subscripts are 1-based; (pos-1)//10 matches Spark's
+    // 0-based posexplode block index
+    "para_dedup" ->
+      """WITH tokpos AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |blocks AS (
+        |  SELECT doc_id, CAST((pos - 1) // 10 AS BIGINT) AS b,
+        |         string_agg(tok, ' ' ORDER BY pos) AS para
+        |  FROM tokpos GROUP BY 1, 2),
+        |winners AS (
+        |  SELECT para, min(doc_id * 1000000 + b) AS win
+        |  FROM blocks GROUP BY para),
+        |kept AS (
+        |  SELECT bl.doc_id, bl.b, bl.para FROM blocks bl JOIN winners w
+        |  ON bl.para = w.para AND bl.doc_id * 1000000 + bl.b = w.win)
+        |SELECT doc_id, string_agg(para, ' ' ORDER BY b) AS clean_text,
+        |       CAST(COUNT(*) AS BIGINT) AS n_kept
+        |FROM kept GROUP BY doc_id""".stripMargin,
     "minhash_signature" ->
       s"""WITH $sigSqlCte
          |SELECT doc_id, sig0, sig1, sig2, sig3 FROM sig""".stripMargin,

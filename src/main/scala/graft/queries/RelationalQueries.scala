@@ -224,6 +224,31 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("qty"))
     }),
 
+    // skew-salted join: the MANUAL skew lever for when AQE's runtime
+    // skew split can't help (e.g. the hot key exceeds a single
+    // in-memory partition even after splitting, or a deterministic
+    // plan is required). The fact side derives a salt from a column
+    // it already carries (l_linenumber % 8 — deterministic, no
+    // rand()); the other side replicates ×8 against a tiny salt
+    // range, so the hot l_orderkey's rows spread over 8 shuffle
+    // partitions instead of one straggler. Result ≡ the unsalted
+    // join — the oracle is the plain join aggregate.
+    "join_skew_salted" -> ((s, d) => {
+      val S = 8
+      val salts = s.range(S).select(col("id").cast("int").as("salt"))
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          pmod(col("l_linenumber"), lit(S)).cast("int").as("salt"))
+      val dim = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .crossJoin(broadcast(salts))
+      fact.join(dim,
+          fact("l_orderkey") === dim("o_orderkey") &&
+            fact("salt") === dim("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("qty"))
+    }),
+
     // 18. CROSS JOIN (ref tests/test_sql.py:126-134)
     "cross_join_count" -> ((s, d) =>
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
@@ -593,6 +618,12 @@ object RelationalQueries {
          |${dsumSql("l_quantity")} AS qty
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderstatus""".stripMargin,
+    // salting is result-invariant: the oracle is the plain join
+    "join_skew_salted" ->
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |${dsumSql("l_quantity")} AS qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
     "cross_join_count" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM region CROSS JOIN nation",
     "cte_selfjoin" ->

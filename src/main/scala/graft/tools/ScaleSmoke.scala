@@ -111,7 +111,11 @@ object ScaleSmoke {
       // round-12 late addition: hashed-feature linear classifier
       // inference — per-doc pre-aggregation then a 1024-row broadcast
       // weight join; should track the token count linearly
-      "domain_classify")
+      "domain_classify",
+      // round-12 second continuation: paragraph-level exact dedup —
+      // one min() shuffle on block hashes + one reassembly shuffle;
+      // should track total block count linearly
+      "para_dedup")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>
