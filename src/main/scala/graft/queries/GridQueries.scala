@@ -191,6 +191,43 @@ object GridQueries {
             .as("corr_ab"))
     }),
 
+    // xarray detrend (polyfit + polyval + subtract): fit the
+    // per-series OLS line along t, then remove it — the "detrend
+    // before anomaly/spectral analysis" workflow. Plan shape: ONE
+    // map-side-combinable moment-sum groupBy produces a lat-sized
+    // coefficient table; a BROADCAST join applies it back — fitting
+    // never re-shuffles the data. The variable is quadratic in t so
+    // residuals are non-trivial; moment sums are exact integers and
+    // the residual chain b - (intercept + slope*t) runs the identical
+    // IEEE op sequence on both engines.
+    "pivot_grid_detrend" -> ((s, _) => {
+      import graft.grid._
+      val st = SyntheticGridStore(
+        GridSchema(
+          Seq(DimDef("t", IntCoords((0 until 24).toArray)),
+            DimDef("lat", DoubleCoords(
+              (0 until 5).map(i => -60.0 + 30.0 * i).toArray))),
+          Seq(VarDef("b", Seq("t", "lat"), GDouble))),
+        Map("b" -> Fixtures.QuadLaw(1.0)))
+      val g = new XarrayContext(s)
+        .scratchDataFrame("detrend_grid", st, Map("t" -> 6), Seq("t", "lat"))
+        .select(col("t").cast("double").as("x"), col("lat"), col("b"))
+      val coef = g.groupBy("lat")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("b")).as("sy"), sum(col("x") * col("b")).as("sxy"))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .select(col("lat"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) / col("den"))
+            .as("slope"),
+          ((col("sxx") * col("sy") - col("sx") * col("sxy")) / col("den"))
+            .as("intercept"))
+      g.join(broadcast(coef), Seq("lat"))
+        .select(col("x").cast("long").as("t"), col("lat"),
+          (col("b") - (col("intercept") + col("slope") * col("x")))
+            .as("b_detrended"))
+    }),
+
     // xarray `sel(lat=[...], method="nearest")`: nearest-coordinate
     // lookup resolved from the DIM COLUMN ALONE (a projection-pushed
     // coordinate scan — no variable data read), then a broadcast
@@ -1647,6 +1684,25 @@ object GridQueries {
         |  (sqrt(COUNT(*) * SUM(a*a) - SUM(a)*SUM(a)) *
         |   sqrt(COUNT(*) * SUM(b*b) - SUM(b)*SUM(b))) AS corr_ab
         |FROM g GROUP BY lat""".stripMargin,
+    "pivot_grid_detrend" ->
+      """WITH g AS (
+        |  SELECT t, -60.0 + 30.0*i AS lat, CAST(t*t AS DOUBLE) AS b
+        |  FROM generate_series(0, 23) g1(t), generate_series(0, 4) g2(i)),
+        |coef AS (
+        |  SELECT lat,
+        |  (COUNT(*) * SUM(CAST(t AS DOUBLE) * b)
+        |     - SUM(CAST(t AS DOUBLE)) * SUM(b)) /
+        |    (COUNT(*) * SUM(CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+        |     - SUM(CAST(t AS DOUBLE)) * SUM(CAST(t AS DOUBLE))) AS slope,
+        |  (SUM(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) * SUM(b)
+        |     - SUM(CAST(t AS DOUBLE)) * SUM(CAST(t AS DOUBLE) * b)) /
+        |    (COUNT(*) * SUM(CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+        |     - SUM(CAST(t AS DOUBLE)) * SUM(CAST(t AS DOUBLE)))
+        |    AS intercept
+        |  FROM g GROUP BY lat)
+        |SELECT CAST(g.t AS BIGINT) AS t, g.lat,
+        |g.b - (c.intercept + c.slope * CAST(g.t AS DOUBLE)) AS b_detrended
+        |FROM g JOIN coef c ON g.lat = c.lat""".stripMargin,
     "pivot_grid_trend" ->
       s"""WITH $oracleGrid
          |SELECT lat, lon,
