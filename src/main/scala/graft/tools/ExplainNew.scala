@@ -6,7 +6,8 @@ object ExplainNew {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("ann_ivf_multiprobe", "vocab_coverage", "dsir_weights", "neardup_topk")) {
+    for (q <- Seq("para_dedup", "join_skew_salted", "pivot_grid_align",
+        "pivot_grid_unstack", "pivot_grid_shift", "pivot_grid_detrend")) {
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       val plan = df.queryExecution.executedPlan.toString
