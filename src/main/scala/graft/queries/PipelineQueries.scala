@@ -327,10 +327,13 @@ object PipelineQueries {
     // map-side, every block competes GLOBALLY for its content hash
     // (winner = first occurrence by (doc_id, block)), losers are
     // removed and the surviving blocks re-assemble the document. 100 TB
-    // shape: ONE map-side-combinable min() shuffle keyed on the 128-bit
-    // block hash (fixed-width keys, never the block text), one hash
-    // join back, one doc_id re-assembly shuffle bounded by document
-    // size — no windows, no global sort, no pair blowup.
+    // shape: ONE corpus scan — the winner per hash is taken with a
+    // map-side-combinable min_by (the combiner holds one candidate row
+    // per distinct hash, exactly like any min), so there is no second
+    // scan and no join back — then one doc_id re-assembly shuffle
+    // bounded by document size. No windows, no global sort, no pair
+    // blowup. rk = doc_id*1e6 + block is a total order == (doc_id,
+    // block) lexicographic while docs stay under 10M tokens.
     "para_dedup" -> ((s, d) => {
       val toks = split(col("text"), " ")
       val nblk = ceil(size(toks) / lit(10.0)).cast("int")
@@ -339,14 +342,13 @@ object PipelineQueries {
           posexplode(transform(sequence(lit(0), nblk - 1),
             b => array_join(slice(toks, b * 10 + 1, lit(10)), " ")))
             .as(Seq("b", "para")))
-      val keyed = blocks.select(col("doc_id"), col("b"), col("para"),
-        (col("doc_id") * 1000000L + col("b")).as("rk"),
-        md5(col("para").cast("binary")).as("h"))
-      val winners = keyed.groupBy("h").agg(min("rk").as("win"))
-      keyed.join(winners, "h").filter(col("rk") === col("win"))
-        .groupBy("doc_id")
+      blocks
+        .groupBy(md5(col("para").cast("binary")).as("h"))
+        .agg(min_by(struct(col("doc_id"), col("b"), col("para")),
+          col("doc_id") * 1000000L + col("b")).as("w"))
+        .groupBy(col("w.doc_id").as("doc_id"))
         .agg(array_join(
-            transform(array_sort(collect_list(struct(col("b"), col("para")))),
+            transform(array_sort(collect_list(struct(col("w.b"), col("w.para")))),
               x => x.getField("para")), " ").as("clean_text"),
           count(lit(1)).as("n_kept"))
     }),

@@ -75,10 +75,14 @@ class SkewSaltParaDedupSpec extends SparkTestBase {
     assert(got == expected)
   }
 
-  test("para_dedup plan: block construction is map-side (no Window)") {
+  test("para_dedup plan: one corpus scan, no join, no window") {
     val plan = SparkEntry.queries("para_dedup")(spark, sf)
       .queryExecution.sparkPlan.toString
     assert(!plan.contains("Window"),
       s"block split/reassembly must not use a window sort:\n$plan")
+    assert("Scan ".r.findAllIn(plan).length == 1,
+      s"min_by winner selection must not re-scan the corpus:\n$plan")
+    assert(!plan.contains("Join"),
+      s"winner selection must aggregate, not join back:\n$plan")
   }
 }
