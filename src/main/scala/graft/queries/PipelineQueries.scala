@@ -161,6 +161,20 @@ object PipelineQueries {
   private def stagedCandPairs(s: SparkSession, d: String): DataFrame =
     staged(s, d, "cand")(candPairsBuild(s, d))
 
+  /** The events table z-ordered on (user_id, value) into 16 files,
+    * staged once per JVM (ts is dropped: its parquet encoding varies
+    * by testdata generation and the 2-D pruning story doesn't need
+    * it). Layout only — row content equals the source projection.
+    */
+  private[graft] def stagedZOrderEvents(s: SparkSession,
+      d: String): DataFrame =
+    s.read.parquet(stagedPath(s, d, "zorder") { p =>
+      graft.operators.ZOrder.writeZOrdered(
+        Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "value"),
+        "user_id", "value", p, 16)
+    })
+
   /** The banded-self-join candidate build (exposed for the plan pin:
     * the staged read hides the exchange-reuse shape being asserted).
     */
@@ -1545,6 +1559,29 @@ object PipelineQueries {
 
     // user growth: first-seen day per user -> new users per day ->
     // cumulative total. Two shuffles (user agg, day agg); the running
+    // z-order layout pruning: the events table staged ONCE per JVM as
+    // 16 parquet files z-ordered on (user_id, value) — each file a
+    // small rectangle in key space — then a 2-D range query answered
+    // from it. Results are layout-independent (the oracle is the same
+    // SQL over the plain table); the LAYOUT claim (per-file min/max
+    // boxes shrink on BOTH dims, the query rectangle intersects only
+    // a few files' stat boxes) is pinned in ZOrderSpec. At 100 TB the
+    // footer-stats intersection is the difference between a full scan
+    // and touching a handful of files — the OPTIMIZE ZORDER lever.
+    "zorder_prune" -> ((s, d) => {
+      val ev = stagedZOrderEvents(s, d)
+      val b = ev.agg(
+        floor((max(col("user_id")) * 2) / 10.0).as("lo"),
+        floor((max(col("user_id")) * 4) / 10.0).as("hi"))
+      ev.crossJoin(broadcast(b))
+        .filter(col("user_id").between(col("lo"), col("hi")) &&
+          col("value").between(100.0, 250.0))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 6)))
+            .cast("string").cast("double").as("sum_value"),
+          min("user_id").as("min_uid"), max("user_id").as("max_uid"))
+    }),
+
     // sum's window is over DAYS — a tiny domain — so the unpartitioned
     // window is a non-issue at any event volume.
     "user_growth" -> ((s, d) => {
@@ -2968,6 +3005,21 @@ object PipelineQueries {
         |FROM hu a JOIN hu b
         |ON a.user_id = b.user_id AND b.h = a.h + INTERVAL 1 HOUR
         |GROUP BY a.h""".stripMargin,
+    // z-ordering is pure layout: the oracle is the same 2-D range
+    // aggregate over the PLAIN table
+    "zorder_prune" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(max(user_id)*2/10.0) AS BIGINT) AS lo,
+        |         CAST(floor(max(user_id)*4/10.0) AS BIGINT) AS hi
+        |  FROM events)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |  AS sum_value,
+        |CAST(min(user_id) AS BIGINT) AS min_uid,
+        |CAST(max(user_id) AS BIGINT) AS max_uid
+        |FROM events, b
+        |WHERE user_id BETWEEN b.lo AND b.hi
+        |  AND value BETWEEN 100.0 AND 250.0""".stripMargin,
     "user_growth" ->
       """WITH fd AS (
         |  SELECT user_id, min(date_trunc('day', ts)) AS day
