@@ -367,6 +367,27 @@ object PipelineQueries {
           count(lit(1)).as("n_kept"))
     }),
 
+    // WITHIN-document repetition removal (the Gopher/C4 per-doc
+    // transform, complementing para_dedup's global competition): keep
+    // the first occurrence of each 10-token block inside its own
+    // document. Entirely higher-order array functions — no explode,
+    // no shuffle, ZERO exchanges (pinned in SkewSaltParaDedupSpec):
+    // the per-row filter is O(blocks²) with blocks bounded by
+    // document length, the canonical "row-local transform stays
+    // row-local" shape at any corpus size.
+    "dedup_within_doc" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nblk = ceil(size(toks) / lit(10.0)).cast("int")
+      val blocks = transform(sequence(lit(0), nblk - 1),
+        b => array_join(slice(toks, b * 10 + 1, lit(10)), " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(blocks, (x, i) => array_position(blocks, x) === i + 1)
+            .as("kept"))
+        .select(col("doc_id"), array_join(col("kept"), " ").as("clean_text"),
+          size(col("kept")).cast("long").as("n_kept"))
+    }),
+
     // per-doc MinHash signature (4 hashes over word-3-gram shingles)
     "minhash_signature" -> ((s, d) =>
       sigDF(s, d).select("doc_id", "sig0", "sig1", "sig2", "sig3")),
@@ -2283,6 +2304,23 @@ object PipelineQueries {
         |SELECT doc_id, string_agg(para, ' ' ORDER BY b) AS clean_text,
         |       CAST(COUNT(*) AS BIGINT) AS n_kept
         |FROM kept GROUP BY doc_id""".stripMargin,
+    "dedup_within_doc" ->
+      """WITH tokpos AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |blocks AS (
+        |  SELECT doc_id, CAST((pos - 1) // 10 AS BIGINT) AS b,
+        |         string_agg(tok, ' ' ORDER BY pos) AS para
+        |  FROM tokpos GROUP BY 1, 2),
+        |firsts AS (
+        |  SELECT doc_id, b, para,
+        |         min(b) OVER (PARTITION BY doc_id, para) AS fb
+        |  FROM blocks)
+        |SELECT doc_id, string_agg(para, ' ' ORDER BY b) AS clean_text,
+        |       CAST(COUNT(*) AS BIGINT) AS n_kept
+        |FROM firsts WHERE b = fb GROUP BY doc_id""".stripMargin,
     "minhash_signature" ->
       s"""WITH $sigSqlCte
          |SELECT doc_id, sig0, sig1, sig2, sig3 FROM sig""".stripMargin,

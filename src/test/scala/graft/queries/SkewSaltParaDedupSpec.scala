@@ -85,4 +85,30 @@ class SkewSaltParaDedupSpec extends SparkTestBase {
     assert(!plan.contains("Join"),
       s"winner selection must aggregate, not join back:\n$plan")
   }
+
+  test("dedup_within_doc: row-local transform — zero exchanges") {
+    val plan = SparkEntry.queries("dedup_within_doc")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"a per-document transform must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"the block filter must stay a higher-order array op, not explode:\n$plan")
+  }
+
+  test("dedup_within_doc matches a sequential reference implementation") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val expected = docs.map { case (id, text) =>
+      val blocks = text.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+      val kept = blocks.foldLeft(Vector.empty[String]) {
+        (acc, b) => if (acc.contains(b)) acc else acc :+ b
+      }
+      (id, kept.mkString(" "), kept.size.toLong)
+    }.toSeq
+    val got = SparkEntry.queries("dedup_within_doc")(spark, sf)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
 }
