@@ -113,9 +113,10 @@ object ScaleSmoke {
       // weight join; should track the token count linearly
       "domain_classify",
       // round-12 second continuation: paragraph-level exact dedup —
-      // one min() shuffle on block hashes + one reassembly shuffle;
-      // should track total block count linearly
-      "para_dedup")
+      // one min_by shuffle on block hashes + one reassembly shuffle —
+      // and the zero-shuffle within-doc variant; both should track
+      // total block count linearly
+      "para_dedup", "dedup_within_doc")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>
