@@ -1578,8 +1578,6 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_retained"))
     }),
 
-    // user growth: first-seen day per user -> new users per day ->
-    // cumulative total. Two shuffles (user agg, day agg); the running
     // z-order layout pruning: the events table staged ONCE per JVM as
     // 16 parquet files z-ordered on (user_id, value) — each file a
     // small rectangle in key space — then a 2-D range query answered
@@ -1603,6 +1601,8 @@ object PipelineQueries {
           min("user_id").as("min_uid"), max("user_id").as("max_uid"))
     }),
 
+    // user growth: first-seen day per user -> new users per day ->
+    // cumulative total. Two shuffles (user agg, day agg); the running
     // sum's window is over DAYS — a tiny domain — so the unpartitioned
     // window is a non-issue at any event volume.
     "user_growth" -> ((s, d) => {
