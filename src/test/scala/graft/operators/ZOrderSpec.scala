@@ -26,6 +26,28 @@ class ZOrderSpec extends SparkTestBase {
       Seq(0L, 39L, 0x55555555L, 0xAAAAAAAAL))
   }
 
+  test("morton16 inverse law: even bits are a, odd bits are b") {
+    import spark.implicits._
+    // deterministic splitmix walk over the 16-bit × 16-bit domain
+    var x = 0x9E3779B97F4A7C15L
+    val pairs = (0 until 512).map { _ =>
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      ((x >>> 5) & 0xFFFFL, (x >>> 27) & 0xFFFFL)
+    }
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.morton16(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var (ra, rb) = (0L, 0L)
+      for (i <- 0 until 16) {
+        ra |= ((z >>> (2 * i)) & 1L) << i
+        rb |= ((z >>> (2 * i + 1)) & 1L) << i
+      }
+      assert((ra, rb) == (a, b), s"morton16($a, $b) = $z deinterleaves to ($ra, $rb)")
+    }
+  }
+
   private lazy val fileBoxes: Seq[(Long, Long, Double, Double)] = {
     val files = graft.queries.PipelineQueries
       .stagedZOrderEvents(spark, sf).inputFiles.toSeq
