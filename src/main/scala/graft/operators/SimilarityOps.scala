@@ -949,6 +949,132 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** PRODUCT QUANTIZATION (PQ): compress each vector into `m` small
+    * codes — one per contiguous subspace — against per-subspace
+    * codebooks, then answer similarity probes from the CODES alone
+    * (asymmetric distance, ADC). The standard ANN compression at
+    * archive scale (FAISS IVF-PQ's fine quantizer): a 64-dim float32
+    * vector becomes m bytes, so a 10⁹-row index fits in memory where
+    * raw vectors never would, and a probe scans code bytes + an
+    * (m × k)-entry lookup table instead of touching any vector.
+    *
+    * Scale shape: ONE pass explodes vectors to (id, sub, subvector)
+    * map-side; training is the [[KMeans]] discipline fused across
+    * subspaces (broadcast m·k codebook, map-side argmin, fixed-point
+    * Lloyd update whose shuffle is m·k·dims rows regardless of input);
+    * encoding is the same broadcast argmin; ADC retrieval never reads
+    * vectors — the probe's lookup table is m·k rows, broadcast.
+    *
+    * Determinism (hash-gate parity, same laws as [[KMeans]]): seed
+    * codebook = the first k ids' subvectors; dist² is the three
+    * sequential dot folds (|v|² − 2⟨v,c⟩) + |c|²; argmin ties to the
+    * lowest cid; Lloyd means accumulate in 2^20 fixed point; the ADC
+    * sum of m=2 terms is a single commutative double addition.
+    */
+  def pqSubVecs(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val h = dim / m
+    val dv = transform(col(vecCol), x => x.cast("double"))
+    vecs.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(dv, s * h + 1, lit(h)))).as(Seq("sub", "sv")))
+  }
+
+  /** Nearest code per (id, sub) against a (sub, cid, cv) codebook:
+    * broadcast join on sub, map-side argmin, ties to the lowest cid.
+    * Out: (id, sub, sv, code, dist2).
+    */
+  private def pqAssign(es: DataFrame, cb: DataFrame): DataFrame = {
+    val dot = GraftFunctions.dot_f64 _
+    es.join(broadcast(cb), "sub")
+      .select(col("id"), col("sub"), col("sv"), col("cid"),
+        ((dot(col("sv"), col("sv")) -
+          lit(2.0) * dot(col("sv"), col("cv"))) +
+          dot(col("cv"), col("cv"))).as("dist2"))
+      .groupBy("id", "sub")
+      .agg(min(struct(col("dist2").as("d"), col("cid").as("c"))).as("m"),
+        first(col("sv")).as("sv"))
+      .select(col("id"), col("sub"), col("sv"),
+        col("m.c").as("code"), col("m.d").as("dist2"))
+  }
+
+  /** Per-subspace codebooks: seed = subvectors of the k lowest ids,
+    * one fused fixed-point Lloyd step. Out: (sub, cid, cv).
+    */
+  def pqTrain(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dim: Int): DataFrame = {
+    val es = pqSubVecs(vecs, idCol, vecCol, m, dim)
+    val c0 = es.filter(col("id") < k)
+      .select(col("sub"), col("id").as("cid"), col("sv").as("cv"))
+    pqAssign(es, c0)
+      .select(col("sub"), col("code").as("cid"),
+        posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("sub", "cid", "pos")
+      .agg((sum(floor(col("x") * lit(1048576.0) + lit(0.5))) /
+        (count(lit(1)) * lit(1048576.0))).as("c"))
+      .groupBy("sub", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        _.getField("c")).as("cv"))
+  }
+
+  /** Encode every vector against a trained codebook.
+    * Out: (id, sub, code) — m rows per vector, the persisted form.
+    */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+      cb: DataFrame, m: Int, dim: Int): DataFrame =
+    pqAssign(pqSubVecs(vecs, idCol, vecCol, m, dim), cb)
+      .select(col("id"), col("sub"), col("code"))
+
+  /** ADC top-k: distance(probe, x) ≈ Σ_sub lut(sub, code_sub(x)) with
+    * lut = exact dist²(probe subvector, centroid). Touches only the
+    * codes table and the broadcast m·k lookup table — never a stored
+    * vector. The probe's own row is excluded.
+    */
+  def pqAdcTopK(codes: DataFrame, cb: DataFrame, probeSubVecs: DataFrame,
+      probeId: Long, topK: Int): DataFrame = {
+    val dot = GraftFunctions.dot_f64 _
+    val lut = cb.join(broadcast(probeSubVecs.select(col("sub"),
+        col("sv").as("pv"))), "sub")
+      .select(col("sub"), col("cid"),
+        ((dot(col("pv"), col("pv")) -
+          lit(2.0) * dot(col("pv"), col("cv"))) +
+          dot(col("cv"), col("cv"))).as("d"))
+    codes.filter(col("id") =!= probeId)
+      .join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .groupBy(col("id"))
+      .agg(sum(col("d")).as("adist"))
+      .orderBy(col("adist"), col("id"))
+      .limit(topK)
+  }
+
+  /** The full PQ probe path: ADC SHORTLIST from codes alone, then an
+    * EXACT re-rank that reads only the shortlist's vectors — how PQ
+    * ships in production (the ADC@k set alone is tie-dominated when
+    * neighborhoods are tight; the shortlist+rerank recovers exact-rank
+    * quality while still touching `shortlist` vectors instead of the
+    * corpus). Out: exact top-k (id, d2) over the shortlist.
+    */
+  def pqAdcRerank(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int, codes: DataFrame, cb: DataFrame,
+      probeId: Long, shortlist: Int, k: Int): DataFrame = {
+    val dot = GraftFunctions.dot_f64 _
+    val probe = pqSubVecs(vecs.filter(col(idCol) === probeId),
+      idCol, vecCol, m, dim)
+    val sl = pqAdcTopK(codes, cb, probe, probeId, shortlist).select("id")
+    val e = vecs.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val pv = e.filter(col("id") === probeId).select(col("v").as("pv"))
+    e.join(broadcast(sl), "id")
+      .crossJoin(broadcast(pv))
+      .select(col("id"),
+        ((dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("pv"))) +
+          dot(col("pv"), col("pv"))).as("d2"))
+      .orderBy(col("d2"), col("id"))
+      .limit(k)
+  }
+
   /** MinHash-banding candidate pairs over a token-array column: one-pass
     * k-hash signatures, split into `bands` bands, equi-join per band.
     */

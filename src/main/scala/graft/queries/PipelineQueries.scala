@@ -275,6 +275,28 @@ object PipelineQueries {
         graft.operators.KMeans.centroids(e, "id", "v", 4, 1))
     }
 
+  /** Product-quantization codebook (sub, cid, cv) and codes
+    * (id, sub, code) over the embeddings, staged once per JVM: m=2
+    * subspaces of 32 dims, k=16 codes per subspace, seeded from
+    * vec_id 0..15, one fixed-point Lloyd step — the [[KMeans]]
+    * determinism laws fused across subspaces (see
+    * [[graft.operators.SimilarityOps.pqTrain]]). Doubles round-trip
+    * parquet exactly, so the staged reads gate like the direct
+    * pipelines.
+    */
+  private def stagedPqCodebook(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "pqcb") {
+      graft.operators.SimilarityOps.pqTrain(
+        Tables.embeddings(s, d), "vec_id", "embedding", 2, 16, 64)
+    }
+
+  private def stagedPqCodes(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "pqcodes") {
+      graft.operators.SimilarityOps.pqEncode(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        stagedPqCodebook(s, d), 2, 64)
+    }
+
   // ---- embeddings plumbing ----
 
   private def toDouble(c: Column): Column = transform(c, _.cast(DoubleType))
@@ -1193,6 +1215,43 @@ object PipelineQueries {
           lit(0.0), (acc, u) => acc + u).as("err"))
     }),
 
+    // product-quantization codes: every embedding compressed to m=2
+    // codes against the staged per-subspace codebooks — 64 float32
+    // dims become 2 small ints (the form a 10⁹-row ANN index persists;
+    // raw vectors never fit where codes do). Encoding is one map-side
+    // argmin against the broadcast m·k codebook.
+    "embed_pq" -> ((s, d) =>
+      stagedPqCodes(s, d)
+        .groupBy(col("id").as("vec_id"))
+        .agg(min(when(col("sub") === 0, col("code"))).as("code0"),
+          min(when(col("sub") === 1, col("code"))).as("code1"))),
+
+    // PQ asymmetric-distance (ADC) retrieval: top-10 neighbors of
+    // vec_id 8 computed from CODES ALONE — the probe's exact dist² to
+    // each centroid forms an m·k lookup table (8 rows, broadcast) and
+    // each candidate costs m lookups + one addition; no stored vector
+    // is read. The 100 TB probe path of an IVF-PQ index.
+    "ann_pq_adc" -> ((s, d) => {
+      val probe = graft.operators.SimilarityOps.pqSubVecs(
+        Tables.embeddings(s, d).filter(col("vec_id") === 8),
+        "vec_id", "embedding", 2, 64)
+      graft.operators.SimilarityOps.pqAdcTopK(
+          stagedPqCodes(s, d), stagedPqCodebook(s, d), probe, 8L, 10)
+        .select(col("id").as("vec_id"), col("adist"))
+    }),
+
+    // the full PQ probe path: ADC shortlist-50 from codes alone, then
+    // an EXACT re-rank that reads only those 50 vectors — production
+    // PQ (ADC@k alone is tie-dominated on tight neighborhoods; the
+    // shortlist+rerank recovers exact-rank quality, measured at 0.8
+    // recall@10 in PqSpec, while touching 50 vectors instead of the
+    // corpus).
+    "ann_pq_rerank" -> ((s, d) =>
+      graft.operators.SimilarityOps.pqAdcRerank(
+          Tables.embeddings(s, d), "vec_id", "embedding", 2, 64,
+          stagedPqCodes(s, d), stagedPqCodebook(s, d), 8L, 50, 10)
+        .select(col("id").as("vec_id"), col("d2"))),
+
     // incremental ingest dedup: a new batch (upper half of doc_ids)
     // joins against the EXISTING corpus's fingerprint set and keeps
     // only unseen content — the daily-ingest shape. Left anti join on
@@ -2010,6 +2069,56 @@ object PipelineQueries {
       |       z -> z[1]*z[2]), 'sum'))
       |   + list_aggregate(list_transform(c1.cv, x -> x*x), 'sum') AS dist2
       |  FROM e, c1)""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.SimilarityOps.pqTrain]] /
+    * `pqEncode`: m=2 subspaces (v[1:32], v[33:64]), k=16 seeded from
+    * vec_id 0..15, one fixed-point Lloyd step — the [[kmeansCte]]
+    * discipline per subspace. Produces c1pq(sub, cid, cv) and
+    * codespq(id, sub, code).
+    */
+  private val pqCte =
+    """epq AS (
+      |  SELECT vec_id AS id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |espq AS (
+      |  SELECT id, 0 AS sub, v[1:32] AS sv FROM epq
+      |  UNION ALL
+      |  SELECT id, 1 AS sub, v[33:64] AS sv FROM epq),
+      |c0pq AS (SELECT sub, id AS cid, sv AS cv FROM espq WHERE id < 16),
+      |d1pq AS (
+      |  SELECT e.id, e.sub, e.sv, c.cid,
+      |  (list_aggregate(list_transform(e.sv, x -> x*x), 'sum')
+      |   - 2 * list_aggregate(list_transform(list_zip(e.sv, c.cv),
+      |       z -> z[1]*z[2]), 'sum'))
+      |   + list_aggregate(list_transform(c.cv, x -> x*x), 'sum') AS dist2
+      |  FROM espq e JOIN c0pq c ON e.sub = c.sub),
+      |a1pq AS (
+      |  SELECT id, sub, sv, cid AS cluster FROM (
+      |    SELECT id, sub, sv, cid,
+      |    row_number() OVER (PARTITION BY id, sub ORDER BY dist2, cid) AS rn
+      |    FROM d1pq) t WHERE rn = 1),
+      |expq AS (
+      |  SELECT sub, cluster, unnest(range(len(sv))) AS pos, unnest(sv) AS x
+      |  FROM a1pq),
+      |mpq AS (
+      |  SELECT sub, cluster AS cid, pos,
+      |  SUM(floor(x * 1048576.0 + 0.5)) / (COUNT(*) * 1048576.0) AS c
+      |  FROM expq GROUP BY sub, cluster, pos),
+      |c1pq AS (SELECT sub, cid, list(c ORDER BY pos) AS cv
+      |         FROM mpq GROUP BY sub, cid),
+      |d2pq AS (
+      |  SELECT e.id, e.sub, c.cid,
+      |  (list_aggregate(list_transform(e.sv, x -> x*x), 'sum')
+      |   - 2 * list_aggregate(list_transform(list_zip(e.sv, c.cv),
+      |       z -> z[1]*z[2]), 'sum'))
+      |   + list_aggregate(list_transform(c.cv, x -> x*x), 'sum') AS dist2
+      |  FROM espq e JOIN c1pq c ON e.sub = c.sub),
+      |codespq AS (
+      |  SELECT id, sub, cid AS code FROM (
+      |    SELECT id, sub, cid,
+      |    row_number() OVER (PARTITION BY id, sub ORDER BY dist2, cid) AS rn
+      |    FROM d2pq) t WHERE rn = 1)""".stripMargin
 
   /** DuckDB replay of [[simhashDf]]: hashed(doc_id, h) -> ssig(doc_id,
     * simhash). The banded-pairs oracle replays the 60-bit signature via
@@ -2908,6 +3017,63 @@ object PipelineQueries {
          |FROM a2 WHERE a2.id NOT IN (SELECT id FROM dropped)""".stripMargin,
     // int8 max-abs quantization; q hashed through the same
     // comma-joined decimal rendering on both engines
+    "embed_pq" ->
+      s"""WITH $pqCte
+         |SELECT id AS vec_id,
+         |CAST(MIN(CASE WHEN sub = 0 THEN code END) AS BIGINT) AS code0,
+         |CAST(MIN(CASE WHEN sub = 1 THEN code END) AS BIGINT) AS code1
+         |FROM codespq GROUP BY id""".stripMargin,
+    // the ADC sum of two doubles is a single commutative addition —
+    // Spark's two-row sum() and this one `+` agree bit-for-bit
+    "ann_pq_adc" ->
+      s"""WITH $pqCte,
+         |lutpq AS (
+         |  SELECT c.sub, c.cid,
+         |  (list_aggregate(list_transform(p.sv, x -> x*x), 'sum')
+         |   - 2 * list_aggregate(list_transform(list_zip(p.sv, c.cv),
+         |       z -> z[1]*z[2]), 'sum'))
+         |   + list_aggregate(list_transform(c.cv, x -> x*x), 'sum') AS dd
+         |  FROM c1pq c JOIN espq p ON p.id = 8 AND p.sub = c.sub),
+         |widepq AS (
+         |  SELECT id,
+         |  MIN(CASE WHEN sub = 0 THEN code END) AS code0,
+         |  MIN(CASE WHEN sub = 1 THEN code END) AS code1
+         |  FROM codespq GROUP BY id)
+         |SELECT CAST(w.id AS BIGINT) AS vec_id, l0.dd + l1.dd AS adist
+         |FROM widepq w
+         |JOIN lutpq l0 ON l0.sub = 0 AND l0.cid = w.code0
+         |JOIN lutpq l1 ON l1.sub = 1 AND l1.cid = w.code1
+         |WHERE w.id <> 8
+         |ORDER BY adist, vec_id LIMIT 10""".stripMargin,
+    "ann_pq_rerank" ->
+      s"""WITH $pqCte,
+         |lutpq AS (
+         |  SELECT c.sub, c.cid,
+         |  (list_aggregate(list_transform(p.sv, x -> x*x), 'sum')
+         |   - 2 * list_aggregate(list_transform(list_zip(p.sv, c.cv),
+         |       z -> z[1]*z[2]), 'sum'))
+         |   + list_aggregate(list_transform(c.cv, x -> x*x), 'sum') AS dd
+         |  FROM c1pq c JOIN espq p ON p.id = 8 AND p.sub = c.sub),
+         |widepq AS (
+         |  SELECT id,
+         |  MIN(CASE WHEN sub = 0 THEN code END) AS code0,
+         |  MIN(CASE WHEN sub = 1 THEN code END) AS code1
+         |  FROM codespq GROUP BY id),
+         |adcq AS (
+         |  SELECT w.id, l0.dd + l1.dd AS adist
+         |  FROM widepq w
+         |  JOIN lutpq l0 ON l0.sub = 0 AND l0.cid = w.code0
+         |  JOIN lutpq l1 ON l1.sub = 1 AND l1.cid = w.code1
+         |  WHERE w.id <> 8),
+         |slq AS (SELECT id FROM adcq ORDER BY adist, id LIMIT 50),
+         |pvq AS (SELECT v AS pv FROM epq WHERE id = 8)
+         |SELECT CAST(e.id AS BIGINT) AS vec_id,
+         |(list_aggregate(list_transform(e.v, x -> x*x), 'sum')
+         | - 2 * list_aggregate(list_transform(list_zip(e.v, pv),
+         |     z -> z[1]*z[2]), 'sum'))
+         | + list_aggregate(list_transform(pv, x -> x*x), 'sum') AS d2
+         |FROM epq e JOIN slq ON e.id = slq.id, pvq
+         |ORDER BY d2, vec_id LIMIT 10""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id,

@@ -116,7 +116,12 @@ object ScaleSmoke {
       // one min_by shuffle on block hashes + one reassembly shuffle —
       // and the zero-shuffle within-doc variant; both should track
       // total block count linearly
-      "para_dedup", "dedup_within_doc")
+      "para_dedup", "dedup_within_doc",
+      // product quantization: corpus-wide encode (one broadcast-argmin
+      // pass — should track rows) and the codes-only ADC
+      // shortlist + 50-vector exact rerank probe (should stay flat:
+      // cost is codes bytes + a broadcast LUT, not vectors)
+      "embed_pq", "ann_pq_rerank")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>
