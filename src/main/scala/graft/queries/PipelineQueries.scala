@@ -1252,6 +1252,28 @@ object PipelineQueries {
           stagedPqCodes(s, d), stagedPqCodebook(s, d), 8L, 50, 10)
         .select(col("id").as("vec_id"), col("d2"))),
 
+    // IVF-PQ, the flagship composed ANN shape (FAISS IndexIVFPQ):
+    // the COARSE quantizer (the staged k=4 k-means assignment) prunes
+    // to the probe's cell, then ADC ranks WITHIN the cell from codes
+    // alone. At scale: coarse cells are partition directories (the
+    // ann_ivf_bucketed layout), PQ codes are the only per-row payload
+    // read, and the probe cost is |cell|/|corpus| code bytes + one
+    // broadcast LUT — the two pruning levers multiply.
+    "ann_ivfpq" -> ((s, d) => {
+      val assigned = stagedKmeansAssign(s, d)
+      val pc = assigned.filter(col("id") === 8)
+        .select(col("cluster").as("pc"))
+      val cellIds = assigned.join(broadcast(pc), col("cluster") === col("pc"))
+        .select("id")
+      val probe = graft.operators.SimilarityOps.pqSubVecs(
+        Tables.embeddings(s, d).filter(col("vec_id") === 8),
+        "vec_id", "embedding", 2, 64)
+      graft.operators.SimilarityOps.pqAdcTopK(
+          stagedPqCodes(s, d).join(cellIds, "id"),
+          stagedPqCodebook(s, d), probe, 8L, 10)
+        .select(col("id").as("vec_id"), col("adist"))
+    }),
+
     // incremental ingest dedup: a new batch (upper half of doc_ids)
     // joins against the EXISTING corpus's fingerprint set and keeps
     // only unseen content — the daily-ingest shape. Left anti join on
@@ -3074,6 +3096,38 @@ object PipelineQueries {
          | + list_aggregate(list_transform(pv, x -> x*x), 'sum') AS d2
          |FROM epq e JOIN slq ON e.id = slq.id, pvq
          |ORDER BY d2, vec_id LIMIT 10""".stripMargin,
+    // coarse cell from the kmeans CTE, ADC from the PQ CTE — the two
+    // staged pipelines compose with disjoint CTE names
+    "ann_ivfpq" ->
+      s"""WITH $kmeansCte,
+         |$pqCte,
+         |a2q AS (
+         |  SELECT id, cid AS cluster FROM (
+         |    SELECT id, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+         |    FROM d2) t WHERE rn = 1),
+         |pcellq AS (SELECT cluster FROM a2q WHERE id = 8),
+         |cellq AS (SELECT a2q.id FROM a2q, pcellq
+         |          WHERE a2q.cluster = pcellq.cluster),
+         |lutpq AS (
+         |  SELECT c.sub, c.cid,
+         |  (list_aggregate(list_transform(p.sv, x -> x*x), 'sum')
+         |   - 2 * list_aggregate(list_transform(list_zip(p.sv, c.cv),
+         |       z -> z[1]*z[2]), 'sum'))
+         |   + list_aggregate(list_transform(c.cv, x -> x*x), 'sum') AS dd
+         |  FROM c1pq c JOIN espq p ON p.id = 8 AND p.sub = c.sub),
+         |widepq AS (
+         |  SELECT cq.id,
+         |  MIN(CASE WHEN sub = 0 THEN code END) AS code0,
+         |  MIN(CASE WHEN sub = 1 THEN code END) AS code1
+         |  FROM codespq JOIN cellq cq ON codespq.id = cq.id
+         |  GROUP BY cq.id)
+         |SELECT CAST(w.id AS BIGINT) AS vec_id, l0.dd + l1.dd AS adist
+         |FROM widepq w
+         |JOIN lutpq l0 ON l0.sub = 0 AND l0.cid = w.code0
+         |JOIN lutpq l1 ON l1.sub = 1 AND l1.cid = w.code1
+         |WHERE w.id <> 8
+         |ORDER BY adist, vec_id LIMIT 10""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id,

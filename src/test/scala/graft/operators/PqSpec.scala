@@ -64,6 +64,21 @@ class PqSpec extends SparkTestBase {
       s"ADC recall@10 $recall below the observed floor for m=2, k=16")
   }
 
+  test("IVF-PQ gate: results only from the probe's coarse cell, which prunes") {
+    val dv = transform(col("embedding"), x => x.cast("double"))
+    val e = vecs.select(col("vec_id").as("id"), dv.as("v"))
+    val assigned = KMeans.assign(e, KMeans.centroids(e, "id", "v", 4, 1))
+    val pc = assigned.filter(col("id") === 8).head().getAs[Long]("cluster")
+    val cell = assigned.filter(col("cluster") === pc)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(cell.size < vecs.count(),
+      "the coarse cell must be a strict subset — no pruning otherwise")
+    val got = graft.SparkEntry.queries("ann_ivfpq")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(cell - 8L),
+      s"IVF-PQ returned ids outside the probe's cell: ${got -- cell}")
+  }
+
   test("shortlist-50 + exact rerank recovers the neighborhood") {
     val reranked = SimilarityOps.pqAdcRerank(
         vecs, "vec_id", "embedding", 2, 64, codes, cb, 8L, 50, 10)
