@@ -6,8 +6,8 @@ object ExplainNew {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("para_dedup", "join_skew_salted", "pivot_grid_align",
-        "pivot_grid_unstack", "pivot_grid_shift", "pivot_grid_detrend")) {
+    for (q <- Seq("embed_pq", "ann_pq_adc", "ann_pq_rerank", "ann_ivfpq",
+        "zorder_prune", "dedup_within_doc")) {
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       val plan = df.queryExecution.executedPlan.toString
