@@ -1884,6 +1884,41 @@ object PipelineQueries {
               lit(0.0)))).cast("long").as("spike"))
     }),
 
+    // CUSUM changepoint detection per user: the point where the
+    // cumulative deviation from the user's mean peaks — the classic
+    // drift/level-shift detector over metric streams. ONE shuffle
+    // (partition by user) feeds all three windows. Exactness: the
+    // running sum accumulates integer CENTS (exact under ANY
+    // summation order — DuckDB's segment-tree window and Spark's
+    // sequential fold would disagree in low bits on raw doubles), and
+    // cusum_t = (S_t - t*mean)/100 is then a fixed double op chain;
+    // the argmax tie-breaks (|cusum| desc, ts asc, event_id asc).
+    "events_changepoint" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = Window.partitionBy("user_id")
+      val st = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          sum(col("c")).over(wRun).cast("double").as("srun"),
+          row_number().over(wOrd).as("rn"),
+          sum(col("c")).over(wAll).cast("double").as("tot"),
+          count(lit(1)).over(wAll).as("n"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("n"),
+          ((col("srun") - col("rn") * (col("tot") / col("n"))) /
+            lit(100.0)).as("cusum"))
+      st.groupBy("user_id")
+        .agg(max(struct(abs(col("cusum")).as("a"),
+            (-unix_micros(col("ts"))).as("nt"),
+            (-col("event_id")).as("ne"),
+            col("ts").as("ts"), col("cusum").as("cp"))).as("m"),
+          max(col("n")).as("n_events"))
+        .select(col("user_id"), col("m.ts").as("cp_ts"),
+          col("m.cp").as("cusum"), col("n_events"))
+    }),
+
     // one row PER SESSION through Spark's native session_window — the
     // dynamic-gap sibling of the fixed window() aggregation and the
     // operator Structured Streaming uses for watermarked streaming
@@ -3241,6 +3276,29 @@ object PipelineQueries {
         |CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |  AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_changepoint" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id,
+        |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+        |st AS (
+        |  SELECT user_id, ts, event_id,
+        |  CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS srun,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS rn,
+        |  CAST(SUM(c) OVER (PARTITION BY user_id) AS DOUBLE) AS tot,
+        |  COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM base),
+        |cs AS (
+        |  SELECT user_id, ts, event_id, n,
+        |  (srun - rn * (tot / n)) / 100.0 AS cusum FROM st)
+        |SELECT user_id, ts AS cp_ts, cusum, CAST(n AS BIGINT) AS n_events
+        |FROM (
+        |  SELECT user_id, ts, cusum, n,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY abs(cusum) DESC, ts ASC, event_id ASC) AS rnk
+        |  FROM cs) t WHERE rnk = 1""".stripMargin,
     "events_funnel" ->
       """SELECT date_trunc('hour', ts) AS hour_start,
         |CAST(COUNT(*) AS BIGINT) AS n_views,
