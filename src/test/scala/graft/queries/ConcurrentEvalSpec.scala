@@ -24,7 +24,12 @@ class ConcurrentEvalSpec extends SparkTestBase {
     // serialize the build (QueryTmp.staged) and share one committed
     // store — plus the group query goes through the zarr provider's
     // path-keyed cache concurrently
-    "pivot_grid_group", "pivot_grid_zarr")) {
+    "pivot_grid_group", "pivot_grid_zarr",
+    // round-12 continuation staged fixtures: the z-ordered events
+    // table, the PQ codebook+codes pair (whose first build NESTS a
+    // second staged build — reentrant on the stage-registry monitor),
+    // and the composed IVF-PQ consumer of both kmeans and PQ stages
+    "zorder_prune", "embed_pq", "ann_ivfpq")) {
     test(s"$q: two concurrent evaluations do not race their scratch store") {
       val runs = (1 to 2).map(_ => Future {
         SparkEntry.queries(q)(spark, sf).collect().length
