@@ -1884,6 +1884,25 @@ object PipelineQueries {
               lit(0.0)))).cast("long").as("spike"))
     }),
 
+    // exact grouped median (no sketch): the two middle ranks per
+    // group via one bounded window, averaged — integers make the
+    // halving dyadic-exact. The grouped-exact-percentile surface next
+    // to the GK/HLL sketches in approx_stats; rank arithmetic instead
+    // of collect_list keeps per-group state O(1) at any group size.
+    "median_by_lang" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .select(col("lang"), col("n_chars"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy("lang")).as("n"))
+        .filter(col("rn") === floor((col("n") + 1) / 2) ||
+          col("rn") === floor((col("n") + 2) / 2))
+        .groupBy("lang")
+        .agg(((min("n_chars") + max("n_chars")) / 2.0).as("median_chars"),
+          max("n").as("n_docs"))
+    }),
+
     // CUSUM changepoint detection per user: the point where the
     // cumulative deviation from the user's mean peaks — the classic
     // drift/level-shift detector over metric streams. ONE shuffle
@@ -3276,6 +3295,18 @@ object PipelineQueries {
         |CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |  AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "median_by_lang" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang,
+        |(MIN(n_chars) + MAX(n_chars)) / 2.0 AS median_chars,
+        |CAST(MAX(n) AS BIGINT) AS n_docs
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY lang""".stripMargin,
     "events_changepoint" ->
       """WITH base AS (
         |  SELECT user_id, ts, event_id,
