@@ -419,6 +419,24 @@ object GridQueries {
           col("air_a"), col("air_b"))
     }),
 
+    // xarray `reindex(t=range(30))`: conform the grid to a GIVEN
+    // target index — existing coordinates keep their values, indexer
+    // entries beyond the extent (t 24..29) materialize as NULL
+    // (xarray's NaN fill) — the calendar-conforming verb before
+    // merging archives. The spine is metadata-sized (target × distinct
+    // spatial coords, broadcast); the grid left-joins it without ever
+    // sorting.
+    "pivot_grid_reindex" -> ((s, _) => {
+      import s.implicits._
+      val g = grid(s)
+      val spine = (0L until 30L).toDF("t")
+        .crossJoin(g.select("lat", "lon").distinct())
+      spine.join(g.select(col("t").cast("long").as("t"), col("lat"),
+          col("lon"), col("air")),
+          Seq("t", "lat", "lon"), "left_outer")
+        .select(col("t"), col("lat"), col("lon"), col("air"))
+    }),
+
     // xarray `rank("t")`: average-rank (bottleneck semantics — ties get
     // the mean of their positional ranks) of a derived value along the
     // time axis, per (lat, lon) series. rank() + (ties-1)/2 reproduces
@@ -1508,6 +1526,15 @@ object GridQueries {
          |b AS (SELECT t, lat, lon, air AS air_b FROM grid WHERE t >= 8)
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air_a, air_b
          |FROM a FULL OUTER JOIN b USING (t, lat, lon)""".stripMargin,
+    "pivot_grid_reindex" ->
+      s"""WITH $oracleGrid,
+         |spine AS (
+         |  SELECT CAST(tt AS BIGINT) AS t, lat, lon
+         |  FROM generate_series(0, 29) s(tt),
+         |       (SELECT DISTINCT lat, lon FROM grid))
+         |SELECT sp.t, sp.lat, sp.lon, g.air
+         |FROM spine sp LEFT JOIN grid g
+         |ON sp.t = g.t AND sp.lat = g.lat AND sp.lon = g.lon""".stripMargin,
     "pivot_grid_rank" ->
       s"""WITH $oracleGrid
          |SELECT CAST(t AS BIGINT) AS t, lat, lon,

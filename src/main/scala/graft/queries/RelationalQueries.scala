@@ -415,6 +415,25 @@ object RelationalQueries {
           .select(lit("customer_only").as("tag"), col("nationkey")))
     }),
 
+    // BAG-semantics set ops (INTERSECT ALL / EXCEPT ALL): duplicates
+    // survive by multiplicity — min(countA, countB) and
+    // countA - countB respectively — a different operator from the
+    // DISTINCT forms above (Spark plans them as a count-compare
+    // aggregate, not a dedup). Output is the grouped histogram of
+    // each result so the gate stays bounded.
+    "set_ops_all" -> ((s, d) => {
+      val cn = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nationkey"))
+      val sn = Tables.supplier(s, d)
+        .select(col("s_nationkey").cast("long").as("nationkey"))
+      cn.intersectAll(sn)
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("tag"), col("nationkey"), col("n"))
+        .unionAll(cn.exceptAll(sn)
+          .groupBy("nationkey").agg(count(lit(1)).as("n"))
+          .select(lit("except_all").as("tag"), col("nationkey"), col("n")))
+    }),
+
     // exact DISTINCT aggregate
     "count_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
@@ -747,6 +766,19 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'customer_only' AS tag, nationkey
         |  FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)""".stripMargin,
+    "set_ops_all" ->
+      """WITH cn AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey
+        |  FROM customer),
+        |sn AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey
+        |  FROM supplier)
+        |SELECT 'intersect_all' AS tag, nationkey,
+        |CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT nationkey FROM cn
+        |      INTERSECT ALL SELECT nationkey FROM sn) GROUP BY nationkey
+        |UNION ALL
+        |SELECT 'except_all' AS tag, nationkey, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT nationkey FROM cn
+        |      EXCEPT ALL SELECT nationkey FROM sn) GROUP BY nationkey""".stripMargin,
     "count_distinct" ->
       """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |CAST(COUNT(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT)
