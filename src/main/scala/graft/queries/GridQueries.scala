@@ -437,6 +437,24 @@ object GridQueries {
         .select(col("t"), col("lat"), col("lon"), col("air"))
     }),
 
+    // xarray `roll(lon=3, roll_coords=False)`: CIRCULAR shift along
+    // the wrap-around axis (longitude) — each cell takes the value
+    // from (j - 3) mod n. Exact dyadic index recovery on the fixture
+    // coords, then ONE equi-join on the computed source index —
+    // co-partitioned at scale since both sides key on the same dims;
+    // no window, no sort.
+    "pivot_grid_roll" -> ((s, _) => {
+      val g = grid(s)
+      val j = ((col("lon") - lit(200.0)) / 2.5).cast("long")
+      val src = g.select(col("t"), col("lat"), j.as("j_src"),
+        col("air").as("air_rolled"))
+      g.select(col("t"), col("lat"), col("lon"),
+          pmod(j - 3, lit(10L)).as("j_src"))
+        .join(src, Seq("t", "lat", "j_src"))
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          col("air_rolled"))
+    }),
+
     // xarray `rank("t")`: average-rank (bottleneck semantics — ties get
     // the mean of their positional ranks) of a derived value along the
     // time axis, per (lat, lon) series. rank() + (ties-1)/2 reproduces
@@ -1526,6 +1544,15 @@ object GridQueries {
          |b AS (SELECT t, lat, lon, air AS air_b FROM grid WHERE t >= 8)
          |SELECT CAST(t AS BIGINT) AS t, lat, lon, air_a, air_b
          |FROM a FULL OUTER JOIN b USING (t, lat, lon)""".stripMargin,
+    "pivot_grid_roll" ->
+      s"""WITH $oracleGrid
+         |SELECT CAST(g.t AS BIGINT) AS t, g.lat, g.lon,
+         |s.air AS air_rolled
+         |FROM grid g JOIN grid s
+         |ON s.t = g.t AND s.lat = g.lat
+         |AND CAST((s.lon - 200.0) / 2.5 AS BIGINT) =
+         |    ((CAST((g.lon - 200.0) / 2.5 AS BIGINT) - 3) + 10) % 10
+         |""".stripMargin,
     "pivot_grid_reindex" ->
       s"""WITH $oracleGrid,
          |spine AS (
