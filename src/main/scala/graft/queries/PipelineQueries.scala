@@ -1884,23 +1884,32 @@ object PipelineQueries {
               lit(0.0)))).cast("long").as("spike"))
     }),
 
-    // exact grouped median (no sketch): the two middle ranks per
-    // group via one bounded window, averaged — integers make the
-    // halving dyadic-exact. The grouped-exact-percentile surface next
-    // to the GK/HLL sketches in approx_stats; rank arithmetic instead
-    // of collect_list keeps per-group state O(1) at any group size.
+    // exact grouped median (no sketch), the histogram way: ONE
+    // map-side-combinable agg collapses the corpus to (lang, length,
+    // count) — bounded by DISTINCT lengths, not rows — and the rank
+    // window walks that bounded histogram, never the data (ranking
+    // raw rows per lang would be a single-task sort of a whole
+    // language at 100 TB). The two middle ranks fall where the
+    // running count first covers them; integer halving is
+    // dyadic-exact.
     "median_by_lang" -> ((s, d) => {
-      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-      Tables.documents(s, d)
-        .select(col("lang"), col("n_chars"), col("doc_id"))
-        .select(col("lang"), col("n_chars"),
-          row_number().over(w).as("rn"),
-          count(lit(1)).over(Window.partitionBy("lang")).as("n"))
-        .filter(col("rn") === floor((col("n") + 1) / 2) ||
-          col("rn") === floor((col("n") + 2) / 2))
-        .groupBy("lang")
-        .agg(((min("n_chars") + max("n_chars")) / 2.0).as("median_chars"),
-          max("n").as("n_docs"))
+      val hist = Tables.documents(s, d)
+        .groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.select(col("lang"), col("n_chars"),
+        sum(col("cnt")).over(w).as("cum"),
+        sum(col("cnt")).over(Window.partitionBy("lang")).as("n"))
+      val lo = floor((col("n") + 1) / 2)
+      val hi = floor((col("n") + 2) / 2)
+      val vLo = cum.filter(col("cum") >= lo)
+        .groupBy("lang").agg(min("n_chars").as("v_lo"), max("n").as("n"))
+      val vHi = cum.filter(col("cum") >= hi)
+        .groupBy("lang").agg(min("n_chars").as("v_hi"))
+      vLo.join(vHi, "lang")
+        .select(col("lang"),
+          ((col("v_lo") + col("v_hi")) / 2.0).as("median_chars"),
+          col("n").as("n_docs"))
     }),
 
     // CUSUM changepoint detection per user: the point where the
