@@ -121,7 +121,12 @@ object ScaleSmoke {
       // pass — should track rows) and the codes-only ADC
       // shortlist + 50-vector exact rerank probe (should stay flat:
       // cost is codes bytes + a broadcast LUT, not vectors)
-      "embed_pq", "ann_pq_rerank")
+      "embed_pq", "ann_pq_rerank",
+      // round-12 third continuation: per-dim trained SQ8 — train+encode
+      // should track rows (one min/max pass + map-side encode), the
+      // codes-only ADC probe pays a linear codes scan (no shortlist
+      // here — the near-exact probe IS the product)
+      "embed_sq8", "ann_sq8")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>
