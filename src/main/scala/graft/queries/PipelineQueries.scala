@@ -297,6 +297,21 @@ object PipelineQueries {
         stagedPqCodebook(s, d), 2, 64)
     }
 
+  /** documents written into 16 content-hash-placed buckets with a
+    * per-bucket doc_id bloom sidecar ([[graft.sources.FileBloomIndex]]),
+    * staged once per JVM — the `bloom_point_lookup` gate measures the
+    * sidecar-pruned READ. Filters are sized from the data (one count
+    * job at stage time): a constant would degrade toward fpp=1 once
+    * the corpus outgrows it — the dedup_incremental_bloom lesson.
+    */
+  private[queries] def stagedBloomIndex(s: SparkSession, d: String): String =
+    stagedPath(s, d, "fbloom") { p =>
+      val docs = Tables.documents(s, d)
+      val perBucket = math.max(docs.count() / 16, 64L)
+      graft.sources.FileBloomIndex.write(
+        docs, "doc_id", pmod(hash(col("text")), lit(16)), p, perBucket)
+    }
+
   // ---- embeddings plumbing ----
 
   private def toDouble(c: Column): Column = transform(c, _.cast(DoubleType))
@@ -1373,6 +1388,21 @@ object PipelineQueries {
       definiteNew.unionByName(confirmed)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_new"), min("doc_id").as("first_new"))
+    }),
+
+    // file-level bloom index point lookup: documents land in 16
+    // content-hash-placed buckets (placement deliberately UNCORRELATED
+    // with doc_id — the layout zone maps and z-order can't help, since
+    // every file's [min,max] id range contains every probe), with a
+    // per-bucket doc_id bloom sidecar built in one mergeable-aggregate
+    // pass. The lookup reads the sidecar (metadata-sized) plus ONLY
+    // the matching bucket dirs — at 10⁹ files this is the Delta/
+    // Iceberg bloom-index shape; FileBloomIndexSpec pins the pruning
+    // via inputFiles and the no-false-negative law.
+    "bloom_point_lookup" -> ((s, d) => {
+      val idx = stagedBloomIndex(s, d)
+      graft.sources.FileBloomIndex.lookup(s, idx, "doc_id", "7")
+        .select("doc_id", "lang", "source", "n_chars")
     }),
 
     // cluster -> kept representative: the step between "found near-dup
@@ -2716,6 +2746,12 @@ object PipelineQueries {
         |FROM f
         |WHERE doc_id >= 250 AND fp NOT IN (SELECT fp FROM ex)
         |GROUP BY lang""".stripMargin,
+    // the bloom-pruned read plus the exact residual equals the plain
+    // point filter (no false negatives -> no lost rows; the residual
+    // weeds false positives)
+    "bloom_point_lookup" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE doc_id = 7""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $clustersSqlCte,
          |q AS (SELECT doc_id, $qualitySql AS quality FROM documents)

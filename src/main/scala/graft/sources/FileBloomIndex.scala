@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.functions.BloomAgg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** File-level bloom index: per-bucket bloom filters over a
+  * high-cardinality key column, for point lookups on a key the
+  * physical LAYOUT is not organized by.
+  *
+  * Zone maps (ZoneMapPruning) and z-order boxes (ZOrder) skip files
+  * via min/max ranges — useless for equality on a key whose values
+  * span every file's range (uniformly distributed ids, content
+  * hashes, URLs: every file's [min,max] contains every probe). The
+  * bloom sidecar answers "can this file contain key k?" by hash
+  * membership instead: at 100 TB a doc-id lookup reads the
+  * metadata-sized sidecar plus the one or two data files whose bloom
+  * matches, not the corpus. This is the Delta/Iceberg bloom-index
+  * shape, with the sidecar as an explicit parquet table.
+  *
+  * Layout: `path/data/fbib=<b>/` parquet buckets (placement is the
+  * CALLER's expression — typically ingest batch or content hash,
+  * deliberately uncorrelated with the key) + `path/_blooms` sidecar
+  * (bucket, serialized filter), built in ONE aggregate pass with the
+  * mergeable [[BloomAgg]] (map-side partials, fixed-size state).
+  *
+  * The bloom law (no false negatives) makes pruning EXACT on the
+  * miss side: a bucket the filter rejects provably lacks the key, so
+  * lookup == full scan always (pinned in FileBloomIndexSpec along
+  * with the pruning itself via `inputFiles`).
+  */
+object FileBloomIndex {
+
+  /** Write `df` bucketed by `layout` with a per-bucket bloom over
+    * `keyCol` (rendered as string). `expectedPerBucket` sizes every
+    * filter identically — a requirement of partial-merge
+    * compatibility, not a nicety.
+    */
+  def write(df: DataFrame, keyCol: String, layout: org.apache.spark.sql.Column,
+      path: String, expectedPerBucket: Long, fpp: Double = 0.01): Unit = {
+    val withB = df.withColumn("fbib", layout)
+    withB.repartition(col("fbib"))
+      .write.partitionBy("fbib").mode("overwrite").parquet(s"$path/data")
+    withB
+      .groupBy(col("fbib").as("bucket"))
+      .agg(BloomAgg.bloom_agg(col(keyCol).cast("string"),
+        expectedPerBucket, fpp).as("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_blooms")
+  }
+
+  /** Buckets whose bloom might contain `key` — a driver-side test over
+    * the sidecar (one row per bucket; KBs per filter at fpp=0.01).
+    * Sorted for deterministic downstream path lists.
+    */
+  def candidateBuckets(spark: SparkSession, path: String,
+      key: String): Seq[Int] =
+    spark.read.parquet(s"$path/_blooms").collect()
+      .filter { r =>
+        BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+          .mightContainString(key)
+      }
+      .map(_.getAs[Int]("bucket")).sorted.toSeq
+
+  /** Exact point lookup: sidecar-pruned bucket dirs + the exact
+    * residual filter. Reads ONLY candidate buckets — `df.inputFiles`
+    * of the result is the pin. An all-buckets-rejected key costs the
+    * sidecar read alone (the empty frame is planned with a
+    * contradiction filter, which prunes every file at planning).
+    */
+  def lookup(spark: SparkSession, path: String, keyCol: String,
+      key: String): DataFrame = {
+    val cands = candidateBuckets(spark, path, key)
+    val base =
+      if (cands.isEmpty)
+        spark.read.parquet(s"$path/data").filter(lit(false))
+      else
+        spark.read.parquet(cands.map(b => s"$path/data/fbib=$b"): _*)
+    base.filter(col(keyCol).cast("string") === key)
+  }
+}

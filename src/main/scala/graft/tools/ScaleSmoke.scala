@@ -126,7 +126,11 @@ object ScaleSmoke {
       // should track rows (one min/max pass + map-side encode), the
       // codes-only ADC probe pays a linear codes scan (no shortlist
       // here — the near-exact probe IS the product)
-      "embed_sq8", "ann_sq8")
+      "embed_sq8", "ann_sq8",
+      // file-level bloom index: the lookup should stay FLAT — sidecar
+      // rows grow with file count but the data read is the candidate
+      // bucket(s) only, at any corpus size
+      "bloom_point_lookup")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>

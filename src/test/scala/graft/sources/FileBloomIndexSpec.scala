@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins for the file-level bloom index.
+  *
+  * The two halves of the contract: (1) correctness — lookup equals
+  * the full-scan point filter for present keys AND the no-false-
+  * negative law holds for every key in the corpus (each key's own
+  * bucket is always a candidate); (2) pruning — the lookup's
+  * `inputFiles` stay inside the candidate bucket dirs, and candidates
+  * are a strict subset of the 16 buckets (the layout is content-hash
+  * placed, so min/max zone maps could never prune here: every
+  * bucket's doc_id range spans the probe).
+  */
+class FileBloomIndexSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private lazy val idx: String = {
+    val p = graft.queries.QueryTmp.dir("fbloomspec") + "/idx"
+    val docs = Tables.documents(spark, sf)
+    FileBloomIndex.write(docs, "doc_id",
+      pmod(hash(col("text")), lit(16)), p, 64L)
+    p
+  }
+
+  test("lookup equals the full-scan point filter") {
+    for (key <- Seq("7", "137", "499")) {
+      val got = FileBloomIndex.lookup(spark, idx, "doc_id", key)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val want = Tables.documents(spark, sf)
+        .filter(col("doc_id") === key.toLong)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"key=$key: got $got want $want")
+    }
+  }
+
+  test("absent key returns zero rows (and survives the empty-candidate path)") {
+    val got = FileBloomIndex.lookup(spark, idx, "doc_id", "-1")
+    assert(got.count() == 0)
+  }
+
+  test("no false negatives: every doc's own bucket is a candidate") {
+    val byBucket = Tables.documents(spark, sf)
+      .select(col("doc_id"), pmod(hash(col("text")), lit(16)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    // every 10th key keeps the spec fast; determinism makes the sample
+    // as binding as the full set on this fixed corpus
+    byBucket.filter(_._1 % 10 == 0).foreach { case (id, b) =>
+      val cands = FileBloomIndex.candidateBuckets(spark, idx, id.toString)
+      assert(cands.contains(b),
+        s"doc_id=$id lives in bucket $b but the bloom rejected it")
+    }
+  }
+
+  test("pruning: candidates are a strict subset and inputFiles stay inside") {
+    val cands = FileBloomIndex.candidateBuckets(spark, idx, "7")
+    assert(cands.nonEmpty && cands.size < 16,
+      s"expected real pruning, got ${cands.size}/16 buckets")
+    info(s"doc_id=7 candidates: ${cands.size}/16 buckets")
+    val files = FileBloomIndex.lookup(spark, idx, "doc_id", "7").inputFiles
+    val allowed = cands.map(b => s"/data/fbib=$b/")
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(allowed.exists(f.contains),
+        s"read outside the candidate buckets: $f")
+    }
+  }
+}
