@@ -1405,6 +1405,31 @@ object PipelineQueries {
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
+    // incremental ingest into the bloom index: build over the first
+    // half of the corpus, APPEND the second half (new part files into
+    // the existing bucket dirs — untouched files byte-identical,
+    // sidecar blooms merged by bitwise OR, both pinned in
+    // FileBloomIndexSpec), then point-look-up a doc from the appended
+    // batch. The build+append stage once per JVM (the ann_ivf_
+    // incremental pattern: bench medians measure the post-ingest
+    // read; ScaleSmoke times it cold/build-inclusive via buildGated);
+    // the oracle is the plain point filter over the union, which the
+    // no-false-negative law guarantees the pruned read equals.
+    "bloom_lookup_incremental" -> ((s, d) => {
+      val idx = stagedPath(s, d, "fbloominc") { p =>
+        val docs = Tables.documents(s, d)
+        val half = docs.filter(col("doc_id") < 250)
+        graft.sources.FileBloomIndex.write(half, "doc_id",
+          pmod(hash(col("text")), lit(16)), p,
+          math.max(docs.count() / 16, 64L))
+        graft.sources.FileBloomIndex.append(
+          docs.filter(col("doc_id") >= 250), "doc_id",
+          pmod(hash(col("text")), lit(16)), p)
+      }
+      graft.sources.FileBloomIndex.lookup(s, idx, "doc_id", "300")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // cluster -> kept representative: the step between "found near-dup
     // clusters" and "emitted one doc per cluster" — keep the highest-
     // quality member (ties to the lowest doc_id) via a partial-agg
@@ -2752,6 +2777,11 @@ object PipelineQueries {
     "bloom_point_lookup" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE doc_id = 7""".stripMargin,
+    // build-half + append-half == the whole corpus; the pruned read
+    // over the appended index equals the plain point filter
+    "bloom_lookup_incremental" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE doc_id = 300""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $clustersSqlCte,
          |q AS (SELECT doc_id, $qualitySql AS quality FROM documents)

@@ -434,6 +434,21 @@ object RelationalQueries {
           .select(lit("except_all").as("tag"), col("nationkey"), col("n")))
     }),
 
+    // ordered string aggregation (Spark 4's LISTAGG ... WITHIN GROUP):
+    // per region, the ordered comma-joined nation list. The WITHIN
+    // GROUP ordering on a UNIQUE key makes the concatenation
+    // deterministic at any parallelism — an unordered listagg would
+    // concatenate in partition-arrival order and never hash-match
+    // (or reproduce). Scale shape: one groupBy, list state bounded by
+    // group cardinality (25 nations).
+    "string_agg_group" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_sa")
+      s.sql("""SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+              |listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+              |  AS nations
+              |FROM nation_sa GROUP BY n_regionkey""".stripMargin)
+    }),
+
     // exact DISTINCT aggregate
     "count_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
@@ -779,6 +794,12 @@ object RelationalQueries {
         |SELECT 'except_all' AS tag, nationkey, CAST(COUNT(*) AS BIGINT) AS n
         |FROM (SELECT nationkey FROM cn
         |      EXCEPT ALL SELECT nationkey FROM sn) GROUP BY nationkey""".stripMargin,
+    // the WITHIN GROUP ordering on the unique name makes the
+    // concatenation engine-independent
+    "string_agg_group" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+        |string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
     "count_distinct" ->
       """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |CAST(COUNT(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT)

@@ -46,8 +46,73 @@ object FileBloomIndex {
       .groupBy(col("fbib").as("bucket"))
       .agg(BloomAgg.bloom_agg(col(keyCol).cast("string"),
         expectedPerBucket, fpp).as("bloom"))
+      // filter params ride in the sidecar so appends can build
+      // bit-compatible batch filters without out-of-band knowledge
+      .withColumn("expected_items", lit(expectedPerBucket))
+      .withColumn("fpp", lit(fpp))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_blooms")
+  }
+
+  /** Incremental ingest: append `batch` into the existing bucket dirs
+    * (new part files only — untouched bucket files stay byte-identical,
+    * pinned in FileBloomIndexSpec) and MERGE the batch's blooms into
+    * the sidecar. Only the new batch is scanned; the merge is the
+    * bitwise OR of bit-compatible filters, so the merged sidecar is
+    * byte-identical to a one-shot rebuild over the union (bloom bits
+    * are a deterministic function of the item SET — union of bitsets
+    * == bitset of the union; also pinned). The sidecar itself is
+    * rewritten whole — one metadata-sized parquet; at extreme file
+    * counts shard it by bucket range (the stats-sidecar v2 lesson).
+    */
+  def append(batch: DataFrame, keyCol: String,
+      layout: org.apache.spark.sql.Column, path: String): Unit = {
+    val spark = batch.sparkSession
+    val old = spark.read.parquet(s"$path/_blooms").collect()
+    require(old.nonEmpty, s"no bloom sidecar at $path — write() first")
+    val expected = old.head.getAs[Long]("expected_items")
+    val fpp = old.head.getAs[Double]("fpp")
+    val withB = batch.withColumn("fbib", layout)
+    withB.repartition(col("fbib"))
+      .write.partitionBy("fbib").mode("append").parquet(s"$path/data")
+    val fresh = withB
+      .groupBy(col("fbib").as("bucket"))
+      .agg(BloomAgg.bloom_agg(col(keyCol).cast("string"),
+        expected, fpp).as("bloom"))
+      .collect().map(r =>
+        r.getAs[Int]("bucket") -> r.getAs[Array[Byte]]("bloom")).toMap
+    val merged = old.map { r =>
+      val b = r.getAs[Int]("bucket")
+      val bytes = fresh.get(b) match {
+        case None => r.getAs[Array[Byte]]("bloom")
+        case Some(nb) =>
+          val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+            r.getAs[Array[Byte]]("bloom")))
+          f.mergeInPlace(BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(nb)))
+          val bos = new java.io.ByteArrayOutputStream()
+          f.writeTo(bos)
+          bos.toByteArray
+      }
+      (b, bytes)
+    } ++ fresh.filterNot { case (b, _) =>
+      old.exists(_.getAs[Int]("bucket") == b) }
+    import spark.implicits._
+    merged.toSeq.toDF("bucket", "bloom")
+      .withColumn("expected_items", lit(expected))
+      .withColumn("fpp", lit(fpp))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_blooms.next")
+    // swap via delete+rename — NOT atomic (a reader racing the swap
+    // can miss the sidecar); a concurrent-reader deployment would
+    // commit through GridIO.commitStaged's scheme-aware protocol
+    // instead. Single-writer ingest (this index's contract) is safe.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(s"$path/_blooms")
+    val next = new org.apache.hadoop.fs.Path(s"$path/_blooms.next")
+    fs.delete(cur, true)
+    fs.rename(next, cur)
   }
 
   /** Buckets whose bloom might contain `key` — a driver-side test over

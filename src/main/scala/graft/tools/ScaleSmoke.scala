@@ -129,8 +129,10 @@ object ScaleSmoke {
       "embed_sq8", "ann_sq8",
       // file-level bloom index: the lookup should stay FLAT — sidecar
       // rows grow with file count but the data read is the candidate
-      // bucket(s) only, at any corpus size
-      "bloom_point_lookup")
+      // bucket(s) only, at any corpus size. The incremental variant's
+      // gate INCLUDES the build+append writes (the ingest cost, which
+      // must track the batch), like ann_ivf_incremental.
+      "bloom_point_lookup", "bloom_lookup_incremental")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>
@@ -148,7 +150,7 @@ object ScaleSmoke {
     // (index ingest write; Lloyd training), so both timed numbers
     // include it and the ratio measures that build's scaling.
     val buildGated = Set("ann_ivf_incremental", "kmeans_embed",
-      "ann_ivf_deleted", "ann_ivf_purged")
+      "ann_ivf_deleted", "ann_ivf_purged", "bloom_lookup_incremental")
     for (n <- heavy if !buildGated(n); d <- Seq(base, sf1Dir))
       graft.SparkEntry.queries(n)(spark, d).count()
     // build-gated queries stay cold by design (their gate IS the
@@ -177,6 +179,22 @@ object ScaleSmoke {
         .annIvfFromIndexMultiProbe(spark, idx, 70L, 3, 2).count()
       graft.operators.KMeans.assign(tiny,
         graft.operators.KMeans.centroids(tiny, "id", "v", 4, 1)).count()
+      // warm the bloom-index build/append/lookup operator paths
+      val tb = tiny.select(col("id").as("doc_id"),
+        (col("id") % 7).cast("string").as("text"))
+      val bidx = s"$d/bloom"
+      graft.sources.FileBloomIndex.write(
+        tb.filter(col("doc_id") < 32), "doc_id",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(col("text")),
+          org.apache.spark.sql.functions.lit(4)), bidx, 64L)
+      graft.sources.FileBloomIndex.append(
+        tb.filter(col("doc_id") >= 32), "doc_id",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(col("text")),
+          org.apache.spark.sql.functions.lit(4)), bidx)
+      graft.sources.FileBloomIndex
+        .lookup(spark, bidx, "doc_id", "40").count()
     }
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()

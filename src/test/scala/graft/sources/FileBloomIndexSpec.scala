@@ -55,6 +55,52 @@ class FileBloomIndexSpec extends SparkTestBase {
     }
   }
 
+  private def fileHashes(root: java.io.File): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(root).filter(_.getName.endsWith(".parquet")).map { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      f.getAbsolutePath -> java.util.Arrays.hashCode(bytes).toLong
+    }.toMap
+  }
+
+  test("append: untouched files byte-identical, merge == one-shot rebuild") {
+    val base = graft.queries.QueryTmp.dir("fbloomappend")
+    val docs = Tables.documents(spark, sf)
+    val layout = pmod(hash(col("text")), lit(16))
+    // incremental: first half, then append the rest
+    val inc = s"$base/inc"
+    FileBloomIndex.write(docs.filter(col("doc_id") < 250),
+      "doc_id", layout, inc, 64L)
+    val before = fileHashes(new java.io.File(s"$inc/data"))
+    FileBloomIndex.append(docs.filter(col("doc_id") >= 250),
+      "doc_id", layout, inc)
+    val after = fileHashes(new java.io.File(s"$inc/data"))
+    before.foreach { case (p, h) =>
+      assert(after.get(p).contains(h),
+        s"append touched a pre-existing data file: $p")
+    }
+    assert(after.size > before.size, "append must add new part files")
+    // one-shot over the union, same filter params
+    val full = s"$base/full"
+    FileBloomIndex.write(docs, "doc_id", layout, full, 64L)
+    val incBlooms = spark.read.parquet(s"$inc/_blooms")
+      .collect().map(r => r.getAs[Int]("bucket") ->
+        r.getAs[Array[Byte]]("bloom").toSeq).toMap
+    val fullBlooms = spark.read.parquet(s"$full/_blooms")
+      .collect().map(r => r.getAs[Int]("bucket") ->
+        r.getAs[Array[Byte]]("bloom").toSeq).toMap
+    assert(incBlooms == fullBlooms,
+      "merged sidecar must be byte-identical to the one-shot rebuild " +
+        "(bloom bits are a function of the item SET)")
+    // and the lookup over the appended index is exact
+    for (key <- Seq("7", "300")) {
+      val got = FileBloomIndex.lookup(spark, inc, "doc_id", key)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(key.toLong), s"key=$key: got $got")
+    }
+  }
+
   test("pruning: candidates are a strict subset and inputFiles stay inside") {
     val cands = FileBloomIndex.candidateBuckets(spark, idx, "7")
     assert(cands.nonEmpty && cands.size < 16,
