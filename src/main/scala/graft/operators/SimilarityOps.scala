@@ -1111,8 +1111,11 @@ object SimilarityOps {
     * code_i = floor((x_i − lo_i) / s_i + 0.5) ∈ [0, 255] (0 where the
     * dimension is constant, s_i = 0). 64 float32 dims become 64 bytes
     * — 4× smaller than raw vectors and, unlike PQ, decodable per-dim
-    * without a codebook. Out: (id, codes: array<int>); map-side only
-    * (the 1-row stats broadcast-cross-joins onto the corpus).
+    * without a codebook. Out: (id, v: array<double>, codes:
+    * array<int>) — v rides along so reconstruction-error consumers
+    * need no corpus-wide join back (a persisting index drops it);
+    * map-side only (the 1-row stats broadcast-cross-joins onto the
+    * corpus).
     *
     * codes stay in [0,255]: x ∈ [lo,hi] puts (x−lo)/s in [0, ~255] —
     * the upper end can exceed 255 only by float ulps (< 0.5), so the
@@ -1123,7 +1126,7 @@ object SimilarityOps {
     val dv = transform(col(vecCol), x => x.cast("double"))
     vecs.select(col(idCol).as("id"), dv.as("v"))
       .crossJoin(broadcast(stats))
-      .select(col("id"),
+      .select(col("id"), col("v"),
         zip_with(col("v"), arrays_zip(col("lo"), col("s")), (x, t) =>
           when(t.getField("s") === lit(0.0), lit(0))
             .otherwise(floor((x - t.getField("lo")) / t.getField("s")

@@ -290,6 +290,24 @@ object PipelineQueries {
         Tables.embeddings(s, d), "vec_id", "embedding", 2, 16, 64)
     }
 
+  /** SQ8 quantizer (1 row of lo/s arrays) and codes (id, codes) over
+    * the embeddings, staged once per JVM — doubles round-trip parquet
+    * exactly, so the staged reads gate like the direct pipeline. The
+    * codes table drops v: the persisted-index form is codes alone.
+    */
+  private def stagedSq8Stats(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "sq8st") {
+      graft.operators.SimilarityOps.sq8Train(
+        Tables.embeddings(s, d), "vec_id", "embedding")
+    }
+
+  private def stagedSq8Codes(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "sq8cd") {
+      graft.operators.SimilarityOps.sq8Encode(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        stagedSq8Stats(s, d)).select("id", "codes")
+    }
+
   private def stagedPqCodes(s: SparkSession, d: String): DataFrame =
     staged(s, d, "pqcodes") {
       graft.operators.SimilarityOps.pqEncode(
@@ -1240,13 +1258,12 @@ object PipelineQueries {
     // is map-side against the broadcast 1-row quantizer.
     "embed_sq8" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val stats = graft.operators.SimilarityOps
-        .sq8Train(e, "vec_id", "embedding")
-      val ev = e.select(col("vec_id").as("id"),
-        toDouble(col("embedding")).as("v"))
+      val stats = stagedSq8Stats(s, d)
+      // encode keeps v, so the err projection is the SAME map-side
+      // pass — no corpus-wide join back (plan-audited: the only
+      // joins are the two 1-row broadcast cross joins)
       graft.operators.SimilarityOps
         .sq8Encode(e, "vec_id", "embedding", stats)
-        .join(ev, "id")
         .crossJoin(broadcast(stats))
         .select(col("id").as("vec_id"),
           md5(concat_ws(",", transform(col("codes"), _.cast("string")))
@@ -1267,15 +1284,14 @@ object PipelineQueries {
     // for PQ-ADC's 2-code approximation) at 4× the code footprint —
     // the classic SQ8-vs-PQ index tradeoff, now both demonstrable.
     "ann_sq8" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val stats = graft.operators.SimilarityOps
-        .sq8Train(e, "vec_id", "embedding")
-      val codes = graft.operators.SimilarityOps
-        .sq8Encode(e, "vec_id", "embedding", stats)
-      val probe = e.filter(col("vec_id") === 8)
+      // probe over the STAGED codes — the persisted-index read shape
+      // (PQ's stagedPqCodes pattern): the gate measures codes bytes +
+      // two broadcast 1-row frames, not a re-train+re-encode
+      val probe = Tables.embeddings(s, d).filter(col("vec_id") === 8)
         .select(toDouble(col("embedding")).as("pe"))
       graft.operators.SimilarityOps
-        .sq8AdcTopK(codes, stats, probe, 8L, 10)
+        .sq8AdcTopK(stagedSq8Codes(s, d), stagedSq8Stats(s, d),
+          probe, 8L, 10)
         .select(col("id").as("vec_id"), col("adist"))
     }),
 

@@ -54,9 +54,8 @@ class Sq8Spec extends SparkTestBase {
   }
 
   test("reconstruction: per-dim error bounded by s_i/2 (half-step law)") {
-    val dv = transform(col("embedding"), x => x.cast("double"))
-    val ev = vecs.select(col("vec_id").as("id"), dv.as("v"))
-    val worst = codes.join(ev, "id")
+    // encode keeps v alongside codes — no join back needed
+    val worst = codes
       .crossJoin(broadcast(stats))
       .select(aggregate(
         zip_with(col("v"),
