@@ -121,4 +121,51 @@ object GraphOps {
       s"pointer-jumping components did not converge in $maxIter rounds")
     labels
   }
+
+  /** Fixed-iteration PageRank in exact integer micro-units — graph
+    * centrality for dedup review ("which document anchors this
+    * near-dup neighbourhood") and link-ish corpus analytics.
+    *
+    * pr_0 = 10^6 per node; each round
+    * pr' = ((dden−num)·10^6 + num·Σ_in (pr div deg)) div den
+    * with num/den the damping rational (default 85/100). Every
+    * operation is on longs: contributions use integer `div`, the
+    * in-sum is a sum of longs (order-free — no floating-point
+    * summation-order hazard between engines), and damping is one
+    * multiply + one integer divide. The rank mass lost to `div`
+    * truncation is bounded by in-degree per node per round — the
+    * usual dangling/rounding slack, deterministic here.
+    *
+    * Scale shape: one shuffle per round (edge join + groupBy on dst),
+    * the classic power-iteration plan; `iters` is fixed (the gate
+    * unrolls the same rounds relationally), `localCheckpoint`
+    * truncates the loop lineage. Input edges are DIRECTED — pass both
+    * directions for an undirected graph. Returns (id, pr) for every
+    * node with an out-edge.
+    */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0,1]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nodes = deg.select(col("src").as("id"))
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    val base = (dampDen - dampNum) * 1000000L
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("pr div deg").as("c"))
+      pr = nodes
+        .join(contrib.groupBy("id").agg(sum(col("c")).as("s")),
+          Seq("id"), "left")
+        .select(col("id"), expr(
+          s"($base + $dampNum * coalesce(s, 0L)) div $dampDen").as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
 }

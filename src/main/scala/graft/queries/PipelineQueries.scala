@@ -475,6 +475,21 @@ object PipelineQueries {
     // one copy per cluster". Oracle replays it as a recursive CTE.
     "dedup_clusters" -> ((s, d) => stagedClusters(s, d)),
 
+    // PageRank over the verified near-dup graph (3 rounds, exact
+    // integer micro-units): centrality for dedup review — the anchor
+    // document of each near-dup neighbourhood scores highest. The
+    // integer law (contrib = pr div deg; damping = one multiply + one
+    // integer divide) makes every round's ranks order-free longs, so
+    // the unrolled relational replay hash-matches — no floating-point
+    // summation-order hazard. One shuffle per round at any scale.
+    "pagerank_neardup" -> ((s, d) => {
+      val pairs = jaccardPairs(s, d).select("doc_a", "doc_b")
+      val sym = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      graft.operators.GraphOps.pageRankInt(sym, "doc_a", "doc_b", 3)
+        .select(col("id").cast("long").as("doc_id"), col("pr"))
+    }),
+
     // SimHash (16-bit, from md5 hex nibbles, token-frequency weighted)
     "simhash" -> ((s, d) => simhashDf(s, d)),
 
@@ -2207,7 +2222,11 @@ object PipelineQueries {
     * (callers prepend WITH RECURSIVE; final CTE is `clusters`).
     * Mirrors [[jaccardPairs]] + GraphOps.connectedComponents.
     */
-  private val clustersSqlCte =
+  /** The verified near-dup edge set (LSH candidates -> exact Jaccard
+    * >= 0.4, symmetrized): `e(a, b)` — shared by the connected-
+    * components oracle below and the PageRank oracle.
+    */
+  private val neardupEdgeSqlCte =
     s"""$sigSqlCte,
        |bands AS (
        |  SELECT doc_id, 0 AS band, sig0 || sig1 AS key FROM sig
@@ -2225,7 +2244,25 @@ object PipelineQueries {
        |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
        |    >= 0.4),
        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-       |      UNION SELECT doc_b, doc_a FROM pairs),
+       |      UNION SELECT doc_b, doc_a FROM pairs)""".stripMargin
+
+  /** One integer PageRank round as SQL: `cur` from `prev` over the
+    * shared `e`/`deg`/`n` CTEs — mirrors
+    * [[graft.operators.GraphOps.pageRankInt]] exactly (85/100
+    * damping, 10^6 micro-units).
+    */
+  private def prIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n.id,
+       |  CAST((15000000 + 85 * COALESCE(SUM(p.pr // d.deg), 0)) // 100
+       |    AS BIGINT) AS pr
+       |  FROM n LEFT JOIN e ON e.b = n.id
+       |  LEFT JOIN $prev p ON p.id = e.a
+       |  LEFT JOIN deg d ON d.a = e.a
+       |  GROUP BY n.id)""".stripMargin
+
+  private val clustersSqlCte =
+    s"""$neardupEdgeSqlCte,
        |reach(id, r) AS (
        |  SELECT a, a FROM e
        |  UNION
@@ -2719,6 +2756,19 @@ object PipelineQueries {
     "dedup_clusters" ->
       s"""WITH RECURSIVE $clustersSqlCte
          |SELECT doc_id, cluster FROM clusters""".stripMargin,
+    // three unrolled integer power-iteration rounds over the shared
+    // edge CTE; `//` == Spark's `div` on positive longs, sums of
+    // longs are order-free — bit-exact across engines
+    "pagerank_neardup" ->
+      s"""WITH $neardupEdgeSqlCte,
+         |deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM e GROUP BY a),
+         |n AS (SELECT DISTINCT a AS id FROM e),
+         |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM n),
+         |${prIterSql("pr0", "pr1")},
+         |${prIterSql("pr1", "pr2")},
+         |${prIterSql("pr2", "pr3")}
+         |SELECT CAST(id AS BIGINT) AS doc_id, pr FROM pr3""".stripMargin,
     "fuzzy_title_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, substr(text, 1, 30) AS head,

@@ -55,4 +55,27 @@ class GraphOpsSpec extends SparkTestBase {
     assert(agg.getLong(0) == 1L && agg.getLong(1) == 0L &&
       agg.getLong(2) == n)
   }
+
+  test("pageRankInt: star center dominates; mass bounds; partition-invariant") {
+    val sqlc = spark
+    import sqlc.implicits._
+    import org.apache.spark.sql.functions._
+    // undirected star: center 0, leaves 1..8 — pass both directions
+    val half = (1L to 8L).map(l => (0L, l))
+    val edges = (half ++ half.map(_.swap)).toDF("a", "b")
+    val pr = GraphOps.pageRankInt(edges, "a", "b", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val leaves = (1L to 8L).map(pr)
+    assert(leaves.distinct.size == 1, "symmetric leaves must tie exactly")
+    assert(pr(0L) > leaves.head * 3,
+      s"star center must dominate: center=${pr(0L)} leaf=${leaves.head}")
+    // per-round mass: damping base keeps every rank >= (1-d)*10^6;
+    // div truncation only destroys mass, so total <= n*10^6
+    assert(pr.values.forall(_ >= 150000L))
+    assert(pr.values.sum <= 9L * 1000000L)
+    // integer law -> partitioning cannot change a single rank
+    val repart = GraphOps.pageRankInt(edges.repartition(7), "a", "b", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repart == pr, "ranks must be partition-invariant (exact longs)")
+  }
 }
