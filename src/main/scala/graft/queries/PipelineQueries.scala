@@ -2047,6 +2047,29 @@ object PipelineQueries {
           col("n").as("n_docs"))
     }),
 
+    // grouped multi-quantile, the histogram way (the median_by_lang
+    // technique generalized): ONE map-side-combinable (lang, length,
+    // count) aggregate, then all three quantile ranks walk the SAME
+    // bounded histogram — a per-lang window over raw rows would be a
+    // single-task sort of a whole language at 100 TB. Type-1 (lower)
+    // quantiles: rank ceil(q*n) in pure integer arithmetic, so the
+    // answers are exact longs — no interpolation doubles anywhere.
+    "quantiles_by_lang" -> ((s, d) => {
+      val hist = Tables.documents(s, d)
+        .groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.select(col("lang"), col("n_chars"),
+        sum(col("cnt")).over(w).as("cum"),
+        sum(col("cnt")).over(Window.partitionBy("lang")).as("n"))
+      def at(rankSql: String, name: String) =
+        cum.filter(col("cum") >= expr(rankSql))
+          .groupBy("lang").agg(min("n_chars").as(name))
+      at("(n + 3) div 4", "p25")
+        .join(at("(n + 1) div 2", "p50"), "lang")
+        .join(at("(3 * n + 3) div 4", "p75"), "lang")
+    }),
+
     // CUSUM changepoint detection per user: the point where the
     // cumulative deviation from the user's mean peaks — the classic
     // drift/level-shift detector over metric streams. ONE shuffle
@@ -3545,6 +3568,25 @@ object PipelineQueries {
         |(MIN(n_chars) + MAX(n_chars)) / 2.0 AS median_chars,
         |CAST(MAX(n) AS BIGINT) AS n_docs
         |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY lang""".stripMargin,
+    // independent row-rank formulation of the same type-1 quantiles —
+    // a different algorithm agreeing on the answer (the median gate's
+    // pattern); the rank at each crossing carries the same n_chars as
+    // the histogram walk's first cum >= rank
+    "quantiles_by_lang" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang,
+        |MIN(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS p25,
+        |MIN(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50,
+        |MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END) AS p75
+        |FROM r
+        |WHERE rn = (n + 3) // 4 OR rn = (n + 1) // 2
+        |   OR rn = (3 * n + 3) // 4
         |GROUP BY lang""".stripMargin,
     "events_changepoint" ->
       """WITH base AS (
