@@ -812,6 +812,38 @@ object PipelineQueries {
           .select("media_id", "kind", "payload"))
     }),
 
+    // multimodal: zero-crossing segmentation over DECODED PCM — the
+    // ZCR run structure a VAD-style segmenter starts from. The engine
+    // parses the actual RIFF/WAVE bytes (decodeWav), then a
+    // ZERO-SHUFFLE Catalyst array fold walks each clip's samples once
+    // (state = sign/run-length/max/run-count longs — exact, sequential
+    // per row, the dedup_within_doc shape: at 100 TB the decode
+    // parallelism is the row partitioning and samples never explode
+    // into rows). The oracle computes the same runs by a DIFFERENT
+    // algorithm — analytic sample replay + windowed gaps-and-islands —
+    // agreeing on exact integers (the median two-algorithm pattern).
+    "audio_zcr_segments" -> ((s, d) => {
+      val wav = udf((id: Long) => graft.multimodal.Multimodal.wavFixture(id))
+      val pcm = udf((bytes: Array[Byte]) =>
+        graft.multimodal.Multimodal.decodeWav(bytes).samples.map(_.toInt))
+      val init = struct(lit(-1L).as("prev"), lit(0L).as("len"),
+        lit(0L).as("maxLen"), lit(0L).as("runs"))
+      val folded = aggregate(col("pcm"), init, (acc, x) => {
+        val g = when(x < 0, lit(1L)).otherwise(lit(0L))
+        val same = acc.getField("prev") === g
+        val newLen = when(same, acc.getField("len") + 1L).otherwise(lit(1L))
+        struct(g.as("prev"), newLen.as("len"),
+          greatest(acc.getField("maxLen"), newLen).as("maxLen"),
+          (acc.getField("runs") + when(same, 0L).otherwise(1L)).as("runs"))
+      })
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id").as("media_id"), wav(col("doc_id")).as("b"))
+        .select(col("media_id"), pcm(col("b")).as("pcm"))
+        .select(col("media_id"), folded.as("f"))
+        .select(col("media_id"), col("f.runs").as("n_runs"),
+          col("f.maxLen").as("longest_run"))
+    }),
+
     // per-document text statistics (quality-scoring features)
     "text_stats" -> ((s, d) => {
       val t = col("text")
@@ -3071,6 +3103,27 @@ object PipelineQueries {
         |  CAST(sg AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(sb AS DOUBLE) / (w * h) AS mean_b
         |FROM fx""".stripMargin,
+    // analytic PCM replay (s(k) = (31 id + 17 k) % 4096 - 2048, the
+    // wavFixture law) + windowed gaps-and-islands — a different
+    // algorithm for the same exact sign-run integers the engine's
+    // array fold emits from the parsed bytes
+    "audio_zcr_segments" ->
+      """WITH au AS (
+        |  SELECT doc_id AS media_id, 64 + doc_id % 129 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |ks AS (SELECT media_id,
+        |       unnest(generate_series(0, n - 1)) AS k FROM au),
+        |sg AS (SELECT media_id, k,
+        |       CASE WHEN (media_id * 31 + k * 17) % 4096 < 2048
+        |       THEN 1 ELSE 0 END AS neg FROM ks),
+        |gi AS (SELECT media_id, k, neg,
+        |       k - row_number() OVER (PARTITION BY media_id, neg
+        |         ORDER BY k) AS grp FROM sg),
+        |runs AS (SELECT media_id, neg, grp, COUNT(*) AS len
+        |         FROM gi GROUP BY media_id, neg, grp)
+        |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |CAST(MAX(len) AS BIGINT) AS longest_run
+        |FROM runs GROUP BY media_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |CAST(length(text) AS BIGINT) AS n_chars_calc,
