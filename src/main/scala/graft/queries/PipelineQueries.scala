@@ -2094,12 +2094,15 @@ object PipelineQueries {
       val cum = hist.select(col("lang"), col("n_chars"),
         sum(col("cnt")).over(w).as("cum"),
         sum(col("cnt")).over(Window.partitionBy("lang")).as("n"))
-      def at(rankSql: String, name: String) =
-        cum.filter(col("cum") >= expr(rankSql))
-          .groupBy("lang").agg(min("n_chars").as(name))
-      at("(n + 3) div 4", "p25")
-        .join(at("(n + 1) div 2", "p50"), "lang")
-        .join(at("(3 * n + 3) div 4", "p75"), "lang")
+      // all three crossings read the SAME cumulative histogram in one
+      // conditional-min pass — no joins, no recomputation (the first
+      // join-per-rank version cost 3 histogram builds / 8 exchanges)
+      def at(rankSql: String) =
+        min(when(col("cum") >= expr(rankSql), col("n_chars")))
+      cum.groupBy("lang").agg(
+        at("(n + 3) div 4").as("p25"),
+        at("(n + 1) div 2").as("p50"),
+        at("(3 * n + 3) div 4").as("p75"))
     }),
 
     // CUSUM changepoint detection per user: the point where the

@@ -6,8 +6,8 @@ object ExplainNew {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("embed_sq8", "ann_sq8", "bloom_point_lookup",
-        "bloom_lookup_incremental", "string_agg_group")) {
+    for (q <- Seq("pagerank_neardup", "quantiles_by_lang",
+        "audio_zcr_segments")) {
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       val plan = df.queryExecution.executedPlan.toString
