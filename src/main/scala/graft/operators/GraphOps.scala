@@ -143,6 +143,54 @@ object GraphOps {
     * directions for an undirected graph. Returns (id, pr) for every
     * node with an out-edge.
     */
+  /** Majority-vote label propagation: seeded nodes keep their label
+    * forever; unlabeled nodes adopt, each round, the most common label
+    * among their LABELED neighbours (ties break to the
+    * lexicographically smallest label — a total order, so the result
+    * is exact and engine-replayable; no randomized update schedule).
+    * The semi-supervised step of data curation: quality/domain labels
+    * assigned to a reviewed slice spread to their near-duplicates.
+    *
+    * Determinism: votes are integer counts; the winner per node is
+    * min over (−count, label) struct order — no floating point, no
+    * arrival-order dependence. Scale shape: one edge join + one
+    * (node, label) aggregate per round; vote state is bounded by
+    * (nodes × distinct labels), the winner pick is a partial-agg
+    * argmin, never a corpus window. Fixed `iters` (the gate unrolls
+    * the same rounds relationally).
+    *
+    * `seeds`: (idCol, labelCol) — nodes absent from it start
+    * unlabeled. Returns (id, label) for every node incident to an
+    * edge; label NULL where no labeled neighbourhood reached the node.
+    */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, idCol: String, labelCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id")).distinct()
+    var labels = nodes.join(
+        seeds.select(col(idCol).as("id"), col(labelCol).as("label")),
+        Seq("id"), "left")
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val winners = e
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .filter(col("label").isNotNull)
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("id")
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .as("w"))
+        .select(col("id"), col("w.l").as("wl"))
+      labels = labels.join(winners, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("wl")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")

@@ -2079,6 +2079,25 @@ object PipelineQueries {
           col("n").as("n_docs"))
     }),
 
+    // semi-supervised label spreading over the near-dup graph: the
+    // reviewed half's `source` labels propagate to their unlabeled
+    // near-duplicates by exact integer majority vote (ties to the
+    // smallest label, 2 fixed rounds) — the curation step that turns
+    // a labeled slice into labels for everything it nearly
+    // duplicates. Seeds never change; a node two hops from any seed
+    // labels in round 2 via round-1 adoptees.
+    "label_propagation" -> ((s, d) => {
+      val pairs = jaccardPairs(s, d).select("doc_a", "doc_b")
+      val sym = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val seeds = Tables.documents(s, d).filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("source"))
+      graft.operators.GraphOps
+        .labelPropagate(sym, "doc_a", "doc_b", seeds,
+          "doc_id", "source", 2)
+        .select(col("id").cast("long").as("doc_id"), col("label"))
+    }),
+
     // grouped multi-quantile, the histogram way (the median_by_lang
     // technique generalized): ONE map-side-combinable (lang, length,
     // count) aggregate, then all three quantile ranks walk the SAME
@@ -2318,6 +2337,25 @@ object PipelineQueries {
        |  LEFT JOIN $prev p ON p.id = e.a
        |  LEFT JOIN deg d ON d.a = e.a
        |  GROUP BY n.id)""".stripMargin
+
+  /** One label-propagation round as SQL: `cur` from `prev` over the
+    * shared `e` CTE — mirrors
+    * [[graft.operators.GraphOps.labelPropagate]] exactly (integer
+    * votes, ties to the smallest label, seeds win via COALESCE).
+    */
+  private def lpIterSql(prev: String, cur: String): String =
+    s"""v$cur AS (
+       |  SELECT e.b AS id, l.label, COUNT(*) AS cnt
+       |  FROM e JOIN $prev l ON l.id = e.a AND l.label IS NOT NULL
+       |  GROUP BY e.b, l.label),
+       |w$cur AS (
+       |  SELECT id, label FROM (
+       |    SELECT id, label, row_number() OVER (PARTITION BY id
+       |      ORDER BY cnt DESC, label) AS rn
+       |    FROM v$cur) t WHERE rn = 1),
+       |$cur AS (
+       |  SELECT p.id, COALESCE(p.label, w$cur.label) AS label
+       |  FROM $prev p LEFT JOIN w$cur ON w$cur.id = p.id)""".stripMargin
 
   private val clustersSqlCte =
     s"""$neardupEdgeSqlCte,
@@ -2827,6 +2865,17 @@ object PipelineQueries {
          |${prIterSql("pr1", "pr2")},
          |${prIterSql("pr2", "pr3")}
          |SELECT CAST(id AS BIGINT) AS doc_id, pr FROM pr3""".stripMargin,
+    // two unrolled majority-vote rounds over the shared edge CTE;
+    // ties to the smallest label on both engines
+    "label_propagation" ->
+      s"""WITH $neardupEdgeSqlCte,
+         |n AS (SELECT DISTINCT a AS id FROM e),
+         |lp0 AS (
+         |  SELECT n.id, CASE WHEN n.id < 250 THEN d.source END AS label
+         |  FROM n JOIN documents d ON d.doc_id = n.id),
+         |${lpIterSql("lp0", "lp1")},
+         |${lpIterSql("lp1", "lp2")}
+         |SELECT CAST(id AS BIGINT) AS doc_id, label FROM lp2""".stripMargin,
     "fuzzy_title_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, substr(text, 1, 30) AS head,

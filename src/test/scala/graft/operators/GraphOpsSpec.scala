@@ -78,4 +78,25 @@ class GraphOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(repart == pr, "ranks must be partition-invariant (exact longs)")
   }
+
+  test("labelPropagate: hop radius, majority ties, immutable seeds") {
+    val sqlc = spark
+    import sqlc.implicits._
+    // path 0-1-2-3 (seed at 0), triangle 10-11-12 with two competing
+    // seeds (10:'b', 11:'a') voting on 12 — tie breaks to 'a'
+    val half = Seq((0L, 1L), (1L, 2L), (2L, 3L),
+      (10L, 12L), (11L, 12L), (10L, 11L))
+    val edges = (half ++ half.map(_.swap)).toDF("a", "b")
+    val seeds = Seq((0L, "x"), (10L, "b"), (11L, "a")).toDF("id", "lab")
+    val got = GraphOps.labelPropagate(edges, "a", "b", seeds, "id", "lab", 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // 2 rounds reach exactly 2 hops down the path; node 3 stays NULL
+    assert(got(1L).contains("x") && got(2L).contains("x"))
+    assert(got(3L).isEmpty, "a 3-hop node must stay unlabeled after 2 rounds")
+    // equal votes (b from 10, a from 11) -> smallest label wins
+    assert(got(12L).contains("a"), s"tie must break to 'a', got ${got(12L)}")
+    // seeds never change (11 is adjacent to 10's 'b' but keeps 'a')
+    assert(got(0L).contains("x") && got(10L).contains("b") &&
+      got(11L).contains("a"))
+  }
 }
