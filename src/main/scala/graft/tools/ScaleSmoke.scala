@@ -132,7 +132,13 @@ object ScaleSmoke {
       // bucket(s) only, at any corpus size. The incremental variant's
       // gate INCLUDES the build+append writes (the ingest cost, which
       // must track the batch), like ann_ivf_incremental.
-      "bloom_point_lookup", "bloom_lookup_incremental")
+      "bloom_point_lookup", "bloom_lookup_incremental",
+      // round-12 fourth continuation: graph ops ride the staged
+      // candidate tables (cost tracks the near-dup graph, not the
+      // corpus); quantiles is one histogram aggregate; audio is a
+      // zero-shuffle per-row fold
+      "pagerank_neardup", "label_propagation", "quantiles_by_lang",
+      "audio_zcr_segments")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>
