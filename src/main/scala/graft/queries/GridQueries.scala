@@ -309,6 +309,25 @@ object GridQueries {
           last("gappy", ignoreNulls = true).over(w).as("air_ffill"))
     }),
 
+    // xarray `bfill(dim="t")`: the mirror of ffill — gaps take the
+    // NEXT observation along time (first_value ignoring nulls over
+    // the following frame). Same per-cell bounded window, same gap
+    // law as ffill so the two verbs are directly comparable.
+    "pivot_grid_bfill" -> ((s, _) => {
+      val li = ((lit(75.0) - col("lat")) / lit(2.5)).cast("long")
+      val lj = ((col("lon") - lit(200.0)) / lit(2.5)).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lat", "lon").orderBy("t")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      grid(s)
+        .select(col("t").cast("long").as("t"), col("lat"), col("lon"),
+          when((col("t").cast("long") + li + lj) % 7 === 0,
+            lit(null).cast("double")).otherwise(col("air")).as("gappy"))
+        .select(col("t"), col("lat"), col("lon"),
+          first("gappy", ignoreNulls = true).over(w).as("air_bfill"))
+    }),
+
     // xarray `quantile([0.25, 0.5], dim="t")` per cell: EXACT
     // linear-interpolation percentiles (Spark `percentile` == DuckDB
     // `quantile_cont`, both xarray's default "linear" method). The
@@ -1497,6 +1516,19 @@ object GridQueries {
          |last_value(gappy IGNORE NULLS) OVER (
          |  PARTITION BY lat, lon ORDER BY t
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS air_ffill
+         |FROM gappy""".stripMargin,
+    "pivot_grid_bfill" ->
+      s"""WITH $oracleGrid,
+         |gappy AS (
+         |  SELECT t, lat, lon,
+         |  CASE WHEN (t + CAST((75.0 - lat) / 2.5 AS BIGINT)
+         |           + CAST((lon - 200.0) / 2.5 AS BIGINT)) % 7 <> 0
+         |    THEN air END AS gappy
+         |  FROM grid)
+         |SELECT CAST(t AS BIGINT) AS t, lat, lon,
+         |first_value(gappy IGNORE NULLS) OVER (
+         |  PARTITION BY lat, lon ORDER BY t
+         |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS air_bfill
          |FROM gappy""".stripMargin,
     "pivot_grid_quantile" ->
       s"""WITH $oracleGrid

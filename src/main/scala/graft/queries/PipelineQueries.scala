@@ -1597,23 +1597,31 @@ object PipelineQueries {
     // combinable; nothing corpus-sized shuffles except one token
     // count pass. (The bucket law is a deliberately SQL-replayable
     // stand-in — production would use a real feature hash.)
-    "dsir_weights" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(words(col("text"))).as("token"))
-        .filter(length(col("token")) > 0)
-      val bt = tok.select(col("doc_id"), col("lang"),
-        ((length(col("token")) * 31 + ascii(col("token"))) % 64)
-          .as("bucket"))
-      val corpus = bt.groupBy("bucket").agg(count(lit(1)).as("c"))
-      val target = bt.filter(col("lang") === "en")
-        .groupBy("bucket").agg(count(lit(1)).as("t"))
-      val ratios = corpus.join(target, Seq("bucket"), "left")
-        .select(col("bucket"),
-          expr("((coalesce(t, 0L) + 1) * 1000000) div (c + 1)").as("r"))
-      bt.groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
-        .join(broadcast(ratios), "bucket")
-        .groupBy("doc_id").agg(sum(col("n") * col("r")).as("weight"))
+    "dsir_weights" -> ((s, d) => dsirWeightsDf(s, d)),
+
+    // DSIR importance RESAMPLING — the materialization step after the
+    // weights: every doc replicates 1 + min(weight div mean, 3) times
+    // (all integer: the mean is an integer div of the weight total, so
+    // the copy counts are exact and engine-replayable), upsampling
+    // in-domain text the way the selection paper's sampler would. The
+    // gate aggregates the EXPLODED rows per lang — the explode is the
+    // product (the resampled corpus), the counts prove it happened.
+    // Scale shape: output tracks Σ copies ≤ 4n; the mean is one
+    // broadcast scalar; the explode is map-side.
+    "dsir_resample" -> ((s, d) => {
+      val w = dsirWeightsDf(s, d)
+      val mean = w.agg(expr("sum(weight) div count(1)").as("mw"))
+      val copies = w.crossJoin(broadcast(mean))
+        .select(col("doc_id"),
+          (lit(1L) + least(expr("weight div mw"), lit(3L))).as("copies"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(copies, "doc_id")
+        .select(col("lang"), col("copies"),
+          explode(sequence(lit(1L), col("copies"))).as("k"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("copies") > 1 && col("k") === 1, 1))
+            .as("n_upsampled"))
     }),
 
     // per-document near-dup NEIGHBOR list: for every document, its 2
@@ -2323,6 +2331,30 @@ object PipelineQueries {
        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
        |      UNION SELECT doc_b, doc_a FROM pairs)""".stripMargin
 
+  /** DSIR hashed-unigram importance weights (doc_id, weight) — shared
+    * by `dsir_weights` (the weights themselves) and `dsir_resample`
+    * (the upsampling materialization). See the dsir_weights query
+    * comment for the bucket-ratio law and scale shape.
+    */
+  private def dsirWeightsDf(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(words(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val bt = tok.select(col("doc_id"), col("lang"),
+      ((length(col("token")) * 31 + ascii(col("token"))) % 64)
+        .as("bucket"))
+    val corpus = bt.groupBy("bucket").agg(count(lit(1)).as("c"))
+    val target = bt.filter(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("t"))
+    val ratios = corpus.join(target, Seq("bucket"), "left")
+      .select(col("bucket"),
+        expr("((coalesce(t, 0L) + 1) * 1000000) div (c + 1)").as("r"))
+    bt.groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+      .join(broadcast(ratios), "bucket")
+      .groupBy("doc_id").agg(sum(col("n") * col("r")).as("weight"))
+  }
+
   /** One integer PageRank round as SQL: `cur` from `prev` over the
     * shared `e`/`deg`/`n` CTEs — mirrors
     * [[graft.operators.GraphOps.pageRankInt]] exactly (85/100
@@ -2337,6 +2369,33 @@ object PipelineQueries {
        |  LEFT JOIN $prev p ON p.id = e.a
        |  LEFT JOIN deg d ON d.a = e.a
        |  GROUP BY n.id)""".stripMargin
+
+  /** DuckDB replay of [[dsirWeightsDf]], ending in `dw(doc_id,
+    * weight)` — shared by the weights and resample oracles.
+    */
+  private val dsirSqlCte =
+    """tokdw AS (
+      |  SELECT doc_id, lang,
+      |  unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents),
+      |btdw AS (
+      |  SELECT doc_id, lang,
+      |  (length(token)*31 + ascii(token)) % 64 AS bucket
+      |  FROM tokdw WHERE length(token) > 0),
+      |corpusdw AS (SELECT bucket, COUNT(*) AS c
+      |             FROM btdw GROUP BY bucket),
+      |targetdw AS (SELECT bucket, COUNT(*) AS t FROM btdw
+      |             WHERE lang = 'en' GROUP BY bucket),
+      |ratiosdw AS (
+      |  SELECT corpusdw.bucket,
+      |  ((COALESCE(t, 0) + 1) * 1000000) // (c + 1) AS r
+      |  FROM corpusdw LEFT JOIN targetdw
+      |  ON corpusdw.bucket = targetdw.bucket),
+      |dbdw AS (SELECT doc_id, bucket, COUNT(*) AS n
+      |         FROM btdw GROUP BY doc_id, bucket),
+      |dw AS (SELECT dbdw.doc_id, CAST(SUM(n * r) AS BIGINT) AS weight
+      |       FROM dbdw JOIN ratiosdw ON dbdw.bucket = ratiosdw.bucket
+      |       GROUP BY dbdw.doc_id)""".stripMargin
 
   /** One label-propagation round as SQL: `cur` from `prev` over the
     * shared `e` CTE — mirrors
@@ -2697,26 +2756,26 @@ object PipelineQueries {
         |WHERE covered * 100 >= total * 95
         |ORDER BY vocab_size LIMIT 1""".stripMargin,
     "dsir_weights" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang,
-        |  unnest(string_split(lower(text), ' ')) AS token
-        |  FROM documents),
-        |bt AS (
-        |  SELECT doc_id, lang,
-        |  (length(token)*31 + ascii(token)) % 64 AS bucket
-        |  FROM tok WHERE length(token) > 0),
-        |corpus AS (SELECT bucket, COUNT(*) AS c FROM bt GROUP BY bucket),
-        |target AS (SELECT bucket, COUNT(*) AS t FROM bt
-        |           WHERE lang = 'en' GROUP BY bucket),
-        |ratios AS (
-        |  SELECT corpus.bucket,
-        |  ((COALESCE(t, 0) + 1) * 1000000) // (c + 1) AS r
-        |  FROM corpus LEFT JOIN target ON corpus.bucket = target.bucket),
-        |db AS (SELECT doc_id, bucket, COUNT(*) AS n
-        |       FROM bt GROUP BY doc_id, bucket)
-        |SELECT db.doc_id, CAST(SUM(n * r) AS BIGINT) AS weight
-        |FROM db JOIN ratios ON db.bucket = ratios.bucket
-        |GROUP BY db.doc_id""".stripMargin,
+      s"""WITH $dsirSqlCte
+         |SELECT doc_id, weight FROM dw""".stripMargin,
+    // integer copy counts (mean = integer div of the weight total;
+    // copies = 1 + least(weight // mean, 3)) explode via
+    // generate_series — the oracle materializes the same resampled
+    // rows and aggregates them identically
+    "dsir_resample" ->
+      s"""WITH $dsirSqlCte,
+         |mwq AS (SELECT CAST(SUM(weight) AS BIGINT)
+         |        // COUNT(*) AS mw FROM dw),
+         |cpq AS (SELECT doc_id,
+         |        CAST(1 + LEAST(weight // mw, 3) AS BIGINT) AS copies
+         |        FROM dw, mwq),
+         |exq AS (SELECT d.lang, cpq.copies,
+         |        unnest(generate_series(1, cpq.copies)) AS k
+         |        FROM cpq JOIN documents d ON d.doc_id = cpq.doc_id)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |CAST(COUNT(CASE WHEN copies > 1 AND k = 1 THEN 1 END) AS BIGINT)
+         |  AS n_upsampled
+         |FROM exq GROUP BY lang""".stripMargin,
     "neardup_topk" ->
       s"""WITH $sigSqlCte,
          |bands AS (
