@@ -273,6 +273,40 @@ object Multimodal {
       ((id * 13 + p * 7L) % 256).toInt))
   }
 
+  /** Difference hash (dHash) over a decoded raster: bit y*(w−1)+x is
+    * set iff gray(y,x) > gray(y,x+1), gray = r+g+b (an integer in
+    * [0,765] — no luma weights, no division, so the bits are exact).
+    * The standard perceptual fingerprint for image DEDUP: horizontal
+    * gradients survive re-encodes and small edits, and hash equality /
+    * low hamming distance is the candidate test. Production dHash
+    * downsamples to 9x8 first; these fixture rasters are already
+    * smaller than that, so the hash runs at native resolution
+    * (capacity-checked against the 64-bit budget).
+    */
+  def dHash(img: PpmImage): Long = {
+    val bits = (img.width - 1) * img.height
+    require(bits >= 1 && bits <= 63,
+      s"dHash needs a downsample first: ${img.width}x${img.height} " +
+        s"raster has $bits gradient bits (max 63)")
+    def gray(p: Int): Int =
+      (img.raster(3 * p) & 0xff) + (img.raster(3 * p + 1) & 0xff) +
+        (img.raster(3 * p + 2) & 0xff)
+    var hash = 0L
+    var b = 0
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width - 1) {
+        if (gray(y * img.width + x) > gray(y * img.width + x + 1))
+          hash |= 1L << b
+        b += 1
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
   /** One decoded PCM16 WAV: format plus the interleaved samples. */
   final case class WavAudio(sampleRate: Int, channels: Int,
       samples: Array[Short]) {

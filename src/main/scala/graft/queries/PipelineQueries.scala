@@ -812,6 +812,27 @@ object PipelineQueries {
           .select("media_id", "kind", "payload"))
     }),
 
+    // multimodal: perceptual image fingerprints (dHash) over the
+    // DECODED rasters — the image-dedup analogue of simhash: bit
+    // y*(w-1)+x records the horizontal gray gradient, so re-encoded /
+    // lightly-edited copies land at hamming distance ~0 and hash
+    // equality is the dedup candidate test. The engine parses the
+    // actual P6 bytes; the oracle recomputes every gradient bit from
+    // the fixture's analytic channel laws — exact integers end to
+    // end. Map-side only; at 100 TB the decode parallelism is the row
+    // partitioning and each image contributes one 64-bit hash.
+    "image_dhash" -> ((s, d) => {
+      val ppm = udf((id: Long) => graft.multimodal.Multimodal.ppmFixture(id))
+      val dh = udf((bytes: Array[Byte]) => {
+        val img = graft.multimodal.Multimodal.decodePpm(bytes)
+        (img.width, img.height, graft.multimodal.Multimodal.dHash(img))
+      })
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"), dh(ppm(col("doc_id"))).as("r"))
+        .select(col("media_id"), col("r._1").as("width"),
+          col("r._2").as("height"), col("r._3").as("dhash"))
+    }),
+
     // multimodal: zero-crossing segmentation over DECODED PCM — the
     // ZCR run structure a VAD-style segmenter starts from. The engine
     // parses the actual RIFF/WAVE bytes (decodeWav), then a
@@ -3214,6 +3235,32 @@ object PipelineQueries {
         |  CAST(sg AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(sb AS DOUBLE) / (w * h) AS mean_b
         |FROM fx""".stripMargin,
+    // analytic raster replay: channels follow (7id+3p)%256 /
+    // (11id+5p)%256 / (13id+7p)%256 at p = y*w+x (the ppmFixture
+    // law); each gradient bit contributes its exact power of two
+    "image_dhash" ->
+      """WITH im AS (
+        |  SELECT doc_id AS media_id,
+        |  4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ys AS (SELECT media_id, w, h,
+        |       unnest(generate_series(0, h - 1)) AS y FROM im),
+        |xs AS (SELECT media_id, w, h, y,
+        |       unnest(generate_series(0, w - 2)) AS x FROM ys),
+        |gb AS (SELECT media_id, w, h,
+        |  y * (w - 1) + x AS b,
+        |  (media_id*7 + (y*w+x)*3) % 256 + (media_id*11 + (y*w+x)*5) % 256
+        |    + (media_id*13 + (y*w+x)*7) % 256 AS g0,
+        |  (media_id*7 + (y*w+x+1)*3) % 256
+        |    + (media_id*11 + (y*w+x+1)*5) % 256
+        |    + (media_id*13 + (y*w+x+1)*7) % 256 AS g1
+        |  FROM xs)
+        |SELECT media_id, CAST(MIN(w) AS INTEGER) AS width,
+        |CAST(MIN(h) AS INTEGER) AS height,
+        |CAST(SUM(CASE WHEN g0 > g1
+        |  THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+        |  ELSE 0 END) AS BIGINT) AS dhash
+        |FROM gb GROUP BY media_id""".stripMargin,
     // analytic PCM replay (s(k) = (31 id + 17 k) % 4096 - 2048, the
     // wavFixture law) + windowed gaps-and-islands — a different
     // algorithm for the same exact sign-run integers the engine's
