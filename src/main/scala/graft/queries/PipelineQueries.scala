@@ -1630,7 +1630,9 @@ object PipelineQueries {
     // Scale shape: output tracks Σ copies ≤ 4n; the mean is one
     // broadcast scalar; the explode is map-side.
     "dsir_resample" -> ((s, d) => {
-      val w = dsirWeightsDf(s, d)
+      // three consumers (mean, copies, explode) read the weights —
+      // checkpoint so the token pipeline runs ONCE, not per consumer
+      val w = dsirWeightsDf(s, d).localCheckpoint(true)
       val mean = w.agg(expr("sum(weight) div count(1)").as("mw"))
       val copies = w.crossJoin(broadcast(mean))
         .select(col("doc_id"),

@@ -6,8 +6,8 @@ object ExplainNew {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("pagerank_neardup", "quantiles_by_lang",
-        "audio_zcr_segments")) {
+    for (q <- Seq("label_propagation", "dsir_resample", "image_dhash",
+        "pivot_grid_bfill")) {
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       val plan = df.queryExecution.executedPlan.toString
