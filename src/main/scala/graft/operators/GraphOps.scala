@@ -122,27 +122,6 @@ object GraphOps {
     labels
   }
 
-  /** Fixed-iteration PageRank in exact integer micro-units — graph
-    * centrality for dedup review ("which document anchors this
-    * near-dup neighbourhood") and link-ish corpus analytics.
-    *
-    * pr_0 = 10^6 per node; each round
-    * pr' = ((dden−num)·10^6 + num·Σ_in (pr div deg)) div den
-    * with num/den the damping rational (default 85/100). Every
-    * operation is on longs: contributions use integer `div`, the
-    * in-sum is a sum of longs (order-free — no floating-point
-    * summation-order hazard between engines), and damping is one
-    * multiply + one integer divide. The rank mass lost to `div`
-    * truncation is bounded by in-degree per node per round — the
-    * usual dangling/rounding slack, deterministic here.
-    *
-    * Scale shape: one shuffle per round (edge join + groupBy on dst),
-    * the classic power-iteration plan; `iters` is fixed (the gate
-    * unrolls the same rounds relationally), `localCheckpoint`
-    * truncates the loop lineage. Input edges are DIRECTED — pass both
-    * directions for an undirected graph. Returns (id, pr) for every
-    * node with an out-edge.
-    */
   /** Majority-vote label propagation: seeded nodes keep their label
     * forever; unlabeled nodes adopt, each round, the most common label
     * among their LABELED neighbours (ties break to the
@@ -191,6 +170,27 @@ object GraphOps {
     labels
   }
 
+  /** Fixed-iteration PageRank in exact integer micro-units — graph
+    * centrality for dedup review ("which document anchors this
+    * near-dup neighbourhood") and link-ish corpus analytics.
+    *
+    * pr_0 = 10^6 per node; each round
+    * pr' = ((dden−num)·10^6 + num·Σ_in (pr div deg)) div den
+    * with num/den the damping rational (default 85/100). Every
+    * operation is on longs: contributions use integer `div`, the
+    * in-sum is a sum of longs (order-free — no floating-point
+    * summation-order hazard between engines), and damping is one
+    * multiply + one integer divide. The rank mass lost to `div`
+    * truncation is bounded by in-degree per node per round — the
+    * usual dangling/rounding slack, deterministic here.
+    *
+    * Scale shape: one shuffle per round (edge join + groupBy on dst),
+    * the classic power-iteration plan; `iters` is fixed (the gate
+    * unrolls the same rounds relationally), `localCheckpoint`
+    * truncates the loop lineage. Input edges are DIRECTED — pass both
+    * directions for an undirected graph. Returns (id, pr) for every
+    * node with an out-edge.
+    */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")

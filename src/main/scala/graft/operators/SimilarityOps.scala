@@ -1092,7 +1092,7 @@ object SimilarityOps {
     * exact float32→double casts — order-free; s is one IEEE divide on
     * those; both engines evaluate the identical op chain.
     */
-  def sq8Train(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def sq8Train(vecs: DataFrame, vecCol: String): DataFrame = {
     val dv = transform(col(vecCol), x => x.cast("double"))
     vecs.select(posexplode(dv).as(Seq("pos", "x")))
       .groupBy("pos").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))

@@ -298,7 +298,7 @@ object PipelineQueries {
   private def stagedSq8Stats(s: SparkSession, d: String): DataFrame =
     staged(s, d, "sq8st") {
       graft.operators.SimilarityOps.sq8Train(
-        Tables.embeddings(s, d), "vec_id", "embedding")
+        Tables.embeddings(s, d), "embedding")
     }
 
   private def stagedSq8Codes(s: SparkSession, d: String): DataFrame =

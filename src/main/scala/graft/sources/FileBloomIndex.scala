@@ -22,28 +22,41 @@ import org.apache.spark.util.sketch.BloomFilter
   * Layout: `path/data/fbib=<b>/` parquet buckets (placement is the
   * CALLER's expression — typically ingest batch or content hash,
   * deliberately uncorrelated with the key) + `path/_blooms` sidecar
-  * (bucket, serialized filter), built in ONE aggregate pass with the
-  * mergeable [[BloomAgg]] (map-side partials, fixed-size state).
+  * (bucket, serialized filter), built with the mergeable [[BloomAgg]]
+  * (map-side partials, fixed-size state).
   *
   * The bloom law (no false negatives) makes pruning EXACT on the
   * miss side: a bucket the filter rejects provably lacks the key, so
   * lookup == full scan always (pinned in FileBloomIndexSpec along
   * with the pruning itself via `inputFiles`).
+  *
+  * Crash discipline (single-writer): [[write]] builds the sidecar
+  * from the data files READ BACK, so the blooms cover exactly what
+  * the files contain — even a non-deterministic layout expression
+  * cannot divorce them. [[append]] updates the sidecar BEFORE
+  * appending data: every crash window leaves either the old
+  * consistent pair or a sidecar that over-approximates (extra
+  * candidates are false POSITIVES — harmless; the batch rows simply
+  * are not in the index yet and the caller retries). The sidecar
+  * swap itself goes through `_blooms.next`/`_blooms.old` renames
+  * with roll-forward/roll-back healing on the read side — no window
+  * where the index is unreadable.
   */
 object FileBloomIndex {
 
   /** Write `df` bucketed by `layout` with a per-bucket bloom over
     * `keyCol` (rendered as string). `expectedPerBucket` sizes every
     * filter identically — a requirement of partial-merge
-    * compatibility, not a nicety.
+    * compatibility, not a nicety. The blooms are aggregated from the
+    * written files read back: bloom/data consistency by construction.
     */
   def write(df: DataFrame, keyCol: String, layout: org.apache.spark.sql.Column,
       path: String, expectedPerBucket: Long, fpp: Double = 0.01): Unit = {
-    val withB = df.withColumn("fbib", layout)
-    withB.repartition(col("fbib"))
+    df.withColumn("fbib", layout)
+      .repartition(col("fbib"))
       .write.partitionBy("fbib").mode("overwrite").parquet(s"$path/data")
-    withB
-      .groupBy(col("fbib").as("bucket"))
+    df.sparkSession.read.parquet(s"$path/data")
+      .groupBy(col("fbib").cast("int").as("bucket"))
       .agg(BloomAgg.bloom_agg(col(keyCol).cast("string"),
         expectedPerBucket, fpp).as("bloom"))
       // filter params ride in the sidecar so appends can build
@@ -54,29 +67,31 @@ object FileBloomIndex {
       .write.mode("overwrite").parquet(s"$path/_blooms")
   }
 
-  /** Incremental ingest: append `batch` into the existing bucket dirs
-    * (new part files only — untouched bucket files stay byte-identical,
-    * pinned in FileBloomIndexSpec) and MERGE the batch's blooms into
-    * the sidecar. Only the new batch is scanned; the merge is the
-    * bitwise OR of bit-compatible filters, so the merged sidecar is
-    * byte-identical to a one-shot rebuild over the union (bloom bits
-    * are a deterministic function of the item SET — union of bitsets
-    * == bitset of the union; also pinned). The sidecar itself is
+  /** Incremental ingest: MERGE the batch's blooms into the sidecar,
+    * then append the batch into the existing bucket dirs (new part
+    * files only — untouched bucket files stay byte-identical, pinned
+    * in FileBloomIndexSpec). Only the new batch is scanned; the merge
+    * is the bitwise OR of bit-compatible filters, so the merged
+    * sidecar is byte-identical to a one-shot rebuild over the union
+    * (bloom bits are a deterministic function of the item SET — also
+    * pinned). Sidecar-first ordering is the crash discipline: a crash
+    * before the data append leaves blooms that over-approximate
+    * (false positives only — the no-false-negative law cannot break).
+    * `layout` must be DETERMINISTIC here — it places the batch rows
+    * and keys the batch blooms in two separate jobs. The sidecar is
     * rewritten whole — one metadata-sized parquet; at extreme file
     * counts shard it by bucket range (the stats-sidecar v2 lesson).
     */
   def append(batch: DataFrame, keyCol: String,
       layout: org.apache.spark.sql.Column, path: String): Unit = {
     val spark = batch.sparkSession
-    val old = spark.read.parquet(s"$path/_blooms").collect()
+    val old = readSidecar(spark, path).collect()
     require(old.nonEmpty, s"no bloom sidecar at $path — write() first")
     val expected = old.head.getAs[Long]("expected_items")
     val fpp = old.head.getAs[Double]("fpp")
     val withB = batch.withColumn("fbib", layout)
-    withB.repartition(col("fbib"))
-      .write.partitionBy("fbib").mode("append").parquet(s"$path/data")
     val fresh = withB
-      .groupBy(col("fbib").as("bucket"))
+      .groupBy(col("fbib").cast("int").as("bucket"))
       .agg(BloomAgg.bloom_agg(col(keyCol).cast("string"),
         expected, fpp).as("bloom"))
       .collect().map(r =>
@@ -103,16 +118,47 @@ object FileBloomIndex {
       .withColumn("fpp", lit(fpp))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_blooms.next")
-    // swap via delete+rename — NOT atomic (a reader racing the swap
-    // can miss the sidecar); a concurrent-reader deployment would
-    // commit through GridIO.commitStaged's scheme-aware protocol
-    // instead. Single-writer ingest (this index's contract) is safe.
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    swapSidecar(spark, path)
+    // data LAST: see the crash-discipline note above
+    withB.repartition(col("fbib"))
+      .write.partitionBy("fbib").mode("append").parquet(s"$path/data")
+  }
+
+  private def fsFor(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** cur -> `_blooms.old`, `_blooms.next` -> cur, drop old. Each step
+    * is a metadata rename; [[healSidecar]] completes an interrupted
+    * swap from either side.
+    */
+  private def swapSidecar(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
     val cur = new org.apache.hadoop.fs.Path(s"$path/_blooms")
     val next = new org.apache.hadoop.fs.Path(s"$path/_blooms.next")
-    fs.delete(cur, true)
+    val oldP = new org.apache.hadoop.fs.Path(s"$path/_blooms.old")
+    if (fs.exists(oldP)) fs.delete(oldP, true) // stale residue
+    fs.rename(cur, oldP)
     fs.rename(next, cur)
+    fs.delete(oldP, true)
+  }
+
+  /** Roll an interrupted swap forward (a fully-written `.next` is
+    * always safe to adopt — it only over-approximates) or back.
+    */
+  private def healSidecar(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
+    val cur = new org.apache.hadoop.fs.Path(s"$path/_blooms")
+    if (fs.exists(cur)) return
+    val next = new org.apache.hadoop.fs.Path(s"$path/_blooms.next")
+    val oldP = new org.apache.hadoop.fs.Path(s"$path/_blooms.old")
+    if (fs.exists(next)) { fs.rename(next, cur); fs.delete(oldP, true) }
+    else if (fs.exists(oldP)) fs.rename(oldP, cur)
+  }
+
+  private def readSidecar(spark: SparkSession, path: String): DataFrame = {
+    healSidecar(spark, path)
+    spark.read.parquet(s"$path/_blooms")
   }
 
   /** Buckets whose bloom might contain `key` — a driver-side test over
@@ -121,7 +167,7 @@ object FileBloomIndex {
     */
   def candidateBuckets(spark: SparkSession, path: String,
       key: String): Seq[Int] =
-    spark.read.parquet(s"$path/_blooms").collect()
+    readSidecar(spark, path).collect()
       .filter { r =>
         BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
@@ -134,6 +180,8 @@ object FileBloomIndex {
     * of the result is the pin. An all-buckets-rejected key costs the
     * sidecar read alone (the empty frame is planned with a
     * contradiction filter, which prunes every file at planning).
+    * Both branches return the data schema WITHOUT the internal fbib
+    * partition column.
     */
   def lookup(spark: SparkSession, path: String, keyCol: String,
       key: String): DataFrame = {
@@ -142,7 +190,8 @@ object FileBloomIndex {
       if (cands.isEmpty)
         spark.read.parquet(s"$path/data").filter(lit(false))
       else
-        spark.read.parquet(cands.map(b => s"$path/data/fbib=$b"): _*)
-    base.filter(col(keyCol).cast("string") === key)
+        spark.read.option("basePath", s"$path/data")
+          .parquet(cands.map(b => s"$path/data/fbib=$b"): _*)
+    base.drop("fbib").filter(col(keyCol).cast("string") === key)
   }
 }

@@ -19,7 +19,7 @@ class Sq8Spec extends SparkTestBase {
   private def vecs = Tables.embeddings(spark, sf)
 
   private lazy val stats = SimilarityOps.sq8Train(
-    vecs, "vec_id", "embedding").cache()
+    vecs, "embedding").cache()
   private lazy val codes = SimilarityOps.sq8Encode(
     vecs, "vec_id", "embedding", stats).cache()
 

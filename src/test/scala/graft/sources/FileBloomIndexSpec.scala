@@ -101,6 +101,40 @@ class FileBloomIndexSpec extends SparkTestBase {
     }
   }
 
+  test("both lookup branches return the data schema (no fbib, hit or miss)") {
+    val hit = FileBloomIndex.lookup(spark, idx, "doc_id", "7")
+    val miss = FileBloomIndex.lookup(spark, idx, "doc_id", "-1")
+    assert(hit.columns.toSeq == miss.columns.toSeq,
+      s"branch schemas differ: ${hit.columns.toSeq} vs ${miss.columns.toSeq}")
+    assert(!hit.columns.contains("fbib"),
+      "the internal partition column must not leak")
+  }
+
+  test("an interrupted sidecar swap heals from either side") {
+    val base = graft.queries.QueryTmp.dir("fbloomheal")
+    val docs = Tables.documents(spark, sf)
+    val layout = pmod(hash(col("text")), lit(16))
+    val p = s"$base/idx"
+    FileBloomIndex.write(docs, "doc_id", layout, p, 64L)
+    val want = FileBloomIndex.candidateBuckets(spark, p, "7")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    // crash between "cur -> old" and "next -> cur": only .old exists
+    fs.rename(hp(s"$p/_blooms"), hp(s"$p/_blooms.old"))
+    assert(FileBloomIndex.candidateBuckets(spark, p, "7") == want,
+      "roll-back from _blooms.old must restore the sidecar")
+    // crash after writing .next but before any rename: cur AND next —
+    // the read side keeps serving cur (heal is a no-op)
+    fs.mkdirs(hp(s"$p/_blooms.next"))
+    assert(FileBloomIndex.candidateBuckets(spark, p, "7") == want)
+    fs.delete(hp(s"$p/_blooms.next"), true)
+    // crash between the two renames with next fully written: adopt it
+    fs.rename(hp(s"$p/_blooms"), hp(s"$p/_blooms.next"))
+    assert(FileBloomIndex.candidateBuckets(spark, p, "7") == want,
+      "roll-forward from _blooms.next must adopt the new sidecar")
+  }
+
   test("pruning: candidates are a strict subset and inputFiles stay inside") {
     val cands = FileBloomIndex.candidateBuckets(spark, idx, "7")
     assert(cands.nonEmpty && cands.size < 16,
