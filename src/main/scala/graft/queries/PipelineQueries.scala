@@ -1514,6 +1514,54 @@ object PipelineQueries {
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
+    // full bloom-index LIFECYCLE gate: build on the first half,
+    // append the rest, COMPACT the fragmented bucket dirs (dynamic
+    // partition overwrite, content preserved row-for-row, sidecar
+    // untouched — FileBloomIndexSpec pins files-per-bucket and the
+    // byte-identical sidecar), then point-look-up — the answer must
+    // equal the plain point filter, which the shared oracle checks.
+    "bloom_lookup_compacted" -> ((s, d) => {
+      val idx = stagedPath(s, d, "fbloomcmp") { p =>
+        val docs = Tables.documents(s, d)
+        val layout = pmod(hash(col("text")), lit(16))
+        graft.sources.FileBloomIndex.write(
+          docs.filter(col("doc_id") < 250), "doc_id", layout, p,
+          math.max(docs.count() / 16, 64L))
+        graft.sources.FileBloomIndex.append(
+          docs.filter(col("doc_id") >= 250), "doc_id", layout, p)
+        graft.sources.FileBloomIndex.compact(s, p)
+      }
+      graft.sources.FileBloomIndex.lookup(s, idx, "doc_id", "300")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    // Deequ-style data-quality constraint checks in ONE corpus pass:
+    // completeness (non-null), key uniqueness, value bounds, and a
+    // domain constraint, each emitted as (check, passed_rows, total,
+    // passed). The validation layer a production ingest runs before
+    // promoting a batch; all counts are exact longs. Scale shape: one
+    // aggregate job (countDistinct adds its expand), then a 4-element
+    // literal explode of the single metrics row.
+    "quality_checks" -> ((s, d) => {
+      val m = Tables.documents(s, d).agg(
+        count(lit(1)).as("n"),
+        count(col("text")).as("text_nonnull"),
+        countDistinct(col("doc_id")).as("id_distinct"),
+        count(when(col("n_chars").between(1, 10000), 1))
+          .as("chars_in_bounds"),
+        count(when(col("lang").isin("de", "en", "es", "fr", "zh"), 1))
+          .as("lang_in_set"))
+      def check(name: String, passedRows: org.apache.spark.sql.Column) =
+        struct(lit(name).as("check"), passedRows.as("passed_rows"),
+          col("n").as("total"), (passedRows === col("n")).as("passed"))
+      m.select(explode(array(
+          check("completeness_text", col("text_nonnull")),
+          check("uniqueness_doc_id", col("id_distinct")),
+          check("bounds_n_chars_1_10000", col("chars_in_bounds")),
+          check("domain_lang", col("lang_in_set")))).as("c"))
+        .select("c.*")
+    }),
+
     // cluster -> kept representative: the step between "found near-dup
     // clusters" and "emitted one doc per cluster" — keep the highest-
     // quality member (ties to the lowest doc_id) via a partial-agg
@@ -3037,6 +3085,30 @@ object PipelineQueries {
     "bloom_lookup_incremental" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE doc_id = 300""".stripMargin,
+    // compaction changes the physical layout, not the answer
+    "bloom_lookup_compacted" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE doc_id = 300""".stripMargin,
+    // each check replayed as an independent aggregate; UNION ALL of
+    // the four constraint rows
+    "quality_checks" ->
+      """WITH m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(text) AS BIGINT) AS text_nonnull,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS id_distinct,
+        |  CAST(COUNT(CASE WHEN n_chars BETWEEN 1 AND 10000 THEN 1 END)
+        |    AS BIGINT) AS chars_in_bounds,
+        |  CAST(COUNT(CASE WHEN lang IN ('de','en','es','fr','zh')
+        |    THEN 1 END) AS BIGINT) AS lang_in_set
+        |  FROM documents)
+        |SELECT 'completeness_text' AS check, text_nonnull AS passed_rows,
+        |  n AS total, text_nonnull = n AS passed FROM m
+        |UNION ALL SELECT 'uniqueness_doc_id', id_distinct, n,
+        |  id_distinct = n FROM m
+        |UNION ALL SELECT 'bounds_n_chars_1_10000', chars_in_bounds, n,
+        |  chars_in_bounds = n FROM m
+        |UNION ALL SELECT 'domain_lang', lang_in_set, n,
+        |  lang_in_set = n FROM m""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $clustersSqlCte,
          |q AS (SELECT doc_id, $qualitySql AS quality FROM documents)

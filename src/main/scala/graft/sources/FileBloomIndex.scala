@@ -124,6 +124,37 @@ object FileBloomIndex {
       .write.partitionBy("fbib").mode("append").parquet(s"$path/data")
   }
 
+  /** Compact the small-file debt appends accrue: rewrite ONLY buckets
+    * holding more than `maxFilesPerBucket` part files (localCheckpoint
+    * materializes them first — Spark rightly refuses to overwrite a
+    * path it is still reading — then dynamic partition overwrite
+    * replaces just the rewritten buckets). Content is preserved
+    * row-for-row; untouched buckets and the sidecar stay byte-
+    * identical (bloom bits are a function of the item set, which
+    * compaction does not change) — all pinned in FileBloomIndexSpec.
+    */
+  def compact(spark: SparkSession, path: String,
+      maxFilesPerBucket: Int = 1): Unit = {
+    require(maxFilesPerBucket >= 1, s"maxFilesPerBucket=$maxFilesPerBucket")
+    val fs = fsFor(spark, path)
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
+    def parquetCount(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    val fat = fs.listStatus(dataRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("fbib="))
+      .filter(s => parquetCount(s.getPath) > maxFilesPerBucket)
+      .map(_.getPath.getName.stripPrefix("fbib=").toInt)
+    if (fat.nonEmpty) {
+      spark.read.parquet(s"$path/data")
+        .filter(col("fbib").isin(fat: _*)) // partition-pruned read
+        .localCheckpoint()
+        .repartition(fat.length, col("fbib")) // ~one file per bucket
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("fbib").parquet(s"$path/data")
+    }
+  }
+
   private def fsFor(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)

@@ -135,6 +135,37 @@ class FileBloomIndexSpec extends SparkTestBase {
       "roll-forward from _blooms.next must adopt the new sidecar")
   }
 
+  test("compact: one file per fat bucket, same answers, sidecar untouched") {
+    val base = graft.queries.QueryTmp.dir("fbloomcmp")
+    val docs = Tables.documents(spark, sf)
+    val layout = pmod(hash(col("text")), lit(16))
+    val p = s"$base/idx"
+    FileBloomIndex.write(docs.filter(col("doc_id") < 250),
+      "doc_id", layout, p, 64L)
+    FileBloomIndex.append(docs.filter(col("doc_id") >= 250),
+      "doc_id", layout, p)
+    val sidecarBefore = fileHashes(new java.io.File(s"$p/_blooms"))
+    val before = FileBloomIndex.lookup(spark, p, "doc_id", "300")
+      .collect().map(_.toSeq).toSeq
+    def filesPerBucket: Map[String, Int] = {
+      val root = new java.io.File(s"$p/data")
+      root.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("fbib=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    assert(filesPerBucket.values.max > 1,
+      "the append must have fragmented at least one bucket")
+    FileBloomIndex.compact(spark, p)
+    assert(filesPerBucket.values.max == 1,
+      s"compaction must leave one file per bucket: $filesPerBucket")
+    val after = FileBloomIndex.lookup(spark, p, "doc_id", "300")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction must not change lookup answers")
+    assert(fileHashes(new java.io.File(s"$p/_blooms")) == sidecarBefore,
+      "compaction must leave the sidecar byte-identical")
+  }
+
   test("pruning: candidates are a strict subset and inputFiles stay inside") {
     val cands = FileBloomIndex.candidateBuckets(spark, idx, "7")
     assert(cands.nonEmpty && cands.size < 16,
