@@ -206,6 +206,31 @@ object FileBloomIndex {
       }
       .map(_.getAs[Int]("bucket")).sorted.toSeq
 
+  /** Which of `keys` already exist in the index — the batch-bounded
+    * membership test streaming ingest dedups with: ONE sidecar read
+    * tests every key against every bucket's bloom, then ONE
+    * partition-pruned read over the union of candidate buckets,
+    * filtered to the keys. Cost is sidecar bytes + candidate-bucket
+    * bytes, never the index.
+    */
+  def existingKeys(spark: SparkSession, path: String, keyCol: String,
+      keys: Seq[String]): Set[String] = {
+    if (keys.isEmpty) return Set.empty
+    val filters = readSidecar(spark, path).collect().map { r =>
+      r.getAs[Int]("bucket") -> BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+    }
+    val cands = filters
+      .filter { case (_, f) => keys.exists(f.mightContainString) }
+      .map(_._1).sorted
+    if (cands.isEmpty) Set.empty
+    else spark.read.option("basePath", s"$path/data")
+      .parquet(cands.map(b => s"$path/data/fbib=$b"): _*)
+      .select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isin(keys: _*))
+      .distinct().collect().map(_.getString(0)).toSet
+  }
+
   /** Exact point lookup: sidecar-pruned bucket dirs + the exact
     * residual filter. Reads ONLY candidate buckets — `df.inputFiles`
     * of the result is the pin. An all-buckets-rejected key costs the
