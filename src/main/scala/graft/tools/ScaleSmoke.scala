@@ -138,7 +138,10 @@ object ScaleSmoke {
       // corpus); quantiles is one histogram aggregate; audio is a
       // zero-shuffle per-row fold
       "pagerank_neardup", "label_propagation", "quantiles_by_lang",
-      "audio_zcr_segments")
+      "audio_zcr_segments",
+      // lifecycle gate (build+append+compact+lookup, cold via
+      // buildGated) and the one-pass constraint validation
+      "bloom_lookup_compacted", "quality_checks")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>
@@ -156,7 +159,8 @@ object ScaleSmoke {
     // (index ingest write; Lloyd training), so both timed numbers
     // include it and the ratio measures that build's scaling.
     val buildGated = Set("ann_ivf_incremental", "kmeans_embed",
-      "ann_ivf_deleted", "ann_ivf_purged", "bloom_lookup_incremental")
+      "ann_ivf_deleted", "ann_ivf_purged", "bloom_lookup_incremental",
+      "bloom_lookup_compacted")
     for (n <- heavy if !buildGated(n); d <- Seq(base, sf1Dir))
       graft.SparkEntry.queries(n)(spark, d).count()
     // build-gated queries stay cold by design (their gate IS the
