@@ -29,7 +29,14 @@ class ConcurrentEvalSpec extends SparkTestBase {
     // table, the PQ codebook+codes pair (whose first build NESTS a
     // second staged build — reentrant on the stage-registry monitor),
     // and the composed IVF-PQ consumer of both kmeans and PQ stages
-    "zorder_prune", "embed_pq", "ann_ivfpq")) {
+    "zorder_prune", "embed_pq", "ann_ivfpq",
+    // round-12 fourth continuation staged fixtures: the bloom index
+    // (point build; the incremental and compacted variants NEST a
+    // write+append(+compact) sequence in one staged build) and the
+    // SQ8 probe (whose codes stage nests the quantizer stage —
+    // reentrant on the stage-registry monitor)
+    "bloom_point_lookup", "bloom_lookup_incremental",
+    "bloom_lookup_compacted", "ann_sq8")) {
     test(s"$q: two concurrent evaluations do not race their scratch store") {
       val runs = (1 to 2).map(_ => Future {
         SparkEntry.queries(q)(spark, sf).collect().length
