@@ -434,6 +434,25 @@ object RelationalQueries {
           .select(lit("except_all").as("tag"), col("nationkey"), col("n")))
     }),
 
+    // semi-structured surface: JSON path extraction over an embedded
+    // JSON column (documents carry none, so the doc metadata is
+    // serialized to JSON first — the round trip IS the test: build,
+    // extract by path, type back). Both engines parse the identical
+    // string, so the gate is engine-neutral; numeric fields re-cast
+    // to BIGINT to avoid JSON number-representation skew.
+    "json_extract" -> ((s, d) => {
+      val js = concat(lit("{\"lang\":\""), col("lang"),
+        lit("\",\"source\":\""), col("source"),
+        lit("\",\"n\":"), col("n_chars"), lit("}"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), js.as("js"))
+        .select(col("doc_id"),
+          get_json_object(col("js"), "$.lang").as("lang"),
+          get_json_object(col("js"), "$.source").as("source"),
+          get_json_object(col("js"), "$.n").cast("long").as("n_chars"))
+        .filter(col("lang") === "en")
+    }),
+
     // ordered string aggregation (Spark 4's LISTAGG ... WITHIN GROUP):
     // per region, the ordered comma-joined nation list. The WITHIN
     // GROUP ordering on a UNIQUE key makes the concatenation
@@ -794,6 +813,18 @@ object RelationalQueries {
         |SELECT 'except_all' AS tag, nationkey, CAST(COUNT(*) AS BIGINT) AS n
         |FROM (SELECT nationkey FROM cn
         |      EXCEPT ALL SELECT nationkey FROM sn) GROUP BY nationkey""".stripMargin,
+    // the same JSON string built and path-extracted on both engines
+    "json_extract" ->
+      """WITH j AS (
+        |  SELECT doc_id,
+        |  '{"lang":"' || lang || '","source":"' || source ||
+        |    '","n":' || n_chars || '}' AS js
+        |  FROM documents)
+        |SELECT doc_id,
+        |json_extract_string(js, '$.lang') AS lang,
+        |json_extract_string(js, '$.source') AS source,
+        |CAST(json_extract_string(js, '$.n') AS BIGINT) AS n_chars
+        |FROM j WHERE json_extract_string(js, '$.lang') = 'en'""".stripMargin,
     // the WITHIN GROUP ordering on the unique name makes the
     // concatenation engine-independent
     "string_agg_group" ->
