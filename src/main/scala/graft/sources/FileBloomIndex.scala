@@ -223,12 +223,19 @@ object FileBloomIndex {
     val cands = filters
       .filter { case (_, f) => keys.exists(f.mightContainString) }
       .map(_._1).sorted
-    if (cands.isEmpty) Set.empty
-    else spark.read.option("basePath", s"$path/data")
+    if (cands.isEmpty) return Set.empty
+    val pruned = spark.read.option("basePath", s"$path/data")
       .parquet(cands.map(b => s"$path/data/fbib=$b"): _*)
       .select(col(keyCol).cast("string").as("k"))
-      .filter(col("k").isin(keys: _*))
-      .distinct().collect().map(_.getString(0)).toSet
+    // a literal isin stays planner-friendly for micro-batch key
+    // counts; a bulk backfill joins instead of exploding the plan
+    val matched =
+      if (keys.size <= 1000) pruned.filter(col("k").isin(keys: _*))
+      else {
+        import spark.implicits._
+        pruned.join(broadcast(keys.toDF("k")), "k")
+      }
+    matched.distinct().collect().map(_.getString(0)).toSet
   }
 
   /** Exact point lookup: sidecar-pruned bucket dirs + the exact

@@ -135,6 +135,55 @@ class FileBloomIndexSpec extends SparkTestBase {
       "roll-forward from _blooms.next must adopt the new sidecar")
   }
 
+  test("append introducing a brand-new bucket is searchable and merge == rebuild") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val base = graft.queries.QueryTmp.dir("fbloomnewb")
+    val p = s"$base/idx"
+    def rows(r: Range, b: Int) =
+      r.map(i => (i.toLong, b)).toDF("id", "b")
+    // buckets 0/1 at write time; the append lands entirely in a NEW
+    // bucket 2 absent from the original sidecar
+    FileBloomIndex.write(rows(0 until 8, 0).union(rows(8 until 16, 1)),
+      "id", col("b"), p, 64L)
+    FileBloomIndex.append(rows(16 until 24, 2), "id", col("b"), p)
+    val hit = FileBloomIndex.lookup(spark, p, "id", "20")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(hit == Seq(20L), s"new-bucket key must be found, got $hit")
+    // merge == rebuild across the new-bucket path too
+    val full = s"$base/full"
+    FileBloomIndex.write(
+      rows(0 until 8, 0).union(rows(8 until 16, 1))
+        .union(rows(16 until 24, 2)), "id", col("b"), full, 64L)
+    def blooms(d: String) = spark.read.parquet(s"$d/_blooms")
+      .collect().map(r => r.getAs[Int]("bucket") ->
+        r.getAs[Array[Byte]]("bloom").toSeq).toMap
+    assert(blooms(p) == blooms(full))
+  }
+
+  test("heal with BOTH residues rolls forward and clears the old copy") {
+    val base = graft.queries.QueryTmp.dir("fbloomboth")
+    val p = s"$base/idx"
+    FileBloomIndex.write(Tables.documents(spark, sf), "doc_id",
+      pmod(hash(col("text")), lit(16)), p, 64L)
+    val want = FileBloomIndex.candidateBuckets(spark, p, "7")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    // crash after cur -> old with next fully written: both residues,
+    // no cur — the forward roll must win and drop the old copy
+    fs.rename(hp(s"$p/_blooms"), hp(s"$p/_blooms.old"))
+    fs.mkdirs(hp(s"$p/_blooms.next"))
+    fs.rename(hp(s"$p/_blooms.old"), hp(s"$p/_blooms.next2")) // stash real content
+    fs.delete(hp(s"$p/_blooms.next"), true)
+    fs.rename(hp(s"$p/_blooms.next2"), hp(s"$p/_blooms.next"))
+    fs.mkdirs(hp(s"$p/_blooms.old")) // a stale (empty) old copy
+    assert(FileBloomIndex.candidateBuckets(spark, p, "7") == want,
+      "forward roll must adopt _blooms.next when both residues exist")
+    assert(!fs.exists(hp(s"$p/_blooms.old")),
+      "the forward roll must clear the stale old copy")
+  }
+
   test("compact: one file per fat bucket, same answers, sidecar untouched") {
     val base = graft.queries.QueryTmp.dir("fbloomcmp")
     val docs = Tables.documents(spark, sf)
