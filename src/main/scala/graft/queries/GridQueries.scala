@@ -50,6 +50,12 @@ object GridQueries {
         .agg(max_by(col("t"), col("air")).cast("long").as("t_peak"),
           max(col("air")).as("peak_air"))),
 
+    // xarray idxmin(dim="t") — the argmax pair's other half
+    "pivot_grid_idxmin" -> ((s, _) =>
+      grid(s).groupBy("lat", "lon")
+        .agg(min_by(col("t"), col("air")).cast("long").as("t_low"),
+          min(col("air")).as("low_air"))),
+
     // filter exercising zone-map pruning (t chunks of 6: keeps 2 of 4
     // partitions) + projection pushdown (only `air` is read)
     "pivot_grid_filter" -> ((s, _) =>
@@ -1443,6 +1449,11 @@ object GridQueries {
       s"""WITH $oracleGrid
          |SELECT lat, lon, CAST(arg_max(t, air) AS BIGINT) AS t_peak,
          |MAX(air) AS peak_air
+         |FROM grid GROUP BY lat, lon""".stripMargin,
+    "pivot_grid_idxmin" ->
+      s"""WITH $oracleGrid
+         |SELECT lat, lon, CAST(arg_min(t, air) AS BIGINT) AS t_low,
+         |MIN(air) AS low_air
          |FROM grid GROUP BY lat, lon""".stripMargin,
     "pivot_grid_append" ->
       s"""WITH $oracleGrid
