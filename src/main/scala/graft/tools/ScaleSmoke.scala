@@ -141,7 +141,11 @@ object ScaleSmoke {
       "audio_zcr_segments",
       // lifecycle gate (build+append+compact+lookup, cold via
       // buildGated) and the one-pass constraint validation
-      "bloom_lookup_compacted", "quality_checks")
+      "bloom_lookup_compacted", "quality_checks",
+      // the session's remaining corpus-shaped additions: resample
+      // explode (output <= 4n), per-image decode+hash (map-side), and
+      // JSON path extraction (one scan)
+      "dsir_resample", "image_dhash", "json_extract")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>
