@@ -148,7 +148,11 @@ object GraphOps {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("id")).distinct()
+    // BOTH endpoints: a dst-only node of a non-symmetrized edge list
+    // is still "incident to an edge" (the scaladoc contract) and can
+    // receive votes — src-only would silently drop it
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
     var labels = nodes.join(
         seeds.select(col(idCol).as("id"), col(labelCol).as("label")),
         Seq("id"), "left")

@@ -64,6 +64,12 @@ object ZOrder {
     val r = df.agg(
       min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    // empty input (or all-null keys) leaves null aggregates — fail
+    // loudly here instead of an opaque NPE from getDouble below, and
+    // before any partial write lands at `path`
+    require((0 to 3).forall(!r.isNullAt(_)),
+      s"writeZOrdered: no non-null ($c1, $c2) bounds — empty input or " +
+        "all-null keys; nothing written")
     val z = morton16(
       norm16(col(c1), r.getDouble(0), r.getDouble(1)),
       norm16(col(c2), r.getDouble(2), r.getDouble(3)))

@@ -1548,6 +1548,29 @@ object PipelineQueries {
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
+    // BULK membership against the bloom index — the backfill shape
+    // (round-13 close of the existingKeys driver-loop edge): a probe
+    // set of every-7th doc_id plus as many ABSENT ids tests
+    // EXECUTOR-side against the broadcast (memoized) sidecar filters;
+    // the confirm read is pruned to the union of candidate buckets
+    // and weeds the bloom's false positives, so the answer is exactly
+    // the present keys — which is what the oracle replays as a plain
+    // semi-filter. No driver key loop anywhere: 10⁵ backfill keys
+    // cost one broadcast + one pruned join, not 10⁵ × buckets driver
+    // bloom tests.
+    "bloom_bulk_membership" -> ((s, d) => {
+      val idx = stagedBloomIndex(s, d)
+      val probes = Tables.documents(s, d)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").cast("string").as("k"))
+        .unionAll(Tables.documents(s, d)
+          .filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).cast("string").as("k")))
+      graft.sources.FileBloomIndex
+        .existingKeysDf(s, idx, "doc_id", probes, "k")
+        .orderBy(col("k"))
+    }),
+
     // Deequ-style data-quality constraint checks in ONE corpus pass:
     // completeness (non-null), key uniqueness, value bounds, and a
     // domain constraint, each emitted as (check, passed_rows, total,
@@ -3102,6 +3125,13 @@ object PipelineQueries {
     "bloom_lookup_compacted" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE doc_id = 300""".stripMargin,
+    // bloom screen + exact confirm == plain membership: absent probes
+    // (the +1000000 ids) drop either at the bloom or at the confirm
+    // join, present probes survive both (no false negatives)
+    "bloom_bulk_membership" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS k
+        |FROM documents WHERE doc_id % 7 = 0
+        |ORDER BY k""".stripMargin,
     // each check replayed as an independent aggregate; UNION ALL of
     // the four constraint rows
     "quality_checks" ->

@@ -5,6 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
+import scala.collection.concurrent.TrieMap
+
 /** File-level bloom index: per-bucket bloom filters over a
   * high-cardinality key column, for point lookups on a key the
   * physical LAYOUT is not organized by.
@@ -21,9 +23,27 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Layout: `path/data/fbib=<b>/` parquet buckets (placement is the
   * CALLER's expression — typically ingest batch or content hash,
-  * deliberately uncorrelated with the key) + `path/_blooms` sidecar
-  * (bucket, serialized filter), built with the mergeable [[BloomAgg]]
-  * (map-side partials, fixed-size state).
+  * deliberately uncorrelated with the key) + a SHARDED sidecar
+  * `path/_blooms.d/<lo>-<hi>/` — one parquet dir per contiguous
+  * bucket range, rows (bucket, bloom, expected_items, fpp), built
+  * with the mergeable [[BloomAgg]] (map-side partials, fixed-size
+  * state).
+  *
+  * Why sharded (the stats-sidecar v3 lesson, round 13): a
+  * single-file sidecar makes every APPEND an O(all buckets) rewrite
+  * — at 10⁵ buckets × KB-scale filters that is GBs of sidecar IO
+  * for an O(batch) ingest. Range shards bound the append to the
+  * shards its batch touches; untouched shards are never read or
+  * rewritten (byte-identical across appends, pinned in
+  * FileBloomIndexSpec). The legacy single `path/_blooms` format (v1)
+  * stays readable; the first append to a v1 index reshards it —
+  * a one-time rewrite costing exactly what every v1 append already
+  * cost.
+  *
+  * Read paths deserialize each shard once per JVM: a
+  * fingerprint-guarded memo (file names + mtimes + lengths from one
+  * listStatus — metadata only, zero data bytes) serves repeated
+  * lookups, and an append invalidates exactly the shards it swapped.
   *
   * The bloom law (no false negatives) makes pruning EXACT on the
   * miss side: a bucket the filter rejects provably lacks the key, so
@@ -35,14 +55,24 @@ import org.apache.spark.util.sketch.BloomFilter
   * the files contain — even a non-deterministic layout expression
   * cannot divorce them. [[append]] updates the sidecar BEFORE
   * appending data: every crash window leaves either the old
-  * consistent pair or a sidecar that over-approximates (extra
+  * consistent shards or shards that over-approximate (extra
   * candidates are false POSITIVES — harmless; the batch rows simply
-  * are not in the index yet and the caller retries). The sidecar
-  * swap itself goes through `_blooms.next`/`_blooms.old` renames
+  * are not in the index yet and the caller retries; partial
+  * multi-shard application is safe for the same reason, since each
+  * shard's merge is independently a superset of its current state).
+  * Each shard swap goes through `<name>.next`/`<name>.old` renames
   * with roll-forward/roll-back healing on the read side — no window
   * where the index is unreadable.
   */
 object FileBloomIndex {
+
+  /** Buckets per sidecar shard. Appends derive the live value from
+    * the existing shard names, so it only matters at [[write]] time:
+    * pick it so (typical batch's touched buckets) ≪ (total buckets /
+    * bucketsPerShard) × bucketsPerShard — i.e. a daily batch touches
+    * a few shards of many.
+    */
+  val DefaultBucketsPerShard = 8
 
   /** Write `df` bucketed by `layout` with a per-bucket bloom over
     * `keyCol` (rendered as string). `expectedPerBucket` sizes every
@@ -51,11 +81,13 @@ object FileBloomIndex {
     * written files read back: bloom/data consistency by construction.
     */
   def write(df: DataFrame, keyCol: String, layout: org.apache.spark.sql.Column,
-      path: String, expectedPerBucket: Long, fpp: Double = 0.01): Unit = {
+      path: String, expectedPerBucket: Long, fpp: Double = 0.01,
+      bucketsPerShard: Int = DefaultBucketsPerShard): Unit = {
+    require(bucketsPerShard >= 1, s"bucketsPerShard=$bucketsPerShard")
     df.withColumn("fbib", layout)
       .repartition(col("fbib"))
       .write.partitionBy("fbib").mode("overwrite").parquet(s"$path/data")
-    df.sparkSession.read.parquet(s"$path/data")
+    val blooms = df.sparkSession.read.parquet(s"$path/data")
       .groupBy(col("fbib").cast("int").as("bucket"))
       .agg(BloomAgg.bloom_agg(col(keyCol).cast("string"),
         expectedPerBucket, fpp).as("bloom"))
@@ -63,62 +95,99 @@ object FileBloomIndex {
       // bit-compatible batch filters without out-of-band knowledge
       .withColumn("expected_items", lit(expectedPerBucket))
       .withColumn("fpp", lit(fpp))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_blooms")
+    val fs = fsFor(df.sparkSession, path)
+    val staged = stageShards(blooms, path, bucketsPerShard)
+    // fresh build: clear any previous sidecar (either format), then
+    // adopt the staged shards wholesale
+    val root = shardRoot(path)
+    fs.delete(root, true)
+    Seq("_blooms", "_blooms.next", "_blooms.old")
+      .foreach(n => fs.delete(hp(s"$path/$n"), true))
+    require(fs.mkdirs(root), s"cannot create $root")
+    staged.foreach { case (lo, tmpDir) =>
+      checkedRename(fs, tmpDir, shardPath(path, lo, bucketsPerShard))
+    }
+    fs.delete(hp(tmpRoot(path)), true)
   }
 
-  /** Incremental ingest: MERGE the batch's blooms into the sidecar,
-    * then append the batch into the existing bucket dirs (new part
-    * files only — untouched bucket files stay byte-identical, pinned
-    * in FileBloomIndexSpec). Only the new batch is scanned; the merge
-    * is the bitwise OR of bit-compatible filters, so the merged
-    * sidecar is byte-identical to a one-shot rebuild over the union
-    * (bloom bits are a deterministic function of the item SET — also
-    * pinned). Sidecar-first ordering is the crash discipline: a crash
-    * before the data append leaves blooms that over-approximate
-    * (false positives only — the no-false-negative law cannot break).
-    * `layout` must be DETERMINISTIC here — it places the batch rows
-    * and keys the batch blooms in two separate jobs. The sidecar is
-    * rewritten whole — one metadata-sized parquet; at extreme file
-    * counts shard it by bucket range (the stats-sidecar v2 lesson).
+  /** Incremental ingest: MERGE the batch's blooms into the sidecar
+    * shards its buckets land in, then append the batch into the
+    * existing bucket dirs (new part files only — untouched bucket
+    * files AND untouched sidecar shards stay byte-identical, both
+    * pinned in FileBloomIndexSpec). Only the new batch is scanned
+    * plus the touched shards' current rows; the merge is the bitwise
+    * OR of bit-compatible filters, so each merged shard carries the
+    * blooms a one-shot rebuild over the union would (bloom bits are a
+    * deterministic function of the item SET — also pinned).
+    * Shard-first ordering is the crash discipline: a crash anywhere
+    * before the data append leaves every shard either old-consistent
+    * or merged (over-approximating — false positives only; the
+    * no-false-negative law cannot break), and the replayed batch
+    * re-merges idempotently. `layout` must be DETERMINISTIC here — it
+    * places the batch rows and keys the batch blooms in two separate
+    * jobs.
     */
   def append(batch: DataFrame, keyCol: String,
       layout: org.apache.spark.sql.Column, path: String): Unit = {
     val spark = batch.sparkSession
-    val old = readSidecar(spark, path).collect()
-    require(old.nonEmpty, s"no bloom sidecar at $path — write() first")
-    val expected = old.head.getAs[Long]("expected_items")
-    val fpp = old.head.getAs[Double]("fpp")
+    upgradeV1(spark, path)
+    val fs = fsFor(spark, path)
+    val shards = listShards(fs, path)
+    require(shards.nonEmpty, s"no bloom sidecar at $path — write() first")
+    val bps = shards.head._2
+    val params = spark.read.parquet(shards.head._3.toString)
+      .select("expected_items", "fpp").head()
+    val expected = params.getLong(0)
+    val fppV = params.getDouble(1)
     val withB = batch.withColumn("fbib", layout)
     val fresh = withB
       .groupBy(col("fbib").cast("int").as("bucket"))
       .agg(BloomAgg.bloom_agg(col(keyCol).cast("string"),
-        expected, fpp).as("bloom"))
+        expected, fppV).as("bloom"))
       .collect().map(r =>
         r.getAs[Int]("bucket") -> r.getAs[Array[Byte]]("bloom")).toMap
-    val merged = old.map { r =>
-      val b = r.getAs[Int]("bucket")
-      val bytes = fresh.get(b) match {
-        case None => r.getAs[Array[Byte]]("bloom")
-        case Some(nb) =>
-          val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
-            r.getAs[Array[Byte]]("bloom")))
-          f.mergeInPlace(BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(nb)))
-          val bos = new java.io.ByteArrayOutputStream()
-          f.writeTo(bos)
-          bos.toByteArray
+    if (fresh.nonEmpty) {
+      val touchedLos = fresh.keySet.map(b => loOf(b, bps))
+      // current rows of the TOUCHED shards only — the whole point
+      val existingTouched: Map[Int, Array[Byte]] = {
+        val dirs = shards.collect {
+          case (lo, _, p) if touchedLos(lo) => p.toString }
+        if (dirs.isEmpty) Map.empty
+        else spark.read.parquet(dirs: _*).collect()
+          .map(r => r.getAs[Int]("bucket") ->
+            r.getAs[Array[Byte]]("bloom")).toMap
       }
-      (b, bytes)
-    } ++ fresh.filterNot { case (b, _) =>
-      old.exists(_.getAs[Int]("bucket") == b) }
-    import spark.implicits._
-    merged.toSeq.toDF("bucket", "bloom")
-      .withColumn("expected_items", lit(expected))
-      .withColumn("fpp", lit(fpp))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_blooms.next")
-    swapSidecar(spark, path)
+      val merged = (existingTouched.keySet ++ fresh.keySet).toSeq.map { b =>
+        (b, (existingTouched.get(b), fresh.get(b)) match {
+          case (Some(old), Some(nb)) =>
+            val f = BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(old))
+            f.mergeInPlace(BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(nb)))
+            val bos = new java.io.ByteArrayOutputStream()
+            f.writeTo(bos)
+            bos.toByteArray
+          case (Some(old), None) => old
+          case (None, Some(nb)) => nb
+          case (None, None) => sys.error("unreachable")
+        })
+      }
+      import spark.implicits._
+      val mergedDf = merged.toDF("bucket", "bloom")
+        .withColumn("expected_items", lit(expected))
+        .withColumn("fpp", lit(fppV))
+      // stage EVERY touched shard's replacement as <name>.next before
+      // swapping ANY — a .next, once present, is always complete
+      // (rename is atomic) and always safe to adopt (superset merge)
+      val staged = stageShards(mergedDf, path, bps)
+      staged.foreach { case (lo, tmpDir) =>
+        val next = nextPath(path, lo, bps)
+        fs.delete(next, true) // stale residue from an older crash
+        checkedRename(fs, tmpDir, next)
+      }
+      fs.delete(hp(tmpRoot(path)), true)
+      staged.foreach { case (lo, _) => swapShard(fs, path, lo, bps) }
+    }
     // data LAST: see the crash-discipline note above
     withB.repartition(col("fbib"))
       .write.partitionBy("fbib").mode("append").parquet(s"$path/data")
@@ -137,7 +206,7 @@ object FileBloomIndex {
       maxFilesPerBucket: Int = 1): Unit = {
     require(maxFilesPerBucket >= 1, s"maxFilesPerBucket=$maxFilesPerBucket")
     val fs = fsFor(spark, path)
-    val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
+    val dataRoot = hp(s"$path/data")
     def parquetCount(p: org.apache.hadoop.fs.Path): Int =
       fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
     val fat = fs.listStatus(dataRoot).toSeq
@@ -155,96 +224,278 @@ object FileBloomIndex {
     }
   }
 
+  // ---- sharded sidecar plumbing ----
+
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def shardRoot(path: String) = hp(s"$path/_blooms.d")
+  private def tmpRoot(path: String) = s"$path/_blooms.tmp"
+  private def loOf(bucket: Int, bps: Int): Int =
+    Math.floorDiv(bucket, bps) * bps
+  private def shardName(lo: Int, bps: Int) = s"$lo-${lo + bps - 1}"
+  private def shardPath(path: String, lo: Int, bps: Int) =
+    hp(s"$path/_blooms.d/${shardName(lo, bps)}")
+  private def nextPath(path: String, lo: Int, bps: Int) =
+    hp(s"$path/_blooms.d/${shardName(lo, bps)}.next")
+  private def oldPath(path: String, lo: Int, bps: Int) =
+    hp(s"$path/_blooms.d/${shardName(lo, bps)}.old")
+
   private def fsFor(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
-  /** cur -> `_blooms.old`, `_blooms.next` -> cur, drop old. Each step
-    * is a metadata rename; [[healSidecar]] completes an interrupted
-    * swap from either side.
+  private def checkedRename(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path,
+      to: org.apache.hadoop.fs.Path): Unit =
+    // a silently-failed rename would mask a half-applied swap as
+    // success — the one failure mode the .next/.old discipline cannot
+    // heal, so it must be LOUD (the read side then heals the residues)
+    require(fs.rename(from, to), s"rename failed: $from -> $to")
+
+  /** Write the blooms rows into one parquet dir per shard under the
+    * tmp root; returns (shardLo, tmpShardDir) pairs. Distributed
+    * (partitionBy) — nothing sidecar-sized crosses the driver.
     */
-  private def swapSidecar(spark: SparkSession, path: String): Unit = {
-    val fs = fsFor(spark, path)
-    val cur = new org.apache.hadoop.fs.Path(s"$path/_blooms")
-    val next = new org.apache.hadoop.fs.Path(s"$path/_blooms.next")
-    val oldP = new org.apache.hadoop.fs.Path(s"$path/_blooms.old")
+  private def stageShards(blooms: DataFrame, path: String,
+      bps: Int): Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val tmp = tmpRoot(path)
+    blooms
+      .withColumn("shard", (col("bucket") - pmod(col("bucket"), lit(bps))))
+      .repartition(col("shard")).sortWithinPartitions("bucket")
+      .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    val fs = fsFor(blooms.sparkSession, path)
+    fs.listStatus(hp(tmp)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .map(s => (s.getPath.getName.stripPrefix("shard=").toInt, s.getPath))
+      .sortBy(_._1)
+  }
+
+  /** cur -> `<name>.old`, `<name>.next` -> cur, drop old — the v1
+    * whole-sidecar swap applied per shard; [[healShards]] completes an
+    * interrupted swap from either side.
+    */
+  private def swapShard(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      lo: Int, bps: Int): Unit = {
+    val cur = shardPath(path, lo, bps)
+    val next = nextPath(path, lo, bps)
+    val oldP = oldPath(path, lo, bps)
     if (fs.exists(oldP)) fs.delete(oldP, true) // stale residue
-    fs.rename(cur, oldP)
-    fs.rename(next, cur)
+    if (fs.exists(cur)) checkedRename(fs, cur, oldP)
+    checkedRename(fs, next, cur)
     fs.delete(oldP, true)
   }
 
-  /** Roll an interrupted swap forward (a fully-written `.next` is
-    * always safe to adopt — it only over-approximates) or back.
+  /** Roll interrupted shard swaps forward (a fully-present `.next` is
+    * always safe to adopt — it only over-approximates) or back, and
+    * clear completed swaps' leftover `.old` copies. Cheap when clean:
+    * one listStatus, no renames.
     */
-  private def healSidecar(spark: SparkSession, path: String): Unit = {
-    val fs = fsFor(spark, path)
-    val cur = new org.apache.hadoop.fs.Path(s"$path/_blooms")
-    if (fs.exists(cur)) return
-    val next = new org.apache.hadoop.fs.Path(s"$path/_blooms.next")
-    val oldP = new org.apache.hadoop.fs.Path(s"$path/_blooms.old")
-    if (fs.exists(next)) { fs.rename(next, cur); fs.delete(oldP, true) }
-    else if (fs.exists(oldP)) fs.rename(oldP, cur)
+  private def healShards(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val root = shardRoot(path)
+    if (!fs.exists(root)) return
+    val names = fs.listStatus(root).map(_.getPath.getName).toSet
+    names.filter(_.endsWith(".next")).foreach { n =>
+      val cur = n.stripSuffix(".next")
+      // cur present: serving it stays correct (the writer re-stages on
+      // replay) — leave residues alone, matching the v1 heal contract
+      if (!names(cur)) {
+        checkedRename(fs, hp(s"$root/$n"), hp(s"$root/$cur"))
+        fs.delete(hp(s"$root/$cur.old"), true)
+      }
+    }
+    names.filter(_.endsWith(".old")).foreach { n =>
+      val cur = n.stripSuffix(".old")
+      if (!names(cur) && !names(s"$cur.next"))
+        checkedRename(fs, hp(s"$root/$n"), hp(s"$root/$cur"))
+    }
   }
 
-  private def readSidecar(spark: SparkSession, path: String): DataFrame = {
-    healSidecar(spark, path)
-    spark.read.parquet(s"$path/_blooms")
+  /** Live shards as (lo, bucketsPerShard, dir), healed and sorted.
+    * Empty when the index still carries (only) a v1 sidecar.
+    */
+  private def listShards(fs: org.apache.hadoop.fs.FileSystem, path: String)
+      : Seq[(Int, Int, org.apache.hadoop.fs.Path)] = {
+    healShards(fs, path)
+    val root = shardRoot(path)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.matches("-?\\d+--?\\d+"))
+      .map { s =>
+        // lo may be negative: the separator is the first '-' past the
+        // (possible) sign, never the last (hi can be negative too)
+        val n = s.getPath.getName
+        val cut = n.indexOf('-', 1)
+        val lo = n.substring(0, cut).toInt
+        val hi = n.substring(cut + 1).toInt
+        (lo, hi - lo + 1, s.getPath)
+      }
+      .sortBy(_._1)
   }
+
+  /** One-time reshard of a legacy single-file `_blooms` sidecar into
+    * the sharded layout — costs one full sidecar rewrite, exactly
+    * what every append to the v1 format already paid. Readers prefer
+    * `_blooms.d` once present, so the post-write `_blooms` delete has
+    * no unreadable window.
+    */
+  private def upgradeV1(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
+    if (fs.exists(shardRoot(path))) return
+    healV1(fs, path)
+    if (!fs.exists(hp(s"$path/_blooms"))) return
+    val v1 = spark.read.parquet(s"$path/_blooms")
+    val staged = stageShards(v1, path, DefaultBucketsPerShard)
+    require(fs.mkdirs(shardRoot(path)), s"cannot create ${shardRoot(path)}")
+    staged.foreach { case (lo, tmpDir) =>
+      checkedRename(fs, tmpDir, shardPath(path, lo, DefaultBucketsPerShard))
+    }
+    fs.delete(hp(tmpRoot(path)), true)
+    Seq("_blooms", "_blooms.next", "_blooms.old")
+      .foreach(n => fs.delete(hp(s"$path/$n"), true))
+  }
+
+  /** v1 whole-sidecar heal (legacy indexes only). */
+  private def healV1(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val cur = hp(s"$path/_blooms")
+    if (fs.exists(cur)) return
+    val next = hp(s"$path/_blooms.next")
+    val oldP = hp(s"$path/_blooms.old")
+    if (fs.exists(next)) { checkedRename(fs, next, cur); fs.delete(oldP, true) }
+    else if (fs.exists(oldP)) checkedRename(fs, oldP, cur)
+  }
+
+  /** All sidecar rows (bucket, bloom, expected_items, fpp), either
+    * format — the inspection/test surface.
+    */
+  private[graft] def sidecarDf(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsFor(spark, path)
+    val shards = listShards(fs, path)
+    if (shards.nonEmpty)
+      spark.read.parquet(shards.map(_._3.toString): _*)
+    else {
+      healV1(fs, path)
+      spark.read.parquet(s"$path/_blooms")
+    }
+  }
+
+  // ---- per-JVM filter memo ----
+
+  /** Deserialized filters per (index path, shard), guarded by the
+    * shard's file fingerprint (names + mtimes + lengths from one
+    * listStatus — metadata only): repeated lookups in a session read
+    * ZERO sidecar data bytes (pinned in FileBloomIndexSpec), and an
+    * append invalidates exactly the shards it swapped (the swap
+    * replaces the shard dir, so every fingerprint facet changes).
+    * BloomFilter reads are thread-safe (mightContain only reads the
+    * bit array), so sharing one instance across queries is sound.
+    */
+  private val filterMemo =
+    TrieMap.empty[(String, String), (Seq[(String, Long, Long)],
+      Array[(Int, BloomFilter)])]
+
+  private def fingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+    fs.listStatus(dir).toSeq
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen))
+      .sortBy(_._1)
+
+  private def loadDir(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+      dir: org.apache.hadoop.fs.Path): Array[(Int, BloomFilter)] = {
+    val key = (indexPath, dir.getName)
+    val fp = fingerprint(fs, dir)
+    filterMemo.get(key) match {
+      case Some((cachedFp, filters)) if cachedFp == fp => filters
+      case _ =>
+        val filters = spark.read.parquet(dir.toString).collect().map { r =>
+          r.getAs[Int]("bucket") -> BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        }.sortBy(_._1)
+        filterMemo.put(key, (fp, filters))
+        filters
+    }
+  }
+
+  /** Every bucket's filter, memoized per shard (see [[filterMemo]]).
+    * Loud when the index has no sidecar in either format.
+    */
+  private[graft] def loadFilters(spark: SparkSession,
+      path: String): Array[(Int, BloomFilter)] = {
+    val fs = fsFor(spark, path)
+    val shards = listShards(fs, path)
+    if (shards.nonEmpty)
+      shards.toArray.flatMap { case (_, _, dir) =>
+        loadDir(spark, fs, path, dir) }
+    else {
+      healV1(fs, path)
+      require(fs.exists(hp(s"$path/_blooms")),
+        s"no bloom sidecar at $path — write() first")
+      loadDir(spark, fs, path, hp(s"$path/_blooms"))
+    }
+  }
+
+  // ---- read paths ----
 
   /** Buckets whose bloom might contain `key` — a driver-side test over
-    * the sidecar (one row per bucket; KBs per filter at fpp=0.01).
-    * Sorted for deterministic downstream path lists.
+    * the memoized filters (one row per bucket; KBs per filter at
+    * fpp=0.01). Sorted for deterministic downstream path lists.
     */
   def candidateBuckets(spark: SparkSession, path: String,
       key: String): Seq[Int] =
-    readSidecar(spark, path).collect()
-      .filter { r =>
-        BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-          .mightContainString(key)
-      }
-      .map(_.getAs[Int]("bucket")).sorted.toSeq
+    loadFilters(spark, path)
+      .filter { case (_, f) => f.mightContainString(key) }
+      .map(_._1).sorted.toSeq
+
+  /** Bulk membership as a DataFrame — the backfill shape with NO
+    * driver key loop: the memoized filters broadcast once, membership
+    * tests run EXECUTOR-side over the keys, and the confirm read is
+    * pruned to the union of candidate buckets (the only driver-sized
+    * artifact is that bucket list). Null keys are never indexed
+    * ([[BloomAgg]] skips them at build), so membership is vacuously
+    * false — they are dropped here deliberately. Returns the DISTINCT
+    * key strings present in the index, as a one-column ("k") frame —
+    * exact: the bloom screen admits no false negatives and the
+    * confirm join weeds its false positives.
+    */
+  def existingKeysDf(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame, keysCol: String): DataFrame = {
+    val filters = loadFilters(spark, path)
+    val bc = spark.sparkContext.broadcast(filters)
+    val kd = keys.select(col(keysCol).cast("string").as("k"))
+      .filter(col("k").isNotNull).distinct()
+    val candOf = udf((k: String) =>
+      bc.value.collect { case (b, f) if f.mightContainString(k) => b })
+    val buckets = kd.select(explode(candOf(col("k"))).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (buckets.isEmpty) return kd.filter(lit(false))
+    val pruned = spark.read.option("basePath", s"$path/data")
+      .parquet(buckets.map(b => s"$path/data/fbib=$b").toSeq: _*)
+      .select(col(keyCol).cast("string").as("k"))
+    pruned.join(kd, "k").distinct()
+  }
 
   /** Which of `keys` already exist in the index — the batch-bounded
-    * membership test streaming ingest dedups with: ONE sidecar read
-    * tests every key against every bucket's bloom, then ONE
-    * partition-pruned read over the union of candidate buckets,
-    * filtered to the keys. Cost is sidecar bytes + candidate-bucket
-    * bytes, never the index.
+    * driver-Set form of [[existingKeysDf]] streaming ingest dedups
+    * with. Null keys are dropped (never indexed — see existingKeysDf).
     */
   def existingKeys(spark: SparkSession, path: String, keyCol: String,
       keys: Seq[String]): Set[String] = {
-    if (keys.isEmpty) return Set.empty
-    val filters = readSidecar(spark, path).collect().map { r =>
-      r.getAs[Int]("bucket") -> BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-    }
-    val cands = filters
-      .filter { case (_, f) => keys.exists(f.mightContainString) }
-      .map(_._1).sorted
-    if (cands.isEmpty) return Set.empty
-    val pruned = spark.read.option("basePath", s"$path/data")
-      .parquet(cands.map(b => s"$path/data/fbib=$b"): _*)
-      .select(col(keyCol).cast("string").as("k"))
-    // a literal isin stays planner-friendly for micro-batch key
-    // counts; a bulk backfill joins instead of exploding the plan
-    val matched =
-      if (keys.size <= 1000) pruned.filter(col("k").isin(keys: _*))
-      else {
-        import spark.implicits._
-        pruned.join(broadcast(keys.toDF("k")), "k")
-      }
-    matched.distinct().collect().map(_.getString(0)).toSet
+    val nn = keys.filter(_ != null)
+    if (nn.isEmpty) return Set.empty
+    import spark.implicits._
+    existingKeysDf(spark, path, keyCol, nn.toDF("k"), "k")
+      .collect().map(_.getString(0)).toSet
   }
 
   /** Exact point lookup: sidecar-pruned bucket dirs + the exact
     * residual filter. Reads ONLY candidate buckets — `df.inputFiles`
     * of the result is the pin. An all-buckets-rejected key costs the
-    * sidecar read alone (the empty frame is planned with a
-    * contradiction filter, which prunes every file at planning).
-    * Both branches return the data schema WITHOUT the internal fbib
-    * partition column.
+    * (memoized) sidecar filters alone (the empty frame is planned
+    * with a contradiction filter, which prunes every file at
+    * planning). Both branches return the data schema WITHOUT the
+    * internal fbib partition column.
     */
   def lookup(spark: SparkSession, path: String, keyCol: String,
       key: String): DataFrame = {

@@ -15,9 +15,12 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * already carries are dropped before appending (a replayed batch is
   * a no-op instead of duplicated rows), and a batch repeating a key
   * INTERNALLY keeps one arbitrary row — the dedup contract, as with
-  * the IVF ingest sink. The membership test is batch-bounded
-  * ([[FileBloomIndex.existingKeys]]: one sidecar read + one pruned
-  * read of candidate buckets). The sidecar-first crash discipline of
+  * the IVF ingest sink. The membership test is executor-side and
+  * batch-bounded ([[FileBloomIndex.existingKeysDf]]: memoized sidecar
+  * filters broadcast + one pruned read of candidate buckets; the
+  * replay drop is an anti-join, so a fully-replayed batch never
+  * builds a key-sized literal list). The sidecar-first crash
+  * discipline of
   * [[FileBloomIndex.append]] composes with replay: a crash between
   * the sidecar swap and the data write leaves keys whose blooms
   * match but whose rows are absent — the exact membership check
@@ -41,15 +44,21 @@ object BloomStreams {
       indexDir: String): Unit = {
     val spark = batch.sparkSession
     val b = batch.dropDuplicates(keyCol).localCheckpoint(true)
-    val keys = b.select(col(keyCol).cast("string").as("k"))
-      .collect().map(_.getString(0)).toSeq
-    if (keys.isEmpty) return
-    val existing = FileBloomIndex.existingKeys(
-      spark, indexDir, keyCol, keys)
-    val fresh =
-      if (existing.isEmpty) b
-      else b.filter(!col(keyCol).cast("string")
-        .isin(existing.toSeq: _*))
+    if (b.isEmpty) return
+    // a null-keyed row would be appended but never indexed (BloomAgg
+    // skips nulls at build), i.e. silently unfindable AND re-appended
+    // on every replay (the membership check can never see it) — reject
+    // loudly instead of either silent failure
+    require(b.filter(col(keyCol).isNull).isEmpty,
+      s"null $keyCol keys cannot be bloom-indexed — drop or key them " +
+        "upstream")
+    // replayed keys drop via a relational anti-join against the bulk
+    // membership frame — never an isin literal (a fully-replayed batch
+    // would put EVERY key in the list and explode the plan)
+    val existing = FileBloomIndex.existingKeysDf(spark, indexDir, keyCol,
+      b.select(col(keyCol).cast("string").as("k")), "k")
+    val fresh = b.join(existing,
+      b(keyCol).cast("string") === existing("k"), "left_anti")
     if (!fresh.isEmpty)
       FileBloomIndex.append(fresh, keyCol, layout, indexDir)
   }

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * are a strict subset of the 16 buckets (the layout is content-hash
   * placed, so min/max zone maps could never prune here: every
   * bucket's doc_id range spans the probe).
+  *
+  * Round 13 adds the SHARDED sidecar laws: appends rewrite only the
+  * shards their batch touches (untouched shards byte-identical),
+  * merge == one-shot rebuild per bucket, shard swaps heal from either
+  * residue, legacy v1 sidecars upgrade on first append, and the
+  * per-JVM filter memo serves repeated lookups without re-reading a
+  * byte of sidecar data.
   */
 class FileBloomIndexSpec extends SparkTestBase {
 
@@ -64,6 +71,11 @@ class FileBloomIndexSpec extends SparkTestBase {
     }.toMap
   }
 
+  private def bloomsOf(d: String): Map[Int, Seq[Byte]] =
+    FileBloomIndex.sidecarDf(spark, d)
+      .collect().map(r => r.getAs[Int]("bucket") ->
+        r.getAs[Array[Byte]]("bloom").toSeq).toMap
+
   test("append: untouched files byte-identical, merge == one-shot rebuild") {
     val base = graft.queries.QueryTmp.dir("fbloomappend")
     val docs = Tables.documents(spark, sf)
@@ -84,13 +96,7 @@ class FileBloomIndexSpec extends SparkTestBase {
     // one-shot over the union, same filter params
     val full = s"$base/full"
     FileBloomIndex.write(docs, "doc_id", layout, full, 64L)
-    val incBlooms = spark.read.parquet(s"$inc/_blooms")
-      .collect().map(r => r.getAs[Int]("bucket") ->
-        r.getAs[Array[Byte]]("bloom").toSeq).toMap
-    val fullBlooms = spark.read.parquet(s"$full/_blooms")
-      .collect().map(r => r.getAs[Int]("bucket") ->
-        r.getAs[Array[Byte]]("bloom").toSeq).toMap
-    assert(incBlooms == fullBlooms,
+    assert(bloomsOf(inc) == bloomsOf(full),
       "merged sidecar must be byte-identical to the one-shot rebuild " +
         "(bloom bits are a function of the item SET)")
     // and the lookup over the appended index is exact
@@ -99,6 +105,45 @@ class FileBloomIndexSpec extends SparkTestBase {
         .select("doc_id").collect().map(_.getLong(0)).toSeq
       assert(got == Seq(key.toLong), s"key=$key: got $got")
     }
+  }
+
+  test("append rewrites ONLY the shards its batch touches") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val base = graft.queries.QueryTmp.dir("fbloomshard")
+    val p = s"$base/idx"
+    def rows(r: Range, b: Int) = r.map(i => (i.toLong, b)).toDF("id", "b")
+    // 8 buckets over 4 shards of 2; the append lands in bucket 2 only
+    FileBloomIndex.write(
+      (0 until 8).map(b => rows(b * 10 until b * 10 + 4, b))
+        .reduce(_ union _),
+      "id", col("b"), p, 64L, bucketsPerShard = 2)
+    val before = fileHashes(new java.io.File(s"$p/_blooms.d"))
+    val shardsBefore = new java.io.File(s"$p/_blooms.d").listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(shardsBefore == Seq("0-1", "2-3", "4-5", "6-7"),
+      s"unexpected shard layout: $shardsBefore")
+    FileBloomIndex.append(rows(100 until 104, 2), "id", col("b"), p)
+    val after = fileHashes(new java.io.File(s"$p/_blooms.d"))
+    val untouched = before.keys.filterNot(_.contains("/2-3/"))
+    untouched.foreach { f =>
+      assert(after.get(f).contains(before(f)),
+        s"append rewrote an untouched shard file: $f")
+    }
+    assert(!after.keySet.exists(k =>
+        k.contains("/2-3/") && before.contains(k) &&
+          after(k) == before(k)),
+      "the touched shard must have been swapped for new files")
+    // merged == rebuild, bucket for bucket
+    val full = s"$base/full"
+    FileBloomIndex.write(
+      ((0 until 8).map(b => rows(b * 10 until b * 10 + 4, b)) :+
+        rows(100 until 104, 2)).reduce(_ union _),
+      "id", col("b"), full, 64L, bucketsPerShard = 2)
+    assert(bloomsOf(p) == bloomsOf(full))
+    // and the appended keys are searchable
+    assert(FileBloomIndex.lookup(spark, p, "id", "101")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(101L))
   }
 
   test("both lookup branches return the data schema (no fbib, hit or miss)") {
@@ -110,7 +155,7 @@ class FileBloomIndexSpec extends SparkTestBase {
       "the internal partition column must not leak")
   }
 
-  test("an interrupted sidecar swap heals from either side") {
+  test("an interrupted shard swap heals from either side") {
     val base = graft.queries.QueryTmp.dir("fbloomheal")
     val docs = Tables.documents(spark, sf)
     val layout = pmod(hash(col("text")), lit(16))
@@ -120,45 +165,22 @@ class FileBloomIndexSpec extends SparkTestBase {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
     def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val shard = s"$p/_blooms.d/0-7"
     // crash between "cur -> old" and "next -> cur": only .old exists
-    fs.rename(hp(s"$p/_blooms"), hp(s"$p/_blooms.old"))
+    fs.rename(hp(shard), hp(s"$shard.old"))
     assert(FileBloomIndex.candidateBuckets(spark, p, "7") == want,
-      "roll-back from _blooms.old must restore the sidecar")
+      "roll-back from <shard>.old must restore the shard")
     // crash after writing .next but before any rename: cur AND next —
     // the read side keeps serving cur (heal is a no-op)
-    fs.mkdirs(hp(s"$p/_blooms.next"))
+    fs.mkdirs(hp(s"$shard.next"))
     assert(FileBloomIndex.candidateBuckets(spark, p, "7") == want)
-    fs.delete(hp(s"$p/_blooms.next"), true)
+    fs.delete(hp(s"$shard.next"), true)
     // crash between the two renames with next fully written: adopt it
-    fs.rename(hp(s"$p/_blooms"), hp(s"$p/_blooms.next"))
+    fs.rename(hp(shard), hp(s"$shard.next"))
     assert(FileBloomIndex.candidateBuckets(spark, p, "7") == want,
-      "roll-forward from _blooms.next must adopt the new sidecar")
-  }
-
-  test("append introducing a brand-new bucket is searchable and merge == rebuild") {
-    val sqlc = spark
-    import sqlc.implicits._
-    val base = graft.queries.QueryTmp.dir("fbloomnewb")
-    val p = s"$base/idx"
-    def rows(r: Range, b: Int) =
-      r.map(i => (i.toLong, b)).toDF("id", "b")
-    // buckets 0/1 at write time; the append lands entirely in a NEW
-    // bucket 2 absent from the original sidecar
-    FileBloomIndex.write(rows(0 until 8, 0).union(rows(8 until 16, 1)),
-      "id", col("b"), p, 64L)
-    FileBloomIndex.append(rows(16 until 24, 2), "id", col("b"), p)
-    val hit = FileBloomIndex.lookup(spark, p, "id", "20")
-      .select("id").collect().map(_.getLong(0)).toSeq
-    assert(hit == Seq(20L), s"new-bucket key must be found, got $hit")
-    // merge == rebuild across the new-bucket path too
-    val full = s"$base/full"
-    FileBloomIndex.write(
-      rows(0 until 8, 0).union(rows(8 until 16, 1))
-        .union(rows(16 until 24, 2)), "id", col("b"), full, 64L)
-    def blooms(d: String) = spark.read.parquet(s"$d/_blooms")
-      .collect().map(r => r.getAs[Int]("bucket") ->
-        r.getAs[Array[Byte]]("bloom").toSeq).toMap
-    assert(blooms(p) == blooms(full))
+      "roll-forward from <shard>.next must adopt the new shard")
+    assert(!fs.exists(hp(s"$shard.next")) && fs.exists(hp(shard)),
+      "the forward roll must leave only the live shard")
   }
 
   test("heal with BOTH residues rolls forward and clears the old copy") {
@@ -170,18 +192,90 @@ class FileBloomIndexSpec extends SparkTestBase {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
     def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val shard = s"$p/_blooms.d/8-15"
     // crash after cur -> old with next fully written: both residues,
     // no cur — the forward roll must win and drop the old copy
-    fs.rename(hp(s"$p/_blooms"), hp(s"$p/_blooms.old"))
-    fs.mkdirs(hp(s"$p/_blooms.next"))
-    fs.rename(hp(s"$p/_blooms.old"), hp(s"$p/_blooms.next2")) // stash real content
-    fs.delete(hp(s"$p/_blooms.next"), true)
-    fs.rename(hp(s"$p/_blooms.next2"), hp(s"$p/_blooms.next"))
-    fs.mkdirs(hp(s"$p/_blooms.old")) // a stale (empty) old copy
+    fs.rename(hp(shard), hp(s"$shard.next"))
+    fs.mkdirs(hp(s"$shard.old")) // a stale (empty) old copy
     assert(FileBloomIndex.candidateBuckets(spark, p, "7") == want,
-      "forward roll must adopt _blooms.next when both residues exist")
-    assert(!fs.exists(hp(s"$p/_blooms.old")),
+      "forward roll must adopt <shard>.next when both residues exist")
+    assert(!fs.exists(hp(s"$shard.old")),
       "the forward roll must clear the stale old copy")
+  }
+
+  test("legacy v1 sidecar: readable as-is, resharded on first append") {
+    val base = graft.queries.QueryTmp.dir("fbloomv1")
+    val docs = Tables.documents(spark, sf)
+    val layout = pmod(hash(col("text")), lit(16))
+    val p = s"$base/idx"
+    FileBloomIndex.write(docs.filter(col("doc_id") < 250),
+      "doc_id", layout, p, 64L)
+    // demote the sharded sidecar to the legacy single-dir v1 format
+    val rows = FileBloomIndex.sidecarDf(spark, p).localCheckpoint()
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$p/_blooms")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/_blooms.d"), true)
+    // v1 reads work unchanged
+    assert(FileBloomIndex.lookup(spark, p, "doc_id", "7")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // first append upgrades: shards appear, the v1 file is gone, and
+    // the sidecar equals a one-shot rebuild over the union
+    FileBloomIndex.append(docs.filter(col("doc_id") >= 250),
+      "doc_id", layout, p)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/_blooms.d")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/_blooms")),
+      "the upgrade must retire the v1 sidecar")
+    val full = s"$base/full"
+    FileBloomIndex.write(docs, "doc_id", layout, full, 64L)
+    assert(bloomsOf(p) == bloomsOf(full))
+    assert(FileBloomIndex.lookup(spark, p, "doc_id", "300")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(300L))
+  }
+
+  test("filter memo: a repeat lookup reads zero sidecar data bytes") {
+    val base = graft.queries.QueryTmp.dir("fbloommemo")
+    val p = s"$base/idx"
+    FileBloomIndex.write(Tables.documents(spark, sf), "doc_id",
+      pmod(hash(col("text")), lit(16)), p, 64L)
+    val want = FileBloomIndex.candidateBuckets(spark, p, "137")
+    // replace every sidecar parquet's CONTENT with same-length garbage
+    // and restore its mtime: the fingerprint (name, mtime, length) is
+    // unchanged, so a second lookup must answer from the memo — any
+    // re-read would explode on the garbage
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$p/_blooms.d"))
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val mtime = f.lastModified()
+        val garbage = Array.fill[Byte](f.length().toInt)('x')
+        java.nio.file.Files.write(f.toPath, garbage)
+        assert(f.setLastModified(mtime))
+      }
+    assert(FileBloomIndex.candidateBuckets(spark, p, "137") == want,
+      "second lookup must serve from the per-JVM memo")
+  }
+
+  test("bulk membership: executor-side, exact, null keys dropped") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val docs = Tables.documents(spark, sf)
+    val present = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").cast("string").as("k"))
+      .collect().map(_.getString(0)).toSet
+    val probes = (docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").cast("string").as("k"))
+      .union(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).cast("string").as("k")))
+      .union(Seq(Option.empty[String]).toDF("k")))
+    val got = FileBloomIndex.existingKeysDf(spark, idx, "doc_id",
+      probes, "k").collect().map(_.getString(0)).toSet
+    assert(got == present,
+      s"bulk membership mismatch: ${got.size} vs ${present.size}")
+    // the driver-Set form agrees (it IS the bulk form collected)
+    val setForm = FileBloomIndex.existingKeys(spark, idx, "doc_id",
+      Seq("7", "14", "1000007", null))
+    assert(setForm == Set("7", "14"))
   }
 
   test("compact: one file per fat bucket, same answers, sidecar untouched") {
@@ -193,7 +287,7 @@ class FileBloomIndexSpec extends SparkTestBase {
       "doc_id", layout, p, 64L)
     FileBloomIndex.append(docs.filter(col("doc_id") >= 250),
       "doc_id", layout, p)
-    val sidecarBefore = fileHashes(new java.io.File(s"$p/_blooms"))
+    val sidecarBefore = fileHashes(new java.io.File(s"$p/_blooms.d"))
     val before = FileBloomIndex.lookup(spark, p, "doc_id", "300")
       .collect().map(_.toSeq).toSeq
     def filesPerBucket: Map[String, Int] = {
@@ -211,8 +305,31 @@ class FileBloomIndexSpec extends SparkTestBase {
     val after = FileBloomIndex.lookup(spark, p, "doc_id", "300")
       .collect().map(_.toSeq).toSeq
     assert(after == before, "compaction must not change lookup answers")
-    assert(fileHashes(new java.io.File(s"$p/_blooms")) == sidecarBefore,
+    assert(fileHashes(new java.io.File(s"$p/_blooms.d")) == sidecarBefore,
       "compaction must leave the sidecar byte-identical")
+  }
+
+  test("append introducing a brand-new bucket is searchable and merge == rebuild") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val base = graft.queries.QueryTmp.dir("fbloomnewb")
+    val p = s"$base/idx"
+    def rows(r: Range, b: Int) =
+      r.map(i => (i.toLong, b)).toDF("id", "b")
+    // buckets 0/1 at write time; the append lands entirely in a NEW
+    // bucket 20 whose SHARD is absent from the original sidecar
+    FileBloomIndex.write(rows(0 until 8, 0).union(rows(8 until 16, 1)),
+      "id", col("b"), p, 64L)
+    FileBloomIndex.append(rows(16 until 24, 20), "id", col("b"), p)
+    val hit = FileBloomIndex.lookup(spark, p, "id", "20")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(hit == Seq(20L), s"new-bucket key must be found, got $hit")
+    // merge == rebuild across the new-bucket/new-shard path too
+    val full = s"$base/full"
+    FileBloomIndex.write(
+      rows(0 until 8, 0).union(rows(8 until 16, 1))
+        .union(rows(16 until 24, 20)), "id", col("b"), full, 64L)
+    assert(bloomsOf(p) == bloomsOf(full))
   }
 
   test("pruning: candidates are a strict subset and inputFiles stay inside") {
