@@ -739,16 +739,16 @@ object SimilarityOps {
     }
     val probes = probeRows.select(col("id").as("pid"), col("v").as("pv"),
       sqrt(dot(col("v"), col("v"))).as("pn"))
-    // codebook: one driver-side collect (it is nCentroids rows by
-    // construction) serves both the nprobe guard and the broadcast
-    // side — no separate count() job, no second parquet read
-    val centArr = codebookDf(spark, dir).select(col("id"), col("v"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // codebook: the per-JVM memo (nCentroids rows by construction)
+    // serves both the nprobe guard and the broadcast side — no
+    // count() job, and repeat batches read no codebook parquet at all
+    val centArr = codebookArr(spark, dir)
     require(centArr.length >= nprobe,
       s"codebook has ${centArr.length} centroids < nprobe=$nprobe")
     val cents = {
       import spark.implicits._
-      centArr.toSeq.toDF("cid", "cv")
+      centArr.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+        .toDF("cid", "cv")
     }
     val cellScores = probes.crossJoin(broadcast(cents))
       .select(col("pid"), col("cid"),
@@ -884,6 +884,58 @@ object SimilarityOps {
     }
   }
 
+  /** RETRAIN the coarse quantizer in place — the codebook-drift verb
+    * completing the index lifecycle (build → append → delete → purge →
+    * compact → RETRAIN): [[appendToIvfIndex]] deliberately freezes the
+    * codebook (that is what makes append == rebuild provable), so
+    * under distribution drift recall decays and hot cells grow without
+    * bound. Retraining runs [[KMeans.centroids]] over the LIVE index
+    * (k trained centroids, deterministic seed = the k lowest live
+    * ids), re-quantizes every live vector with the shared
+    * [[assignToCodebook]] rule, and rewrites data + `_codebook` +
+    * `_ids`. Pending tombstones are physically purged by construction
+    * (the retrain input is the live set) and the sidecar cleared.
+    *
+    * Scale shape: training is KMeans' broadcast-codebook map-side
+    * argmin (the shuffle per Lloyd round is k·dims rows);
+    * re-quantization is one map-side pass; the rewrite stages to a
+    * sibling `<dir>.retrain.tmp` parquet (disk, not a block-manager
+    * checkpoint of the index) before replacing `dir`, so the peak
+    * footprint is the data being rewritten — which a full re-bucket
+    * inherently rewrites. Single-writer, like every lifecycle verb.
+    *
+    * The result is row-for-row the index [[buildIvfIndex]] would
+    * produce at the new codebook (pinned in AnnIndexSpec; the
+    * `ann_ivf_retrained` gate hash-checks a probe against the
+    * fresh-build oracle), and probe paths pick the new codebook up
+    * automatically — the `_codebook` rewrite flips the per-JVM memo's
+    * fingerprint.
+    */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int, iters: Int): Unit = {
+    require(k >= 1, s"k=$k")
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val live = liveIndex(spark, dir).select(col("id"), col("v"))
+    val cents = KMeans.centroids(live, "id", "v", k, iters)
+      .select(col("cid").as("id"), col("cv").as("v"))
+      .localCheckpoint() // k rows — survives the dir overwrite below
+    val assigned = assignToCodebook(live,
+      cents.select(col("id").as("cid"), col("v").as("cv")))
+      .withColumn("bucket", col("bucket").cast("int"))
+    val tmp = s"$dir.retrain.tmp"
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    // the overwrite wipes dir INCLUDING the _codebook/_ids/_tombstones
+    // sidecars — exactly the purge-and-replace intent; reading from
+    // the tmp staging means nothing here reads the dir being replaced
+    staged.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    cents.write.mode("overwrite").parquet(s"$dir/_codebook")
+    writeIdsSidecar(staged.select("id", "bucket"), dir, overwrite = true)
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** id→bucket point lookup against the `_ids` sidecar; None when the
     * index predates the sidecar or the id is absent. The sidecar is
     * sorted/range-partitioned by id, so the filter prunes to one row
@@ -918,13 +970,44 @@ object SimilarityOps {
           "multi-probe support; rebuild it with buildIvfIndex", e)
     }
 
+  /** Per-JVM `_codebook` memo, fingerprint-guarded (file names +
+    * mtimes + lengths from one listStatus — metadata only): repeated
+    * probes in a session stop re-reading the codebook parquet, and a
+    * [[retrainIvfIndex]]/[[buildIvfIndex]] rewrite flips every
+    * fingerprint facet, so the next probe reloads. The FileBloomIndex
+    * filter-memo discipline.
+    */
+  private val codebookMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(String, Long, Long)], Array[(Long, Array[Double])])]
+
+  private def codebookArr(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[(Long, Array[Double])] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_codebook")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(
+        s"$dir has no _codebook sidecar — the index predates " +
+          "multi-probe support; rebuild it with buildIvfIndex")
+    val fp = fs.listStatus(p).toSeq
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen))
+      .sortBy(_._1)
+    codebookMemo.get(dir) match {
+      case Some((cached, arr)) if cached == fp => arr
+      case _ =>
+        val arr = codebookDf(spark, dir).select(col("id"), col("v"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        codebookMemo.put(dir, (fp, arr))
+        arr
+    }
+  }
+
   private def codebookCells(spark: org.apache.spark.sql.SparkSession,
       dir: String, pv: Array[Double], nprobe: Int): Seq[Int] = {
     def d(a: Array[Double], b: Array[Double]) =
       a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
-    val cents = codebookDf(spark, dir)
-      .select(col("id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = codebookArr(spark, dir)
     require(cents.length >= nprobe,
       s"codebook has ${cents.length} centroids < nprobe=$nprobe")
     cents.map { case (cid, cv) =>

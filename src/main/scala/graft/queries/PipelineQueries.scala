@@ -726,6 +726,28 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("cosine"))
     }),
 
+    // RETRAIN — the codebook-drift verb (round 13): build freezes the
+    // codebook (that is what makes append == rebuild provable), so a
+    // drifted corpus needs retrainIvfIndex — k-means over the LIVE
+    // index (seed = the 4 lowest live ids, one Lloyd round),
+    // re-quantize everything with the shared scoring rule, rewrite
+    // data + _codebook + _ids. The oracle is a FRESH IVF build at the
+    // new codebook replayed end to end (Lloyd fixed-point means
+    // included), so the hash gate proves retrain == rebuild-at-new-
+    // codebook — the same equivalence law append and compact carry.
+    "ann_ivf_retrained" -> ((s, d) => {
+      val dir = stagedPath(s, d, "ivfret") { p =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        graft.operators.SimilarityOps.buildIvfIndex(e, "vec_id", "v", 8, p)
+        graft.operators.SimilarityOps.retrainIvfIndex(s, p, k = 4,
+          iters = 1)
+      }
+      graft.operators.SimilarityOps
+        .annIvfFromIndexMultiProbe(s, dir, 8L, 10, nprobe = 2)
+        .select(col("id").as("vec_id"), col("cosine"))
+    }),
+
     // BATCH multi-probe against the STORED index — the nightly
     // retrieval workload: probe rows located via the _ids sidecar
     // (scan pruned to the probes' own buckets), cells ranked per probe
@@ -2824,7 +2846,73 @@ object PipelineQueries {
         |    ORDER BY cosine DESC, id) AS rn
         |  FROM cand) t WHERE rn <= 5""".stripMargin
 
+  /** Fresh IVF build at the RETRAINED codebook: live rows are ids >= 8
+    * (build excluded the 8 stand-in codebook rows from data), the new
+    * codebook is one fixed-point Lloyd round over them seeded from the
+    * 4 lowest live ids (the [[kmeansCte]] discipline), assignment and
+    * cell ranking use the one IVF scoring rule (dot(v,c)/|c|, ties to
+    * the lowest cid), probe = id 8, nprobe = 2. What
+    * `retrainIvfIndex` must be indistinguishable from.
+    */
+  private val annIvfRetrainedOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id AS id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id >= 8),
+      |c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT 4),
+      |d1 AS (
+      |  SELECT e.id, e.v, c0.cid,
+      |  (list_aggregate(list_transform(e.v, x -> x*x), 'sum')
+      |   - 2 * list_aggregate(list_transform(list_zip(e.v, c0.cv),
+      |       z -> z[1]*z[2]), 'sum'))
+      |   + list_aggregate(list_transform(c0.cv, x -> x*x), 'sum') AS dist2
+      |  FROM e, c0),
+      |a1 AS (
+      |  SELECT id, v, cid AS cluster FROM (
+      |    SELECT id, v, cid,
+      |    row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+      |    FROM d1) t WHERE rn = 1),
+      |ex AS (
+      |  SELECT cluster, unnest(range(len(v))) AS pos, unnest(v) AS x
+      |  FROM a1),
+      |m AS (
+      |  SELECT cluster AS cid, pos,
+      |  SUM(floor(x * 1048576.0 + 0.5)) / (COUNT(*) * 1048576.0) AS c
+      |  FROM ex GROUP BY cluster, pos),
+      |c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM m GROUP BY cid),
+      |s2 AS (
+      |  SELECT e.id, e.v, c1.cid,
+      |  list_aggregate(list_transform(list_zip(e.v, c1.cv),
+      |    z -> z[1]*z[2]), 'sum') /
+      |    sqrt(list_aggregate(list_transform(c1.cv, x -> x*x), 'sum'))
+      |    AS score
+      |  FROM e, c1),
+      |assigned AS (
+      |  SELECT id, v, cid AS bucket FROM (
+      |    SELECT id, v, cid,
+      |    row_number() OVER (PARTITION BY id ORDER BY score DESC, cid) AS rn
+      |    FROM s2) t WHERE rn = 1),
+      |p AS (SELECT v AS pv FROM e WHERE id = 8),
+      |cells AS (
+      |  SELECT cid FROM (
+      |    SELECT c1.cid,
+      |    list_aggregate(list_transform(list_zip(c1.cv, p.pv),
+      |      z -> z[1]*z[2]), 'sum') /
+      |      sqrt(list_aggregate(list_transform(c1.cv, x -> x*x), 'sum'))
+      |      AS score
+      |    FROM c1, p) t
+      |  ORDER BY score DESC, cid LIMIT 2)
+      |SELECT a.id AS vec_id,
+      |list_aggregate(list_transform(list_zip(a.v, p.pv), z -> z[1]*z[2]),
+      |  'sum') / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+      |  * sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum')))
+      |  AS cosine
+      |FROM assigned a, p
+      |WHERE a.bucket IN (SELECT cid FROM cells) AND a.id <> 8
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
   val oracleSql: ListMap[String, String] = ListMap(
+    "ann_ivf_retrained" -> annIvfRetrainedOracle,
     "ann_ivf_multiprobe" -> annIvfMultiProbeOracle,
     "ann_ivf_batch" -> annIvfBatchOracle,
     // from-index batch == one-shot batch bit for bit (same scoring

@@ -322,6 +322,55 @@ class AnnIndexSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(left == byBucket.keySet - victim)
   }
 
+  test("retrain: re-bucketed at the trained codebook, rows preserved, " +
+      "tombstones purged, memo invalidated") {
+    val dir = tmp("ann_retrain")
+    SimilarityOps.buildIvfIndex(vecs(0 until 160), "id", "v", 4, dir)
+    // warm the codebook memo with a pre-retrain probe (8 cells would
+    // be wrong below if the memo survived the rewrite)
+    SimilarityOps.annIvfFromIndexMultiProbe(spark, dir, 42L, 5, 4).collect()
+    SimilarityOps.deleteFromIvfIndex(spark, dir, Seq(10L, 11L))
+    SimilarityOps.retrainIvfIndex(spark, dir, k = 3, iters = 2)
+    // tombstoned rows are physically gone and the sidecar cleared
+    assert(!Files.exists(Paths.get(s"$dir/_tombstones")))
+    val stored = spark.read.parquet(dir)
+      .select("id", "bucket", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    assert(stored.map(_._1).toSet == (4L until 160L).toSet - 10L - 11L,
+      "retrain must keep exactly the live rows (ids 0..3 were the " +
+        "original stand-in codebook, never data)")
+    // every row sits in its argmax cell of the NEW codebook under the
+    // shared IVF scoring rule (dot(v,c)/|c|, ties to the lowest cid)
+    val cb = spark.read.parquet(s"$dir/_codebook")
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    assert(cb.length == 3, s"expected 3 trained centroids, got ${cb.length}")
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    stored.foreach { case (id, bucket, v) =>
+      val want = cb.map { case (cid, cv) =>
+        (cid, dot(v, cv) / math.sqrt(dot(cv, cv)))
+      }.minBy { case (cid, s) => (-s, cid) }._1
+      assert(bucket == want, s"id=$id bucket=$bucket want=$want")
+    }
+    // _ids agrees with the re-bucketed assignment
+    stored.take(20).foreach { case (id, b, _) =>
+      assert(SimilarityOps.probeBucketLookup(spark, dir, id).contains(b))
+    }
+    // the per-JVM codebook memo reloaded: nprobe=4 must now fail
+    // loudly against the 3-centroid codebook (a stale memo would
+    // happily rank the old 8)
+    val e = intercept[IllegalArgumentException](
+      SimilarityOps.annIvfFromIndexMultiProbe(spark, dir, 42L, 5, 4))
+    assert(e.getMessage.contains("3 centroids < nprobe=4"))
+    // ...and probes answer from the new cells
+    val probe = SimilarityOps
+      .annIvfFromIndexMultiProbe(spark, dir, 42L, 5, 3).collect()
+    assert(probe.length == 5)
+    assert(!probe.map(_.getLong(0)).contains(10L))
+  }
+
   test("probe-by-vector == probe-by-id modulo self-exclusion") {
     val dir = tmp("ann_vec")
     SimilarityOps.buildIvfIndex(vecs(0 until 160), "id", "v", 4, dir)
