@@ -273,6 +273,21 @@ object Multimodal {
       ((id * 13 + p * 7L) % 256).toInt))
   }
 
+  /** [[ppmFixture]]'s real-resolution sibling: the SAME analytic
+    * channel laws over rasters LARGER than the canonical 9×8 dHash
+    * grid (w = 16 + id%7, h = 12 + id%5), so the
+    * decode → downsample → fingerprint path exercises a genuine
+    * resample while staying SQL-replayable end to end.
+    */
+  def ppmFixtureLarge(id: Long): Array[Byte] = {
+    val w = (16 + id % 7).toInt
+    val h = (12 + id % 5).toInt
+    encodePpm(w, h, p => (
+      ((id * 7 + p * 3L) % 256).toInt,
+      ((id * 11 + p * 5L) % 256).toInt,
+      ((id * 13 + p * 7L) % 256).toInt))
+  }
+
   /** Difference hash (dHash) over a decoded raster: bit y*(w−1)+x is
     * set iff gray(y,x) > gray(y,x+1), gray = r+g+b (an integer in
     * [0,765] — no luma weights, no division, so the bits are exact).
@@ -287,7 +302,23 @@ object Multimodal {
     val bits = (img.width - 1) * img.height
     require(bits >= 1 && bits <= 63,
       s"dHash needs a downsample first: ${img.width}x${img.height} " +
-        s"raster has $bits gradient bits (max 63)")
+        s"raster has $bits gradient bits (max 63); use dHash9x8 for " +
+        "real-resolution images")
+    dHashUnchecked(img)
+  }
+
+  /** PRODUCTION dHash — any input resolution: nearest-neighbor
+    * downsample to the canonical 9×8 grid ([[resizePpm]]'s
+    * deterministic pixel-center integer law, identity when the raster
+    * already IS 9×8), then the 8×8 = 64 horizontal gradient bits. The
+    * full 64-bit signature uses the sign bit (bit 63 = the bottom-right
+    * gradient) — callers comparing across engines split it into two
+    * unsigned 32-bit halves (`image_dhash_scaled` emits
+    * dhash_hi/dhash_lo) since SQL BIGINT sums of 2^63 overflow.
+    */
+  def dHash9x8(img: PpmImage): Long = dHashUnchecked(resizePpm(img, 9, 8))
+
+  private def dHashUnchecked(img: PpmImage): Long = {
     def gray(p: Int): Int =
       (img.raster(3 * p) & 0xff) + (img.raster(3 * p + 1) & 0xff) +
         (img.raster(3 * p + 2) & 0xff)

@@ -868,6 +868,30 @@ object PipelineQueries {
           col("r._2").as("height"), col("r._3").as("dhash"))
     }),
 
+    // multimodal: REAL-RESOLUTION perceptual fingerprints — the
+    // production dHash (round 13): rasters larger than the canonical
+    // 9x8 grid (16..22 x 12..16 here) decode from actual P6 bytes,
+    // nearest-downsample to 9x8 (the deterministic pixel-center
+    // integer law sx = ((2dx+1)w)//18, sy = ((2dy+1)h)//16), then all
+    // 64 gradient bits — emitted as two unsigned 32-bit halves so the
+    // SQL oracle's power-of-two sums never overflow BIGINT. The
+    // oracle replays decode AND resample analytically from the
+    // fixture's channel laws. Map-side only, like image_dhash.
+    "image_dhash_scaled" -> ((s, d) => {
+      val ppm = udf((id: Long) =>
+        graft.multimodal.Multimodal.ppmFixtureLarge(id))
+      val dh = udf((bytes: Array[Byte]) => {
+        val img = graft.multimodal.Multimodal.decodePpm(bytes)
+        val h = graft.multimodal.Multimodal.dHash9x8(img)
+        (img.width, img.height, h >>> 32, h & 0xffffffffL)
+      })
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"), dh(ppm(col("doc_id"))).as("r"))
+        .select(col("media_id"), col("r._1").as("width"),
+          col("r._2").as("height"), col("r._3").as("dhash_hi"),
+          col("r._4").as("dhash_lo"))
+    }),
+
     // multimodal: zero-crossing segmentation over DECODED PCM — the
     // ZCR run structure a VAD-style segmenter starts from. The engine
     // parses the actual RIFF/WAVE bytes (decodeWav), then a
@@ -3466,6 +3490,40 @@ object PipelineQueries {
         |  THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
         |  ELSE 0 END) AS BIGINT) AS dhash
         |FROM gb GROUP BY media_id""".stripMargin,
+    // analytic replay of decode AND the 9x8 nearest resample: sampled
+    // source pixel (sx, sy) = (((2dx+1)w)//18, ((2dy+1)h)//16), gray
+    // from the ppmFixtureLarge channel laws at p = sy*w + sx; bit
+    // b = dy*8 + dx splits into unsigned 32-bit halves (2^63 would
+    // overflow a BIGINT sum)
+    "image_dhash_scaled" ->
+      """WITH im AS (
+        |  SELECT doc_id AS media_id,
+        |  16 + doc_id % 7 AS w, 12 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ys AS (SELECT media_id, w, h,
+        |       unnest(generate_series(0, 7)) AS dy FROM im),
+        |xs AS (SELECT media_id, w, h, dy,
+        |       unnest(generate_series(0, 7)) AS dx FROM ys),
+        |gb AS (SELECT media_id, w, h,
+        |  dy * 8 + dx AS b,
+        |  (((2*dy+1) * h) // 16) * w + (((2*dx+1) * w) // 18) AS p0,
+        |  (((2*dy+1) * h) // 16) * w + (((2*(dx+1)+1) * w) // 18) AS p1
+        |  FROM xs),
+        |gr AS (SELECT media_id, w, h, b,
+        |  (media_id*7 + p0*3) % 256 + (media_id*11 + p0*5) % 256
+        |    + (media_id*13 + p0*7) % 256 AS g0,
+        |  (media_id*7 + p1*3) % 256 + (media_id*11 + p1*5) % 256
+        |    + (media_id*13 + p1*7) % 256 AS g1
+        |  FROM gb)
+        |SELECT media_id, CAST(MIN(w) AS INTEGER) AS width,
+        |CAST(MIN(h) AS INTEGER) AS height,
+        |CAST(SUM(CASE WHEN b >= 32 AND g0 > g1
+        |  THEN CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER)
+        |  ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |CAST(SUM(CASE WHEN b < 32 AND g0 > g1
+        |  THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+        |  ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM gr GROUP BY media_id""".stripMargin,
     // analytic PCM replay (s(k) = (31 id + 17 k) % 4096 - 2048, the
     // wavFixture law) + windowed gaps-and-islands — a different
     // algorithm for the same exact sign-run integers the engine's

@@ -195,6 +195,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(same.raster.toSeq == src.raster.toSeq)
   }
 
+  test("dHash9x8: downsample law, identity at 9x8, full 64-bit budget") {
+    // a real-resolution fixture (18x14 at id 30) downsamples to 9x8;
+    // every gradient bit replayed from the channel laws THROUGH the
+    // nearest-resample law — the image_dhash_scaled oracle's math
+    val id = 30L
+    val img = Multimodal.decodePpm(Multimodal.ppmFixtureLarge(id))
+    assert(img.width == 16 + id % 7 && img.height == 12 + id % 5)
+    val got = Multimodal.dHash9x8(img)
+    def gray(p: Long): Long =
+      (id * 7 + p * 3) % 256 + (id * 11 + p * 5) % 256 +
+        (id * 13 + p * 7) % 256
+    var want = 0L
+    for (dy <- 0 until 8; dx <- 0 until 8) {
+      val sy = (2 * dy + 1) * img.height / 16
+      val s0 = (2 * dx + 1) * img.width / 18
+      val s1 = (2 * (dx + 1) + 1) * img.width / 18
+      if (gray(sy.toLong * img.width + s0) >
+          gray(sy.toLong * img.width + s1))
+        want |= 1L << (dy * 8 + dx)
+    }
+    assert(got == want, f"dHash9x8 mismatch: got $got%016x want $want%016x")
+    // a raster already at 9x8 hashes identically with and without the
+    // resample step (pixel-center nearest at equal size is identity)
+    val nine = Multimodal.PpmImage(9, 8,
+      Array.tabulate[Byte](9 * 8 * 3)(i => ((i * 37) % 251).toByte))
+    val direct = {
+      // replicate the raw 64-bit walk via a 1-row-at-a-time dHash on
+      // each row (8 rows x 8 bits), composing the full hash
+      (0 until 8).foldLeft(0L) { (acc, y) =>
+        val row = Multimodal.PpmImage(9, 1,
+          nine.raster.slice(y * 27, (y + 1) * 27))
+        acc | (Multimodal.dHash(row) << (y * 8))
+      }
+    }
+    assert(Multimodal.dHash9x8(nine) == direct)
+    // bit 63 (the bottom-right gradient) is reachable: a raster whose
+    // last row descends sets it — the full 64-bit budget is in use
+    val desc = Multimodal.PpmImage(9, 8,
+      Array.tabulate[Byte](9 * 8 * 3) { i =>
+        val p = i / 3
+        (255 - (p % 9) * 20).toByte
+      })
+    assert(Multimodal.dHash9x8(desc) < 0, "bit 63 must be reachable")
+    // the small-raster guard still points at the scaled entry point
+    val e = intercept[IllegalArgumentException](Multimodal.dHash(img))
+    assert(e.getMessage.contains("dHash9x8"))
+  }
+
   test("resizePpmBilinear: hand-computed average and edge clamp") {
     // 2x2 -> 1x1: center maps to (0.5, 0.5) -> equal-weight average
     val src = Multimodal.PpmImage(2, 2,
