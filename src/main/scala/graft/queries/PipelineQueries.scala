@@ -2103,6 +2103,18 @@ object PipelineQueries {
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(20)
     }),
 
+    // the FULL tokenizer-training loop bpe_merge_pairs is one round
+    // of (round 13): 5 greedy merges over the evolving vocabulary —
+    // ONE corpus scan for word frequencies, then every round is
+    // vocabulary-sized with the winner recomputed and applied via
+    // deterministic string surgery (see BpeTrain's scaladoc for the
+    // double-space non-overlap argument). The oracle replays all 5
+    // rounds relationally — a generated CTE chain — so the hash gate
+    // proves both engines LEARN the same merge table, not just count
+    // the same pairs.
+    "bpe_train" -> ((s, d) =>
+      graft.operators.BpeTrain.train(Tables.documents(s, d), "text", 5)),
+
     // collocation mining by LIFT (log-free PMI: observed/expected
     // adjacency ratio — products and one division only, so both
     // engines produce bit-identical doubles; a log would hang the gate
@@ -4182,6 +4194,9 @@ object PipelineQueries {
         |      WHERE length(word) >= 2)
         |SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt FROM p GROUP BY a, b
         |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
+    // the generated 5-round CTE chain (pairs -> winner -> applied
+    // vocabulary per round) — see BpeTrain.oracleSql
+    "bpe_train" -> graft.operators.BpeTrain.oracleSql(5),
     "colloc_lift" ->
       """WITH tok AS (
         |  SELECT string_split(lower(text), ' ') AS w FROM documents),
