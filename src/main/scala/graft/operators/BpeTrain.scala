@@ -36,9 +36,31 @@ import org.apache.spark.sql.functions._
 object BpeTrain {
 
   def train(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 1000, s"nMerges out of range: $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
+    trainLoop(docs, textCol, nMerges)._1.toDF("step", "a", "b", "cnt")
+  }
+
+  /** Tokenizer APPLICATION — the other half a tokenizer ships: learn
+    * `nMerges` merges, segment every word into the learned subwords
+    * (the evolved vocabulary IS the segmentation — merges applied in
+    * training order), and emit the corpus subword-frequency table's
+    * top `topK`. Map-side after the loop: the final vocabulary
+    * explodes its symbol strings weighted by word frequency — still
+    * vocabulary-sized, never the corpus.
+    */
+  def subwordCounts(docs: DataFrame, textCol: String, nMerges: Int,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK=$topK")
+    val vocab = trainLoop(docs, textCol, nMerges)._2
+    vocab.select(explode(split(col("w"), " ")).as("token"), col("f"))
+      .groupBy("token").agg(sum("f").as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topK)
+  }
+
+  private def trainLoop(docs: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(nMerges >= 1 && nMerges <= 1000, s"nMerges out of range: $nMerges")
     // one corpus scan: word frequencies; then words become
     // space-separated character-symbol strings
     var vocab = docs
@@ -75,7 +97,7 @@ object BpeTrain {
         .select(trim(regexp_replace(applied, " +", " ")).as("w"), col("f"))
         .localCheckpoint(true)
     }
-    merges.result().toDF("step", "a", "b", "cnt")
+    (merges.result(), vocab)
   }
 
   /** The DuckDB replay of [[train]] for a FIXED merge count: one CTE
@@ -116,5 +138,20 @@ object BpeTrain {
       .map(i => s"SELECT CAST($i AS INTEGER) AS step, a, b, cnt FROM w$i")
       .mkString("\nUNION ALL\n")
     s"WITH $init,\n${rounds.mkString(",\n")}\n$out\nORDER BY step"
+  }
+
+  /** The [[subwordCounts]] replay: the same per-round CTE chain, then
+    * the final vocabulary's symbols exploded and frequency-weighted.
+    */
+  def encodeOracleSql(nMerges: Int, topK: Int): String = {
+    val base = oracleSql(nMerges)
+    val cut = base.lastIndexOf("\nSELECT CAST(1 AS INTEGER) AS step")
+    require(cut > 0, "oracle chain anchor missing")
+    base.substring(0, cut) +
+      s"""
+         |SELECT token, CAST(SUM(f) AS BIGINT) AS n FROM (
+         |  SELECT unnest(string_split(w, ' ')) AS token, f
+         |  FROM v$nMerges) t
+         |GROUP BY token ORDER BY n DESC, token LIMIT $topK""".stripMargin
   }
 }

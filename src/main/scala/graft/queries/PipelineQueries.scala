@@ -2115,6 +2115,14 @@ object PipelineQueries {
     "bpe_train" -> ((s, d) =>
       graft.operators.BpeTrain.train(Tables.documents(s, d), "text", 5)),
 
+    // ...and the APPLICATION: segment every word into the 5 learned
+    // subwords (the evolved vocabulary IS the segmentation) and rank
+    // the corpus subword frequencies — what a tokenizer's vocab file
+    // ships as. Still vocabulary-sized after the one corpus scan.
+    "bpe_encode" -> ((s, d) =>
+      graft.operators.BpeTrain.subwordCounts(
+        Tables.documents(s, d), "text", 5, 30)),
+
     // collocation mining by LIFT (log-free PMI: observed/expected
     // adjacency ratio — products and one division only, so both
     // engines produce bit-identical doubles; a log would hang the gate
@@ -4197,6 +4205,9 @@ object PipelineQueries {
     // the generated 5-round CTE chain (pairs -> winner -> applied
     // vocabulary per round) — see BpeTrain.oracleSql
     "bpe_train" -> graft.operators.BpeTrain.oracleSql(5),
+    // same chain, final vocabulary exploded into weighted subword
+    // frequencies
+    "bpe_encode" -> graft.operators.BpeTrain.encodeOracleSql(5, 30),
     "colloc_lift" ->
       """WITH tok AS (
         |  SELECT string_split(lower(text), ' ') AS w FROM documents),

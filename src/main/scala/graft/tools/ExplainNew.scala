@@ -7,7 +7,10 @@ object ExplainNew {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- Seq("label_propagation", "dsir_resample", "image_dhash",
-        "pivot_grid_bfill")) {
+        "pivot_grid_bfill",
+        // round-13 additions
+        "bloom_bulk_membership", "ann_ivf_retrained",
+        "image_dhash_scaled", "bpe_train")) {
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       val plan = df.queryExecution.executedPlan.toString

@@ -145,7 +145,15 @@ object ScaleSmoke {
       // the session's remaining corpus-shaped additions: resample
       // explode (output <= 4n), per-image decode+hash (map-side), and
       // JSON path extraction (one scan)
-      "dsir_resample", "image_dhash", "json_extract")
+      "dsir_resample", "image_dhash", "json_extract",
+      // round-13 additions: bulk bloom membership (executor-side
+      // screen over corpus-sized probes + pruned confirm), the full
+      // build+retrain lifecycle (cold via buildGated — the gate IS
+      // train+rewrite, which must track corpus size), real-resolution
+      // dHash (map-side decode+resample), and the 5-round BPE loop
+      // (one corpus scan, then vocabulary-sized rounds)
+      "bloom_bulk_membership", "ann_ivf_retrained",
+      "image_dhash_scaled", "bpe_train")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>
@@ -164,7 +172,7 @@ object ScaleSmoke {
     // include it and the ratio measures that build's scaling.
     val buildGated = Set("ann_ivf_incremental", "kmeans_embed",
       "ann_ivf_deleted", "ann_ivf_purged", "bloom_lookup_incremental",
-      "bloom_lookup_compacted")
+      "bloom_lookup_compacted", "ann_ivf_retrained")
     for (n <- heavy if !buildGated(n); d <- Seq(base, sf1Dir))
       graft.SparkEntry.queries(n)(spark, d).count()
     // build-gated queries stay cold by design (their gate IS the
@@ -209,6 +217,11 @@ object ScaleSmoke {
           org.apache.spark.sql.functions.lit(4)), bidx)
       graft.sources.FileBloomIndex
         .lookup(spark, bidx, "doc_id", "40").count()
+      // warm the retrain path (JIT/codegen) on the throwaway index so
+      // the build-gated sf0.1 number is not the first-ever retrain
+      graft.operators.SimilarityOps.retrainIvfIndex(spark, idx, 3, 1)
+      graft.operators.SimilarityOps
+        .annIvfFromIndexMultiProbe(spark, idx, 70L, 3, 2).count()
     }
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -52,6 +52,18 @@ class BpeTrainSpec extends SparkTestBase {
     assert(e.getMessage.contains("vocabulary exhausted at merge"))
   }
 
+  test("subwordCounts: segmentation by the learned merges, weighted") {
+    // after 1 merge (a,b) the word "abab" (f=3) segments [ab, ab]:
+    // token "ab" carries 2 x 3 = 6
+    val t1 = BpeTrain.subwordCounts(docs("abab abab abab"), "text", 1, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(t1 == Seq(("ab", 6L)), t1.toString)
+    // mixed vocabulary: "xy" f=3 merges, "yz" f=2 stays split after 1
+    val t2 = BpeTrain.subwordCounts(docs("xy xy yz", "xy yz"), "text", 1, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(t2 == Seq(("xy", 3L), ("y", 2L), ("z", 2L)), t2.toString)
+  }
+
   test("oracle generator emits one CTE chain per round") {
     val sql = BpeTrain.oracleSql(3)
     for (i <- 1 to 3) {

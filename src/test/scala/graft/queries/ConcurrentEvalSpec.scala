@@ -36,7 +36,11 @@ class ConcurrentEvalSpec extends SparkTestBase {
     // SQ8 probe (whose codes stage nests the quantizer stage —
     // reentrant on the stage-registry monitor)
     "bloom_point_lookup", "bloom_lookup_incremental",
-    "bloom_lookup_compacted", "ann_sq8")) {
+    "bloom_lookup_compacted", "ann_sq8",
+    // round-13 staged fixtures: the retrained IVF index (build +
+    // retrain nested in one staged build) and the bulk-membership
+    // consumer of the shared bloom-index stage
+    "ann_ivf_retrained", "bloom_bulk_membership")) {
     test(s"$q: two concurrent evaluations do not race their scratch store") {
       val runs = (1 to 2).map(_ => Future {
         SparkEntry.queries(q)(spark, sf).collect().length
