@@ -1594,6 +1594,48 @@ object PipelineQueries {
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
+    // TOMBSTONE delete on the bloom index — bloom bits cannot be
+    // unset, so deletes are a metadata-sized key sidecar every read
+    // path anti-joins (round 13; the deletion-vector verb the IVF
+    // index already carried): build over the corpus, delete two ids,
+    // look up two deleted + two live keys — only the live rows may
+    // come back, which is exactly what the oracle's plain filter
+    // replays. No data file is read or rewritten by the delete.
+    "bloom_lookup_deleted" -> ((s, d) => {
+      val idx = stagedPath(s, d, "fbloomdel") { p =>
+        val docs = Tables.documents(s, d)
+        graft.sources.FileBloomIndex.write(docs, "doc_id",
+          pmod(hash(col("text")), lit(16)), p,
+          math.max(docs.count() / 16, 64L))
+        graft.sources.FileBloomIndex.delete(s, p, Seq("7", "300"))
+      }
+      Seq("7", "8", "300", "301")
+        .map(k => graft.sources.FileBloomIndex.lookup(s, idx, "doc_id", k)
+          .select("doc_id", "lang", "source", "n_chars"))
+        .reduce(_ unionAll _)
+    }),
+
+    // ...and the PURGE: compact physically rewrites only the buckets
+    // holding deleted keys, REBUILDS those buckets' blooms from the
+    // surviving rows (touched shards only — the others byte-identical,
+    // pinned in FileBloomIndexSpec), and clears the tombstones — after
+    // which the same lookups answer identically without paying the
+    // mask. Same oracle: purge must change no answer.
+    "bloom_lookup_purged" -> ((s, d) => {
+      val idx = stagedPath(s, d, "fbloompur") { p =>
+        val docs = Tables.documents(s, d)
+        graft.sources.FileBloomIndex.write(docs, "doc_id",
+          pmod(hash(col("text")), lit(16)), p,
+          math.max(docs.count() / 16, 64L))
+        graft.sources.FileBloomIndex.delete(s, p, Seq("7", "300"))
+        graft.sources.FileBloomIndex.compact(s, p)
+      }
+      Seq("7", "8", "300", "301")
+        .map(k => graft.sources.FileBloomIndex.lookup(s, idx, "doc_id", k)
+          .select("doc_id", "lang", "source", "n_chars"))
+        .reduce(_ unionAll _)
+    }),
+
     // BULK membership against the bloom index — the backfill shape
     // (round-13 close of the existingKeys driver-loop edge): a probe
     // set of every-7th doc_id plus as many ABSENT ids tests
@@ -3257,6 +3299,14 @@ object PipelineQueries {
     "bloom_lookup_compacted" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE doc_id = 300""".stripMargin,
+    // tombstones mask exactly the deleted ids; live lookups unchanged
+    "bloom_lookup_deleted" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE doc_id IN (8, 301)""".stripMargin,
+    // the physical purge changes layout and sidecar, never the answer
+    "bloom_lookup_purged" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE doc_id IN (8, 301)""".stripMargin,
     // bloom screen + exact confirm == plain membership: absent probes
     // (the +1000000 ids) drop either at the bloom or at the confirm
     // join, present probes survive both (no false negatives)

@@ -91,10 +91,11 @@ object FileBloomIndex {
       .groupBy(col("fbib").cast("int").as("bucket"))
       .agg(BloomAgg.bloom_agg(col(keyCol).cast("string"),
         expectedPerBucket, fpp).as("bloom"))
-      // filter params ride in the sidecar so appends can build
-      // bit-compatible batch filters without out-of-band knowledge
+      // filter params AND the key column ride in the sidecar so
+      // appends and the tombstone purge need no out-of-band knowledge
       .withColumn("expected_items", lit(expectedPerBucket))
       .withColumn("fpp", lit(fpp))
+      .withColumn("key_col", lit(keyCol))
     val fs = fsFor(df.sparkSession, path)
     val staged = stageShards(blooms, path, bucketsPerShard)
     // fresh build: clear any previous sidecar (either format), then
@@ -130,7 +131,7 @@ object FileBloomIndex {
   def append(batch: DataFrame, keyCol: String,
       layout: org.apache.spark.sql.Column, path: String): Unit = {
     val spark = batch.sparkSession
-    upgradeV1(spark, path)
+    upgradeV1(spark, path, keyCol)
     val fs = fsFor(spark, path)
     val shards = listShards(fs, path)
     require(shards.nonEmpty, s"no bloom sidecar at $path — write() first")
@@ -176,6 +177,7 @@ object FileBloomIndex {
       val mergedDf = merged.toDF("bucket", "bloom")
         .withColumn("expected_items", lit(expected))
         .withColumn("fpp", lit(fppV))
+        .withColumn("key_col", lit(keyCol))
       // stage EVERY touched shard's replacement as <name>.next before
       // swapping ANY — a .next, once present, is always complete
       // (rename is atomic) and always safe to adopt (superset merge)
@@ -193,19 +195,85 @@ object FileBloomIndex {
       .write.partitionBy("fbib").mode("append").parquet(s"$path/data")
   }
 
-  /** Compact the small-file debt appends accrue: rewrite ONLY buckets
-    * holding more than `maxFilesPerBucket` part files (localCheckpoint
-    * materializes them first — Spark rightly refuses to overwrite a
-    * path it is still reading — then dynamic partition overwrite
-    * replaces just the rewritten buckets). Content is preserved
-    * row-for-row; untouched buckets and the sidecar stay byte-
-    * identical (bloom bits are a function of the item set, which
-    * compaction does not change) — all pinned in FileBloomIndexSpec.
+  /** TOMBSTONE delete — the deletion-vector verb mirrored from the IVF
+    * index ([[graft.operators.SimilarityOps.deleteFromIvfIndex]]):
+    * bloom bits cannot be UNSET, so deleting appends the key strings
+    * to a `_tombstones` sidecar (one metadata-sized file per delete
+    * batch; no data or sidecar shard is read or rewritten — a delete
+    * is O(batch) like an append). Every read path masks results
+    * against the broadcast tombstone set, and [[compact]] physically
+    * PURGES: only the buckets actually holding deleted keys rewrite,
+    * their blooms REBUILD from the surviving rows (bit-compatible
+    * params, so shard merges still equal a fresh build over the
+    * survivors), only the touched shards swap, and the tombstones
+    * clear. Tombstone growth is bounded by compaction cadence — what
+    * keeps the mask broadcast small at any index size.
+    *
+    * Contract (the IVF ingest rule): delete WINS over a replayed or
+    * re-appended insert — [[graft.streaming.BloomStreams]] drops
+    * tombstoned keys from every batch, so re-ingesting a deleted key
+    * requires purging first. Deleting an absent key is a harmless
+    * no-op row.
+    */
+  def delete(spark: SparkSession, path: String, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "empty delete keys")
+    require(!keys.contains(null), "null keys are never indexed — " +
+      "nothing to delete")
+    import spark.implicits._
+    keys.distinct.toDF("k")
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/_tombstones")
+  }
+
+  /** The `_tombstones` sidecar as a distinct key set; None when the
+    * index has no pending deletes.
+    */
+  private[graft] def tombstonesDf(spark: SparkSession,
+      path: String): Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(s"$path/_tombstones")
+      df.schema // force resolution so a missing dir lands HERE
+      Some(df.select("k").distinct())
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Mask tombstoned keys out of a frame whose `keyExpr` renders the
+    * index key as string — the one mask every read path shares.
+    */
+  private def maskTombstones(spark: SparkSession, path: String,
+      df: DataFrame, keyExpr: org.apache.spark.sql.Column): DataFrame =
+    tombstonesDf(spark, path) match {
+      case Some(ts) =>
+        df.join(broadcast(ts.withColumnRenamed("k", "_ts_k")),
+          keyExpr === col("_ts_k"), "left_anti")
+      case None => df
+    }
+
+  /** Compact the small-file debt appends accrue — and physically PURGE
+    * pending [[delete]] tombstones first: the buckets holding deleted
+    * keys are located through the (memoized) blooms plus an exact
+    * confirm read, rewritten without the dead rows (emptied bucket
+    * dirs removed), their blooms REBUILT from the surviving rows, the
+    * touched sidecar shards swapped, and `_tombstones` cleared — after
+    * which the index is byte-equivalent to one never containing the
+    * deleted rows and reads stop paying the mask. Crash ordering:
+    * data rewrite, then sidecar shards, then the tombstone clear LAST
+    * — every intermediate state either still masks or only
+    * over-approximates.
+    *
+    * Then buckets holding more than `maxFilesPerBucket` part files
+    * rewrite as one file each (localCheckpoint materializes them first
+    * — Spark rightly refuses to overwrite a path it is still reading —
+    * then dynamic partition overwrite replaces just the rewritten
+    * buckets). Content is preserved row-for-row; untouched buckets and
+    * sidecar shards stay byte-identical (bloom bits are a function of
+    * the item set, which file compaction does not change) — all pinned
+    * in FileBloomIndexSpec.
     */
   def compact(spark: SparkSession, path: String,
       maxFilesPerBucket: Int = 1): Unit = {
     require(maxFilesPerBucket >= 1, s"maxFilesPerBucket=$maxFilesPerBucket")
     val fs = fsFor(spark, path)
+    purgeTombstones(spark, fs, path)
     val dataRoot = hp(s"$path/data")
     def parquetCount(p: org.apache.hadoop.fs.Path): Int =
       fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
@@ -222,6 +290,116 @@ object FileBloomIndex {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("fbib").parquet(s"$path/data")
     }
+  }
+
+  /** The purge half of [[compact]]; see its scaladoc. The key column
+    * comes from the sidecar itself (`key_col` rides in every shard,
+    * like expected_items/fpp — lifecycle verbs need no out-of-band
+    * knowledge), so purge works from the stored state alone.
+    */
+  private def purgeTombstones(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val tsPath = hp(s"$path/_tombstones")
+    if (!fs.exists(tsPath)) return
+    val shards = listShards(fs, path)
+    require(shards.nonEmpty, s"no bloom sidecar at $path — write() first")
+    val head = spark.read.parquet(shards.head._3.toString)
+    require(head.columns.contains("key_col"),
+      s"$path sidecar predates key_col — rebuild with write() (or " +
+        "append once) before purging tombstones")
+    val params = head.select("expected_items", "fpp", "key_col").head()
+    require(!params.isNullAt(2),
+      s"$path sidecar has a null key_col (mixed-era shards?) — " +
+        "rebuild with write() before purging tombstones")
+    val expected = params.getLong(0)
+    val fppV = params.getDouble(1)
+    val keyCol = params.getString(2)
+    val ts = spark.read.parquet(s"$path/_tombstones")
+      .select("k").distinct().localCheckpoint()
+    // locate: bloom-candidate buckets for the tombstoned keys
+    // (executor-side, a superset), then an exact pruned confirm —
+    // only buckets PROVABLY holding dead rows rewrite
+    val bc = spark.sparkContext.broadcast(loadFilters(spark, path))
+    val candOf = udf((k: String) =>
+      bc.value.collect { case (b, f) if f.mightContainString(k) => b })
+    val cands = ts.select(explode(candOf(col("k"))).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val touched: Array[Int] =
+      if (cands.isEmpty) Array.empty
+      else {
+        val read = spark.read.option("basePath", s"$path/data")
+          .parquet(cands.map(b => s"$path/data/fbib=$b").toSeq: _*)
+        read.join(broadcast(ts),
+            read(keyCol).cast("string") === ts("k"))
+          .select(col("fbib").cast("int")).distinct()
+          .collect().map(_.getInt(0)).sorted
+      }
+    if (touched.nonEmpty) {
+      // (1) DATA: rewrite only the touched buckets without the dead
+      // rows; drop bucket dirs the purge emptied (dynamic overwrite
+      // only replaces partitions it WRITES)
+      val touchedRead = spark.read.option("basePath", s"$path/data")
+        .parquet(touched.map(b => s"$path/data/fbib=$b").toSeq: _*)
+      val kept = touchedRead.join(
+          broadcast(ts.withColumnRenamed("k", "_ts_k")),
+          touchedRead(keyCol).cast("string") === col("_ts_k"),
+          "left_anti")
+        .localCheckpoint() // materialize BEFORE overwriting the source
+      val surviving = kept.select(col("fbib").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (surviving.nonEmpty)
+        kept.repartition(surviving.size, col("fbib"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("fbib").parquet(s"$path/data")
+      (touched.toSet -- surviving).foreach(b =>
+        fs.delete(hp(s"$path/data/fbib=$b"), true))
+      // (2) SIDECAR: rebuild the touched buckets' blooms from the
+      // REWRITTEN files read back (the write()-time consistency
+      // discipline), replace them inside their shards, swap only
+      // those shards; a shard left bucket-less is deleted outright
+      val freshBlooms: Map[Int, Array[Byte]] =
+        if (surviving.isEmpty) Map.empty
+        else spark.read.option("basePath", s"$path/data")
+          .parquet(surviving.toSeq.sorted
+            .map(b => s"$path/data/fbib=$b"): _*)
+          .groupBy(col("fbib").cast("int").as("bucket"))
+          .agg(BloomAgg.bloom_agg(col(keyCol).cast("string"),
+            expected, fppV).as("bloom"))
+          .collect().map(r =>
+            r.getAs[Int]("bucket") -> r.getAs[Array[Byte]]("bloom")).toMap
+      val bps = shards.head._2
+      val touchedLos = touched.map(b => loOf(b, bps)).toSet
+      val oldTouched: Map[Int, Array[Byte]] = {
+        val dirs = shards.collect {
+          case (lo, _, p) if touchedLos(lo) => p.toString }
+        spark.read.parquet(dirs: _*).collect()
+          .map(r => r.getAs[Int]("bucket") ->
+            r.getAs[Array[Byte]]("bloom")).toMap
+      }
+      val newRows = (oldTouched -- touched) ++ freshBlooms
+      import spark.implicits._
+      if (newRows.nonEmpty) {
+        val mergedDf = newRows.toSeq.toDF("bucket", "bloom")
+          .withColumn("expected_items", lit(expected))
+          .withColumn("fpp", lit(fppV))
+          .withColumn("key_col", lit(keyCol))
+        val staged = stageShards(mergedDf, path, bps)
+        staged.foreach { case (lo, tmpDir) =>
+          val next = nextPath(path, lo, bps)
+          fs.delete(next, true)
+          checkedRename(fs, tmpDir, next)
+        }
+        fs.delete(hp(tmpRoot(path)), true)
+        staged.foreach { case (lo, _) => swapShard(fs, path, lo, bps) }
+        val stagedLos = staged.map(_._1).toSet
+        (touchedLos -- stagedLos).foreach(lo =>
+          fs.delete(shardPath(path, lo, bps), true))
+      } else
+        touchedLos.foreach(lo => fs.delete(shardPath(path, lo, bps), true))
+    }
+    // (3) tombstones LAST: every earlier crash state still masks
+    fs.delete(tsPath, true)
   }
 
   // ---- sharded sidecar plumbing ----
@@ -339,12 +517,17 @@ object FileBloomIndex {
     * `_blooms.d` once present, so the post-write `_blooms` delete has
     * no unreadable window.
     */
-  private def upgradeV1(spark: SparkSession, path: String): Unit = {
+  private def upgradeV1(spark: SparkSession, path: String,
+      keyCol: String): Unit = {
     val fs = fsFor(spark, path)
     if (fs.exists(shardRoot(path))) return
     healV1(fs, path)
     if (!fs.exists(hp(s"$path/_blooms"))) return
-    val v1 = spark.read.parquet(s"$path/_blooms")
+    val v1raw = spark.read.parquet(s"$path/_blooms")
+    // v1 sidecars predate key_col: attach it during the reshard
+    val v1 =
+      if (v1raw.columns.contains("key_col")) v1raw
+      else v1raw.withColumn("key_col", lit(keyCol))
     val staged = stageShards(v1, path, DefaultBucketsPerShard)
     require(fs.mkdirs(shardRoot(path)), s"cannot create ${shardRoot(path)}")
     staged.foreach { case (lo, tmpDir) =>
@@ -473,7 +656,7 @@ object FileBloomIndex {
     val pruned = spark.read.option("basePath", s"$path/data")
       .parquet(buckets.map(b => s"$path/data/fbib=$b").toSeq: _*)
       .select(col(keyCol).cast("string").as("k"))
-    pruned.join(kd, "k").distinct()
+    maskTombstones(spark, path, pruned.join(kd, "k").distinct(), col("k"))
   }
 
   /** Which of `keys` already exist in the index — the batch-bounded
@@ -506,6 +689,8 @@ object FileBloomIndex {
       else
         spark.read.option("basePath", s"$path/data")
           .parquet(cands.map(b => s"$path/data/fbib=$b"): _*)
-    base.drop("fbib").filter(col(keyCol).cast("string") === key)
+    maskTombstones(spark, path,
+      base.drop("fbib").filter(col(keyCol).cast("string") === key),
+      col(keyCol).cast("string"))
   }
 }

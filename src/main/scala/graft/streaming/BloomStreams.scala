@@ -52,13 +52,23 @@ object BloomStreams {
     require(b.filter(col(keyCol).isNull).isEmpty,
       s"null $keyCol keys cannot be bloom-indexed — drop or key them " +
         "upstream")
+    // tombstoned keys drop FIRST — delete wins over a replayed (or
+    // fresh) insert, exactly the AnnStreams ingest rule: without this
+    // a deleted key's re-arrival would append a masked row that the
+    // next purge silently destroys
+    val live = FileBloomIndex.tombstonesDf(spark, indexDir) match {
+      case Some(ts) => b.join(
+        broadcast(ts.withColumnRenamed("k", "_ts_k")),
+        b(keyCol).cast("string") === col("_ts_k"), "left_anti")
+      case None => b
+    }
     // replayed keys drop via a relational anti-join against the bulk
     // membership frame — never an isin literal (a fully-replayed batch
     // would put EVERY key in the list and explode the plan)
     val existing = FileBloomIndex.existingKeysDf(spark, indexDir, keyCol,
-      b.select(col(keyCol).cast("string").as("k")), "k")
-    val fresh = b.join(existing,
-      b(keyCol).cast("string") === existing("k"), "left_anti")
+      live.select(col(keyCol).cast("string").as("k")), "k")
+    val fresh = live.join(existing,
+      live(keyCol).cast("string") === existing("k"), "left_anti")
     if (!fresh.isEmpty)
       FileBloomIndex.append(fresh, keyCol, layout, indexDir)
   }

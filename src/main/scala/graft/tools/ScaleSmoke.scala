@@ -153,7 +153,13 @@ object ScaleSmoke {
       // dHash (map-side decode+resample), and the 5-round BPE loop
       // (one corpus scan, then vocabulary-sized rounds)
       "bloom_bulk_membership", "ann_ivf_retrained",
-      "image_dhash_scaled", "bpe_train")
+      "image_dhash_scaled", "bpe_train",
+      // round-13 continuation: bloom tombstone delete (build + the
+      // O(batch) sidecar append; reads pay the broadcast mask) and
+      // physical purge (additionally rewrites touched buckets and
+      // rebuilds their blooms) — both cold via buildGated, the
+      // ann_ivf_deleted/purged pattern
+      "bloom_lookup_deleted", "bloom_lookup_purged")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>
@@ -172,7 +178,8 @@ object ScaleSmoke {
     // include it and the ratio measures that build's scaling.
     val buildGated = Set("ann_ivf_incremental", "kmeans_embed",
       "ann_ivf_deleted", "ann_ivf_purged", "bloom_lookup_incremental",
-      "bloom_lookup_compacted", "ann_ivf_retrained")
+      "bloom_lookup_compacted", "ann_ivf_retrained",
+      "bloom_lookup_deleted", "bloom_lookup_purged")
     for (n <- heavy if !buildGated(n); d <- Seq(base, sf1Dir))
       graft.SparkEntry.queries(n)(spark, d).count()
     // build-gated queries stay cold by design (their gate IS the

@@ -99,4 +99,20 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got(0L).contains("x") && got(10L).contains("b") &&
       got(11L).contains("a"))
   }
+
+  test("labelPropagate: dst-only nodes of a directed edge list vote in") {
+    val sqlc = spark
+    import sqlc.implicits._
+    // NON-symmetrized edges 0->1->2: node 2 never appears as a src.
+    // The scaladoc contract is "(id, label) for every node incident to
+    // an edge" — 2 must be present AND receive 1's round-1 label in
+    // round 2 (it was silently dropped before round 13's node-set fix)
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    val seeds = Seq((0L, "x")).toDF("id", "lab")
+    val got = GraphOps.labelPropagate(edges, "a", "b", seeds, "id", "lab", 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L),
+      s"every incident node must appear, got ${got.keySet}")
+    assert(got(1L).contains("x") && got(2L).contains("x"))
+  }
 }

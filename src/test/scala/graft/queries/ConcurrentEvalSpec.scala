@@ -38,9 +38,11 @@ class ConcurrentEvalSpec extends SparkTestBase {
     "bloom_point_lookup", "bloom_lookup_incremental",
     "bloom_lookup_compacted", "ann_sq8",
     // round-13 staged fixtures: the retrained IVF index (build +
-    // retrain nested in one staged build) and the bulk-membership
-    // consumer of the shared bloom-index stage
-    "ann_ivf_retrained", "bloom_bulk_membership")) {
+    // retrain nested in one staged build), the bulk-membership
+    // consumer of the shared bloom-index stage, and the
+    // delete/purge lifecycle stages
+    "ann_ivf_retrained", "bloom_bulk_membership",
+    "bloom_lookup_deleted", "bloom_lookup_purged")) {
     test(s"$q: two concurrent evaluations do not race their scratch store") {
       val runs = (1 to 2).map(_ => Future {
         SparkEntry.queries(q)(spark, sf).collect().length

@@ -332,6 +332,114 @@ class FileBloomIndexSpec extends SparkTestBase {
     assert(bloomsOf(p) == bloomsOf(full))
   }
 
+  test("delete masks every read path; purge removes rows physically " +
+      "and rebuilds only the touched blooms") {
+    val base = graft.queries.QueryTmp.dir("fbloomdel")
+    val docs = Tables.documents(spark, sf)
+    val layout = pmod(hash(col("text")), lit(16))
+    val p = s"$base/idx"
+    FileBloomIndex.write(docs, "doc_id", layout, p, 64L,
+      bucketsPerShard = 4)
+    val dataBefore = fileHashes(new java.io.File(s"$p/data"))
+    val dead = Seq("7", "300", "999999") // the last is absent: no-op
+    FileBloomIndex.delete(spark, p, dead)
+    // the delete itself rewrites nothing
+    assert(fileHashes(new java.io.File(s"$p/data")) == dataBefore,
+      "delete must be a sidecar append, not a data rewrite")
+    // masked: lookups and membership stop seeing the keys, live keys
+    // unaffected
+    assert(FileBloomIndex.lookup(spark, p, "doc_id", "7").count() == 0)
+    assert(FileBloomIndex.lookup(spark, p, "doc_id", "300").count() == 0)
+    assert(FileBloomIndex.lookup(spark, p, "doc_id", "8").count() == 1)
+    assert(FileBloomIndex.existingKeys(spark, p, "doc_id",
+      Seq("7", "8", "300")) == Set("8"))
+    // PURGE: rows physically gone, tombstones cleared, blooms of the
+    // touched buckets equal a fresh build over the survivors
+    val sidecarBefore = fileHashes(new java.io.File(s"$p/_blooms.d"))
+    val touched = Seq("7", "300")
+      .map(k => FileBloomIndex.candidateBuckets(spark, p, k))
+    FileBloomIndex.compact(spark, p)
+    assert(!new java.io.File(s"$p/_tombstones").exists(),
+      "purge must clear the tombstone sidecar")
+    val ids = spark.read.parquet(s"$p/data").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(7L) && !ids.contains(300L) && ids.contains(8L))
+    // answers identical to the masked reads
+    assert(FileBloomIndex.lookup(spark, p, "doc_id", "7").count() == 0)
+    assert(FileBloomIndex.lookup(spark, p, "doc_id", "8").count() == 1)
+    // bloom parity: purged sidecar == one-shot build over survivors
+    val full = s"$base/full"
+    FileBloomIndex.write(
+      docs.filter(!col("doc_id").isin(7L, 300L)),
+      "doc_id", layout, full, 64L, bucketsPerShard = 4)
+    assert(bloomsOf(p) == bloomsOf(full),
+      "purged blooms must equal a fresh build over the survivors")
+    // only the shards holding the dead keys' buckets were swapped
+    val sidecarAfter = fileHashes(new java.io.File(s"$p/_blooms.d"))
+    val touchedShards = touched.flatten.map(b => (b / 4) * 4)
+      .map(lo => s"/${lo}-${lo + 3}/").toSet
+    sidecarBefore.filterNot { case (f, _) =>
+      touchedShards.exists(f.contains) }.foreach { case (f, h) =>
+      assert(sidecarAfter.get(f).contains(h),
+        s"purge rewrote a shard outside the touched set: $f")
+    }
+    // a second compact is a no-op (no tombstones, no fat buckets)
+    val after = fileHashes(new java.io.File(s"$p/data"))
+    FileBloomIndex.compact(spark, p)
+    assert(fileHashes(new java.io.File(s"$p/data")) == after)
+  }
+
+  test("purge that empties a bucket removes its dir and bloom row") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val base = graft.queries.QueryTmp.dir("fbloomempt")
+    val p = s"$base/idx"
+    def rows(r: Range, b: Int) = r.map(i => (i.toLong, b)).toDF("id", "b")
+    FileBloomIndex.write(
+      rows(0 until 4, 0).union(rows(10 until 14, 1))
+        .union(rows(20 until 24, 8)),
+      "id", col("b"), p, 64L, bucketsPerShard = 4)
+    // kill bucket 1 entirely (its shard 0-3 keeps bucket 0) and
+    // bucket 8 entirely (emptying shard 8-11 outright)
+    FileBloomIndex.delete(spark, p,
+      (10L until 14L).map(_.toString) ++ (20L until 24L).map(_.toString))
+    FileBloomIndex.compact(spark, p)
+    assert(!new java.io.File(s"$p/data/fbib=1").exists(),
+      "emptied bucket dir must be removed")
+    assert(!new java.io.File(s"$p/data/fbib=8").exists())
+    assert(!new java.io.File(s"$p/_blooms.d/8-11").exists(),
+      "a shard left bucket-less must be deleted")
+    assert(bloomsOf(p).keySet == Set(0),
+      s"sidecar must keep only bucket 0, got ${bloomsOf(p).keySet}")
+    assert(FileBloomIndex.lookup(spark, p, "id", "2")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(FileBloomIndex.lookup(spark, p, "id", "11").count() == 0)
+  }
+
+  test("delete wins over re-ingest until purged (the streaming contract)") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val base = graft.queries.QueryTmp.dir("fbloomdelwin")
+    val p = s"$base/idx"
+    val rows = (0L until 16L).map(i => (i, (i % 4).toInt)).toDF("id", "b")
+    FileBloomIndex.write(rows, "id", col("b"), p, 64L)
+    FileBloomIndex.delete(spark, p, Seq("5"))
+    // a replayed/re-appended batch containing the tombstoned key must
+    // drop it (otherwise the next purge silently destroys the new row)
+    graft.streaming.BloomStreams.ingestBatch(
+      Seq((5L, 1), (99L, 3)).toDF("id", "b"), "id", col("b"), p)
+    assert(FileBloomIndex.lookup(spark, p, "id", "99").count() == 1,
+      "the live part of the batch must ingest")
+    assert(FileBloomIndex.lookup(spark, p, "id", "5").count() == 0)
+    FileBloomIndex.compact(spark, p)
+    assert(spark.read.parquet(s"$p/data").filter(col("id") === 5L)
+      .count() == 0, "no masked row may survive the purge")
+    // after the purge the key can re-ingest
+    graft.streaming.BloomStreams.ingestBatch(
+      Seq((5L, 1)).toDF("id", "b"), "id", col("b"), p)
+    assert(FileBloomIndex.lookup(spark, p, "id", "5").count() == 1)
+  }
+
   test("pruning: candidates are a strict subset and inputFiles stay inside") {
     val cands = FileBloomIndex.candidateBuckets(spark, idx, "7")
     assert(cands.nonEmpty && cands.size < 16,
