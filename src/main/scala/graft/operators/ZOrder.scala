@@ -53,11 +53,51 @@ object ZOrder {
       floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0)
         .cast("long"))
 
+  /** Equi-depth (rank) code in [0, boundaries.length]: the number of
+    * sorted boundary values <= x — a codegen'd fold over the literal
+    * boundary array, no UDF, no join.
+    */
+  def equiDepthCode(c: Column, boundaries: Array[Double]): Column =
+    aggregate(lit(boundaries), lit(0L), (acc, b) =>
+      acc + when(c.cast("double") >= b, 1L).otherwise(0L))
+
+  /** [[writeZOrdered]] for heavily SKEWED keys: min-max normalization
+    * collapses when mass concentrates — 99% of rows in 1% of the range
+    * all map to a handful of codes, so file stat-boxes stop shrinking
+    * on that dimension and range queries inside the dense region prune
+    * nothing (pinned in ZOrderSpec's skew fixture). Equi-depth
+    * bucketing rank-normalizes each key through its own 255-boundary
+    * approximate-quantile table (ONE metadata-sized stats pass,
+    * `relErr` controls boundary placement only — row content is
+    * untouched, z-ordering is pure layout and answers are identical),
+    * spreading rows uniformly over 256 codes per dim REGARDLESS of the
+    * distribution. The Morton interleave is unchanged (codes use the
+    * low 8 of the 16 interleavable bits — 256 distinct stat-box edges
+    * per dim, plenty for file-level pruning at any practical nFiles).
+    */
+  def writeZOrderedEquiDepth(df: DataFrame, c1: String, c2: String,
+      path: String, nFiles: Int, relErr: Double = 0.001): Unit = {
+    val probs = (1 until 256).map(_ / 256.0).toArray
+    val qs = df.stat.approxQuantile(Array(c1, c2), probs, relErr)
+    require(qs(0).nonEmpty && qs(1).nonEmpty,
+      s"writeZOrderedEquiDepth: no non-null ($c1, $c2) values — empty " +
+        "input or all-null keys; nothing written")
+    val z = morton16(
+      equiDepthCode(col(c1), qs(0)), equiDepthCode(col(c2), qs(1)))
+    df.withColumn("_zkey", z)
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write `df` as parquet z-ordered on (c1, c2) into ~`nFiles`
     * files. One stats pass for the normalization bounds, one
     * range-exchange on the Morton key, local sort, write; the key is
     * dropped from the persisted schema. Row content is untouched —
     * z-ordering is pure layout, results of any query are identical.
+    * Min-max normalization — right for roughly uniform keys; heavily
+    * skewed keys want [[writeZOrderedEquiDepth]].
     */
   def writeZOrdered(df: DataFrame, c1: String, c2: String,
       path: String, nFiles: Int): Unit = {

@@ -175,6 +175,18 @@ object PipelineQueries {
         "user_id", "value", p, 16)
     })
 
+  /** The same events relation laid out by the EQUI-DEPTH z-order
+    * writer — rank-normalized codes, the skew-robust variant.
+    */
+  private[graft] def stagedZOrderEventsEq(s: SparkSession,
+      d: String): DataFrame =
+    s.read.parquet(stagedPath(s, d, "zordereq") { p =>
+      graft.operators.ZOrder.writeZOrderedEquiDepth(
+        Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "value"),
+        "user_id", "value", p, 16)
+    })
+
   /** The banded-self-join candidate build (exposed for the plan pin:
     * the staged read hides the exchange-reuse shape being asserted).
     */
@@ -2046,6 +2058,27 @@ object PipelineQueries {
       ev.crossJoin(broadcast(b))
         .filter(col("user_id").between(col("lo"), col("hi")) &&
           col("value").between(100.0, 250.0))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 6)))
+            .cast("string").cast("double").as("sum_value"),
+          min("user_id").as("min_uid"), max("user_id").as("max_uid"))
+    }),
+
+    // the EQUI-DEPTH z-order writer (round 13, the skew-robust
+    // variant ZOrder's scaladoc always named): keys rank-normalize
+    // through 255 approximate-quantile boundaries instead of min-max,
+    // so file stat-boxes keep shrinking even when 99% of the mass
+    // sits in 1% of the range (pinned on a skewed fixture in
+    // ZOrderSpec). Layout only — the oracle is the same aggregate
+    // over the plain table, and the answer must be identical.
+    "zorder_prune_eq" -> ((s, d) => {
+      val ev = stagedZOrderEventsEq(s, d)
+      val b = ev.agg(
+        floor((max(col("user_id")) * 3) / 10.0).as("lo"),
+        floor((max(col("user_id")) * 6) / 10.0).as("hi"))
+      ev.crossJoin(broadcast(b))
+        .filter(col("user_id").between(col("lo"), col("hi")) &&
+          col("value").between(50.0, 200.0))
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast(DecimalType(18, 6)))
             .cast("string").cast("double").as("sum_value"),
@@ -4192,6 +4225,21 @@ object PipelineQueries {
         |FROM events, b
         |WHERE user_id BETWEEN b.lo AND b.hi
         |  AND value BETWEEN 100.0 AND 250.0""".stripMargin,
+    // equi-depth layout, identical answers — same replay with the
+    // zorder_prune_eq range constants
+    "zorder_prune_eq" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(max(user_id)*3/10.0) AS BIGINT) AS lo,
+        |         CAST(floor(max(user_id)*6/10.0) AS BIGINT) AS hi
+        |  FROM events)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |  AS sum_value,
+        |CAST(min(user_id) AS BIGINT) AS min_uid,
+        |CAST(max(user_id) AS BIGINT) AS max_uid
+        |FROM events, b
+        |WHERE user_id BETWEEN b.lo AND b.hi
+        |  AND value BETWEEN 50.0 AND 200.0""".stripMargin,
     "user_growth" ->
       """WITH fd AS (
         |  SELECT user_id, min(date_trunc('day', ts)) AS day

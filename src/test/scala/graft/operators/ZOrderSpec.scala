@@ -80,6 +80,55 @@ class ZOrderSpec extends SparkTestBase {
         "— footer stats would not skip anything")
   }
 
+  test("equiDepthCode counts sorted boundaries <= x") {
+    import spark.implicits._
+    val got = Seq(5.0, 10.0, 25.0, 99.0).toDF("x")
+      .select(ZOrder.equiDepthCode(col("x"),
+        Array(10.0, 20.0, 30.0)).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("equi-depth keeps pruning where min-max collapses under skew") {
+    import spark.implicits._
+    // 95% of the mass sits in value-range [0, 1) while outliers reach
+    // ~5e5: min-max codes the whole dense region to ~0, so every file
+    // spans it and a dense-region value query prunes NOTHING; the
+    // equi-depth codes spread the dense mass over most of the 256
+    // buckets and the same query touches a minority of file boxes
+    val rows = (0 until 10000).map { i =>
+      val y = if (i % 20 == 0) (i + 1) * 1000.0 else (i % 997) / 1000.0
+      (i.toLong, (i % 100).toLong, y)
+    }.toDF("id", "x", "y")
+    val base = java.nio.file.Files.createTempDirectory("zskew")
+    base.toFile.deleteOnExit()
+    ZOrder.writeZOrdered(rows, "x", "y", s"$base/minmax", 16)
+    ZOrder.writeZOrderedEquiDepth(rows, "x", "y", s"$base/eq", 16)
+    def boxes(p: String): Seq[(Long, Long, Double, Double)] =
+      spark.read.parquet(p).inputFiles.toSeq.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("x"), max("x"), min("y"), max("y")).head()
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      }
+    // a value-only query inside the dense region (span chosen within
+    // one y-quadrant of the 16-file z-grid: a range crossing the
+    // quadrant boundary legitimately touches both sides)
+    def touched(bs: Seq[(Long, Long, Double, Double)]): Int =
+      bs.count(b => b._3 <= 0.24 && b._4 >= 0.2)
+    val mm = boxes(s"$base/minmax")
+    val eq = boxes(s"$base/eq")
+    assert(touched(mm) > mm.size * 3 / 4,
+      s"skew fixture too weak: min-max already prunes " +
+        s"(${touched(mm)}/${mm.size})")
+    assert(touched(eq) < eq.size / 2,
+      s"equi-depth must prune the dense-region query: " +
+        s"${touched(eq)}/${eq.size} boxes intersect")
+    // layout only: both tables hold identical rows
+    assert(spark.read.parquet(s"$base/eq").collect().map(_.toSeq).sortBy(
+        _.head.asInstanceOf[Long]).toSeq ==
+      rows.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq)
+  }
+
   test("gate query equals the same aggregate over the plain table") {
     val z = graft.SparkEntry.queries("zorder_prune")(spark, sf).collect()
     val ev = graft.Tables.events(spark, sf)

@@ -42,7 +42,8 @@ class ConcurrentEvalSpec extends SparkTestBase {
     // consumer of the shared bloom-index stage, and the
     // delete/purge lifecycle stages
     "ann_ivf_retrained", "bloom_bulk_membership",
-    "bloom_lookup_deleted", "bloom_lookup_purged")) {
+    "bloom_lookup_deleted", "bloom_lookup_purged",
+    "zorder_prune_eq")) {
     test(s"$q: two concurrent evaluations do not race their scratch store") {
       val runs = (1 to 2).map(_ => Future {
         SparkEntry.queries(q)(spark, sf).collect().length
