@@ -915,25 +915,42 @@ object SimilarityOps {
       dir: String, k: Int, iters: Int): Unit = {
     require(k >= 1, s"k=$k")
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldDir = p(s"$dir.retrain.old")
+    // heal a crashed earlier retrain: staging is never adopted (the
+    // replay rebuilds it); a missing live dir rolls back from .old
+    if (!fs.exists(p(dir))) {
+      require(fs.exists(oldDir),
+        s"$dir missing with no $oldDir to roll back — index corrupt")
+      require(fs.rename(oldDir, p(dir)), s"rollback rename failed: $oldDir")
+    } else fs.delete(oldDir, true)
+    val tmp = s"$dir.retrain.tmp"
+    fs.delete(p(tmp), true) // stale staging from a crashed run
     val live = liveIndex(spark, dir).select(col("id"), col("v"))
     val cents = KMeans.centroids(live, "id", "v", k, iters)
       .select(col("cid").as("id"), col("cv").as("v"))
-      .localCheckpoint() // k rows — survives the dir overwrite below
+      .localCheckpoint() // k rows — pinned before the source dir moves
     val assigned = assignToCodebook(live,
       cents.select(col("id").as("cid"), col("v").as("cv")))
       .withColumn("bucket", col("bucket").cast("int"))
-    val tmp = s"$dir.retrain.tmp"
+    // the COMPLETE new index builds in the sibling staging dir — data,
+    // codebook, and the _ids sidecar (derived from the just-written
+    // staging via a column-pruned read-back, the buildIvfIndex
+    // discipline; underscore dirs stay invisible to the data read)
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    val staged = spark.read.parquet(tmp)
-    // the overwrite wipes dir INCLUDING the _codebook/_ids/_tombstones
-    // sidecars — exactly the purge-and-replace intent; reading from
-    // the tmp staging means nothing here reads the dir being replaced
-    staged.write.mode("overwrite").partitionBy("bucket").parquet(dir)
-    cents.write.mode("overwrite").parquet(s"$dir/_codebook")
-    writeIdsSidecar(staged.select("id", "bucket"), dir, overwrite = true)
-    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    cents.write.mode("overwrite").parquet(s"$tmp/_codebook")
+    writeIdsSidecar(spark.read.parquet(tmp).select("id", "bucket"), tmp,
+      overwrite = true)
+    // swap via two metadata renames — the index is written ONCE (the
+    // first cut re-wrote it through the live path, 2x the IO), the
+    // old dir (pending _tombstones included: the retrain input was
+    // the live set, so dropping them IS the purge) retires wholesale,
+    // and the unreadable window shrinks from the whole rewrite to the
+    // instant between the renames (healed above on replay)
+    require(fs.rename(p(dir), oldDir), s"rename failed: $dir -> $oldDir")
+    require(fs.rename(p(tmp), p(dir)), s"rename failed: $tmp -> $dir")
+    fs.delete(oldDir, true)
   }
 
   /** id→bucket point lookup against the `_ids` sidecar; None when the

@@ -98,12 +98,15 @@ object FileBloomIndex {
       .withColumn("key_col", lit(keyCol))
     val fs = fsFor(df.sparkSession, path)
     val staged = stageShards(blooms, path, bucketsPerShard)
-    // fresh build: clear any previous sidecar (either format), then
-    // adopt the staged shards wholesale
+    // fresh build: clear any previous sidecar (either format) AND its
+    // memo entries (a rebuild may drop shards whose stale cached
+    // filters would otherwise linger forever), then adopt the staged
+    // shards wholesale
     val root = shardRoot(path)
     fs.delete(root, true)
     Seq("_blooms", "_blooms.next", "_blooms.old")
       .foreach(n => fs.delete(hp(s"$path/$n"), true))
+    filterMemo.keys.filter(_._1 == path).foreach(filterMemo.remove)
     require(fs.mkdirs(root), s"cannot create $root")
     staged.foreach { case (lo, tmpDir) =>
       checkedRename(fs, tmpDir, shardPath(path, lo, bucketsPerShard))
@@ -302,7 +305,16 @@ object FileBloomIndex {
     val tsPath = hp(s"$path/_tombstones")
     if (!fs.exists(tsPath)) return
     val shards = listShards(fs, path)
-    require(shards.nonEmpty, s"no bloom sidecar at $path — write() first")
+    if (shards.isEmpty) {
+      healV1(fs, path)
+      if (fs.exists(hp(s"$path/_blooms")))
+        throw new IllegalArgumentException(
+          s"$path carries pending tombstones on a legacy v1 sidecar — " +
+            "run append once (or rebuild with write()) to upgrade to " +
+            "the sharded format, then compact")
+      else throw new IllegalArgumentException(
+        s"no bloom sidecar at $path — write() first")
+    }
     val head = spark.read.parquet(shards.head._3.toString)
     require(head.columns.contains("key_col"),
       s"$path sidecar predates key_col — rebuild with write() (or " +
@@ -319,16 +331,13 @@ object FileBloomIndex {
     // locate: bloom-candidate buckets for the tombstoned keys
     // (executor-side, a superset), then an exact pruned confirm —
     // only buckets PROVABLY holding dead rows rewrite
-    val bc = spark.sparkContext.broadcast(loadFilters(spark, path))
-    val candOf = udf((k: String) =>
-      bc.value.collect { case (b, f) if f.mightContainString(k) => b })
-    val cands = ts.select(explode(candOf(col("k"))).as("b"))
-      .distinct().collect().map(_.getInt(0)).sorted
+    val cands = candidateBucketsFor(spark, path, ts)
+    val candPaths = existingBucketPaths(fs, path, cands)
     val touched: Array[Int] =
-      if (cands.isEmpty) Array.empty
+      if (candPaths.isEmpty) Array.empty
       else {
         val read = spark.read.option("basePath", s"$path/data")
-          .parquet(cands.map(b => s"$path/data/fbib=$b").toSeq: _*)
+          .parquet(candPaths: _*)
         read.join(broadcast(ts),
             read(keyCol).cast("string") === ts("k"))
           .select(col("fbib").cast("int")).distinct()
@@ -336,8 +345,10 @@ object FileBloomIndex {
       }
     if (touched.nonEmpty) {
       // (1) DATA: rewrite only the touched buckets without the dead
-      // rows; drop bucket dirs the purge emptied (dynamic overwrite
-      // only replaces partitions it WRITES)
+      // rows (dynamic overwrite replaces exactly the partitions it
+      // writes; buckets the purge EMPTIES are deleted in step (3),
+      // AFTER the sidecar swap — until then their stale files stay
+      // masked by the tombstones, so every crash state is consistent)
       val touchedRead = spark.read.option("basePath", s"$path/data")
         .parquet(touched.map(b => s"$path/data/fbib=$b").toSeq: _*)
       val kept = touchedRead.join(
@@ -352,12 +363,12 @@ object FileBloomIndex {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("fbib").parquet(s"$path/data")
-      (touched.toSet -- surviving).foreach(b =>
-        fs.delete(hp(s"$path/data/fbib=$b"), true))
       // (2) SIDECAR: rebuild the touched buckets' blooms from the
       // REWRITTEN files read back (the write()-time consistency
       // discipline), replace them inside their shards, swap only
       // those shards; a shard left bucket-less is deleted outright
+      // (with its .next/.old residues — a stale residue healed after
+      // the delete would resurrect blooms for removed buckets)
       val freshBlooms: Map[Int, Array[Byte]] =
         if (surviving.isEmpty) Map.empty
         else spark.read.option("basePath", s"$path/data")
@@ -377,6 +388,12 @@ object FileBloomIndex {
           .map(r => r.getAs[Int]("bucket") ->
             r.getAs[Array[Byte]]("bloom")).toMap
       }
+      def dropShard(lo: Int): Unit = {
+        fs.delete(shardPath(path, lo, bps), true)
+        fs.delete(nextPath(path, lo, bps), true)
+        fs.delete(oldPath(path, lo, bps), true)
+        filterMemo.remove((path, shardName(lo, bps)))
+      }
       val newRows = (oldTouched -- touched) ++ freshBlooms
       import spark.implicits._
       if (newRows.nonEmpty) {
@@ -392,15 +409,46 @@ object FileBloomIndex {
         }
         fs.delete(hp(tmpRoot(path)), true)
         staged.foreach { case (lo, _) => swapShard(fs, path, lo, bps) }
-        val stagedLos = staged.map(_._1).toSet
-        (touchedLos -- stagedLos).foreach(lo =>
-          fs.delete(shardPath(path, lo, bps), true))
+        (touchedLos -- staged.map(_._1).toSet).foreach(dropShard)
       } else
-        touchedLos.foreach(lo => fs.delete(shardPath(path, lo, bps), true))
+        touchedLos.foreach(dropShard)
+      // (3) now that no bloom names them, drop the emptied bucket
+      // dirs — and sweep any ORPHAN dir a crashed earlier purge left
+      // behind (a data bucket without a bloom row is unreachable by
+      // construction: appends write the sidecar first)
+      val liveBuckets = loadFilters(spark, path).map(_._1).toSet
+      fs.listStatus(hp(s"$path/data")).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("fbib="))
+        .map(s => s.getPath.getName.stripPrefix("fbib=").toInt)
+        .filterNot(liveBuckets)
+        .foreach(b => fs.delete(hp(s"$path/data/fbib=$b"), true))
     }
-    // (3) tombstones LAST: every earlier crash state still masks
+    // (4) tombstones LAST: every earlier crash state still masks
     fs.delete(tsPath, true)
   }
+
+  /** Candidate buckets for a one-column ("k") frame of key strings —
+    * executor-side membership tests against the broadcast memoized
+    * filters, shared by [[existingKeysDf]] and the tombstone purge.
+    */
+  private def candidateBucketsFor(spark: SparkSession, path: String,
+      keysDf: DataFrame): Array[Int] = {
+    val bc = spark.sparkContext.broadcast(loadFilters(spark, path))
+    val candOf = udf((k: String) =>
+      bc.value.collect { case (b, f) if f.mightContainString(k) => b })
+    keysDf.select(explode(candOf(col("k"))).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+  }
+
+  /** Bucket dirs that actually EXIST, as read paths: a bloom may
+    * transiently name a bucket whose dir a purge already removed (the
+    * crash window between the data delete and the tombstone clear) —
+    * a missing dir provably holds no rows, so skipping it preserves
+    * exactness where a blind read would fail with PATH_NOT_FOUND.
+    */
+  private def existingBucketPaths(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, buckets: Seq[Int]): Seq[String] =
+    buckets.map(b => s"$path/data/fbib=$b").filter(p => fs.exists(hp(p)))
 
   // ---- sharded sidecar plumbing ----
 
@@ -426,8 +474,25 @@ object FileBloomIndex {
       to: org.apache.hadoop.fs.Path): Unit =
     // a silently-failed rename would mask a half-applied swap as
     // success — the one failure mode the .next/.old discipline cannot
-    // heal, so it must be LOUD (the read side then heals the residues)
+    // heal, so it must be LOUD (the read side then heals the residues).
+    // For UNCONTENDED staging renames only; contended heal/swap steps
+    // use [[renameOrHealed]].
     require(fs.rename(from, to), s"rename failed: $from -> $to")
+
+  /** Rename for CONTENDED heal/swap steps: the single-writer contract
+    * covers writers, but every READ heals residues too, so two
+    * concurrent lookups (or a lookup racing an append's swap) may
+    * attempt the same rename — the loser's rename returns false while
+    * the winner has already produced the identical destination. Losing
+    * that race is success; a failed rename with NO destination is the
+    * real, loud failure.
+    */
+  private def renameOrHealed(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path,
+      to: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(from, to))
+      require(fs.exists(to),
+        s"rename failed and destination missing: $from -> $to")
 
   /** Write the blooms rows into one parquet dir per shard under the
     * tmp root; returns (shardLo, tmpShardDir) pairs. Distributed
@@ -457,8 +522,12 @@ object FileBloomIndex {
     val next = nextPath(path, lo, bps)
     val oldP = oldPath(path, lo, bps)
     if (fs.exists(oldP)) fs.delete(oldP, true) // stale residue
-    if (fs.exists(cur)) checkedRename(fs, cur, oldP)
-    checkedRename(fs, next, cur)
+    // a concurrent reader's heal can complete the swap from under us
+    // (adopt next once cur is moved aside): a failed rename whose
+    // destination exists means the heal won with identical bytes
+    if (fs.exists(cur) && !fs.rename(cur, oldP))
+      require(!fs.exists(cur), s"rename failed: $cur -> $oldP")
+    renameOrHealed(fs, next, cur)
     fs.delete(oldP, true)
   }
 
@@ -477,14 +546,14 @@ object FileBloomIndex {
       // cur present: serving it stays correct (the writer re-stages on
       // replay) — leave residues alone, matching the v1 heal contract
       if (!names(cur)) {
-        checkedRename(fs, hp(s"$root/$n"), hp(s"$root/$cur"))
+        renameOrHealed(fs, hp(s"$root/$n"), hp(s"$root/$cur"))
         fs.delete(hp(s"$root/$cur.old"), true)
       }
     }
     names.filter(_.endsWith(".old")).foreach { n =>
       val cur = n.stripSuffix(".old")
       if (!names(cur) && !names(s"$cur.next"))
-        checkedRename(fs, hp(s"$root/$n"), hp(s"$root/$cur"))
+        renameOrHealed(fs, hp(s"$root/$n"), hp(s"$root/$cur"))
     }
   }
 
@@ -536,6 +605,7 @@ object FileBloomIndex {
     fs.delete(hp(tmpRoot(path)), true)
     Seq("_blooms", "_blooms.next", "_blooms.old")
       .foreach(n => fs.delete(hp(s"$path/$n"), true))
+    filterMemo.remove((path, "_blooms")) // the retired v1 entry
   }
 
   /** v1 whole-sidecar heal (legacy indexes only). */
@@ -545,8 +615,8 @@ object FileBloomIndex {
     if (fs.exists(cur)) return
     val next = hp(s"$path/_blooms.next")
     val oldP = hp(s"$path/_blooms.old")
-    if (fs.exists(next)) { checkedRename(fs, next, cur); fs.delete(oldP, true) }
-    else if (fs.exists(oldP)) checkedRename(fs, oldP, cur)
+    if (fs.exists(next)) { renameOrHealed(fs, next, cur); fs.delete(oldP, true) }
+    else if (fs.exists(oldP)) renameOrHealed(fs, oldP, cur)
   }
 
   /** All sidecar rows (bucket, bloom, expected_items, fpp), either
@@ -644,17 +714,13 @@ object FileBloomIndex {
     */
   def existingKeysDf(spark: SparkSession, path: String, keyCol: String,
       keys: DataFrame, keysCol: String): DataFrame = {
-    val filters = loadFilters(spark, path)
-    val bc = spark.sparkContext.broadcast(filters)
     val kd = keys.select(col(keysCol).cast("string").as("k"))
       .filter(col("k").isNotNull).distinct()
-    val candOf = udf((k: String) =>
-      bc.value.collect { case (b, f) if f.mightContainString(k) => b })
-    val buckets = kd.select(explode(candOf(col("k"))).as("b"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    if (buckets.isEmpty) return kd.filter(lit(false))
+    val buckets = candidateBucketsFor(spark, path, kd)
+    val paths = existingBucketPaths(fsFor(spark, path), path, buckets)
+    if (paths.isEmpty) return kd.filter(lit(false))
     val pruned = spark.read.option("basePath", s"$path/data")
-      .parquet(buckets.map(b => s"$path/data/fbib=$b").toSeq: _*)
+      .parquet(paths: _*)
       .select(col(keyCol).cast("string").as("k"))
     maskTombstones(spark, path, pruned.join(kd, "k").distinct(), col("k"))
   }
@@ -683,12 +749,12 @@ object FileBloomIndex {
   def lookup(spark: SparkSession, path: String, keyCol: String,
       key: String): DataFrame = {
     val cands = candidateBuckets(spark, path, key)
+    val paths = existingBucketPaths(fsFor(spark, path), path, cands)
     val base =
-      if (cands.isEmpty)
+      if (paths.isEmpty)
         spark.read.parquet(s"$path/data").filter(lit(false))
       else
-        spark.read.option("basePath", s"$path/data")
-          .parquet(cands.map(b => s"$path/data/fbib=$b"): _*)
+        spark.read.option("basePath", s"$path/data").parquet(paths: _*)
     maskTombstones(spark, path,
       base.drop("fbib").filter(col(keyCol).cast("string") === key),
       col(keyCol).cast("string"))

@@ -67,8 +67,13 @@ object BloomStreams {
     // would put EVERY key in the list and explode the plan)
     val existing = FileBloomIndex.existingKeysDf(spark, indexDir, keyCol,
       live.select(col(keyCol).cast("string").as("k")), "k")
+    // batch-sized checkpoint: append executes its input TWICE (bloom
+    // groupBy + data write) and isEmpty adds a third run — without the
+    // pin each would replay the pruned confirm read and both
+    // anti-joins (the appendAssigned lesson)
     val fresh = live.join(existing,
       live(keyCol).cast("string") === existing("k"), "left_anti")
+      .localCheckpoint(true)
     if (!fresh.isEmpty)
       FileBloomIndex.append(fresh, keyCol, layout, indexDir)
   }

@@ -440,6 +440,32 @@ class FileBloomIndexSpec extends SparkTestBase {
     assert(FileBloomIndex.lookup(spark, p, "id", "5").count() == 1)
   }
 
+  test("reads survive a bloom naming a bucket whose dir a crashed " +
+      "purge removed") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val base = graft.queries.QueryTmp.dir("fbloomcrash")
+    val p = s"$base/idx"
+    val rows = (0L until 16L).map(i => (i, (i % 4).toInt)).toDF("id", "b")
+    FileBloomIndex.write(rows, "id", col("b"), p, 64L)
+    // simulate the purge crash window: bucket 2's data dir is gone but
+    // the (old) sidecar still names it, and the tombstones still mask
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    FileBloomIndex.delete(spark, p, Seq("2", "6", "10", "14"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/data/fbib=2"), true)
+    // every read path answers instead of throwing PATH_NOT_FOUND
+    assert(FileBloomIndex.lookup(spark, p, "id", "2").count() == 0)
+    assert(FileBloomIndex.lookup(spark, p, "id", "1").count() == 1)
+    assert(FileBloomIndex.existingKeys(spark, p, "id",
+      Seq("1", "2", "5")) == Set("1", "5"))
+    // ...and the REPLAYED compact completes the purge cleanly
+    FileBloomIndex.compact(spark, p)
+    assert(!new java.io.File(s"$p/_tombstones").exists())
+    assert(FileBloomIndex.lookup(spark, p, "id", "1").count() == 1)
+    assert(FileBloomIndex.lookup(spark, p, "id", "6").count() == 0)
+  }
+
   test("pruning: candidates are a strict subset and inputFiles stay inside") {
     val cands = FileBloomIndex.candidateBuckets(spark, idx, "7")
     assert(cands.nonEmpty && cands.size < 16,
