@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch-perceptron TRAINING over a hashed feature matrix — the
+  * learn-the-filter half `domain_classify` (inference against fixed
+  * weights) leaves open: a corpus pipeline trains its quality/domain
+  * linear probes on labeled slices, then routes with them.
+  *
+  * The batch (a.k.a. parallel) perceptron is the deterministic,
+  * engine-replayable member of the linear-classifier family: each
+  * round scores every example against the current weights, and the
+  * update is the SUM of y·x over the misclassified set —
+  *
+  *   w_{i} = w_{i-1} + Σ_{d : y_d · ⟨w_{i-1}, x_d⟩ <= 0} y_d · x_d
+  *
+  * Everything is integer (counts, ±1 labels, long weights): sums are
+  * order-free, comparisons exact, so the whole training run
+  * hash-matches an unrolled relational replay (DuckDB CTE chain, one
+  * round per CTE — the label_propagation/BpeTrain discipline). A
+  * sequential perceptron or gradient descent with a sigmoid would
+  * sacrifice exactly this: per-row update order and libm `exp` both
+  * diverge across engines.
+  *
+  * Scale shape: the feature matrix builds in ONE corpus scan (map-side
+  * token hash + one (id, f) count aggregate) and is pinned once
+  * (localCheckpoint — at 100 TB a persisted table); each round is two
+  * matrix-sized hash aggregates (score per id, gradient per feature)
+  * with the weight table — nFeatures rows — broadcast. Weights never
+  * shuffle; rounds are independent of corpus width beyond the matrix.
+  *
+  * In: features (id, y, f, x) with y ∈ {+1, −1}, integer counts x,
+  * f ∈ [0, nFeatures). Out: (iter, f, w) for iter 1..iters — the full
+  * integer weight evolution (iteration i's row set IS w_i).
+  */
+object Perceptron {
+
+  def train(features: DataFrame, nFeatures: Int, iters: Int): DataFrame = {
+    require(nFeatures >= 1 && nFeatures <= (1 << 20),
+      s"nFeatures out of range: $nFeatures")
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    val spark = features.sparkSession
+    import spark.implicits._
+    val feats = features.select(col("id"), col("y").cast("long").as("y"),
+        col("f").cast("int").as("f"), col("x").cast("long").as("x"))
+      .localCheckpoint(true)
+    var w = Array.fill[Long](nFeatures)(0L)
+    val out = Seq.newBuilder[(Int, Int, Long)]
+    for (i <- 1 to iters) {
+      val wDf = w.toSeq.zipWithIndex.map { case (v, f) => (f, v) }
+        .toDF("f", "w")
+      val mis = feats.join(broadcast(wDf), "f")
+        .groupBy("id")
+        .agg(first(col("y")).as("y"), // constant per id
+          sum(col("x") * col("w")).as("score"))
+        .filter(col("y") * col("score") <= 0)
+        .select(col("id"), col("y"))
+      val grad = feats.select(col("id"), col("f"), col("x"))
+        .join(mis, "id")
+        .groupBy("f").agg(sum(col("y") * col("x")).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (v, f) => v + grad.getOrElse(f, 0L) }
+      out ++= w.zipWithIndex.map { case (v, f) => (i, f, v) }
+    }
+    out.result().toDF("iter", "f", "w")
+  }
+
+  /** The DuckDB replay for a FIXED round count: `featCte` must define
+    * `feat(id, y, f, x)` (the caller's feature extraction — table
+    * specifics live with the query, the training algebra here); each
+    * round is a score CTE, a misclassified CTE, a gradient CTE, and
+    * the weight update, with nothing from the engine's run embedded.
+    */
+  def oracleSql(featCte: String, nFeatures: Int, iters: Int): String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT CAST(g.k AS INTEGER) AS f, CAST(0 AS BIGINT) AS w
+         |  FROM generate_series(0, ${nFeatures - 1}) g(k))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""s$i AS (
+         |  SELECT id, MIN(y) AS y, SUM(x * w) AS score
+         |  FROM feat JOIN w$p USING (f) GROUP BY id),
+         |m$i AS (SELECT id, y FROM s$i WHERE y * score <= 0),
+         |g$i AS (
+         |  SELECT f, SUM(m$i.y * feat.x) AS gw
+         |  FROM feat JOIN m$i USING (id) GROUP BY f),
+         |w$i AS (
+         |  SELECT w$p.f, CAST(w$p.w + COALESCE(g$i.gw, 0) AS BIGINT) AS w
+         |  FROM w$p LEFT JOIN g$i USING (f))""".stripMargin
+    }
+    val out = (1 to iters)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS iter, f, w FROM w$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH $featCte,\n$w0,\n${rounds.mkString(",\n")}\n$out\nORDER BY iter, f"
+  }
+}

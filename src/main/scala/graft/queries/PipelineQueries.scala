@@ -1008,6 +1008,27 @@ object PipelineQueries {
           col("m.score").as("score"))
     }),
 
+    // linear-classifier TRAINING (round 13) — the learn-the-filter
+    // half domain_classify's fixed-weight inference leaves open: a
+    // batch perceptron (the deterministic member of the family —
+    // integer counts, ±1 labels, order-free sum updates; SGD order
+    // and sigmoid exp would both break engine parity) learns
+    // is-it-English weights over 16 md5-nibble-hashed token features
+    // in 3 rounds. ONE corpus scan builds the feature matrix; each
+    // round is two matrix-sized aggregates with the 16-row weight
+    // table broadcast. The oracle replays all 3 rounds relationally.
+    "perceptron_train" -> ((s, d) => {
+      val feats = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+          explode(words(col("text"))).as("token"))
+        .select(col("id"), col("y"),
+          conv(substring(md5(col("token").cast("binary")), 1, 1), 16, 10)
+            .cast("int").as("f"))
+        .groupBy("id", "y", "f").agg(count(lit(1)).as("x"))
+      graft.operators.Perceptron.train(feats, nFeatures = 16, iters = 3)
+    }),
+
     // BPE-ish token counting: regex token classes (letter runs, digit
     // runs, single punctuation) — the same RE2-safe pattern evaluates
     // identically in Spark and DuckDB
@@ -4306,6 +4327,20 @@ object PipelineQueries {
     // same chain, final vocabulary exploded into weighted subword
     // frequencies
     "bpe_encode" -> graft.operators.BpeTrain.encodeOracleSql(5, 30),
+    // the generated 3-round perceptron chain over the md5-nibble
+    // feature matrix — see Perceptron.oracleSql; the feature CTE
+    // mirrors the Spark tokenization (split on ' ', first md5 nibble)
+    "perceptron_train" -> graft.operators.Perceptron.oracleSql(
+      """feat AS (
+        |  SELECT doc_id AS id,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |  CAST(strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1
+        |    AS INTEGER) AS f,
+        |  CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM (SELECT doc_id, lang,
+        |        unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents) t
+        |  GROUP BY 1, 2, 3)""".stripMargin, nFeatures = 16, iters = 3),
     "colloc_lift" ->
       """WITH tok AS (
         |  SELECT string_split(lower(text), ' ') AS w FROM documents),

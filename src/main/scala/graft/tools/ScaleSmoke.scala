@@ -159,7 +159,11 @@ object ScaleSmoke {
       // physical purge (additionally rewrites touched buckets and
       // rebuilds their blooms) — both cold via buildGated, the
       // ann_ivf_deleted/purged pattern
-      "bloom_lookup_deleted", "bloom_lookup_purged")
+      "bloom_lookup_deleted", "bloom_lookup_purged",
+      // perceptron training: one corpus scan for the feature matrix,
+      // then per-round matrix-sized aggregates with a 16-row
+      // broadcast weight table — should track the matrix linearly
+      "perceptron_train")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>
