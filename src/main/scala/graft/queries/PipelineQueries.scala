@@ -779,6 +779,33 @@ object PipelineQueries {
           col("cosine"))
     }),
 
+    // kNN LABELING through the stored index — retrieval-augmented
+    // classification (round 13): each probe's top-5 neighbors come
+    // from the bucketed IVF index (the ann_ivf_index_batch pipeline,
+    // DPP-pruned scan), their labels majority-vote with ties to the
+    // smallest label — exact integer votes, so the whole
+    // probe->retrieve->vote chain hash-matches the relational replay.
+    // The semi-supervised primitive behind auto-labeling a corpus from
+    // a reviewed slice at 100 TB: probes are a batch, never a loop.
+    "ann_knn_label" -> ((s, d) => {
+      val dir = stagedPath(s, d, "ivfidx") { p =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        graft.operators.SimilarityOps.buildIvfIndex(e, "vec_id", "v", 8, p)
+      }
+      val topk = graft.operators.SimilarityOps
+        .annIvfFromIndexBatch(s, dir, Seq(8L, 9L, 10L), k = 5, nprobe = 2)
+      topk.join(Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("label")), "id")
+        .groupBy(col("pid"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy("pid")
+        .agg(min(struct((-col("votes")).as("nv"), col("label").as("l")))
+          .as("m"))
+        .select(col("pid").as("probe_id"), col("m.l").as("label"),
+          (-col("m.nv")).as("votes"))
+    }),
+
     // probe-by-VECTOR over the same bucketed index — the retrieval
     // shape (query embedded at request time, not a stored row): no id
     // lookup at all, cells rank against _codebook, scan prunes to the
@@ -3051,7 +3078,37 @@ object PipelineQueries {
       |WHERE a.bucket IN (SELECT cid FROM cells) AND a.id <> 8
       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
+  /** The batch-probe oracle extended through the majority vote: top-5
+    * neighbor ids per probe become a (probe, label) vote table, winner
+    * by (votes DESC, label). Derived from [[annIvfBatchOracle]] so the
+    * retrieval replay can never drift between the two gates.
+    */
+  private val annKnnLabelOracle: String = {
+    val derived = annIvfBatchOracle.replace(
+      "\nSELECT pid AS probe_id, id AS vec_id, cosine FROM (",
+      ",\ntopk AS (\n  SELECT pid, id FROM (")
+      .replace(
+        "  FROM cand) t WHERE rn <= 5",
+        """  FROM cand) t WHERE rn <= 5),
+          |lbl AS (
+          |  SELECT t.pid, e2.label FROM topk t
+          |  JOIN embeddings e2 ON e2.vec_id = t.id),
+          |v AS (SELECT pid, label, CAST(COUNT(*) AS BIGINT) AS votes
+          |      FROM lbl GROUP BY pid, label)
+          |SELECT pid AS probe_id, label, votes FROM (
+          |  SELECT pid, label, votes, row_number() OVER (PARTITION BY pid
+          |    ORDER BY votes DESC, label) AS rn FROM v) t
+          |WHERE rn = 1""".stripMargin)
+    // a reworded base would make both replaces silent no-ops and gate
+    // the vote against the raw batch output — fail loudly instead
+    require(derived != annIvfBatchOracle && derived.contains("topk AS"),
+      "annKnnLabelOracle: batch-oracle anchors no longer match — " +
+        "update the derivation")
+    derived
+  }
+
   val oracleSql: ListMap[String, String] = ListMap(
+    "ann_knn_label" -> annKnnLabelOracle,
     "ann_ivf_retrained" -> annIvfRetrainedOracle,
     "ann_ivf_multiprobe" -> annIvfMultiProbeOracle,
     "ann_ivf_batch" -> annIvfBatchOracle,
