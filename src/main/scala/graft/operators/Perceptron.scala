@@ -37,6 +37,35 @@ import org.apache.spark.sql.functions._
 object Perceptron {
 
   def train(features: DataFrame, nFeatures: Int, iters: Int): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    trainLoop(features, nFeatures, iters)._1.toDF("iter", "f", "w")
+  }
+
+  /** Train, then score every example against the FINAL weights and
+    * report the exact confusion counts — the end-to-end
+    * train-and-evaluate a pipeline gates a learned filter on before
+    * routing a corpus with it. pred = sign(score) with 0 → −1
+    * (matching the training margin's <=). Out: (y, pred, n).
+    */
+  def trainConfusion(features: DataFrame, nFeatures: Int,
+      iters: Int): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val (_, feats, w) = trainLoop(features, nFeatures, iters)
+    val wDf = w.toSeq.zipWithIndex.map { case (v, f) => (f, v) }
+      .toDF("f", "w")
+    feats.join(broadcast(wDf), "f")
+      .groupBy("id")
+      .agg(first(col("y")).as("y"),
+        sum(col("x") * col("w")).as("score"))
+      .select(col("y"),
+        when(col("score") > 0, 1L).otherwise(-1L).as("pred"))
+      .groupBy("y", "pred").agg(count(lit(1)).as("n"))
+  }
+
+  private def trainLoop(features: DataFrame, nFeatures: Int, iters: Int)
+      : (Seq[(Int, Int, Long)], DataFrame, Array[Long]) = {
     require(nFeatures >= 1 && nFeatures <= (1 << 20),
       s"nFeatures out of range: $nFeatures")
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
@@ -63,7 +92,7 @@ object Perceptron {
       w = w.zipWithIndex.map { case (v, f) => v + grad.getOrElse(f, 0L) }
       out ++= w.zipWithIndex.map { case (v, f) => (i, f, v) }
     }
-    out.result().toDF("iter", "f", "w")
+    (out.result(), feats, w)
   }
 
   /** The DuckDB replay for a FIXED round count: `featCte` must define
@@ -94,5 +123,24 @@ object Perceptron {
       .map(i => s"SELECT CAST($i AS INTEGER) AS iter, f, w FROM w$i")
       .mkString("\nUNION ALL\n")
     s"WITH $featCte,\n$w0,\n${rounds.mkString(",\n")}\n$out\nORDER BY iter, f"
+  }
+
+  /** The [[trainConfusion]] replay: the same round chain, then one
+    * more scoring pass against the final weights folded into exact
+    * confusion counts.
+    */
+  def confusionOracleSql(featCte: String, nFeatures: Int,
+      iters: Int): String = {
+    val base = oracleSql(featCte, nFeatures, iters)
+    val cut = base.lastIndexOf("\nSELECT CAST(1 AS INTEGER) AS iter")
+    require(cut > 0, "oracle chain anchor missing")
+    base.substring(0, cut) +
+      s"""
+         |SELECT y, pred, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |  SELECT CAST(MIN(y) AS BIGINT) AS y,
+         |  CASE WHEN SUM(x * w) > 0 THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(-1 AS BIGINT) END AS pred
+         |  FROM feat JOIN w$iters USING (f) GROUP BY id) t
+         |GROUP BY y, pred""".stripMargin
   }
 }

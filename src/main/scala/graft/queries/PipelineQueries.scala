@@ -1056,6 +1056,24 @@ object PipelineQueries {
       graft.operators.Perceptron.train(feats, nFeatures = 16, iters = 3)
     }),
 
+    // ...and the end-to-end EVALUATION: the same 3-round training,
+    // then every document scores against the FINAL weights and the
+    // exact confusion counts come back — the gate a pipeline applies
+    // to a learned filter before routing a corpus with it. One extra
+    // matrix-sized aggregate after training; all integers.
+    "perceptron_confusion" -> ((s, d) => {
+      val feats = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+          explode(words(col("text"))).as("token"))
+        .select(col("id"), col("y"),
+          conv(substring(md5(col("token").cast("binary")), 1, 1), 16, 10)
+            .cast("int").as("f"))
+        .groupBy("id", "y", "f").agg(count(lit(1)).as("x"))
+      graft.operators.Perceptron
+        .trainConfusion(feats, nFeatures = 16, iters = 3)
+    }),
+
     // BPE-ish token counting: regex token classes (letter runs, digit
     // runs, single punctuation) — the same RE2-safe pattern evaluates
     // identically in Spark and DuckDB
@@ -4388,6 +4406,19 @@ object PipelineQueries {
     // feature matrix — see Perceptron.oracleSql; the feature CTE
     // mirrors the Spark tokenization (split on ' ', first md5 nibble)
     "perceptron_train" -> graft.operators.Perceptron.oracleSql(
+      """feat AS (
+        |  SELECT doc_id AS id,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |  CAST(strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1
+        |    AS INTEGER) AS f,
+        |  CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM (SELECT doc_id, lang,
+        |        unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents) t
+        |  GROUP BY 1, 2, 3)""".stripMargin, nFeatures = 16, iters = 3),
+    // the same chain scored once more against the final weights and
+    // folded into exact confusion counts
+    "perceptron_confusion" -> graft.operators.Perceptron.confusionOracleSql(
       """feat AS (
         |  SELECT doc_id AS id,
         |  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,

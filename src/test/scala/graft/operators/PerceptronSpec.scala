@@ -27,6 +27,18 @@ class PerceptronSpec extends SparkTestBase {
       got.toString)
   }
 
+  test("trainConfusion scores against the FINAL weights") {
+    // same fixture: w2 = (3,-2) classifies all three correctly
+    val feats = Seq(
+      (1L, 1L, 0, 2L),
+      (2L, -1L, 1, 3L),
+      (3L, 1L, 0, 1L), (3L, 1L, 1, 1L)).toDF("id", "y", "f", "x")
+    val got = Perceptron.trainConfusion(feats, nFeatures = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq((-1L, -1L, 1L), (1L, 1L, 2L)), got.toString)
+  }
+
   test("a feature no example carries keeps weight zero") {
     val feats = Seq((1L, 1L, 0, 1L)).toDF("id", "y", "f", "x")
     val got = Perceptron.train(feats, nFeatures = 3, iters = 1)
