@@ -66,9 +66,15 @@ object Perceptron {
 
   private def trainLoop(features: DataFrame, nFeatures: Int, iters: Int)
       : (Seq[(Int, Int, Long)], DataFrame, Array[Long]) = {
-    require(nFeatures >= 1 && nFeatures <= (1 << 20),
+    require(nFeatures >= 1 && nFeatures <= (1 << 16),
       s"nFeatures out of range: $nFeatures")
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    // weights AND their full evolution live on the driver (that is
+    // what makes the broadcast-per-round shape work) — bound the
+    // materialization, not just each factor
+    require(iters.toLong * nFeatures <= (1L << 20),
+      s"iters * nFeatures = ${iters.toLong * nFeatures} exceeds the " +
+        "2^20 driver-side weight-evolution budget")
     val spark = features.sparkSession
     import spark.implicits._
     val feats = features.select(col("id"), col("y").cast("long").as("y"),

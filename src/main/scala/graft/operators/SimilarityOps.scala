@@ -522,6 +522,7 @@ object SimilarityOps {
     * shared assignment step of every append path.
     */
   private[graft] def assignForIndex(e: DataFrame, dir: String): DataFrame = {
+    healRetrain(e.sparkSession, dir)
     val cents = e.sparkSession.read.parquet(s"$dir/_codebook")
       .select(col("id").as("cid"), col("v").as("cv"))
     assignToCodebook(e, cents).withColumn("bucket", col("bucket").cast("int"))
@@ -574,6 +575,24 @@ object SimilarityOps {
       Some(df.select("id").distinct())
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
+  /** Roll back a crashed [[retrainIvfIndex]] (the live dir renamed
+    * aside, the staged copy not yet in place): EVERY index verb calls
+    * this on entry — the bloom sidecar's read-side-heal discipline —
+    * so a retrain that dies between its two renames never takes probe
+    * or ingest traffic down until someone re-runs retrain. Tolerant of
+    * concurrent healers (the loser's failed rename finds the dir
+    * already restored).
+    */
+  private def healRetrain(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return
+    val old = new org.apache.hadoop.fs.Path(s"$dir.retrain.old")
+    if (fs.exists(old) && !fs.rename(old, p))
+      require(fs.exists(p), s"retrain rollback failed for $dir")
+  }
+
   /** The stored index minus tombstoned rows — what every probe path
     * scans. The anti-join side is the tombstone set (compaction-
     * bounded), broadcast so candidate scans stay partition-pruned
@@ -581,6 +600,7 @@ object SimilarityOps {
     */
   private[graft] def liveIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
+    healRetrain(spark, dir)
     val stored = spark.read.parquet(dir)
     tombstonesDf(spark, dir) match {
       case Some(ts) => stored.join(broadcast(ts), Seq("id"), "left_anti")
@@ -918,13 +938,13 @@ object SimilarityOps {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val oldDir = p(s"$dir.retrain.old")
-    // heal a crashed earlier retrain: staging is never adopted (the
-    // replay rebuilds it); a missing live dir rolls back from .old
-    if (!fs.exists(p(dir))) {
-      require(fs.exists(oldDir),
-        s"$dir missing with no $oldDir to roll back — index corrupt")
-      require(fs.rename(oldDir, p(dir)), s"rollback rename failed: $oldDir")
-    } else fs.delete(oldDir, true)
+    // heal a crashed earlier retrain (the shared read-side rollback),
+    // then clear residues; staging is never adopted — the replay
+    // rebuilds it
+    healRetrain(spark, dir)
+    require(fs.exists(p(dir)),
+      s"$dir missing with no $oldDir to roll back — index corrupt")
+    fs.delete(oldDir, true)
     val tmp = s"$dir.retrain.tmp"
     fs.delete(p(tmp), true) // stale staging from a crashed run
     val live = liveIndex(spark, dir).select(col("id"), col("v"))
@@ -999,6 +1019,7 @@ object SimilarityOps {
 
   private def codebookArr(spark: org.apache.spark.sql.SparkSession,
       dir: String): Array[(Long, Array[Double])] = {
+    healRetrain(spark, dir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/_codebook")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))

@@ -399,6 +399,36 @@ object PipelineQueries {
       .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
+  /** The is-it-English hashed feature matrix (id, y, f, x) the
+    * perceptron gates train/evaluate on — ONE definition so the two
+    * Spark pipelines and the two oracle featCtes can never drift
+    * apart pairwise (see [[perceptronFeatCte]] for the SQL twin).
+    */
+  private def perceptronFeats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id").as("id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        explode(words(col("text"))).as("token"))
+      .select(col("id"), col("y"),
+        conv(substring(md5(col("token").cast("binary")), 1, 1), 16, 10)
+          .cast("int").as("f"))
+      .groupBy("id", "y", "f").agg(count(lit(1)).as("x"))
+
+  /** DuckDB twin of [[perceptronFeats]]: split on ' ', first md5
+    * nibble, frequency counts.
+    */
+  private val perceptronFeatCte: String =
+    """feat AS (
+      |  SELECT doc_id AS id,
+      |  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+      |  CAST(strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1
+      |    AS INTEGER) AS f,
+      |  CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM (SELECT doc_id, lang,
+      |        unnest(string_split(lower(text), ' ')) AS token
+      |        FROM documents) t
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     // exact dedup: group by content hash, keep lowest doc_id
     "dedup_exact" -> ((s, d) =>
@@ -1044,35 +1074,18 @@ object PipelineQueries {
     // in 3 rounds. ONE corpus scan builds the feature matrix; each
     // round is two matrix-sized aggregates with the 16-row weight
     // table broadcast. The oracle replays all 3 rounds relationally.
-    "perceptron_train" -> ((s, d) => {
-      val feats = Tables.documents(s, d)
-        .select(col("doc_id").as("id"),
-          when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
-          explode(words(col("text"))).as("token"))
-        .select(col("id"), col("y"),
-          conv(substring(md5(col("token").cast("binary")), 1, 1), 16, 10)
-            .cast("int").as("f"))
-        .groupBy("id", "y", "f").agg(count(lit(1)).as("x"))
-      graft.operators.Perceptron.train(feats, nFeatures = 16, iters = 3)
-    }),
+    "perceptron_train" -> ((s, d) =>
+      graft.operators.Perceptron.train(perceptronFeats(s, d),
+        nFeatures = 16, iters = 3)),
 
     // ...and the end-to-end EVALUATION: the same 3-round training,
     // then every document scores against the FINAL weights and the
     // exact confusion counts come back — the gate a pipeline applies
     // to a learned filter before routing a corpus with it. One extra
     // matrix-sized aggregate after training; all integers.
-    "perceptron_confusion" -> ((s, d) => {
-      val feats = Tables.documents(s, d)
-        .select(col("doc_id").as("id"),
-          when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
-          explode(words(col("text"))).as("token"))
-        .select(col("id"), col("y"),
-          conv(substring(md5(col("token").cast("binary")), 1, 1), 16, 10)
-            .cast("int").as("f"))
-        .groupBy("id", "y", "f").agg(count(lit(1)).as("x"))
-      graft.operators.Perceptron
-        .trainConfusion(feats, nFeatures = 16, iters = 3)
-    }),
+    "perceptron_confusion" -> ((s, d) =>
+      graft.operators.Perceptron.trainConfusion(perceptronFeats(s, d),
+        nFeatures = 16, iters = 3)),
 
     // BPE-ish token counting: regex token classes (letter runs, digit
     // runs, single punctuation) — the same RE2-safe pattern evaluates
@@ -4406,29 +4419,11 @@ object PipelineQueries {
     // feature matrix — see Perceptron.oracleSql; the feature CTE
     // mirrors the Spark tokenization (split on ' ', first md5 nibble)
     "perceptron_train" -> graft.operators.Perceptron.oracleSql(
-      """feat AS (
-        |  SELECT doc_id AS id,
-        |  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-        |  CAST(strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1
-        |    AS INTEGER) AS f,
-        |  CAST(COUNT(*) AS BIGINT) AS x
-        |  FROM (SELECT doc_id, lang,
-        |        unnest(string_split(lower(text), ' ')) AS token
-        |        FROM documents) t
-        |  GROUP BY 1, 2, 3)""".stripMargin, nFeatures = 16, iters = 3),
+      perceptronFeatCte, nFeatures = 16, iters = 3),
     // the same chain scored once more against the final weights and
     // folded into exact confusion counts
     "perceptron_confusion" -> graft.operators.Perceptron.confusionOracleSql(
-      """feat AS (
-        |  SELECT doc_id AS id,
-        |  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-        |  CAST(strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1
-        |    AS INTEGER) AS f,
-        |  CAST(COUNT(*) AS BIGINT) AS x
-        |  FROM (SELECT doc_id, lang,
-        |        unnest(string_split(lower(text), ' ')) AS token
-        |        FROM documents) t
-        |  GROUP BY 1, 2, 3)""".stripMargin, nFeatures = 16, iters = 3),
+      perceptronFeatCte, nFeatures = 16, iters = 3),
     "colloc_lift" ->
       """WITH tok AS (
         |  SELECT string_split(lower(text), ' ') AS w FROM documents),

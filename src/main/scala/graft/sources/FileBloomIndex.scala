@@ -412,17 +412,22 @@ object FileBloomIndex {
         (touchedLos -- staged.map(_._1).toSet).foreach(dropShard)
       } else
         touchedLos.foreach(dropShard)
-      // (3) now that no bloom names them, drop the emptied bucket
-      // dirs — and sweep any ORPHAN dir a crashed earlier purge left
-      // behind (a data bucket without a bloom row is unreachable by
-      // construction: appends write the sidecar first)
-      val liveBuckets = loadFilters(spark, path).map(_._1).toSet
-      fs.listStatus(hp(s"$path/data")).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("fbib="))
-        .map(s => s.getPath.getName.stripPrefix("fbib=").toInt)
-        .filterNot(liveBuckets)
-        .foreach(b => fs.delete(hp(s"$path/data/fbib=$b"), true))
     }
+    // (3) now that no bloom names them, drop the emptied bucket dirs —
+    // and sweep any ORPHAN dir a crashed earlier purge left behind (a
+    // data bucket without a bloom row is unreachable by construction:
+    // appends write the sidecar first). UNCONDITIONAL — a replayed
+    // compact whose new blooms no longer name the crashed run's
+    // emptied bucket finds touched empty, and the sweep is then the
+    // only path that heals the orphan. A whole-index purge legally
+    // leaves ZERO shards (loadFilters serves an empty filter set off
+    // the still-present _blooms.d root).
+    val liveBuckets = loadFilters(spark, path).map(_._1).toSet
+    fs.listStatus(hp(s"$path/data")).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("fbib="))
+      .map(s => s.getPath.getName.stripPrefix("fbib=").toInt)
+      .filterNot(liveBuckets)
+      .foreach(b => fs.delete(hp(s"$path/data/fbib=$b"), true))
     // (4) tombstones LAST: every earlier crash state still masks
     fs.delete(tsPath, true)
   }
@@ -447,8 +452,17 @@ object FileBloomIndex {
     * exactness where a blind read would fail with PATH_NOT_FOUND.
     */
   private def existingBucketPaths(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, buckets: Seq[Int]): Seq[String] =
-    buckets.map(b => s"$path/data/fbib=$b").filter(p => fs.exists(hp(p)))
+      path: String, buckets: Seq[Int]): Seq[String] = {
+    if (buckets.isEmpty) return Seq.empty
+    // ONE listStatus of the data root (not one exists() RPC per
+    // candidate — on an object store that would charge every lookup
+    // a metadata round-trip per bucket, forever, to guard a rare
+    // crash window)
+    val present = fs.listStatus(hp(s"$path/data")).toSeq
+      .map(_.getPath.getName).toSet
+    buckets.collect { case b if present(s"fbib=$b") =>
+      s"$path/data/fbib=$b" }
+  }
 
   // ---- sharded sidecar plumbing ----
 
@@ -681,6 +695,10 @@ object FileBloomIndex {
     if (shards.nonEmpty)
       shards.toArray.flatMap { case (_, _, dir) =>
         loadDir(spark, fs, path, dir) }
+    // a present-but-empty shard root is the LEGAL all-purged state
+    // (every key deleted, every shard dropped): zero filters, every
+    // probe a provable miss — not a missing index
+    else if (fs.exists(shardRoot(path))) Array.empty
     else {
       healV1(fs, path)
       require(fs.exists(hp(s"$path/_blooms")),
@@ -752,7 +770,16 @@ object FileBloomIndex {
     val paths = existingBucketPaths(fsFor(spark, path), path, cands)
     val base =
       if (paths.isEmpty)
-        spark.read.parquet(s"$path/data").filter(lit(false))
+        // the all-rejected fast path still needs the DATA SCHEMA for
+        // its typed empty frame; an all-purged index has no files left
+        // to infer it from — loud and specific beats Spark's generic
+        // inference error
+        try spark.read.parquet(s"$path/data").filter(lit(false))
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"$path holds no data files (every key purged?) — a typed " +
+              "empty result is unrepresentable; rebuild with write()", e)
+        }
       else
         spark.read.option("basePath", s"$path/data").parquet(paths: _*)
     maskTombstones(spark, path,

@@ -10,7 +10,8 @@ object ExplainNew {
         "pivot_grid_bfill",
         // round-13 additions
         "bloom_bulk_membership", "ann_ivf_retrained",
-        "image_dhash_scaled", "bpe_train", "perceptron_train")) {
+        "image_dhash_scaled", "bpe_train", "perceptron_train",
+        "ann_knn_label", "perceptron_confusion")) {
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       val plan = df.queryExecution.executedPlan.toString

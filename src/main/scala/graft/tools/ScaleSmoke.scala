@@ -162,8 +162,12 @@ object ScaleSmoke {
       "bloom_lookup_deleted", "bloom_lookup_purged",
       // perceptron training: one corpus scan for the feature matrix,
       // then per-round matrix-sized aggregates with a 16-row
-      // broadcast weight table — should track the matrix linearly
-      "perceptron_train")
+      // broadcast weight table — should track the matrix linearly;
+      // the confusion gate adds one more matrix-sized scoring pass
+      "perceptron_train", "perceptron_confusion",
+      // kNN labeling: the DPP-pruned batch probe + a neighbor-sized
+      // label join and vote — should stay flat like the other probes
+      "ann_knn_label")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>

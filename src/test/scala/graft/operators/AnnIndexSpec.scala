@@ -371,6 +371,30 @@ class AnnIndexSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!probe.map(_.getLong(0)).contains(10L))
   }
 
+  test("a retrain crash between its renames heals on the next READ") {
+    val dir = tmp("ann_retrain_crash")
+    SimilarityOps.buildIvfIndex(vecs(0 until 80), "id", "v", 4, dir)
+    val want = SimilarityOps
+      .annIvfFromIndexMultiProbe(spark, dir, 20L, 5, 2).collect().toSeq
+    // the crash window: dir renamed aside, staging never adopted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"$dir.retrain.old")))
+    // every verb heals via the shared rollback, not just retrain:
+    // the probe below must answer identically with no manual step
+    val got = SimilarityOps
+      .annIvfFromIndexMultiProbe(spark, dir, 20L, 5, 2).collect().toSeq
+    assert(got == want, "read-side rollback must restore the index")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.retrain.old")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    // ...and the ingest path heals too
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"$dir.retrain.old"))
+    SimilarityOps.appendToIvfIndex(vecs(80 until 90), "id", "v", dir)
+    assert(spark.read.parquet(dir).filter(col("id") === 85L).count() == 1)
+  }
+
   test("probe-by-vector == probe-by-id modulo self-exclusion") {
     val dir = tmp("ann_vec")
     SimilarityOps.buildIvfIndex(vecs(0 until 160), "id", "v", 4, dir)

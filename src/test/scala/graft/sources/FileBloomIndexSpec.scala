@@ -466,6 +466,59 @@ class FileBloomIndexSpec extends SparkTestBase {
     assert(FileBloomIndex.lookup(spark, p, "id", "6").count() == 0)
   }
 
+  test("purging EVERY key completes and leaves a readable empty index") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val base = graft.queries.QueryTmp.dir("fbloomall")
+    val p = s"$base/idx"
+    val rows = (0L until 12L).map(i => (i, (i % 3).toInt)).toDF("id", "b")
+    FileBloomIndex.write(rows, "id", col("b"), p, 64L)
+    FileBloomIndex.delete(spark, p, (0L until 12L).map(_.toString))
+    FileBloomIndex.compact(spark, p) // must not wedge on zero shards
+    assert(!new java.io.File(s"$p/_tombstones").exists(),
+      "the whole-index purge must still clear the tombstones")
+    assert(FileBloomIndex.candidateBuckets(spark, p, "3").isEmpty,
+      "an all-purged index answers every probe with zero candidates")
+    assert(FileBloomIndex.existingKeys(spark, p, "id", Seq("3")).isEmpty)
+    assert(!new java.io.File(s"$p/data/fbib=0").exists(),
+      "emptied bucket dirs must be swept")
+    // a second compact stays a no-op
+    FileBloomIndex.compact(spark, p)
+  }
+
+  test("the orphan sweep heals a crashed purge on REPLAY (touched empty)") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val base = graft.queries.QueryTmp.dir("fbloomorph")
+    val p = s"$base/idx"
+    def rows(r: Range, b: Int) = r.map(i => (i.toLong, b)).toDF("id", "b")
+    FileBloomIndex.write(rows(0 until 4, 0).union(rows(10 until 14, 1)),
+      "id", col("b"), p, 64L)
+    // crash state AFTER run 1's sidecar swap but BEFORE its dir
+    // delete: bucket 1's bloom row is gone, its dir lingers with
+    // dead-only rows, tombstones still pending
+    FileBloomIndex.delete(spark, p, (10L until 14L).map(_.toString))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    // simulate by rebuilding the sidecar over bucket 0 only, keeping
+    // bucket 1's dir on disk
+    val keep = FileBloomIndex.sidecarDf(spark, p)
+      .filter(col("bucket") === 0).localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/_blooms.d"), true)
+    val shard0 = s"$p/_blooms.d/0-7"
+    keep.coalesce(1).write.parquet(shard0)
+    assert(new java.io.File(s"$p/data/fbib=1").exists())
+    // the REPLAYED compact finds no touched buckets (blooms no longer
+    // name bucket 1) — the unconditional sweep must still remove the
+    // orphan and clear the tombstones
+    FileBloomIndex.compact(spark, p)
+    assert(!new java.io.File(s"$p/data/fbib=1").exists(),
+      "replayed compact must sweep the orphaned bucket dir")
+    assert(!new java.io.File(s"$p/_tombstones").exists())
+    assert(FileBloomIndex.lookup(spark, p, "id", "2")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("pruning: candidates are a strict subset and inputFiles stay inside") {
     val cands = FileBloomIndex.candidateBuckets(spark, idx, "7")
     assert(cands.nonEmpty && cands.size < 16,
