@@ -589,8 +589,20 @@ object SimilarityOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) return
     val old = new org.apache.hadoop.fs.Path(s"$dir.retrain.old")
-    if (fs.exists(old) && !fs.rename(old, p))
-      require(fs.exists(p), s"retrain rollback failed for $dir")
+    if (fs.exists(old)) {
+      if (!fs.rename(old, p))
+        require(fs.exists(p), s"retrain rollback failed for $dir")
+      else {
+        // the rename can race the writer adopting its staged index at
+        // `dir`: if `dir` (re)appeared first, Hadoop moved the old
+        // copy INSIDE it. The adopted index is then live and the old
+        // copy disposable — put it back aside (the writer's final
+        // cleanup deletes it) or drop it.
+        val nested = new org.apache.hadoop.fs.Path(p, old.getName)
+        if (fs.exists(nested) && !fs.rename(nested, old))
+          fs.delete(nested, true)
+      }
+    }
   }
 
   /** The stored index minus tombstoned rows — what every probe path
@@ -969,7 +981,32 @@ object SimilarityOps {
     // and the unreadable window shrinks from the whole rewrite to the
     // instant between the renames (healed above on replay)
     require(fs.rename(p(dir), oldDir), s"rename failed: $dir -> $oldDir")
-    require(fs.rename(p(tmp), p(dir)), s"rename failed: $tmp -> $dir")
+    // between the two renames a concurrent reader's healRetrain can
+    // restore `dir` from the .old copy; Hadoop FileSystems then treat
+    // rename(tmp, dir) as move-INTO (the staging nests inside the
+    // restored old index) rather than failing. Adopt in a guarded
+    // loop: move any healed dir back aside, detect-and-undo a nested
+    // landing, and finish only once the staged root verifiably IS
+    // `dir`.
+    var adopted = false
+    var attempts = 0
+    while (!adopted) {
+      attempts += 1
+      require(attempts <= 16,
+        s"retrain adoption lost the heal race $attempts times: $dir")
+      if (fs.exists(p(dir)) && !fs.rename(p(dir), oldDir))
+        require(!fs.exists(p(dir)), s"rename failed: $dir -> $oldDir")
+      if (fs.rename(p(tmp), p(dir))) {
+        val nested = new org.apache.hadoop.fs.Path(p(dir), p(tmp).getName)
+        if (fs.exists(nested))
+          // landed inside a healed old dir: pull the staging back out
+          // and retry the swap
+          require(fs.rename(nested, p(tmp)),
+            s"rename failed: $nested -> $tmp")
+        else adopted = true
+      } else require(fs.exists(p(dir)),
+        s"rename failed and $dir missing: $tmp -> $dir")
+    }
     fs.delete(oldDir, true)
   }
 
@@ -980,11 +1017,13 @@ object SimilarityOps {
     */
   private[graft] def probeBucketLookup(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      probeId: Long): Option[Int] =
-    try
-      spark.read.parquet(s"$dir/_ids").filter(col("id") === probeId)
-        .collect().headOption.map(_.getInt(1))
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+      probeId: Long): Option[Int] = {
+    val ids = new org.apache.hadoop.fs.Path(s"$dir/_ids")
+    val fs = ids.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ids)) None // pre-sidecar index: caller falls back
+    else spark.read.parquet(ids.toString).filter(col("id") === probeId)
+      .collect().headOption.map(_.getInt(1))
+  }
 
   /** The probe vector's `nprobe` nearest cells, ranked driver-side
     * against the index's `_codebook` sidecar. The sequential fold

@@ -98,20 +98,22 @@ object FileBloomIndex {
       .withColumn("key_col", lit(keyCol))
     val fs = fsFor(df.sparkSession, path)
     val staged = stageShards(blooms, path, bucketsPerShard)
-    // fresh build: clear any previous sidecar (either format) AND its
-    // memo entries (a rebuild may drop shards whose stale cached
-    // filters would otherwise linger forever), then adopt the staged
-    // shards wholesale
-    val root = shardRoot(path)
-    fs.delete(root, true)
+    // fresh build: assemble the COMPLETE new root under _blooms.stage,
+    // clear any previous sidecar (either format), then adopt the stage
+    // with ONE rename — readers see the old sidecar, nothing (loud), or
+    // the complete new root, never a partial shard set (a crash inside
+    // a per-shard adoption loop would otherwise serve partial filters
+    // silently = false negatives)
+    val stage = assembleStage(fs, path, staged, bucketsPerShard)
     Seq("_blooms", "_blooms.next", "_blooms.old")
       .foreach(n => fs.delete(hp(s"$path/$n"), true))
+    val root = shardRoot(path)
+    fs.delete(root, true)
+    checkedRename(fs, stage, root)
+    // a rebuild may DROP shards whose stale cached filters would
+    // otherwise linger forever (the fingerprint guard only covers
+    // shards that still exist)
     filterMemo.keys.filter(_._1 == path).foreach(filterMemo.remove)
-    require(fs.mkdirs(root), s"cannot create $root")
-    staged.foreach { case (lo, tmpDir) =>
-      checkedRename(fs, tmpDir, shardPath(path, lo, bucketsPerShard))
-    }
-    fs.delete(hp(tmpRoot(path)), true)
   }
 
   /** Incremental ingest: MERGE the batch's blooms into the sidecar
@@ -304,17 +306,19 @@ object FileBloomIndex {
       fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     val tsPath = hp(s"$path/_tombstones")
     if (!fs.exists(tsPath)) return
+    healV1(fs, path)
+    if (v1Authoritative(fs, path))
+      // covers both the legacy v1 format and the coexistence state of
+      // an incomplete upgrade — either way the shard root is not yet
+      // trustworthy, and purging against it could strand dead rows
+      throw new IllegalArgumentException(
+        s"$path carries pending tombstones on a legacy v1 sidecar " +
+          "(or an incomplete upgrade) — run append once (or rebuild " +
+          "with write()) to finish the sharded format, then compact")
     val shards = listShards(fs, path)
-    if (shards.isEmpty) {
-      healV1(fs, path)
-      if (fs.exists(hp(s"$path/_blooms")))
-        throw new IllegalArgumentException(
-          s"$path carries pending tombstones on a legacy v1 sidecar — " +
-            "run append once (or rebuild with write()) to upgrade to " +
-            "the sharded format, then compact")
-      else throw new IllegalArgumentException(
+    if (shards.isEmpty)
+      throw new IllegalArgumentException(
         s"no bloom sidecar at $path — write() first")
-    }
     val head = spark.read.parquet(shards.head._3.toString)
     require(head.columns.contains("key_col"),
       s"$path sidecar predates key_col — rebuild with write() (or " +
@@ -508,6 +512,27 @@ object FileBloomIndex {
       require(fs.exists(to),
         s"rename failed and destination missing: $from -> $to")
 
+  /** Assemble staged shard dirs into a complete replacement root at
+    * `_blooms.stage` (final shard names, ready for the one-rename
+    * adoption) and clear the tmp root. Every rename here moves within
+    * staging space: a crash leaves only inert `_blooms.tmp` /
+    * `_blooms.stage` residue that the next attempt clears — the live
+    * `_blooms.d` is never touched until the single adopting rename.
+    */
+  private def assembleStage(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, staged: Seq[(Int, org.apache.hadoop.fs.Path)],
+      bps: Int): org.apache.hadoop.fs.Path = {
+    val stage = hp(s"$path/_blooms.stage")
+    fs.delete(stage, true) // residue from a crashed earlier attempt
+    require(fs.mkdirs(stage), s"cannot create $stage")
+    staged.foreach { case (lo, tmpDir) =>
+      checkedRename(fs, tmpDir,
+        new org.apache.hadoop.fs.Path(stage, shardName(lo, bps)))
+    }
+    fs.delete(hp(tmpRoot(path)), true)
+    stage
+  }
+
   /** Write the blooms rows into one parquet dir per shard under the
     * tmp root; returns (shardLo, tmpShardDir) pairs. Distributed
     * (partitionBy) — nothing sidecar-sized crosses the driver.
@@ -596,28 +621,40 @@ object FileBloomIndex {
 
   /** One-time reshard of a legacy single-file `_blooms` sidecar into
     * the sharded layout — costs one full sidecar rewrite, exactly
-    * what every append to the v1 format already paid. Readers prefer
-    * `_blooms.d` once present, so the post-write `_blooms` delete has
-    * no unreadable window.
+    * what every append to the v1 format already paid. The complete
+    * resharded root is assembled under `_blooms.stage` and adopted
+    * with ONE rename, and `_blooms` is deleted LAST: every crash
+    * window leaves either the intact v1 alone, v1 + a complete root
+    * (the COEXISTENCE state — v1 stays authoritative on every read
+    * path and the next append redoes the reshard), or the finished
+    * sharded state. No window serves a partial shard set.
     */
   private def upgradeV1(spark: SparkSession, path: String,
       keyCol: String): Unit = {
     val fs = fsFor(spark, path)
-    if (fs.exists(shardRoot(path))) return
     healV1(fs, path)
-    if (!fs.exists(hp(s"$path/_blooms"))) return
+    val hasV1 = fs.exists(hp(s"$path/_blooms"))
+    if (fs.exists(shardRoot(path))) {
+      if (!hasV1) return // fully upgraded (or natively sharded)
+      // coexistence = incomplete upgrade (crash between the root
+      // adoption and the v1 delete, or a partial root left by a
+      // pre-atomic build): the intact _blooms is authoritative —
+      // drop the root and redo the reshard from it
+      fs.delete(shardRoot(path), true)
+      filterMemo.keys.filter(_._1 == path).foreach(filterMemo.remove)
+    }
+    if (!hasV1) return
     val v1raw = spark.read.parquet(s"$path/_blooms")
     // v1 sidecars predate key_col: attach it during the reshard
     val v1 =
       if (v1raw.columns.contains("key_col")) v1raw
       else v1raw.withColumn("key_col", lit(keyCol))
     val staged = stageShards(v1, path, DefaultBucketsPerShard)
-    require(fs.mkdirs(shardRoot(path)), s"cannot create ${shardRoot(path)}")
-    staged.foreach { case (lo, tmpDir) =>
-      checkedRename(fs, tmpDir, shardPath(path, lo, DefaultBucketsPerShard))
-    }
-    fs.delete(hp(tmpRoot(path)), true)
-    Seq("_blooms", "_blooms.next", "_blooms.old")
+    val stage = assembleStage(fs, path, staged, DefaultBucketsPerShard)
+    checkedRename(fs, stage, shardRoot(path))
+    // residues first, the authoritative _blooms LAST — a crash here
+    // leaves coexistence, which the next append redoes idempotently
+    Seq("_blooms.next", "_blooms.old", "_blooms")
       .foreach(n => fs.delete(hp(s"$path/$n"), true))
     filterMemo.remove((path, "_blooms")) // the retired v1 entry
   }
@@ -633,12 +670,24 @@ object FileBloomIndex {
     else if (fs.exists(oldP)) renameOrHealed(fs, oldP, cur)
   }
 
+  /** `_blooms.d` + `_blooms` coexistence marks an INCOMPLETE upgrade
+    * (the reshard adopted its root but crashed before the v1 delete,
+    * or a pre-atomic build left a partial root): the v1 file is
+    * authoritative until the next append finishes the upgrade, so
+    * every read path checks this before trusting the shard root —
+    * serving a possibly-partial shard set would break the
+    * no-false-negative law silently.
+    */
+  private def v1Authoritative(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Boolean = fs.exists(hp(s"$path/_blooms"))
+
   /** All sidecar rows (bucket, bloom, expected_items, fpp), either
     * format — the inspection/test surface.
     */
   private[graft] def sidecarDf(spark: SparkSession, path: String): DataFrame = {
     val fs = fsFor(spark, path)
-    val shards = listShards(fs, path)
+    val shards =
+      if (v1Authoritative(fs, path)) Seq.empty else listShards(fs, path)
     if (shards.nonEmpty)
       spark.read.parquet(shards.map(_._3.toString): _*)
     else {
@@ -691,14 +740,16 @@ object FileBloomIndex {
   private[graft] def loadFilters(spark: SparkSession,
       path: String): Array[(Int, BloomFilter)] = {
     val fs = fsFor(spark, path)
-    val shards = listShards(fs, path)
+    val v1Wins = v1Authoritative(fs, path)
+    val shards = if (v1Wins) Seq.empty else listShards(fs, path)
     if (shards.nonEmpty)
       shards.toArray.flatMap { case (_, _, dir) =>
         loadDir(spark, fs, path, dir) }
     // a present-but-empty shard root is the LEGAL all-purged state
     // (every key deleted, every shard dropped): zero filters, every
-    // probe a provable miss — not a missing index
-    else if (fs.exists(shardRoot(path))) Array.empty
+    // probe a provable miss — not a missing index. Coexistence never
+    // reaches here (v1Wins routed it to the v1 branch).
+    else if (!v1Wins && fs.exists(shardRoot(path))) Array.empty
     else {
       healV1(fs, path)
       require(fs.exists(hp(s"$path/_blooms")),

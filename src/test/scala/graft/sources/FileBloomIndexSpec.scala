@@ -233,6 +233,53 @@ class FileBloomIndexSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(300L))
   }
 
+  test("incomplete upgrade: a partial _blooms.d beside an intact v1 " +
+      "is ignored by reads and redone by the next append") {
+    val base = graft.queries.QueryTmp.dir("fbloomcoexist")
+    val docs = Tables.documents(spark, sf)
+    val layout = pmod(hash(col("text")), lit(16))
+    val p = s"$base/idx"
+    FileBloomIndex.write(docs.filter(col("doc_id") < 250),
+      "doc_id", layout, p, 64L)
+    val rows = FileBloomIndex.sidecarDf(spark, p).localCheckpoint()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    // demote to v1, then plant a PARTIAL shard root (only buckets 0-7)
+    // — the residue a crashed pre-atomic reshard could leave
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$p/_blooms")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/_blooms.d"), true)
+    rows.filter(col("bucket") < 8).coalesce(1)
+      .write.parquet(s"$p/_blooms.d/0-7")
+    // a key living in a bucket the partial root LACKS must still be a
+    // candidate: the intact v1 is authoritative over the partial root
+    val byBucket = docs.filter(col("doc_id") < 250)
+      .select(col("doc_id"), layout.as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val (hiId, hiB) = byBucket.find(_._2 >= 8).get
+    assert(FileBloomIndex.candidateBuckets(spark, p, hiId.toString)
+        .contains(hiB),
+      "coexistence must serve the v1 sidecar, not the partial root")
+    assert(FileBloomIndex.lookup(spark, p, "doc_id", hiId.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(hiId))
+    // compact with pending tombstones refuses until the upgrade lands
+    FileBloomIndex.delete(spark, p, Seq(hiId.toString))
+    val ex = intercept[IllegalArgumentException] {
+      FileBloomIndex.compact(spark, p)
+    }
+    assert(ex.getMessage.contains("incomplete upgrade"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/_tombstones"), true)
+    // the next append drops the partial root and redoes the reshard:
+    // sidecar equals a one-shot rebuild over the union
+    FileBloomIndex.append(docs.filter(col("doc_id") >= 250),
+      "doc_id", layout, p)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/_blooms")),
+      "the redone upgrade must retire the v1 sidecar")
+    val full = s"$base/full"
+    FileBloomIndex.write(docs, "doc_id", layout, full, 64L)
+    assert(bloomsOf(p) == bloomsOf(full),
+      "the redone reshard must equal the one-shot rebuild")
+  }
+
   test("filter memo: a repeat lookup reads zero sidecar data bytes") {
     val base = graft.queries.QueryTmp.dir("fbloommemo")
     val p = s"$base/idx"
