@@ -11,6 +11,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
       .config("spark.ui.enabled", "false")
+      // the production extension set: the metadata-answer rules fire in
+      // the driver-measured plans, and the oracle gate exercises them
+      // against every query
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen once so session init doesn't land on the

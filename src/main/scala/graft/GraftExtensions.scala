@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // global SUM(var) over a grid answered from per-chunk value sums,
     // scanning only predicate-boundary chunks
     ext.injectOptimizerRule(graft.plans.MetadataSumRule)
+    // DISTINCT over dimension columns answered from the store's coord
+    // arrays — coordinate spines stop paying an O(cells) scan
+    ext.injectOptimizerRule(graft.plans.MetadataDistinctRule)
     // grouped top-k physical operator (heap-bounded partials; see
     // graft.plans.GroupedTopK — also self-registered by TopKOps)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)

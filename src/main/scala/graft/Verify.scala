@@ -31,6 +31,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // legacy events.ts
       .config("spark.ui.enabled", "false")
+      // the production extension set: the metadata-answer rules fire in
+      // the driver-measured plans, and the oracle gate exercises them
+      // against every query
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

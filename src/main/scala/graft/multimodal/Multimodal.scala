@@ -288,6 +288,25 @@ object Multimodal {
       ((id * 13 + p * 7L) % 256).toInt))
   }
 
+  /** [[ppmFixtureLarge]]'s RE-ENCODED sibling: identical raster except
+    * +1 in the red channel law. A uniform brightness nudge shifts both
+    * endpoints of every horizontal gradient together, so gradient
+    * signs — hence dHash bits — survive except where the +1 wraps mod
+    * 256 at exactly one sampled endpoint (r was 255 there): the
+    * analytic stand-in for a lossy re-encode, landing (original,
+    * re-encode) pairs at hamming ~0-2 while staying SQL-replayable
+    * (the oracle evaluates the same +1 arithmetic; it never needs to
+    * reason about wraps).
+    */
+  def ppmFixtureLargeReenc(id: Long): Array[Byte] = {
+    val w = (16 + id % 7).toInt
+    val h = (12 + id % 5).toInt
+    encodePpm(w, h, p => (
+      ((id * 7 + p * 3L + 1) % 256).toInt,
+      ((id * 11 + p * 5L) % 256).toInt,
+      ((id * 13 + p * 7L) % 256).toInt))
+  }
+
   /** Difference hash (dHash) over a decoded raster: bit y*(w−1)+x is
     * set iff gray(y,x) > gray(y,x+1), gray = r+g+b (an integer in
     * [0,765] — no luma weights, no division, so the bits are exact).
