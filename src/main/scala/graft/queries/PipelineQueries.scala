@@ -234,6 +234,64 @@ object PipelineQueries {
       jaccardPairs(s, d).select("doc_a", "doc_b")
     }
 
+  /** The image fingerprint corpus (media_id, w, h, dhash): every third
+    * document contributes its ppmFixtureLarge raster (media_id =
+    * 2·doc_id) AND the re-encoded sibling (media_id = 2·doc_id + 1) —
+    * real P6 byte decode, nearest 9x8 downsample, full 64-bit dHash.
+    * Map-side only; at 100 TB the decode parallelism is the row
+    * partitioning and each image contributes one 64-bit signature.
+    */
+  private def dhashMedia(s: SparkSession, d: String): DataFrame = {
+    val ppm = udf((id: Long, v: Int) =>
+      if (v == 0) graft.multimodal.Multimodal.ppmFixtureLarge(id)
+      else graft.multimodal.Multimodal.ppmFixtureLargeReenc(id))
+    val dh = udf((bytes: Array[Byte]) => {
+      val img = graft.multimodal.Multimodal.decodePpm(bytes)
+      (img.width, img.height, graft.multimodal.Multimodal.dHash9x8(img))
+    })
+    Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("v"))
+      .select((col("doc_id") * 2 + col("v")).as("media_id"),
+        dh(ppm(col("doc_id"), col("v"))).as("r"))
+      .select(col("media_id"), col("r._1").as("w"), col("r._2").as("h"),
+        col("r._3").as("dhash"))
+  }
+
+  /** Banded hamming self-join over 64-bit dHash signatures: 4 disjoint
+    * 16-bit bands, equi-join on (band, key), exact hamming <= 3 as the
+    * residual — the pigeonhole guarantees completeness (4 bands, <= 3
+    * differing bits => some band identical). Shuffles signature tuples
+    * only; the repartition on (band, key) makes both self-join inputs
+    * the same exchange -> ReuseExchange computes the signatures once.
+    */
+  private def dhashBandedPairs(sig: DataFrame): DataFrame = {
+    val banded = sig
+      .select(col("media_id"), col("dhash"),
+        posexplode(array((0 until 4).map(p =>
+          shiftright(col("dhash"), 16 * p).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "key")))
+      .repartition(col("band"), col("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
+  /** The verified image near-dup edge set, staged once per JVM — the
+    * [[stagedJaccardEdges]] discipline for images: the live compute
+    * stays `image_dhash_pairs`' gate, graph consumers read the staged
+    * table.
+    */
+  private def stagedDhashPairs(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "dhpairs") {
+      dhashBandedPairs(dhashMedia(s, d)).select("media_a", "media_b")
+    }
+
   /** Stage `build`'s result to scratch parquet once per (application,
     * corpus dir, name); every later call reads the staged table. Two
     * jobs: (a) expensive intermediates shared by several queries are
@@ -959,6 +1017,44 @@ object PipelineQueries {
         .select(col("media_id"), col("r._1").as("width"),
           col("r._2").as("height"), col("r._3").as("dhash_hi"),
           col("r._4").as("dhash_lo"))
+    }),
+
+    // multimodal: the image near-dup PAIR search — the banded hamming
+    // self-join that makes the dHash fingerprints FEED something (the
+    // simhash_pairs shape applied to images): the corpus holds each
+    // image and its re-encoded sibling (ppmFixtureLargeReenc, +1 in
+    // the red law — gradients survive except at mod-256 wraps, so the
+    // pair lands at hamming 0-2), signatures band into 4 disjoint
+    // 16-bit keys, and the equi-join on (band, key) shuffles only
+    // signature tuples, NEVER the pair space. Pigeonhole: hamming <= 3
+    // over 4 bands forces at least one band equal, so the candidate
+    // set provably contains every qualifying pair. The oracle is the
+    // O(n^2) brute force over analytically-replayed hashes — the
+    // exact-but-unscalable form, existing only as the gate.
+    "image_dhash_pairs" -> ((s, d) => dhashBandedPairs(dhashMedia(s, d))),
+
+    // multimodal: the END-TO-END image dedup composite — decode ->
+    // dHash9x8 -> banded hamming pairs -> connected components ->
+    // keep-best representative (the pipeline_clean of images). The
+    // verified pair set is staged once (the production shape: one
+    // verification job writes the edge list, consumers read it); the
+    // graph is metadata-sized (64-bit fingerprints, never payload
+    // bytes), components close in a handful of min-label rounds, and
+    // the keep rule is resolution DESC then lowest media_id — inside
+    // an (original, re-encode) pair both share dimensions, so the
+    // ORIGINAL is kept. Singletons keep themselves.
+    "image_dedup_pipeline" -> ((s, d) => {
+      val sig = dhashMedia(s, d)
+      val cc = graft.operators.GraphOps.connectedComponents(
+        stagedDhashPairs(s, d), "media_a", "media_b")
+      val w = Window.partitionBy("cluster")
+        .orderBy((col("w") * col("h")).desc, col("media_id"))
+      sig.join(cc, sig("media_id") === cc("id"), "left_outer")
+        .select(col("media_id"),
+          coalesce(col("cluster"), col("media_id")).as("cluster"),
+          col("w"), col("h"))
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("media_id", "cluster", "keep")
     }),
 
     // multimodal: zero-crossing segmentation over DECODED PCM — the
@@ -2743,6 +2839,50 @@ object PipelineQueries {
        |  SELECT p.id, COALESCE(p.label, w$cur.label) AS label
        |  FROM $prev p LEFT JOIN w$cur ON w$cur.id = p.id)""".stripMargin
 
+  /** Analytic replay of the image fingerprint corpus + the brute-force
+    * near-dup pair set: both fixture variants (v=0 original, v=1
+    * re-encode = +v in the red channel law) decode AND 9x8-resample
+    * analytically (the image_dhash_scaled arithmetic), hashes held as
+    * unsigned 32-bit halves (2^63 would overflow a BIGINT sum), pairs
+    * = every (a < b) combination hamming-tested over both halves.
+    * Shared by image_dhash_pairs and image_dedup_pipeline.
+    */
+  private val dhashMediaSqlCte =
+    """im AS (
+      |  SELECT doc_id, v, doc_id * 2 + v AS media_id,
+      |  16 + doc_id % 7 AS w, 12 + doc_id % 5 AS h
+      |  FROM documents, (SELECT unnest([0, 1]) AS v)
+      |  WHERE doc_id % 3 = 0),
+      |ys AS (SELECT media_id, doc_id, v, w, h,
+      |       unnest(generate_series(0, 7)) AS dy FROM im),
+      |xs AS (SELECT media_id, doc_id, v, w, h, dy,
+      |       unnest(generate_series(0, 7)) AS dx FROM ys),
+      |gb AS (SELECT media_id, doc_id, v, dy * 8 + dx AS b,
+      |  (((2*dy+1) * h) // 16) * w + (((2*dx+1) * w) // 18) AS p0,
+      |  (((2*dy+1) * h) // 16) * w + (((2*(dx+1)+1) * w) // 18) AS p1
+      |  FROM xs),
+      |gr AS (SELECT media_id, b,
+      |  (doc_id*7 + p0*3 + v) % 256 + (doc_id*11 + p0*5) % 256
+      |    + (doc_id*13 + p0*7) % 256 AS g0,
+      |  (doc_id*7 + p1*3 + v) % 256 + (doc_id*11 + p1*5) % 256
+      |    + (doc_id*13 + p1*7) % 256 AS g1
+      |  FROM gb),
+      |hs AS (SELECT media_id,
+      |  CAST(SUM(CASE WHEN b >= 32 AND g0 > g1
+      |    THEN CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER)
+      |    ELSE 0 END) AS BIGINT) AS hi,
+      |  CAST(SUM(CASE WHEN b < 32 AND g0 > g1
+      |    THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+      |    ELSE 0 END) AS BIGINT) AS lo
+      |  FROM gr GROUP BY media_id),
+      |prs AS (
+      |  SELECT * FROM (
+      |    SELECT a.media_id AS media_a, b.media_id AS media_b,
+      |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+      |      AS BIGINT) AS hamming
+      |    FROM hs a JOIN hs b ON a.media_id < b.media_id) t
+      |  WHERE hamming <= 3)""".stripMargin
+
   private val clustersSqlCte =
     s"""$neardupEdgeSqlCte,
        |reach(id, r) AS (
@@ -3736,6 +3876,37 @@ object PipelineQueries {
         |  THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
         |  ELSE 0 END) AS BIGINT) AS dhash_lo
         |FROM gr GROUP BY media_id""".stripMargin,
+    // the O(n^2) brute force over analytically-replayed hashes: both
+    // fixture variants' 64-bit dHashes rebuilt as unsigned 32-bit
+    // halves from the channel laws (+v in the red law is the
+    // re-encode), then EVERY pair hamming-tested — the exact form the
+    // banded join provably equals (pigeonhole), existing only as the
+    // oracle
+    "image_dhash_pairs" ->
+      s"""WITH $dhashMediaSqlCte
+         |SELECT media_a, media_b, hamming FROM prs""".stripMargin,
+    // pairs -> symmetric edges -> recursive min-reachability (the
+    // dedup_clusters CTE shape) -> keep-best by resolution DESC then
+    // lowest media_id; singletons (no edge) keep themselves
+    "image_dedup_pipeline" ->
+      s"""WITH RECURSIVE $dhashMediaSqlCte,
+         |e AS (SELECT media_a AS a, media_b AS b FROM prs
+         |      UNION ALL SELECT media_b, media_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id),
+         |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT im.media_id,
+         |  CAST(COALESCE(cl.cluster, im.media_id) AS BIGINT) AS cluster,
+         |  im.w, im.h
+         |  FROM (SELECT DISTINCT media_id, w, h FROM im) im
+         |  LEFT JOIN cl ON cl.id = im.media_id)
+         |SELECT media_id, cluster,
+         |(row_number() OVER (PARTITION BY cluster
+         |  ORDER BY w * h DESC, media_id) = 1) AS keep
+         |FROM lab""".stripMargin,
     // analytic PCM replay (s(k) = (31 id + 17 k) % 4096 - 2048, the
     // wavFixture law) + windowed gaps-and-islands — a different
     // algorithm for the same exact sign-run integers the engine's

@@ -11,7 +11,9 @@ object ExplainNew {
         // round-13 additions
         "bloom_bulk_membership", "ann_ivf_retrained",
         "image_dhash_scaled", "bpe_train", "perceptron_train",
-        "ann_knn_label", "perceptron_confusion")) {
+        "ann_knn_label", "perceptron_confusion",
+        // round-14 additions
+        "image_dhash_pairs", "image_dedup_pipeline")) {
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       val plan = df.queryExecution.executedPlan.toString

@@ -167,7 +167,13 @@ object ScaleSmoke {
       "perceptron_train", "perceptron_confusion",
       // kNN labeling: the DPP-pruned batch probe + a neighbor-sized
       // label join and vote — should stay flat like the other probes
-      "ann_knn_label")
+      "ann_knn_label",
+      // round-14 additions: banded hamming self-join over per-image
+      // 64-bit dHashes (shuffles signature tuples only — must track
+      // the image count, never the pair space) and the end-to-end
+      // dedup composite (staged edges + min-label components + one
+      // keep-best window over fingerprint-sized rows)
+      "image_dhash_pairs", "image_dedup_pipeline")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>

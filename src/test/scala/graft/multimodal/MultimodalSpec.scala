@@ -301,4 +301,69 @@ class MultimodalSpec extends SparkTestBase {
             b.getStruct(b.fieldIndex("meta"))
     })
   }
+
+  test("image_dhash_pairs: banded join == brute force, pigeonhole holds") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("image_dhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over driver-recomputed signatures: decode both
+    // variants of every media row exactly as the query does
+    val ids = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    val sigs = ids.flatMap { id =>
+      Seq(
+        2 * id -> Multimodal.dHash9x8(
+          Multimodal.decodePpm(Multimodal.ppmFixtureLarge(id))),
+        2 * id + 1 -> Multimodal.dHash9x8(
+          Multimodal.decodePpm(Multimodal.ppmFixtureLargeReenc(id))))
+    }.toMap
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      ham = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if ham <= 3
+    } yield (a, b, ham.toLong)).toSet
+    assert(got == want,
+      s"banded pairs must equal brute force: got ${got.size} want ${want.size}")
+    assert(want.nonEmpty, "fixture must realize near-dup pairs")
+    // the pigeonhole the banding relies on, checked concretely: every
+    // qualifying pair agrees on at least one of the 4 16-bit bands
+    want.foreach { case (a, b, _) =>
+      val bands = (0 until 4).count(p =>
+        ((sigs(a) >>> (16 * p)) & 0xffffL) == ((sigs(b) >>> (16 * p)) & 0xffffL))
+      assert(bands >= 1, f"pair ($a,$b) differs in every band: ${sigs(a)}%016x ${sigs(b)}%016x")
+    }
+  }
+
+  test("image_dedup_pipeline: pairs feed components; one keep per cluster") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("image_dedup_pipeline")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val pairs = graft.SparkEntry.queries("image_dhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    // every verified near-dup pair lands in ONE cluster (the GraphOps
+    // connected-components feed the verdict asked for)
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // the cluster label is the component minimum, exactly one keep per
+    // cluster, and within an (original, re-encode) pair -- equal
+    // resolution -- the ORIGINAL (lower, even media_id) is kept
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._1).min == c, s"cluster $c label not the min id")
+      assert(members.count(_._3) == 1, s"cluster $c keep count != 1")
+    }
+    val multi = rows.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "fixture must realize non-singleton clusters")
+    // keep = resolution DESC then lowest media_id (resolution from the
+    // fixture dimension law; both variants of one doc share dims, so a
+    // pure (original, re-encode) cluster keeps the original)
+    def px(id: Long) = (16 + (id / 2) % 7) * (12 + (id / 2) % 5)
+    multi.values.foreach { members =>
+      val expect = members.map(_._1).minBy(id => (-px(id), id))
+      val kept = members.filter(_._3).map(_._1)
+      assert(kept.toSeq == Seq(expect),
+        s"kept $kept, expected $expect in ${members.map(_._1).toSeq}")
+    }
+  }
 }
