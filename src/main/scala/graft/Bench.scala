@@ -67,7 +67,18 @@ object Bench {
     // the bench artifact. Any failed rep marks the query failed; it is
     // excluded from queries/rep_times/total and reported under "errors".
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    for (_ <- 1 to reps; name <- names if !errors.contains(name)) {
+    // machine-contention telemetry (the VERDICT r10-r13 blind spot: the
+    // TPC-H join family swings +-40% round over round in untouched code
+    // and the artifact couldn't confirm contention): 1-minute loadavg
+    // sampled at run start, per rep-pass, and at run end — a loadavg
+    // well above the benched-JVM's own parallelism flags a noisy
+    // neighbour, so a swing can finally be charged to the machine or to
+    // the code with evidence
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadavg: Double = osBean.getSystemLoadAverage
+    val loadSamples = scala.collection.mutable.ListBuffer[Double](loadavg)
+    for (rep <- 1 to reps; name <- names if !errors.contains(name)) {
+      if (name == names.head && rep > 1) loadSamples += loadavg
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
@@ -121,8 +132,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fullTotal = fullResults.map(_._2).sum
     val errJson = JsonUtil.obj(errors)
+    loadSamples += loadavg
+    val loadJson = loadSamples.map(v => f"$v%.2f").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"min_total":$minTotal,"queries_full":$qsFull,"full_total":$fullTotal,"rep_times":$rt,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpus,"loadavg":$loadJson,"queries":$qs,"queries_min":$qsMin,"min_total":$minTotal,"queries_full":$qsFull,"full_total":$fullTotal,"rep_times":$rt,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // also persist to a file: stdout artifacts have been truncated by
     // log capture, losing the per-query tail — the file is the durable

@@ -587,22 +587,25 @@ object SimilarityOps {
       dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) return
-    val old = new org.apache.hadoop.fs.Path(s"$dir.retrain.old")
-    if (fs.exists(old)) {
-      if (!fs.rename(old, p))
-        require(fs.exists(p), s"retrain rollback failed for $dir")
-      else {
-        // the rename can race the writer adopting its staged index at
-        // `dir`: if `dir` (re)appeared first, Hadoop moved the old
-        // copy INSIDE it. The adopted index is then live and the old
-        // copy disposable — put it back aside (the writer's final
-        // cleanup deletes it) or drop it.
-        val nested = new org.apache.hadoop.fs.Path(p, old.getName)
-        if (fs.exists(nested) && !fs.rename(nested, old))
-          fs.delete(nested, true)
+    if (!fs.exists(p)) {
+      val old = new org.apache.hadoop.fs.Path(s"$dir.retrain.old")
+      if (fs.exists(old)) {
+        if (!fs.rename(old, p))
+          require(fs.exists(p), s"retrain rollback failed for $dir")
+        else {
+          // the rename can race the writer adopting its staged index
+          // at `dir`: if `dir` (re)appeared first, Hadoop moved the
+          // old copy INSIDE it. The adopted index is then live and the
+          // old copy disposable — put it back aside (the writer's
+          // final cleanup deletes it) or drop it.
+          val nested = new org.apache.hadoop.fs.Path(p, old.getName)
+          if (fs.exists(nested) && !fs.rename(nested, old))
+            fs.delete(nested, true)
+        }
       }
     }
+    // a committed-but-unapplied hot-cell split resumes here too
+    if (fs.exists(p)) applySplit(spark, dir)
   }
 
   /** The stored index minus tombstoned rows — what every probe path
@@ -613,7 +616,21 @@ object SimilarityOps {
   private[graft] def liveIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     healRetrain(spark, dir)
-    val stored = spark.read.parquet(dir)
+    val stored0 = spark.read.parquet(dir)
+    // hide rows whose bucket the codebook does not name: a hot-cell
+    // split renames child dirs in BEFORE its codebook swap and drops
+    // parent dirs AFTER it, so this filter makes every crash/race
+    // window show each id exactly once (children invisible before the
+    // swap, orphaned parents invisible after). The cid list is
+    // memoized ([[codebookArr]]) and partition-prunable; legacy
+    // pre-codebook indexes skip it.
+    val cbPath = new org.apache.hadoop.fs.Path(s"$dir/_codebook")
+    val fs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stored =
+      if (fs.exists(cbPath))
+        stored0.filter(col("bucket")
+          .isin(codebookArr(spark, dir).map(_._1.toInt).toSeq: _*))
+      else stored0
     tombstonesDf(spark, dir) match {
       case Some(ts) => stored.join(broadcast(ts), Seq("id"), "left_anti")
       case None => stored
@@ -914,6 +931,185 @@ object SimilarityOps {
       val ids = spark.read.parquet(s"$dir/_ids").localCheckpoint()
       writeIdsSidecar(ids, dir, overwrite = true)
     }
+  }
+
+  /** SPLIT hot cells in place — the incremental lever between
+    * [[retrainIvfIndex]] runs: [[appendToIvfIndex]] deliberately
+    * freezes the codebook, so under skewed inserts one cell grows
+    * without bound and every probe ranking it pays the whole
+    * directory. Splitting re-k-means ONLY the offending bucket's rows
+    * (a local [[KMeans.centroids]] with k = `subK`, deterministic
+    * seeds = the subK lowest ids IN that bucket), re-assigns those
+    * rows to the sub-centroids by the shared [[assignToCodebook]]
+    * rule, and replaces the parent cell with the children — in the
+    * data layout, the `_codebook`, and the `_ids` sidecar. Untouched
+    * buckets are never read or rewritten (byte-identical, pinned in
+    * AnnIndexSpec).
+    *
+    * Child centroid ids are deterministic arithmetic — hot buckets
+    * ascending, child j of the i-th hot bucket gets
+    * `maxCid + 1 + i*subK + j` with children ordered by seed id — so
+    * the whole verb is relationally replayable (the `ann_ivf_split`
+    * gate hash-matches a generated SQL replay).
+    *
+    * Crash discipline (single-writer, readers heal): the COMPLETE
+    * artifact set — child bucket dirs, post-split `_codebook` and
+    * `_ids`, and a (parent, child) `_manifest` — stages under
+    * `_split.tmp` (underscore: invisible to data reads), commits by
+    * ONE rename to `_split.next`, and [[applySplit]] applies it
+    * idempotently: child dirs rename in, `_codebook` swaps, `_ids`
+    * swaps, parent dirs drop, marker clears LAST. Every index read
+    * path heals a pending `_split.next` first (via [[healRetrain]]),
+    * and [[liveIndex]] hides rows whose bucket is absent from the
+    * codebook — so every window shows each id EXACTLY once: before
+    * the codebook swap the parent rows are live and the renamed-in
+    * children codebook-invisible; after it, the children are live and
+    * the not-yet-dropped parents invisible.
+    *
+    * Pending tombstones carry through: dead rows move to their child
+    * cell and stay masked; the purge's `_ids` locate sees the updated
+    * buckets. Returns the (parent -> children) mapping actually
+    * split; empty when no bucket exceeds `maxRowsPerBucket`.
+    */
+  def splitHotCells(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxRowsPerBucket: Long, subK: Int = 2,
+      iters: Int = 1): Seq[(Int, Seq[Int])] = {
+    require(maxRowsPerBucket >= 1, s"maxRowsPerBucket=$maxRowsPerBucket")
+    require(subK >= 2 && subK <= 64, s"subK=$subK")
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healRetrain(spark, dir) // also applies any pending split
+    require(fs.exists(p(s"$dir/_codebook")),
+      s"$dir has no _codebook sidecar — rebuild with buildIvfIndex " +
+        "before splitting")
+    require(fs.exists(p(s"$dir/_ids")),
+      s"$dir has no _ids sidecar — rebuild with buildIvfIndex " +
+        "before splitting")
+    // per-bucket row counts: a scan pruned to the partition column
+    val hot = spark.read.parquet(dir)
+      .groupBy(col("bucket").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n")).collect()
+      .collect { case r if r.getLong(1) > maxRowsPerBucket &&
+        r.getLong(1) >= subK => r.getInt(0) }
+      .sorted
+    if (hot.isEmpty) return Seq.empty
+    val maxCid = codebookArr(spark, dir).map(_._1).max
+    val tmp = s"$dir/_split.tmp"
+    val next = s"$dir/_split.next"
+    fs.delete(p(tmp), true) // stale staging from a crashed run
+    import spark.implicits._
+    // stage each hot bucket's re-assignment under _split.tmp/data,
+    // carrying the trained sub-centroids for the codebook rewrite
+    val mapping = hot.toSeq.zipWithIndex.map { case (b, i) =>
+      val rows = spark.read.option("basePath", dir)
+        .parquet(s"$dir/bucket=$b").select("id", "v")
+      val cents = KMeans.centroids(rows, "id", "v", subK, iters)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1) // children ordered by their seed id
+      val childCids = cents.indices
+        .map(j => maxCid + 1 + i.toLong * subK + j)
+      val renumbered = childCids.zip(cents.map(_._2)).toDF("cid", "cv")
+      assignToCodebook(rows, renumbered)
+        .withColumn("bucket", col("bucket").cast("int"))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$tmp/data")
+      (b, childCids, cents.map(_._2))
+    }
+    // post-split codebook: parents out, trained children in — written
+    // against the LIVE sidecars (nothing live is overwritten until
+    // applySplit, so no checkpoint is needed)
+    val childCb = mapping.flatMap { case (_, kids, cvs) => kids.zip(cvs) }
+      .toDF("id", "v")
+    spark.read.parquet(s"$dir/_codebook")
+      .filter(!col("id").isin(hot.map(_.toLong).toSeq: _*))
+      .select(col("id"), col("v"))
+      .unionByName(childCb)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_codebook")
+    // post-split _ids: hot rows re-pointed at their child cell (stale
+    // rows impossible by construction — every row of a hot bucket is
+    // re-assigned from the data itself)
+    val newAssign = spark.read.parquet(s"$tmp/data").select("id", "bucket")
+    writeIdsSidecar(
+      spark.read.parquet(s"$dir/_ids")
+        .filter(!col("bucket").isin(hot.toSeq: _*))
+        .unionByName(newAssign),
+      tmp, overwrite = true)
+    mapping.flatMap { case (b, kids, _) => kids.map(k => (b, k.toInt)) }
+      .toDF("parent", "child").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/_manifest")
+    // COMMIT: one rename makes the complete staged set authoritative;
+    // the apply below (idempotent, also run by every reader that finds
+    // the marker) swaps it into the live layout
+    require(!fs.exists(p(next)),
+      s"$next still pending after heal — concurrent writer?")
+    require(fs.rename(p(tmp), p(next)), s"rename failed: $tmp -> $next")
+    applySplit(spark, dir)
+    mapping.map { case (b, kids, _) => b -> kids.map(_.toInt) }
+  }
+
+  /** Apply a committed `_split.next` idempotently — run by the writer
+    * right after its commit rename and by every read path that finds
+    * the marker (the heal): child bucket dirs rename in, `_codebook`
+    * and `_ids` swap through a `<name>.old` aside-move (the shard-swap
+    * discipline — losing a rename race to a concurrent healer is
+    * success when the destination exists), parent dirs drop once the
+    * codebook no longer names them, and the marker clears LAST so any
+    * crash resumes from here.
+    */
+  private def applySplit(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sidecar residue healing runs even without a marker: a crash
+    // between an aside-move and the swap rename leaves live missing +
+    // .old present (+ staged copy gone if the marker cleared) — roll
+    // back; a completed swap's lingering .old is dropped
+    for (sc <- Seq("_codebook", "_ids")) {
+      val live = p(s"$dir/$sc")
+      val old = p(s"$dir/$sc.old")
+      if (fs.exists(old)) {
+        if (!fs.exists(live) && !fs.exists(p(s"$dir/_split.next/$sc"))) {
+          if (!fs.rename(old, live))
+            require(fs.exists(live), s"split rollback failed for $live")
+        } else if (fs.exists(live)) fs.delete(old, true)
+      }
+    }
+    val next = p(s"$dir/_split.next")
+    if (!fs.exists(next)) return
+    val man = spark.read.parquet(s"$dir/_split.next/_manifest")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    // (1) child data dirs in — absent source means already applied;
+    // children are codebook-invisible until step (2), so this is safe
+    // in any order
+    man.map(_._2).distinct.foreach { c =>
+      val src = p(s"$dir/_split.next/data/bucket=$c")
+      val dst = p(s"$dir/bucket=$c")
+      if (fs.exists(src) && !fs.rename(src, dst))
+        require(fs.exists(dst), s"rename failed: $src -> $dst")
+    }
+    // (2) sidecar swaps — a still-present staged copy means not yet
+    // swapped; the codebook swap is the COMMIT POINT for visibility
+    for (sc <- Seq("_codebook", "_ids")) {
+      val src = p(s"$dir/_split.next/$sc")
+      if (fs.exists(src)) {
+        val live = p(s"$dir/$sc")
+        val old = p(s"$dir/$sc.old")
+        fs.delete(old, true) // stale residue
+        if (fs.exists(live) && !fs.rename(live, old))
+          require(!fs.exists(live), s"rename failed: $live -> $old")
+        if (!fs.rename(src, live))
+          require(fs.exists(live), s"rename failed: $src -> $live")
+        fs.delete(old, true)
+      }
+    }
+    // (3) parent dirs out — unreachable since the codebook swap
+    // (cell probes rank codebook cids; liveIndex hides
+    // codebook-absent buckets)
+    man.map(_._1).distinct.foreach(b =>
+      fs.delete(p(s"$dir/bucket=$b"), true))
+    // (4) the marker clears LAST: any earlier crash resumes here
+    fs.delete(next, true)
   }
 
   /** RETRAIN the coarse quantizer in place — the codebook-drift verb

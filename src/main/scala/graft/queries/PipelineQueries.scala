@@ -848,6 +848,33 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("cosine"))
     }),
 
+    // HOT-CELL SPLIT — the incremental lever between retrains (round
+    // 14): the index's largest cell(s) re-k-means locally (subK=2,
+    // one Lloyd round, seeds = the 2 lowest ids IN the cell) and the
+    // parent is replaced by the children in data + _codebook + _ids;
+    // untouched buckets stay byte-identical (pinned in AnnIndexSpec).
+    // The hot rule here — split whatever ties the MAX cell size — is
+    // deterministic relational arithmetic, so the oracle replays the
+    // whole verb: build assignment, hot detection, per-cell sub-
+    // k-means with the micro-unit fixed-point means, deterministic
+    // child renumbering (maxCid+1+i*subK+j), re-assignment, then the
+    // multi-probe against the post-split codebook.
+    "ann_ivf_split" -> ((s, d) => {
+      val dir = stagedPath(s, d, "ivfsplit") { p =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        graft.operators.SimilarityOps.buildIvfIndex(e, "vec_id", "v", 8, p)
+        val m = s.read.parquet(p).groupBy("bucket")
+          .agg(count(lit(1)).as("n")).agg(max("n"))
+          .collect().head.getLong(0)
+        graft.operators.SimilarityOps.splitHotCells(s, p,
+          maxRowsPerBucket = m - 1, subK = 2, iters = 1)
+      }
+      graft.operators.SimilarityOps
+        .annIvfFromIndexMultiProbe(s, dir, 8L, 10, nprobe = 3)
+        .select(col("id").as("vec_id"), col("cosine"))
+    }),
+
     // BATCH multi-probe against the STORED index — the nightly
     // retrieval workload: probe rows located via the _ids sidecar
     // (scan pruned to the probes' own buckets), cells ranked per probe
@@ -2365,6 +2392,19 @@ object PipelineQueries {
     "bpe_train" -> ((s, d) =>
       graft.operators.BpeTrain.train(Tables.documents(s, d), "text", 5)),
 
+    // BATCHED BPE training (round 14) — the 30k-50k-vocabulary path:
+    // 3 rounds x up to 8 mutually NON-INTERACTING merges each, all of
+    // a round's merges applied in ONE vocabulary pass (disjoint
+    // symbol sets commute). Selection is the conservative disjoint
+    // rule over the top-64 ranked pairs — non-iterative, so the
+    // oracle replays every round relationally (the ranked window, the
+    // NOT-EXISTS conflict test, one list_reduce application). Round
+    // count << merge count is the whole point: a 32k vocabulary at
+    // batch=32 is ~1000 rounds instead of ~64k driver-loop jobs.
+    "bpe_train_batched" -> ((s, d) =>
+      graft.operators.BpeTrain.trainBatched(Tables.documents(s, d),
+        "text", rounds = 3, batch = 8)),
+
     // ...and the APPLICATION: segment every word into the 5 learned
     // subwords (the evolved vocabulary IS the segmentation) and rank
     // the corpus subword frequencies — what a tokenizer's vocab file
@@ -3249,6 +3289,113 @@ object PipelineQueries {
       |WHERE a.bucket IN (SELECT cid FROM cells) AND a.id <> 8
       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
+  /** The hot-cell-split replay: build assignment (a0), hot = the
+    * max-count bucket(s), per-cell 1-round sub-k-means seeded by the 2
+    * lowest in-cell ids (dist2 argmin ties to the lowest seed, then
+    * the micro-unit fixed-point means — the [[KMeans]] laws), children
+    * renumbered 7 + hi·2 + rank(seed), hot rows re-assigned by
+    * dot/|c| (ties to the lowest child), and the nprobe=3 multi-probe
+    * run against the post-split codebook. Every step is the same
+    * arithmetic the engine executes, so the gate hash-matches.
+    */
+  private val annIvfSplitOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id AS id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id >= 8),
+      |c0 AS (
+      |  SELECT vec_id AS cid,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      |  FROM embeddings WHERE vec_id < 8),
+      |s0 AS (
+      |  SELECT e.id, e.v, c0.cid,
+      |  list_aggregate(list_transform(list_zip(e.v, c0.cv),
+      |    z -> z[1]*z[2]), 'sum') /
+      |    sqrt(list_aggregate(list_transform(c0.cv, x -> x*x), 'sum'))
+      |    AS score
+      |  FROM e, c0),
+      |a0 AS (
+      |  SELECT id, v, cid AS bucket FROM (
+      |    SELECT id, v, cid,
+      |    row_number() OVER (PARTITION BY id ORDER BY score DESC, cid) AS rn
+      |    FROM s0) t WHERE rn = 1),
+      |cnt AS (SELECT bucket, COUNT(*) AS n FROM a0 GROUP BY bucket),
+      |hot AS (SELECT bucket FROM cnt WHERE n = (SELECT MAX(n) FROM cnt)),
+      |hr AS (SELECT bucket, row_number() OVER (ORDER BY bucket) - 1 AS hi
+      |       FROM hot),
+      |hrows AS (SELECT a0.id, a0.v, a0.bucket FROM a0
+      |          JOIN hot USING (bucket)),
+      |seeds AS (
+      |  SELECT bucket, id AS scid, v AS scv FROM (
+      |    SELECT bucket, id, v,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn
+      |    FROM hrows) t WHERE rn <= 2),
+      |d1 AS (
+      |  SELECT h.bucket, h.id, h.v, s.scid,
+      |  (list_aggregate(list_transform(h.v, x -> x*x), 'sum')
+      |   - 2 * list_aggregate(list_transform(list_zip(h.v, s.scv),
+      |       z -> z[1]*z[2]), 'sum'))
+      |   + list_aggregate(list_transform(s.scv, x -> x*x), 'sum') AS dist2
+      |  FROM hrows h JOIN seeds s ON s.bucket = h.bucket),
+      |a1 AS (
+      |  SELECT bucket, id, v, scid FROM (
+      |    SELECT bucket, id, v, scid,
+      |    row_number() OVER (PARTITION BY id ORDER BY dist2, scid) AS rn
+      |    FROM d1) t WHERE rn = 1),
+      |ex AS (
+      |  SELECT bucket, scid, unnest(range(len(v))) AS pos, unnest(v) AS x
+      |  FROM a1),
+      |m AS (
+      |  SELECT bucket, scid, pos,
+      |  SUM(floor(x * 1048576.0 + 0.5)) / (COUNT(*) * 1048576.0) AS c
+      |  FROM ex GROUP BY bucket, scid, pos),
+      |c1 AS (SELECT bucket, scid, list(c ORDER BY pos) AS cv
+      |       FROM m GROUP BY bucket, scid),
+      |nc AS (
+      |  SELECT c1.bucket, c1.scid,
+      |  7 + hr.hi * 2 +
+      |    row_number() OVER (PARTITION BY c1.bucket ORDER BY c1.scid)
+      |    AS ncid, c1.cv
+      |  FROM c1 JOIN hr ON hr.bucket = c1.bucket),
+      |s2 AS (
+      |  SELECT h.id, h.v, nc.ncid,
+      |  list_aggregate(list_transform(list_zip(h.v, nc.cv),
+      |    z -> z[1]*z[2]), 'sum') /
+      |    sqrt(list_aggregate(list_transform(nc.cv, x -> x*x), 'sum'))
+      |    AS score
+      |  FROM hrows h JOIN nc ON nc.bucket = h.bucket),
+      |a2 AS (
+      |  SELECT id, v, ncid AS bucket FROM (
+      |    SELECT id, v, ncid,
+      |    row_number() OVER (PARTITION BY id ORDER BY score DESC, ncid) AS rn
+      |    FROM s2) t WHERE rn = 1),
+      |final AS (
+      |  SELECT id, v, bucket FROM a0
+      |  WHERE bucket NOT IN (SELECT bucket FROM hot)
+      |  UNION ALL SELECT id, v, bucket FROM a2),
+      |cb1 AS (
+      |  SELECT cid, cv FROM c0
+      |  WHERE cid NOT IN (SELECT bucket FROM hot)
+      |  UNION ALL SELECT ncid AS cid, cv FROM nc),
+      |p AS (SELECT v AS pv FROM e WHERE id = 8),
+      |cells AS (
+      |  SELECT cid FROM (
+      |    SELECT cb1.cid,
+      |    list_aggregate(list_transform(list_zip(cb1.cv, p.pv),
+      |      z -> z[1]*z[2]), 'sum') /
+      |      sqrt(list_aggregate(list_transform(cb1.cv, x -> x*x), 'sum'))
+      |      AS score
+      |    FROM cb1, p) t
+      |  ORDER BY score DESC, cid LIMIT 3)
+      |SELECT a.id AS vec_id,
+      |list_aggregate(list_transform(list_zip(a.v, p.pv), z -> z[1]*z[2]),
+      |  'sum') / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+      |  * sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum')))
+      |  AS cosine
+      |FROM final a, p
+      |WHERE a.bucket IN (SELECT cid FROM cells) AND a.id <> 8
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
   /** The batch-probe oracle extended through the majority vote: top-5
     * neighbor ids per probe become a (probe, label) vote table, winner
     * by (votes DESC, label). Derived from [[annIvfBatchOracle]] so the
@@ -3281,6 +3428,7 @@ object PipelineQueries {
   val oracleSql: ListMap[String, String] = ListMap(
     "ann_knn_label" -> annKnnLabelOracle,
     "ann_ivf_retrained" -> annIvfRetrainedOracle,
+    "ann_ivf_split" -> annIvfSplitOracle,
     "ann_ivf_multiprobe" -> annIvfMultiProbeOracle,
     "ann_ivf_batch" -> annIvfBatchOracle,
     // from-index batch == one-shot batch bit for bit (same scoring
@@ -4583,6 +4731,8 @@ object PipelineQueries {
     // the generated 5-round CTE chain (pairs -> winner -> applied
     // vocabulary per round) — see BpeTrain.oracleSql
     "bpe_train" -> graft.operators.BpeTrain.oracleSql(5),
+    "bpe_train_batched" ->
+      graft.operators.BpeTrain.batchedOracleSql(rounds = 3, batch = 8),
     // same chain, final vocabulary exploded into weighted subword
     // frequencies
     "bpe_encode" -> graft.operators.BpeTrain.encodeOracleSql(5, 30),

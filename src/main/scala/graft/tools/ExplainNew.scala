@@ -13,7 +13,8 @@ object ExplainNew {
         "image_dhash_scaled", "bpe_train", "perceptron_train",
         "ann_knn_label", "perceptron_confusion",
         // round-14 additions
-        "image_dhash_pairs", "image_dedup_pipeline")) {
+        "image_dhash_pairs", "image_dedup_pipeline", "ann_ivf_split",
+        "bpe_train_batched")) {
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       val plan = df.queryExecution.executedPlan.toString

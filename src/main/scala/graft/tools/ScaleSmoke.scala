@@ -173,7 +173,15 @@ object ScaleSmoke {
       // the image count, never the pair space) and the end-to-end
       // dedup composite (staged edges + min-label components + one
       // keep-best window over fingerprint-sized rows)
-      "image_dhash_pairs", "image_dedup_pipeline")
+      "image_dhash_pairs", "image_dedup_pipeline",
+      // hot-cell split lifecycle (cold via buildGated — the gate IS
+      // build + hot detection + the split rewrite, which must track
+      // the hot cell's size, not the corpus)
+      "ann_ivf_split",
+      // batched BPE: 3 rounds x up to 8 disjoint merges — one corpus
+      // scan then vocabulary-sized rounds, like bpe_train but with
+      // round count << merge count
+      "bpe_train_batched")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>
@@ -193,7 +201,7 @@ object ScaleSmoke {
     val buildGated = Set("ann_ivf_incremental", "kmeans_embed",
       "ann_ivf_deleted", "ann_ivf_purged", "bloom_lookup_incremental",
       "bloom_lookup_compacted", "ann_ivf_retrained",
-      "bloom_lookup_deleted", "bloom_lookup_purged")
+      "bloom_lookup_deleted", "bloom_lookup_purged", "ann_ivf_split")
     for (n <- heavy if !buildGated(n); d <- Seq(base, sf1Dir))
       graft.SparkEntry.queries(n)(spark, d).count()
     // build-gated queries stay cold by design (their gate IS the

@@ -395,6 +395,124 @@ class AnnIndexSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(spark.read.parquet(dir).filter(col("id") === 85L).count() == 1)
   }
 
+  test("hot-cell split: parent replaced by trained children; " +
+      "untouched buckets byte-identical; ids exactly once") {
+    val dir = tmp("ann_split")
+    SimilarityOps.buildIvfIndex(vecs(0 until 160), "id", "v", 4, dir)
+    val counts = spark.read.parquet(dir).groupBy("bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val m = counts.values.max
+    val hotExpect = counts.filter(_._2 == m).keys.toSeq.sorted
+    val before = filesUnder(dir)
+    val mapping = SimilarityOps.splitHotCells(spark, dir, m - 1,
+      subK = 2, iters = 1)
+    assert(mapping.map(_._1) == hotExpect, s"split $mapping")
+    val hotSet = mapping.map(_._1).toSet
+    val kidSet = mapping.flatMap(_._2).toSet
+    // deterministic child renumbering: maxCid + 1 + i*subK + j
+    assert(mapping.zipWithIndex.forall { case ((_, kids), i) =>
+      kids == Seq(4 + i * 2, 5 + i * 2) }, s"renumbering: $mapping")
+    // parent dirs gone, child dirs present, marker cleared
+    mapping.foreach { case (b, kids) =>
+      assert(!Files.exists(Paths.get(s"$dir/bucket=$b")), s"parent $b")
+      kids.foreach(c =>
+        assert(Files.exists(Paths.get(s"$dir/bucket=$c")), s"child $c"))
+    }
+    assert(!Files.exists(Paths.get(s"$dir/_split.next")))
+    assert(!Files.exists(Paths.get(s"$dir/_split.tmp")))
+    // untouched bucket files byte-identical
+    val after = filesUnder(dir)
+    val bucketOf = "bucket=(\\d+)/".r
+    before.foreach { case (p0, bytes) =>
+      bucketOf.findFirstMatchIn(p0).map(_.group(1).toInt) match {
+        case Some(b) if !hotSet(b) =>
+          assert(after.get(p0).contains(bytes), s"untouched changed: $p0")
+        case _ => ()
+      }
+    }
+    // rows preserved exactly once across the split
+    val stored = spark.read.parquet(dir)
+      .select("id", "bucket", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    assert(stored.map(_._1).sorted.toSeq == (4L until 160L).toSeq,
+      "split must preserve every id exactly once")
+    // the codebook swapped: parents out, children in
+    val cb = spark.read.parquet(s"$dir/_codebook")
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    assert(cb.map(_._1).toSet ==
+      ((0L until 4L).toSet -- hotSet.map(_.toLong)) ++
+        kidSet.map(_.toLong))
+    // every moved row sits in its argmax CHILD cell under the shared
+    // scoring rule, and _ids agrees
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val kidCb = cb.filter(c => kidSet(c._1.toInt))
+    stored.filter(r => kidSet(r._2)).foreach { case (id, bucket, v) =>
+      val want = kidCb.map { case (cid, cv) =>
+        (cid, dot(v, cv) / math.sqrt(dot(cv, cv)))
+      }.minBy { case (cid, sc) => (-sc, cid) }._1
+      assert(bucket == want, s"id=$id bucket=$bucket want=$want")
+      assert(SimilarityOps.probeBucketLookup(spark, dir, id)
+        .contains(bucket), s"_ids stale for $id")
+    }
+    // probes answer against the post-split codebook (memo reloaded)
+    val probe = SimilarityOps
+      .annIvfFromIndexMultiProbe(spark, dir, 42L, 5, 3).collect()
+    assert(probe.length == 5)
+  }
+
+  test("a split crash after data-apply heals on the next READ") {
+    val dir = tmp("ann_split_crash")
+    SimilarityOps.buildIvfIndex(vecs(0 until 160), "id", "v", 4, dir)
+    val preSplit = filesUnder(dir)
+    val counts = spark.read.parquet(dir).groupBy("bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val m = counts.values.max
+    val mapping = SimilarityOps.splitHotCells(spark, dir, m - 1,
+      subK = 2, iters = 1)
+    val want = SimilarityOps
+      .annIvfFromIndexMultiProbe(spark, dir, 42L, 5, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // reconstruct the crash window "children renamed in, sidecars not
+    // yet swapped, parents not yet dropped, marker present": move the
+    // live (new) sidecars back into _split.next and restore the
+    // pre-split sidecars and parent dirs from the captured bytes
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mv(a: String, b: String): Unit =
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$a"),
+        new org.apache.hadoop.fs.Path(s"$dir/$b")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_split.next"))
+    mv("_codebook", "_split.next/_codebook")
+    mv("_ids", "_split.next/_ids")
+    import spark.implicits._
+    mapping.flatMap { case (b, kids) => kids.map(k => (b, k)) }
+      .toDF("parent", "child").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_split.next/_manifest")
+    preSplit.foreach { case (rel, bytes) =>
+      val touched = mapping.exists { case (b, _) =>
+        rel.startsWith(s"bucket=$b/") } ||
+        rel.startsWith("_codebook/") || rel.startsWith("_ids/")
+      if (touched) {
+        val p = Paths.get(s"$dir/$rel")
+        Files.createDirectories(p.getParent)
+        Files.write(p, bytes.toArray)
+      }
+    }
+    // a fresh probe must heal the whole window and answer identically
+    val got = SimilarityOps
+      .annIvfFromIndexMultiProbe(spark, dir, 42L, 5, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, "read-side split heal must complete the apply")
+    assert(!Files.exists(Paths.get(s"$dir/_split.next")))
+    mapping.foreach { case (b, _) =>
+      assert(!Files.exists(Paths.get(s"$dir/bucket=$b")),
+        s"healed apply must drop parent $b")
+    }
+  }
+
   test("probe-by-vector == probe-by-id modulo self-exclusion") {
     val dir = tmp("ann_vec")
     SimilarityOps.buildIvfIndex(vecs(0 until 160), "id", "v", 4, dir)

@@ -120,6 +120,56 @@ class AnnRecallSpec extends SparkTestBase {
     assert(retrained >= 0.95, f"retrained recall $retrained%.2f")
   }
 
+  test("hot-cell split: the max cell shrinks and multi-probe recall holds") {
+    import spark.implicits._
+    // skewed corpus: half the non-centroid universe in one tight mode
+    // -> one genuinely hot cell, the split's reason to exist
+    val rcm = new Random(31)
+    val mode = Array.fill(dim)(rcm.nextGaussian() * 2.5)
+    val skew = (0 until n).map { i =>
+      val rn = new Random(5000 + i)
+      val v =
+        if (i >= nCents && i % 2 == 0) mode.map(_ + rn.nextGaussian() * 0.4)
+        else Array.fill(dim)(rn.nextGaussian())
+      (i.toLong, v)
+    }
+    val dir = {
+      val p = java.nio.file.Files.createTempDirectory("ann_split_recall")
+      p.toFile.deleteOnExit()
+      s"$p/idx"
+    }
+    SimilarityOps.buildIvfIndex(skew.toDF("id", "v"), "id", "v",
+      nCents, dir)
+    def maxCell(): Long = spark.read.parquet(dir).groupBy("bucket")
+      .count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect().head.getLong(0)
+    val probes = Seq(10L, 44L, 102L, 200L, 301L) // mode and background
+    def meanRecall(np: Int): Double = probes.map { p =>
+      val truth = bruteTopK(skew, p).toSet
+      val got = SimilarityOps
+        .annIvfFromIndexMultiProbe(spark, dir, p, k, np)
+        .collect().map(_.getLong(0))
+      got.count(truth.contains).toDouble / k
+    }.sum / probes.size
+    val mBefore = maxCell()
+    val before = meanRecall(2)
+    val mapping = SimilarityOps.splitHotCells(spark, dir, mBefore - 1,
+      subK = 2, iters = 2)
+    assert(mapping.nonEmpty, "the skewed fixture must trip the hot rule")
+    val mAfter = maxCell()
+    assert(mAfter < mBefore,
+      s"the hot cell must shrink: $mBefore -> $mAfter")
+    val after = meanRecall(2)
+    info(f"recall@$k nprobe=2: before split $before%.2f " +
+      f"(max cell $mBefore), after $after%.2f (max cell $mAfter)")
+    // post-split a probe reads SMALLER cells for the same nprobe; the
+    // sibling child of a mode probe's own cell ranks next, so recall
+    // holds — pin margins below the measured values
+    assert(after >= before - 0.05,
+      f"split lost recall: $after%.2f < $before%.2f")
+    assert(after >= 0.5, f"post-split recall floor: $after%.2f")
+  }
+
   test("multi-probe recall dominates single-probe and clears the floor") {
     import spark.implicits._
     val vs = vectors

@@ -72,4 +72,66 @@ class BpeTrainSpec extends SparkTestBase {
     }
     assert(!sql.contains("w4 AS"))
   }
+
+  test("batched: per-round merges are mutually symbol-disjoint and " +
+      "rank 1 always survives") {
+    val d = docs("aa ab ba bb aa ab", "cc cd dc aa ab", "aa bb cc dd")
+    val got = BpeTrain.trainBatched(d, "text", rounds = 2, batch = 4)
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (round, ms) =>
+      assert(ms.map(_._2).sorted.toSeq == (1 to ms.length).toSeq)
+      // pairwise symbol disjointness — the commutation precondition
+      for (Seq(x, y) <- ms.toSeq.combinations(2)) {
+        val sx = Set(x._3, x._4); val sy = Set(y._3, y._4)
+        assert(sx.intersect(sy).isEmpty,
+          s"round $round merges share a symbol: $x / $y")
+      }
+    }
+    // the round-1 top merge equals sequential training's first merge
+    val seq1 = BpeTrain.train(d, "text", 1).collect().head
+    val bat1 = got.filter(r => r._1 == 1 && r._2 == 1).head
+    assert((bat1._3, bat1._4) == (seq1.getString(1), seq1.getString(2)))
+  }
+
+  test("batched: one application pass equals applying the same merges " +
+      "sequentially (disjoint merges commute)") {
+    val d = docs("the cat sat on the mat", "the rat ate the oat",
+      "in on at the an then")
+    val batched = BpeTrain.trainBatched(d, "text", rounds = 1, batch = 4)
+      .collect().map(r => (r.getString(2), r.getString(3)))
+    assert(batched.length >= 2, s"fixture must yield a real batch: ${batched.toSeq}")
+    // replay the round by hand on the initial vocabulary, applying the
+    // merges one at a time in REVERSE order — commutation says the
+    // result must match the engine's single-pass forward application
+    def charVocab(texts: Seq[String]): Map[String, Long] =
+      texts.flatMap(_.toLowerCase.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) =>
+          w.toCharArray.mkString(" ") -> g.length.toLong }
+    def applyMerge(v: Map[String, Long], a: String, b: String) =
+      v.map { case (w, f) =>
+        (" " + w.replace(" ", "  ") + " ")
+          .replace(s" $a  $b ", s" $a$b ")
+          .replaceAll(" +", " ").trim -> f
+      }
+    val texts = Seq("the cat sat on the mat", "the rat ate the oat",
+      "in on at the an then")
+    val byHand = batched.reverse.foldLeft(charVocab(texts)) {
+      case (v, (a, b)) => applyMerge(v, a, b) }
+    // engine's round-2 pair counts must equal counts over byHand: run
+    // one more round on each side and compare the winning merge
+    val twoRounds = BpeTrain.trainBatched(d, "text", rounds = 2, batch = 4)
+      .collect().filter(_.getInt(0) == 2)
+      .map(r => (r.getString(2), r.getString(3)))
+    val handPairs = byHand.toSeq.flatMap { case (w, f) =>
+      val sy = w.split(" ")
+      sy.indices.dropRight(1).map(i => (sy(i), sy(i + 1)) -> f) }
+      .groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+    val handTop = handPairs.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+    assert(twoRounds.head == handTop,
+      s"round-2 winner ${twoRounds.head} != by-hand $handTop — " +
+        "single-pass application diverged from sequential")
+  }
 }

@@ -44,8 +44,9 @@ class ConcurrentEvalSpec extends SparkTestBase {
     "ann_ivf_retrained", "bloom_bulk_membership",
     "bloom_lookup_deleted", "bloom_lookup_purged",
     "zorder_prune_eq",
-    // round-14 staged fixture: the image near-dup edge list
-    "image_dedup_pipeline")) {
+    // round-14 staged fixtures: the image near-dup edge list and the
+    // build+split IVF lifecycle
+    "image_dedup_pipeline", "ann_ivf_split")) {
     test(s"$q: two concurrent evaluations do not race their scratch store") {
       val runs = (1 to 2).map(_ => Future {
         SparkEntry.queries(q)(spark, sf).collect().length
