@@ -838,6 +838,11 @@ object SimilarityOps {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxFilesPerBucket: Int = 4): Unit = {
     require(maxFilesPerBucket >= 1, s"maxFilesPerBucket=$maxFilesPerBucket")
+    // apply any crashed retrain rollback / pending split first: compact
+    // reads the data dirs and `_ids` directly, and a half-applied split
+    // (children renamed in, parents not yet dropped) would otherwise
+    // double-count the split rows
+    healRetrain(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)

@@ -82,6 +82,11 @@ case class MetadataDistinctRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val schema = gt.store.schema
           val names = outs.map(_.name)
           if (!names.forall(gt.groupDims.contains)) return None
+          // a repeated output column (select("lat", "lat").distinct())
+          // would turn the cross product below into size^2 rows — the
+          // duplicate column carries the SAME value per row, not an
+          // independent axis. Rare shape; keep the scan.
+          if (names.distinct.length != names.length) return None
           val translated = conds.map(FilterInterop.translate)
           if (translated.exists(_.isEmpty)) return None
           val fs = translated.flatten

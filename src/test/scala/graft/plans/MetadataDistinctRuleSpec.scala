@@ -40,10 +40,16 @@ class MetadataDistinctRuleSpec extends SparkTestBase {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
     }.isEmpty
 
-  test("DISTINCT dim is a LocalRelation: no scan node, zero partitions") {
+  test("DISTINCT dim is a LocalRelation: no scan, no Exchange, zero partitions") {
     ReadCounters.reset()
     val q = df.select("lat").distinct()
     assert(scanless(q), s"expected no scan:\n${q.queryExecution.optimizedPlan}")
+    // the whole spine subtree is a LocalRelation: no Exchange either
+    val exchanges = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty,
+      s"spine must not shuffle:\n${q.queryExecution.executedPlan}")
     val got = q.collect().map(_.getDouble(0)).sorted.toSeq
     assert(got == Seq(-90.0, -45.0, 0.0, 45.0, 90.0))
     assert(ReadCounters.partitionsOpened.sum() == 0L,
@@ -104,5 +110,13 @@ class MetadataDistinctRuleSpec extends SparkTestBase {
     val got = nearest.collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     assert(got == Map(-50.0 -> -45.0, 10.0 -> 0.0))
     assert(ReadCounters.partitionsOpened.sum() == 0L)
+  }
+
+  test("repeated output column bails (the value repeats, the axis does not)") {
+    val q = df.select(col("lat"), col("lat").as("lat"))
+    val dd = q.distinct()
+    // 5 rows, never 25: either the rule bailed (scan) or — if a future
+    // change rewrites it — the cross product must not square
+    assert(dd.count() == 5L)
   }
 }
