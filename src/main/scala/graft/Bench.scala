@@ -77,27 +77,31 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def loadavg: Double = osBean.getSystemLoadAverage
     val loadSamples = scala.collection.mutable.ListBuffer[Double](loadavg)
-    for (rep <- 1 to reps; name <- names if !errors.contains(name)) {
-      if (name == names.head && rep > 1) loadSamples += loadavg
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        times(name) =
-          ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
-        val t1 = System.nanoTime()
-        val d = fn(spark, sfDir)
-        import org.apache.spark.sql.functions.{col, expr, xxhash64}
-        d.select(xxhash64(d.columns.map(col): _*).as("h"))
-          .agg(expr("bit_xor(h)")).collect() // xor: no ANSI overflow
-        fullTimes(name) =
-          ((System.nanoTime() - t1) / 1e9) :: fullTimes.getOrElse(name, Nil)
-      } catch { case e: Throwable =>
-        val msg = String.valueOf(e)
-        System.err.println(s"[bench] $name FAILED: $msg")
-        errors(name) = msg
-        times.remove(name) // drop earlier reps too: the query is not green
-        fullTimes.remove(name)
+    for (rep <- 1 to reps) {
+      // sample at every rep-pass BOUNDARY (not keyed to any query name:
+      // a failing first query must not silently drop the samples)
+      if (rep > 1) loadSamples += loadavg
+      for (name <- names if !errors.contains(name)) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          times(name) =
+            ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+          val t1 = System.nanoTime()
+          val d = fn(spark, sfDir)
+          import org.apache.spark.sql.functions.{col, expr, xxhash64}
+          d.select(xxhash64(d.columns.map(col): _*).as("h"))
+            .agg(expr("bit_xor(h)")).collect() // xor: no ANSI overflow
+          fullTimes(name) =
+            ((System.nanoTime() - t1) / 1e9) :: fullTimes.getOrElse(name, Nil)
+        } catch { case e: Throwable =>
+          val msg = String.valueOf(e)
+          System.err.println(s"[bench] $name FAILED: $msg")
+          errors(name) = msg
+          times.remove(name) // drop earlier reps: the query is not green
+          fullTimes.remove(name)
+        }
       }
     }
     def median(xs: List[Double]): Double = {
@@ -113,8 +117,13 @@ object Bench {
     // newest-first): medians hide whether a slow number is one cold rep
     // or a uniformly degraded shape — the r6 ngram_dup_spans stamped
     // 14.1 s vs 5.5-6.9 s probed question was undiagnosable without this
+    // Locale.ROOT formatting throughout: a comma-decimal default
+    // locale (de_DE, fr_FR) would render 0.52 as "0,52" and corrupt
+    // the JSON arrays
     val rt = ok.map(n => s"\"" + n + "\":[" +
-      times(n).reverse.map(t => f"$t%.3f").mkString(",") + "]")
+      times(n).reverse.map(t =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+        .mkString(",") + "]")
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // min-of-reps alongside the median: on a contended bench machine the
@@ -133,7 +142,10 @@ object Bench {
     val fullTotal = fullResults.map(_._2).sum
     val errJson = JsonUtil.obj(errors)
     loadSamples += loadavg
-    val loadJson = loadSamples.map(v => f"$v%.2f").mkString("[", ",", "]")
+    val loadJson = loadSamples
+      .map(v => String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(v)))
+      .mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpus,"loadavg":$loadJson,"queries":$qs,"queries_min":$qsMin,"min_total":$minTotal,"queries_full":$qsFull,"full_total":$fullTotal,"rep_times":$rt,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)

@@ -114,6 +114,26 @@ object BpeTrain {
       batch: Int, window: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    batchedLoop(docs, textCol, rounds, batch, window)._1
+      .toDF("round", "ord", "a", "b", "cnt")
+  }
+
+  /** [[subwordCounts]] for the batched trainer: segment by the
+    * batched-learned merges and rank the corpus subword frequencies —
+    * the application half of the 30k-50k-vocabulary path.
+    */
+  def subwordCountsBatched(docs: DataFrame, textCol: String, rounds: Int,
+      batch: Int, topK: Int, window: Int = 0): DataFrame = {
+    require(topK >= 1, s"topK=$topK")
+    val vocab = batchedLoop(docs, textCol, rounds, batch, window)._2
+    vocab.select(explode(split(col("w"), " ")).as("token"), col("f"))
+      .groupBy("token").agg(sum("f").as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topK)
+  }
+
+  private def batchedLoop(docs: DataFrame, textCol: String, rounds: Int,
+      batch: Int, window: Int)
+      : (Seq[(Int, Int, String, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 10000, s"rounds out of range: $rounds")
     require(batch >= 1 && batch <= 4096, s"batch out of range: $batch")
     val w0 = if (window <= 0) batch * 8 else window
@@ -130,7 +150,16 @@ object BpeTrain {
           "is a single symbol")
       val selected = top.zipWithIndex.collect {
         case ((a, b, cnt), idx) if !top.take(idx).exists { case (c, d, _) =>
-          c == a || c == b || d == a || d == b } => (a, b, cnt)
+          // interacting = sharing an input symbol, OR one merge's
+          // OUTPUT being the other's input (an output feeding a
+          // same-round input would let the single chained pass merge
+          // adjacencies the counts never saw, breaking commutation --
+          // unreachable for global greedy BPE as far as we can prove,
+          // but the guard costs nothing and makes the claim
+          // unconditional)
+          c == a || c == b || d == a || d == b ||
+            c + d == a || c + d == b || a + b == c || a + b == d
+        } => (a, b, cnt)
       }.take(batch)
       selected.zipWithIndex.foreach { case ((a, b, cnt), j) =>
         merges += ((round, j + 1, a, b, cnt))
@@ -144,7 +173,7 @@ object BpeTrain {
         .select(trim(regexp_replace(applied, " +", " ")).as("w"), col("f"))
         .localCheckpoint(true)
     }
-    merges.result().toDF("round", "ord", "a", "b", "cnt")
+    (merges.result(), vocab)
   }
 
   /** One corpus scan: word frequencies as space-separated
@@ -249,7 +278,9 @@ object BpeTrain {
          |    CAST(row_number() OVER (ORDER BY rn) AS INTEGER) AS ord
          |    FROM t$i p WHERE NOT EXISTS (
          |      SELECT 1 FROM t$i q WHERE q.rn < p.rn AND
-         |        (q.a = p.a OR q.a = p.b OR q.b = p.a OR q.b = p.b))) s
+         |        (q.a = p.a OR q.a = p.b OR q.b = p.a OR q.b = p.b
+         |         OR q.a || q.b = p.a OR q.a || q.b = p.b
+         |         OR p.a || p.b = q.a OR p.a || p.b = q.b))) s
          |  WHERE ord <= $batch),
          |ml$i AS (SELECT list(a || ' ' || b ORDER BY ord) AS ms FROM m$i),
          |v$i AS (
@@ -269,6 +300,23 @@ object BpeTrain {
         s"FROM m$i")
       .mkString("\nUNION ALL\n")
     s"WITH $init,\n${rs.mkString(",\n")}\n$out\nORDER BY round, ord"
+  }
+
+  /** The [[subwordCountsBatched]] replay: the batched per-round CTE
+    * chain, then the final vocabulary's symbols exploded and
+    * frequency-weighted.
+    */
+  def batchedEncodeOracleSql(rounds: Int, batch: Int, topK: Int,
+      window: Int = 0): String = {
+    val base = batchedOracleSql(rounds, batch, window)
+    val cut = base.lastIndexOf("\nSELECT CAST(1 AS INTEGER) AS round")
+    require(cut > 0, "batched oracle chain anchor missing")
+    base.substring(0, cut) +
+      s"""
+         |SELECT token, CAST(SUM(f) AS BIGINT) AS n FROM (
+         |  SELECT unnest(string_split(w, ' ')) AS token, f
+         |  FROM v$rounds) t
+         |GROUP BY token ORDER BY n DESC, token LIMIT $topK""".stripMargin
   }
 
   /** The [[subwordCounts]] replay: the same per-round CTE chain, then

@@ -622,12 +622,20 @@ object SimilarityOps {
     // parent dirs AFTER it, so this filter makes every crash/race
     // window show each id exactly once (children invisible before the
     // swap, orphaned parents invisible after). The cid list is
-    // memoized ([[codebookArr]]) and partition-prunable; legacy
-    // pre-codebook indexes skip it.
+    // memoized ([[codebookArr]]) and partition-prunable. "Modern" is
+    // decided by ANY codebook artifact — live, mid-swap `.old`, or a
+    // pending split marker — so a concurrent swap's
+    // momentarily-missing `_codebook` routes through codebookArr
+    // (which heals, and fails LOUDLY if the codebook is truly gone)
+    // instead of silently dropping the filter and serving the split
+    // rows twice. Only genuinely legacy pre-codebook indexes skip it.
     val cbPath = new org.apache.hadoop.fs.Path(s"$dir/_codebook")
     val fs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val modern = fs.exists(cbPath) ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_codebook.old")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_split.next"))
     val stored =
-      if (fs.exists(cbPath))
+      if (modern)
         stored0.filter(col("bucket")
           .isin(codebookArr(spark, dir).map(_._1.toInt).toSeq: _*))
       else stored0
@@ -1066,24 +1074,36 @@ object SimilarityOps {
       dir: String): Unit = {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // sidecar residue healing runs even without a marker: a crash
-    // between an aside-move and the swap rename leaves live missing +
-    // .old present (+ staged copy gone if the marker cleared) — roll
-    // back; a completed swap's lingering .old is dropped
-    for (sc <- Seq("_codebook", "_ids")) {
-      val live = p(s"$dir/$sc")
-      val old = p(s"$dir/$sc.old")
-      if (fs.exists(old)) {
-        if (!fs.exists(live) && !fs.exists(p(s"$dir/_split.next/$sc"))) {
-          if (!fs.rename(old, live))
-            require(fs.exists(live), s"split rollback failed for $live")
-        } else if (fs.exists(live)) fs.delete(old, true)
+    val next = p(s"$dir/_split.next")
+    val hasMarker = fs.exists(next)
+    // cheap when clean: the sidecar residue scan (a crash between an
+    // aside-move and the swap rename leaves live missing + .old
+    // present) only runs when something is visibly off — the marker is
+    // present or a live sidecar is missing. A lingering .old beside a
+    // present live is harmless and gets swept on the next real heal.
+    if (hasMarker || !fs.exists(p(s"$dir/_codebook")) ||
+        !fs.exists(p(s"$dir/_ids"))) {
+      for (sc <- Seq("_codebook", "_ids")) {
+        val live = p(s"$dir/$sc")
+        val old = p(s"$dir/$sc.old")
+        if (fs.exists(old)) {
+          if (!fs.exists(live) && !fs.exists(p(s"$dir/_split.next/$sc"))) {
+            if (!fs.rename(old, live))
+              require(fs.exists(live), s"split rollback failed for $live")
+          } else if (fs.exists(live)) fs.delete(old, true)
+        }
       }
     }
-    val next = p(s"$dir/_split.next")
-    if (!fs.exists(next)) return
-    val man = spark.read.parquet(s"$dir/_split.next/_manifest")
-      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    if (!hasMarker) return
+    // a concurrent healer may finish the whole apply (marker deleted)
+    // between our exists check and this read — a healthy state, not an
+    // error
+    val man =
+      try spark.read.parquet(s"$dir/_split.next/_manifest")
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        if (!fs.exists(next)) return else throw e
+      }
     // (1) child data dirs in — absent source means already applied;
     // children are codebook-invisible until step (2), so this is safe
     // in any order
@@ -1222,8 +1242,17 @@ object SimilarityOps {
     val ids = new org.apache.hadoop.fs.Path(s"$dir/_ids")
     val fs = ids.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(ids)) None // pre-sidecar index: caller falls back
-    else spark.read.parquet(ids.toString).filter(col("id") === probeId)
-      .collect().headOption.map(_.getInt(1))
+    else
+      try spark.read.parquet(ids.toString).filter(col("id") === probeId)
+        .collect().headOption.map(_.getInt(1))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        // not control flow — the exists() above answered the
+        // missing-sidecar branch; this guards the rare race where a
+        // concurrent sidecar SWAP (split/compact) renames _ids away
+        // between the check and the read. None = the safe index-wide
+        // fallback, same as pre-sidecar.
+        None
+      }
   }
 
   /** The probe vector's `nprobe` nearest cells, ranked driver-side

@@ -100,7 +100,12 @@ case class MetadataDistinctRule(spark: SparkSession) extends Rule[LogicalPlan] {
               gt.groupDims, d, 0, schema.dim(d).size)).toMap
           if (surviving.values.exists(_.isEmpty))
             return Some(LocalRelation(outs))
-          val rowCount = names.map(d => surviving(d).length.toLong).product
+          // capped fold, not a raw product: enough huge axes could
+          // overflow a Long product past the cap and let the rule try
+          // to materialize an astronomically large LocalRelation
+          val rowCount = names.map(d => surviving(d).length.toLong)
+            .foldLeft(1L)((acc, n) =>
+              if (acc > (1L << 20)) acc else acc * n)
           if (rowCount > (1L << 20)) return None
           val rows: Seq[InternalRow] = names
             .map(d => surviving(d).toSeq)

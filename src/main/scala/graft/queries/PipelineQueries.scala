@@ -292,6 +292,21 @@ object PipelineQueries {
       dhashBandedPairs(dhashMedia(s, d)).select("media_a", "media_b")
     }
 
+  /** The image components staged once per JVM — the [[stagedClusters]]
+    * discipline: the iterative min-label loop runs in ONE job chain
+    * and its consumers read the materialized (id, cluster) table
+    * (nested staged build: pairs stage inside the cluster stage,
+    * reentrant on the stage-registry monitor). The oracle still
+    * replays the whole chain relationally, so the gate is unchanged.
+    */
+  private def stagedDhashClusters(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "dhcc") {
+      graft.operators.GraphOps.connectedComponents(
+        stagedDhashPairs(s, d), "media_a", "media_b")
+        .select(col("id").cast("long").as("id"),
+          col("cluster").cast("long").as("cluster"))
+    }
+
   /** Stage `build`'s result to scratch parquet once per (application,
     * corpus dir, name); every later call reads the staged table. Two
     * jobs: (a) expensive intermediates shared by several queries are
@@ -867,8 +882,11 @@ object PipelineQueries {
         val m = s.read.parquet(p).groupBy("bucket")
           .agg(count(lit(1)).as("n")).agg(max("n"))
           .collect().head.getLong(0)
+        // max(1, m-1): at m == 1 nothing can split (n > 1 never
+        // trips) and the verb degenerates gracefully to no-op instead
+        // of tripping its maxRowsPerBucket >= 1 require
         graft.operators.SimilarityOps.splitHotCells(s, p,
-          maxRowsPerBucket = m - 1, subK = 2, iters = 1)
+          maxRowsPerBucket = math.max(1L, m - 1), subK = 2, iters = 1)
       }
       graft.operators.SimilarityOps
         .annIvfFromIndexMultiProbe(s, dir, 8L, 10, nprobe = 3)
@@ -1072,8 +1090,7 @@ object PipelineQueries {
     // ORIGINAL is kept. Singletons keep themselves.
     "image_dedup_pipeline" -> ((s, d) => {
       val sig = dhashMedia(s, d)
-      val cc = graft.operators.GraphOps.connectedComponents(
-        stagedDhashPairs(s, d), "media_a", "media_b")
+      val cc = stagedDhashClusters(s, d)
       val w = Window.partitionBy("cluster")
         .orderBy((col("w") * col("h")).desc, col("media_id"))
       sig.join(cc, sig("media_id") === cc("id"), "left_outer")
@@ -2404,6 +2421,13 @@ object PipelineQueries {
     "bpe_train_batched" -> ((s, d) =>
       graft.operators.BpeTrain.trainBatched(Tables.documents(s, d),
         "text", rounds = 3, batch = 8)),
+
+    // ...and the batched trainer's APPLICATION half: segment by the
+    // batched-learned merges, rank the corpus subword frequencies —
+    // bpe_encode's twin over trainBatched's vocabulary
+    "bpe_encode_batched" -> ((s, d) =>
+      graft.operators.BpeTrain.subwordCountsBatched(
+        Tables.documents(s, d), "text", rounds = 3, batch = 8, topK = 30)),
 
     // ...and the APPLICATION: segment every word into the 5 learned
     // subwords (the evolved vocabulary IS the segmentation) and rank
@@ -4733,6 +4757,9 @@ object PipelineQueries {
     "bpe_train" -> graft.operators.BpeTrain.oracleSql(5),
     "bpe_train_batched" ->
       graft.operators.BpeTrain.batchedOracleSql(rounds = 3, batch = 8),
+    "bpe_encode_batched" ->
+      graft.operators.BpeTrain.batchedEncodeOracleSql(rounds = 3,
+        batch = 8, topK = 30),
     // same chain, final vocabulary exploded into weighted subword
     // frequencies
     "bpe_encode" -> graft.operators.BpeTrain.encodeOracleSql(5, 30),

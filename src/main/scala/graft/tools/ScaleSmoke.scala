@@ -180,8 +180,8 @@ object ScaleSmoke {
       "ann_ivf_split",
       // batched BPE: 3 rounds x up to 8 disjoint merges — one corpus
       // scan then vocabulary-sized rounds, like bpe_train but with
-      // round count << merge count
-      "bpe_train_batched")
+      // round count << merge count — and its application half
+      "bpe_train_batched", "bpe_encode_batched")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>

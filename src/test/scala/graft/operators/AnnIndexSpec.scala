@@ -463,6 +463,50 @@ class AnnIndexSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(probe.length == 5)
   }
 
+  test("append after split quantizes against the post-split codebook; " +
+      "a second split renumbers past the first") {
+    val dir = tmp("ann_split_append")
+    SimilarityOps.buildIvfIndex(vecs(0 until 160), "id", "v", 4, dir)
+    def maxCell(): Long = spark.read.parquet(dir).groupBy("bucket")
+      .count().agg(max("count")).collect().head.getLong(0)
+    val mapping1 = SimilarityOps.splitHotCells(spark, dir, maxCell() - 1,
+      subK = 2, iters = 1)
+    assert(mapping1.nonEmpty)
+    val kids1 = mapping1.flatMap(_._2)
+    SimilarityOps.appendToIvfIndex(vecs(160 until 200), "id", "v", dir)
+    val cb = spark.read.parquet(s"$dir/_codebook")
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    assert(kids1.forall(k => cb.exists(_._1 == k.toLong)),
+      "children must be in the live codebook the append quantizes against")
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val appended = spark.read.parquet(dir).filter(col("id") >= 160L)
+      .select("id", "bucket", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    assert(appended.length == 40)
+    appended.foreach { case (id, bucket, v) =>
+      val want = cb.map { case (cid, cv) =>
+        (cid, dot(v, cv) / math.sqrt(dot(cv, cv)))
+      }.minBy { case (cid, sc) => (-sc, cid) }._1
+      assert(bucket == want,
+        s"appended id=$id landed in $bucket, post-split argmax is $want")
+      assert(SimilarityOps.probeBucketLookup(spark, dir, id)
+        .contains(bucket))
+    }
+    // a second split's children renumber strictly past the first's
+    val mapping2 = SimilarityOps.splitHotCells(spark, dir, maxCell() - 1,
+      subK = 2, iters = 1)
+    assert(mapping2.nonEmpty)
+    assert(mapping2.flatMap(_._2).min > kids1.max,
+      s"second split $mapping2 must renumber past the first $mapping1")
+    // the composed lifecycle still answers: ids present exactly once
+    val ids = spark.read.parquet(dir).select("id").collect()
+      .map(_.getLong(0))
+    assert(ids.sorted.toSeq == (4L until 200L).toSeq)
+  }
+
   test("a split crash after data-apply heals on the next READ") {
     val dir = tmp("ann_split_crash")
     SimilarityOps.buildIvfIndex(vecs(0 until 160), "id", "v", 4, dir)

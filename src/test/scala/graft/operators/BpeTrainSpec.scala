@@ -82,11 +82,16 @@ class BpeTrainSpec extends SparkTestBase {
     assert(got.nonEmpty)
     got.groupBy(_._1).foreach { case (round, ms) =>
       assert(ms.map(_._2).sorted.toSeq == (1 to ms.length).toSeq)
-      // pairwise symbol disjointness — the commutation precondition
+      // pairwise non-interaction — the commutation precondition:
+      // disjoint input symbols AND neither merge's concatenated OUTPUT
+      // is the other's input (an output feeding a same-round input
+      // would cascade inside the single application pass)
       for (Seq(x, y) <- ms.toSeq.combinations(2)) {
         val sx = Set(x._3, x._4); val sy = Set(y._3, y._4)
         assert(sx.intersect(sy).isEmpty,
           s"round $round merges share a symbol: $x / $y")
+        assert(!sy.contains(x._3 + x._4) && !sx.contains(y._3 + y._4),
+          s"round $round merge output feeds a sibling input: $x / $y")
       }
     }
     // the round-1 top merge equals sequential training's first merge
