@@ -64,6 +64,51 @@ object Perceptron {
       .groupBy("y", "pred").agg(count(lit(1)).as("n"))
   }
 
+  /** ONE-VS-REST multiclass — the lang-router shape: one binary batch
+    * perceptron per class over the SHARED feature matrix (labels
+    * derived per class: +1 for the class, −1 for the rest), then every
+    * example scores against every class's final weights and the
+    * prediction is the argmax with ties to the lexicographically
+    * SMALLEST class — integer scores, so the tie rule is exact on both
+    * engines. Out: (cls, pred, n) — the exact multiclass confusion.
+    *
+    * Scale shape: the matrix pins once; training is K independent
+    * binary runs (K·iters rounds of two matrix-sized aggregates); the
+    * scoring pass joins the K·nFeatures-row broadcast weight table and
+    * folds TWO hash aggregates. Weights never shuffle.
+    */
+  def ovrConfusion(features: DataFrame, classes: Seq[String],
+      nFeatures: Int, iters: Int): DataFrame = {
+    require(classes.nonEmpty && classes.distinct == classes &&
+      classes == classes.sorted,
+      s"classes must be distinct and sorted: $classes")
+    require(classes.length.toLong * iters * nFeatures <= (1L << 20),
+      "classes * iters * nFeatures exceeds the 2^20 driver-side budget")
+    val spark = features.sparkSession
+    import spark.implicits._
+    val feats = features.select(col("id"), col("cls"),
+        col("f").cast("int").as("f"), col("x").cast("long").as("x"))
+      .localCheckpoint(true)
+    val wRows = classes.flatMap { c =>
+      val bin = feats.select(col("id"),
+        when(col("cls") === c, 1L).otherwise(-1L).as("y"),
+        col("f"), col("x"))
+      trainWeights(bin, nFeatures, iters).zipWithIndex
+        .map { case (v, f) => (c, f, v) }
+    }
+    val wDf = wRows.toDF("c", "f", "w")
+    feats.join(broadcast(wDf), "f")
+      .groupBy(col("id"), col("c"))
+      .agg(first(col("cls")).as("cls"), // constant per id
+        sum(col("x") * col("w")).as("score"))
+      .groupBy("id")
+      .agg(first(col("cls")).as("cls"),
+        // argmax score, ties to the smallest class: min over (-score, c)
+        min(struct((-col("score")).as("ns"), col("c").as("c"))).as("m"))
+      .select(col("cls"), col("m.c").as("pred"))
+      .groupBy("cls", "pred").agg(count(lit(1)).as("n"))
+  }
+
   private def trainLoop(features: DataFrame, nFeatures: Int, iters: Int)
       : (Seq[(Int, Int, Long)], DataFrame, Array[Long]) = {
     require(nFeatures >= 1 && nFeatures <= (1 << 16),
@@ -76,29 +121,51 @@ object Perceptron {
       s"iters * nFeatures = ${iters.toLong * nFeatures} exceeds the " +
         "2^20 driver-side weight-evolution budget")
     val spark = features.sparkSession
-    import spark.implicits._
     val feats = features.select(col("id"), col("y").cast("long").as("y"),
         col("f").cast("int").as("f"), col("x").cast("long").as("x"))
       .localCheckpoint(true)
     var w = Array.fill[Long](nFeatures)(0L)
     val out = Seq.newBuilder[(Int, Int, Long)]
     for (i <- 1 to iters) {
-      val wDf = w.toSeq.zipWithIndex.map { case (v, f) => (f, v) }
-        .toDF("f", "w")
-      val mis = feats.join(broadcast(wDf), "f")
-        .groupBy("id")
-        .agg(first(col("y")).as("y"), // constant per id
-          sum(col("x") * col("w")).as("score"))
-        .filter(col("y") * col("score") <= 0)
-        .select(col("id"), col("y"))
-      val grad = feats.select(col("id"), col("f"), col("x"))
-        .join(mis, "id")
-        .groupBy("f").agg(sum(col("y") * col("x")).as("g"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      w = w.zipWithIndex.map { case (v, f) => v + grad.getOrElse(f, 0L) }
+      w = oneRound(feats, w)
       out ++= w.zipWithIndex.map { case (v, f) => (i, f, v) }
     }
     (out.result(), feats, w)
+  }
+
+  /** Binary training to final weights over an already-shaped
+    * (id, y, f, x) frame — the [[ovrConfusion]] per-class unit; shares
+    * [[oneRound]] with [[trainLoop]] so the two can never drift.
+    */
+  private def trainWeights(features: DataFrame, nFeatures: Int,
+      iters: Int): Array[Long] = {
+    require(nFeatures >= 1 && nFeatures <= (1 << 16),
+      s"nFeatures out of range: $nFeatures")
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    val feats = features.localCheckpoint(true)
+    (1 to iters).foldLeft(Array.fill[Long](nFeatures)(0L))((w, _) =>
+      oneRound(feats, w))
+  }
+
+  /** One batch-perceptron round: broadcast the weights, find the
+    * misclassified set, fold the integer gradient.
+    */
+  private def oneRound(feats: DataFrame, w: Array[Long]): Array[Long] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val wDf = w.toSeq.zipWithIndex.map { case (v, f) => (f, v) }
+      .toDF("f", "w")
+    val mis = feats.join(broadcast(wDf), "f")
+      .groupBy("id")
+      .agg(first(col("y")).as("y"), // constant per id
+        sum(col("x") * col("w")).as("score"))
+      .filter(col("y") * col("score") <= 0)
+      .select(col("id"), col("y"))
+    val grad = feats.select(col("id"), col("f"), col("x"))
+      .join(mis, "id")
+      .groupBy("f").agg(sum(col("y") * col("x")).as("g"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    w.zipWithIndex.map { case (v, f) => v + grad.getOrElse(f, 0L) }
   }
 
   /** The DuckDB replay for a FIXED round count: `featCte` must define
@@ -129,6 +196,62 @@ object Perceptron {
       .map(i => s"SELECT CAST($i AS INTEGER) AS iter, f, w FROM w$i")
       .mkString("\nUNION ALL\n")
     s"WITH $featCte,\n$w0,\n${rounds.mkString(",\n")}\n$out\nORDER BY iter, f"
+  }
+
+  /** The [[ovrConfusion]] replay: `featCte` must define
+    * `feat(id, cls, f, x)`; per class, the binary label derivation and
+    * the full round chain (the [[oracleSql]] algebra, class-prefixed
+    * CTE names); then the K final weight tables union, every example
+    * scores against every class, and the argmax (score DESC, cls)
+    * folds into exact confusion counts. Nothing engine-run embedded.
+    */
+  def ovrConfusionOracleSql(featCte: String, classes: Seq[String],
+      nFeatures: Int, iters: Int): String = {
+    require(classes.nonEmpty && classes.distinct == classes &&
+      classes == classes.sorted, s"classes: $classes")
+    val perClass = classes.zipWithIndex.map { case (c, k) =>
+      val bin =
+        s"""b$k AS (
+           |  SELECT id, CASE WHEN cls = '$c' THEN 1 ELSE -1 END AS y,
+           |  f, x FROM feat)""".stripMargin
+      val w0 =
+        s"""w${k}_0 AS (
+           |  SELECT CAST(g.k AS INTEGER) AS f, CAST(0 AS BIGINT) AS w
+           |  FROM generate_series(0, ${nFeatures - 1}) g(k))""".stripMargin
+      val rounds = (1 to iters).map { i =>
+        val p = i - 1
+        s"""s${k}_$i AS (
+           |  SELECT id, MIN(y) AS y, SUM(x * w) AS score
+           |  FROM b$k JOIN w${k}_$p USING (f) GROUP BY id),
+           |m${k}_$i AS (SELECT id, y FROM s${k}_$i WHERE y * score <= 0),
+           |g${k}_$i AS (
+           |  SELECT f, SUM(m${k}_$i.y * b$k.x) AS gw
+           |  FROM b$k JOIN m${k}_$i USING (id) GROUP BY f),
+           |w${k}_$i AS (
+           |  SELECT w${k}_$p.f,
+           |  CAST(w${k}_$p.w + COALESCE(g${k}_$i.gw, 0) AS BIGINT) AS w
+           |  FROM w${k}_$p LEFT JOIN g${k}_$i USING (f))""".stripMargin
+      }
+      (Seq(bin, w0) ++ rounds).mkString(",\n")
+    }
+    val wf = classes.zipWithIndex
+      .map { case (c, k) => s"SELECT '$c' AS c, f, w FROM w${k}_$iters" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH $featCte,
+       |${perClass.mkString(",\n")},
+       |wf AS (
+       |  $wf),
+       |sc AS (
+       |  SELECT feat.id, feat.cls, wf.c, SUM(feat.x * wf.w) AS score
+       |  FROM feat JOIN wf USING (f) GROUP BY feat.id, feat.cls, wf.c),
+       |pr AS (
+       |  SELECT cls, c AS pred FROM (
+       |    SELECT cls, c,
+       |    row_number() OVER (PARTITION BY id ORDER BY score DESC, c)
+       |      AS rn
+       |    FROM sc) t WHERE rn = 1)
+       |SELECT cls, pred, CAST(COUNT(*) AS BIGINT) AS n FROM pr
+       |GROUP BY cls, pred""".stripMargin
   }
 
   /** The [[trainConfusion]] replay: the same round chain, then one

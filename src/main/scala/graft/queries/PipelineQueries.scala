@@ -487,9 +487,34 @@ object PipelineQueries {
           .cast("int").as("f"))
       .groupBy("id", "y", "f").agg(count(lit(1)).as("x"))
 
+  /** [[perceptronFeats]] without the baked-in binary label — the
+    * multiclass matrix (id, cls, f, x) [[perceptron_ovr_confusion]]
+    * derives its per-class labels from.
+    */
+  private def perceptronFeatsMc(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("lang").as("cls"),
+        explode(words(col("text"))).as("token"))
+      .select(col("id"), col("cls"),
+        conv(substring(md5(col("token").cast("binary")), 1, 1), 16, 10)
+          .cast("int").as("f"))
+      .groupBy("id", "cls", "f").agg(count(lit(1)).as("x"))
+
   /** DuckDB twin of [[perceptronFeats]]: split on ' ', first md5
     * nibble, frequency counts.
     */
+  /** DuckDB twin of [[perceptronFeatsMc]]. */
+  private val perceptronFeatMcCte: String =
+    """feat AS (
+      |  SELECT doc_id AS id, lang AS cls,
+      |  CAST(strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1
+      |    AS INTEGER) AS f,
+      |  CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM (SELECT doc_id, lang,
+      |        unnest(string_split(lower(text), ' ')) AS token
+      |        FROM documents) t
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
   private val perceptronFeatCte: String =
     """feat AS (
       |  SELECT doc_id AS id,
@@ -1225,6 +1250,17 @@ object PipelineQueries {
     // matrix-sized aggregate after training; all integers.
     "perceptron_confusion" -> ((s, d) =>
       graft.operators.Perceptron.trainConfusion(perceptronFeats(s, d),
+        nFeatures = 16, iters = 3)),
+
+    // MULTICLASS one-vs-rest (round 14) — the lang-router shape the
+    // binary gates leave open: five binary perceptrons over the SHARED
+    // feature matrix (labels derived per class), argmax scoring with
+    // ties to the smallest class, exact confusion counts. All integer,
+    // so the whole K-chain train-and-evaluate hash-matches the
+    // generated relational replay (5 classes x 3 rounds of CTEs).
+    "perceptron_ovr_confusion" -> ((s, d) =>
+      graft.operators.Perceptron.ovrConfusion(perceptronFeatsMc(s, d),
+        classes = Seq("de", "en", "es", "fr", "zh"),
         nFeatures = 16, iters = 3)),
 
     // BPE-ish token counting: regex token classes (letter runs, digit
@@ -4770,6 +4806,10 @@ object PipelineQueries {
       perceptronFeatCte, nFeatures = 16, iters = 3),
     // the same chain scored once more against the final weights and
     // folded into exact confusion counts
+    "perceptron_ovr_confusion" ->
+      graft.operators.Perceptron.ovrConfusionOracleSql(
+        perceptronFeatMcCte, Seq("de", "en", "es", "fr", "zh"),
+        nFeatures = 16, iters = 3),
     "perceptron_confusion" -> graft.operators.Perceptron.confusionOracleSql(
       perceptronFeatCte, nFeatures = 16, iters = 3),
     "colloc_lift" ->

@@ -14,7 +14,8 @@ object ExplainNew {
         "ann_knn_label", "perceptron_confusion",
         // round-14 additions
         "image_dhash_pairs", "image_dedup_pipeline", "ann_ivf_split",
-        "bpe_train_batched", "bpe_encode_batched")) {
+        "bpe_train_batched", "bpe_encode_batched",
+        "perceptron_ovr_confusion")) {
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       val plan = df.queryExecution.executedPlan.toString

@@ -181,7 +181,11 @@ object ScaleSmoke {
       // batched BPE: 3 rounds x up to 8 disjoint merges — one corpus
       // scan then vocabulary-sized rounds, like bpe_train but with
       // round count << merge count — and its application half
-      "bpe_train_batched", "bpe_encode_batched")
+      "bpe_train_batched", "bpe_encode_batched",
+      // multiclass OVR: K binary trainings over the shared matrix +
+      // one argmax scoring pass — should track the matrix linearly
+      // like perceptron_confusion
+      "perceptron_ovr_confusion")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>

@@ -53,4 +53,55 @@ class PerceptronSpec extends SparkTestBase {
     assert(!sql.contains("s3 AS"))
     assert(sql.contains("generate_series(0, 3)"))
   }
+
+  test("ovrConfusion: per-class weights == binary train on derived " +
+      "labels; argmax ties to the smallest class") {
+    // two features, three classes; class weights learned independently
+    // over the shared matrix. doc 1 is class a-ish on f0, doc 2 b-ish
+    // on f1, doc 3 carries both features equally -> its a/b scores can
+    // tie, and a tie must resolve to the smaller class name
+    val mc = Seq(
+      (1L, "a", 0, 2L),
+      (2L, "b", 1, 2L),
+      (3L, "c", 0, 1L), (3L, "c", 1, 1L)).toDF("id", "cls", "f", "x")
+    val got = Perceptron.ovrConfusion(mc, Seq("a", "b", "c"),
+        nFeatures = 2, iters = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // replay by hand through the public binary trainer: weights per
+    // class from the derived labels...
+    def binW(c: String): Array[Long] = {
+      import org.apache.spark.sql.functions._
+      val feats = mc.select(col("id"),
+        when(col("cls") === c, 1L).otherwise(-1L).as("y"),
+        col("f"), col("x"))
+      val rows = Perceptron.train(feats, nFeatures = 2, iters = 3)
+        .filter(col("iter") === 3).collect()
+        .map(r => r.getInt(1) -> r.getLong(2)).toMap
+      Array(rows(0), rows(1))
+    }
+    val ws = Seq("a", "b", "c").map(c => c -> binW(c)).toMap
+    // ...then argmax with ties to the smallest class
+    val xs = Map(1L -> Array(2L, 0L), 2L -> Array(0L, 2L),
+      3L -> Array(1L, 1L))
+    val truth = Map(1L -> "a", 2L -> "b", 3L -> "c")
+    val want = xs.map { case (id, x) =>
+      val pred = Seq("a", "b", "c").map(c =>
+        (c, ws(c)(0) * x(0) + ws(c)(1) * x(1)))
+        .minBy { case (c, sc) => (-sc, c) }._1
+      (truth(id), pred)
+    }.groupBy(identity).map { case ((cls, p), g) =>
+      (cls, p, g.size.toLong) }.toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("ovr oracle generator emits one chain per class and the argmax") {
+    val sql = Perceptron.ovrConfusionOracleSql(
+      "feat AS (SELECT 1 AS id, 'a' AS cls, 0 AS f, 1 AS x)",
+      Seq("a", "b"), nFeatures = 2, iters = 2)
+    for (k <- 0 to 1; i <- 1 to 2)
+      assert(sql.contains(s"w${k}_$i AS"), s"missing w${k}_$i")
+    assert(!sql.contains("w2_1 AS") && !sql.contains("w0_3 AS"))
+    assert(sql.contains("ORDER BY score DESC, c"))
+  }
 }
