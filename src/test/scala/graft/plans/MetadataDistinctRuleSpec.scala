@@ -119,4 +119,23 @@ class MetadataDistinctRuleSpec extends SparkTestBase {
     // change rewrites it — the cross product must not square
     assert(dd.count() == 5L)
   }
+
+  test("STRING-dim DISTINCT: UTF8String coords, filtered, scanless") {
+    val ctx = new XarrayContext(session)
+    // stationGrid: 8 string stations x 10 timestamps
+    val sg = ctx.dataFrame("metadistinct_str", Fixtures.stationGrid,
+      Map("time" -> 5), Seq("station", "time"))
+    ReadCounters.reset()
+    val q = sg.select("station").distinct()
+    assert(scanless(q), s"expected no scan:\n${q.queryExecution.optimizedPlan}")
+    val got = q.collect().map(_.getString(0)).sorted.toSeq
+    assert(got == (0 until 8).map(i => s"st_$i"))
+    // separable string predicate restricts the spine (UTF-8 binary
+    // order, the Utf8Order contract)
+    val f = sg.filter(col("station") >= "st_5").select("station")
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(f == Seq("st_5", "st_6", "st_7"))
+    assert(ReadCounters.partitionsOpened.sum() == 0L,
+      s"opened ${ReadCounters.partitionsOpened.sum()}")
+  }
 }
