@@ -1478,6 +1478,35 @@ object PipelineQueries {
         md5(red.cast("binary")).as("redacted_md5"))
     }),
 
+    // corpus SNAPSHOT DIFF — the dataset-versioning verb every curated
+    // corpus release needs: which documents were added, removed, or
+    // changed between v1 and v2? The v2 snapshot here derives from v1
+    // by fixture law (removed: doc_id % 11 == 3; changed: doc_id % 7
+    // == 0 gets a re-crawled suffix; added: doc_id % 13 == 5 spawns a
+    // new id at +100000) — the multimodal analytic-fixture discipline;
+    // the OPERATOR is the content-hash full-outer diff. Scale shape:
+    // both sides project (doc_id, md5(text)) EARLY so the join ships
+    // 16-byte digests, never text; the equi-join on doc_id
+    // co-partitions at any size; output is the (usually small) delta.
+    "corpus_diff" -> ((s, d) => {
+      val v1 = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h1"))
+      val base = Tables.documents(s, d)
+      val v2 = base.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(col("doc_id") % 13 === 5)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed").as("change"))
+        .filter(col("change").isNotNull)
+    }),
+
     // output sharding manifest: hash-assign every doc to a shard (first
     // md5 nibble — 16 shards), per-shard counts and byte totals. The
     // write-side bookkeeping step of corpus construction; one agg
@@ -4290,6 +4319,21 @@ object PipelineQueries {
         |  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |  '[0-9]+', '<NUM>', 'g')) AS redacted_md5
         |FROM t""".stripMargin,
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' v2' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 11 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5(text) FROM documents
+        |  WHERE doc_id % 13 = 5)
+        |SELECT doc_id,
+        |CASE WHEN h1 IS NULL THEN 'added'
+        |     WHEN h2 IS NULL THEN 'removed'
+        |     WHEN h1 <> h2 THEN 'changed' END AS change
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |WHERE h1 IS NULL OR h2 IS NULL OR h1 <> h2""".stripMargin,
     "shard_manifest" ->
       """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
         |CAST(COUNT(*) AS BIGINT) AS n_docs,

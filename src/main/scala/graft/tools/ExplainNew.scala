@@ -15,7 +15,7 @@ object ExplainNew {
         // round-14 additions
         "image_dhash_pairs", "image_dedup_pipeline", "ann_ivf_split",
         "bpe_train_batched", "bpe_encode_batched",
-        "perceptron_ovr_confusion")) {
+        "perceptron_ovr_confusion", "corpus_diff")) {
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       val plan = df.queryExecution.executedPlan.toString

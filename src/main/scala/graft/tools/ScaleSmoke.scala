@@ -185,7 +185,10 @@ object ScaleSmoke {
       // multiclass OVR: K binary trainings over the shared matrix +
       // one argmax scoring pass — should track the matrix linearly
       // like perceptron_confusion
-      "perceptron_ovr_confusion")
+      "perceptron_ovr_confusion",
+      // snapshot diff: digest projections + one co-partitioned
+      // full-outer join — should track the corpus linearly
+      "corpus_diff")
       // local iteration aid, mirroring Verify's SPARK_GRAFT_ONLY:
       // smoke only the named queries (comma-separated)
       .filter { n =>
