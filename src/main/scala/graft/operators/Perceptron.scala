@@ -120,7 +120,6 @@ object Perceptron {
     require(iters.toLong * nFeatures <= (1L << 20),
       s"iters * nFeatures = ${iters.toLong * nFeatures} exceeds the " +
         "2^20 driver-side weight-evolution budget")
-    val spark = features.sparkSession
     val feats = features.select(col("id"), col("y").cast("long").as("y"),
         col("f").cast("int").as("f"), col("x").cast("long").as("x"))
       .localCheckpoint(true)
@@ -142,9 +141,11 @@ object Perceptron {
     require(nFeatures >= 1 && nFeatures <= (1 << 16),
       s"nFeatures out of range: $nFeatures")
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
-    val feats = features.localCheckpoint(true)
+    // no checkpoint here: the caller pins the SHARED matrix once and
+    // each per-class frame is a one-op label projection over it —
+    // checkpointing K copies would materialize K redundant matrices
     (1 to iters).foldLeft(Array.fill[Long](nFeatures)(0L))((w, _) =>
-      oneRound(feats, w))
+      oneRound(features, w))
   }
 
   /** One batch-perceptron round: broadcast the weights, find the

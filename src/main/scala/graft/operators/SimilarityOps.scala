@@ -1097,11 +1097,15 @@ object SimilarityOps {
     if (!hasMarker) return
     // a concurrent healer may finish the whole apply (marker deleted)
     // between our exists check and this read — a healthy state, not an
-    // error
+    // error. The race can surface at ANALYSIS time (AnalysisException)
+    // or at EXECUTION time (FileNotFound wrapped in SparkException
+    // once the tasks open the deleted files), so the guard is
+    // NonFatal + a marker re-check: marker gone = healed elsewhere,
+    // marker still present = a real failure, rethrown loud.
     val man =
       try spark.read.parquet(s"$dir/_split.next/_manifest")
         .collect().map(r => (r.getInt(0), r.getInt(1)))
-      catch { case e: org.apache.spark.sql.AnalysisException =>
+      catch { case scala.util.control.NonFatal(e) =>
         if (!fs.exists(next)) return else throw e
       }
     // (1) child data dirs in — absent source means already applied;
@@ -1245,13 +1249,16 @@ object SimilarityOps {
     else
       try spark.read.parquet(ids.toString).filter(col("id") === probeId)
         .collect().headOption.map(_.getInt(1))
-      catch { case _: org.apache.spark.sql.AnalysisException =>
+      catch { case scala.util.control.NonFatal(e) =>
         // not control flow — the exists() above answered the
-        // missing-sidecar branch; this guards the rare race where a
+        // missing-sidecar branch; this guards the race where a
         // concurrent sidecar SWAP (split/compact) renames _ids away
-        // between the check and the read. None = the safe index-wide
-        // fallback, same as pre-sidecar.
-        None
+        // between the check and the read, which can surface at
+        // analysis OR execution time (FileNotFound inside a
+        // SparkException). Sidecar verifiably mid-swap (gone again) =
+        // the safe index-wide fallback; sidecar present but unreadable
+        // = real corruption, rethrown loud.
+        if (!fs.exists(ids)) None else throw e
       }
   }
 

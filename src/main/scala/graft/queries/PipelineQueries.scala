@@ -1483,7 +1483,9 @@ object PipelineQueries {
     // changed between v1 and v2? The v2 snapshot here derives from v1
     // by fixture law (removed: doc_id % 11 == 3; changed: doc_id % 7
     // == 0 gets a re-crawled suffix; added: doc_id % 13 == 5 spawns a
-    // new id at +100000) — the multimodal analytic-fixture discipline;
+    // new id at +10^9, far above any reachable doc_id at any SF so the
+    // synthetic ids can never collide with real ones) — the multimodal
+    // analytic-fixture discipline;
     // the OPERATOR is the content-hash full-outer diff. Scale shape:
     // both sides project (doc_id, md5(text)) EARLY so the join ships
     // 16-byte digests, never text; the equi-join on doc_id
@@ -1497,7 +1499,7 @@ object PipelineQueries {
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
         .unionByName(base.filter(col("doc_id") % 13 === 5)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
         .select(col("doc_id"), md5(col("text").cast("binary")).as("h2"))
       v1.join(v2, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
@@ -4326,7 +4328,7 @@ object PipelineQueries {
         |    THEN text || ' v2' ELSE text END) AS h2
         |  FROM documents WHERE doc_id % 11 <> 3
         |  UNION ALL
-        |  SELECT doc_id + 100000, md5(text) FROM documents
+        |  SELECT doc_id + 1000000000, md5(text) FROM documents
         |  WHERE doc_id % 13 = 5)
         |SELECT doc_id,
         |CASE WHEN h1 IS NULL THEN 'added'
