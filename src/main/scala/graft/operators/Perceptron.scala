@@ -72,16 +72,25 @@ object Perceptron {
     * SMALLEST class — integer scores, so the tie rule is exact on both
     * engines. Out: (cls, pred, n) — the exact multiclass confusion.
     *
-    * Scale shape: the matrix pins once; training is K independent
-    * binary runs (K·iters rounds of two matrix-sized aggregates); the
-    * scoring pass joins the K·nFeatures-row broadcast weight table and
-    * folds TWO hash aggregates. Weights never shuffle.
+    * Scale shape: the matrix pins once, and the K trainings FUSE —
+    * each round scores every (example, class) pair in ONE aggregate
+    * against the broadcast K·nFeatures-row weight table and folds the
+    * per-(class, feature) gradient in one more, so the JOB COUNT is
+    * iters·2 regardless of K (per-class loops would pay K·iters·2; at
+    * K=100 that is 100× the scheduling and scan overhead for the same
+    * algebra — classes train independently, but their synchronized
+    * rounds share scans). Weights never shuffle; the driver holds
+    * K·nFeatures longs, bounded by the require below. The fused math
+    * is EXACTLY the per-class batch perceptron (integer sums are
+    * order-free), pinned in PerceptronSpec against the public binary
+    * trainer. The final scoring pass is two more hash aggregates.
     */
   def ovrConfusion(features: DataFrame, classes: Seq[String],
       nFeatures: Int, iters: Int): DataFrame = {
     require(classes.nonEmpty && classes.distinct == classes &&
       classes == classes.sorted,
       s"classes must be distinct and sorted: $classes")
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
     require(classes.length.toLong * iters * nFeatures <= (1L << 20),
       "classes * iters * nFeatures exceeds the 2^20 driver-side budget")
     val spark = features.sparkSession
@@ -89,14 +98,33 @@ object Perceptron {
     val feats = features.select(col("id"), col("cls"),
         col("f").cast("int").as("f"), col("x").cast("long").as("x"))
       .localCheckpoint(true)
-    val wRows = classes.flatMap { c =>
-      val bin = feats.select(col("id"),
-        when(col("cls") === c, 1L).otherwise(-1L).as("y"),
-        col("f"), col("x"))
-      trainWeights(bin, nFeatures, iters).zipWithIndex
-        .map { case (v, f) => (c, f, v) }
+    var w: Map[String, Array[Long]] =
+      classes.map(_ -> Array.fill[Long](nFeatures)(0L)).toMap
+    for (_ <- 1 to iters) {
+      val wRound = classes.flatMap(c =>
+        w(c).zipWithIndex.map { case (v, f) => (c, f, v) })
+        .toDF("c", "f", "w")
+      val mis = feats.join(broadcast(wRound), "f")
+        .groupBy(col("id"), col("c"))
+        .agg(first(col("cls")).as("cls"), // constant per id
+          sum(col("x") * col("w")).as("score"))
+        .select(col("id"), col("c"),
+          when(col("cls") === col("c"), 1L).otherwise(-1L).as("y"),
+          col("score"))
+        .filter(col("y") * col("score") <= 0)
+        .select("id", "c", "y")
+      val grad = feats.select(col("id"), col("f"), col("x"))
+        .join(mis, "id")
+        .groupBy("c", "f").agg(sum(col("y") * col("x")).as("g"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      w = w.map { case (c, arr) =>
+        c -> arr.zipWithIndex.map { case (v, f) =>
+          v + grad.getOrElse((c, f), 0L) }
+      }
     }
-    val wDf = wRows.toDF("c", "f", "w")
+    val wDf = classes.flatMap(c =>
+      w(c).zipWithIndex.map { case (v, f) => (c, f, v) }).toDF("c", "f", "w")
     feats.join(broadcast(wDf), "f")
       .groupBy(col("id"), col("c"))
       .agg(first(col("cls")).as("cls"), // constant per id
@@ -130,22 +158,6 @@ object Perceptron {
       out ++= w.zipWithIndex.map { case (v, f) => (i, f, v) }
     }
     (out.result(), feats, w)
-  }
-
-  /** Binary training to final weights over an already-shaped
-    * (id, y, f, x) frame — the [[ovrConfusion]] per-class unit; shares
-    * [[oneRound]] with [[trainLoop]] so the two can never drift.
-    */
-  private def trainWeights(features: DataFrame, nFeatures: Int,
-      iters: Int): Array[Long] = {
-    require(nFeatures >= 1 && nFeatures <= (1 << 16),
-      s"nFeatures out of range: $nFeatures")
-    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
-    // no checkpoint here: the caller pins the SHARED matrix once and
-    // each per-class frame is a one-op label projection over it —
-    // checkpointing K copies would materialize K redundant matrices
-    (1 to iters).foldLeft(Array.fill[Long](nFeatures)(0L))((w, _) =>
-      oneRound(features, w))
   }
 
   /** One batch-perceptron round: broadcast the weights, find the
