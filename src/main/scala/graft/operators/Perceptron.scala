@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Batch-perceptron TRAINING over a hashed feature matrix — the
@@ -24,17 +24,52 @@ import org.apache.spark.sql.functions._
   * diverge across engines.
   *
   * Scale shape: the feature matrix builds in ONE corpus scan (map-side
-  * token hash + one (id, f) count aggregate) and is pinned once
-  * (localCheckpoint — at 100 TB a persisted table); each round is two
-  * matrix-sized hash aggregates (score per id, gradient per feature)
-  * with the weight table — nFeatures rows — broadcast. Weights never
-  * shuffle; rounds are independent of corpus width beyond the matrix.
+  * token hash + one (id, f) count aggregate), pivots DOC-MAJOR — one
+  * row per example, its features as an array<struct<f,x>> — and is
+  * pinned once (localCheckpoint — at 100 TB a persisted table). Each
+  * round is then a single map-side pass: the score folds over the
+  * row's own feature array against the weights carried as a plan
+  * LITERAL (the weights live on the driver anyway — that is the batch
+  * perceptron's contract), the misclassified filter is row-local, and
+  * the only exchange is the gradient's groupBy(f), which partial
+  * aggregation caps at nFeatures rows per task before the shuffle.
+  * One job and one nFeatures-sized exchange per round — the flat
+  * (id, f, x) shape paid two matrix-sized exchanges per round (score
+  * groupBy(id) + the gradient's re-shuffle of the matrix by id) for
+  * the same integer algebra (guide §2.3/§2.4: aggregate before you
+  * shuffle; remove shuffles outright).
   *
   * In: features (id, y, f, x) with y ∈ {+1, −1}, integer counts x,
   * f ∈ [0, nFeatures). Out: (iter, f, w) for iter 1..iters — the full
   * integer weight evolution (iteration i's row set IS w_i).
   */
 object Perceptron {
+
+  /** Doc-major pivot of the flat (id, label, f, x) matrix: one row per
+    * example, its features as array<struct<f,x>>. Array order is
+    * whatever collect_list saw — every consumer folds the array with
+    * integer sums, which are order-free, so results are deterministic.
+    * Pinned once (localCheckpoint); every round reads it map-side.
+    */
+  private def pivotMat(features: DataFrame, labelCol: String): DataFrame =
+    features
+      .select(col("id"), col(labelCol),
+        col("f").cast("int").as("f"), col("x").cast("long").as("x"))
+      .groupBy("id")
+      .agg(min(col(labelCol)).as(labelCol), // constant per id
+        collect_list(struct(col("f"), col("x"))).as("fs"))
+      .localCheckpoint(true)
+
+  /** ⟨w, x_row⟩ as a row-local fold over the feature array, the
+    * weights riding as one plan literal (they live on the driver
+    * between rounds anyway). No join, no exchange.
+    */
+  private def scoreCol(w: Array[Long]): Column = {
+    val wl = typedlit(w.toSeq)
+    aggregate(col("fs"), lit(0L),
+      (acc, s) => acc + s.getField("x") *
+        element_at(wl, s.getField("f") + 1))
+  }
 
   def train(features: DataFrame, nFeatures: Int, iters: Int): DataFrame = {
     val spark = features.sparkSession
@@ -50,17 +85,9 @@ object Perceptron {
     */
   def trainConfusion(features: DataFrame, nFeatures: Int,
       iters: Int): DataFrame = {
-    val spark = features.sparkSession
-    import spark.implicits._
-    val (_, feats, w) = trainLoop(features, nFeatures, iters)
-    val wDf = w.toSeq.zipWithIndex.map { case (v, f) => (f, v) }
-      .toDF("f", "w")
-    feats.join(broadcast(wDf), "f")
-      .groupBy("id")
-      .agg(first(col("y")).as("y"),
-        sum(col("x") * col("w")).as("score"))
-      .select(col("y"),
-        when(col("score") > 0, 1L).otherwise(-1L).as("pred"))
+    val (_, mat, w) = trainLoop(features, nFeatures, iters)
+    mat.select(col("y"),
+        when(scoreCol(w) > 0, 1L).otherwise(-1L).as("pred"))
       .groupBy("y", "pred").agg(count(lit(1)).as("n"))
   }
 
@@ -93,47 +120,46 @@ object Perceptron {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
     require(classes.length.toLong * iters * nFeatures <= (1L << 20),
       "classes * iters * nFeatures exceeds the 2^20 driver-side budget")
-    val spark = features.sparkSession
-    import spark.implicits._
-    val feats = features.select(col("id"), col("cls"),
-        col("f").cast("int").as("f"), col("x").cast("long").as("x"))
-      .localCheckpoint(true)
+    val mat = pivotMat(features, "cls")
+    // per-class ±1 label, derivable row-locally from cls
+    def yc(c: String): Column = when(col("cls") === c, 1L).otherwise(-1L)
     var w: Map[String, Array[Long]] =
       classes.map(_ -> Array.fill[Long](nFeatures)(0L)).toMap
     for (_ <- 1 to iters) {
-      val wRound = classes.flatMap(c =>
-        w(c).zipWithIndex.map { case (v, f) => (c, f, v) })
-        .toDF("c", "f", "w")
-      val mis = feats.join(broadcast(wRound), "f")
-        .groupBy(col("id"), col("c"))
-        .agg(first(col("cls")).as("cls"), // constant per id
-          sum(col("x") * col("w")).as("score"))
-        .select(col("id"), col("c"),
-          when(col("cls") === col("c"), 1L).otherwise(-1L).as("y"),
-          col("score"))
-        .filter(col("y") * col("score") <= 0)
-        .select("id", "c", "y")
-      val grad = feats.select(col("id"), col("f"), col("x"))
-        .join(mis, "id")
-        .groupBy("c", "f").agg(sum(col("y") * col("x")).as("g"))
-        .collect()
-        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
-      w = w.map { case (c, arr) =>
-        c -> arr.zipWithIndex.map { case (v, f) =>
-          v + grad.getOrElse((c, f), 0L) }
+      // all K classes fold in ONE map-side pass: per row, K scores
+      // against K literal weight arrays, K misclassified flags, then
+      // one exploded gradient aggregate whose partial caps each task's
+      // output at nFeatures rows x K sums — job count iters·1, the
+      // only exchange nFeatures-sized, regardless of K
+      val flagged = mat.select(
+        Seq(col("cls"), col("fs")) ++ classes.zipWithIndex.map {
+          case (c, k) => ((yc(c) * scoreCol(w(c))) <= 0).as(s"m$k")
+        }: _*)
+      val gs = classes.zipWithIndex.map { case (c, k) =>
+        sum(when(col(s"m$k"), yc(c) * col("s.x"))).as(s"g$k")
       }
+      val grad = flagged
+        .select(Seq(col("cls"), explode(col("fs")).as("s")) ++
+          classes.indices.map(k => col(s"m$k")): _*)
+        .groupBy(col("s.f").as("f"))
+        .agg(gs.head, gs.tail: _*)
+        .collect()
+      w = classes.zipWithIndex.map { case (c, k) =>
+        val arr = w(c).clone()
+        grad.foreach { r =>
+          if (!r.isNullAt(k + 1)) arr(r.getInt(0)) += r.getLong(k + 1)
+        }
+        c -> arr
+      }.toMap
     }
-    val wDf = classes.flatMap(c =>
-      w(c).zipWithIndex.map { case (v, f) => (c, f, v) }).toDF("c", "f", "w")
-    feats.join(broadcast(wDf), "f")
-      .groupBy(col("id"), col("c"))
-      .agg(first(col("cls")).as("cls"), // constant per id
-        sum(col("x") * col("w")).as("score"))
-      .groupBy("id")
-      .agg(first(col("cls")).as("cls"),
-        // argmax score, ties to the smallest class: min over (-score, c)
-        min(struct((-col("score")).as("ns"), col("c").as("c"))).as("m"))
-      .select(col("cls"), col("m.c").as("pred"))
+    // final argmax scoring, map-side: least over (-score, c) structs
+    // == min(struct(-score, c)) — integer scores, exact tie rule
+    val preds = classes.map(c =>
+      struct((-scoreCol(w(c))).as("ns"), lit(c).as("c")))
+    val predCol = // least() needs >= 2 args; K == 1 predicts the class
+      if (preds.size == 1) lit(classes.head)
+      else least(preds: _*).getField("c")
+    mat.select(col("cls"), predCol.as("pred"))
       .groupBy("cls", "pred").agg(count(lit(1)).as("n"))
   }
 
@@ -148,35 +174,26 @@ object Perceptron {
     require(iters.toLong * nFeatures <= (1L << 20),
       s"iters * nFeatures = ${iters.toLong * nFeatures} exceeds the " +
         "2^20 driver-side weight-evolution budget")
-    val feats = features.select(col("id"), col("y").cast("long").as("y"),
-        col("f").cast("int").as("f"), col("x").cast("long").as("x"))
-      .localCheckpoint(true)
+    val mat = pivotMat(features, "y")
     var w = Array.fill[Long](nFeatures)(0L)
     val out = Seq.newBuilder[(Int, Int, Long)]
     for (i <- 1 to iters) {
-      w = oneRound(feats, w)
+      w = oneRound(mat, w)
       out ++= w.zipWithIndex.map { case (v, f) => (i, f, v) }
     }
-    (out.result(), feats, w)
+    (out.result(), mat, w)
   }
 
-  /** One batch-perceptron round: broadcast the weights, find the
-    * misclassified set, fold the integer gradient.
+  /** One batch-perceptron round over the doc-major matrix: row-local
+    * score fold + misclassified filter, then the gradient's
+    * groupBy(f) — partial aggregation caps the exchange at nFeatures
+    * rows per task. ONE job, no joins.
     */
-  private def oneRound(feats: DataFrame, w: Array[Long]): Array[Long] = {
-    val spark = feats.sparkSession
-    import spark.implicits._
-    val wDf = w.toSeq.zipWithIndex.map { case (v, f) => (f, v) }
-      .toDF("f", "w")
-    val mis = feats.join(broadcast(wDf), "f")
-      .groupBy("id")
-      .agg(first(col("y")).as("y"), // constant per id
-        sum(col("x") * col("w")).as("score"))
-      .filter(col("y") * col("score") <= 0)
-      .select(col("id"), col("y"))
-    val grad = feats.select(col("id"), col("f"), col("x"))
-      .join(mis, "id")
-      .groupBy("f").agg(sum(col("y") * col("x")).as("g"))
+  private def oneRound(mat: DataFrame, w: Array[Long]): Array[Long] = {
+    val grad = mat.filter(col("y") * scoreCol(w) <= 0)
+      .select(col("y"), explode(col("fs")).as("s"))
+      .groupBy(col("s.f").as("f"))
+      .agg(sum(col("y") * col("s.x")).as("g"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     w.zipWithIndex.map { case (v, f) => v + grad.getOrElse(f, 0L) }
   }
