@@ -13,8 +13,30 @@ import org.apache.spark.sql.functions._
   * loaded schema rather than assuming either encoding.
   */
 object Tables {
+  /** Per-(session, path) memo of the RESOLVED parquet relation — the
+    * catalog behavior a registered table gets: file listing and footer
+    * schema are read once per session, not once per query build. Every
+    * action still reads rows from the files (no data caching — only
+    * resolution metadata is reused); a production deployment gets the
+    * same effect from a real catalog table or the filesource listing
+    * cache. Keyed on the session INSTANCE: parquet schema conversion
+    * honors session confs (e.g. `nanosAsLong`), so a relation resolved
+    * under one session must never serve another. Input corpus tables
+    * are immutable for a session's lifetime, which is what makes the
+    * memo sound; mutable index/sidecar directories (bloom, IVF) keep
+    * their own fingerprint-guarded read paths and never come through
+    * here.
+    */
+  private val relCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  /** Memoized `spark.read.parquet(path)` for write-once paths. */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    relCache.getOrElseUpdate(
+      (System.identityHashCode(spark), path), spark.read.parquet(path))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readParquet(spark, s"$dir/$name.parquet")
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")

@@ -86,10 +86,21 @@ object BpeTrain {
         lit(s" $a  $b "), lit(s" $a$b "))
       vocab = vocab
         .select(trim(regexp_replace(applied, " +", " ")).as("w"), col("f"))
-        .localCheckpoint(true)
+      // checkpoint every few rounds, not every round: the eager
+      // per-round checkpoint was a whole extra Spark job per merge for
+      // lineage the next rounds replay as a handful of vocab-sized
+      // string projections anyway. Every CKPT_EVERY rounds the chain
+      // truncates (plan depth and replay work stay bounded); between
+      // checkpoints each winner-collect simply re-applies <= CKPT_EVERY
+      // projections over the pinned vocabulary — map-side, tiny
+      // against the per-job scheduling cost it replaces.
+      if (step % CKPT_EVERY == 0) vocab = vocab.localCheckpoint(true)
     }
     (merges.result(), vocab)
   }
+
+  /** Lineage-truncation interval for the training loops. */
+  private val CKPT_EVERY = 8
 
   /** BATCHED merge training — the 30k-50k-vocabulary path: each round
     * counts pairs ONCE over the current vocabulary, ranks them
@@ -171,7 +182,10 @@ object BpeTrain {
       }
       vocab = vocab
         .select(trim(regexp_replace(applied, " +", " ")).as("w"), col("f"))
-        .localCheckpoint(true)
+      // same interval checkpointing as trainLoop (one job per
+      // CKPT_EVERY rounds instead of one per round); a batched round's
+      // replay is one projection of `batch` nested replaces
+      if (round % CKPT_EVERY == 0) vocab = vocab.localCheckpoint(true)
     }
     (merges.result(), vocab)
   }

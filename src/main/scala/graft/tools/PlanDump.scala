@@ -33,8 +33,18 @@ object PlanDump {
     names.foreach { n =>
       val p = java.nio.file.Paths.get(outDir, s"${n}_$tag.txt")
       try {
-        val txt = SparkEntry.queries(n)(spark, sfDir)
-          .queryExecution.explainString(
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val txt =
+          if (sys.env.contains("SPARK_GRAFT_PLAN_EXEC")) {
+            // final adaptive plan: collect() executes THIS DataFrame's
+            // own QueryExecution (count()/noop-write build a separate
+            // one), so the subsequent explain shows AQE's re-optimized
+            // stages (reused exchanges, runtime join changes). Only
+            // use on queries with small results.
+            df.collect()
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+          } else df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.writeString(p, txt)
         println(s"[plandump] wrote $p")

@@ -218,13 +218,19 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"expected one partial+final agg pair in:\n$pre")
   }
 
-  test("bigram_commonness: frequency join shuffled, not hint-broadcast") {
+  test("bigram_commonness: one explode, no join, two shuffles") {
+    // round-14 shape: repartition(b) once; the per-(b, doc) counts and
+    // the global-count window share that clustering, the per-doc fold
+    // is the only other exchange — the former global-count + bg-join
+    // shape exploded the corpus twice and shuffled it three times
     val pre = planNoAutoBroadcast("bigram_commonness")
-    assert(!pre.contains("BroadcastHashJoin [b#"),
-      s"corpus-sized bigram table broadcast-hinted:\n$pre")
-    assert(pre.contains("SortMergeJoin [b#") ||
-      pre.contains("ShuffledHashJoin [b#"),
-      s"no shuffled frequency join on b in:\n$pre")
+    assert(!pre.contains("Join"), s"frequency join reappeared:\n$pre")
+    assert(pre.contains("Window"), s"global-count window missing:\n$pre")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(pre).length
+    assert(n <= 2, s"expected <= 2 shuffles, found $n:\n$pre")
+    // single corpus explode: one Generate node in the whole plan
+    val g = "Generate explode".r.findAllMatchIn(pre).length
+    assert(g == 1, s"expected 1 corpus explode, found $g:\n$pre")
   }
 
   test("decontam_ngram: eval-set grams broadcast onto the corpus side") {
@@ -332,19 +338,31 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"schema drift: ${df.schema.toDDL} vs pinned ${expected.toDDL}")
   }
 
-  test("ngram_dup_spans: one posting shuffle, bounded-state ubiquity agg") {
+  test("ngram_dup_spans: one posting shuffle serves both self-join sides") {
+    // round-14 shape: per-doc-distinct CharWindows -> ONE
+    // hashpartitioning(gram) exchange -> window df count (bounded
+    // state) -> ubiquity filter df in [2,8] -> gram-local SMJ whose
+    // BOTH sides are the same subplan. The pins: the posting join must
+    // stay sort-merge (a broadcast would copy the corpus subplan onto
+    // the build side — and can never broadcast at corpus scale), and
+    // at runtime the second side must be served by ReusedExchange, so
+    // the corpus is scanned and shuffled ONCE.
     val pre = planNoAutoBroadcast("ngram_dup_spans")
-    // no join anywhere: the ubiquity filter + dedup + list collection
-    // are ONE capped-distinct aggregate, pairs expand map-side
-    assert(!pre.contains("Join"), s"posting join survives:\n$pre")
+    assert(pre.contains("SortMergeJoin"), s"posting join not SMJ:\n$pre")
+    assert(!pre.contains("BroadcastHashJoin"),
+      s"corpus-derived posting table broadcast:\n$pre")
     assert(!pre.contains("CartesianProduct"), s"pair loop:\n$pre")
-    assert(pre.contains("capped_distinct_longs"),
-      s"bounded-state aggregate missing:\n$pre")
-    // exactly 2 structural shuffles: the gram posting aggregate and
-    // the final (a_id, b_id) pair aggregate — a 3rd means the shape
-    // regressed to distinct + df-count + join
+    // structural shuffles: gram posting (x2 pre-reuse: one per join
+    // side — runtime reuse collapses them, asserted below) + the final
+    // (a_id, b_id) pair aggregate
     val n = "Exchange hashpartitioning".r.findAllMatchIn(pre).length
-    assert(n <= 2, s"expected <= 2 shuffles, found $n:\n$pre")
+    assert(n <= 3, s"expected <= 3 pre-reuse shuffles, found $n:\n$pre")
+    val df = SparkEntry.queries("ngram_dup_spans")(spark, sf)
+    df.collect() // AQE finalizes stages (incl. reuse) at execution
+    val plan = df.queryExecution.executedPlan
+    val reused = collectWithSubqueries(plan) { case r: ReusedExchangeExec => r }
+    assert(reused.nonEmpty,
+      s"posting exchange not reused across the self-join:\n$plan")
   }
 
   test("bm25_topk: corpus joins shuffled; top-k via TakeOrdered only") {
