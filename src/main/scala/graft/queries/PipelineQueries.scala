@@ -1653,11 +1653,18 @@ object PipelineQueries {
       val tf = staged(s, d, "tf") {
         toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       }
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.select(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
-      tf.join(dfreq, "term").crossJoin(broadcast(n))
+      // df as a window count over the SAME term clustering instead of
+      // a separate aggregate re-joined onto tf: the join shape scanned
+      // the staged tf twice and shuffled it twice by term (the
+      // aggregate's exchange + the join's re-shuffle — canonically
+      // different subplans, so ReuseExchange can't dedupe them); the
+      // window gets the identical per-term count from one exchange
+      tf.repartition(col("term"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"),
           ((col("tf") * col("n_docs")) / col("df")).as("score"))
         .select(col("doc_id"), col("term"), col("score"),
@@ -2895,37 +2902,42 @@ object PipelineQueries {
     "bm25_topk" -> ((s, d) => {
       val qt = Seq("spark", "stream", "join")
       val docs = Tables.documents(s, d)
-      // doc length is a map-side array size — no corpus-wide token
-      // explode + re-group for it; and the tf explode filters to the
-      // query terms INSIDE the array first, so the generator emits a
-      // handful of rows per doc, not every token
-      val dl = docs.select(col("doc_id"),
-        size(words(col("text"))).cast("long").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
-      val qtSql = qt.map(t => s"'$t'").mkString(", ")
-      val tf = docs.select(col("doc_id"),
-          explode(expr(s"filter(split(lower(text), ' '), t -> t IN ($qtSql))"))
-            .as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // decide with small rows (guide §8): for a FIXED 3-term query the
+      // per-doc term frequencies are three map-side array counts, so
+      // the whole per-(doc, term) join pipeline — tf explode + group,
+      // df aggregate, tf⋈df⋈dl (two corpus-sized shuffles by doc_id) —
+      // collapses to one scan emitting (doc_id, dl, tf0, tf1, tf2),
+      // one 1-row global aggregate (n_docs, Σdl, df per term,
+      // broadcast), and a map-side scoring pass. ZERO corpus shuffles;
+      // the only ordering work is the same TakeOrdered top-10. The
+      // float chain per term is kept operand-for-operand identical to
+      // the join form, summed in the same fixed term order; docs with
+      // no query term are filtered out exactly like the old inner
+      // explode dropped them.
+      val toks = split(lower(col("text")), " ")
+      val base = docs.select(Seq(col("doc_id"),
+        size(words(col("text"))).cast("long").as("dl")) ++
+        qt.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === t)).cast("long").as(s"tf$i")
+        }: _*)
+      val statAggs = Seq(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total")) ++
+        qt.indices.map(i => sum(when(col(s"tf$i") > 0, 1L)).as(s"df$i"))
+      val stats = base.agg(statAggs.head, statAggs.tail: _*)
       val avgdl = col("total").cast("double") / col("n_docs").cast("double")
-      val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))
-      val tfc = (col("tf").cast("double") * lit(2.2)) /
-        (col("tf").cast("double") + lit(1.2) *
-          (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / avgdl))
-      val perTerm = tf.join(broadcast(dfT), "term")
-        .join(dl, "doc_id")
+      def idf(i: Int) =
+        ((col("n_docs") - col(s"df$i")).cast("double") + lit(0.5)) /
+          (col(s"df$i").cast("double") + lit(0.5))
+      def tfc(i: Int) =
+        (col(s"tf$i").cast("double") * lit(2.2)) /
+          (col(s"tf$i").cast("double") + lit(1.2) *
+            (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / avgdl))
+      val scores = qt.indices.map(i =>
+        when(col(s"tf$i") > 0, idf(i) * tfc(i)).otherwise(lit(0.0)))
+      val scored = base
+        .filter(qt.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
         .crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("term"), (idf * tfc).as("s"))
-      val scored = perTerm.groupBy("doc_id")
-        .agg(
-          sum(when(col("term") === qt(0), col("s"))).as("s0"),
-          sum(when(col("term") === qt(1), col("s"))).as("s1"),
-          sum(when(col("term") === qt(2), col("s"))).as("s2"))
-        .select(col("doc_id"),
-          (coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0)) +
-            coalesce(col("s2"), lit(0.0))).as("score"))
+        .select(col("doc_id"), scores.reduce(_ + _).as("score"))
       val top = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
       top.select(col("doc_id"), col("score"),
         row_number().over(Window.orderBy(col("score").desc, col("doc_id")))

@@ -242,19 +242,25 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"corpus-wide shuffle join in decontam_ngram:\n$plan")
   }
 
-  test("tfidf_top_terms: df join shuffled; tf materialized, one corpus pass") {
+  test("tfidf_top_terms: window df, no term join, tf read once") {
+    // round-14 shape: df is a window count over the same term
+    // clustering the tf rows are repartitioned into — the former
+    // aggregate-and-rejoin scanned the staged tf twice and shuffled it
+    // twice by term (canonically different subplans, no ReuseExchange)
     val pre = planNoAutoBroadcast("tfidf_top_terms")
+    assert(!pre.contains("Join [term#") && !pre.contains("SortMergeJoin [term#"),
+      s"df re-join on term reappeared:\n$pre")
     assert(!pre.contains("BroadcastHashJoin [term#"),
       s"Heaps-law df table broadcast-hinted:\n$pre")
-    assert(pre.contains("SortMergeJoin [term#") ||
-      pre.contains("ShuffledHashJoin [term#"),
-      s"no shuffled df join on term in:\n$pre")
     // tf is materialized at construction, so the query plan itself must
-    // contain NO corpus explode — tf and df both read the (column-
-    // pruned) scratch table; a Generate here means the corpus is being
-    // exploded per consumer again
+    // contain NO corpus explode — a Generate here means the corpus is
+    // being exploded per consumer again
     assert(!pre.contains("Generate explode"),
       s"corpus re-exploded in the query plan:\n$pre")
+    // exactly one scan of the staged tf table (+1 for the documents
+    // scan feeding the broadcast n_docs count)
+    val scans = "Scan parquet".r.findAllMatchIn(pre).length
+    assert(scans <= 2, s"expected tf scanned once (+n_docs), found $scans:\n$pre")
   }
 
   test("kmeans training: codebook is broadcast; no cartesian product") {
