@@ -1254,26 +1254,27 @@ object PipelineQueries {
     // model — inference cost and plan shape are identical to a trained
     // one.
     "domain_classify" -> ((s, d) => {
-      import s.implicits._
-      val nFeat = 256
+      // the weight matrix is FORMULA-derived (w = pmod(feat·p + q,
+      // 1001) − 500 per class), so inference needs no weight table at
+      // all: per document, hash each token to its feature once, fold
+      // the four class scores as row-local sums over that array
+      // (Σ_feat tf·w == Σ_occurrence w — integer-exact), and take the
+      // same max-struct argmax. The former shape exploded the corpus,
+      // shuffled (doc, feat) twice and broadcast-joined the 1024-row
+      // weight table for arithmetic a projection computes in place —
+      // output is one row per doc with ZERO exchanges (guide §2.4).
       val classes = Seq(("web", 7L, 13L), ("news", 11L, 97L),
         ("code", 17L, 31L), ("wiki", 23L, 5L))
-      val weights = classes.toDF("cls", "p", "q")
-        .crossJoin(s.range(nFeat).toDF("feat"))
-        .select(col("cls"), col("feat"),
-          (pmod(col("feat") * col("p") + col("q"), lit(1001L)) - 500L)
-            .as("w"))
-      val feats = Tables.documents(s, d)
-        .select(col("doc_id"), explode(words(col("text"))).as("token"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("token").cast("binary")), 1, 2), 16, 10)
-            .cast("long").as("feat"))
-        .groupBy("doc_id", "feat").agg(count(lit(1)).as("tf"))
-      feats.join(broadcast(weights), "feat")
-        .groupBy("doc_id", "cls")
-        .agg(sum(col("tf") * col("w")).as("score"))
-        .groupBy("doc_id")
-        .agg(max(struct(col("score"), col("cls"))).as("m"))
+      val fs = transform(words(col("text")), t =>
+        conv(substring(md5(t.cast("binary")), 1, 2), 16, 10).cast("long"))
+      def score(p: Long, q: Long): Column =
+        aggregate(col("fs"), lit(0L), (acc, f) =>
+          acc + (pmod(f * p + q, lit(1001L)) - 500L))
+      val m = greatest(classes.map { case (c, p, q) =>
+        struct(score(p, q).as("score"), lit(c).as("cls")) }: _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"), fs.as("fs"))
+        .select(col("doc_id"), m.as("m"))
         .select(col("doc_id"), col("m.cls").as("domain"),
           col("m.score").as("score"))
     }),
@@ -1968,10 +1969,12 @@ object PipelineQueries {
           math.max(docs.count() / 16, 64L))
         graft.sources.FileBloomIndex.delete(s, p, Seq("7", "300"))
       }
-      Seq("7", "8", "300", "301")
-        .map(k => graft.sources.FileBloomIndex.lookup(s, idx, "doc_id", k)
-          .select("doc_id", "lang", "source", "n_chars"))
-        .reduce(_ unionAll _)
+      // one pruned read for all four probes (lookupMany) — the
+      // per-key union paid four listings + four scan jobs for the
+      // same row set
+      graft.sources.FileBloomIndex
+        .lookupMany(s, idx, "doc_id", Seq("7", "8", "300", "301"))
+        .select("doc_id", "lang", "source", "n_chars")
     }),
 
     // ...and the PURGE: compact physically rewrites only the buckets
@@ -1989,10 +1992,12 @@ object PipelineQueries {
         graft.sources.FileBloomIndex.delete(s, p, Seq("7", "300"))
         graft.sources.FileBloomIndex.compact(s, p)
       }
-      Seq("7", "8", "300", "301")
-        .map(k => graft.sources.FileBloomIndex.lookup(s, idx, "doc_id", k)
-          .select("doc_id", "lang", "source", "n_chars"))
-        .reduce(_ unionAll _)
+      // one pruned read for all four probes (lookupMany) — the
+      // per-key union paid four listings + four scan jobs for the
+      // same row set
+      graft.sources.FileBloomIndex
+        .lookupMany(s, idx, "doc_id", Seq("7", "8", "300", "301"))
+        .select("doc_id", "lang", "source", "n_chars")
     }),
 
     // BULK membership against the bloom index — the backfill shape

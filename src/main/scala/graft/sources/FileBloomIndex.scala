@@ -816,8 +816,32 @@ object FileBloomIndex {
     * internal fbib partition column.
     */
   def lookup(spark: SparkSession, path: String, keyCol: String,
-      key: String): DataFrame = {
-    val cands = candidateBuckets(spark, path, key)
+      key: String): DataFrame =
+    lookupKeys(spark, path, keyCol, Seq(key))
+
+  /** Multi-key point lookup — the union of [[lookup]] results for a
+    * set of DISTINCT keys, served by ONE pruned read instead of one
+    * read (listing + footer + scan job) per key: candidate buckets are
+    * the union over keys of the driver-side bloom tests, the data read
+    * prunes to that union, and a single `isin` filter + tombstone mask
+    * finishes. Exact for the same reason lookup is: every bucket
+    * holding a key is a candidate (no false negatives), each row
+    * matches at most one key, and false-positive buckets contribute
+    * nothing past the filter.
+    */
+  def lookupMany(spark: SparkSession, path: String, keyCol: String,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && keys.distinct == keys,
+      s"keys must be non-empty and distinct: $keys")
+    lookupKeys(spark, path, keyCol, keys)
+  }
+
+  private def lookupKeys(spark: SparkSession, path: String,
+      keyCol: String, keys: Seq[String]): DataFrame = {
+    val filters = loadFilters(spark, path)
+    val cands = filters
+      .filter { case (_, f) => keys.exists(f.mightContainString) }
+      .map(_._1).sorted.toSeq
     val paths = existingBucketPaths(fsFor(spark, path), path, cands)
     val base =
       if (paths.isEmpty)
@@ -834,7 +858,7 @@ object FileBloomIndex {
       else
         spark.read.option("basePath", s"$path/data").parquet(paths: _*)
     maskTombstones(spark, path,
-      base.drop("fbib").filter(col(keyCol).cast("string") === key),
+      base.drop("fbib").filter(col(keyCol).cast("string").isin(keys: _*)),
       col(keyCol).cast("string"))
   }
 }
