@@ -111,20 +111,28 @@ object PipelineQueries {
     // window's sort order feeds the SortMergeJoin, and with df <= 8
     // one gram contributes <= C(8,2) = 28 pairs, so no posting list
     // can go quadratic (the same skew bound as before).
-    val w = Window.partitionBy("gram")
-    val keep = grams.withColumn("df", count(lit(1)).over(w))
+    // ONE pass over that exchange, no join: the df count filters
+    // FIRST (count-only window, bounded state even for a gram in a
+    // million docs), and only the surviving df∈[2,8] rows — at most 8
+    // per gram — reach the list-collecting window, whose sort and
+    // partitioning the filter preserved, so no second exchange or
+    // sort. One row per gram then expands its ≤C(8,2)=28 pairs
+    // map-side (the same skew bound as ever). A self-join formulation
+    // measured slower: ReuseExchange shares the shuffle but each join
+    // side re-runs the sort+window over the full posting stream.
+    val wf = Window.partitionBy("gram").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wo = Window.partitionBy("gram").orderBy("doc_id")
+    grams
+      .withColumn("df", count(lit(1)).over(wf))
       .filter(col("df").between(2, 8))
-      .select("gram", "doc_id")
-    // merge hint: auto-broadcast would copy the whole corpus subplan
-    // onto the build side (two scans, two explodes) — the posting
-    // table grows with the corpus and must never broadcast; as an SMJ
-    // both sides are the SAME subplan, so ReuseExchange serves the
-    // join from the one posting shuffle and the window's sort order
-    // feeds it for free
-    keep.as("a").hint("merge").join(keep.as("b"),
-        col("a.gram") === col("b.gram") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .withColumn("ids", collect_list(col("doc_id")).over(wf))
+      .withColumn("rn", row_number().over(wo))
+      .filter(col("rn") === 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(" +
+          "slice(ids, i + 2, size(ids)), y -> struct(x, y))))")).as("p"))
+      .groupBy(col("p.x").as("a_id"), col("p.y").as("b_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 20)
   }

@@ -344,31 +344,24 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"schema drift: ${df.schema.toDDL} vs pinned ${expected.toDDL}")
   }
 
-  test("ngram_dup_spans: one posting shuffle serves both self-join sides") {
+  test("ngram_dup_spans: one posting shuffle, windowed df, no join") {
     // round-14 shape: per-doc-distinct CharWindows -> ONE
-    // hashpartitioning(gram) exchange -> window df count (bounded
-    // state) -> ubiquity filter df in [2,8] -> gram-local SMJ whose
-    // BOTH sides are the same subplan. The pins: the posting join must
-    // stay sort-merge (a broadcast would copy the corpus subplan onto
-    // the build side — and can never broadcast at corpus scale), and
-    // at runtime the second side must be served by ReusedExchange, so
-    // the corpus is scanned and shuffled ONCE.
+    // hashpartitioning(gram) exchange -> count-only window (bounded
+    // state at any gram frequency) -> ubiquity filter df in [2,8] ->
+    // list window + row_number over the SAME sort (filter preserves
+    // ordering/partitioning, so no second exchange) -> map-side pair
+    // expansion (<= C(8,2) = 28 per gram) -> pair aggregate. Exactly
+    // 2 shuffles, no join of any kind, both windows gram-partitioned.
     val pre = planNoAutoBroadcast("ngram_dup_spans")
-    assert(pre.contains("SortMergeJoin"), s"posting join not SMJ:\n$pre")
-    assert(!pre.contains("BroadcastHashJoin"),
-      s"corpus-derived posting table broadcast:\n$pre")
+    assert(!pre.contains("Join"), s"posting join reappeared:\n$pre")
     assert(!pre.contains("CartesianProduct"), s"pair loop:\n$pre")
-    // structural shuffles: gram posting (x2 pre-reuse: one per join
-    // side — runtime reuse collapses them, asserted below) + the final
-    // (a_id, b_id) pair aggregate
+    assert(pre.contains("Window"), s"df window missing:\n$pre")
     val n = "Exchange hashpartitioning".r.findAllMatchIn(pre).length
-    assert(n <= 3, s"expected <= 3 pre-reuse shuffles, found $n:\n$pre")
-    val df = SparkEntry.queries("ngram_dup_spans")(spark, sf)
-    df.collect() // AQE finalizes stages (incl. reuse) at execution
-    val plan = df.queryExecution.executedPlan
-    val reused = collectWithSubqueries(plan) { case r: ReusedExchangeExec => r }
-    assert(reused.nonEmpty,
-      s"posting exchange not reused across the self-join:\n$plan")
+    assert(n <= 2, s"expected <= 2 shuffles, found $n:\n$pre")
+    // one sort feeds both windows: a second sort means the filter
+    // stopped preserving the gram clustering
+    val sorts = "Sort \\[gram".r.findAllMatchIn(pre).length
+    assert(sorts <= 1, s"expected one gram sort, found $sorts:\n$pre")
   }
 
   test("bm25_topk: corpus joins shuffled; top-k via TakeOrdered only") {
