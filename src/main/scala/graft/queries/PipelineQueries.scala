@@ -1031,9 +1031,14 @@ object PipelineQueries {
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
         graft.operators.SimilarityOps.buildIvfIndex(e, "vec_id", "v", 8, p)
       }
-      val pv = Tables.embeddings(s, d).filter(col("vec_id") === 8L)
-        .select(toDouble(col("embedding"))).collect()(0)
-        .getSeq[Double](0).toArray
+      // the probe vector is fixture input acquisition (an external
+      // query vector in production) — fetch it once per (session,
+      // corpus), not one collect job per query build
+      val pv = stagedObj(s, d, "probe8") {
+        Tables.embeddings(s, d).filter(col("vec_id") === 8L)
+          .select(toDouble(col("embedding"))).collect()(0)
+          .getSeq[Double](0).toArray
+      }
       graft.operators.SimilarityOps
         .annIvfFromIndexVector(s, dir, pv, 10, nprobe = 3)
         .select(col("id").as("vec_id"), col("cosine"))
