@@ -528,33 +528,37 @@ object PipelineQueries {
       .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
-  /** The is-it-English hashed feature matrix (id, y, f, x) the
-    * perceptron gates train/evaluate on — ONE definition so the two
-    * Spark pipelines and the two oracle featCtes can never drift
-    * apart pairwise (see [[perceptronFeatCte]] for the SQL twin).
+  /** The is-it-English hashed feature matrix (id, y, f, x) the binary
+    * perceptron gates train/evaluate on — a row-local projection of
+    * the staged multiclass matrix (y = ±1 from cls; the label is
+    * constant per id, so the counts are identical — see
+    * [[perceptronFeatsMc]] and [[perceptronFeatCte]] for the SQL twin).
     */
   private def perceptronFeats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id").as("id"),
-        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
-        explode(words(col("text"))).as("token"))
-      .select(col("id"), col("y"),
-        conv(substring(md5(col("token").cast("binary")), 1, 1), 16, 10)
-          .cast("int").as("f"))
-      .groupBy("id", "y", "f").agg(count(lit(1)).as("x"))
+    perceptronFeatsMc(s, d)
+      .select(col("id"),
+        when(col("cls") === "en", 1L).otherwise(-1L).as("y"),
+        col("f"), col("x"))
 
-  /** [[perceptronFeats]] without the baked-in binary label — the
-    * multiclass matrix (id, cls, f, x) [[perceptron_ovr_confusion]]
-    * derives its per-class labels from.
+  /** The multiclass (id, cls, f, x) feature matrix, staged once per
+    * corpus like sigs/tf — the table a production training pipeline
+    * materializes before fitting anything. SHARED by all three
+    * classifier gates: perceptron_ovr_confusion reads it directly,
+    * and the binary matrix is a projection (y = ±1 from cls — the
+    * label is constant per id, so grouping by (id, y, f) equals
+    * grouping by (id, cls, f)). Integer counts round-trip parquet
+    * exactly, so every consumer and oracle is unchanged.
     */
   private def perceptronFeatsMc(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id").as("id"), col("lang").as("cls"),
-        explode(words(col("text"))).as("token"))
-      .select(col("id"), col("cls"),
-        conv(substring(md5(col("token").cast("binary")), 1, 1), 16, 10)
-          .cast("int").as("f"))
-      .groupBy("id", "cls", "f").agg(count(lit(1)).as("x"))
+    staged(s, d, "percfeat") {
+      Tables.documents(s, d)
+        .select(col("doc_id").as("id"), col("lang").as("cls"),
+          explode(words(col("text"))).as("token"))
+        .select(col("id"), col("cls"),
+          conv(substring(md5(col("token").cast("binary")), 1, 1), 16, 10)
+            .cast("int").as("f"))
+        .groupBy("id", "cls", "f").agg(count(lit(1)).as("x"))
+    }
 
   /** DuckDB twin of [[perceptronFeats]]: split on ' ', first md5
     * nibble, frequency counts.
