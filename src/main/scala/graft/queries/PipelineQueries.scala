@@ -515,18 +515,14 @@ object PipelineQueries {
     * (16 bits are degenerate for near-dup search on a shared-vocab
     * corpus — see simhash_pairs).
     */
-  private def simhashDf(s: SparkSession, d: String): DataFrame = {
-    val h = transform(words(col("text")), t => md5(t.cast("binary")))
-    val hexHi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val bits = (0 until 16).map { p =>
-      val vote = aggregate(col("h"), lit(0L), (acc, x) =>
-        acc + when(substring(x, p + 1, 1).isin(hexHi: _*), 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << p)).otherwise(0L)
-    }
+  private def simhashDf(s: SparkSession, d: String): DataFrame =
+    // one-pass SimHash16 expression — identical votes/bits to the
+    // 16 composable aggregate() folds it replaces (see SimHash16's
+    // scaladoc for the law and the measured interpreted-HOF cost)
     Tables.documents(s, d)
-      .select(col("doc_id"), h.as("h"))
-      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
-  }
+      .select(col("doc_id"),
+        graft.functions.SimHash16.simhash16(words(col("text")))
+          .as("simhash"))
 
   /** The is-it-English hashed feature matrix (id, y, f, x) the binary
     * perceptron gates train/evaluate on — a row-local projection of
@@ -648,10 +644,14 @@ object PipelineQueries {
       val nblk = ceil(size(toks) / lit(10.0)).cast("int")
       val blocks = transform(sequence(lit(0), nblk - 1),
         b => array_join(slice(toks, b * 10 + 1, lit(10)), " "))
+      // first-occurrence-order distinct IS array_distinct: the former
+      // filter(blocks, (x, i) -> array_position(blocks, x) == i + 1)
+      // re-scanned the (interpreted-HOF) blocks array per element —
+      // O(blocks²) with the blocks expression re-evaluated inside its
+      // own lambda; array_distinct is one hash pass over one
+      // evaluation, identical kept set and order
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          filter(blocks, (x, i) => array_position(blocks, x) === i + 1)
-            .as("kept"))
+        .select(col("doc_id"), array_distinct(blocks).as("kept"))
         .select(col("doc_id"), array_join(col("kept"), " ").as("clean_text"),
           size(col("kept")).cast("long").as("n_kept"))
     }),
@@ -1247,14 +1247,26 @@ object PipelineQueries {
       val de = hits("der") + hits("und") + hits("die")
       val fr = hits("le") + hits("et") + hits("la")
       val es = hits("el") + hits("y") + hits("los")
-      Tables.documents(s, d).select(
-        col("doc_id"), col("lang"),
-        when(octet_length(col("text")) =!= length(col("text")), "zh")
-          .when(de > en && de > fr && de > es, "de")
-          .when(fr > en && fr > de && fr > es, "fr")
-          .when(es > en && es > de && es > fr, "es")
-          .when(en > 0, "en")
-          .otherwise("unknown").as("guess"))
+      // each score is 3 regex passes and appears 3-4 times in the
+      // CaseWhen — hoist them into their own projection so they
+      // evaluate ONCE per row (CaseWhen branches defeat codegen
+      // subexpression elimination; CollapseProject keeps the split
+      // because the aliases are non-cheap and multiply referenced).
+      // Same comparisons, same result.
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          en.as("en"), de.as("de"), fr.as("fr"), es.as("es"))
+        .select(
+          col("doc_id"), col("lang"),
+          when(octet_length(col("text")) =!= length(col("text")), "zh")
+            .when(col("de") > col("en") && col("de") > col("fr") &&
+              col("de") > col("es"), "de")
+            .when(col("fr") > col("en") && col("fr") > col("de") &&
+              col("fr") > col("es"), "fr")
+            .when(col("es") > col("en") && col("es") > col("de") &&
+              col("es") > col("fr"), "es")
+            .when(col("en") > 0, "en")
+            .otherwise("unknown").as("guess"))
     }),
 
     // fastText-style linear domain classifier INFERENCE (the corpus
