@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass forked run output through UNPREFIXED: the default LoggedOutput
+// decorates every stdout line with "[info] ", so a log parser looking
+// for a line that starts with '{' (the bench/verify JSON contract)
+// never matches — PERF_r14 confirmed the driver's capture failed to
+// parse even a fully-captured JSON line for exactly this reason.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -135,6 +135,11 @@ object Bench {
     val qsMin = minResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val minTotal = minResults.map(_._2).sum
+    // sum of FIRST-rep (cold-path) times: with staged tables/indexes
+    // built on first use, rep 1 carries the staging cost the median and
+    // min amortize away — this is the honest scale proxy alongside them
+    // (prepend-built lists are newest-first, so .last is rep 1)
+    val rep1Total = ok.map(n => times(n).last).sum
     val fullResults = ok.filter(fullTimes.contains)
       .map(n => n -> median(fullTimes(n)))
     val qsFull = fullResults.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -147,14 +152,25 @@ object Bench {
         Double.box(v)))
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpus,"loadavg":$loadJson,"queries":$qs,"queries_min":$qsMin,"min_total":$minTotal,"queries_full":$qsFull,"full_total":$fullTotal,"rep_times":$rt,"errors":$errJson,"sf":"$sfDir"}"""
-    println(json)
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpus,"loadavg":$loadJson,"queries":$qs,"queries_min":$qsMin,"min_total":$minTotal,"rep1_total":$rep1Total,"queries_full":$qsFull,"full_total":$fullTotal,"rep_times":$rt,"errors":$errJson,"sf":"$sfDir"}"""
+    // stdout gets a SHORT summary as the LAST line, per-query maps go
+    // to the file artifacts only: the driver's log capture keeps the
+    // final ~2000 characters of stdout, and the full JSON outgrew that
+    // at round ~4 (30 KB by round 14) — every PERF_r* since has had
+    // parsed: null because the captured tail starts mid-line. A line
+    // the capture window provably contains restores the driver's
+    // round-over-round perf comparison; nothing is lost because the
+    // same full map (and more) is in "detail" and the round-stamped
+    // BENCH_FULL copy below.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpus,"loadavg":$loadJson,"n_queries":${ok.size},"min_total":$minTotal,"rep1_total":$rep1Total,"full_total":$fullTotal,"errors":$errJson,"sf":"$sfDir","detail":"$out"}"""
+    println(summary)
     // also persist to a file: stdout artifacts have been truncated by
     // log capture, losing the per-query tail — the file is the durable
     // copy of the full map. Path overridable (cwd may not be the repo
     // when launched via spark-submit); best-effort so a read-only cwd
     // can never abort after the timed runs
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     // NonFatal (not just IOException): Paths.get can throw unchecked
     // InvalidPathException for a malformed override, and nothing after
     // the timed runs may abort before spark.stop()
