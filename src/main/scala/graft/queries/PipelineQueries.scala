@@ -299,21 +299,30 @@ object PipelineQueries {
     * the same exchange -> ReuseExchange computes the signatures once.
     */
   private def dhashBandedPairs(sig: DataFrame): DataFrame = {
+    def key(c: Column, p: Int): Column =
+      shiftright(c, 16 * p).bitwiseAND(lit(0xffffL))
     val banded = sig
       .select(col("media_id"), col("dhash"),
-        posexplode(array((0 until 4).map(p =>
-          shiftright(col("dhash"), 16 * p).bitwiseAND(lit(0xffffL))): _*))
+        posexplode(array((0 until 4).map(p => key(col("dhash"), p)): _*))
           .as(Seq("band", "key")))
       .repartition(col("band"), col("key"))
+    // first-matching-band dedup — see simhash_pairs: each qualifying
+    // pair is emitted exactly once (at the smallest band both agree
+    // on, a row-local test over the carried signatures), so the final
+    // pair-space DISTINCT exchange is gone while the pair set is
+    // provably unchanged.
+    val firstBand = (0 until 3).foldRight(lit(3): Column)((p, rest) =>
+      when(key(col("a.dhash"), p) === key(col("b.dhash"), p), p)
+        .otherwise(rest))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.media_id") < col("b.media_id"))
+          col("a.media_id") < col("b.media_id") &&
+          col("a.band") === firstBand)
       .select(col("a.media_id").as("media_a"),
         col("b.media_id").as("media_b"),
         bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
-      .distinct()
   }
 
   /** The verified image near-dup edge set, staged once per JVM — the
@@ -720,20 +729,32 @@ object PipelineQueries {
       val sig = Tables.documents(s, d).select(col("doc_id"),
         graft.functions.SimHash64.simhash64(words(col("text")))
           .as("simhash"))
+      def key(c: Column, p: Int): Column =
+        shiftright(c, 15 * p).bitwiseAND(lit(0x7fffL))
       val banded = sig
         .select(col("doc_id"), col("simhash"),
-          posexplode(array((0 until 4).map(p =>
-            shiftright(col("simhash"), 15 * p).bitwiseAND(lit(0x7fffL))): _*))
+          posexplode(array((0 until 4).map(p => key(col("simhash"), p)): _*))
             .as(Seq("band", "key")))
         .repartition(col("band"), col("key"))
+      // FIRST-matching-band dedup (r15): a pair sharing k bands used to
+      // be emitted k times and deduped by a final pair-space DISTINCT
+      // exchange. Both join sides carry the full signature, so "is this
+      // the first band the pair agrees on" is a row-local residual —
+      // each qualifying pair now surfaces exactly once and the DISTINCT
+      // shuffle (over the PAIR space, the one table here that can
+      // outgrow the signature table) disappears. Same pair set: every
+      // pair with >= 1 shared band has exactly one first shared band.
+      val firstBand = (0 until 3).foldRight(lit(3): Column)((p, rest) =>
+        when(key(col("a.simhash"), p) === key(col("b.simhash"), p), p)
+          .otherwise(rest))
       banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id") &&
+            col("a.band") === firstBand)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
             .cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
-        .distinct()
     }),
 
     // brute-force cosine top-k against a probe vector (ANN baseline)
@@ -1683,18 +1704,20 @@ object PipelineQueries {
       val tf = staged(s, d, "tf") {
         toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       }
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.select(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
-      // df as a window count over the SAME term clustering instead of
-      // a separate aggregate re-joined onto tf: the join shape scanned
-      // the staged tf twice and shuffled it twice by term (the
-      // aggregate's exchange + the join's re-shuffle — canonically
-      // different subplans, so ReuseExchange can't dedupe them); the
-      // window gets the identical per-term count from one exchange
-      tf.repartition(col("term"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-        .crossJoin(broadcast(n))
+      // r15 NOTE — the round-14 window-df rewrite (df as a window count
+      // over one term repartition; one tf scan, one term exchange) was
+      // REVERTED here: the driver measured it 0.82x of this join shape
+      // in both its runs (the full posting-stream sort WindowExec pays
+      // costs more than the saved scan + aggregate exchange), and at
+      // scale that sort is not provably cheaper either — SMJ's
+      // per-side sort spills the same stream the window would. The
+      // join keys on tf's own shuffle key, so tf's exchange is reused
+      // and exact stats/AQE pick the build side.
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"),
           ((col("tf") * col("n_docs")) / col("df")).as("score"))
         .select(col("doc_id"), col("term"), col("score"),
@@ -3030,23 +3053,28 @@ object PipelineQueries {
     val bt = tok.select(col("doc_id"), col("lang"),
       ((length(col("token")) * 31 + ascii(col("token"))) % 64)
         .as("bucket"))
-    // ONE token explode for all three consumers (corpus counts, target
-    // counts, per-doc profile — formerly three separate corpus passes):
-    // the (doc, lang, bucket) aggregate is the shared base; lang is
-    // constant per doc, so these rows ARE the per-(doc, bucket)
-    // profile, and the bucket ratio table re-aggregates the same base
-    // (identical subplan -> AQE serves it from one reused exchange).
-    // Sums of longs reproduce the former counts exactly; t0 is NULL
-    // for a bucket no 'en' doc touches, exactly like the old left
-    // join's missing row.
-    val db = bt.groupBy("doc_id", "lang", "bucket")
-      .agg(count(lit(1)).as("n"))
-    val ratios = db.groupBy("bucket")
-      .agg(sum(col("n")).as("c"),
-        sum(when(col("lang") === "en", col("n"))).as("t"))
+    // TWO token passes, each collapsing map-side (r15 reshape): the
+    // ratio pass fuses the former separate corpus/target aggregates
+    // into ONE groupBy(bucket) with a conditional sum — partial
+    // aggregation folds the token stream to 64 rows per task before
+    // its (tiny) shuffle — and the profile pass is the map-side-
+    // combinable (doc, bucket) count. The round-14 single-pass form
+    // (shared (doc, lang, bucket) aggregate, ratio table re-aggregated
+    // off the same exchange via AQE reuse) measured 0.78-0.82x of the
+    // two-pass shapes in the driver's runs: re-reading the corpus-
+    // sized exchange for the ratio branch plus the extra AQE stage
+    // costs more than one extra map-side-collapsing scan, locally and
+    // — because the re-read is shuffle I/O of docs x buckets rows while
+    // the scan pass never shuffles more than 64 rows per task — at
+    // scale as well. sum(when(en, 1)) is NULL for a bucket no 'en'
+    // token touches, exactly like the former left join's missing row.
+    val ratios = bt.groupBy("bucket")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("lang") === "en", 1L)).as("t"))
       .select(col("bucket"),
         expr("((coalesce(t, 0L) + 1) * 1000000) div (c + 1)").as("r"))
-    db.join(broadcast(ratios), "bucket")
+    bt.groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+      .join(broadcast(ratios), "bucket")
       .groupBy("doc_id").agg(sum(col("n") * col("r")).as("weight"))
   }
 

@@ -242,25 +242,25 @@ class PipelinePlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"corpus-wide shuffle join in decontam_ngram:\n$plan")
   }
 
-  test("tfidf_top_terms: window df, no term join, tf read once") {
-    // round-14 shape: df is a window count over the same term
-    // clustering the tf rows are repartitioned into — the former
-    // aggregate-and-rejoin scanned the staged tf twice and shuffled it
-    // twice by term (canonically different subplans, no ReuseExchange)
+  test("tfidf_top_terms: staged tf, no corpus explode, unhinted df join") {
+    // round-15 shape — the round-14 window-df form (df as a window
+    // count over one term repartition) was reverted after the driver
+    // measured it 0.82x of this join shape in both its runs: the
+    // posting-stream sort the window pays costs more than the saved
+    // scan + exchange, locally and (SMJ sorts spill the same stream)
+    // at scale. What must HOLD: tf stays a staged table (no corpus
+    // explode inside the query plan) and the Heaps-law-sized df table
+    // is never broadcast by HINT (AQE/stats may still pick the build
+    // side at runtime — that is a stats decision, not a hint).
     val pre = planNoAutoBroadcast("tfidf_top_terms")
-    assert(!pre.contains("Join [term#") && !pre.contains("SortMergeJoin [term#"),
-      s"df re-join on term reappeared:\n$pre")
     assert(!pre.contains("BroadcastHashJoin [term#"),
       s"Heaps-law df table broadcast-hinted:\n$pre")
-    // tf is materialized at construction, so the query plan itself must
-    // contain NO corpus explode — a Generate here means the corpus is
-    // being exploded per consumer again
     assert(!pre.contains("Generate explode"),
       s"corpus re-exploded in the query plan:\n$pre")
-    // exactly one scan of the staged tf table (+1 for the documents
-    // scan feeding the broadcast n_docs count)
+    // the staged tf table is scanned for tf and for df (+1 documents
+    // scan feeding the broadcast n_docs count) — never the corpus
     val scans = "Scan parquet".r.findAllMatchIn(pre).length
-    assert(scans <= 2, s"expected tf scanned once (+n_docs), found $scans:\n$pre")
+    assert(scans <= 3, s"expected <= 3 staged-table scans, found $scans:\n$pre")
   }
 
   test("kmeans training: codebook is broadcast; no cartesian product") {
