@@ -93,8 +93,9 @@ object BpeTrain {
       // truncates (plan depth and replay work stay bounded); between
       // checkpoints each winner-collect simply re-applies <= CKPT_EVERY
       // projections over the pinned vocabulary — map-side, tiny
-      // against the per-job scheduling cost it replaces.
-      if (step % CKPT_EVERY == 0) vocab = vocab.localCheckpoint(true)
+      // against the per-job scheduling cost it replaces. LAZY: the
+      // next winner collect materializes (and persists) it.
+      if (step % CKPT_EVERY == 0) vocab = vocab.localCheckpoint(false)
     }
     (merges.result(), vocab)
   }
@@ -185,7 +186,7 @@ object BpeTrain {
       // same interval checkpointing as trainLoop (one job per
       // CKPT_EVERY rounds instead of one per round); a batched round's
       // replay is one projection of `batch` nested replaces
-      if (round % CKPT_EVERY == 0) vocab = vocab.localCheckpoint(true)
+      if (round % CKPT_EVERY == 0) vocab = vocab.localCheckpoint(false)
     }
     (merges.result(), vocab)
   }
@@ -201,7 +202,11 @@ object BpeTrain {
       .groupBy("word").agg(count(lit(1)).as("f"))
       .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("w"),
         col("f"))
-      .localCheckpoint(true)
+      // LAZY: plan truncation now, blocks persist when round 1's
+      // winner collect first computes them — the eager count was one
+      // extra scheduled job per training build whose output nothing
+      // read before that collect anyway
+      .localCheckpoint(false)
 
   /** Adjacent-symbol pair counts over the current vocabulary —
     * frequency-weighted, vocabulary-sized.

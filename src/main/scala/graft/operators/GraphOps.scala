@@ -31,17 +31,33 @@ object GraphOps {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
-    // undirected: materialize both directions once
+    val sc = edges.sparkSession.sparkContext
+    // undirected: materialize both directions once. LAZY checkpoints
+    // for the fixture tables (plan truncation now, persist-on-first-
+    // compute): round 1's materialization computes them — an eager
+    // count here was one extra driver-loop job each per build.
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
+      // the convergence scalar rides the checkpoint's own
+      // materialization as an accumulator (bumped by a row-local
+      // nondeterministic-marked UDF on the chg column), so each round
+      // is ONE driver-loop job — the former separate
+      // filter(chg).limit(1).count() probe was a second scheduled job
+      // per round for a bit the materializing pass already computed.
+      // Accumulator semantics are safe here: only zero-vs-nonzero is
+      // read, a retried task can only inflate a NONZERO count, and a
+      // zero count cannot be fabricated (no row ever adds).
+      val acc = sc.longAccumulator("cc_changed")
+      val bump = udf((chg: Boolean) => { if (chg) acc.add(1L); chg })
+        .asNondeterministic()
       // min label over each node's neighbourhood (one shuffle)
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("cluster").as("nl")), "b")
@@ -50,10 +66,10 @@ object GraphOps {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster")))
             .as("cluster"),
-          (coalesce(col("nbr"), col("cluster")) < col("cluster"))
+          bump(coalesce(col("nbr"), col("cluster")) < col("cluster"))
             .as("chg"))
         .localCheckpoint(true)
-      converged = next.filter(col("chg")).limit(1).count() == 0L
+      converged = acc.value == 0L
       labels = next.select("id", "cluster")
       it += 1
     }
@@ -87,16 +103,21 @@ object GraphOps {
     */
   def pointerJump(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
+      // accumulator-fused convergence probe — see connectedComponents
+      val acc = sc.longAccumulator("pj_changed")
+      val bump = udf((chg: Boolean) => { if (chg) acc.add(1L); chg })
+        .asNondeterministic()
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("cluster").as("nl")), "b")
         .groupBy(col("a").as("id")).agg(min("nl").as("nbr"))
@@ -110,10 +131,10 @@ object GraphOps {
         .select(col("id"),
           least(col("cluster"), col("jl"),
             coalesce(col("nbr"), col("cluster"))).as("cluster"),
-          (least(col("jl"), coalesce(col("nbr"), col("cluster")))
+          bump(least(col("jl"), coalesce(col("nbr"), col("cluster")))
             < col("cluster")).as("chg"))
         .localCheckpoint(true)
-      converged = next.filter(col("chg")).limit(1).count() == 0L
+      converged = acc.value == 0L
       labels = next.select("id", "cluster")
       it += 1
     }
@@ -146,8 +167,14 @@ object GraphOps {
       seeds: DataFrame, idCol: String, labelCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    // a FIXED-iteration loop reads no per-round scalar, so every
+    // checkpoint is LAZY (plan truncation at once, persist on first
+    // compute): the former eager per-round counts were iters + 2
+    // driver-loop jobs per build whose output nothing read — the
+    // consumer's one action now drives the whole chain, each round's
+    // blocks persisting as the next round computes over them.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // BOTH endpoints: a dst-only node of a non-symmetrized edge list
     // is still "incident to an edge" (the scaladoc contract) and can
     // receive votes — src-only would silently drop it
@@ -156,7 +183,7 @@ object GraphOps {
     var labels = nodes.join(
         seeds.select(col(idCol).as("id"), col(labelCol).as("label")),
         Seq("id"), "left")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 0 until iters) {
       val winners = e
         .join(labels.select(col("id").as("src"), col("label")), "src")
@@ -169,7 +196,7 @@ object GraphOps {
         .select(col("id"), col("w.l").as("wl"))
       labels = labels.join(winners, Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("wl")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     labels
   }
@@ -199,25 +226,32 @@ object GraphOps {
       iters: Int, dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0,1]")
+    // fixed iterations -> every checkpoint LAZY (see labelPropagate):
+    // the consumer's action drives the chain, no per-round count jobs.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    val nodes = deg.select(col("src").as("id"))
-    var pr = nodes.withColumn("pr", lit(1000000L))
+      .localCheckpoint(false)
+    // deg and pr are keyed by the SAME node set (nodes with an
+    // out-edge), so the rank table CARRIES its degree: one equi-join
+    // per round (e |x| prd) instead of two (e |x| pr |x| deg) — the
+    // contribution `pr div deg` is row-local once deg rides along.
+    // Arithmetic and row sets are identical: the former pr |x| deg was
+    // an inner join of two tables with equal key sets.
     val base = (dampDen - dampNum) * 1000000L
+    var prd = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), lit(1000000L).as("pr"), col("deg"))
+      .localCheckpoint(false)
     for (_ <- 0 until iters) {
       val contrib = e
-        .join(pr.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
+        .join(prd.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("pr div deg").as("c"))
-      pr = nodes
+      prd = prd
         .join(contrib.groupBy("id").agg(sum(col("c")).as("s")),
           Seq("id"), "left")
         .select(col("id"), expr(
-          s"($base + $dampNum * coalesce(s, 0L)) div $dampDen").as("pr"))
-        .localCheckpoint(true)
+          s"($base + $dampNum * coalesce(s, 0L)) div $dampDen").as("pr"),
+          col("deg"))
+        .localCheckpoint(false)
     }
-    pr
+    prd.select("id", "pr")
   }
 }
