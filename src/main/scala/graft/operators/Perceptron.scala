@@ -51,10 +51,21 @@ object Perceptron {
     * integer sums, which are order-free, so results are deterministic.
     * Pinned once (localCheckpoint); every round reads it map-side.
     */
-  private def pivotMat(features: DataFrame, labelCol: String): DataFrame =
+  private def pivotMat(features: DataFrame, labelCol: String,
+      nFeatures: Int): DataFrame =
     features
       .select(col("id"), col(labelCol),
-        col("f").cast("int").as("f"), col("x").cast("long").as("x"))
+        // fail FAST and identically across all three training paths on
+        // a contract-violating feature id: the flat-matrix join form
+        // silently scored an out-of-range f as weight 0, while the
+        // pivoted fold would have array-indexed past the weight vector
+        // (driver AIOOBE in the gradient, null-poisoned scores) — an
+        // inconsistent, late, and unlabeled failure either way
+        when(col("f") >= 0 && col("f") < nFeatures, col("f").cast("int"))
+          .otherwise(raise_error(concat(
+            lit(s"perceptron feature id out of [0, $nFeatures): "),
+            col("f")))).as("f"),
+        col("x").cast("long").as("x"))
       .groupBy("id")
       .agg(min(col(labelCol)).as(labelCol), // constant per id
         collect_list(struct(col("f"), col("x"))).as("fs"))
@@ -62,14 +73,13 @@ object Perceptron {
 
   /** ⟨w, x_row⟩ as a row-local fold over the feature array, the
     * weights riding as one plan literal (they live on the driver
-    * between rounds anyway). No join, no exchange.
+    * between rounds anyway). No join, no exchange. Native one-pass
+    * expression ([[graft.functions.FeatureDot]]) — the composable
+    * aggregate() fold was an interpreted CodegenFallback lambda per
+    * element, the exact hot-spot class round 14 eliminated elsewhere.
     */
-  private def scoreCol(w: Array[Long]): Column = {
-    val wl = typedlit(w.toSeq)
-    aggregate(col("fs"), lit(0L),
-      (acc, s) => acc + s.getField("x") *
-        element_at(wl, s.getField("f") + 1))
-  }
+  private def scoreCol(w: Array[Long]): Column =
+    graft.functions.FeatureDot.feature_dot(col("fs"), w)
 
   def train(features: DataFrame, nFeatures: Int, iters: Int): DataFrame = {
     val spark = features.sparkSession
@@ -120,7 +130,7 @@ object Perceptron {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
     require(classes.length.toLong * iters * nFeatures <= (1L << 20),
       "classes * iters * nFeatures exceeds the 2^20 driver-side budget")
-    val mat = pivotMat(features, "cls")
+    val mat = pivotMat(features, "cls", nFeatures)
     // per-class ±1 label, derivable row-locally from cls
     def yc(c: String): Column = when(col("cls") === c, 1L).otherwise(-1L)
     var w: Map[String, Array[Long]] =
@@ -174,7 +184,7 @@ object Perceptron {
     require(iters.toLong * nFeatures <= (1L << 20),
       s"iters * nFeatures = ${iters.toLong * nFeatures} exceeds the " +
         "2^20 driver-side weight-evolution budget")
-    val mat = pivotMat(features, "y")
+    val mat = pivotMat(features, "y", nFeatures)
     var w = Array.fill[Long](nFeatures)(0L)
     val out = Seq.newBuilder[(Int, Int, Long)]
     for (i <- 1 to iters) {

@@ -1315,15 +1315,16 @@ object PipelineQueries {
       // output is one row per doc with ZERO exchanges (guide §2.4).
       val classes = Seq(("web", 7L, 13L), ("news", 11L, 97L),
         ("code", 17L, 31L), ("wiki", 23L, 5L))
-      val fs = transform(words(col("text")), t =>
-        conv(substring(md5(t.cast("binary")), 1, 2), 16, 10).cast("long"))
-      def score(p: Long, q: Long): Column =
-        aggregate(col("fs"), lit(0L), (acc, f) =>
-          acc + (pmod(f * p + q, lit(1001L)) - 500L))
-      val m = greatest(classes.map { case (c, p, q) =>
-        struct(score(p, q).as("score"), lit(c).as("cls")) }: _*)
+      // one-pass native argmax (r15): the round-14 map-side form still
+      // folded four interpreted aggregate() lambdas over a separately
+      // materialized feature array — DomainScore digests each token
+      // once and sweeps all four class accumulators in the same pass,
+      // inside the WholeStageCodegen span (see its scaladoc for the
+      // identity argument: same md5-byte feature, same pmod algebra,
+      // same greatest-struct tie rule)
+      val m = graft.functions.DomainScore
+        .domain_score(words(col("text")), classes)
       Tables.documents(s, d)
-        .select(col("doc_id"), fs.as("fs"))
         .select(col("doc_id"), m.as("m"))
         .select(col("doc_id"), col("m.cls").as("domain"),
           col("m.score").as("score"))
