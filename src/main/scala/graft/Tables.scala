@@ -19,21 +19,24 @@ object Tables {
     * action still reads rows from the files (no data caching — only
     * resolution metadata is reused); a production deployment gets the
     * same effect from a real catalog table or the filesource listing
-    * cache. Keyed on the session INSTANCE: parquet schema conversion
-    * honors session confs (e.g. `nanosAsLong`), so a relation resolved
-    * under one session must never serve another. Input corpus tables
-    * are immutable for a session's lifetime, which is what makes the
-    * memo sound; mutable index/sidecar directories (bloom, IVF) keep
-    * their own fingerprint-guarded read paths and never come through
-    * here.
+    * cache. Keyed on `sessionUUID` — unique per session, unlike the
+    * identity hash previously used here, which can collide between two
+    * live sessions and would then serve a relation resolved under
+    * another session's confs (parquet schema conversion honors session
+    * confs, e.g. `nanosAsLong`, so a relation resolved under one
+    * session must never serve another). Input corpus tables are
+    * immutable for a session's lifetime, which is what makes the memo
+    * sound; mutable index/sidecar directories (bloom, IVF) keep their
+    * own fingerprint-guarded read paths and never come through here.
     */
   private val relCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   /** Memoized `spark.read.parquet(path)` for write-once paths. */
   def readParquet(spark: SparkSession, path: String): DataFrame =
     relCache.getOrElseUpdate(
-      (System.identityHashCode(spark), path), spark.read.parquet(path))
+      (org.apache.spark.sql.graftinterop.ColumnInterop.sessionUUID(spark),
+        path), spark.read.parquet(path))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     readParquet(spark, s"$dir/$name.parquet")

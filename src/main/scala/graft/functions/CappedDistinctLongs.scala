@@ -48,7 +48,12 @@ final class CappedLongSet(val cap: Int) {
   * Reference parallel: the xarray-sql-style engines run their dedup
   * ubiquity filters as two passes (/root/reference has no aggregate
   * pushdown surface at all); this is the Spark-native single-pass
-  * form used by `ngram_dup_spans`.
+  * form. (`ngram_dup_spans` used it through round 13; its round-14
+  * shape counts df with a plain window instead — which buffers and
+  * spills each gram's partition group rather than holding a bounded
+  * buffer. This aggregate remains the SQL-exposed
+  * `capped_distinct_longs` for extension users and the bounded-state
+  * alternative where group state must stay O(cap).)
   *
   * Execution note: typed aggregates plan as ObjectHashAggregate, which
   * past `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`

@@ -62,14 +62,19 @@ object PipelineQueries {
     * the skew bound: with df <= 8 one gram contributes <= 28 pairs,
     * so no posting list can go quadratic.
     *
-    * ONE corpus pass, ONE posting shuffle: the bounded-state
-    * CappedDistinctLongs aggregate dedups (gram, doc) in the map-side
-    * partial and returns NULL for any gram in > 8 docs — the ubiquity
-    * filter, dedup, and list collection that otherwise take a distinct
-    * + a df count + a semi-join (three shuffles) all ride a single
-    * groupBy whose per-key state is <= 9 longs even for a gram present
-    * in every document. Pairs then expand map-side (<= C(8,2) per
-    * gram) into the final pair aggregate.
+    * ONE corpus pass, ONE posting shuffle: CharWindows emits each
+    * document's windows per-doc-distinct in a single byte scan, so the
+    * ubiquity df is a plain window count over one gram exchange, the
+    * df∈[2,8] filter runs before anything collects, and pairs expand
+    * map-side (<= C(8,2) per gram) into the final pair aggregate — the
+    * distinct + df count + semi-join form paid three shuffles for the
+    * same rows. State note: the count window BUFFERS (and past the
+    * spill threshold, spills) each gram's partition group — rows, not
+    * unbounded memory; the O(cap) alternative remains
+    * [[graft.functions.CappedDistinctLongs]], which this query used
+    * through round 13 but whose ObjectHashAggregate falls out of
+    * whole-stage codegen and sort-degrades past 128 keys per
+    * partition (measured slower — see the body comments).
     *
     * `hashedGrams = true` is the SCALE variant: the posting shuffle is
     * keyed by xxhash64(gram) (8 bytes) instead of the raw 30-byte gram
@@ -112,8 +117,11 @@ object PipelineQueries {
     // one gram contributes <= C(8,2) = 28 pairs, so no posting list
     // can go quadratic (the same skew bound as before).
     // ONE pass over that exchange, no join: the df count filters
-    // FIRST (count-only window, bounded state even for a gram in a
-    // million docs), and only the surviving df∈[2,8] rows — at most 8
+    // FIRST (count-only window — note WindowExec still BUFFERS each
+    // gram's whole partition group, spilling past
+    // spark.sql.windowExec.buffer.spill.threshold, so a
+    // million-doc gram costs buffered/spilled rows here, not unbounded
+    // memory), and only the surviving df∈[2,8] rows — at most 8
     // per gram — reach the list-collecting window, whose sort and
     // partitioning the filter preserved, so no second exchange or
     // sort. One row per gram then expands its ≤C(8,2)=28 pairs
@@ -379,8 +387,12 @@ object PipelineQueries {
 
   private def stagedObj[T](s: SparkSession, d: String, name: String)(
       build: => T): T = {
+    // sessionUUID, not identityHashCode: the hash can collide between
+    // two live sessions, which would hand one session an object built
+    // under another's confs (same fix as Tables.relCache)
     val key = s.sparkContext.applicationId + "|" +
-      System.identityHashCode(s) + "|" + d + "|" + name
+      org.apache.spark.sql.graftinterop.ColumnInterop.sessionUUID(s) +
+      "|" + d + "|" + name
     objRegistry.synchronized {
       objRegistry.getOrElseUpdate(key, build).asInstanceOf[T]
     }

@@ -332,11 +332,17 @@ object FileBloomIndex {
     val keyCol = params.getString(2)
     val ts = spark.read.parquet(s"$path/_tombstones")
       .select("k").distinct().localCheckpoint()
+    // this verb is about to delete data dirs: drop the listing memo
+    // NOW so no same-JVM reader (or this method) can serve a stale
+    // bucket set during the mutation window; the sidecar swap below
+    // rotates the digest, so post-purge readers re-list exactly once
+    presentMemo.remove(path)
     // locate: bloom-candidate buckets for the tombstoned keys
     // (executor-side, a superset), then an exact pruned confirm —
     // only buckets PROVABLY holding dead rows rewrite
-    val cands = candidateBucketsFor(spark, path, ts)
-    val candPaths = existingBucketPaths(fs, path, cands)
+    val (fpDigest0, filters0) = loadFiltersFp(spark, path)
+    val cands = candidateBucketsFor(spark, filters0, ts)
+    val candPaths = existingBucketPaths(fs, path, cands, fpDigest0)
     val touched: Array[Int] =
       if (candPaths.isEmpty) Array.empty
       else {
@@ -432,6 +438,10 @@ object FileBloomIndex {
       .map(s => s.getPath.getName.stripPrefix("fbib=").toInt)
       .filterNot(liveBuckets)
       .foreach(b => fs.delete(hp(s"$path/data/fbib=$b"), true))
+    // a reader may have re-listed (and memoized) between the sidecar
+    // swap and the deletes above — drop the entry once more so the
+    // post-purge state is re-listed exactly once
+    presentMemo.remove(path)
     // (4) tombstones LAST: every earlier crash state still masks
     fs.delete(tsPath, true)
   }
@@ -440,14 +450,24 @@ object FileBloomIndex {
     * executor-side membership tests against the broadcast memoized
     * filters, shared by [[existingKeysDf]] and the tombstone purge.
     */
-  private def candidateBucketsFor(spark: SparkSession, path: String,
-      keysDf: DataFrame): Array[Int] = {
-    val bc = spark.sparkContext.broadcast(loadFilters(spark, path))
+  private def candidateBucketsFor(spark: SparkSession,
+      filters: Array[(Int, BloomFilter)], keysDf: DataFrame): Array[Int] = {
+    val bc = spark.sparkContext.broadcast(filters)
     val candOf = udf((k: String) =>
       bc.value.collect { case (b, f) if f.mightContainString(k) => b })
     keysDf.select(explode(candOf(col("k"))).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
   }
+
+  /** Data-root listing memo for [[existingBucketPaths]], keyed by the
+    * sidecar fingerprint digest (see [[loadFiltersFp]]): the bucket
+    * dir SET only changes through verbs that also swap sidecar shard
+    * dirs, so an unchanged digest serves the listing with zero
+    * metadata round-trips. The purge verb additionally drops the
+    * entry around its data-dir deletes (same-JVM crash window).
+    */
+  private val presentMemo =
+    TrieMap.empty[String, (String, Set[String])]
 
   /** Bucket dirs that actually EXIST, as read paths: a bloom may
     * transiently name a bucket whose dir a purge already removed (the
@@ -456,14 +476,21 @@ object FileBloomIndex {
     * exactness where a blind read would fail with PATH_NOT_FOUND.
     */
   private def existingBucketPaths(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, buckets: Seq[Int]): Seq[String] = {
+      path: String, buckets: Seq[Int], fpDigest: String): Seq[String] = {
     if (buckets.isEmpty) return Seq.empty
-    // ONE listStatus of the data root (not one exists() RPC per
-    // candidate — on an object store that would charge every lookup
-    // a metadata round-trip per bucket, forever, to guard a rare
-    // crash window)
-    val present = fs.listStatus(hp(s"$path/data")).toSeq
-      .map(_.getPath.getName).toSet
+    val present = presentMemo.get(path) match {
+      case Some((d, p)) if d == fpDigest => p
+      case _ =>
+        // ONE listStatus of the data root (not one exists() RPC per
+        // candidate — on an object store that would charge every
+        // lookup a metadata round-trip per bucket, forever, to guard
+        // a rare crash window), then memoized until the sidecar
+        // fingerprints move
+        val p = fs.listStatus(hp(s"$path/data")).toSeq
+          .map(_.getPath.getName).toSet
+        presentMemo.put(path, (fpDigest, p))
+        p
+    }
     buckets.collect { case b if present(s"fbib=$b") =>
       s"$path/data/fbib=$b" }
   }
@@ -738,23 +765,66 @@ object FileBloomIndex {
     * Loud when the index has no sidecar in either format.
     */
   private[graft] def loadFilters(spark: SparkSession,
-      path: String): Array[(Int, BloomFilter)] = {
+      path: String): Array[(Int, BloomFilter)] =
+    loadFiltersFp(spark, path)._2
+
+  /** [[loadFilters]] plus the sidecar FINGERPRINT DIGEST the filters
+    * were validated against (every shard's name + file fingerprints,
+    * already computed for the per-shard memo guard — no extra
+    * metadata round-trip). The digest keys [[presentMemo]]: every
+    * mutation that can change the data-bucket dir set (write, append,
+    * tombstone purge) swaps or drops sidecar shard dirs in the same
+    * operation, so an unchanged digest proves the bucket listing is
+    * still current. Shards that MISS the filter memo are read in ONE
+    * batched parquet job (a cold session used to pay one listing +
+    * footer + collect job per shard dir).
+    */
+  private def loadFiltersFp(spark: SparkSession,
+      path: String): (String, Array[(Int, BloomFilter)]) = {
     val fs = fsFor(spark, path)
     val v1Wins = v1Authoritative(fs, path)
     val shards = if (v1Wins) Seq.empty else listShards(fs, path)
-    if (shards.nonEmpty)
-      shards.toArray.flatMap { case (_, _, dir) =>
-        loadDir(spark, fs, path, dir) }
+    if (shards.nonEmpty) {
+      val withFp = shards.map { case (lo, cnt, dir) =>
+        (lo, cnt, dir, fingerprint(fs, dir)) }
+      val digest = withFp.map { case (_, _, dir, fp) =>
+        dir.getName + fp.mkString("[", ",", "]") }.mkString(";")
+      val loaded = scala.collection.mutable.Map
+        .empty[String, Array[(Int, BloomFilter)]]
+      val misses = withFp.filter { case (_, _, dir, fp) =>
+        filterMemo.get((path, dir.getName)) match {
+          case Some((cachedFp, filters)) if cachedFp == fp =>
+            loaded(dir.getName) = filters; false
+          case _ => true
+        }
+      }
+      if (misses.nonEmpty) {
+        val rows = spark.read.parquet(misses.map(_._3.toString): _*)
+          .select("bucket", "bloom").collect()
+          .map(r => r.getAs[Int]("bucket") -> BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom"))))
+        misses.foreach { case (lo, cnt, dir, fp) =>
+          val mine = rows.filter { case (b, _) => b >= lo && b < lo + cnt }
+            .sortBy(_._1)
+          filterMemo.put((path, dir.getName), (fp, mine))
+          loaded(dir.getName) = mine
+        }
+      }
+      (digest, shards.toArray.flatMap { case (_, _, dir) =>
+        loaded(dir.getName) })
+    }
     // a present-but-empty shard root is the LEGAL all-purged state
     // (every key deleted, every shard dropped): zero filters, every
     // probe a provable miss — not a missing index. Coexistence never
     // reaches here (v1Wins routed it to the v1 branch).
-    else if (!v1Wins && fs.exists(shardRoot(path))) Array.empty
+    else if (!v1Wins && fs.exists(shardRoot(path))) ("v2:empty", Array.empty)
     else {
       healV1(fs, path)
       require(fs.exists(hp(s"$path/_blooms")),
         s"no bloom sidecar at $path — write() first")
-      loadDir(spark, fs, path, hp(s"$path/_blooms"))
+      val dir = hp(s"$path/_blooms")
+      ("v1:" + fingerprint(fs, dir).mkString("[", ",", "]"),
+        loadDir(spark, fs, path, dir))
     }
   }
 
@@ -785,8 +855,10 @@ object FileBloomIndex {
       keys: DataFrame, keysCol: String): DataFrame = {
     val kd = keys.select(col(keysCol).cast("string").as("k"))
       .filter(col("k").isNotNull).distinct()
-    val buckets = candidateBucketsFor(spark, path, kd)
-    val paths = existingBucketPaths(fsFor(spark, path), path, buckets)
+    val (fpDigest, filters) = loadFiltersFp(spark, path)
+    val buckets = candidateBucketsFor(spark, filters, kd)
+    val paths = existingBucketPaths(fsFor(spark, path), path, buckets,
+      fpDigest)
     if (paths.isEmpty) return kd.filter(lit(false))
     val pruned = spark.read.option("basePath", s"$path/data")
       .parquet(paths: _*)
@@ -838,11 +910,12 @@ object FileBloomIndex {
 
   private def lookupKeys(spark: SparkSession, path: String,
       keyCol: String, keys: Seq[String]): DataFrame = {
-    val filters = loadFilters(spark, path)
+    val (fpDigest, filters) = loadFiltersFp(spark, path)
     val cands = filters
       .filter { case (_, f) => keys.exists(f.mightContainString) }
       .map(_._1).sorted.toSeq
-    val paths = existingBucketPaths(fsFor(spark, path), path, cands)
+    val paths = existingBucketPaths(fsFor(spark, path), path, cands,
+      fpDigest)
     val base =
       if (paths.isEmpty)
         // the all-rejected fast path still needs the DATA SCHEMA for

@@ -12,4 +12,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnInterop {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** The session's unique id — public on the classic implementation
+    * but absent from the API type graft codes against; every local
+    * SparkSession here IS classic.
+    */
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): String =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }
